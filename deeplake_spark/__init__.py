@@ -1,0 +1,24 @@
+"""deeplake_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Deep Lake v4 (activeloopai/deeplake).
+
+Architecture: everything is expressed as Spark DataFrame / SQL plans so
+Catalyst + Tungsten handle optimization (pushdown, pruning, join strategy,
+whole-stage codegen, AQE). Python touches data only through Arrow-batched
+pandas UDFs, and only where built-in expressions genuinely cannot express
+the semantics (tensor decode, MAXSIM late interaction).
+
+Layout:
+  session      — SparkSession factory tuned for the local[32] test harness
+  io           — table loaders for the driver test data, row-id assignment
+  functions/   — TQL scalar/array/vector/text function library (Column exprs)
+  operators/   — dedup, similarity search, restructuring, sampling
+  queries/     — the registry consumed by __spark_entry__ (query + oracle)
+  tql/         — TQL dialect front-end: parser + translator to DataFrame ops
+"""
+
+from deeplake_spark.session import get_spark
+from deeplake_spark.io import load_tables, with_row_id
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "load_tables", "with_row_id", "__version__"]

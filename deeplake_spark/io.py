@@ -1,0 +1,92 @@
+"""Table loading and row-id assignment.
+
+Deeplake rows are ordered and addressable by offset (SURVEY §1.1:
+`icm::index_mapping_t`, `ROW_NUMBER()` returns the source offset —
+reference `docs/docs/advanced/tql.md:427-431`). Spark DataFrames are
+unordered, so offset addressing needs an explicit row-id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: tables small enough to always broadcast in joins at any scale factor —
+#: dimension tables whose cardinality is fixed or grows sublinearly.
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projection into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view so `spark.sql` works."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
+                col_name: str = "_row_id") -> DataFrame:
+    """Attach a dense 0-based row id.
+
+    Two strategies:
+
+    - ``order_by`` given: global ``row_number() - 1`` over that ordering.
+      Deterministic; costs a global sort, so reserve it for when the
+      logical row order is defined by data (e.g. a natural key).
+
+    - no ``order_by`` (scale path): dense ids without a global sort.
+      ``monotonically_increasing_id`` gives per-partition-monotonic ids;
+      we shift each partition by the cumulative count of the partitions
+      before it. The per-partition counts aggregate is tiny (one row per
+      partition) and is broadcast back, so no data-sized shuffle occurs.
+      Ids follow partition order, which for a parquet scan is the stable
+      file/split order.
+    """
+    if order_by is not None:
+        keys = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.orderBy(*[F.col(k) for k in keys])
+        return df.withColumn(col_name, F.row_number().over(w) - F.lit(1))
+
+    pid = F.spark_partition_id()
+    mono = F.monotonically_increasing_id()
+    tagged = df.withColumn("__pid", pid).withColumn("__mono", mono)
+    # one row per partition — broadcastable at any data scale
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min("__mono").alias("__base"))
+        .withColumn(
+            "__offset",
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .fillna({"__offset": 0})
+        .select("__pid", "__base", "__offset")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(col_name, F.col("__mono") - F.col("__base") + F.col("__offset"))
+        .drop("__pid", "__mono", "__base", "__offset")
+    )

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Defaults are tuned for the driver harness (local[32], 128 GiB, parquet
+test tables) but every knob is a plain Spark conf, so the same code runs
+unchanged on a 1000-executor cluster — there, `master` comes from
+spark-submit and shuffle partitions from cluster defaults / AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "deeplake-spark", cpus: int | str | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    Conf rationale:
+      - session timezone pinned UTC: deeplake stores timestamps as naive
+        uint64 (SURVEY §1.3); our DuckDB oracle is UTC-naive too.
+      - AQE on: runtime coalescing of shuffle partitions + skew-join
+        handling, which is what makes a fixed shuffle-partition count
+        survive a 100x scale-up.
+      - Arrow on: every pandas UDF crosses the JVM/Python boundary in
+        columnar batches.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
