@@ -1,0 +1,169 @@
+"""Per-row tensor/array reductions and predicates (TQL scalar context).
+
+Reference: per-cell reductions reduce over a cell's nd-array, not over
+rows — `cpp/nd/functions.hpp` (SUM :95, AVG :149, PROD :103, AMIN :87,
+AMAX :79, ANY/ALL/ALL_STRICT :39-63, NONZERO :23), statistics
+`cpp/nd/statistics.hpp:8-35`, logical `cpp/nd/logical.hpp:14-18`,
+`docs/docs/advanced/tql.md:435-487`.
+
+All are Column expressions over ArrayType — JVM-side, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def asum(arr: Column) -> Column:
+    """SUM(cell_array) — cpp/nd/functions.hpp:95."""
+    return F.aggregate(_dbl(arr), F.lit(0.0), lambda a, x: a + x)
+
+
+def aprod(arr: Column) -> Column:
+    """PROD(cell_array) — cpp/nd/functions.hpp:103."""
+    return F.aggregate(_dbl(arr), F.lit(1.0), lambda a, x: a * x)
+
+
+def aavg(arr: Column) -> Column:
+    """AVG/MEAN(cell_array) — cpp/nd/functions.hpp:149."""
+    return F.when(F.size(arr) > 0, asum(arr) / F.size(arr))
+
+
+def amin(arr: Column) -> Column:
+    """AMIN — cpp/nd/functions.hpp:87."""
+    return F.array_min(arr)
+
+
+def amax(arr: Column) -> Column:
+    """AMAX — cpp/nd/functions.hpp:79."""
+    return F.array_max(arr)
+
+
+def astdev(arr: Column) -> Column:
+    """STDEV (population) — cpp/nd/statistics.hpp:24."""
+    n = F.size(arr)
+    mean = aavg(arr)
+    var = F.when(
+        n > 0,
+        F.aggregate(_dbl(arr), F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)) / n,
+    )
+    return F.sqrt(var)
+
+
+def amedian(arr: Column) -> Column:
+    """MEDIAN — cpp/nd/statistics.hpp:30 (midpoint for even length)."""
+    s = F.array_sort(_dbl(arr))
+    n = F.size(s)
+    mid = (n / 2).cast("int")
+    odd = F.element_at(s, mid + 1)
+    even = (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0
+    return F.when(n == 0, F.lit(None).cast("double")).when(n % 2 == 1, odd).otherwise(even)
+
+
+def any_(cond_arr: Column) -> Column:
+    """ANY(bool_array): true if any element true; false on empty —
+    cpp/nd/functions.hpp:39."""
+    return F.exists(cond_arr, lambda x: x)
+
+
+def all_(cond_arr: Column) -> Column:
+    """ALL(bool_array): vacuously true on empty — cpp/nd/functions.hpp:47."""
+    return F.forall(cond_arr, lambda x: x)
+
+
+def all_strict(cond_arr: Column) -> Column:
+    """ALL_STRICT: like ALL but false on empty — cpp/nd/functions.hpp:55,
+    tql.md:435-451 (the documented ALL vs ALL_STRICT distinction)."""
+    return all_(cond_arr) & (F.size(cond_arr) > 0)
+
+
+def logical_and(a: Column, b: Column) -> Column:
+    """Elementwise LOGICAL_AND — cpp/nd/logical.hpp:14."""
+    return F.zip_with(a, b, lambda x, y: x & y)
+
+
+def logical_or(a: Column, b: Column) -> Column:
+    """Elementwise LOGICAL_OR — cpp/nd/logical.hpp:16."""
+    return F.zip_with(a, b, lambda x, y: x | y)
+
+
+def nonzero_count(arr: Column) -> Column:
+    """Count of nonzero elements (1-D NONZERO cardinality) —
+    cpp/nd/functions.hpp:23, tql.md:419-423."""
+    return F.size(F.filter(arr, lambda x: x != 0))
+
+
+def nonzero_indices(arr: Column) -> Column:
+    """Indices (0-based) of nonzero elements."""
+    pairs = F.zip_with(
+        arr, F.sequence(F.lit(0), F.size(arr) - 1), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
+    )
+    return F.transform(F.filter(pairs, lambda p: p["v"] != 0), lambda p: p["i"])
+
+
+def flat(arr2d: Column) -> Column:
+    """FLAT — cpp/nd/functions.hpp:127."""
+    return F.flatten(arr2d)
+
+
+def shape2d(arr2d: Column) -> Column:
+    """SHAPE of a rectangular 2-D cell (tql.md:408-412); variable-shape
+    tensors carry a `shape` sibling column instead (SURVEY §1.4)."""
+    return F.array(
+        F.size(arr2d).cast("int"),
+        F.coalesce(F.size(F.element_at(arr2d, 1)), F.lit(0)).cast("int"),
+    )
+
+
+def array_slice(arr: Column, start: Column | int, stop: Column | int, step: int = 1) -> Column:
+    """Python-style slice col[start:stop:step] with 0-based indexing
+    (reference cpp/query_core/expr.hpp:303-318). Negative indexing is
+    resolved against the array length (icm/parse_negative_index.hpp)."""
+    n = F.size(arr)
+    start_c = F.lit(start) if isinstance(start, int) else start
+    stop_c = F.lit(stop) if isinstance(stop, int) else stop
+    start_n = F.when(start_c < 0, F.greatest(n + start_c, F.lit(0))).otherwise(F.least(start_c, n))
+    stop_n = F.when(stop_c < 0, F.greatest(n + stop_c, F.lit(0))).otherwise(F.least(stop_c, n))
+    idx = F.sequence(start_n + 1, stop_n, F.lit(step))  # 1-based for element_at
+    return F.when(
+        stop_n > start_n,
+        F.transform(
+            F.filter(idx, lambda i: i <= n), lambda i: F.element_at(arr, i.cast("int"))
+        ),
+    ).otherwise(F.slice(arr, 1, 0))
+
+
+def element(arr: Column, index: int) -> Column:
+    """col[i] with 0-based + negative indexing (expr.hpp:255-269)."""
+    if index >= 0:
+        return F.get(arr, index)  # 0-based, null when OOB
+    return F.element_at(arr, index)  # negative = from end, 1-based API
+
+
+def bincount(arr: Column, nbins: int) -> Column:
+    """BINCOUNT for small non-negative int cells —
+    cpp/nd/statistics.hpp:8."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda b: F.size(F.filter(arr, lambda x: x == b)),
+    )
+
+
+def histogram(arr: Column, lo: float, hi: float, nbins: int) -> Column:
+    """HISTOGRAM with equal-width bins over [lo, hi) —
+    cpp/nd/statistics.hpp:11."""
+    width = (hi - lo) / nbins
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda b: F.size(
+            F.filter(
+                _dbl(arr),
+                lambda x: (x >= lo + b * width) & (x < lo + (b + F.lit(1)) * width),
+            )
+        ),
+    )

@@ -1,0 +1,180 @@
+"""Text analysis functions: tokenization, shingling, language ID,
+quality scoring, fingerprinting (SURVEY training-data-pipeline ops +
+TQL CONTAINS/EQUALS — reference cpp/nd/functions.hpp:71,
+query_core/text_search_info.hpp:33-37).
+
+Everything here is a Column expression (JVM-side). The deterministic
+formulas are deliberately reproducible in ANSI SQL so the DuckDB oracle
+can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+#: language identifier. Deliberately minimal + deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une"],
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token counting: split on word boundaries/punct/digit runs
+    (a regex approximation of byte-pair segmentation used for budget
+    accounting in training pipelines)."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(text), r"[^a-z0-9]+|(?<=[a-z]{4})(?=[a-z])"),
+            lambda t: t != "",
+        )
+    )
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """n-word shingles (space-joined); empty array when len(tokens) < n."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-grams of the lowercased text."""
+    s = F.lower(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        lambda i: F.substring(s, i, n),
+    )
+    return F.when(F.length(s) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Occurrence count (not distinct) of tokens in a stopword list."""
+    lit_set = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_set, t)))
+
+
+def langid_scores(tokens: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (hits / tokens)."""
+    n = F.greatest(F.size(tokens), F.lit(1))
+    return {
+        lang: (stopword_hits(tokens, words).cast("double") / n)
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def predict_lang(tokens: Column) -> Column:
+    """argmax of langid_scores with deterministic lexicographic tiebreak;
+    'und' (undetermined) when every score is 0."""
+    scores = langid_scores(tokens)
+    # build struct array (score, negname) and pick max — deterministic
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic doc-quality features (length / punct / stopword
+    ratios) in the style of C4/Gopher quality filters."""
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, stopword_hits(toks, QUALITY_STOPWORDS).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "unique_token_ratio": uniq_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs with
+    diverse vocabulary; deterministic, oracle-reproducible."""
+    f = quality_features(text)
+    len_score = F.least(f["n_tokens"].cast("double") / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * f["unique_token_ratio"] + 0.2 * (1.0 - f["punct_ratio"]),
+        6,
+    )
+
+
+#: rolling-hash parameters (polynomial fingerprint, overflow-free in i64:
+#: max intermediate = MOD*BASE + 255 ≈ 3.1e10 << 2^63)
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    lowercased character stream, mod 1e9+7 (document-identity hashing for
+    dedup bookkeeping). Reproducible in any SQL engine."""
+    chars = F.split(F.lower(text), "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+
+
+def contains_keyword(text: Column, keyword: str) -> Column:
+    """TQL CONTAINS(col, 'kw') for text columns — case-insensitive token
+    membership (reference text_search_info::search_type::contains)."""
+    return F.array_contains(tokenize(text), keyword.lower())
+
+
+def glob_to_rlike(pattern: str) -> str:
+    """TQL LIKE uses glob syntax: `*` = any run, `?` = one char
+    (reference docs/docs/advanced/tql.md:207-228 — NOT SQL %/_).
+    Translate to an anchored Java regex, escaping regex metachars."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in r"\.[]{}()<>^$|+-=!":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
+
+
+def glob_like(col: Column, pattern: str, case_insensitive: bool = False) -> Column:
+    """TQL LIKE/ILIKE with glob patterns."""
+    rx = glob_to_rlike(pattern.lower() if case_insensitive else pattern)
+    target = F.lower(col) if case_insensitive else col
+    return target.rlike(rx)

@@ -1,0 +1,112 @@
+"""Vector / embedding functions (TQL built-ins, SURVEY §2.9).
+
+Reference semantics: `COSINE_SIMILARITY`, `DOT`, `L1_NORM/L2_NORM/
+LINF_NORM`, `HAMMING_DISTANCE`, `MAXSIM` — reference
+`cpp/nd/norm.hpp:20-56`, `cpp/nd/functions.hpp:136`,
+`docs/docs/advanced/tql.md:93-136`.
+
+All 1-D functions are pure Column expressions built from higher-order
+functions (`zip_with`/`aggregate`/`transform`), so they run inside
+whole-stage codegen on the JVM — no Python in the hot path and they
+vectorize over a 1000-executor scan exactly like built-ins.
+
+Accumulation discipline: elements are cast to DOUBLE before arithmetic
+and folded sequentially (Spark's `aggregate` is a left fold), which
+makes results deterministic and lets the DuckDB oracle reproduce them
+bit-for-bit with the same double left-fold.
+
+MAXSIM operates on per-row matrices (array<array<float>>) — that is
+genuinely beyond HOF ergonomics, so it is an Arrow-batched pandas UDF
+(the reference's own `is_batch` fast path, `cpp/tql/tql.hpp:179-204`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """DOT(a, b) — reference cpp/nd/functions.hpp:136."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l1_norm(a: Column) -> Column:
+    """L1_NORM — reference cpp/nd/norm.hpp:20."""
+    return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + F.abs(x))
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def l2_norm(a: Column) -> Column:
+    """L2_NORM — reference cpp/nd/norm.hpp:25."""
+    return F.sqrt(l2_norm_sq(a))
+
+
+def linf_norm(a: Column) -> Column:
+    """LINF_NORM — reference cpp/nd/norm.hpp:30."""
+    return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """COSINE_SIMILARITY — reference cpp/nd/norm.hpp:35, tql.md:93-96.
+
+    dot/(||a||*||b||), all double. NULL-safe via nullif on zero norms
+    (ANSI mode would otherwise raise divide-by-zero).
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return dot(a, b) / F.nullif(denom, F.lit(0.0))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """HAMMING_DISTANCE — element-wise inequality count (cpp/nd/norm.hpp:40)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x != y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sign_bits(a: Column) -> Column:
+    """Binary quantization: sign bit per dimension (reference
+    `nd::quantize`, cpp/nd/norm.hpp:50; types.pyi BinaryQuantization)."""
+    return F.transform(a, lambda x: (x >= 0).cast("int"))
+
+
+def maxsim_pandas():
+    """MAXSIM(doc_matrix, query_matrix) — ColBERT late interaction
+    (reference cpp/nd/norm.hpp:42-49, tql.md:114-136).
+
+    sum over query rows of (max over doc rows of cosine similarity).
+    Returns an Arrow-batched pandas UDF: per-row matrices are ragged
+    numpy, which HOF expressions cannot express efficiently.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def maxsim(doc: pd.Series, query: pd.Series) -> pd.Series:
+        out = np.empty(len(doc))
+        for i, (d, q) in enumerate(zip(doc, query)):
+            dm = np.asarray([np.asarray(r, dtype=np.float64) for r in d])
+            qm = np.asarray([np.asarray(r, dtype=np.float64) for r in q])
+            if dm.size == 0 or qm.size == 0:
+                out[i] = 0.0
+                continue
+            dn = dm / np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-30)
+            qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+            out[i] = (qn @ dn.T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return maxsim

@@ -1,1 +1,326 @@
-"""Placeholder — filled in this round."""
+"""Sequence restructuring (TQL GROUP BY / UNGROUP BY / EXPAND BY),
+weighted sampling (SAMPLE BY), set operations, offset addressing, JSON
+access, and event-stream rollups.
+
+TQL semantic trap (SURVEY hard-parts list): TQL `GROUP BY` packs
+consecutive rows into *sequence rows* (video from frames), it is NOT
+scalar aggregation — reference `cpp/query_core/group_statement.hpp:15-112`,
+`heimdall_common/group_dataset.hpp:23`, tql.md:389-397. We implement it
+as groupBy(keys).agg(sort_array(collect_list(struct(order, payload))))
+which preserves element order; UNGROUP is posexplode
+(`ungroup_statement.hpp:15-116`); EXPAND BY is a tiling generator
+(`spatial_dataset.hpp:18`, tql.md:368-386).
+
+Oracle-facing outputs stay scalar (strings/ints/doubles) — sequences
+are emitted as delimiter-joined strings so value-hash comparison is
+representation-stable; the nested-type round trip is tested in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deeplake_spark.io import load_table
+from deeplake_spark.queries import query
+
+
+@query(
+    "r01_group_sequences",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="TQL GROUP BY: pack rows into ordered sequence rows "
+    "(group_statement.hpp; ordered collect_list, NOT scalar agg).",
+    tags=("restructure", "group"),
+)
+def r01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "r02_ungroup",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pos,
+           event_type
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, pos
+    """,
+    doc="UNGROUP BY: explode sequence rows back to element rows with "
+    "position (ungroup_statement.hpp; posexplode).",
+    tags=("restructure", "ungroup"),
+)
+def r02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    seqs = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+    return (
+        seqs.select("user_id", F.posexplode("seq").alias("pos", "event_type"))
+        .orderBy("user_id", "pos")
+    )
+
+
+@query(
+    "r03_expand_tiles",
+    oracle="""
+    SELECT vec_id, CAST(r * 4 + c AS INT) AS tile_id,
+           ROUND(CAST(embedding[(2*r)*8 + 2*c + 1] AS DOUBLE)
+               + CAST(embedding[(2*r)*8 + 2*c + 2] AS DOUBLE)
+               + CAST(embedding[(2*r+1)*8 + 2*c + 1] AS DOUBLE)
+               + CAST(embedding[(2*r+1)*8 + 2*c + 2] AS DOUBLE), 6) AS tile_sum
+    FROM embeddings
+    CROSS JOIN generate_series(0, 3) gr(r)
+    CROSS JOIN generate_series(0, 3) gc(c)
+    WHERE vec_id < 20
+    ORDER BY vec_id, tile_id
+    """,
+    doc="EXPAND BY h w: tile a 2-D cell (embedding reshaped 8x8) into "
+    "2x2 patch rows — sliding-window generator (spatial_dataset.hpp, "
+    "tql.md:368-386).",
+    tags=("restructure", "expand"),
+)
+def r03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+
+    def cell(r, c):  # 1-based element_at into the flattened 8x8 grid
+        return F.element_at(F.col("embedding"), r * 8 + c + 1).cast("double")
+
+    tiles = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    (r * 4 + c).cast("int").alias("tile_id"),
+                    F.round(
+                        F.element_at(F.col("embedding"), (2 * r) * 8 + 2 * c + 1).cast("double")
+                        + F.element_at(F.col("embedding"), (2 * r) * 8 + 2 * c + 2).cast("double")
+                        + F.element_at(F.col("embedding"), (2 * r + 1) * 8 + 2 * c + 1).cast("double")
+                        + F.element_at(F.col("embedding"), (2 * r + 1) * 8 + 2 * c + 2).cast("double"),
+                        6,
+                    ).alias("tile_sum"),
+                ),
+            ),
+        )
+    )
+    return (
+        e.select("vec_id", F.explode(tiles).alias("tile"))
+        .select("vec_id", F.col("tile.tile_id").alias("tile_id"), F.col("tile.tile_sum").alias("tile_sum"))
+        .orderBy("vec_id", "tile_id")
+    )
+
+
+@query(
+    "r04_sample_by_weight",
+    oracle="""
+    WITH keyed AS (
+      SELECT vec_id, label,
+             pow(((vec_id * 2654435761 + 12345) % 1048576 + 0.5) / 1048576.0,
+                 1.0 / (label + 1)) AS k
+      FROM embeddings
+    )
+    SELECT vec_id, label, ROUND(k, 9) AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, vec_id
+    LIMIT 100
+    """,
+    doc="SAMPLE BY weight LIMIT n without replacement — A-ES weighted "
+    "reservoir (pow(u, 1/w) top-k; sample_statement.hpp:15-100). "
+    "Deterministic multiplicative-hash uniform so the oracle reproduces "
+    "it; production uses rand(seed).",
+    tags=("sample",),
+)
+def r04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    u = ((F.col("vec_id") * F.lit(2654435761) + 12345) % 1048576 + 0.5) / 1048576.0
+    k = F.pow(u, 1.0 / (F.col("label") + 1))
+    return (
+        e.select("vec_id", "label", F.round(k, 9).alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "vec_id")
+        .limit(100)
+    )
+
+
+@query(
+    "r05_limit_percent",
+    oracle="""
+    WITH n AS (SELECT CAST(ceil(COUNT(*) * 0.10) AS BIGINT) AS lim FROM documents)
+    SELECT doc_id, lang FROM documents, n
+    ORDER BY doc_id
+    LIMIT (SELECT lim FROM n)
+    """,
+    doc="LIMIT 10 PERCENT (grammar y:950, tql.md:633): count-scaled limit "
+    "via window rank (no driver-side collect).",
+    tags=("limit",),
+)
+def r05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.ceil(F.count(F.lit(1)) * 0.10).alias("lim"))
+    w = Window.orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("rn") <= F.col("lim"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "r06_set_ops",
+    oracle="""
+    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+    doc="UNION/INTERSECT/EXCEPT set algebra over query results "
+    "(statement.hpp:15-20, executor union_/intersect_/difference_).",
+    tags=("setops",),
+)
+def r06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def users(et: str) -> DataFrame:
+        return e.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    return users("click").intersect(users("view")).subtract(users("purchase")).orderBy("user_id")
+
+
+@query(
+    "r07_row_number_offset",
+    oracle="""
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 50 OFFSET 100
+    """,
+    doc="ROW_NUMBER() offset addressing (tql.md:427-431) + LIMIT/OFFSET "
+    "(statement.hpp:22-41).",
+    tags=("limit", "window"),
+)
+def r07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn"))
+        .orderBy("doc_id")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "r08_json_access",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    doc="JSON access meta['k'] (expr.hpp:287-301, tql.md:138-166) → "
+    "get_json_object + numeric groupBy.",
+    tags=("json",),
+)
+def r08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "r09_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    LIMIT 200
+    """,
+    doc="Time-bucketed rollup on the events table (hypertable-rollup "
+    "pattern; maps to watermarked windowed agg in streaming mode).",
+    tags=("events", "agg"),
+)
+def r09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+        .limit(200)
+    )
+
+
+@query(
+    "r10_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps
+    WHERE user_id < 100
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Sessionization: lag-gap window + cumulative flag (the batch "
+    "equivalent of session_window in Structured Streaming).",
+    tags=("events", "window"),
+)
+def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = (
+        lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800)
+    ).cast("int")
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )

@@ -1,1 +1,440 @@
-"""Placeholder — filled in this round."""
+"""Text search + text-analysis queries over the `documents` table.
+
+Covers TQL text operators (SURVEY §2.9/§2.10): CONTAINS / EQUALS /
+glob-LIKE / ILIKE, BM25_SIMILARITY, inverted-index build primitives,
+plus the training-data-pipeline text analysis ops: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Scale notes: every query is scan → narrow shuffle (term- or key-keyed
+aggregations). BM25's document-frequency side is a per-query-term
+aggregate (a handful of rows) and is broadcast; corpus stats (N, avgdl)
+are 1-row broadcasts. Nothing here collects data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deeplake_spark.functions.text import (
+    contains_keyword,
+    fingerprint,
+    glob_like,
+    langid_scores,
+    predict_lang,
+    quality_features,
+    quality_score,
+    tokenize,
+)
+from deeplake_spark.io import load_table
+from deeplake_spark.queries import query
+
+#: DuckDB tokenizer mirroring functions.text.tokenize
+_DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "t01_contains",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE list_contains({_DUCK_TOKS.format(c="text")}, 'spark')
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="CONTAINS(col,'kw') token membership (cpp/nd/functions.hpp:71, "
+    "text_search_info::contains) — the inverted-index probe predicate.",
+    tags=("text", "filter"),
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(contains_keyword(F.col("text"), "spark"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t02_equals",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source
+    """,
+    doc="EQUALS(col,'txt') whole-string match (tql.md:187-191, Exact index).",
+    tags=("text", "filter"),
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "t03_glob_like",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE source LIKE 'src1_' AND text LIKE 'the %'
+    ORDER BY doc_id
+    """,
+    doc="TQL glob LIKE: '*'/'?' wildcards translated to anchored regex "
+    "(tql.md:207-228 — glob, NOT SQL %/_).",
+    tags=("text", "like"),
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(glob_like(F.col("source"), "src1?") & glob_like(F.col("text"), "the *"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _duck_langid(toks_expr: str) -> str:
+    """DuckDB replica of functions.text.predict_lang (argmax of stopword
+    ratios, lexicographically-greatest language on ties, 'und' if all 0)."""
+    from deeplake_spark.functions.text import STOPWORDS
+
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        scores.append(
+            f"len(list_filter({toks_expr}, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / greatest(len({toks_expr}), 1) AS s_{lang}"
+        )
+    return ", ".join(scores)
+
+
+@query(
+    "t04_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_duck_langid(_DUCK_TOKS.format(c="text"))}
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  ELSE 'de' END AS predicted
+      FROM scored
+    )
+    SELECT predicted, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM pred GROUP BY predicted ORDER BY predicted
+    """,
+    doc="n-gram/stopword-heuristic language ID (training-pipeline op); "
+    "deterministic argmax with lexicographic tiebreak.",
+    tags=("text", "langid"),
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return (
+        d.select("lang", predict_lang(toks).alias("predicted"))
+        .groupBy("predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("lang")).cast("int")).alias("n_agree"),
+        )
+        .orderBy("predicted")
+    )
+
+
+@query(
+    "t05_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS.format(c="text")}) AS n_tokens,
+             CASE WHEN len({_DUCK_TOKS.format(c="text")}) > 0
+                  THEN len(list_distinct({_DUCK_TOKS.format(c="text")}))::DOUBLE
+                       / len({_DUCK_TOKS.format(c="text")})
+                  ELSE 0.0 END AS unique_token_ratio,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(unique_token_ratio, 6) AS unique_token_ratio,
+           ROUND(0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
+               + 0.4 * unique_token_ratio
+               + 0.2 * (1.0 - punct_ratio), 6) AS quality
+    FROM feat
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="Composite document quality scoring (length/diversity/punct "
+    "ratios) — C4/Gopher-style filter features as pure Column exprs.",
+    tags=("text", "quality"),
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        F.round(feats["unique_token_ratio"], 6).alias("unique_token_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t06_token_counts",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({_DUCK_TOKS.format(c="text")})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(len({_DUCK_TOKS.format(c="text")})), 6) AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Token-budget accounting per source (whitespace tokenizer).",
+    tags=("text", "tokens"),
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize(F.col("text")))
+    return (
+        d.select("source", n_tok.alias("nt"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "t07_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(lower(text)) = 0 THEN 0
+                ELSE list_reduce(
+                       list_transform(range(1, length(lower(text)) + 1),
+                                      i -> ascii(substring(lower(text), i, 1))::BIGINT),
+                       (a, b) -> (a * 31 + b) % 1000000007)
+           END AS fp
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+    doc="Polynomial rolling-hash document fingerprint (mod 1e9+7) — "
+    "dedup bookkeeping hash, engine-reproducible.",
+    tags=("text", "fingerprint"),
+)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 — reference: BM25 index + ORDER BY BM25_SIMILARITY (tql.md:170-176,
+# deeplake_pg/index_search.cpp:135-170). Implemented as the textbook
+# Okapi BM25 pipeline over DataFrames; the posting/DF tables are what the
+# batch-built inverted index materializes (SURVEY §4.3).
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_scores(d: DataFrame, terms: list[str], k1: float = _BM25_K1, b: float = _BM25_B) -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+    Plan shape: tokenize → explode (term,doc) pairs filtered to query
+    terms → tf agg → broadcast-join tiny df/idf and corpus stats.
+    """
+    toks = d.select(F.col("doc_id"), tokenize(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.array_contains(term_lit, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+
+
+def _duck_bm25(terms: list[str], k1: float = _BM25_K1, b: float = _BM25_B) -> str:
+    lst = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    toks = _DUCK_TOKS.format(c="text")
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE list_contains({lst}, term)
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * (tf.tf * ({k1} + 1))
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS bm25
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    """
+
+
+@query(
+    "t08_bm25_topk",
+    oracle=_duck_bm25(["spark", "join", "vector"])
+    + """
+    SELECT doc_id, ROUND(bm25, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    doc="ORDER BY BM25_SIMILARITY(col, 'query') LIMIT k (tql.md:170-176); "
+    "Okapi BM25 with broadcast df/idf sides.",
+    tags=("text", "bm25", "topk"),
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["spark", "join", "vector"])
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "t09_inverted_df",
+    oracle=f"""
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT doc_id, unnest(list_distinct({_DUCK_TOKS.format(c="text")})) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 20
+    """,
+    doc="Inverted-index build primitive: term → document frequency "
+    "posting stats (types.pyi TextIndex Inverted; SURVEY §4.3).",
+    tags=("text", "index"),
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "t10_hybrid_search",
+    oracle=_duck_bm25(["spark", "vector"])
+    + f""",
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cos
+      FROM embeddings, q
+    ),
+    combined AS (
+      SELECT COALESCE(s.doc_id, v.doc_id) AS doc_id,
+             COALESCE(s.bm25, 0.0) AS bm25, COALESCE(v.cos, 0.0) AS cos
+      FROM scored s FULL OUTER JOIN vec v ON s.doc_id = v.doc_id
+    ),
+    norms AS (SELECT MAX(bm25) AS mb, MAX(cos) AS mc FROM combined),
+    sums AS (
+      SELECT SUM(exp(bm25 - norms.mb)) AS sb, SUM(exp(cos - norms.mc)) AS sc
+      FROM combined, norms
+    )
+    SELECT doc_id,
+           ROUND(0.5 * exp(bm25 - norms.mb) / sums.sb
+               + 0.5 * exp(cos  - norms.mc) / sums.sc, 9) AS fused
+    FROM combined, norms, sums
+    ORDER BY fused DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Hybrid vector+BM25 fusion: softmax-normalize both score lists, "
+    "weighted sum, top-k (reference hybrid_query_merge.hpp:27-149).",
+    tags=("text", "vector", "hybrid"),
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.vector import cosine_similarity
+    from deeplake_spark.queries.vector_ops import _query_vec
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+
+    bm25 = bm25_scores(d, ["spark", "vector"])
+    vec = e.select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity(F.col("embedding"), qv).alias("cos"),
+    )
+    both = (
+        bm25.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+            F.coalesce(F.col("cos"), F.lit(0.0)).alias("cos"),
+        )
+    )
+    norms = both.agg(
+        F.max("bm25").alias("mb"),
+        F.max("cos").alias("mc"),
+    )
+    both_n = both.crossJoin(F.broadcast(norms))
+    sums = both_n.agg(
+        F.sum(F.exp(F.col("bm25") - F.col("mb"))).alias("sb"),
+        F.sum(F.exp(F.col("cos") - F.col("mc"))).alias("sc"),
+    )
+    return (
+        both_n.crossJoin(F.broadcast(sums))
+        .select(
+            "doc_id",
+            F.round(
+                0.5 * F.exp(F.col("bm25") - F.col("mb")) / F.col("sb")
+                + 0.5 * F.exp(F.col("cos") - F.col("mc")) / F.col("sc"),
+                9,
+            ).alias("fused"),
+        )
+        .orderBy(F.desc("fused"), "doc_id")
+        .limit(10)
+    )

@@ -1,1 +1,320 @@
-"""Placeholder — filled in this round."""
+"""Vector / similarity-search queries over the `embeddings` table.
+
+Covers TQL vector built-ins (SURVEY §2.9: COSINE_SIMILARITY, DOT,
+L1/L2/LINF_NORM, HAMMING_DISTANCE, MAXSIM) and the similarity-search
+operators (§2.10 top-k fast path: `ORDER BY sim DESC LIMIT k` →
+Catalyst TakeOrderedAndProject).
+
+Scale notes: the brute-force top-k is a single scan + TakeOrderedAndProject
+(no shuffle of the data, only k rows per partition to the driver); the
+query vector is a prefetched literal (the reference's DATA() static
+prefetch — cpp/tql/input.hpp:89-107). The IVF variant (operators/
+similarity.py) prunes to the nearest centroid partitions first, which is
+the 100 TB path; its recall is asserted in tests, not hash-matched.
+
+Oracle discipline: double math from explicitly-cast doubles, sequential
+left folds on both sides, ROUND(...,6) on emitted scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deeplake_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    hamming_distance,
+    l1_norm,
+    l2_norm,
+    linf_norm,
+    maxsim_pandas,
+    sign_bits,
+)
+from deeplake_spark.io import load_table
+from deeplake_spark.queries import query
+
+#: DuckDB expression mirroring our double-cast dot product.
+_DUCK_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Prefetch one embedding as a literal array column (DATA() semantics)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return F.array(*[F.lit(float(v)) for v in row[0]])
+
+
+@query(
+    "v01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_DUCK_COS.format(a="embedding", b="q.qv")}, 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="ORDER BY sim DESC LIMIT k → TakeOrderedAndProject (top-k fast path).",
+    tags=("vector", "topk"),
+)
+def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "v02_norm_stats_by_label",
+    oracle="""
+    SELECT label,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS avg_l2,
+           COUNT(*) AS n
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-row L2_NORM reduction feeding a row-wise aggregate.",
+    tags=("vector", "agg"),
+)
+def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", l2_norm(F.col("embedding")).alias("l2"))
+        .groupBy("label")
+        .agg(F.round(F.avg("l2"), 6).alias("avg_l2"), F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "v03_dot_consecutive",
+    oracle="""
+    SELECT a.vec_id,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS dp
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 100
+    ORDER BY a.vec_id
+    """,
+    doc="DOT across a self-join (query-by-example pairing).",
+    tags=("vector", "join"),
+)
+def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id"), F.col("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "vec_id")
+        .select("vec_id", F.round(dot(F.col("ea"), F.col("eb")), 6).alias("dp"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "v04_hamming_signbits",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (embedding[i] >= 0) <> (q.qv[i] >= 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM embeddings, q
+    )
+    SELECT hamming, COUNT(*) AS n
+    FROM d GROUP BY hamming ORDER BY hamming
+    """,
+    doc="Binary quantization (sign bits) + Hamming histogram — the "
+    "ClusteredQuantized prefilter building block (types.pyi:71-126).",
+    tags=("vector", "quantize"),
+)
+def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return (
+        e.select(
+            hamming_distance(sign_bits(F.col("embedding")), sign_bits(qv)).alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hamming")
+    )
+
+
+@query(
+    "v05_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS l1,
+           ROUND(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS linf
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="L1_NORM / LINF_NORM per cell.",
+    tags=("vector",),
+)
+def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id",
+        F.round(l1_norm(F.col("embedding")), 6).alias("l1"),
+        F.round(linf_norm(F.col("embedding")), 6).alias("linf"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "v06_knn_multi_query",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({_DUCK_COS.format(a="e.embedding", b="q.qv")}, 6) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+    doc="Batched k-NN: broadcast the query set, window top-k per query "
+    "(the run_batch parameterized-query pattern, __init__.pyi:612-641).",
+    tags=("vector", "topk", "window"),
+)
+def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "v07_label_centroids",
+    oracle="""
+    SELECT label, CAST(g.i - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+    WHERE label < 3
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="Per-label elementwise centroid via posexplode + hash agg — the "
+    "k-means index build primitive (EmbeddingIndex Clustered, types.pyi:145).",
+    tags=("vector", "agg"),
+)
+def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("label") < 3)
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "v08_near_dup_pairs",
+    oracle=f"""
+    SELECT a.label, COUNT(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.99
+    GROUP BY a.label
+    ORDER BY a.label
+    """,
+    doc="Embedding-cosine near-duplicate detection, label-blocked to avoid "
+    "the all-pairs cross join (the LSH-bucket pattern at scale).",
+    tags=("vector", "dedup"),
+)
+def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.99)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "v09_maxsim",
+    oracle=None,  # per-row ragged matrices — validated against numpy in tests
+    doc="MAXSIM late interaction (cpp/nd/norm.hpp:42-56) over synthesized "
+    "doc matrices (groups of 8 embeddings); Arrow-batched pandas UDF.",
+    tags=("vector", "maxsim"),
+)
+def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    maxsim = maxsim_pandas()
+    docs = (
+        e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                ),
+                lambda s: s["embedding"],
+            ).alias("doc_matrix")
+        )
+    )
+    qrow = (
+        e.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .agg(F.collect_list("embedding").alias("qm"))
+        .head()
+    )
+    qm = F.array(*[F.array(*[F.lit(float(v)) for v in vec]) for vec in qrow[0]])
+    return (
+        docs.select(
+            "doc_id", F.round(maxsim(F.col("doc_matrix"), qm), 6).alias("maxsim_score")
+        )
+        .orderBy(F.desc("maxsim_score"), "doc_id")
+        .limit(20)
+    )
