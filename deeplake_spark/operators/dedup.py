@@ -1,0 +1,192 @@
+"""Deduplication operator library (exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding near-dup). DataFrame-in → DataFrame-out; no
+driver-side collection anywhere.
+
+Scale design:
+  - one tokenize/shingle pass feeds everything downstream (the exploded
+    posting relation is reused; at 100 TB you'd persist it as a side
+    table exactly like the reference's inverted index — SURVEY §4.3).
+  - candidate generation is always key-partitioned (digest, shingle, or
+    LSH band hash) — no cross join at any point.
+  - `df_cap` bounds the per-shingle fanout (drop shingles occurring in
+    > cap docs): the standard guard against quadratic pair blowup on
+    boilerplate shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deeplake_spark.functions.text import tokenize, word_shingles
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by content digest: (content_hash, n_docs,
+    keeper_doc_id). One digest-keyed shuffle."""
+    return (
+        df.groupBy(F.md5(F.lower(F.col(text_col))).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first row (min id) of every content-digest group."""
+    w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """id → distinct n-word shingles; rows with < n tokens drop out."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def _posting(sets: DataFrame, df_cap: int | None) -> DataFrame:
+    """Exploded (doc_id, shingle) posting relation, optionally df-capped."""
+    ex = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    if df_cap is not None:
+        rare = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sh")
+        )
+        ex = ex.join(rare, "sh")
+    return ex
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.5,
+                  df_cap: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard pairs (a < b, jaccard >= threshold).
+
+    Single shingle pass: sizes are derived from the posting relation
+    (groupBy count) instead of re-parsing text, and the self-join reuses
+    the same exchange.
+    """
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = _posting(sets, df_cap)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("a"), "sh")
+    b = ex.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sets: DataFrame, num_perm: int = 32) -> DataFrame:
+    """doc_id → minhash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM expression, no shuffle."""
+    def _perm(seed: int):
+        # single-arg closure: an arity-2 `lambda s, i=i:` would make
+        # F.transform pass the element index as the second argument,
+        # silently collapsing every permutation to the same function
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), _perm(i))) for i in range(num_perm)]
+    )
+    return sets.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Band the signature and bucket-join on (band, band_hash) — the
+    shuffle key is the band hash, so work stays proportional to true
+    collisions (the 100 TB-safe candidate generator)."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows + 1, rows)
+                        .cast("array<string>")
+                        .cast("string")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.select(F.col("doc_id").alias("a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "bh")
+    return a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_perm: int = 32, bands: int = 8,
+                        threshold: float = 0.35) -> DataFrame:
+    """MinHash-LSH pipeline: shingle → sign → band → bucket-join →
+    exact-Jaccard verification of the candidates only."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sets, num_perm), bands, num_perm // bands)
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, explode-based.
+
+    Plan: explode tokens → xxhash64 once per token → 64 conditional-sum
+    aggregates (one per bit) in a single hash aggregate → reassemble the
+    fingerprint. This keeps codegen flat (64 sums over one pass) instead
+    of 64 nested folds, and map-side partial aggregation makes the
+    shuffle one row per doc.
+    """
+    h = F.xxhash64(F.col("__tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("__tok"))
+        .groupBy("doc_id")
+        .agg(*bit_sums)
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        contrib = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
+        fp = fp + F.when(F.col(f"b{i}") > 0, contrib).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", fp.alias("simhash"))

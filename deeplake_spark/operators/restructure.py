@@ -1,0 +1,101 @@
+"""GROUP BY (sequence packing), UNGROUP BY (explode), EXPAND BY
+(tiling) — TQL's restructuring operators (SURVEY §2.6).
+
+Semantic note (the trap called out in SURVEY's hard-parts list): TQL
+`GROUP BY` packs rows into *sequence rows* — reference
+`cpp/query_core/group_statement.hpp:15-112`, views
+`heimdall_common/group_dataset.hpp`, `sequence_dataset.hpp`,
+tql.md:389-397 — it is NOT scalar aggregation. `UNGROUP BY split`
+explodes sequences back (`ungroup_statement.hpp:15-116`); `EXPAND BY
+h w [OVERLAP]` tiles image cells into patch rows
+(`spatial_dataset.hpp:18`, tql.md:368-386).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_sequences(df: DataFrame, keys: list[str], order_cols: list[str],
+                    payload_cols: list[str]) -> DataFrame:
+    """Pack rows into sequence rows: one output row per key combo, each
+    payload column becomes an ordered array.
+
+    collect_list has no intra-group order guarantee, so elements are
+    collected as (order…, payload…) structs and sorted in the array —
+    deterministic at any parallelism (no global sort needed).
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [F.col(c) for c in payload_cols]
+    packed = F.array_sort(F.collect_list(F.struct(*struct_cols)))
+    aggs = [F.count(F.lit(1)).alias("seq_len"), packed.alias("__packed")]
+    out = df.groupBy(*keys).agg(*aggs)
+    def _field(name):
+        # NB: a `lambda s, name=name:` default-arg closure would have
+        # arity 2, which F.transform interprets as (element, index)
+        return lambda s: s[name]
+
+    for c in payload_cols:
+        out = out.withColumn(f"{c}_seq", F.transform(F.col("__packed"), _field(c)))
+    return out.drop("__packed")
+
+
+def ungroup(df: DataFrame, seq_cols: list[str], keep_cols: list[str],
+            pos_col: str = "pos") -> DataFrame:
+    """Explode sequence rows back to element rows with a position column
+    (UNGROUP BY split). Multiple parallel sequence columns are zipped
+    positionally (arrays_zip) — matching the reference's element-wise
+    ungroup of a sequence row."""
+    zipped = F.arrays_zip(*[F.col(c) for c in seq_cols])
+    out = df.select(*keep_cols, F.posexplode(zipped).alias(pos_col, "__elem"))
+    for c in seq_cols:
+        out = out.withColumn(c.removesuffix("_seq"), F.col("__elem")[c])
+    return out.drop("__elem")
+
+
+def expand_tiles(df: DataFrame, image_col: str, tile_h: int, tile_w: int,
+                 overlap: bool = False, keep_cols: list[str] | None = None) -> DataFrame:
+    """EXPAND BY h w [OVERLAP]: tile 2-D cells (array<array<numeric>>)
+    into patch rows. Stride = tile size, or half-tile when OVERLAP
+    (sliding window), mirroring tql.md:368-386.
+
+    Pure generator expression: nested transform builds the patch list
+    per row, explode emits one row per patch — a UDTF with zero Python.
+    """
+    keep_cols = keep_cols or [c for c in df.columns if c != image_col]
+    img = F.col(image_col)
+    n_rows = F.size(img)
+    n_cols = F.size(F.element_at(img, 1))
+    stride_h = max(1, tile_h // 2) if overlap else tile_h
+    stride_w = max(1, tile_w // 2) if overlap else tile_w
+
+    def patch(r0: Column, c0: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(tile_h - 1)),
+            lambda dr: F.transform(
+                F.sequence(F.lit(0), F.lit(tile_w - 1)),
+                lambda dc: F.element_at(
+                    F.element_at(img, (r0 + dr + 1).cast("int")), (c0 + dc + 1).cast("int")
+                ),
+            ),
+        )
+
+    tiles = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n_rows - tile_h) / stride_h).cast("int")),
+            lambda ri: F.transform(
+                F.sequence(F.lit(0), F.floor((n_cols - tile_w) / stride_w).cast("int")),
+                lambda ci: F.struct(
+                    (ri * stride_h).cast("int").alias("tile_row"),
+                    (ci * stride_w).cast("int").alias("tile_col"),
+                    patch(ri * stride_h, ci * stride_w).alias("tile"),
+                ),
+            ),
+        )
+    )
+    return df.select(*keep_cols, F.explode(tiles).alias("__t")).select(
+        *keep_cols,
+        F.col("__t.tile_row").alias("tile_row"),
+        F.col("__t.tile_col").alias("tile_col"),
+        F.col("__t.tile").alias("tile"),
+    )

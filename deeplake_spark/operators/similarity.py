@@ -1,0 +1,196 @@
+"""Similarity search operators: exact top-k, batched kNN, IVF
+(clustered) index + search, and binary-quantized search — the Spark
+re-expression of the reference's embedding indexes
+(`EmbeddingIndex(Clustered|ClusteredQuantized)` types.pyi:145,625-632,
+`SearchConfig` presets query_core/search_config.hpp:57-96,
+top-k fast path query_core/top_k_search_info.hpp:17-66).
+
+Scale design:
+  - exact top-k is scan → TakeOrderedAndProject: k rows per partition
+    reach the driver, nothing shuffles.
+  - IVF: k-means at build time (MLlib), assignments written
+    cluster-partitioned so a query scans only `nprobe` clusters
+    (partition pruning = the reference's cluster-prune fast path);
+    centroids are tiny and broadcast.
+  - quantized: 1-bit sign quantization + Hamming prefilter to
+    k*accuracy_factor candidates, exact cosine rerank (the
+    ClusteredQuantized two-stage plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deeplake_spark.functions.vector import cosine_similarity, dot, l2_norm, sign_bits
+
+
+@dataclass
+class SearchConfig:
+    """Query-time recall/latency knobs — mirrors the reference presets
+    (fast=1, balanced=5, default=10, high_accuracy=20)."""
+
+    accuracy_factor: int = 10
+    nprobe: int = 4
+
+    @classmethod
+    def fast(cls) -> "SearchConfig":
+        return cls(accuracy_factor=1, nprobe=1)
+
+    @classmethod
+    def balanced(cls) -> "SearchConfig":
+        return cls(accuracy_factor=5, nprobe=2)
+
+    @classmethod
+    def high_accuracy(cls) -> "SearchConfig":
+        return cls(accuracy_factor=20, nprobe=8)
+
+
+def _as_literal_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def topk_cosine(df: DataFrame, vec_col: str, query_vec, k: int = 10,
+                id_col: str = "vec_id", payload_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Exact ORDER BY cosine DESC LIMIT k (TakeOrderedAndProject)."""
+    qv = _as_literal_vec(query_vec) if not isinstance(query_vec, Column) else query_vec
+    return (
+        df.select(
+            id_col,
+            *payload_cols,
+            F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def knn_batch(df: DataFrame, queries: DataFrame, vec_col: str = "embedding",
+              qvec_col: str = "qv", qid_col: str = "qid", k: int = 5,
+              id_col: str = "vec_id") -> DataFrame:
+    """Top-k per query vector: broadcast the (small) query set, window
+    rank per query (run_batch parameterized-query pattern)."""
+    scored = (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(
+            qid_col,
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (clustered) index
+
+
+@dataclass
+class IVFIndex:
+    """Clustered embedding index: row → cluster assignments plus the
+    centroid list. In production `assignments` is written as a table
+    partitioned by `cluster` (partition pruning does the cluster prune);
+    `centroids` is a list of (cluster_id, center) kept broadcast-small."""
+
+    assignments: DataFrame  # id_col, vec_col, cluster
+    centroids: list  # [(cluster_id, [float, ...])]
+    vec_col: str
+    id_col: str
+
+
+def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+              n_clusters: int = 16, seed: int = 42, max_iter: int = 10) -> IVFIndex:
+    """K-means build via MLlib (the reference's clustered index build,
+    index_build_config — build happens as a batch job, not per query)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(id_col, vec_col).withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__features").fit(feats)
+    assignments = (
+        model.transform(feats)
+        .select(id_col, vec_col, F.col(model.getPredictionCol()).alias("cluster"))
+    )
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return IVFIndex(assignments=assignments, centroids=centroids, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_search(index: IVFIndex, query_vec, k: int = 10,
+               config: SearchConfig | None = None) -> DataFrame:
+    """Probe the `nprobe` nearest clusters, exact-rerank inside them.
+
+    The centroid ranking is O(n_clusters * dim) driver-side arithmetic
+    (centroids are index metadata, like the reference's in-memory
+    centroid table); the data-sized work is a pruned scan.
+    """
+    import numpy as np
+
+    config = config or SearchConfig()
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    dists = [
+        (cid, float(np.linalg.norm(np.asarray(c) - q))) for cid, c in index.centroids
+    ]
+    probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[: config.nprobe]]
+    pruned = index.assignments.filter(F.col("cluster").isin(probe))
+    return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized search (ClusteredQuantized / BinaryQuantization)
+
+
+def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
+                     id_col: str = "vec_id",
+                     config: SearchConfig | None = None) -> DataFrame:
+    """Two-stage: Hamming distance on sign bits prefilters to
+    k*accuracy_factor candidates (cheap integer ops), exact cosine
+    reranks the candidates (reference rerank path, types.pyi:71-126)."""
+    from deeplake_spark.functions.vector import hamming_distance
+
+    config = config or SearchConfig()
+    qv = _as_literal_vec(query_vec)
+    n_cand = k * config.accuracy_factor
+    cands = (
+        df.select(
+            id_col, vec_col,
+            hamming_distance(sign_bits(F.col(vec_col)), sign_bits(qv)).alias("__ham"),
+        )
+        .orderBy(F.asc("__ham"), id_col)
+        .limit(n_cand)
+    )
+    return topk_cosine(cands, vec_col, query_vec, k=k, id_col=id_col)
+
+
+def near_dup_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", block_col: str = "label",
+                           threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-dup pairs inside blocking keys. Norms are
+    precomputed once per row (not per pair) before the self-join."""
+    normed = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = normed.select(
+        F.col("__blk"), F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"),
+    )
+    b = normed.select(
+        F.col("__blk"), F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= threshold)
+        .select(F.col("__blk").alias(block_col), "a_id", "b_id")
+    )

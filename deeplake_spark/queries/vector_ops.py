@@ -269,14 +269,12 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "dedup"),
 )
 def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import near_dup_pairs_blocked
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = near_dup_pairs_blocked(e, "embedding", "vec_id", "label", threshold=0.99)
     return (
-        a.join(b, "label")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.99)
-        .groupBy("label")
+        pairs.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("label")
     )
@@ -318,3 +316,39 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "v10_ivf_search",
+    oracle=None,  # k-means clustering is iterative/seed-dependent — recall
+    # vs exact top-k asserted in tests/test_similarity.py
+    doc="IVF (clustered) ANN: MLlib k-means build, nprobe centroid prune, "
+    "exact rerank inside probed clusters (EmbeddingIndex Clustered + "
+    "SearchConfig accuracy knobs, search_config.hpp:18-100).",
+    tags=("vector", "ann", "index"),
+)
+def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import SearchConfig, build_ivf, ivf_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    index = build_ivf(e, n_clusters=8, seed=42)
+    return ivf_search(index, list(row[0]), k=10, config=SearchConfig.balanced())
+
+
+@query(
+    "v11_quantized_search",
+    oracle=None,  # two-stage candidate set depends on hamming ties — recall
+    # asserted in tests/test_similarity.py
+    doc="Binary-quantized ANN: sign-bit Hamming prefilter to "
+    "k*accuracy_factor candidates, exact cosine rerank "
+    "(ClusteredQuantized two-stage plan, types.pyi:71-126).",
+    tags=("vector", "ann", "quantize"),
+)
+def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import SearchConfig, quantized_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    return quantized_search(e, "embedding", list(row[0]), k=10,
+                            config=SearchConfig.high_accuracy())

@@ -1,0 +1,223 @@
+"""Operator-level tests: recall thresholds for ANN/MinHash (the
+reference's own strategy for index search — py_tests/
+test_embedding_quality.py asserts recall, not exact rankings),
+numpy-validated tensor functions, sampling distribution checks, and
+restructuring round trips."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deeplake_spark.io import load_table
+
+
+def _exact_topk(spark, sf_dir, k=10, qid=0):
+    from deeplake_spark.operators.similarity import topk_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+    return [r.vec_id for r in topk_cosine(e, "embedding", list(q), k=k).collect()]
+
+
+def test_ivf_recall(spark, sf_dir):
+    from deeplake_spark.operators.similarity import SearchConfig, build_ivf, ivf_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = set(_exact_topk(spark, sf_dir, k=10))
+    index = build_ivf(e, n_clusters=8, seed=42)
+    approx = {r.vec_id for r in ivf_search(index, list(q), k=10, config=SearchConfig.high_accuracy()).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, f"IVF recall {recall} < 0.9"
+
+
+def test_quantized_recall(spark, sf_dir):
+    from deeplake_spark.operators.similarity import SearchConfig, quantized_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = set(_exact_topk(spark, sf_dir, k=10))
+    approx = {
+        r.vec_id
+        for r in quantized_search(e, "embedding", list(q), k=10,
+                                  config=SearchConfig.high_accuracy()).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"quantized recall {recall} < 0.7"
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Candidates found by LSH must cover the high-similarity pairs."""
+    from deeplake_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.a, r.b)
+        for r in jaccard_pairs(d, threshold=0.5).collect()
+    }
+    mh = {(r.a, r.b) for r in minhash_dedup_pairs(d, threshold=0.5).collect()}
+    if not exact:
+        pytest.skip("no high-sim pairs at this sf")
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} < 0.8 (|exact|={len(exact)})"
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    from deeplake_spark.queries import load_all
+
+    rows = load_all()["v09_maxsim"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    pdf = e.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].map(np.asarray))
+    qm = vecs[:4].astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    expected = {}
+    for doc_id in range(math.ceil(len(vecs) / 8)):
+        dm = vecs[doc_id * 8 : doc_id * 8 + 8].astype(np.float64)
+        dn = dm / np.linalg.norm(dm, axis=1, keepdims=True)
+        expected[doc_id] = (qn @ dn.T).max(axis=1).sum()
+    for r in rows:
+        assert abs(r.maxsim_score - round(expected[r.doc_id], 6)) < 1e-5
+
+
+def test_array_functions_numpy(spark):
+    from deeplake_spark.functions.arrays import (
+        aavg, all_, all_strict, amax, amedian, amin, any_, aprod, astdev, asum,
+        bincount, nonzero_count, nonzero_indices,
+    )
+
+    data = [([1.0, 2.0, 3.0, 4.0],), ([5.0],), ([],)]
+    df = spark.createDataFrame(data, "arr: array<double>")
+    c = F.col("arr")
+    row = df.select(
+        asum(c).alias("s"), aprod(c).alias("p"), aavg(c).alias("m"),
+        amin(c).alias("mn"), amax(c).alias("mx"), astdev(c).alias("sd"),
+        amedian(c).alias("md"), nonzero_count(c).alias("nz"),
+    ).collect()
+    assert row[0].s == 10.0 and row[0].p == 24.0 and row[0].m == 2.5
+    assert row[0].mn == 1.0 and row[0].mx == 4.0
+    assert abs(row[0].sd - np.std([1, 2, 3, 4])) < 1e-12
+    assert row[0].md == 2.5
+    assert row[1].md == 5.0 and row[2].m is None
+
+    bools = spark.createDataFrame([([True, False],), ([],)], "b: array<boolean>")
+    r = bools.select(
+        any_(F.col("b")).alias("a"), all_(F.col("b")).alias("l"),
+        all_strict(F.col("b")).alias("ls"),
+    ).collect()
+    assert r[0].a is True and r[0].l is False
+    assert r[1].a is False and r[1].l is True and r[1].ls is False  # ALL vs ALL_STRICT
+
+    bc = spark.createDataFrame([([0, 1, 1, 2],)], "x: array<int>")
+    assert bc.select(bincount(F.col("x"), 4).alias("b")).head().b == [1, 2, 1, 0]
+    ni = spark.createDataFrame([([0.0, 3.0, 0.0, 5.0],)], "x: array<double>")
+    assert ni.select(nonzero_indices(F.col("x")).alias("i")).head().i == [1, 3]
+
+
+def test_element_and_slice(spark):
+    from deeplake_spark.functions.arrays import array_slice, element
+
+    df = spark.createDataFrame([([10, 20, 30, 40, 50],)], "a: array<int>")
+    c = F.col("a")
+    r = df.select(
+        element(c, 0).alias("e0"), element(c, -1).alias("em1"),
+        array_slice(c, 1, 4).alias("s14"), array_slice(c, 0, -2).alias("s0m2"),
+        array_slice(c, 3, 99).alias("soob"),
+    ).head()
+    assert r.e0 == 10 and r.em1 == 50
+    assert r.s14 == [20, 30, 40]
+    assert r.s0m2 == [10, 20, 30]
+    assert r.soob == [40, 50]
+
+
+def test_glob_like_translation(spark):
+    from deeplake_spark.functions.text import glob_to_rlike
+
+    assert glob_to_rlike("the*") == "^the.*$"
+    assert glob_to_rlike("a?c") == "^a.c$"
+    assert glob_to_rlike("x.y*") == "^x\\.y.*$"
+    df = spark.createDataFrame([("the cat",), ("then",), ("cat the",)], "t: string")
+    from deeplake_spark.functions.text import glob_like
+
+    got = [r.t for r in df.filter(glob_like(F.col("t"), "the*")).collect()]
+    assert sorted(got) == ["the cat", "then"]
+
+
+def test_group_ungroup_roundtrip(spark, sf_dir):
+    from deeplake_spark.operators.restructure import group_sequences, ungroup
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    packed = group_sequences(e, ["user_id"], ["ts", "event_id"], ["event_type", "value"])
+    assert "event_type_seq" in packed.columns and "seq_len" in packed.columns
+    back = ungroup(packed, ["event_type_seq", "value_seq"], ["user_id"])
+    assert back.count() == e.count()
+    # per-user event multiset preserved
+    orig = e.groupBy("user_id").agg(F.sort_array(F.collect_list("event_type")).alias("s"))
+    rt = back.groupBy("user_id").agg(F.sort_array(F.collect_list("event_type")).alias("s"))
+    diff = orig.join(rt, "user_id").filter(orig.s != rt.s)
+    assert diff.count() == 0
+
+
+def test_expand_tiles_numpy(spark):
+    from deeplake_spark.operators.restructure import expand_tiles
+
+    img = np.arange(16).reshape(4, 4).tolist()
+    df = spark.createDataFrame([(1, img)], "id: int, img: array<array<int>>")
+    out = expand_tiles(df, "img", 2, 2).collect()
+    assert len(out) == 4
+    tiles = {(r.tile_row, r.tile_col): r.tile for r in out}
+    assert tiles[(0, 0)] == [[0, 1], [4, 5]]
+    assert tiles[(2, 2)] == [[10, 11], [14, 15]]
+    # overlap: stride 1 → 3x3 grid
+    out2 = expand_tiles(df, "img", 2, 2, overlap=True).collect()
+    assert len(out2) == 9
+
+
+def test_weighted_sampling_distribution(spark, sf_dir):
+    """Heavier-weighted rows must be sampled more often (A-ES)."""
+    from deeplake_spark.operators.sampling import sample_by_weight
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # weight: label 9 rows get 50x the weight of others
+    w = F.when(F.col("label") == 9, 50.0).otherwise(1.0)
+    total = e.count()
+    n9 = e.filter(F.col("label") == 9).count()
+    sample = sample_by_weight(e, w, 100, seed=7)
+    got9 = sample.filter(F.col("label") == 9).count()
+    # expected share of label-9 in sample far exceeds its population share
+    assert got9 / 100 > 2 * (n9 / total), f"label9: {got9}/100 vs pop {n9}/{total}"
+    assert sample.count() == 100
+
+
+def test_sample_with_replacement(spark, sf_dir):
+    from deeplake_spark.operators.sampling import sample_with_replacement
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sample_with_replacement(e, F.lit(1.0), 200, seed=3)
+    n = out.count()
+    assert 120 <= n <= 300, n  # E[n]=200, Poisson spread
+
+
+def test_simhash_near_dup_property(spark):
+    """Near-identical docs must have small Hamming distance between
+    simhashes; unrelated docs large."""
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.operators.dedup import simhash_64
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (2, "completely different content about spark query engines and vectors"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.simhash for r in simhash_64(df, tokenize(F.col("text"))).collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
+    assert ham(got[0], got[1]) <= 16
