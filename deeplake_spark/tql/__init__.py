@@ -1,0 +1,58 @@
+"""TQL dialect front-end: parse TQL text, translate to Spark DataFrame
+plans (SURVEY §3.1 lifecycle, Phase 1 of the build plan).
+
+Public surface mirrors `python/deeplake/tql.pyi`:
+  - `query(text, ...)` → DataFrame
+  - `parse_query` / `is_valid` / `is_filter` utilities
+    (cpp/tql/tql.hpp:134-162)
+  - `register_function` → Spark UDF registration
+    (tql.pyi:100-124, tql.md:536-553)
+"""
+
+from __future__ import annotations
+
+from deeplake_spark.tql.parser import is_valid, parse_query
+from deeplake_spark.tql.translator import (
+    Translator,
+    TQLTranslationError,
+    is_filter,
+    tql_query as query,
+)
+
+_REGISTERED_FUNCTIONS: dict[str, object] = {}
+
+
+def register_function(func=None, *, name: str | None = None, returnType="double"):
+    """Register a Python function for use inside TQL queries
+    (deeplake.tql.register_function, tql.pyi:100-124). Registered as an
+    Arrow-batched pandas UDF when the callable is vectorized (the
+    reference's `is_batch=true` fast path, cpp/tql/tql.hpp:179-204),
+    else a plain UDF."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    def deco(f):
+        fn_name = (name or f.__name__).upper()
+        from deeplake_spark.functions import TQL_FUNCTIONS
+
+        spark = SparkSession.getActiveSession()
+        udf = F.udf(f, returnType)
+        if spark is not None:
+            spark.udf.register(fn_name.lower(), udf)
+        TQL_FUNCTIONS[fn_name] = udf
+        _REGISTERED_FUNCTIONS[fn_name] = f
+        return f
+
+    return deco(func) if func is not None else deco
+
+
+__all__ = [
+    "query",
+    "parse_query",
+    "is_valid",
+    "is_filter",
+    "register_function",
+    "Translator",
+    "TQLTranslationError",
+]

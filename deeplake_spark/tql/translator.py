@@ -1,0 +1,481 @@
+"""TQL AST → Spark DataFrame translator.
+
+The lowering follows the reference's fixed pipeline (WHERE → EXPAND →
+GROUP → UNGROUP → SELECT → SAMPLE → ORDER → LIMIT → set ops;
+`cpp/query_core/statement.hpp:86-106`, `cpp/tql/executor.hpp:60-110`)
+but emits a declarative DataFrame plan at every step, so Catalyst still
+performs pushdown/pruning/join-selection through the whole result.
+
+Dialect lowering highlights (SURVEY §4.3.5):
+  - `==`/`=` → Column ==; glob LIKE/ILIKE → anchored rlike
+  - `col[0]` / `col[-1]` / `col[a:b:c]` → 0-based element / slice exprs
+  - `col['key']` → struct getField / map element_at / JSON
+    get_json_object, chosen from the resolved schema
+  - TQL GROUP BY packs sequences (collect_list sorted by source order),
+    so SUM/AVG/… stay per-cell array reductions before AND after
+    grouping — the semantic the reference documents at tql.md:470-472
+  - `?` params bound at translate time (prepared statements,
+    expr.hpp:106-126); DATA(col, i) prefetched to a literal
+    (input.hpp:89-107)
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deeplake_spark.functions import TQL_FUNCTIONS
+from deeplake_spark.functions.arrays import array_slice, element
+from deeplake_spark.functions.text import glob_to_rlike
+from deeplake_spark.tql import ast
+from deeplake_spark.tql.lexer import TQLSyntaxError
+from deeplake_spark.tql.parser import parse_query
+
+
+class TQLTranslationError(ValueError):
+    pass
+
+
+class Translator:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        tables: Mapping[str, DataFrame] | None = None,
+        default: DataFrame | None = None,
+        params: list | None = None,
+    ):
+        self.spark = spark
+        self.tables = dict(tables or {})
+        self.default = default
+        self.params = list(params or [])
+
+    # ------------------------------------------------------------------ API
+
+    def translate(self, node: ast.Node) -> DataFrame:
+        if isinstance(node, ast.SetOp):
+            return self._set_op(node)
+        if isinstance(node, ast.Select):
+            return self._select(node)
+        raise TQLTranslationError(f"cannot translate {type(node).__name__}")
+
+    # --------------------------------------------------------------- source
+
+    def _resolve_source(self, src: ast.Node | None) -> DataFrame:
+        if src is None:
+            if self.default is None:
+                raise TQLTranslationError("query has no FROM and no bound dataset")
+            return self.default
+        if isinstance(src, ast.TableRef):
+            df = self._table(src.name)
+            return df.alias(src.alias) if src.alias else df
+        if isinstance(src, ast.SubQuery):
+            df = self.translate(src.select)
+            return df.alias(src.alias) if src.alias else df
+        if isinstance(src, ast.Join):
+            left = self._resolve_source(src.left)
+            right = self._resolve_source(src.right)
+            if src.how == "cross":
+                return left.crossJoin(right)
+            if src.using:
+                return left.join(right, on=src.using, how=src.how)
+            if src.on is None:
+                raise TQLTranslationError("JOIN requires ON or USING")
+            cond = self._expr(src.on, left.join(right, F.lit(True), "cross"))
+            return left.join(right, on=cond, how=src.how)
+        raise TQLTranslationError(f"unsupported source {type(src).__name__}")
+
+    def _table(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        if self.spark is not None:
+            # FROM "url" cross-source resolution (tql.md:53-55,236-247):
+            # parquet paths read directly; bare names go to the catalog
+            if "/" in name or name.endswith(".parquet"):
+                return self.spark.read.parquet(name)
+            return self.spark.table(name)
+        raise TQLTranslationError(f"unknown table {name!r}")
+
+    # --------------------------------------------------------------- select
+
+    def _select(self, sel: ast.Select) -> DataFrame:
+        df = self._resolve_source(sel.source)
+
+        if sel.where is not None:
+            df = df.filter(self._expr(sel.where, df))
+
+        if sel.expand is not None:
+            df = self._expand(sel.expand, df)
+
+        if sel.group is not None:
+            df = self._group(sel.group, df)
+
+        if sel.having is not None:
+            df = df.filter(self._expr(sel.having, df))
+
+        if sel.ungroup is not None:
+            df = self._ungroup(df)
+
+        # SAMPLE BY weight may reference source columns that the
+        # projection drops — materialize it before projecting (the
+        # reference evaluates weight functors over source rows,
+        # sample_statement.hpp:15-100)
+        if sel.sample is not None:
+            df = df.withColumn("__tql_w", self._expr(sel.sample.weight, df))
+
+        # SELECT list (projection + virtual columns, select_expr.hpp:9-38)
+        cols: list[Column] = []
+        for it in sel.items:
+            if isinstance(it.expr, ast.Star):
+                cols.extend(F.col(c) for c in df.columns if c != "__tql_w")
+                continue
+            c = self._expr(it.expr, df)
+            name = it.alias or self._auto_name(it.expr)
+            cols.append(c.alias(name))
+        if sel.sample is not None:
+            cols.append(F.col("__tql_w"))
+        projected = df.select(*cols)
+
+        if sel.distinct:
+            projected = projected.distinct()
+
+        if sel.sample is not None:
+            projected = self._sample(sel.sample, sel.limit, projected).drop("__tql_w")
+            sel = ast.Select(items=sel.items, order=sel.order)  # limit consumed
+
+        if sel.order:
+            projected = projected.orderBy(
+                *[
+                    self._expr(o.expr, projected).desc() if o.desc else self._expr(o.expr, projected)
+                    for o in sel.order
+                ]
+            )
+
+        if sel.limit is not None:
+            projected = self._limit(sel.limit, projected)
+        return projected
+
+    def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
+        if lim.percent:
+            # LIMIT n PERCENT needs the total count (the reference computes
+            # it too — percentage_t in sample_statement.hpp:31-39)
+            total = df.count()
+            import math
+
+            return df.limit(int(math.ceil(total * lim.n / 100.0)))
+        out = df.offset(lim.offset) if lim.offset else df
+        return out.limit(lim.n)
+
+    # ---------------------------------------------------------- restructure
+
+    def _group(self, g: ast.GroupClause, df: DataFrame) -> DataFrame:
+        """TQL GROUP BY = sequence packing (group_statement.hpp), NOT
+        aggregation. All non-key columns become ordered arrays keeping
+        their original names, so downstream per-cell reductions compose
+        (tql.md:470-472)."""
+        from deeplake_spark.operators.restructure import group_sequences
+
+        keys = []
+        for k in g.keys:
+            if isinstance(k, ast.ColumnRef) and k.table is None:
+                keys.append(k.name)
+            else:
+                raise TQLTranslationError("GROUP BY supports plain column keys")
+        order_col = "_row_id" if "_row_id" in df.columns else "__tql_ord"
+        if order_col == "__tql_ord":
+            df = df.withColumn("__tql_ord", F.monotonically_increasing_id())
+        payload = [c for c in df.columns if c not in keys and c != order_col]
+        packed = group_sequences(df, keys, [order_col], payload)
+        for c in payload:
+            packed = packed.drop(c).withColumnRenamed(f"{c}_seq", c)
+        return packed.drop("seq_len")
+
+    def _ungroup(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ArrayType
+
+        seq_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
+        keep = [c for c in df.columns if c not in seq_cols]
+        if not seq_cols:
+            return df
+        zipped = F.arrays_zip(*[F.col(c) for c in seq_cols])
+        out = df.select(*keep, F.explode(zipped).alias("__e"))
+        for c in seq_cols:
+            out = out.withColumn(c, F.col("__e")[c])
+        return out.drop("__e")
+
+    def _expand(self, ex: ast.ExpandClause, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ArrayType
+
+        from deeplake_spark.operators.restructure import expand_tiles
+
+        img_col = None
+        for f in df.schema.fields:
+            if isinstance(f.dataType, ArrayType) and isinstance(f.dataType.elementType, ArrayType):
+                img_col = f.name
+                break
+        if img_col is None:
+            raise TQLTranslationError("EXPAND BY requires a 2-D array column")
+        out = expand_tiles(df, img_col, ex.height, ex.width, overlap=ex.overlap)
+        if ex.alias:
+            out = out.withColumnRenamed("tile", ex.alias)
+        return out
+
+    def _sample(self, s: ast.SampleClause, lim: ast.Limit | None,
+                projected: DataFrame) -> DataFrame:
+        from deeplake_spark.operators.sampling import (
+            sample_by_weight,
+            sample_with_replacement,
+        )
+
+        w = F.col("__tql_w")
+        if lim is not None and lim.percent:
+            n = int(projected.count() * lim.n / 100.0)
+        elif lim is not None:
+            n = lim.n
+        else:
+            n = projected.count()
+        if s.replace:
+            return sample_with_replacement(projected, w, n)
+        return sample_by_weight(projected, w, n)
+
+    # -------------------------------------------------------------- set ops
+
+    def _set_op(self, node: ast.SetOp) -> DataFrame:
+        left = self.translate(node.left)
+        right = self.translate(node.right)
+        if node.op in ("UNION", "UNION ALL"):
+            # TQL UNION concatenates compatible views (merged_dataset.hpp:20,
+            # schema matched by name — unionByName, no dedup)
+            out = left.unionByName(right)
+        elif node.op == "INTERSECT":
+            out = left.intersect(right)
+        else:
+            out = left.subtract(right)
+        if node.order:
+            out = out.orderBy(
+                *[self._expr(o.expr, out).desc() if o.desc else self._expr(o.expr, out) for o in node.order]
+            )
+        if node.limit:
+            out = self._limit(node.limit, out)
+        return out
+
+    # ---------------------------------------------------------- expressions
+
+    def _auto_name(self, e: ast.Node) -> str:
+        if isinstance(e, ast.ColumnRef):
+            return e.name
+        if isinstance(e, ast.FuncCall):
+            return e.name.lower()
+        return "expr"
+
+    def _expr(self, e: ast.Node, df: DataFrame) -> Column:
+        if isinstance(e, ast.Literal):
+            return F.lit(e.value)
+        if isinstance(e, ast.Param):
+            if e.index >= len(self.params):
+                raise TQLTranslationError(f"missing parameter {e.index}")
+            v = self.params[e.index]
+            if isinstance(v, (list, tuple)):
+                return F.array(*[F.lit(x) for x in v])
+            return F.lit(v)
+        if isinstance(e, ast.ColumnRef):
+            return F.col(f"{e.table}.{e.name}") if e.table else F.col(e.name)
+        if isinstance(e, ast.UnaryOp):
+            if e.op == "-":
+                return -self._expr(e.operand, df)
+            return ~self._expr(e.operand, df)
+        if isinstance(e, ast.BinaryOp):
+            l, r = self._expr(e.left, df), self._expr(e.right, df)
+            return {
+                "+": lambda: l + r,
+                "-": lambda: l - r,
+                "*": lambda: l * r,
+                "/": lambda: l / r,
+                "%": lambda: l % r,
+                "==": lambda: l == r,
+                "!=": lambda: l != r,
+                "<": lambda: l < r,
+                "<=": lambda: l <= r,
+                ">": lambda: l > r,
+                ">=": lambda: l >= r,
+                "AND": lambda: l & r,
+                "OR": lambda: l | r,
+            }[e.op]()
+        if isinstance(e, ast.LikeOp):
+            # TQL glob LIKE (tql.md:207-228): '*'/'?' → anchored regex
+            target = self._expr(e.operand, df)
+            rx = glob_to_rlike(e.pattern.lower() if e.case_insensitive else e.pattern)
+            out = (F.lower(target) if e.case_insensitive else target).rlike(rx)
+            return ~out if e.negated else out
+        if isinstance(e, ast.InOp):
+            target = self._expr(e.operand, df)
+            vals = [self._expr(i, df) for i in e.items]
+            out = target.isin(*vals)
+            return ~out if e.negated else out
+        if isinstance(e, ast.BetweenOp):
+            t = self._expr(e.operand, df)
+            return t.between(self._expr(e.low, df), self._expr(e.high, df))
+        if isinstance(e, ast.IsNullOp):
+            t = self._expr(e.operand, df)
+            return t.isNotNull() if e.negated else t.isNull()
+        if isinstance(e, ast.Index):
+            return self._index(e, df)
+        if isinstance(e, ast.Slice):
+            arr = self._expr(e.operand, df)
+            start = self._const_int(e.start, 0)
+            stop = self._const_int(e.stop, 2**31 - 1)
+            step = self._const_int(e.step, 1)
+            return array_slice(arr, start, stop, step)
+        if isinstance(e, ast.FuncCall):
+            return self._call(e, df)
+        if isinstance(e, ast.Star):
+            raise TQLTranslationError("* only valid in the select list")
+        raise TQLTranslationError(f"unsupported expression {type(e).__name__}")
+
+    def _const_int(self, n: ast.Node | None, default: int) -> int:
+        if n is None:
+            return default
+        if isinstance(n, ast.Literal) and isinstance(n.value, int):
+            return n.value
+        if isinstance(n, ast.UnaryOp) and n.op == "-" and isinstance(n.operand, ast.Literal):
+            return -n.operand.value
+        if isinstance(n, ast.Param):
+            return int(self.params[n.index])
+        raise TQLTranslationError("slice bounds must be integer literals")
+
+    def _index(self, e: ast.Index, df: DataFrame) -> Column:
+        from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+
+        target = self._expr(e.operand, df)
+        dtype = None
+        if isinstance(e.operand, ast.ColumnRef) and e.operand.name in df.columns:
+            dtype = df.schema[e.operand.name].dataType
+        if isinstance(e.index, ast.Literal) and isinstance(e.index.value, str):
+            key = e.index.value
+            if isinstance(dtype, StructType):
+                return target.getField(key)
+            if isinstance(dtype, MapType):
+                return F.element_at(target, F.lit(key))
+            if isinstance(dtype, StringType) or dtype is None:
+                # JSON dict column (Dict htype → JSON string, tql.md:138-166)
+                return F.get_json_object(target, f"$.{key}")
+            raise TQLTranslationError(f"cannot string-index {dtype}")
+        if isinstance(e.index, ast.Literal) and isinstance(e.index.value, int):
+            return element(target, e.index.value)
+        if isinstance(e.index, ast.UnaryOp) and e.index.op == "-":
+            return element(target, -e.index.operand.value)
+        # dynamic index (expr.hpp:271-285): 1-based element_at over computed idx
+        idx = self._expr(e.index, df)
+        if isinstance(dtype, MapType):
+            return F.element_at(target, idx)
+        return F.get(target, idx.cast("int"))
+
+    def _call(self, e: ast.FuncCall, df: DataFrame) -> Column:
+        name = e.name.upper()
+        if name == "ROW_NUMBER":
+            order = F.col("_row_id") if "_row_id" in df.columns else F.monotonically_increasing_id()
+            return (F.row_number().over(Window.orderBy(order)) - 1).cast("long")
+        if name == "DATA":
+            # DATA(col, i): prefetch another row's cell as a constant
+            # (static_data_t, input.hpp:89-107)
+            col = e.args[0]
+            idx = e.args[1]
+            if not isinstance(col, ast.ColumnRef) or not isinstance(idx, ast.Literal):
+                raise TQLTranslationError("DATA(column, int) expected")
+            row = df.select(col.name).offset(int(idx.value)).limit(1).head()
+            if row is None:
+                raise TQLTranslationError(f"DATA index {idx.value} out of range")
+            v = row[0]
+            if isinstance(v, (list, tuple)):
+                return F.array(*[F.lit(x) for x in v])
+            return F.lit(v)
+        if name in ("CONTAINS", "EQUALS"):
+            from pyspark.sql.types import ArrayType, StringType
+
+            target = self._expr(e.args[0], df)
+            needle = self._expr(e.args[1], df)
+            dtype = None
+            if isinstance(e.args[0], ast.ColumnRef) and e.args[0].name in df.columns:
+                dtype = df.schema[e.args[0].name].dataType
+            if name == "EQUALS":
+                return target == needle
+            if isinstance(dtype, ArrayType):
+                return F.array_contains(target, needle)
+            # text CONTAINS = token membership (text_search_info::contains)
+            from deeplake_spark.functions.text import tokenize
+
+            return F.array_contains(tokenize(target), F.lower(needle))
+        if name in ("MAX_WEIGHT", "SUM_WEIGHT"):
+            from deeplake_spark.operators.sampling import weight_pair_max, weight_pair_sum
+
+            cases = [
+                (self._expr(cond, df), w.value if isinstance(w, ast.Literal) else None)
+                for cond, w in e.pairs
+            ]
+            if any(w is None for _, w in cases):
+                raise TQLTranslationError("weight-pair weights must be numeric literals")
+            fn = weight_pair_max if name == "MAX_WEIGHT" else weight_pair_sum
+            return fn(*cases)
+        if name == "COUNT" and e.args and isinstance(e.args[0], ast.Star):
+            return F.count(F.lit(1))
+        if name in ("MIN", "MAX") and e.args:
+            # scalar context: alias AMIN/AMAX on arrays, builtin otherwise
+            from pyspark.sql.types import ArrayType
+
+            arg = self._expr(e.args[0], df)
+            if isinstance(e.args[0], ast.ColumnRef) and e.args[0].name in df.columns:
+                if isinstance(df.schema[e.args[0].name].dataType, ArrayType):
+                    return F.array_min(arg) if name == "MIN" else F.array_max(arg)
+            return F.least(*[self._expr(a, df) for a in e.args]) if name == "MIN" else F.greatest(
+                *[self._expr(a, df) for a in e.args]
+            )
+        if name in TQL_FUNCTIONS:
+            fn = TQL_FUNCTIONS[name]
+            args = [self._expr(a, df) for a in e.args]
+            return fn(*args)
+        # registered UDFs / Spark builtins fallback
+        try:
+            return F.call_function(name.lower(), *[self._expr(a, df) for a in e.args])
+        except Exception as exc:  # pragma: no cover
+            raise TQLTranslationError(f"unknown function {name}") from exc
+
+
+# ---------------------------------------------------------------------- API
+
+
+def tql_query(
+    query: str,
+    spark: SparkSession | None = None,
+    tables: Mapping[str, DataFrame] | None = None,
+    default: DataFrame | None = None,
+    params: list | None = None,
+) -> DataFrame:
+    """Run a TQL query → DataFrame (ds.query equivalent,
+    python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68)."""
+    node = parse_query(query)
+    return Translator(spark=spark, tables=tables, default=default, params=params).translate(node)
+
+
+def is_filter(query: str) -> bool:
+    """True when the query is a pure row filter over the bound dataset
+    (tql::is_filter, cpp/tql/tql.hpp:153-162)."""
+    try:
+        node = parse_query(query)
+    except TQLSyntaxError:
+        return False
+    if not isinstance(node, ast.Select):
+        return False
+    only_star = len(node.items) == 1 and isinstance(node.items[0].expr, ast.Star)
+    return (
+        only_star
+        and node.source is None
+        and node.group is None
+        and node.ungroup is None
+        and node.expand is None
+        and node.sample is None
+        and not node.order
+        and node.limit is None
+        and not node.distinct
+    )

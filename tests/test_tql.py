@@ -1,0 +1,267 @@
+"""TQL front-end tests: parse → translate → execute on testdata,
+verified against directly-built DataFrame results (the per-operator
+unit-test strategy from SURVEY §5b)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeplake_spark import tql
+from deeplake_spark.io import load_table, load_tables
+from deeplake_spark.tql.parser import is_valid, parse_query
+from deeplake_spark.tql.translator import is_filter
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def ids(df, col):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_parse_validity():
+    assert is_valid("SELECT * WHERE x > 3")
+    assert is_valid("SELECT a, b FROM t ORDER BY a DESC LIMIT 5 OFFSET 2")
+    assert is_valid("SELECT * SAMPLE BY max_weight(label == 1: 10, label == 2: 5) LIMIT 3")
+    assert not is_valid("SELECT FROM WHERE")
+    assert not is_valid("SELECT * WHERE x ==")
+
+
+def test_is_filter():
+    assert is_filter("SELECT * WHERE lang == 'en'")
+    assert not is_filter("SELECT lang WHERE lang == 'en'")
+    assert not is_filter("SELECT * WHERE lang == 'en' LIMIT 3")
+
+
+def test_filter_eqeq_and_implicit_from(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT * WHERE lang == 'en' AND n_chars > 300", default=d)
+    expected = d.filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+    assert ids(out, "doc_id") == ids(expected, "doc_id")
+
+
+def test_projection_alias_arithmetic(spark, tables):
+    l = tables["lineitem"]
+    out = tql.query(
+        "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev WHERE l_quantity < 5 LIMIT 7",
+        default=l,
+    )
+    assert out.columns == ["l_orderkey", "rev"]
+    assert out.count() == 7
+
+
+def test_glob_like_and_ilike(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id WHERE source LIKE 'src1?'", default=d)
+    expected = d.filter(F.col("source").rlike("^src1.$"))
+    assert ids(out, "doc_id") == ids(expected, "doc_id")
+    up = tql.query("SELECT doc_id WHERE source ILIKE 'SRC1?'", default=d)
+    assert ids(up, "doc_id") == ids(expected, "doc_id")
+
+
+def test_in_between_not(spark, tables):
+    d = tables["documents"]
+    out = tql.query(
+        "SELECT doc_id WHERE lang IN ('en','fr') AND n_chars BETWEEN 100 AND 200", default=d
+    )
+    expected = d.filter(F.col("lang").isin("en", "fr") & F.col("n_chars").between(100, 200))
+    assert ids(out, "doc_id") == ids(expected, "doc_id")
+    neg = tql.query("SELECT doc_id WHERE lang NOT IN ('en','fr')", default=d)
+    assert neg.count() == d.filter(~F.col("lang").isin("en", "fr")).count()
+
+
+def test_order_limit_offset(spark, tables):
+    o = tables["orders"]
+    out = tql.query(
+        "SELECT o_orderkey, o_totalprice ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 3",
+        default=o,
+    ).collect()
+    expected = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(8)
+        .collect()[3:]
+    )
+    assert [r.o_orderkey for r in out] == [r.o_orderkey for r in expected]
+
+
+def test_explicit_from_and_join(spark, tables):
+    out = tql.query(
+        """
+        SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey == r.r_regionkey
+        WHERE r.r_name == 'ASIA' ORDER BY n.n_name
+        """,
+        tables=tables,
+    )
+    n, r = tables["nation"], tables["region"]
+    expected = (
+        n.join(r, n.n_regionkey == r.r_regionkey).filter(F.col("r_name") == "ASIA")
+    )
+    assert out.count() == expected.count()
+
+
+def test_using_join(spark, tables):
+    ev = tables["events"].select("user_id", "event_type")
+    u = tables["events"].select("user_id").distinct().limit(10)
+    out = tql.query(
+        "SELECT user_id FROM a JOIN b USING (user_id)",
+        tables={"a": ev, "b": u},
+    )
+    assert out.count() == ev.join(u, "user_id").count()
+
+
+def test_array_index_and_slice(spark, tables):
+    e = tables["embeddings"]
+    out = tql.query(
+        "SELECT vec_id, embedding[0] AS first, embedding[-1] AS last, embedding[0:3] AS head3 "
+        "WHERE vec_id < 5 ORDER BY vec_id",
+        default=e,
+    ).collect()
+    src = e.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    for got, row in zip(out, src):
+        emb = list(row.embedding)
+        assert got.first == pytest.approx(emb[0])
+        assert got.last == pytest.approx(emb[-1])
+        assert list(got.head3) == pytest.approx(emb[0:3])
+
+
+def test_json_access(spark, tables):
+    ev = tables["events"]
+    out = tql.query(
+        "SELECT event_id, props['k'] AS k WHERE event_id < 10 ORDER BY event_id", default=ev
+    ).collect()
+    src = ev.filter(F.col("event_id") < 10).orderBy("event_id").collect()
+    import json
+
+    for got, row in zip(out, src):
+        assert int(got.k) == json.loads(row.props)["k"]
+
+
+def test_tensor_functions(spark, tables):
+    e = tables["embeddings"]
+    out = tql.query(
+        "SELECT vec_id, L2_NORM(embedding) AS n2, SUM(embedding) AS s, AMAX(embedding) AS mx "
+        "WHERE vec_id < 3 ORDER BY vec_id",
+        default=e,
+    ).collect()
+    import numpy as np
+
+    src = e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    for got, row in zip(out, src):
+        v = np.asarray(row.embedding, dtype=np.float64)
+        assert got.n2 == pytest.approx(np.linalg.norm(v))
+        assert got.s == pytest.approx(v.sum())
+        assert got.mx == pytest.approx(v.max())
+
+
+def test_cosine_topk_via_tql(spark, tables):
+    e = tables["embeddings"]
+    out = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, DATA(embedding, 0)) AS score "
+        "ORDER BY score DESC LIMIT 5",
+        default=e,
+    ).collect()
+    assert out[0].vec_id == 0 and out[0].score == pytest.approx(1.0)
+    assert len(out) == 5
+
+
+def test_row_number(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id, ROW_NUMBER() AS rn LIMIT 5", default=d).collect()
+    assert [r.rn for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_group_ungroup_sequences(spark, tables):
+    ev = tables["events"]
+    small = ev.filter(F.col("user_id") < 10).select("user_id", "event_type", "value")
+    packed = tql.query("SELECT user_id, event_type GROUP BY user_id", default=small)
+    row = packed.filter(F.col("user_id") == packed.head().user_id).head()
+    assert isinstance(row.event_type, list)
+    # per-cell reduction over a packed sequence (tql.md:470-472)
+    avg = tql.query("SELECT user_id, AVG(value) AS v GROUP BY user_id", default=small)
+    got = {r.user_id: r.v for r in avg.collect()}
+    exp = {r.user_id: r.v for r in small.groupBy("user_id").agg(F.avg("value").alias("v")).collect()}
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v)
+    # roundtrip
+    back = tql.query("SELECT user_id, event_type GROUP BY user_id UNGROUP BY SPLIT", default=small)
+    assert back.count() == small.count()
+
+
+def test_set_ops(spark, tables):
+    d = tables["documents"]
+    out = tql.query(
+        "SELECT doc_id WHERE lang == 'en' UNION SELECT doc_id WHERE lang == 'fr'", default=d
+    )
+    assert out.count() == d.filter(F.col("lang").isin("en", "fr")).count()
+    inter = tql.query(
+        "SELECT doc_id WHERE lang == 'en' INTERSECT SELECT doc_id WHERE n_chars > 200", default=d
+    )
+    assert inter.count() == d.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).count()
+
+
+def test_sample_by(spark, tables):
+    e = tables["embeddings"]
+    out = tql.query("SELECT vec_id, label SAMPLE BY label + 1 LIMIT 50", default=e)
+    assert out.count() == 50
+    pairs = tql.query(
+        "SELECT vec_id SAMPLE BY max_weight(label == 1: 10.0, label == 2: 5.0) LIMIT 20",
+        default=e,
+    )
+    assert pairs.count() == 20
+
+
+def test_limit_percent(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id LIMIT 10 PERCENT", default=d)
+    import math
+
+    assert out.count() == math.ceil(d.count() * 0.10)
+
+
+def test_params(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id WHERE lang == ? AND n_chars > ?", default=d, params=["en", 300])
+    expected = d.filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+    assert out.count() == expected.count()
+
+
+def test_contains_equals(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id WHERE CONTAINS(text, 'spark')", default=d)
+    from deeplake_spark.functions.text import contains_keyword
+
+    assert out.count() == d.filter(contains_keyword(F.col("text"), "spark")).count()
+    eq = tql.query("SELECT doc_id WHERE EQUALS(lang, 'en')", default=d)
+    assert eq.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_distinct_and_count_star(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT DISTINCT lang ORDER BY lang", default=d)
+    assert ids(out, "lang") == ids(d.select("lang").distinct(), "lang")
+
+
+def test_register_function(spark, tables):
+    @tql.register_function(returnType="int")
+    def double_chars(n):
+        return n * 2
+
+    d = tables["documents"]
+    out = tql.query(
+        "SELECT doc_id, DOUBLE_CHARS(n_chars) AS d2 WHERE doc_id < 3 ORDER BY doc_id", default=d
+    ).collect()
+    src = d.filter(F.col("doc_id") < 3).orderBy("doc_id").collect()
+    for got, row in zip(out, src):
+        assert got.d2 == row.n_chars * 2
+
+
+def test_expand_by(spark):
+    import numpy as np
+
+    img = np.arange(16).reshape(4, 4).tolist()
+    df = spark.createDataFrame([(1, img)], "id: int, img: array<array<int>>")
+    out = tql.query("SELECT id, tile EXPAND BY 2 2", default=df)
+    assert out.count() == 4
