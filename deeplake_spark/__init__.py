@@ -18,7 +18,23 @@ Layout:
 
 from deeplake_spark.session import get_spark
 from deeplake_spark.io import load_tables, with_row_id
+from deeplake_spark.dataset import (
+    Dataset,
+    copy,
+    create,
+    from_csv,
+    from_parquet,
+    like,
+    open,
+    open_read_only,
+)
+from deeplake_spark import types  # noqa: F401
+from deeplake_spark import tql  # noqa: F401
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_tables", "with_row_id", "__version__"]
+__all__ = [
+    "get_spark", "load_tables", "with_row_id", "__version__",
+    "Dataset", "create", "open", "open_read_only", "copy", "like",
+    "from_parquet", "from_csv", "types", "tql",
+]

@@ -1,0 +1,560 @@
+"""Dataset API: create/open, schema DDL, DML, TQL query, git-like
+version control — the Spark re-expression of the reference's dataset
+surface (`python/deeplake/__init__.pyi`: create :4123, open :4371,
+open_read_only :4590, add_column :3282, append :3368, delete :3428,
+commit :3436, branch/tag/history :2942-2985,:3505-3585).
+
+Storage layout (parquet + JSON commit log — the same shape as the
+reference's chunked datafiles + replay log, cpp/deeplake_api/
+replay_log.hpp, without inventing a new binary format):
+
+    <path>/_dl_log/<8-digit-version>.json   commit entries
+    <path>/refs.json                        branch/tag → version map
+    <path>/data/<uuid>.parquet              immutable data files
+
+Every commit entry is a full snapshot spec: the list of live data
+files, the schema, row tombstones, and lineage (parent version,
+branch). Reads resolve a version → file list → one parquet scan, so
+Catalyst sees a plain multi-file relation (pushdown/pruning intact).
+Appends write new immutable files (never rewrite); deletes are
+tombstones by `_row_id` (merge-on-read, compacted explicitly) — the
+Delta/Iceberg recipe, self-contained.
+
+Rows carry a dense `_row_id` assigned at append time: deeplake rows
+are offset-addressable (SURVEY §1.1) and ROW_NUMBER() returns that
+offset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from builtins import open as _fopen  # the module-level `open` below shadows the builtin
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deeplake_spark.types import DLType
+
+_LOG_DIR = "_dl_log"
+_DATA_DIR = "data"
+
+
+class DatasetError(RuntimeError):
+    pass
+
+
+def _log_path(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:08d}.json")
+
+
+def _read_refs(path: str) -> dict:
+    p = os.path.join(path, "refs.json")
+    if not os.path.exists(p):
+        return {"branches": {"main": 0}, "tags": {}}
+    with _fopen(p) as f:
+        return json.load(f)
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    with _fopen(os.path.join(path, "refs.json"), "w") as f:
+        json.dump(refs, f, indent=2)
+
+
+def _read_entry(path: str, version: int) -> dict:
+    with _fopen(_log_path(path, version)) as f:
+        return json.load(f)
+
+
+def _latest_version(path: str) -> int:
+    log_dir = os.path.join(path, _LOG_DIR)
+    entries = [int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")]
+    return max(entries) if entries else 0
+
+
+class Version:
+    """history() element (reference Version: __init__.pyi:3505-3585)."""
+
+    def __init__(self, entry: dict):
+        self.id = entry["version"]
+        self.client_timestamp = entry["timestamp"]
+        self.message = entry.get("message") or ""
+        self.branch = entry.get("branch", "main")
+
+    def __repr__(self) -> str:
+        return f"Version(id={self.id}, branch={self.branch!r}, message={self.message!r})"
+
+
+class Dataset:
+    """A versioned, ordered, columnar dataset over parquet files."""
+
+    def __init__(self, spark: SparkSession, path: str, version: int | None = None,
+                 branch: str = "main", read_only: bool = False):
+        self.spark = spark
+        self.path = path
+        self._branch = branch
+        self.read_only = read_only
+        refs = _read_refs(path)
+        if branch not in refs["branches"]:
+            raise DatasetError(f"unknown branch {branch!r}")
+        self.version = version if version is not None else refs["branches"][branch]
+        self._staged_files: list[str] = []
+        self._staged_deletes: list[int] = []
+        self._staged_patches: list[str] = []
+        self._staged_patch_rows: list[tuple[int, str]] = []  # (row_id, file)
+        self._entry = _read_entry(path, self.version) if self.version > 0 else {
+            "version": 0, "files": [], "deletes": [], "schema": None,
+            "timestamp": time.time(), "branch": branch, "parent": None,
+            "message": "init", "metadata": {},
+        }
+
+    # ------------------------------------------------------------- reading
+
+    @property
+    def schema(self) -> T.StructType | None:
+        s = self._entry.get("schema")
+        return T.StructType.fromJson(s) if s else None
+
+    def to_df(self) -> DataFrame:
+        """Current snapshot as a DataFrame: one multi-file parquet scan,
+        minus update-superseded rows (patch precedence), plus the latest
+        patch per row, minus tombstones — merge-on-read, compacted away
+        by `compact()`."""
+        files = self._entry["files"] + self._staged_files
+        patches = self._entry.get("patches", []) + self._staged_patches
+        patch_ids = set(self._entry.get("patch_ids", [])) | {
+            i for i, _ in self._staged_patch_rows
+        }
+        if not files and not patches:
+            if self.schema is not None:
+                return self.spark.createDataFrame([], self.schema)
+            raise DatasetError("empty dataset with no schema")
+        df = self.spark.read.schema(self.schema).parquet(
+            *[os.path.join(self.path, _DATA_DIR, f) for f in files]
+        )
+        if patches:
+            from pyspark.sql.window import Window
+
+            if patch_ids:
+                df = df.filter(~F.col("_row_id").isin(*[int(x) for x in patch_ids]))
+            parts = [
+                self.spark.read.schema(self.schema)
+                .parquet(os.path.join(self.path, _DATA_DIR, f))
+                .withColumn("__pidx", F.lit(i))
+                for i, f in enumerate(patches)
+            ]
+            pat = parts[0]
+            for p in parts[1:]:
+                pat = pat.unionByName(p)
+            w = Window.partitionBy("_row_id").orderBy(F.desc("__pidx"))
+            latest = (
+                pat.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__pidx", "__rn")
+            )
+            df = df.unionByName(latest)
+        deletes = set(self._entry.get("deletes", [])) | set(self._staged_deletes)
+        if deletes:
+            df = df.filter(~F.col("_row_id").isin(*[int(x) for x in deletes]))
+        return df
+
+    def query(self, text: str, params: list | None = None) -> DataFrame:
+        """TQL query bound to this dataset (ds.query, __init__.pyi:2438)."""
+        from deeplake_spark.tql import query as tql_query
+
+        return tql_query(text, spark=self.spark, default=self.to_df(), params=params)
+
+    def __len__(self) -> int:
+        return self.to_df().count()
+
+    def __getitem__(self, i):
+        """Offset / slice addressing (__init__.pyi:2286-2350): rows are
+        ordered by `_row_id`."""
+        df = self.to_df()
+        if isinstance(i, int):
+            row = df.filter(F.col("_row_id") == i).head()
+            if row is None:
+                raise IndexError(i)
+            return row
+        if isinstance(i, slice):
+            start, stop = i.start or 0, i.stop if i.stop is not None else 1 << 62
+            out = df.filter((F.col("_row_id") >= start) & (F.col("_row_id") < stop))
+            if i.step and i.step != 1:
+                out = out.filter((F.col("_row_id") - start) % i.step == 0)
+            return out.orderBy("_row_id")
+        if isinstance(i, str):
+            return df.select(i, "_row_id").orderBy("_row_id")
+        if isinstance(i, (list, tuple)):
+            return df.filter(F.col("_row_id").isin(list(i))).orderBy("_row_id")
+        raise TypeError(type(i))
+
+    def summary(self):
+        """ds.summary() (__init__.pyi:2398)."""
+        return self.to_df().summary()
+
+    def batches(self, batch_size: int, drop_last: bool = False):
+        """Iterate result batches (ds.batches, __init__.pyi:2594-2619):
+        arrow-batched iterator, no full materialization."""
+        df = self.to_df().orderBy("_row_id")
+        buf = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) == batch_size:
+                yield buf
+                buf = []
+        if buf and not drop_last:
+            yield buf
+
+    def to_csv(self, out_path: str) -> None:
+        self.to_df().orderBy("_row_id").write.mode("overwrite").option("header", True).csv(out_path)
+
+    # ----------------------------------------------------------------- DDL
+
+    def add_column(self, name: str, dtype: DLType | str, default_value=None) -> None:
+        """ALTER TABLE ADD COLUMN (reference add_column,
+        __init__.pyi:3282): schema-only commit; existing rows read the
+        default via schema evolution (missing column → default/null)."""
+        self._check_writable()
+        from deeplake_spark.types import dtype_to_spark
+
+        spark_type = dtype.spark_type if isinstance(dtype, DLType) else dtype_to_spark(dtype)
+        md = {"dl": {"kind": dtype.kind, **dtype.metadata}} if isinstance(dtype, DLType) else {}
+        if default_value is not None:
+            md["default"] = default_value
+        schema = self.schema or T.StructType([T.StructField("_row_id", T.LongType(), False)])
+        if name in [f.name for f in schema.fields]:
+            raise DatasetError(f"column {name!r} exists")
+        new_schema = T.StructType(list(schema.fields) + [T.StructField(name, spark_type, True, metadata=md)])
+        self._commit_entry(schema=new_schema, message=f"add_column {name}")
+
+    def remove_column(self, name: str) -> None:
+        self._check_writable()
+        schema = self.schema
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        self._commit_entry(schema=new_schema, message=f"remove_column {name}")
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._check_writable()
+        schema = self.schema
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                fields.append(T.StructField(new, f.dataType, f.nullable, f.metadata))
+            else:
+                fields.append(f)
+        # physical files keep the old name; lazily rename on read is
+        # avoided by rewriting data files referencing the old column
+        df = self.to_df().withColumnRenamed(old, new)
+        fname = self._write_file(df)
+        self._commit_entry(schema=T.StructType(fields), files=[fname], replace_files=True,
+                           message=f"rename_column {old}->{new}")
+
+    # ----------------------------------------------------------------- DML
+
+    def append(self, rows) -> None:
+        """Insert rows (dict of columns / list of row dicts / DataFrame)
+        — __init__.pyi:3368-3427. New rows get dense `_row_id`s starting
+        at the current max+1; data lands in a new immutable file."""
+        self._check_writable()
+        base = self._next_row_id()
+        if isinstance(rows, DataFrame):
+            from deeplake_spark.io import with_row_id
+
+            df = rows
+            if "_row_id" not in df.columns:
+                df = with_row_id(df, col_name="_row_id")
+            df = df.withColumn("_row_id", (F.col("_row_id") + base).cast("long"))
+        else:
+            if isinstance(rows, dict):
+                n = len(next(iter(rows.values())))
+                as_rows = [
+                    {**{k: v[i] for k, v in rows.items()}, "_row_id": base + i} for i in range(n)
+                ]
+            else:
+                as_rows = [{**r, "_row_id": base + i} for i, r in enumerate(rows)]
+            schema = self.schema
+            if schema is not None:
+                df = self.spark.createDataFrame(as_rows, schema)
+            else:
+                df = self.spark.createDataFrame(as_rows)
+                fields = [df.schema["_row_id"]] + [f for f in df.schema.fields if f.name != "_row_id"]
+                df = df.select(*[f.name for f in fields])
+        self._validate_embeddings(df)
+        self._staged_files.append(self._write_file(df))
+        if self.schema is None:
+            self._pending_schema = df.schema
+
+    def delete(self, offset: int) -> None:
+        """Tombstone one row by offset (__init__.pyi:3428) —
+        merge-on-read delete, no file rewrite."""
+        self._check_writable()
+        self._staged_deletes.append(int(offset))
+
+    def update(self, offset: int, values: dict) -> None:
+        """Cell update (Row.__setitem__ semantics, __init__.pyi:1994):
+        copy-on-write patch file; read-time precedence picks the latest
+        patch per row (no base-file rewrite)."""
+        self._check_writable()
+        row = self[offset].asDict()
+        row.update(values)
+        row["_row_id"] = offset
+        df = self.spark.createDataFrame([row], self.schema)
+        fname = self._write_file(df)
+        self._staged_patches.append(fname)
+        self._staged_patch_rows.append((int(offset), fname))
+
+    def compact(self) -> None:
+        """Rewrite the snapshot without tombstones/patches (OPTIMIZE)."""
+        self._check_writable()
+        df = self.to_df()
+        fname = self._write_file(df)
+        self._commit_entry(files=[fname], replace_files=True, deletes=[],
+                           patches=[], patch_ids=[], message="compact")
+
+    # ------------------------------------------------------- version control
+
+    def commit(self, message: str | None = None) -> str:
+        """Commit staged appends/deletes (__init__.pyi:3436)."""
+        self._check_writable()
+        schema = self.schema or getattr(self, "_pending_schema", None)
+        entry = self._commit_entry(
+            schema=schema,
+            files=self._staged_files,
+            deletes=sorted(set(self._entry.get("deletes", [])) | set(self._staged_deletes)),
+            patches=self._entry.get("patches", []) + self._staged_patches,
+            patch_ids=sorted(
+                set(self._entry.get("patch_ids", []))
+                | {i for i, _ in self._staged_patch_rows}
+            ),
+            message=message or "",
+        )
+        self._staged_files = []
+        self._staged_deletes = []
+        self._staged_patches = []
+        self._staged_patch_rows = []
+        return str(entry["version"])
+
+    def history(self) -> list[Version]:
+        out = []
+        v = self.version
+        while v and v > 0:
+            e = _read_entry(self.path, v)
+            out.append(Version(e))
+            v = e.get("parent")
+        return list(reversed(out))
+
+    def rollback(self) -> "Dataset":
+        """Discard staged changes (reference rollback, __init__.pyi:3473)."""
+        self._staged_files = []
+        self._staged_deletes = []
+        self._staged_patches = []
+        self._staged_patch_rows = []
+        return self
+
+    def checkout(self, version: int | str) -> "Dataset":
+        """Time travel to a version id (Delta versionAsOf equivalent)."""
+        return Dataset(self.spark, self.path, version=int(version), branch=self._branch,
+                       read_only=True)
+
+    def branch(self, name: str, version: int | None = None) -> "Dataset":
+        """Create a branch at a version (reference branch(name, version),
+        __init__.pyi:2942): a ref pointing into the same log."""
+        self._check_writable()
+        refs = _read_refs(self.path)
+        if name in refs["branches"]:
+            raise DatasetError(f"branch {name!r} exists")
+        refs["branches"][name] = version if version is not None else self.version
+        _write_refs(self.path, refs)
+        return Dataset(self.spark, self.path, branch=name)
+
+    def tag(self, name: str, message: str = "", version: int | None = None) -> None:
+        refs = _read_refs(self.path)
+        refs["tags"][name] = {
+            "version": version if version is not None else self.version,
+            "message": message,
+        }
+        _write_refs(self.path, refs)
+
+    def open_tag(self, name: str) -> "Dataset":
+        refs = _read_refs(self.path)
+        if name not in refs["tags"]:
+            raise DatasetError(f"unknown tag {name!r}")
+        return self.checkout(refs["tags"][name]["version"])
+
+    def merge(self, branch: str, message: str = "") -> str:
+        """Merge another branch (fast-forward / append-only union —
+        reference merge, __init__.pyi:2952; full 3-way merge is the
+        documented hard part, SURVEY §7 phase 5)."""
+        self._check_writable()
+        refs = _read_refs(self.path)
+        other_v = refs["branches"].get(branch)
+        if other_v is None:
+            raise DatasetError(f"unknown branch {branch!r}")
+        other = _read_entry(self.path, other_v)
+        ours = set(self._entry["files"])
+        new_files = [f for f in other["files"] if f not in ours]
+        entry = self._commit_entry(
+            files=new_files,
+            deletes=sorted(set(self._entry.get("deletes", [])) | set(other.get("deletes", []))),
+            message=message or f"merge {branch}",
+        )
+        return str(entry["version"])
+
+    # ------------------------------------------------------------ internals
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise DatasetError("dataset is read-only")
+
+    def _next_row_id(self) -> int:
+        files = self._entry["files"] + self._staged_files
+        if not files:
+            return 0
+        df = self.spark.read.parquet(*[os.path.join(self.path, _DATA_DIR, f) for f in files])
+        m = df.agg(F.max("_row_id")).head()[0]
+        return int(m) + 1 if m is not None else 0
+
+    def _validate_embeddings(self, df: DataFrame) -> None:
+        """Enforce Embedding(size=N) constraints on write (§1.4)."""
+        schema = self.schema
+        if schema is None:
+            return
+        for f in schema.fields:
+            dl = f.metadata.get("dl") if f.metadata else None
+            if dl and dl.get("kind") == "embedding" and dl.get("size"):
+                bad = df.filter(
+                    F.col(f.name).isNotNull() & (F.size(f.name) != int(dl["size"]))
+                ).limit(1).count()
+                if bad:
+                    raise DatasetError(
+                        f"embedding column {f.name!r} requires size {dl['size']}"
+                    )
+
+    def _write_file(self, df: DataFrame) -> str:
+        fname = f"{uuid.uuid4().hex}.parquet"
+        out = os.path.join(self.path, _DATA_DIR, fname)
+        df.write.mode("overwrite").parquet(out)
+        return fname
+
+    def _commit_entry(self, schema: T.StructType | None = None, files: list[str] | None = None,
+                      deletes: list[int] | None = None, replace_files: bool = False,
+                      patches: list[str] | None = None, patch_ids: list[int] | None = None,
+                      message: str = "") -> dict:
+        refs = _read_refs(self.path)
+        new_version = _latest_version(self.path) + 1
+        if replace_files:
+            all_files = list(files or [])
+        else:
+            all_files = self._entry["files"] + list(files or [])
+        entry = {
+            "version": new_version,
+            "parent": self.version or None,
+            "branch": self._branch,
+            "timestamp": time.time(),
+            "message": message,
+            "files": all_files,
+            "deletes": deletes if deletes is not None else self._entry.get("deletes", []),
+            "patches": patches if patches is not None else self._entry.get("patches", []),
+            "patch_ids": patch_ids if patch_ids is not None else self._entry.get("patch_ids", []),
+            "schema": (schema or self.schema).jsonValue() if (schema or self.schema) else None,
+            "metadata": self._entry.get("metadata", {}),
+        }
+        with _fopen(_log_path(self.path, new_version), "w") as f:
+            json.dump(entry, f)
+        refs["branches"][self._branch] = new_version
+        _write_refs(self.path, refs)
+        self.version = new_version
+        self._entry = entry
+        return entry
+
+
+# ------------------------------------------------------------------ module API
+
+
+def create(path: str, spark: SparkSession | None = None,
+           schema: dict[str, DLType] | None = None) -> Dataset:
+    """deeplake.create (__init__.pyi:4123)."""
+    spark = spark or SparkSession.getActiveSession()
+    os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+    os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+    if os.listdir(os.path.join(path, _LOG_DIR)):
+        raise DatasetError(f"dataset already exists at {path}")
+    _write_refs(path, {"branches": {"main": 0}, "tags": {}})
+    ds = Dataset(spark, path)
+    if schema:
+        fields = [T.StructField("_row_id", T.LongType(), False)] + [
+            t.field(name) for name, t in schema.items()
+        ]
+        ds._commit_entry(schema=T.StructType(fields), message="create")
+    return ds
+
+
+def open(path: str, spark: SparkSession | None = None, branch: str = "main",
+         version: int | None = None) -> Dataset:
+    """deeplake.open (__init__.pyi:4371)."""
+    spark = spark or SparkSession.getActiveSession()
+    if not os.path.isdir(os.path.join(path, _LOG_DIR)):
+        raise DatasetError(f"no dataset at {path}")
+    return Dataset(spark, path, branch=branch, version=version)
+
+
+def open_read_only(path: str, spark: SparkSession | None = None, branch: str = "main",
+                   version: int | None = None) -> Dataset:
+    """deeplake.open_read_only (__init__.pyi:4590)."""
+    ds = open(path, spark, branch, version)
+    ds.read_only = True
+    return ds
+
+
+def like(path: str, source: Dataset, spark: SparkSession | None = None) -> Dataset:
+    """deeplake.like (__init__.pyi:4465): clone schema, no data."""
+    spark = spark or source.spark
+    ds = create(path, spark)
+    if source.schema is not None:
+        ds._commit_entry(schema=source.schema, message="like")
+    return ds
+
+
+def copy(src_path: str, dst_path: str, spark: SparkSession | None = None) -> Dataset:
+    """deeplake.copy (__init__.pyi:4277)."""
+    src = open(src_path, spark)
+    dst = create(dst_path, spark or src.spark)
+    if src.schema is not None:
+        dst._commit_entry(schema=src.schema, message="copy schema")
+    df = src.to_df()
+    dst._staged_files.append(dst._write_file(df))
+    dst.commit("copy from " + src_path)
+    return dst
+
+
+def from_parquet(path: str, dataset_path: str, spark: SparkSession | None = None) -> Dataset:
+    """deeplake.from_parquet (__init__.pyi:4717)."""
+    spark = spark or SparkSession.getActiveSession()
+    from deeplake_spark.io import with_row_id
+
+    df = spark.read.parquet(path)
+    if "_row_id" not in df.columns:
+        df = with_row_id(df, col_name="_row_id")
+        df = df.select("_row_id", *[c for c in df.columns if c != "_row_id"])
+    ds = create(dataset_path, spark)
+    ds._pending_schema = df.schema
+    ds._staged_files.append(ds._write_file(df))
+    ds.commit("from_parquet " + path)
+    return ds
+
+
+def from_csv(path: str, dataset_path: str, spark: SparkSession | None = None) -> Dataset:
+    """deeplake.from_csv (__init__.pyi:4725)."""
+    spark = spark or SparkSession.getActiveSession()
+    from deeplake_spark.io import with_row_id
+
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    df = with_row_id(df, col_name="_row_id")
+    ds = create(dataset_path, spark)
+    ds._pending_schema = df.schema
+    ds._staged_files.append(ds._write_file(df))
+    ds.commit("from_csv " + path)
+    return ds

@@ -1,0 +1,206 @@
+"""Deeplake type system → Spark SQL types (SURVEY §1.3/§1.4).
+
+Primitive dtypes mirror `cpp/nd/dtype.hpp:25-43` /
+`python/deeplake/types.pyi:488-536`; semantic htypes mirror the
+`TypeKind` enum (`types.pyi:343-385`). Each htype resolves to a Spark
+`DataType` plus StructField metadata carrying the semantic kind, so a
+round trip keeps ML semantics (the reference stores them as column
+metadata too — heimdall/column_view.hpp:42-120).
+
+Documented deviations (SURVEY hard-parts list): uint64 → LongType
+(overflow caveat), float16/bfloat16 → FloatType (widening).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# --- primitive dtypes (types.pyi:488-536) ----------------------------------
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),     # widened
+    "uint16": T.IntegerType(),  # widened
+    "uint32": T.LongType(),     # widened
+    "uint64": T.LongType(),     # overflow caveat documented
+    "float16": T.FloatType(),   # widened
+    "bfloat16": T.FloatType(),  # widened
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "bytes": T.BinaryType(),
+    "byte": T.BinaryType(),
+    "object": T.StringType(),   # JSON-encoded dict
+}
+
+
+def dtype_to_spark(name: str) -> T.DataType:
+    try:
+        return _PRIMITIVES[name.lower()]
+    except KeyError:
+        raise ValueError(f"unknown dtype {name!r}") from None
+
+
+# --- semantic htypes (types.pyi:343-385) -----------------------------------
+
+
+@dataclass
+class DLType:
+    """A deeplake column type: semantic kind + resolved Spark type +
+    metadata (index hints, compression, shape constraints)."""
+
+    kind: str
+    spark_type: T.DataType
+    metadata: dict = field(default_factory=dict)
+
+    def field(self, name: str, nullable: bool = True) -> T.StructField:
+        return T.StructField(name, self.spark_type, nullable, metadata={"dl": {"kind": self.kind, **self.metadata}})
+
+
+def Generic(dtype: str = "float32") -> DLType:
+    return DLType("generic", dtype_to_spark(dtype))
+
+
+def Text(index_type: str | None = None, chunk_compression: str | None = None) -> DLType:
+    """types.pyi:538-578 — Inverted/BM25/Exact index hints kept as metadata."""
+    md = {}
+    if index_type:
+        md["index_type"] = index_type
+    return DLType("text", T.StringType(), md)
+
+
+def Dict(index_type: str | None = None) -> DLType:
+    """Per-row arbitrary JSON (types.pyi:634-667) → JSON string column."""
+    return DLType("dict", T.StringType(), {"json": True})
+
+
+def Embedding(size: int | None = None, dtype: str = "float32",
+              index_type: str | None = None) -> DLType:
+    """types.pyi:669-705 — 1-D vector; `size` enforced on append."""
+    md: dict = {}
+    if size:
+        md["size"] = size
+    if index_type:
+        md["index_type"] = index_type
+    return DLType("embedding", T.ArrayType(dtype_to_spark(dtype)), md)
+
+
+def Array(dtype: str, dimensions: int | None = None, shape: list[int] | None = None) -> DLType:
+    """types.pyi:413-454 — nd array as nested ArrayType by rank."""
+    rank = dimensions or (len(shape) if shape else 1)
+    t: T.DataType = dtype_to_spark(dtype)
+    for _ in range(rank):
+        t = T.ArrayType(t)
+    md: dict = {"rank": rank}
+    if shape:
+        md["shape"] = shape
+    return DLType("array", t, md)
+
+
+def Sequence(nested: DLType) -> DLType:
+    """types.pyi:983-1009 — ordered list of any type (video = seq of images)."""
+    return DLType("sequence", T.ArrayType(nested.spark_type), {"inner": nested.kind})
+
+
+def Image(dtype: str = "uint8", sample_compression: str = "png") -> DLType:
+    """types.pyi:1011-1036 — compressed payload + decode-on-read UDF
+    (multimodal module); shape lives in a sibling column by convention."""
+    return DLType("image", T.BinaryType(), {"compression": sample_compression, "dtype": dtype})
+
+
+def Audio(dtype: str = "uint8", sample_compression: str = "mp3") -> DLType:
+    return DLType("audio", T.BinaryType(), {"compression": sample_compression})
+
+
+def Video(sample_compression: str = "mp4") -> DLType:
+    return DLType("video", T.BinaryType(), {"compression": sample_compression})
+
+
+def Medical(compression: str = "dcm") -> DLType:
+    return DLType("medical", T.BinaryType(), {"compression": compression})
+
+
+def Mesh(compression: str = "ply") -> DLType:
+    return DLType("mesh", T.BinaryType(), {"compression": compression})
+
+
+def BoundingBox(dtype: str = "float32", fmt: str = "ltwh", bbox_type: str = "pixel") -> DLType:
+    """types.pyi:1221-1246 — Nx4 boxes + format metadata."""
+    return DLType(
+        "bbox", T.ArrayType(T.ArrayType(dtype_to_spark(dtype))), {"format": fmt, "bbox_type": bbox_type}
+    )
+
+
+def BinaryMask(sample_compression: str = "lz4") -> DLType:
+    return DLType("binary_mask", T.BinaryType(), {"compression": sample_compression})
+
+
+def SegmentMask(dtype: str = "uint8", sample_compression: str = "lz4") -> DLType:
+    return DLType("segment_mask", T.BinaryType(), {"compression": sample_compression})
+
+
+def Polygon(dtype: str = "float32") -> DLType:
+    return DLType("polygon", T.ArrayType(T.ArrayType(dtype_to_spark(dtype))), {})
+
+
+def Point(dimensions: int = 2, dtype: str = "float32") -> DLType:
+    return DLType("point", T.ArrayType(dtype_to_spark(dtype)), {"dimensions": dimensions})
+
+
+def ClassLabel(dtype: str = "int32", class_names: list[str] | None = None) -> DLType:
+    """types.pyi:1122-1219 — int codes; class_names in metadata."""
+    md = {"class_names": class_names} if class_names else {}
+    return DLType("class_label", T.ArrayType(dtype_to_spark(dtype)), md)
+
+
+def Link(inner: DLType | None = None) -> DLType:
+    """types.pyi:1038-1058 — URL reference to an external blob."""
+    return DLType("link", T.StringType(), {"inner": inner.kind if inner else None})
+
+
+def Struct(fields: dict[str, DLType]) -> DLType:
+    return DLType(
+        "struct",
+        T.StructType([v.field(k) for k, v in fields.items()]),
+        {},
+    )
+
+
+def Nullable(inner: DLType) -> DLType:
+    """types.pyi:1363-1367 — nullability marker (Spark fields are
+    nullable by default; kept for API parity)."""
+    return DLType(inner.kind, inner.spark_type, {**inner.metadata, "nullable": True})
+
+
+# --- schema templates (python/deeplake/schemas.pyi:11-131) -----------------
+
+
+def TextEmbeddings(embedding_size: int, quantize: bool = False) -> dict[str, DLType]:
+    """schemas.pyi:19 — id/date/text/embedding template; timestamps are
+    stored as uint64 in the reference (no native timestamp type)."""
+    return {
+        "id": Generic("uint64"),
+        "date_created": Generic("uint64"),
+        "text_chunk": Text(),
+        "embedding": Embedding(embedding_size, index_type="clustered_quantized" if quantize else None),
+    }
+
+
+def COCOImages(embeddings: bool = False, objects: bool = True) -> dict[str, DLType]:
+    """schemas.pyi:60-131 — COCO detection schema template."""
+    schema: dict[str, DLType] = {
+        "image": Image("uint8", "jpg"),
+    }
+    if objects:
+        schema["categories"] = ClassLabel("int32")
+        schema["boxes"] = BoundingBox("float32", "ltwh", "pixel")
+    if embeddings:
+        schema["embedding"] = Embedding(768)
+    return schema

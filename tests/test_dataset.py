@@ -1,0 +1,147 @@
+"""Dataset API tests: create/append/commit/time-travel/branch/tag/
+merge/DML — mirrors the reference's operational test style
+(py_tests/test_random_operations.py, version-control surface)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeplake_spark import dataset as dl
+from deeplake_spark import types as dt
+
+
+@pytest.fixture()
+def tmp_path_ds():
+    with tempfile.TemporaryDirectory() as d:
+        yield d + "/ds"
+
+
+def test_create_append_commit_query(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={
+        "text": dt.Text(),
+        "score": dt.Generic("float64"),
+        "emb": dt.Embedding(4),
+    })
+    ds.append([
+        {"text": "hello world", "score": 1.0, "emb": [1.0, 0.0, 0.0, 0.0]},
+        {"text": "spark engine", "score": 2.0, "emb": [0.0, 1.0, 0.0, 0.0]},
+        {"text": "hello spark", "score": 3.0, "emb": [0.0, 0.0, 1.0, 0.0]},
+    ])
+    v1 = ds.commit("first batch")
+    assert len(ds) == 3
+    assert ds[0].text == "hello world"
+    assert ds[1].score == 2.0
+
+    out = ds.query("SELECT text, score WHERE score > 1.5 ORDER BY score DESC")
+    rows = out.collect()
+    assert [r.text for r in rows] == ["hello spark", "spark engine"]
+
+    ds.append([{"text": "late row", "score": 9.0, "emb": [0.0] * 4}])
+    v2 = ds.commit("second batch")
+    assert len(ds) == 4 and int(v2) == int(v1) + 1
+
+    old = ds.checkout(v1)
+    assert len(old) == 3
+    hist = ds.history()
+    assert [h.message for h in hist][-2:] == ["first batch", "second batch"]
+
+
+def test_embedding_size_enforced(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"emb": dt.Embedding(4)})
+    with pytest.raises(dl.DatasetError):
+        ds.append([{"emb": [1.0, 2.0]}])
+
+
+def test_delete_update_compact(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text(), "score": dt.Generic("float64")})
+    ds.append([{"text": f"row {i}", "score": float(i)} for i in range(10)])
+    ds.commit("ten rows")
+    ds.delete(3)
+    ds.commit("del 3")
+    assert len(ds) == 9
+    with pytest.raises(IndexError):
+        ds[3]
+    ds.update(5, {"score": 100.0})
+    ds.commit("update 5")
+    assert ds[5].score == 100.0
+    ds.compact()
+    assert len(ds) == 9 and ds[5].score == 100.0
+    assert ds._entry["deletes"] == []
+
+
+def test_add_remove_rename_column(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"a": dt.Generic("int64")})
+    ds.append([{"a": 1}, {"a": 2}])
+    ds.commit("rows")
+    ds.add_column("b", dt.Generic("float64"))
+    assert ds.to_df().columns == ["_row_id", "a", "b"]
+    assert ds[0].b is None  # schema evolution: missing col reads null
+    ds.rename_column("a", "alpha")
+    assert "alpha" in ds.to_df().columns
+    ds.remove_column("b")
+    assert "b" not in ds.to_df().columns
+
+
+def test_branch_tag_merge(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}])
+    ds.commit("main 1")
+    ds.tag("v1", "first release")
+
+    dev = ds.branch("dev")
+    dev.append([{"x": 2}])
+    dev.commit("dev work")
+    assert len(dev) == 2
+    assert len(dl.open(tmp_path_ds, spark, branch="main")) == 1
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.merge("dev")
+    assert len(main) == 2
+
+    tagged = ds.open_tag("v1")
+    assert len(tagged) == 1
+    with pytest.raises(dl.DatasetError):
+        tagged.append([{"x": 9}])  # read-only checkout
+
+
+def test_slice_and_column_access(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i * 10} for i in range(20)])
+    ds.commit("rows")
+    sl = ds[2:6]
+    assert [r.x for r in sl.collect()] == [20, 30, 40, 50]
+    stepped = ds[0:10:3]
+    assert [r._row_id for r in stepped.collect()] == [0, 3, 6, 9]
+    col = ds["x"]
+    assert col.columns == ["x", "_row_id"]
+    picked = ds[[1, 5, 7]]
+    assert [r.x for r in picked.collect()] == [10, 50, 70]
+
+
+def test_batches_iterator(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(10)])
+    ds.commit("rows")
+    bs = list(ds.batches(4))
+    assert [len(b) for b in bs] == [4, 4, 2]
+    assert [r.x for r in bs[0]] == [0, 1, 2, 3]
+    assert [len(b) for b in ds.batches(4, drop_last=True)] == [4, 4]
+
+
+def test_from_parquet_and_copy(spark, tmp_path_ds, sf_dir):
+    ds = dl.from_parquet(f"{sf_dir}/region.parquet", tmp_path_ds, spark)
+    assert len(ds) == 5
+    assert "_row_id" in ds.to_df().columns
+    out = ds.query("SELECT r_name WHERE r_regionkey >= 2 ORDER BY r_name")
+    assert out.count() == 3
+    ds2 = dl.copy(tmp_path_ds, tmp_path_ds + "_copy", spark)
+    assert len(ds2) == 5
+
+
+def test_like_clones_schema(spark, tmp_path_ds):
+    src = dl.create(tmp_path_ds, spark, schema={"t": dt.Text(), "e": dt.Embedding(8)})
+    dst = dl.like(tmp_path_ds + "_like", src, spark)
+    assert dst.schema == src.schema and len(dst) == 0
