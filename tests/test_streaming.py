@@ -1,0 +1,82 @@
+"""Structured Streaming + training-feed tests: windowed/session/stateful
+streaming results must match their batch equivalents on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeplake_spark.io import load_table
+from deeplake_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    session_rollup,
+    windowed_rollup,
+)
+from deeplake_spark.streaming.feed import AsyncPrefetcher, iter_batches, query_async
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir):
+    stream = windowed_rollup(read_event_stream(spark, sf_dir), window="1 hour")
+    run_stream_to_memory(stream, "win_out")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = {(r.win.start, r.event_type): (r.n, r.v) for r in batch}
+    # append-mode semantics: a window is emitted only once the watermark
+    # passes it, so windows inside the final watermark horizon stay open
+    assert set(got) <= set(expected)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).head()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    closed = {k for k in expected if k[0] + datetime.timedelta(hours=1) < horizon}
+    assert closed <= set(got), "all watermark-closed windows must be emitted"
+    for k in got:
+        assert got[k][0] == expected[k][0]
+        assert got[k][1] == pytest.approx(expected[k][1])
+
+
+def test_session_rollup_runs(spark, sf_dir):
+    stream = session_rollup(read_event_stream(spark, sf_dir), gap="30 minutes")
+    run_stream_to_memory(stream, "sess_out")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+
+
+def test_stateful_running_agg(spark, sf_dir):
+    from deeplake_spark.streaming.events import read_event_stream, running_user_state
+
+    stream = running_user_state(read_event_stream(spark, sf_dir))
+    run_stream_to_memory(stream, "state_out", output_mode="update")
+    got = {r.user_id: r.n_events for r in spark.sql("SELECT * FROM state_out").collect()}
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_feed_batches_and_prefetch(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    batches = list(iter_batches(df.limit(25), 10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    pre = AsyncPrefetcher(iter_batches(df.limit(20), 10))
+    assert sum(len(b) for b in pre) == 20
+
+
+def test_query_async(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    fut = query_async(lambda: df.count())
+    assert fut.result(timeout=120) == df.count()
