@@ -60,6 +60,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition up to cluster parallelism when the source produced too
+    few splits (a small/single-file parquet scan yields one partition and
+    serializes CPU-heavy expression work onto one core).
+
+    No-op when the scan already has enough partitions — on a real
+    multi-TB table with many files this never triggers, so the extra
+    shuffle only ever costs on inputs small enough for it to be cheap.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
                 col_name: str = "_row_id") -> DataFrame:
     """Attach a dense 0-based row id.

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deeplake_spark.functions.text import tokenize, word_shingles
+from deeplake_spark.io import ensure_parallelism
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
@@ -41,11 +42,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
-    """id → distinct n-word shingles; rows with < n tokens drop out."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    """id → distinct n-word shingles; rows with < n tokens drop out.
+
+    Tokens are projected to a column BEFORE shingling: an inlined
+    tokenize() expression gets re-evaluated per shingle element inside
+    the higher-order transform (no common-subexpression elimination in
+    interpreted HOF eval — ~50x slower at sf0.1).
+    """
+    df = ensure_parallelism(df)
+    toks = tokenize(F.col(text_col))
+    # NOTE deliberately no size(...) emptiness filter: short docs yield
+    # an empty shingle array, which explodes to zero posting rows and
+    # never pairs — same semantics, and a filter here would be pushed to
+    # the (possibly single-partition) scan and re-evaluate tokenize there
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.array_distinct(word_shingles(F.col("__toks"), n)).alias("shingles"))
+    )
 
 
 def _posting(sets: DataFrame, df_cap: int | None) -> DataFrame:
@@ -72,7 +85,14 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the same exchange.
     """
     sets = shingle_sets(df, text_col, id_col, n)
-    ex = _posting(sets, df_cap)
+    # materialize the posting relation once: it feeds the self-join's two
+    # sides AND the size aggregate — without this, text is re-tokenized
+    # and re-shingled three times. At 100 TB this is a persisted side
+    # table (the inverted index of SURVEY §4.3); locally, a cache.
+    ex = _posting(sets, df_cap).persist()
+    ex.count()  # materialize eagerly: the three consumers below otherwise
+    # race to compute the same subtree in parallel stages before the
+    # cache fills (at 100 TB this is a written side table, not a cache)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("a"), "sh")
     b = ex.select(F.col("doc_id").alias("b"), "sh")
@@ -144,7 +164,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         threshold: float = 0.35) -> DataFrame:
     """MinHash-LSH pipeline: shingle → sign → band → bucket-join →
     exact-Jaccard verification of the candidates only."""
-    sets = shingle_sets(df, text_col, id_col, n)
+    # one shingle pass feeds signing AND candidate verification
+    sets = shingle_sets(df, text_col, id_col, n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sets, num_perm), bands, num_perm // bands)
     sa = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
     sb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
@@ -181,7 +202,8 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
         for i in range(64)
     ]
     agg = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("__tok"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("__tok"))
         .groupBy("doc_id")
         .agg(*bit_sums)
     )
