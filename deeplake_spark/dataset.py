@@ -162,10 +162,52 @@ class Dataset:
         return df
 
     def query(self, text: str, params: list | None = None) -> DataFrame:
-        """TQL query bound to this dataset (ds.query, __init__.pyi:2438)."""
+        """TQL query bound to this dataset (ds.query, __init__.pyi:2438).
+        Registered column indexes feed the translator's CONTAINS →
+        posting-semijoin rewrite automatically (use_index behavior,
+        cpp/tql/options.hpp)."""
         from deeplake_spark.tql import query as tql_query
 
-        return tql_query(text, spark=self.spark, default=self.to_df(), params=params)
+        return tql_query(
+            text, spark=self.spark, default=self.to_df(), params=params,
+            indexes=self._load_indexes(),
+        )
+
+    # --------------------------------------------------------------- indexes
+
+    def create_index(self, column: str, kind: str = "inverted") -> None:
+        """Column.create_index (__init__.pyi:1678): batch-build the side
+        table under <path>/_indexes/ and register it in refs metadata."""
+        self._check_writable()
+        from deeplake_spark.operators.indexes import build_inverted_index
+
+        if kind != "inverted":
+            raise DatasetError(f"unsupported index kind {kind!r}")
+        idx_path = os.path.join(self.path, "_indexes", f"{column}_{kind}")
+        build_inverted_index(self.to_df(), text_col=column, id_col="_row_id").save(idx_path)
+        refs = _read_refs(self.path)
+        refs.setdefault("indexes", {})[column] = {"kind": kind, "path": idx_path}
+        _write_refs(self.path, refs)
+
+    def drop_index(self, column: str) -> None:
+        """Column.drop_index (__init__.pyi:1762)."""
+        self._check_writable()
+        import shutil
+
+        refs = _read_refs(self.path)
+        meta = refs.get("indexes", {}).pop(column, None)
+        if meta:
+            shutil.rmtree(meta["path"], ignore_errors=True)
+            _write_refs(self.path, refs)
+
+    def _load_indexes(self) -> dict:
+        from deeplake_spark.operators.indexes import InvertedIndex
+
+        refs = _read_refs(self.path)
+        out = {}
+        for col, meta in refs.get("indexes", {}).items():
+            out[col] = (InvertedIndex.load(self.spark, meta["path"]), "_row_id")
+        return out
 
     def __len__(self) -> int:
         return self.to_df().count()

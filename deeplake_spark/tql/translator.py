@@ -46,11 +46,15 @@ class Translator:
         tables: Mapping[str, DataFrame] | None = None,
         default: DataFrame | None = None,
         params: list | None = None,
+        indexes: Mapping[str, tuple] | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
         self.default = default
         self.params = list(params or [])
+        #: column name → (InvertedIndex, id_col): enables the §4.3 rewrite
+        #: of CONTAINS predicates into posting-table semijoins
+        self.indexes = dict(indexes or {})
 
     # ------------------------------------------------------------------ API
 
@@ -104,7 +108,7 @@ class Translator:
         df = self._resolve_source(sel.source)
 
         if sel.where is not None:
-            df = df.filter(self._expr(sel.where, df))
+            df = self._apply_where(sel.where, df)
 
         if sel.expand is not None:
             df = self._expand(sel.expand, df)
@@ -156,6 +160,44 @@ class Translator:
         if sel.limit is not None:
             projected = self._limit(sel.limit, projected)
         return projected
+
+    def _apply_where(self, where: ast.Node, df: DataFrame) -> DataFrame:
+        """WHERE with index fast paths: CONTAINS(col, 'kw') conjuncts on
+        indexed columns become posting-table semijoins (the reference's
+        index_holder routing, query_core/index_holder.hpp:18-43 /
+        SURVEY §4.3.1); everything else stays a Catalyst filter."""
+        from deeplake_spark.operators.indexes import contains_via_index
+
+        conjuncts: list[ast.Node] = []
+
+        def split(n: ast.Node):
+            if isinstance(n, ast.BinaryOp) and n.op == "AND":
+                split(n.left)
+                split(n.right)
+            else:
+                conjuncts.append(n)
+
+        split(where)
+        residual: list[ast.Node] = []
+        for c in conjuncts:
+            if (
+                isinstance(c, ast.FuncCall)
+                and c.name.upper() == "CONTAINS"
+                and len(c.args) == 2
+                and isinstance(c.args[0], ast.ColumnRef)
+                and c.args[0].name in self.indexes
+                and isinstance(c.args[1], ast.Literal)
+            ):
+                index, id_col = self.indexes[c.args[0].name]
+                df = contains_via_index(df, index, str(c.args[1].value), id_col=id_col)
+            else:
+                residual.append(c)
+        if residual:
+            pred = residual[0]
+            for r in residual[1:]:
+                pred = ast.BinaryOp("AND", pred, r)
+            df = df.filter(self._expr(pred, df))
+        return df
 
     def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
         if lim.percent:
@@ -451,11 +493,14 @@ def tql_query(
     tables: Mapping[str, DataFrame] | None = None,
     default: DataFrame | None = None,
     params: list | None = None,
+    indexes: Mapping[str, tuple] | None = None,
 ) -> DataFrame:
     """Run a TQL query → DataFrame (ds.query equivalent,
     python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68)."""
     node = parse_query(query)
-    return Translator(spark=spark, tables=tables, default=default, params=params).translate(node)
+    return Translator(
+        spark=spark, tables=tables, default=default, params=params, indexes=indexes
+    ).translate(node)
 
 
 def is_filter(query: str) -> bool:
