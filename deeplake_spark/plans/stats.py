@@ -1,0 +1,96 @@
+"""ColumnStatistics — ingest-time statistics for planner costing
+(reference `ColumnStatistics` python/deeplake/__init__.pyi:1283-1344;
+injected into the PG planner by `deeplake_pg/column_statistics.cpp`:
+null_frac, n_distinct, MCVs, min/max, avg_width).
+
+Spark consumes the same stats through CBO (`ANALYZE TABLE ... COMPUTE
+STATISTICS FOR COLUMNS`); this module computes the identical tuple as
+data (one pass, all-columns aggregation) so our Dataset layer can
+persist them in commit metadata and expose them API-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class ColumnStatistics:
+    column: str
+    total_rows: int
+    null_fraction: float
+    n_distinct: int
+    min_value: object
+    max_value: object
+    avg_width: float
+    most_common_values: list
+
+    def to_dict(self) -> dict:
+        return {
+            "column": self.column,
+            "total_rows": self.total_rows,
+            "null_fraction": self.null_fraction,
+            "n_distinct": self.n_distinct,
+            "min": self.min_value,
+            "max": self.max_value,
+            "avg_width": self.avg_width,
+            "mcv": self.most_common_values,
+        }
+
+
+_ORDERED = (T.NumericType, T.StringType, T.TimestampType, T.DateType, T.BooleanType)
+
+
+def compute_column_statistics(df: DataFrame, columns: list[str] | None = None,
+                              n_mcv: int = 5) -> dict[str, ColumnStatistics]:
+    """One aggregation pass for counts/nulls/min/max/ndv/width; MCVs via
+    per-column top-k (approx ndv keeps it scan-bounded at any scale)."""
+    cols = columns or [f.name for f in df.schema.fields]
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+        if isinstance(dt, _ORDERED):
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        if isinstance(dt, T.StringType):
+            aggs.append(F.avg(F.length(c)).alias(f"{c}__w"))
+        elif isinstance(dt, T.BinaryType):
+            aggs.append(F.avg(F.length(c)).alias(f"{c}__w"))
+        elif isinstance(dt, T.ArrayType):
+            aggs.append(F.avg(F.size(c)).alias(f"{c}__w"))
+    row = df.agg(*aggs).head().asDict()
+    total = row["__n"]
+    out: dict[str, ColumnStatistics] = {}
+    for c in cols:
+        dt = fields[c]
+        mcv = []
+        if isinstance(dt, (T.StringType, T.IntegerType, T.LongType, T.BooleanType)):
+            mcv = [
+                (r["v"], r["n"])
+                for r in df.groupBy(F.col(c).alias("v"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "v")
+                .limit(n_mcv)
+                .collect()
+            ]
+        width = row.get(f"{c}__w")
+        if width is None:
+            width = dt.defaultSize if hasattr(dt, "defaultSize") else 8
+        out[c] = ColumnStatistics(
+            column=c,
+            total_rows=total,
+            null_fraction=(row[f"{c}__nulls"] / total) if total else 0.0,
+            n_distinct=int(row[f"{c}__ndv"]),
+            min_value=row.get(f"{c}__min"),
+            max_value=row.get(f"{c}__max"),
+            avg_width=float(width),
+            most_common_values=mcv,
+        )
+    return out

@@ -352,3 +352,89 @@ def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     return quantized_search(e, "embedding", list(row[0]), k=10,
                             config=SearchConfig.high_accuracy())
+
+
+@query(
+    "v12_array_predicates",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.2)) > 0 AS any_gt,
+           len(list_filter(embedding, x -> abs(x) < 1.0)) = len(embedding) AS all_lt,
+           CAST(len(list_filter(embedding, x -> x <> 0)) AS INT) AS nnz,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_dim
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+    doc="ANY/ALL/NONZERO per-cell predicates + 0-based/negative element "
+    "access (cpp/nd/functions.hpp:23-63, expr.hpp:255-269).",
+    tags=("vector", "array"),
+)
+def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.arrays import all_, any_, element, nonzero_count
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        any_(F.transform(emb, lambda x: x > 0.2)).alias("any_gt"),
+        all_(F.transform(emb, lambda x: F.abs(x) < 1.0)).alias("all_lt"),
+        nonzero_count(emb).alias("nnz"),
+        F.round(element(emb, 0).cast("double"), 6).alias("first_dim"),
+        F.round(element(emb, -1).cast("double"), 6).alias("last_dim"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "v13_slice_stats",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+           ROUND(list_sum(list_transform(embedding[57:64], x -> CAST(x AS DOUBLE))), 6) AS tail_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    doc="Python-style tensor slicing col[a:b] + per-cell reduction "
+    "(slice_expr, expr.hpp:303-318; tql.md:594-604).",
+    tags=("vector", "slice"),
+)
+def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.arrays import array_slice, asum
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(asum(array_slice(emb, 0, 8)), 6).alias("head_sum"),
+        F.round(asum(array_slice(emb, 56, 64)), 6).alias("tail_sum"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "v14_histogram",
+    oracle="""
+    SELECT vec_id,
+           array_to_string(list_transform(range(0, 4), b ->
+             CAST(len(list_filter(embedding, x ->
+               CAST(x AS DOUBLE) >= -0.4 + b * 0.2 AND CAST(x AS DOUBLE) < -0.4 + (b+1) * 0.2
+             )) AS INT)), ',') AS hist
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="Per-cell HISTOGRAM with equal-width bins (cpp/nd/statistics.hpp:11).",
+    tags=("vector", "histogram"),
+)
+def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.arrays import histogram
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(histogram(F.col("embedding"), -0.4, 0.4, 4), lambda x: x.cast("int")),
+            ",",
+        ).alias("hist"),
+    ).orderBy("vec_id")

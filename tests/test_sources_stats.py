@@ -1,0 +1,66 @@
+"""COCO ingestion + column statistics tests."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from deeplake_spark.io import load_table
+from deeplake_spark.plans.stats import compute_column_statistics
+
+
+def _fake_coco(path: str) -> str:
+    doc = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 640, "height": 480},
+            {"id": 2, "file_name": "b.jpg", "width": 320, "height": 240},
+            {"id": 3, "file_name": "c.jpg", "width": 100, "height": 100},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10], "area": 100},
+            {"id": 11, "image_id": 1, "category_id": 2, "bbox": [5, 5, 20, 20], "area": 400},
+            {"id": 12, "image_id": 2, "category_id": 1, "bbox": [1, 2, 3, 4], "area": 12},
+        ],
+        "categories": [{"id": 1, "name": "cat"}, {"id": 2, "name": "dog"}],
+    }
+    p = path + "/instances.json"
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    return p
+
+
+def test_ingest_coco(spark):
+    from deeplake_spark.sources.coco import ingest_coco
+
+    with tempfile.TemporaryDirectory() as d:
+        ann = _fake_coco(d)
+        ds = ingest_coco(spark, ann, d + "/ds")
+        assert len(ds) == 3
+        r1 = ds[0]
+        assert r1.image == "a.jpg"
+        assert list(r1.categories) == [1, 2]
+        assert [list(b) for b in r1.boxes] == [[0, 0, 10, 10], [5, 5, 20, 20]]
+        r3 = ds[2]  # image without annotations → empty arrays
+        assert list(r3.categories) == []
+        assert ds._entry["metadata"]["class_names"] == ["cat", "dog"]
+        # queryable like any dataset
+        out = ds.query("SELECT image_id WHERE SUM(areas) > 50 ORDER BY image_id")
+        assert [r.image_id for r in out.collect()] == [1]
+
+
+def test_column_statistics(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    stats = compute_column_statistics(d, ["doc_id", "lang", "n_chars", "text"])
+    total = d.count()
+    s = stats["lang"]
+    assert s.total_rows == total and s.null_fraction == 0.0
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert abs(s.n_distinct - len(langs)) <= 1  # approx ndv
+    assert {v for v, _ in s.most_common_values} <= langs
+    n = stats["n_chars"]
+    assert n.min_value == d.agg(F.min("n_chars")).head()[0]
+    assert n.max_value == d.agg(F.max("n_chars")).head()[0]
+    t = stats["text"]
+    assert t.avg_width > 10
