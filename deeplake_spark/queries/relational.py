@@ -697,3 +697,230 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 analog — best supplier per region (no partsupp table: acctbal rank)
+
+
+@query(
+    "q02_top_supplier_per_region",
+    oracle="""
+    WITH ranked AS (
+      SELECT r.r_name AS region, s.s_suppkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY r.r_name ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT region, s_suppkey, s_name, s_acctbal
+    FROM ranked WHERE rnk = 1
+    ORDER BY region
+    """,
+    doc="Top-1-per-group window over broadcast dim joins (TPC-H Q2 shape "
+    "without partsupp).",
+    tags=("tpch", "window"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("region").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("region", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (TPC-H Q8 adapted)
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    ) nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="Conditional-share aggregate over a 7-way join (TPC-H Q8).",
+    tags=("tpch", "join", "agg"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (TPC-H Q16, lineitem as partsupp)
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+    doc="COUNT(DISTINCT) grouped by part attributes (TPC-H Q16 shape).",
+    tags=("tpch", "agg", "distinct"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with significant widget volume (TPC-H Q20 adapted)
+
+
+@query(
+    "q20_widget_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 100
+    )
+    ORDER BY s.s_suppkey
+    """,
+    doc="HAVING-filtered aggregate feeding a semi-join (TPC-H Q20 shape).",
+    tags=("tpch", "semijoin"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    big = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(big, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — late lines in multi-supplier orders (TPC-H Q21 adapted)
+
+
+@query(
+    "q21_late_multi_supplier",
+    oracle="""
+    WITH order_supp AS (
+      SELECT l_orderkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_suppkey, COUNT(*) AS late_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN order_supp os ON os.l_orderkey = l.l_orderkey
+    WHERE os.n_supp > 1 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_suppkey
+    ORDER BY late_lines DESC, l.l_suppkey
+    LIMIT 10
+    """,
+    doc="Distinct-count subquery join + non-equi lateness predicate "
+    "(TPC-H Q21 shape without commit/receipt dates).",
+    tags=("tpch", "join", "agg"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    order_supp = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select(F.col("l_orderkey").alias("os_orderkey"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(order_supp, l.l_orderkey == F.col("os_orderkey"), "left_semi")
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("late_lines"))
+        .orderBy(F.desc("late_lines"), "l_suppkey")
+        .limit(10)
+    )
