@@ -62,8 +62,19 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _posting(sets: DataFrame, df_cap: int | None) -> DataFrame:
-    """Exploded (doc_id, shingle) posting relation, optionally df-capped."""
-    ex = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    """Exploded (doc_id, shingle) posting relation, optionally df-capped.
+
+    explode_outer + post-filter instead of explode: a plain explode
+    makes Catalyst infer `size(child)>0 AND isnotnull(child)` on the
+    generator input (InferFiltersFromGenerate) and push it below the
+    repartition to the scan — re-evaluating the entire shingle
+    expression on the scan's (possibly single) partition. The
+    null-filter on the generator OUTPUT is equivalent and cheap.
+    """
+    ex = (
+        sets.select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
     if df_cap is not None:
         rare = (
             ex.groupBy("sh")
@@ -203,7 +214,9 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
     ]
     agg = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("__tok"))
+        .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
         .groupBy("doc_id")
         .agg(*bit_sums)
     )
