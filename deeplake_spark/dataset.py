@@ -358,6 +358,11 @@ class Dataset:
 
     # ------------------------------------------------------- version control
 
+    #: IndexingMode (__init__.pyi:2885-2926): 'automatic' rebuilds
+    #: registered indexes after each commit; 'off' leaves them stale
+    #: until an explicit create_index.
+    indexing_mode: str = "automatic"
+
     def commit(self, message: str | None = None) -> str:
         """Commit staged appends/deletes (__init__.pyi:3436)."""
         self._check_writable()
@@ -377,6 +382,10 @@ class Dataset:
         self._staged_deletes = []
         self._staged_patches = []
         self._staged_patch_rows = []
+        if self.indexing_mode == "automatic":
+            refs = _read_refs(self.path)
+            for col, meta in refs.get("indexes", {}).items():
+                self.create_index(col, meta["kind"])
         return str(entry["version"])
 
     def history(self) -> list[Version]:

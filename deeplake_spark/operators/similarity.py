@@ -194,3 +194,66 @@ def near_dup_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
         .filter(sim >= threshold)
         .select(F.col("__blk").alias(block_col), "a_id", "b_id")
     )
+
+
+# ---------------------------------------------------- pooled MAXSIM index
+
+
+@dataclass
+class PooledMaxsimIndex:
+    """EmbeddingsMatrixIndex(PooledQuantized) (types.pyi:136,604-615;
+    nd/norm.hpp:43-49 maxsim_pooled/mean_pool_rows): each doc matrix is
+    mean-pooled to one vector; queries prefilter on pooled cosine, then
+    exact-MAXSIM rerank only the candidates."""
+
+    pooled: DataFrame  # id_col, pooled (array<double>)
+    source: DataFrame  # id_col, matrix_col
+    id_col: str
+    matrix_col: str
+
+
+def build_pooled_maxsim(df: DataFrame, matrix_col: str, id_col: str) -> PooledMaxsimIndex:
+    """mean_pool_rows as a pure expression: elementwise mean across the
+    matrix rows (reduce with zip_with, divide by row count)."""
+    m = F.col(matrix_col)
+    summed = F.reduce(
+        m,
+        F.transform(F.element_at(m, 1), lambda x: x.cast("double") * 0.0),
+        lambda acc, row: F.zip_with(acc, row, lambda a, x: a + x),
+    )
+    pooled = F.transform(summed, lambda s: s / F.size(m))
+    return PooledMaxsimIndex(
+        pooled=df.select(id_col, pooled.alias("pooled")),
+        source=df.select(id_col, matrix_col),
+        id_col=id_col,
+        matrix_col=matrix_col,
+    )
+
+
+def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
+                  config: SearchConfig | None = None) -> DataFrame:
+    """Two-stage MAXSIM: pooled-cosine prefilter to k*accuracy_factor,
+    exact late-interaction rerank (pandas UDF) on candidates only."""
+    import numpy as np
+
+    from deeplake_spark.functions.vector import maxsim_pandas
+
+    config = config or SearchConfig()
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    q_pooled = qm.mean(axis=0)
+    cands = (
+        topk_cosine(index.pooled, "pooled", q_pooled.tolist(),
+                    k=k * config.accuracy_factor, id_col=index.id_col)
+        .select(index.id_col)
+    )
+    maxsim = maxsim_pandas()
+    qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+    return (
+        index.source.join(cands, index.id_col, "left_semi")
+        .select(
+            index.id_col,
+            F.round(maxsim(F.col(index.matrix_col), qm_lit), 6).alias("maxsim_score"),
+        )
+        .orderBy(F.desc("maxsim_score"), index.id_col)
+        .limit(k)
+    )

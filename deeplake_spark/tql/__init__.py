@@ -22,6 +22,26 @@ from deeplake_spark.tql.translator import (
 _REGISTERED_FUNCTIONS: dict[str, object] = {}
 
 
+def prepare(text: str, spark=None, tables=None, default=None, indexes=None):
+    """Prepared statement: parse once, bind `?` params per run —
+    reference prepare_query/run_batch (cpp/tql/executor.hpp:49,
+    python/deeplake/__init__.pyi:612-641). The returned callable also
+    exposes `.run_batch(param_sets)`."""
+    node = parse_query(text)
+
+    def run(*params):
+        return Translator(
+            spark=spark, tables=tables, default=default,
+            params=list(params), indexes=indexes,
+        ).translate(node)
+
+    def run_batch(param_sets):
+        return [run(*p) for p in param_sets]
+
+    run.run_batch = run_batch
+    return run
+
+
 def register_function(func=None, *, name: str | None = None, returnType="double"):
     """Register a Python function for use inside TQL queries
     (deeplake.tql.register_function, tql.pyi:100-124). Registered as an

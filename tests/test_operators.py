@@ -221,3 +221,41 @@ def test_simhash_near_dup_property(spark):
 
     assert ham(got[0], got[1]) < ham(got[0], got[2])
     assert ham(got[0], got[1]) <= 16
+
+
+def test_pooled_maxsim_recall(spark, sf_dir):
+    """Pooled-prefilter MAXSIM must recover the exact-MAXSIM top-k
+    (reference PooledQuantized two-stage plan)."""
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_pooled_maxsim, maxsim_search,
+    )
+    from deeplake_spark.functions.vector import maxsim_pandas
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = (
+        e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))),
+                lambda s: s["embedding"],
+            ).alias("mat")
+        )
+    ).cache()
+    qrows = e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    qm = [list(r.embedding) for r in qrows]
+
+    idx = build_pooled_maxsim(docs, "mat", "doc_id")
+    approx = [r.doc_id for r in maxsim_search(idx, qm, k=5, config=SearchConfig.high_accuracy()).collect()]
+
+    maxsim = maxsim_pandas()
+    qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+    exact = [
+        r.doc_id
+        for r in docs.select("doc_id", F.round(maxsim(F.col("mat"), qm_lit), 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(5)
+        .collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.8, f"pooled maxsim recall {recall}: {approx} vs {exact}"

@@ -1,0 +1,105 @@
+"""Type-system edge cases (FIXTURES.md §5 / SURVEY §1.3): uint widening,
+float16 round-trip, Nullable, Bytes, Struct, empty arrays/strings, glob
+metacharacters, prepared statements, index auto-refresh."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deeplake_spark import types as dt
+
+
+def test_dtype_mapping_widening():
+    assert dt.dtype_to_spark("uint8") == T.ShortType()
+    assert dt.dtype_to_spark("uint16") == T.IntegerType()
+    assert dt.dtype_to_spark("uint32") == T.LongType()
+    assert dt.dtype_to_spark("uint64") == T.LongType()  # documented caveat
+    assert dt.dtype_to_spark("float16") == T.FloatType()
+    assert dt.dtype_to_spark("bfloat16") == T.FloatType()
+    assert dt.dtype_to_spark("bytes") == T.BinaryType()
+    with pytest.raises(ValueError):
+        dt.dtype_to_spark("decimal")  # not in the reference model
+
+
+def test_htype_fields_carry_semantics():
+    f = dt.Embedding(64, index_type="clustered").field("emb")
+    assert f.dataType == T.ArrayType(T.FloatType())
+    assert f.metadata["dl"]["kind"] == "embedding" and f.metadata["dl"]["size"] == 64
+    st = dt.Struct({"a": dt.Generic("int32"), "b": dt.Text()})
+    assert isinstance(st.spark_type, T.StructType)
+    bb = dt.BoundingBox(fmt="ccwh")
+    assert bb.metadata["format"] == "ccwh"
+    seq = dt.Sequence(dt.Image())
+    assert seq.spark_type == T.ArrayType(T.BinaryType())
+
+
+def test_typed_edge_dataset_roundtrip(spark):
+    from deeplake_spark import dataset as dl
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.create(d + "/ds", spark, schema={
+            "u8": dt.Generic("uint8"),
+            "f16": dt.Generic("float16"),
+            "nullable_int": dt.Nullable(dt.Generic("int32")),
+            "raw": dt.Generic("bytes"),
+            "st": dt.Struct({"a": dt.Generic("int32"), "b": dt.Text()}),
+            "arr": dt.Array("float32"),
+            "txt": dt.Text(),
+        })
+        ds.append([
+            {"u8": 255, "f16": 0.5, "nullable_int": 7, "raw": b"\x00\x01",
+             "st": {"a": 1, "b": "x"}, "arr": [1.0, 2.0], "txt": "has *?%_ metachars"},
+            {"u8": 0, "f16": -2.0, "nullable_int": None, "raw": b"",
+             "st": {"a": 2, "b": ""}, "arr": [], "txt": ""},
+        ])
+        ds.commit("edge rows")
+        r0, r1 = ds[0], ds[1]
+        assert r0.u8 == 255 and r1.u8 == 0
+        assert r0.f16 == 0.5  # exactly representable in half precision
+        assert r1.nullable_int is None
+        assert bytes(r0.raw) == b"\x00\x01" and bytes(r1.raw) == b""
+        assert r0.st.a == 1 and r1.st.b == ""
+        assert list(r1.arr) == [] and r1.txt == ""
+        # glob metachars must be escaped by the LIKE translator
+        out = ds.query("SELECT _row_id WHERE txt LIKE 'has *'")
+        assert [r._row_id for r in out.collect()] == [0]
+        # four '?' match the four literal metachars * ? % _ — and the
+        # translator must NOT treat % or _ as SQL wildcards
+        lit = ds.query("SELECT _row_id WHERE txt LIKE 'has ???? metachars'")
+        assert [r._row_id for r in lit.collect()] == [0]
+        none = ds.query("SELECT _row_id WHERE txt LIKE 'has %'")  # % literal → no match
+        assert none.count() == 0
+
+
+def test_prepared_statement(spark, sf_dir):
+    from deeplake_spark import tql
+    from deeplake_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    q = tql.prepare("SELECT doc_id WHERE lang == ? AND n_chars > ?", default=d)
+    en = q("en", 300)
+    fr = q("fr", 100)
+    assert en.count() == d.filter((F.col("lang") == "en") & (F.col("n_chars") > 300)).count()
+    assert fr.count() == d.filter((F.col("lang") == "fr") & (F.col("n_chars") > 100)).count()
+    batch = q.run_batch([("en", 300), ("fr", 100)])
+    assert [b.count() for b in batch] == [en.count(), fr.count()]
+
+
+def test_index_auto_refresh_on_commit(spark, sf_dir):
+    from deeplake_spark import dataset as dl
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.from_parquet(f"{sf_dir}/documents.parquet", d + "/ds", spark)
+        ds.create_index("text")
+        before = ds.query("SELECT doc_id WHERE CONTAINS(text, 'zzznew')").count()
+        assert before == 0
+        new_id = int(ds._next_row_id())
+        ds.append([{"_row_id": 0, "doc_id": new_id, "text": "zzznew token doc",
+                    "lang": "en", "source": "srcX", "n_chars": 16}])
+        ds.commit("add doc")  # IndexingMode automatic → index rebuilt
+        after = ds.query("SELECT doc_id WHERE CONTAINS(text, 'zzznew')")
+        assert [r.doc_id for r in after.collect()] == [new_id]
