@@ -454,6 +454,24 @@ class Dataset:
         )
         return str(entry["version"])
 
+    def push(self, dst_path: str) -> None:
+        """Replicate this dataset's committed state to a linked copy
+        (reference push, __init__.pyi:3505+): append-only fast-forward
+        of data files, log entries, and refs."""
+        _replicate(self, dst_path)
+
+    def pull(self, src_path: str) -> "Dataset":
+        """Fast-forward this dataset from a linked copy (reference
+        pull): replicate the remote state here and reopen."""
+        remote = Dataset(self.spark, src_path, branch=self._branch)
+        _replicate(remote, self.path)
+        return Dataset(self.spark, self.path, branch=self._branch)
+
+    def refresh(self) -> "Dataset":
+        """Re-read refs/log (reference refresh): pick up commits made by
+        another writer of the same path."""
+        return Dataset(self.spark, self.path, branch=self._branch)
+
     # ------------------------------------------------------------ internals
 
     def _check_writable(self) -> None:
@@ -609,3 +627,28 @@ def from_csv(path: str, dataset_path: str, spark: SparkSession | None = None) ->
     ds._staged_files.append(ds._write_file(df))
     ds.commit("from_csv " + path)
     return ds
+
+
+def _replicate(src: "Dataset", dst_path: str) -> None:
+    """Copy missing data files + log entries + refs from src's log into
+    dst (append-only fast-forward replication)."""
+    import shutil
+
+    os.makedirs(os.path.join(dst_path, _LOG_DIR), exist_ok=True)
+    os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
+    src_data = os.path.join(src.path, _DATA_DIR)
+    dst_data = os.path.join(dst_path, _DATA_DIR)
+    for f in src._entry["files"] + src._entry.get("patches", []):
+        s, d = os.path.join(src_data, f), os.path.join(dst_data, f)
+        if not os.path.exists(d):
+            shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
+    v = src.version
+    chain = []
+    while v and v > 0:
+        chain.append(v)
+        v = _read_entry(src.path, v).get("parent")
+    for v in chain:
+        d = _log_path(dst_path, v)
+        if not os.path.exists(d):
+            shutil.copy2(_log_path(src.path, v), d)
+    _write_refs(dst_path, _read_refs(src.path))

@@ -30,6 +30,7 @@ from deeplake_spark.functions.arrays import (
     nonzero_count,
     nonzero_indices,
     shape2d,
+    transpose2d,
 )
 from deeplake_spark.functions.text import (
     contains_keyword,
@@ -71,6 +72,7 @@ TQL_FUNCTIONS = {
     "LOGICAL_OR": logical_or,
     "NONZERO": nonzero_indices,
     "FLAT": flat,
+    "TRANSPOSE": transpose2d,
     "SHAPE": shape2d,
     "SQRT": F.sqrt,
     "ABS": F.abs,
@@ -92,7 +94,7 @@ __all__ = [
     # array
     "asum", "aavg", "aprod", "amin", "amax", "astdev", "amedian",
     "any_", "all_", "all_strict", "logical_and", "logical_or",
-    "nonzero_count", "nonzero_indices", "flat", "shape2d", "element",
+    "nonzero_count", "nonzero_indices", "flat", "shape2d", "element", "transpose2d",
     "bincount", "histogram",
     # text
     "tokenize", "token_count", "word_shingles", "predict_lang",

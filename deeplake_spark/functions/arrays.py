@@ -167,3 +167,13 @@ def histogram(arr: Column, lo: float, hi: float, nbins: int) -> Column:
             )
         ),
     )
+
+
+def transpose2d(arr2d: Column) -> Column:
+    """TRANSPOSE of a rectangular 2-D cell (cpp/nd/functions.hpp:141):
+    out[j][i] = in[i][j], pure expression (no UDF)."""
+    n_cols = F.coalesce(F.size(F.element_at(arr2d, 1)), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n_cols),
+        lambda j: F.transform(arr2d, lambda row: F.element_at(row, j.cast("int"))),
+    )

@@ -17,6 +17,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def group_runs(df: DataFrame, keys: list[str], order_cols: list[str],
+               payload_cols: list[str]) -> DataFrame:
+    """GROUP BY k ACROSS TIME: pack *consecutive runs* of equal keys
+    into sequence rows (video-from-frames), not all equal-key rows —
+    the across_type_t distinction in group_statement.hpp:15-19.
+
+    Run detection is a lag window over the global order: a new run
+    starts when any key changes; the cumulative sum of run starts is
+    the run id. Output adds `run_id` alongside the keys.
+
+    Scale note: the unpartitioned window serializes — at 100 TB,
+    partition the order column into coarse ranges first, detect runs
+    per range, and stitch the boundary runs (two-pass pattern); frame
+    tables are naturally bounded per video, so partitioning by video
+    key is the practical route and keeps this plan shape.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order_cols)
+    changed = F.lit(False)
+    for k in keys:
+        prev = F.lag(k).over(w)
+        changed = changed | prev.isNull() | (prev != F.col(k))
+    run_id = F.sum(changed.cast("long")).over(
+        Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    ) - 1
+    tagged = df.withColumn("__run", run_id)
+    out = group_sequences(tagged, keys + ["__run"], order_cols, payload_cols)
+    return out.withColumnRenamed("__run", "run_id")
+
+
 def group_sequences(df: DataFrame, keys: list[str], order_cols: list[str],
                     payload_cols: list[str]) -> DataFrame:
     """Pack rows into sequence rows: one output row per key combo, each
@@ -26,8 +57,11 @@ def group_sequences(df: DataFrame, keys: list[str], order_cols: list[str],
     collected as (order…, payload…) structs and sorted in the array —
     deterministic at any parallelism (no global sort needed).
     """
-    struct_cols = [F.col(c) for c in order_cols] + [F.col(c) for c in payload_cols]
-    packed = F.array_sort(F.collect_list(F.struct(*struct_cols)))
+    # order cols lead the struct (array_sort compares field-by-field);
+    # a payload col that IS an order col is not duplicated — extraction
+    # below is by field name either way
+    struct_names = list(order_cols) + [c for c in payload_cols if c not in order_cols]
+    packed = F.array_sort(F.collect_list(F.struct(*[F.col(c) for c in struct_names])))
     aggs = [F.count(F.lit(1)).alias("seq_len"), packed.alias("__packed")]
     out = df.groupBy(*keys).agg(*aggs)
     def _field(name):

@@ -76,3 +76,13 @@ __all__ = [
     "Translator",
     "TQLTranslationError",
 ]
+
+
+def explain(text: str, spark=None, tables=None, default=None, indexes=None, params=None):
+    """explain_query for TQL (reference explain_query_result.hpp:10-32):
+    parse + translate, return the structured physical-plan report."""
+    from deeplake_spark.plans.explain import explain_query
+
+    df = query(text, spark=spark, tables=tables, default=default,
+               params=params, indexes=indexes)
+    return explain_query(df)

@@ -217,7 +217,7 @@ class Translator:
         aggregation. All non-key columns become ordered arrays keeping
         their original names, so downstream per-cell reductions compose
         (tql.md:470-472)."""
-        from deeplake_spark.operators.restructure import group_sequences
+        from deeplake_spark.operators.restructure import group_runs, group_sequences
 
         keys = []
         for k in g.keys:
@@ -228,8 +228,14 @@ class Translator:
         order_col = "_row_id" if "_row_id" in df.columns else "__tql_ord"
         if order_col == "__tql_ord":
             df = df.withColumn("__tql_ord", F.monotonically_increasing_id())
-        payload = [c for c in df.columns if c not in keys and c != order_col]
-        packed = group_sequences(df, keys, [order_col], payload)
+        # _row_id stays addressable as a packed sequence (ROW_NUMBER
+        # semantics survive grouping); the synthetic order col does not
+        payload = [c for c in df.columns if c not in keys and c != "__tql_ord"]
+        if g.across in ("TIME", "SPACE"):
+            # ACROSS packs *consecutive* equal-key runs (across_type_t)
+            packed = group_runs(df, keys, [order_col], payload)
+        else:
+            packed = group_sequences(df, keys, [order_col], payload)
         for c in payload:
             packed = packed.drop(c).withColumnRenamed(f"{c}_seq", c)
         return packed.drop("seq_len")

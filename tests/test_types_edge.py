@@ -103,3 +103,63 @@ def test_index_auto_refresh_on_commit(spark, sf_dir):
         ds.commit("add doc")  # IndexingMode automatic → index rebuilt
         after = ds.query("SELECT doc_id WHERE CONTAINS(text, 'zzznew')")
         assert [r.doc_id for r in after.collect()] == [new_id]
+
+
+def test_group_across_time_runs(spark):
+    """ACROSS TIME packs consecutive equal-key runs, not all equal keys."""
+    from deeplake_spark import tql
+
+    rows = [(i, k) for i, k in enumerate(["a", "a", "b", "b", "b", "a", "c", "c"])]
+    df = spark.createDataFrame(rows, "_row_id: long, k: string")
+    packed = tql.query("SELECT k, _row_id GROUP BY k ACROSS TIME", default=df)
+    got = sorted(
+        (r.k, [int(x) for x in r._row_id]) for r in packed.collect()
+    )
+    assert got == [("a", [0, 1]), ("a", [5]), ("b", [2, 3, 4]), ("c", [6, 7])]
+    # plain GROUP BY merges the two 'a' runs
+    plain = tql.query("SELECT k, _row_id GROUP BY k", default=df)
+    gp = {r.k: [int(x) for x in r._row_id] for r in plain.collect()}
+    assert gp["a"] == [0, 1, 5]
+
+
+def test_transpose2d(spark):
+    from deeplake_spark.functions.arrays import transpose2d
+
+    df = spark.createDataFrame([([[1, 2, 3], [4, 5, 6]],)], "m: array<array<int>>")
+    out = df.select(transpose2d(F.col("m")).alias("t")).head().t
+    assert [list(r) for r in out] == [[1, 4], [2, 5], [3, 6]]
+    # and via TQL
+    from deeplake_spark import tql
+
+    r = tql.query("SELECT TRANSPOSE(m) AS t", default=df).head().t
+    assert [list(x) for x in r] == [[1, 4], [2, 5], [3, 6]]
+
+
+def test_push_pull_refresh(spark):
+    from deeplake_spark import dataset as dl
+    from deeplake_spark import types as dtypes
+
+    with tempfile.TemporaryDirectory() as d:
+        src = dl.create(d + "/src", spark, schema={"x": dtypes.Generic("int64")})
+        src.append([{"x": 1}, {"x": 2}])
+        src.commit("two rows")
+        src.push(d + "/dst")
+        dst = dl.open(d + "/dst", spark)
+        assert len(dst) == 2 and dst.version == src.version
+        # more commits on src, pull into dst
+        src.append([{"x": 3}])
+        src.commit("third")
+        dst = dst.pull(d + "/src")
+        assert len(dst) == 3
+        # refresh picks up another writer's state
+        again = dl.open(d + "/dst", spark).refresh()
+        assert again.version == src.version
+
+
+def test_tql_explain(spark, sf_dir):
+    from deeplake_spark import tql
+    from deeplake_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = tql.explain("SELECT doc_id WHERE n_chars > 300", default=d)
+    assert any("n_chars" in p for p in rep.pushed_filters)
