@@ -92,3 +92,43 @@ def test_quantized_prefilter_no_extra_shuffle(spark, sf_dir):
     rep = explain_query(REG["v11_quantized_search"].fn(spark, sf_dir))
     # hamming prefilter is a TakeOrdered over the scan; rerank sorts k*af rows
     assert rep.top_k
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Same-bucketed fact tables join without an Exchange — the layout
+    that removes the orders x lineitem shuffle at 100 TB."""
+    from deeplake_spark.plans.layout import bucketed_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(l, "b_lineitem", ["o_orderkey"], 8)
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"]) \
+            .groupBy("o_orderpriority").count()
+        # disable broadcast so the join strategy itself is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rep = explain_query(
+            bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        )
+        assert "SortMergeJoin" in rep.joins or "ShuffledHashJoin" in rep.joins
+        assert rep.n_exchanges == 0, f"bucketed join must not shuffle:\n{rep.text[:1200]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from deeplake_spark.plans.layout import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(l, o, "l_orderkey").groupBy("o_orderpriority").count()
+    a = {r.o_orderpriority: r["count"] for r in plain.collect()}
+    b = {r.o_orderpriority: r["count"] for r in salted.collect()}
+    assert a == b
