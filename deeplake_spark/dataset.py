@@ -237,6 +237,26 @@ class Dataset:
         """ds.summary() (__init__.pyi:2398)."""
         return self.to_df().summary()
 
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """Compute and persist ColumnStatistics into commit metadata
+        (the reference injects ingest-time stats into the planner —
+        column_statistics.cpp:4-9; Spark CBO reads the same numbers)."""
+        from deeplake_spark.plans.stats import compute_column_statistics
+
+        stats = compute_column_statistics(self.to_df(), columns)
+        if not self.read_only:
+            self._entry["metadata"]["column_statistics"] = {
+                k: {kk: vv for kk, vv in v.to_dict().items() if kk != "column"}
+                for k, v in stats.items()
+            }
+            self._commit_entry(message="analyze")
+        return stats
+
+    def column_statistics(self, column: str):
+        """Stored stats for a column (ColumnStatistics surface,
+        __init__.pyi:1283-1344); None until analyze() has run."""
+        return self._entry.get("metadata", {}).get("column_statistics", {}).get(column)
+
     def batches(self, batch_size: int, drop_last: bool = False):
         """Iterate result batches (ds.batches, __init__.pyi:2594-2619):
         arrow-batched iterator, no full materialization."""

@@ -324,3 +324,82 @@ def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "r11_asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) - epoch_us(last_signup_ts) AS BIGINT) AS us_since_signup
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM events
+    )
+    WHERE last_signup_ts IS NOT NULL AND event_type <> 'signup' AND user_id < 50
+    ORDER BY event_id
+    """,
+    doc="As-of join (event -> most recent prior signup of same user) via "
+    "a running last-value window — the Spark pattern for point-in-time "
+    "joins that the reference lacks (training-pipeline op).",
+    tags=("events", "asof", "window"),
+)
+def r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_signup_ts", last_signup)
+        .filter(
+            F.col("last_signup_ts").isNotNull()
+            & (F.col("event_type") != "signup")
+            & (F.col("user_id") < 50)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_signup_ts"))
+            ).alias("us_since_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "r12_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    WHERE user_id < 100
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix (df.pivot — beyond the "
+    "reference's operator set, free on Spark).",
+    tags=("events", "pivot"),
+)
+def r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out.orderBy("user_id")

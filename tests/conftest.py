@@ -21,3 +21,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis-driven tests (session reuse)."""
+    return spark

@@ -64,3 +64,19 @@ def test_column_statistics(spark, sf_dir):
     assert n.max_value == d.agg(F.max("n_chars")).head()[0]
     t = stats["text"]
     assert t.avg_width > 10
+
+
+def test_dataset_analyze_persists_stats(spark, sf_dir):
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.from_parquet(f"{sf_dir}/region.parquet", d + "/ds", spark)
+        stats = ds.analyze(["r_regionkey", "r_name"])
+        assert stats["r_regionkey"].min_value == 0
+        stored = ds.column_statistics("r_name")
+        assert stored is not None and stored["total_rows"] == 5
+        # stats survive reopen (they live in the commit log)
+        again = dl.open(d + "/ds", spark)
+        assert again.column_statistics("r_name")["total_rows"] == 5
