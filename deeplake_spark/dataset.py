@@ -314,6 +314,26 @@ class Dataset:
         self._commit_entry(schema=T.StructType(fields), files=[fname], replace_files=True,
                            message=f"rename_column {old}->{new}")
 
+    def get_column_metadata(self, column: str) -> dict:
+        """Column free-form metadata (reference Column.metadata,
+        __init__.pyi:1532,1893) — stored on the StructField."""
+        f = self.schema[column]
+        return dict(f.metadata or {})
+
+    def set_column_metadata(self, column: str, metadata: dict) -> None:
+        """Merge metadata keys into a column (schema-only commit)."""
+        self._check_writable()
+        fields = []
+        for f in self.schema.fields:
+            if f.name == column:
+                md = dict(f.metadata or {})
+                md.update(metadata)
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        self._commit_entry(schema=T.StructType(fields),
+                           message=f"set_column_metadata {column}")
+
     # ----------------------------------------------------------------- DML
 
     def append(self, rows) -> None:

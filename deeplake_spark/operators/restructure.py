@@ -133,3 +133,28 @@ def expand_tiles(df: DataFrame, image_col: str, tile_h: int, tile_w: int,
         F.col("__t.tile_col").alias("tile_col"),
         F.col("__t.tile").alias("tile"),
     )
+
+
+def split_sequences(df: DataFrame, seq_col: str, chunk_len: int | None = None,
+                    n_chunks: int | None = None, keep_cols: list[str] | None = None) -> DataFrame:
+    """UNGROUP BY split-variants: split each sequence cell into chunk
+    rows — by fixed chunk length or into n equal chunks (reference
+    `ungroup_statement.hpp:15-116` split by axis/number/lengths).
+
+    Pure generator: sequence of chunk starts → slice per chunk →
+    posexplode; one row per chunk, no Python."""
+    if (chunk_len is None) == (n_chunks is None):
+        raise ValueError("exactly one of chunk_len / n_chunks required")
+    keep_cols = keep_cols or [c for c in df.columns if c != seq_col]
+    arr = F.col(seq_col)
+    n = F.size(arr)
+    size = F.lit(chunk_len) if chunk_len else F.ceil(n / n_chunks).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / size).cast("int") - 1),
+        lambda i: F.slice(arr, (i * size + 1).cast("int"), size.cast("int")),
+    )
+    return (
+        df.withColumn("__chunks", F.when(n > 0, chunks).otherwise(F.array()))
+        .select(*keep_cols, F.posexplode_outer("__chunks").alias("chunk_index", "chunk"))
+        .filter(F.col("chunk").isNotNull())
+    )

@@ -163,3 +163,41 @@ def test_tql_explain(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     rep = tql.explain("SELECT doc_id WHERE n_chars > 300", default=d)
     assert any("n_chars" in p for p in rep.pushed_filters)
+
+
+def test_split_sequences(spark):
+    from deeplake_spark.operators.restructure import split_sequences
+
+    df = spark.createDataFrame([(1, list(range(10))), (2, [1, 2, 3]), (3, [])],
+                               "id: int, seq: array<int>")
+    by_len = split_sequences(df, "seq", chunk_len=4)
+    got = {(r.id, r.chunk_index): list(r.chunk) for r in by_len.collect()}
+    assert got[(1, 0)] == [0, 1, 2, 3] and got[(1, 2)] == [8, 9]
+    assert got[(2, 0)] == [1, 2, 3]
+    assert not any(i == 3 for i, _ in got)  # empty seq → no rows
+    by_n = split_sequences(df.filter(F.col("id") == 1), "seq", n_chunks=2)
+    chunks = [list(r.chunk) for r in by_n.orderBy("chunk_index").collect()]
+    assert chunks == [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]]
+
+
+def test_column_metadata(spark):
+    from deeplake_spark import dataset as dl
+    from deeplake_spark import types as dtypes
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.create(d + "/ds", spark, schema={"lbl": dtypes.ClassLabel("int32")})
+        ds.set_column_metadata("lbl", {"class_names": ["cat", "dog"]})
+        assert ds.get_column_metadata("lbl")["class_names"] == ["cat", "dog"]
+        again = dl.open(d + "/ds", spark)
+        assert again.get_column_metadata("lbl")["class_names"] == ["cat", "dog"]
+
+
+def test_tql_from_parquet_url(spark, sf_dir):
+    from deeplake_spark import tql
+
+    out = tql.query(
+        f"SELECT r_name FROM '{sf_dir}/region.parquet' ORDER BY r_name", spark=spark
+    )
+    assert [r.r_name for r in out.collect()] == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    ]
