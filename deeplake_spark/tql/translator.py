@@ -180,16 +180,9 @@ class Translator:
         split(where)
         residual: list[ast.Node] = []
         for c in conjuncts:
-            if (
-                isinstance(c, ast.FuncCall)
-                and c.name.upper() == "CONTAINS"
-                and len(c.args) == 2
-                and isinstance(c.args[0], ast.ColumnRef)
-                and c.args[0].name in self.indexes
-                and isinstance(c.args[1], ast.Literal)
-            ):
-                index, id_col = self.indexes[c.args[0].name]
-                df = contains_via_index(df, index, str(c.args[1].value), id_col=id_col)
+            handled = self._try_index_rewrite(c, df)
+            if handled is not None:
+                df = handled
             else:
                 residual.append(c)
         if residual:
@@ -198,6 +191,74 @@ class Translator:
                 pred = ast.BinaryOp("AND", pred, r)
             df = df.filter(self._expr(pred, df))
         return df
+
+    def _try_index_rewrite(self, c: ast.Node, df: DataFrame) -> DataFrame | None:
+        """Route one WHERE conjunct through a registered index if its
+        shape matches (the reference's probe extraction: CONTAINS /
+        BETWEEN / IN / JSON-path equality —
+        inverted_index_search_info.hpp:19-44,
+        duckdb_deeplake_scan.cpp:209-279). Returns the semijoined
+        DataFrame, or None when no index applies."""
+        from deeplake_spark.operators.indexes import contains_via_index
+
+        def entry(col: str, kind: str):
+            meta = self.indexes.get(col)
+            if meta is None:
+                return None
+            # legacy 2-tuple = inverted; 3-tuple = (kind, index, id_col)
+            if len(meta) == 2:
+                return (meta[0], meta[1]) if kind == "inverted" else None
+            k, idx, id_col = meta
+            return (idx, id_col) if k == kind else None
+
+        def semijoin(ids, id_col):
+            return df.join(ids.withColumnRenamed("row_id", id_col), id_col, "left_semi")
+
+        # CONTAINS(col, 'kw') → inverted probe
+        if (
+            isinstance(c, ast.FuncCall)
+            and c.name.upper() == "CONTAINS"
+            and len(c.args) == 2
+            and isinstance(c.args[0], ast.ColumnRef)
+            and isinstance(c.args[1], ast.Literal)
+        ):
+            m = entry(c.args[0].name, "inverted")
+            if m:
+                return contains_via_index(df, m[0], str(c.args[1].value), id_col=m[1])
+        # col BETWEEN a AND b → numeric range probe
+        if (
+            isinstance(c, ast.BetweenOp)
+            and isinstance(c.operand, ast.ColumnRef)
+            and isinstance(c.low, ast.Literal)
+            and isinstance(c.high, ast.Literal)
+        ):
+            m = entry(c.operand.name, "numeric")
+            if m:
+                return semijoin(m[0].probe_between(c.low.value, c.high.value), m[1])
+        # col IN (v1, v2, ...) → numeric membership probe
+        if (
+            isinstance(c, ast.InOp)
+            and not c.negated
+            and isinstance(c.operand, ast.ColumnRef)
+            and all(isinstance(i, ast.Literal) for i in c.items)
+        ):
+            m = entry(c.operand.name, "numeric")
+            if m:
+                return semijoin(m[0].probe_in([i.value for i in c.items]), m[1])
+        # json_col['path'] == lit → JSON path-value probe
+        if (
+            isinstance(c, ast.BinaryOp)
+            and c.op == "=="
+            and isinstance(c.left, ast.Index)
+            and isinstance(c.left.operand, ast.ColumnRef)
+            and isinstance(c.left.index, ast.Literal)
+            and isinstance(c.left.index.value, str)
+            and isinstance(c.right, ast.Literal)
+        ):
+            m = entry(c.left.operand.name, "json")
+            if m:
+                return semijoin(m[0].probe(c.left.index.value, c.right.value), m[1])
+        return None
 
     def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
         if lim.percent:

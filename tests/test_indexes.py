@@ -125,3 +125,46 @@ def test_dataset_create_index_and_tql_rewrite(spark, sf_dir):
         assert "Join" in explain_query(via).text
         ds.drop_index("text")
         assert {r.doc_id for r in ds.query("SELECT doc_id WHERE CONTAINS(text, 'spark')").collect()} == scan
+
+
+def test_numeric_and_json_index_rewrites(spark, sf_dir):
+    """Translator routes BETWEEN/IN through a numeric index and
+    json_col['path'] == lit through a JSON index; results must equal
+    the scan path."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import build_json_index, build_numeric_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    nidx = build_numeric_index(docs, "n_chars", id_col="doc_id")
+    jidx = build_json_index(ev, "props", ["k"], id_col="event_id")
+    indexes = {
+        "n_chars": ("numeric", nidx, "doc_id"),
+        "props": ("json", jidx, "event_id"),
+    }
+
+    between = tql.query(
+        "SELECT doc_id WHERE n_chars BETWEEN 100 AND 200", default=docs, indexes=indexes
+    )
+    scan_b = docs.filter(F.col("n_chars").between(100, 200))
+    assert sorted(r.doc_id for r in between.collect()) == sorted(
+        r.doc_id for r in scan_b.collect()
+    )
+
+    inq = tql.query(
+        "SELECT doc_id WHERE n_chars IN (128, 200, 305)", default=docs, indexes=indexes
+    )
+    scan_i = docs.filter(F.col("n_chars").isin(128, 200, 305))
+    assert inq.count() == scan_i.count()
+
+    jq = tql.query(
+        "SELECT event_id WHERE props['k'] == '7'", default=ev, indexes=indexes
+    )
+    scan_j = ev.filter(F.get_json_object("props", "$.k") == "7")
+    assert sorted(r.event_id for r in jq.collect()) == sorted(
+        r.event_id for r in scan_j.collect()
+    )
+    # plan proof: probes are joins, not raw filters
+    from deeplake_spark.plans.explain import explain_query
+
+    assert "Join" in explain_query(jq).text
