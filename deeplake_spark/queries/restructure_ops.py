@@ -403,3 +403,105 @@ def r12(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
     return out.orderBy("user_id")
+
+
+@query(
+    "r13_datetime_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY ALL
+    ORDER BY y, m, dow, due_date
+    LIMIT 100
+    """,
+    doc="Date/time function coverage (reference date_time.sql domain): "
+    "year/month/quarter/dayofweek/date_trunc/interval arithmetic. "
+    "DuckDB dayofweek is 0-based Sunday; Spark is 1-based — aligned "
+    "explicitly.",
+    tags=("datetime",),
+)
+def r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "dow", "due_date")
+        .limit(100)
+    )
+
+
+@query(
+    "r14_string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_u,
+           substring(text, 1, 12) AS head,
+           length(replace(text, ' ', '')) AS n_nonspace,
+           concat(lang, ':', source) AS tagged,
+           CAST(strpos(text, 'spark') AS INT) AS spark_pos
+    FROM documents
+    WHERE doc_id < 150
+    ORDER BY doc_id
+    """,
+    doc="String function passthrough (upper/substring/replace/concat/"
+    "position) — translator's builtin fallback surface.",
+    tags=("string",),
+)
+def r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.substring("text", 1, 12).alias("head"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+        F.concat_ws("", F.col("lang"), F.lit(":"), F.col("source")).alias("tagged"),
+        F.instr(F.col("text"), "spark").alias("spark_pos"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "r15_numeric_edge",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_disc,
+           ROUND(AVG(l_extendedprice % 100.0), 6) AS avg_mod,
+           ROUND(MIN(-l_extendedprice), 6) AS min_neg,
+           ROUND(stddev_pop(l_quantity), 6) AS sd_qty
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+    doc="Numeric edge coverage (reference numeric_test.sql domain): "
+    "modulo on doubles, unary minus, population stddev, zero-equality.",
+    tags=("numeric",),
+)
+def r15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            F.sum(F.when(F.col("l_discount") == 0.0, 1).otherwise(0)).alias("zero_disc"),
+            F.round(F.avg(F.col("l_extendedprice") % 100.0), 6).alias("avg_mod"),
+            F.round(F.min(-F.col("l_extendedprice")), 6).alias("min_neg"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sd_qty"),
+        )
+        .orderBy("l_linenumber")
+    )
