@@ -86,3 +86,19 @@ def explain(text: str, spark=None, tables=None, default=None, indexes=None, para
     df = query(text, spark=spark, tables=tables, default=default,
                params=params, indexes=indexes)
     return explain_query(df)
+
+
+_MAX_PARALLEL_QUERIES = [8]
+
+
+def set_max_num_parallel_queries(n: int) -> None:
+    """tql.set_max_num_parallel_queries (tql.pyi:126): bounds the
+    concurrency of async query execution (maps to the executor pool
+    used by streaming.feed.query_async; Spark-side fairness comes from
+    scheduler pools)."""
+    _MAX_PARALLEL_QUERIES[0] = int(n)
+
+
+def get_max_num_parallel_queries() -> int:
+    """tql.get_max_num_parallel_queries (tql.pyi:84)."""
+    return _MAX_PARALLEL_QUERIES[0]

@@ -265,3 +265,16 @@ def test_expand_by(spark):
     df = spark.createDataFrame([(1, img)], "id: int, img: array<array<int>>")
     out = tql.query("SELECT id, tile EXPAND BY 2 2", default=df)
     assert out.count() == 4
+
+
+def test_keys_function(spark, tables):
+    ev = tables["events"]
+    out = tql.query("SELECT event_id, KEYS(props) AS ks WHERE event_id < 3 ORDER BY event_id", default=ev)
+    for r in out.collect():
+        assert list(r.ks) == ["k"]
+
+
+def test_parallel_query_knobs():
+    tql.set_max_num_parallel_queries(4)
+    assert tql.get_max_num_parallel_queries() == 4
+    tql.set_max_num_parallel_queries(8)
