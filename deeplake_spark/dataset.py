@@ -179,12 +179,17 @@ class Dataset:
         """Column.create_index (__init__.pyi:1678): batch-build the side
         table under <path>/_indexes/ and register it in refs metadata."""
         self._check_writable()
-        from deeplake_spark.operators.indexes import build_inverted_index
-
-        if kind != "inverted":
-            raise DatasetError(f"unsupported index kind {kind!r}")
         idx_path = os.path.join(self.path, "_indexes", f"{column}_{kind}")
-        build_inverted_index(self.to_df(), text_col=column, id_col="_row_id").save(idx_path)
+        if kind == "inverted":
+            from deeplake_spark.operators.indexes import build_inverted_index
+
+            build_inverted_index(self.to_df(), text_col=column, id_col="_row_id").save(idx_path)
+        elif kind == "clustered":
+            from deeplake_spark.operators.similarity import build_ivf, save_ivf
+
+            save_ivf(build_ivf(self.to_df(), vec_col=column, id_col="_row_id"), idx_path)
+        else:
+            raise DatasetError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
         refs.setdefault("indexes", {})[column] = {"kind": kind, "path": idx_path}
         _write_refs(self.path, refs)
@@ -206,8 +211,27 @@ class Dataset:
         refs = _read_refs(self.path)
         out = {}
         for col, meta in refs.get("indexes", {}).items():
-            out[col] = (InvertedIndex.load(self.spark, meta["path"]), "_row_id")
+            if meta["kind"] == "inverted":
+                out[col] = (InvertedIndex.load(self.spark, meta["path"]), "_row_id")
         return out
+
+    def search(self, column: str, query_vec, k: int = 10, config=None):
+        """ANN search through the column's clustered index (builds the
+        exact-scan plan when no index exists) — the reference's
+        ds.query ORDER BY COSINE_SIMILARITY fast path with
+        SearchConfig knobs."""
+        from deeplake_spark.operators.similarity import (
+            load_ivf,
+            ivf_search,
+            topk_cosine,
+        )
+
+        refs = _read_refs(self.path)
+        meta = refs.get("indexes", {}).get(column)
+        if meta and meta["kind"] == "clustered":
+            return ivf_search(load_ivf(self.spark, meta["path"]), query_vec, k=k,
+                              config=config)
+        return topk_cosine(self.to_df(), column, query_vec, k=k, id_col="_row_id")
 
     def __len__(self) -> int:
         return self.to_df().count()

@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -122,6 +123,39 @@ def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     return IVFIndex(assignments=assignments, centroids=centroids, vec_col=vec_col, id_col=id_col)
 
 
+def save_ivf(index: IVFIndex, path: str) -> None:
+    """Persist: assignments written PARTITIONED BY cluster (a probe
+    reads only nprobe directories — the physical cluster prune);
+    centroids as a tiny json sidecar."""
+    import json
+
+    index.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "assignments")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(
+            {
+                "centroids": index.centroids,
+                "vec_col": index.vec_col,
+                "id_col": index.id_col,
+            },
+            f,
+        )
+
+
+def load_ivf(spark, path: str) -> IVFIndex:
+    import json
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    return IVFIndex(
+        assignments=spark.read.parquet(os.path.join(path, "assignments")),
+        centroids=[(int(c), v) for c, v in meta["centroids"]],
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )
+
+
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,
                config: SearchConfig | None = None) -> DataFrame:
     """Probe the `nprobe` nearest clusters, exact-rerank inside them.
@@ -132,12 +166,22 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     """
     import numpy as np
 
+    import math
+
     config = config or SearchConfig()
     q = np.asarray(list(query_vec), dtype=np.float64)
     dists = [
         (cid, float(np.linalg.norm(np.asarray(c) - q))) for cid, c in index.centroids
     ]
-    probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[: config.nprobe]]
+    # accuracy_factor widens the probe set proportionally to cluster
+    # count (the reference's recall/latency knob, search_config.hpp:31-55):
+    # high_accuracy (20) probes ~all clusters, fast (1) probes few
+    n_clusters = len(index.centroids)
+    eff_nprobe = min(
+        n_clusters,
+        max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
+    )
+    probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
     pruned = index.assignments.filter(F.col("cluster").isin(probe))
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 

@@ -168,3 +168,49 @@ def test_numeric_and_json_index_rewrites(spark, sf_dir):
     from deeplake_spark.plans.explain import explain_query
 
     assert "Join" in explain_query(jq).text
+
+
+def test_ivf_save_load_partition_pruning(spark, sf_dir):
+    """Persisted IVF: cluster-partitioned layout; a probe's scan reads
+    only the probed cluster partitions (partition pruning in the plan)."""
+    import os
+    import tempfile
+
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_ivf, ivf_search, load_ivf, save_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).head().embedding)
+    idx = build_ivf(e, n_clusters=8, seed=42)
+    with tempfile.TemporaryDirectory() as d:
+        save_ivf(idx, d + "/ivf")
+        assert any(
+            f.startswith("cluster=") for f in os.listdir(d + "/ivf/assignments")
+        )
+        loaded = load_ivf(spark, d + "/ivf")
+        a = [r.vec_id for r in ivf_search(loaded, q, k=10, config=SearchConfig.balanced()).collect()]
+        b = [r.vec_id for r in ivf_search(idx, q, k=10, config=SearchConfig.balanced()).collect()]
+        assert a == b
+        # partition pruning: the pruned scan's PartitionFilters hit `cluster`
+        from deeplake_spark.plans.explain import explain_query
+
+        rep = explain_query(ivf_search(loaded, q, k=10, config=SearchConfig.balanced()))
+        assert "cluster" in rep.text and "PartitionFilters" in rep.text
+
+
+def test_dataset_clustered_index_search(spark, sf_dir):
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+    from deeplake_spark.operators.similarity import SearchConfig
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.from_parquet(f"{sf_dir}/embeddings.parquet", d + "/ds", spark)
+        q = list(ds[0].embedding)
+        exact = [r._row_id for r in ds.search("embedding", q, k=10).collect()]
+        ds.create_index("embedding", "clustered")
+        approx = [r._row_id for r in
+                  ds.search("embedding", q, k=10, config=SearchConfig.high_accuracy()).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.9, f"recall {recall}"
