@@ -212,3 +212,43 @@ def audio_features(df: DataFrame, payload_col: str = "audio",
             yield out
 
     return df.mapInPandas(feats, out_schema)
+
+
+def fetch_links(df: DataFrame, link_col: str = "image",
+                strict: bool = False) -> DataFrame:
+    """Link htype (types.pyi:1038-1058): URL/path reference column →
+    payload bytes fetched executor-side in Arrow batches. Local file
+    paths are read directly; remote schemes are import-gated (requests
+    not in this image) — `strict=True` raises, else null payloads."""
+    keep = [c for c in df.columns if c != link_col]
+    out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += f", {link_col} string, payload binary"
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            payloads = []
+            for url in pdf[link_col]:
+                if url and os.path.exists(url):
+                    with open(url, "rb") as f:
+                        payloads.append(f.read())
+                elif url and "://" in url:
+                    try:
+                        import requests
+
+                        resp = requests.get(url, timeout=5)
+                        resp.raise_for_status()
+                        payloads.append(resp.content)
+                    except Exception:
+                        if strict:
+                            raise
+                        payloads.append(None)  # unreachable/missing → null
+                else:
+                    payloads.append(None)
+            out = pdf[keep].copy()
+            out[link_col] = pdf[link_col]
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(fetch, out_schema)

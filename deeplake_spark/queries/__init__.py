@@ -1,5 +1,5 @@
 """Query registry — the single source of truth consumed by
-``__spark_entry__.py`` (driver correctness gate) and ``bench.py``.
+``__spark_entry__.py`` (driver correctness gate) and ``bench.py``. 65 queries are registered; 60 carry exact oracles.
 
 Every implemented operator from SURVEY.md §2 registers here as:
   - a callable ``(spark, sf_dir) -> DataFrame`` (the Spark-first plan)

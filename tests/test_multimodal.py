@@ -70,3 +70,16 @@ def test_audio_features(spark, payloads):
     assert len(out) == 20
     for r in out:
         assert r.n_samples == 1024 and 0 < r.rms < 1 and 0 < r.peak <= 1
+
+
+def test_fetch_links_local_files(spark, tmp_path):
+    from deeplake_spark.operators.multimodal import fetch_links
+
+    f1 = tmp_path / "a.bin"
+    f1.write_bytes(b"payload-a")
+    rows = [(1, str(f1)), (2, "http://example.com/x.png"), (3, None)]
+    df = spark.createDataFrame(rows, "id: int, image: string")
+    got = {r.id: (bytes(r.payload) if r.payload is not None else None)
+           for r in fetch_links(df).collect()}
+    assert got[1] == b"payload-a"
+    assert got[2] is None and got[3] is None  # remote gated, null passthrough
