@@ -44,7 +44,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # convert to TIMESTAMP_NTZ (naive wall clock, like every other
+        # table): timestamp_micros() would yield a session-tz-dependent
+        # TIMESTAMP, shifting hourly buckets under non-UTC driver
+        # sessions. Epoch + microsecond interval keeps it exact.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_ntz'1970-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+            ),
+        )
     return df
 
 

@@ -315,8 +315,10 @@ def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
+    # interval comparison (not epoch casts): works identically for
+    # TIMESTAMP and TIMESTAMP_NTZ, independent of session timezone
     new_session = (
-        lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800)
+        lag_ts.isNull() | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 30 MINUTES"))
     ).cast("int")
     return (
         e.withColumn("new_session", new_session)
@@ -366,9 +368,10 @@ def r11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_signup_ts"))
-            ).alias("us_since_signup"),
+            # timestampdiff handles TIMESTAMP_NTZ; unix_micros would not
+            F.expr("timestampdiff(MICROSECOND, last_signup_ts, ts)").alias(
+                "us_since_signup"
+            ),
         )
         .orderBy("event_id")
     )
