@@ -105,6 +105,7 @@ class Dataset:
         self._staged_deletes: list[int] = []
         self._staged_patches: list[str] = []
         self._staged_patch_rows: list[tuple[int, str]] = []  # (row_id, file)
+        self._staged_file_max: dict[str, int] = {}  # file -> max _row_id
         self._entry = _read_entry(path, self.version) if self.version > 0 else {
             "version": 0, "files": [], "deletes": [], "schema": None,
             "timestamp": time.time(), "branch": branch, "parent": None,
@@ -159,6 +160,17 @@ class Dataset:
         deletes = set(self._entry.get("deletes", [])) | set(self._staged_deletes)
         if deletes:
             df = df.filter(~F.col("_row_id").isin(*[int(x) for x in deletes]))
+        schema = self.schema
+        if schema is not None:
+            # add_column(default): files written before the column existed
+            # surface null under the explicit schema — fill the stored
+            # default at read time (reference add_column(default) backfill).
+            for f in schema.fields:
+                if f.metadata and "default" in f.metadata:
+                    df = df.withColumn(
+                        f.name,
+                        F.coalesce(F.col(f.name), F.lit(f.metadata["default"]).cast(f.dataType)),
+                    )
         return df
 
     def query(self, text: str, params: list | None = None) -> DataFrame:
@@ -332,11 +344,17 @@ class Dataset:
             else:
                 fields.append(f)
         # physical files keep the old name; lazily rename on read is
-        # avoided by rewriting data files referencing the old column
+        # avoided by rewriting data files referencing the old column.
+        # The rewritten file is the fully-merged snapshot (patches and
+        # deletes already applied), so the entry must drop the old
+        # patches/deletes exactly like compact() — otherwise stale patch
+        # files (still carrying the old column name) re-apply on read.
         df = self.to_df().withColumnRenamed(old, new)
         fname = self._write_file(df)
         self._commit_entry(schema=T.StructType(fields), files=[fname], replace_files=True,
+                           deletes=[], patches=[], patch_ids=[],
                            message=f"rename_column {old}->{new}")
+        self._clear_staged()
 
     def get_column_metadata(self, column: str) -> dict:
         """Column free-form metadata (reference Column.metadata,
@@ -389,7 +407,11 @@ class Dataset:
                 fields = [df.schema["_row_id"]] + [f for f in df.schema.fields if f.name != "_row_id"]
                 df = df.select(*[f.name for f in fields])
         self._validate_embeddings(df)
-        self._staged_files.append(self._write_file(df))
+        fname = self._write_file(df)
+        self._staged_files.append(fname)
+        if not isinstance(rows, DataFrame):
+            # row count known exactly — no footer read needed later
+            self._staged_file_max[fname] = base + len(as_rows) - 1
         if self.schema is None:
             self._pending_schema = df.schema
 
@@ -419,6 +441,7 @@ class Dataset:
         fname = self._write_file(df)
         self._commit_entry(files=[fname], replace_files=True, deletes=[],
                            patches=[], patch_ids=[], message="compact")
+        self._clear_staged()
 
     # ------------------------------------------------------- version control
 
@@ -442,10 +465,7 @@ class Dataset:
             ),
             message=message or "",
         )
-        self._staged_files = []
-        self._staged_deletes = []
-        self._staged_patches = []
-        self._staged_patch_rows = []
+        self._clear_staged()
         if self.indexing_mode == "automatic":
             refs = _read_refs(self.path)
             for col, meta in refs.get("indexes", {}).items():
@@ -463,10 +483,7 @@ class Dataset:
 
     def rollback(self) -> "Dataset":
         """Discard staged changes (reference rollback, __init__.pyi:3473)."""
-        self._staged_files = []
-        self._staged_deletes = []
-        self._staged_patches = []
-        self._staged_patch_rows = []
+        self._clear_staged()
         return self
 
     def checkout(self, version: int | str) -> "Dataset":
@@ -542,13 +559,64 @@ class Dataset:
         if self.read_only:
             raise DatasetError("dataset is read-only")
 
+    def _clear_staged(self) -> None:
+        self._staged_files = []
+        self._staged_deletes = []
+        self._staged_patches = []
+        self._staged_patch_rows = []
+        self._staged_file_max = {}
+
+    def _file_max_row_id(self, fname: str) -> int:
+        """Max `_row_id` in one data file, read from the parquet footer
+        statistics (no Spark job, O(footer) not O(data)). Falls back to a
+        single-file scan when stats are absent."""
+        import glob
+
+        root = os.path.join(self.path, _DATA_DIR, fname)
+        parts = sorted(glob.glob(os.path.join(root, "*.parquet"))) if os.path.isdir(root) else [root]
+        mx = None
+        try:
+            import pyarrow.parquet as pq
+
+            for p in parts:
+                md = pq.ParquetFile(p).metadata
+                col_idx = next(
+                    (i for i in range(md.num_columns)
+                     if md.schema.column(i).name == "_row_id"), None)
+                if col_idx is None:
+                    raise ValueError("no _row_id column")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("missing stats")
+                    mx = st.max if mx is None else max(mx, st.max)
+        except Exception:
+            m = (self.spark.read.parquet(root).agg(F.max("_row_id")).head() or [None])[0]
+            return int(m) if m is not None else -1
+        return int(mx) if mx is not None else -1
+
     def _next_row_id(self) -> int:
-        files = self._entry["files"] + self._staged_files
-        if not files:
-            return 0
-        df = self.spark.read.parquet(*[os.path.join(self.path, _DATA_DIR, f) for f in files])
-        m = df.agg(F.max("_row_id")).head()[0]
-        return int(m) + 1 if m is not None else 0
+        """Next dense `_row_id`. Reads `max_row_id` from the commit log
+        (written by every commit since round 2) so appends are O(1), not
+        an O(dataset) scan; staged files are covered by footer stats.
+        Legacy logs without the field fall back to one full scan, then
+        the next commit persists it."""
+        m = self._entry.get("max_row_id")
+        if m is None:
+            files = self._entry["files"]
+            if files:
+                df = self.spark.read.parquet(
+                    *[os.path.join(self.path, _DATA_DIR, f) for f in files])
+                v = df.agg(F.max("_row_id")).head()[0]
+                m = int(v) if v is not None else -1
+            else:
+                m = -1
+            self._entry["max_row_id"] = m  # cache for subsequent appends
+        for f in self._staged_files:
+            if f not in self._staged_file_max:
+                self._staged_file_max[f] = self._file_max_row_id(f)
+            m = max(m, self._staged_file_max[f])
+        return int(m) + 1
 
     def _validate_embeddings(self, df: DataFrame) -> None:
         """Enforce Embedding(size=N) constraints on write (§1.4)."""
@@ -582,6 +650,16 @@ class Dataset:
             all_files = list(files or [])
         else:
             all_files = self._entry["files"] + list(files or [])
+        # carry max_row_id in the log so appends never scan data files.
+        # replace_files rewrites preserve row ids; otherwise fold in the
+        # footer-stat max of each newly-added file.
+        max_row_id = self._entry.get("max_row_id")
+        if not replace_files:
+            for f in files or []:
+                fm = self._staged_file_max.get(f)
+                if fm is None:
+                    fm = self._file_max_row_id(f)
+                max_row_id = fm if max_row_id is None else max(max_row_id, fm)
         entry = {
             "version": new_version,
             "parent": self.version or None,
@@ -594,6 +672,7 @@ class Dataset:
             "patch_ids": patch_ids if patch_ids is not None else self._entry.get("patch_ids", []),
             "schema": (schema or self.schema).jsonValue() if (schema or self.schema) else None,
             "metadata": self._entry.get("metadata", {}),
+            "max_row_id": max_row_id,
         }
         with _fopen(_log_path(self.path, new_version), "w") as f:
             json.dump(entry, f)
@@ -694,25 +773,39 @@ def from_csv(path: str, dataset_path: str, spark: SparkSession | None = None) ->
 
 
 def _replicate(src: "Dataset", dst_path: str) -> None:
-    """Copy missing data files + log entries + refs from src's log into
-    dst (append-only fast-forward replication)."""
+    """Copy the FULL log (every entry, every branch) plus the union of
+    data/patch files referenced by any entry, then merge refs
+    per-branch fast-forward — so `checkout()` of older versions and
+    other branches works on the replica, and replication never clobbers
+    branches/tags the destination already had."""
     import shutil
 
     os.makedirs(os.path.join(dst_path, _LOG_DIR), exist_ok=True)
     os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
     src_data = os.path.join(src.path, _DATA_DIR)
     dst_data = os.path.join(dst_path, _DATA_DIR)
-    for f in src._entry["files"] + src._entry.get("patches", []):
+    src_log = os.path.join(src.path, _LOG_DIR)
+    needed: set[str] = set()
+    for fn in sorted(os.listdir(src_log)):
+        if not fn.endswith(".json"):
+            continue
+        with _fopen(os.path.join(src_log, fn)) as f:
+            entry = json.load(f)
+        needed.update(entry.get("files", []))
+        needed.update(entry.get("patches", []))
+        d = os.path.join(dst_path, _LOG_DIR, fn)
+        if not os.path.exists(d):
+            shutil.copy2(os.path.join(src_log, fn), d)
+    for f in sorted(needed):
         s, d = os.path.join(src_data, f), os.path.join(dst_data, f)
         if not os.path.exists(d):
             shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
-    v = src.version
-    chain = []
-    while v and v > 0:
-        chain.append(v)
-        v = _read_entry(src.path, v).get("parent")
-    for v in chain:
-        d = _log_path(dst_path, v)
-        if not os.path.exists(d):
-            shutil.copy2(_log_path(src.path, v), d)
-    _write_refs(dst_path, _read_refs(src.path))
+    src_refs = _read_refs(src.path)
+    dst_refs = _read_refs(dst_path)
+    for br, v in src_refs["branches"].items():
+        dst_refs["branches"][br] = max(int(v), int(dst_refs["branches"].get(br, 0)))
+    for tag, meta in src_refs.get("tags", {}).items():
+        dst_refs.setdefault("tags", {}).setdefault(tag, meta)
+    # deliberately NOT replicating src's "indexes" refs: index paths are
+    # absolute to src; replicas rebuild via create_index.
+    _write_refs(dst_path, dst_refs)

@@ -280,7 +280,12 @@ def r08(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r09(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        # date_trunc returns TIMESTAMP (instant) even for NTZ input; cast
+        # back to NTZ so collect() is session/OS-timezone independent —
+        # the NTZ->TIMESTAMP->NTZ round-trip through the session tz is
+        # exact for any offset, and truncation acts on the wall clock.
+        e.groupBy(F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+                  F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
@@ -432,7 +437,7 @@ def r12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r13(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
         o.groupBy(
@@ -440,7 +445,8 @@ def r13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("m"),
             F.quarter("o_orderdate").alias("q"),
             F.dayofweek("o_orderdate").alias("dow"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            # cast back to NTZ: date_trunc emits a session-tz instant (see r09)
+            F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
             (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         )
         .agg(F.count(F.lit(1)).alias("n"))

@@ -39,7 +39,23 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
+    # Watermarks require TIMESTAMP (Spark rejects TIMESTAMP_NTZ event
+    # time), so the stream keeps an instant-typed ts — instants and
+    # UTC-epoch-aligned tumbling windows are session-tz-independent.
+    # The rollups below convert emitted window boundaries to NTZ so
+    # results match the batch path under any driver session timezone.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _instant_to_ntz(colname: str):
+    """TIMESTAMP (instant) → TIMESTAMP_NTZ at the UTC wall clock, with
+    no session-timezone dependence: unix_micros() reads the instant's
+    epoch offset directly, and the epoch+interval rebuild is the same
+    trick io.load_table uses for the nanos column."""
+    return F.expr(
+        "timestamp_ntz'1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+        f"cast(unix_micros({colname}) as decimal(20,0)) / 1000000)"
+    )
 
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour",
@@ -47,7 +63,7 @@ def windowed_rollup(events: DataFrame, window: str = "1 hour",
     """Watermarked tumbling/sliding window aggregation (late data beyond
     the watermark is dropped deterministically)."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
-    return (
+    out = (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), F.col("event_type"))
         .agg(
@@ -62,13 +78,17 @@ def windowed_rollup(events: DataFrame, window: str = "1 hour",
             "total_value",
         )
     )
+    if dict(events.dtypes).get("ts") == "timestamp":
+        out = out.withColumn("window_start", _instant_to_ntz("window_start")) \
+                 .withColumn("window_end", _instant_to_ntz("window_end"))
+    return out
 
 
 def session_rollup(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Session windows per user (session_window — the streaming analog
     of the batch lag-gap sessionization in r10_sessionize)."""
-    return (
+    out = (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
@@ -80,6 +100,10 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
             "total_value",
         )
     )
+    if dict(events.dtypes).get("ts") == "timestamp":
+        out = out.withColumn("session_start", _instant_to_ntz("session_start")) \
+                 .withColumn("session_end", _instant_to_ntz("session_end"))
+    return out
 
 
 def running_user_state(events: DataFrame):

@@ -145,3 +145,96 @@ def test_like_clones_schema(spark, tmp_path_ds):
     src = dl.create(tmp_path_ds, spark, schema={"t": dt.Text(), "e": dt.Embedding(8)})
     dst = dl.like(tmp_path_ds + "_like", src, spark)
     assert dst.schema == src.schema and len(dst) == 0
+
+
+def test_rename_column_after_update_keeps_patched_rows(spark, tmp_path_ds):
+    """ADVICE r1: rename used to preserve stale patch files whose parquet
+    still carried the old column name — updated rows read back null."""
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text(), "score": dt.Generic("float64")})
+    ds.append([{"text": f"row {i}", "score": float(i)} for i in range(5)])
+    ds.commit("base")
+    ds.update(2, {"text": "patched"})
+    ds.commit("patch")
+    ds.rename_column("text", "body")
+    rows = {r._row_id: r.body for r in ds.to_df().collect()}
+    assert rows[2] == "patched"
+    assert rows[0] == "row 0"
+    assert len(ds) == 5
+    # reopening from disk reads the same state
+    ds2 = dl.open(tmp_path_ds, spark)
+    assert {r._row_id: r.body for r in ds2.to_df().collect()}[2] == "patched"
+
+
+def test_compact_with_staged_appends_no_duplicates(spark, tmp_path_ds):
+    """ADVICE r1: compact() materialized staged rows into the snapshot
+    but left them staged — commit() then added them twice."""
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()})
+    ds.append([{"text": "a"}, {"text": "b"}])
+    ds.commit("base")
+    ds.append([{"text": "staged"}])  # uncommitted
+    ds.compact()
+    assert len(ds) == 3
+    ds.commit("after compact")
+    assert len(ds) == 3
+    texts = sorted(r.text for r in ds.to_df().collect())
+    assert texts == ["a", "b", "staged"]
+
+
+def test_add_column_default_backfills_existing_rows(spark, tmp_path_ds):
+    """ADVICE r1: stored default was never applied at read time."""
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()})
+    ds.append([{"text": "old row"}])
+    ds.commit("base")
+    ds.add_column("lang", "text", default_value="en")
+    vals = [r.lang for r in ds.to_df().collect()]
+    assert vals == ["en"]
+
+
+def test_replicate_preserves_history_and_dst_branches(spark, tmp_path_ds):
+    """ADVICE r1: push() copied only head-entry files and clobbered dst
+    refs — checkout of older versions / other branches broke."""
+    import tempfile as _tf
+
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()})
+    ds.append([{"text": "v1 row"}])
+    v1 = ds.commit("v1")
+    ds.compact()  # replaces files: v1's file is no longer in the head entry
+    ds.append([{"text": "v2 row"}])
+    ds.commit("v2")
+    with _tf.TemporaryDirectory() as d:
+        dst = d + "/replica"
+        ds.push(dst)
+        rep = dl.open(dst, spark)
+        assert len(rep) == 2
+        old = rep.checkout(v1)  # needs the pre-compact data file
+        assert [r.text for r in old.to_df().collect()] == ["v1 row"]
+        # dst-local branch survives a second push
+        rep2 = dl.open(dst, spark)
+        rep2.branch("local-work")
+        ds.append([{"text": "v3 row"}])
+        ds.commit("v3")
+        ds.push(dst)
+        refs = dl._read_refs(dst)
+        assert "local-work" in refs["branches"]
+        assert len(dl.open(dst, spark)) == 3
+
+
+def test_next_row_id_reads_log_not_data(spark, tmp_path_ds):
+    """VERDICT r1 #10: append must not scan data files for max(_row_id)."""
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()})
+    ds.append([{"text": f"r{i}"} for i in range(4)])
+    ds.commit("base")
+    ds2 = dl.open(tmp_path_ds, spark)
+    assert ds2._entry.get("max_row_id") == 3
+    # sabotage spark.read: _next_row_id must not need it
+    orig = ds2.spark.read
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError("data-file scan during _next_row_id")
+    ds2.__dict__["spark"] = type("S", (), {"read": _Boom(),
+                                           "createDataFrame": spark.createDataFrame})()
+    assert ds2._next_row_id() == 4
+    ds2.__dict__["spark"] = spark
+    ds2.append([{"text": "next"}])
+    ds2.commit("more")
+    assert ds2._entry.get("max_row_id") == 4
