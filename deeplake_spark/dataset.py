@@ -187,9 +187,14 @@ class Dataset:
 
     # --------------------------------------------------------------- indexes
 
-    def create_index(self, column: str, kind: str = "inverted") -> None:
+    def create_index(self, column: str, kind: str = "inverted", **options) -> None:
         """Column.create_index (__init__.pyi:1678): batch-build the side
-        table under <path>/_indexes/ and register it in refs metadata."""
+        table under <path>/_indexes/ and register it in refs metadata.
+
+        Kinds (reference types.pyi:128-248): inverted | clustered |
+        numeric | json | exact. `json` takes `paths=[...]` (the JSON
+        paths extracted at build time); options are persisted so
+        auto-refresh on commit rebuilds identically."""
         self._check_writable()
         idx_path = os.path.join(self.path, "_indexes", f"{column}_{kind}")
         if kind == "inverted":
@@ -199,11 +204,33 @@ class Dataset:
         elif kind == "clustered":
             from deeplake_spark.operators.similarity import build_ivf, save_ivf
 
-            save_ivf(build_ivf(self.to_df(), vec_col=column, id_col="_row_id"), idx_path)
+            save_ivf(
+                build_ivf(self.to_df(), vec_col=column, id_col="_row_id",
+                          **{k: v for k, v in options.items()
+                             if k in ("n_clusters", "seed", "max_iter")}),
+                idx_path,
+            )
+        elif kind == "numeric":
+            from deeplake_spark.operators.indexes import build_numeric_index
+
+            build_numeric_index(self.to_df(), column, id_col="_row_id").save(idx_path)
+        elif kind == "json":
+            from deeplake_spark.operators.indexes import build_json_index
+
+            paths = options.get("paths")
+            if not paths:
+                raise DatasetError("json index requires paths=[...]")
+            build_json_index(self.to_df(), column, paths, id_col="_row_id").save(idx_path)
+        elif kind == "exact":
+            from deeplake_spark.operators.indexes import build_exact_index
+
+            build_exact_index(self.to_df(), column, id_col="_row_id").save(idx_path)
         else:
             raise DatasetError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
-        refs.setdefault("indexes", {})[column] = {"kind": kind, "path": idx_path}
+        refs.setdefault("indexes", {})[column] = {
+            "kind": kind, "path": idx_path, "options": options,
+        }
         _write_refs(self.path, refs)
 
     def drop_index(self, column: str) -> None:
@@ -218,32 +245,67 @@ class Dataset:
             _write_refs(self.path, refs)
 
     def _load_indexes(self) -> dict:
-        from deeplake_spark.operators.indexes import InvertedIndex
+        """column → (kind, index, id_col) for every registered index —
+        the translator's rewrite table (CONTAINS/EQUALS/BETWEEN/IN/JSON
+        semijoins + ORDER BY cosine LIMIT k ANN routing)."""
+        from deeplake_spark.operators.indexes import (
+            ExactTextIndex,
+            InvertedIndex,
+            JsonIndex,
+            NumericIndex,
+        )
+        from deeplake_spark.operators.similarity import load_ivf
 
+        loaders = {
+            "inverted": InvertedIndex.load,
+            "numeric": NumericIndex.load,
+            "json": JsonIndex.load,
+            "exact": ExactTextIndex.load,
+            "clustered": load_ivf,
+        }
         refs = _read_refs(self.path)
         out = {}
         for col, meta in refs.get("indexes", {}).items():
-            if meta["kind"] == "inverted":
-                out[col] = (InvertedIndex.load(self.spark, meta["path"]), "_row_id")
+            loader = loaders.get(meta["kind"])
+            if loader is not None:
+                out[col] = (meta["kind"], loader(self.spark, meta["path"]), "_row_id")
         return out
 
-    def search(self, column: str, query_vec, k: int = 10, config=None):
+    def search(self, column: str, query_vec, k: int = 10, config=None,
+               predicate: str | None = None):
         """ANN search through the column's clustered index (builds the
         exact-scan plan when no index exists) — the reference's
         ds.query ORDER BY COSINE_SIMILARITY fast path with
-        SearchConfig knobs."""
+        SearchConfig knobs.
+
+        `predicate` is a TQL WHERE expression (e.g. "label == 3 AND
+        CONTAINS(text, 'spark')") restricting the search to matching
+        rows — the reference's filter+search combination
+        (index_holder.hpp:30-36): the filtered row-id set (itself
+        index-accelerated where possible) is handed to the probe as the
+        candidate relation."""
         from deeplake_spark.operators.similarity import (
             load_ivf,
             ivf_search,
             topk_cosine,
         )
 
+        candidates = None
+        base = self.to_df()
+        if predicate is not None:
+            from deeplake_spark.tql import query as tql_query
+
+            filtered = tql_query(f"SELECT * WHERE {predicate}", spark=self.spark,
+                                 default=base, indexes=self._load_indexes())
+            candidates = filtered.select("_row_id")
         refs = _read_refs(self.path)
         meta = refs.get("indexes", {}).get(column)
         if meta and meta["kind"] == "clustered":
             return ivf_search(load_ivf(self.spark, meta["path"]), query_vec, k=k,
-                              config=config)
-        return topk_cosine(self.to_df(), column, query_vec, k=k, id_col="_row_id")
+                              config=config, candidates=candidates)
+        if candidates is not None:
+            base = base.join(candidates.distinct(), "_row_id", "left_semi")
+        return topk_cosine(base, column, query_vec, k=k, id_col="_row_id")
 
     def __len__(self) -> int:
         return self.to_df().count()
@@ -469,7 +531,7 @@ class Dataset:
         if self.indexing_mode == "automatic":
             refs = _read_refs(self.path)
             for col, meta in refs.get("indexes", {}).items():
-                self.create_index(col, meta["kind"])
+                self.create_index(col, meta["kind"], **meta.get("options", {}))
         return str(entry["version"])
 
     def history(self) -> list[Version]:

@@ -156,6 +156,18 @@ class NumericIndex:
     def probe_in(self, items: list) -> DataFrame:
         return self.values.filter(F.col("value").isin(items)).select("row_id").distinct()
 
+    def save(self, path: str) -> None:
+        # range-bucket on value so BETWEEN probes prune partitions via
+        # the partition column (zone-map behavior made physical); the
+        # plain `value` column stays for exact pruning inside buckets
+        self.values.withColumn(
+            "bucket", F.abs(F.hash(F.col("value").cast("string"))) % 64
+        ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "values"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NumericIndex":
+        return cls(values=spark.read.parquet(os.path.join(path, "values")).drop("bucket"))
+
 
 def build_numeric_index(df: DataFrame, col: str, id_col: str = "doc_id") -> NumericIndex:
     return NumericIndex(values=df.select(F.col(col).alias("value"), F.col(id_col).alias("row_id")))
@@ -177,6 +189,16 @@ class JsonIndex:
             .select("row_id")
             .distinct()
         )
+
+    def save(self, path: str) -> None:
+        # partition by json path: a probe reads exactly one directory
+        self.entries.write.mode("overwrite").partitionBy("path").parquet(
+            os.path.join(path, "entries")
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "JsonIndex":
+        return cls(entries=spark.read.parquet(os.path.join(path, "entries")))
 
 
 def build_json_index(df: DataFrame, json_col: str, paths: list[str],
@@ -211,6 +233,16 @@ class ExactTextIndex:
 
         h = hashlib.md5(value.encode()).hexdigest()
         return self.digests.filter(F.col("digest") == h).select("row_id")
+
+    def save(self, path: str) -> None:
+        # digest-prefix buckets: an exact probe prunes to one partition
+        self.digests.withColumn(
+            "bucket", F.substring("digest", 1, 2)
+        ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "digests"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ExactTextIndex":
+        return cls(digests=spark.read.parquet(os.path.join(path, "digests")).drop("bucket"))
 
 
 def build_exact_index(df: DataFrame, col: str, id_col: str = "doc_id") -> ExactTextIndex:

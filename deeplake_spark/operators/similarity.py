@@ -157,12 +157,20 @@ def load_ivf(spark, path: str) -> IVFIndex:
 
 
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,
-               config: SearchConfig | None = None) -> DataFrame:
+               config: SearchConfig | None = None,
+               candidates: DataFrame | None = None) -> DataFrame:
     """Probe the `nprobe` nearest clusters, exact-rerank inside them.
 
     The centroid ranking is O(n_clusters * dim) driver-side arithmetic
     (centroids are index metadata, like the reference's in-memory
     centroid table); the data-sized work is a pruned scan.
+
+    `candidates` (a 1-column row-id relation) restricts the search to a
+    filtered row set — the reference's filter+search combination, where
+    a WHERE prefilter becomes a roaring row set handed to the index
+    probe (cpp/query_core/index_holder.hpp:30-36, tql.md filtered
+    search). Here it is a semijoin applied after the cluster prune, so
+    its cost is O(pruned rows), never O(corpus).
     """
     import numpy as np
 
@@ -183,6 +191,12 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     )
     probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
     pruned = index.assignments.filter(F.col("cluster").isin(probe))
+    if candidates is not None:
+        cand_col = candidates.columns[0]
+        pruned = pruned.join(
+            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
+            index.id_col, "left_semi",
+        )
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 
 
@@ -192,13 +206,19 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
 
 def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
                      id_col: str = "vec_id",
-                     config: SearchConfig | None = None) -> DataFrame:
+                     config: SearchConfig | None = None,
+                     candidates: DataFrame | None = None) -> DataFrame:
     """Two-stage: Hamming distance on sign bits prefilters to
     k*accuracy_factor candidates (cheap integer ops), exact cosine
-    reranks the candidates (reference rerank path, types.pyi:71-126)."""
+    reranks the candidates (reference rerank path, types.pyi:71-126).
+    `candidates` restricts to a filtered row-id set (see ivf_search)."""
     from deeplake_spark.functions.vector import hamming_distance
 
     config = config or SearchConfig()
+    if candidates is not None:
+        cand_col = candidates.columns[0]
+        df = df.join(candidates.withColumnRenamed(cand_col, id_col).distinct(),
+                     id_col, "left_semi")
     qv = _as_literal_vec(query_vec)
     n_cand = k * config.accuracy_factor
     cands = (

@@ -438,3 +438,32 @@ def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("hist"),
     ).orderBy("vec_id")
+
+
+@query(
+    "v15_tql_ann_topk",
+    oracle=None,  # IVF probe set is build-dependent — recall vs exact
+    # top-k asserted in tests/test_indexes.py::test_tql_ann_routing
+    doc="TQL string `ORDER BY COSINE_SIMILARITY(col, ?) DESC LIMIT k` "
+    "routed through the clustered (IVF) index by the translator — the "
+    "reference's top-k fast path (cpp/tql/tql.hpp:171, "
+    "query_core/top_k_search_info.hpp:17-66). The plan is an nprobe-"
+    "pruned cluster scan + TakeOrdered, never a corpus scan.",
+    tags=("vector", "ann", "index", "tql"),
+)
+def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import SearchConfig, build_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    idx = build_ivf(e, n_clusters=8, seed=42)
+    return tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        spark=spark,
+        default=e,
+        params=[list(row[0])],
+        indexes={"embedding": ("clustered", idx, "vec_id")},
+        search_config=SearchConfig.balanced(),
+    )

@@ -42,22 +42,46 @@ def prepare(text: str, spark=None, tables=None, default=None, indexes=None):
     return run
 
 
-def register_function(func=None, *, name: str | None = None, returnType="double"):
+def register_function(func=None, *, name: str | None = None, returnType="double",
+                      is_batch: bool | None = None):
     """Register a Python function for use inside TQL queries
-    (deeplake.tql.register_function, tql.pyi:100-124). Registered as an
-    Arrow-batched pandas UDF when the callable is vectorized (the
-    reference's `is_batch=true` fast path, cpp/tql/tql.hpp:179-204),
-    else a plain UDF."""
-    import pandas as pd  # noqa: F401
+    (deeplake.tql.register_function, tql.pyi:100-124).
+
+    `is_batch=True` registers an Arrow-batched pandas UDF — the whole
+    column arrives as a `pandas.Series` per batch, ~10-100× cheaper than
+    per-row Python calls (the reference's `is_batch=true` fast path,
+    cpp/tql/tql.hpp:179-204). `is_batch=False` forces the row-at-a-time
+    scalar UDF. Default `None` autodetects by probing the callable with
+    a small Series: if it returns an equal-length Series the vectorized
+    path is used. The probe uses numeric input, so string-vectorized
+    callables (e.g. using `.str`) should pass `is_batch=True` explicitly.
+    """
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
+
+    def _autodetect(f) -> bool:
+        import inspect
+
+        import pandas as pd
+
+        try:
+            nargs = len([
+                p for p in inspect.signature(f).parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]) or 1
+            probe = pd.Series([0.0, 1.0])
+            out = f(*[probe] * nargs)
+            return isinstance(out, pd.Series) and len(out) == len(probe)
+        except Exception:
+            return False
 
     def deco(f):
         fn_name = (name or f.__name__).upper()
         from deeplake_spark.functions import TQL_FUNCTIONS
 
         spark = SparkSession.getActiveSession()
-        udf = F.udf(f, returnType)
+        batch = is_batch if is_batch is not None else _autodetect(f)
+        udf = F.pandas_udf(f, returnType) if batch else F.udf(f, returnType)
         if spark is not None:
             spark.udf.register(fn_name.lower(), udf)
         TQL_FUNCTIONS[fn_name] = udf

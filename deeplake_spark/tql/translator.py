@@ -47,14 +47,18 @@ class Translator:
         default: DataFrame | None = None,
         params: list | None = None,
         indexes: Mapping[str, tuple] | None = None,
+        search_config=None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
         self.default = default
         self.params = list(params or [])
-        #: column name → (InvertedIndex, id_col): enables the §4.3 rewrite
-        #: of CONTAINS predicates into posting-table semijoins
+        #: column name → (kind, index, id_col) [legacy 2-tuple = inverted]:
+        #: enables the §4.3 rewrites (CONTAINS/BETWEEN/IN/JSON semijoins,
+        #: ORDER BY cosine LIMIT k → IVF probe)
         self.indexes = dict(indexes or {})
+        #: SearchConfig recall/latency knobs for the ANN fast path
+        self.search_config = search_config
 
     # ------------------------------------------------------------------ API
 
@@ -104,8 +108,15 @@ class Translator:
 
     # --------------------------------------------------------------- select
 
-    def _select(self, sel: ast.Select) -> DataFrame:
-        df = self._resolve_source(sel.source)
+    def _select(self, sel: ast.Select, source_override: DataFrame | None = None) -> DataFrame:
+        if source_override is None:
+            routed = self._try_ann_route(sel)
+            if routed is not None:
+                # re-enter with the index-pruned source: the normal path
+                # re-applies WHERE / projection / ORDER / LIMIT over at
+                # most k·accuracy_factor rows, keeping semantics exact
+                return self._select(sel, source_override=routed)
+        df = source_override if source_override is not None else self._resolve_source(sel.source)
 
         if sel.where is not None:
             df = self._apply_where(sel.where, df)
@@ -225,6 +236,18 @@ class Translator:
             m = entry(c.args[0].name, "inverted")
             if m:
                 return contains_via_index(df, m[0], str(c.args[1].value), id_col=m[1])
+        # EQUALS(col, 'lit') → exact digest probe (index_search.cpp:172-199)
+        if (
+            isinstance(c, ast.FuncCall)
+            and c.name.upper() == "EQUALS"
+            and len(c.args) == 2
+            and isinstance(c.args[0], ast.ColumnRef)
+            and isinstance(c.args[1], ast.Literal)
+            and isinstance(c.args[1].value, str)
+        ):
+            m = entry(c.args[0].name, "exact")
+            if m:
+                return semijoin(m[0].probe(c.args[1].value), m[1])
         # col BETWEEN a AND b → numeric range probe
         if (
             isinstance(c, ast.BetweenOp)
@@ -259,6 +282,91 @@ class Translator:
             if m:
                 return semijoin(m[0].probe(c.left.index.value, c.right.value), m[1])
         return None
+
+    def _vec_literal(self, node: ast.Node) -> list[float] | None:
+        """Resolve a query-vector expression to a Python float list
+        (index probes need the vector driver-side, like the reference's
+        top_k_search_info extraction). Returns None when not constant."""
+        if isinstance(node, ast.Param) and node.index < len(self.params):
+            v = self.params[node.index]
+            if isinstance(v, (list, tuple)):
+                return [float(x) for x in v]
+            return None
+        if isinstance(node, ast.Literal) and isinstance(node.value, (list, tuple)):
+            return [float(x) for x in node.value]
+        if (
+            isinstance(node, ast.FuncCall)
+            and node.name.upper() == "ARRAY"
+            and all(isinstance(a, ast.Literal) for a in node.args)
+        ):
+            return [float(a.value) for a in node.args]
+        return None
+
+    def _try_ann_route(self, sel: ast.Select) -> DataFrame | None:
+        """`ORDER BY COSINE_SIMILARITY(col, <vec>) DESC LIMIT k` over the
+        bound dataset with a registered clustered index → IVF probe
+        (the reference's top-k fast path, cpp/tql/tql.hpp:171 +
+        query_core/top_k_search_info.hpp:17-66). WHERE conjuncts become
+        the candidate row set handed to the probe (filter+search,
+        index_holder.hpp:30-36) — including any text/numeric/JSON index
+        rewrites the WHERE itself triggers.
+
+        Returns the index-pruned base relation (row-id semijoin against
+        the top-k hits), or None when the shape doesn't match."""
+        if (
+            sel.source is not None  # indexes describe the bound dataset only
+            or sel.group is not None
+            or sel.ungroup is not None
+            or sel.expand is not None
+            or sel.sample is not None
+            or sel.having is not None
+            or sel.distinct
+            or len(sel.order) != 1
+            or sel.limit is None
+            or sel.limit.percent
+        ):
+            return None
+        o = sel.order[0]
+        if not o.desc:
+            return None
+        e = o.expr
+        # ORDER BY <alias-of-select-item> also routes
+        if isinstance(e, ast.ColumnRef) and e.table is None:
+            for it in sel.items:
+                if it.alias == e.name:
+                    e = it.expr
+                    break
+        if not (
+            isinstance(e, ast.FuncCall)
+            and e.name.upper() == "COSINE_SIMILARITY"
+            and len(e.args) == 2
+        ):
+            return None
+        col_arg, vec_arg = e.args
+        if not isinstance(col_arg, ast.ColumnRef):
+            col_arg, vec_arg = vec_arg, col_arg
+        if not isinstance(col_arg, ast.ColumnRef) or col_arg.table is not None:
+            return None
+        qvec = self._vec_literal(vec_arg)
+        if qvec is None:
+            return None
+        meta = self.indexes.get(col_arg.name)
+        if meta is None or len(meta) != 3:
+            return None
+        kind, idx, id_col = meta
+        if kind != "clustered":
+            return None
+        from deeplake_spark.operators.similarity import ivf_search
+
+        df = self._resolve_source(None)
+        candidates = None
+        if sel.where is not None:
+            candidates = self._apply_where(sel.where, df).select(id_col)
+        fetch = sel.limit.n + (sel.limit.offset or 0)
+        hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
+                          candidates=candidates).select(id_col)
+        # k rows — always broadcastable
+        return df.join(F.broadcast(hits), id_col, "left_semi")
 
     def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
         if lim.percent:
@@ -561,12 +669,14 @@ def tql_query(
     default: DataFrame | None = None,
     params: list | None = None,
     indexes: Mapping[str, tuple] | None = None,
+    search_config=None,
 ) -> DataFrame:
     """Run a TQL query → DataFrame (ds.query equivalent,
     python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68)."""
     node = parse_query(query)
     return Translator(
-        spark=spark, tables=tables, default=default, params=params, indexes=indexes
+        spark=spark, tables=tables, default=default, params=params, indexes=indexes,
+        search_config=search_config,
     ).translate(node)
 
 

@@ -214,3 +214,136 @@ def test_dataset_clustered_index_search(spark, sf_dir):
                   ds.search("embedding", q, k=10, config=SearchConfig.high_accuracy()).collect()]
         recall = len(set(exact) & set(approx)) / 10
         assert recall >= 0.9, f"recall {recall}"
+
+
+def test_numeric_json_exact_save_load_roundtrip(spark, sf_dir):
+    """Persistence for the three round-1 ephemeral indexes: save/load
+    round-trips and the loaded index probes equal the scan path."""
+    import tempfile
+
+    from deeplake_spark.operators.indexes import (
+        ExactTextIndex,
+        JsonIndex,
+        NumericIndex,
+        build_exact_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        build_numeric_index(docs, "n_chars", id_col="doc_id").save(d + "/num")
+        nidx = NumericIndex.load(spark, d + "/num")
+        got = sorted(r.row_id for r in nidx.probe_between(100, 200).collect())
+        want = sorted(r.doc_id for r in docs.filter(F.col("n_chars").between(100, 200)).collect())
+        assert got == want and len(got) > 0
+
+        build_json_index(ev, "props", ["k"], id_col="event_id").save(d + "/json")
+        jidx = JsonIndex.load(spark, d + "/json")
+        got = sorted(r.row_id for r in jidx.probe("k", "7").collect())
+        want = sorted(
+            r.event_id for r in ev.filter(F.get_json_object("props", "$.k") == "7").collect()
+        )
+        assert got == want and len(got) > 0
+
+        build_exact_index(docs, "lang", id_col="doc_id").save(d + "/exact")
+        eidx = ExactTextIndex.load(spark, d + "/exact")
+        got = sorted(r.row_id for r in eidx.probe("en").collect())
+        want = sorted(r.doc_id for r in docs.filter(F.col("lang") == "en").collect())
+        assert got == want and len(got) > 0
+
+
+def test_equals_exact_index_rewrite(spark, sf_dir):
+    """EQUALS(col, 'lit') routes through a registered exact index."""
+    from deeplake_spark import tql
+    from deeplake_spark.plans.explain import explain_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    eidx = build_exact_index(docs, "lang", id_col="doc_id")
+    out = tql.query(
+        "SELECT doc_id WHERE EQUALS(lang, 'en')",
+        default=docs,
+        indexes={"lang": ("exact", eidx, "doc_id")},
+    )
+    scan = docs.filter(F.col("lang") == "en")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in scan.collect())
+    assert "Join" in explain_query(out).text
+
+
+def test_tql_ann_routing(spark, sf_dir):
+    """TQL `ORDER BY COSINE_SIMILARITY(...) DESC LIMIT k` on an indexed
+    column routes through the IVF probe (no corpus-wide sort in the
+    plan) with recall >= 0.9 vs the exact scan; WHERE becomes the
+    candidate prefilter and stays exact."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import SearchConfig, build_ivf, topk_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    idx = build_ivf(e, n_clusters=8, seed=42)
+    indexes = {"embedding": ("clustered", idx, "vec_id")}
+
+    routed = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        default=e, params=[q], indexes=indexes,
+        search_config=SearchConfig.high_accuracy(),
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # index semijoin, not a full-corpus sort
+    approx = {r.vec_id for r in routed.collect()}
+    exact = {r.vec_id for r in topk_cosine(e, "embedding", q, k=10, id_col="vec_id").collect()}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.9, f"TQL ANN recall {recall}"
+
+    # filtered search: WHERE prefilter respected exactly
+    filtered = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "WHERE label == 3 ORDER BY score DESC LIMIT 5",
+        default=e, params=[q], indexes=indexes,
+        search_config=SearchConfig.high_accuracy(),
+    )
+    rows = filtered.collect()
+    assert 0 < len(rows) <= 5
+    labels = {r.label for r in e.join(
+        spark.createDataFrame([(r.vec_id,) for r in rows], "vec_id long"),
+        "vec_id", "left_semi").collect()}
+    assert labels == {3}
+
+    # no index registered -> exact scan still answers (fallback path)
+    unrouted = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        default=e, params=[q], indexes={},
+    )
+    assert {r.vec_id for r in unrouted.collect()} == exact
+
+
+def test_dataset_index_kinds_and_filtered_search(spark, sf_dir):
+    """Dataset.create_index persists numeric/json/exact kinds;
+    ds.query routes through the loaded indexes; ds.search(predicate=)
+    combines filter + ANN."""
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.from_parquet(f"{sf_dir}/documents.parquet", d + "/docs", spark)
+        ds.create_index("n_chars", "numeric")
+        ds.create_index("lang", "exact")
+        out = ds.query("SELECT doc_id WHERE n_chars BETWEEN 100 AND 200")
+        want = sorted(r.doc_id for r in docs.sparkSession.read.parquet(
+            f"{sf_dir}/documents.parquet").filter(F.col("n_chars").between(100, 200)).collect())
+        assert sorted(r.doc_id for r in out.collect()) == want
+
+        es = dl.from_parquet(f"{sf_dir}/embeddings.parquet", d + "/emb", spark)
+        es.create_index("embedding", "clustered", n_clusters=8, seed=42)
+        hits = es.search("embedding", [0.0] * 64, k=5, predicate="label == 2")
+        got = hits.collect()
+        assert 0 < len(got) <= 5
+        base = es.to_df()
+        ok_labels = {r.label for r in base.join(
+            spark.createDataFrame([(r._row_id,) for r in got], "_row_id long"),
+            "_row_id", "left_semi").collect()}
+        assert ok_labels == {2}

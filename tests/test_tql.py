@@ -278,3 +278,39 @@ def test_parallel_query_knobs():
     tql.set_max_num_parallel_queries(4)
     assert tql.get_max_num_parallel_queries() == 4
     tql.set_max_num_parallel_queries(8)
+
+
+def test_register_function_batch_path(spark, tables):
+    """is_batch=True registers an Arrow pandas UDF (whole-column
+    batches); autodetect promotes vectorizable callables; is_batch=False
+    forces the scalar fallback (reference is_batch, tql.hpp:179-204)."""
+    from pyspark.util import PythonEvalType
+
+    from deeplake_spark.functions import TQL_FUNCTIONS
+
+    @tql.register_function(returnType="double", is_batch=True)
+    def vec_scaled(x):
+        return x * 0.5
+
+    assert TQL_FUNCTIONS["VEC_SCALED"].evalType == PythonEvalType.SQL_SCALAR_PANDAS_UDF
+
+    @tql.register_function(returnType="double")
+    def auto_scaled(x):
+        return x * 0.5  # works on a Series -> autodetected as batch
+
+    assert TQL_FUNCTIONS["AUTO_SCALED"].evalType == PythonEvalType.SQL_SCALAR_PANDAS_UDF
+
+    @tql.register_function(returnType="double", is_batch=False)
+    def row_scaled(x):
+        return x * 0.5
+
+    assert TQL_FUNCTIONS["ROW_SCALED"].evalType == PythonEvalType.SQL_BATCHED_UDF
+
+    d = tables["documents"]
+    out = tql.query(
+        "SELECT doc_id, VEC_SCALED(n_chars) AS h WHERE doc_id < 5 ORDER BY doc_id",
+        default=d,
+    ).collect()
+    src = d.filter(F.col("doc_id") < 5).orderBy("doc_id").collect()
+    for got, row in zip(out, src):
+        assert got.h == row.n_chars * 0.5
