@@ -55,10 +55,23 @@ def sample_by_weight(df: DataFrame, weight: Column, n: int,
     )
 
 
+def _global_row_number(df: DataFrame, order: list[Column], col_name: str) -> DataFrame:
+    """0-based global row number over `order` WITHOUT an unpartitioned
+    window: range-partitioned sort (parallel), then the partition-offset
+    trick (io.with_row_id's scale path) — per-partition monotonic ids
+    shifted by a broadcast one-row-per-partition offsets aggregate. No
+    single task ever holds more than its partition."""
+    from deeplake_spark.io import with_row_id
+
+    return with_row_id(df.orderBy(*order), col_name=col_name)
+
+
 def sample_by_weight_fraction(df: DataFrame, weight: Column, fraction: float,
                               seed: int | None = 42) -> DataFrame:
     """SAMPLE BY w LIMIT p PERCENT — percentage variant
-    (sample_statement.hpp:31-39): count-scaled n, then A-ES."""
+    (sample_statement.hpp:31-39): count-scaled n, then A-ES. The limit
+    is a broadcast 1-row aggregate and ranking is partition-offset
+    based — no driver count, no unpartitioned window."""
     u = F.rand(seed) if seed is not None else F.rand()
     lim = df.agg(F.ceil(F.count(F.lit(1)) * fraction).alias("__lim"))
     keyed = (
@@ -66,11 +79,10 @@ def sample_by_weight_fraction(df: DataFrame, weight: Column, fraction: float,
         .filter(F.col("__w") > 0)
         .withColumn("__key", F.pow(u, F.lit(1.0) / F.col("__w")))
     )
-    w = Window.orderBy(F.desc("__key"))
+    ranked = _global_row_number(keyed, [F.desc("__key")], "__rn")
     return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(lim))
-        .filter(F.col("__rn") <= F.col("__lim"))
+        ranked.crossJoin(F.broadcast(lim))
+        .filter(F.col("__rn") < F.col("__lim"))
         .drop("__w", "__key", "__rn", "__lim")
     )
 

@@ -232,10 +232,85 @@ def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
     return topk_cosine(cands, vec_col, query_vec, k=k, id_col=id_col)
 
 
+def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.99,
+                       bands: int = 16, dim: int | None = None,
+                       bucket_cap: int | None = 100_000) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bit LSH banding — the
+    100 TB-safe candidate generator (same shape as MinHash LSH in
+    dedup.lsh_candidate_pairs: band → bucket-join → verify-exact).
+
+    Sign bits are axis-aligned random-hyperplane LSH: two vectors with
+    cosine >= 0.99 agree on almost every dimension's sign, so at least
+    one of the `bands` contiguous sign-bit bands collides with
+    probability ~1 (a pair differing in f of `dim` signs misses only if
+    every band contains a flipped bit). The shuffle key is the band
+    hash; pair fan-out is proportional to true collisions, never
+    O(N²/num_blocks) like semantic-key blocking.
+
+    `bucket_cap` drops degenerate buckets (e.g. the all-positive
+    quadrant of near-constant embeddings) — near-dup pairs collide in
+    ~bands*(1-f/dim) other bands, so dropping one oversized bucket
+    keeps recall; set None to disable."""
+    if dim is None:
+        row = df.select(vec_col).head()
+        dim = len(row[0])
+    rows = max(1, dim // bands)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+        sign_bits(F.col(vec_col)).alias("__bits"),
+    )
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("__bits"), b * rows + 1, rows)
+                        .cast("array<string>")
+                        .cast("string")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    if bucket_cap:
+        ok = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= bucket_cap)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok, ["band", "bh"], "left_semi")
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), F.col("__norm").alias("__na")
+    )
+    vb = base.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb")
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+    return cands.join(va, "a").join(vb, "b").filter(sim >= threshold).select("a", "b")
+
+
 def near_dup_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", block_col: str = "label",
                            threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-dup pairs inside blocking keys. Norms are
+    """Embedding-cosine near-dup pairs inside EXPLICIT semantic blocks
+    (use when pairs are only meaningful within a key, e.g. same URL
+    domain). Block sizes grow O(N/num_blocks), so pair work is
+    O(N²/num_blocks) — for open-ended near-dup detection prefer
+    `near_dup_pairs_lsh`, whose buckets stay collision-sized. Norms are
     precomputed once per row (not per pair) before the self-join."""
     normed = df.select(
         F.col(block_col).alias("__blk"),

@@ -362,10 +362,21 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid fusion candidate budget: k * accuracy_factor (the reference
+#: fuses two top-N score LISTS, never corpus-wide score relations —
+#: hybrid_query_merge.hpp:27-149 takes the two result lists as input)
+_HYBRID_K = 10
+_HYBRID_N = 50
+
+
 @query(
     "t10_hybrid_search",
     oracle=_duck_bm25(["spark", "vector"])
     + f""",
+    bl AS (
+      SELECT doc_id, ROUND(bm25, 6) AS bm25 FROM scored
+      ORDER BY ROUND(bm25, 6) DESC, doc_id LIMIT {_HYBRID_N}
+    ),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     vec AS (
       SELECT vec_id AS doc_id,
@@ -374,25 +385,28 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
               sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cos
       FROM embeddings, q
     ),
-    combined AS (
-      SELECT COALESCE(s.doc_id, v.doc_id) AS doc_id,
-             COALESCE(s.bm25, 0.0) AS bm25, COALESCE(v.cos, 0.0) AS cos
-      FROM scored s FULL OUTER JOIN vec v ON s.doc_id = v.doc_id
+    vl AS (
+      SELECT doc_id, ROUND(cos, 6) AS cos FROM vec
+      ORDER BY ROUND(cos, 6) DESC, doc_id LIMIT {_HYBRID_N}
     ),
-    norms AS (SELECT MAX(bm25) AS mb, MAX(cos) AS mc FROM combined),
-    sums AS (
-      SELECT SUM(exp(bm25 - norms.mb)) AS sb, SUM(exp(cos - norms.mc)) AS sc
-      FROM combined, norms
-    )
-    SELECT doc_id,
-           ROUND(0.5 * exp(bm25 - norms.mb) / sums.sb
-               + 0.5 * exp(cos  - norms.mc) / sums.sc, 9) AS fused
-    FROM combined, norms, sums
+    bn AS (SELECT MAX(bm25) AS mb FROM bl),
+    bs AS (SELECT SUM(exp(bm25 - bn.mb)) AS sb FROM bl, bn),
+    bw AS (SELECT doc_id, exp(bm25 - bn.mb) / bs.sb AS wb FROM bl, bn, bs),
+    vn AS (SELECT MAX(cos) AS mc FROM vl),
+    vs AS (SELECT SUM(exp(cos - vn.mc)) AS sc FROM vl, vn),
+    vw AS (SELECT doc_id, exp(cos - vn.mc) / vs.sc AS wc FROM vl, vn, vs)
+    SELECT COALESCE(bw.doc_id, vw.doc_id) AS doc_id,
+           ROUND(0.5 * COALESCE(wb, 0.0) + 0.5 * COALESCE(wc, 0.0), 9) AS fused
+    FROM bw FULL OUTER JOIN vw ON bw.doc_id = vw.doc_id
     ORDER BY fused DESC, doc_id
-    LIMIT 10
+    LIMIT {_HYBRID_K}
     """,
-    doc="Hybrid vector+BM25 fusion: softmax-normalize both score lists, "
-    "weighted sum, top-k (reference hybrid_query_merge.hpp:27-149).",
+    doc="Hybrid vector+BM25 fusion over CANDIDATE LISTS: top-N each "
+    "side (N = k*accuracy_factor), softmax-normalize each list, "
+    "weighted sum over the union, top-k — the reference fuses two "
+    "top-N score lists (hybrid_query_merge.hpp:27-149), so the fusion "
+    "cost is O(N), independent of corpus size. Scores are rounded "
+    "before the cut so the candidate sets are engine-deterministic.",
     tags=("text", "vector", "hybrid"),
 )
 def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,38 +417,44 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
 
-    bm25 = bm25_scores(d, ["spark", "vector"])
-    vec = e.select(
-        F.col("vec_id").alias("doc_id"),
-        cosine_similarity(F.col("embedding"), qv).alias("cos"),
+    # top-N per side = TakeOrderedAndProject: k*accuracy_factor rows
+    # reach the driver-side fusion, never the corpus
+    bl = (
+        bm25_scores(d, ["spark", "vector"])
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_HYBRID_N)
     )
-    both = (
-        bm25.join(vec, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
-            F.coalesce(F.col("cos"), F.lit(0.0)).alias("cos"),
+    vl = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("cos"),
         )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_HYBRID_N)
     )
-    norms = both.agg(
-        F.max("bm25").alias("mb"),
-        F.max("cos").alias("mc"),
-    )
-    both_n = both.crossJoin(F.broadcast(norms))
-    sums = both_n.agg(
-        F.sum(F.exp(F.col("bm25") - F.col("mb"))).alias("sb"),
-        F.sum(F.exp(F.col("cos") - F.col("mc"))).alias("sc"),
-    )
+
+    def softmax_weights(lst: DataFrame, score: str, weight: str) -> DataFrame:
+        mx = lst.agg(F.max(score).alias("__m"))
+        with_m = lst.crossJoin(F.broadcast(mx))
+        sm = with_m.agg(F.sum(F.exp(F.col(score) - F.col("__m"))).alias("__s"))
+        return (
+            with_m.crossJoin(F.broadcast(sm))
+            .select("doc_id", (F.exp(F.col(score) - F.col("__m")) / F.col("__s")).alias(weight))
+        )
+
+    bw = softmax_weights(bl, "bm25", "wb")
+    vw = softmax_weights(vl, "cos", "wc")
     return (
-        both_n.crossJoin(F.broadcast(sums))
+        bw.join(vw, "doc_id", "full_outer")
         .select(
             "doc_id",
             F.round(
-                0.5 * F.exp(F.col("bm25") - F.col("mb")) / F.col("sb")
-                + 0.5 * F.exp(F.col("cos") - F.col("mc")) / F.col("sc"),
+                0.5 * F.coalesce(F.col("wb"), F.lit(0.0))
+                + 0.5 * F.coalesce(F.col("wc"), F.lit(0.0)),
                 9,
             ).alias("fused"),
         )
         .orderBy(F.desc("fused"), "doc_id")
-        .limit(10)
+        .limit(_HYBRID_K)
     )

@@ -264,17 +264,24 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.label
     ORDER BY a.label
     """,
-    doc="Embedding-cosine near-duplicate detection, label-blocked to avoid "
-    "the all-pairs cross join (the LSH-bucket pattern at scale).",
+    doc="Embedding-cosine near-duplicate detection via sign-bit LSH "
+    "banding (band → bucket-join → exact-cosine verify, the d04 shape "
+    "for dense vectors); pair work stays proportional to true "
+    "collisions at any corpus size. The oracle's label-pair count is "
+    "reproduced by keeping only same-label verified pairs.",
     tags=("vector", "dedup"),
 )
 def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.operators.similarity import near_dup_pairs_blocked
+    from deeplake_spark.operators.similarity import near_dup_pairs_lsh
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs_blocked(e, "embedding", "vec_id", "label", threshold=0.99)
+    pairs = near_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.99, dim=64)
+    labels = e.select("vec_id", "label")
     return (
-        pairs.groupBy("label")
+        pairs.join(labels.select(F.col("vec_id").alias("a"), F.col("label").alias("la")), "a")
+        .join(labels.select(F.col("vec_id").alias("b"), F.col("label").alias("lb")), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("label")
     )

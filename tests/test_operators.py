@@ -259,3 +259,41 @@ def test_pooled_maxsim_recall(spark, sf_dir):
     ]
     recall = len(set(exact) & set(approx)) / 5
     assert recall >= 0.8, f"pooled maxsim recall {recall}: {approx} vs {exact}"
+
+
+def test_near_dup_lsh_recall(spark):
+    """Sign-bit LSH banding must recover >=90% of true cosine>=0.99
+    pairs found by the exact all-pairs scan (planted near-dups: base
+    vectors plus tiny-perturbation copies)."""
+    import random
+
+    from deeplake_spark.operators.similarity import near_dup_pairs_lsh
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(32)]
+        rows.append((vid, base)); vid += 1
+        if i % 3 == 0:  # plant a near-duplicate of every third vector
+            dup = [x + rng.uniform(-1e-3, 1e-3) for x in base]
+            rows.append((vid, dup)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+
+    got = {(r.a, r.b) for r in near_dup_pairs_lsh(
+        df, "embedding", "vec_id", threshold=0.99, dim=32).collect()}
+
+    from deeplake_spark.functions.vector import cosine_similarity
+
+    a = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.a, r.b)
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.99)
+        .select("a", "b").collect()
+    }
+    assert len(exact) >= 20  # the planted dups are really there
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall {recall}"
+    assert got <= exact  # verification step admits no false positives

@@ -132,3 +132,12 @@ def test_salted_join_matches_plain(spark, sf_dir):
     a = {r.o_orderpriority: r["count"] for r in plain.collect()}
     b = {r.o_orderpriority: r["count"] for r in salted.collect()}
     assert a == b
+
+
+def test_hybrid_fusion_is_candidate_bounded(spark, sf_dir):
+    """t10 must fuse two top-N score LISTS (TakeOrdered per side before
+    the fusion join), never corpus-wide score relations — at 100 TB the
+    old shape was three corpus-sized passes for a top-10."""
+    df = REG["t10_hybrid_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3  # each list + final top-k
