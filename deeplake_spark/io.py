@@ -90,13 +90,17 @@ def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
                 col_name: str = "_row_id") -> DataFrame:
     """Attach a dense 0-based row id.
 
-    Two strategies:
+    Two strategies (both avoid an unpartitioned window — a
+    ``row_number().over(Window.orderBy(...))`` funnels every row through
+    ONE task at scale):
 
-    - ``order_by`` given: global ``row_number() - 1`` over that ordering.
-      Deterministic; costs a global sort, so reserve it for when the
-      logical row order is defined by data (e.g. a natural key).
+    - ``order_by`` given: range-partitioned parallel sort, then the
+      partition-offset trick below. After ``orderBy``, partition order
+      follows the global sort order, so the offset-shifted ids equal the
+      global rank without any single task holding more than its
+      partition.
 
-    - no ``order_by`` (scale path): dense ids without a global sort.
+    - no ``order_by`` (cheapest path): dense ids without any sort.
       ``monotonically_increasing_id`` gives per-partition-monotonic ids;
       we shift each partition by the cumulative count of the partitions
       before it. The per-partition counts aggregate is tiny (one row per
@@ -106,8 +110,7 @@ def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
     """
     if order_by is not None:
         keys = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.orderBy(*[F.col(k) for k in keys])
-        return df.withColumn(col_name, F.row_number().over(w) - F.lit(1))
+        return with_row_id(df.orderBy(*[F.col(k) for k in keys]), col_name=col_name)
 
     pid = F.spark_partition_id()
     mono = F.monotonically_increasing_id()

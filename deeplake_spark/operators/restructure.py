@@ -23,28 +23,67 @@ def group_runs(df: DataFrame, keys: list[str], order_cols: list[str],
     into sequence rows (video-from-frames), not all equal-key rows —
     the across_type_t distinction in group_statement.hpp:15-19.
 
-    Run detection is a lag window over the global order: a new run
-    starts when any key changes; the cumulative sum of run starts is
-    the run id. Output adds `run_id` alongside the keys.
+    Two-pass boundary-stitch (no unpartitioned window — a global lag
+    window funnels every row through one task at 100 TB):
 
-    Scale note: the unpartitioned window serializes — at 100 TB,
-    partition the order column into coarse ranges first, detect runs
-    per range, and stitch the boundary runs (two-pass pattern); frame
-    tables are naturally bounded per video, so partitioning by video
-    key is the practical route and keeps this plan shape.
+    1. Range-partition by the order columns (parallel sort); detect
+       runs with lag/cumsum windows PARTITIONED by the physical
+       partition id — each task only sees its own range.
+    2. Stitch boundaries on a one-row-per-partition summary relation
+       (first/last key tuple + local run count): a partition whose
+       first key equals its predecessor's last key merges its run 0
+       into the predecessor's last run. Global run id = local id +
+       cumsum(prev run counts) - cumsum(boundary merges). The summary
+       windows are unpartitioned but run over at most #partitions rows
+       (cluster-bounded, like IVF centroid metadata) — never data.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(*order_cols)
+    sorted_df = df.orderBy(*order_cols).withColumn("__gpid", F.spark_partition_id())
+    wp = Window.partitionBy("__gpid").orderBy(*order_cols)
     changed = F.lit(False)
     for k in keys:
-        prev = F.lag(k).over(w)
+        prev = F.lag(k).over(wp)
         changed = changed | prev.isNull() | (prev != F.col(k))
-    run_id = F.sum(changed.cast("long")).over(
-        Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    local_run = F.sum(changed.cast("long")).over(
+        wp.rowsBetween(Window.unboundedPreceding, 0)
     ) - 1
-    tagged = df.withColumn("__run", run_id)
-    out = group_sequences(tagged, keys + ["__run"], order_cols, payload_cols)
+    tagged = sorted_df.withColumn("__lrun", local_run)
+
+    key_struct = F.struct(*[F.col(c) for c in order_cols],
+                          *[F.col(k) for k in keys if k not in order_cols])
+
+    def _keys_of(s: Column) -> Column:
+        return F.struct(*[s[k] for k in keys])
+
+    summary = tagged.groupBy("__gpid").agg(
+        (F.max("__lrun") + 1).alias("__nruns"),
+        _keys_of(F.min(key_struct)).alias("__firstk"),
+        _keys_of(F.max(key_struct)).alias("__lastk"),
+    )
+    ws = Window.orderBy("__gpid")
+    offsets = (
+        summary.withColumn(
+            "__merge",
+            (F.col("__firstk") == F.lag("__lastk").over(ws)).cast("long"),
+        )
+        .fillna({"__merge": 0})
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__nruns").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("__merge").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("__gpid", "__off")
+    )
+    stitched = (
+        tagged.join(F.broadcast(offsets), "__gpid")
+        .withColumn("__run", F.col("__lrun") + F.col("__off"))
+        .drop("__gpid", "__lrun", "__off")
+    )
+    out = group_sequences(stitched, keys + ["__run"], order_cols, payload_cols)
     return out.withColumnRenamed("__run", "run_id")
 
 

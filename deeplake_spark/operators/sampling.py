@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def weight_pair_max(*cases: tuple[Column, float]) -> Column:
@@ -87,7 +86,8 @@ def sample_by_weight_fraction(df: DataFrame, weight: Column, fraction: float,
     )
 
 
-def sample_with_replacement(df: DataFrame, weight: Column, n: int,
+def sample_with_replacement(df: DataFrame, weight: Column, n: int | None = None,
+                            fraction: float | None = None,
                             seed: int = 42) -> DataFrame:
     """Weighted sampling WITH replacement (REPLACE TRUE).
 
@@ -95,37 +95,72 @@ def sample_with_replacement(df: DataFrame, weight: Column, n: int,
     count with mean n * w / W (W = total weight, a 1-row broadcast),
     then explodes into that many copies. E[output rows] = n; no
     single-point alias table, scales linearly.
+
+    Exactly one of ``n`` / ``fraction`` must be given. With ``fraction``
+    the target size is ceil(count * fraction), computed inside the same
+    1-row broadcast aggregate as the weight total — no driver-side
+    count job.
+
+    The per-row copy count is an exact inverse-CDF Poisson draw: fold
+    the cumulative pmf over 0..kmax until it passes the row's uniform,
+    where kmax = lam + 10*sqrt(lam) + 10 bounds the truncation error
+    below ~1e-12 for ANY lambda. (A previous version capped the draw at
+    3 copies, which biases counts low once lambda approaches 1 — e.g.
+    resampling n comparable to N, or one row carrying most weight.)
+    Fold cost is O(kmax) per row: ~11 terms at the usual lam << 1.
     """
-    totals = df.agg(F.sum(weight.cast("double")).alias("__W"))
-    lam = F.lit(float(n)) * weight.cast("double") / F.col("__W")
-    # inverse-CDF Poisson draw from one uniform, computed iteratively in
-    # an expression would be unwieldy — use the standard exp/floor trick
-    # for small lambda and a pandas fallback is unnecessary: for
-    # lambda << 1 a Bernoulli(lambda) is an excellent approximation, and
-    # sampling n << N rows at scale always has lambda << 1.
-    u = F.rand(seed)
-    k = (
-        F.when(u < F.exp(-lam), 0)
-        .when(u < F.exp(-lam) * (1 + lam), 1)
-        .when(u < F.exp(-lam) * (1 + lam + lam * lam / 2), 2)
-        .otherwise(3)
-    )
-    return (
+    if (n is None) == (fraction is None):
+        raise ValueError("exactly one of n / fraction is required")
+    aggs = [F.sum(weight.cast("double")).alias("__W")]
+    if fraction is not None:
+        aggs.append(
+            F.ceil(F.count(F.lit(1)) * float(fraction)).cast("double").alias("__ntgt"))
+    totals = df.agg(*aggs)
+    target = F.lit(float(n)) if n is not None else F.col("__ntgt")
+    lam_raw = target * weight.cast("double") / F.nullif(F.col("__W"), F.lit(0.0))
+    # __lam/__u are PROJECTED columns, not inlined exprs: the fold below
+    # references them per element (perf trap #3) and rand() must be
+    # drawn once per row, not once per fold step.
+    base = (
         df.crossJoin(F.broadcast(totals))
-        .withColumn("__k", k)
+        .withColumn("__lam", F.greatest(F.coalesce(lam_raw, F.lit(0.0)), F.lit(0.0)))
+        .withColumn("__u", F.rand(seed))
+    )
+    lam = F.col("__lam")
+    kmax = F.ceil(lam + F.lit(10.0) * F.sqrt(lam) + F.lit(10.0)).cast("int")
+    acc0 = F.struct(
+        F.exp(-lam).alias("term"),
+        F.exp(-lam).alias("cum"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, j):
+        # merge signature is (acc, element) — the index-as-2nd-arg trap
+        # applies to transform/filter lambdas, not aggregate's merge
+        nxt = acc["term"] * lam / j.cast("double")
+        return F.when(F.col("__u") < acc["cum"], acc).otherwise(
+            F.struct(nxt.alias("term"), (acc["cum"] + nxt).alias("cum"),
+                     j.cast("int").alias("k"))
+        )
+
+    k = F.aggregate(F.sequence(F.lit(1), kmax), acc0, step, lambda acc: acc["k"])
+    return (
+        base.withColumn("__k", k)
         .filter(F.col("__k") > 0)
         .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__k"))))
-        .drop("__W", "__k", "__copy")
+        .drop("__W", "__ntgt", "__lam", "__u", "__k", "__copy")
     )
 
 
 def limit_percent(df: DataFrame, pct: float, order_col: str) -> DataFrame:
-    """LIMIT p PERCENT (y:950, tql.md:633) with deterministic order."""
+    """LIMIT p PERCENT (y:950, tql.md:633) with deterministic order.
+    Count-free and window-free: the limit is a broadcast 1-row
+    aggregate; ranking is a range-partitioned sort + partition-offset
+    row numbers (no unpartitioned window, no driver count)."""
     lim = df.agg(F.ceil(F.count(F.lit(1)) * (pct / 100.0)).alias("__lim"))
-    w = Window.orderBy(order_col)
+    ranked = _global_row_number(df, [F.col(order_col)], "__rn")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(lim))
-        .filter(F.col("__rn") <= F.col("__lim"))
+        ranked.crossJoin(F.broadcast(lim))
+        .filter(F.col("__rn") < F.col("__lim"))
         .drop("__rn", "__lim")
     )

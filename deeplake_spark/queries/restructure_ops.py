@@ -177,17 +177,19 @@ def r04(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT (SELECT lim FROM n)
     """,
     doc="LIMIT 10 PERCENT (grammar y:950, tql.md:633): count-scaled limit "
-    "via window rank (no driver-side collect).",
+    "as a broadcast 1-row aggregate; rank via range-partitioned sort + "
+    "partition-offset row ids (no unpartitioned window, no driver count).",
     tags=("limit",),
 )
 def r05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import with_row_id
+
     d = load_table(spark, sf_dir, "documents")
     n = d.agg(F.ceil(F.count(F.lit(1)) * 0.10).alias("lim"))
-    w = Window.orderBy("doc_id")
+    ranked = with_row_id(d.select("doc_id", "lang"), order_by="doc_id", col_name="rn")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("rn") <= F.col("lim"))
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") < F.col("lim"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )

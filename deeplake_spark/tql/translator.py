@@ -39,6 +39,21 @@ class TQLTranslationError(ValueError):
     pass
 
 
+def _uses_rownum(node) -> bool:
+    """True when the AST subtree contains a ROW_NUMBER() call — used to
+    precompute it as a partition-offset column before expression
+    evaluation (see Translator._with_rownum)."""
+    if isinstance(node, ast.FuncCall) and node.name.upper() == "ROW_NUMBER":
+        return True
+    if isinstance(node, ast.Node):
+        children = vars(node).values()
+    elif isinstance(node, (list, tuple)):
+        children = node
+    else:
+        return False
+    return any(_uses_rownum(c) for c in children)
+
+
 class Translator:
     def __init__(
         self,
@@ -141,10 +156,12 @@ class Translator:
             df = df.withColumn("__tql_w", self._expr(sel.sample.weight, df))
 
         # SELECT list (projection + virtual columns, select_expr.hpp:9-38)
+        if any(_uses_rownum(it.expr) for it in sel.items):
+            df = self._with_rownum(df)
         cols: list[Column] = []
         for it in sel.items:
             if isinstance(it.expr, ast.Star):
-                cols.extend(F.col(c) for c in df.columns if c != "__tql_w")
+                cols.extend(F.col(c) for c in df.columns if not c.startswith("__tql_"))
                 continue
             c = self._expr(it.expr, df)
             name = it.alias or self._auto_name(it.expr)
@@ -200,8 +217,28 @@ class Translator:
             pred = residual[0]
             for r in residual[1:]:
                 pred = ast.BinaryOp("AND", pred, r)
+            had_rownum = "__tql_rownum" in df.columns
+            if not had_rownum and _uses_rownum(pred):
+                df = self._with_rownum(df)
             df = df.filter(self._expr(pred, df))
+            if not had_rownum:
+                df = df.drop("__tql_rownum")
         return df
+
+    def _with_rownum(self, df: DataFrame) -> DataFrame:
+        """Materialize ROW_NUMBER() as a `__tql_rownum` column via the
+        partition-offset trick (io.with_row_id) instead of an
+        unpartitioned `row_number().over(Window.orderBy(...))`, which
+        funnels every row through one task at scale. Ordered by
+        `_row_id` when the source is a dataset (reference semantics:
+        the sample's index — expr.hpp row_number), else stable
+        partition order."""
+        if "__tql_rownum" in df.columns:
+            return df
+        from deeplake_spark.io import with_row_id
+
+        order = "_row_id" if "_row_id" in df.columns else None
+        return with_row_id(df, order_by=order, col_name="__tql_rownum")
 
     def _try_index_rewrite(self, c: ast.Node, df: DataFrame) -> DataFrame | None:
         """Route one WHERE conjunct through a registered index if its
@@ -371,11 +408,22 @@ class Translator:
     def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
         if lim.percent:
             # LIMIT n PERCENT needs the total count (the reference computes
-            # it too — percentage_t in sample_statement.hpp:31-39)
-            total = df.count()
-            import math
+            # it too — percentage_t in sample_statement.hpp:31-39), but as
+            # a broadcast 1-row aggregate INSIDE the plan, never a
+            # driver-side count job at translate time. Ranking follows the
+            # current (already sorted, range-partitioned) partition order
+            # via the partition-offset trick — no unpartitioned window.
+            from deeplake_spark.io import with_row_id
 
-            return df.limit(int(math.ceil(total * lim.n / 100.0)))
+            out_cols = df.columns
+            limrel = df.agg(
+                F.ceil(F.count(F.lit(1)) * (lim.n / 100.0)).alias("__tql_lim"))
+            ranked = with_row_id(df, col_name="__tql_rn")
+            return (
+                ranked.crossJoin(F.broadcast(limrel))
+                .filter(F.col("__tql_rn") < F.col("__tql_lim"))
+                .select(*out_cols)
+            )
         out = df.offset(lim.offset) if lim.offset else df
         return out.limit(lim.n)
 
@@ -441,21 +489,29 @@ class Translator:
 
     def _sample(self, s: ast.SampleClause, lim: ast.Limit | None,
                 projected: DataFrame) -> DataFrame:
+        """All variants are count-free: an explicit LIMIT n uses the
+        literal; PERCENT and bare SAMPLE BY scale by the row count as a
+        broadcast 1-row aggregate inside the plan (no driver count job
+        at translate time — the reference's percentage_t computes the
+        same product engine-side, sample_statement.hpp:31-39)."""
         from deeplake_spark.operators.sampling import (
             sample_by_weight,
+            sample_by_weight_fraction,
             sample_with_replacement,
         )
 
         w = F.col("__tql_w")
-        if lim is not None and lim.percent:
-            n = int(projected.count() * lim.n / 100.0)
-        elif lim is not None:
-            n = lim.n
-        else:
-            n = projected.count()
         if s.replace:
-            return sample_with_replacement(projected, w, n)
-        return sample_by_weight(projected, w, n)
+            if lim is not None and not lim.percent:
+                return sample_with_replacement(projected, w, n=lim.n)
+            frac = lim.n / 100.0 if lim is not None else 1.0
+            return sample_with_replacement(projected, w, fraction=frac)
+        if lim is not None and not lim.percent:
+            return sample_by_weight(projected, w, lim.n)
+        # PERCENT, or bare SAMPLE BY (= full-size weighted reorder:
+        # fraction 1.0 keeps every positive-weight row, A-ES-ranked)
+        frac = lim.n / 100.0 if lim is not None else 1.0
+        return sample_by_weight_fraction(projected, w, frac)
 
     # -------------------------------------------------------------- set ops
 
@@ -592,6 +648,11 @@ class Translator:
     def _call(self, e: ast.FuncCall, df: DataFrame) -> Column:
         name = e.name.upper()
         if name == "ROW_NUMBER":
+            if "__tql_rownum" in df.columns:
+                # precomputed by _with_rownum (partition-offset, no
+                # unpartitioned window) — the normal path
+                return F.col("__tql_rownum").cast("long")
+            # fallback for bare expression contexts (ORDER BY / HAVING)
             order = F.col("_row_id") if "_row_id" in df.columns else F.monotonically_increasing_id()
             return (F.row_number().over(Window.orderBy(order)) - 1).cast("long")
         if name == "DATA":

@@ -297,3 +297,70 @@ def test_near_dup_lsh_recall(spark):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"LSH near-dup recall {recall}"
     assert got <= exact  # verification step admits no false positives
+
+
+def test_sample_replacement_high_lambda(spark):
+    """Poisson copy counts must stay unbiased when lambda > 1 (the old
+    3-copy cap underbiased resampling n comparable to N): n = 3N with
+    uniform weights gives E[total] = 3N; exact inverse-CDF keeps the
+    total within normal spread."""
+    from deeplake_spark.operators.sampling import sample_with_replacement
+
+    n_rows = 2000
+    df = spark.range(n_rows).withColumn("w", F.lit(1.0))
+    out = sample_with_replacement(df, F.col("w"), n=3 * n_rows, seed=11)
+    total = out.count()
+    # E = 6000, sd = sqrt(6000) ~ 77; 5 sigma ~ 390
+    assert 5600 <= total <= 6400, total
+    # a max-draw of exactly 3 everywhere would betray the old cap
+    per_row = out.groupBy("id").count()
+    assert per_row.agg(F.max("count")).head()[0] > 3
+
+
+def test_sample_replacement_fraction_mode(spark):
+    """fraction= computes the target inside the broadcast aggregate —
+    no driver count; E[total] = ceil(N * fraction)."""
+    from deeplake_spark.operators.sampling import sample_with_replacement
+
+    df = spark.range(4000).withColumn("w", F.lit(1.0))
+    out = sample_with_replacement(df, F.col("w"), fraction=0.5, seed=5)
+    total = out.count()
+    assert 1700 <= total <= 2300, total  # E = 2000
+    with pytest.raises(ValueError):
+        sample_with_replacement(df, F.col("w"))
+    with pytest.raises(ValueError):
+        sample_with_replacement(df, F.col("w"), n=5, fraction=0.5)
+
+
+def test_group_runs_partition_stitch(spark):
+    """Run detection is per-partition + boundary stitch: runs that span
+    range-partition boundaries must still come out as ONE run with
+    dense sequential ids (equivalent to a single global pass)."""
+    from deeplake_spark.operators.restructure import group_runs
+
+    # long runs (length 40-160) so several straddle partition edges
+    import random
+
+    rng = random.Random(3)
+    rows, key, i = [], 0, 0
+    while i < 3000:
+        length = rng.randint(40, 160)
+        for _ in range(min(length, 3000 - i)):
+            rows.append((i, f"k{key % 7}"))
+            i += 1
+        key += 1
+    df = spark.createDataFrame(rows, "i long, k string").repartition(16)
+
+    out = group_runs(df, ["k"], ["i"], ["i"]).collect()
+    got = sorted((r.run_id, r.k, [int(x) for x in r.i_seq]) for r in out)
+
+    # expected runs from a sequential pass
+    expected, cur_k, cur = [], None, []
+    for i, k in rows:
+        if k != cur_k and cur:
+            expected.append((len(expected), cur_k, cur))
+            cur = []
+        cur_k = k
+        cur.append(i)
+    expected.append((len(expected), cur_k, cur))
+    assert got == expected

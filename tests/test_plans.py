@@ -141,3 +141,33 @@ def test_hybrid_fusion_is_candidate_bounded(spark, sf_dir):
     df = REG["t10_hybrid_search"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 3  # each list + final top-k
+
+
+def test_no_unpartitioned_data_windows(spark, sf_dir):
+    """r05 / weighted-fraction sampling rank with partition-offset ids;
+    a row_number() (always an unpartitioned Window here) in the plan
+    means the single-task global sort crept back."""
+    from deeplake_spark.operators.sampling import sample_by_weight_fraction
+
+    for df in (
+        REG["r05_limit_percent"].fn(spark, sf_dir),
+        sample_by_weight_fraction(
+            load_table(spark, sf_dir, "documents"), F.col("n_chars"), 0.1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "row_number" not in plan.lower()
+
+
+def test_group_runs_windows_are_partitioned(spark):
+    """ACROSS TIME run detection must window per physical partition
+    (two-pass stitch), never over the whole sorted relation: every
+    lag/sum window over row data carries the __gpid partition spec."""
+    from deeplake_spark.operators.restructure import group_runs
+
+    df = spark.range(500).select(
+        F.col("id").alias("i"), (F.col("id") % 13).cast("string").alias("k"))
+    out = group_runs(df, ["k"], ["i"], ["i"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "lag(" in line:
+            assert "__gpid" in line, line

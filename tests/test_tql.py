@@ -314,3 +314,38 @@ def test_register_function_batch_path(spark, tables):
     src = d.filter(F.col("doc_id") < 5).orderBy("doc_id").collect()
     for got, row in zip(out, src):
         assert got.h == row.n_chars * 0.5
+
+
+def test_translate_triggers_no_driver_action(spark, monkeypatch):
+    """LIMIT PERCENT / SAMPLE BY translation must not run Spark jobs at
+    translate time (the count is a broadcast 1-row aggregate inside the
+    plan); DATA(col, i) is the one documented prefetch exception."""
+    import pyspark.sql.dataframe as D
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side action during TQL translation")
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5 + 1)) for i in range(100)], "id long, w double")
+    for action in ("count", "collect", "toPandas", "head", "take"):
+        monkeypatch.setattr(D.DataFrame, action, boom)
+    q1 = tql.query("SELECT id ORDER BY id LIMIT 10 PERCENT", default=df)
+    q2 = tql.query("SELECT id SAMPLE BY w LIMIT 10 PERCENT", default=df)
+    q3 = tql.query("SELECT id SAMPLE BY w REPLACE TRUE LIMIT 20", default=df)
+    q4 = tql.query("SELECT id SAMPLE BY w", default=df)
+    monkeypatch.undo()
+    assert q1.count() == 10
+    assert q2.count() == 10
+    assert q4.count() == 100  # bare SAMPLE BY keeps all positive-weight rows
+    assert q3.count() > 0
+
+
+def test_row_number_no_global_window(spark, tables):
+    """ROW_NUMBER() lowers to the partition-offset row-id column, not a
+    row_number() over an unpartitioned window."""
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id, ROW_NUMBER() AS rn", default=d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    got = {r.doc_id: r.rn for r in out.collect()}
+    assert sorted(got.values()) == list(range(len(got)))
