@@ -138,6 +138,17 @@ def array_slice(arr: Column, start: Column | int, stop: Column | int, step: int 
     ).otherwise(F.slice(arr, 1, 0))
 
 
+def map_at_depth(col: Column, depth: int, fn) -> Column:
+    """Apply `fn` to every element `depth` levels inside a nested array
+    — the lowering for multi-dim subscripts (expr.hpp:303-318):
+    boxes[:, 0] is map_at_depth(boxes, 1, x -> x[0]). depth 0 is a
+    direct call; each level nests one F.transform (JVM HOF, no Python
+    in the hot path)."""
+    if depth <= 0:
+        return fn(col)
+    return F.transform(col, lambda x: map_at_depth(x, depth - 1, fn))
+
+
 def element(arr: Column, index: int) -> Column:
     """col[i] with 0-based + negative indexing (expr.hpp:255-269)."""
     if index >= 0:

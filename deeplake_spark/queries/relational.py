@@ -396,6 +396,58 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q11 — important stock identification (TPC-H Q11 analog: no partsupp
+# table in the testdata, so lineitem plays the part-supplier fact —
+# same grouped-HAVING-against-scalar-subquery shape,
+# postgres/tests/sql/tpch/11.sql)
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_partkey,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    total AS (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 AS threshold FROM base)
+    SELECT b.l_partkey, CAST(SUM(b.v) AS DOUBLE) AS part_value
+    FROM base b, total t
+    GROUP BY b.l_partkey, t.threshold
+    HAVING CAST(SUM(b.v) AS DOUBLE) > t.threshold
+    ORDER BY part_value DESC, b.l_partkey
+    """,
+    doc="Grouped HAVING against a scalar subquery: per-part value vs a "
+    "fraction of the nation-wide total. The total is a broadcast 1-row "
+    "aggregate (no second scan shuffle); nation/supplier broadcast.",
+    tags=("tpch", "having", "subquery"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                           .select("s_suppkey")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey",
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+    )
+    total = base.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        base.groupBy("l_partkey")
+        .agg(F.sum("v").cast("double").alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q12 — priority classes for late shipments (TPC-H Q12 adapted: no shipmode)
 
 

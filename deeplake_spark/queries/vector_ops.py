@@ -474,3 +474,56 @@ def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexes={"embedding": ("clustered", idx, "vec_id")},
         search_config=SearchConfig.balanced(),
     )
+
+
+@query(
+    "v16_multidim_slice",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(range(0, 8),
+                            r -> embedding[r*8+1 : r*8+8]) AS boxes
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(boxes,
+             row -> CAST(round(CAST(row[1] AS DOUBLE) * 1e6) AS BIGINT)), ',') AS col0,
+           array_to_string(list_transform(boxes[2],
+             x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',') AS row1,
+           array_to_string(list_transform(flatten(list_transform(boxes, row -> row[3:4])),
+             x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',') AS mid
+    FROM b
+    ORDER BY vec_id
+    """,
+    doc="Multi-dim subscripts boxes[:, 0] / boxes[1, :] / boxes[:, 2:4] "
+    "over an 8x8 reshape of the embedding (reference slice_expr "
+    "multi-dim, expr.hpp:303-318, tql.md:594-604); pure nested-"
+    "transform JVM expressions, values emitted as micro-int CSV "
+    "(nested arrays can't be hash-compared).",
+    tags=("vector", "slice", "tql"),
+)
+def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    boxes = F.transform(F.sequence(F.lit(0), F.lit(7)),
+                        lambda r: F.slice(emb, r * 8 + 1, 8))
+    df = e.select("vec_id", boxes.alias("boxes"))
+    out = tql.query(
+        "SELECT vec_id, boxes[:, 0] AS col0, boxes[1, :] AS row1, "
+        "boxes[:, 2:4] AS mid",
+        default=df,
+    )
+
+    def csv(c):
+        return F.array_join(
+            F.transform(c, lambda x: F.round(x.cast("double") * 1e6)
+                        .cast("long").cast("string")), ",")
+
+    return out.select(
+        "vec_id",
+        csv(F.col("col0")).alias("col0"),
+        csv(F.col("row1")).alias("row1"),
+        csv(F.flatten(F.col("mid"))).alias("mid"),
+    ).orderBy("vec_id")

@@ -91,6 +91,9 @@ class FuncCall(Node):
 class Index(Node):
     operand: Node
     index: Node  # int / string / dynamic expr (expr.hpp:255-301)
+    #: nesting depth for multi-dim subscripts (expr.hpp:303-318):
+    #: boxes[:, 0] indexes each element of the outer list (depth 1)
+    depth: int = 0
 
 
 @dataclass
@@ -99,6 +102,7 @@ class Slice(Node):
     start: Node | None
     stop: Node | None
     step: Node | None
+    depth: int = 0
 
 
 # --- statement parts -------------------------------------------------------

@@ -353,27 +353,42 @@ class Parser:
         return node
 
     def parse_index(self, operand: ast.Node) -> ast.Node:
-        """col[i], col[-1], col['key'], col[a:b:c] (expr.hpp:255-318)."""
-        parts: list[ast.Node | None] = []
-        cur: ast.Node | None = None
-        saw_colon = False
+        """col[i], col[-1], col['key'], col[a:b:c], and multi-dim
+        subscripts boxes[:, 0] / boxes[0, :] / boxes[:, 2:4]
+        (expr.hpp:255-318, tql.md:594-604). Each comma starts the next
+        dimension; an index dim consumes a rank while a slice dim keeps
+        it, so the mapping depth of dim i is the number of slice dims
+        before it."""
+        node = operand
+        depth = 0
         while True:
-            if self.try_punct("]"):
-                break
-            if self.try_punct(":"):
-                saw_colon = True
-                parts.append(cur)
-                cur = None
+            parts: list[ast.Node | None] = []
+            cur: ast.Node | None = None
+            saw_colon = False
+            while True:
+                if self.at_punct("]") or self.at_punct(","):
+                    break
+                if self.try_punct(":"):
+                    saw_colon = True
+                    parts.append(cur)
+                    cur = None
+                    continue
+                cur = self.parse_expr()
+            parts.append(cur)
+            if not saw_colon:
+                if parts[0] is None:
+                    raise TQLSyntaxError("empty index")
+                node = ast.Index(node, parts[0], depth=depth)
+            else:
+                while len(parts) < 3:
+                    parts.append(None)
+                node = ast.Slice(node, parts[0], parts[1], parts[2], depth=depth)
+                depth += 1
+            if self.try_punct(","):
                 continue
-            cur = self.parse_expr()
-        parts.append(cur)
-        if not saw_colon:
-            if parts[0] is None:
-                raise TQLSyntaxError("empty index")
-            return ast.Index(operand, parts[0])
-        while len(parts) < 3:
-            parts.append(None)
-        return ast.Slice(operand, parts[0], parts[1], parts[2])
+            self.eat_punct("]")
+            break
+        return node
 
     def parse_primary(self) -> ast.Node:
         t = self.peek()

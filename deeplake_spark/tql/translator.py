@@ -596,11 +596,14 @@ class Translator:
         if isinstance(e, ast.Index):
             return self._index(e, df)
         if isinstance(e, ast.Slice):
+            from deeplake_spark.functions.arrays import map_at_depth
+
             arr = self._expr(e.operand, df)
             start = self._const_int(e.start, 0)
             stop = self._const_int(e.stop, 2**31 - 1)
             step = self._const_int(e.step, 1)
-            return array_slice(arr, start, stop, step)
+            return map_at_depth(arr, e.depth,
+                                lambda a: array_slice(a, start, stop, step))
         if isinstance(e, ast.FuncCall):
             return self._call(e, df)
         if isinstance(e, ast.Star):
@@ -622,6 +625,19 @@ class Translator:
         from pyspark.sql.types import ArrayType, MapType, StringType, StructType
 
         target = self._expr(e.operand, df)
+        if e.depth:
+            # inner-dimension subscript of a multi-dim form (boxes[:, 0])
+            from deeplake_spark.functions.arrays import map_at_depth
+
+            if isinstance(e.index, ast.Literal) and isinstance(e.index.value, int):
+                i = e.index.value
+            elif isinstance(e.index, ast.UnaryOp) and e.index.op == "-" \
+                    and isinstance(e.index.operand, ast.Literal):
+                i = -e.index.operand.value
+            else:
+                raise TQLTranslationError(
+                    "inner-dimension index must be an integer literal")
+            return map_at_depth(target, e.depth, lambda a: element(a, i))
         dtype = None
         if isinstance(e.operand, ast.ColumnRef) and e.operand.name in df.columns:
             dtype = df.schema[e.operand.name].dataType

@@ -349,3 +349,21 @@ def test_row_number_no_global_window(spark, tables):
     assert "row_number" not in plan.lower()
     got = {r.doc_id: r.rn for r in out.collect()}
     assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_multidim_slicing(spark):
+    """boxes[:,0] / boxes[0,:] / boxes[1,2] / boxes[:,-1] / boxes[:,1:3]
+    (reference slice_expr multi-dim, expr.hpp:303-318, tql.md:594-604)."""
+    df = spark.createDataFrame(
+        [(0, [[1, 2, 3], [4, 5, 6], [7, 8, 9]])],
+        "id long, boxes array<array<int>>")
+    row = tql.query(
+        "SELECT boxes[:, 0] AS c0, boxes[0, :] AS r0, boxes[1, 2] AS e12, "
+        "boxes[:, -1] AS clast, boxes[:, 1:3] AS mid, boxes[0:2, 0] AS c0h",
+        default=df).head()
+    assert list(row.c0) == [1, 4, 7]
+    assert list(row.r0) == [1, 2, 3]
+    assert row.e12 == 6
+    assert list(row.clast) == [3, 6, 9]
+    assert [list(x) for x in row.mid] == [[2, 3], [5, 6], [8, 9]]
+    assert list(row.c0h) == [1, 4]
