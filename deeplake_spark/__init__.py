@@ -20,6 +20,7 @@ from deeplake_spark.session import get_spark
 from deeplake_spark.io import load_tables, with_row_id
 from deeplake_spark.dataset import (
     Dataset,
+    MergeConflictError,
     copy,
     create,
     from_csv,

@@ -47,6 +47,11 @@ class DatasetError(RuntimeError):
     pass
 
 
+class MergeConflictError(DatasetError):
+    """A shared row (or column type) was modified on both branches since
+    the merge base; pass resolve='ours'/'theirs' to pick a side."""
+
+
 def _log_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:08d}.json")
 
@@ -578,22 +583,167 @@ class Dataset:
             raise DatasetError(f"unknown tag {name!r}")
         return self.checkout(refs["tags"][name]["version"])
 
-    def merge(self, branch: str, message: str = "") -> str:
-        """Merge another branch (fast-forward / append-only union —
-        reference merge, __init__.pyi:2952; full 3-way merge is the
-        documented hard part, SURVEY §7 phase 5)."""
+    def merge(self, branch: str, version: int | None = None,
+              message: str | None = None, resolve: str = "raise") -> str:
+        """Three-way branch merge against the common ancestor (reference
+        merge(branch_name, version, message), __init__.pyi:2952-2984).
+
+        - Rows appended on the other branch are renumbered past our
+          current max row id (both branches allocate dense ids from the
+          base, so ids collide without the shift); ids stay dense.
+        - Deletes/patches on SHARED rows (ids at or below the base max)
+          union in. A shared row deleted or patched on BOTH sides since
+          the base is a conflict: ``resolve='raise'`` (default) raises
+          MergeConflictError with the row ids; ``'ours'``/``'theirs'``
+          keep one side's change.
+        - Schema merges per column (add_column on a branch survives);
+          a same-name type change on both sides is always an error.
+        - compact()/rename_column() since the base rewrote the file set
+          the delta is defined over — merge refuses then (reference
+          semantics are append-only merges too).
+        """
         self._check_writable()
+        if self._staged_files or self._staged_deletes or self._staged_patches:
+            raise DatasetError("commit or discard staged changes before merge()")
+        if resolve not in ("raise", "ours", "theirs"):
+            raise DatasetError(f"resolve must be raise/ours/theirs, got {resolve!r}")
         refs = _read_refs(self.path)
-        other_v = refs["branches"].get(branch)
-        if other_v is None:
+        theirs_v = version if version is not None else refs["branches"].get(branch)
+        if theirs_v is None:
             raise DatasetError(f"unknown branch {branch!r}")
-        other = _read_entry(self.path, other_v)
-        ours = set(self._entry["files"])
-        new_files = [f for f in other["files"] if f not in ours]
+
+        def ancestors(v):
+            """BFS over the commit DAG (parent + merge_parent), nearest
+            first."""
+            seen, queue = [], [v]
+            while queue:
+                cur = queue.pop(0)
+                if not cur or cur in seen:
+                    continue
+                seen.append(cur)
+                e = _read_entry(self.path, cur)
+                queue.append(e.get("parent"))
+                if e.get("merge_parent"):
+                    queue.append(e.get("merge_parent"))
+            return seen
+
+        our_anc = set(ancestors(self.version))
+        if theirs_v in our_anc:
+            return str(self.version)  # already merged / ancestor: no-op
+        base_v = next((v for v in ancestors(theirs_v) if v in our_anc), None)
+        base = _read_entry(self.path, base_v) if base_v else {
+            "files": [], "deletes": [], "patches": [], "patch_ids": [],
+            "max_row_id": None,
+        }
+        theirs = _read_entry(self.path, theirs_v)
+
+        ours = self._entry
+        base_files = list(base.get("files", []))
+        for side, e in (("current branch", ours), (f"branch {branch!r}", theirs)):
+            if [f for f in base_files if f not in set(e["files"])]:
+                raise DatasetError(
+                    f"{side} rewrote the snapshot (compact/rename_column) since "
+                    "the merge base; merge is defined over append-only deltas")
+
+        base_max = base.get("max_row_id")
+        base_max = -1 if base_max is None else int(base_max)
+        our_max = ours.get("max_row_id")
+        our_max = base_max if our_max is None else int(our_max)
+        their_max = theirs.get("max_row_id")
+        their_max = base_max if their_max is None else int(their_max)
+        shift = our_max - base_max
+
+        def shifted(rid: int) -> int:
+            return rid + shift if rid > base_max else rid
+
+        # --- conflict detection on shared rows --------------------------
+        base_del = set(base.get("deletes", []))
+        base_pids = set(base.get("patch_ids", []))
+        our_touch = ({d for d in set(ours.get("deletes", [])) - base_del}
+                     | {p for p in set(ours.get("patch_ids", [])) - base_pids})
+        our_touch = {i for i in our_touch if i <= base_max}
+        their_del_new = set(theirs.get("deletes", [])) - base_del
+        their_pids_new = set(theirs.get("patch_ids", [])) - base_pids
+        their_touch = {i for i in (their_del_new | their_pids_new) if i <= base_max}
+        conflicts = sorted(our_touch & their_touch)
+        if conflicts and resolve == "raise":
+            raise MergeConflictError(
+                f"rows modified on both branches since the base: {conflicts[:20]}"
+                + ("..." if len(conflicts) > 20 else ""))
+        drop_theirs = set(conflicts) if resolve == "ours" else set()
+        drop_ours = set(conflicts) if resolve == "theirs" else set()
+
+        # --- their appended files: renumber past our ids -----------------
+        new_files: list[str] = []
+        their_delta_files = [f for f in theirs["files"] if f not in set(base_files)]
+        for f in their_delta_files:
+            src = os.path.join(self.path, _DATA_DIR, f)
+            if shift:
+                df = self.spark.read.parquet(src).withColumn(
+                    "_row_id", (F.col("_row_id") + shift).cast("long"))
+                fname = self._write_file(df)
+            else:
+                fname = f
+            self._staged_file_max[fname] = self._file_max_row_id(f) + shift
+            new_files.append(fname)
+
+        # --- their patch files: shift own-row patches, drop conflicts ----
+        base_patches = set(base.get("patches", []))
+        their_patches = [p for p in theirs.get("patches", []) if p not in base_patches]
+        merged_patches = [p for p in ours.get("patches", [])]
+        # our ids never renumber (only THEIR new rows shift past our max)
+        merged_pids = set(ours.get("patch_ids", [])) - drop_ours
+        for p in their_patches:
+            src = os.path.join(self.path, _DATA_DIR, p)
+            pdf = self.spark.read.parquet(src)
+            ids = [r[0] for r in pdf.select("_row_id").collect()]  # 1-row patch files
+            keep = [i for i in ids if i not in drop_theirs]
+            if not keep:
+                continue
+            if shift and any(i > base_max for i in keep) or len(keep) != len(ids):
+                out = pdf.filter(~F.col("_row_id").isin(*[int(x) for x in drop_theirs])
+                                 if drop_theirs else F.lit(True))
+                out = out.withColumn(
+                    "_row_id",
+                    F.when(F.col("_row_id") > base_max,
+                           F.col("_row_id") + shift).otherwise(F.col("_row_id"))
+                    .cast("long"))
+                merged_patches.append(self._write_file(out))
+            else:
+                merged_patches.append(p)
+            merged_pids.update(shifted(i) for i in keep)
+
+        # --- deletes ------------------------------------------------------
+        merged_del = ((set(ours.get("deletes", [])) - drop_ours)
+                      | {shifted(d) for d in their_del_new if d not in drop_theirs}
+                      | base_del)
+
+        # --- schema union -------------------------------------------------
+        merged_schema = self.schema
+        their_schema = (T.StructType.fromJson(theirs["schema"])
+                        if theirs.get("schema") else None)
+        if merged_schema is None:
+            merged_schema = their_schema
+        elif their_schema is not None:
+            have = {f.name: f for f in merged_schema.fields}
+            fields = list(merged_schema.fields)
+            for f in their_schema.fields:
+                if f.name not in have:
+                    fields.append(f)
+                elif have[f.name].dataType != f.dataType:
+                    raise MergeConflictError(
+                        f"column {f.name!r} has type {have[f.name].dataType} here "
+                        f"but {f.dataType} on branch {branch!r}")
+            merged_schema = T.StructType(fields)
+
         entry = self._commit_entry(
+            schema=merged_schema,
             files=new_files,
-            deletes=sorted(set(self._entry.get("deletes", [])) | set(other.get("deletes", []))),
-            message=message or f"merge {branch}",
+            deletes=sorted(merged_del),
+            patches=merged_patches,
+            patch_ids=sorted(merged_pids),
+            message=message or f"merge {branch} @{theirs_v} (base {base_v})",
+            merge_parent=theirs_v,
         )
         return str(entry["version"])
 
@@ -705,7 +855,7 @@ class Dataset:
     def _commit_entry(self, schema: T.StructType | None = None, files: list[str] | None = None,
                       deletes: list[int] | None = None, replace_files: bool = False,
                       patches: list[str] | None = None, patch_ids: list[int] | None = None,
-                      message: str = "") -> dict:
+                      message: str = "", merge_parent: int | None = None) -> dict:
         refs = _read_refs(self.path)
         new_version = _latest_version(self.path) + 1
         if replace_files:
@@ -736,6 +886,10 @@ class Dataset:
             "metadata": self._entry.get("metadata", {}),
             "max_row_id": max_row_id,
         }
+        if merge_parent is not None:
+            # second parent of a merge commit: ancestry is a DAG, so a
+            # re-merge of an already-merged branch no-ops
+            entry["merge_parent"] = merge_parent
         with _fopen(_log_path(self.path, new_version), "w") as f:
             json.dump(entry, f)
         refs["branches"][self._branch] = new_version

@@ -238,3 +238,116 @@ def test_next_row_id_reads_log_not_data(spark, tmp_path_ds):
     ds2.append([{"text": "next"}])
     ds2.commit("more")
     assert ds2._entry.get("max_row_id") == 4
+
+
+def test_merge_three_way_renumbers_both_sides(spark, tmp_path_ds):
+    """Both branches append after the base: their rows renumber past our
+    max, ids stay dense, every row survives (reference merge,
+    __init__.pyi:2952-2984)."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}, {"x": 2}])
+    ds.commit("base")
+
+    dev = ds.branch("dev")
+    dev.append([{"x": 10}, {"x": 11}])
+    dev.commit("dev adds")
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.append([{"x": 20}, {"x": 21}, {"x": 22}])
+    main.commit("main adds")
+
+    main.merge("dev")
+    rows = sorted((r._row_id, r.x) for r in main.to_df().collect())
+    assert [i for i, _ in rows] == list(range(7))  # dense, no collisions
+    assert sorted(x for _, x in rows) == [1, 2, 10, 11, 20, 21, 22]
+    # merging again is a no-op (ancestor short-circuit)
+    v = main.version
+    main.merge("dev")
+    assert main.version == v
+
+
+def test_merge_patch_and_delete_flow(spark, tmp_path_ds):
+    """Non-conflicting updates/deletes from the branch carry over; their
+    updates of their OWN new rows follow the renumbering."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(4)])
+    ds.commit("base")
+
+    dev = ds.branch("dev")
+    dev.update(1, {"x": 111})       # patch a shared row
+    dev.append([{"x": 50}])         # new row (id 4 on dev)
+    dev.commit("dev1")
+    dev.update(4, {"x": 55})        # patch their OWN new row
+    dev.delete(3)                   # delete a shared row
+    dev.commit("dev2")
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.append([{"x": 90}])        # main's id 4 — forces a shift
+    main.commit("main1")
+
+    main.merge("dev")
+    got = {r._row_id: r.x for r in main.to_df().collect()}
+    assert got[1] == 111            # shared-row patch applied
+    assert 3 not in got             # shared-row delete applied
+    assert got[4] == 90             # our row kept its id
+    assert got[5] == 55             # their new row renumbered 4->5, patch followed
+    assert sorted(got) == [0, 1, 2, 4, 5]
+
+
+def test_merge_conflict_detection_and_resolution(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(3)])
+    ds.commit("base")
+
+    dev = ds.branch("dev")
+    dev.update(0, {"x": 100})
+    dev.commit("dev edit")
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.update(0, {"x": 200})
+    main.commit("main edit")
+
+    with pytest.raises(dl.MergeConflictError):
+        main.merge("dev")
+    # pick theirs
+    main2 = dl.open(tmp_path_ds, spark, branch="main")
+    main2.merge("dev", resolve="theirs")
+    assert {r._row_id: r.x for r in main2.to_df().collect()}[0] == 100
+    # ours on a fresh pair of branches
+    ds2 = dl.create(tmp_path_ds + "_b", spark, schema={"x": dt.Generic("int64")})
+    ds2.append([{"x": 0}]); ds2.commit("b")
+    d2 = ds2.branch("dev"); d2.delete(0); d2.commit("dev del")
+    m2 = dl.open(tmp_path_ds + "_b", spark, branch="main")
+    m2.update(0, {"x": 7}); m2.commit("main upd")
+    with pytest.raises(dl.MergeConflictError):
+        m2.merge("dev")
+    m2b = dl.open(tmp_path_ds + "_b", spark, branch="main")
+    m2b.merge("dev", resolve="ours")
+    assert {r._row_id: r.x for r in m2b.to_df().collect()} == {0: 7}
+
+
+def test_merge_schema_union(spark, tmp_path_ds):
+    """add_column on the branch survives the merge; pre-existing rows
+    read the default."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}])
+    ds.commit("base")
+    dev = ds.branch("dev")
+    dev.add_column("tag", dt.Text(), default_value="none")
+    dev.append([{"x": 2, "tag": "dev"}])
+    dev.commit("dev col")
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.merge("dev")
+    got = {r.x: r.tag for r in main.to_df().collect()}
+    assert got == {1: "none", 2: "dev"}
+
+
+def test_merge_refuses_after_compact(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}]); ds.commit("base")
+    dev = ds.branch("dev")
+    dev.append([{"x": 2}]); dev.commit("dev")
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.delete(0); main.commit("del"); main.compact()
+    with pytest.raises(dl.DatasetError):
+        main.merge("dev")
