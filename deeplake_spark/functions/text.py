@@ -185,3 +185,76 @@ def glob_like(col: Column, pattern: str, case_insensitive: bool = False) -> Colu
     rx = glob_to_rlike(pattern.lower() if case_insensitive else pattern)
     target = F.lower(col) if case_insensitive else col
     return target.rlike(rx)
+
+
+# --- PII scrubbing (training-data pipeline op; regexes are RE2-safe —
+# no lookbehind — so the same pattern runs in Spark, DuckDB, and the
+# reference's regex probes) -------------------------------------------
+
+#: (name, pattern, replacement) applied IN ORDER — email before phone so
+#: digits inside addresses are not half-matched by the phone pattern
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d[\d ()-]{6,14}\d", "[PHONE]"),
+]
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (email/ipv4/phone)."""
+    pat = next(p for n, p, _ in PII_PATTERNS if n == kind)
+    return F.regexp_count(text, F.lit(pat))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact all PII kinds, applied in PII_PATTERNS order — pure JVM
+    regexp_replace chain, no Python in the hot path."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# --- Gopher-style repetition metrics (Rae et al. 2021 §A1.1: heavily
+# repetitious documents are low quality) ------------------------------
+
+
+def duplicate_word_fraction(tokens: Column) -> Column:
+    """1 - distinct/total words; 0 for empty docs (ANSI-safe nullif)."""
+    n = F.size(tokens)
+    return F.coalesce(
+        (F.lit(1.0) - F.size(F.array_distinct(tokens)).cast("double")
+         / F.nullif(n.cast("double"), F.lit(0.0))),
+        F.lit(0.0),
+    )
+
+
+def word_bigrams(tokens: Column) -> Column:
+    """Adjacent word pairs, space-joined; n-1 bigrams for n tokens.
+    zip_with pads the shorter side with null, so the trailing partial
+    pair is sliced off."""
+    n = F.size(tokens)
+    paired = F.zip_with(
+        tokens,
+        F.slice(tokens, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, F.slice(paired, 1, n - 1)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def top_bigram_fraction(bigrams: Column) -> Column:
+    """Fraction of bigrams taken by the most frequent one — the Gopher
+    top-n-gram repetition signal. Per-row O(distinct * n) HOF fold: no
+    shuffle at any corpus size (CPU-parallel per row), unlike an
+    explode + groupBy top-1 which shuffles the whole corpus. Pass a
+    PROJECTED bigram column, not an inline expression (perf trap 3)."""
+    top = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, b: F.greatest(acc, F.size(F.filter(bigrams, lambda x: x == b))),
+    )
+    return F.coalesce(
+        top.cast("double") / F.nullif(F.size(bigrams).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )

@@ -458,3 +458,109 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fused"), "doc_id")
         .limit(_HYBRID_K)
     )
+
+
+@query(
+    "t11_pii_scrub",
+    oracle=r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.7 call +1 555 01' || CAST(doc_id % 90 AS VARCHAR) AS t
+      FROM documents WHERE doc_id < 100
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+               '\+\d[\d ()-]{6,14}\d', '[PHONE]', 'g') AS t
+      FROM pii
+    )
+    SELECT doc_id, n_email, n_ip,
+           CAST((len(t) - len(replace(t, '[PHONE]', ''))) / 7 AS INT) AS n_phone,
+           right(t, 60) AS tail
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing for training corpora: email/IPv4/phone redaction "
+    "as a pure regexp_replace chain (RE2-safe patterns, applied in a "
+    "fixed order) plus per-kind counts. PII is injected synthetically "
+    "so the oracle exercises every pattern.",
+    tags=("text", "pii", "pipeline"),
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import pii_count, scrub_pii
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call +1 555 01"), (F.col("doc_id") % 90).cast("string"),
+    )
+    base = d.select("doc_id", t.alias("t"))
+    scrubbed = base.select(
+        "doc_id",
+        pii_count(F.col("t"), "email").cast("int").alias("n_email"),
+        pii_count(F.col("t"), "ipv4").cast("int").alias("n_ip"),
+        scrub_pii(F.col("t")).alias("t"),
+    )
+    return scrubbed.select(
+        "doc_id", "n_email", "n_ip",
+        ((F.length("t") - F.length(F.replace(F.col("t"), F.lit("[PHONE]"), F.lit(""))))
+         / 7).cast("int").alias("n_phone"),
+        F.substring(F.col("t"), -60, 60).alias("tail"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t12_repetition_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    bg AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS bigrams
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(w) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6)
+             AS dup_word_frac,
+           ROUND(CASE WHEN len(bigrams) = 0 THEN 0.0
+                 ELSE CAST(list_max(list_transform(list_distinct(bigrams),
+                        b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+                      / len(bigrams) END, 6) AS top_bigram_frac
+    FROM bg
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 "
+    "A1.1): duplicate-word fraction and top-bigram fraction as pure "
+    "per-row HOF folds — zero shuffle at any corpus size (an explode + "
+    "groupBy top-1 would shuffle the whole corpus).",
+    tags=("text", "quality", "pipeline"),
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import (
+        duplicate_word_fraction,
+        top_bigram_fraction,
+        word_bigrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # project tokens/bigrams BEFORE the O(distinct*n) fold (perf trap 3)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("w"))
+    bg = toks.select("doc_id", "w", word_bigrams(F.col("w")).alias("bigrams"))
+    return bg.select(
+        "doc_id",
+        F.round(duplicate_word_fraction(F.col("w")), 6).alias("dup_word_frac"),
+        F.round(top_bigram_fraction(F.col("bigrams")), 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")

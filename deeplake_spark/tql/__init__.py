@@ -96,10 +96,20 @@ __all__ = [
     "parse_query",
     "is_valid",
     "is_filter",
+    "query_keywords",
     "register_function",
     "Translator",
     "TQLTranslationError",
 ]
+
+
+def query_keywords() -> list[str]:
+    """The TQL reserved words, sorted (reference tql::query_keywords,
+    cpp/tql/tql.hpp:134-162) — editors/validators use this for
+    completion and quoting decisions."""
+    from deeplake_spark.tql.lexer import KEYWORDS
+
+    return sorted(KEYWORDS)
 
 
 def explain(text: str, spark=None, tables=None, default=None, indexes=None, params=None):

@@ -367,3 +367,29 @@ def test_multidim_slicing(spark):
     assert list(row.clast) == [3, 6, 9]
     assert [list(x) for x in row.mid] == [[2, 3], [5, 6], [8, 9]]
     assert list(row.c0h) == [1, 4]
+
+
+def test_query_keywords():
+    kws = tql.query_keywords()
+    assert "SELECT" in kws and "SAMPLE" in kws and kws == sorted(kws)
+
+
+def test_pii_and_repetition_functions(spark):
+    from deeplake_spark.functions.text import (
+        duplicate_word_fraction, scrub_pii, pii_count, tokenize,
+        top_bigram_fraction, word_bigrams,
+    )
+    df = spark.createDataFrame(
+        [("mail a@b.com from 1.2.3.4 call +1 555 0100 end", "a b a b a c")],
+        "t string, words string")
+    r = df.select(
+        scrub_pii(F.col("t")).alias("s"),
+        pii_count(F.col("t"), "email").alias("ne"),
+        pii_count(F.col("t"), "ipv4").alias("ni"),
+        duplicate_word_fraction(tokenize(F.col("words"))).alias("dw"),
+        top_bigram_fraction(word_bigrams(tokenize(F.col("words")))).alias("tb"),
+    ).head()
+    assert r.s == "mail [EMAIL] from [IP] call [PHONE] end"
+    assert (r.ne, r.ni) == (1, 1)
+    assert abs(r.dw - 0.5) < 1e-9          # 3 distinct of 6 words
+    assert abs(r.tb - 0.4) < 1e-9          # 'a b' twice of 5 bigrams
