@@ -106,6 +106,33 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
     return out
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each
+    key within the watermark horizon (dropDuplicatesWithinWatermark).
+    State is bounded by (watermark horizon x key cardinality) — the
+    streaming face of the batch exact-dedup operator (operators/
+    dedup.py keep-first), for at-least-once sources that replay events.
+    Works on batch DataFrames too (falls back to dropDuplicates)."""
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require an instant-typed event time; derive one
+        # from the NTZ wall clock and drop it after the dedup so the
+        # output keeps the NTZ column untouched
+        return (
+            events.withColumn("__wm_ts", F.col("ts").cast("timestamp"))
+            .withWatermark("__wm_ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+            .drop("__wm_ts")
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def running_user_state(events: DataFrame):
     """Custom stateful operator: per-user running aggregate via
     applyInPandasWithState (the reference has no event-time stateful ops;

@@ -80,3 +80,28 @@ def test_query_async(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     fut = query_async(lambda: df.count())
     assert fut.result(timeout=120) == df.count()
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir):
+    """Streaming keep-first dedup over a replayed (duplicated) source
+    equals batch dropDuplicates on the same keys."""
+    from deeplake_spark.streaming.events import dedup_stream
+
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    with tempfile.TemporaryDirectory() as d:
+        # write the events twice to simulate an at-least-once replay
+        ev.write.mode("overwrite").parquet(d + "/a.parquet")
+        ev.write.mode("append").parquet(d + "/a.parquet")
+        schema = spark.read.parquet(d + "/a.parquet").schema
+        stream = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("path", d + "/a.parquet").load()
+        )
+        out = dedup_stream(stream, ["event_id"])
+        run_stream_to_memory(out, "dedup_out")
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").head()
+    assert got.n == 500 and got.d == 500
+    # batch fallback path
+    assert dedup_stream(ev.unionAll(ev), ["event_id"]).count() == 500
