@@ -149,6 +149,17 @@ def map_at_depth(col: Column, depth: int, fn) -> Column:
     return F.transform(col, lambda x: map_at_depth(x, depth - 1, fn))
 
 
+def zip_at_depth(a: Column, b: Column, depth: int, fn) -> Column:
+    """Element-wise combine of two equally-nested arrays `depth` levels
+    deep — the lowering for nd binary broadcasting (a == b, a + b on
+    tensors): nested zip_with HOFs, JVM-side."""
+    if depth <= 0:
+        return fn(a, b)
+    if depth == 1:
+        return F.zip_with(a, b, lambda x, y: fn(x, y))
+    return F.zip_with(a, b, lambda x, y: zip_at_depth(x, y, depth - 1, fn))
+
+
 def element(arr: Column, index: int) -> Column:
     """col[i] with 0-based + negative indexing (expr.hpp:255-269)."""
     if index >= 0:

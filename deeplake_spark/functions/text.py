@@ -248,7 +248,9 @@ def top_bigram_fraction(bigrams: Column) -> Column:
     top-n-gram repetition signal. Per-row O(distinct * n) HOF fold: no
     shuffle at any corpus size (CPU-parallel per row), unlike an
     explode + groupBy top-1 which shuffles the whole corpus. Pass a
-    PROJECTED bigram column, not an inline expression (perf trap 3)."""
+    PROJECTED bigram column, not an inline expression (perf trap 3);
+    over a single-file scan call io.ensure_parallelism first so the
+    per-row CPU spreads across cores (perf trap 1)."""
     top = F.aggregate(
         F.array_distinct(bigrams),
         F.lit(0),

@@ -544,3 +544,38 @@ def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv(F.col("row1")).alias("row1"),
         csv(F.flatten(F.col("mid"))).alias("mid"),
     ).orderBy("vec_id")
+
+
+@query(
+    "v17_nd_broadcast",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CASE WHEN CAST(x AS DOUBLE) * 2 + 1 > 1.2
+                      THEN 1 ELSE 0 END)), 6) AS n_hot,
+           CASE WHEN len(list_filter(embedding,
+                 x -> CAST(x AS DOUBLE) > 0.45)) > 0 THEN true ELSE false END AS any_hi
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    doc="nd broadcasting through the TQL string path: embedding * 2 + 1 "
+    "> 1.2 compares element-wise (scalar-vs-array broadcast, reference "
+    "nd::array semantics tql.md Array Logic), SUM folds the resulting "
+    "mask, ANY reduces a broadcast comparison — all nested JVM HOFs.",
+    tags=("vector", "tql", "broadcast"),
+)
+def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    out = tql.query(
+        "SELECT vec_id, SUM((embedding * 2 + 1 > 1.2)) AS mask_sum, "
+        "ANY(embedding > 0.45) AS any_hi ORDER BY vec_id",
+        default=e,
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("mask_sum").cast("double"), 6).alias("n_hot"),
+        F.col("any_hi"),
+    ).orderBy("vec_id")

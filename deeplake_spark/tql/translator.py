@@ -39,6 +39,15 @@ class TQLTranslationError(ValueError):
     pass
 
 
+#: TQL functions that reduce over EVERY element of an nd array cell —
+#: nested inputs are flattened to 1-D before the fold (nd::array
+#: whole-tensor reductions, cpp/nd/functions.hpp:39-63)
+_ND_REDUCERS = frozenset(
+    {"SUM", "AVG", "MEAN", "PROD", "AMIN", "AMAX", "STDEV", "MEDIAN",
+     "ANY", "ALL", "ALL_STRICT"}
+)
+
+
 def _uses_rownum(node) -> bool:
     """True when the AST subtree contains a ROW_NUMBER() call — used to
     precompute it as a partition-offset column before expression
@@ -556,26 +565,59 @@ class Translator:
         if isinstance(e, ast.ColumnRef):
             return F.col(f"{e.table}.{e.name}") if e.table else F.col(e.name)
         if isinstance(e, ast.UnaryOp):
+            t = self._expr(e.operand, df)
+            d = self._array_depth(t, df)
             if e.op == "-":
-                return -self._expr(e.operand, df)
-            return ~self._expr(e.operand, df)
+                if d:
+                    from deeplake_spark.functions.arrays import map_at_depth
+
+                    return map_at_depth(t, d, lambda x: -x)
+                return -t
+            if d:
+                from deeplake_spark.functions.arrays import map_at_depth
+
+                return map_at_depth(t, d, lambda x: ~x)
+            return ~t
         if isinstance(e, ast.BinaryOp):
             l, r = self._expr(e.left, df), self._expr(e.right, df)
-            return {
-                "+": lambda: l + r,
-                "-": lambda: l - r,
-                "*": lambda: l * r,
-                "/": lambda: l / r,
-                "%": lambda: l % r,
-                "==": lambda: l == r,
-                "!=": lambda: l != r,
-                "<": lambda: l < r,
-                "<=": lambda: l <= r,
-                ">": lambda: l > r,
-                ">=": lambda: l >= r,
-                "AND": lambda: l & r,
-                "OR": lambda: l | r,
-            }[e.op]()
+            ops = {
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b,
+                "/": lambda a, b: a / b,
+                "%": lambda a, b: a % b,
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+                "AND": lambda a, b: a & b,
+                "OR": lambda a, b: a | b,
+            }
+            op = ops[e.op]
+            if e.op not in ("AND", "OR"):
+                # nd broadcasting (reference nd::array semantics,
+                # tql.md:435-451 `ANY(confidence > 0.9)`,
+                # `ALL(pixels < 255)`): scalar-vs-array applies the op
+                # per element, array-vs-array combines element-wise —
+                # all nested JVM HOFs, resolved from the analyzed dtype
+                dl, dr = self._array_depth(l, df), self._array_depth(r, df)
+                if dl or dr:
+                    from deeplake_spark.functions.arrays import (
+                        map_at_depth,
+                        zip_at_depth,
+                    )
+
+                    if dl == dr:
+                        return zip_at_depth(l, r, dl, op)
+                    if dr == 0:
+                        return map_at_depth(l, dl, lambda x: op(x, r))
+                    if dl == 0:
+                        return map_at_depth(r, dr, lambda y: op(l, y))
+                    raise TQLTranslationError(
+                        f"cannot broadcast arrays of different rank ({dl} vs {dr})")
+            return op(l, r)
         if isinstance(e, ast.LikeOp):
             # TQL glob LIKE (tql.md:207-228): '*'/'?' → anchored regex
             target = self._expr(e.operand, df)
@@ -609,6 +651,23 @@ class Translator:
         if isinstance(e, ast.Star):
             raise TQLTranslationError("* only valid in the select list")
         raise TQLTranslationError(f"unsupported expression {type(e).__name__}")
+
+    def _array_depth(self, col: Column, df: DataFrame) -> int:
+        """Array nesting depth of an expression (0 = scalar), resolved
+        by driver-side analysis of a one-column projection — no Spark
+        job. Unresolvable expressions (e.g. references into an outer
+        scope) count as scalar."""
+        from pyspark.sql.types import ArrayType
+
+        try:
+            t = df.select(col).schema[0].dataType
+        except Exception:
+            return 0
+        d = 0
+        while isinstance(t, ArrayType):
+            t = t.elementType
+            d += 1
+        return d
 
     def _const_int(self, n: ast.Node | None, default: int) -> int:
         if n is None:
@@ -728,6 +787,14 @@ class Translator:
         if name in TQL_FUNCTIONS:
             fn = TQL_FUNCTIONS[name]
             args = [self._expr(a, df) for a in e.args]
+            if name in _ND_REDUCERS and args:
+                # reference reducers fold over EVERY element of an nd
+                # array (ALL(pixels < 255) on a 2-D cell): flatten
+                # nested arrays to 1-D first
+                d = self._array_depth(args[0], df)
+                while d > 1:
+                    args[0] = F.flatten(args[0])
+                    d -= 1
             return fn(*args)
         # registered UDFs / Spark builtins fallback
         try:

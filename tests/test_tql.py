@@ -393,3 +393,35 @@ def test_pii_and_repetition_functions(spark):
     assert (r.ne, r.ni) == (1, 1)
     assert abs(r.dw - 0.5) < 1e-9          # 3 distinct of 6 words
     assert abs(r.tb - 0.4) < 1e-9          # 'a b' twice of 5 bigrams
+
+
+def test_nd_broadcasting(spark):
+    """Reference nd::array semantics (tql.md Array Logic examples):
+    scalar-vs-array comparisons/arithmetic broadcast element-wise;
+    ANY/ALL/SUM reduce over every element of nd cells."""
+    df = spark.createDataFrame(
+        [(0, [[-1.0, 2.0], [3.0, 300.0]], [0.95, 0.1], [150.0, 200.0]),
+         (1, [[1.0, 2.0], [3.0, 4.0]], [0.5, 0.6], [50.0, 90.0])],
+        "id long, boxes array<array<double>>, confidence array<double>, "
+        "area array<double>")
+    cases = [
+        ("SELECT id WHERE ANY(boxes[:, 0] < 0)", [0]),
+        ("SELECT id WHERE ALL(boxes < 255)", [1]),
+        ("SELECT id WHERE ANY(confidence > 0.9)", [0]),
+        ("SELECT id WHERE ALL_STRICT(confidence > 0.4)", [1]),
+        ("SELECT id WHERE ANY(LOGICAL_AND(confidence > 0.8, area > 100))", [0]),
+        ("SELECT id WHERE ANY(confidence * 2 > 1.8)", [0]),
+        ("SELECT id WHERE ANY(-confidence < -0.9)", [0]),
+        ("SELECT id WHERE ANY(confidence == 0.5)", [1]),
+    ]
+    for q, want in cases:
+        got = [r.id for r in tql.query(q, default=df).collect()]
+        assert got == want, f"{q}: {got}"
+    # whole-tensor SUM over a 2-D cell
+    s = {r.id: r.s for r in tql.query("SELECT id, SUM(boxes) AS s", default=df).collect()}
+    assert s == {0: 304.0, 1: 10.0}
+    # rank-mismatched arrays refuse to broadcast
+    import pytest as _pytest
+
+    with _pytest.raises(tql.TQLTranslationError):
+        tql.query("SELECT id WHERE ANY(boxes + confidence > 0)", default=df)
