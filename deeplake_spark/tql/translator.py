@@ -786,6 +786,26 @@ class Translator:
             )
         if name in TQL_FUNCTIONS:
             fn = TQL_FUNCTIONS[name]
+            if name in _ND_REDUCERS and len(e.args) == 2:
+                # ANY(cond, axis) / SUM(arr, axis) (tql.md Array Logic
+                # signatures): axis 0 reduces down columns (transpose,
+                # then per-row fold), axis 1 reduces each inner row —
+                # both stay nested JVM HOFs, no explode
+                from deeplake_spark.functions.arrays import (
+                    map_at_depth,
+                    transpose2d,
+                )
+
+                arr = self._expr(e.args[0], df)
+                axis = self._const_int(e.args[1], 0)
+                if self._array_depth(arr, df) != 2:
+                    raise TQLTranslationError(
+                        f"{name}(x, axis) requires a 2-D array cell")
+                if axis == 0:
+                    arr = transpose2d(arr)
+                elif axis != 1:
+                    raise TQLTranslationError("axis must be 0 or 1")
+                return map_at_depth(arr, 1, fn)
             args = [self._expr(a, df) for a in e.args]
             if name in _ND_REDUCERS and args:
                 # reference reducers fold over EVERY element of an nd

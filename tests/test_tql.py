@@ -425,3 +425,18 @@ def test_nd_broadcasting(spark):
 
     with _pytest.raises(tql.TQLTranslationError):
         tql.query("SELECT id WHERE ANY(boxes + confidence > 0)", default=df)
+
+
+def test_reducer_axis_variants(spark):
+    """SUM/ANY with the optional axis argument (tql.md signatures
+    ANY(condition[, axis])): axis 0 reduces down columns, axis 1 per
+    row; no axis flattens the whole cell."""
+    df = spark.createDataFrame(
+        [(0, [[1.0, 2.0], [3.0, 4.0]])], "id long, m array<array<double>>")
+    r = tql.query(
+        "SELECT SUM(m) AS total, SUM(m, 0) AS col_sums, SUM(m, 1) AS row_sums, "
+        "ANY(m > 3, 1) AS row_any", default=df).head()
+    assert r.total == 10.0
+    assert list(r.col_sums) == [4.0, 6.0]
+    assert list(r.row_sums) == [3.0, 7.0]
+    assert list(r.row_any) == [False, True]
