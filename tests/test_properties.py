@@ -77,3 +77,89 @@ def test_shingles_match_python(spark_global, toks, n):
     got = list(df.select(word_shingles(F.col("t"), n).alias("s")).head().s)
     expected = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     assert got == expected, (toks, n)
+
+
+@given(
+    data=st.data(),
+    n_base=st.integers(2, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_merge_matches_model(spark_global, tmp_path_factory, data, n_base):
+    """Three-way merge vs an independent Python model of the documented
+    semantics: random divergent edits on two branches, merged with
+    resolve='theirs'. Checks surviving row ids, values, and the
+    renumbering of the other branch's appends."""
+    import deeplake_spark.dataset as dl
+    from deeplake_spark import types as dt
+
+    ops_strategy = st.lists(
+        st.tuples(st.sampled_from(["append", "update", "delete"]),
+                  st.integers(0, 10_000)),
+        max_size=4,
+    )
+
+    path = str(tmp_path_factory.mktemp("mergeprop")) + "/ds"
+    spark = spark_global
+    ds = dl.create(path, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(n_base)])
+    ds.commit("base")
+    base_max = n_base - 1
+
+    def apply_ops(handle, ops, next_id, tag):
+        """Apply ops; return (model_edits, appends, deletes) keyed by row id."""
+        edits, appends, deletes = {}, {}, set()
+        live_shared = list(range(n_base))
+        own = []
+        for kind, arg in ops:
+            if kind == "append":
+                val = 1000 + arg
+                handle.append([{"x": val}])
+                appends[next_id] = val
+                own.append(next_id)
+                next_id += 1
+            elif kind == "update":
+                targets = live_shared + own
+                rid = targets[arg % len(targets)]
+                val = 2000 + arg
+                handle.update(rid, {"x": val})
+                if rid in appends:
+                    appends[rid] = val
+                else:
+                    edits[rid] = val
+            elif kind == "delete" and live_shared:
+                rid = live_shared.pop(arg % len(live_shared))
+                handle.delete(rid)
+                deletes.add(rid)
+        handle.commit(tag)
+        return edits, appends, deletes
+
+    dev = ds.branch("dev")
+    their_ops = data.draw(ops_strategy, label="their_ops")
+    t_edits, t_appends, t_deletes = apply_ops(dev, their_ops, n_base, "dev")
+
+    main = dl.open(path, spark, branch="main")
+    our_ops = data.draw(ops_strategy, label="our_ops")
+    o_edits, o_appends, o_deletes = apply_ops(main, our_ops, n_base, "main")
+
+    main.merge("dev", resolve="theirs")
+    got = {r._row_id: r.x for r in main.to_df().collect()}
+
+    # --- independent model -------------------------------------------
+    expected = {}
+    their_touch = set(t_edits) | t_deletes
+    for i in range(n_base):
+        if i in their_touch:  # theirs wins on conflict; applies otherwise too
+            if i in t_deletes:
+                continue
+            expected[i] = t_edits[i]
+        elif i in o_deletes:
+            continue
+        elif i in o_edits:
+            expected[i] = o_edits[i]
+        else:
+            expected[i] = i
+    expected.update(o_appends)  # our appends keep their ids
+    shift = max([base_max] + list(o_appends)) - base_max
+    for rid, val in t_appends.items():
+        expected[rid + shift] = val  # their appends renumber past our max
+    assert got == expected, (their_ops, our_ops, got, expected)
