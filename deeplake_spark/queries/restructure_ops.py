@@ -516,3 +516,62 @@ def r15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "r16_json_workload",
+    oracle="""
+    WITH d AS (
+      SELECT json_object('u', user_id, 't', event_type,
+                         'm', json_object(
+                           'k', CAST(json_extract_string(props, '$.k') AS BIGINT),
+                           'vip', user_id % 7 = 0)) AS doc,
+             value
+      FROM events
+    ),
+    f AS (SELECT * FROM d WHERE json_extract_string(doc, '$.m.vip') = 'true')
+    SELECT json_extract_string(doc, '$.t') AS etype,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(doc, '$.m.k') AS BIGINT) % 10), 6)
+             AS avg_bucket,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM f GROUP BY etype ORDER BY etype
+    """,
+    doc="Nested-JSON analytics workload (reference bluesky_queries.sql "
+    "domain): build a nested doc, filter on a chained JSON path through "
+    "the TQL string (doc['m']['vip'] — schema-less get_json_object "
+    "chain, expr.hpp:287-301), extract + aggregate. Catalyst collapses "
+    "the repeated json parsing into one generation per row.",
+    tags=("json", "tql"),
+)
+def r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+                (F.col("user_id") % 7 == 0).alias("vip"),
+            ).alias("m"),
+        )
+    )
+    d = e.select(doc.alias("doc"), F.col("value"))
+    filtered = tql.query("SELECT doc, value WHERE doc['m']['vip'] == 'true'",
+                         default=d)
+    return (
+        filtered.select(
+            F.get_json_object(F.col("doc"), "$.t").alias("etype"),
+            (F.get_json_object(F.col("doc"), "$.m.k").cast("long") % 10).alias("kb"),
+            "value",
+        )
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("kb"), 6).alias("avg_bucket"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("etype")
+    )
