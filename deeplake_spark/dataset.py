@@ -693,25 +693,36 @@ class Dataset:
         merged_patches = [p for p in ours.get("patches", [])]
         # our ids never renumber (only THEIR new rows shift past our max)
         merged_pids = set(ours.get("patch_ids", [])) - drop_ours
-        for p in their_patches:
-            src = os.path.join(self.path, _DATA_DIR, p)
-            pdf = self.spark.read.parquet(src)
-            ids = [r[0] for r in pdf.select("_row_id").collect()]  # 1-row patch files
-            keep = [i for i in ids if i not in drop_theirs]
-            if not keep:
-                continue
-            if shift and any(i > base_max for i in keep) or len(keep) != len(ids):
-                out = pdf.filter(~F.col("_row_id").isin(*[int(x) for x in drop_theirs])
-                                 if drop_theirs else F.lit(True))
-                out = out.withColumn(
-                    "_row_id",
-                    F.when(F.col("_row_id") > base_max,
-                           F.col("_row_id") + shift).otherwise(F.col("_row_id"))
-                    .cast("long"))
-                merged_patches.append(self._write_file(out))
-            else:
-                merged_patches.append(p)
-            merged_pids.update(shifted(i) for i in keep)
+        if their_patches:
+            # one batched read over every new patch file (tiny relations;
+            # avoids a driver job per file), keyed back by file name
+            pdf_all = self.spark.read.parquet(
+                *[os.path.join(self.path, _DATA_DIR, p) for p in their_patches]
+            ).withColumn("__src", F.input_file_name())
+            by_file: dict[str, list[int]] = {p: [] for p in their_patches}
+            for r in pdf_all.select("__src", "_row_id").collect():
+                name = next(p for p in their_patches if p in r[0])
+                by_file[name].append(int(r[1]))
+            for p in their_patches:
+                ids = by_file[p]
+                keep = [i for i in ids if i not in drop_theirs]
+                if not keep:
+                    continue
+                if shift and any(i > base_max for i in keep) or len(keep) != len(ids):
+                    src = os.path.join(self.path, _DATA_DIR, p)
+                    out = self.spark.read.parquet(src)
+                    if drop_theirs:
+                        out = out.filter(
+                            ~F.col("_row_id").isin(*[int(x) for x in drop_theirs]))
+                    out = out.withColumn(
+                        "_row_id",
+                        F.when(F.col("_row_id") > base_max,
+                               F.col("_row_id") + shift).otherwise(F.col("_row_id"))
+                        .cast("long"))
+                    merged_patches.append(self._write_file(out))
+                else:
+                    merged_patches.append(p)
+                merged_pids.update(shifted(i) for i in keep)
 
         # --- deletes ------------------------------------------------------
         merged_del = ((set(ours.get("deletes", [])) - drop_ours)
