@@ -553,6 +553,89 @@ class Dataset:
         self._clear_staged()
         return self
 
+    # ----------------------------------------- reference surface parity
+
+    @property
+    def current_branch(self) -> str:
+        """Active branch name (reference current_branch, __init__.pyi:2997)."""
+        return self._branch
+
+    def branches(self) -> dict[str, int]:
+        """Branch name → head version (reference branches, __init__.pyi)."""
+        return dict(_read_refs(self.path)["branches"])
+
+    def tags(self) -> dict:
+        """Tag name → {version, message} (reference tags surface)."""
+        return dict(_read_refs(self.path).get("tags", {}))
+
+    @property
+    def metadata(self) -> dict:
+        """Free-form dataset metadata of the current version."""
+        return dict(self._entry.get("metadata", {}))
+
+    @property
+    def created_time(self) -> float | None:
+        """Timestamp of the first commit (reference created_time)."""
+        try:
+            return _read_entry(self.path, 1)["timestamp"]
+        except Exception:
+            return None
+
+    def pytorch(self, transform=None, batch_size: int = 32):
+        """ds.pytorch(transform) (__init__.pyi:2551) — torch
+        IterableDataset when torch is installed, else a prefetching
+        iterator with identical semantics."""
+        from deeplake_spark.streaming.feed import pytorch as _pt
+
+        return _pt(self.to_df().orderBy("_row_id"), transform, batch_size)
+
+    def tensorflow(self, batch_size: int = 32):
+        """ds.tensorflow() (__init__.pyi:2524)."""
+        from deeplake_spark.streaming.feed import tensorflow as _tf
+
+        return _tf(self.to_df().orderBy("_row_id"), batch_size)
+
+    def explain_query(self, text: str, params: list | None = None):
+        """Structured plan report for a TQL query against this dataset
+        (reference explain_query, __init__.pyi:2371)."""
+        from deeplake_spark.plans.explain import explain_query as _explain
+
+        return _explain(self.query(text, params))
+
+    def prepare_query(self, text: str):
+        """Parse once, bind params per run (reference prepare_query)."""
+        from deeplake_spark import tql as _tql
+
+        return _tql.prepare(text, spark=self.spark, default=self.to_df(),
+                            indexes=self._load_indexes())
+
+    # `*_async` surface (Future-returning variants, __init__.pyi:172-416)
+
+    def query_async(self, text: str, params: list | None = None):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.query, text, params)
+
+    def commit_async(self, message: str | None = None):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.commit, message)
+
+    def push_async(self, dst_path: str):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.push, dst_path)
+
+    def pull_async(self, src_path: str):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.pull, src_path)
+
+    def refresh_async(self):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.refresh)
+
     def checkout(self, version: int | str) -> "Dataset":
         """Time travel to a version id (Delta versionAsOf equivalent)."""
         return Dataset(self.spark, self.path, version=int(version), branch=self._branch,

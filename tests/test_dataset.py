@@ -351,3 +351,34 @@ def test_merge_refuses_after_compact(spark, tmp_path_ds):
     main.delete(0); main.commit("del"); main.compact()
     with pytest.raises(dl.DatasetError):
         main.merge("dev")
+
+
+def test_reference_surface_parity(spark, tmp_path_ds):
+    """Dataset-level wrappers matching the reference API: branch/tag
+    introspection, created_time, feed methods, explain/prepare, and the
+    Future-returning *_async variants."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(6)])
+    ds.commit("c1")
+    ds.tag("v1", "first")
+    ds.branch("dev")
+
+    assert ds.current_branch == "main"
+    assert ds.branches() == {"main": 2, "dev": 2}
+    assert "v1" in ds.tags()
+    assert ds.created_time is not None
+    assert isinstance(ds.metadata, dict)
+
+    batches = list(ds.pytorch(batch_size=4))
+    assert sum(len(b) for b in batches) == 6
+
+    rep = ds.explain_query("SELECT x WHERE x > 2")
+    assert rep.text  # structured plan report
+
+    run = ds.prepare_query("SELECT x WHERE x > ?")
+    assert run(4).count() == 1
+
+    fut = ds.query_async("SELECT x WHERE x > 1")
+    assert fut.result().count() == 4
+    v = ds.commit_async("noop").result()
+    assert int(v) >= 2
