@@ -21,13 +21,26 @@ from deeplake_spark.io import load_tables, with_row_id
 from deeplake_spark.dataset import (
     Dataset,
     MergeConflictError,
+    convert,
     copy,
     create,
+    create_async,
+    delete,
+    delete_async,
+    exists,
+    exists_async,
+    explain_query,
+    from_coco,
     from_csv,
     from_parquet,
     like,
     open,
+    open_async,
     open_read_only,
+    open_read_only_async,
+    prepare_query,
+    query,
+    query_async,
 )
 from deeplake_spark import types  # noqa: F401
 from deeplake_spark import tql  # noqa: F401
@@ -36,6 +49,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_spark", "load_tables", "with_row_id", "__version__",
-    "Dataset", "create", "open", "open_read_only", "copy", "like",
-    "from_parquet", "from_csv", "types", "tql",
+    "Dataset", "MergeConflictError", "create", "open", "open_read_only",
+    "copy", "like", "convert", "delete", "exists", "from_parquet",
+    "from_csv", "from_coco", "query", "query_async", "prepare_query",
+    "explain_query", "create_async", "open_async",
+    "open_read_only_async", "delete_async", "exists_async",
+    "types", "tql",
 ]

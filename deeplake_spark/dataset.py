@@ -1119,3 +1119,93 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
     # deliberately NOT replicating src's "indexes" refs: index paths are
     # absolute to src; replicas rebuild via create_index.
     _write_refs(dst_path, dst_refs)
+
+
+def exists(path: str) -> bool:
+    """deeplake.exists (__init__.pyi:4347): a dataset lives at `path`."""
+    log = os.path.join(path, _LOG_DIR)
+    return os.path.isdir(log) and bool(os.listdir(log))
+
+
+def delete(path: str) -> None:
+    """deeplake.delete (__init__.pyi:4321): remove the dataset at
+    `path`. Refuses paths that are not datasets (no commit log)."""
+    import shutil
+
+    if not exists(path):
+        raise DatasetError(f"no dataset at {path}")
+    shutil.rmtree(path)
+
+
+def convert(src_path: str, dst_path: str, spark: SparkSession | None = None) -> Dataset:
+    """deeplake.convert (__init__.pyi:4671). The reference converts the
+    v3 storage format to v4; this engine has a single (parquet + JSON
+    commit log) format, so convert == copy."""
+    return copy(src_path, dst_path, spark)
+
+
+def from_coco(annotations_path: str, dataset_path: str,
+              spark: SparkSession | None = None) -> Dataset:
+    """deeplake.from_coco (__init__.pyi:4733): ingest a COCO annotation
+    file into a dataset (sources/coco.py does the flattening)."""
+    from deeplake_spark.sources.coco import ingest_coco
+
+    spark = spark or SparkSession.getActiveSession()
+    return ingest_coco(spark, annotations_path, dataset_path)
+
+
+def query(text: str, spark: SparkSession | None = None,
+          params: list | None = None) -> DataFrame:
+    """deeplake.query (__init__.pyi:644): standalone TQL — sources named
+    via FROM "url" resolve to parquet paths / catalog tables."""
+    from deeplake_spark.tql import query as _q
+
+    return _q(text, spark=spark or SparkSession.getActiveSession(), params=params)
+
+
+def prepare_query(text: str, spark: SparkSession | None = None):
+    """deeplake.prepare_query (__init__.pyi:612)."""
+    from deeplake_spark import tql as _tql
+
+    return _tql.prepare(text, spark=spark or SparkSession.getActiveSession())
+
+
+def explain_query(text: str, spark: SparkSession | None = None):
+    """deeplake.explain_query (__init__.pyi:837)."""
+    from deeplake_spark.plans.explain import explain_query as _explain
+
+    return _explain(query(text, spark))
+
+
+def _async(fn, *args, **kwargs):
+    from deeplake_spark.streaming.feed import query_async as _qa
+
+    return _qa(fn, *args, **kwargs)
+
+
+def query_async(text: str, spark: SparkSession | None = None,
+                params: list | None = None):
+    """deeplake.query_async (__init__.pyi:757)."""
+    return _async(query, text, spark, params)
+
+
+def create_async(path: str, spark: SparkSession | None = None, schema=None):
+    return _async(create, path, spark, schema)
+
+
+def open_async(path: str, spark: SparkSession | None = None, branch: str = "main",
+               version: int | None = None):
+    return _async(open, path, spark, branch, version)
+
+
+def open_read_only_async(path: str, spark: SparkSession | None = None,
+                         branch: str = "main", version: int | None = None):
+    return _async(open_read_only, path, spark, branch, version)
+
+
+def delete_async(path: str):
+    return _async(delete, path)
+
+
+def exists_async(path: str):
+    return _async(exists, path)

@@ -382,3 +382,29 @@ def test_reference_surface_parity(spark, tmp_path_ds):
     assert fut.result().count() == 4
     v = ds.commit_async("noop").result()
     assert int(v) >= 2
+
+
+def test_module_level_api(spark, tmp_path_ds, sf_dir):
+    """deeplake.* module functions: exists/delete/convert, standalone
+    query with FROM "url", and the Future-returning variants."""
+    import deeplake_spark as dls
+
+    assert not dls.exists(tmp_path_ds)
+    ds = dls.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}]); ds.commit("c")
+    assert dls.exists(tmp_path_ds)
+
+    out = dls.query(f'SELECT doc_id FROM "{sf_dir}/documents.parquet" LIMIT 5', spark)
+    assert out.count() == 5
+    rep = dls.explain_query(
+        f'SELECT doc_id FROM "{sf_dir}/documents.parquet" WHERE doc_id > 3', spark)
+    assert rep.text
+    assert dls.exists_async(tmp_path_ds).result()
+
+    dst = tmp_path_ds + "_conv"
+    dls.convert(tmp_path_ds, dst, spark)
+    assert dls.open(dst, spark).to_df().count() == 1
+    dls.delete(dst)
+    assert not dls.exists(dst)
+    with pytest.raises(dl.DatasetError):
+        dls.delete(dst)
