@@ -859,6 +859,45 @@ class Dataset:
         another writer of the same path."""
         return Dataset(self.spark, self.path, branch=self._branch)
 
+    def open(self) -> "Dataset":
+        """Fresh handle on this branch — makes the reference's
+        `ds.branch("x").open()` call shape work (Branch.open,
+        __init__.pyi:903; our branch() already returns a usable
+        Dataset, so open() is a refresh)."""
+        return self.refresh()
+
+    def delete_branch(self, name: str) -> None:
+        """Remove a branch ref (reference Branch.delete,
+        __init__.pyi:897). The current branch and main refuse."""
+        self._check_writable()
+        if name in (self._branch, "main"):
+            raise DatasetError(f"cannot delete branch {name!r}")
+        refs = _read_refs(self.path)
+        if name not in refs["branches"]:
+            raise DatasetError(f"unknown branch {name!r}")
+        del refs["branches"][name]
+        _write_refs(self.path, refs)
+
+    def delete_tag(self, name: str) -> None:
+        """Remove a tag (reference Tag.delete, __init__.pyi:1100)."""
+        self._check_writable()
+        refs = _read_refs(self.path)
+        if name not in refs.get("tags", {}):
+            raise DatasetError(f"unknown tag {name!r}")
+        del refs["tags"][name]
+        _write_refs(self.path, refs)
+
+    def rename_tag(self, name: str, new_name: str) -> None:
+        """Rename a tag (reference Tag.rename, __init__.pyi:1106)."""
+        self._check_writable()
+        refs = _read_refs(self.path)
+        if name not in refs.get("tags", {}):
+            raise DatasetError(f"unknown tag {name!r}")
+        if new_name in refs["tags"]:
+            raise DatasetError(f"tag {new_name!r} exists")
+        refs["tags"][new_name] = refs["tags"].pop(name)
+        _write_refs(self.path, refs)
+
     # ------------------------------------------------------------ internals
 
     def _check_writable(self) -> None:

@@ -408,3 +408,19 @@ def test_module_level_api(spark, tmp_path_ds, sf_dir):
     assert not dls.exists(dst)
     with pytest.raises(dl.DatasetError):
         dls.delete(dst)
+
+
+def test_branch_tag_management(spark, tmp_path_ds):
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}]); ds.commit("c")
+    dev = ds.branch("dev").open()          # reference Branch.open shape
+    assert dev.current_branch == "dev"
+    ds.tag("t1", "tag msg")
+    ds.rename_tag("t1", "release")
+    assert "release" in ds.tags() and "t1" not in ds.tags()
+    ds.delete_tag("release")
+    assert ds.tags() == {}
+    ds.delete_branch("dev")
+    assert "dev" not in ds.branches()
+    with pytest.raises(dl.DatasetError):
+        ds.delete_branch("main")
