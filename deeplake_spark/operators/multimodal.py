@@ -44,7 +44,54 @@ def _fake_decode(payload: bytes, h: int = 16, w: int = 16, c: int = 3) -> np.nda
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6): pure numpy, no third-party
+    codec needed. Header = b'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":  # comment line
+            idx = payload.index(b"\n", idx) + 1
+            continue
+        end = idx
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[idx:end]))
+        idx = end
+    idx += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=idx).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP: stdlib struct + numpy
+    (bottom-up rows, BGR order, 4-byte row padding)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
+                         offset=data_off).reshape(abs(h), stride)
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR → RGB
+    if h > 0:
+        img = img[::-1]  # bottom-up storage
+    return np.ascontiguousarray(img)
+
+
 def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
+    if compression == "ppm":
+        return _decode_ppm(payload)  # real, stdlib-only
+    if compression == "bmp":
+        return _decode_bmp(payload)  # real, stdlib-only
     if compression in ("jpg", "jpeg", "png"):
         try:
             from PIL import Image  # noqa: F401  (not in this image)
@@ -182,11 +229,35 @@ def _fake_decode_audio(payload: bytes, n_samples: int = 1024) -> np.ndarray:
     return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
 
 
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """REAL decoder for PCM WAV via the stdlib `wave` module: mono-mixed
+    float32 in [-1, 1]. Always available — no third-party codec."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as wf:
+        n, ch, width = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        a = a.reshape(-1, ch).mean(axis=1)
+    return a
+
+
 def audio_features(df: DataFrame, payload_col: str = "audio",
                    compression: str = "mp3", strict: bool = False) -> DataFrame:
     """Audio payload → waveform features (duration proxy, rms, peak) —
-    same Arrow-batched plumbing as images; real codecs (soundfile/
-    ffmpeg) are import-gated, `strict=True` raises NotImplementedError."""
+    same Arrow-batched plumbing as images. PCM WAV decodes for REAL via
+    the stdlib `wave` module; compressed codecs (mp3/flac) are
+    import-gated on soundfile, `strict=True` raises
+    NotImplementedError."""
     keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
     out_schema += ", n_samples int, rms double, peak double"
@@ -195,16 +266,19 @@ def audio_features(df: DataFrame, payload_col: str = "audio",
         for pdf in batches:
             rows = []
             for p in pdf[payload_col]:
-                try:
-                    import soundfile  # noqa: F401  (not in this image)
+                if compression == "wav":
+                    w = _decode_wav(p)
+                else:
+                    try:
+                        import soundfile  # noqa: F401  (not in this image)
 
-                    raise NotImplementedError("real audio decode not wired")
-                except ImportError:
-                    if strict:
-                        raise NotImplementedError(
-                            f"audio codec {compression!r} requires soundfile/ffmpeg"
-                        )
-                    w = _fake_decode_audio(p)
+                        raise NotImplementedError("real audio decode not wired")
+                    except ImportError:
+                        if strict:
+                            raise NotImplementedError(
+                                f"audio codec {compression!r} requires soundfile/ffmpeg"
+                            )
+                        w = _fake_decode_audio(p)
                 rows.append((len(w), float(np.sqrt((w.astype(np.float64) ** 2).mean())),
                              float(np.abs(w).max())))
             out = pdf[keep].copy()

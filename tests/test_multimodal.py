@@ -83,3 +83,70 @@ def test_fetch_links_local_files(spark, tmp_path):
            for r in fetch_links(df).collect()}
     assert got[1] == b"payload-a"
     assert got[2] is None and got[3] is None  # remote gated, null passthrough
+
+
+def test_real_ppm_decode_roundtrip(spark):
+    """PPM payloads decode for REAL (stdlib-only): known pixels survive
+    the distributed decode exactly."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import decode_images
+
+    h, w = 4, 3
+    pix = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+    df = spark.createDataFrame([(0, bytearray(payload))], "id long, image binary")
+    row = decode_images(df, "image", compression="ppm", strict=True).head()
+    got = np.array([[list(px) for px in r] for r in row.pixels], dtype=np.uint8)
+    assert got.shape == (h, w, 3)
+    assert (got == pix).all()
+    assert list(row.shape) == [h, w, 3]
+
+
+def test_real_bmp_decode_roundtrip(spark):
+    """Uncompressed 24-bit BMP decodes for REAL (struct+numpy): BGR and
+    bottom-up row order are undone."""
+    import numpy as np
+    import struct as st
+
+    from deeplake_spark.operators.multimodal import decode_images
+
+    h, w = 2, 3
+    pix = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rowb = bytearray()
+        for c in range(w):
+            rowb += bytes(pix[r, c][::-1])  # BGR
+        rowb += b"\0" * (stride - len(rowb))
+        body += rowb
+    header = b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    header += st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    payload = header + bytes(body)
+    df = spark.createDataFrame([(0, bytearray(payload))], "id long, image binary")
+    row = decode_images(df, "image", compression="bmp", strict=True).head()
+    got = np.array([[list(px) for px in r] for r in row.pixels], dtype=np.uint8)
+    assert (got == pix).all()
+
+
+def test_real_wav_decode_features(spark):
+    """PCM WAV decodes for REAL via stdlib wave: a full-scale square
+    wave has rms == peak == 1.0 (int16 -32768/32767 → ±~1.0)."""
+    import io
+    import wave as wv
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import audio_features
+
+    sig = np.tile(np.array([32767, -32768], dtype=np.int16), 500)
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(16000)
+        wf.writeframes(sig.tobytes())
+    df = spark.createDataFrame([(0, bytearray(buf.getvalue()))], "id long, audio binary")
+    row = audio_features(df, "audio", compression="wav", strict=True).head()
+    assert row.n_samples == 1000
+    assert abs(row.rms - 1.0) < 1e-3
+    assert abs(row.peak - 1.0) < 1e-3
