@@ -119,6 +119,8 @@ def test_merge_matches_model(spark_global, tmp_path_factory, data, n_base):
                 next_id += 1
             elif kind == "update":
                 targets = live_shared + own
+                if not targets:
+                    continue
                 rid = targets[arg % len(targets)]
                 val = 2000 + arg
                 handle.update(rid, {"x": val})
