@@ -184,30 +184,71 @@ def resize_images(df: DataFrame, height: int, width: int,
     return df.mapInPandas(rz, out_schema)
 
 
+def _module_available(name: str) -> bool:
+    """find_spec gate that survives monkeypatched stub modules (a bare
+    types.ModuleType in sys.modules has __spec__=None, which makes
+    find_spec raise ValueError)."""
+    import importlib.util
+    import sys
+
+    if name in sys.modules:
+        return sys.modules[name] is not None
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
+
+
+def _decode_video_frames_av(payload: bytes, every_n: int) -> list[tuple[int, np.ndarray]]:
+    """REAL video decode via PyAV (import-gated by the caller): every
+    `every_n`-th frame as (frame_index, HxWx3 uint8 RGB)."""
+    import io
+
+    import av
+
+    out: list[tuple[int, np.ndarray]] = []
+    with av.open(io.BytesIO(bytes(payload))) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                out.append((i, np.asarray(frame.to_ndarray(format="rgb24"))))
+    return out
+
+
+def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int, np.ndarray]]:
+    """Per-payload frame extraction: real PyAV when the lib is present
+    (decode errors fall back to the fake unless strict), deterministic
+    8-frame fake clip otherwise."""
+    if _module_available("av"):
+        try:
+            return _decode_video_frames_av(payload, every_n)
+        except Exception:
+            if strict:
+                raise
+    elif strict:
+        raise NotImplementedError("video decode requires PyAV/ffmpeg")
+    return [
+        (i, _fake_decode(bytes(payload) + i.to_bytes(2, "little")))
+        for i in range(0, 8, every_n)
+    ]
+
+
 def sample_video_frames(df: DataFrame, every_n: int, payload_col: str = "video",
                         id_col: str = "doc_id", strict: bool = False) -> DataFrame:
     """Frame sampling: video payload → one row per sampled frame
-    (frame_index + frame tensor). Without ffmpeg the fake codec treats
-    the payload as a 8-frame clip. The explode happens Python-side per
-    batch, keeping output rows partition-local."""
+    (frame_index + frame tensor). With PyAV present the real ffmpeg
+    decode runs; without it the fake codec treats the payload as an
+    8-frame clip. The explode happens Python-side per batch, keeping
+    output rows partition-local."""
     out_schema = f"{id_col} bigint, frame_index int, frame array<array<array<int>>>"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for key, p in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    import av  # noqa: F401  (not in this image)
-
-                    raise NotImplementedError("real ffmpeg decode not wired")
-                except ImportError:
-                    if strict:
-                        raise NotImplementedError("video decode requires PyAV/ffmpeg")
-                    n_frames = 8
-                    for i in range(0, n_frames, every_n):
-                        ids.append(key)
-                        idxs.append(i)
-                        frames.append(_fake_decode(bytes(p) + i.to_bytes(2, "little")).tolist())
+                for i, arr in _video_frames(p, every_n, strict):
+                    ids.append(key)
+                    idxs.append(i)
+                    frames.append(arr.tolist())
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
 
     return df.mapInPandas(sample, out_schema)
@@ -251,6 +292,37 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return a
 
 
+def _decode_audio_soundfile(payload: bytes) -> np.ndarray:
+    """REAL compressed-audio decode via soundfile (import-gated by the
+    caller): mono-mixed float32 waveform."""
+    import io
+
+    import soundfile
+
+    data, _sr = soundfile.read(io.BytesIO(bytes(payload)), dtype="float32",
+                               always_2d=True)
+    return np.asarray(data, dtype=np.float32).mean(axis=1).astype(np.float32)
+
+
+def _audio_waveform(payload: bytes, compression: str, strict: bool) -> np.ndarray:
+    """Per-payload waveform extraction: stdlib WAV always real; other
+    codecs real via soundfile when present (decode errors fall back to
+    the fake unless strict), deterministic fake otherwise."""
+    if compression == "wav":
+        return _decode_wav(payload)
+    if _module_available("soundfile"):
+        try:
+            return _decode_audio_soundfile(payload)
+        except Exception:
+            if strict:
+                raise
+    elif strict:
+        raise NotImplementedError(
+            f"audio codec {compression!r} requires soundfile/ffmpeg"
+        )
+    return _fake_decode_audio(payload)
+
+
 def audio_features(df: DataFrame, payload_col: str = "audio",
                    compression: str = "mp3", strict: bool = False) -> DataFrame:
     """Audio payload → waveform features (duration proxy, rms, peak) —
@@ -266,19 +338,7 @@ def audio_features(df: DataFrame, payload_col: str = "audio",
         for pdf in batches:
             rows = []
             for p in pdf[payload_col]:
-                if compression == "wav":
-                    w = _decode_wav(p)
-                else:
-                    try:
-                        import soundfile  # noqa: F401  (not in this image)
-
-                        raise NotImplementedError("real audio decode not wired")
-                    except ImportError:
-                        if strict:
-                            raise NotImplementedError(
-                                f"audio codec {compression!r} requires soundfile/ffmpeg"
-                            )
-                        w = _fake_decode_audio(p)
+                w = _audio_waveform(p, compression, strict)
                 rows.append((len(w), float(np.sqrt((w.astype(np.float64) ** 2).mean())),
                              float(np.abs(w).max())))
             out = pdf[keep].copy()

@@ -43,8 +43,12 @@ def group_runs(df: DataFrame, keys: list[str], order_cols: list[str],
     wp = Window.partitionBy("__gpid").orderBy(*order_cols)
     changed = F.lit(False)
     for k in keys:
-        prev = F.lag(k).over(wp)
-        changed = changed | prev.isNull() | (prev != F.col(k))
+        # Wrap in a struct so "no previous row" (struct NULL) is
+        # distinguishable from "previous key is NULL" (field NULL);
+        # eqNullSafe makes NULL a key value like any other, so NULL→X
+        # and X→NULL both start a new run (symmetric semantics).
+        prev = F.lag(F.struct(F.col(k).alias("v"))).over(wp)
+        changed = changed | prev.isNull() | ~prev["v"].eqNullSafe(F.col(k))
     local_run = F.sum(changed.cast("long")).over(
         wp.rowsBetween(Window.unboundedPreceding, 0)
     ) - 1
@@ -65,9 +69,8 @@ def group_runs(df: DataFrame, keys: list[str], order_cols: list[str],
     offsets = (
         summary.withColumn(
             "__merge",
-            (F.col("__firstk") == F.lag("__lastk").over(ws)).cast("long"),
+            F.col("__firstk").eqNullSafe(F.lag("__lastk").over(ws)).cast("long"),
         )
-        .fillna({"__merge": 0})
         .withColumn(
             "__off",
             F.coalesce(

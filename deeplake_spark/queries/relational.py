@@ -268,16 +268,32 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair disjunction implies supp_nation IN (N1,N2) AND cust_nation IN
+    # (N1,N2) — push that membership into the supplier/customer joins so the
+    # big lineitem⋈orders join only sees rows from the two nations, and keep
+    # only the residual disjunction after. Catalyst cannot derive this itself
+    # (a disjunction over two different tables is not pushable).
+    nations = ("NATION_1", "NATION_2")
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+    # orders⋈customer first: shrinks orders ~12.5× before the big
+    # lineitem join (AQE can then broadcast it at small SF; at scale the
+    # shuffle moves 1/12.5 the rows it would post-join)
+    oc = o.join(c2, o.o_custkey == c2.c_custkey).select("o_orderkey", "cust_nation")
     joined = (
         l.filter(
             F.col("l_shipdate").between(
@@ -285,11 +301,8 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1997-12-31 00:00:00").cast("timestamp"),
             )
         )
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(oc, l.l_orderkey == oc.o_orderkey)
+        .join(s2, l.l_suppkey == s2.s_suppkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))

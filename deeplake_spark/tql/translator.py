@@ -152,7 +152,12 @@ class Translator:
             df = self._group(sel.group, df)
 
         if sel.having is not None:
+            had_rn = "__tql_rownum" in df.columns
+            if not had_rn and _uses_rownum(sel.having):
+                df = self._with_rownum(df)
             df = df.filter(self._expr(sel.having, df))
+            if not had_rn:
+                df = df.drop("__tql_rownum")
 
         if sel.ungroup is not None:
             df = self._ungroup(df)
@@ -162,6 +167,8 @@ class Translator:
         # reference evaluates weight functors over source rows,
         # sample_statement.hpp:15-100)
         if sel.sample is not None:
+            if _uses_rownum(sel.sample.weight):
+                df = self._with_rownum(df)
             df = df.withColumn("__tql_w", self._expr(sel.sample.weight, df))
 
         # SELECT list (projection + virtual columns, select_expr.hpp:9-38)
@@ -187,12 +194,20 @@ class Translator:
             sel = ast.Select(items=sel.items, order=sel.order)  # limit consumed
 
         if sel.order:
+            # ROW_NUMBER() in an ORDER BY expression materializes via the
+            # partition-offset column too — never the unpartitioned
+            # row_number().over(orderBy) single-task sort (CLAUDE.md trap 7)
+            had_rn = "__tql_rownum" in projected.columns
+            if not had_rn and any(_uses_rownum(o.expr) for o in sel.order):
+                projected = self._with_rownum(projected)
             projected = projected.orderBy(
                 *[
                     self._expr(o.expr, projected).desc() if o.desc else self._expr(o.expr, projected)
                     for o in sel.order
                 ]
             )
+            if not had_rn and "__tql_rownum" in projected.columns:
+                projected = projected.drop("__tql_rownum")
 
         if sel.limit is not None:
             projected = self._limit(sel.limit, projected)

@@ -150,3 +150,94 @@ def test_real_wav_decode_features(spark):
     assert row.n_samples == 1000
     assert abs(row.rms - 1.0) < 1e-3
     assert abs(row.peak - 1.0) < 1e-3
+
+
+def test_video_real_branch_with_stubbed_pyav(monkeypatch):
+    """When PyAV IS importable, _video_frames must run the real decode
+    branch (not raise, not fake) — proven with a stub `av` module;
+    regression for the NotImplementedError landmine inside the try."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _video_frames
+
+    frame_arr = np.full((2, 2, 3), 7, dtype=np.uint8)
+
+    class _Frame:
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return frame_arr
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            assert video == 0
+            return iter([_Frame() for _ in range(6)])
+
+    stub = types.ModuleType("av")
+    stub.open = lambda fobj: _Container()
+    monkeypatch.setitem(sys.modules, "av", stub)
+
+    out = _video_frames(b"payload", every_n=2, strict=True)
+    assert [i for i, _ in out] == [0, 2, 4]
+    assert all((a == frame_arr).all() for _, a in out)
+
+
+def test_video_fake_fallback_and_strict_without_pyav(monkeypatch):
+    import sys
+
+    from deeplake_spark.operators.multimodal import _video_frames
+
+    monkeypatch.setitem(sys.modules, "av", None)  # force "absent"
+    out = _video_frames(b"payload", every_n=4, strict=False)
+    assert [i for i, _ in out] == [0, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _video_frames(b"payload", every_n=4, strict=True)
+
+
+def test_audio_real_branch_with_stubbed_soundfile(monkeypatch):
+    """Same landmine regression for the soundfile path: with the lib
+    present the real branch decodes (stereo mono-mixed)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _audio_waveform
+
+    stereo = np.array([[0.5, 1.0], [-0.5, -1.0]], dtype=np.float32)
+
+    stub = types.ModuleType("soundfile")
+
+    def _read(fobj, dtype, always_2d):
+        assert dtype == "float32" and always_2d
+        return stereo, 16000
+
+    stub.read = _read
+    monkeypatch.setitem(sys.modules, "soundfile", stub)
+
+    w = _audio_waveform(b"payload", compression="mp3", strict=True)
+    assert np.allclose(w, [0.75, -0.75])
+
+
+def test_audio_fake_fallback_and_strict_without_soundfile(monkeypatch):
+    import sys
+
+    import pytest as _pytest
+
+    from deeplake_spark.operators.multimodal import _audio_waveform
+
+    monkeypatch.setitem(sys.modules, "soundfile", None)
+    w = _audio_waveform(b"payload", compression="mp3", strict=False)
+    assert len(w) == 1024
+    with _pytest.raises(NotImplementedError):
+        _audio_waveform(b"payload", compression="mp3", strict=True)

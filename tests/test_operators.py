@@ -332,6 +332,30 @@ def test_sample_replacement_fraction_mode(spark):
         sample_with_replacement(df, F.col("w"), n=5, fraction=0.5)
 
 
+def test_group_runs_null_keys(spark):
+    """NULL group keys behave like any other key value (eqNullSafe):
+    NULL→X and X→NULL both start a new run, consecutive NULLs pack into
+    one run — matched against a sequential-pass model."""
+    from deeplake_spark.operators.restructure import group_runs
+
+    seq = ["a", "a", None, None, "a", None, "b", None, None, "b", "b", None]
+    rows = [(i, k) for i, k in enumerate(seq)]
+    df = spark.createDataFrame(rows, "i long, k string").repartition(4)
+
+    out = group_runs(df, ["k"], ["i"], ["i"]).collect()
+    got = sorted((r.run_id, r.k, [int(x) for x in r.i_seq]) for r in out)
+
+    expected, cur_k, cur = [], object(), []
+    for i, k in rows:
+        if k != cur_k and cur:
+            expected.append((len(expected), cur_k, cur))
+            cur = []
+        cur_k = k
+        cur.append(i)
+    expected.append((len(expected), cur_k, cur))
+    assert got == expected
+
+
 def test_group_runs_partition_stitch(spark):
     """Run detection is per-partition + boundary stitch: runs that span
     range-partition boundaries must still come out as ONE run with

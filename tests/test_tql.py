@@ -351,6 +351,30 @@ def test_row_number_no_global_window(spark, tables):
     assert sorted(got.values()) == list(range(len(got)))
 
 
+def test_row_number_order_by_no_global_window(spark, tables):
+    """ROW_NUMBER() inside ORDER BY (the bare-expression fallback
+    context) must also lower to the partition-offset column, never
+    row_number().over(Window.orderBy(...))."""
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id ORDER BY ROW_NUMBER() DESC LIMIT 5", default=d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert out.count() == 5
+    # rownum order matches the SELECT-context rownum: last-5, reversed
+    full = tql.query("SELECT doc_id, ROW_NUMBER() AS rn", default=d).collect()
+    last5 = [r.doc_id for r in sorted(full, key=lambda r: -r.rn)[:5]]
+    assert [r.doc_id for r in out.collect()] == last5
+
+
+def test_row_number_having_no_global_window(spark, tables):
+    d = tables["documents"]
+    out = tql.query("SELECT doc_id WHERE ROW_NUMBER() < 7", default=d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert out.count() == 7
+    assert "__tql_rownum" not in out.columns
+
+
 def test_multidim_slicing(spark):
     """boxes[:,0] / boxes[0,:] / boxes[1,2] / boxes[:,-1] / boxes[:,1:3]
     (reference slice_expr multi-dim, expr.hpp:303-318, tql.md:594-604)."""
