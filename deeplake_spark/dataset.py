@@ -197,7 +197,8 @@ class Dataset:
         table under <path>/_indexes/ and register it in refs metadata.
 
         Kinds (reference types.pyi:128-248): inverted | clustered |
-        numeric | json | exact. `json` takes `paths=[...]` (the JSON
+        numeric | json | exact | pooled (PooledQuantized MAXSIM,
+        types.pyi:604-615). `json` takes `paths=[...]` (the JSON
         paths extracted at build time); options are persisted so
         auto-refresh on commit rebuilds identically."""
         self._check_writable()
@@ -230,6 +231,16 @@ class Dataset:
             from deeplake_spark.operators.indexes import build_exact_index
 
             build_exact_index(self.to_df(), column, id_col="_row_id").save(idx_path)
+        elif kind == "pooled":
+            from deeplake_spark.operators.similarity import (
+                build_pooled_maxsim,
+                save_pooled_maxsim,
+            )
+
+            save_pooled_maxsim(
+                build_pooled_maxsim(self.to_df(), matrix_col=column, id_col="_row_id"),
+                idx_path,
+            )
         else:
             raise DatasetError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
@@ -271,6 +282,15 @@ class Dataset:
         refs = _read_refs(self.path)
         out = {}
         for col, meta in refs.get("indexes", {}).items():
+            if meta["kind"] == "pooled":
+                from deeplake_spark.operators.similarity import load_pooled_maxsim
+
+                out[col] = (
+                    "pooled",
+                    load_pooled_maxsim(self.spark, meta["path"], source=self.to_df()),
+                    "_row_id",
+                )
+                continue
             loader = loaders.get(meta["kind"])
             if loader is not None:
                 out[col] = (meta["kind"], loader(self.spark, meta["path"]), "_row_id")

@@ -82,6 +82,10 @@ TQL_FUNCTIONS = {
     "L2_NORM": l2_norm,
     "LINF_NORM": linf_norm,
     "HAMMING_DISTANCE": hamming_distance,
+    # exact ColBERT late interaction (nd/norm.hpp:42-56, tql.md:114-136);
+    # ORDER BY MAXSIM ... LIMIT k with a registered pooled index routes
+    # through the 2-stage index probe instead (translator._try_ann_route)
+    "MAXSIM": lambda doc, qm: maxsim_pandas()(doc, qm),
     "KEYS": F.json_object_keys,
     "RANDOM": F.rand,
 }

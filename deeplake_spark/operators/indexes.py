@@ -111,12 +111,20 @@ def contains_via_index(df: DataFrame, index: InvertedIndex, term: str,
 
 
 def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,
-                   k1: float = _BM25_K1, b: float = _BM25_B) -> DataFrame:
+                   k1: float = _BM25_K1, b: float = _BM25_B,
+                   candidates: DataFrame | None = None) -> DataFrame:
     """ORDER BY BM25_SIMILARITY LIMIT k from the prebuilt index: probe
     the query terms' postings (partition-pruned), score, top-k. Work is
-    O(matching postings), never O(corpus)."""
+    O(matching postings), never O(corpus).
+
+    `candidates` (a row_id relation) restricts which documents are
+    scored (the reference's filter+search, index_holder.hpp:30-36) —
+    IDF/corpus stats stay GLOBAL, matching search-then-filter scores."""
     tf = index.postings.filter(F.col("term").isin([t.lower() for t in terms]))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if candidates is not None:
+        cand = candidates.toDF("row_id") if candidates.columns != ["row_id"] else candidates
+        tf = tf.join(cand, "row_id", "left_semi")
     idf = df_.crossJoin(F.broadcast(index.stats)).select(
         "term",
         F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),

@@ -375,10 +375,41 @@ def build_pooled_maxsim(df: DataFrame, matrix_col: str, id_col: str) -> PooledMa
     )
 
 
+def save_pooled_maxsim(index: PooledMaxsimIndex, path: str) -> None:
+    """Persist the pooled-vector prefilter table + metadata. The source
+    matrices are NOT copied — at load time the rerank stage rebinds to
+    the live dataset relation (index stores derived data only, like the
+    reference's PooledQuantized stored index, types.pyi:604-615)."""
+    import json
+
+    index.pooled.write.mode("overwrite").parquet(os.path.join(path, "pooled"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"matrix_col": index.matrix_col, "id_col": index.id_col}, f)
+
+
+def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex:
+    """`source` is the relation holding the matrix column (the dataset's
+    current snapshot) — rerank joins it against pooled-prefilter hits."""
+    import json
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return PooledMaxsimIndex(
+        pooled=spark.read.parquet(os.path.join(path, "pooled")),
+        source=source.select(meta["id_col"], meta["matrix_col"]),
+        id_col=meta["id_col"],
+        matrix_col=meta["matrix_col"],
+    )
+
+
 def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
-                  config: SearchConfig | None = None) -> DataFrame:
+                  config: SearchConfig | None = None,
+                  candidates: DataFrame | None = None) -> DataFrame:
     """Two-stage MAXSIM: pooled-cosine prefilter to k*accuracy_factor,
-    exact late-interaction rerank (pandas UDF) on candidates only."""
+    exact late-interaction rerank (pandas UDF) on candidates only.
+
+    `candidates` (an id relation) restricts the search to a WHERE-
+    prefiltered subset (filter+search, index_holder.hpp:30-36)."""
     import numpy as np
 
     from deeplake_spark.functions.vector import maxsim_pandas
@@ -386,8 +417,11 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     config = config or SearchConfig()
     qm = np.asarray(query_matrix, dtype=np.float64)
     q_pooled = qm.mean(axis=0)
+    pooled = index.pooled
+    if candidates is not None:
+        pooled = pooled.join(candidates, index.id_col, "left_semi")
     cands = (
-        topk_cosine(index.pooled, "pooled", q_pooled.tolist(),
+        topk_cosine(pooled, "pooled", q_pooled.tolist(),
                     k=k * config.accuracy_factor, id_col=index.id_col)
         .select(index.id_col)
     )

@@ -337,6 +337,58 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: persisted inverted-index memo keyed by (session, sf_dir): the
+#: reference builds text indexes at ingest (index_build_config), so t13
+#: times the PROBE path (parquet posting scan), not the build — and the
+#: plan provably contains no corpus tokenize (tests/test_plans.py)
+_INV_CACHE: dict = {}
+
+
+def _inv_index(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from deeplake_spark.operators.indexes import InvertedIndex, build_inverted_index
+
+    key = (id(spark), sf_dir)
+    if key not in _INV_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        idx = build_inverted_index(d, text_col="text", id_col="doc_id")
+        path = os.path.join(
+            tempfile.gettempdir(), f"dls_inv_{abs(hash(sf_dir))}")
+        idx.save(path)
+        _INV_CACHE[key] = InvertedIndex.load(spark, path)
+    return _INV_CACHE[key]
+
+
+@query(
+    "t13_tql_bm25_topk",
+    oracle=_duck_bm25(["spark", "join", "vector"])
+    + """
+    SELECT doc_id, ROUND(bm25, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    doc="TQL string `ORDER BY BM25_SIMILARITY(text, 'query') DESC "
+    "LIMIT k` routed through the persisted inverted index by the "
+    "translator (tql.md:170-176, deeplake_pg/index_search.cpp:135-170): "
+    "the plan probes posting parquet, never tokenizes the corpus.",
+    tags=("text", "bm25", "topk", "tql", "index"),
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+
+    d = load_table(spark, sf_dir, "documents")
+    return tql.query(
+        "SELECT doc_id, BM25_SIMILARITY(text, 'spark join vector') AS score "
+        "ORDER BY score DESC LIMIT 10",
+        spark=spark,
+        default=d,
+        indexes={"text": ("inverted", _inv_index(spark, sf_dir), "doc_id")},
+    )
+
+
 @query(
     "t09_inverted_df",
     oracle=f"""

@@ -304,17 +304,11 @@ def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "v09_maxsim",
-    oracle=None,  # per-row ragged matrices — validated against numpy in tests
-    doc="MAXSIM late interaction (cpp/nd/norm.hpp:42-56) over synthesized "
-    "doc matrices (groups of 8 embeddings); Arrow-batched pandas UDF.",
-    tags=("vector", "maxsim"),
-)
-def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized doc matrices: groups of 8 consecutive embeddings →
+    (doc_id, doc_matrix) — shared by v09 (exact) and v18 (index)."""
     e = load_table(spark, sf_dir, "embeddings")
-    maxsim = maxsim_pandas()
-    docs = (
+    return (
         e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
         .groupBy("doc_id")
         .agg(
@@ -326,6 +320,37 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_matrix")
         )
     )
+
+
+@query(
+    "v09_maxsim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+      SELECT CAST(vec_id // 8 AS BIGINT) AS doc_id, embedding AS dv
+      FROM embeddings
+    ),
+    pair AS (
+      SELECT doc_id, q_id, MAX({_DUCK_COS.format(a="dv", b="qv")}) AS m
+      FROM d CROSS JOIN q
+      GROUP BY doc_id, q_id
+    )
+    SELECT doc_id, ROUND(SUM(m), 6) AS maxsim_score
+    FROM pair GROUP BY doc_id
+    ORDER BY maxsim_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="MAXSIM late interaction (cpp/nd/norm.hpp:42-56) over synthesized "
+    "doc matrices (groups of 8 embeddings); Arrow-batched pandas UDF. "
+    "Exact-checked: sum over query rows of max-cosine against doc rows.",
+    tags=("vector", "maxsim"),
+)
+def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    maxsim = maxsim_pandas()
+    docs = _doc_matrices(spark, sf_dir)
     qrow = (
         e.filter(F.col("vec_id") < 4)
         .orderBy("vec_id")
@@ -490,6 +515,61 @@ def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
         params=[list(row[0])],
         indexes={"embedding": ("clustered", idx, "vec_id")},
         search_config=SearchConfig.balanced(),
+    )
+
+
+#: persisted pooled-MAXSIM index memo (build-at-ingest, probe-per-query
+#: — same protocol as _ivf8/_inv_index)
+_POOLED_CACHE: dict = {}
+
+
+def _pooled_index(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from deeplake_spark.operators.similarity import (
+        build_pooled_maxsim,
+        load_pooled_maxsim,
+        save_pooled_maxsim,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _POOLED_CACHE:
+        docs = _doc_matrices(spark, sf_dir)
+        path = os.path.join(tempfile.gettempdir(), f"dls_pooled_{abs(hash(sf_dir))}")
+        save_pooled_maxsim(
+            build_pooled_maxsim(docs, matrix_col="doc_matrix", id_col="doc_id"), path)
+        _POOLED_CACHE[key] = load_pooled_maxsim(spark, path, source=docs)
+    return _POOLED_CACHE[key]
+
+
+@query(
+    "v18_tql_maxsim",
+    oracle=None,  # 2-stage pooled prefilter is approximate — recall vs
+    # exact MAXSIM asserted in tests/test_indexes.py::test_tql_maxsim_routing
+    doc="TQL string `ORDER BY MAXSIM(col, ARRAY(...)) DESC LIMIT k` "
+    "routed through the persisted pooled index by the translator "
+    "(reference PooledQuantized, types.pyi:604-615; nd/norm.hpp:42-56, "
+    "tql.md:114-136): pooled-cosine prefilter + exact rerank on "
+    "candidates only, never a corpus-wide late-interaction pass.",
+    tags=("vector", "maxsim", "tql", "index"),
+)
+def v18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import SearchConfig
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qm = [list(r[0]) for r in
+          e.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()]
+    docs = _doc_matrices(spark, sf_dir)
+    return tql.query(
+        "SELECT doc_id, MAXSIM(doc_matrix, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        spark=spark,
+        default=docs,
+        params=[qm],
+        indexes={"doc_matrix": ("pooled", _pooled_index(spark, sf_dir), "doc_id")},
+        search_config=SearchConfig.high_accuracy(),
     )
 
 

@@ -83,6 +83,9 @@ class Translator:
         self.indexes = dict(indexes or {})
         #: SearchConfig recall/latency knobs for the ANN fast path
         self.search_config = search_config
+        #: FuncCall routed by _try_ann_route whose score is carried as
+        #: the __tql_score column (BM25/MAXSIM index-computed scores)
+        self._routed_score: ast.FuncCall | None = None
 
     # ------------------------------------------------------------------ API
 
@@ -184,6 +187,10 @@ class Translator:
             cols.append(c.alias(name))
         if sel.sample is not None:
             cols.append(F.col("__tql_w"))
+        # routed BM25/MAXSIM score must survive the projection so ORDER
+        # BY can reference it (dropped again before returning)
+        if "__tql_score" in df.columns:
+            cols.append(F.col("__tql_score"))
         projected = df.select(*cols)
 
         if sel.distinct:
@@ -211,6 +218,8 @@ class Translator:
 
         if sel.limit is not None:
             projected = self._limit(sel.limit, projected)
+        if "__tql_score" in projected.columns:
+            projected = projected.drop("__tql_score")
         return projected
 
     def _apply_where(self, where: ast.Node, df: DataFrame) -> DataFrame:
@@ -363,17 +372,48 @@ class Translator:
             return [float(a.value) for a in node.args]
         return None
 
+    def _matrix_literal(self, node: ast.Node) -> list[list[float]] | None:
+        """Resolve a query-matrix expression (nested ARRAY literal or a
+        `?` param carrying a list of lists) to Python floats."""
+        if isinstance(node, ast.Param) and node.index < len(self.params):
+            v = self.params[node.index]
+            if (
+                isinstance(v, (list, tuple))
+                and v
+                and all(isinstance(r, (list, tuple)) for r in v)
+            ):
+                return [[float(x) for x in r] for r in v]
+            return None
+        if isinstance(node, ast.FuncCall) and node.name.upper() == "ARRAY":
+            rows = [self._vec_literal(a) for a in node.args]
+            if all(r is not None for r in rows):
+                return rows
+        return None
+
+    #: score functions ORDER BY <fn> DESC LIMIT k can route through a
+    #: persisted index, and the index kind each one needs
+    _TOPK_ROUTES = {
+        "COSINE_SIMILARITY": "clustered",
+        "BM25_SIMILARITY": "inverted",
+        "MAXSIM": "pooled",
+    }
+
     def _try_ann_route(self, sel: ast.Select) -> DataFrame | None:
-        """`ORDER BY COSINE_SIMILARITY(col, <vec>) DESC LIMIT k` over the
-        bound dataset with a registered clustered index → IVF probe
+        """`ORDER BY <score_fn>(col, <query>) DESC LIMIT k` over the
+        bound dataset with a matching registered index → index probe
         (the reference's top-k fast path, cpp/tql/tql.hpp:171 +
-        query_core/top_k_search_info.hpp:17-66). WHERE conjuncts become
-        the candidate row set handed to the probe (filter+search,
-        index_holder.hpp:30-36) — including any text/numeric/JSON index
-        rewrites the WHERE itself triggers.
+        query_core/top_k_search_info.hpp:17-66; BM25/MAXSIM index exec:
+        deeplake_pg/index_search.cpp:135-170, nd/norm.hpp:42-56,
+        docs tql.md:114-176). WHERE conjuncts become the candidate row
+        set handed to the probe (filter+search, index_holder.hpp:30-36)
+        — including any text/numeric/JSON index rewrites the WHERE
+        itself triggers.
 
         Returns the index-pruned base relation (row-id semijoin against
-        the top-k hits), or None when the shape doesn't match."""
+        the top-k hits; BM25/MAXSIM also carry the index-computed score
+        as `__tql_score`, resolved by _call so corpus-global stats are
+        never recomputed on the pruned subset), or None when the shape
+        doesn't match."""
         if (
             sel.source is not None  # indexes describe the bound dataset only
             or sel.group is not None
@@ -399,35 +439,76 @@ class Translator:
                     break
         if not (
             isinstance(e, ast.FuncCall)
-            and e.name.upper() == "COSINE_SIMILARITY"
+            and e.name.upper() in self._TOPK_ROUTES
             and len(e.args) == 2
         ):
             return None
-        col_arg, vec_arg = e.args
+        fname = e.name.upper()
+        col_arg, q_arg = e.args
         if not isinstance(col_arg, ast.ColumnRef):
-            col_arg, vec_arg = vec_arg, col_arg
+            col_arg, q_arg = q_arg, col_arg
         if not isinstance(col_arg, ast.ColumnRef) or col_arg.table is not None:
-            return None
-        qvec = self._vec_literal(vec_arg)
-        if qvec is None:
             return None
         meta = self.indexes.get(col_arg.name)
         if meta is None or len(meta) != 3:
             return None
         kind, idx, id_col = meta
-        if kind != "clustered":
+        if kind != self._TOPK_ROUTES[fname]:
             return None
-        from deeplake_spark.operators.similarity import ivf_search
 
         df = self._resolve_source(None)
         candidates = None
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
         fetch = sel.limit.n + (sel.limit.offset or 0)
-        hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
-                          candidates=candidates).select(id_col)
-        # k rows — always broadcastable
-        return df.join(F.broadcast(hits), id_col, "left_semi")
+
+        if fname == "COSINE_SIMILARITY":
+            from deeplake_spark.operators.similarity import ivf_search
+
+            qvec = self._vec_literal(q_arg)
+            if qvec is None:
+                return None
+            hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
+                              candidates=candidates).select(id_col)
+            # k rows — always broadcastable; score recomputed exactly
+            # on ≤k rows by the normal path
+            return df.join(F.broadcast(hits), id_col, "left_semi")
+
+        if fname == "BM25_SIMILARITY":
+            from deeplake_spark.operators.indexes import bm25_via_index
+
+            if not (isinstance(q_arg, ast.Literal) and isinstance(q_arg.value, str)):
+                q_arg_v = self._param_str(q_arg)
+                if q_arg_v is None:
+                    return None
+            else:
+                q_arg_v = q_arg.value
+            terms = q_arg_v.lower().split()
+            hits = bm25_via_index(
+                idx, terms, k=fetch,
+                candidates=candidates.withColumnRenamed(id_col, "row_id")
+                if candidates is not None else None,
+            ).select(F.col("row_id").alias(id_col), F.col("bm25").alias("__tql_score"))
+        else:  # MAXSIM
+            from deeplake_spark.operators.similarity import maxsim_search
+
+            qm = self._matrix_literal(q_arg)
+            if qm is None:
+                return None
+            hits = maxsim_search(idx, qm, k=fetch, config=self.search_config,
+                                 candidates=candidates).select(
+                F.col(idx.id_col).alias(id_col),
+                F.col("maxsim_score").alias("__tql_score"),
+            )
+        self._routed_score = e  # _call resolves this exact call shape
+        # inner join: ≤k hit rows (broadcastable) carry the index score
+        return df.join(F.broadcast(hits), id_col, "inner")
+
+    def _param_str(self, node: ast.Node) -> str | None:
+        if isinstance(node, ast.Param) and node.index < len(self.params):
+            v = self.params[node.index]
+            return v if isinstance(v, str) else None
+        return None
 
     def _limit(self, lim: ast.Limit, df: DataFrame) -> DataFrame:
         if lim.percent:
@@ -737,6 +818,21 @@ class Translator:
 
     def _call(self, e: ast.FuncCall, df: DataFrame) -> Column:
         name = e.name.upper()
+        if (
+            name in ("BM25_SIMILARITY", "MAXSIM")
+            and "__tql_score" in df.columns
+            and e == self._routed_score
+        ):
+            # index-routed score (carried by _try_ann_route's hit join):
+            # BM25/MAXSIM use corpus-global stats, so the score must come
+            # from the index probe, never be recomputed on the pruned rows
+            return F.col("__tql_score").cast("double")
+        if name == "BM25_SIMILARITY":
+            raise TQLTranslationError(
+                "BM25_SIMILARITY routes through an inverted index: register one "
+                "on the column (Dataset.create_index(col, 'inverted')) and use "
+                "ORDER BY BM25_SIMILARITY(col, 'query') DESC LIMIT k"
+            )
         if name == "ROW_NUMBER":
             if "__tql_rownum" in df.columns:
                 # precomputed by _with_rownum (partition-offset, no

@@ -347,3 +347,156 @@ def test_dataset_index_kinds_and_filtered_search(spark, sf_dir):
             spark.createDataFrame([(r._row_id,) for r in got], "_row_id long"),
             "_row_id", "left_semi").collect()}
         assert ok_labels == {2}
+
+
+def test_tql_bm25_routing(spark, sf_dir, tmp_path):
+    """TQL `ORDER BY BM25_SIMILARITY(text, 'q') DESC LIMIT k` on an
+    inverted-indexed column routes through the persisted posting tables
+    (index_search.cpp:135-170): scores equal corpus-wide BM25 exactly,
+    and the executed plan never tokenizes the corpus."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import InvertedIndex
+    from deeplake_spark.queries.text_ops import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "inv")
+    build_inverted_index(d, text_col="text", id_col="doc_id").save(p)
+    idx = InvertedIndex.load(spark, p)
+    indexes = {"text": ("inverted", idx, "doc_id")}
+
+    routed = tql.query(
+        "SELECT doc_id, BM25_SIMILARITY(text, 'spark join vector') AS score "
+        "ORDER BY score DESC LIMIT 10",
+        default=d, indexes=indexes)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan, "corpus tokenize leaked into the probe plan"
+    got = {r.doc_id: r.score for r in routed.collect()}
+    exact = {
+        r.doc_id: float(r.bm25)
+        for r in bm25_scores(d, ["spark", "join", "vector"])
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id").limit(10).collect()
+    }
+    assert got == exact
+
+    # WHERE becomes the candidate set (filter+search): every hit
+    # satisfies the predicate, scores keep GLOBAL idf/stats
+    filtered = tql.query(
+        "SELECT doc_id, BM25_SIMILARITY(text, 'spark join vector') AS score "
+        "WHERE n_chars > 200 ORDER BY score DESC LIMIT 5",
+        default=d, indexes=indexes)
+    rows = filtered.collect()
+    assert 0 < len(rows) <= 5
+    ok = d.filter(F.col("n_chars") > 200)
+    allowed = {r.doc_id for r in ok.select("doc_id").collect()}
+    assert {r.doc_id for r in rows} <= allowed
+    full = {r.doc_id: r.score for r in routed.collect()}
+    for r in rows:
+        if r.doc_id in full:
+            assert abs(r.score - full[r.doc_id]) < 1e-9
+
+    # without an index the function is a clear error, not a wrong answer
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="inverted index"):
+        tql.query(
+            "SELECT doc_id, BM25_SIMILARITY(text, 'spark') AS s "
+            "ORDER BY s DESC LIMIT 5", default=d).collect()
+
+
+def test_tql_maxsim_routing(spark, sf_dir, tmp_path):
+    """TQL `ORDER BY MAXSIM(col, ?) DESC LIMIT k` with a pooled index
+    routes through the 2-stage probe; recall >= 0.8 vs exact MAXSIM;
+    without an index the MAXSIM scalar (pandas UDF) answers exactly."""
+    from deeplake_spark import tql
+    from deeplake_spark.functions.vector import maxsim_pandas
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_pooled_maxsim,
+        load_pooled_maxsim,
+        save_pooled_maxsim,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = (
+        e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))),
+                lambda s: s["embedding"],
+            ).alias("mat")
+        )
+    ).cache()
+    qm = [list(r.embedding)
+          for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+
+    p = str(tmp_path / "pooled")
+    save_pooled_maxsim(build_pooled_maxsim(docs, "mat", "doc_id"), p)
+    idx = load_pooled_maxsim(spark, p, source=docs)
+
+    routed = tql.query(
+        "SELECT doc_id, MAXSIM(mat, ?) AS score ORDER BY score DESC LIMIT 5",
+        default=docs, params=[qm],
+        indexes={"mat": ("pooled", idx, "doc_id")},
+        search_config=SearchConfig.high_accuracy())
+    approx = [r.doc_id for r in routed.collect()]
+
+    maxsim = maxsim_pandas()
+    qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+    exact_df = (
+        docs.select("doc_id", F.round(maxsim(F.col("mat"), qm_lit), 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id").limit(5)
+    )
+    exact = [r.doc_id for r in exact_df.collect()]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.8, f"TQL maxsim recall {recall}: {approx} vs {exact}"
+
+    # no index -> brute-force scalar path, exact
+    brute = tql.query(
+        "SELECT doc_id, MAXSIM(mat, ?) AS score ORDER BY score DESC, doc_id LIMIT 5",
+        default=docs, params=[qm])
+    assert [r.doc_id for r in brute.collect()] == exact
+
+
+def test_dataset_pooled_index_end_to_end(spark, sf_dir):
+    """ds.create_index(col, 'pooled') persists the pooled table and
+    ds.query routes MAXSIM through it (types.pyi:604-615)."""
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+    from deeplake_spark.functions.vector import maxsim_pandas
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = (
+        e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))),
+                lambda s: s["embedding"],
+            ).alias("mat")
+        )
+    )
+    qm = [list(r.embedding)
+          for r in e.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()]
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(d + "/docs.parquet")
+        ds = dl.from_parquet(d + "/docs.parquet", d + "/ds", spark)
+        ds.create_index("mat", "pooled")
+        out = ds.query(
+            "SELECT doc_id, MAXSIM(mat, ?) AS score ORDER BY score DESC LIMIT 5",
+            params=[qm])
+        rows = out.collect()
+        assert 0 < len(rows) <= 5
+        # rerank scores are exact MAXSIM values for the returned docs
+        maxsim = maxsim_pandas()
+        qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+        expect = {
+            r.doc_id: float(r.s)
+            for r in ds.to_df().select(
+                "doc_id", F.round(maxsim(F.col("mat"), qm_lit), 6).alias("s")).collect()
+        }
+        for r in rows:
+            assert abs(r.score - expect[r.doc_id]) < 1e-6
