@@ -541,6 +541,8 @@ class Dataset:
         """Commit staged appends/deletes (__init__.pyi:3436)."""
         self._check_writable()
         schema = self.schema or getattr(self, "_pending_schema", None)
+        new_files = list(self._staged_files)
+        mutated = bool(self._staged_deletes or self._staged_patches)
         entry = self._commit_entry(
             schema=schema,
             files=self._staged_files,
@@ -556,8 +558,50 @@ class Dataset:
         if self.indexing_mode == "automatic":
             refs = _read_refs(self.path)
             for col, meta in refs.get("indexes", {}).items():
-                self.create_index(col, meta["kind"], **meta.get("options", {}))
+                if mutated:
+                    # updates/deletes can invalidate existing index rows:
+                    # full rebuild (explicit create_index semantics)
+                    self.create_index(col, meta["kind"], **meta.get("options", {}))
+                elif new_files:
+                    # append-only commit: build a delta index over JUST
+                    # the new rows and append it — O(new data), existing
+                    # index files untouched (IndexingMode automatic,
+                    # __init__.pyi:2885-2926)
+                    self._append_index_delta(col, meta, new_files)
         return str(entry["version"])
+
+    def _append_index_delta(self, column: str, meta: dict, new_files: list[str]) -> None:
+        """Incremental index refresh for an append-only commit."""
+        new_df = self.spark.read.schema(self.schema).parquet(
+            *[os.path.join(self.path, _DATA_DIR, f) for f in new_files]
+        )
+        kind, idx_path = meta["kind"], meta["path"]
+        if kind == "inverted":
+            from deeplake_spark.operators.indexes import build_inverted_index
+
+            build_inverted_index(new_df, text_col=column, id_col="_row_id").append_to(idx_path)
+        elif kind == "numeric":
+            from deeplake_spark.operators.indexes import build_numeric_index
+
+            build_numeric_index(new_df, column, id_col="_row_id").append_to(idx_path)
+        elif kind == "json":
+            from deeplake_spark.operators.indexes import build_json_index
+
+            paths = meta.get("options", {}).get("paths")
+            build_json_index(new_df, column, paths, id_col="_row_id").append_to(idx_path)
+        elif kind == "exact":
+            from deeplake_spark.operators.indexes import build_exact_index
+
+            build_exact_index(new_df, column, id_col="_row_id").append_to(idx_path)
+        elif kind == "clustered":
+            from deeplake_spark.operators.similarity import append_ivf_delta, load_ivf
+
+            append_ivf_delta(load_ivf(self.spark, idx_path), new_df, idx_path)
+        elif kind == "pooled":
+            from deeplake_spark.operators.similarity import append_pooled_delta
+
+            append_pooled_delta(new_df, matrix_col=column, id_col="_row_id",
+                                path=idx_path)
 
     def history(self) -> list[Version]:
         out = []

@@ -65,19 +65,34 @@ class InvertedIndex:
             .select("row_id")
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, mode: str = "overwrite") -> None:
         # bucket the term dimension: probes prune to matching partitions
         self.postings.withColumn("bucket", F.abs(F.hash("term")) % 64).write.mode(
-            "overwrite"
+            mode
         ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
-        self.stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
-        self.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+        self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
+        self.doclens.write.mode(mode).parquet(os.path.join(path, "doclens"))
+
+    def append_to(self, path: str) -> None:
+        """Delta maintenance: write this (delta-built) index's postings/
+        doclens as NEW files next to the existing ones — union-on-read,
+        prior files untouched (reference IndexingMode automatic,
+        __init__.pyi:2885-2926). Stats accumulate one row per delta;
+        load() merges them."""
+        self.save(path, mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        # stats may hold one row per appended delta: merge with a
+        # doc-count-weighted average (tiny relation — rows == deltas)
+        raw = spark.read.parquet(os.path.join(path, "stats"))
+        stats = raw.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
+        )
         return cls(
             postings=spark.read.parquet(os.path.join(path, "postings")).drop("bucket"),
-            stats=spark.read.parquet(os.path.join(path, "stats")),
+            stats=stats,
             doclens=spark.read.parquet(os.path.join(path, "doclens")),
         )
 
@@ -150,31 +165,94 @@ def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,
 # ----------------------------------------------------------------- numeric
 
 
+_NUM_BUCKETS = 64
+
+
 @dataclass
 class NumericIndex:
-    """NumericIndex(Inverted) (types.pyi:180-200): value → row_ids plus
-    min/max per value bucket; range probes prune buckets (the parquet
-    min/max zone-map analog, but queryable as a relation)."""
+    """NumericIndex(Inverted) (types.pyi:180-200): value → row_ids with
+    RANGE buckets as the partition column — BETWEEN/IN probes filter the
+    bucket range first, so parquet partition pruning actually fires (the
+    zone-map analog made physical). Bucket bounds (vmin/width) persist
+    in a sidecar; delta appends reuse them (values outside the original
+    range clamp to the edge buckets — the value filter keeps probes
+    exact)."""
 
-    values: DataFrame  # value, row_id
+    values: DataFrame  # value, row_id [, bucket]
+    vmin: float | None = None
+    width: float | None = None
+
+    def _bucket_of(self, v) -> int:
+        if self.vmin is None or not self.width:
+            return 0
+        return max(0, min(_NUM_BUCKETS - 1, int((float(v) - self.vmin) / self.width)))
 
     def probe_between(self, lo, hi) -> DataFrame:
-        return self.values.filter(F.col("value").between(lo, hi)).select("row_id").distinct()
+        out = self.values
+        if "bucket" in out.columns and self.vmin is not None:
+            out = out.filter(
+                F.col("bucket").between(self._bucket_of(lo), self._bucket_of(hi)))
+        return out.filter(F.col("value").between(lo, hi)).select("row_id").distinct()
 
     def probe_in(self, items: list) -> DataFrame:
-        return self.values.filter(F.col("value").isin(items)).select("row_id").distinct()
+        out = self.values
+        if "bucket" in out.columns and self.vmin is not None:
+            out = out.filter(
+                F.col("bucket").isin(sorted({self._bucket_of(v) for v in items})))
+        return out.filter(F.col("value").isin(items)).select("row_id").distinct()
 
     def save(self, path: str) -> None:
-        # range-bucket on value so BETWEEN probes prune partitions via
-        # the partition column (zone-map behavior made physical); the
-        # plain `value` column stays for exact pruning inside buckets
-        self.values.withColumn(
-            "bucket", F.abs(F.hash(F.col("value").cast("string"))) % 64
-        ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "values"))
+        import json
+
+        bounds = self.values.agg(
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+        ).head()
+        vmin = float(bounds["lo"]) if bounds["lo"] is not None else 0.0
+        vmax = float(bounds["hi"]) if bounds["hi"] is not None else vmin
+        width = (vmax - vmin) / _NUM_BUCKETS or 1.0
+        self._write_values(self.values, path, vmin, width, mode="overwrite")
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"vmin": vmin, "width": width}, f)
+
+    @staticmethod
+    def _write_values(values: DataFrame, path: str, vmin: float, width: float,
+                      mode: str) -> None:
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(_NUM_BUCKETS - 1),
+                F.floor((F.col("value").cast("double") - vmin) / width).cast("int"),
+            ),
+        )
+        values.withColumn("bucket", bucket).write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "values"))
+
+    def append_to(self, path: str) -> None:
+        """Delta append using the EXISTING bucket bounds — prior files
+        untouched."""
+        import json
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self._write_values(self.values, path, meta["vmin"], meta["width"],
+                           mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "NumericIndex":
-        return cls(values=spark.read.parquet(os.path.join(path, "values")).drop("bucket"))
+        import json
+
+        vmin = width = None
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            vmin, width = meta["vmin"], meta["width"]
+        return cls(
+            values=spark.read.parquet(os.path.join(path, "values")),
+            vmin=vmin, width=width,
+        )
 
 
 def build_numeric_index(df: DataFrame, col: str, id_col: str = "doc_id") -> NumericIndex:
@@ -198,11 +276,16 @@ class JsonIndex:
             .distinct()
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, mode: str = "overwrite") -> None:
         # partition by json path: a probe reads exactly one directory
-        self.entries.write.mode("overwrite").partitionBy("path").parquet(
+        self.entries.write.mode(mode).partitionBy("path").parquet(
             os.path.join(path, "entries")
         )
+
+    def append_to(self, path: str) -> None:
+        """Delta append: new entries land in new files under each path
+        partition — prior files untouched."""
+        self.save(path, mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "JsonIndex":
@@ -234,23 +317,33 @@ class ExactTextIndex:
     """Exact whole-string index (types.pyi:143, index_search.cpp:172-199):
     digest → row_ids hash lookup."""
 
-    digests: DataFrame  # digest, row_id
+    digests: DataFrame  # digest, row_id [, bucket]
 
     def probe(self, value: str) -> DataFrame:
         import hashlib
 
         h = hashlib.md5(value.encode()).hexdigest()
-        return self.digests.filter(F.col("digest") == h).select("row_id")
+        out = self.digests
+        if "bucket" in out.columns:
+            # partition-prune to the probe's digest-prefix directory
+            out = out.filter(F.col("bucket") == h[:2])
+        return out.filter(F.col("digest") == h).select("row_id")
 
-    def save(self, path: str) -> None:
-        # digest-prefix buckets: an exact probe prunes to one partition
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        # digest-prefix buckets: probe() filters the bucket column so an
+        # exact lookup prunes to one partition directory
         self.digests.withColumn(
             "bucket", F.substring("digest", 1, 2)
-        ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "digests"))
+        ).write.mode(mode).partitionBy("bucket").parquet(os.path.join(path, "digests"))
+
+    def append_to(self, path: str) -> None:
+        """Delta append: new digests land in new files per bucket —
+        prior files untouched."""
+        self.save(path, mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ExactTextIndex":
-        return cls(digests=spark.read.parquet(os.path.join(path, "digests")).drop("bucket"))
+        return cls(digests=spark.read.parquet(os.path.join(path, "digests")))
 
 
 def build_exact_index(df: DataFrame, col: str, id_col: str = "doc_id") -> ExactTextIndex:

@@ -156,6 +156,40 @@ def load_ivf(spark, path: str) -> IVFIndex:
     )
 
 
+def assign_to_centroids(df: DataFrame, vec_col: str, centroids: list) -> DataFrame:
+    """Nearest-centroid assignment as a pure JVM expression (no MLlib
+    fit): per row, argmin of squared distance over the (broadcast-small)
+    centroid literals — the incremental-indexing path, where new rows
+    join existing clusters and no re-clustering happens."""
+    def dist2(c: list) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.array(*[
+        F.struct(dist2(c).alias("d"), F.lit(int(cid)).alias("c"))
+        for cid, c in centroids
+    ])
+    best = F.array_min(pairs)["c"]
+    return df.withColumn("cluster", best)
+
+
+def append_ivf_delta(index: IVFIndex, new_df: DataFrame, path: str) -> None:
+    """Delta maintenance: assign NEW rows to the existing centroids and
+    append their assignments — prior cluster files and centroids remain
+    untouched (re-clustering only on an explicit create_index; reference
+    IndexingMode automatic, __init__.pyi:2885-2926)."""
+    assigned = assign_to_centroids(
+        new_df.select(index.id_col, index.vec_col), index.vec_col, index.centroids)
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "assignments")
+    )
+
+
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,
                config: SearchConfig | None = None,
                candidates: DataFrame | None = None) -> DataFrame:
@@ -385,6 +419,14 @@ def save_pooled_maxsim(index: PooledMaxsimIndex, path: str) -> None:
     index.pooled.write.mode("overwrite").parquet(os.path.join(path, "pooled"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"matrix_col": index.matrix_col, "id_col": index.id_col}, f)
+
+
+def append_pooled_delta(new_df: DataFrame, matrix_col: str, id_col: str,
+                        path: str) -> None:
+    """Delta maintenance: pool ONLY the new rows' matrices and append —
+    prior pooled files untouched."""
+    delta = build_pooled_maxsim(new_df, matrix_col=matrix_col, id_col=id_col)
+    delta.pooled.write.mode("append").parquet(os.path.join(path, "pooled"))
 
 
 def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex:

@@ -500,3 +500,136 @@ def test_dataset_pooled_index_end_to_end(spark, sf_dir):
         }
         for r in rows:
             assert abs(r.score - expect[r.doc_id]) < 1e-6
+
+
+def _tree_state(root):
+    import os as _os
+
+    state = {}
+    for dirpath, _dirs, files in _os.walk(root):
+        for fn in files:
+            if fn.startswith((".", "_")):  # _SUCCESS markers / crc files
+                continue
+            p = _os.path.join(dirpath, fn)
+            st = _os.stat(p)
+            state[p] = (st.st_size, st.st_mtime_ns)
+    return state
+
+
+def test_incremental_index_refresh_on_append(spark, sf_dir):
+    """Append-only commit with indexing_mode='automatic' appends a DELTA
+    to each registered index (old files byte-identical, untouched) and
+    probes see the new rows (IndexingMode, __init__.pyi:2885-2926)."""
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.from_parquet(f"{sf_dir}/documents.parquet", d + "/ds", spark)
+        ds.create_index("text", "inverted")
+        ds.create_index("n_chars", "numeric")
+        inv_dir = d + "/ds/_indexes/text_inverted"
+        num_dir = d + "/ds/_indexes/n_chars_numeric"
+        before = {**_tree_state(inv_dir + "/postings"),
+                  **_tree_state(num_dir + "/values")}
+
+        row = ds[0].asDict()
+        row.pop("_row_id", None)
+        row.update({"doc_id": 999_999, "text": "zzzincrementalterm only here",
+                    "n_chars": 28})
+        ds.append([row])
+        ds.commit("delta append")
+
+        after = {**_tree_state(inv_dir + "/postings"),
+                 **_tree_state(num_dir + "/values")}
+        for p, sig in before.items():
+            assert after.get(p) == sig, f"existing index file rewritten: {p}"
+        assert len(after) > len(before), "no delta files appended"
+
+        # probes see the new row through the refreshed indexes
+        hit = ds.query("SELECT doc_id WHERE CONTAINS(text, 'zzzincrementalterm')")
+        assert [r.doc_id for r in hit.collect()] == [999_999]
+        rng = ds.query("SELECT doc_id WHERE n_chars BETWEEN 28 AND 28")
+        assert 999_999 in {r.doc_id for r in rng.collect()}
+
+        # BM25 stats merged across deltas: n_docs grew by 1
+        from deeplake_spark.operators.indexes import InvertedIndex
+
+        idx = InvertedIndex.load(spark, inv_dir)
+        n_docs = idx.stats.head()["n_docs"]
+        assert n_docs == ds.to_df().count()
+
+        # an update commit falls back to a full rebuild (correct, not
+        # stale): the patched text is searchable
+        ds.update(0, {"text": "qqqpatchedterm appears now"})
+        ds.commit("patch")
+        hit2 = ds.query("SELECT doc_id WHERE CONTAINS(text, 'qqqpatchedterm')")
+        assert hit2.count() == 1
+
+
+def test_ivf_and_pooled_delta_append(spark, sf_dir, tmp_path):
+    """IVF delta: new rows join their nearest EXISTING centroid, old
+    assignment files untouched; pooled delta likewise."""
+    from deeplake_spark.operators.similarity import (
+        append_ivf_delta,
+        build_ivf,
+        load_ivf,
+        save_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx_path = str(tmp_path / "ivf")
+    save_ivf(build_ivf(e, n_clusters=4, seed=7), idx_path)
+    idx = load_ivf(spark, idx_path)
+    before = _tree_state(idx_path + "/assignments")
+
+    # new row = exact copy of centroid 2 -> must land in cluster 2
+    import numpy as np
+
+    c2 = idx.centroids[2][1]
+    new = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in c2])],
+        "vec_id long, embedding array<float>")
+    append_ivf_delta(idx, new, idx_path)
+
+    after = _tree_state(idx_path + "/assignments")
+    for p, sig in before.items():
+        assert after.get(p) == sig
+    assert len(after) > len(before)
+
+    idx2 = load_ivf(spark, idx_path)
+    got = idx2.assignments.filter(F.col("vec_id") == 10_000_000).head()
+    assert got["cluster"] == 2
+    # the probe path surfaces the new row for a query at that centroid
+    from deeplake_spark.operators.similarity import SearchConfig, ivf_search
+
+    hits = ivf_search(idx2, list(c2), k=3, config=SearchConfig.high_accuracy())
+    assert 10_000_000 in {r.vec_id for r in hits.collect()}
+
+    # pooled delta: same untouched-files + visible-new-row contract
+    from deeplake_spark.operators.similarity import (
+        append_pooled_delta,
+        build_pooled_maxsim,
+        load_pooled_maxsim,
+        save_pooled_maxsim,
+    )
+
+    docs = (
+        e.limit(64)
+        .withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("embedding").alias("mat"))
+    )
+    pp = str(tmp_path / "pooled")
+    save_pooled_maxsim(build_pooled_maxsim(docs, "mat", "doc_id"), pp)
+    pbefore = _tree_state(pp + "/pooled")
+    new_doc = spark.createDataFrame(
+        [(77_777, [[float(x) for x in c2]])],
+        "doc_id long, mat array<array<double>>")
+    append_pooled_delta(new_doc, "mat", "doc_id", pp)
+    pafter = _tree_state(pp + "/pooled")
+    for p, sig in pbefore.items():
+        assert pafter.get(p) == sig
+    assert len(pafter) > len(pbefore)
+    loaded = load_pooled_maxsim(spark, pp, source=docs.unionByName(new_doc))
+    assert loaded.pooled.filter(F.col("doc_id") == 77_777).count() == 1
