@@ -792,12 +792,8 @@ class Dataset:
                     f"{side} rewrote the snapshot (compact/rename_column) since "
                     "the merge base; merge is defined over append-only deltas")
 
-        base_max = base.get("max_row_id")
-        base_max = -1 if base_max is None else int(base_max)
-        our_max = ours.get("max_row_id")
-        our_max = base_max if our_max is None else int(our_max)
-        their_max = theirs.get("max_row_id")
-        their_max = base_max if their_max is None else int(their_max)
+        base_max = self._entry_max_row_id(base)
+        our_max = self._entry_max_row_id(ours)
         shift = our_max - base_max
 
         def shifted(rid: int) -> int:
@@ -835,41 +831,55 @@ class Dataset:
             new_files.append(fname)
 
         # --- their patch files: shift own-row patches, drop conflicts ----
+        # Fully distributed: one batched scan of every new patch file →
+        # per-row latest-patch-wins dedup (partitioned window over
+        # _row_id) → conflict filter + id shift → ONE merged patch file.
+        # No patch ROW ever reaches the driver (an update-heavy branch
+        # stays executor-sized); merged patch ids come from the commit
+        # log's own patch_ids metadata, not a row collect.
         base_patches = set(base.get("patches", []))
         their_patches = [p for p in theirs.get("patches", []) if p not in base_patches]
         merged_patches = [p for p in ours.get("patches", [])]
         # our ids never renumber (only THEIR new rows shift past our max)
         merged_pids = set(ours.get("patch_ids", [])) - drop_ours
         if their_patches:
-            # one batched read over every new patch file (tiny relations;
-            # avoids a driver job per file), keyed back by file name
-            pdf_all = self.spark.read.parquet(
-                *[os.path.join(self.path, _DATA_DIR, p) for p in their_patches]
-            ).withColumn("__src", F.input_file_name())
-            by_file: dict[str, list[int]] = {p: [] for p in their_patches}
-            for r in pdf_all.select("__src", "_row_id").collect():
-                name = next(p for p in their_patches if p in r[0])
-                by_file[name].append(int(r[1]))
-            for p in their_patches:
-                ids = by_file[p]
-                keep = [i for i in ids if i not in drop_theirs]
-                if not keep:
-                    continue
-                if shift and any(i > base_max for i in keep) or len(keep) != len(ids):
-                    src = os.path.join(self.path, _DATA_DIR, p)
-                    out = self.spark.read.parquet(src)
-                    if drop_theirs:
-                        out = out.filter(
-                            ~F.col("_row_id").isin(*[int(x) for x in drop_theirs]))
-                    out = out.withColumn(
-                        "_row_id",
-                        F.when(F.col("_row_id") > base_max,
-                               F.col("_row_id") + shift).otherwise(F.col("_row_id"))
-                        .cast("long"))
-                    merged_patches.append(self._write_file(out))
-                else:
-                    merged_patches.append(p)
-                merged_pids.update(shifted(i) for i in keep)
+            from pyspark.sql.window import Window
+
+            # precedence = position in theirs' patch list (later wins);
+            # rows map to files via the parsed parent-directory name of
+            # input_file_name (never substring containment — a file name
+            # that prefixes another must not misattribute)
+            order_rel = self.spark.createDataFrame(
+                [(p, i) for i, p in enumerate(their_patches)],
+                "__file string, __pidx long")
+            pdf_all = (
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, _DATA_DIR, p) for p in their_patches]
+                )
+                .withColumn(
+                    "__file", F.element_at(F.split(F.input_file_name(), "/"), -2))
+                .join(F.broadcast(order_rel), "__file")
+            )
+            if drop_theirs:
+                pdf_all = pdf_all.filter(
+                    ~F.col("_row_id").isin(*[int(x) for x in drop_theirs]))
+            latest = (
+                pdf_all.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("_row_id").orderBy(F.desc("__pidx"))),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__file", "__pidx", "__rn")
+                .withColumn(
+                    "_row_id",
+                    F.when(F.col("_row_id") > base_max,
+                           F.col("_row_id") + shift).otherwise(F.col("_row_id"))
+                    .cast("long"))
+            )
+            merged_patches.append(self._write_file(latest))
+            their_pids_kept = their_pids_new - drop_theirs
+            merged_pids.update(shifted(i) for i in their_pids_kept)
 
         # --- deletes ------------------------------------------------------
         merged_del = ((set(ours.get("deletes", [])) - drop_ours)
@@ -974,6 +984,19 @@ class Dataset:
         self._staged_patches = []
         self._staged_patch_rows = []
         self._staged_file_max = {}
+
+    def _entry_max_row_id(self, entry: dict) -> int:
+        """Max row id of a commit-log entry: the persisted `max_row_id`
+        when present, else the footer-stat max over the entry's files
+        (legacy pre-round-2 logs — same fallback as _next_row_id; a -1
+        sentinel would silently renumber shared rows in merge())."""
+        m = entry.get("max_row_id")
+        if m is not None:
+            return int(m)
+        mx = -1
+        for f in entry.get("files", []):
+            mx = max(mx, self._file_max_row_id(f))
+        return mx
 
     def _file_max_row_id(self, fname: str) -> int:
         """Max `_row_id` in one data file, read from the parquet footer

@@ -424,3 +424,74 @@ def test_branch_tag_management(spark, tmp_path_ds):
     assert "dev" not in ds.branches()
     with pytest.raises(dl.DatasetError):
         ds.delete_branch("main")
+
+
+def test_merge_never_collects_patch_rows(spark, tmp_path_ds, monkeypatch):
+    """merge() handles an update-heavy branch with zero driver-side
+    collect of patch rows: the latest-patch-wins dedup, conflict drop
+    and id shift are one distributed job (monkeypatch-proof, same
+    technique as test_translate_triggers_no_driver_action)."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(6)])
+    ds.commit("base")
+
+    dev = ds.branch("dev")
+    dev.append([{"x": 100}, {"x": 101}])
+    for rid in (1, 2, 6, 7):
+        dev.update(rid, {"x": 500 + rid})
+    dev.update(1, {"x": 601})  # second patch of the same row: later wins
+    dev.commit("dev edits")
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.append([{"x": 90}])  # forces a shift for dev's rows 6,7
+    main.commit("main adds")
+
+    import pyspark.sql.dataframe as D
+
+    def boom(self, *a, **kw):
+        raise AssertionError("patch rows reached the driver during merge()")
+
+    for action in ("collect", "toPandas", "head", "take", "count"):
+        monkeypatch.setattr(D.DataFrame, action, boom)
+    main.merge("dev")
+    monkeypatch.undo()
+
+    got = {r._row_id: r.x for r in main.to_df().collect()}
+    assert got[1] == 601          # latest patch of row 1 won
+    assert got[2] == 502
+    assert got[6] == 90           # our append kept id 6
+    assert got[7] == 506 and got[8] == 507  # dev's 6,7 shifted to 7,8
+    assert got[0] == 0 and got[3] == 3
+
+
+def test_merge_legacy_log_without_max_row_id(spark, tmp_path_ds):
+    """Pre-round-2 log entries lack max_row_id: merge() must fall back
+    to footer-stat maxima (like _next_row_id), not a -1 sentinel that
+    silently renumbers shared rows."""
+    import glob
+    import json
+    import os
+
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}, {"x": 2}])
+    ds.commit("base")
+    dev = ds.branch("dev")
+    dev.append([{"x": 10}])
+    dev.commit("dev")
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.append([{"x": 20}, {"x": 21}])
+    main.commit("main")
+
+    # simulate a legacy log: strip max_row_id from every entry
+    for p in glob.glob(os.path.join(tmp_path_ds, "_dl_log", "*.json")):
+        with open(p) as f:
+            e = json.load(f)
+        e.pop("max_row_id", None)
+        with open(p, "w") as f:
+            json.dump(e, f)
+
+    main = dl.open(tmp_path_ds, spark, branch="main")
+    main.merge("dev")
+    rows = sorted((r._row_id, r.x) for r in main.to_df().collect())
+    # base rows keep ids 0,1; ours 2,3; dev's append renumbers to 4
+    assert rows == [(0, 1), (1, 2), (2, 20), (3, 21), (4, 10)]
