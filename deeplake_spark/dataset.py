@@ -198,7 +198,9 @@ class Dataset:
 
         Kinds (reference types.pyi:128-248): inverted | clustered |
         numeric | json | exact | pooled (PooledQuantized MAXSIM,
-        types.pyi:604-615). `json` takes `paths=[...]` (the JSON
+        types.pyi:604-615) | clustered_quantized (stored sign-bit
+        quantization, types.pyi:625-632). `json` takes `paths=[...]`
+        (the JSON
         paths extracted at build time); options are persisted so
         auto-refresh on commit rebuilds identically."""
         self._check_writable()
@@ -239,6 +241,16 @@ class Dataset:
 
             save_pooled_maxsim(
                 build_pooled_maxsim(self.to_df(), matrix_col=column, id_col="_row_id"),
+                idx_path,
+            )
+        elif kind == "clustered_quantized":
+            from deeplake_spark.operators.similarity import (
+                build_quantized,
+                save_quantized,
+            )
+
+            save_quantized(
+                build_quantized(self.to_df(), vec_col=column, id_col="_row_id"),
                 idx_path,
             )
         else:
@@ -291,6 +303,15 @@ class Dataset:
                     "_row_id",
                 )
                 continue
+            if meta["kind"] == "clustered_quantized":
+                from deeplake_spark.operators.similarity import load_quantized
+
+                out[col] = (
+                    "clustered_quantized",
+                    load_quantized(self.spark, meta["path"], source=self.to_df()),
+                    "_row_id",
+                )
+                continue
             loader = loaders.get(meta["kind"])
             if loader is not None:
                 out[col] = (meta["kind"], loader(self.spark, meta["path"]), "_row_id")
@@ -310,8 +331,10 @@ class Dataset:
         index-accelerated where possible) is handed to the probe as the
         candidate relation."""
         from deeplake_spark.operators.similarity import (
-            load_ivf,
             ivf_search,
+            load_ivf,
+            load_quantized,
+            quantized_index_search,
             topk_cosine,
         )
 
@@ -326,8 +349,17 @@ class Dataset:
         refs = _read_refs(self.path)
         meta = refs.get("indexes", {}).get(column)
         if meta and meta["kind"] == "clustered":
-            return ivf_search(load_ivf(self.spark, meta["path"]), query_vec, k=k,
+            hits = ivf_search(load_ivf(self.spark, meta["path"]), query_vec, k=k,
                               config=config, candidates=candidates)
+            # index assignments can outlive rows (deletes staged or
+            # committed with indexing_mode != 'automatic'): only return
+            # rows present in the live snapshot — matching the exact-scan
+            # path and the translator's ANN route
+            return hits.join(base.select("_row_id"), "_row_id", "left_semi")
+        if meta and meta["kind"] == "clustered_quantized":
+            idx = load_quantized(self.spark, meta["path"], source=base)
+            return quantized_index_search(idx, query_vec, k=k, config=config,
+                                          candidates=candidates)
         if candidates is not None:
             base = base.join(candidates.distinct(), "_row_id", "left_semi")
         return topk_cosine(base, column, query_vec, k=k, id_col="_row_id")
@@ -602,6 +634,11 @@ class Dataset:
 
             append_pooled_delta(new_df, matrix_col=column, id_col="_row_id",
                                 path=idx_path)
+        elif kind == "clustered_quantized":
+            from deeplake_spark.operators.similarity import append_quantized_delta
+
+            append_quantized_delta(new_df, vec_col=column, id_col="_row_id",
+                                   path=idx_path)
 
     def history(self) -> list[Version]:
         out = []

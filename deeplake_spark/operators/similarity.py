@@ -238,6 +238,82 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
 # Binary-quantized search (ClusteredQuantized / BinaryQuantization)
 
 
+@dataclass
+class QuantizedIndex:
+    """ClusteredQuantized stored index (reference types.pyi:625-632):
+    the 1-bit sign quantization persists as a narrow (id, bits) side
+    table, so probes scan packed bits instead of re-quantizing the
+    corpus per query. Rerank reads the live dataset relation."""
+
+    bits: DataFrame  # id_col, bits (array<int>, one sign bit per dim)
+    source: DataFrame  # id_col, vec_col — live relation for exact rerank
+    vec_col: str
+    id_col: str
+
+
+def build_quantized(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> QuantizedIndex:
+    return QuantizedIndex(
+        bits=df.select(id_col, sign_bits(F.col(vec_col)).alias("bits")),
+        source=df.select(id_col, vec_col),
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+def save_quantized(index: QuantizedIndex, path: str) -> None:
+    import json
+
+    index.bits.write.mode("overwrite").parquet(os.path.join(path, "bits"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"vec_col": index.vec_col, "id_col": index.id_col}, f)
+
+
+def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
+                           path: str) -> None:
+    """Delta maintenance: sign-quantize ONLY the new rows and append."""
+    new_df.select(id_col, sign_bits(F.col(vec_col)).alias("bits")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "bits"))
+
+
+def load_quantized(spark, path: str, source: DataFrame) -> QuantizedIndex:
+    import json
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return QuantizedIndex(
+        bits=spark.read.parquet(os.path.join(path, "bits")),
+        source=source.select(meta["id_col"], meta["vec_col"]),
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )
+
+
+def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
+                           config: SearchConfig | None = None,
+                           candidates: DataFrame | None = None) -> DataFrame:
+    """Probe the STORED sign bits: Hamming prefilter to
+    k*accuracy_factor over the narrow bits table (integer ops, no
+    corpus re-quantize), exact cosine rerank on the candidates only."""
+    from deeplake_spark.functions.vector import hamming_distance
+
+    config = config or SearchConfig()
+    bits = index.bits
+    if candidates is not None:
+        bits = bits.join(candidates, index.id_col, "left_semi")
+    qbits = sign_bits(_as_literal_vec(query_vec))
+    cand = (
+        bits.select(index.id_col,
+                    hamming_distance(F.col("bits"), qbits).alias("__ham"))
+        .orderBy(F.asc("__ham"), index.id_col)
+        .limit(k * config.accuracy_factor)
+        .select(index.id_col)
+    )
+    rerank = index.source.join(F.broadcast(cand), index.id_col, "left_semi")
+    return topk_cosine(rerank, index.vec_col, query_vec, k=k, id_col=index.id_col)
+
+
 def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
                      id_col: str = "vec_id",
                      config: SearchConfig | None = None,

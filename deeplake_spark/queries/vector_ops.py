@@ -60,6 +60,30 @@ def _ivf8(spark: SparkSession, sf_dir: str):
     return _IVF_CACHE[key]
 
 
+#: persisted sign-bit index memo (build-at-ingest, probe-per-query —
+#: same protocol as _ivf8)
+_QUANT_CACHE: dict = {}
+
+
+def _quantized_index(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from deeplake_spark.operators.similarity import (
+        build_quantized,
+        load_quantized,
+        save_quantized,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _QUANT_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(tempfile.gettempdir(), f"dls_quant_{abs(hash(sf_dir))}")
+        save_quantized(build_quantized(e, vec_col="embedding", id_col="vec_id"), path)
+        _QUANT_CACHE[key] = load_quantized(spark, path, source=e)
+    return _QUANT_CACHE[key]
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     """Prefetch one embedding as a literal array column (DATA() semantics)."""
     row = (
@@ -389,18 +413,22 @@ def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v11_quantized_search",
     oracle=None,  # two-stage candidate set depends on hamming ties — recall
     # asserted in tests/test_similarity.py
-    doc="Binary-quantized ANN: sign-bit Hamming prefilter to "
-    "k*accuracy_factor candidates, exact cosine rerank "
-    "(ClusteredQuantized two-stage plan, types.pyi:71-126).",
-    tags=("vector", "ann", "quantize"),
+    doc="Binary-quantized ANN through the PERSISTED ClusteredQuantized "
+    "index (types.pyi:625-632): stored sign bits -> Hamming prefilter "
+    "to k*accuracy_factor candidates -> exact cosine rerank; the probe "
+    "scans the narrow bits table, never re-quantizes the corpus.",
+    tags=("vector", "ann", "quantize", "index"),
 )
 def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.operators.similarity import SearchConfig, quantized_search
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        quantized_index_search,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    return quantized_search(e, "embedding", list(row[0]), k=10,
-                            config=SearchConfig.high_accuracy())
+    return quantized_index_search(_quantized_index(spark, sf_dir), list(row[0]),
+                                  k=10, config=SearchConfig.high_accuracy())
 
 
 @query(

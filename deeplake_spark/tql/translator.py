@@ -391,11 +391,11 @@ class Translator:
         return None
 
     #: score functions ORDER BY <fn> DESC LIMIT k can route through a
-    #: persisted index, and the index kind each one needs
+    #: persisted index, and the index kinds each one accepts
     _TOPK_ROUTES = {
-        "COSINE_SIMILARITY": "clustered",
-        "BM25_SIMILARITY": "inverted",
-        "MAXSIM": "pooled",
+        "COSINE_SIMILARITY": ("clustered", "clustered_quantized"),
+        "BM25_SIMILARITY": ("inverted",),
+        "MAXSIM": ("pooled",),
     }
 
     def _try_ann_route(self, sel: ast.Select) -> DataFrame | None:
@@ -453,7 +453,7 @@ class Translator:
         if meta is None or len(meta) != 3:
             return None
         kind, idx, id_col = meta
-        if kind != self._TOPK_ROUTES[fname]:
+        if kind not in self._TOPK_ROUTES[fname]:
             return None
 
         df = self._resolve_source(None)
@@ -463,13 +463,24 @@ class Translator:
         fetch = sel.limit.n + (sel.limit.offset or 0)
 
         if fname == "COSINE_SIMILARITY":
-            from deeplake_spark.operators.similarity import ivf_search
+            from deeplake_spark.operators.similarity import (
+                ivf_search,
+                quantized_index_search,
+            )
 
             qvec = self._vec_literal(q_arg)
             if qvec is None:
                 return None
-            hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
-                              candidates=candidates).select(id_col)
+            if kind == "clustered_quantized":
+                hits = quantized_index_search(
+                    idx, qvec, k=fetch, config=self.search_config,
+                    candidates=candidates.withColumnRenamed(
+                        candidates.columns[0], idx.id_col)
+                    if candidates is not None else None,
+                ).select(F.col(idx.id_col).alias(id_col))
+            else:
+                hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
+                                  candidates=candidates).select(id_col)
             # k rows — always broadcastable; score recomputed exactly
             # on ≤k rows by the normal path
             return df.join(F.broadcast(hits), id_col, "left_semi")

@@ -633,3 +633,89 @@ def test_ivf_and_pooled_delta_append(spark, sf_dir, tmp_path):
     assert len(pafter) > len(pbefore)
     loaded = load_pooled_maxsim(spark, pp, source=docs.unionByName(new_doc))
     assert loaded.pooled.filter(F.col("doc_id") == 77_777).count() == 1
+
+
+def test_quantized_index_roundtrip_and_tql_route(spark, sf_dir, tmp_path):
+    """ClusteredQuantized persists (types.pyi:625-632): save/load round
+    trip, recall >= 0.7 vs exact, TQL cosine top-k routes through it,
+    and delta appends leave old bits files untouched."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        append_quantized_delta,
+        build_quantized,
+        load_quantized,
+        quantized_index_search,
+        save_quantized,
+        topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "quant")
+    save_quantized(build_quantized(e, "embedding", "vec_id"), p)
+    idx = load_quantized(spark, p, source=e)
+
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    approx = {r.vec_id for r in quantized_index_search(
+        idx, q, k=10, config=SearchConfig.high_accuracy()).collect()}
+    exact = {r.vec_id for r in topk_cosine(e, "embedding", q, k=10,
+                                           id_col="vec_id").collect()}
+    assert len(approx & exact) / 10 >= 0.7
+
+    # TQL routing: ORDER BY cosine LIMIT k with the quantized kind
+    routed = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        default=e, params=[q],
+        indexes={"embedding": ("clustered_quantized", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {r.vec_id for r in routed.collect()}
+    assert len(got & exact) / 10 >= 0.7
+
+    # WHERE prefilter stays exact
+    filtered = tql.query(
+        "SELECT vec_id WHERE label == 3 "
+        "ORDER BY COSINE_SIMILARITY(embedding, ?) DESC LIMIT 5",
+        default=e, params=[q],
+        indexes={"embedding": ("clustered_quantized", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    ids = [r.vec_id for r in filtered.collect()]
+    assert 0 < len(ids) <= 5
+    labels = {r.label for r in e.filter(F.col("vec_id").isin(ids)).collect()}
+    assert labels == {3}
+
+    # delta append: old bits untouched, probe sees the new row
+    before = _tree_state(p + "/bits")
+    new = spark.createDataFrame([(20_000_000, [float(x) for x in q])],
+                                "vec_id long, embedding array<float>")
+    append_quantized_delta(new, "embedding", "vec_id", p)
+    after = _tree_state(p + "/bits")
+    for f, sig in before.items():
+        assert after.get(f) == sig
+    assert len(after) > len(before)
+    idx2 = load_quantized(
+        spark, p, source=e.select("vec_id", "embedding").unionByName(new))
+    hits = {r.vec_id for r in quantized_index_search(
+        idx2, q, k=5, config=SearchConfig.high_accuracy()).collect()}
+    assert 20_000_000 in hits
+
+
+def test_dataset_quantized_index_end_to_end(spark, sf_dir):
+    """ds.create_index(col, 'clustered_quantized') -> ds.query routes
+    TQL cosine top-k through the stored bits; ds.search uses it too."""
+    import tempfile
+
+    from deeplake_spark import dataset as dl
+
+    with tempfile.TemporaryDirectory() as d:
+        es = dl.from_parquet(f"{sf_dir}/embeddings.parquet", d + "/emb", spark)
+        es.create_index("embedding", "clustered_quantized")
+        q = [0.0] * 64
+        out = es.query(
+            "SELECT _row_id, COSINE_SIMILARITY(embedding, ?) AS score "
+            "ORDER BY score DESC LIMIT 5", params=[q])
+        assert 0 < out.count() <= 5
+        hits = es.search("embedding", q, k=5)
+        assert 0 < hits.count() <= 5
