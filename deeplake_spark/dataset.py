@@ -31,7 +31,6 @@ import json
 import os
 import time
 import uuid
-from builtins import open as _fopen  # the module-level `open` below shadows the builtin
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,31 +51,39 @@ class MergeConflictError(DatasetError):
     the merge base; pass resolve='ours'/'theirs' to pick a side."""
 
 
+def _store(path: str):
+    """Metadata-plane store for a dataset path: POSIX directly, URI
+    paths through the storage facade (object-storage support —
+    reference storage providers, storage.pyi:26-121)."""
+    from deeplake_spark.storage import metadata_store_for
+
+    return metadata_store_for(path)
+
+
 def _log_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, f"{version:08d}.json")
 
 
 def _read_refs(path: str) -> dict:
+    st = _store(path)
     p = os.path.join(path, "refs.json")
-    if not os.path.exists(p):
+    if not st.exists(p):
         return {"branches": {"main": 0}, "tags": {}}
-    with _fopen(p) as f:
-        return json.load(f)
+    return json.loads(st.get_bytes(p))
 
 
 def _write_refs(path: str, refs: dict) -> None:
-    with _fopen(os.path.join(path, "refs.json"), "w") as f:
-        json.dump(refs, f, indent=2)
+    _store(path).put_bytes(os.path.join(path, "refs.json"),
+                           json.dumps(refs, indent=2).encode())
 
 
 def _read_entry(path: str, version: int) -> dict:
-    with _fopen(_log_path(path, version)) as f:
-        return json.load(f)
+    return json.loads(_store(path).get_bytes(_log_path(path, version)))
 
 
 def _latest_version(path: str) -> int:
-    log_dir = os.path.join(path, _LOG_DIR)
-    entries = [int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")]
+    names = _store(path).list(os.path.join(path, _LOG_DIR))
+    entries = [int(f.split(".")[0]) for f in names if f.endswith(".json")]
     return max(entries) if entries else 0
 
 
@@ -264,12 +271,10 @@ class Dataset:
     def drop_index(self, column: str) -> None:
         """Column.drop_index (__init__.pyi:1762)."""
         self._check_writable()
-        import shutil
-
         refs = _read_refs(self.path)
         meta = refs.get("indexes", {}).pop(column, None)
         if meta:
-            shutil.rmtree(meta["path"], ignore_errors=True)
+            _store(self.path).delete(meta["path"])
             _write_refs(self.path, refs)
 
     def _load_indexes(self) -> dict:
@@ -1147,8 +1152,8 @@ class Dataset:
             # second parent of a merge commit: ancestry is a DAG, so a
             # re-merge of an already-merged branch no-ops
             entry["merge_parent"] = merge_parent
-        with _fopen(_log_path(self.path, new_version), "w") as f:
-            json.dump(entry, f)
+        _store(self.path).put_bytes(_log_path(self.path, new_version),
+                                    json.dumps(entry).encode())
         refs["branches"][self._branch] = new_version
         _write_refs(self.path, refs)
         self.version = new_version
@@ -1163,9 +1168,10 @@ def create(path: str, spark: SparkSession | None = None,
            schema: dict[str, DLType] | None = None) -> Dataset:
     """deeplake.create (__init__.pyi:4123)."""
     spark = spark or SparkSession.getActiveSession()
-    os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
-    os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
-    if os.listdir(os.path.join(path, _LOG_DIR)):
+    if "://" not in path:
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+    if _store(path).list(os.path.join(path, _LOG_DIR)):
         raise DatasetError(f"dataset already exists at {path}")
     _write_refs(path, {"branches": {"main": 0}, "tags": {}})
     ds = Dataset(spark, path)
@@ -1181,7 +1187,7 @@ def open(path: str, spark: SparkSession | None = None, branch: str = "main",
          version: int | None = None) -> Dataset:
     """deeplake.open (__init__.pyi:4371)."""
     spark = spark or SparkSession.getActiveSession()
-    if not os.path.isdir(os.path.join(path, _LOG_DIR)):
+    if not _store(path).list(os.path.join(path, _LOG_DIR)):
         raise DatasetError(f"no dataset at {path}")
     return Dataset(spark, path, branch=branch, version=version)
 
@@ -1251,28 +1257,41 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
     per-branch fast-forward — so `checkout()` of older versions and
     other branches works on the replica, and replication never clobbers
     branches/tags the destination already had."""
-    import shutil
-
-    os.makedirs(os.path.join(dst_path, _LOG_DIR), exist_ok=True)
-    os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
+    src_st, dst_st = _store(src.path), _store(dst_path)
+    if "://" not in dst_path:
+        os.makedirs(os.path.join(dst_path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
     src_data = os.path.join(src.path, _DATA_DIR)
     dst_data = os.path.join(dst_path, _DATA_DIR)
     src_log = os.path.join(src.path, _LOG_DIR)
     needed: set[str] = set()
-    for fn in sorted(os.listdir(src_log)):
+    for fn in sorted(src_st.list(src_log)):
         if not fn.endswith(".json"):
             continue
-        with _fopen(os.path.join(src_log, fn)) as f:
-            entry = json.load(f)
+        blob = src_st.get_bytes(os.path.join(src_log, fn))
+        entry = json.loads(blob)
         needed.update(entry.get("files", []))
         needed.update(entry.get("patches", []))
         d = os.path.join(dst_path, _LOG_DIR, fn)
-        if not os.path.exists(d):
-            shutil.copy2(os.path.join(src_log, fn), d)
+        if dst_st.exists(d):
+            # both replicas hold this version: replication only fast-
+            # forwards, so the entries must be the SAME commit — two
+            # histories that committed independently would otherwise
+            # interleave under shared version numbers
+            if json.loads(dst_st.get_bytes(d)) != entry:
+                raise DatasetError(
+                    f"replica histories diverge at log entry {fn}: "
+                    "both sides committed independently; refusing to merge refs")
+        else:
+            dst_st.put_bytes(d, blob)
+    if needed and type(src_st) is not type(dst_st):
+        raise DatasetError(
+            "push/pull across different storage backends is not supported; "
+            "replicate to a same-backend path")
     for f in sorted(needed):
         s, d = os.path.join(src_data, f), os.path.join(dst_data, f)
-        if not os.path.exists(d):
-            shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
+        if not dst_st.exists(d):
+            src_st.copy_tree(s, d)
     src_refs = _read_refs(src.path)
     dst_refs = _read_refs(dst_path)
     for br, v in src_refs["branches"].items():
@@ -1286,18 +1305,15 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
 
 def exists(path: str) -> bool:
     """deeplake.exists (__init__.pyi:4347): a dataset lives at `path`."""
-    log = os.path.join(path, _LOG_DIR)
-    return os.path.isdir(log) and bool(os.listdir(log))
+    return bool(_store(path).list(os.path.join(path, _LOG_DIR)))
 
 
 def delete(path: str) -> None:
     """deeplake.delete (__init__.pyi:4321): remove the dataset at
     `path`. Refuses paths that are not datasets (no commit log)."""
-    import shutil
-
     if not exists(path):
         raise DatasetError(f"no dataset at {path}")
-    shutil.rmtree(path)
+    _store(path).delete(path)
 
 
 def convert(src_path: str, dst_path: str, spark: SparkSession | None = None) -> Dataset:

@@ -202,7 +202,7 @@ class NumericIndex:
         return out.filter(F.col("value").isin(items)).select("row_id").distinct()
 
     def save(self, path: str) -> None:
-        import json
+        from deeplake_spark.storage import put_json
 
         bounds = self.values.agg(
             F.min(F.col("value").cast("double")).alias("lo"),
@@ -212,8 +212,7 @@ class NumericIndex:
         vmax = float(bounds["hi"]) if bounds["hi"] is not None else vmin
         width = (vmax - vmin) / _NUM_BUCKETS or 1.0
         self._write_values(self.values, path, vmin, width, mode="overwrite")
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"vmin": vmin, "width": width}, f)
+        put_json(os.path.join(path, "meta.json"), {"vmin": vmin, "width": width})
 
     @staticmethod
     def _write_values(values: DataFrame, path: str, vmin: float, width: float,
@@ -232,22 +231,20 @@ class NumericIndex:
     def append_to(self, path: str) -> None:
         """Delta append using the EXISTING bucket bounds — prior files
         untouched."""
-        import json
+        from deeplake_spark.storage import get_json
 
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        meta = get_json(os.path.join(path, "meta.json"))
         self._write_values(self.values, path, meta["vmin"], meta["width"],
                            mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "NumericIndex":
-        import json
+        from deeplake_spark.storage import get_json, json_exists
 
         vmin = width = None
         meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        if json_exists(meta_path):
+            meta = get_json(meta_path)
             vmin, width = meta["vmin"], meta["width"]
         return cls(
             values=spark.read.parquet(os.path.join(path, "values")),

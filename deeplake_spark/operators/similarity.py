@@ -127,27 +127,22 @@ def save_ivf(index: IVFIndex, path: str) -> None:
     """Persist: assignments written PARTITIONED BY cluster (a probe
     reads only nprobe directories — the physical cluster prune);
     centroids as a tiny json sidecar."""
-    import json
+    from deeplake_spark.storage import put_json
 
     index.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "assignments")
     )
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(
-            {
-                "centroids": index.centroids,
-                "vec_col": index.vec_col,
-                "id_col": index.id_col,
-            },
-            f,
-        )
+    put_json(os.path.join(path, "centroids.json"), {
+        "centroids": index.centroids,
+        "vec_col": index.vec_col,
+        "id_col": index.id_col,
+    })
 
 
 def load_ivf(spark, path: str) -> IVFIndex:
-    import json
+    from deeplake_spark.storage import get_json
 
-    with open(os.path.join(path, "centroids.json")) as f:
-        meta = json.load(f)
+    meta = get_json(os.path.join(path, "centroids.json"))
     return IVFIndex(
         assignments=spark.read.parquet(os.path.join(path, "assignments")),
         centroids=[(int(c), v) for c, v in meta["centroids"]],
@@ -262,11 +257,11 @@ def build_quantized(df: DataFrame, vec_col: str = "embedding",
 
 
 def save_quantized(index: QuantizedIndex, path: str) -> None:
-    import json
+    from deeplake_spark.storage import put_json
 
     index.bits.write.mode("overwrite").parquet(os.path.join(path, "bits"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"vec_col": index.vec_col, "id_col": index.id_col}, f)
+    put_json(os.path.join(path, "meta.json"),
+             {"vec_col": index.vec_col, "id_col": index.id_col})
 
 
 def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
@@ -278,10 +273,9 @@ def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
 
 
 def load_quantized(spark, path: str, source: DataFrame) -> QuantizedIndex:
-    import json
+    from deeplake_spark.storage import get_json
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = get_json(os.path.join(path, "meta.json"))
     return QuantizedIndex(
         bits=spark.read.parquet(os.path.join(path, "bits")),
         source=source.select(meta["id_col"], meta["vec_col"]),
@@ -490,11 +484,11 @@ def save_pooled_maxsim(index: PooledMaxsimIndex, path: str) -> None:
     matrices are NOT copied — at load time the rerank stage rebinds to
     the live dataset relation (index stores derived data only, like the
     reference's PooledQuantized stored index, types.pyi:604-615)."""
-    import json
+    from deeplake_spark.storage import put_json
 
     index.pooled.write.mode("overwrite").parquet(os.path.join(path, "pooled"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"matrix_col": index.matrix_col, "id_col": index.id_col}, f)
+    put_json(os.path.join(path, "meta.json"),
+             {"matrix_col": index.matrix_col, "id_col": index.id_col})
 
 
 def append_pooled_delta(new_df: DataFrame, matrix_col: str, id_col: str,
@@ -508,10 +502,9 @@ def append_pooled_delta(new_df: DataFrame, matrix_col: str, id_col: str,
 def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex:
     """`source` is the relation holding the matrix column (the dataset's
     current snapshot) — rerank joins it against pooled-prefilter hits."""
-    import json
+    from deeplake_spark.storage import get_json
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = get_json(os.path.join(path, "meta.json"))
     return PooledMaxsimIndex(
         pooled=spark.read.parquet(os.path.join(path, "pooled")),
         source=source.select(meta["id_col"], meta["matrix_col"]),

@@ -41,3 +41,224 @@ def resolve_scheme(url: str) -> str:
         if url.startswith(s + "://"):
             return s
     return "file"
+
+
+# ------------------------------------------------------- metadata store
+#
+# The dataset's METADATA plane (refs.json, commit-log entries, index
+# sidecars) is tiny JSON blobs; the DATA plane (parquet) always goes
+# through Spark's own Hadoop FileSystem layer. Reference storage
+# providers accept s3:// gs:// azure:// paths (storage.pyi:26-121) —
+# this facade gives the metadata plane the same reach: POSIX paths use
+# os/open directly (fast path), URI paths route through the scheme's
+# registered store or the JVM Hadoop FileSystem (which resolves
+# whatever connectors the cluster ships: s3a, gs, abfss, hdfs).
+
+
+class MetadataStore:
+    """get/put/list for small metadata blobs, keyed by full path/URL."""
+
+    def get_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def list(self, path: str) -> list[str]:
+        """Names (not full paths) directly under a directory/prefix;
+        empty when absent."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Recursive; no-op when absent."""
+        raise NotImplementedError
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive copy within this store (replication of data files
+        between two datasets on the same backend)."""
+        raise NotImplementedError
+
+
+class PosixMetadataStore(MetadataStore):
+    def get_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def list(self, path: str) -> list[str]:
+        import os
+
+        return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+    def exists(self, path: str) -> bool:
+        import os
+
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        import os
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        import os
+        import shutil
+
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+
+
+class MemoryMetadataStore(MetadataStore):
+    """Dict-backed store (mem:// scheme): the non-POSIX mock/test
+    backend, also usable for ephemeral datasets."""
+
+    def __init__(self) -> None:
+        self.blobs: dict[str, bytes] = {}
+
+    def _norm(self, path: str) -> str:
+        return path.rstrip("/")
+
+    def get_bytes(self, path: str) -> bytes:
+        return self.blobs[self._norm(path)]
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        self.blobs[self._norm(path)] = bytes(data)
+
+    def list(self, path: str) -> list[str]:
+        prefix = self._norm(path) + "/"
+        names = {k[len(prefix):].split("/", 1)[0]
+                 for k in self.blobs if k.startswith(prefix)}
+        return sorted(names)
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        return p in self.blobs or any(k.startswith(p + "/") for k in self.blobs)
+
+    def delete(self, path: str) -> None:
+        p = self._norm(path)
+        for k in [k for k in self.blobs if k == p or k.startswith(p + "/")]:
+            del self.blobs[k]
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        if s in self.blobs:
+            self.blobs[d] = self.blobs[s]
+        for k in [k for k in self.blobs if k.startswith(s + "/")]:
+            self.blobs[d + k[len(s):]] = self.blobs[k]
+
+
+class HadoopMetadataStore(MetadataStore):
+    """JVM Hadoop FileSystem-backed store: resolves any scheme the
+    Spark runtime has a connector for (s3a://, gs://, abfss://,
+    hdfs://, file://) — the production object-storage path; metadata
+    round-trips through the same credentials/endpoints Spark already
+    uses for the data plane."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _fs(self, path: str):
+        uri = self._jvm.java.net.URI.create(path)
+        return self._jvm.org.apache.hadoop.fs.FileSystem.get(uri, self._conf)
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def get_bytes(self, path: str) -> bytes:
+        stream = self._fs(path).open(self._path(path))
+        try:
+            return bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        out = self._fs(path).create(self._path(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def list(self, path: str) -> list[str]:
+        fs = self._fs(path)
+        p = self._path(path)
+        if not fs.exists(p):
+            return []
+        return sorted(s.getPath().getName() for s in fs.listStatus(p))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._path(path)))
+
+    def delete(self, path: str) -> None:
+        fs = self._fs(path)
+        p = self._path(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        fs = self._fs(src)
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, self._path(src), self._fs(dst), self._path(dst),
+            False, True, self._conf)
+
+
+_POSIX_STORE = PosixMetadataStore()
+_MEM_STORE = MemoryMetadataStore()
+_REGISTERED_STORES: dict[str, MetadataStore] = {}
+
+
+def register_metadata_store(scheme: str, store: MetadataStore) -> None:
+    """Plug a custom backend for a URL scheme (the provider-registry
+    surface, storage.pyi:26-60)."""
+    _REGISTERED_STORES[scheme] = store
+
+
+def put_json(path: str, obj) -> None:
+    """Write a JSON sidecar through the metadata facade (works for
+    POSIX and URI index/dataset paths alike)."""
+    import json
+
+    metadata_store_for(path).put_bytes(path, json.dumps(obj).encode())
+
+
+def get_json(path: str):
+    import json
+
+    return json.loads(metadata_store_for(path).get_bytes(path))
+
+
+def json_exists(path: str) -> bool:
+    return metadata_store_for(path).exists(path)
+
+
+def metadata_store_for(path: str, spark: SparkSession | None = None) -> MetadataStore:
+    if "://" not in path:
+        return _POSIX_STORE  # POSIX fast path — no JVM round-trips
+    scheme = path.split("://", 1)[0]
+    if scheme in _REGISTERED_STORES:
+        return _REGISTERED_STORES[scheme]
+    if scheme == "mem":
+        return _MEM_STORE
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"metadata store for {scheme}:// needs an active SparkSession "
+            "(Hadoop FileSystem) or a register_metadata_store() backend")
+    return HadoopMetadataStore(spark)
