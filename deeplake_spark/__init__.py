@@ -42,6 +42,7 @@ from deeplake_spark.dataset import (
     query,
     query_async,
 )
+from deeplake_spark.views import DatasetView  # noqa: F401
 from deeplake_spark import types  # noqa: F401
 from deeplake_spark import tql  # noqa: F401
 

@@ -185,17 +185,22 @@ class Dataset:
                     )
         return df
 
-    def query(self, text: str, params: list | None = None) -> DataFrame:
-        """TQL query bound to this dataset (ds.query, __init__.pyi:2438).
+    def query(self, text: str, params: list | None = None):
+        """TQL query bound to this dataset (ds.query, __init__.pyi:2438)
+        — returns a chainable DatasetView (itself queryable/sliceable,
+        __init__.pyi:2279; a DataFrame drop-in via delegation).
         Registered column indexes feed the translator's CONTAINS →
         posting-semijoin rewrite automatically (use_index behavior,
-        cpp/tql/options.hpp)."""
+        cpp/tql/options.hpp) and stay live across chained view queries."""
         from deeplake_spark.tql import query as tql_query
+        from deeplake_spark.views import DatasetView
 
-        return tql_query(
+        indexes = self._load_indexes()
+        out = tql_query(
             text, spark=self.spark, default=self.to_df(), params=params,
-            indexes=self._load_indexes(),
+            indexes=indexes,
         )
+        return DatasetView(out, indexes=indexes, dataset=self)
 
     # --------------------------------------------------------------- indexes
 
@@ -706,7 +711,7 @@ class Dataset:
         (reference explain_query, __init__.pyi:2371)."""
         from deeplake_spark.plans.explain import explain_query as _explain
 
-        return _explain(self.query(text, params))
+        return _explain(self.query(text, params).df)
 
     def prepare_query(self, text: str):
         """Parse once, bind params per run (reference prepare_query)."""
