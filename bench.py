@@ -46,18 +46,55 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
+    # Build-vs-probe splits for the index-backed headline numbers: the
+    # in-loop v10/t13 timings pay the (memoized) index build on their
+    # first call — in production the build runs at ingest
+    # (create_index), so the per-query cost is the probe alone.
+    # Reported additively; in-loop timings keep their cross-round
+    # semantics.
+    detail: dict[str, float] = {}
+    if timings.get("v10_ivf_search", -1) >= 0:
+        try:
+            from deeplake_spark.io import load_table
+            from deeplake_spark.operators.similarity import build_ivf
+
+            t0 = time.perf_counter()
+            build_ivf(load_table(spark, sf_dir, "embeddings"),
+                      n_clusters=8, seed=42)
+            detail["v10_ivf_build"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            force(registry["v10_ivf_search"].fn(spark, sf_dir))  # warm memo
+            detail["v10_ivf_probe"] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            print(f"bench: ivf split FAILED: {exc}", file=sys.stderr)
+    if timings.get("t13_tql_bm25_topk", -1) >= 0:
+        try:
+            from deeplake_spark.io import load_table
+            from deeplake_spark.operators.indexes import build_inverted_index
+
+            t0 = time.perf_counter()
+            build_inverted_index(load_table(spark, sf_dir, "documents"),
+                                 text_col="text", id_col="doc_id"
+                                 ).postings.write.format("noop").mode(
+                                     "overwrite").save()
+            detail["t13_inverted_build"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            force(registry["t13_tql_bm25_topk"].fn(spark, sf_dir))  # warm memo
+            detail["t13_bm25_probe"] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            print(f"bench: bm25 split FAILED: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if detail:
+        payload["detail"] = detail
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
