@@ -225,3 +225,71 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
         contrib = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
         fp = fp + F.when(F.col(f"b{i}") > 0, contrib).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     w: int = 8, min_docs: int = 2) -> DataFrame:
+    """Duplicated token-window detection — the distributed stand-in for
+    exact-substring dedup (the suffix-array pass of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021;
+    reference ships only document-level dedup, so this extends it the
+    way a training pipeline needs): every contiguous ``w``-token window
+    is a join key; a window appearing in >= ``min_docs`` DISTINCT
+    documents marks a duplicated span. Output per document: total
+    windows, duplicated-window occurrences, and the coverage ratio a
+    pipeline would threshold on to drop or trim documents.
+
+    Scale shape: one explode (ntokens rows/doc), one hash-groupBy on the
+    window key with map-side partials (distinct (doc, window) first, so
+    the distinct-doc count is a plain count), a shuffle semijoin of
+    occurrences against the duplicated-key set, and a per-doc
+    aggregation. No driver-side state, no cross join; the window string
+    bounds the shuffle key at ~w tokens. At petabyte scale the key
+    would be xxhash64(window) (collision odds ~n^2/2^64); the string
+    key here keeps the operator exactly oracle-checkable.
+    """
+    from deeplake_spark.functions.text import tokenize
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+    # index sequence guarded: sequence(1, n) with n < 1 would generate a
+    # DESCENDING sequence — emit NULL instead, explode_outer keeps the
+    # row, the null-filter on the OUTPUT drops it (never a filter on the
+    # generator input — it would inline+push the tokenize twice)
+    n = F.size("__t") - F.lit(w - 1)
+    wins = (
+        d.select("doc_id", "__t",
+                 F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
+        .filter(F.col("__i").isNotNull())
+    )
+    win = F.concat_ws(
+        " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(w)])
+    occurrences = wins.select("doc_id", win.alias("__w"))
+    dup_keys = (
+        occurrences.distinct()
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__w")
+    )
+    # totals need no explode: the window count is arithmetic on the
+    # token count (one cheap map-side pass instead of a corpus re-scan)
+    totals = (
+        d.select("doc_id", F.greatest(n, F.lit(0)).cast("long").alias("n_windows"))
+        .filter(F.col("n_windows") >= 1)
+    )
+    dups = (
+        occurrences.join(dup_keys, "__w", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup").cast("double") / F.col("n_windows"), 6),
+        )
+    )

@@ -124,3 +124,46 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_64(d, tokenize(F.col("text"))).orderBy("doc_id")
+
+
+@query(
+    "d06_dup_ngram_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(t[i.i : i.i + 7], ' ') AS w
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) i
+    ),
+    dupw AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    perwin AS (
+      SELECT doc_id, (w IN (SELECT w FROM dupw)) AS isdup FROM wins
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE isdup) AS BIGINT) AS n_dup,
+           ROUND(COUNT(*) FILTER (WHERE isdup) / COUNT(*), 6) AS dup_ratio
+    FROM perwin
+    GROUP BY doc_id
+    ORDER BY dup_ratio DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Duplicated 8-token-window detection (distributed exact-"
+    "substring-dedup stand-in, Lee et al. 2021): windows shared by >=2 "
+    "distinct docs mark duplicated spans; per-doc coverage ratio is the "
+    "drop/trim signal. One explode + one window-key groupBy + semijoin.",
+    tags=("dedup", "substring", "windows"),
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import dup_window_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dup_window_stats(d, w=8, min_docs=2)
+        .orderBy(F.desc("dup_ratio"), "doc_id")
+        .limit(25)
+    )

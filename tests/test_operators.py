@@ -388,3 +388,29 @@ def test_group_runs_partition_stitch(spark):
         cur.append(i)
     expected.append((len(expected), cur_k, cur))
     assert got == expected
+
+
+def test_dup_window_stats_planted_duplicates(spark):
+    from deeplake_spark.operators.dedup import dup_window_stats
+
+    shared = "one two three four five six seven eight"  # exactly w=8 tokens
+    rows = [
+        (0, shared + " tail0 unique0"),          # shares 1 window with doc 1
+        (1, "head1 " + shared),                  # shares 1 window with doc 0
+        (2, "all unique words here nothing matches anything else ever"),
+        (3, "short doc"),                        # < 8 tokens: no windows
+        (4, shared + " " + shared),              # intra-doc repeat + cross-doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_window_stats(df, w=8, min_docs=2).collect()}
+
+    assert 3 not in out                       # no windows → absent
+    assert out[2].n_dup == 0 and out[2].dup_ratio == 0.0
+    # doc 0: 10 tokens → 3 windows; the pure `shared` window duplicates
+    assert out[0].n_windows == 3 and out[0].n_dup == 1
+    assert out[1].n_windows == 2 and out[1].n_dup == 1  # 9 tokens → 2 windows
+    # doc 4: 16 tokens → 9 windows, every one a rotation containing the
+    # shared phrase; the `shared` window occurs twice and both
+    # occurrences count (occurrence semantics, not distinct-window)
+    assert out[4].n_windows == 9 and out[4].n_dup == 2
+    assert abs(out[0].dup_ratio - round(1 / 3, 6)) < 1e-9
