@@ -293,3 +293,82 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.col("n_dup").cast("double") / F.col("n_windows"), 6),
         )
     )
+
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation connected components (Pregel-style): every
+    node starts labeled with its own id; each round a node takes the min
+    of its own and its neighbors' labels; at fixpoint the label is the
+    component's min id. Rounds are bounded by the component diameter —
+    near-dup clusters are shallow in practice (hub-and-spoke around
+    popular templates), so this converges in a handful of rounds;
+    star-contraction (large-star/small-star) would bound it at O(log n)
+    if ever needed. Each round is one join + partial-agg groupBy;
+    lineage is cut per round with an eager localCheckpoint so the plan
+    doesn't grow with iterations. Iterative by nature — the driver loop
+    only runs a convergence probe (LIMIT 1 count), never collects data.
+
+    Returns (id, cluster) where cluster = min id of the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nb"))
+        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nb")))
+        .persist()
+    )
+    labels = sym.select("id").distinct().withColumn("label", F.col("id"))
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                sym.join(
+                    labels.select(F.col("id").alias("nb"),
+                                  F.col("label").alias("nb_label")),
+                    "nb",
+                )
+                .groupBy("id")
+                .agg(F.min("nb_label").alias("nmin"))
+            )
+            new = (
+                labels.join(neigh, "id", "left")
+                .select(
+                    "id",
+                    F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.select(F.col("id"), F.col("label").alias("nl"))
+                .join(labels, "id")
+                .filter(F.col("nl") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select("id", "label")
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-dup cluster formation — the step after pair generation in a
+    real dedup pipeline (LSH/Jaccard pairs → connected components →
+    keep one doc per cluster). Output per cluster: canonical keeper
+    (min doc id = cluster id), member count, and the sorted member
+    list as a string."""
+    pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col,
+                          n=n, threshold=threshold)
+    cc = connected_components(pairs, "a", "b")
+    return (
+        cc.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("id")),
+                            lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+    )

@@ -167,3 +167,54 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_ratio"), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "d07_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES3.format(t="t")} AS s FROM toks
+           WHERE len({_DUCK_SHINGLES3.format(t="t")}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT c.a, c.b
+      FROM common c
+      JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = c.a
+      JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = c.b
+      WHERE c.n_common / CAST(sa.ns + sb.ns - c.n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(
+             list_transform(list_sort(list(id)), x -> CAST(x AS VARCHAR)),
+             ',') AS members
+    FROM comp
+    GROUP BY cluster
+    ORDER BY cluster_id
+    """,
+    doc="Near-dup cluster formation: exact Jaccard pairs -> connected "
+    "components (min-label propagation, per-round localCheckpoint) -> "
+    "canonical keeper + member list per cluster. The post-pair step of "
+    "a real dedup pipeline; oracle is a recursive-CTE transitive "
+    "closure.",
+    tags=("dedup", "clusters", "iterative"),
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(d, n=3, threshold=0.5).orderBy("cluster_id")

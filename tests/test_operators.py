@@ -414,3 +414,15 @@ def test_dup_window_stats_planted_duplicates(spark):
     # occurrences count (occurrence semantics, not distinct-window)
     assert out[4].n_windows == 9 and out[4].n_dup == 2
     assert abs(out[0].dup_ratio - round(1 / 3, 6)) < 1e-9
+
+
+def test_connected_components_chain_and_star(spark):
+    from deeplake_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # star 10-{11,12}, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (10, 11), (10, 12), (21, 20)], ["a", "b"])
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
