@@ -200,3 +200,60 @@ def split_sequences(df: DataFrame, seq_col: str, chunk_len: int | None = None,
         .select(*keep_cols, F.posexplode_outer("__chunks").alias("chunk_index", "chunk"))
         .filter(F.col("chunk").isNotNull())
     )
+
+
+def pack_token_budget(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", budget: int = 512) -> DataFrame:
+    """Token-budget sequence packing for LM training: concatenate
+    documents in id order and chunk the stream into fixed-budget
+    training sequences (each doc lands in the sequence where its first
+    token falls). Beyond-reference pipeline operator — the batch
+    analogue of r01's GROUP BY sequence packing.
+
+    Scale shape: the global running token count is computed WITHOUT an
+    unpartitioned window (a ``sum().over(orderBy)`` would funnel the
+    whole table through one task): range-partition by id, a
+    per-partition running sum (partitioned window), then shift each
+    partition by the cumulative totals of the partitions before it —
+    a one-row-per-partition relation, broadcast back.
+
+    Returns one row per packed sequence: (seq_id, n_docs, total_tokens,
+    first_doc, last_doc).
+    """
+    from pyspark.sql.window import Window
+
+    from deeplake_spark.functions.text import token_count
+
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  token_count(F.col(text_col)).alias("n_tok"))
+    tagged = d.repartitionByRange(F.col("doc_id")).withColumn(
+        "__pid", F.spark_partition_id())
+    offsets = (
+        tagged.groupBy("__pid").agg(F.sum("n_tok").alias("__ptok"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__ptok").over(
+                    Window.orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)),
+        )
+        .select("__pid", "__off")
+    )
+    wp = (Window.partitionBy("__pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__cum_before",
+                    F.coalesce(F.sum("n_tok").over(wp), F.lit(0)) + F.col("__off"))
+    )
+    return (
+        cum.withColumn("seq_id", F.floor(F.col("__cum_before") / budget))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

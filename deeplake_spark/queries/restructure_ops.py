@@ -575,3 +575,39 @@ def r16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype")
     )
+
+
+@query(
+    "r17_pack_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM toks
+    )
+    SELECT CAST(FLOOR(cb / 512) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+    doc="Token-budget sequence packing (concat docs in id order, chunk "
+    "the token stream into 512-token training sequences) — partition-"
+    "offset cumulative sum, no unpartitioned window.",
+    tags=("restructure", "packing", "tokens"),
+)
+def r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.restructure import pack_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_token_budget(d, budget=512).orderBy("seq_id")
