@@ -165,3 +165,61 @@ def test_merge_matches_model(spark_global, tmp_path_factory, data, n_base):
     for rid, val in t_appends.items():
         expected[rid + shift] = val  # their appends renumber past our max
     assert got == expected, (their_ops, our_ops, got, expected)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    w=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_dup_window_stats_matches_python_model(spark_global, docs, w):
+    from deeplake_spark.operators.dedup import dup_window_stats
+
+    texts = [" ".join(d) for d in docs]
+    df = spark_global.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: (r.n_windows, r.n_dup)
+           for r in dup_window_stats(df, w=w, min_docs=2).collect()}
+
+    wins = {i: [tuple(d[j:j + w]) for j in range(len(d) - w + 1)]
+            for i, d in enumerate(docs)}
+    owners = {}
+    for i, ws in wins.items():
+        for win in set(ws):
+            owners.setdefault(win, set()).add(i)
+    expect = {}
+    for i, ws in wins.items():
+        if ws:
+            expect[i] = (len(ws), sum(1 for win in ws if len(owners[win]) >= 2))
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=15,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark_global, edges):
+    from deeplake_spark.operators.dedup import connected_components
+
+    df = spark_global.createDataFrame(edges, ["a", "b"])
+    got = {r.id: r.label for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
