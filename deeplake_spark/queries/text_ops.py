@@ -616,3 +616,77 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(duplicate_word_fraction(F.col("w")), 6).alias("dup_word_frac"),
         F.round(top_bigram_fraction(F.col("bigrams")), 6).alias("top_bigram_frac"),
     ).orderBy("doc_id")
+
+
+@query(
+    "t14_filter_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, text, {_DUCK_TOKS.format(c="text")} AS w FROM documents
+    ),
+    feat AS (
+      SELECT source, {_duck_langid("w")},
+             ROUND(0.4 * least(len(w)::DOUBLE / 50.0, 1.0)
+                 + 0.4 * (CASE WHEN len(w) > 0
+                          THEN len(list_distinct(w))::DOUBLE / len(w)
+                          ELSE 0.0 END)
+                 + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                               / length(text)
+                          ELSE 0.0 END), 6) AS q,
+             ROUND(CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END, 6) AS dwf
+      FROM base
+    ),
+    pred AS (
+      SELECT source, q, dwf,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  ELSE 'de' END AS pl
+      FROM feat
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pl <> 'und' AND q >= 0.5 AND dwf <= 0.3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN pl = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_lang,
+           CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+           CAST(SUM(CASE WHEN dwf > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM pred
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="End-to-end quality-filter pipeline accounting (C4/Gopher "
+    "style): language-ID + composite quality + repetition thresholds "
+    "evaluated in ONE corpus pass, per-source keep/drop counts with "
+    "overlapping drop reasons. Pure Column expressions — zero shuffle "
+    "beyond the final per-source aggregate.",
+    tags=("text", "quality", "pipeline"),
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import duplicate_word_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    # project tokens once (perf trap 3: inlined tokenize re-evaluates
+    # inside every HOF fold downstream)
+    toks = d.select("source", "text", tokenize(F.col("text")).alias("w"))
+    scored = toks.select(
+        "source",
+        predict_lang(F.col("w")).alias("pl"),
+        quality_score(F.col("text")).alias("q"),
+        F.round(duplicate_word_fraction(F.col("w")), 6).alias("dwf"),
+    )
+    keep = (F.col("pl") != "und") & (F.col("q") >= 0.5) & (F.col("dwf") <= 0.3)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((F.col("pl") == "und").cast("long")).alias("n_unknown_lang"),
+            F.sum((F.col("q") < 0.5).cast("long")).alias("n_low_quality"),
+            F.sum((F.col("dwf") > 0.3).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
