@@ -372,3 +372,45 @@ def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             ).alias("members"),
         )
     )
+
+
+def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       w: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    contiguous ``w``-token window with an evaluation set (the n-gram
+    overlap check training pipelines run against eval benchmarks before
+    training). Returns (doc_id, n_hit_windows) for contaminated corpus
+    docs — n_hit_windows counts this doc's distinct windows that appear
+    anywhere in the eval set.
+
+    Scale shape: eval sets are tiny next to the corpus, so the eval
+    windows are broadcast and the corpus makes ONE map-side pass — no
+    corpus shuffle at any corpus size. The corpus window build reuses
+    the guarded explode of dup_window_stats.
+    """
+    from deeplake_spark.functions.text import tokenize
+
+    def windows(df: DataFrame) -> DataFrame:
+        d = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+        n = F.size("__t") - F.lit(w - 1)
+        rows = (
+            d.select("doc_id", "__t",
+                     F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
+            .filter(F.col("__i").isNotNull())
+        )
+        win = F.concat_ws(
+            " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(w)])
+        return rows.select("doc_id", win.alias("__w"))
+
+    eval_wins = windows(eval_df).select("__w").distinct()
+    # broadcast-semijoin BEFORE distinct: only contaminated windows (a
+    # sliver of the corpus) ever reach a shuffle
+    return (
+        windows(corpus)
+        .join(F.broadcast(eval_wins), "__w", "left_semi")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_windows"))
+    )

@@ -218,3 +218,42 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dedup_clusters(d, n=3, threshold=0.5).orderBy("cluster_id")
+
+
+@query(
+    "d08_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(t[i.i : i.i + 7], ' ') AS w
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) i
+    ),
+    eval_wins AS (
+      SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0
+    ),
+    corpus_wins AS (
+      SELECT DISTINCT doc_id, w FROM wins WHERE doc_id % 50 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_windows
+    FROM corpus_wins
+    WHERE w IN (SELECT w FROM eval_wins)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any 8-token "
+    "window with the eval set (doc_id %% 50 == 0 stands in for a "
+    "benchmark). Eval windows broadcast -> one map-side corpus pass, "
+    "no corpus shuffle at any scale.",
+    tags=("dedup", "decontamination", "windows"),
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import contamination_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, eval_df, w=8).orderBy("doc_id")
