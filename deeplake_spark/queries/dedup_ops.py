@@ -227,9 +227,9 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
     ),
     wins AS (
-      SELECT doc_id, array_to_string(t[i.i : i.i + 7], ' ') AS w
+      SELECT doc_id, array_to_string(t[i.i : i.i + 3], ' ') AS w
       FROM toks,
-           LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) i
+           LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i) i
     ),
     eval_wins AS (
       SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0
@@ -244,7 +244,7 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     ORDER BY doc_id
     """,
-    doc="Benchmark decontamination: corpus docs sharing any 8-token "
+    doc="Benchmark decontamination: corpus docs sharing any 4-token "
     "window with the eval set (doc_id %% 50 == 0 stands in for a "
     "benchmark). Eval windows broadcast -> one map-side corpus pass, "
     "no corpus shuffle at any scale.",
@@ -256,4 +256,4 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     eval_df = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    return contamination_hits(corpus, eval_df, w=8).orderBy("doc_id")
+    return contamination_hits(corpus, eval_df, w=4).orderBy("doc_id")
