@@ -76,6 +76,49 @@ COMMENTARY = {
         "unpartitioned window (single-task total sort) and no driver-side "
         "count job at translate time."
     ),
+    "t13_tql_bm25_topk": (
+        "TQL-routed BM25 (round 3): the translator recognizes ORDER BY "
+        "BM25_SIMILARITY LIMIT k and probes the PERSISTED inverted index — "
+        "the plan scans posting parquet filtered to the 3 query terms "
+        "(term-bucket partition pruning), joins broadcast corpus stats, and "
+        "TakeOrders k hit rows back against the base relation. The corpus "
+        "text column is never tokenized at query time (pinned by "
+        "tests/test_plans.py); work is O(matching postings) at any corpus "
+        "size."
+    ),
+    "d06_dup_ngram_windows": (
+        "Duplicated token-window detection (round 3): one guarded "
+        "explode_outer (null-filter on the generator OUTPUT, so the "
+        "tokenize never inlines below the repartition), window strings "
+        "built with element_at+concat_ws (cheap codegen), distinct "
+        "(doc,window) then a hash-groupBy with map-side partials for the "
+        "distinct-doc counts, and a semijoin of occurrences against the "
+        "duplicated-key sliver. Totals are arithmetic on token counts — "
+        "no second corpus pass."
+    ),
+    "d08_decontamination": (
+        "Benchmark decontamination (round 3): the eval set's windows are "
+        "broadcast (eval benchmarks are ~MBs against a ~100 TB corpus), so "
+        "the corpus side is ONE map-side semijoin pass — no corpus shuffle "
+        "at any scale; only contaminated windows (a sliver) reach the "
+        "per-doc aggregate."
+    ),
+    "r17_pack_token_budget": (
+        "Token-budget packing (round 3): the global running token sum is a "
+        "range partition + per-partition running window + broadcast "
+        "partition-offset relation — the same no-global-window shape as "
+        "r05/r07; one final hash aggregate on seq_id. An unpartitioned "
+        "sum().over(orderBy) here would serialize the whole corpus "
+        "through one task."
+    ),
+    "v18_tql_maxsim": (
+        "TQL-routed MAXSIM (round 3): ORDER BY MAXSIM LIMIT k probes the "
+        "persisted pooled index — pooled-cosine TakeOrdered to "
+        "k x accuracy_factor candidate ids, broadcast semijoin back to the "
+        "matrix relation, exact late-interaction rerank (Arrow pandas UDF) "
+        "on candidates only. The corpus-wide pass is a narrow pooled-vector "
+        "scan; the expensive UDF touches k x accuracy_factor rows."
+    ),
 }
 
 
