@@ -241,12 +241,18 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     Scale shape: one explode (ntokens rows/doc), one hash-groupBy on the
     window key with map-side partials (distinct (doc, window) first, so
-    the distinct-doc count is a plain count), a shuffle semijoin of
-    occurrences against the duplicated-key set, and a per-doc
-    aggregation. No driver-side state, no cross join; the window string
-    bounds the shuffle key at ~w tokens. At petabyte scale the key
-    would be xxhash64(window) (collision odds ~n^2/2^64); the string
-    key here keeps the operator exactly oracle-checkable.
+    the distinct-doc count is a plain count), one occurrences⋈dup-keys
+    join on the window key, and ONE per-doc aggregation computing both
+    the total and duplicated counts (map-side partials make its shuffle
+    per-doc-sized). No driver-side state, no cross join; the window
+    string bounds the shuffle key at ~w tokens. At petabyte scale the
+    key would be xxhash64(window) (collision odds ~n^2/2^64); the
+    string key here keeps the operator exactly oracle-checkable. The
+    totals come from the same flagged relation — a separate
+    arithmetic-on-token-count branch would need a `n_windows >= 1`
+    filter on the projected tokenize column, which Catalyst
+    pushes+inlines into the scan (CLAUDE.md trap 3: the tokenize then
+    runs inside the scan's own partitioning).
     """
     from deeplake_spark.functions.text import tokenize
 
@@ -271,22 +277,16 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .filter(F.col("__nd") >= min_docs)
         .select("__w")
     )
-    # totals need no explode: the window count is arithmetic on the
-    # token count (one cheap map-side pass instead of a corpus re-scan)
-    totals = (
-        d.select("doc_id", F.greatest(n, F.lit(0)).cast("long").alias("n_windows"))
-        .filter(F.col("n_windows") >= 1)
-    )
-    dups = (
-        occurrences.join(dup_keys, "__w", "left_semi")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
-    )
+    # flag each occurrence instead of semijoining a dups-only relation:
+    # total and duplicated counts then come out of ONE aggregation, and
+    # docs with zero windows drop naturally (no pushable filter)
+    flagged = occurrences.join(
+        dup_keys.withColumn("__dup", F.lit(1)), "__w", "left")
     return (
-        totals.join(dups, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_windows",
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_dup"),
         )
         .withColumn(
             "dup_ratio",

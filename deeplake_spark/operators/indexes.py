@@ -107,8 +107,12 @@ def build_inverted_index(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col).alias("row_id"), tokenize(F.col(text_col)).alias("__toks"))
     )
     doclens = toks.select("row_id", F.size("__toks").alias("dl"))
+    # explode_outer + OUTPUT null-filter: a plain explode lets Catalyst
+    # infer `size(__toks) > 0` on the generator input and push it — with
+    # the tokenize inlined — into the scan (CLAUDE.md trap 2)
     postings = (
-        toks.select("row_id", F.explode("__toks").alias("term"))
+        toks.select("row_id", F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "row_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -169,11 +169,19 @@ def expand_tiles(df: DataFrame, image_col: str, tile_h: int, tile_w: int,
             ),
         )
     )
-    return df.select(*keep_cols, F.explode(tiles).alias("__t")).select(
-        *keep_cols,
-        F.col("__t.tile_row").alias("tile_row"),
-        F.col("__t.tile_col").alias("tile_col"),
-        F.col("__t.tile").alias("tile"),
+    # explode_outer + OUTPUT null-filter: a plain explode would let
+    # Catalyst infer `size(tiles) > 0` on the generator input and push
+    # the whole tile-construction expression (inlined, re-evaluated)
+    # into the scan (CLAUDE.md trap 2)
+    return (
+        df.select(*keep_cols, F.explode_outer(tiles).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .select(
+            *keep_cols,
+            F.col("__t.tile_row").alias("tile_row"),
+            F.col("__t.tile_col").alias("tile_col"),
+            F.col("__t.tile").alias("tile"),
+        )
     )
 
 

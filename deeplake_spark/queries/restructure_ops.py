@@ -130,8 +130,11 @@ def r03(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # explode_outer + OUTPUT filter (trap 2): plain explode infers
+    # size>0 on the inlined tile expression and pushes it to the scan
     return (
-        e.select("vec_id", F.explode(tiles).alias("tile"))
+        e.select("vec_id", F.explode_outer(tiles).alias("tile"))
+        .filter(F.col("tile").isNotNull())
         .select("vec_id", F.col("tile.tile_id").alias("tile_id"), F.col("tile.tile_sum").alias("tile_sum"))
         .orderBy("vec_id", "tile_id")
     )

@@ -252,15 +252,22 @@ def bm25_scores(d: DataFrame, terms: list[str], k1: float = _BM25_K1, b: float =
 
     Plan shape: tokenize → explode (term,doc) pairs filtered to query
     terms → tf agg → broadcast-join tiny df/idf and corpus stats.
+    explode_outer + an OUTPUT filter (CLAUDE.md trap 2): a plain
+    explode lets Catalyst infer `size(toks) > 0` on the generator
+    input and push it — with the tokenize inlined — into the scan,
+    re-evaluating it per row inside the scan's own partitioning.
     """
-    toks = d.select(F.col("doc_id"), tokenize(F.col("text")).alias("toks"))
+    from deeplake_spark.io import ensure_parallelism
+
+    toks = ensure_parallelism(d).select(
+        F.col("doc_id"), tokenize(F.col("text")).alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     term_lit = F.array(*[F.lit(t) for t in terms])
     tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
+        toks.select("doc_id", F.explode_outer("toks").alias("term"))
         .filter(F.array_contains(term_lit, F.col("term")))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -404,9 +411,17 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "index"),
 )
 def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+
     d = load_table(spark, sf_dir, "documents")
+    # project the token set first, then explode_outer + OUTPUT filter —
+    # a plain explode over the inlined tokenize pushes `size(...) > 0`
+    # (tokenize re-evaluated) into the scan (CLAUDE.md trap 2/3)
+    toks = ensure_parallelism(d).select(
+        F.array_distinct(tokenize(F.col("text"))).alias("__toks"))
     return (
-        d.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"))
+        toks.select(F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "term")

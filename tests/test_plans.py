@@ -171,3 +171,53 @@ def test_group_runs_windows_are_partitioned(spark):
     for line in plan.splitlines():
         if "lag(" in line:
             assert "__gpid" in line, line
+
+
+def test_window_dedup_explode_not_pushed_into_generator(spark, sf_dir):
+    """d06/d08 window builds use explode_outer + a null-filter on the
+    OUTPUT (CLAUDE.md trap 2): a plain explode would let Catalyst infer
+    `size(...) > 0` on the generator INPUT and push the whole tokenize
+    expression (inlined, twice) below the Repartition to the scan —
+    serializing the CPU-heavy work into the scan's partitioning."""
+    for name in (
+        "d06_dup_ngram_windows",
+        "d08_decontamination",
+        "t08_bm25_topk",
+        "t09_inverted_df",
+        "t10_hybrid_search",
+    ):
+        df = REG[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "FileScan" in line or "PushedFilters" in line:
+                assert "split(" not in line, f"{name}: tokenize pushed to scan"
+    # same trap, tile-generator flavor: r03's tile construction must not
+    # be inlined into the scan as an inferred size>0 constraint
+    df = REG["r03_expand_tiles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "FileScan" in line or "PushedFilters" in line:
+            assert "transform(" not in line, "r03: tile expr pushed to scan"
+
+
+def test_decontamination_corpus_side_is_broadcast_semijoin(spark, sf_dir):
+    """d08's corpus pass must be a broadcast LeftSemi (eval windows are
+    tiny vs the corpus) — a shuffled corpus join here is the scale
+    killer at 100 TB."""
+    df = REG["d08_decontamination"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # and never a sort-merge join of corpus windows against eval windows
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_token_budget_no_global_window(spark, sf_dir):
+    """r17's running token count must stay partition-local (range sort
+    + broadcast partition offsets) — an unpartitioned running-sum
+    window would funnel the whole corpus through one task."""
+    df = REG["r17_pack_token_budget"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "unboundedpreceding" in line.lower():
+            assert "__pid" in line, f"unpartitioned running window: {line[:160]}"
