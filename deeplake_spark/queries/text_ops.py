@@ -478,20 +478,23 @@ _HYBRID_N = 50
     tags=("text", "vector", "hybrid"),
 )
 def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from deeplake_spark.functions.vector import cosine_similarity
+    from deeplake_spark.operators.indexes import bm25_via_index
     from deeplake_spark.queries.vector_ops import _query_vec
 
-    d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
 
     # top-N per side = TakeOrderedAndProject: k*accuracy_factor rows
-    # reach the driver-side fusion, never the corpus
+    # reach the fusion, never the corpus. The BM25 side probes the
+    # persisted inverted index (score-equivalence with direct BM25 is
+    # test-pinned), so no corpus tokenize happens at query time.
     bl = (
-        bm25_scores(d, ["spark", "vector"])
-        .select("doc_id", F.round("bm25", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_HYBRID_N)
+        bm25_via_index(_inv_index(spark, sf_dir), ["spark", "vector"],
+                       k=_HYBRID_N)
+        .select(F.col("row_id").alias("doc_id"), "bm25")
     )
     vl = (
         e.select(
@@ -502,14 +505,16 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HYBRID_N)
     )
 
+    # softmax over the N-row candidate list in ONE pass: an
+    # unpartitioned window is fine here because its input is already
+    # LIMIT-bounded (N = k*accuracy_factor rows, corpus-independent) —
+    # the agg+crossJoin alternative re-executes the corpus-side top-N
+    # once per reference.
+    _all = Window.partitionBy()
+
     def softmax_weights(lst: DataFrame, score: str, weight: str) -> DataFrame:
-        mx = lst.agg(F.max(score).alias("__m"))
-        with_m = lst.crossJoin(F.broadcast(mx))
-        sm = with_m.agg(F.sum(F.exp(F.col(score) - F.col("__m"))).alias("__s"))
-        return (
-            with_m.crossJoin(F.broadcast(sm))
-            .select("doc_id", (F.exp(F.col(score) - F.col("__m")) / F.col("__s")).alias(weight))
-        )
+        ex = F.exp(F.col(score) - F.max(score).over(_all))
+        return lst.select("doc_id", (ex / F.sum(ex).over(_all)).alias(weight))
 
     bw = softmax_weights(bl, "bm25", "wb")
     vw = softmax_weights(vl, "cos", "wc")
