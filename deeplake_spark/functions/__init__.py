@@ -51,6 +51,7 @@ from deeplake_spark.functions.vector import (
     l2_norm,
     linf_norm,
     maxsim_pandas,
+    maxsim_pandas_const,
     sign_bits,
 )
 
@@ -106,5 +107,5 @@ __all__ = [
     "glob_to_rlike",
     # vector
     "cosine_similarity", "dot", "l1_norm", "l2_norm", "linf_norm",
-    "hamming_distance", "maxsim_pandas", "sign_bits",
+    "hamming_distance", "maxsim_pandas", "maxsim_pandas_const", "sign_bits",
 ]

@@ -110,3 +110,33 @@ def maxsim_pandas():
         return pd.Series(out)
 
     return maxsim
+
+
+def maxsim_pandas_const(query_matrix):
+    """MAXSIM against a FIXED query matrix captured in the UDF closure.
+
+    The two-column form with a literal query side pays twice: one
+    codegen constant per matrix cell (a 4x64 query is a 256-node
+    expression tree to compile) and a per-row Arrow transfer of the
+    identical matrix. Closing over the normalized numpy matrix makes
+    the UDF unary — the query ships once per executor with the
+    serialized function."""
+    from pyspark.sql.functions import pandas_udf
+
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = (qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+          if qm.size else qm)
+
+    @pandas_udf("double")
+    def maxsim1(doc: pd.Series) -> pd.Series:
+        out = np.empty(len(doc))
+        for i, d in enumerate(doc):
+            dm = np.asarray([np.asarray(r, dtype=np.float64) for r in d])
+            if dm.size == 0 or qn.size == 0:
+                out[i] = 0.0
+                continue
+            dn = dm / np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-30)
+            out[i] = (qn @ dn.T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return maxsim1

@@ -523,7 +523,7 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     prefiltered subset (filter+search, index_holder.hpp:30-36)."""
     import numpy as np
 
-    from deeplake_spark.functions.vector import maxsim_pandas
+    from deeplake_spark.functions.vector import maxsim_pandas_const
 
     config = config or SearchConfig()
     qm = np.asarray(query_matrix, dtype=np.float64)
@@ -536,13 +536,12 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
                     k=k * config.accuracy_factor, id_col=index.id_col)
         .select(index.id_col)
     )
-    maxsim = maxsim_pandas()
-    qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+    maxsim = maxsim_pandas_const(qm)
     return (
         index.source.join(cands, index.id_col, "left_semi")
         .select(
             index.id_col,
-            F.round(maxsim(F.col(index.matrix_col), qm_lit), 6).alias("maxsim_score"),
+            F.round(maxsim(F.col(index.matrix_col)), 6).alias("maxsim_score"),
         )
         .orderBy(F.desc("maxsim_score"), index.id_col)
         .limit(k)

@@ -29,7 +29,6 @@ from deeplake_spark.functions.vector import (
     l1_norm,
     l2_norm,
     linf_norm,
-    maxsim_pandas,
     sign_bits,
 )
 from deeplake_spark.io import load_table
@@ -372,8 +371,9 @@ def _doc_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "maxsim"),
 )
 def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.vector import maxsim_pandas_const
+
     e = load_table(spark, sf_dir, "embeddings")
-    maxsim = maxsim_pandas()
     docs = _doc_matrices(spark, sf_dir)
     qrow = (
         e.filter(F.col("vec_id") < 4)
@@ -381,10 +381,12 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("embedding").alias("qm"))
         .head()
     )
-    qm = F.array(*[F.array(*[F.lit(float(v)) for v in vec]) for vec in qrow[0]])
+    # query matrix rides in the UDF closure — a literal column would
+    # cost a 256-node codegen tree plus a per-row Arrow copy
+    maxsim = maxsim_pandas_const(qrow[0])
     return (
         docs.select(
-            "doc_id", F.round(maxsim(F.col("doc_matrix"), qm), 6).alias("maxsim_score")
+            "doc_id", F.round(maxsim(F.col("doc_matrix")), 6).alias("maxsim_score")
         )
         .orderBy(F.desc("maxsim_score"), "doc_id")
         .limit(20)
