@@ -211,7 +211,9 @@ class Dataset:
         Kinds (reference types.pyi:128-248): inverted | clustered |
         numeric | json | exact | pooled (PooledQuantized MAXSIM,
         types.pyi:604-615) | clustered_quantized (stored sign-bit
-        quantization, types.pyi:625-632). `json` takes `paths=[...]`
+        quantization, types.pyi:625-632) | pq (product quantization,
+        Jégou et al. 2011 — extends the stored quantized family with
+        the memory-bound ADC scale path). `json` takes `paths=[...]`
         (the JSON
         paths extracted at build time); options are persisted so
         auto-refresh on commit rebuilds identically."""
@@ -265,6 +267,16 @@ class Dataset:
                 build_quantized(self.to_df(), vec_col=column, id_col="_row_id"),
                 idx_path,
             )
+        elif kind == "pq":
+            from deeplake_spark.operators.similarity import build_pq, save_pq
+
+            save_pq(
+                build_pq(self.to_df(), vec_col=column, id_col="_row_id",
+                         **{k: v for k, v in options.items()
+                            if k in ("m", "nbits", "seed", "max_iter",
+                                     "train_fraction")}),
+                idx_path,
+            )
         else:
             raise DatasetError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
@@ -310,6 +322,15 @@ class Dataset:
                 out[col] = (
                     "pooled",
                     load_pooled_maxsim(self.spark, meta["path"], source=self.to_df()),
+                    "_row_id",
+                )
+                continue
+            if meta["kind"] == "pq":
+                from deeplake_spark.operators.similarity import load_pq
+
+                out[col] = (
+                    "pq",
+                    load_pq(self.spark, meta["path"], source=self.to_df()),
                     "_row_id",
                 )
                 continue
@@ -649,6 +670,10 @@ class Dataset:
 
             append_quantized_delta(new_df, vec_col=column, id_col="_row_id",
                                    path=idx_path)
+        elif kind == "pq":
+            from deeplake_spark.operators.similarity import append_pq_delta, load_pq
+
+            append_pq_delta(load_pq(self.spark, idx_path), new_df, idx_path)
 
     def history(self) -> list[Version]:
         out = []

@@ -140,3 +140,31 @@ def maxsim_pandas_const(query_matrix):
         return pd.Series(out)
 
     return maxsim1
+
+
+def pq_encode_pandas(codebooks: list):
+    """Product-quantization encoder closing over the codebooks
+    ([m][ksub][sub_dim] floats): Arrow-batched, vectorized argmin per
+    subspace. Encode is the build/ingest path — an executor-parallel
+    linear scan, never run at query time (the probe is a pure JVM ADC
+    expression over the stored codes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub_dim = cbs[0].shape[1]
+
+    @pandas_udf("struct<code: array<int>, anorm: double>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = mat.shape[0]
+        codes = np.empty((n, len(cbs)), dtype=np.int32)
+        anorm = np.zeros(n)
+        for j, cb in enumerate(cbs):
+            sub = mat[:, j * sub_dim:(j + 1) * sub_dim]
+            # ||x - c||^2 argmin == argmin(||c||^2 - 2 x.c)
+            d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes[:, j] = d.argmin(axis=1)
+            anorm += (cb[codes[:, j]] * cb[codes[:, j]]).sum(axis=1)
+        return pd.DataFrame({"code": list(codes), "anorm": anorm})
+
+    return encode

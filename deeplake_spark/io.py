@@ -32,11 +32,12 @@ BROADCAST_TABLES = {"region", "nation"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projection into it.
 
-    `events.ts` is written as TIMESTAMP(NANOS); with
+    `events.ts` has shipped as TIMESTAMP(NANOS) — with
     `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long that we
     convert to a microsecond timestamp (integer division — double math
-    would lose precision above 2^53 ns). DuckDB truncates ns→us the same
-    way, so oracle comparisons agree.
+    would lose precision above 2^53 ns; DuckDB truncates ns→us the same
+    way) — and as plain TIMESTAMP_NTZ(US), which needs no conversion.
+    The dtype check below handles both.
     """
     if name == "events":
         # defensive: the caller's session may not carry these confs (the

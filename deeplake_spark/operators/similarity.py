@@ -336,6 +336,166 @@ def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
     return topk_cosine(cands, vec_col, query_vec, k=k, id_col=id_col)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (flat ADC; Jégou, Douze, Schmid 2011 — the
+# standard memory-bound ANN scale path beyond 1-bit sign quantization)
+
+
+@dataclass
+class PQIndex:
+    """Product-quantized embedding index: each vector splits into `m`
+    subvectors, each encoded as the id of its nearest subspace centroid
+    (per-subspace k-means codebooks). The persisted side table is
+    (id, code[m], anorm) — m small ints plus the precomputed norm of
+    the reconstruction — so a probe scans a table ~(4*dim/m)x narrower
+    than the raw vectors and never touches them until the rerank.
+    The reference stores quantized embedding index kinds
+    (python/deeplake/types.pyi:625-632); PQ extends that family."""
+
+    codes: DataFrame  # id_col, code (array<int>), anorm (double)
+    codebooks: list  # [m][ksub][sub_dim] floats
+    source: DataFrame | None  # live relation for exact rerank
+    vec_col: str
+    id_col: str
+
+
+def _pq_encoder(codebooks: list):
+    from deeplake_spark.functions.vector import pq_encode_pandas
+
+    return pq_encode_pandas(codebooks)
+
+
+def build_pq(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 8, nbits: int = 4,
+             seed: int = 42, max_iter: int = 10,
+             train_fraction: float | None = None) -> PQIndex:
+    """Train per-subspace codebooks (MLlib k-means over vector slices)
+    and encode the corpus. `train_fraction` samples the training set —
+    at 100 TB you train the (m * 2^nbits * sub_dim)-float codebooks on
+    ~1M sampled rows and only the encode pass sees every row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    ksub = 1 << nbits
+
+    train = df.sample(fraction=train_fraction, seed=seed) if train_fraction else df
+    sliced = train.select(*[
+        array_to_vector(
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub_dim + 1, sub_dim)
+        ).alias(f"__s{j}")
+        for j in range(m)
+    ]).persist()
+    codebooks = []
+    for j in range(m):
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter,
+                       featuresCol=f"__s{j}").fit(sliced)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    sliced.unpersist()
+
+    enc = _pq_encoder(codebooks)
+    codes = df.select(
+        id_col, enc(F.col(vec_col).cast("array<double>")).alias("__e")
+    ).select(id_col, F.col("__e.code").alias("code"),
+             F.col("__e.anorm").alias("anorm"))
+    return PQIndex(codes=codes, codebooks=codebooks,
+                   source=df.select(id_col, vec_col),
+                   vec_col=vec_col, id_col=id_col)
+
+
+def save_pq(index: PQIndex, path: str) -> None:
+    from deeplake_spark.storage import put_json
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    put_json(os.path.join(path, "codebooks.json"), {
+        "codebooks": index.codebooks,
+        "vec_col": index.vec_col,
+        "id_col": index.id_col,
+    })
+
+
+def load_pq(spark, path: str, source: DataFrame | None = None) -> PQIndex:
+    from deeplake_spark.storage import get_json
+
+    meta = get_json(os.path.join(path, "codebooks.json"))
+    src = (source.select(meta["id_col"], meta["vec_col"])
+           if source is not None else None)
+    return PQIndex(
+        codes=spark.read.parquet(os.path.join(path, "codes")),
+        codebooks=meta["codebooks"],
+        source=src,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )
+
+
+def append_pq_delta(index: PQIndex, new_df: DataFrame, path: str) -> None:
+    """Delta maintenance: encode ONLY the new rows with the existing
+    codebooks and append — codebooks and prior code files untouched
+    (re-training only on an explicit create_index, like IVF)."""
+    enc = _pq_encoder(index.codebooks)
+    new_df.select(
+        index.id_col,
+        enc(F.col(index.vec_col).cast("array<double>")).alias("__e"),
+    ).select(index.id_col, F.col("__e.code").alias("code"),
+             F.col("__e.anorm").alias("anorm")).write.mode("append").parquet(
+        os.path.join(path, "codes"))
+
+
+def pq_search(index: PQIndex, query_vec, k: int = 10,
+              config: SearchConfig | None = None,
+              candidates: DataFrame | None = None) -> DataFrame:
+    """Asymmetric-distance probe: the query builds an m x 2^nbits dot
+    lookup table driver-side (index metadata arithmetic, like the IVF
+    centroid ranking); the scan scores each row as
+    sum_j LUT[j][code_j] / (sqrt(anorm) * ||q||) — pure JVM expression
+    over the narrow codes table, TakeOrdered to k*accuracy_factor,
+    then exact cosine rerank against the live vectors. `candidates`
+    restricts to a WHERE-prefiltered row set (filter+search,
+    index_holder.hpp:30-36)."""
+    import numpy as np
+
+    config = config or SearchConfig()
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qnorm = float(np.linalg.norm(q)) or 1e-30
+    m = len(index.codebooks)
+    sub_dim = len(index.codebooks[0][0])
+    luts = [
+        [float(np.dot(q[j * sub_dim:(j + 1) * sub_dim], np.asarray(c)))
+         for c in index.codebooks[j]]
+        for j in range(m)
+    ]
+    codes = index.codes
+    if candidates is not None:
+        cand_col = candidates.columns[0]
+        codes = codes.join(
+            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
+            index.id_col, "left_semi")
+    approx_dot = sum(
+        (F.element_at(F.array(*[F.lit(v) for v in luts[j]]),
+                      F.col("code")[j] + 1)
+         for j in range(m)),
+        start=F.lit(0.0),
+    )
+    score = approx_dot / (F.sqrt(F.greatest(F.col("anorm"), F.lit(1e-30)))
+                          * F.lit(qnorm))
+    fetch = k * config.accuracy_factor
+    cand = (
+        codes.select(index.id_col, score.alias("__pq"))
+        .orderBy(F.desc("__pq"), index.id_col)
+        .limit(fetch)
+        .select(index.id_col)
+    )
+    if index.source is None:
+        return cand
+    rerank = index.source.join(F.broadcast(cand), index.id_col, "left_semi")
+    return topk_cosine(rerank, index.vec_col, query_vec, k=k,
+                       id_col=index.id_col)
+
+
 def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.99,
                        bands: int = 8, dim: int | None = None,

@@ -83,6 +83,27 @@ def _quantized_index(spark: SparkSession, sf_dir: str):
     return _QUANT_CACHE[key]
 
 
+#: persisted product-quantization index memo (build-at-ingest,
+#: probe-per-query — same protocol as _ivf8/_quantized_index)
+_PQ_CACHE: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from deeplake_spark.operators.similarity import build_pq, load_pq, save_pq
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(tempfile.gettempdir(), f"dls_pq_{abs(hash(sf_dir))}")
+        save_pq(build_pq(e, vec_col="embedding", id_col="vec_id",
+                         m=8, nbits=4, seed=42), path)
+        _PQ_CACHE[key] = load_pq(spark, path, source=e)
+    return _PQ_CACHE[key]
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     """Prefetch one embedding as a literal array column (DATA() semantics)."""
     row = (
@@ -689,3 +710,24 @@ def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mask_sum").cast("double"), 6).alias("n_hot"),
         F.col("any_hi"),
     ).orderBy("vec_id")
+
+
+@query(
+    "v19_pq_search",
+    oracle=None,  # ADC candidate set is quantization-dependent — recall
+    # gate vs exact top-k in tests/test_similarity.py
+    doc="Product-quantized ANN through the persisted PQ index (extends "
+    "the stored quantized index family, types.pyi:625-632; Jégou et "
+    "al. 2011): the probe scores the narrow (id, code[8], anorm) side "
+    "table with an ADC lookup expression — ~32x less data than the "
+    "raw vectors — TakeOrdereds k*accuracy_factor candidates, then "
+    "exact-cosine reranks against the live relation.",
+    tags=("vector", "ann", "pq", "index"),
+)
+def v19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import SearchConfig, pq_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    return pq_search(_pq_index(spark, sf_dir), list(row[0]),
+                     k=10, config=SearchConfig.high_accuracy())

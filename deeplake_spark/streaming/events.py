@@ -30,11 +30,25 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source streaming; in
-    production the same plan reads Kafka/queue sources unchanged)."""
+    production the same plan reads Kafka/queue sources unchanged).
+
+    The ts column has shipped both as TIMESTAMP(NANOS) — which
+    surfaces as a long under `nanosAsLong` — and as plain
+    TIMESTAMP(US)/NTZ, so sniff the batch-read schema (a footer-only
+    driver action) and adapt the stream schema + conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(batch_ts, T.TimestampType())
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", ts_field)
+        for f in EVENTS_SCHEMA.fields
+    ])
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(schema)
         .option("path", f"{sf_dir}")
         .option("pathGlobFilter", "events.parquet")
         .load()
@@ -42,9 +56,20 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks require TIMESTAMP (Spark rejects TIMESTAMP_NTZ event
     # time), so the stream keeps an instant-typed ts — instants and
     # UTC-epoch-aligned tumbling windows are session-tz-independent.
-    # The rollups below convert emitted window boundaries to NTZ so
-    # results match the batch path under any driver session timezone.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Both conversions below avoid the session timezone entirely
+    # (timestamp_micros / timestampdiff are pure epoch arithmetic).
+    # The rollups below convert emitted window boundaries back to NTZ
+    # so results match the batch path under any driver session tz.
+    if batch_ts == "bigint":  # TIMESTAMP(NANOS) as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if batch_ts == "timestamp_ntz":
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr(
+                "timestampdiff(MICROSECOND, "
+                "timestamp_ntz'1970-01-01 00:00:00', ts)")),
+        )
+    return raw
 
 
 def _instant_to_ntz(colname: str):

@@ -393,7 +393,7 @@ class Translator:
     #: score functions ORDER BY <fn> DESC LIMIT k can route through a
     #: persisted index, and the index kinds each one accepts
     _TOPK_ROUTES = {
-        "COSINE_SIMILARITY": ("clustered", "clustered_quantized"),
+        "COSINE_SIMILARITY": ("clustered", "clustered_quantized", "pq"),
         "BM25_SIMILARITY": ("inverted",),
         "MAXSIM": ("pooled",),
     }
@@ -477,6 +477,13 @@ class Translator:
                     candidates=candidates.withColumnRenamed(
                         candidates.columns[0], idx.id_col)
                     if candidates is not None else None,
+                ).select(F.col(idx.id_col).alias(id_col))
+            elif kind == "pq":
+                from deeplake_spark.operators.similarity import pq_search
+
+                hits = pq_search(
+                    idx, qvec, k=fetch, config=self.search_config,
+                    candidates=candidates,
                 ).select(F.col(idx.id_col).alias(id_col))
             else:
                 hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,

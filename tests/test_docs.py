@@ -26,13 +26,26 @@ def test_tql_md_snippets_run(spark, sf_dir):
         import deeplake_spark as dls
         from deeplake_spark import dataset as dl
 
-        # test-context: a real dataset + named tables for the snippets
-        ds = dl.from_parquet(f"{sf_dir}/documents.parquet", tmp + "/ds", spark)
+        # test-context: a real dataset + named tables for the snippets.
+        # The index-routing snippets need embedding + doc_matrix columns
+        # and query params, so the dataset is documents ⋈ embeddings.
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding")
+        src = docs.join(emb, "doc_id").withColumn(
+            "doc_matrix", F.array("embedding"))
+        src.write.parquet(tmp + "/src")
+        ds = dl.from_parquet(tmp + "/src", tmp + "/ds", spark)
+        qvec = [float(v) for v in emb.head()["embedding"]]
         ctx = {
             "dls": dls,
             "spark": spark,
             "nation_df": load_table(spark, sf_dir, "nation"),
             "region_df": load_table(spark, sf_dir, "region"),
+            "qvec": qvec,
+            "query_matrix": [qvec],
         }
         for block in blocks:
             # the import/get_spark/open lines are illustrative — rebind to

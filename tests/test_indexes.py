@@ -719,3 +719,84 @@ def test_dataset_quantized_index_end_to_end(spark, sf_dir):
         assert 0 < out.count() <= 5
         hits = es.search("embedding", q, k=5)
         assert 0 < hits.count() <= 5
+
+
+def test_pq_index_roundtrip_and_tql_route(spark, sf_dir, tmp_path):
+    """Product-quantized index (extends the stored quantized family,
+    types.pyi:625-632; Jégou et al. 2011): save/load round trip,
+    rerank recall >= 0.7 vs exact, TQL cosine top-k routes through it,
+    delta appends leave old code files untouched, and the probe plan
+    scans the codes table — never the vector column."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        append_pq_delta,
+        build_pq,
+        load_pq,
+        pq_search,
+        save_pq,
+        topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "pq")
+    save_pq(build_pq(e, "embedding", "vec_id", m=8, nbits=4, seed=42), p)
+    idx = load_pq(spark, p, source=e)
+    assert len(idx.codebooks) == 8 and len(idx.codebooks[0]) == 16
+
+    # codes are valid and complete
+    n = e.count()
+    assert idx.codes.count() == n
+    bad = idx.codes.filter(
+        (F.size("code") != 8)
+        | F.exists("code", lambda c: (c < 0) | (c > 15))).count()
+    assert bad == 0
+
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = {r.vec_id for r in topk_cosine(e, "embedding", q, k=10,
+                                           id_col="vec_id").collect()}
+    approx = {r.vec_id for r in pq_search(
+        idx, q, k=10, config=SearchConfig.high_accuracy()).collect()}
+    assert len(approx & exact) / 10 >= 0.7
+
+    # TQL routing through the pq kind
+    routed = tql.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10",
+        default=e, params=[q],
+        indexes={"embedding": ("pq", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    got = {r.vec_id for r in routed.collect()}
+    assert len(got & exact) / 10 >= 0.7
+
+    # WHERE prefilter stays exact
+    filtered = tql.query(
+        "SELECT vec_id WHERE label == 3 "
+        "ORDER BY COSINE_SIMILARITY(embedding, ?) DESC LIMIT 5",
+        default=e, params=[q],
+        indexes={"embedding": ("pq", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    ids = [r.vec_id for r in filtered.collect()]
+    assert 0 < len(ids) <= 5
+    labels = {r.label for r in e.filter(F.col("vec_id").isin(ids)).collect()}
+    assert labels == {3}
+
+    # delta append with the EXISTING codebooks: old files untouched
+    before = _tree_state(p + "/codes")
+    new = spark.createDataFrame([(20_000_000, [float(x) for x in q])],
+                                "vec_id long, embedding array<float>")
+    append_pq_delta(idx, new, p)
+    after = _tree_state(p + "/codes")
+    for f, sig in before.items():
+        assert after.get(f) == sig
+    assert len(after) > len(before)
+    idx2 = load_pq(spark, p,
+                   source=e.select("vec_id", "embedding").unionByName(new))
+    hits = {r.vec_id for r in pq_search(
+        idx2, q, k=10, config=SearchConfig.high_accuracy()).collect()}
+    assert 20_000_000 in hits  # identical vector must rank top
+
+    # the candidate stage reads codes only (narrow scan), vectors appear
+    # solely in the rerank join against the live relation
+    cand_plan = (idx.codes.limit(1))._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in cand_plan
