@@ -51,6 +51,7 @@ def main() -> None:
             ("ivf_build", lambda: vector_ops._ivf8(spark, sf_dir)),
             ("quantized_build",
              lambda: vector_ops._quantized_index(spark, sf_dir)),
+            ("pq_build", lambda: vector_ops._pq_index(spark, sf_dir)),
             ("pooled_build", lambda: vector_ops._pooled_index(spark, sf_dir)),
         ):
             t0 = time.perf_counter()

@@ -352,11 +352,12 @@ class PQIndex:
     The reference stores quantized embedding index kinds
     (python/deeplake/types.pyi:625-632); PQ extends that family."""
 
-    codes: DataFrame  # id_col, code (array<int>), anorm (double)
+    codes: DataFrame  # id_col, code (array<int>), anorm (double)[, cluster]
     codebooks: list  # [m][ksub][sub_dim] floats
     source: DataFrame | None  # live relation for exact rerank
     vec_col: str
     id_col: str
+    centroids: list | None = None  # coarse quantizer → IVF-PQ cluster prune
 
 
 def _pq_encoder(codebooks: list):
@@ -365,14 +366,31 @@ def _pq_encoder(codebooks: list):
     return pq_encode_pandas(codebooks)
 
 
+def _pq_code_cols(enc, df: DataFrame, vec_col: str, id_col: str,
+                  extra: list[str] = ()) -> DataFrame:
+    return df.select(
+        id_col, *extra, enc(F.col(vec_col).cast("array<double>")).alias("__e")
+    ).select(id_col, *extra, F.col("__e.code").alias("code"),
+             F.col("__e.anorm").alias("anorm"))
+
+
 def build_pq(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", m: int = 8, nbits: int = 4,
              seed: int = 42, max_iter: int = 10,
-             train_fraction: float | None = None) -> PQIndex:
+             train_fraction: float | None = None,
+             n_clusters: int = 0) -> PQIndex:
     """Train per-subspace codebooks (MLlib k-means over vector slices)
     and encode the corpus. `train_fraction` samples the training set —
     at 100 TB you train the (m * 2^nbits * sub_dim)-float codebooks on
-    ~1M sampled rows and only the encode pass sees every row."""
+    ~1M sampled rows and only the encode pass sees every row.
+
+    `n_clusters > 0` adds a coarse quantizer (IVF-PQ): codes carry a
+    cluster column and persist PARTITIONED BY it, so a probe reads only
+    `nprobe` directories of the already-narrow codes table — the
+    FAISS-style IVFADC layout. Codes quantize the raw vectors (not the
+    residuals): one shared LUT serves every cluster and delta appends
+    need no per-cluster state; the exact rerank absorbs the recall
+    difference at the accuracy factors we ship."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -396,24 +414,35 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
     sliced.unpersist()
 
+    centroids = None
+    base = df
+    extra: list[str] = []
+    if n_clusters > 0:
+        coarse = build_ivf(df, vec_col=vec_col, id_col=id_col,
+                           n_clusters=n_clusters, seed=seed, max_iter=max_iter)
+        centroids = coarse.centroids
+        base = coarse.assignments  # id_col, vec_col, cluster
+        extra = ["cluster"]
+
     enc = _pq_encoder(codebooks)
-    codes = df.select(
-        id_col, enc(F.col(vec_col).cast("array<double>")).alias("__e")
-    ).select(id_col, F.col("__e.code").alias("code"),
-             F.col("__e.anorm").alias("anorm"))
+    codes = _pq_code_cols(enc, base, vec_col, id_col, extra)
     return PQIndex(codes=codes, codebooks=codebooks,
                    source=df.select(id_col, vec_col),
-                   vec_col=vec_col, id_col=id_col)
+                   vec_col=vec_col, id_col=id_col, centroids=centroids)
 
 
 def save_pq(index: PQIndex, path: str) -> None:
     from deeplake_spark.storage import put_json
 
-    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    w = index.codes.write.mode("overwrite")
+    if index.centroids is not None:
+        w = w.partitionBy("cluster")
+    w.parquet(os.path.join(path, "codes"))
     put_json(os.path.join(path, "codebooks.json"), {
         "codebooks": index.codebooks,
         "vec_col": index.vec_col,
         "id_col": index.id_col,
+        "centroids": index.centroids,
     })
 
 
@@ -423,26 +452,34 @@ def load_pq(spark, path: str, source: DataFrame | None = None) -> PQIndex:
     meta = get_json(os.path.join(path, "codebooks.json"))
     src = (source.select(meta["id_col"], meta["vec_col"])
            if source is not None else None)
+    cents = meta.get("centroids")
     return PQIndex(
         codes=spark.read.parquet(os.path.join(path, "codes")),
         codebooks=meta["codebooks"],
         source=src,
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
+        centroids=[(int(c), v) for c, v in cents] if cents else None,
     )
 
 
 def append_pq_delta(index: PQIndex, new_df: DataFrame, path: str) -> None:
     """Delta maintenance: encode ONLY the new rows with the existing
-    codebooks and append — codebooks and prior code files untouched
-    (re-training only on an explicit create_index, like IVF)."""
+    codebooks (and assign them to the existing coarse centroids when
+    the index is IVF-PQ) and append — codebooks, centroids and prior
+    code files untouched (re-training only on an explicit
+    create_index, like IVF)."""
     enc = _pq_encoder(index.codebooks)
-    new_df.select(
-        index.id_col,
-        enc(F.col(index.vec_col).cast("array<double>")).alias("__e"),
-    ).select(index.id_col, F.col("__e.code").alias("code"),
-             F.col("__e.anorm").alias("anorm")).write.mode("append").parquet(
-        os.path.join(path, "codes"))
+    base = new_df.select(index.id_col, index.vec_col)
+    extra: list[str] = []
+    if index.centroids is not None:
+        base = assign_to_centroids(base, index.vec_col, index.centroids)
+        extra = ["cluster"]
+    out = _pq_code_cols(enc, base, index.vec_col, index.id_col, extra)
+    w = out.write.mode("append")
+    if index.centroids is not None:
+        w = w.partitionBy("cluster")
+    w.parquet(os.path.join(path, "codes"))
 
 
 def pq_search(index: PQIndex, query_vec, k: int = 10,
@@ -455,7 +492,11 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
     over the narrow codes table, TakeOrdered to k*accuracy_factor,
     then exact cosine rerank against the live vectors. `candidates`
     restricts to a WHERE-prefiltered row set (filter+search,
-    index_holder.hpp:30-36)."""
+    index_holder.hpp:30-36). With a coarse quantizer (IVF-PQ) the scan
+    first prunes to the `nprobe` nearest cluster partitions — the
+    same physical prune as ivf_search, on a far narrower table."""
+    import math
+
     import numpy as np
 
     config = config or SearchConfig()
@@ -469,6 +510,18 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
         for j in range(m)
     ]
     codes = index.codes
+    if index.centroids is not None:
+        # coarse prune, mirroring ivf_search's eff_nprobe policy
+        dists = [(cid, float(np.linalg.norm(np.asarray(c) - q)))
+                 for cid, c in index.centroids]
+        n_clusters = len(index.centroids)
+        eff_nprobe = min(
+            n_clusters,
+            max(config.nprobe,
+                math.ceil(n_clusters * config.accuracy_factor / 20)),
+        )
+        probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
+        codes = codes.filter(F.col("cluster").isin(probe))
     if candidates is not None:
         cand_col = candidates.columns[0]
         codes = codes.join(

@@ -800,3 +800,62 @@ def test_pq_index_roundtrip_and_tql_route(spark, sf_dir, tmp_path):
     # solely in the rerank join against the live relation
     cand_plan = (idx.codes.limit(1))._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in cand_plan
+
+
+def test_ivf_pq_cluster_prune(spark, sf_dir, tmp_path):
+    """IVF-PQ: codes persist PARTITIONED BY the coarse cluster; a probe
+    reads only the nprobe nearest cluster directories (partition
+    pruning fires on the codes scan) and still recalls >= 0.7 after
+    the exact rerank; delta appends route new rows to their coarse
+    cluster without touching existing files."""
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        append_pq_delta,
+        build_pq,
+        load_pq,
+        pq_search,
+        save_pq,
+        topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ivfpq")
+    save_pq(build_pq(e, "embedding", "vec_id", m=8, nbits=4, seed=42,
+                     n_clusters=4), p)
+    idx = load_pq(spark, p, source=e)
+    assert idx.centroids is not None and len(idx.centroids) == 4
+    import os
+
+    assert any(d.startswith("cluster=") for d in os.listdir(p + "/codes"))
+
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    res = pq_search(idx, q, k=10, config=SearchConfig.high_accuracy())
+    exact = {r.vec_id for r in topk_cosine(e, "embedding", q, k=10,
+                                           id_col="vec_id").collect()}
+    assert len({r.vec_id for r in res.collect()} & exact) / 10 >= 0.7
+
+    # with a selective config the cluster filter must reach the scan as
+    # a partition filter (pruned directories, not a post-scan filter)
+    sel = pq_search(idx, q, k=5, config=SearchConfig.fast())
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    # the plan holds several scans (source rerank + codes); the codes
+    # scan must carry the cluster prune as a PARTITION filter
+    import re as _re
+
+    pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cluster" in pf for pf in pfs), pfs
+
+    # delta append lands in the new row's coarse cluster partition
+    before = _tree_state(p + "/codes")
+    new = spark.createDataFrame([(30_000_000, [float(x) for x in q])],
+                                "vec_id long, embedding array<float>")
+    append_pq_delta(idx, new, p)
+    after = _tree_state(p + "/codes")
+    for f, sig in before.items():
+        assert after.get(f) == sig
+    assert len(after) > len(before)
+    idx2 = load_pq(spark, p,
+                   source=e.select("vec_id", "embedding").unionByName(new))
+    hits = {r.vec_id for r in pq_search(
+        idx2, q, k=10, config=SearchConfig.high_accuracy()).collect()}
+    assert 30_000_000 in hits
