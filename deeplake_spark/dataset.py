@@ -274,7 +274,7 @@ class Dataset:
                 build_pq(self.to_df(), vec_col=column, id_col="_row_id",
                          **{k: v for k, v in options.items()
                             if k in ("m", "nbits", "seed", "max_iter",
-                                     "train_fraction", "n_clusters")}),
+                                     "train_limit", "n_clusters")}),
                 idx_path,
             )
         else:

@@ -307,7 +307,11 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     if ever needed. Each round is one join + partial-agg groupBy;
     lineage is cut per round with an eager localCheckpoint so the plan
     doesn't grow with iterations. Iterative by nature — the driver loop
-    only runs a convergence probe (LIMIT 1 count), never collects data.
+    only runs a convergence probe (a 1-row aggregate), never collects
+    data: labels can only DECREASE under min-propagation, so the label
+    sum (DECIMAL — id sums overflow bigint at petabyte id ranges) is
+    strictly decreasing until the fixpoint, making an unchanged sum an
+    exact convergence test with no old-vs-new join.
 
     Returns (id, cluster) where cluster = min id of the component.
     """
@@ -317,6 +321,7 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         .persist()
     )
     labels = sym.select("id").distinct().withColumn("label", F.col("id"))
+    prev_sum = None
     try:
         for _ in range(max_iter):
             neigh = (
@@ -336,16 +341,13 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.select(F.col("id"), F.col("label").alias("nl"))
-                .join(labels, "id")
-                .filter(F.col("nl") != F.col("label"))
-                .limit(1)
-                .count()
-            )
+            cur_sum = new.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).head()["s"]
             labels = new
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     finally:
         sym.unpersist()
     return labels.select("id", "label")

@@ -374,15 +374,38 @@ def _pq_code_cols(enc, df: DataFrame, vec_col: str, id_col: str,
              F.col("__e.anorm").alias("anorm"))
 
 
+def _kmeans_np(X, k: int, iters: int, rng):
+    """Driver-side Lloyd iterations on an in-memory training sample —
+    the codebooks are index METADATA (m * 2^nbits * sub_dim floats),
+    and training them on a bounded sample is the standard PQ protocol
+    (FAISS trains on ~10-100k sampled vectors regardless of corpus
+    size). Vectorized argmin via ||x||^2 + ||c||^2 - 2 x.c."""
+    import numpy as np
+
+    if len(X) <= k:
+        pad = np.zeros((k - len(X) + 1, X.shape[1]))
+        X = np.vstack([X, pad])[:k + 1]
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        a = d.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
 def build_pq(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", m: int = 8, nbits: int = 4,
              seed: int = 42, max_iter: int = 10,
-             train_fraction: float | None = None,
+             train_limit: int = 20_000,
              n_clusters: int = 0) -> PQIndex:
-    """Train per-subspace codebooks (MLlib k-means over vector slices)
-    and encode the corpus. `train_fraction` samples the training set —
-    at 100 TB you train the (m * 2^nbits * sub_dim)-float codebooks on
-    ~1M sampled rows and only the encode pass sees every row.
+    """Train per-subspace codebooks and encode the corpus. Codebooks
+    train driver-side on a bounded in-memory sample (`train_limit`
+    rows — the FAISS protocol: codebook quality saturates at tens of
+    thousands of training vectors regardless of corpus size), so the
+    only corpus-sized work is the Arrow-batched encode pass.
 
     `n_clusters > 0` adds a coarse quantizer (IVF-PQ): codes carry a
     cluster column and persist PARTITIONED BY it, so a probe reads only
@@ -391,8 +414,7 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
     residuals): one shared LUT serves every cluster and delta appends
     need no per-cluster state; the exact rerank absorbs the recall
     difference at the accuracy factors we ship."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
     if dim % m != 0:
@@ -400,19 +422,18 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
     sub_dim = dim // m
     ksub = 1 << nbits
 
-    train = df.sample(fraction=train_fraction, seed=seed) if train_fraction else df
-    sliced = train.select(*[
-        array_to_vector(
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub_dim + 1, sub_dim)
-        ).alias(f"__s{j}")
+    sample = np.asarray([
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.select(F.col(vec_col).cast("array<double>"))
+        .limit(train_limit).collect()
+    ])
+    rng = np.random.default_rng(seed)
+    codebooks = [
+        [[float(x) for x in c]
+         for c in _kmeans_np(sample[:, j * sub_dim:(j + 1) * sub_dim],
+                             ksub, max_iter, rng)]
         for j in range(m)
-    ]).persist()
-    codebooks = []
-    for j in range(m):
-        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter,
-                       featuresCol=f"__s{j}").fit(sliced)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-    sliced.unpersist()
+    ]
 
     centroids = None
     base = df

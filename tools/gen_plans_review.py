@@ -54,12 +54,13 @@ COMMENTARY = {
         "verification touches candidate pairs, never the corpus."
     ),
     "t10_hybrid_search": (
-        "Candidate-bounded fusion (round 2): each score side ends in its own "
-        "TakeOrderedAndProject of N = k x accuracy_factor rows BEFORE the "
-        "fusion join, so softmax normalization and the weighted merge touch "
-        "2N rows regardless of corpus size. The old shape full-outer-joined "
-        "corpus-wide score relations and ran two corpus-sized aggregates "
-        "for a top-10."
+        "Candidate-bounded fusion (round 2, tightened round 4): the BM25 "
+        "side probes the PERSISTED inverted index (no corpus tokenize), "
+        "each score side ends in its own TakeOrderedAndProject of N = "
+        "k x accuracy_factor rows BEFORE the fusion join, and softmax "
+        "normalization is a single window pass over the N-row candidate "
+        "list (the agg+crossJoin form re-executed each corpus-side top-N "
+        "once per reference). Fusion work is 2N rows at any corpus size."
     ),
     "v08_near_dup_pairs": (
         "Sign-bit LSH banding (round 2): band hashes are hash() over "
