@@ -22,11 +22,13 @@ from deeplake_spark.dataset import (
     Dataset,
     MergeConflictError,
     convert,
+    connect,
     copy,
     create,
     create_async,
     delete,
     delete_async,
+    disconnect,
     exists,
     exists_async,
     explain_query,
@@ -34,6 +36,8 @@ from deeplake_spark.dataset import (
     from_csv,
     from_parquet,
     like,
+    link,
+    link_async,
     open,
     open_async,
     open_read_only,
@@ -41,6 +45,7 @@ from deeplake_spark.dataset import (
     prepare_query,
     query,
     query_async,
+    replay_log,
 )
 from deeplake_spark.views import DatasetView  # noqa: F401
 from deeplake_spark import types  # noqa: F401

@@ -1213,13 +1213,32 @@ def create(path: str, spark: SparkSession | None = None,
     return ds
 
 
+#: alias registry for connect()/link(): alias url → {path, read_only}.
+#: The reference registers entries with its hosted service; this engine
+#: has no external service by design, so the registry is process-local
+#: (the alias layer, not the storage, is what connect models).
+_CONNECTIONS: dict[str, dict] = {}
+
+
+def _resolve_alias(path: str) -> tuple[str, bool]:
+    entry = _CONNECTIONS.get(path)
+    if entry is None:
+        return path, False
+    return entry["path"], bool(entry.get("read_only"))
+
+
 def open(path: str, spark: SparkSession | None = None, branch: str = "main",
          version: int | None = None) -> Dataset:
-    """deeplake.open (__init__.pyi:4371)."""
+    """deeplake.open (__init__.pyi:4371). Accepts connect()/link()
+    aliases; a link() alias opens read-only."""
+    path, linked_ro = _resolve_alias(path)
     spark = spark or SparkSession.getActiveSession()
     if not _store(path).list(os.path.join(path, _LOG_DIR)):
         raise DatasetError(f"no dataset at {path}")
-    return Dataset(spark, path, branch=branch, version=version)
+    ds = Dataset(spark, path, branch=branch, version=version)
+    if linked_ro:
+        ds.read_only = True
+    return ds
 
 
 def open_read_only(path: str, spark: SparkSession | None = None, branch: str = "main",
@@ -1249,6 +1268,53 @@ def copy(src_path: str, dst_path: str, spark: SparkSession | None = None) -> Dat
     dst._staged_files.append(dst._write_file(df))
     dst.commit("copy from " + src_path)
     return dst
+
+
+def connect(src: str, dest: str | None = None, org_id: str | None = None,
+            creds_key: str | None = None, token: str | None = None) -> Dataset:
+    """deeplake.connect (__init__.pyi): register an existing dataset
+    under an `al://org/name`-style alias so it opens by that url.
+    Either `dest` or `org_id`, not both (reference contract). creds_key/
+    token accepted for signature parity — storage credentials come from
+    the Spark/Hadoop conf in this engine."""
+    if (dest is None) == (org_id is None):
+        raise DatasetError("connect: exactly one of dest or org_id is required")
+    alias = dest or f"al://{org_id}/{os.path.basename(src.rstrip('/'))}"
+    ds = open(src)  # validate before registering
+    _CONNECTIONS[alias] = {"path": src, "read_only": False}
+    return ds
+
+
+def disconnect(url: str, token: str | None = None) -> None:
+    """deeplake.disconnect (__init__.pyi): drop the alias registration.
+    Stored data is untouched (reference contract)."""
+    _CONNECTIONS.pop(url, None)
+
+
+def link(source: str, destination: str, creds: dict[str, str] | None = None,
+         token: str | None = None) -> Dataset:
+    """deeplake.link (__init__.pyi): register `destination` as a
+    READ-ONLY alias of `source` — a catalog symlink, no data copied
+    (open(destination) yields a read-only dataset)."""
+    ds = open_read_only(source)
+    _CONNECTIONS[destination] = {"path": source, "read_only": True}
+    return ds
+
+
+def link_async(source: str, destination: str,
+               creds: dict[str, str] | None = None, token: str | None = None):
+    """deeplake.link_async (__init__.pyi): Future-returning link."""
+    return _async(link, source, destination, creds, token)
+
+
+def replay_log(source_path: str, destination_path: str,
+               src_creds: dict[str, str] | None = None,
+               dst_creds: dict[str, str] | None = None,
+               token: str | None = None) -> None:
+    """deeplake.replay_log (__init__.pyi): re-apply every logged commit
+    from the source dataset's log to the destination (fast-forward
+    only — diverged histories are refused, matching _replicate)."""
+    _replicate(open_read_only(source_path), destination_path)
 
 
 def from_parquet(path: str, dataset_path: str, spark: SparkSession | None = None) -> Dataset:

@@ -495,3 +495,45 @@ def test_merge_legacy_log_without_max_row_id(spark, tmp_path_ds):
     rows = sorted((r._row_id, r.x) for r in main.to_df().collect())
     # base rows keep ids 0,1; ours 2,3; dev's append renumbers to 4
     assert rows == [(0, 1), (1, 2), (2, 20), (3, 21), (4, 10)]
+
+
+def test_connect_link_replay_log(spark, tmp_path):
+    """connect/disconnect register an al:// alias (process-local — no
+    hosted service in this engine by design), link registers a
+    read-only alias, replay_log re-applies the source's commit log to
+    a destination (__init__.pyi connect/disconnect/link/replay_log)."""
+    import pytest as _pytest
+
+    import deeplake_spark as dls
+
+    src_path = str(tmp_path / "src")
+    ds = dls.create(src_path, spark,
+                    schema={"x": dls.types.Generic("int64")})
+    ds.append([{"x": 1}, {"x": 2}])
+    ds.commit("data")
+
+    # connect: alias opens the same dataset, writable
+    got = dls.connect(src_path, dest="al://org/src")
+    assert sorted(r.x for r in got.to_df().collect()) == [1, 2]
+    via = dls.open("al://org/src", spark)
+    assert sorted(r.x for r in via.to_df().collect()) == [1, 2]
+    with _pytest.raises(Exception):
+        dls.connect(src_path)  # neither dest nor org_id
+    dls.disconnect("al://org/src")
+    with _pytest.raises(Exception):
+        dls.open("al://org/src", spark)  # alias gone, data intact
+    assert dls.exists(src_path)
+
+    # link: read-only alias, no data copied
+    dls.link(src_path, "al://org/linked")
+    linked = dls.open("al://org/linked", spark)
+    assert linked.read_only
+    with _pytest.raises(Exception):
+        linked.append([{"x": 3}])
+
+    # replay_log: full history lands at the destination
+    dst_path = str(tmp_path / "dst")
+    dls.replay_log(src_path, dst_path)
+    replayed = dls.open(dst_path, spark)
+    assert sorted(r.x for r in replayed.to_df().collect()) == [1, 2]
+    assert [v.message for v in replayed.history()][-1] == "data"
