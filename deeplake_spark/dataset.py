@@ -198,7 +198,7 @@ class Dataset:
         indexes = self._load_indexes()
         out = tql_query(
             text, spark=self.spark, default=self.to_df(), params=params,
-            indexes=indexes,
+            indexes=indexes, search_config=self.query_config,
         )
         return DatasetView(out, indexes=indexes, dataset=self)
 
@@ -364,11 +364,14 @@ class Dataset:
         from deeplake_spark.operators.similarity import (
             ivf_search,
             load_ivf,
+            load_pq,
             load_quantized,
+            pq_search,
             quantized_index_search,
             topk_cosine,
         )
 
+        config = config or self.query_config
         candidates = None
         base = self.to_df()
         if predicate is not None:
@@ -391,6 +394,10 @@ class Dataset:
             idx = load_quantized(self.spark, meta["path"], source=base)
             return quantized_index_search(idx, query_vec, k=k, config=config,
                                           candidates=candidates)
+        if meta and meta["kind"] == "pq":
+            idx = load_pq(self.spark, meta["path"], source=base)
+            return pq_search(idx, query_vec, k=k, config=config,
+                             candidates=candidates)
         if candidates is not None:
             base = base.join(candidates.distinct(), "_row_id", "left_semi")
         return topk_cosine(base, column, query_vec, k=k, id_col="_row_id")
@@ -618,6 +625,9 @@ class Dataset:
             message=message or "",
         )
         self._clear_staged()
+        self._log_op("commit", version=entry["version"],
+                     message=message or "", n_files=len(new_files),
+                     mutated=mutated)
         if self.indexing_mode == "automatic":
             refs = _read_refs(self.path)
             for col, meta in refs.get("indexes", {}).items():
@@ -716,6 +726,124 @@ class Dataset:
             return _read_entry(self.path, 1)["timestamp"]
         except Exception:
             return None
+
+    @property
+    def id(self) -> str:
+        """Unique dataset identifier, auto-generated at creation
+        (reference Dataset.id). Backfilled into refs on first access
+        for datasets created before ids existed; read-only handles of
+        such datasets get a stable path-derived uuid instead."""
+        import uuid
+
+        refs = _read_refs(self.path)
+        if "id" not in refs:
+            if self.read_only:
+                return str(uuid.uuid5(uuid.NAMESPACE_URL, self.path))
+            refs["id"] = str(uuid.uuid4())
+            _write_refs(self.path, refs)
+        return refs["id"]
+
+    def _refs_prop(self, key, default=None):
+        return _read_refs(self.path).get(key, default)
+
+    def _refs_set(self, key, value) -> None:
+        self._check_writable()
+        refs = _read_refs(self.path)
+        refs[key] = value
+        _write_refs(self.path, refs)
+
+    @property
+    def name(self) -> str | None:
+        """Dataset display name (reference name property)."""
+        return self._refs_prop("name")
+
+    @name.setter
+    def name(self, value: str) -> None:
+        self._refs_set("name", value)
+
+    @property
+    def description(self) -> str | None:
+        """Dataset description (reference description property)."""
+        return self._refs_prop("description")
+
+    @description.setter
+    def description(self, value: str) -> None:
+        self._refs_set("description", value)
+
+    @property
+    def creds_key(self) -> str | None:
+        """Key naming the stored credentials for the dataset
+        (reference creds_key; storage creds themselves live in the
+        Spark/Hadoop conf in this engine)."""
+        return self._refs_prop("creds_key")
+
+    def set_creds_key(self, key: str, token: str | None = None) -> None:
+        """reference set_creds_key."""
+        self._refs_set("creds_key", key)
+
+    @property
+    def indexing_config(self) -> dict:
+        """Index build configuration view (reference IndexBuildConfig):
+        the indexing mode plus every registered index's kind/options."""
+        return {
+            "mode": self.indexing_mode,
+            "indexes": {
+                col: {"kind": meta["kind"], "options": meta.get("options", {})}
+                for col, meta in self._refs_prop("indexes", {}).items()
+            },
+        }
+
+    @property
+    def query_config(self):
+        """Per-dataset vector SearchConfig (reference query_config);
+        assign a similarity.SearchConfig to change the recall/latency
+        preset every ds.query()/search() uses."""
+        from deeplake_spark.operators.similarity import SearchConfig
+
+        if not hasattr(self, "_query_config") or self._query_config is None:
+            self._query_config = SearchConfig()
+        return self._query_config
+
+    @query_config.setter
+    def query_config(self, value) -> None:
+        self._query_config = value
+
+    # -- operation logging (reference logging_enabled/start/stop_logging;
+    #    replay_log replays the commit log, which these ops annotate)
+
+    @property
+    def logging_enabled(self) -> bool:
+        return bool(self._refs_prop("logging"))
+
+    def start_logging(self) -> None:
+        self._refs_set("logging", True)
+
+    def stop_logging(self) -> None:
+        self._refs_set("logging", False)
+
+    def _log_op(self, op: str, **info) -> None:
+        if not self.logging_enabled:
+            return
+        st = _store(self.path)
+        log_dir = os.path.join(self.path, "_oplog")
+        n = len(st.list(log_dir))
+        st.put_bytes(
+            os.path.join(log_dir, f"op-{n:08d}.json"),
+            json.dumps({"op": op, "ts": time.time(), **info}).encode(),
+        )
+
+    def operation_log(self) -> list[dict]:
+        """Logged operations in order (debug surface for replay_log)."""
+        st = _store(self.path)
+        log_dir = os.path.join(self.path, "_oplog")
+        return [json.loads(st.get_bytes(os.path.join(log_dir, f)))
+                for f in sorted(st.list(log_dir))]
+
+    def rollback_async(self):
+        """reference rollback_async (FutureVoid)."""
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.rollback)
 
     def pytorch(self, transform=None, batch_size: int = 32):
         """ds.pytorch(transform) (__init__.pyi:2551) — torch

@@ -537,3 +537,49 @@ def test_connect_link_replay_log(spark, tmp_path):
     replayed = dls.open(dst_path, spark)
     assert sorted(r.x for r in replayed.to_df().collect()) == [1, 2]
     assert [v.message for v in replayed.history()][-1] == "data"
+
+
+def test_dataset_identity_config_and_oplog(spark, tmp_path):
+    """id/name/description/creds_key persist in refs; query_config is
+    the per-dataset SearchConfig; start_logging records commit ops
+    (reference Dataset id/name/creds_key/query_config/logging
+    surface)."""
+    import deeplake_spark as dls
+    from deeplake_spark.operators.similarity import SearchConfig
+
+    p = str(tmp_path / "ds")
+    ds = dls.create(p, spark, schema={"x": dls.types.Generic("int64")})
+    i1 = ds.id
+    assert i1 and dls.open(p, spark).id == i1  # stable across opens
+
+    ds.name = "my data"
+    ds.description = "round-4 parity"
+    ds.set_creds_key("prod-creds")
+    again = dls.open(p, spark)
+    assert again.name == "my data"
+    assert again.description == "round-4 parity"
+    assert again.creds_key == "prod-creds"
+
+    assert ds.query_config.accuracy_factor == SearchConfig().accuracy_factor
+    ds.query_config = SearchConfig.high_accuracy()
+    assert ds.query_config.accuracy_factor == 20
+
+    assert ds.indexing_config["mode"] == "automatic"
+    assert ds.indexing_config["indexes"] == {}
+
+    assert not ds.logging_enabled
+    ds.start_logging()
+    assert ds.logging_enabled
+    ds.append([{"x": 1}])
+    ds.commit("first")
+    ds.append([{"x": 2}])
+    ds.commit("second")
+    ds.stop_logging()
+    ds.append([{"x": 3}])
+    ds.commit("unlogged")
+    ops = ds.operation_log()
+    assert [o["message"] for o in ops] == ["first", "second"]
+    assert all(o["op"] == "commit" for o in ops)
+
+    fut = ds.rollback_async()
+    fut.result() if hasattr(fut, "result") else fut
