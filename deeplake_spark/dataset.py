@@ -1528,7 +1528,9 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
 
 
 def exists(path: str) -> bool:
-    """deeplake.exists (__init__.pyi:4347): a dataset lives at `path`."""
+    """deeplake.exists (__init__.pyi:4347): a dataset lives at `path`
+    (connect()/link() aliases resolve first)."""
+    path, _ = _resolve_alias(path)
     return bool(_store(path).list(os.path.join(path, _LOG_DIR)))
 
 
