@@ -90,9 +90,12 @@ def main() -> None:
     # full payload to BENCH_FULL.json for humans/judges, and print a
     # compact line (unique short query keys, no spaces) that fits well
     # inside the capture window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:  # never let the side file break the line
+        print(f"bench: BENCH_FULL.json write failed: {exc}", file=sys.stderr)
 
     def shorten(names):
         out = {}

@@ -164,3 +164,39 @@ def limit_percent(df: DataFrame, pct: float, order_col: str) -> DataFrame:
         .filter(F.col("__rn") < F.col("__lim"))
         .drop("__rn", "__lim")
     )
+
+
+def assign_splits(df: DataFrame, id_col: str = "doc_id",
+                  fractions: dict[str, float] | None = None,
+                  salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment — the
+    reproducible-split staple of a training-data pipeline: the first
+    32 bits of md5(id # salt) map to uniform [0,1), banded by the
+    cumulative fractions. A pure per-row expression: no state, no
+    shuffle, no RNG — the same row lands in the same split on any
+    cluster size, any run, any engine (md5 is engine-portable, unlike
+    xxhash64/rand), and appending rows never reassigns existing ones
+    (unlike fraction sampling). Rotate `salt` to draw a fresh
+    assignment.
+
+    Returns df plus a `split` string column.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    items = list(fractions.items())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit("#"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += float(frac)
+        expr = (F.when(u < cum, name) if expr is None
+                else expr.when(u < cum, name))
+    label = F.lit(items[0][0]) if expr is None else expr.otherwise(items[-1][0])
+    return df.withColumn("split", label)

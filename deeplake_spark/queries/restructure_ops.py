@@ -614,3 +614,49 @@ def r17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_token_budget(d, budget=512).orderBy("seq_id")
+
+
+@query(
+    "r18_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                         AS UBIGINT) / 4294967296.0 < 0.9 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                         AS UBIGINT) / 4294967296.0 < 0.95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS first_doc
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic train/val/test split assignment (reproducible-"
+    "split pipeline staple): first 32 bits of md5(id#salt) -> uniform "
+    "[0,1) -> cumulative-fraction bands. Pure per-row expression — no "
+    "state, no shuffle, no RNG; appends never reassign existing rows "
+    "and the hash is engine-portable (oracle reproduces it exactly).",
+    tags=("sampling", "split", "pipeline"),
+)
+def r18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import assign_splits
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(d, id_col="doc_id",
+                      fractions={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )

@@ -426,3 +426,31 @@ def test_connected_components_chain_and_star(spark):
     got = {r.id: r.label for r in connected_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_assign_splits_deterministic_and_stable(spark):
+    """Hash-split assignment: fractions approximately honored, total
+    partition of rows, and stable under subsetting/appends (a row's
+    split never depends on which other rows are present)."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.sampling import assign_splits
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    counts = {r["split"]: r["count"]
+              for r in assign_splits(df).groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000
+    assert 0.87 < counts["train"] / 10_000 < 0.93
+    assert 0.03 < counts["val"] / 10_000 < 0.07
+
+    # subset stability: same ids -> same splits regardless of corpus
+    sub = assign_splits(df.limit(5_000)).withColumnRenamed("split", "s2")
+    j = assign_splits(df).join(sub, "doc_id")
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+
+    # salt rotation draws a different assignment
+    rot = assign_splits(df, salt="v2").withColumnRenamed("split", "s3")
+    moved = assign_splits(df).join(rot, "doc_id").filter(
+        F.col("split") != F.col("s3")).count()
+    assert moved > 0
