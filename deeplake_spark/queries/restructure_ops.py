@@ -234,9 +234,15 @@ def r06(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("limit", "window"),
 )
 def r07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import with_row_id
+
     d = load_table(spark, sf_dir, "documents")
+    # partition-offset rank (range sort + per-partition offsets), NOT
+    # row_number().over(orderBy) — that window funnels the corpus
+    # through one task (CLAUDE.md trap 7)
     return (
-        d.select("doc_id", F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn"))
+        with_row_id(d.select("doc_id"), order_by="doc_id", col_name="__rid")
+        .select("doc_id", (F.col("__rid") + 1).alias("rn"))
         .orderBy("doc_id")
         .offset(100)
         .limit(50)

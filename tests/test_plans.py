@@ -151,6 +151,7 @@ def test_no_unpartitioned_data_windows(spark, sf_dir):
 
     for df in (
         REG["r05_limit_percent"].fn(spark, sf_dir),
+        REG["r07_row_number_offset"].fn(spark, sf_dir),
         sample_by_weight_fraction(
             load_table(spark, sf_dir, "documents"), F.col("n_chars"), 0.1),
     ):
