@@ -120,6 +120,31 @@ COMMENTARY = {
         "on candidates only. The corpus-wide pass is a narrow pooled-vector "
         "scan; the expensive UDF touches k x accuracy_factor rows."
     ),
+    "v19_pq_search": (
+        "Product-quantized ANN (round 4): the probe scans the persisted "
+        "(id, code[8], anorm) table — ~32x narrower than the vectors — "
+        "scoring each row with an ADC lookup expression built from the "
+        "query's 8x16 dot LUT (driver-side metadata arithmetic, like IVF "
+        "centroid ranking), TakeOrdereds k x accuracy_factor ids, then "
+        "exact-cosine reranks against the live relation via a broadcast "
+        "semijoin. With n_clusters > 0 the codes table is partitioned by "
+        "a coarse quantizer and the scan prunes to nprobe directories "
+        "(IVFADC)."
+    ),
+    "d07_dedup_clusters": (
+        "Near-dup cluster formation (round 3, probe cheapened round 4): "
+        "banded-LSH candidate pairs feed min-label propagation; each round "
+        "is one join + map-side-partial groupBy with lineage cut by an "
+        "eager localCheckpoint, and convergence is a 1-row DECIMAL "
+        "label-sum aggregate (labels only decrease, so an unchanged sum "
+        "is the fixpoint) — no old-vs-new join, no driver-side data."
+    ),
+    "r18_split_assignment": (
+        "Deterministic hash splits (round 4): md5-banded uniform per row — "
+        "a pure expression inside whole-stage codegen; the only exchange "
+        "is the 3-group aggregate. No RNG state, no shuffle for the "
+        "assignment itself, append-stable by construction."
+    ),
 }
 
 
