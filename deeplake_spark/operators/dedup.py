@@ -416,3 +416,57 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_windows"))
     )
+
+
+def _md5_int60(col: Column, seed: int) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of
+    md5(value#seed) parsed as an integer. Identical in DuckDB
+    (`CAST(('0x'||substr(md5(x||'#s'),1,15)) AS UBIGINT)`), so
+    operators built on it are exactly oracle-checkable — unlike
+    xxhash64, whose implementation is engine-private. 15 hex digits
+    keep the value inside a signed 64-bit long."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures_portable(sets: DataFrame, num_perm: int = 16) -> DataFrame:
+    """MinHash signatures over the portable hash: sig[i] = min over
+    shingles of md5_int60(shingle, i). Same plan shape as the xxhash64
+    fast path (pure JVM expressions, no shuffle) — the fast path stays
+    the production default; this variant exists so the signature math
+    itself is hash-checked against an independent engine."""
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("shingles"),
+                                (lambda seed: lambda s: _md5_int60(s, seed))(i)))
+        for i in range(num_perm)
+    ])
+    return sets.select("doc_id", sig.alias("sig"))
+
+
+def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
+                     bits: int = 60) -> DataFrame:
+    """SimHash over the portable hash (see simhash_64 for the plan
+    shape: one explode, `bits` conditional sums in a single map-side-
+    partial aggregate, fingerprint reassembly). Exactly reproducible in
+    the DuckDB oracle, which the xxhash64 fast path cannot be."""
+    h = _md5_int60(F.col("__tok"), 0)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .groupBy("doc_id")
+        .agg(*bit_sums)
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0,
+                         F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", fp.alias("simhash"))

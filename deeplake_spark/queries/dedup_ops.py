@@ -257,3 +257,91 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return contamination_hits(corpus, eval_df, w=4).orderBy("doc_id")
+
+
+_DUCK_MD5INT60 = "CAST(('0x' || substr(md5({x} || '#{s}'), 1, 15)) AS UBIGINT)"
+
+
+@query(
+    "d09_simhash_md5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+      SELECT doc_id, {_DUCK_MD5INT60.format(x="tok", s="0")} AS hv FROM toks
+    ),
+    bitsum AS (
+      SELECT doc_id, i.i AS bit,
+             SUM(CASE WHEN ((hv >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, LATERAL (SELECT unnest(range(0, 60)) AS i) i
+      GROUP BY doc_id, i.i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="SimHash over the engine-portable md5-int60 hash — the exact "
+    "same plan shape as d05 (one explode, per-bit conditional sums in a "
+    "single map-side-partial aggregate), but every fingerprint bit is "
+    "reproduced independently by the DuckDB oracle. d05's xxhash64 "
+    "stays the production fast path; this query hash-checks the "
+    "majority-vote fingerprint MATH end to end.",
+    tags=("dedup", "simhash", "portable"),
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import simhash_portable
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_portable(d, tokenize(F.col("text"))).orderBy("doc_id")
+
+
+@query(
+    "d10_minhash_md5",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, {_DUCK_SHINGLES3.format(t=_DUCK_TOKS.format(c="text"))} AS sh
+      FROM documents WHERE doc_id < 200
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE len(sh) > 0)
+    SELECT doc_id,
+           {" || ',' || ".join(
+               "CAST(MIN(" + _DUCK_MD5INT60.format(x="s", s=i) + ") AS VARCHAR)"
+               for i in range(8))} AS sig
+    FROM ex GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures over the engine-portable md5-int60 hash "
+    "(8 permutations, min over distinct 3-shingles; pure JVM "
+    "expressions, no shuffle — d04's xxhash64 path is the production "
+    "default). Every signature component is reproduced by the DuckDB "
+    "oracle, hash-checking the signature MATH that d04's LSH banding "
+    "builds on.",
+    tags=("dedup", "minhash", "portable"),
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import (
+        minhash_signatures_portable,
+        shingle_sets,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sets = shingle_sets(d, "text", "doc_id", 3)
+    # drop shingle-less docs via the generator OUTPUT, not a
+    # size(shingles) filter — that predicate would be pushed + inlined
+    # into the scan, re-evaluating the shingle expression there
+    # (CLAUDE.md trap 3)
+    have = (
+        sets.select("doc_id", F.explode_outer("shingles").alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
+    sig = minhash_signatures_portable(sets, num_perm=8).join(
+        F.broadcast(have), "doc_id", "left_semi")
+    return sig.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("sig"), lambda x: x.cast("string")), ",")
+        .alias("sig"),
+    ).orderBy("doc_id")
