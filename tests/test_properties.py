@@ -223,3 +223,61 @@ def test_connected_components_matches_union_find(spark_global, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+def test_tql_arithmetic_fuzz_matches_duckdb(spark_global, sf_dir):
+    """Translator fuzz: 200 random integer arithmetic/comparison/logic
+    expressions over documents columns, evaluated in ONE Spark query
+    through the TQL front-end and in DuckDB, must agree value-for-value.
+    Operands are kept small (mod-reduced columns, literals < 100,
+    depth <= 3) so ANSI overflow can't fire; division is excluded
+    (int/int DOUBLE divergence is a documented oracle rule, not a
+    translator property)."""
+    import random
+
+    import duckdb
+
+    from deeplake_spark import tql
+    from deeplake_spark.io import load_table
+
+    rng = random.Random(20260813)
+    atoms = ["(doc_id % 97)", "(n_chars % 53)", "7", "13", "42"]
+
+    def gen(depth: int) -> str:
+        if depth == 0 or rng.random() < 0.3:
+            return rng.choice(atoms)
+        op = rng.choice(["+", "-", "*", "%"])
+        a, b = gen(depth - 1), gen(depth - 1)
+        if op == "%":
+            b = rng.choice(["97", "53", "11"])  # nonzero literal divisor
+        return f"({a} {op} {b})"
+
+    def gen_bool(depth: int) -> str:
+        cmp = rng.choice(["==", "!=", "<", "<=", ">", ">="])
+        e = f"({gen(depth)} {cmp} {gen(depth)})"
+        if rng.random() < 0.4:
+            e = f"({e} {rng.choice(['AND', 'OR'])} {gen_bool(depth - 1) if depth else e})"
+        return e
+
+    exprs = [gen(3) for _ in range(140)] + [gen_bool(2) for _ in range(60)]
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+
+    d = load_table(spark_global, sf_dir, "documents")
+    got = (
+        tql.query(f"SELECT doc_id, {select} ORDER BY doc_id LIMIT 100",
+                  spark=spark_global, default=d)
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    sql = f"SELECT doc_id, {select} FROM documents ORDER BY doc_id LIMIT 100"
+    sql = sql.replace("==", "=").replace("!=", "<>")
+    want = con.execute(sql).fetchall()
+
+    assert len(got) == len(want) == 100
+    for grow, wrow in zip(got, want):
+        for i, (g, w) in enumerate(zip(grow, wrow)):
+            assert (g == w) or (bool(g) == bool(w) and isinstance(w, bool)), (
+                f"col {i}: spark={g!r} duckdb={w!r} "
+                f"expr={'doc_id' if i == 0 else exprs[i - 1]}")
