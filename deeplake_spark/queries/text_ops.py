@@ -20,7 +20,6 @@ from deeplake_spark.functions.text import (
     contains_keyword,
     fingerprint,
     glob_like,
-    langid_scores,
     predict_lang,
     quality_features,
     quality_score,
