@@ -780,3 +780,70 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
         .orderBy(F.desc("maxsim_score"), index.id_col)
         .limit(k)
     )
+
+
+def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       threshold: float = 0.99, bands: int = 8,
+                       dim: int | None = None,
+                       bucket_cap: int | None = 100_000) -> DataFrame:
+    """Cross-dataset embedding near-dup pairs (A x B, cosine >=
+    threshold) — the semantic analog of n-gram decontamination
+    (dedup.contamination_hits): find corpus rows that are embedding-
+    near-duplicates of an eval/benchmark set, the train-test-leakage
+    sweep of a training pipeline.
+
+    Same sign-bit LSH banding as near_dup_pairs_lsh, but the bucket
+    join is A-side against B-side, so candidate volume tracks true
+    cross collisions — never the |A| x |B| cross product. Returns
+    (a, b, cos) with the exact verified cosine."""
+    if dim is None:
+        row = df_a.select(vec_col).head()
+        dim = len(row[0])
+    rows = max(1, dim // bands)
+
+    def prep(df: DataFrame, side: str):
+        base = df.select(
+            F.col(id_col).alias(side),
+            F.col(vec_col).alias(f"__v{side}"),
+            l2_norm(F.col(vec_col)).alias(f"__n{side}"),
+            sign_bits(F.col(vec_col)).alias("__bits"),
+        )
+        banded = base.select(
+            F.col(side),
+            F.posexplode(
+                F.array(*[
+                    F.hash(*[
+                        F.element_at(F.col("__bits"), b * rows + j + 1)
+                        for j in range(rows)
+                    ])
+                    for b in range(bands)
+                ])
+            ).alias("band", "bh"),
+        )
+        return base.drop("__bits"), banded
+
+    base_a, banded_a = prep(df_a, "a")
+    base_b, banded_b = prep(df_b, "b")
+    if bucket_cap:
+        # cap on the (usually larger) corpus side: degenerate buckets
+        # there are what explode the candidate count
+        ok = (
+            banded_b.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= bucket_cap)
+            .select("band", "bh")
+        )
+        banded_b = banded_b.join(ok, ["band", "bh"], "left_semi")
+    cands = (
+        banded_a.join(banded_b, ["band", "bh"])
+        .select("a", "b")
+        .distinct()
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0))
+    return (
+        cands.join(base_a, "a").join(base_b, "b")
+        .select("a", "b", F.round(sim, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -731,3 +731,45 @@ def v19(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     return pq_search(_pq_index(spark, sf_dir), list(row[0]),
                      k=10, config=SearchConfig.high_accuracy())
+
+
+@query(
+    "v20_semantic_decontamination",
+    oracle=f"""
+    WITH eval_set AS (
+      SELECT vec_id + 1000000 AS eval_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9) AS ev
+      FROM embeddings WHERE vec_id < 25
+    )
+    SELECT e.eval_id, c.vec_id AS corpus_id,
+           ROUND({_DUCK_COS.format(a="e.ev", b="c.embedding")}, 6) AS cos
+    FROM eval_set e CROSS JOIN embeddings c
+    WHERE {_DUCK_COS.format(a="e.ev", b="c.embedding")} >= 0.99
+    ORDER BY eval_id, corpus_id
+    """,
+    doc="Cross-dataset embedding decontamination (semantic analog of "
+    "d08's n-gram benchmark decontamination): find corpus rows that "
+    "are embedding-near-duplicates of an eval set via sign-bit LSH "
+    "banding BETWEEN the two relations — candidate volume tracks true "
+    "cross collisions, never the |eval| x |corpus| product the oracle "
+    "computes. The eval set is planted in-query (scaled copies — "
+    "cosine- and sign-invariant, so banding recall is deterministic "
+    "and the oracle reproduces every pair exactly), the t11 pattern "
+    "for self-contained parity signal.",
+    tags=("vector", "dedup", "decontamination"),
+)
+def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import cross_near_dup_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    eval_set = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 0.9).alias("embedding"),
+    )
+    pairs = cross_near_dup_lsh(eval_set, e, threshold=0.99)
+    return (
+        pairs.select(F.col("a").alias("eval_id"),
+                     F.col("b").alias("corpus_id"), "cos")
+        .orderBy("eval_id", "corpus_id")
+    )

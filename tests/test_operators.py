@@ -454,3 +454,27 @@ def test_assign_splits_deterministic_and_stable(spark):
     moved = assign_splits(df).join(rot, "doc_id").filter(
         F.col("split") != F.col("s3")).count()
     assert moved > 0
+
+
+def test_cross_near_dup_lsh_finds_planted_pairs(spark, sf_dir):
+    """Cross-dataset LSH: planted scaled copies (sign-identical, so
+    banding recall is deterministic) are all recovered with cos 1.0,
+    and no false pairs appear above the threshold; the plan joins
+    banded sides — never a cartesian of eval x corpus."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import cross_near_dup_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 500).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 0.5).alias("embedding"),
+    )
+    pairs = cross_near_dup_lsh(planted, e, threshold=0.99)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert {(i + 500, i) for i in range(10)} <= got
+    assert all(b == a - 500 for a, b in got)  # no natural dups in testdata
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
