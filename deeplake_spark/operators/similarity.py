@@ -185,10 +185,30 @@ def append_ivf_delta(index: IVFIndex, new_df: DataFrame, path: str) -> None:
     )
 
 
+def topk_l2(df: DataFrame, vec_col: str, query_vec, k: int = 10,
+            id_col: str = "vec_id") -> DataFrame:
+    """Exact ORDER BY L2 distance ASC LIMIT k (TakeOrderedAndProject) —
+    the distance twin of topk_cosine, serving the reference's
+    `ORDER BY L2_NORM(embedding - <vec>)` pattern (tql.md Array
+    Operations)."""
+    qv = _as_literal_vec(query_vec) if not isinstance(query_vec, Column) else query_vec
+    diff = F.zip_with(F.col(vec_col).cast("array<double>"), qv,
+                      lambda a, b: a - b)
+    return (
+        df.select(id_col, F.round(l2_norm(diff), 6).alias("dist"))
+        .orderBy(F.asc("dist"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,
                config: SearchConfig | None = None,
-               candidates: DataFrame | None = None) -> DataFrame:
+               candidates: DataFrame | None = None,
+               metric: str = "cosine") -> DataFrame:
     """Probe the `nprobe` nearest clusters, exact-rerank inside them.
+    `metric` picks the rerank ordering: cosine DESC (similarity) or
+    l2 ASC (distance — k-means cells are euclidean, so the same
+    cluster prune serves both).
 
     The centroid ranking is O(n_clusters * dim) driver-side arithmetic
     (centroids are index metadata, like the reference's in-memory
@@ -226,6 +246,8 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
             candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
             index.id_col, "left_semi",
         )
+    if metric == "l2":
+        return topk_l2(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 
 

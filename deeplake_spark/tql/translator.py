@@ -207,12 +207,16 @@ class Translator:
             had_rn = "__tql_rownum" in projected.columns
             if not had_rn and any(_uses_rownum(o.expr) for o in sel.order):
                 projected = self._with_rownum(projected)
-            projected = projected.orderBy(
-                *[
-                    self._expr(o.expr, projected).desc() if o.desc else self._expr(o.expr, projected)
-                    for o in sel.order
-                ]
-            )
+            self._depth_fallback_df = df
+            try:
+                projected = projected.orderBy(
+                    *[
+                        self._expr(o.expr, projected).desc() if o.desc else self._expr(o.expr, projected)
+                        for o in sel.order
+                    ]
+                )
+            finally:
+                self._depth_fallback_df = None
             if not had_rn and "__tql_rownum" in projected.columns:
                 projected = projected.drop("__tql_rownum")
 
@@ -372,6 +376,62 @@ class Translator:
             return [float(a.value) for a in node.args]
         return None
 
+    def _vec_constant(self, node: ast.Node, df: DataFrame) -> list[float] | None:
+        """_vec_literal plus DATA(col, i) static prefetch (the
+        reference's static_data_t, input.hpp:89-107 — DATA is always a
+        translate-time constant, so resolving it here matches the
+        SELECT-path semantics)."""
+        v = self._vec_literal(node)
+        if v is not None:
+            return v
+        if (
+            isinstance(node, ast.FuncCall)
+            and node.name.upper() == "DATA"
+            and len(node.args) == 2
+            and isinstance(node.args[0], ast.ColumnRef)
+            and isinstance(node.args[1], ast.Literal)
+        ):
+            row = (df.select(node.args[0].name)
+                   .offset(int(node.args[1].value)).limit(1).head())
+            if row is not None and isinstance(row[0], (list, tuple)):
+                return [float(x) for x in row[0]]
+        return None
+
+    def _try_l2_route(self, sel: ast.Select, e: ast.Node) -> DataFrame | None:
+        """`ORDER BY L2_NORM(col - <vec>) ASC LIMIT k` with a clustered
+        index on col → cluster-pruned L2 top-k (ivf_search metric=l2);
+        the normal path re-evaluates the exact distance on ≤ k rows."""
+        if not (
+            isinstance(e, ast.FuncCall)
+            and e.name.upper() == "L2_NORM"
+            and len(e.args) == 1
+            and isinstance(e.args[0], ast.BinaryOp)
+            and e.args[0].op == "-"
+        ):
+            return None
+        col_arg, q_arg = e.args[0].left, e.args[0].right
+        if not isinstance(col_arg, ast.ColumnRef):
+            col_arg, q_arg = q_arg, col_arg  # (vec - col): same distance
+        if not isinstance(col_arg, ast.ColumnRef) or col_arg.table is not None:
+            return None
+        meta = self.indexes.get(col_arg.name)
+        if meta is None or len(meta) != 3 or meta[0] != "clustered":
+            return None
+        _, idx, id_col = meta
+        from deeplake_spark.operators.similarity import ivf_search
+
+        df = self._resolve_source(None)
+        qvec = self._vec_constant(q_arg, df)
+        if qvec is None:
+            return None
+        candidates = None
+        if sel.where is not None:
+            candidates = self._apply_where(sel.where, df).select(id_col)
+        fetch = sel.limit.n + (sel.limit.offset or 0)
+        hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
+                          candidates=candidates, metric="l2").select(id_col)
+        return df.join(F.broadcast(hits), id_col, "left_semi")
+
     def _matrix_literal(self, node: ast.Node) -> list[list[float]] | None:
         """Resolve a query-matrix expression (nested ARRAY literal or a
         `?` param carrying a list of lists) to Python floats."""
@@ -428,8 +488,6 @@ class Translator:
         ):
             return None
         o = sel.order[0]
-        if not o.desc:
-            return None
         e = o.expr
         # ORDER BY <alias-of-select-item> also routes
         if isinstance(e, ast.ColumnRef) and e.table is None:
@@ -437,6 +495,12 @@ class Translator:
                 if it.alias == e.name:
                     e = it.expr
                     break
+        if not o.desc:
+            # ASC = distance ordering: `ORDER BY L2_NORM(col - <vec>)
+            # ASC LIMIT k` (tql.md Array Operations) probes the
+            # clustered index — k-means cells are euclidean, so the
+            # same cluster prune serves the L2 rerank
+            return self._try_l2_route(sel, e)
         if not (
             isinstance(e, ast.FuncCall)
             and e.name.upper() in self._TOPK_ROUTES
@@ -776,7 +840,19 @@ class Translator:
         try:
             t = df.select(col).schema[0].dataType
         except Exception:
-            return 0
+            # ORDER BY may reference source columns the projection
+            # dropped (Spark's missing-reference resolution handles the
+            # actual sort); depth analysis falls back to the
+            # pre-projection relation so nd-broadcast still types
+            # correctly
+            fb = getattr(self, "_depth_fallback_df", None)
+            if fb is not None:
+                try:
+                    t = fb.select(col).schema[0].dataType
+                except Exception:
+                    return 0
+            else:
+                return 0
         d = 0
         while isinstance(t, ArrayType):
             t = t.elementType
@@ -866,7 +942,14 @@ class Translator:
             idx = e.args[1]
             if not isinstance(col, ast.ColumnRef) or not isinstance(idx, ast.Literal):
                 raise TQLTranslationError("DATA(column, int) expected")
-            row = df.select(col.name).offset(int(idx.value)).limit(1).head()
+            # static data addresses the SOURCE dataset's row i
+            # (static_data_t over the input, cpp/tql/input.hpp:89-107) —
+            # never the filtered/index-pruned relation in scope, whose
+            # row offsets differ
+            base = self.default if (
+                self.default is not None and col.name in self.default.columns
+            ) else df
+            row = base.select(col.name).offset(int(idx.value)).limit(1).head()
             if row is None:
                 raise TQLTranslationError(f"DATA index {idx.value} out of range")
             v = row[0]

@@ -859,3 +859,54 @@ def test_ivf_pq_cluster_prune(spark, sf_dir, tmp_path):
     hits = {r.vec_id for r in pq_search(
         idx2, q, k=10, config=SearchConfig.high_accuracy()).collect()}
     assert 30_000_000 in hits
+
+
+def test_tql_l2_distance_routing(spark, sf_dir):
+    """`ORDER BY L2_NORM(col - <vec>) ASC LIMIT k` (the tql.md Array
+    Operations pattern, incl. the DATA(col, i) form) routes through the
+    clustered index with an L2 rerank; recall >= 0.7 vs the exact
+    distance top-k, and WHERE prefilters stay exact."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_ivf,
+        topk_l2,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf(e, n_clusters=8, seed=42)
+    q = list(e.filter(F.col("vec_id") == 10).select("embedding").head()[0])
+    exact = [r.vec_id for r in topk_l2(e, "embedding", q, k=10,
+                                       id_col="vec_id").collect()]
+
+    routed = tql.query(
+        "SELECT vec_id, L2_NORM(embedding - ?) AS dist "
+        "ORDER BY dist ASC LIMIT 10",
+        default=e, params=[q],
+        indexes={"embedding": ("clustered", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    got = [r.vec_id for r in routed.collect()]
+    assert len(set(got) & set(exact)) / 10 >= 0.7
+    assert got[0] == 10  # the query vector's own row is distance 0
+
+    # DATA(col, i) as the query side routes too (the tql.md example
+    # shape: SELECT * ORDER BY L2_NORM(embedding - data(embedding, 10)))
+    via_data = tql.query(
+        "SELECT * ORDER BY L2_NORM(embedding - DATA(embedding, 10)) "
+        "LIMIT 5",
+        default=e,
+        indexes={"embedding": ("clustered", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    assert [r.vec_id for r in via_data.collect()][0] == 10
+
+    # WHERE prefilter stays exact
+    filtered = tql.query(
+        "SELECT vec_id WHERE label == 3 "
+        "ORDER BY L2_NORM(embedding - ?) ASC LIMIT 5",
+        default=e, params=[q],
+        indexes={"embedding": ("clustered", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    ids = [r.vec_id for r in filtered.collect()]
+    assert 0 < len(ids) <= 5
+    labels = {r.label for r in e.filter(F.col("vec_id").isin(ids)).collect()}
+    assert labels == {3}
