@@ -527,7 +527,8 @@ def append_pq_delta(index: PQIndex, new_df: DataFrame, path: str) -> None:
 
 def pq_search(index: PQIndex, query_vec, k: int = 10,
               config: SearchConfig | None = None,
-              candidates: DataFrame | None = None) -> DataFrame:
+              candidates: DataFrame | None = None,
+              metric: str = "cosine") -> DataFrame:
     """Asymmetric-distance probe: the query builds an m x 2^nbits dot
     lookup table driver-side (index metadata arithmetic, like the IVF
     centroid ranking); the scan scores each row as
@@ -537,7 +538,10 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
     restricts to a WHERE-prefiltered row set (filter+search,
     index_holder.hpp:30-36). With a coarse quantizer (IVF-PQ) the scan
     first prunes to the `nprobe` nearest cluster partitions — the
-    same physical prune as ivf_search, on a far narrower table."""
+    same physical prune as ivf_search, on a far narrower table.
+    `metric="l2"` ranks candidates by the ADC distance
+    anorm - 2*approx_dot (||q||^2 is rank-constant) and reranks by
+    exact L2 ascending."""
     import math
 
     import numpy as np
@@ -576,18 +580,26 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
          for j in range(m)),
         start=F.lit(0.0),
     )
-    score = approx_dot / (F.sqrt(F.greatest(F.col("anorm"), F.lit(1e-30)))
-                          * F.lit(qnorm))
+    if metric == "l2":
+        score = F.col("anorm") - 2.0 * approx_dot
+        order = [F.asc("__pq"), index.id_col]
+    else:
+        score = approx_dot / (F.sqrt(F.greatest(F.col("anorm"), F.lit(1e-30)))
+                              * F.lit(qnorm))
+        order = [F.desc("__pq"), index.id_col]
     fetch = k * config.accuracy_factor
     cand = (
         codes.select(index.id_col, score.alias("__pq"))
-        .orderBy(F.desc("__pq"), index.id_col)
+        .orderBy(*order)
         .limit(fetch)
         .select(index.id_col)
     )
     if index.source is None:
         return cand
     rerank = index.source.join(F.broadcast(cand), index.id_col, "left_semi")
+    if metric == "l2":
+        return topk_l2(rerank, index.vec_col, query_vec, k=k,
+                       id_col=index.id_col)
     return topk_cosine(rerank, index.vec_col, query_vec, k=k,
                        id_col=index.id_col)
 

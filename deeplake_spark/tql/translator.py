@@ -415,10 +415,10 @@ class Translator:
         if not isinstance(col_arg, ast.ColumnRef) or col_arg.table is not None:
             return None
         meta = self.indexes.get(col_arg.name)
-        if meta is None or len(meta) != 3 or meta[0] != "clustered":
+        if meta is None or len(meta) != 3 or meta[0] not in ("clustered", "pq"):
             return None
-        _, idx, id_col = meta
-        from deeplake_spark.operators.similarity import ivf_search
+        kind, idx, id_col = meta
+        from deeplake_spark.operators.similarity import ivf_search, pq_search
 
         df = self._resolve_source(None)
         qvec = self._vec_constant(q_arg, df)
@@ -428,8 +428,10 @@ class Translator:
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
         fetch = sel.limit.n + (sel.limit.offset or 0)
-        hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
-                          candidates=candidates, metric="l2").select(id_col)
+        search = ivf_search if kind == "clustered" else pq_search
+        hits = search(idx, qvec, k=fetch, config=self.search_config,
+                      candidates=candidates, metric="l2").select(
+            F.col(idx.id_col).alias(id_col))
         return df.join(F.broadcast(hits), id_col, "left_semi")
 
     def _matrix_literal(self, node: ast.Node) -> list[list[float]] | None:

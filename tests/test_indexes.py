@@ -910,3 +910,40 @@ def test_tql_l2_distance_routing(spark, sf_dir):
     assert 0 < len(ids) <= 5
     labels = {r.label for r in e.filter(F.col("vec_id").isin(ids)).collect()}
     assert labels == {3}
+
+
+def test_pq_l2_metric_and_route(spark, sf_dir, tmp_path):
+    """pq_search(metric=l2) ranks by the ADC distance (anorm - 2*dot)
+    and reranks by exact L2; the TQL L2 distance pattern routes through
+    a registered pq index too."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_pq,
+        load_pq,
+        pq_search,
+        save_pq,
+        topk_l2,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "pq")
+    save_pq(build_pq(e, "embedding", "vec_id", m=8, nbits=4, seed=42), p)
+    idx = load_pq(spark, p, source=e)
+    q = list(e.filter(F.col("vec_id") == 10).select("embedding").head()[0])
+    exact = [r.vec_id for r in topk_l2(e, "embedding", q, k=10,
+                                       id_col="vec_id").collect()]
+    approx = [r.vec_id for r in pq_search(
+        idx, q, k=10, config=SearchConfig.high_accuracy(),
+        metric="l2").collect()]
+    assert len(set(approx) & set(exact)) / 10 >= 0.7
+    assert approx[0] == 10  # own row at distance 0
+
+    routed = tql.query(
+        "SELECT vec_id, L2_NORM(embedding - ?) AS dist "
+        "ORDER BY dist ASC LIMIT 10",
+        default=e, params=[q],
+        indexes={"embedding": ("pq", idx, "vec_id")},
+        search_config=SearchConfig.high_accuracy())
+    got = [r.vec_id for r in routed.collect()]
+    assert got[0] == 10 and len(set(got) & set(exact)) / 10 >= 0.7
