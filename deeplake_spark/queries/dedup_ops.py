@@ -29,42 +29,65 @@ _DUCK_SHINGLES3 = (
 @query(
     "d01_exact_dup_groups",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15
+    )
     SELECT md5(lower(text)) AS content_hash,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS keeper_doc_id
-    FROM documents
+    FROM corpus
     GROUP BY content_hash
     HAVING COUNT(*) > 1
     ORDER BY content_hash
     """,
     doc="Exact dedup: hash-groupBy on content digest; duplicate groups "
-    "with canonical keeper (min doc_id).",
+    "with canonical keeper (min doc_id). Duplicates are planted "
+    "in-query (15 re-idded copies — the t11 self-contained-signal "
+    "pattern) because the current testdata carries no natural exact "
+    "dups, which would make this a degenerate 0-row check.",
     tags=("dedup", "exact"),
 )
 def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return exact_duplicate_groups(d).orderBy("content_hash")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_duplicate_groups(d.unionByName(planted)).orderBy("content_hash")
 
 
 @query(
     "d02_exact_dedup_kept",
     oracle="""
-    WITH ranked AS (
+    WITH corpus AS (
+      SELECT source, doc_id, text FROM documents
+      UNION ALL
+      SELECT 'replay' AS source, doc_id + 1000000, text
+      FROM documents WHERE doc_id < 40
+    ),
+    ranked AS (
       SELECT source, doc_id,
              row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
-      FROM documents
+      FROM corpus
     )
     SELECT source, COUNT(*) AS n_kept
     FROM ranked WHERE rn = 1
     GROUP BY source ORDER BY source
     """,
-    doc="Exact dedup keep-first: per-digest row_number window, keep rank 1.",
+    doc="Exact dedup keep-first: per-digest row_number window "
+    "(digest-PARTITIONED — bounded groups, never a global sort), keep "
+    "rank 1. A planted 'replay' source of 40 copies must be fully "
+    "deduplicated away (keepers are the lower-id originals), so the "
+    "per-source kept counts prove keep-FIRST, not keep-any.",
     tags=("dedup", "exact", "window"),
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).select(
+        F.lit("replay").alias("source"),
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return (
-        dedup_exact(d)
+        dedup_exact(d.unionByName(planted))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
