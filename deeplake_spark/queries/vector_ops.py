@@ -318,8 +318,16 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v08_near_dup_pairs",
     oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1)
+      FROM embeddings WHERE vec_id < 20
+    )
     SELECT a.label, COUNT(*) AS n_pairs
-    FROM embeddings a JOIN embeddings b
+    FROM corpus a JOIN corpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.99
     GROUP BY a.label
@@ -329,13 +337,24 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "banding (band → bucket-join → exact-cosine verify, the d04 shape "
     "for dense vectors); pair work stays proportional to true "
     "collisions at any corpus size. The oracle's label-pair count is "
-    "reproduced by keeping only same-label verified pairs.",
+    "reproduced by keeping only same-label verified pairs. 20 scaled "
+    "copies are planted in-query (cosine/sign-invariant, deterministic "
+    "banding recall — the t11/v20 pattern) because the current "
+    "testdata has no natural embedding near-dups.",
     tags=("vector", "dedup"),
 )
 def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.operators.similarity import near_dup_pairs_lsh
 
-    e = load_table(spark, sf_dir, "embeddings")
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.1).alias("embedding"),
+    )
+    e = base.select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("embedding")
+                    ).unionByName(planted)
     pairs = near_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.99, dim=64)
     labels = e.select("vec_id", "label")
     return (
