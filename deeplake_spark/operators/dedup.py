@@ -180,19 +180,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     cands = lsh_candidate_pairs(minhash_signatures(sets, num_perm), bands, num_perm // bands)
     sa = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
     sb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    # threshold on the UNROUNDED similarity; round only in the output
+    # projection (a rounded filter admits pairs in [t-5e-7, t) that an
+    # exact oracle excludes)
+    jacc = (
+        F.size(F.array_intersect("sha", "shb"))
+        / F.size(F.array_union("sha", "shb")).cast("double")
+    )
     return (
         cands.join(sa, "a")
         .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.size(F.array_intersect("sha", "shb"))
-                / F.size(F.array_union("sha", "shb")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jacc >= threshold)
+        .select("a", "b", F.round(jacc, 6).alias("jaccard"))
     )
 
 

@@ -25,6 +25,8 @@ _DUCK_SHINGLES3 = (
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
 )
 
+_DUCK_MD5INT60 = "CAST(('0x' || substr(md5({x} || '#{s}'), 1, 15)) AS UBIGINT)"
+
 
 @query(
     "d01_exact_dup_groups",
@@ -125,28 +127,114 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d04_minhash_lsh",
-    oracle=None,  # xxhash64-based — recall vs exact Jaccard asserted in tests
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM corpus),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES3.format(t="t")} AS s FROM toks
+           WHERE len({_DUCK_SHINGLES3.format(t="t")}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.sng = b.sng AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.a, c.b,
+           ROUND(c.n_common / CAST(sa.ns + sb.ns - c.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common c
+    JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = c.a
+    JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = c.b
+    WHERE c.n_common = sa.ns + sb.ns - c.n_common
+    ORDER BY c.a, c.b
+    """,
     doc="MinHash(32 perms) + LSH(8 bands × 4 rows) candidate generation, "
     "exact-Jaccard verification of candidates only (shingle→minhash→"
-    "band→bucket-join; no cross join at any scale).",
+    "band→bucket-join; no cross join at any scale). Oracle-checkable "
+    "configuration: 25 exact copies are planted in-query and the verify "
+    "threshold is 1.0 — a pair with Jaccard exactly 1 has IDENTICAL "
+    "shingle sets, hence identical minhash signatures, hence collides "
+    "in EVERY band, so LSH recall on the admitted pair set is provably "
+    "1 and the output equals the exact-Jaccard J=1 pair set DuckDB "
+    "computes (robust to testdata regeneration: any natural J=1 pair "
+    "is found by both sides for the same reason). Production "
+    "thresholds (<1) are recall-gated in tests/test_operators.py.",
     tags=("dedup", "minhash"),
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d).orderBy("a", "b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return minhash_dedup_pairs(d.unionByName(planted), threshold=1.0).orderBy("a", "b")
 
 
 @query(
     "d05_simhash",
-    oracle=None,  # engine-specific hash — structural checks in tests
-    doc="SimHash document fingerprints (64-bit majority-vote of token "
-    "hash bits, explode + 64 partial-agg sums); near-dups differ in few "
-    "bits → hamming-ball lookup.",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qqzzxy'
+      FROM documents WHERE doc_id < 150
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS tok FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, {{md5h}} AS hv FROM toks
+    ),
+    bitsum AS (
+      SELECT doc_id, i.i AS bit,
+             SUM(CASE WHEN ((hv >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, LATERAL (SELECT unnest(range(0, 60)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT o.doc_id, o.simhash, c.simhash AS copy_simhash,
+           CAST(bit_count(xor(o.simhash, c.simhash)) AS INT) AS hamming
+    FROM fp o JOIN fp c ON c.doc_id = o.doc_id + 1000000
+    ORDER BY o.doc_id
+    """.format(md5h=_DUCK_MD5INT60.format(x="tok", s="0")),
+    doc="SimHash document fingerprints (majority-vote of token hash "
+    "bits, explode + per-bit partial-agg sums) PLUS the near-dup "
+    "property itself: each doc is paired with a planted one-token-"
+    "appended copy and the fingerprint hamming distance is emitted — "
+    "near-identical docs must land a few bits apart (the hamming-ball "
+    "lookup premise). Runs the engine-portable md5-int60 hash so every "
+    "bit is reproduced by the DuckDB oracle; the xxhash64 fast path "
+    "(simhash_64) stays the unregistered production default, property-"
+    "gated in tests/test_operators.py.",
     tags=("dedup", "simhash"),
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_64(d, tokenize(F.col("text"))).orderBy("doc_id")
+    from deeplake_spark.operators.dedup import simhash_portable
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 150).select("doc_id", "text"))
+    planted = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqzzxy")).alias("text"))
+    fp = simhash_portable(d.unionByName(planted), tokenize(F.col("text")))
+    orig = fp.filter(F.col("doc_id") < 1_000_000)
+    copy = fp.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("simhash").alias("copy_simhash"))
+    return (
+        orig.join(copy, "doc_id")
+        .select(
+            "doc_id", "simhash", "copy_simhash",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("copy_simhash")))
+            .cast("int").alias("hamming"))
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -280,9 +368,6 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return contamination_hits(corpus, eval_df, w=4).orderBy("doc_id")
-
-
-_DUCK_MD5INT60 = "CAST(('0x' || substr(md5({x} || '#{s}'), 1, 15)) AS UBIGINT)"
 
 
 @query(
