@@ -310,7 +310,9 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     data: labels can only DECREASE under min-propagation, so the label
     sum (DECIMAL — id sums overflow bigint at petabyte id ranges) is
     strictly decreasing until the fixpoint, making an unchanged sum an
-    exact convergence test with no old-vs-new join.
+    exact convergence test with no old-vs-new join. Non-numeric ids
+    (where the decimal try_cast is NULL and the sum carries no signal)
+    fall back to an exact changed-row probe (old⋈new, LIMIT-1 count).
 
     Returns (id, cluster) where cluster = min id of the component.
     """
@@ -321,6 +323,7 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     )
     labels = sym.select("id").distinct().withColumn("label", F.col("id"))
     prev_sum = None
+    sum_probe = True  # flips off for non-numeric ids (cast → NULL sum)
     try:
         for _ in range(max_iter):
             neigh = (
@@ -340,13 +343,35 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 )
                 .localCheckpoint(eager=True)
             )
-            cur_sum = new.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).head()["s"]
+            if sum_probe:
+                # try_cast, not cast: ANSI mode makes a failed
+                # string→decimal cast an error, not a NULL
+                cur_sum = new.agg(
+                    F.sum(F.col("label").cast("string")
+                          .try_cast("decimal(38,0)")).alias("s")
+                ).head()["s"]
+                if cur_sum is None:
+                    # non-numeric labels (cast → NULL) or empty relation:
+                    # the sum carries no signal — fall through to the
+                    # exact changed-row probe for this and later rounds
+                    sum_probe = False
+                else:
+                    labels = new
+                    if prev_sum is not None and cur_sum == prev_sum:
+                        break
+                    prev_sum = cur_sum
+                    continue
+            # exact probe: any row whose label changed this round? One
+            # join + a LIMIT-1 count — still no data collection
+            changed = (
+                new.join(labels.select("id", F.col("label").alias("__old")), "id")
+                .filter(F.col("label") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
             labels = new
-            if prev_sum is not None and cur_sum == prev_sum:
+            if changed == 0:
                 break
-            prev_sum = cur_sum
     finally:
         sym.unpersist()
     return labels.select("id", "label")

@@ -876,8 +876,11 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
     )
     sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0))
+    # threshold on the UNROUNDED cosine (a rounded filter admits pairs
+    # in [t-5e-7, t) that an exact oracle excludes); round only the
+    # projected output
     return (
         cands.join(base_a, "a").join(base_b, "b")
+        .filter(sim >= threshold)
         .select("a", "b", F.round(sim, 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
     )

@@ -144,7 +144,22 @@ class Translator:
                 # most k·accuracy_factor rows, keeping semantics exact
                 return self._select(sel, source_override=routed)
         df = source_override if source_override is not None else self._resolve_source(sel.source)
+        # DATA(col, i) addresses row i of the UNFILTERED source relation
+        # actually in scope (the FROM source, or the bound dataset when
+        # there is no FROM) — never the filtered/index-pruned df, and
+        # never the bound dataset when an explicit FROM shadows it with
+        # a same-named column. Save/restore: nested selects must not
+        # clobber the outer scope's base.
+        prev_base = getattr(self, "_data_base", None)
+        self._data_base = (
+            self._resolve_source(sel.source) if source_override is not None else df
+        )
+        try:
+            return self._select_body(sel, df)
+        finally:
+            self._data_base = prev_base
 
+    def _select_body(self, sel: ast.Select, df: DataFrame) -> DataFrame:
         if sel.where is not None:
             df = self._apply_where(sel.where, df)
 
@@ -207,6 +222,9 @@ class Translator:
             had_rn = "__tql_rownum" in projected.columns
             if not had_rn and any(_uses_rownum(o.expr) for o in sel.order):
                 projected = self._with_rownum(projected)
+            # save/restore (not set/clear): a nested _expr re-entering
+            # this path must not clobber the outer scope's fallback
+            prev_fb = getattr(self, "_depth_fallback_df", None)
             self._depth_fallback_df = df
             try:
                 projected = projected.orderBy(
@@ -216,7 +234,7 @@ class Translator:
                     ]
                 )
             finally:
-                self._depth_fallback_df = None
+                self._depth_fallback_df = prev_fb
             if not had_rn and "__tql_rownum" in projected.columns:
                 projected = projected.drop("__tql_rownum")
 
@@ -947,10 +965,14 @@ class Translator:
             # static data addresses the SOURCE dataset's row i
             # (static_data_t over the input, cpp/tql/input.hpp:89-107) —
             # never the filtered/index-pruned relation in scope, whose
-            # row offsets differ
-            base = self.default if (
-                self.default is not None and col.name in self.default.columns
-            ) else df
+            # row offsets differ. The in-scope FROM source (tracked by
+            # _select) wins over the bound dataset: a same-named column
+            # in both must read from the relation the query names.
+            base = getattr(self, "_data_base", None)
+            if base is None or col.name not in base.columns:
+                base = self.default if (
+                    self.default is not None and col.name in self.default.columns
+                ) else df
             row = base.select(col.name).offset(int(idx.value)).limit(1).head()
             if row is None:
                 raise TQLTranslationError(f"DATA index {idx.value} out of range")

@@ -428,6 +428,18 @@ def test_connected_components_chain_and_star(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids: the decimal label-sum convergence probe carries
+    no signal (try_cast → NULL) — the exact changed-row fallback must
+    still converge and label correctly."""
+    from deeplake_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("y", "x")], ["a", "b"])
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
 def test_assign_splits_deterministic_and_stable(spark):
     """Hash-split assignment: fractions approximately honored, total
     partition of rows, and stable under subsetting/appends (a row's

@@ -156,6 +156,24 @@ def test_tensor_functions(spark, tables):
         assert got.mx == pytest.approx(v.max())
 
 
+def test_data_reads_from_source_not_bound_default(spark):
+    """DATA(col, i) addresses the relation the query's FROM names, even
+    when the bound default dataset has a same-named column (the source-
+    resolution trap: name-matching against the default silently reads
+    row i of the wrong relation)."""
+    from deeplake_spark import tql
+
+    default = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["x"])
+    other = spark.createDataFrame([(10.0,), (20.0,), (30.0,)], ["x"])
+    out = tql.query("SELECT x + DATA(x, 1) AS y FROM t",
+                    spark=spark, tables={"t": other}, default=default).collect()
+    assert sorted(r.y for r in out) == [30.0, 40.0, 50.0]
+    # no FROM → the bound default is the source, as before
+    out = tql.query("SELECT x + DATA(x, 1) AS y",
+                    spark=spark, default=default).collect()
+    assert sorted(r.y for r in out) == [3.0, 4.0, 5.0]
+
+
 def test_cosine_topk_via_tql(spark, tables):
     e = tables["embeddings"]
     out = tql.query(
