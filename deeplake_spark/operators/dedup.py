@@ -96,14 +96,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the same exchange.
     """
     sets = shingle_sets(df, text_col, id_col, n)
-    # materialize the posting relation once: it feeds the self-join's two
+    # persist the posting relation once: it feeds the self-join's two
     # sides AND the size aggregate — without this, text is re-tokenized
-    # and re-shingled three times. At 100 TB this is a persisted side
-    # table (the inverted index of SURVEY §4.3); locally, a cache.
+    # and re-shingled three times. The first ACTION fills the cache
+    # (block-level locking dedups concurrent fills); no driver-side job
+    # runs at construction time. At 100 TB this is a persisted side
+    # table (the inverted index of SURVEY §4.3), not a cache.
     ex = _posting(sets, df_cap).persist()
-    ex.count()  # materialize eagerly: the three consumers below otherwise
-    # race to compute the same subtree in parallel stages before the
-    # cache fills (at 100 TB this is a written side table, not a cache)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("a"), "sh")
     b = ex.select(F.col("doc_id").alias("b"), "sh")

@@ -428,6 +428,32 @@ def test_connected_components_chain_and_star(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_pair_operator_construction_runs_no_jobs(spark, monkeypatch):
+    """Building the jaccard/minhash pair DataFrames must not trigger
+    driver-side actions (the posting-relation cache fills on the first
+    ACTION, not at construction — at 100 TB it is a written side table
+    and construction stays pure plan assembly)."""
+    import pyspark.sql.dataframe as D
+
+    from deeplake_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 7))
+         for i in range(40)], "doc_id long, text string")
+    real_collect = D.DataFrame.collect
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side action during operator construction")
+
+    for action in ("count", "collect", "toPandas", "head", "take"):
+        monkeypatch.setattr(D.DataFrame, action, boom)
+    j = jaccard_pairs(df, threshold=0.5)
+    m = minhash_dedup_pairs(df, threshold=0.5)
+    monkeypatch.undo()
+    assert len(real_collect(j)) > 0
+    assert len(real_collect(m)) > 0
+
+
 def test_connected_components_string_ids(spark):
     """Non-numeric ids: the decimal label-sum convergence probe carries
     no signal (try_cast → NULL) — the exact changed-row fallback must
