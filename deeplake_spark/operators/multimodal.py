@@ -87,11 +87,122 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class _PngUnsupported(Exception):
+    """Valid PNG, but a variant outside the stdlib decoder's scope
+    (16-bit, interlaced, ...) — falls through to PIL when present."""
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Up is vectorized; Sub/Average/Paeth carry a
+    left-neighbor dependency, so those rows scan byte-wise."""
+    stride = w * channels
+    bpp = channels  # 8-bit depth → bytes per pixel == channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos).astype(np.uint16)
+        pos += stride
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            recon = line.copy()
+            for x in range(bpp, stride):
+                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise _PngUnsupported(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for 8-bit non-interlaced PNG: stdlib zlib + struct
+    only (the reference Image htype's default compression,
+    python/deeplake/types.pyi:1011-1036). Supports grayscale (→ HxW),
+    gray+alpha (HxWx2), RGB (HxWx3), RGBA (HxWx4), and paletted
+    (PLTE lookup → HxWx3) color types; 16-bit/interlaced variants
+    raise _PngUnsupported and fall through to PIL when installed."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    palette = None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise _PngUnsupported(
+            f"stdlib PNG path handles 8-bit non-interlaced only "
+            f"(depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise _PngUnsupported(f"unknown PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    img = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if color == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return palette[img[:, :, 0]]
+    if color == 0:
+        return img.reshape(h, w)  # PIL 'L'-mode convention: 2-D sample
+    return img
+
+
 def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
     if compression == "ppm":
         return _decode_ppm(payload)  # real, stdlib-only
     if compression == "bmp":
         return _decode_bmp(payload)  # real, stdlib-only
+    if compression == "png":
+        try:
+            return _decode_png(payload)  # real, stdlib-only
+        except _PngUnsupported:
+            pass  # 16-bit/interlaced/exotic → PIL below
+        except Exception:
+            if strict:
+                raise  # corrupt payload is a real decode error
+            pass  # non-strict: not PNG bytes → PIL/fake below
     if compression in ("jpg", "jpeg", "png"):
         try:
             from PIL import Image  # noqa: F401  (not in this image)

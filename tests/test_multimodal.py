@@ -130,6 +130,139 @@ def test_real_bmp_decode_roundtrip(spark):
     assert (got == pix).all()
 
 
+def _encode_png(img, filters=None, color=None):
+    """Test-side PNG encoder: applies the REQUESTED filter type per
+    scanline (spec §9 forward transform) so the decoder's unfilter
+    paths all get exercised, not just filter 0."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    if img.ndim == 2:
+        h, w, ch = img.shape[0], img.shape[1], 1
+        flat = img.reshape(h, w * 1).astype(np.int32)
+        color = 0 if color is None else color
+    else:
+        h, w, ch = img.shape
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        ft = filters[y % len(filters)]
+        filt = np.empty(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_real_png_decode_roundtrip_all_filters(spark):
+    """PNG decodes for REAL (stdlib zlib + unfilter): RGB pixels
+    encoded with every filter type (None/Sub/Up/Average/Paeth cycling
+    per row) survive the distributed decode exactly."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import decode_images
+
+    h, w = 7, 5
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = _encode_png(pix, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([(0, bytearray(payload))], "id long, image binary")
+    row = decode_images(df, "image", compression="png", strict=True).head()
+    got = np.array([[list(px) for px in r] for r in row.pixels], dtype=np.uint8)
+    assert (got == pix).all()
+    assert list(row.shape) == [h, w, 3]
+
+
+def test_real_png_gray_rgba_palette():
+    """Grayscale → 2-D sample (PIL 'L' convention), RGBA keeps the
+    alpha channel, paletted resolves through PLTE — all stdlib-only."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (_decode_png(_encode_png(gray, filters=[4, 3, 1, 2])) == gray).all()
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    assert (_decode_png(_encode_png(rgba, filters=[1, 2, 4])) == rgba).all()
+
+    # paletted: indices reference a 4-entry PLTE
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                    dtype=np.uint8)
+    body = _encode_png(idx, color=3)
+    # splice a PLTE chunk in front of IDAT
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+    ihdr_end = 8 + 12 + 13
+    payload = body[:ihdr_end] + chunk(b"PLTE", plte.tobytes()) + body[ihdr_end:]
+    assert (_decode_png(payload) == plte[idx]).all()
+
+
+def test_png_16bit_falls_through_not_garbage():
+    """A 16-bit PNG is outside the stdlib path: strict mode must raise
+    (no PIL in this container), never silently return wrong pixels."""
+    import struct as st
+    import zlib
+
+    import pytest as pt
+
+    from deeplake_spark.operators.multimodal import _decode_one
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = st.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    raw = b"\x00\x00\x01"  # filter 0 + one 16-bit gray pixel
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        _decode_one(payload, "png", strict=True)  # PIL handles it
+    else:
+        with pt.raises(NotImplementedError):
+            _decode_one(payload, "png", strict=True)
+
+
 def test_real_wav_decode_features(spark):
     """PCM WAV decodes for REAL via stdlib wave: a full-scale square
     wave has rms == peak == 1.0 (int16 -32768/32767 → ±~1.0)."""
