@@ -185,21 +185,25 @@ class Dataset:
                     )
         return df
 
-    def query(self, text: str, params: list | None = None):
+    def query(self, text: str, params: list | None = None, options=None):
         """TQL query bound to this dataset (ds.query, __init__.pyi:2438)
         — returns a chainable DatasetView (itself queryable/sliceable,
         __init__.pyi:2279; a DataFrame drop-in via delegation).
         Registered column indexes feed the translator's CONTAINS →
         posting-semijoin rewrite automatically (use_index behavior,
-        cpp/tql/options.hpp) and stay live across chained view queries."""
+        cpp/tql/options.hpp) and stay live across chained view queries.
+        `options` (tql.Options) gates features / forces the linear
+        plan (`use_index=False`) / validates only (`parsing_only`)."""
         from deeplake_spark.tql import query as tql_query
         from deeplake_spark.views import DatasetView
 
         indexes = self._load_indexes()
         out = tql_query(
             text, spark=self.spark, default=self.to_df(), params=params,
-            indexes=indexes, search_config=self.query_config,
+            indexes=indexes, search_config=self.query_config, options=options,
         )
+        if out is None:  # parsing_only
+            return None
         return DatasetView(out, indexes=indexes, dataset=self)
 
     # --------------------------------------------------------------- indexes

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from deeplake_spark.tql.parser import is_valid, parse_query
 from deeplake_spark.tql.translator import (
+    Options,
     Translator,
     TQLTranslationError,
     is_filter,
@@ -22,17 +23,22 @@ from deeplake_spark.tql.translator import (
 _REGISTERED_FUNCTIONS: dict[str, object] = {}
 
 
-def prepare(text: str, spark=None, tables=None, default=None, indexes=None):
+def prepare(text: str, spark=None, tables=None, default=None, indexes=None,
+            options=None):
     """Prepared statement: parse once, bind `?` params per run —
     reference prepare_query/run_batch (cpp/tql/executor.hpp:49,
     python/deeplake/__init__.pyi:612-641). The returned callable also
-    exposes `.run_batch(param_sets)`."""
+    exposes `.run_batch(param_sets)`. `options` (tql::options) gates
+    features/index use per run; `parsing_only` makes run() validate
+    and return None."""
     node = parse_query(text)
 
     def run(*params):
+        if options is not None and options.parsing_only:
+            return None
         return Translator(
             spark=spark, tables=tables, default=default,
-            params=list(params), indexes=indexes,
+            params=list(params), indexes=indexes, options=options,
         ).translate(node)
 
     def run_batch(param_sets):
@@ -98,6 +104,7 @@ __all__ = [
     "is_filter",
     "query_keywords",
     "register_function",
+    "Options",
     "Translator",
     "TQLTranslationError",
 ]

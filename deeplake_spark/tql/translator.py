@@ -39,6 +39,73 @@ class TQLTranslationError(ValueError):
     pass
 
 
+class Options:
+    """TQL execution gating knobs — mirrors `tql::options`
+    (cpp/tql/options.hpp:7-30) including its named presets. Feature
+    flags default to the reference struct's values (everything off);
+    `tql.query`/`prepare` with no options behave as
+    `Options.allow_everything()`, today's default.
+
+    - `allow_nested_query`: permit subqueries in FROM
+    - `allow_selection_list`: permit an explicit SELECT list
+      (otherwise only `SELECT *` shapes pass)
+    - `allow_group` / `allow_ungroup`: permit GROUP BY / UNGROUP BY
+    - `use_index`: when False, translation never routes through
+      registered indexes — no CONTAINS/BETWEEN/IN semijoin rewrites,
+      no ORDER BY similarity LIMIT k ANN routing; the linear plan is
+      produced instead (same rows, different physical plan)
+    - `parsing_only`: validate the query text only; `tql.query`
+      returns None without translating or touching data
+    - `search_config`: per-query SearchConfig for ANN routing
+      (overrides the translator-level config when set)
+    """
+
+    __slots__ = ("allow_nested_query", "allow_selection_list", "allow_group",
+                 "allow_ungroup", "use_index", "parsing_only", "search_config")
+
+    def __init__(self, allow_nested_query: bool = False,
+                 allow_selection_list: bool = False,
+                 allow_group: bool = False, allow_ungroup: bool = False,
+                 use_index: bool = False, parsing_only: bool = False,
+                 search_config=None):
+        self.allow_nested_query = allow_nested_query
+        self.allow_selection_list = allow_selection_list
+        self.allow_group = allow_group
+        self.allow_ungroup = allow_ungroup
+        self.use_index = use_index
+        self.parsing_only = parsing_only
+        self.search_config = search_config
+
+    # named presets (options.hpp:19-29)
+    @staticmethod
+    def allow_everything() -> "Options":
+        return Options(allow_nested_query=True, allow_selection_list=True,
+                       allow_group=True, allow_ungroup=True, use_index=True)
+
+    @staticmethod
+    def default_config() -> "Options":
+        return Options.allow_everything()
+
+    @staticmethod
+    def one_level_filter_only() -> "Options":
+        return Options(use_index=True)
+
+    @staticmethod
+    def filter_only() -> "Options":
+        return Options(allow_nested_query=True, use_index=True)
+
+    @staticmethod
+    def linear_only() -> "Options":
+        # row-linear transforms: projection + filter, no regrouping
+        return Options(allow_nested_query=True, allow_selection_list=True,
+                       use_index=True)
+
+    @staticmethod
+    def web_environment() -> "Options":
+        # untrusted-caller preset: single-level filters, indexes on
+        return Options(use_index=True)
+
+
 #: TQL functions that reduce over EVERY element of an nd array cell —
 #: nested inputs are flattened to 1-D before the fold (nd::array
 #: whole-tensor reductions, cpp/nd/functions.hpp:39-63)
@@ -72,11 +139,16 @@ class Translator:
         params: list | None = None,
         indexes: Mapping[str, tuple] | None = None,
         search_config=None,
+        options: Options | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
         self.default = default
         self.params = list(params or [])
+        #: execution gates (tql::options) — None means allow_everything
+        self.options = options if options is not None else Options.allow_everything()
+        if self.options.search_config is not None:
+            search_config = self.options.search_config
         #: column name → (kind, index, id_col) [legacy 2-tuple = inverted]:
         #: enables the §4.3 rewrites (CONTAINS/BETWEEN/IN/JSON semijoins,
         #: ORDER BY cosine LIMIT k → IVF probe)
@@ -107,6 +179,9 @@ class Translator:
             df = self._table(src.name)
             return df.alias(src.alias) if src.alias else df
         if isinstance(src, ast.SubQuery):
+            if not self.options.allow_nested_query:
+                raise TQLTranslationError(
+                    "nested query disabled by options.allow_nested_query")
             df = self.translate(src.select)
             return df.alias(src.alias) if src.alias else df
         if isinstance(src, ast.Join):
@@ -136,7 +211,17 @@ class Translator:
     # --------------------------------------------------------------- select
 
     def _select(self, sel: ast.Select, source_override: DataFrame | None = None) -> DataFrame:
-        if source_override is None:
+        opts = self.options
+        if not opts.allow_group and sel.group is not None:
+            raise TQLTranslationError("GROUP BY disabled by options.allow_group")
+        if not opts.allow_ungroup and sel.ungroup is not None:
+            raise TQLTranslationError("UNGROUP BY disabled by options.allow_ungroup")
+        if not opts.allow_selection_list and not (
+            len(sel.items) == 1 and isinstance(sel.items[0].expr, ast.Star)
+        ):
+            raise TQLTranslationError(
+                "explicit SELECT list disabled by options.allow_selection_list")
+        if source_override is None and opts.use_index:
             routed = self._try_ann_route(sel)
             if routed is not None:
                 # re-enter with the index-pruned source: the normal path
@@ -263,7 +348,9 @@ class Translator:
         split(where)
         residual: list[ast.Node] = []
         for c in conjuncts:
-            handled = self._try_index_rewrite(c, df)
+            handled = (
+                self._try_index_rewrite(c, df) if self.options.use_index else None
+            )
             if handled is not None:
                 df = handled
             else:
@@ -1070,13 +1157,20 @@ def tql_query(
     params: list | None = None,
     indexes: Mapping[str, tuple] | None = None,
     search_config=None,
-) -> DataFrame:
+    options: Options | None = None,
+) -> DataFrame | None:
     """Run a TQL query → DataFrame (ds.query equivalent,
-    python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68)."""
+    python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68).
+
+    `options` gates features and index use (tql::options,
+    cpp/tql/options.hpp:7-30); with `parsing_only=True` the text is
+    parsed/validated and None is returned without translating."""
     node = parse_query(query)
+    if options is not None and options.parsing_only:
+        return None
     return Translator(
         spark=spark, tables=tables, default=default, params=params, indexes=indexes,
-        search_config=search_config,
+        search_config=search_config, options=options,
     ).translate(node)
 
 

@@ -482,3 +482,65 @@ def test_reducer_axis_variants(spark):
     assert list(r.col_sums) == [4.0, 6.0]
     assert list(r.row_sums) == [3.0, 7.0]
     assert list(r.row_any) == [False, True]
+
+
+def test_tql_options_feature_gates(spark, tables):
+    """tql.Options mirrors tql::options (cpp/tql/options.hpp:7-30):
+    feature gates reject GROUP/UNGROUP/nested/select-list shapes, and
+    parsing_only validates without translating."""
+    from deeplake_spark.tql import Options, TQLTranslationError
+
+    d = tables["documents"]
+    ev = tables["events"].select("user_id", "event_type")
+
+    lock = Options.one_level_filter_only()
+    assert tql.query("SELECT * WHERE n_chars > 300",
+                     default=d, options=lock).count() > 0
+    with pytest.raises(TQLTranslationError):
+        tql.query("SELECT doc_id", default=d, options=lock)
+    with pytest.raises(TQLTranslationError):
+        tql.query("SELECT * FROM (SELECT * WHERE n_chars > 300)",
+                  default=d, options=lock)
+    # filter_only admits the nested shape that one_level rejects
+    assert tql.query("SELECT * FROM (SELECT * WHERE n_chars > 300)",
+                     default=d, options=Options.filter_only()).count() > 0
+
+    with pytest.raises(TQLTranslationError):
+        tql.query("SELECT user_id, event_type GROUP BY user_id",
+                  default=ev, options=Options.linear_only())
+    with pytest.raises(TQLTranslationError):
+        tql.query(
+            "SELECT user_id, event_type GROUP BY user_id UNGROUP BY SPLIT",
+            default=ev,
+            options=Options(allow_selection_list=True, allow_group=True))
+
+    # parsing_only: valid text → None without touching data; bad text
+    # still surfaces the syntax error
+    po = Options(parsing_only=True)
+    assert tql.query("SELECT doc_id WHERE n_chars > 300",
+                     default=d, options=po) is None
+    from deeplake_spark.tql.lexer import TQLSyntaxError
+
+    with pytest.raises(TQLSyntaxError):
+        tql.query("SELECT FROM WHERE", default=d, options=po)
+
+
+def test_tql_options_use_index_forces_linear_plan(spark, sf_dir):
+    """use_index=False produces the non-routed plan: same rows, no
+    index-probe join in the physical plan."""
+    from deeplake_spark.operators.indexes import build_numeric_index
+    from deeplake_spark.plans.explain import explain_query
+    from deeplake_spark.tql import Options
+
+    docs = load_table(spark, sf_dir, "documents")
+    nidx = build_numeric_index(docs, "n_chars", id_col="doc_id")
+    indexes = {"n_chars": ("numeric", nidx, "doc_id")}
+    q = "SELECT doc_id WHERE n_chars BETWEEN 100 AND 200"
+
+    routed = tql.query(q, default=docs, indexes=indexes)
+    linear = tql.query(q, default=docs, indexes=indexes,
+                       options=Options(allow_selection_list=True,
+                                       use_index=False))
+    assert ids(routed, "doc_id") == ids(linear, "doc_id")
+    assert "Join" in explain_query(routed).text
+    assert "Join" not in explain_query(linear).text
