@@ -497,3 +497,305 @@ def fetch_links(df: DataFrame, link_col: str = "image",
             yield out
 
     return df.mapInPandas(fetch, out_schema)
+
+
+# ------------------------------------------------------------ medical (nd)
+
+
+_NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+                 64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32}
+
+
+class _MedicalUnsupported(Exception):
+    """Valid payload, but a variant outside the stdlib decoder's scope
+    — falls through to pydicom/nibabel when present."""
+
+
+def _decode_nifti(payload: bytes) -> np.ndarray:
+    """REAL decoder for NIfTI-1 (.nii / .nii.gz): stdlib gzip + struct
+    + numpy — the 348-byte fixed header (dim[8] at offset 40, datatype
+    at 70, vox_offset at 108, magic 'n+1' at 344) and the raw voxel
+    buffer. Handles both endiannesses (sniffed from sizeof_hdr) and
+    the common scalar dtypes; anything else raises _MedicalUnsupported
+    so nibabel can take over when installed. Reference Medical htype:
+    python/deeplake/types.pyi:1369-1428."""
+    import gzip
+
+    if payload[:2] == b"\x1f\x8b":  # gzip magic → .nii.gz
+        payload = gzip.decompress(payload)
+    if len(payload) < 352:
+        raise ValueError("not a NIfTI-1 payload (too short)")
+    (sizeof_hdr,) = struct.unpack_from("<i", payload, 0)
+    endian = "<"
+    if sizeof_hdr != 348:
+        (sizeof_hdr,) = struct.unpack_from(">i", payload, 0)
+        if sizeof_hdr != 348:
+            raise ValueError("not a NIfTI-1 payload (bad sizeof_hdr)")
+        endian = ">"
+    magic = payload[344:347]
+    if magic not in (b"n+1", b"ni1"):
+        raise ValueError("not a NIfTI-1 payload (bad magic)")
+    dim = struct.unpack_from(f"{endian}8h", payload, 40)
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise _MedicalUnsupported(f"NIfTI ndim {ndim}")
+    shape = tuple(int(d) for d in dim[1 : ndim + 1])
+    (datatype,) = struct.unpack_from(f"{endian}h", payload, 70)
+    (vox_offset,) = struct.unpack_from(f"{endian}f", payload, 108)
+    np_dtype = _NIFTI_DTYPES.get(datatype)
+    if np_dtype is None:
+        raise _MedicalUnsupported(f"NIfTI datatype code {datatype}")
+    count = int(np.prod(shape))
+    arr = np.frombuffer(payload, dtype=np.dtype(np_dtype).newbyteorder(endian),
+                        count=count, offset=int(vox_offset))
+    # NIfTI data is Fortran-ordered (fastest-varying dim first)
+    return arr.reshape(shape, order="F")
+
+
+def _decode_dicom_pydicom(payload: bytes) -> np.ndarray:
+    """REAL DICOM decode via pydicom (import-gated by the caller)."""
+    import io
+
+    import pydicom
+
+    return np.asarray(pydicom.dcmread(io.BytesIO(bytes(payload))).pixel_array)
+
+
+def _decode_nifti_nibabel(payload: bytes) -> np.ndarray:
+    """REAL NIfTI decode via nibabel (import-gated by the caller) —
+    the fallthrough for variants the stdlib path refuses."""
+    import gzip
+
+    import nibabel
+
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.decompress(payload)
+    img = nibabel.Nifti1Image.from_bytes(bytes(payload))
+    return np.asarray(img.get_fdata())
+
+
+def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
+    """Medical payload → nd voxel array. nii/nii.gz decode for REAL
+    stdlib-only (nibabel as fallthrough for exotic variants); dcm is
+    pydicom-gated; deterministic fake otherwise."""
+    if compression in ("nii", "nii.gz"):
+        try:
+            return _decode_nifti(payload)
+        except _MedicalUnsupported:
+            pass  # exotic dtype/dim → nibabel below
+        except Exception:
+            if strict:
+                raise
+            return _fake_decode(payload)[:, :, 0]  # 2-D fake slice
+        if _module_available("nibabel"):
+            try:
+                return _decode_nifti_nibabel(payload)
+            except Exception:
+                if strict:
+                    raise
+        elif strict:
+            raise NotImplementedError(
+                "this NIfTI variant requires nibabel, which is not installed")
+        return _fake_decode(payload)[:, :, 0]
+    if compression == "dcm":
+        if _module_available("pydicom"):
+            try:
+                return _decode_dicom_pydicom(payload)
+            except Exception:
+                if strict:
+                    raise
+        elif strict:
+            raise NotImplementedError(
+                "DICOM decode requires pydicom, which is not installed")
+        return _fake_decode(payload)[:, :, 0]
+    if strict:
+        raise NotImplementedError(f"medical codec {compression!r} not available")
+    return _fake_decode(payload)[:, :, 0]
+
+
+def decode_medical(df: DataFrame, payload_col: str = "scan",
+                   compression: str = "nii", strict: bool = False) -> DataFrame:
+    """binary Medical payload → flat voxel buffer + shape sibling
+    column (flat + shape stays schema-stable across 2-D DICOM slices
+    and 3-D/4-D NIfTI volumes — the nd-buffer convention of SURVEY
+    §1.4). Decode runs inside mapInPandas on the executors; payload
+    bytes never move to the driver."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", voxels array<double>, shape array<int>"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [_volume(p, compression, strict) for p in pdf[payload_col]]
+            out = pdf[keep].copy()
+            out["voxels"] = [a.astype(np.float64).ravel(order="C").tolist()
+                             for a in arrs]
+            out["shape"] = [list(a.shape) for a in arrs]
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def medical_stats(df: DataFrame, payload_col: str = "scan",
+                  compression: str = "nii", strict: bool = False) -> DataFrame:
+    """Voxel statistics without materializing voxels in the plan:
+    (n_voxels, vmin, vmax, mean, std) per row."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", n_voxels bigint, vmin double, vmax double, mean double, std double"
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                a = _volume(p, compression, strict).astype(np.float64)
+                rows.append((a.size, float(a.min()), float(a.max()),
+                             float(a.mean()), float(a.std())))
+            out = pdf[keep].copy()
+            out[["n_voxels", "vmin", "vmax", "mean", "std"]] = rows
+            yield out
+
+    return df.mapInPandas(stats, out_schema)
+
+
+# ---------------------------------------------------------------- mesh
+
+
+class _MeshUnsupported(Exception):
+    """Valid payload, but a variant outside the stdlib decoders' scope
+    (binary PLY, OBJ, ...) — falls through to trimesh when present."""
+
+
+def _decode_stl(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """REAL decoder for binary STL: 80-byte header + uint32 triangle
+    count + 50 bytes/triangle (normal 3f, three vertices 3f each,
+    uint16 attr). Returns (vertices [n,3] float64, faces [m,3] int64)
+    with vertices deduplicated. Reference Mesh htype:
+    python/deeplake/types.pyi:1430-1478."""
+    if payload[:5] == b"solid" and b"facet" in payload[:512]:
+        raise _MeshUnsupported("ASCII STL")  # rare; trimesh handles it
+    if len(payload) < 84:
+        raise ValueError("not a binary STL payload (too short)")
+    (n_tri,) = struct.unpack_from("<I", payload, 80)
+    if len(payload) < 84 + 50 * n_tri:
+        raise ValueError("binary STL truncated")
+    rec = np.frombuffer(payload, dtype=np.uint8, count=50 * n_tri,
+                        offset=84).reshape(n_tri, 50)
+    tris = rec[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3).astype(np.float64)
+    flat = tris.reshape(-1, 3)
+    verts, inverse = np.unique(flat, axis=0, return_inverse=True)
+    faces = inverse.reshape(n_tri, 3).astype(np.int64)
+    return verts, faces
+
+
+def _decode_ply_ascii(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """REAL decoder for ASCII PLY: header ('element vertex N' /
+    'element face M' + per-element properties) then N vertex lines
+    (x y z lead) and M face lines (count + indices)."""
+    if not payload.startswith(b"ply"):
+        raise ValueError("not a PLY payload")
+    text = payload.decode("utf-8", errors="replace").splitlines()
+    if len(text) < 2 or "ascii" not in text[1]:
+        raise _MeshUnsupported("binary PLY")
+    n_vert = n_face = 0
+    body_at = None
+    for i, line in enumerate(text):
+        parts = line.split()
+        if parts[:2] == ["element", "vertex"]:
+            n_vert = int(parts[2])
+        elif parts[:2] == ["element", "face"]:
+            n_face = int(parts[2])
+        elif parts[:1] == ["end_header"]:
+            body_at = i + 1
+            break
+    if body_at is None:
+        raise ValueError("PLY missing end_header")
+    verts = np.array(
+        [[float(x) for x in text[body_at + j].split()[:3]] for j in range(n_vert)],
+        dtype=np.float64).reshape(n_vert, 3)
+    faces = []
+    for j in range(n_face):
+        parts = [int(x) for x in text[body_at + n_vert + j].split()]
+        k = parts[0]
+        for t in range(1, k - 1):  # fan-triangulate polygons
+            faces.append((parts[1], parts[1 + t], parts[2 + t]))
+    return verts, np.asarray(faces, dtype=np.int64).reshape(len(faces), 3)
+
+
+def _decode_mesh_trimesh(payload: bytes, compression: str) -> tuple[np.ndarray, np.ndarray]:
+    """REAL mesh decode via trimesh (import-gated by the caller)."""
+    import io
+
+    import trimesh
+
+    m = trimesh.load(io.BytesIO(bytes(payload)), file_type=compression)
+    return (np.asarray(m.vertices, dtype=np.float64),
+            np.asarray(m.faces, dtype=np.int64))
+
+
+def _fake_mesh(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stand-in mesh: a payload-seeded tetrahedron."""
+    digest = hashlib.sha256(payload or b"").digest()
+    rng = np.random.default_rng(struct.unpack("<Q", digest[:8])[0])
+    verts = rng.random((4, 3))
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], dtype=np.int64)
+    return verts, faces
+
+
+def _mesh(payload: bytes, compression: str, strict: bool) -> tuple[np.ndarray, np.ndarray]:
+    decoder = {"stl": _decode_stl, "ply": _decode_ply_ascii}.get(compression)
+    if decoder is not None:
+        try:
+            return decoder(payload)
+        except _MeshUnsupported:
+            pass  # ASCII STL / binary PLY → trimesh below
+        except Exception:
+            if strict:
+                raise
+            return _fake_mesh(payload)
+    if _module_available("trimesh"):
+        try:
+            return _decode_mesh_trimesh(payload, compression)
+        except Exception:
+            if strict:
+                raise
+    elif strict:
+        raise NotImplementedError(
+            f"mesh codec {compression!r} requires trimesh, which is not installed")
+    return _fake_mesh(payload)
+
+
+def mesh_stats(df: DataFrame, payload_col: str = "mesh",
+               compression: str = "stl", strict: bool = False) -> DataFrame:
+    """Mesh payload → geometry summary per row: vertex/face counts,
+    axis-aligned bbox (xmin..zmax), and total surface area (0.5 *
+    sum ||cross(v1-v0, v2-v0)||). Executor-side via mapInPandas."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += (", n_vertices bigint, n_faces bigint, bbox array<double>, "
+                   "area double")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nv, nf, bb, ar = [], [], [], []
+            for p in pdf[payload_col]:
+                verts, faces = _mesh(p, compression, strict)
+                nv.append(len(verts))
+                nf.append(len(faces))
+                bb.append(np.concatenate([verts.min(axis=0),
+                                          verts.max(axis=0)]).tolist()
+                          if len(verts) else [0.0] * 6)
+                if len(faces):
+                    tri = verts[faces]
+                    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+                    ar.append(float(0.5 * np.linalg.norm(cross, axis=1).sum()))
+                else:
+                    ar.append(0.0)
+            out = pdf[keep].copy()
+            out["n_vertices"] = nv
+            out["n_faces"] = nf
+            out["bbox"] = bb
+            out["area"] = ar
+            yield out
+
+    return df.mapInPandas(stats, out_schema)

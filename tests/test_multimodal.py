@@ -374,3 +374,147 @@ def test_audio_fake_fallback_and_strict_without_soundfile(monkeypatch):
     assert len(w) == 1024
     with _pytest.raises(NotImplementedError):
         _audio_waveform(b"payload", compression="mp3", strict=True)
+
+
+def _encode_nifti(arr, gz=False, endian="<"):
+    """Test-side NIfTI-1 writer: 348-byte header + raw Fortran-order
+    voxels at vox_offset 352."""
+    import gzip
+    import struct as st
+
+    import numpy as np
+
+    codes = {np.uint8: 2, np.int16: 4, np.int32: 8, np.float32: 16,
+             np.float64: 64}
+    code = codes[arr.dtype.type]
+    hdr = bytearray(352)
+    st.pack_into(f"{endian}i", hdr, 0, 348)
+    dims = [arr.ndim] + list(arr.shape) + [1] * (7 - arr.ndim)
+    st.pack_into(f"{endian}8h", hdr, 40, *dims)
+    st.pack_into(f"{endian}h", hdr, 70, code)
+    st.pack_into(f"{endian}h", hdr, 72, arr.dtype.itemsize * 8)
+    st.pack_into(f"{endian}f", hdr, 108, 352.0)
+    hdr[344:348] = b"n+1\x00"
+    body = arr.astype(arr.dtype.newbyteorder(endian)).tobytes(order="F")
+    payload = bytes(hdr) + body
+    return gzip.compress(payload) if gz else payload
+
+
+def test_real_nifti_decode_roundtrip(spark):
+    """NIfTI-1 volumes decode for REAL (stdlib gzip+struct+numpy):
+    Fortran order, both .nii and .nii.gz, big-endian too."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_nifti, decode_medical
+
+    vol = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    assert (_decode_nifti(_encode_nifti(vol)) == vol).all()
+    assert (_decode_nifti(_encode_nifti(vol, gz=True)) == vol).all()
+    assert (_decode_nifti(_encode_nifti(vol.astype(np.float32),
+                                        endian=">")) == vol).all()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(_encode_nifti(vol, gz=True)))], "id long, scan binary")
+    row = decode_medical(df, "scan", compression="nii.gz", strict=True).head()
+    assert list(row.shape) == [2, 3, 4]
+    got = np.array(row.voxels).reshape(2, 3, 4)  # C-order ravel
+    assert (got == vol).all()
+
+
+def test_medical_dicom_real_branch_with_stubbed_pydicom(monkeypatch):
+    """With pydicom importable, the real dcm branch runs (stub-module
+    proof, the av/soundfile pattern); without it, strict raises."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators.multimodal import _volume
+
+    with pt.raises(NotImplementedError):
+        _volume(b"DICM-ish", "dcm", strict=True)
+
+    pix = np.full((3, 3), 42, dtype=np.int16)
+
+    class _DS:
+        pixel_array = pix
+
+    stub = types.ModuleType("pydicom")
+    stub.dcmread = lambda fh: _DS()
+    monkeypatch.setitem(sys.modules, "pydicom", stub)
+    assert (_volume(b"DICM-ish", "dcm", strict=True) == pix).all()
+
+
+def test_real_stl_mesh_stats(spark):
+    """Binary STL decodes for REAL (struct+numpy): two unit right
+    triangles → 4 unique vertices, area 1.0, exact bbox."""
+    import struct as st
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import mesh_stats
+
+    tris = np.array([
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+        [[1, 0, 0], [1, 1, 0], [0, 1, 0]],
+    ], dtype=np.float32)
+    body = bytearray(b"\0" * 80 + st.pack("<I", len(tris)))
+    for t in tris:
+        body += st.pack("<3f", 0, 0, 1)
+        for v in t:
+            body += st.pack("<3f", *v)
+        body += st.pack("<H", 0)
+    df = spark.createDataFrame([(0, bytearray(bytes(body)))],
+                               "id long, mesh binary")
+    row = mesh_stats(df, "mesh", compression="stl", strict=True).head()
+    assert row.n_vertices == 4 and row.n_faces == 2
+    assert abs(row.area - 1.0) < 1e-9
+    assert list(row.bbox) == [0.0, 0.0, 0.0, 1.0, 1.0, 0.0]
+
+
+def test_real_ply_ascii_mesh_stats(spark):
+    """ASCII PLY decodes for REAL: a unit square as one quad face is
+    fan-triangulated into 2 faces with area 1.0."""
+    from deeplake_spark.operators.multimodal import mesh_stats
+
+    ply = b"\n".join([
+        b"ply", b"format ascii 1.0",
+        b"element vertex 4",
+        b"property float x", b"property float y", b"property float z",
+        b"element face 1",
+        b"property list uchar int vertex_indices",
+        b"end_header",
+        b"0 0 0", b"1 0 0", b"1 1 0", b"0 1 0",
+        b"4 0 1 2 3",
+    ])
+    df = spark.createDataFrame([(0, bytearray(ply))], "id long, mesh binary")
+    row = mesh_stats(df, "mesh", compression="ply", strict=True).head()
+    assert row.n_vertices == 4 and row.n_faces == 2
+    assert abs(row.area - 1.0) < 1e-9
+
+
+def test_mesh_trimesh_real_branch_with_stub(monkeypatch):
+    """Binary PLY is outside the stdlib path: with trimesh importable
+    the real branch runs (stub proof); without it, strict raises."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators.multimodal import _mesh
+
+    binary_ply = b"ply\nformat binary_little_endian 1.0\nend_header\n\x00"
+    with pt.raises(NotImplementedError):
+        _mesh(binary_ply, "ply", strict=True)
+
+    class _M:
+        vertices = np.zeros((5, 3))
+        faces = np.zeros((3, 3), dtype=np.int64)
+
+    stub = types.ModuleType("trimesh")
+    stub.load = lambda fh, file_type=None: _M()
+    monkeypatch.setitem(sys.modules, "trimesh", stub)
+    verts, faces = _mesh(binary_ply, "ply", strict=True)
+    assert verts.shape == (5, 3) and faces.shape == (3, 3)
