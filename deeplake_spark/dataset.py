@@ -201,10 +201,20 @@ class Dataset:
         out = tql_query(
             text, spark=self.spark, default=self.to_df(), params=params,
             indexes=indexes, search_config=self.query_config, options=options,
+            functions=getattr(self, "_tql_functions", None),
         )
         if out is None:  # parsing_only
             return None
         return DatasetView(out, indexes=indexes, dataset=self)
+
+    def _function_registry(self) -> dict:
+        """This dataset's own TQL UDF registry (tql::functions_registry,
+        cpp/tql/functions_registry.hpp:17-35) — filled by
+        `tql.register_function(..., dataset=ds)`, resolved at bind time
+        before the process-global registry."""
+        if not hasattr(self, "_tql_functions"):
+            self._tql_functions = {}
+        return self._tql_functions
 
     # --------------------------------------------------------------- indexes
 

@@ -49,7 +49,7 @@ def prepare(text: str, spark=None, tables=None, default=None, indexes=None,
 
 
 def register_function(func=None, *, name: str | None = None, returnType="double",
-                      is_batch: bool | None = None):
+                      is_batch: bool | None = None, dataset=None):
     """Register a Python function for use inside TQL queries
     (deeplake.tql.register_function, tql.pyi:100-124).
 
@@ -61,6 +61,11 @@ def register_function(func=None, *, name: str | None = None, returnType="double"
     a small Series: if it returns an equal-length Series the vectorized
     path is used. The probe uses numeric input, so string-vectorized
     callables (e.g. using `.str`) should pass `is_batch=True` explicitly.
+
+    `dataset=ds` scopes the function to that dataset's own registry,
+    resolved at bind time before the process-global one — two datasets
+    may carry conflicting definitions under the same name
+    (tql::functions_registry, cpp/tql/functions_registry.hpp:17-35).
     """
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -85,9 +90,15 @@ def register_function(func=None, *, name: str | None = None, returnType="double"
         fn_name = (name or f.__name__).upper()
         from deeplake_spark.functions import TQL_FUNCTIONS
 
-        spark = SparkSession.getActiveSession()
         batch = is_batch if is_batch is not None else _autodetect(f)
         udf = F.pandas_udf(f, returnType) if batch else F.udf(f, returnType)
+        if dataset is not None:
+            # dataset-scoped: never touches the global registries, so a
+            # same-named global (or another dataset's function) is
+            # shadowed only for queries bound to THIS dataset
+            dataset._function_registry()[fn_name] = udf
+            return f
+        spark = SparkSession.getActiveSession()
         if spark is not None:
             spark.udf.register(fn_name.lower(), udf)
         TQL_FUNCTIONS[fn_name] = udf

@@ -140,11 +140,17 @@ class Translator:
         indexes: Mapping[str, tuple] | None = None,
         search_config=None,
         options: Options | None = None,
+        functions: Mapping[str, object] | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
         self.default = default
         self.params = list(params or [])
+        #: per-dataset UDF registry, resolved at bind time BEFORE the
+        #: process-global TQL_FUNCTIONS (tql::functions_registry,
+        #: cpp/tql/functions_registry.hpp:17-35 — two datasets may
+        #: carry conflicting definitions under one name)
+        self.functions = {k.upper(): v for k, v in (functions or {}).items()}
         #: execution gates (tql::options) — None means allow_everything
         self.options = options if options is not None else Options.allow_everything()
         if self.options.search_config is not None:
@@ -1107,8 +1113,9 @@ class Translator:
             return F.least(*[self._expr(a, df) for a in e.args]) if name == "MIN" else F.greatest(
                 *[self._expr(a, df) for a in e.args]
             )
-        if name in TQL_FUNCTIONS:
-            fn = TQL_FUNCTIONS[name]
+        if name in self.functions or name in TQL_FUNCTIONS:
+            # dataset-scoped registry wins over the process-global one
+            fn = self.functions.get(name, TQL_FUNCTIONS.get(name))
             if name in _ND_REDUCERS and len(e.args) == 2:
                 # ANY(cond, axis) / SUM(arr, axis) (tql.md Array Logic
                 # signatures): axis 0 reduces down columns (transpose,
@@ -1158,19 +1165,22 @@ def tql_query(
     indexes: Mapping[str, tuple] | None = None,
     search_config=None,
     options: Options | None = None,
+    functions: Mapping[str, object] | None = None,
 ) -> DataFrame | None:
     """Run a TQL query → DataFrame (ds.query equivalent,
     python/deeplake/__init__.pyi:2438 → tql::query tql.hpp:66-68).
 
     `options` gates features and index use (tql::options,
     cpp/tql/options.hpp:7-30); with `parsing_only=True` the text is
-    parsed/validated and None is returned without translating."""
+    parsed/validated and None is returned without translating.
+    `functions` is a dataset-scoped UDF registry resolved before the
+    global one (cpp/tql/functions_registry.hpp:17-35)."""
     node = parse_query(query)
     if options is not None and options.parsing_only:
         return None
     return Translator(
         spark=spark, tables=tables, default=default, params=params, indexes=indexes,
-        search_config=search_config, options=options,
+        search_config=search_config, options=options, functions=functions,
     ).translate(node)
 
 

@@ -583,3 +583,47 @@ def test_dataset_identity_config_and_oplog(spark, tmp_path):
 
     fut = ds.rollback_async()
     fut.result() if hasattr(fut, "result") else fut
+
+
+def test_per_dataset_function_registry(spark, tmp_path_ds):
+    """tql.register_function(dataset=ds) scopes the UDF to that
+    dataset, resolved at bind time before the global registry — two
+    datasets carry CONFLICTING definitions under one name, and a
+    dataset-scoped function shadows a same-named global only for
+    queries bound to its dataset (functions_registry.hpp:17-35)."""
+    import tempfile
+
+    from deeplake_spark import tql
+
+    ds_a = dl.create(tmp_path_ds, spark, schema={"score": dt.Generic("float64")})
+    ds_a.append([{"score": 2.0}])
+    with tempfile.TemporaryDirectory() as p2:
+        ds_b = dl.create(p2, spark, schema={"score": dt.Generic("float64")})
+        ds_b.append([{"score": 2.0}])
+
+        @tql.register_function(name="boost", returnType="double", dataset=ds_a)
+        def boost_a(x):
+            return float(x) * 10.0
+
+        @tql.register_function(name="boost", returnType="double", dataset=ds_b)
+        def boost_b(x):
+            return float(x) + 1.0
+
+        q = "SELECT BOOST(score) AS b"
+        assert ds_a.query(q).head().b == 20.0
+        assert ds_b.query(q).head().b == 3.0
+
+        # a dataset-scoped def shadows a same-named GLOBAL only for its
+        # own dataset
+        @tql.register_function(name="boost", returnType="double")
+        def boost_global(x):
+            return float(x) - 1.0
+
+        try:
+            assert ds_a.query(q).head().b == 20.0  # still the scoped def
+            df = spark.createDataFrame([(2.0,)], ["score"])
+            assert tql.query(q, default=df).head().b == 1.0  # global
+        finally:
+            from deeplake_spark.functions import TQL_FUNCTIONS
+
+            TQL_FUNCTIONS.pop("BOOST", None)
