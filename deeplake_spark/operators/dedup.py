@@ -293,8 +293,84 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+         .select("u", F.least("__mn", F.col("u")).alias("__m")))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges (max → min); every node connects
+    its smaller-or-equal neighborhood (itself included) to that
+    neighborhood's minimum."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("__m"))
+    withself = o.unionByName(m.select("u", F.col("u").alias("v")))
+    return (
+        withself.join(m, "u")
+        .filter(F.col("v") != F.col("__m"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(edges: DataFrame, src: str = "a", dst: str = "b",
+                              max_iter: int = 50) -> DataFrame:
+    """Star-contraction connected components (alternating large-star /
+    small-star, Kiveris et al. 2014): converges in O(log n) rounds on
+    ANY graph — the upgrade over min-label propagation (whose round
+    count is the component diameter) when components are deep chains
+    rather than the shallow hub-and-spoke shape near-dup clusters
+    usually take. Each round is two key-partitioned groupBy+join
+    passes; lineage is cut per round with an eager localCheckpoint;
+    convergence is an exact edge-set comparison via two LIMIT-1
+    anti-join probes (no data collection, no hash-sum heuristics).
+
+    Returns (id, label) with label = the component's min id — the same
+    contract as `connected_components`.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            grew = new.join(e, ["u", "v"], "left_anti").limit(1).count()
+            shrank = e.join(new, ["u", "v"], "left_anti").limit(1).count()
+            e = new
+            if grew == 0 and shrank == 0:
+                break
+        star = e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        return (
+            nodes.join(star, "id", "left")
+            .select("id", F.coalesce("label", F.col("id")).alias("label"))
+        )
+    finally:
+        nodes.unpersist()
+
+
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         algorithm: str = "label_prop") -> DataFrame:
     """Min-label propagation connected components (Pregel-style): every
     node starts labeled with its own id; each round a node takes the min
     of its own and its neighbors' labels; at fixpoint the label is the
@@ -313,8 +389,16 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     (where the decimal try_cast is NULL and the sum carries no signal)
     fall back to an exact changed-row probe (old⋈new, LIMIT-1 count).
 
+    `algorithm="star"` dispatches to `connected_components_star`
+    (large-star/small-star contraction, O(log n) rounds on any graph) —
+    prefer it when components may be deep chains.
+
     Returns (id, cluster) where cluster = min id of the component.
     """
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst, max_iter=max(max_iter, 50))
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nb"))
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nb")))

@@ -454,6 +454,35 @@ def test_pair_operator_construction_runs_no_jobs(spark, monkeypatch):
     assert len(real_collect(m)) > 0
 
 
+def test_connected_components_star_equivalence(spark):
+    """Property: star contraction (large/small-star) labels every node
+    identically to min-label propagation on random graphs — including
+    a deep chain, where star contraction's O(log n) rounds matter."""
+    import numpy as np
+
+    from deeplake_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 60
+        pairs = rng.integers(0, n, size=(40, 2)).tolist()
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs if a != b], ["a", "b"])
+        lp = {r.id: r.label for r in connected_components(edges).collect()}
+        st = {r.id: r.label for r in connected_components_star(edges).collect()}
+        assert lp == st, f"seed {seed}"
+
+    # deep chain 0-1-2-...-19: diameter 19, still exact
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["a", "b"])
+    st = {r.id: r.label for r in
+          connected_components(chain, algorithm="star").collect()}
+    assert st == {i: 0 for i in range(20)}
+
+
 def test_connected_components_string_ids(spark):
     """Non-numeric ids: the decimal label-sum convergence probe carries
     no signal (try_cast → NULL) — the exact changed-row fallback must
