@@ -73,12 +73,29 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
+    # Warm lane: a second timed pass per query. One-shot timings are
+    # whole-stage-codegen-compile-dominated (CLAUDE.md perf trap 6);
+    # the warm number is the steady-state cost that matters at scale.
+    warm: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        if timings.get(name, -1.0) < 0:
+            continue  # cold run already failed; don't re-raise twice
+        t0 = time.perf_counter()
+        try:
+            force(q.fn(spark, sf_dir))
+            warm[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            warm[name] = -1.0
+            print(f"bench: warm {name} FAILED: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    detail["warm_total"] = round(sum(t for t in warm.values() if t >= 0), 4)
     payload = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm": warm,
         "sf": sf,
     }
     if detail:
@@ -104,9 +121,12 @@ def main() -> None:
             out[s if s not in out else n] = v
         return out
 
-    compact = dict(payload, queries=shorten(timings))
+    compact = dict(payload, queries=shorten(timings), warm=shorten(warm))
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # last-ditch: drop detail, then per-query
+    if len(line) > 1900:  # fallbacks: warm map, then detail, then queries
+        compact.pop("warm", None)  # warm_total survives inside detail
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact.pop("detail", None)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
