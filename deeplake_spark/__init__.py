@@ -50,6 +50,7 @@ from deeplake_spark.dataset import (
 from deeplake_spark.views import DatasetView  # noqa: F401
 from deeplake_spark import types  # noqa: F401
 from deeplake_spark import tql  # noqa: F401
+from deeplake_spark import formats  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -1280,10 +1280,31 @@ class Dataset:
                         f"embedding column {f.name!r} requires size {dl['size']}"
                     )
 
+    @property
+    def data_format(self):
+        """Datafile format configured at create() (formats.Chunk), or None.
+
+        Loaded lazily from format.json; cached per instance."""
+        if not hasattr(self, "_data_format"):
+            from deeplake_spark import formats as _formats
+
+            st = _store(self.path)
+            p = os.path.join(self.path, "format.json")
+            self._data_format = (
+                _formats.from_json(json.loads(st.get_bytes(p)))
+                if st.exists(p) else None
+            )
+        return self._data_format
+
     def _write_file(self, df: DataFrame) -> str:
         fname = f"{uuid.uuid4().hex}.parquet"
         out = os.path.join(self.path, _DATA_DIR, fname)
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        fmt = self.data_format
+        codec = fmt.parquet_codec() if fmt is not None else None
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(out)
         return fname
 
     def _commit_entry(self, schema: T.StructType | None = None, files: list[str] | None = None,
@@ -1337,8 +1358,13 @@ class Dataset:
 
 
 def create(path: str, spark: SparkSession | None = None,
-           schema: dict[str, DLType] | None = None) -> Dataset:
-    """deeplake.create (__init__.pyi:4123)."""
+           schema: dict[str, DLType] | None = None,
+           data_format=None) -> Dataset:
+    """deeplake.create (__init__.pyi:4123).
+
+    data_format: a deeplake_spark.formats.DataFormat (formats.pyi:12-22);
+    its chunk_compression selects the Parquet codec for every datafile
+    this dataset writes."""
     spark = spark or SparkSession.getActiveSession()
     if "://" not in path:
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
@@ -1346,6 +1372,9 @@ def create(path: str, spark: SparkSession | None = None,
     if _store(path).list(os.path.join(path, _LOG_DIR)):
         raise DatasetError(f"dataset already exists at {path}")
     _write_refs(path, {"branches": {"main": 0}, "tags": {}})
+    if data_format is not None:
+        _store(path).put_bytes(os.path.join(path, "format.json"),
+                               json.dumps(data_format.to_json()).encode())
     ds = Dataset(spark, path)
     if schema:
         fields = [T.StructField("_row_id", T.LongType(), False)] + [

@@ -71,6 +71,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+#: (session id, plan semanticHash) -> probed partition count. Bounded;
+#: avoids re-running plan→RDD physical planning on every operator entry.
+_PARTITION_PROBE_CACHE: dict[tuple[int, int], int] = {}
+_PARTITION_PROBE_CACHE_MAX = 512
+
+
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition up to cluster parallelism when the source produced too
     few splits (a small/single-file parquet scan yields one partition and
@@ -79,10 +85,30 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     No-op when the scan already has enough partitions — on a real
     multi-TB table with many files this never triggers, so the extra
     shuffle only ever costs on inputs small enough for it to be cheap.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) forces
+    physical planning, so it is memoized per (session, logical-plan
+    semanticHash) and the whole helper can be disabled with
+    `spark.deeplake_spark.ensureParallelism=false` for clusters whose
+    scans are always well-split.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    if spark.conf.get("spark.deeplake_spark.ensureParallelism", "true") == "false":
+        return df
+    sc = spark.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        key = (id(spark), df.semanticHash())
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        key = None
+    n = _PARTITION_PROBE_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_PARTITION_PROBE_CACHE) >= _PARTITION_PROBE_CACHE_MAX:
+                _PARTITION_PROBE_CACHE.clear()
+            _PARTITION_PROBE_CACHE[key] = n
+    if n < max(2, target // 2):
         return df.repartition(target)
     return df
 

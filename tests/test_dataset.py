@@ -627,3 +627,43 @@ def test_per_dataset_function_registry(spark, tmp_path_ds):
             from deeplake_spark.functions import TQL_FUNCTIONS
 
             TQL_FUNCTIONS.pop("BOOST", None)
+
+
+def test_formats_chunk_compression(spark, tmp_path_ds):
+    """formats.Chunk (formats.pyi:12-22): chunk_compression selects the
+    Parquet codec for every datafile; sample_compression is recorded and
+    surfaced; format round-trips through open()."""
+    import glob as _glob
+    import os
+
+    from deeplake_spark import formats
+
+    fmt = formats.Chunk(sample_compression="png", chunk_compression="zstd")
+    assert str(fmt) == "chunk(sample_compression=png, chunk_compression=zstd)"
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()},
+                   data_format=fmt)
+    ds.append([{"text": f"row {i}"} for i in range(10)])
+    ds.commit("data")
+    files = _glob.glob(os.path.join(tmp_path_ds, "data", "*", "*.parquet"))
+    assert files and all(".zstd." in os.path.basename(f) for f in files)
+
+    reopened = dl.open(tmp_path_ds, spark)
+    assert reopened.data_format == fmt
+    assert reopened.data_format.sample_compression == "png"
+    assert len(reopened) == 10
+
+    with pytest.raises(ValueError):
+        formats.Chunk(chunk_compression="rar")
+
+
+def test_formats_default_unchanged(spark, tmp_path_ds):
+    """No data_format → engine-default codec (snappy), format.json absent."""
+    import glob as _glob
+    import os
+
+    ds = dl.create(tmp_path_ds, spark, schema={"text": dt.Text()})
+    ds.append([{"text": "x"}])
+    ds.commit("data")
+    assert ds.data_format is None
+    files = _glob.glob(os.path.join(tmp_path_ds, "data", "*", "*.parquet"))
+    assert files and all(".snappy." in os.path.basename(f) for f in files)
