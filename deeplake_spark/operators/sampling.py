@@ -200,3 +200,38 @@ def assign_splits(df: DataFrame, id_col: str = "doc_id",
                 else expr.when(u < cum, name))
     label = F.lit(items[0][0]) if expr is None else expr.otherwise(items[-1][0])
     return df.withColumn("split", label)
+
+
+def mixture_sample(df: DataFrame, domain_col: str, rates: dict[str, float],
+                   id_col: str = "doc_id", default_rate: float = 0.0,
+                   salt: str = "mixture") -> DataFrame:
+    """Deterministic domain-mixture downsampling — the static data-mixture
+    reweighting step of a training pipeline (Pile/DoReMi-style domain
+    weights): each domain independently keeps a uniform fraction of its
+    rows, selected by the same engine-portable md5 uniform assign_splits
+    uses, so the sample is reproducible across engines and cluster sizes
+    and append-stable (new rows never flip old decisions).
+
+    Pure per-row filter — no shuffle, no state, no RNG; at 100 TB this is
+    a scan-only map and Catalyst pushes the surviving-column pruning to
+    the parquet scan. `rates` maps domain value -> keep fraction in [0,1];
+    unlisted domains keep `default_rate`.
+    """
+    for name, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit("#"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(domain_col) == name
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
+    return df.filter(u < rate)

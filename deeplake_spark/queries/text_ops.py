@@ -710,3 +710,164 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "t15_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_DUCK_TOKS.format(c="text")}) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok
+    GROUP BY token
+    ORDER BY df DESC, tf DESC, token
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary statistics: top-50 tokens by document "
+    "frequency (tf + df) — the vocabulary/frequency-table pass of a "
+    "tokenizer-training pipeline. One tokenize projection, one "
+    "explode, one map-side-partial groupBy; top-k is "
+    "TakeOrderedAndProject (no global sort).",
+    tags=("text", "vocab", "pipeline"),
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # project tokens first (perf trap 3), explode_outer + output-side
+    # null filter (perf trap 2: plain explode lets Catalyst push the
+    # inlined generator input below the repartition)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("w"))
+    tok = (
+        toks.select("doc_id", F.explode_outer("w").alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "t16_mixture_sample",
+    oracle="""
+    WITH u AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mixture'), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS unif
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM u
+    WHERE unif < (CASE source
+                  WHEN 'src0' THEN 1.0
+                  WHEN 'src1' THEN 0.6
+                  WHEN 'src2' THEN 0.25
+                  ELSE 0.1 END)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic domain-mixture downsampling (Pile/DoReMi-style "
+    "static domain weights): per-domain keep fractions over the "
+    "engine-portable md5 uniform — reproducible, append-stable, pure "
+    "per-row filter (no shuffle, no RNG). operators/sampling.py "
+    "mixture_sample.",
+    tags=("sampling", "mixture", "pipeline"),
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, domain_col="source",
+        rates={"src0": 1.0, "src1": 0.6, "src2": 0.25},
+        id_col="doc_id", default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "t17_length_quantiles",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Exact length-distribution quantiles per language (linear "
+    "interpolation — Spark percentile == DuckDB quantile_cont): the "
+    "sequence-length profiling pass that sizes packing budgets. "
+    "Map-side partial aggregation; percentile state is per (lang) "
+    "group only.",
+    tags=("text", "stats", "pipeline"),
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t18_rollup_stats",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    ORDER BY lang, source
+    """,
+    doc="Hierarchical corpus accounting via ROLLUP(lang, source) — "
+    "grouping-sets are a Catalyst built-in (Expand + single hash "
+    "aggregate with map-side partials), the one-pass replacement for "
+    "N separate GROUP BYs at 100 TB.",
+    tags=("text", "stats"),
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+        .orderBy("lang", "source")
+    )

@@ -797,3 +797,75 @@ def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b").alias("corpus_id"), "cos")
         .orderBy("eval_id", "corpus_id")
     )
+
+
+@query(
+    "v21_embedding_dispersion",
+    oracle="""
+    WITH sq AS (
+      SELECT label,
+             list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum') AS sqn
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, AVG(v) AS m FROM dims GROUP BY label, dim
+    ),
+    cnorm AS (
+      SELECT label, SUM(m * m) AS c2 FROM cent GROUP BY label
+    ),
+    s AS (
+      SELECT label, COUNT(*) AS n, AVG(sqn) AS msq FROM sq GROUP BY label
+    )
+    SELECT s.label,
+           CAST(s.n AS BIGINT) AS n_vecs,
+           ROUND(s.msq, 6) AS mean_sq_norm,
+           ROUND(cnorm.c2, 6) AS centroid_sq_norm,
+           ROUND(2.0 * (s.msq - cnorm.c2), 6) AS exp_pair_dist_sq
+    FROM s JOIN cnorm USING (label)
+    ORDER BY label
+    """,
+    doc="Per-cluster embedding dispersion: E||x||^2, ||E x||^2, and the "
+    "closed-form expected pairwise distance E||x-y||^2 = 2(E||x||^2 - "
+    "||Ex||^2) — the diversity diagnostic of an embedding corpus "
+    "WITHOUT any pairwise join. Two narrow aggregates (per-row fold + "
+    "per-dim posexplode mean); state is labels x dims, never N^2.",
+    tags=("vector", "stats", "pipeline"),
+)
+def v21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sqn = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    s = (
+        e.select("label", sqn.alias("sqn"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.avg("sqn").alias("msq"))
+    )
+    cnorm = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.sum(F.col("m") * F.col("m")).alias("c2"))
+    )
+    return (
+        s.join(cnorm, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("msq"), 6).alias("mean_sq_norm"),
+            F.round(F.col("c2"), 6).alias("centroid_sq_norm"),
+            F.round(2.0 * (F.col("msq") - F.col("c2")), 6).alias("exp_pair_dist_sq"),
+        )
+        .orderBy("label")
+    )
