@@ -194,6 +194,22 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def _fold_bits(arr_col: str, bits: int) -> Column:
+    """Majority-vote fingerprint reassembly: bit i set iff bit-sum[i] > 0.
+
+    A runtime fold over the projected bit-sum array instead of a
+    ``bits``-deep chained-Add expression — the chain compiles ~5x slower
+    (one When+Add pair per bit inlined into a single expression tree)
+    for identical per-row work. shiftleft(1L, 63) wraps to Long.MIN_VALUE,
+    which is exactly the sign-bit contribution, so the fold is uniform
+    across all 64 bits."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc + if(element_at({arr_col}, i+1) > 0, "
+        f"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+
+
 def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, explode-based.
 
@@ -203,7 +219,11 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
     of 64 nested folds, and map-side partial aggregation makes the
     shuffle one row per doc.
     """
-    h = F.xxhash64(F.col("__tok"))
+    # hash PROJECTED to a column before the 64 sums reference it — an
+    # inlined hash expression is copied into every conditional sum in
+    # the generated code (perf trap 3 applied to aggregates): 64 copies
+    # blow up codegen compile ~8x and defeat subexpression reuse
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -215,14 +235,16 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
         .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("__tok"))
         .filter(F.col("__tok").isNotNull())
+        .select("doc_id", F.xxhash64(F.col("__tok")).alias("__h"))
         .groupBy("doc_id")
         .agg(*bit_sums)
     )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        contrib = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
-        fp = fp + F.when(F.col(f"b{i}") > 0, contrib).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", fp.alias("simhash"))
+    return (
+        agg.select(
+            "doc_id",
+            F.array(*[F.col(f"b{i}") for i in range(64)]).alias("__bits"),
+        ).select("doc_id", _fold_bits("__bits", 64).alias("simhash"))
+    )
 
 
 def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -557,7 +579,9 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
     shape: one explode, `bits` conditional sums in a single map-side-
     partial aggregate, fingerprint reassembly). Exactly reproducible in
     the DuckDB oracle, which the xxhash64 fast path cannot be."""
-    h = _md5_int60(F.col("__tok"), 0)
+    # hash projected to a column first — see simhash_64 (60 inlined md5
+    # copies in codegen cost ~8x compile and re-evaluate per bit)
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -569,11 +593,13 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
         .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("__tok"))
         .filter(F.col("__tok").isNotNull())
+        .select("doc_id", _md5_int60(F.col("__tok"), 0).alias("__h"))
         .groupBy("doc_id")
         .agg(*bit_sums)
     )
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(F.col(f"b{i}") > 0,
-                         F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", fp.alias("simhash"))
+    return (
+        agg.select(
+            "doc_id",
+            F.array(*[F.col(f"b{i}") for i in range(bits)]).alias("__bits"),
+        ).select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
+    )

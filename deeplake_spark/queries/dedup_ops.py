@@ -215,20 +215,52 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.operators.dedup import simhash_portable
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.dedup import _fold_bits, _md5_int60
 
+    bits = 60
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 150).select("doc_id", "text"))
     planted = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qqzzxy")).alias("text"))
-    fp = simhash_portable(d.unionByName(planted), tokenize(F.col("text")))
-    orig = fp.filter(F.col("doc_id") < 1_000_000)
-    copy = fp.filter(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("doc_id"),
-        F.col("simhash").alias("copy_simhash"))
+    # ONE-PASS pair fingerprinting: token stream tagged original/copy,
+    # 2x60 conditional bit-sums keyed by the base doc in a single
+    # map-side-partial aggregate — no self-join, and the 60-sum subtree
+    # is planned/compiled once instead of once per join branch (the
+    # previous fp-then-self-join shape cost 3x the wall time here).
+    toks = (
+        ensure_parallelism(d.unionByName(planted))
+        .select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .select(
+            (F.col("doc_id") % 1_000_000).alias("base"),
+            (F.col("doc_id") >= 1_000_000).alias("is_copy"),
+            _md5_int60(F.col("__tok"), 0).alias("__h"),
+        )
+    )
+    sums = []
+    for side, flag in (("o", False), ("c", True)):
+        for i in range(bits):
+            bit_vote = F.when(
+                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+            sums.append(
+                F.sum(F.when(F.col("is_copy") == F.lit(flag), bit_vote)
+                      .otherwise(0)).alias(f"{side}{i}"))
+    agg = toks.groupBy("base").agg(*sums)
+    proj = agg.select(
+        "base",
+        F.array(*[F.col(f"o{i}") for i in range(bits)]).alias("__bo"),
+        F.array(*[F.col(f"c{i}") for i in range(bits)]).alias("__bc"),
+    )
     return (
-        orig.join(copy, "doc_id")
+        proj.select(
+            F.col("base").alias("doc_id"),
+            _fold_bits("__bo", bits).alias("simhash"),
+            _fold_bits("__bc", bits).alias("copy_simhash"),
+        )
         .select(
             "doc_id", "simhash", "copy_simhash",
             F.bit_count(F.col("simhash").bitwiseXOR(F.col("copy_simhash")))

@@ -59,7 +59,11 @@ def dec(col):
     tags=("tpch", "agg"),
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
+    from deeplake_spark.io import ensure_parallelism
+
+    # the decimal(38,6) partial aggregation is CPU-bound expression work;
+    # on a single-row-group scan it serializes onto one core (perf trap 1)
+    l = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
