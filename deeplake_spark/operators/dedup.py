@@ -361,15 +361,21 @@ def connected_components_star(edges: DataFrame, src: str = "a", dst: str = "b",
     Returns (id, label) with label = the component's min id — the same
     contract as `connected_components`.
     """
+    # one evaluation of the (possibly expensive) edge-generation
+    # subtree; nodes/e union branches below read the checkpoint, not
+    # the raw plan (see connected_components for the race rationale)
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
         .persist()
     )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        e0.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -421,9 +427,22 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         return connected_components_star(edges, src, dst, max_iter=max(max_iter, 50))
     if algorithm != "label_prop":
         raise ValueError(f"unknown CC algorithm {algorithm!r}")
+    # Materialize the (small) edge list ONCE before symmetrizing: sym's
+    # two union branches would otherwise each recompute the full edge-
+    # generation subtree (e.g. the LSH/Jaccard pair join) inside round
+    # 1's job — persist() alone doesn't help because the cache sits at
+    # the sym level and both branches race below it. The checkpoint is
+    # one evaluation of the upstream; every later round touches only
+    # the checkpointed rows. (Iterative operators run driver jobs by
+    # nature — the no-job-at-construction rule applies to translate/
+    # non-iterative constructors.)
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     sym = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("nb"))
-        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nb")))
+        e0.select(F.col("s").alias("id"), F.col("d").alias("nb"))
+        .unionByName(e0.select(F.col("d").alias("id"), F.col("s").alias("nb")))
         .persist()
     )
     labels = sym.select("id").distinct().withColumn("label", F.col("id"))
