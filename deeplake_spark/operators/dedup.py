@@ -290,7 +290,12 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     win = F.concat_ws(
         " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(w)])
-    occurrences = wins.select("doc_id", win.alias("__w"))
+    # persisted once: the tokenize+explode+window-assembly feeds BOTH
+    # the dup-key aggregate and the flag join below — without the cache
+    # each branch re-runs it (lazy persist; block-level locking dedups
+    # concurrent fills, no construction-time job). At 100 TB this is the
+    # persisted window-posting side table, same as jaccard_pairs' ex.
+    occurrences = wins.select("doc_id", win.alias("__w")).persist()
     dup_keys = (
         occurrences.distinct()
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__nd"))

@@ -555,8 +555,11 @@ def r15(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark import tql
+    from deeplake_spark.io import ensure_parallelism
 
-    e = load_table(spark, sf_dir, "events")
+    # per-row JSON build + chained parse is CPU-bound expression work;
+    # the single-row-group events scan serializes it (perf trap 1)
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     doc = F.to_json(
         F.struct(
             F.col("user_id").alias("u"),

@@ -135,10 +135,14 @@ def _duck_langid(toks_expr: str) -> str:
     tags=("text", "langid"),
 )
 def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # tokens projected before predict_lang references them per-language
+    # (perf trap 3: an inlined tokenize re-evaluates inside every score)
+    toks = d.select("lang", tokenize(F.col("text")).alias("__w"))
     return (
-        d.select("lang", predict_lang(toks).alias("predicted"))
+        toks.select("lang", predict_lang(F.col("__w")).alias("predicted"))
         .groupBy("predicted")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -687,8 +691,9 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.functions.text import duplicate_word_fraction
+    from deeplake_spark.io import ensure_parallelism
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # project tokens once (perf trap 3: inlined tokenize re-evaluates
     # inside every HOF fold downstream)
     toks = d.select("source", "text", tokenize(F.col("text")).alias("w"))
