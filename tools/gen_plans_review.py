@@ -139,6 +139,23 @@ COMMENTARY = {
         "label-sum aggregate (labels only decrease, so an unchanged sum "
         "is the fixpoint) — no old-vs-new join, no driver-side data."
     ),
+    "t15_vocab_topk": (
+        "Vocabulary table (round 5): tokenize projected once, "
+        "explode_outer + output-side null filter (the generator-input "
+        "pushdown trap), ONE hash aggregate computing tf + distinct-doc "
+        "df with map-side partials, top-50 via TakeOrderedAndProject — "
+        "k rows per partition to the driver, never a global sort. At "
+        "100 TB the aggregate state is the vocabulary (~millions of "
+        "keys), sharded across the term-keyed exchange."
+    ),
+    "v21_embedding_dispersion": (
+        "Embedding diversity without a pairwise join (round 5): "
+        "E||x-y||^2 = 2(E||x||^2 - ||Ex||^2), so one per-row HOF fold "
+        "(sum of squares) and one posexplode per-dim mean cover what a "
+        "naive implementation computes with an O(N^2) self-join. Both "
+        "aggregates are map-side-partial; shuffle state is labels x "
+        "dims (a few hundred rows at any corpus size)."
+    ),
     "r18_split_assignment": (
         "Deterministic hash splits (round 4): md5-banded uniform per row — "
         "a pure expression inside whole-stage codegen; the only exchange "
