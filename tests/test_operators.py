@@ -575,3 +575,39 @@ def test_ensure_parallelism_probe_cached_and_gated(spark):
         assert io.ensure_parallelism(single) is single
     finally:
         spark.conf.unset("spark.deeplake_spark.ensureParallelism")
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    """Domain-mixture sampling: per-domain keep fractions approximately
+    honored, deterministic, append-stable (a row's keep decision never
+    depends on which other rows are present), and rate=1.0/0.0 exact."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.sampling import mixture_sample
+
+    df = spark.range(12_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = mixture_sample(df, "source", rates)
+    counts = {r["source"]: r["count"]
+              for r in kept.groupBy("source").count().collect()}
+    assert counts.get("src0") == 4_000          # rate 1.0 keeps everything
+    assert "src2" not in counts                  # rate 0.0 keeps nothing
+    assert 0.44 < counts["src1"] / 4_000 < 0.56  # ~half
+
+    # append stability: the kept set over a subset is the subset of the
+    # kept set — no cross-row dependence
+    sub_kept = {r.doc_id for r in mixture_sample(
+        df.filter(F.col("doc_id") < 6_000), "source", rates).collect()}
+    full_kept = {r.doc_id for r in kept.collect()}
+    assert sub_kept == {i for i in full_kept if i < 6_000}
+
+    # unlisted domain falls back to default_rate
+    other = df.withColumn("source", F.lit("srcX"))
+    assert mixture_sample(other, "source", rates, default_rate=0.0).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"src0": 1.5})
