@@ -59,15 +59,19 @@ def replicate(spark, table: str, k: int, out_dir: str) -> None:
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    # documents text made replica-unique so dedup keeps realistic
-    # duplicate rates instead of k-way exact-duplicating every doc
+    # every TOKEN suffixed with the replica id so replica corpora are
+    # disjoint in shingle space: duplicate rates (and so candidate-pair
+    # counts) scale linearly with data instead of quadratically (k-way
+    # copies of every doc would measure an 8-way-duplicate pathology,
+    # not operator scaling)
     if table == "documents":
         unioned = unioned.withColumn(
             "text",
-            F.when(F.col("doc_id") >= shift,
-                   F.concat(F.col("text"), F.lit(" r"),
-                            (F.col("doc_id") / shift).cast("int").cast("string")))
-            .otherwise(F.col("text")))
+            F.expr(
+                "replace(regexp_replace(text, '(\\\\S+)', '$1§'), "
+                f"'§', concat('_', cast(doc_id div {10_000_000} as string)))"
+            ),
+        )
     (unioned.repartition(max(4, 4 * k))
      .write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet")))
 
