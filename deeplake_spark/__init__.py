@@ -48,6 +48,8 @@ from deeplake_spark.dataset import (
     replay_log,
 )
 from deeplake_spark.views import DatasetView  # noqa: F401
+from deeplake_spark.exceptions import *  # noqa: F401,F403  (reference taxonomy)
+from deeplake_spark import exceptions as exceptions  # noqa: F401
 from deeplake_spark import types  # noqa: F401
 from deeplake_spark import tql  # noqa: F401
 from deeplake_spark import formats  # noqa: F401
@@ -62,4 +64,4 @@ __all__ = [
     "explain_query", "create_async", "open_async",
     "open_read_only_async", "delete_async", "exists_async",
     "types", "tql",
-]
+] + list(exceptions.__all__)

@@ -42,13 +42,33 @@ _LOG_DIR = "_dl_log"
 _DATA_DIR = "data"
 
 
-class DatasetError(RuntimeError):
-    pass
-
-
-class MergeConflictError(DatasetError):
-    """A shared row (or column type) was modified on both branches since
-    the merge base; pass resolve='ours'/'theirs' to pick a side."""
+# The exception taxonomy lives in deeplake_spark.exceptions (reference
+# names, __init__.pyi:3792-3990); DatasetError/MergeConflictError are
+# re-exported here for backward compatibility.
+from deeplake_spark.exceptions import (  # noqa: F401  (re-export)
+    BranchExistsError,
+    BranchNotFoundError,
+    CannotDeleteMainBranchError,
+    ColumnAlreadyExistsError,
+    ColumnDoesNotExistError,
+    ColumnMissingAppendValueError,
+    DatasetError,
+    DatasetExistsError,
+    EmptyColumnNameError,
+    IndexAlreadyExistsError,
+    InvalidColumnValueError,
+    InvalidIndexCreationError,
+    LogExistsError,
+    LogNotexistsError,
+    PushError,
+    MergeConflictError,
+    NotFoundError,
+    ReadOnlyDatasetModificationError,
+    TagExistsError,
+    TagNotFoundError,
+    UnevenColumnsError,
+    VersionNotFoundError,
+)
 
 
 def _store(path: str):
@@ -111,7 +131,7 @@ class Dataset:
         self.read_only = read_only
         refs = _read_refs(path)
         if branch not in refs["branches"]:
-            raise DatasetError(f"unknown branch {branch!r}")
+            raise BranchNotFoundError(f"unknown branch {branch!r}")
         self.version = version if version is not None else refs["branches"][branch]
         self._staged_files: list[str] = []
         self._staged_deletes: list[int] = []
@@ -232,6 +252,12 @@ class Dataset:
         paths extracted at build time); options are persisted so
         auto-refresh on commit rebuilds identically."""
         self._check_writable()
+        rebuild = options.pop("_rebuild", False)
+        if not rebuild and column in _read_refs(self.path).get("indexes", {}):
+            raise IndexAlreadyExistsError(
+                f"column {column!r} already has an index; drop_index first")
+        if column not in [f.name for f in (self.schema or T.StructType([])).fields]:
+            raise ColumnDoesNotExistError(f"no column {column!r}")
         idx_path = os.path.join(self.path, "_indexes", f"{column}_{kind}")
         if kind == "inverted":
             from deeplake_spark.operators.indexes import build_inverted_index
@@ -255,7 +281,7 @@ class Dataset:
 
             paths = options.get("paths")
             if not paths:
-                raise DatasetError("json index requires paths=[...]")
+                raise InvalidIndexCreationError("json index requires paths=[...]")
             build_json_index(self.to_df(), column, paths, id_col="_row_id").save(idx_path)
         elif kind == "exact":
             from deeplake_spark.operators.indexes import build_exact_index
@@ -292,7 +318,7 @@ class Dataset:
                 idx_path,
             )
         else:
-            raise DatasetError(f"unsupported index kind {kind!r}")
+            raise InvalidIndexCreationError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
         refs.setdefault("indexes", {})[column] = {
             "kind": kind, "path": idx_path, "options": options,
@@ -493,21 +519,29 @@ class Dataset:
         md = {"dl": {"kind": dtype.kind, **dtype.metadata}} if isinstance(dtype, DLType) else {}
         if default_value is not None:
             md["default"] = default_value
+        if not name:
+            raise EmptyColumnNameError("column name must be non-empty")
         schema = self.schema or T.StructType([T.StructField("_row_id", T.LongType(), False)])
         if name in [f.name for f in schema.fields]:
-            raise DatasetError(f"column {name!r} exists")
+            raise ColumnAlreadyExistsError(f"column {name!r} exists")
         new_schema = T.StructType(list(schema.fields) + [T.StructField(name, spark_type, True, metadata=md)])
         self._commit_entry(schema=new_schema, message=f"add_column {name}")
 
     def remove_column(self, name: str) -> None:
         self._check_writable()
         schema = self.schema
+        if name not in [f.name for f in schema.fields]:
+            raise ColumnDoesNotExistError(f"no column {name!r}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         self._commit_entry(schema=new_schema, message=f"remove_column {name}")
 
     def rename_column(self, old: str, new: str) -> None:
         self._check_writable()
         schema = self.schema
+        if old not in [f.name for f in schema.fields]:
+            raise ColumnDoesNotExistError(f"no column {old!r}")
+        if new in [f.name for f in schema.fields]:
+            raise ColumnAlreadyExistsError(f"column {new!r} exists")
         fields = []
         for f in schema.fields:
             if f.name == old:
@@ -530,12 +564,16 @@ class Dataset:
     def get_column_metadata(self, column: str) -> dict:
         """Column free-form metadata (reference Column.metadata,
         __init__.pyi:1532,1893) — stored on the StructField."""
+        if column not in [f.name for f in self.schema.fields]:
+            raise ColumnDoesNotExistError(f"no column {column!r}")
         f = self.schema[column]
         return dict(f.metadata or {})
 
     def set_column_metadata(self, column: str, metadata: dict) -> None:
         """Merge metadata keys into a column (schema-only commit)."""
         self._check_writable()
+        if column not in [f.name for f in self.schema.fields]:
+            raise ColumnDoesNotExistError(f"no column {column!r}")
         fields = []
         for f in self.schema.fields:
             if f.name == column:
@@ -564,6 +602,9 @@ class Dataset:
             df = df.withColumn("_row_id", (F.col("_row_id") + base).cast("long"))
         else:
             if isinstance(rows, dict):
+                lens = {k: len(v) for k, v in rows.items()}
+                if len(set(lens.values())) > 1:
+                    raise UnevenColumnsError(f"column lengths differ: {lens}")
                 n = len(next(iter(rows.values())))
                 as_rows = [
                     {**{k: v[i] for k, v in rows.items()}, "_row_id": base + i} for i in range(n)
@@ -571,6 +612,13 @@ class Dataset:
             else:
                 as_rows = [{**r, "_row_id": base + i} for i, r in enumerate(rows)]
             schema = self.schema
+            if schema is not None and as_rows:
+                need = {f.name for f in schema.fields
+                        if not f.nullable and f.name != "_row_id"}
+                have = set(as_rows[0])
+                if need - have:
+                    raise ColumnMissingAppendValueError(
+                        f"missing values for non-nullable columns {sorted(need - have)}")
             if schema is not None:
                 df = self.spark.createDataFrame(as_rows, schema)
             else:
@@ -648,7 +696,8 @@ class Dataset:
                 if mutated:
                     # updates/deletes can invalidate existing index rows:
                     # full rebuild (explicit create_index semantics)
-                    self.create_index(col, meta["kind"], **meta.get("options", {}))
+                    self.create_index(col, meta["kind"], _rebuild=True,
+                                      **meta.get("options", {}))
                 elif new_files:
                     # append-only commit: build a delta index over JUST
                     # the new rows and append it — O(new data), existing
@@ -830,9 +879,13 @@ class Dataset:
         return bool(self._refs_prop("logging"))
 
     def start_logging(self) -> None:
+        if self.logging_enabled:
+            raise LogExistsError("operation logging already enabled")
         self._refs_set("logging", True)
 
     def stop_logging(self) -> None:
+        if not self.logging_enabled:
+            raise LogNotexistsError("operation logging is not enabled")
         self._refs_set("logging", False)
 
     def _log_op(self, op: str, **info) -> None:
@@ -916,7 +969,10 @@ class Dataset:
 
     def checkout(self, version: int | str) -> "Dataset":
         """Time travel to a version id (Delta versionAsOf equivalent)."""
-        return Dataset(self.spark, self.path, version=int(version), branch=self._branch,
+        version = int(version)
+        if version > 0 and not _store(self.path).exists(_log_path(self.path, version)):
+            raise VersionNotFoundError(f"no version {version} at {self.path}")
+        return Dataset(self.spark, self.path, version=version, branch=self._branch,
                        read_only=True)
 
     def branch(self, name: str, version: int | None = None) -> "Dataset":
@@ -925,13 +981,15 @@ class Dataset:
         self._check_writable()
         refs = _read_refs(self.path)
         if name in refs["branches"]:
-            raise DatasetError(f"branch {name!r} exists")
+            raise BranchExistsError(f"branch {name!r} exists")
         refs["branches"][name] = version if version is not None else self.version
         _write_refs(self.path, refs)
         return Dataset(self.spark, self.path, branch=name)
 
     def tag(self, name: str, message: str = "", version: int | None = None) -> None:
         refs = _read_refs(self.path)
+        if name in refs["tags"]:
+            raise TagExistsError(f"tag {name!r} exists")
         refs["tags"][name] = {
             "version": version if version is not None else self.version,
             "message": message,
@@ -941,7 +999,7 @@ class Dataset:
     def open_tag(self, name: str) -> "Dataset":
         refs = _read_refs(self.path)
         if name not in refs["tags"]:
-            raise DatasetError(f"unknown tag {name!r}")
+            raise TagNotFoundError(f"unknown tag {name!r}")
         return self.checkout(refs["tags"][name]["version"])
 
     def merge(self, branch: str, version: int | None = None,
@@ -971,7 +1029,7 @@ class Dataset:
         refs = _read_refs(self.path)
         theirs_v = version if version is not None else refs["branches"].get(branch)
         if theirs_v is None:
-            raise DatasetError(f"unknown branch {branch!r}")
+            raise BranchNotFoundError(f"unknown branch {branch!r}")
 
         def ancestors(v):
             """BFS over the commit DAG (parent + merge_parent), nearest
@@ -1159,10 +1217,10 @@ class Dataset:
         __init__.pyi:897). The current branch and main refuse."""
         self._check_writable()
         if name in (self._branch, "main"):
-            raise DatasetError(f"cannot delete branch {name!r}")
+            raise CannotDeleteMainBranchError(f"cannot delete branch {name!r}")
         refs = _read_refs(self.path)
         if name not in refs["branches"]:
-            raise DatasetError(f"unknown branch {name!r}")
+            raise BranchNotFoundError(f"unknown branch {name!r}")
         del refs["branches"][name]
         _write_refs(self.path, refs)
 
@@ -1171,7 +1229,7 @@ class Dataset:
         self._check_writable()
         refs = _read_refs(self.path)
         if name not in refs.get("tags", {}):
-            raise DatasetError(f"unknown tag {name!r}")
+            raise TagNotFoundError(f"unknown tag {name!r}")
         del refs["tags"][name]
         _write_refs(self.path, refs)
 
@@ -1180,9 +1238,9 @@ class Dataset:
         self._check_writable()
         refs = _read_refs(self.path)
         if name not in refs.get("tags", {}):
-            raise DatasetError(f"unknown tag {name!r}")
+            raise TagNotFoundError(f"unknown tag {name!r}")
         if new_name in refs["tags"]:
-            raise DatasetError(f"tag {new_name!r} exists")
+            raise TagExistsError(f"tag {new_name!r} exists")
         refs["tags"][new_name] = refs["tags"].pop(name)
         _write_refs(self.path, refs)
 
@@ -1190,7 +1248,7 @@ class Dataset:
 
     def _check_writable(self) -> None:
         if self.read_only:
-            raise DatasetError("dataset is read-only")
+            raise ReadOnlyDatasetModificationError("dataset is read-only")
 
     def _clear_staged(self) -> None:
         self._staged_files = []
@@ -1276,7 +1334,7 @@ class Dataset:
                     F.col(f.name).isNotNull() & (F.size(f.name) != int(dl["size"]))
                 ).limit(1).count()
                 if bad:
-                    raise DatasetError(
+                    raise InvalidColumnValueError(
                         f"embedding column {f.name!r} requires size {dl['size']}"
                     )
 
@@ -1370,7 +1428,7 @@ def create(path: str, spark: SparkSession | None = None,
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
     if _store(path).list(os.path.join(path, _LOG_DIR)):
-        raise DatasetError(f"dataset already exists at {path}")
+        raise DatasetExistsError(f"dataset already exists at {path}")
     _write_refs(path, {"branches": {"main": 0}, "tags": {}})
     if data_format is not None:
         _store(path).put_bytes(os.path.join(path, "format.json"),
@@ -1405,7 +1463,7 @@ def open(path: str, spark: SparkSession | None = None, branch: str = "main",
     path, linked_ro = _resolve_alias(path)
     spark = spark or SparkSession.getActiveSession()
     if not _store(path).list(os.path.join(path, _LOG_DIR)):
-        raise DatasetError(f"no dataset at {path}")
+        raise NotFoundError(f"no dataset at {path}")
     ds = Dataset(spark, path, branch=branch, version=version)
     if linked_ro:
         ds.read_only = True
@@ -1546,13 +1604,13 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
             # histories that committed independently would otherwise
             # interleave under shared version numbers
             if json.loads(dst_st.get_bytes(d)) != entry:
-                raise DatasetError(
+                raise PushError(
                     f"replica histories diverge at log entry {fn}: "
                     "both sides committed independently; refusing to merge refs")
         else:
             dst_st.put_bytes(d, blob)
     if needed and type(src_st) is not type(dst_st):
-        raise DatasetError(
+        raise PushError(
             "push/pull across different storage backends is not supported; "
             "replicate to a same-backend path")
     for f in sorted(needed):
@@ -1581,7 +1639,7 @@ def delete(path: str) -> None:
     """deeplake.delete (__init__.pyi:4321): remove the dataset at
     `path`. Refuses paths that are not datasets (no commit log)."""
     if not exists(path):
-        raise DatasetError(f"no dataset at {path}")
+        raise NotFoundError(f"no dataset at {path}")
     _store(path).delete(path)
 
 

@@ -59,7 +59,9 @@ class _ChunkFormat(DataFormat):
         cc = (chunk_compression or None)
         key = cc.lower() if isinstance(cc, str) else cc
         if key not in _PARQUET_CODECS:
-            raise ValueError(
+            from deeplake_spark.exceptions import UnsupportedChunkCompression
+
+            raise UnsupportedChunkCompression(
                 f"unsupported chunk_compression {chunk_compression!r}; "
                 f"one of {sorted(k for k in _PARQUET_CODECS if k)}"
             )
@@ -101,4 +103,6 @@ def from_json(obj: dict | None) -> DataFormat | None:
         return None
     if obj.get("kind") == "chunk":
         return _ChunkFormat.from_json(obj)
-    raise ValueError(f"unknown data format {obj.get('kind')!r}")
+    from deeplake_spark.exceptions import UnknownFormat
+
+    raise UnknownFormat(f"unknown data format {obj.get('kind')!r}")

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deeplake_spark.exceptions import FormatNotSupportedError
+
 
 # --------------------------------------------------------------- fake codec
 
@@ -211,12 +213,12 @@ def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
             return np.asarray(Image.open(io.BytesIO(payload)))
         except ImportError:
             if strict:
-                raise NotImplementedError(
+                raise FormatNotSupportedError(
                     f"codec {compression!r} requires Pillow, which is not installed"
                 )
             return _fake_decode(payload)
     if strict:
-        raise NotImplementedError(f"codec {compression!r} not available")
+        raise FormatNotSupportedError(f"codec {compression!r} not available")
     return _fake_decode(payload)
 
 
@@ -336,7 +338,7 @@ def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int,
             if strict:
                 raise
     elif strict:
-        raise NotImplementedError("video decode requires PyAV/ffmpeg")
+        raise FormatNotSupportedError("video decode requires PyAV/ffmpeg")
     return [
         (i, _fake_decode(bytes(payload) + i.to_bytes(2, "little")))
         for i in range(0, 8, every_n)
@@ -428,7 +430,7 @@ def _audio_waveform(payload: bytes, compression: str, strict: bool) -> np.ndarra
             if strict:
                 raise
     elif strict:
-        raise NotImplementedError(
+        raise FormatNotSupportedError(
             f"audio codec {compression!r} requires soundfile/ffmpeg"
         )
     return _fake_decode_audio(payload)
@@ -594,7 +596,7 @@ def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
                 if strict:
                     raise
         elif strict:
-            raise NotImplementedError(
+            raise FormatNotSupportedError(
                 "this NIfTI variant requires nibabel, which is not installed")
         return _fake_decode(payload)[:, :, 0]
     if compression == "dcm":
@@ -605,11 +607,11 @@ def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
                 if strict:
                     raise
         elif strict:
-            raise NotImplementedError(
+            raise FormatNotSupportedError(
                 "DICOM decode requires pydicom, which is not installed")
         return _fake_decode(payload)[:, :, 0]
     if strict:
-        raise NotImplementedError(f"medical codec {compression!r} not available")
+        raise FormatNotSupportedError(f"medical codec {compression!r} not available")
     return _fake_decode(payload)[:, :, 0]
 
 
@@ -760,7 +762,7 @@ def _mesh(payload: bytes, compression: str, strict: bool) -> tuple[np.ndarray, n
             if strict:
                 raise
     elif strict:
-        raise NotImplementedError(
+        raise FormatNotSupportedError(
             f"mesh codec {compression!r} requires trimesh, which is not installed")
     return _fake_mesh(payload)
 

@@ -258,7 +258,9 @@ def metadata_store_for(path: str, spark: SparkSession | None = None) -> Metadata
         return _MEM_STORE
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
-        raise RuntimeError(
+        from deeplake_spark.exceptions import StorageProviderMissingError
+
+        raise StorageProviderMissingError(
             f"metadata store for {scheme}:// needs an active SparkSession "
             "(Hadoop FileSystem) or a register_metadata_store() backend")
     return HadoopMetadataStore(spark)

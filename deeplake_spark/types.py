@@ -45,7 +45,9 @@ def dtype_to_spark(name: str) -> T.DataType:
     try:
         return _PRIMITIVES[name.lower()]
     except KeyError:
-        raise ValueError(f"unknown dtype {name!r}") from None
+        from deeplake_spark.exceptions import UnknownType
+
+        raise UnknownType(f"unknown dtype {name!r}") from None
 
 
 # --- semantic htypes (types.pyi:343-385) -----------------------------------

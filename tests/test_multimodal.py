@@ -37,7 +37,11 @@ def test_decode_schema_and_determinism(spark, payloads):
 def test_strict_raises_without_codec(spark, payloads):
     with pytest.raises(Exception) as ei:
         decode_images(payloads, compression="jpg", strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+    # strict-mode codec-unavailable surfaces as FormatNotSupportedError
+    # (a NotImplementedError subclass — exceptions.py); across the Py4J
+    # boundary only the class NAME in the worker traceback survives
+    assert ("FormatNotSupportedError" in str(ei.value)
+            or isinstance(ei.value, NotImplementedError))
 
 
 def test_image_stats(spark, payloads):
