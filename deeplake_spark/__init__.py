@@ -19,8 +19,15 @@ Layout:
 from deeplake_spark.session import get_spark
 from deeplake_spark.io import load_tables, with_row_id
 from deeplake_spark.dataset import (
+    Branch,
+    Branches,
+    ColumnDefinition,
     Dataset,
     MergeConflictError,
+    Schema,
+    Tag,
+    Tags,
+    Version,
     convert,
     connect,
     copy,
@@ -59,6 +66,8 @@ __version__ = "0.1.0"
 __all__ = [
     "get_spark", "load_tables", "with_row_id", "__version__",
     "Dataset", "MergeConflictError", "create", "open", "open_read_only",
+    "Branch", "Branches", "Tag", "Tags", "Schema", "ColumnDefinition",
+    "Version",
     "copy", "like", "convert", "delete", "exists", "from_parquet",
     "from_csv", "from_coco", "query", "query_async", "prepare_query",
     "explain_query", "create_async", "open_async",

@@ -120,6 +120,208 @@ class Version:
         return f"Version(id={self.id}, branch={self.branch!r}, message={self.message!r})"
 
 
+class Branch:
+    """Branch handle (reference Branch, __init__.pyi:883-954): name/id/
+    version accessors plus open/delete/rename bound to the dataset."""
+
+    def __init__(self, ds: "Dataset", name: str):
+        self._ds = ds
+        self.name = name
+
+    #: our branch ids ARE names (no separate uuid layer)
+    @property
+    def id(self) -> str:
+        return self.name
+
+    @property
+    def version(self) -> int:
+        refs = _read_refs(self._ds.path)
+        if self.name not in refs["branches"]:
+            raise BranchNotFoundError(f"unknown branch {self.name!r}")
+        return refs["branches"][self.name]
+
+    @property
+    def timestamp(self) -> float | None:
+        """Creation time ≈ the head entry's commit timestamp (we do not
+        store a separate branch-creation instant)."""
+        v = self.version
+        return _read_entry(self._ds.path, v)["timestamp"] if v > 0 else None
+
+    def open(self) -> "Dataset":
+        return Dataset(self._ds.spark, self._ds.path, branch=self.name)
+
+    def open_async(self):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.open)
+
+    def delete(self) -> None:
+        self._ds.delete_branch(self.name)
+
+    def rename(self, new_name: str) -> None:
+        self._ds.rename_branch(self.name, new_name)
+        self.name = new_name
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Branch) and (self._ds.path, self.name) == (
+            other._ds.path, other.name)
+
+    __hash__ = None
+
+    def __str__(self) -> str:
+        return f"Branch({self.name!r})"
+
+    __repr__ = __str__
+
+
+class Branches(dict):
+    """ds.branches() result (reference Branches, __init__.pyi:1014-1060).
+
+    dict payload is name → head version (the engine's historical return,
+    tests compare against plain dicts); ``[name]`` upgrades to a
+    :class:`Branch` handle, matching the reference access shape."""
+
+    def __init__(self, ds: "Dataset", payload: dict):
+        super().__init__(payload)
+        self._ds = ds
+
+    def __getitem__(self, name: str) -> Branch:
+        if name not in self:
+            raise BranchNotFoundError(f"unknown branch {name!r}")
+        return Branch(self._ds, name)
+
+    def names(self) -> list[str]:
+        return list(self)
+
+    def __str__(self) -> str:
+        return f"Branches({self.names()})"
+
+
+class Tag:
+    """Tag handle (reference Tag, __init__.pyi:1062-1125)."""
+
+    def __init__(self, ds: "Dataset", name: str, meta: dict):
+        self._ds = ds
+        self.name = name
+        self.message = meta.get("message", "")
+        self.version = meta["version"]
+        self.timestamp = meta.get("timestamp")
+
+    @property
+    def id(self) -> str:
+        return self.name
+
+    def open(self) -> "Dataset":
+        return self._ds.checkout(self.version)
+
+    def open_async(self):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.open)
+
+    def delete(self) -> None:
+        self._ds.delete_tag(self.name)
+
+    def rename(self, new_name: str) -> None:
+        self._ds.rename_tag(self.name, new_name)
+        self.name = new_name
+
+    def __str__(self) -> str:
+        return f"Tag({self.name!r}, version={self.version})"
+
+    __repr__ = __str__
+
+
+class Tags(dict):
+    """ds.tags() result (reference Tags, __init__.pyi:1179-1204): dict
+    payload name → {version, message, timestamp} (historical return);
+    ``[name]`` upgrades to a :class:`Tag` handle."""
+
+    def __init__(self, ds: "Dataset", payload: dict):
+        super().__init__(payload)
+        self._ds = ds
+
+    def __getitem__(self, name: str) -> Tag:
+        if name not in self:
+            raise TagNotFoundError(f"unknown tag {name!r}")
+        return Tag(self._ds, name, dict.__getitem__(self, name))
+
+    def names(self) -> list[str]:
+        return list(self)
+
+    def __str__(self) -> str:
+        return f"Tags({self.names()})"
+
+
+class ColumnDefinition:
+    """Schema entry (reference ColumnDefinition, __init__.pyi:1231-1262)
+    with drop/rename bound to the dataset."""
+
+    def __init__(self, ds: "Dataset | None", field: T.StructField):
+        self._ds = ds
+        self._field = field
+
+    @property
+    def name(self) -> str:
+        return self._field.name
+
+    @property
+    def dtype(self):
+        return self._field.dataType
+
+    @property
+    def metadata(self) -> dict:
+        return dict(self._field.metadata or {})
+
+    def drop(self) -> None:
+        self._ds.remove_column(self.name)
+
+    def rename(self, new_name: str) -> None:
+        self._ds.rename_column(self.name, new_name)
+
+    def __str__(self) -> str:
+        return f"ColumnDefinition({self.name!r}, {self.dtype.simpleString()})"
+
+    __repr__ = __str__
+
+
+class Schema(T.StructType):
+    """Reference Schema surface (__init__.pyi:4070+) over a Spark
+    StructType: everything StructType offers (fields/names/[name] →
+    StructField — the engine's historical behavior), plus ``.columns``
+    returning bound :class:`ColumnDefinition` handles."""
+
+    def __init__(self, fields, ds: "Dataset | None" = None):
+        super().__init__(list(fields))
+        self._ds = ds
+
+    @property
+    def columns(self) -> list[ColumnDefinition]:
+        return [ColumnDefinition(self._ds, f) for f in self.fields]
+
+    # equality/pickling ignore the dataset binding: a Schema IS its
+    # fields (DataType.__eq__ compares __dict__, which would drag _ds
+    # in; pickle would drag the SparkSession in)
+    def __eq__(self, other) -> bool:
+        return isinstance(other, T.StructType) and self.fields == other.fields
+
+    __hash__ = T.StructType.__hash__
+
+    def __reduce__(self):
+        return (T.StructType, (list(self.fields),))
+
+    def as_struct(self) -> T.StructType:
+        """Plain StructType (createDataFrame's type-verifier keys on the
+        exact DataType class and rejects subclasses)."""
+        return T.StructType(list(self.fields))
+
+    @classmethod
+    def typeName(cls) -> str:
+        # DataType.typeName derives from the class NAME — "schema" would
+        # land in the serialized JSON and fail JVM-side parseDataType
+        return "struct"
+
+
 class Dataset:
     """A versioned, ordered, columnar dataset over parquet files."""
 
@@ -147,9 +349,9 @@ class Dataset:
     # ------------------------------------------------------------- reading
 
     @property
-    def schema(self) -> T.StructType | None:
+    def schema(self) -> "Schema | None":
         s = self._entry.get("schema")
-        return T.StructType.fromJson(s) if s else None
+        return Schema(T.StructType.fromJson(s).fields, ds=self) if s else None
 
     def to_df(self) -> DataFrame:
         """Current snapshot as a DataFrame: one multi-file parquet scan,
@@ -163,7 +365,7 @@ class Dataset:
         }
         if not files and not patches:
             if self.schema is not None:
-                return self.spark.createDataFrame([], self.schema)
+                return self.spark.createDataFrame([], self.schema.as_struct())
             raise DatasetError("empty dataset with no schema")
         df = self.spark.read.schema(self.schema).parquet(
             *[os.path.join(self.path, _DATA_DIR, f) for f in files]
@@ -620,7 +822,7 @@ class Dataset:
                     raise ColumnMissingAppendValueError(
                         f"missing values for non-nullable columns {sorted(need - have)}")
             if schema is not None:
-                df = self.spark.createDataFrame(as_rows, schema)
+                df = self.spark.createDataFrame(as_rows, schema.as_struct())
             else:
                 df = self.spark.createDataFrame(as_rows)
                 fields = [df.schema["_row_id"]] + [f for f in df.schema.fields if f.name != "_row_id"]
@@ -648,7 +850,7 @@ class Dataset:
         row = self[offset].asDict()
         row.update(values)
         row["_row_id"] = offset
-        df = self.spark.createDataFrame([row], self.schema)
+        df = self.spark.createDataFrame([row], self.schema.as_struct())
         fname = self._write_file(df)
         self._staged_patches.append(fname)
         self._staged_patch_rows.append((int(offset), fname))
@@ -769,13 +971,15 @@ class Dataset:
         """Active branch name (reference current_branch, __init__.pyi:2997)."""
         return self._branch
 
-    def branches(self) -> dict[str, int]:
-        """Branch name → head version (reference branches, __init__.pyi)."""
-        return dict(_read_refs(self.path)["branches"])
+    def branches(self) -> Branches:
+        """Branch name → head version; ``[name]`` returns a Branch
+        handle (reference branches, __init__.pyi:3003)."""
+        return Branches(self, _read_refs(self.path)["branches"])
 
-    def tags(self) -> dict:
-        """Tag name → {version, message} (reference tags surface)."""
-        return dict(_read_refs(self.path).get("tags", {}))
+    def tags(self) -> Tags:
+        """Tag name → {version, message, timestamp}; ``[name]`` returns
+        a Tag handle (reference tags, __init__.pyi:3010)."""
+        return Tags(self, _read_refs(self.path).get("tags", {}))
 
     @property
     def metadata(self) -> dict:
@@ -993,6 +1197,7 @@ class Dataset:
         refs["tags"][name] = {
             "version": version if version is not None else self.version,
             "message": message,
+            "timestamp": time.time(),
         }
         _write_refs(self.path, refs)
 
@@ -1223,6 +1428,24 @@ class Dataset:
             raise BranchNotFoundError(f"unknown branch {name!r}")
         del refs["branches"][name]
         _write_refs(self.path, refs)
+
+    def rename_branch(self, name: str, new_name: str) -> None:
+        """Rename a branch ref (reference Branch.rename,
+        __init__.pyi:915). main refuses."""
+        self._check_writable()
+        from deeplake_spark.exceptions import CannotRenameMainBranchError
+
+        if name == "main":
+            raise CannotRenameMainBranchError("cannot rename main")
+        refs = _read_refs(self.path)
+        if name not in refs["branches"]:
+            raise BranchNotFoundError(f"unknown branch {name!r}")
+        if new_name in refs["branches"]:
+            raise BranchExistsError(f"branch {new_name!r} exists")
+        refs["branches"][new_name] = refs["branches"].pop(name)
+        _write_refs(self.path, refs)
+        if self._branch == name:
+            self._branch = new_name
 
     def delete_tag(self, name: str) -> None:
         """Remove a tag (reference Tag.delete, __init__.pyi:1100)."""
