@@ -265,3 +265,49 @@ def pack_token_budget(df: DataFrame, text_col: str = "text",
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", chunk: int = 32) -> DataFrame:
+    """Fixed-length context chunking for LM training: split each
+    document's token stream into consecutive ``chunk``-token training
+    examples (the per-document analogue of pack_token_budget's
+    cross-document packing, and the text analogue of EXPAND BY's image
+    tiling). Returns one row per chunk: (doc_id, chunk_idx, n_tokens,
+    chunk_text) — the tail chunk keeps its partial length.
+
+    Scale shape: pure per-row generation — tokenize is PROJECTED to a
+    column before use (perf trap #3: an inlined tokenize re-evaluates
+    per generated element), the chunk-index generator is explode_outer
+    + an output null-filter (trap #2: F.explode lets Catalyst push a
+    size>0 predicate, tokenize inlined, below the repartition to the
+    scan), and the chunk text is assembled with try_element_at +
+    concat_ws (trap #6: compiles ~6x cheaper than slice+array_join;
+    try_ because ANSI element_at throws past the end — concat_ws
+    skips the tail's nulls). No shuffle, no window, no driver action.
+    """
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    nchunks = F.ceil(n / F.lit(float(chunk))).cast("int")
+    # guard: sequence(0, -1) counts DOWN in Spark — only generate for
+    # non-empty token streams, explode_outer + output filter otherwise
+    idxs = F.when(n > 0, F.sequence(F.lit(0), nchunks - 1))
+    with_idx = (
+        d.select(F.col(id_col), "__toks", n.alias("__n"),
+                 F.explode_outer(idxs).alias("chunk_idx"))
+        .filter(F.col("chunk_idx").isNotNull())
+    )
+    base = F.col("chunk_idx") * chunk
+    text_expr = F.concat_ws(
+        " ", *[F.try_element_at(F.col("__toks"), base + j)
+               for j in range(1, chunk + 1)])
+    return with_idx.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk), F.col("__n") - base).cast("int").alias("n_tokens"),
+        text_expr.alias("chunk_text"),
+    )

@@ -166,6 +166,24 @@ def limit_percent(df: DataFrame, pct: float, order_col: str) -> DataFrame:
     )
 
 
+def md5_uniform(id_col: str, salt: str) -> Column:
+    """Engine-portable deterministic uniform in [0, 1): the first 32
+    bits of md5(id # salt). Pure per-row expression — no RNG, no state,
+    reproducible across engines (DuckDB computes the identical value),
+    cluster sizes, and runs; appending rows never changes existing
+    draws. The shared primitive behind assign_splits / mixture_sample /
+    temperature_mixture."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit("#"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+
+
 def assign_splits(df: DataFrame, id_col: str = "doc_id",
                   fractions: dict[str, float] | None = None,
                   salt: str = "split") -> DataFrame:
@@ -183,15 +201,7 @@ def assign_splits(df: DataFrame, id_col: str = "doc_id",
     """
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     items = list(fractions.items())
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"),
-                               F.lit("#"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("long")
-        / F.lit(float(1 << 32))
-    )
+    u = md5_uniform(id_col, salt)
     expr = None
     cum = 0.0
     for name, frac in items[:-1]:
@@ -220,18 +230,64 @@ def mixture_sample(df: DataFrame, domain_col: str, rates: dict[str, float],
     for name, r in rates.items():
         if not (0.0 <= float(r) <= 1.0):
             raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"),
-                               F.lit("#"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("long")
-        / F.lit(float(1 << 32))
-    )
+    u = md5_uniform(id_col, salt)
     rate = None
     for name, r in rates.items():
         cond = F.col(domain_col) == name
         rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
     return df.filter(u < rate)
+
+
+def temperature_mixture(df: DataFrame, domain_col: str, alpha: float,
+                        id_col: str = "doc_id",
+                        salt: str = "temp-mixture") -> tuple[DataFrame, DataFrame]:
+    """Temperature-scaled domain mixture (the multinomial-smoothing
+    resampling of XLM-R / mT5: kept_d ∝ n_d^alpha): instead of static
+    per-domain rates (``mixture_sample``), the keep fraction is DERIVED
+    from the observed domain counts — alpha < 1 flattens the mixture
+    (large domains downsampled toward the small ones), alpha = 1 keeps
+    everything, alpha > 1 sharpens it (small domains downsampled).
+
+    rate_d = n_d^(alpha-1) / max_e(n_e^(alpha-1)), rounded to 6
+    decimals so the keep boundary is engine-portable (pow() last-ulp
+    differences between engines cannot flip a row against the md5
+    uniform, which has ~1e-10 resolution).
+
+    Scale shape: the per-domain count is a tiny partial-agg relation
+    (one row per domain); its max is a 1-row aggregate cross-joined
+    back (broadcast); the derived rates broadcast-join to the corpus
+    and the keep decision is the same pure per-row md5-uniform filter
+    as mixture_sample — no corpus shuffle, no driver collection, no
+    RNG, append-stable for fixed rates (re-deriving rates after an
+    append is a deliberate re-weighting).
+
+    Returns (kept_df, rates_df) where rates_df is the one-row-per-domain
+    (domain, n, rate) relation — emit it for pipeline accounting.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    w = counts.select(
+        "__dom", "__n",
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha) - 1.0)).alias("__w"))
+    wmax = w.agg(F.max("__w").alias("__wmax"))
+    rates = (
+        w.crossJoin(F.broadcast(wmax))
+        .select(
+            "__dom", "__n",
+            F.round(F.col("__w") / F.col("__wmax"), 6).alias("__rate"))
+    )
+    u = md5_uniform(id_col, salt)
+    kept = (
+        df.join(F.broadcast(rates), df[domain_col] == rates["__dom"])
+        .filter(u < F.col("__rate"))
+        .drop("__dom", "__n", "__w", "__rate")
+    )
+    rates_out = rates.select(
+        F.col("__dom").alias(domain_col),
+        F.col("__n").alias("n_docs"),
+        F.col("__rate").alias("keep_rate"),
+    )
+    return kept, rates_out

@@ -876,3 +876,194 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "t19_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), -0.5) AS w FROM c),
+    r AS (SELECT lang, n, ROUND(w / (SELECT MAX(w) FROM w), 6) AS rate FROM w),
+    k AS (
+      SELECT d.lang, COUNT(*) AS n_kept, SUM(d.n_chars) AS sum_chars
+      FROM documents d JOIN r ON r.lang = d.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                     || '#temp-mixture'), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < r.rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n AS BIGINT) AS n_total, r.rate AS keep_rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.sum_chars, 0) AS BIGINT) AS sum_chars
+    FROM r LEFT JOIN k USING (lang)
+    ORDER BY lang
+    """,
+    doc="Temperature-scaled domain mixture (XLM-R/mT5 multinomial "
+    "smoothing, kept_d ∝ n_d^alpha at alpha=0.5): keep rates DERIVED "
+    "from observed per-language counts — the dominant language is "
+    "downsampled toward the small ones. Rates are a tiny partial-agg "
+    "relation broadcast back; the keep decision is the md5-uniform "
+    "per-row filter (no corpus shuffle, no RNG); rates round to 6 "
+    "decimals so pow() last-ulp engine differences cannot flip a row. "
+    "operators/sampling.py temperature_mixture.",
+    tags=("sampling", "mixture", "pipeline"),
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    kept, rates = temperature_mixture(d, domain_col="lang", alpha=0.5,
+                                      id_col="doc_id")
+    kc = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return (
+        rates.join(F.broadcast(kc), "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").alias("n_total"),
+            "keep_rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("sum_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t20_fixed_len_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    ch AS (
+      SELECT doc_id, CAST(ix.i AS INT) AS chunk_idx,
+             CAST(least(32, n - ix.i * 32) AS INT) AS n_tokens,
+             array_to_string(
+               list_slice(t, ix.i * 32 + 1, least(ix.i * 32 + 32, n)),
+               ' ') AS chunk_text
+      FROM nz, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS i) ix
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+    doc="Fixed-length context chunking (32-token training examples per "
+    "document, partial tail kept) — the per-document chunking pass of "
+    "an LM data pipeline. Guarded explode_outer index generation + "
+    "try_element_at/concat_ws assembly over a PROJECTED token column "
+    "(perf traps #2/#3/#6). operators/restructure.py "
+    "chunk_fixed_tokens.",
+    tags=("text", "restructure", "pipeline"),
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.restructure import chunk_fixed_tokens
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    return chunk_fixed_tokens(d, chunk=32).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "t21_blocklist_ratio",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_DUCK_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    h AS (
+      SELECT source, len(toks) AS n,
+             len(list_filter(toks, x -> x IN ('spark', 'gpu', 'fast'))) AS hits
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 0
+                         AND hits / CAST(n AS DOUBLE) > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS sum_hits
+    FROM h GROUP BY source ORDER BY source
+    """,
+    doc="Blocklist-term density filter (the wordlist-based content "
+    "filter of web-corpus pipelines): per-doc occurrence count over a "
+    "broadcast term list (functions/text.py stopword_hits — a pure "
+    "JVM HOF, no UDF), flag docs above a 5% token-ratio threshold, "
+    "account per source. Scan → one map-side-partial aggregate.",
+    tags=("text", "quality", "pipeline"),
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import stopword_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", tokenize(F.col("text")).alias("__toks"))
+    h = toks.select(
+        "source",
+        F.size(F.col("__toks")).alias("__n"),
+        stopword_hits(F.col("__toks"), ["spark", "gpu", "fast"]).alias("__hits"),
+    )
+    ratio = F.col("__hits").cast("double") / F.nullif(
+        F.col("__n").cast("double"), F.lit(0.0))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(((F.col("__n") > 0) & (ratio > 0.05)).cast("long"))
+             .alias("n_flagged"),
+            F.sum("__hits").cast("long").alias("sum_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "t22_curriculum_bins",
+    oracle="""
+    WITH th AS (
+      SELECT ROUND(quantile_cont(n_chars, 0.25), 6) AS q1,
+             ROUND(quantile_cont(n_chars, 0.50), 6) AS q2,
+             ROUND(quantile_cont(n_chars, 0.75), 6) AS q3
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_chars <= q1 THEN 'q1_short'
+                WHEN n_chars <= q2 THEN 'q2_mid'
+                WHEN n_chars <= q3 THEN 'q3_long'
+                ELSE 'q4_xlong' END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents, th
+    GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    doc="Curriculum binning by length quartile: exact interpolated "
+    "quartile thresholds (Spark percentile == DuckDB quantile_cont, "
+    "the t17 parity; rounded to 6 so the bin boundary is engine-"
+    "portable) computed as a 1-row broadcast aggregate, then a pure "
+    "per-row CASE bucket — no sort, no window, two corpus passes. "
+    "At 100 TB swap the exact percentile for approx_percentile; the "
+    "bucketing pass is unchanged.",
+    tags=("text", "sampling", "pipeline"),
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    th = d.agg(
+        F.round(F.expr("percentile(n_chars, 0.25D)"), 6).alias("__q1"),
+        F.round(F.expr("percentile(n_chars, 0.50D)"), 6).alias("__q2"),
+        F.round(F.expr("percentile(n_chars, 0.75D)"), 6).alias("__q3"),
+    )
+    binned = d.crossJoin(F.broadcast(th)).select(
+        "lang", "n_chars",
+        F.when(F.col("n_chars") <= F.col("__q1"), "q1_short")
+         .when(F.col("n_chars") <= F.col("__q2"), "q2_mid")
+         .when(F.col("n_chars") <= F.col("__q3"), "q3_long")
+         .otherwise("q4_xlong").alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "bin")
+    )

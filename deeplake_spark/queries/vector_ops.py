@@ -869,3 +869,50 @@ def v21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "v22_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS l2
+      FROM embeddings
+    ),
+    s AS (SELECT AVG(l2) AS mu, stddev_samp(l2) AS sd FROM norms)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN ROUND(abs((l2 - mu) / sd), 6) > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ROUND(abs((l2 - mu) / sd), 6)), 6) AS max_abs_z
+    FROM norms, s
+    GROUP BY label ORDER BY label
+    """,
+    doc="Embedding-norm outlier screening (the vector-QA pass that "
+    "catches collapsed/exploded embeddings before indexing): corpus "
+    "mean/std of the L2 norm as a 1-row broadcast aggregate, per-row "
+    "z-score (ROUNDED to 6 before the |z|>2 flag so double partial-"
+    "aggregation reassociation cannot flip the boundary across "
+    "engines), outlier counts per label. Scan -> two tiny aggregates; "
+    "no window, no join wider than one broadcast row.",
+    tags=("vector", "quality", "pipeline"),
+)
+def v22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("label", l2_norm(F.col("embedding")).alias("__l2"))
+    s = norms.agg(F.avg("__l2").alias("__mu"),
+                  F.stddev_samp("__l2").alias("__sd"))
+    z = F.round(
+        F.abs((F.col("__l2") - F.col("__mu")) / F.col("__sd")), 6)
+    return (
+        norms.crossJoin(F.broadcast(s))
+        .select("label", z.alias("__z"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("__z") > 2.0).cast("long")).alias("n_outliers"),
+            F.round(F.max("__z"), 6).alias("max_abs_z"),
+        )
+        .orderBy("label")
+    )

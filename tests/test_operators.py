@@ -611,3 +611,69 @@ def test_mixture_sample_rates_and_stability(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mixture_sample(df, "source", {"src0": 1.5})
+
+
+def test_temperature_mixture_rates_and_proportionality(spark):
+    """Temperature mixture: rate formula n^(a-1)/max, kept counts
+    approximately ∝ n^alpha, alpha=1 keeps everything, alpha<=0 raises."""
+    from deeplake_spark.operators.sampling import temperature_mixture
+
+    # skewed domains: 8000 / 2000 / 500
+    df = spark.range(10_500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 8_000, "big")
+         .when(F.col("id") < 10_000, "mid")
+         .otherwise("small").alias("dom"),
+    )
+    kept, rates = temperature_mixture(df, "dom", alpha=0.5, id_col="doc_id")
+    r = {row["dom"]: row for row in rates.collect()}
+    assert r["small"]["keep_rate"] == 1.0          # smallest domain kept whole
+    assert abs(r["big"]["keep_rate"] - (8000 / 500) ** -0.5) < 1e-6
+    assert abs(r["mid"]["keep_rate"] - (2000 / 500) ** -0.5) < 1e-6
+    counts = {row["dom"]: row["count"]
+              for row in kept.groupBy("dom").count().collect()}
+    # kept_d ∝ n_d^0.5 → big/small target = sqrt(8000*500)=2000, mid = 1000
+    assert counts["small"] == 500
+    assert 0.85 * 2000 < counts["big"] < 1.15 * 2000
+    assert 0.85 * 1000 < counts["mid"] < 1.15 * 1000
+
+    # alpha = 1 → every rate 1.0, nothing dropped
+    kept1, rates1 = temperature_mixture(df, "dom", alpha=1.0)
+    assert kept1.count() == 10_500
+    assert all(row["keep_rate"] == 1.0 for row in rates1.collect())
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "dom", alpha=0.0)
+
+
+def test_chunk_fixed_tokens_reconstructs_documents(spark):
+    """Chunking partitions each doc's token stream exactly: chunk sizes
+    are `chunk` except the tail, indexes are dense from 0, and joining
+    the chunk texts back in order reproduces the tokenized document."""
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.operators.restructure import chunk_fixed_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(75))),   # 75 toks → 32/32/11
+            (2, " ".join(f"x{i}" for i in range(32))),   # exactly one chunk
+            (3, "solo"),                                  # short tail only
+            (4, ""),                                      # empty → no rows
+            (5, "   "),                                   # whitespace → no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_fixed_tokens(docs, chunk=32).orderBy("doc_id", "chunk_idx")
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 2, 3]
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 0, 0]
+    assert [r["n_tokens"] for r in rows] == [32, 32, 11, 32, 1]
+    # every chunk_text carries exactly n_tokens tokens and reassembles
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    originals = {r["doc_id"]: " ".join(r["toks"]) for r in docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")).collect()}
+    for doc_id, chunks in by_doc.items():
+        assert " ".join(chunks) == originals[doc_id]

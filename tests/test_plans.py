@@ -259,3 +259,50 @@ def test_embedding_dispersion_has_no_pairwise_join(spark, sf_dir):
     assert scans <= 2, (
         f"v21 should scan embeddings at most twice (fold + posexplode):\n"
         f"{rep.text[:1200]}")
+
+
+def test_temperature_mixture_joins_are_broadcast(spark, sf_dir):
+    """t19's derived-rate relation is tiny (one row per domain) — both
+    the wmax cross join and the rate join to the corpus must broadcast,
+    and no global window/row_number may appear."""
+    rep = explain_query(REG["t19_temperature_mixture"].fn(spark, sf_dir))
+    assert "row_number" not in rep.text.lower()
+    assert "CartesianProduct" not in rep.text
+    assert all("Broadcast" in j for j in rep.joins), (
+        f"t19 rate joins must broadcast: {rep.joins}")
+
+
+def test_chunking_generator_not_pushed_to_scan(spark, sf_dir):
+    """t20's chunk-index generator must not leak a tokenize-bearing
+    size()>0 predicate into the parquet scan (perf trap #2: pushed
+    generator-input filters inline the projected token expression into
+    the scan, twice)."""
+    plan = (REG["t20_fixed_len_chunks"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    scan_part = plan[plan.find("Scan parquet"):]
+    assert "split" not in scan_part.lower().split("readschema")[0], (
+        "tokenize leaked into the scan-level filters")
+    assert "row_number" not in plan.lower()
+
+
+def test_blocklist_and_curriculum_are_scan_shaped(spark, sf_dir):
+    """t21 is scan → one aggregate (no join at all); t22's only join is
+    the broadcast of the 1-row quantile aggregate."""
+    rep21 = explain_query(REG["t21_blocklist_ratio"].fn(spark, sf_dir))
+    assert not rep21.joins, f"t21 must not join: {rep21.joins}"
+    rep22 = explain_query(REG["t22_curriculum_bins"].fn(spark, sf_dir))
+    assert all("Broadcast" in j for j in rep22.joins), (
+        f"t22 quantile join must broadcast: {rep22.joins}")
+    assert "row_number" not in rep22.text.lower()
+
+
+def test_norm_outliers_single_corpus_stats_pass(spark, sf_dir):
+    """v22's corpus stats are a 1-row broadcast; no cartesian product,
+    no window, at most the two embeddings scans (norms + stats)."""
+    import re
+
+    rep = explain_query(REG["v22_norm_outliers"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in rep.text
+    assert "row_number" not in rep.text.lower()
+    scans = len(set(re.findall(r"\(\d+\) Scan parquet", rep.text)))
+    assert scans <= 2, f"v22 should scan embeddings at most twice:\n{rep.text}"
