@@ -44,6 +44,19 @@ def main() -> None:
     # `detail` so the ingest price stays visible.
     detail: dict[str, float] = {}
     try:
+        # scan-layout ingest: the testdata ships its big tables as ONE
+        # parquet row group, which serializes every decode onto one core
+        # (row group = decode unit). Rewrite them once into N-file
+        # parquet — the Spark analogue of the reference's
+        # convert-at-create ingest — and report the cost alongside the
+        # index builds.
+        from deeplake_spark.io import build_scan_cache
+
+        for tbl, secs in build_scan_cache(spark, sf_dir).items():
+            detail[f"scan_ingest_{tbl}"] = secs
+    except Exception as exc:
+        print(f"bench: scan ingest FAILED: {exc}", file=sys.stderr)
+    try:
         from deeplake_spark.queries import text_ops, vector_ops
 
         for name, build in (
@@ -63,8 +76,28 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: ingest phase FAILED: {exc}", file=sys.stderr)
 
+    def scrub(i: int) -> None:
+        """Periodic cache hygiene (outside the timed windows).
+
+        Operators persist/checkpoint intermediates within their own
+        plan (posting relations, CC round checkpoints); the JVM holds
+        those blocks until the driver-side Python refs are collected
+        and the async ContextCleaner reaps them. Across ~190 executions
+        in one JVM that residue degrades later queries 30-50%
+        (measured: q21 warm 1.2 s fresh -> 1.9 s after a 94-query
+        pass -> 1.3 s after collection). A full gc every 10 queries
+        plus a short settle window keeps the cleaner's work off the
+        next timed run. (clearCache would also drop the ingest-built
+        index caches mid-bench — measured strictly worse.)
+        """
+        import gc
+
+        if i % 10 == 9:
+            gc.collect()
+            time.sleep(0.3)  # let the async ContextCleaner drain
+
     timings: dict[str, float] = {}
-    for name, q in sorted(registry.items()):
+    for i, (name, q) in enumerate(sorted(registry.items())):
         t0 = time.perf_counter()
         try:
             force(q.fn(spark, sf_dir))
@@ -72,12 +105,13 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        scrub(i)
 
     # Warm lane: a second timed pass per query. One-shot timings are
     # whole-stage-codegen-compile-dominated (CLAUDE.md perf trap 6);
     # the warm number is the steady-state cost that matters at scale.
     warm: dict[str, float] = {}
-    for name, q in sorted(registry.items()):
+    for i, (name, q) in enumerate(sorted(registry.items())):
         if timings.get(name, -1.0) < 0:
             continue  # cold run already failed; don't re-raise twice
         t0 = time.perf_counter()
@@ -87,6 +121,7 @@ def main() -> None:
         except Exception as exc:
             warm[name] = -1.0
             print(f"bench: warm {name} FAILED: {exc}", file=sys.stderr)
+        scrub(i)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     detail["warm_total"] = round(sum(t for t in warm.values() if t >= 0), 4)

@@ -464,13 +464,18 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 .groupBy("id")
                 .agg(F.min("nb_label").alias("nmin"))
             )
+            # LAZY checkpoint: the convergence probe right below is the
+            # round's first action and materializes it — one job per
+            # round instead of checkpoint-job + probe-job (the probe is
+            # a single consumer, so there is no union-branch race here,
+            # unlike e0 above)
             new = (
                 labels.join(neigh, "id", "left")
                 .select(
                     "id",
                     F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if sum_probe:
                 # try_cast, not cast: ANSI mode makes a failed

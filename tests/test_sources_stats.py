@@ -80,3 +80,32 @@ def test_dataset_analyze_persists_stats(spark, sf_dir):
         # stats survive reopen (they live in the commit log)
         again = dl.open(d + "/ds", spark)
         assert again.column_statistics("r_name")["total_rows"] == 5
+
+
+def test_scan_cache_transparent_and_fingerprinted(spark, sf_dir, tmp_path):
+    """build_scan_cache: load_table serves identical rows from the
+    rewritten multi-file copy, and a source rewrite (new mtime/size)
+    keys the stale cache out."""
+    import shutil
+
+    from deeplake_spark import io as dio
+
+    src_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", src_dir + "/nation.parquet")
+    before = dio.load_table(spark, src_dir, "nation")
+    rows_before = sorted(map(tuple, before.collect()))
+
+    built = dio.build_scan_cache(spark, src_dir, tables=("nation",),
+                                 target_files=4)
+    assert "nation" in built
+    cached = dio.load_table(spark, src_dir, "nation")
+    assert cached.rdd.getNumPartitions() > 1  # multi-file layout now
+    assert sorted(map(tuple, cached.collect())) == rows_before
+    # idempotent: second build is a no-op for an unchanged source
+    assert dio.build_scan_cache(spark, src_dir, tables=("nation",)) == {}
+
+    # regenerate the source (different content): fingerprint must miss
+    shutil.copy(f"{sf_dir}/region.parquet", src_dir + "/nation.parquet")
+    regen = dio.load_table(spark, src_dir, "nation")
+    assert [f.name for f in regen.schema.fields][0] == "r_regionkey"
