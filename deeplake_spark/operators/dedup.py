@@ -210,6 +210,29 @@ def _fold_bits(arr_col: str, bits: int) -> Column:
     )
 
 
+def bit_vote_sums(bits: int, prefix: str = "b",
+                  cond: str | None = None) -> list[Column]:
+    """The `bits` conditional ±1 sums of a SimHash aggregate, each built
+    as ONE ``F.expr`` string. The chained-Column construction
+    (F.sum(F.when(F.shiftright(...)...))) costs ~9 py4j round trips per
+    sum — ~2.4 s of pure DRIVER-side plan construction for d05's 120
+    sums (measured; the JVM plan and the generated code are identical
+    either way). `cond` (SQL boolean over the input columns) gates the
+    vote to a row subset (the d05 one-pass original/copy pairing)."""
+    out = []
+    for i in range(bits):
+        vote = f"IF((shiftright(__h, {i}) & 1) = 1, 1, -1)"
+        body = f"CASE WHEN {cond} THEN {vote} ELSE 0 END" if cond else vote
+        out.append(F.expr(f"sum({body}) AS {prefix}{i}"))
+    return out
+
+
+def bit_array(bits: int, prefix: str = "b", alias: str = "__bits") -> Column:
+    """array(b0..b{bits-1}) as one parsed expression (one py4j call)."""
+    cols = ",".join(f"{prefix}{i}" for i in range(bits))
+    return F.expr(f"array({cols}) AS {alias}")
+
+
 def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, explode-based.
 
@@ -223,13 +246,6 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
     # inlined hash expression is copied into every conditional sum in
     # the generated code (perf trap 3 applied to aggregates): 64 copies
     # blow up codegen compile ~8x and defeat subexpression reuse
-    h = F.col("__h")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
     agg = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
@@ -237,13 +253,11 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
         .filter(F.col("__tok").isNotNull())
         .select("doc_id", F.xxhash64(F.col("__tok")).alias("__h"))
         .groupBy("doc_id")
-        .agg(*bit_sums)
+        .agg(*bit_vote_sums(64))
     )
     return (
-        agg.select(
-            "doc_id",
-            F.array(*[F.col(f"b{i}") for i in range(64)]).alias("__bits"),
-        ).select("doc_id", _fold_bits("__bits", 64).alias("simhash"))
+        agg.select("doc_id", bit_array(64))
+        .select("doc_id", _fold_bits("__bits", 64).alias("simhash"))
     )
 
 
@@ -610,13 +624,6 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
     the DuckDB oracle, which the xxhash64 fast path cannot be."""
     # hash projected to a column first — see simhash_64 (60 inlined md5
     # copies in codegen cost ~8x compile and re-evaluate per bit)
-    h = F.col("__h")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
     agg = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), tokens.alias("__toks"))
@@ -624,11 +631,9 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
         .filter(F.col("__tok").isNotNull())
         .select("doc_id", _md5_int60(F.col("__tok"), 0).alias("__h"))
         .groupBy("doc_id")
-        .agg(*bit_sums)
+        .agg(*bit_vote_sums(bits))
     )
     return (
-        agg.select(
-            "doc_id",
-            F.array(*[F.col(f"b{i}") for i in range(bits)]).alias("__bits"),
-        ).select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
+        agg.select("doc_id", bit_array(bits))
+        .select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
     )

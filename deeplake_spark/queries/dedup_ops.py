@@ -216,7 +216,12 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.io import ensure_parallelism
-    from deeplake_spark.operators.dedup import _fold_bits, _md5_int60
+    from deeplake_spark.operators.dedup import (
+        _fold_bits,
+        _md5_int60,
+        bit_array,
+        bit_vote_sums,
+    )
 
     bits = 60
     d = (load_table(spark, sf_dir, "documents")
@@ -240,20 +245,15 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5_int60(F.col("__tok"), 0).alias("__h"),
         )
     )
-    sums = []
-    for side, flag in (("o", False), ("c", True)):
-        for i in range(bits):
-            bit_vote = F.when(
-                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-            sums.append(
-                F.sum(F.when(F.col("is_copy") == F.lit(flag), bit_vote)
-                      .otherwise(0)).alias(f"{side}{i}"))
+    # 2x60 sums as expr strings: the chained-Column build cost ~2.4 s of
+    # driver-side construction alone (see operators/dedup.bit_vote_sums)
+    sums = (bit_vote_sums(bits, prefix="o", cond="NOT is_copy")
+            + bit_vote_sums(bits, prefix="c", cond="is_copy"))
     agg = toks.groupBy("base").agg(*sums)
     proj = agg.select(
         "base",
-        F.array(*[F.col(f"o{i}") for i in range(bits)]).alias("__bo"),
-        F.array(*[F.col(f"c{i}") for i in range(bits)]).alias("__bc"),
+        bit_array(bits, prefix="o", alias="__bo"),
+        bit_array(bits, prefix="c", alias="__bc"),
     )
     return (
         proj.select(
