@@ -133,15 +133,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def minhash_signatures(sets: DataFrame, num_perm: int = 32) -> DataFrame:
     """doc_id → minhash signature: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Pure JVM expression, no shuffle."""
-    def _perm(seed: int):
-        # single-arg closure: an arity-2 `lambda s, i=i:` would make
-        # F.transform pass the element index as the second argument,
-        # silently collapsing every permutation to the same function
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), _perm(i))) for i in range(num_perm)]
-    )
+    # one parsed expression for the whole signature: num_perm chained
+    # transform/array_min Columns cost ~5 py4j round trips each,
+    # driver-side (see bit_vote_sums); the SQL lambda also sidesteps
+    # the arity-2 `lambda s, i=i:` index-as-second-arg trap outright
+    sig = F.expr("array(" + ",".join(
+        f"array_min(transform(shingles, s -> xxhash64(s, {i})))"
+        for i in range(num_perm)) + ")")
     return sets.select("doc_id", sig.alias("sig"))
 
 
@@ -149,20 +147,13 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataF
     """Band the signature and bucket-join on (band, band_hash) — the
     shuffle key is the band hash, so work stays proportional to true
     collisions (the 100 TB-safe candidate generator)."""
+    band_sql = ",".join(
+        f"hash(cast(cast(slice(sig, {b * rows + 1}, {rows}) "
+        "as array<string>) as string))"
+        for b in range(bands))
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("sig"), b * rows + 1, rows)
-                        .cast("array<string>")
-                        .cast("string")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias("band", "bh"),
     )
     a = banded.select(F.col("doc_id").alias("a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("b"), "band", "bh")

@@ -604,6 +604,19 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
                        id_col=index.id_col)
 
 
+def _band_hash_array(bands: int, rows: int, bits_col: str = "__bits") -> Column:
+    """array of per-band sign-bit hashes as ONE parsed expression. The
+    chained F.hash(*[F.element_at(...)]) construction costs ~3 py4j
+    round trips per element — bands*rows of them, all driver-side
+    (dedup.bit_vote_sums documents the measured cost of this pattern);
+    the parsed expr yields the identical JVM plan for one call."""
+    bands_sql = ",".join(
+        "hash(" + ",".join(f"element_at({bits_col}, {b * rows + j + 1})"
+                           for j in range(rows)) + ")"
+        for b in range(bands))
+    return F.expr(f"array({bands_sql})")
+
+
 def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.99,
                        bands: int = 8, dim: int | None = None,
@@ -641,19 +654,7 @@ def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     # (perf trap 6) and stay one whole-stage-codegen expression
     banded = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        *[
-                            F.element_at(F.col("__bits"), b * rows + j + 1)
-                            for j in range(rows)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
     )
     if bucket_cap:
         ok = (
@@ -845,15 +846,7 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
         )
         banded = base.select(
             F.col(side),
-            F.posexplode(
-                F.array(*[
-                    F.hash(*[
-                        F.element_at(F.col("__bits"), b * rows + j + 1)
-                        for j in range(rows)
-                    ])
-                    for b in range(bands)
-                ])
-            ).alias("band", "bh"),
+            F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
         )
         return base.drop("__bits"), banded
 

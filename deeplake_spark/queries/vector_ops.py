@@ -790,7 +790,9 @@ def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: x * 0.9).alias("embedding"),
     )
-    pairs = cross_near_dup_lsh(eval_set, e, threshold=0.99)
+    # dim passed explicitly (the v08 convention): the dim=None fallback
+    # runs a driver head() job at query-construction time
+    pairs = cross_near_dup_lsh(eval_set, e, threshold=0.99, dim=64)
     return (
         pairs.filter(F.col("b") == F.col("a") - 1_000_000)
         .select(F.col("a").alias("eval_id"),
