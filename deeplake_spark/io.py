@@ -35,6 +35,11 @@ BROADCAST_TABLES = {"region", "nation"}
 #: regenerates testdata between rounds.
 _SCAN_CACHE: dict[tuple[str, int, int], str] = {}
 
+#: (session id, resolved path, source fingerprint) -> DataFrame.
+#: Bounded load_table memo — see the comment at its use site.
+_TABLE_MEMO: dict = {}
+_TABLE_MEMO_MAX = 64
+
 
 def _source_fingerprint(path: str) -> tuple[str, int, int] | None:
     import os
@@ -103,7 +108,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # grading driver builds its own session); both are runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    cached = _SCAN_CACHE.get(_source_fingerprint(path))
+    fp = _source_fingerprint(path)
+    cached = _SCAN_CACHE.get(fp)
+    # memoize the DataFrame per (session, resolved path, source
+    # fingerprint): spark.read.parquet re-lists files and re-reads the
+    # footer schema on every call (~120 ms here) and a workload that
+    # runs many queries pays it per query per table. DataFrames are
+    # immutable, so reuse is safe; the fingerprint keys out testdata
+    # regenerated in place.
+    memo_key = (id(spark), cached or path, fp)
+    df = _TABLE_MEMO.get(memo_key)
+    if df is not None:
+        return df
     df = spark.read.parquet(cached if cached is not None else path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # convert to TIMESTAMP_NTZ (naive wall clock, like every other
@@ -117,6 +133,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
             ),
         )
+    if len(_TABLE_MEMO) >= _TABLE_MEMO_MAX:
+        _TABLE_MEMO.clear()
+    _TABLE_MEMO[memo_key] = df
     return df
 
 
