@@ -322,6 +322,95 @@ class Schema(T.StructType):
         return "struct"
 
 
+class RowView:
+    """Read-only row handle (reference RowView, __init__.pyi:2154-2283):
+    mapping + attribute access to one row's values, plus the async/bytes
+    accessors. Also keeps the historical Spark-Row conveniences
+    (attribute access, ``.asDict()``) so it is a drop-in for the rows
+    ``ds[i]`` used to return."""
+
+    __slots__ = ("_values",)
+
+    def __init__(self, values: dict):
+        object.__setattr__(self, "_values", dict(values))
+
+    @property
+    def row_id(self) -> int:
+        """reference Row.row_id (__init__.pyi:2046-2049)."""
+        return self._values.get("_row_id")
+
+    def __getitem__(self, column: str):
+        return self._values[column]
+
+    def __getattr__(self, name: str):
+        try:
+            return object.__getattribute__(self, "_values")[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __contains__(self, column: str) -> bool:
+        return column in self._values
+
+    def get_async(self, column: str):
+        """reference Row.get_async → Future (__init__.pyi:1962-1992)."""
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.__getitem__, column)
+
+    def get_bytes(self, column: str):
+        """reference Row.get_bytes (__init__.pyi:2033)."""
+        v = self._values[column]
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return str(v).encode("utf-8")
+
+    def get_bytes_async(self, column: str):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.get_bytes, column)
+
+    def to_dict(self) -> dict:
+        """reference Row.to_dict (__init__.pyi:2038-2041)."""
+        return {k: v for k, v in self._values.items() if k != "_row_id"}
+
+    def asDict(self) -> dict:
+        """Legacy Spark-Row spelling (includes _row_id)."""
+        return dict(self._values)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, RowView):
+            return self._values == other._values
+        return NotImplemented
+
+    __hash__ = None
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{k}={v!r}" for k, v in self.to_dict().items())
+        return f"{type(self).__name__}(row_id={self.row_id}, {cols})"
+
+
+class Row(RowView):
+    """Mutable row handle (reference Row, __init__.pyi:1951-2049):
+    ``row[col] = value`` writes through as a copy-on-write cell update
+    on the owning dataset (staged until commit, like ds.update)."""
+
+    __slots__ = ("_ds",)
+
+    def __init__(self, ds: "Dataset", values: dict):
+        super().__init__(values)
+        object.__setattr__(self, "_ds", ds)
+
+    def __setitem__(self, column: str, value) -> None:
+        self._ds.update(self.row_id, {column: value})
+        self._values[column] = value
+
+    def set_async(self, column: str, value):
+        """reference Row.set_async → FutureVoid (__init__.pyi:1999)."""
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.__setitem__, column, value)
+
+
 class Dataset:
     """A versioned, ordered, columnar dataset over parquet files."""
 
@@ -340,6 +429,14 @@ class Dataset:
         self._staged_patches: list[str] = []
         self._staged_patch_rows: list[tuple[int, str]] = []  # (row_id, file)
         self._staged_file_max: dict[str, int] = {}  # file -> max _row_id
+        #: time-based auto-commit (reference auto_commit_enabled,
+        #: __init__.pyi:3036-3050): when on, a mutation whose staged
+        #: changes are older than auto_commit_interval_s commits them
+        #: (the reference's background timer, checked at write sites —
+        #: no daemon thread to leak against the SparkSession)
+        self.auto_commit_enabled: bool = True
+        self.auto_commit_interval_s: float = 300.0
+        self._staged_since: float | None = None
         self._entry = _read_entry(path, self.version) if self.version > 0 else {
             "version": 0, "files": [], "deletes": [], "schema": None,
             "timestamp": time.time(), "branch": branch, "parent": None,
@@ -647,6 +744,16 @@ class Dataset:
     def __len__(self) -> int:
         return self.to_df().count()
 
+    def __iter__(self):
+        """Row iteration (reference Dataset.__iter__ → Iterator[Row],
+        __init__.pyi:3034): streams partitions to the driver
+        (toLocalIterator — never a full collect) in _row_id order,
+        yielding mutable Row handles."""
+        it = (self.to_df().orderBy("_row_id")
+              .toLocalIterator(prefetchPartitions=True))
+        for r in it:
+            yield Row(self, r.asDict())
+
     def __getitem__(self, i):
         """Offset / slice addressing (__init__.pyi:2286-2350): rows are
         ordered by `_row_id`."""
@@ -655,7 +762,7 @@ class Dataset:
             row = df.filter(F.col("_row_id") == i).head()
             if row is None:
                 raise IndexError(i)
-            return row
+            return Row(self, row.asDict())
         if isinstance(i, slice):
             start, stop = i.start or 0, i.stop if i.stop is not None else 1 << 62
             out = df.filter((F.col("_row_id") >= start) & (F.col("_row_id") < stop))
@@ -835,12 +942,14 @@ class Dataset:
             self._staged_file_max[fname] = base + len(as_rows) - 1
         if self.schema is None:
             self._pending_schema = df.schema
+        self._note_staged()
 
     def delete(self, offset: int) -> None:
         """Tombstone one row by offset (__init__.pyi:3428) —
         merge-on-read delete, no file rewrite."""
         self._check_writable()
         self._staged_deletes.append(int(offset))
+        self._note_staged()
 
     def update(self, offset: int, values: dict) -> None:
         """Cell update (Row.__setitem__ semantics, __init__.pyi:1994):
@@ -854,6 +963,7 @@ class Dataset:
         fname = self._write_file(df)
         self._staged_patches.append(fname)
         self._staged_patch_rows.append((int(offset), fname))
+        self._note_staged()
 
     def compact(self) -> None:
         """Rewrite the snapshot without tombstones/patches (OPTIMIZE)."""
@@ -970,6 +1080,10 @@ class Dataset:
     def current_branch(self) -> str:
         """Active branch name (reference current_branch, __init__.pyi:2997)."""
         return self._branch
+
+    # NB: `ds.version` (reference Dataset.version, __init__.pyi:3164)
+    # already exists as the instance attribute set in __init__ — our
+    # version ids are the commit-log sequence numbers.
 
     def branches(self) -> Branches:
         """Branch name → head version; ``[name]`` returns a Branch
@@ -1479,6 +1593,17 @@ class Dataset:
         self._staged_patches = []
         self._staged_patch_rows = []
         self._staged_file_max = {}
+        self._staged_since = None
+
+    def _note_staged(self) -> None:
+        """Stamp the first staged mutation and run the time-based
+        auto-commit check (reference auto_commit_enabled semantics,
+        __init__.pyi:3036: periodic commits while writes flow)."""
+        if self._staged_since is None:
+            self._staged_since = time.time()
+        if (self.auto_commit_enabled
+                and time.time() - self._staged_since >= self.auto_commit_interval_s):
+            self.commit("auto-commit")
 
     def _entry_max_row_id(self, entry: dict) -> int:
         """Max row id of a commit-log entry: the persisted `max_row_id`

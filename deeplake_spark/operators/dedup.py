@@ -293,8 +293,10 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
                  F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
         .filter(F.col("__i").isNotNull())
     )
-    win = F.concat_ws(
-        " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(w)])
+    # one parsed expression (see bit_vote_sums on chained-Column cost);
+    # element_at args compile ~6x cheaper than slice+array_join (trap 6)
+    win = F.expr("concat_ws(' ', " + ",".join(
+        f"element_at(__t, __i + {j})" for j in range(w)) + ")")
     # persisted once: the tokenize+explode+window-assembly feeds BOTH
     # the dup-key aggregate and the flag join below — without the cache
     # each branch re-runs it (lazy persist; block-level locking dedups
@@ -565,8 +567,8 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
                      F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
             .filter(F.col("__i").isNotNull())
         )
-        win = F.concat_ws(
-            " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(w)])
+        win = F.expr("concat_ws(' ', " + ",".join(
+            f"element_at(__t, __i + {j})" for j in range(w)) + ")")
         return rows.select("doc_id", win.alias("__w"))
 
     eval_wins = windows(eval_df).select("__w").distinct()

@@ -302,9 +302,11 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
         .filter(F.col("chunk_idx").isNotNull())
     )
     base = F.col("chunk_idx") * chunk
-    text_expr = F.concat_ws(
-        " ", *[F.try_element_at(F.col("__toks"), base + j)
-               for j in range(1, chunk + 1)])
+    # one parsed expression — see operators/dedup.bit_vote_sums on the
+    # driver-side cost of chained-Column construction
+    text_expr = F.expr("concat_ws(' ', " + ",".join(
+        f"try_element_at(__toks, chunk_idx * {chunk} + {j})"
+        for j in range(1, chunk + 1)) + ")")
     return with_idx.select(
         F.col(id_col),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),

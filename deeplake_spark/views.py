@@ -97,7 +97,9 @@ class DatasetView:
             row = off.filter(F.col("__offset") == i).drop("__offset").head()
             if row is None:
                 raise IndexError(i)
-            return row
+            from deeplake_spark.dataset import RowView
+
+            return RowView(row.asDict())
         if isinstance(i, slice):
             start = i.start or 0
             stop = i.stop if i.stop is not None else 1 << 62
@@ -119,8 +121,13 @@ class DatasetView:
         raise TypeError(type(i))
 
     def __iter__(self):
+        """Iterator[RowView] (reference DatasetView.__iter__) — streams
+        partitions, never a full collect."""
+        from deeplake_spark.dataset import RowView
+
         ordered = self._offsets().orderBy("__offset").drop("__offset")
-        return iter(ordered.toLocalIterator(prefetchPartitions=True))
+        return (RowView(r.asDict())
+                for r in ordered.toLocalIterator(prefetchPartitions=True))
 
     def __len__(self) -> int:
         return self._df.count()

@@ -94,3 +94,55 @@ def test_column_definition_drop_rename(ds):
     [c2] = [c for c in ds.schema.columns if c.name == "renamed"]
     c2.drop()
     assert "renamed" not in [f.name for f in ds.schema.fields]
+
+
+def test_row_handles_and_iteration(ds):
+    """Reference Row/RowView shape (__init__.pyi:1951-2283): ds[i] is a
+    mutable Row (getitem/attr/to_dict/row_id/async accessors), writes
+    stage through ds.update, and Dataset/DatasetView iterate row
+    handles in offset order."""
+    from deeplake_spark.dataset import Row, RowView
+
+    row = ds[0]
+    assert isinstance(row, Row)
+    assert row.row_id == 0 and row["text"] == "alpha" == row.text
+    assert row.to_dict() == {"text": "alpha"}          # no _row_id
+    assert row.asDict()["_row_id"] == 0                # legacy spelling
+    assert row.get_bytes("text") == b"alpha"
+    assert row.get_async("text").result() == "alpha"
+
+    row["text"] = "alpha2"                              # staged write
+    assert ds[0]["text"] == "alpha2"                    # read-your-write
+    ds.commit("edit")
+    assert dl.open(ds.path, spark=ds.spark)[0].text == "alpha2"
+
+    texts = [r.text for r in ds]                        # Dataset.__iter__
+    assert texts == ["alpha2", "beta"]
+    assert all(isinstance(r, Row) for r in ds)
+
+    view = ds.query("SELECT * ORDER BY text")
+    vrows = list(view)
+    assert all(isinstance(r, RowView) for r in vrows)
+    assert [r.text for r in vrows] == ["alpha2", "beta"]
+    assert not hasattr(vrows[0], "__setitem__") or not isinstance(
+        vrows[0], Row)                                  # views stay read-only
+
+
+def test_auto_commit_time_based(ds):
+    """auto_commit_enabled (__init__.pyi:3036-3050): staged mutations
+    older than the interval commit at the next write; disabled leaves
+    everything staged for the explicit commit."""
+    v0 = ds.version
+    ds.auto_commit_interval_s = 0.0                     # fire immediately
+    ds.append([{"text": "c"}])
+    ds.append([{"text": "d"}])                          # triggers the check
+    assert ds.version > v0                              # auto-committed
+    assert ds._staged_files == []
+
+    ds.auto_commit_enabled = False
+    v1 = ds.version
+    ds.append([{"text": "e"}])
+    ds.append([{"text": "f"}])
+    assert ds.version == v1 and ds._staged_files        # still staged
+    ds.commit("manual")
+    assert ds.version > v1

@@ -105,3 +105,34 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     assert got.n == 500 and got.d == 500
     # batch fallback path
     assert dedup_stream(ev.unionAll(ev), ["event_id"]).count() == 500
+
+
+def test_split_and_mixture_are_streaming_safe(spark, sf_dir):
+    """assign_splits / mixture_sample are pure per-row md5 expressions —
+    no state, no shuffle — so the SAME operator applies unchanged to a
+    readStream and assigns exactly what the batch path assigns (the
+    property that lets one pipeline definition serve backfill and
+    live-tail ingestion)."""
+    from deeplake_spark.operators.sampling import assign_splits, mixture_sample
+
+    stream = read_event_stream(spark, sf_dir).select(
+        F.col("event_id").alias("doc_id"), "event_type")
+    out = mixture_sample(
+        assign_splits(stream, id_col="doc_id"),
+        domain_col="event_type",
+        rates={"click": 0.5}, id_col="doc_id", default_rate=1.0,
+    )
+    run_stream_to_memory(out, "split_stream_out")
+    got = {r.doc_id: r.split
+           for r in spark.sql("SELECT * FROM split_stream_out").collect()}
+
+    batch = mixture_sample(
+        assign_splits(
+            load_table(spark, sf_dir, "events")
+            .select(F.col("event_id").alias("doc_id"), "event_type"),
+            id_col="doc_id"),
+        domain_col="event_type",
+        rates={"click": 0.5}, id_col="doc_id", default_rate=1.0,
+    )
+    expected = {r.doc_id: r.split for r in batch.collect()}
+    assert got == expected
