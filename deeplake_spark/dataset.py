@@ -411,6 +411,165 @@ class Row(RowView):
         return _qa(self.__setitem__, column, value)
 
 
+class ColumnView:
+    """Read-only column handle (reference ColumnView, __init__.pyi:
+    1391-1590): offset addressing, async/bytes accessors, batch loads,
+    metadata/statistics. Unknown attributes delegate to the underlying
+    ordered DataFrame, so the historical ``ds["col"]`` DataFrame uses
+    (.columns, .collect, ...) keep working unchanged."""
+
+    def __init__(self, df: DataFrame, name: str, ds: "Dataset | None" = None,
+                 offset_col: str = "_row_id"):
+        self._df = df
+        self._name = name
+        self._ds = ds
+        self._offset_col = offset_col
+
+    @property
+    def name(self) -> str:
+        """reference ColumnView.name."""
+        return self._name
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def _value_at(self, i: int):
+        row = self._df.filter(F.col(self._offset_col) == i).head()
+        if row is None:
+            raise IndexError(i)
+        return row[self._name]
+
+    def __getitem__(self, i):
+        """int → the value at that offset; slice / list → list of
+        values (reference returns ndarray/list — python list here)."""
+        if isinstance(i, int):
+            return self._value_at(i)
+        if isinstance(i, slice):
+            start = i.start or 0
+            stop = i.stop if i.stop is not None else 1 << 62
+            out = self._df.filter(
+                (F.col(self._offset_col) >= start) & (F.col(self._offset_col) < stop))
+            if i.step and i.step != 1:
+                out = out.filter((F.col(self._offset_col) - start) % i.step == 0)
+            return [r[self._name] for r in out.orderBy(self._offset_col).collect()]
+        if isinstance(i, (list, tuple)):
+            rows = self._df.filter(F.col(self._offset_col).isin(list(i))).collect()
+            by_id = {r[self._offset_col]: r[self._name] for r in rows}
+            return [by_id[j] for j in i]
+        raise TypeError(type(i))
+
+    def get_async(self, i):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.__getitem__, i)
+
+    def get_bytes(self, i):
+        v = self[i]
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return str(v).encode("utf-8")
+
+    def get_bytes_async(self, i):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.get_bytes, i)
+
+    def load_batch(self, start: int = 0, count: int | None = None):
+        """Batch value load (reference ColumnView.load_batch): the
+        [start, start+count) values in offset order."""
+        stop = None if count is None else start + count
+        return self[start:stop]
+
+    @property
+    def metadata(self) -> dict:
+        if self._ds is None:
+            return {}
+        return self._ds.get_column_metadata(self._name)
+
+    @property
+    def statistics(self):
+        """Stored ColumnStatistics (None until ds.analyze has run)."""
+        if self._ds is None:
+            return None
+        return self._ds.column_statistics(self._name)
+
+    @property
+    def indexes(self) -> list[str]:
+        """Index kinds registered on this column (reference
+        ColumnView.indexes → list[types.Index])."""
+        if self._ds is None:
+            return []
+        refs = _read_refs(self._ds.path)
+        meta = refs.get("indexes", {}).get(self._name)
+        return [meta["kind"]] if meta else []
+
+    def __getattr__(self, name: str):
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._name!r})"
+
+    __str__ = __repr__
+
+
+class Column(ColumnView):
+    """Mutable column handle (reference Column, __init__.pyi:1606-1800):
+    cell writes stage through ds.update; index management and codec
+    encode are bound to the column."""
+
+    def __setitem__(self, i, value) -> None:
+        if isinstance(i, int):
+            self._ds.update(i, {self._name: value})
+            return
+        if isinstance(i, slice):
+            start = i.start or 0
+            vals = list(value)
+            self.update_batch(start, vals)
+            return
+        raise TypeError(type(i))
+
+    def set_async(self, i, value):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.__setitem__, i, value)
+
+    def update_batch(self, start: int, values) -> None:
+        """Contiguous batch of cell updates (reference
+        Column.update_batch / set_async(slice, batch))."""
+        for off, v in enumerate(values, start=start):
+            self._ds.update(off, {self._name: v})
+
+    def create_index(self, kind: str = "inverted", **options) -> None:
+        self._ds.create_index(self._name, kind=kind, **options)
+
+    def drop_index(self) -> None:
+        self._ds.drop_index(self._name)
+
+    def encode(self, images) -> list[bytes]:
+        """Encode numpy arrays into the column's sample codec
+        (reference Column.encode; Image htype). Supported here: ppm
+        (stdlib P6 — the codec our decoder round-trips) and raw bytes
+        passthrough; other codecs raise like the strict decode path."""
+        codec = (self.metadata or {}).get("sample_compression", "ppm")
+        out = []
+        for img in images:
+            if isinstance(img, (bytes, bytearray)):
+                out.append(bytes(img))
+                continue
+            if codec != "ppm":
+                raise NotImplementedError(
+                    f"encode for codec {codec!r} is not available here "
+                    "(ppm and raw bytes are)")
+            import numpy as np
+
+            a = np.asarray(img, dtype="uint8")
+            if a.ndim != 3 or a.shape[2] != 3:
+                raise ValueError("ppm encode expects (h, w, 3) uint8")
+            h, w = a.shape[:2]
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + a.tobytes())
+        return out
+
+
 class Dataset:
     """A versioned, ordered, columnar dataset over parquet files."""
 
@@ -770,7 +929,9 @@ class Dataset:
                 out = out.filter((F.col("_row_id") - start) % i.step == 0)
             return out.orderBy("_row_id")
         if isinstance(i, str):
-            return df.select(i, "_row_id").orderBy("_row_id")
+            if self.schema is not None and i not in [f.name for f in self.schema.fields]:
+                raise ColumnDoesNotExistError(i)
+            return Column(df.select(i, "_row_id").orderBy("_row_id"), i, self)
         if isinstance(i, (list, tuple)):
             return df.filter(F.col("_row_id").isin(list(i))).orderBy("_row_id")
         raise TypeError(type(i))

@@ -222,21 +222,26 @@ def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
     pid = F.spark_partition_id()
     mono = F.monotonically_increasing_id()
     tagged = df.withColumn("__pid", pid).withColumn("__mono", mono)
-    # one row per partition — broadcastable at any data scale
+    # one row per partition — broadcastable at any data scale.
+    # NB: the internal shift column is namespaced (__wro_shift): it used
+    # to be called "__offset", and a caller passing col_name="__offset"
+    # (views._offsets) had its RESULT column silently dropped with the
+    # temps — masked for filter/orderBy by the analyzer's
+    # ResolveMissingReferences, exposed by any select of the column.
     offsets = (
         tagged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.min("__mono").alias("__base"))
         .withColumn(
-            "__offset",
+            "__wro_shift",
             F.sum("__cnt").over(
                 Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
-        .fillna({"__offset": 0})
-        .select("__pid", "__base", "__offset")
+        .fillna({"__wro_shift": 0})
+        .select("__pid", "__base", "__wro_shift")
     )
     return (
         tagged.join(F.broadcast(offsets), "__pid")
-        .withColumn(col_name, F.col("__mono") - F.col("__base") + F.col("__offset"))
-        .drop("__pid", "__mono", "__base", "__offset")
+        .withColumn(col_name, F.col("__mono") - F.col("__base") + F.col("__wro_shift"))
+        .drop("__pid", "__mono", "__base", "__wro_shift")
     )

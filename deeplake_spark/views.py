@@ -109,11 +109,13 @@ class DatasetView:
             return DatasetView(out.orderBy("__offset").drop("__offset"),
                                indexes=self._indexes, dataset=self._dataset)
         if isinstance(i, str):
-            return DatasetView(
-                off.orderBy("__offset").select(
-                    *([i, _ROW_ID] if _ROW_ID in self._df.columns and i != _ROW_ID
-                      else [i])),
-                indexes=self._indexes, dataset=self._dataset)
+            # reference DatasetView[str] -> ColumnView; offset-keyed so
+            # col[3] addresses the view's own row order
+            from deeplake_spark.dataset import ColumnView
+
+            return ColumnView(
+                off.orderBy("__offset").select(i, "__offset"),
+                i, ds=self._dataset, offset_col="__offset")
         if isinstance(i, (list, tuple)):
             out = off.filter(F.col("__offset").isin(list(i)))
             return DatasetView(out.orderBy("__offset").drop("__offset"),
