@@ -21,13 +21,36 @@ from deeplake_spark.io import load_tables, with_row_id
 from deeplake_spark.dataset import (
     Branch,
     Branches,
+    BranchView,
+    BranchesView,
+    Client,
+    Column,
     ColumnDefinition,
+    ColumnDefinitionView,
+    ColumnView,
     Dataset,
+    History,
+    IndexBuildConfig,
+    IndexingMode,
     MergeConflictError,
+    Metadata,
+    Random,
+    ReadOnlyMetadata,
+    Row,
+    RowRange,
+    RowRangeView,
+    RowView,
     Schema,
+    SchemaView,
     Tag,
     Tags,
+    TagView,
+    TagsView,
+    TelemetryClient,
     Version,
+    client,
+    random,
+    telemetry_client,
     convert,
     connect,
     copy,
@@ -60,17 +83,38 @@ from deeplake_spark import exceptions as exceptions  # noqa: F401
 from deeplake_spark import types  # noqa: F401
 from deeplake_spark import tql  # noqa: F401
 from deeplake_spark import formats  # noqa: F401
+from deeplake_spark import core  # noqa: F401
+from deeplake_spark import schemas  # noqa: F401
+from deeplake_spark import storage  # noqa: F401
+from deeplake_spark.tql import Executor  # noqa: F401
+from deeplake_spark.types import QuantizationType  # noqa: F401
+from deeplake_spark.plans.stats import ColumnStatistics  # noqa: F401
+from deeplake_spark.plans.explain import PlanReport  # noqa: F401
+from deeplake_spark.operators.similarity import SearchConfig  # noqa: F401
+from deeplake_spark.streaming.feed import Future, FutureVoid  # noqa: F401
+from deeplake_spark.core import Array  # noqa: F401  (nd-array cell handle)
+
+#: reference name for the structured explain report
+ExplainQueryResult = PlanReport
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_spark", "load_tables", "with_row_id", "__version__",
     "Dataset", "MergeConflictError", "create", "open", "open_read_only",
-    "Branch", "Branches", "Tag", "Tags", "Schema", "ColumnDefinition",
-    "Version",
+    "Branch", "Branches", "BranchView", "BranchesView",
+    "Tag", "Tags", "TagView", "TagsView",
+    "Schema", "SchemaView", "ColumnDefinition", "ColumnDefinitionView",
+    "Column", "ColumnView", "Row", "RowView", "RowRange", "RowRangeView",
+    "Version", "History", "Metadata", "ReadOnlyMetadata",
+    "IndexingMode", "IndexBuildConfig", "QuantizationType",
+    "SearchConfig", "ColumnStatistics", "ExplainQueryResult",
+    "Future", "FutureVoid", "Executor", "Array",
+    "Client", "TelemetryClient", "client", "telemetry_client",
+    "Random", "random",
     "copy", "like", "convert", "delete", "exists", "from_parquet",
     "from_csv", "from_coco", "query", "query_async", "prepare_query",
     "explain_query", "create_async", "open_async",
     "open_read_only_async", "delete_async", "exists_async",
-    "types", "tql",
+    "types", "tql", "core", "schemas", "storage", "formats",
 ] + list(exceptions.__all__)

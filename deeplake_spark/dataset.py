@@ -411,6 +411,109 @@ class Row(RowView):
         return _qa(self.__setitem__, column, value)
 
 
+class History(list):
+    """reference History (__init__.pyi:3843+): sequence of Version
+    entries, oldest→newest indexable/iterable. A list subclass so the
+    engine's historical `history() -> list[Version]` contract holds."""
+
+    def __repr__(self) -> str:
+        return f"History({list.__repr__(self)})"
+
+    __str__ = __repr__
+
+
+class ReadOnlyMetadata(dict):
+    """reference ReadOnlyMetadata: mapping view over stored metadata."""
+
+    def __readonly(self, *a, **k):
+        raise TypeError("read-only metadata")
+
+    __setitem__ = __delitem__ = pop = popitem = clear = __readonly  # type: ignore[assignment]
+    update = setdefault = __readonly  # type: ignore[assignment]
+
+
+class Metadata(dict):
+    """reference Metadata: mapping whose ``[k] = v`` writes through to
+    the dataset (a metadata-only commit entry) or a column's schema
+    metadata, depending on what it is bound to."""
+
+    def __init__(self, values: dict, writer=None):
+        super().__init__(values)
+        self._writer = writer
+
+    def __setitem__(self, key, value) -> None:
+        super().__setitem__(key, value)
+        if self._writer is not None:
+            self._writer(key, value)
+
+
+class IndexingMode:
+    """reference IndexingMode enum (__init__.pyi:2885-2926). Values
+    carry their reference names; the engine compares by string too
+    ('automatic' / 'off' / 'always')."""
+
+    Always = "always"
+    Automatic = "automatic"
+    Off = "off"
+    __members__ = {"Always": Always, "Automatic": Automatic, "Off": Off}
+
+
+class RowRangeView:
+    """reference RowRangeView (__init__.pyi:2151-2280): a row range of a
+    view — iterable/indexable; unknown attributes delegate to the
+    underlying ordered DataFrame so the historical slice return (a
+    DataFrame) keeps working for .collect()/.count() callers."""
+
+    _row_cls = RowView
+
+    def __init__(self, df: DataFrame, ds: "Dataset | None" = None,
+                 offset_col: str = "_row_id"):
+        self._df = df
+        self._ds = ds
+        self._offset_col = offset_col
+
+    def _wrap(self, values: dict):
+        if self._row_cls is Row and self._ds is not None:
+            return Row(self._ds, values)
+        return RowView(values)
+
+    def __iter__(self):
+        order = (self._df.orderBy(self._offset_col)
+                 if self._offset_col in self._df.columns else self._df)
+        return (self._wrap(r.asDict())
+                for r in order.toLocalIterator(prefetchPartitions=True))
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def __getitem__(self, i: int):
+        if not isinstance(i, int):
+            raise TypeError(type(i))
+        if self._offset_col not in self._df.columns:
+            raise KeyError(self._offset_col)
+        row = self._df.filter(F.col(self._offset_col) == i).head()
+        if row is None:
+            raise IndexError(i)
+        return self._wrap(row.asDict())
+
+    def summary(self):
+        """reference RowRange.summary()."""
+        return self._df.summary()
+
+    def __getattr__(self, name: str):
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._df.columns})"
+
+
+class RowRange(RowRangeView):
+    """Mutable row range (reference RowRange): rows come back as
+    mutable Row handles bound to the owning dataset."""
+
+    _row_cls = Row
+
+
 class ColumnView:
     """Read-only column handle (reference ColumnView, __init__.pyi:
     1391-1590): offset addressing, async/bytes accessors, batch loads,
@@ -927,13 +1030,17 @@ class Dataset:
             out = df.filter((F.col("_row_id") >= start) & (F.col("_row_id") < stop))
             if i.step and i.step != 1:
                 out = out.filter((F.col("_row_id") - start) % i.step == 0)
-            return out.orderBy("_row_id")
+            # reference RowRange handle; delegates to the ordered
+            # DataFrame for the historical .collect()/.count() callers
+            return RowRange(out.orderBy("_row_id"), ds=self)
         if isinstance(i, str):
             if self.schema is not None and i not in [f.name for f in self.schema.fields]:
                 raise ColumnDoesNotExistError(i)
             return Column(df.select(i, "_row_id").orderBy("_row_id"), i, self)
         if isinstance(i, (list, tuple)):
-            return df.filter(F.col("_row_id").isin(list(i))).orderBy("_row_id")
+            return RowRange(
+                df.filter(F.col("_row_id").isin(list(i))).orderBy("_row_id"),
+                ds=self)
         raise TypeError(type(i))
 
     def summary(self):
@@ -1221,14 +1328,14 @@ class Dataset:
 
             append_pq_delta(load_pq(self.spark, idx_path), new_df, idx_path)
 
-    def history(self) -> list[Version]:
+    def history(self) -> "History":
         out = []
         v = self.version
         while v and v > 0:
             e = _read_entry(self.path, v)
             out.append(Version(e))
             v = e.get("parent")
-        return list(reversed(out))
+        return History(reversed(out))
 
     def rollback(self) -> "Dataset":
         """Discard staged changes (reference rollback, __init__.pyi:3473)."""
@@ -1257,9 +1364,16 @@ class Dataset:
         return Tags(self, _read_refs(self.path).get("tags", {}))
 
     @property
-    def metadata(self) -> dict:
-        """Free-form dataset metadata of the current version."""
-        return dict(self._entry.get("metadata", {}))
+    def metadata(self) -> "Metadata":
+        """Free-form dataset metadata of the current version (reference
+        Metadata: ``ds.metadata[k] = v`` persists as a metadata-only
+        commit entry; still ``== dict`` for historical callers)."""
+        def _write(key, value):
+            if self.read_only:
+                raise ReadOnlyDatasetModificationError("dataset is read-only")
+            self._entry.setdefault("metadata", {})[key] = value
+            self._commit_entry(message=f"metadata {key}")
+        return Metadata(self._entry.get("metadata", {}), writer=_write)
 
     @property
     def created_time(self) -> float | None:
@@ -2224,3 +2338,85 @@ def delete_async(path: str):
 
 def exists_async(path: str):
     return _async(exists, path)
+
+
+# --------------------------------------------------------------------------
+# Reference view-variant aliases (__all__ parity): the read-only *View
+# classes in the reference share the read surface of their mutable
+# counterparts; our handles are already read-only-safe on read-only
+# datasets (every mutator goes through _check_writable), so the alias
+# IS the implementation.
+BranchView = Branch
+BranchesView = Branches
+TagView = Tag
+TagsView = Tags
+SchemaView = Schema
+ColumnDefinitionView = ColumnDefinition
+
+
+class Client:
+    """reference Client (__init__.pyi:868-874): control-plane client.
+    No hosted control plane exists in this engine — the object carries
+    the endpoint attribute for API compatibility; nothing dials out."""
+
+    endpoint: str = ""
+
+
+class TelemetryClient:
+    """reference TelemetryClient: telemetry sink handle. Inert here —
+    this engine emits no telemetry."""
+
+    api_key: str = ""
+    endpoint: str = ""
+
+
+client = Client()
+telemetry_client = TelemetryClient()
+
+
+class Random:
+    """reference Random (__init__.pyi:875-882): process-wide seed
+    control for the engine's randomized operators. Setting ``seed``
+    makes SAMPLE BY / sample_* draws reproducible across runs;
+    ``None`` restores per-call defaults (operators/sampling.py reads
+    this through default_seed())."""
+
+    seed: int | None = None
+
+
+random = Random()
+
+
+def default_seed(fallback: int | None = 42) -> int | None:
+    """The seed randomized operators use when the caller passed none:
+    deeplake_spark.random.seed if set, else the fallback."""
+    return random.seed if random.seed is not None else fallback
+
+
+class IndexBuildConfig:
+    """reference IndexBuildConfig (__init__.pyi): how aggressively index
+    builds trade build time for quality. `build_multiplier` scales the
+    training/probe effort (our IVF/PQ builders read it as a sample- and
+    iteration multiplier)."""
+
+    def __init__(self, build_multiplier: float = 1.0):
+        self.build_multiplier = float(build_multiplier)
+
+    @classmethod
+    def default_config(cls) -> "IndexBuildConfig":
+        return cls(1.0)
+
+    @classmethod
+    def fast(cls) -> "IndexBuildConfig":
+        return cls(0.5)
+
+    @classmethod
+    def high_quality(cls) -> "IndexBuildConfig":
+        return cls(2.0)
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, IndexBuildConfig)
+                and self.build_multiplier == other.build_multiplier)
+
+    def __repr__(self) -> str:
+        return f"IndexBuildConfig(build_multiplier={self.build_multiplier})"

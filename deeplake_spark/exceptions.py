@@ -14,9 +14,11 @@ A few classes dual-inherit a stdlib type (``ValueError`` /
 before the taxonomy existed and callers may already pin them.
 
 Hosted-service errors (AgreementError, AuthenticationError, HTTP*,
-TelemetryClient-related) are intentionally absent: there is no hosted
-control plane in this engine (see storage.py — the metadata facade is
-POSIX / mem:// / Hadoop FS).
+Storage*) exist for catch-clause compatibility — user code written
+against the reference catches them by name — but only the storage
+facade's local backends raise the Storage* ones; there is no hosted
+control plane in this engine (see storage.py), so the agreement/auth/
+HTTP family is never raised by us.
 """
 
 from __future__ import annotations
@@ -210,10 +212,204 @@ class InvalidChunkStrategyType(DatasetError, ValueError):
     """Bad chunk strategy object (__init__.pyi:3945)."""
 
 
-__all__ = [n for n in dir() if n.endswith(("Error", "Exists", "NotFound"))
-           or n in ("UnknownType", "InvalidType", "UnknownStringType",
-                    "UnspecifiedDtype", "InvalidTypeDimensions",
-                    "InvalidTypeAndFormatPair", "UnknownFormat",
-                    "UnsupportedSampleCompression",
-                    "UnsupportedChunkCompression",
-                    "InvalidChunkStrategyType")]
+# --------------------------------------------- service / control plane
+# (catch-clause compatibility: reference names __init__.pyi:3792-3990;
+# this engine has no hosted control plane, so most are never raised
+# here — Storage* are raised by the storage facade's backends)
+
+class ServiceError(DatasetError):
+    """Base for control-plane/service errors (agreement/auth/HTTP)."""
+
+
+class AgreementError(ServiceError):
+    """Dataset agreement problem (__init__.pyi)."""
+
+
+class AgreementNotAcceptedError(AgreementError):
+    """Dataset agreement was not accepted."""
+
+
+class NotLoggedInAgreementError(AgreementError):
+    """Agreement flow requires a logged-in user."""
+
+
+class AuthenticationError(ServiceError):
+    """Invalid or missing credentials."""
+
+
+class AuthorizationError(ServiceError):
+    """Authenticated but not permitted."""
+
+
+class PermissionDeniedError(AuthorizationError):
+    """Operation denied for this principal."""
+
+
+class ExpiredTokenError(AuthenticationError):
+    """Auth token expired."""
+
+
+class BadRequestError(ServiceError):
+    """Malformed control-plane request."""
+
+
+class HTTPRequestFailedError(ServiceError):
+    """Control-plane HTTP call failed."""
+
+
+class HTTPBodyIsMissingError(HTTPRequestFailedError):
+    """HTTP response had no body."""
+
+
+class HTTPBodyIsNotJSONError(HTTPRequestFailedError):
+    """HTTP response body was not JSON."""
+
+
+class CredsKeyAlreadyAssignedError(ServiceError):
+    """set_creds_key on a dataset that already has one."""
+
+
+class InvalidCredsKeyAssignmentError(ServiceError):
+    """creds key cannot be assigned to this dataset."""
+
+
+# ----------------------------------------------------------- storage
+
+class StorageAccessDenied(DatasetError):
+    """Storage backend denied access (__init__.pyi)."""
+
+
+class StorageInternalError(DatasetError):
+    """Storage backend internal failure."""
+
+
+class StorageNetworkConnectionError(DatasetError):
+    """Storage backend unreachable."""
+
+
+class GcsStorageProviderFailed(StorageInternalError):
+    """GCS-specific storage failure."""
+
+
+# ----------------------------------------------- data / codec / shape
+
+class ReadOnlyDataset(DatasetError):
+    """Write attempted on a read-only dataset handle (__init__.pyi).
+    (Our write guard historically raised ReadOnlyDatasetError; both
+    names resolve to typed DatasetError subclasses.)"""
+
+
+class TensorAlreadyExists(DatasetError):
+    """Tensor/column already exists (v3 vocabulary)."""
+
+
+class DimensionsMismatch(DatasetError, ValueError):
+    """nd value has the wrong number of dimensions."""
+
+
+class DimensionsMismatchError(DimensionsMismatch):
+    """Alias family member kept distinct in the reference."""
+
+
+class DtypeMismatch(DatasetError, ValueError):
+    """Value dtype does not match the column dtype."""
+
+
+class EmbeddingSizeMismatch(DatasetError, ValueError):
+    """Embedding length differs from the declared size."""
+
+
+class InvalidSequenceOfSequence(DatasetError, ValueError):
+    """Nested sequence value has inconsistent shape."""
+
+
+class UnsupportedPythonType(DatasetError, TypeError):
+    """Python value type not storable."""
+
+
+class InvalidTextType(DatasetError, ValueError):
+    """Text column value is not a string."""
+
+
+class UnexpectedMedicalTypeInputData(DatasetError, ValueError):
+    """Medical column fed non-medical payload."""
+
+
+class UnexpectedInputDataForDicomColumn(UnexpectedMedicalTypeInputData):
+    """Dicom column fed non-dicom payload."""
+
+
+class InvalidPolygonShapeError(DatasetError, ValueError):
+    """Polygon column value has a bad shape."""
+
+
+class UnknownBoundingBoxCoordinateFormat(DatasetError, ValueError):
+    """BoundingBox coordinate format string unknown."""
+
+
+class UnknownBoundingBoxPixelFormat(DatasetError, ValueError):
+    """BoundingBox pixel format string unknown."""
+
+
+class InvalidImageCompression(DatasetError, ValueError):
+    """Image codec not valid for this column."""
+
+
+class InvalidTextCompression(DatasetError, ValueError):
+    """Text compression codec not valid."""
+
+
+class InvalidMedicalCompression(DatasetError, ValueError):
+    """Medical codec not valid for this column."""
+
+
+class InvalidBinaryMaskCompression(DatasetError, ValueError):
+    """BinaryMask codec not valid for this column."""
+
+
+class InvalidSegmentMaskCompression(DatasetError, ValueError):
+    """SegmentMask codec not valid for this column."""
+
+
+class WrongSampleCompression(DatasetError, ValueError):
+    """Sample codec mismatch at write time."""
+
+
+class WrongChunkCompression(DatasetError, ValueError):
+    """Chunk codec mismatch at write time."""
+
+
+class CanNotCreateTensorWithProvidedCompressions(DatasetError, ValueError):
+    """sample/chunk compression pair is not constructible."""
+
+
+class InvalidLinkDataError(DatasetError, ValueError):
+    """Link column value is not a valid link."""
+
+
+class InvalidLinkType(DatasetError, TypeError):
+    """Link column type misuse."""
+
+
+# ------------------------------------------------------ index / chunk
+
+class JSONKeyNotFound(DatasetError, KeyError):
+    """JSON path key absent (__init__.pyi)."""
+
+
+class JSONIndexNotFound(DatasetError, KeyError):
+    """JSON array index absent."""
+
+
+class BytePositionIndexOutOfChunk(DatasetError, IndexError):
+    """Chunk-internal byte index out of range (v3 vocabulary)."""
+
+
+class ShapeIndexOutOfChunk(DatasetError, IndexError):
+    """Chunk-internal shape index out of range (v3 vocabulary)."""
+
+
+__all__ = [
+    n for n, v in list(globals().items())
+    if isinstance(v, type) and issubclass(v, DatasetError)
+]

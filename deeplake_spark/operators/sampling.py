@@ -37,11 +37,26 @@ def weight_pair_sum(*cases: tuple[Column, float]) -> Column:
     return out
 
 
+
+
+def _resolve_seed(seed):
+    """Process-wide RNG control (reference deeplake.random.seed): when
+    deeplake_spark.random.seed is set and the caller left the engine's
+    default draw seed (42), the global seed wins; an explicit
+    non-default seed (or seed=None = nondeterministic) is honored."""
+    from deeplake_spark.dataset import random as _rng
+
+    if _rng.seed is not None and seed == 42:
+        return _rng.seed
+    return seed
+
+
 def sample_by_weight(df: DataFrame, weight: Column, n: int,
                      seed: int | None = 42) -> DataFrame:
     """Weighted sampling WITHOUT replacement via A-ES: top-n rows by
     pow(u, 1/w). Rows with weight <= 0 are excluded (reference
     semantics: zero weight = never sampled)."""
+    seed = _resolve_seed(seed)
     u = F.rand(seed) if seed is not None else F.rand()
     key = F.pow(u, F.lit(1.0) / weight)
     return (
@@ -71,6 +86,7 @@ def sample_by_weight_fraction(df: DataFrame, weight: Column, fraction: float,
     (sample_statement.hpp:31-39): count-scaled n, then A-ES. The limit
     is a broadcast 1-row aggregate and ranking is partition-offset
     based — no driver count, no unpartitioned window."""
+    seed = _resolve_seed(seed)
     u = F.rand(seed) if seed is not None else F.rand()
     lim = df.agg(F.ceil(F.count(F.lit(1)) * fraction).alias("__lim"))
     keyed = (
@@ -111,6 +127,7 @@ def sample_with_replacement(df: DataFrame, weight: Column, n: int | None = None,
     """
     if (n is None) == (fraction is None):
         raise ValueError("exactly one of n / fraction is required")
+    seed = _resolve_seed(seed)
     aggs = [F.sum(weight.cast("double")).alias("__W")]
     if fraction is not None:
         aggs.append(

@@ -95,10 +95,49 @@ def tensorflow(df: DataFrame, batch_size: int = 32):
         return AsyncPrefetcher(iter_batches(df, batch_size))
 
 
+import concurrent.futures as _cf
+
+_ASYNC_POOL: _cf.ThreadPoolExecutor | None = None
+
+
+class Future(_cf.Future):
+    """reference Future (__init__.pyi:172-280): adds the reference's
+    is_completed()/wait() spellings on top of concurrent.futures
+    semantics (result/cancel/add_done_callback/await)."""
+
+    def is_completed(self) -> bool:
+        return self.done()
+
+    def wait(self):
+        self.result()
+
+    def __await__(self):  # `await ds.query_async(...)`
+        import asyncio
+
+        return asyncio.wrap_future(self).__await__()
+
+
+class FutureVoid(Future):
+    """reference FutureVoid: a Future whose result is None."""
+
+
 def query_async(fn, *args, **kwargs):
     """Async query surface (`*_async`, Future/FutureVoid —
-    __init__.pyi:172-416): Spark actions on a thread pool."""
-    from concurrent.futures import ThreadPoolExecutor
+    __init__.pyi:172-416): Spark actions on a shared thread pool,
+    surfaced as the reference Future type."""
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        _ASYNC_POOL = _cf.ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="dls-async")
+    fut: Future = Future()
 
-    pool = ThreadPoolExecutor(max_workers=4)
-    return pool.submit(fn, *args, **kwargs)
+    def run():
+        if not fut.set_running_or_notify_cancel():
+            return
+        try:
+            fut.set_result(fn(*args, **kwargs))
+        except BaseException as exc:  # noqa: BLE001 - future carries it
+            fut.set_exception(exc)
+
+    _ASYNC_POOL.submit(run)
+    return fut

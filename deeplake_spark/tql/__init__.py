@@ -32,20 +32,50 @@ def prepare(text: str, spark=None, tables=None, default=None, indexes=None,
     features/index use per run; `parsing_only` makes run() validate
     and return None."""
     node = parse_query(text)
+    return Executor(text, node, spark=spark, tables=tables, default=default,
+                    indexes=indexes, options=options)
 
-    def run(*params):
-        if options is not None and options.parsing_only:
+
+class Executor:
+    """Prepared-statement handle (reference Executor,
+    `cpp/tql/executor.hpp:49`, `__init__.pyi` Executor:
+    run_single/run_batch/get_query_string + *_async). Callable for the
+    engine's historical `prepare(...)(*params)` spelling."""
+
+    def __init__(self, text, node, *, spark=None, tables=None, default=None,
+                 indexes=None, options=None):
+        self._text = text
+        self._node = node
+        self._kw = dict(spark=spark, tables=tables, default=default,
+                        indexes=indexes, options=options)
+
+    def get_query_string(self) -> str:
+        return self._text
+
+    def run_single(self, *params):
+        opts = self._kw["options"]
+        if opts is not None and opts.parsing_only:
             return None
         return Translator(
-            spark=spark, tables=tables, default=default,
-            params=list(params), indexes=indexes, options=options,
-        ).translate(node)
+            spark=self._kw["spark"], tables=self._kw["tables"],
+            default=self._kw["default"], params=list(params),
+            indexes=self._kw["indexes"], options=opts,
+        ).translate(self._node)
 
-    def run_batch(param_sets):
-        return [run(*p) for p in param_sets]
+    __call__ = run_single
 
-    run.run_batch = run_batch
-    return run
+    def run_batch(self, param_sets):
+        return [self.run_single(*p) for p in param_sets]
+
+    def run_single_async(self, *params):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.run_single, *params)
+
+    def run_batch_async(self, param_sets):
+        from deeplake_spark.streaming.feed import query_async as _qa
+
+        return _qa(self.run_batch, param_sets)
 
 
 def register_function(func=None, *, name: str | None = None, returnType="double",

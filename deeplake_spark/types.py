@@ -206,3 +206,12 @@ def COCOImages(embeddings: bool = False, objects: bool = True) -> dict[str, DLTy
     if embeddings:
         schema["embedding"] = Embedding(768)
     return schema
+
+
+class QuantizationType:
+    """reference types.QuantizationType (types.pyi): embedding index
+    quantization kinds. String-valued so the engine's index_type
+    metadata compares directly."""
+
+    Binary = "binary"
+    __members__ = {"Binary": Binary}

@@ -146,3 +146,126 @@ def test_auto_commit_time_based(ds):
     assert ds.version == v1 and ds._staged_files        # still staged
     ds.commit("manual")
     assert ds.version > v1
+
+
+def test_column_handles(ds):
+    """Reference Column/ColumnView shape (__init__.pyi:1391-1800):
+    offset addressing, batch load/update, async/bytes accessors, bound
+    index management, and DataFrame delegation for legacy callers."""
+    from deeplake_spark.dataset import Column
+
+    col = ds["text"]
+    assert isinstance(col, Column) and col.name == "text"
+    assert len(col) == len(ds)
+    first = col[0]
+    assert col[0:2] == [first, col[1]]
+    assert col[[1, 0]] == [col[1], first]          # list keeps asked order
+    assert col.load_batch(0, 2) == col[0:2]
+    assert col.get_bytes(0) == str(first).encode()
+    assert col.get_async(0).result() == first
+    assert col.columns == ["text", "_row_id"]      # legacy delegation
+
+    col[0] = "patched"                             # staged cell update
+    assert ds["text"][0] == "patched"
+    col.update_batch(0, ["a0", "a1"])
+    ds.commit("col edits")
+    assert dl.open(ds.path, spark=ds.spark)["text"][0:2] == ["a0", "a1"]
+
+    assert col.indexes == []
+    col.create_index("inverted")
+    assert ds["text"].indexes == ["inverted"]
+    ds["text"].drop_index()
+    assert ds["text"].indexes == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ds["nope"]
+
+    view = ds.query("SELECT text ORDER BY text")
+    vcol = view["text"]
+    assert vcol[0] == sorted(ds["text"][0:100])[0]  # view-order offsets
+
+    import numpy as np
+
+    payloads = ds["text"].encode([np.zeros((2, 2, 3), dtype="uint8"), b"raw"])
+    assert payloads[0].startswith(b"P6\n2 2\n255\n") and payloads[1] == b"raw"
+
+
+def test_reference_export_surface_complete():
+    """Every public name in the reference's package __all__
+    (/root/reference/python/deeplake/__init__.pyi) resolves on
+    deeplake_spark — handles, errors, config objects, submodules."""
+    import re
+
+    pyi = __import__("pathlib").Path(
+        "/root/reference/python/deeplake/__init__.pyi").read_text()
+    ref_all = set(re.findall(
+        r'"(\w+)"', re.search(r"__all__ = \[(.*?)\]", pyi, re.S).group(1)))
+    missing = sorted(n for n in ref_all
+                     if not n.startswith("_") and not hasattr(dl, n))
+    assert missing == [], f"reference exports missing: {missing}"
+
+
+def test_parity_handles_functional(ds, spark):
+    """The round-5 parity additions behave, not just import: Executor,
+    Future, Metadata write-through, History, RowRange, schemas
+    templates, global RNG seed, core value types."""
+    import deeplake_spark as dls
+
+    # Executor: prepared statement, callable + run_single/run_batch
+    ex = dls.tql.prepare("SELECT * WHERE text == ?", spark=spark,
+                         default=ds.to_df())
+    assert isinstance(ex, dls.Executor)
+    assert ex.get_query_string().startswith("SELECT")
+    assert ex.run_single("alpha").count() == ex("alpha").count() == 1
+    assert [d.count() for d in ex.run_batch([["alpha"], ["beta"]])] == [1, 1]
+    fut = ex.run_single_async("alpha")
+    assert isinstance(fut, dls.Future)
+    assert fut.result().count() == 1 and fut.is_completed()
+
+    # Metadata write-through + ReadOnlyMetadata guard
+    ds.metadata["team"] = "data"
+    assert dls.open(ds.path, spark=spark).metadata["team"] == "data"
+    ro = dls.ReadOnlyMetadata({"a": 1})
+    with pytest.raises(TypeError):
+        ro["b"] = 2
+
+    # History: list of versions, oldest first
+    h = ds.history()
+    assert isinstance(h, dls.History) and isinstance(h, list)
+    assert [v.id for v in h] == sorted(v.id for v in h)
+
+    # RowRange: iterable/indexable handle that still collect()s
+    rr = ds[0:2]
+    assert isinstance(rr, dls.RowRange)
+    assert len(rr) == 2 and rr[0].text == ds[0].text
+    assert [r.row_id for r in rr] == [0, 1]
+    assert len(rr.collect()) == 2            # legacy DataFrame delegation
+
+    # schemas templates are create()-compatible mappings
+    t = dls.schemas.TextEmbeddings(8)
+    assert {"id", "text_chunk", "embedding"} <= set(t)
+    assert isinstance(t, dls.schemas.SchemaTemplate)
+
+    # global seed control: same draw under the same global seed
+    from deeplake_spark.operators.sampling import sample_by_weight
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), F.lit(1.0).alias("w"))
+    dls.random.seed = 123
+    try:
+        a = {r.id for r in sample_by_weight(df, F.col("w"), 5).collect()}
+        b = {r.id for r in sample_by_weight(df, F.col("w"), 5).collect()}
+        assert a == b
+    finally:
+        dls.random.seed = None
+
+    # core value types
+    d = dls.core.Dict({"k": [1, 2]})
+    assert d == {"k": [1, 2]} and d.to_dict() == {"k": [1, 2]}
+    im = dls.core.IndexMapping64([3, 1, 2])
+    assert list(im) == [3, 1, 2] and im[0] == 3 and len(im) == 3
+    assert dls.core.MemoryBuffer(b"xy") == b"xy"
+    assert dls.IndexBuildConfig.fast().build_multiplier == 0.5
