@@ -215,3 +215,151 @@ class QuantizationType:
 
     Binary = "binary"
     __members__ = {"Binary": Binary}
+
+
+# ---------------------------------------------------------------------------
+# Reference types-module surface parity (`python/deeplake/types.pyi`):
+# string-valued index/type enums (the engine stores these strings in
+# column metadata, so reference constants compare directly), scalar
+# dtype factories, and the index wrapper classes.
+
+
+class IndexType:
+    """types.pyi IndexType enum — index kinds (string-valued: the
+    engine's index registry stores these names)."""
+
+    BM25 = "bm25"
+    Inverted = "inverted"
+    Exact = "exact"
+    Clustered = "clustered"
+    ClusteredQuantized = "clustered_quantized"
+    PooledQuantized = "pooled_quantized"
+    Attributes = "attributes"
+    __members__ = {
+        "BM25": BM25, "Inverted": Inverted, "Exact": Exact,
+        "Clustered": Clustered, "ClusteredQuantized": ClusteredQuantized,
+        "PooledQuantized": PooledQuantized, "Attributes": Attributes,
+    }
+
+
+#: module-level index constants (types.pyi: `BM25: IndexType.BM25` etc.)
+BM25 = IndexType.BM25
+Inverted = IndexType.Inverted
+Exact = IndexType.Exact
+Clustered = IndexType.Clustered
+ClusteredQuantized = IndexType.ClusteredQuantized
+PooledQuantized = IndexType.PooledQuantized
+Binary = QuantizationType.Binary
+
+
+class TypeKind:
+    """types.pyi TypeKind enum — semantic column kinds; values match
+    DLType.kind strings."""
+
+    Generic = "generic"
+    Text = "text"
+    Dict = "dict"
+    Embedding = "embedding"
+    Sequence = "sequence"
+    Image = "image"
+    Audio = "audio"
+    Video = "video"
+    Medical = "medical"
+    Mesh = "mesh"
+    BoundingBox = "bounding_box"
+    BinaryMask = "binary_mask"
+    SegmentMask = "segment_mask"
+    Polygon = "polygon"
+    Point = "point"
+    ClassLabel = "class_label"
+    Link = "link"
+    Struct = "struct"
+    Nullable = "nullable"
+    __members__ = {k: v for k, v in vars().items() if not k.startswith("_")}
+
+
+class Index:
+    """types.pyi Index — base wrapper naming an index kind."""
+
+    def __init__(self, type):  # noqa: A002 - reference parameter name
+        self.type = str(type)
+
+    def __eq__(self, other) -> bool:
+        return str(getattr(other, "type", other)) == self.type
+
+    def __hash__(self) -> int:
+        return hash(self.type)
+
+    def __str__(self) -> str:
+        return self.type
+
+    __repr__ = __str__
+
+
+class TextIndex(Index):
+    """Text-column index request (inverted / bm25 / exact)."""
+
+
+class JsonIndex(Index):
+    """JSON-path index request."""
+
+
+class NumericIndex(Index):
+    """Numeric range/IN index request."""
+
+
+class EmbeddingIndexType(Index):
+    """Embedding index request (clustered / quantized / pq)."""
+
+
+class EmbeddingsMatrixIndexType(Index):
+    """Matrix-embedding (MAXSIM) index request."""
+
+
+def EmbeddingIndex(type=None):  # noqa: A002 - reference parameter name
+    """types.pyi EmbeddingIndex(type) → EmbeddingIndexType."""
+    return EmbeddingIndexType(type or IndexType.Clustered)
+
+
+def EmbeddingsMatrixIndex():
+    """types.pyi EmbeddingsMatrixIndex() — the pooled MAXSIM index."""
+    return EmbeddingsMatrixIndexType(IndexType.PooledQuantized)
+
+
+#: reference class names for the column-type objects: DataType is the
+#: pure data type, Type the full column type — one class here
+DataType = DLType
+Type = DLType
+
+
+def _scalar(dtype: str):
+    def make(index_type=None) -> DLType:
+        md = {"index_type": str(index_type)} if index_type else {}
+        return DLType("generic", dtype_to_spark(dtype), md)
+
+    make.__name__ = dtype.capitalize()
+    make.__doc__ = f"types.pyi scalar factory — {dtype} column."
+    return make
+
+
+Float16 = _scalar("float16")
+Float32 = _scalar("float32")
+Float64 = _scalar("float64")
+Int8 = _scalar("int8")
+Int16 = _scalar("int16")
+Int32 = _scalar("int32")
+Int64 = _scalar("int64")
+UInt8 = _scalar("uint8")
+UInt16 = _scalar("uint16")
+UInt32 = _scalar("uint32")
+UInt64 = _scalar("uint64")
+
+
+def Bool() -> DLType:
+    """types.pyi Bool() — boolean column."""
+    return DLType("generic", T.BooleanType())
+
+
+def Bytes() -> DLType:
+    """types.pyi Bytes() — raw binary column."""
+    return DLType("generic", T.BinaryType())

@@ -201,3 +201,33 @@ def test_tql_from_parquet_url(spark, sf_dir):
     assert [r.r_name for r in out.collect()] == [
         "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
     ]
+
+
+def test_types_module_reference_surface():
+    """Every public name in the reference types.pyi resolves on our
+    types module, and the constants carry engine-comparable values."""
+    import re
+    from pathlib import Path
+
+    from deeplake_spark import types as t
+
+    pyi = Path("/root/reference/python/deeplake/types.pyi").read_text()
+    names = {a or b for a, b in
+             re.findall(r"^def (\w+)|^class (\w+)", pyi, re.M)}
+    names |= set(re.findall(r"^(\w+): ", pyi, re.M))
+    missing = sorted(n for n in names
+                     if not n.startswith("_") and not hasattr(t, n))
+    assert missing == [], f"types surface missing: {missing}"
+
+    # constants are the strings the engine's registries store
+    assert t.BM25 == t.IndexType.BM25 == "bm25"
+    assert t.Text(t.BM25).metadata["index_type"] == "bm25"
+    assert t.EmbeddingIndex(t.ClusteredQuantized).type == "clustered_quantized"
+    assert str(t.NumericIndex("range")) == "range"
+    assert t.Float32().spark_type.typeName() == "float"
+    assert t.UInt64().spark_type.typeName() == "long"
+    assert t.Bool().spark_type.typeName() == "boolean"
+    assert t.Bytes().spark_type.typeName() == "binary"
+    assert t.Int32(index_type=t.Inverted).metadata["index_type"] == "inverted"
+    assert t.TypeKind.Embedding == "embedding"
+    assert t.DataType is t.Type
