@@ -1067,3 +1067,50 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+@query(
+    "t23_source_overlap",
+    oracle="""
+    WITH corpus AS (
+      SELECT source, doc_id, md5(lower(text)) AS h FROM documents
+      UNION ALL
+      SELECT 'mirror' AS source, doc_id + 1000000, md5(lower(text))
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    per AS (SELECT DISTINCT source, h FROM corpus),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared > 0
+    ORDER BY n_shared DESC, src_a, src_b
+    """,
+    doc="Cross-source duplicate-overlap matrix (which crawls/sources "
+    "mirror each other — the provenance diagnostic run before choosing "
+    "dedup scope): exact content digests, per-source distinct sets, "
+    "digest-keyed self-join so pair work tracks true collisions (never "
+    "|A|x|B|), counts per source pair. A planted 'mirror' source "
+    "(every 7th doc) keeps the check signal-bearing regardless of "
+    "natural overlap in regenerated testdata.",
+    tags=("dedup", "provenance", "pipeline"),
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("source", "doc_id", F.md5(F.lower("text")).alias("__h"))
+    planted = (d.filter(F.col("doc_id") % 7 == 0)
+               .select(F.lit("mirror").alias("source"),
+                       (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.md5(F.lower("text")).alias("__h")))
+    per = corpus.unionByName(planted).select("source", "__h").distinct()
+    a = per.select(F.col("source").alias("src_a"), "__h")
+    b = per.select(F.col("source").alias("src_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "src_a", "src_b")
+    )
