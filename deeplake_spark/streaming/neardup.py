@@ -1,0 +1,100 @@
+"""Streaming near-duplicate detection — MinHash-LSH over a document
+stream (beyond-reference: the reference's dedup surface is batch-only;
+a live ingestion pipeline needs the same banding incrementally).
+
+Shape: the STATELESS stages are literally the batch operators — the
+signature (`operators.dedup.minhash_signatures`'s parsed expression)
+and the band explode run unchanged on a readStream, exactly like
+`assign_splits`/`mixture_sample` (tests prove batch/stream equality
+for those too). Only the bucket membership is stateful: one
+`applyInPandasWithState` keyed by (band, band-hash) keeps the bucket's
+(doc_id, signature) set and emits a candidate pair the moment a new
+document lands in a bucket that already holds others — work stays
+proportional to true collisions at any stream rate, the same
+guarantee as the batch bucket-join.
+
+Verification is signature-based (estimated Jaccard = matching
+signature components / num_perm): the datasketch/streaming-dedup
+convention, because exact verification would require carrying every
+document's shingle set in state. The estimate is unbiased with
+std ≈ 1/sqrt(num_perm); callers wanting exact verification join the
+emitted candidates back to the corpus offline (the batch
+`minhash_dedup_pairs` shape).
+
+State is bounded: `bucket_cap` docs per bucket (a degenerate bucket —
+e.g. an empty-text signature — stops accepting members but keeps
+emitting nothing, mirroring the batch bucket_cap drop), and signatures
+are fixed num_perm int64s, so per-key state is O(bucket_cap*num_perm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_near_dup_candidates(docs, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               num_perm: int = 32, bands: int = 8,
+                               threshold: float = 0.5,
+                               bucket_cap: int = 64) -> DataFrame:
+    """Candidate near-dup pairs over a (possibly streaming) documents
+    DataFrame: (a, b, est_jaccard) with a < b, one row per (band,
+    bucket) collision — dedupe across bands downstream if a unique
+    pair set is needed (the batch path's `.distinct()`).
+    """
+    import pandas as pd
+
+    from deeplake_spark.functions.text import tokenize, word_shingles
+    from deeplake_spark.operators.dedup import minhash_signatures
+
+    rows = num_perm // bands
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        .alias("shingles"),
+    ).filter(F.size("shingles") > 0)  # empty set = all-NULL signature
+    sigs = minhash_signatures(sets, num_perm)
+    band_sql = ",".join(
+        f"hash(cast(cast(slice(sig, {b * rows + 1}, {rows}) "
+        "as array<string>) as string))"
+        for b in range(bands))
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(f"array({band_sql})")).alias("band", "bh"),
+    )
+
+    out_schema = "band int, a bigint, b bigint, est_jaccard double"
+    state_schema = "ids array<bigint>, sigs array<array<bigint>>"
+
+    def fn(key, pdf_iter, state):
+        ids, sig_list = (list(state.get[0]), [list(s) for s in state.get[1]]) \
+            if state.exists else ([], [])
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdf_iter:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id = int(doc_id)
+                if doc_id in ids:
+                    continue  # replay/idempotence: already a member
+                sig = [int(x) for x in sig]
+                for other_id, other_sig in zip(ids, sig_list):
+                    est = sum(x == y for x, y in zip(sig, other_sig)) / len(sig)
+                    if est >= threshold:
+                        lo, hi = sorted((doc_id, other_id))
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(est)
+                if len(ids) < bucket_cap:
+                    ids.append(doc_id)
+                    sig_list.append(sig)
+        state.update((ids, sig_list))
+        yield pd.DataFrame({
+            "band": [int(key[0])] * len(out_a),
+            "a": out_a, "b": out_b, "est_jaccard": out_j,
+        })
+
+    return (
+        banded.groupBy("band", "bh")
+        .applyInPandasWithState(fn, out_schema, state_schema,
+                                "append", "NoTimeout")
+    )

@@ -136,3 +136,59 @@ def test_split_and_mixture_are_streaming_safe(spark, sf_dir):
     )
     expected = {r.doc_id: r.split for r in batch.collect()}
     assert got == expected
+
+
+def test_stream_near_dup_matches_batch_banding(spark, sf_dir, tmp_path):
+    """Streaming MinHash-LSH near-dup: the stateful bucket operator must
+    find exactly the pairs the batch banding finds on the same corpus
+    (same signatures, same bands, signature-estimated Jaccard)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.functions.text import tokenize, word_shingles
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from deeplake_spark.streaming.neardup import stream_near_dup_candidates
+
+    # corpus with planted exact copies so the check carries signal
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = src.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus_dir = str(tmp_path / "docs")
+    src.unionByName(planted).write.parquet(corpus_dir)
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    out = stream_near_dup_candidates(stream, threshold=0.5)
+    run_stream_to_memory(out, "neardup_out")
+    got = {(r.a, r.b) for r in spark.sql("SELECT * FROM neardup_out").collect()}
+    assert all(a < b for a, b in got)
+
+    # batch reference: same signature + banding + signature-estimate
+    batch_docs = spark.read.parquet(corpus_dir)
+    sets = batch_docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
+        .alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = minhash_signatures(sets, 32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows=4)
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("__sb"))
+    est = (F.size(F.filter(F.zip_with("__sa", "__sb",
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1))
+           / F.lit(32.0))
+    expected = {
+        (r.a, r.b)
+        for r in cands.join(sa, "a").join(sb, "b")
+        .filter(est >= 0.5).select("a", "b").collect()
+    }
+    assert (0, 1_000_000) in expected          # planted copy found
+    assert got == expected
