@@ -281,3 +281,73 @@ def test_tql_arithmetic_fuzz_matches_duckdb(spark_global, sf_dir):
             assert (g == w) or (bool(g) == bool(w) and isinstance(w, bool)), (
                 f"col {i}: spark={g!r} duckdb={w!r} "
                 f"expr={'doc_id' if i == 0 else exprs[i - 1]}")
+
+
+def test_tql_slice_index_fuzz_matches_duckdb(spark_global, sf_dir):
+    """Translator fuzz #2: random element access / [a:b] / [a:b:step]
+    slices with SUM/AMIN/AMAX reductions over the embeddings column,
+    one Spark query through the TQL front-end vs hand-built DuckDB SQL
+    (1-based inclusive slices, range() for steps). Negative indices
+    included. 60 expressions, 50 rows, value-for-value."""
+    import random
+
+    import duckdb
+
+    from deeplake_spark import tql
+    from deeplake_spark.io import load_table
+
+    rng = random.Random(20260814)
+    dim = 64
+    cases = []  # (tql_expr, duck_expr)
+    for _ in range(60):
+        kind = rng.choice(["elem", "elem_neg", "slice", "step"])
+        if kind == "elem":
+            i = rng.randrange(0, dim)
+            cases.append((f"ROUND(embedding[{i}], 6)",
+                          f"ROUND(embedding[{i + 1}], 6)"))
+        elif kind == "elem_neg":
+            i = rng.randrange(1, dim + 1)
+            cases.append((f"ROUND(embedding[-{i}], 6)",
+                          f"ROUND(embedding[{dim - i + 1}], 6)"))
+        elif kind == "slice":
+            a = rng.randrange(0, dim - 1)
+            b = rng.randrange(a + 1, dim + 1)
+            red = rng.choice(["SUM", "AMIN", "AMAX"])
+            duck = {"SUM": "list_sum", "AMIN": "list_min", "AMAX": "list_max"}[red]
+            cases.append((
+                f"ROUND({red}(embedding[{a}:{b}]), 6)",
+                f"ROUND({duck}(list_transform(embedding[{a + 1}:{b}], "
+                "x -> CAST(x AS DOUBLE))), 6)"))
+        else:
+            a = rng.randrange(0, dim // 2)
+            b = rng.randrange(a + 1, dim + 1)
+            s = rng.randrange(2, 6)
+            cases.append((
+                f"ROUND(SUM(embedding[{a}:{b}:{s}]), 6)",
+                f"ROUND(list_sum(list_transform(range({a}, {b}, {s}), "
+                "i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)"))
+
+    tsel = ", ".join(f"{t} AS c{i}" for i, (t, _) in enumerate(cases))
+    dsel = ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(cases))
+
+    e = load_table(spark_global, sf_dir, "embeddings")
+    got = tql.query(f"SELECT vec_id, {tsel} ORDER BY vec_id LIMIT 50",
+                    spark=spark_global, default=e).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    want = con.execute(
+        f"SELECT vec_id, {dsel} FROM embeddings ORDER BY vec_id LIMIT 50"
+    ).fetchall()
+
+    assert len(got) == len(want) == 50
+    for grow, wrow in zip(got, want):
+        for i, (g, w) in enumerate(zip(grow, wrow)):
+            # AMIN/AMAX keep float32 (round-to-6 then float32 storage
+            # wobbles the last digit); SUM folds in double — tolerance
+            # covers both at the 6-decimal precision both sides round to
+            ok = (g == w) or (g is not None and w is not None
+                              and abs(float(g) - float(w)) <= 1e-6)
+            assert ok, (f"col {i}: spark={g!r} duckdb={w!r} "
+                        f"expr={'vec_id' if i == 0 else cases[i - 1]}")
