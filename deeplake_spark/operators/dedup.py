@@ -114,19 +114,16 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    # threshold on the UNROUNDED similarity; round only the projected
+    # output (the near_dup_pairs_lsh/cross_near_dup_lsh convention — a
+    # rounded filter admits pairs in [t-5e-7, t) an exact oracle excludes)
+    jac = (F.col("n_common")
+           / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"))
     return (
         common.join(sa, "a")
         .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("n_common")
-                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
 
 
