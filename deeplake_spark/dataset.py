@@ -830,7 +830,8 @@ class Dataset:
             save_ivf(
                 build_ivf(self.to_df(), vec_col=column, id_col="_row_id",
                           **{k: v for k, v in options.items()
-                             if k in ("n_clusters", "seed", "max_iter")}),
+                             if k in ("n_clusters", "seed", "max_iter",
+                                      "config")}),
                 idx_path,
             )
         elif kind == "numeric":
@@ -875,7 +876,7 @@ class Dataset:
                 build_pq(self.to_df(), vec_col=column, id_col="_row_id",
                          **{k: v for k, v in options.items()
                             if k in ("m", "nbits", "seed", "max_iter",
-                                     "train_limit", "n_clusters")}),
+                                     "train_limit", "n_clusters", "config")}),
                 idx_path,
             )
         else:

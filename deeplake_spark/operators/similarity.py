@@ -105,12 +105,18 @@ class IVFIndex:
 
 
 def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-              n_clusters: int = 16, seed: int = 42, max_iter: int = 10) -> IVFIndex:
-    """K-means build via MLlib (the reference's clustered index build,
-    index_build_config — build happens as a batch job, not per query)."""
+              n_clusters: int = 16, seed: int = 42, max_iter: int = 10,
+              config=None) -> IVFIndex:
+    """K-means build via MLlib (the reference's clustered index build —
+    build happens as a batch job, not per query). `config`
+    (IndexBuildConfig) scales the k-means effort: maxIter *
+    build_multiplier — fast() halves build time, high_quality()
+    doubles the refinement passes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if config is not None:
+        max_iter = max(1, int(round(max_iter * config.build_multiplier)))
     feats = df.select(id_col, vec_col).withColumn(
         "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
@@ -422,7 +428,7 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", m: int = 8, nbits: int = 4,
              seed: int = 42, max_iter: int = 10,
              train_limit: int = 20_000,
-             n_clusters: int = 0) -> PQIndex:
+             n_clusters: int = 0, config=None) -> PQIndex:
     """Train per-subspace codebooks and encode the corpus. Codebooks
     train driver-side on a bounded in-memory sample (`train_limit`
     rows — the FAISS protocol: codebook quality saturates at tens of
@@ -438,6 +444,11 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
     difference at the accuracy factors we ship."""
     import numpy as np
 
+    if config is not None:
+        # IndexBuildConfig scales BOTH the codebook training sample and
+        # the k-means refinement passes (the two levers of PQ quality)
+        train_limit = max(ksub_min := 1 << nbits, int(train_limit * config.build_multiplier))
+        max_iter = max(1, int(round(max_iter * config.build_multiplier)))
     dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -947,3 +947,34 @@ def test_pq_l2_metric_and_route(spark, sf_dir, tmp_path):
         search_config=SearchConfig.high_accuracy())
     got = [r.vec_id for r in routed.collect()]
     assert got[0] == 10 and len(set(got) & set(exact)) / 10 >= 0.7
+
+
+def test_index_build_config_scales_effort(spark, sf_dir):
+    """IndexBuildConfig is functional, not decorative: build_multiplier
+    scales the k-means refinement passes and the PQ training sample,
+    and a fast()-built index still searches correctly."""
+    import deeplake_spark as dl
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import (
+        build_ivf,
+        build_pq,
+        ivf_search,
+        pq_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in e.head()["embedding"]]
+
+    fast = dl.IndexBuildConfig.fast()
+    hi = dl.IndexBuildConfig.high_quality()
+    assert fast.build_multiplier == 0.5 and hi.build_multiplier == 2.0
+    assert dl.IndexBuildConfig.default_config() == dl.IndexBuildConfig(1.0)
+
+    idx = build_ivf(e, n_clusters=4, max_iter=4, config=fast)
+    got = ivf_search(idx, q, k=3)
+    assert got.count() == 3  # fast build still serves probes
+
+    pq = build_pq(e, m=8, nbits=4, train_limit=400, config=fast)
+    assert pq_search(pq, q, k=3).count() == 3
+    # fast() halves the sample; the floor keeps it >= ksub
+    assert len(pq.codebooks) == 8 and len(pq.codebooks[0]) == 16
