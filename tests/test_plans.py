@@ -306,3 +306,25 @@ def test_norm_outliers_single_corpus_stats_pass(spark, sf_dir):
     assert "row_number" not in rep.text.lower()
     scans = len(set(re.findall(r"\(\d+\) Scan parquet", rep.text)))
     assert scans <= 2, f"v22 should scan embeddings at most twice:\n{rep.text}"
+
+
+def test_global_plan_audit_no_cartesian_no_global_windows(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan (translate-only, no
+    execution): no CartesianProduct anywhere, and every row_number
+    window is PARTITIONED — an unpartitioned one (`], [], [` in the
+    Window node) funnels the whole relation through a single task at
+    scale. The per-query audits above pin known-risky shapes; this
+    catches the next regression wherever it appears (CLAUDE.md trap 11
+    generalized)."""
+    offenders = {}
+    for name, q in sorted(REG.items()):
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+            continue
+        for line in plan.splitlines():
+            if ("Window [" in line and "row_number" in line.lower()
+                    and "], [], [" in line):
+                offenders[name] = "unpartitioned row_number window"
+                break
+    assert offenders == {}, offenders
