@@ -1243,6 +1243,34 @@ class Dataset:
                            patches=[], patch_ids=[], message="compact")
         self._clear_staged()
 
+    def optimize(self, zorder_by: list[str] | None = None,
+                 target_files: int | None = None) -> None:
+        """OPTIMIZE [ZORDER BY cols] — compact() plus physical layout
+        control: with `zorder_by`, rows are clustered by a Morton
+        (Z-order) key over the given columns before the rewrite, so
+        every output file's parquet footer min/max is narrow in ALL the
+        clustered columns at once and multi-dimensional predicates skip
+        files (a lexicographic sort only narrows the leading column).
+        The layout pass is a range partition on the broadcast-
+        normalized interleaved key — no global single-task sort
+        (plans/layout.py zorder_layout)."""
+        self._check_writable()
+        if not zorder_by:
+            return self.compact()
+        from deeplake_spark.plans.layout import zorder_layout
+
+        missing = [c for c in zorder_by
+                   if c not in [f.name for f in (self.schema or Schema([])).fields]]
+        if missing:
+            raise ColumnDoesNotExistError(f"no column(s) {missing}")
+        df = zorder_layout(self.to_df(), zorder_by, target_files)
+        fname = self._write_file(df)
+        self._commit_entry(
+            files=[fname], replace_files=True, deletes=[],
+            patches=[], patch_ids=[],
+            message=f"optimize zorder_by={','.join(zorder_by)}")
+        self._clear_staged()
+
     # ------------------------------------------------------- version control
 
     #: IndexingMode (__init__.pyi:2885-2926): 'automatic' rebuilds

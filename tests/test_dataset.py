@@ -667,3 +667,58 @@ def test_formats_default_unchanged(spark, tmp_path_ds):
     assert ds.data_format is None
     files = _glob.glob(os.path.join(tmp_path_ds, "data", "*", "*.parquet"))
     assert files and all(".snappy." in os.path.basename(f) for f in files)
+
+
+def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the rewrite, each parquet part
+    file's min/max footer range must be narrow in BOTH dimensions (each
+    file covers ~a square of the value space), which is what lets
+    multi-dimensional predicates skip files. A lexicographic sort would
+    narrow only the leading column. Rows survive byte-identically."""
+    import glob as globlib
+
+    import pyarrow.parquet as pq
+
+    ds = dl.create(str(tmp_path / "zds"), spark, schema={
+        "x": dt.Generic("int64"), "y": dt.Generic("int64"),
+    })
+    n = 20_000
+    # two independent uniform dimensions (decorrelated by hashing)
+    rows_df = spark.range(n).selectExpr(
+        "id % 1000 as x",
+        "cast(conv(substring(md5(cast(id as string)), 1, 6), 16, 10) "
+        "as bigint) % 1000 as y")
+    ds.append(rows_df)
+    ds.commit("seed")
+    before = sorted((r.x, r.y) for r in ds.to_df().select("x", "y").collect())
+
+    ds.optimize(zorder_by=["x", "y"], target_files=16)
+    after = sorted((r.x, r.y) for r in ds.to_df().select("x", "y").collect())
+    assert after == before                       # content untouched
+
+    entry_files = ds._entry["files"]
+    assert len(entry_files) == 1                 # compacted to one snapshot
+    parts = globlib.glob(str(tmp_path / "zds" / "data" / entry_files[0]
+                             / "part-*.parquet"))
+    assert len(parts) >= 8
+    spans = {"x": [], "y": []}
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
+            continue
+        for col in ("x", "y"):
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans[col].append(hi - lo)
+    for col in ("x", "y"):
+        avg_span = sum(spans[col]) / len(spans[col])
+        # 16 files over a 1000x1000 space: z-order gives each file
+        # roughly a quarter of each dimension; a single-column sort
+        # would leave the other dimension's span at ~1000
+        assert avg_span < 600, f"{col} avg file span {avg_span}"
+
+    with pytest.raises(dl.ColumnDoesNotExistError):
+        ds.optimize(zorder_by=["nope"])
