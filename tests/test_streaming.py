@@ -192,3 +192,53 @@ def test_stream_near_dup_matches_batch_banding(spark, sf_dir, tmp_path):
     }
     assert (0, 1_000_000) in expected          # planted copy found
     assert got == expected
+
+
+def test_streaming_inverted_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """foreachBatch index maintenance: after streaming a corpus in
+    micro-batches, the accumulated delta index must probe and BM25-rank
+    exactly like one batch-built index over the full corpus (merged
+    corpus stats included)."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        bm25_via_index,
+        build_inverted_index,
+    )
+    from deeplake_spark.streaming.indexing import maintain_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(corpus_dir)  # >= 3 micro-batches
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    q = maintain_inverted_index(
+        stream, str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    streamed = InvertedIndex.load(spark, str(tmp_path / "idx"))
+    batch = build_inverted_index(spark.read.parquet(corpus_dir))
+
+    # same corpus stats after the weighted merge of per-delta rows
+    s_got, s_want = streamed.stats.head(), batch.stats.head()
+    assert s_got["n_docs"] == s_want["n_docs"]
+    assert abs(s_got["avgdl"] - s_want["avgdl"]) < 1e-9
+
+    # same probe sets
+    for terms, mode in ([["spark"], "any"], [["spark", "fast"], "all"]):
+        got = {r.row_id for r in streamed.probe(terms, mode).collect()}
+        want = {r.row_id for r in batch.probe(terms, mode).collect()}
+        assert got == want and got
+
+    # same BM25 ranking through the index probe path
+    got = [(r.row_id, r.bm25) for r in
+           bm25_via_index(streamed, ["spark", "fast"], k=10).collect()]
+    want = [(r.row_id, r.bm25) for r in
+            bm25_via_index(batch, ["spark", "fast"], k=10).collect()]
+    assert got == want
