@@ -95,6 +95,7 @@ def probes(reg):
         "t19_temperature_mixture",
         "t22_curriculum_bins",
         "v22_norm_outliers",
+        "t23_source_overlap",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
