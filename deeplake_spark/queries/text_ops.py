@@ -1114,3 +1114,65 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.desc("n_shared"), "src_a", "src_b")
     )
+
+
+@query(
+    "t24_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, -ln(f.tf / CAST(tot.n AS DOUBLE)) AS surprisal
+      FROM toks t JOIN freq f ON f.tok = t.tok, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(surprisal), 6) AS avg_surprisal
+    FROM scored
+    WHERE doc_id < 200
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Unigram-LM surprisal scoring — the self-trained stand-in for "
+    "CCNet/Gopher perplexity filtering (docs whose tokens are "
+    "improbable under the corpus LM are flagged as noise; docs of "
+    "only ultra-common tokens as boilerplate): ONE tokenize+explode "
+    "pass feeds both the term-frequency model and the scoring join "
+    "(term-keyed — the model join reuses the frequency aggregation's "
+    "own partitioning, no second corpus shuffle), then a per-doc "
+    "average of -ln p(tok). At 100 TB the freq model is the t15 "
+    "vocabulary side table, built once per corpus snapshot.",
+    tags=("text", "quality", "pipeline"),
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
+    total = freq.agg(F.sum("__tf").cast("double").alias("__n"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("__tf") / F.col("__n"))).alias("__s"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__s"), 6).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
