@@ -1213,6 +1213,52 @@ class Dataset:
             self._pending_schema = df.schema
         self._note_staged()
 
+    def ingest_stream(self, stream_df: DataFrame,
+                      checkpoint_dir: str | None = None,
+                      commit_message: str = "stream epoch {epoch}",
+                      available_now: bool = True):
+        """Continuous ingestion into the VERSIONED dataset: every
+        micro-batch appends as a new immutable file and commits one
+        log entry (beyond-reference — the reference ingests batch-only;
+        this makes the commit log the stream's exactly-once ledger).
+
+        Each epoch is one append + commit, so history() shows one
+        Version per micro-batch, time travel works mid-stream, and
+        `indexing_mode='automatic'` extends every registered index with
+        the epoch's delta (append-only commit → incremental refresh,
+        never a rebuild). With a `checkpoint_dir`, restart replays only
+        uncommitted epochs — an epoch that already has its commit-log
+        entry is skipped, making the append idempotent end-to-end.
+
+        Returns the StreamingQuery (trigger availableNow when
+        `available_now`, else continuous micro-batches).
+        """
+        self._check_writable()
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.head(1):
+                return
+            marker = f"stream-epoch:{epoch_id}"
+            # idempotence across checkpoint replays: skip an epoch whose
+            # commit already landed (scan is bounded: walks this branch's
+            # log entries, newest first, until an older marker)
+            v = self.version
+            while v and v > 0:
+                e = _read_entry(self.path, v)
+                if e.get("message", "").endswith(marker):
+                    return
+                v = e.get("parent")
+            self.append(batch_df)
+            self.commit(
+                f"{commit_message.format(epoch=epoch_id)} [{marker}]")
+
+        writer = stream_df.writeStream.foreachBatch(sink)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
     def delete(self, offset: int) -> None:
         """Tombstone one row by offset (__init__.pyi:3428) —
         merge-on-read delete, no file rewrite."""

@@ -242,3 +242,57 @@ def test_streaming_inverted_index_matches_batch_build(spark, sf_dir, tmp_path):
     want = [(r.row_id, r.bm25) for r in
             bm25_via_index(batch, ["spark", "fast"], k=10).collect()]
     assert got == want
+
+
+def test_ingest_stream_versioned_commits_and_index_refresh(spark, sf_dir, tmp_path):
+    """Streaming ingestion into the versioned Dataset: one commit per
+    micro-batch (history = the stream's ledger), rows land exactly
+    once across a checkpoint replay, and automatic indexing extends
+    the inverted index with each epoch's delta."""
+    from pyspark.sql import functions as F
+
+    import deeplake_spark as dl
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").limit(300))
+    corpus_dir = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(corpus_dir)
+
+    ds = dl.create(str(tmp_path / "ds"), spark, schema={
+        "doc_id": dl.types.Generic("int64"), "text": dl.types.Text(),
+    })
+    ds.commit("init")
+    ds.create_index("text", "inverted")
+    v0 = ds.version
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    ds.ingest_stream(stream,
+                     checkpoint_dir=str(tmp_path / "ckpt")).awaitTermination()
+
+    assert len(ds) == 300
+    epochs = [v for v in ds.history() if "stream-epoch:" in v.message]
+    assert len(epochs) == 3                      # one commit per micro-batch
+    assert ds.version > v0
+
+    # restart over the SAME checkpoint: no new epochs, no duplicate rows
+    stream2 = (spark.readStream.format("parquet")
+               .schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", "1")
+               .load(corpus_dir))
+    ds.ingest_stream(stream2,
+                     checkpoint_dir=str(tmp_path / "ckpt")).awaitTermination()
+    assert len(ds) == 300
+    assert len([v for v in ds.history()
+                if "stream-epoch:" in v.message]) == 3
+
+    # automatic indexing kept the inverted index current: a probe finds
+    # every streamed doc containing the term
+    hits = {r.doc_id for r in ds.query(
+        "SELECT doc_id WHERE CONTAINS(text, 'spark')").collect()}
+    want = {r.doc_id for r in spark.read.parquet(corpus_dir)
+            .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
+            .collect()}
+    assert hits == want and hits
