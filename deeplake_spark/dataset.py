@@ -786,7 +786,8 @@ class Dataset:
         )
         if out is None:  # parsing_only
             return None
-        return DatasetView(out, indexes=indexes, dataset=self)
+        return DatasetView(out, indexes=indexes, dataset=self,
+                           lineage=[(text, params)])
 
     def _function_registry(self) -> dict:
         """This dataset's own TQL UDF registry (tql::functions_registry,

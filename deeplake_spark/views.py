@@ -33,10 +33,16 @@ class DatasetView:
     """
 
     def __init__(self, df: DataFrame, indexes: dict | None = None,
-                 dataset: "Dataset | None" = None) -> None:
+                 dataset: "Dataset | None" = None,
+                 lineage: list | None = None) -> None:
         self._df = df
         self._indexes = indexes or {}
         self._dataset = dataset
+        #: (text, params) chain from the owning dataset — what makes the
+        #: view PICKLABLE (reference views ship to dataloader workers):
+        #: pickle carries the recipe, unpickle re-opens + re-queries.
+        #: None for views not born from ds.query (slices of raw frames).
+        self._lineage = lineage
 
     # ------------------------------------------------------------ core
 
@@ -60,7 +66,10 @@ class DatasetView:
         idx = self._indexes if _ROW_ID in self._df.columns else None
         out = tql_query(text, spark=self._df.sparkSession, default=self._df,
                         params=params, indexes=idx)
-        return DatasetView(out, indexes=idx, dataset=self._dataset)
+        lineage = (self._lineage + [(text, params)]
+                   if self._lineage is not None else None)
+        return DatasetView(out, indexes=idx, dataset=self._dataset,
+                           lineage=lineage)
 
     def query_async(self, text: str, params: list | None = None):
         from deeplake_spark.streaming.feed import query_async as _qa
@@ -181,3 +190,34 @@ class DatasetView:
 
         return _tf(self._offsets().orderBy("__offset").drop("__offset"),
                    batch_size)
+
+
+    # ------------------------------------------------------- pickling
+
+    def __getstate__(self):
+        """reference DatasetView.__getstate__/__setstate__: views born
+        from ds.query pickle as (dataset path/branch/version, query
+        chain) — the recipe, not the rows — so dataloader workers can
+        ship a view across processes and re-bind locally."""
+        if self._lineage is None or self._dataset is None:
+            raise TypeError(
+                "only views created by Dataset.query/DatasetView.query "
+                "are picklable (this one wraps a raw DataFrame)")
+        ds = self._dataset
+        return {"path": ds.path, "branch": ds.current_branch,
+                "version": ds.version, "lineage": self._lineage}
+
+    def __setstate__(self, state) -> None:
+        from deeplake_spark.dataset import Dataset
+        from deeplake_spark.session import get_spark
+
+        ds = Dataset(get_spark(), state["path"], version=state["version"],
+                     branch=state["branch"], read_only=True)
+        view = None
+        for text, params in state["lineage"]:
+            view = (ds.query(text, params) if view is None
+                    else view.query(text, params))
+        self._df = view._df
+        self._indexes = view._indexes
+        self._dataset = ds
+        self._lineage = list(state["lineage"])

@@ -94,3 +94,23 @@ def test_chained_view_keeps_index_acceleration(ds):
         assert routed.count() == 5
     finally:
         ds.drop_index("text")
+
+
+def test_view_pickles_as_recipe(ds):
+    """reference DatasetView.__getstate__/__setstate__: a chained view
+    pickles as (dataset ref, query chain) and re-binds on unpickle —
+    same rows, no collected data inside the pickle. Raw-frame views
+    refuse with a clear error."""
+    import pickle
+
+    v = ds.query("SELECT text, score WHERE score >= 2").query(
+        "SELECT text, score WHERE CONTAINS(text, 'spark') ORDER BY score")
+    blob = pickle.dumps(v)
+    assert len(blob) < 2000                    # a recipe, not rows
+    v2 = pickle.loads(blob)
+    assert [r.score for r in v2.collect()] == [r.score for r in v.collect()]
+    assert v2._dataset.read_only               # workers get read-only binds
+
+    raw = DatasetView(ds.query("SELECT score").df.select("score"))
+    with pytest.raises(TypeError):
+        pickle.dumps(raw)
