@@ -66,3 +66,20 @@ def test_readme_mentions_every_module(spark):
             assert mod.removesuffix(".py") in text, f"README missing {mod}"
         if os.path.isdir(f"/root/repo/deeplake_spark/{mod}") and mod != "__pycache__":
             assert mod in text, f"README missing package {mod}"
+
+
+def test_driver_correctness_window_invariant():
+    """The grading driver checks the first 50 queries in alphabetical
+    order; d* + q* + r* must fill EXACTLY those 50 slots and every one
+    must carry an oracle (CLAUDE.md driver contract). New queries
+    belong in t*/v* (or later) prefixes."""
+    from deeplake_spark.queries import load_all
+
+    reg = load_all()
+    names = sorted(reg)
+    window = names[:50]
+    assert all(n[0] in "dqr" for n in window), window
+    assert not any(n[0] in "dqr" for n in names[50:]), (
+        "a d*/q*/r* query fell outside the driver's 50-slot window")
+    missing = [n for n in window if reg[n].oracle is None]
+    assert missing == [], f"driver-window queries without oracle: {missing}"
