@@ -257,6 +257,69 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 
 
+def ivf_search_batch(index: IVFIndex, queries: DataFrame,
+                     qvec_col: str = "qv", qid_col: str = "qid",
+                     k: int = 5,
+                     config: SearchConfig | None = None) -> DataFrame:
+    """Batched kNN through the IVF index: resolve a whole query SET in
+    ONE pruned corpus pass (the run_batch / multi-query pattern that
+    brute-force `knn_batch` pays a corpus scan PER query batch for —
+    at 1000 queries over 100 TB that difference is the job).
+
+    Shape: queries route to their `eff_nprobe` nearest centroids
+    in-plan (cross join against the broadcast-small centroid literal
+    array, array_sort, slice — no driver-side query collect, so the
+    query relation may itself be large), the (qid, cluster) routing
+    relation broadcast-joins the cluster-partitioned assignments —
+    each assignment partition is read at most once no matter how many
+    queries probe it — and a per-qid window takes the top k. Returns
+    (qid, id, score) with score = exact cosine, ranked per query.
+    """
+    import math
+
+    config = config or SearchConfig()
+    n_clusters = len(index.centroids)
+    eff_nprobe = min(
+        n_clusters,
+        max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
+    )
+    # per-query centroid ranking as ONE parsed expression over the
+    # centroid literals (trap-12 convention; centroids are index
+    # metadata, broadcast-small by construction)
+    cells = []
+    for cid, c in index.centroids:
+        vec = ",".join(repr(float(x)) for x in c)
+        cells.append(
+            "named_struct('d', aggregate(zip_with(cast(__qv as array<double>), "
+            f"array({vec}), (a, b) -> (a - b) * (a - b)), cast(0.0 as double), "
+            f"(acc, x) -> acc + x), 'c', {cid})")
+    routed = (
+        queries.select(F.col(qid_col).alias("__qid"),
+                       F.col(qvec_col).alias("__qv"))
+        .select(
+            "__qid", "__qv",
+            F.explode(F.expr(
+                f"slice(array_sort(array({','.join(cells)})), 1, {eff_nprobe})"
+            )).alias("__cell"))
+        .select("__qid", "__qv", F.col("__cell.c").alias("cluster"))
+    )
+    scored = (
+        index.assignments.join(F.broadcast(routed), "cluster")
+        .select(
+            "__qid",
+            F.col(index.id_col),
+            F.round(cosine_similarity(F.col(index.vec_col), F.col("__qv")), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), index.id_col)
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(F.col("__qid").alias(qid_col), index.id_col, "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binary-quantized search (ClusteredQuantized / BinaryQuantization)
 

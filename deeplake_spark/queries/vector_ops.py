@@ -918,3 +918,28 @@ def v22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "v23_ivf_batch_knn",
+    oracle=None,  # index-routed: result depends on the trained IVF cells
+    doc="Batched kNN through the persisted IVF index: the whole query "
+    "set resolves in ONE pruned corpus pass — queries route to their "
+    "nprobe cells in-plan (no driver collect of the query relation), "
+    "the (qid, cluster) routing broadcast-joins the cluster-"
+    "partitioned assignments (each partition read once regardless of "
+    "query count), per-qid window top-k. Exactness vs the single-query "
+    "ivf_search and recall vs brute force are pinned in "
+    "tests/test_indexes.py.",
+    tags=("vector", "index", "batch"),
+)
+def v23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import ivf_search_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf8(spark, sf_dir)
+    queries = (e.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    return ivf_search_batch(idx, queries, k=5).orderBy("qid", F.desc("score"),
+                                                       "vec_id")

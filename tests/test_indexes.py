@@ -978,3 +978,50 @@ def test_index_build_config_scales_effort(spark, sf_dir):
     assert pq_search(pq, q, k=3).count() == 3
     # fast() halves the sample; the floor keeps it >= ksub
     assert len(pq.codebooks) == 8 and len(pq.codebooks[0]) == 16
+
+
+def test_ivf_search_batch_recall_and_single_query_consistency(spark, sf_dir):
+    """Batched IVF kNN: one pruned corpus pass for the whole query set.
+    Per-query results must match the single-query ivf_search exactly
+    (same index, same nprobe), and recall vs brute force stays high."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_ivf,
+        ivf_search,
+        ivf_search_batch,
+        knn_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf(e, n_clusters=8)
+    cfg = SearchConfig(accuracy_factor=10, nprobe=4)
+
+    queries = (e.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    got = ivf_search_batch(idx, queries, k=5, config=cfg)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.score))
+
+    assert set(by_q) == set(range(6))
+    for qid, hits in by_q.items():
+        assert len(hits) == 5
+        qv = [float(v) for v in e.filter(F.col("vec_id") == qid)
+              .head()["embedding"]]
+        single = [(r.vec_id, r.score)
+                  for r in ivf_search(idx, qv, k=5, config=cfg).collect()]
+        assert sorted(hits) == sorted(single)   # batch == single-query path
+
+    # recall vs brute force over the same queries (self-hit included in
+    # both, so exact-match sets compare fairly)
+    brute = knn_batch(e, queries, k=5)
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r.qid, set()).add(r.vec_id)
+    hits_total = sum(
+        len({v for v, _ in by_q[q]} & brute_sets[q]) for q in brute_sets)
+    assert hits_total / (5 * len(brute_sets)) >= 0.8
