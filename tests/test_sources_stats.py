@@ -109,3 +109,44 @@ def test_scan_cache_transparent_and_fingerprinted(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/region.parquet", src_dir + "/nation.parquet")
     regen = dio.load_table(spark, src_dir, "nation")
     assert [f.name for f in regen.schema.fields][0] == "r_regionkey"
+
+
+def test_events_nanos_parquet_path(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts BOTH as TIMESTAMP(NANOS)
+    (rounds 1-3; surfaces as long under nanosAsLong) and as
+    TIMESTAMP_NTZ(US) (round 4+). The sniff-and-convert paths in
+    io.load_table and streaming.read_event_stream must keep serving
+    the NANOS layout byte-for-byte: synthesize one from the current
+    testdata and compare values, types, and a streamed rollup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deeplake_spark import io as dio
+    from deeplake_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_rollup,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src)
+    ts_idx = tbl.schema.get_field_index("ts")
+    ts_type = tbl.schema.field(ts_idx).type
+    nanos = tbl.set_column(
+        ts_idx, pa.field("ts", pa.timestamp("ns")),
+        tbl.column(ts_idx).cast(pa.timestamp("ns")))
+    ndir = tmp_path / "sf_nanos"
+    ndir.mkdir()
+    pq.write_table(nanos, str(ndir / "events.parquet"))
+
+    got = dio.load_table(spark, str(ndir), "events")
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    want = dio.load_table(spark, sf_dir, "events")
+    assert (sorted(map(tuple, got.select("event_id", "ts").collect()))
+            == sorted(map(tuple, want.select("event_id", "ts").collect())))
+
+    stream = windowed_rollup(read_event_stream(spark, str(ndir)),
+                             window="1 hour")
+    run_stream_to_memory(stream, "nanos_win_out")
+    n = spark.sql("SELECT count(*) AS n FROM nanos_win_out").head().n
+    assert n > 0
