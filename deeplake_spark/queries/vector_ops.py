@@ -198,7 +198,7 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     d AS (
       SELECT vec_id,
-             CAST(list_sum(list_transform(range(1, 65),
+             CAST(list_sum(list_transform(range(1, len(embedding) + 1),
                   i -> CASE WHEN (embedding[i] >= 0) <> (q.qv[i] >= 0)
                             THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
       FROM embeddings, q
