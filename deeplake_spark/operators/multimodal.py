@@ -205,6 +205,21 @@ def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
             if strict:
                 raise  # corrupt payload is a real decode error
             pass  # non-strict: not PNG bytes → PIL/fake below
+    if compression in ("jpg", "jpeg"):
+        try:
+            # real, numpy/stdlib-only: baseline sequential 4:4:4
+            from deeplake_spark.operators._jpeg import (
+                JpegUnsupported,
+                decode_baseline,
+            )
+
+            return decode_baseline(payload)
+        except JpegUnsupported:
+            pass  # progressive/subsampled → PIL below
+        except Exception:
+            if strict:
+                raise  # corrupt payload is a real decode error
+            pass  # non-strict: not JPEG bytes → PIL/fake below
     if compression in ("jpg", "jpeg", "png"):
         try:
             from PIL import Image  # noqa: F401  (not in this image)

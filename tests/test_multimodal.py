@@ -522,3 +522,51 @@ def test_mesh_trimesh_real_branch_with_stub(monkeypatch):
     monkeypatch.setitem(sys.modules, "trimesh", stub)
     verts, faces = _mesh(binary_ply, "ply", strict=True)
     assert verts.shape == (5, 3) and faces.shape == (3, 3)
+
+
+def test_real_jpeg_decode_roundtrip(spark):
+    """Baseline JPEG decodes for REAL via the stdlib codec pair
+    (operators/_jpeg.py — encoder writes its own canonical Huffman +
+    quant tables, decoder reads tables from the stream per the
+    standard): gray and RGB round-trip within lossy-codec tolerance,
+    shapes exact, through BOTH _decode_one and the Spark
+    decode_images pipeline."""
+    import numpy as np
+
+    from deeplake_spark.operators._jpeg import decode_baseline, encode_baseline
+    from deeplake_spark.operators.multimodal import _decode_one, decode_images
+
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:24, 0:33]
+    gray = np.clip(100 + 2 * xx + 1.5 * yy + rng.normal(0, 3, (24, 33)),
+                   0, 255).astype(np.uint8)
+    rgb = np.stack([
+        np.clip(80 + 2 * xx, 0, 255),
+        np.clip(60 + 1.5 * yy, 0, 255),
+        np.clip(150 - 1.1 * xx, 0, 255)], axis=-1).astype(np.uint8)
+
+    for img in (gray, rgb):
+        out = _decode_one(encode_baseline(img), "jpg", strict=True)
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 20 and err.mean() <= 4   # lossy, but close
+
+    # through the Spark pipeline (Arrow-batched mapInPandas)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_baseline(rgb)))], "id long, image binary")
+    row = decode_images(df, compression="jpg", strict=True).head()
+    assert row["shape"] == [24, 33, 3]
+    px = np.array(row["pixels"], dtype=np.uint8)
+    assert np.abs(px.astype(int) - rgb.astype(int)).mean() <= 4
+
+    # non-baseline stream (progressive SOF2) must fall through, never
+    # return garbage: strict raises here (no PIL in this container)
+    import pytest as pt
+
+    progressive = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01"
+                   + b"\x01\x11\x00" + b"\xff\xd9")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pt.raises(NotImplementedError):
+            _decode_one(progressive, "jpg", strict=True)
