@@ -650,22 +650,31 @@ class Column(ColumnView):
 
     def encode(self, images) -> list[bytes]:
         """Encode numpy arrays into the column's sample codec
-        (reference Column.encode; Image htype). Supported here: ppm
-        (stdlib P6 — the codec our decoder round-trips) and raw bytes
-        passthrough; other codecs raise like the strict decode path."""
-        codec = (self.metadata or {}).get("sample_compression", "ppm")
+        (reference Column.encode; Image htype). Real here: ppm (stdlib
+        P6), jpg/jpeg (operators/_jpeg.py baseline codec — the same
+        pair the decode path round-trips) and raw bytes passthrough;
+        other codecs raise like the strict decode path."""
+        md = self.metadata or {}
+        dl_md = md.get("dl", md)  # DLType.field nests under "dl"
+        codec = (dl_md.get("sample_compression")
+                 or dl_md.get("compression") or "ppm")
         out = []
         for img in images:
             if isinstance(img, (bytes, bytearray)):
                 out.append(bytes(img))
                 continue
-            if codec != "ppm":
-                raise NotImplementedError(
-                    f"encode for codec {codec!r} is not available here "
-                    "(ppm and raw bytes are)")
             import numpy as np
 
             a = np.asarray(img, dtype="uint8")
+            if codec in ("jpg", "jpeg"):
+                from deeplake_spark.operators._jpeg import encode_baseline
+
+                out.append(encode_baseline(a))
+                continue
+            if codec != "ppm":
+                raise NotImplementedError(
+                    f"encode for codec {codec!r} is not available here "
+                    "(ppm, jpg/jpeg, and raw bytes are)")
             if a.ndim != 3 or a.shape[2] != 3:
                 raise ValueError("ppm encode expects (h, w, 3) uint8")
             h, w = a.shape[:2]

@@ -269,3 +269,22 @@ def test_parity_handles_functional(ds, spark):
     assert list(im) == [3, 1, 2] and im[0] == 3 and len(im) == 3
     assert dls.core.MemoryBuffer(b"xy") == b"xy"
     assert dls.IndexBuildConfig.fast().build_multiplier == 0.5
+
+
+def test_column_encode_jpeg(ds, spark):
+    """Column.encode with a jpg-codec Image column produces real
+    baseline JPEG that the decode path round-trips."""
+    import numpy as np
+
+    from deeplake_spark import types as dt
+    from deeplake_spark.operators.multimodal import _decode_one
+
+    ds.add_column("image", dt.Image("uint8", sample_compression="jpg"))
+    col = ds["image"]
+    img = np.clip(np.add.outer(np.arange(16) * 3, np.arange(24) * 2), 0, 255)
+    img = np.stack([img, img + 10, 200 - img], axis=-1).astype("uint8")
+    [payload] = col.encode([img])
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    out = _decode_one(payload, "jpg", strict=True)
+    assert out.shape == img.shape
+    assert float(abs(out.astype(int) - img.astype(int)).mean()) <= 4
