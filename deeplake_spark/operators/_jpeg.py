@@ -4,9 +4,10 @@ and the reference's Image htype defaults to png/**jpeg**
 real in-container implementation alongside the stdlib PNG/PPM/BMP
 codecs in multimodal.py.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, grayscale (1 component)
-and YCbCr 4:4:4 (3 components, no subsampling) — exactly what the
-paired encoder emits; progressive/subsampled streams raise
+Scope: baseline sequential DCT (SOF0), 8-bit, grayscale and YCbCr
+with sampling factors up to 2x2 — 4:4:4, 4:2:2 and the real-world
+default 4:2:0 all decode; the paired encoder emits 4:4:4 or 4:2:0.
+Progressive (SOF2), restart-marker, and 16-bit streams raise
 `JpegUnsupported` and the caller falls back to the optional-import
 (PIL) branch or the deterministic fake. Huffman and quantization
 tables are read FROM the stream (DHT/DQT), per the standard — nothing
@@ -27,7 +28,7 @@ __all__ = ["encode_baseline", "decode_baseline", "JpegUnsupported"]
 
 
 class JpegUnsupported(Exception):
-    """Stream uses features outside the baseline 4:4:4 subset."""
+    """Stream uses features outside the baseline <=2x2-sampling subset."""
 
 
 # --------------------------------------------------------------------------
@@ -211,119 +212,155 @@ class _HuffDecoder:
 # --------------------------------------------------------------------------
 # encoder
 
-def encode_baseline(img: np.ndarray) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
-    sequential JPEG (4:4:4, one shared quant/huffman table set)."""
+def _to_planes(img: np.ndarray, subsampling: str):
+    """img -> (level-shifted component planes, sampling factors (h, v))."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
-        comps = [img.astype(np.float64) - 128.0]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        r = img[..., 0].astype(np.float64)
-        g = img[..., 1].astype(np.float64)
-        b = img[..., 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y - 128.0, cb - 128.0, cr - 128.0]
-    else:
+        return [img.astype(np.float64) - 128.0], [(1, 1)]
+    if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (h, w) or (h, w, 3) uint8")
-    h, w = img.shape[:2]
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsampling == "444":
+        return [y - 128.0, cb - 128.0, cr - 128.0], [(1, 1)] * 3
+    if subsampling != "420":
+        raise ValueError("subsampling must be '444' or '420'")
 
-    # quantized zigzag blocks per component
-    def blocks_of(chan: np.ndarray):
-        ph = (h + 7) // 8 * 8
-        pw = (w + 7) // 8 * 8
-        padded = np.zeros((ph, pw))
-        padded[:h, :w] = chan
-        padded[h:, :w] = chan[h - 1:h, :]     # edge-replicate padding
+    def down2(c: np.ndarray) -> np.ndarray:
+        h, w = c.shape
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        pad = np.empty((ph, pw))
+        pad[:h, :w] = c
+        if ph > h:
+            pad[h:, :w] = c[h - 1:h, :]
+        if pw > w:
+            pad[:, w:] = pad[:, w - 1:w]
+        return 0.25 * (pad[0::2, 0::2] + pad[1::2, 0::2]
+                       + pad[0::2, 1::2] + pad[1::2, 1::2])
+
+    return ([y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0],
+            [(2, 2), (1, 1), (1, 1)])
+
+
+def _plane_blocks(chan: np.ndarray, bh: int, bw: int) -> list:
+    """Quantized zigzag blocks of `chan` padded (edge-replicate) to a
+    (bh x bw)-block grid; indexed [by][bx]."""
+    ph, pw = bh * 8, bw * 8
+    padded = np.zeros((ph, pw))
+    h, w = chan.shape
+    padded[:h, :w] = chan
+    if ph > h:
+        padded[h:, :w] = chan[h - 1:h, :]
+    if pw > w:
         padded[:, w:] = padded[:, w - 1:w]
-        out = []
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                blk = padded[by:by + 8, bx:bx + 8]
-                coef = _C @ blk @ _C.T
-                q = np.round(coef / _QTAB).astype(np.int64)
-                out.append(q.reshape(64)[_ZIGZAG])
-        return out
+    rows = []
+    for by in range(bh):
+        row = []
+        for bx in range(bw):
+            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coef = _C @ blk @ _C.T
+            q = np.round(coef / _QTAB).astype(np.int64)
+            row.append(q.reshape(64)[_ZIGZAG])
+        rows.append(row)
+    return rows
 
-    comp_blocks = [blocks_of(c) for c in comps]
 
-    # gather symbol alphabets for the (single, shared) DC and AC tables
+def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
+    sequential JPEG. `subsampling`: '444' (default) or '420' (2x2
+    chroma subsampling — the real-world default layout)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    planes, sampling = _to_planes(img, subsampling)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = [
+        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs)
+        for ci, (hs, vs) in enumerate(sampling)
+    ]
+
+    def mcu_stream():
+        """yields (component index, zigzag block) in scan order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hs, vs) in enumerate(sampling):
+                    for v in range(vs):
+                        for u in range(hs):
+                            yield ci, comp_blocks[ci][my * vs + v][mx * hs + u]
+
+    # pass 1: symbol alphabets for the shared canonical DC/AC tables
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00, 0xF0}
-    gather_preds = [0] * len(comp_blocks)
-    for bi in range(len(comp_blocks[0])):
-        for ci, blocks in enumerate(comp_blocks):
-            zz = blocks[bi]
-            dc_syms.add(_category(int(zz[0]) - gather_preds[ci]))
-            gather_preds[ci] = int(zz[0])
+    preds = [0] * len(planes)
+    for ci, zz in mcu_stream():
+        dc_syms.add(_category(int(zz[0]) - preds[ci]))
+        preds[ci] = int(zz[0])
+        run = 0
+        for vv in zz[1:]:
+            if vv == 0:
+                run += 1
+                continue
+            while run > 15:
+                run -= 16
+            ac_syms.add((run << 4) | _category(int(vv)))
             run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    run -= 16
-                ac_syms.add((run << 4) | _category(int(v)))
-                run = 0
     dc_counts, dc_table = _canonical_code(sorted(dc_syms))
     ac_counts, ac_table = _canonical_code(sorted(ac_syms))
 
-    bw = _BitWriter()
-    # a multi-component baseline scan is INTERLEAVED: one MCU = one
-    # 8x8 block of EACH component at the same position (4:4:4, 1x1
-    # sampling), with per-component DC predictors
-    preds = [0] * len(comp_blocks)
-    for bi in range(len(comp_blocks[0])):
-        for ci, blocks in enumerate(comp_blocks):
-            zz = blocks[bi]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            size = _category(diff)
-            code, ln = dc_table[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # pass 2: entropy-coded data
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    for ci, zz in mcu_stream():
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        size = _category(diff)
+        code, ln = dc_table[size]
+        bw_.put(code, ln)
+        if size:
+            bw_.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i] != 0), default=0)
+        for i in range(1, last_nz + 1):
+            vv = int(zz[i])
+            if vv == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_table[0xF0]
+                bw_.put(code, ln)
+                run -= 16
+            size = _category(vv)
+            code, ln = ac_table[(run << 4) | size]
+            bw_.put(code, ln)
+            bw_.put(vv if vv >= 0 else vv + (1 << size) - 1, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i] != 0), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_table[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                size = _category(v)
-                code, ln = ac_table[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_table[0x00]
-                bw.put(code, ln)
-    bw.flush()
+        if last_nz < 63:
+            code, ln = ac_table[0x00]
+            bw_.put(code, ln)
+    bw_.flush()
 
-    ncomp = len(comps)
+    ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT (table 0, 8-bit, zigzag order)
     qz = _QTAB.reshape(64)[_ZIGZAG]
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in qz)
-    # SOF0
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, qtable 0
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, dc_counts, dc_table)
     out += _dht_segment(1, 0, ac_counts, ac_table)
-    # SOS
     sos = bytearray([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ci + 1, 0x00])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-    out += bw.out
+    out += bw_.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -333,7 +370,8 @@ def encode_baseline(img: np.ndarray) -> bytes:
 
 def decode_baseline(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, 1x1 sampling) to (h, w) or (h, w, 3) uint8."""
+    components, sampling factors up to 2x2 — covers 4:4:4, 4:2:2 and
+    the real-world-default 4:2:0) to (h, w) or (h, w, 3) uint8."""
     if payload[:2] != b"\xff\xd8":
         raise JpegUnsupported("not a JPEG (no SOI)")
     pos = 2
@@ -356,7 +394,7 @@ def decode_baseline(payload: bytes) -> np.ndarray:
             break
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
@@ -384,9 +422,10 @@ def decode_baseline(payload: bytes) -> np.ndarray:
             p = 6
             for _ in range(nc):
                 cid, sampling, tq = seg[p], seg[p + 1], seg[p + 2]
-                if sampling != 0x11:
-                    raise JpegUnsupported("subsampled JPEG (not 4:4:4)")
-                comps.append({"id": cid, "tq": tq})
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise JpegUnsupported(f"sampling {hs}x{vs} unsupported")
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 p += 3
             frame = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -410,45 +449,62 @@ def decode_baseline(payload: bytes) -> np.ndarray:
     if restart_interval:
         raise JpegUnsupported("restart markers")
     h, w, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(scan_data)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bwid * 8)) for _ in range(nc)]
+    planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+              for c in comps]
     preds = [0] * nc
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(nc):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
                 td, ta = scan_comp_tables[ci]
                 dc = huff[(0, td)]
                 ac = huff[(1, ta)]
-                q = qtabs[comps[ci]["tq"]]
-                zz = np.zeros(64, dtype=np.int64)
-                size = dc.decode(br)
-                preds[ci] += br.receive_extend(size)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = ac.decode(br)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise JpegUnsupported("AC index overflow")
-                    zz[k] = br.receive_extend(size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz
-                blk = _C.T @ (coef.reshape(8, 8) * q) @ _C
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
-    planes = [p[:h, :w] + 128.0 for p in planes]
+                q = qtabs[c["tq"]]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = dc.decode(br)
+                        preds[ci] += br.receive_extend(size)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac.decode(br)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise JpegUnsupported("AC index overflow")
+                            zz[k] = br.receive_extend(size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz
+                        blk = _C.T @ (coef.reshape(8, 8) * q) @ _C
+                        by = (my * c["v"] + v) * 8
+                        bx = (mx * c["h"] + u) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = blk
+    # upsample each component to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p_ = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p_ = np.repeat(p_, ry, axis=0)
+        if rx > 1:
+            p_ = np.repeat(p_, rx, axis=1)
+        full.append(p_[:h, :w] + 128.0)
     if nc == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if nc != 3:
         raise JpegUnsupported(f"{nc}-component JPEG")
-    y, cb, cr = planes
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
