@@ -227,23 +227,24 @@ def _to_planes(img: np.ndarray, subsampling: str):
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     if subsampling == "444":
         return [y - 128.0, cb - 128.0, cr - 128.0], [(1, 1)] * 3
-    if subsampling != "420":
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("420", "422"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
 
-    def down2(c: np.ndarray) -> np.ndarray:
+    def down(c: np.ndarray, fy: int, fx: int) -> np.ndarray:
         h, w = c.shape
-        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        ph, pw = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
         pad = np.empty((ph, pw))
         pad[:h, :w] = c
         if ph > h:
             pad[h:, :w] = c[h - 1:h, :]
         if pw > w:
             pad[:, w:] = pad[:, w - 1:w]
-        return 0.25 * (pad[0::2, 0::2] + pad[1::2, 0::2]
-                       + pad[0::2, 1::2] + pad[1::2, 1::2])
+        return pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
-    return ([y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0],
-            [(2, 2), (1, 1), (1, 1)])
+    fy, fx = (2, 2) if subsampling == "420" else (1, 2)
+    lum = (2, 2) if subsampling == "420" else (2, 1)
+    return ([y - 128.0, down(cb, fy, fx) - 128.0, down(cr, fy, fx) - 128.0],
+            [lum, (1, 1), (1, 1)])
 
 
 def _plane_blocks(chan: np.ndarray, bh: int, bw: int) -> list:

@@ -551,12 +551,13 @@ def test_real_jpeg_decode_roundtrip(spark):
         err = np.abs(out.astype(int) - img.astype(int))
         assert err.max() <= 20 and err.mean() <= 4   # lossy, but close
 
-    # 4:2:0 chroma subsampling (the real-world default layout)
-    out = _decode_one(encode_baseline(rgb, subsampling="420"), "jpg",
-                      strict=True)
-    assert out.shape == rgb.shape
-    err = np.abs(out.astype(int) - rgb.astype(int))
-    assert err.max() <= 25 and err.mean() <= 5
+    # chroma-subsampled layouts (4:2:0 is the real-world default)
+    for sub in ("422", "420"):
+        out = _decode_one(encode_baseline(rgb, subsampling=sub), "jpg",
+                          strict=True)
+        assert out.shape == rgb.shape
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.max() <= 25 and err.mean() <= 5
 
     # through the Spark pipeline (Arrow-batched mapInPandas)
     df = spark.createDataFrame(
