@@ -54,6 +54,12 @@ def main() -> None:
 
         for tbl, secs in build_scan_cache(spark, sf_dir).items():
             detail[f"scan_ingest_{tbl}"] = secs
+        # record the layout + build knobs so cross-round build-time
+        # deltas are attributable (same formula as build_scan_cache;
+        # bench builders pass config=None → default multiplier 1.0)
+        detail["scan_files"] = max(
+            4, spark.sparkContext.defaultParallelism // 4)
+        detail["build_mult"] = 1.0
     except Exception as exc:
         print(f"bench: scan ingest FAILED: {exc}", file=sys.stderr)
     try:

@@ -1223,6 +1223,24 @@ class Dataset:
             self._pending_schema = df.schema
         self._note_staged()
 
+    def _last_stream_epoch(self) -> int | None:
+        """Newest stream-epoch id committed on this branch, or None.
+
+        The walk stops at the FIRST `[stream-epoch:N]` marker it meets
+        (epoch ids are monotone per checkpoint, so the newest marker is
+        the maximum), skipping only interleaved non-stream commits —
+        cost is O(commits since the last epoch), NOT O(total epochs).
+        tests/test_streaming.py counts _read_entry calls to pin this.
+        """
+        v = self.version
+        while v and v > 0:
+            e = _read_entry(self.path, v)
+            msg = e.get("message", "")
+            if "[stream-epoch:" in msg:
+                return int(msg.rsplit("[stream-epoch:", 1)[1].rstrip("]"))
+            v = e.get("parent")
+        return None
+
     def ingest_stream(self, stream_df: DataFrame,
                       checkpoint_dir: str | None = None,
                       commit_message: str = "stream epoch {epoch}",
@@ -1246,18 +1264,17 @@ class Dataset:
         self._check_writable()
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.head(1):
+            if batch_df.isEmpty():
                 return
             marker = f"stream-epoch:{epoch_id}"
-            # idempotence across checkpoint replays: skip an epoch whose
-            # commit already landed (scan is bounded: walks this branch's
-            # log entries, newest first, until an older marker)
-            v = self.version
-            while v and v > 0:
-                e = _read_entry(self.path, v)
-                if e.get("message", "").endswith(marker):
-                    return
-                v = e.get("parent")
+            # idempotence across checkpoint replays: epoch ids are
+            # monotone per checkpoint, so the newest stream-epoch marker
+            # on the branch decides — id >= ours means this epoch's
+            # commit already landed. O(1) in past epochs (see
+            # _last_stream_epoch), not a full log walk.
+            last = self._last_stream_epoch()
+            if last is not None and last >= epoch_id:
+                return
             self.append(batch_df)
             self.commit(
                 f"{commit_message.format(epoch=epoch_id)} [{marker}]")

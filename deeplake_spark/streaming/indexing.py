@@ -32,7 +32,10 @@ def maintain_inverted_index(stream_df: DataFrame, index_path: str,
     from deeplake_spark.operators.indexes import build_inverted_index
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
+        # isEmpty() probes partitions lazily (stops at the first
+        # non-empty one) — cheaper than head(1)'s collect-limit job
+        # on every trigger.
+        if batch_df.isEmpty():
             return
         idx = build_inverted_index(batch_df, text_col=text_col,
                                    id_col=id_col)

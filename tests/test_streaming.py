@@ -296,3 +296,41 @@ def test_ingest_stream_versioned_commits_and_index_refresh(spark, sf_dir, tmp_pa
             .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
             .collect()}
     assert hits == want and hits
+
+
+def test_stream_epoch_idempotence_is_o1_in_epochs(spark, tmp_path, monkeypatch):
+    """The replay-idempotence check must NOT walk the whole commit log:
+    with 50 past stream epochs on the branch, deciding whether a new
+    epoch already committed reads O(1) log entries (it stops at the
+    first stream-epoch marker — ids are monotone per checkpoint)."""
+    import deeplake_spark as dl
+    from deeplake_spark import dataset as dsmod
+
+    ds = dl.create(str(tmp_path / "ds"), spark, schema={
+        "doc_id": dl.types.Generic("int64"),
+    })
+    ds.commit("init")
+    for i in range(50):
+        ds.commit(f"stream epoch {i} [stream-epoch:{i}]")
+
+    real = dsmod._read_entry
+    calls = []
+
+    def counting(path, version):
+        calls.append(version)
+        return real(path, version)
+
+    monkeypatch.setattr(dsmod, "_read_entry", counting)
+
+    # newest commit IS a stream-epoch marker: exactly one read decides
+    assert ds._last_stream_epoch() == 49
+    assert len(calls) == 1
+
+    # interleaved non-stream commits are walked past, nothing more
+    monkeypatch.setattr(dsmod, "_read_entry", real)
+    ds.commit("manual checkpoint note")
+    ds.commit("another manual commit")
+    monkeypatch.setattr(dsmod, "_read_entry", counting)
+    calls.clear()
+    assert ds._last_stream_epoch() == 49
+    assert len(calls) == 3
