@@ -1025,3 +1025,101 @@ def test_ivf_search_batch_recall_and_single_query_consistency(spark, sf_dir):
     hits_total = sum(
         len({v for v, _ in by_q[q]} & brute_sets[q]) for q in brute_sets)
     assert hits_total / (5 * len(brute_sets)) >= 0.8
+
+
+def test_ann_recall_monotone_across_presets(spark, sf_dir):
+    """Reference knob semantics (cpp/query_core/search_config.hpp:31-96;
+    quality-test style py_tests/test_embedding_quality.py): raising the
+    SearchConfig preset fast -> balanced -> default -> high_accuracy
+    must never LOWER recall, for every ANN index family. Guaranteed by
+    construction here — each preset's candidate set is a superset of
+    the previous one's (nprobe picks the top-n nearest centroids,
+    accuracy_factor widens a deterministically-ordered rerank prefix) —
+    and this test pins that property stays true."""
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_ivf,
+        build_pq,
+        build_quantized,
+        ivf_search,
+        pq_search,
+        quantized_index_search,
+        topk_cosine,
+    )
+
+    presets = [SearchConfig.fast(), SearchConfig.balanced(),
+               SearchConfig(), SearchConfig.high_accuracy()]
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    qids = [0, 7, 19, 31]
+    queries = {r.vec_id: list(r.embedding)
+               for r in e.filter(F.col("vec_id").isin(qids)).collect()}
+    exact = {qid: [r.vec_id for r in
+                   topk_cosine(e, "embedding", q, k=10, id_col="vec_id")
+                   .collect()]
+             for qid, q in queries.items()}
+
+    ivf = build_ivf(e, n_clusters=8, seed=42)
+    quant = build_quantized(e, "embedding", "vec_id")
+    pq = build_pq(e, "embedding", "vec_id", m=8, nbits=4, seed=42)
+
+    searchers = {
+        "ivf": lambda q, c: ivf_search(ivf, q, k=10, config=c),
+        "quantized": lambda q, c: quantized_index_search(
+            quant, q, k=10, config=c),
+        "pq": lambda q, c: pq_search(pq, q, k=10, config=c),
+    }
+    floors = {"ivf": 0.9, "quantized": 0.7, "pq": 0.7}
+    for kind, search in searchers.items():
+        curve = []
+        for cfg in presets:
+            hits = 0
+            for qid, q in queries.items():
+                got = {r.vec_id for r in search(q, cfg).collect()}
+                hits += len(got & set(exact[qid]))
+            curve.append(hits / (10 * len(queries)))
+        for lo, hi in zip(curve, curve[1:]):
+            assert hi >= lo - 1e-9, f"{kind} recall regressed: {curve}"
+        assert curve[-1] >= floors[kind], f"{kind} high_accuracy {curve}"
+        assert curve[-1] >= curve[0], f"{kind} flat-at-zero curve {curve}"
+
+
+def test_maxsim_recall_monotone_across_presets(spark, sf_dir):
+    """Same preset-monotonicity contract for the pooled MAXSIM index
+    (the prefilter width is k*accuracy_factor, so candidate prefixes
+    are nested across presets)."""
+    from deeplake_spark.functions.vector import maxsim_pandas
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_pooled_maxsim,
+        maxsim_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = (
+        e.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("vec_id"), F.col("embedding")))),
+            lambda s: s["embedding"]).alias("mat"))
+    ).cache()
+    qm = [list(r.embedding)
+          for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    idx = build_pooled_maxsim(docs, "mat", "doc_id")
+
+    maxsim = maxsim_pandas()
+    qm_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in qm])
+    exact = [r.doc_id for r in
+             docs.select("doc_id",
+                         F.round(maxsim(F.col("mat"), qm_lit), 6).alias("s"))
+             .orderBy(F.desc("s"), "doc_id").limit(5).collect()]
+
+    curve = []
+    for cfg in [SearchConfig.fast(), SearchConfig.balanced(),
+                SearchConfig(), SearchConfig.high_accuracy()]:
+        got = {r.doc_id for r in maxsim_search(idx, qm, k=5, config=cfg)
+               .collect()}
+        curve.append(len(got & set(exact)) / 5)
+    for lo, hi in zip(curve, curve[1:]):
+        assert hi >= lo - 1e-9, f"maxsim recall regressed: {curve}"
+    assert curve[-1] >= 0.8, f"maxsim high_accuracy {curve}"
