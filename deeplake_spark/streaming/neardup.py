@@ -98,3 +98,68 @@ def stream_near_dup_candidates(docs, text_col: str = "text",
         .applyInPandasWithState(fn, out_schema, state_schema,
                                 "append", "NoTimeout")
     )
+
+
+def stream_near_dup_pairs(docs, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          num_perm: int = 32, bands: int = 8,
+                          threshold: float = 0.5,
+                          bucket_cap: int = 64) -> DataFrame:
+    """UNIQUE near-dup pairs in-stream: the candidate stream deduped
+    across bands, so each (a, b) is emitted exactly once over the whole
+    stream's lifetime (the batch path's `.distinct()`, made incremental).
+
+    Spark 4 allows chaining stateful operators in append mode, so the
+    cross-band dedupe is a streaming `dropDuplicates` on (a, b) placed
+    after the stateful bucket operator. est_jaccard is computed from the
+    FULL signature (not the colliding band), so every band emits the
+    same estimate for a pair and dropping duplicates loses nothing.
+    State for the dedupe is one key per TRUE candidate pair — already
+    the floor for exactly-once pair emission.
+    """
+    cands = stream_near_dup_candidates(
+        docs, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm,
+        bands=bands, threshold=threshold, bucket_cap=bucket_cap)
+    return cands.drop("band").dropDuplicates(["a", "b"])
+
+
+def verify_pairs_exact(pairs: DataFrame, corpus: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3,
+                       threshold: float | None = None) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the corpus
+    — for callers who need TRUE n-gram Jaccard, not the signature
+    estimate (std ≈ 1/sqrt(num_perm)). Batch-shaped on purpose: run it
+    inside `foreachBatch` on each micro-batch of emitted pairs
+
+        pairs.writeStream.foreachBatch(
+            lambda b, _: sink(verify_pairs_exact(b, corpus)))
+
+    (the batch `minhash_dedup_pairs` verify-on-candidates shape). The
+    candidate batch is broadcast (it is tiny — true collisions only);
+    the corpus is shingled once per call and semijoined down to the
+    docs that appear in a pair before the pair join, so work is
+    O(candidate docs), never a corpus self-join.
+
+    Returns (a, b, est_jaccard?, jaccard) — jaccard ROUNDED to 6 for
+    output while any `threshold` filter compares the UNROUNDED value
+    (the repo-wide convention; see near_dup_pairs_lsh).
+    """
+    from deeplake_spark.operators.dedup import shingle_sets
+
+    ids = (pairs.select(F.col("a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("b").alias("doc_id")))
+           .distinct())
+    sets = (shingle_sets(corpus, text_col=text_col, id_col=id_col, n=n)
+            .join(F.broadcast(ids), "doc_id", "left_semi"))
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("__sha"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    j = inter / F.nullif(union, F.lit(0))
+    out = (sa.join(F.broadcast(pairs), "a")
+           .join(F.broadcast(sb), "b"))
+    if threshold is not None:
+        out = out.filter(j >= threshold)
+    keep = [c for c in pairs.columns if c not in ("a", "b")]
+    return out.select("a", "b", *keep, F.round(j, 6).alias("jaccard"))

@@ -334,3 +334,82 @@ def test_stream_epoch_idempotence_is_o1_in_epochs(spark, tmp_path, monkeypatch):
     calls.clear()
     assert ds._last_stream_epoch() == 49
     assert len(calls) == 3
+
+
+def test_stream_near_dup_unique_pairs_and_exact_verify(spark, sf_dir, tmp_path):
+    """stream_near_dup_pairs emits each candidate pair EXACTLY once
+    (cross-band dedupe in-stream), the pair set equals the batch
+    banding's distinct pair set at threshold < 1 on planted near-dups
+    (perturbed copies, not exact), and verify_pairs_exact attaches the
+    TRUE n-gram Jaccard the batch join computes."""
+    from deeplake_spark.functions.text import tokenize, word_shingles
+    from deeplake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from deeplake_spark.streaming.neardup import (
+        stream_near_dup_pairs,
+        verify_pairs_exact,
+    )
+
+    # planted NEAR-dups: copies with a perturbing suffix, so est < 1
+    # and the threshold filter is doing real work
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = src.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" perturbed suffix token")).alias("text"))
+    corpus_dir = str(tmp_path / "docs")
+    src.unionByName(planted).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    out = stream_near_dup_pairs(stream, threshold=0.5)
+    run_stream_to_memory(out, "neardup_uniq")
+    rows = spark.sql("SELECT * FROM neardup_uniq").collect()
+    got = {(r.a, r.b) for r in rows}
+    assert len(rows) == len(got), "pair emitted more than once"
+    assert all(a < b for a, b in got)
+
+    # batch reference: banding + full-signature estimate, distinct
+    sets = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
+        .alias("shingles")).filter(F.size("shingles") > 0)
+    sigs = minhash_signatures(sets, 32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows=4)
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("__sb"))
+    est = (F.size(F.filter(F.zip_with("__sa", "__sb",
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1)) / F.lit(32.0))
+    expected = {(r.a, r.b)
+                for r in cands.join(sa, "a").join(sb, "b")
+                .filter(est >= 0.5).select("a", "b").distinct().collect()}
+    assert (0, 1_000_000) in expected        # planted near-dup found
+    assert got == expected
+
+    # exact verification: true Jaccard, perturbed copies land in (0, 1)
+    pairs_df = spark.sql("SELECT a, b, est_jaccard FROM neardup_uniq")
+    verified = {(r.a, r.b): r.jaccard
+                for r in verify_pairs_exact(pairs_df, corpus).collect()}
+    assert set(verified) == got
+    planted_j = [j for (a, b), j in verified.items() if b == a + 1_000_000]
+    assert planted_j and all(0.5 < j < 1.0 for j in planted_j)
+
+    # and it matches an independently-computed exact jaccard
+    for (a, b), j in list(verified.items())[:5]:
+        sh = {r.doc_id: set(r.shingles) for r in
+              sets.filter(F.col("doc_id").isin([int(a), int(b)])).collect()}
+        want = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(j - round(want, 6)) < 1e-9
+
+    # threshold filters on the UNROUNDED exact value (verified[] holds
+    # the rounded one, so compare with a half-ulp band at the boundary)
+    thr_pairs = {(r.a, r.b) for r in
+                 verify_pairs_exact(pairs_df, corpus, threshold=0.9).collect()}
+    assert thr_pairs <= set(verified)
+    assert all(verified[p] >= 0.9 - 5e-7 for p in thr_pairs)
+    assert {p for p, j in verified.items() if j >= 0.9 + 5e-7} <= thr_pairs
