@@ -328,3 +328,70 @@ def test_global_plan_audit_no_cartesian_no_global_windows(spark, sf_dir):
                 offenders[name] = "unpartitioned row_number window"
                 break
     assert offenders == {}, offenders
+
+
+def test_aqe_skew_split_engages_on_hot_key(spark, sf_dir):
+    """Skew hardening, plan-proven: a q18-shape join where one orderkey
+    owns ~80% of lineitem rows gets its hot reduce partition SPLIT by
+    AQE's skew-join rule (thresholds lowered to this fixture's scale —
+    the same split a 100 TB run gets at stock 256 MB thresholds), and
+    plans/layout.salted_join spreads the same hot key over many
+    partitions without AQE's help.
+
+    AQE can only split a reduce partition into per-MAPPER chunks, so
+    the skewed side must arrive from several map tasks (at 100 TB it
+    always does; here a repartition provides them)."""
+    from deeplake_spark.plans.layout import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hot = orders.select("o_orderkey").head()[0]
+    sk = (li.repartition(16)
+          .withColumn("l_orderkey",
+                      F.when(F.rand(seed=7) < 0.8, F.lit(hot))
+                      .otherwise(F.col("l_orderkey")))
+          # incompressible pad: skew detection reads COMPRESSED map
+          # sizes, and the fixture is tiny
+          .withColumn("pad", F.expr(
+              "concat_ws('', transform(sequence(1, 8), x -> uuid()))")))
+    ord_r = (orders.withColumnRenamed("o_orderkey", "l_orderkey")
+             .select("l_orderkey", "o_custkey"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for c in confs:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        j = sk.join(ord_r, "l_orderkey").select("o_custkey", "l_quantity",
+                                                "pad")
+        assert len(j.collect()) == li.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, \
+            f"AQE skew split did not engage:\n{plan[:1500]}"
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+    # explicit lever: salted_join spreads the hot key across partitions
+    # (hash(key, salt) placement) with no AQE involvement
+    spread = (salted_join(sk.select("l_orderkey", "l_quantity"), ord_r,
+                          "l_orderkey")
+              .filter(F.col("l_orderkey") == hot)
+              .select(F.spark_partition_id().alias("pid"))
+              .distinct().count())
+    assert spread > 1, "salted join left the hot key on one partition"

@@ -113,6 +113,93 @@ def run(spark, fns, sf_dir, n=2):
     return out
 
 
+def skew_section(spark, big_dir: str, k: int, hot_frac: float = 0.2):
+    """Planted-skew probe: one orderkey owns ~`hot_frac` of lineitem,
+    then the q18-shape join+agg runs three ways —
+
+    - plain: AQE on, stock thresholds (at probe scale the hot partition
+      is far below the 256 MB skew threshold, so nothing splits: this
+      is the unmitigated single-hot-reducer shape);
+    - aqe_split: skew thresholds lowered so AQE's skew-join split
+      engages exactly as it would on real 100 TB partitions;
+    - salted: plans/layout.salted_join spreads the hot key over 16
+      sub-keys explicitly (the pre-AQE lever; also the groupBy salt).
+
+    All three return identical results (asserted); the probe reports
+    wall times so SCALING.md records whether mitigation keeps the
+    hot-key plan near the uniform-data plan.
+    """
+    from deeplake_spark.plans.layout import salted_join
+
+    li = spark.read.parquet(os.path.join(big_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(big_dir, "orders.parquet"))
+    hot = orders.select("o_orderkey").head()[0]
+    skew_path = os.path.join(WORK, "lineitem_skewed.parquet")
+    (li.withColumn(
+        "l_orderkey",
+        F.when(F.rand(seed=7) < hot_frac, F.lit(hot))
+        .otherwise(F.col("l_orderkey")))
+     .repartition(max(4, 4 * k))
+     .write.mode("overwrite").parquet(skew_path))
+    sk = spark.read.parquet(skew_path)
+    ord_r = orders.withColumnRenamed("o_orderkey", "l_orderkey") \
+        .select("l_orderkey", "o_custkey")
+
+    def q18_shape(join_df):
+        return (join_df.groupBy("o_custkey")
+                .agg(F.sum("l_quantity").alias("sum_qty")))
+
+    plain = lambda: q18_shape(sk.join(ord_r, "l_orderkey"))
+    salted = lambda: q18_shape(salted_join(sk, ord_r, "l_orderkey"))
+
+    skew_confs = {
+        # emulate the 100 TB trigger point at probe scale: partitions
+        # past ~4 MB and 2x the median are split; broadcast disabled so
+        # the join is the sort-merge shape skew-split applies to
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def timed(fn, n=2):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    saved = {c: spark.conf.get(c, None) for c in skew_confs}
+
+    def set_confs(vals):
+        for c, v in vals.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+    rows = []
+    try:
+        # no-broadcast for ALL variants so they compare the same
+        # physical join family
+        set_confs({k2: skew_confs[k2] for k2 in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")})
+        rows.append({"variant": "plain_hot_key", "sec": timed(plain)})
+        rows.append({"variant": "salted_hot_key", "sec": timed(salted)})
+        set_confs(skew_confs)
+        rows.append({"variant": "aqe_split_hot_key", "sec": timed(plain)})
+        a = sorted(plain().collect())
+        b = sorted(salted().collect())
+        assert a == b, "salted_join changed the q18-shape result"
+    finally:
+        set_confs(saved)
+    return {"hot_frac": hot_frac, "hot_key": int(hot), "rows": rows}
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
     spark = get_spark("scale-probe")
@@ -139,7 +226,8 @@ def main() -> None:
         ratio = round(tk[name] / t1[name], 2) if t1[name] > 0 else None
         rows.append({"op": name, "t_1x": t1[name], f"t_{k}x": tk[name],
                      "ratio": ratio})
-    print(json.dumps({"k": k, "rows": rows}, indent=1))
+    skew = skew_section(spark, big_dir, k)
+    print(json.dumps({"k": k, "rows": rows, "skew": skew}, indent=1))
 
     out_md = None
     if "--out" in sys.argv:
@@ -160,6 +248,24 @@ def main() -> None:
         for r in rows:
             lines.append(
                 f"| {r['op']} | {r['t_1x']} | {r[f't_{k}x']} | {r['ratio']} |")
+        lines += [
+            "",
+            "## Skew (planted hot key)",
+            "",
+            f"q18-shape join+agg at {k}x with ONE orderkey owning "
+            f"~{int(skew['hot_frac'] * 100)}% of lineitem rows (broadcast "
+            "disabled so all variants are the sort-merge family AQE "
+            "skew-split applies to). `aqe_split` lowers the skew "
+            "thresholds to the probe's scale — the same split a 100 TB "
+            "run gets at stock thresholds; `salted` is the explicit "
+            "plans/layout.salted_join lever. All variants return "
+            "identical rows (asserted in the probe).",
+            "",
+            "| variant | sec |",
+            "|---|---|",
+        ]
+        for r in skew["rows"]:
+            lines.append(f"| {r['variant']} | {r['sec']} |")
         with open(out_md, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"wrote {out_md}")
