@@ -1,0 +1,85 @@
+package io.deeplake.spark.ext;
+
+import java.util.List;
+import java.util.Map;
+import java.util.concurrent.ConcurrentHashMap;
+
+/**
+ * JVM-side registry: dataset data-path prefix -> column -> index entry.
+ *
+ * The Python side (deeplake_spark.plans.sqlrouting) populates this from a
+ * Dataset's persisted index metadata; {@link IndexRoutingRule} consults it
+ * when a Filter sits over a parquet relation whose root paths fall under a
+ * registered prefix. Mirrors the reference's index_holder: every query is
+ * given the chance to route through a registered index
+ * (cpp/query_core/index_holder.hpp:18-43).
+ */
+public final class IndexRegistry {
+
+    public static final class Entry {
+        public final String kind;      // "inverted" | "numeric"
+        public final String column;
+        public final String indexPath; // directory holding postings/ or values/
+        public final String idCol;     // row-id column of the BASE relation
+
+        Entry(String kind, String column, String indexPath, String idCol) {
+            this.kind = kind;
+            this.column = column;
+            this.indexPath = indexPath;
+            this.idCol = idCol;
+        }
+    }
+
+    private static final Map<String, Map<String, Entry>> BY_PREFIX =
+            new ConcurrentHashMap<>();
+
+    private IndexRegistry() {}
+
+    public static void register(String tablePathPrefix, String column,
+                                String kind, String indexPath, String idCol) {
+        BY_PREFIX.computeIfAbsent(normalize(tablePathPrefix),
+                        k -> new ConcurrentHashMap<>())
+                .put(column, new Entry(kind, column, indexPath, idCol));
+    }
+
+    public static void unregister(String tablePathPrefix) {
+        BY_PREFIX.remove(normalize(tablePathPrefix));
+    }
+
+    public static void clear() {
+        BY_PREFIX.clear();
+    }
+
+    public static boolean isEmpty() {
+        return BY_PREFIX.isEmpty();
+    }
+
+    public static int size() {
+        return BY_PREFIX.size();
+    }
+
+    /** First registered prefix owning ANY of the given root paths. */
+    static Map<String, Entry> lookupByPaths(List<String> rootPaths) {
+        for (String p : rootPaths) {
+            String n = normalize(p);
+            for (Map.Entry<String, Map<String, Entry>> e : BY_PREFIX.entrySet()) {
+                if (n.startsWith(e.getKey())) {
+                    return e.getValue();
+                }
+            }
+        }
+        return null;
+    }
+
+    /** file:/x, file:///x and /x all normalize to /x. */
+    static String normalize(String p) {
+        String s = p;
+        if (s.startsWith("file:")) {
+            s = s.substring(5);
+            while (s.startsWith("//")) {
+                s = s.substring(1);
+            }
+        }
+        return s;
+    }
+}

@@ -1,0 +1,134 @@
+"""Index routing for PLAIN ``spark.sql`` users — the Catalyst
+SparkSessionExtensions rule (SURVEY §7 Phase-4).
+
+The TQL translator routes CONTAINS / BETWEEN / IN through persisted
+side-table indexes (tql/translator.py _try_index_rewrite), matching the
+reference where EVERY query consults ``index_holder``
+(cpp/query_core/index_holder.hpp:18-43; pg side
+cpp/deeplake_pg/index_search.cpp:247-420). Plain ``spark.sql()`` text
+bypasses the translator — this module closes that gap with a compiled
+Catalyst rule (deeplake_spark/plans/jvm/, prebuilt jar committed next to
+the sources; rebuild with tools/build_ext_jar.sh).
+
+Two install paths:
+
+- **Session-build time** (the reference-faithful one)::
+
+      spark = (SparkSession.builder
+               .config(map=session_confs())   # jar + extensions class
+               .getOrCreate())
+
+  injects the rule into the ANALYZER (resolution stage — the filter
+  still sees every column, so the semijoin can key on the row-id
+  column before pruning).
+
+- **Already-built session**: :func:`install` appends the same rule to
+  ``spark.experimental.extraOptimizations`` (post-pushdown shape; the
+  jar must already be on the driver classpath, e.g. via
+  ``spark.driver.extraClassPath`` — py4j cannot extend a running JVM's
+  classpath).
+
+Either way the rule is double-gated: inert unless
+``spark.sql.deeplake.routing.enabled=true`` AND a dataset is registered
+— a session carrying the extension behaves stock by default.
+
+Routed shapes (each WHERE conjunct independently; the rewrite is always
+EXACT — residual conjuncts stay filtered):
+
+- ``array_contains(split(lower(col), '\\s+'), 'kw')`` on an
+  inverted-indexed column → bucket-pruned posting probe semijoin. This
+  is the Spark-SQL spelling of TQL's token-level CONTAINS. Spark's
+  substring ``contains()`` is deliberately NOT routed: a token posting
+  index cannot answer substring semantics.
+- comparisons / BETWEEN / IN / ``=`` on a numeric-indexed column →
+  range-bucket-pruned value probe semijoin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+JAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm",
+                   "deeplake-spark-ext.jar")
+EXTENSION_CLASS = "io.deeplake.spark.ext.DeeplakeSparkExtensions"
+ENABLED_KEY = "spark.sql.deeplake.routing.enabled"
+
+
+def session_confs() -> dict[str, str]:
+    """Builder confs that load the extension into a NEW session."""
+    return {
+        "spark.sql.extensions": EXTENSION_CLASS,
+        "spark.driver.extraClassPath": JAR,
+        "spark.jars": JAR,
+    }
+
+
+def _registry(spark: SparkSession):
+    return spark._jvm.io.deeplake.spark.ext.IndexRegistry
+
+
+def is_available(spark: SparkSession) -> bool:
+    """True when the extension classes are on the driver classpath."""
+    try:
+        _registry(spark).size()
+        return True
+    except Exception:
+        return False
+
+
+def install(spark: SparkSession) -> None:
+    """Attach the routing rule to an already-built session
+    (experimental.extraOptimizations; idempotent)."""
+    spark._jvm.io.deeplake.spark.ext.RuntimeInstall.install(
+        spark._jsparkSession)
+
+
+def uninstall(spark: SparkSession) -> None:
+    spark._jvm.io.deeplake.spark.ext.RuntimeInstall.uninstall(
+        spark._jsparkSession)
+
+
+def enable(spark: SparkSession) -> None:
+    spark.conf.set(ENABLED_KEY, "true")
+
+
+def disable(spark: SparkSession) -> None:
+    spark.conf.set(ENABLED_KEY, "false")
+
+
+def register_path(spark: SparkSession, table_path: str, column: str,
+                  kind: str, index_path: str, id_col: str) -> None:
+    """Register one index for a parquet table path PREFIX: any scan whose
+    root paths fall under `table_path` becomes routable on `column`."""
+    if kind not in ("inverted", "numeric"):
+        raise ValueError(f"unsupported routing kind {kind!r}")
+    _registry(spark).register(str(table_path), column, kind,
+                              str(index_path), id_col)
+
+
+def unregister_path(spark: SparkSession, table_path: str) -> None:
+    _registry(spark).unregister(str(table_path))
+
+
+def clear(spark: SparkSession) -> None:
+    _registry(spark).clear()
+
+
+def register_dataset(ds) -> None:
+    """Register every routable persisted index of a Dataset, so plain
+    SQL over the dataset's files (``ds.to_df()`` / a temp view of it)
+    routes exactly like ``ds.query``. Registration reflects the CURRENT
+    index build — the same freshness contract as the translator's
+    ``indexes=`` mapping (indexing_mode='automatic' keeps both fresh).
+    """
+    from deeplake_spark.dataset import _read_refs
+
+    for col, meta in _read_refs(ds.path).get("indexes", {}).items():
+        kind = meta["kind"]
+        if kind not in ("inverted", "numeric"):
+            continue  # other kinds route via TQL only
+        idx_path = os.path.join(ds.path, "_indexes", f"{col}_{kind}")
+        register_path(ds.spark, ds.path, col, kind, idx_path,
+                      id_col="_row_id")

@@ -1,0 +1,168 @@
+"""Catalyst index routing for plain ``spark.sql`` (SURVEY §7 Phase-4).
+
+The reference routes EVERY query through its index holder
+(cpp/query_core/index_holder.hpp:18-43) — TQL text gets that via the
+translator; these tests pin that raw Spark SQL gets it too, via the
+compiled SparkSessionExtensions rule (deeplake_spark/plans/jvm/).
+
+Contract under test: routed plans contain the posting/value-probe
+LeftSemi join, return EXACTLY the rows of the unrouted plan, and the
+rule stays inert unless both enabled and registered (stock-by-default).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeplake_spark.plans import sqlrouting as rt
+
+CONTAINS_SQL = ("SELECT doc_id FROM {v} WHERE "
+                "array_contains(split(lower(text), '\\\\s+'), 'spark')")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture()
+def routed_ds(spark, sf_dir, tmp_path):
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    ds.create_index("n_chars", "numeric")
+    ds.to_df().createOrReplaceTempView("routed_docs")
+    try:
+        yield ds
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("routed_docs")
+
+
+def test_sql_routing_contains_and_numeric(spark, routed_ds):
+    """Every routable WHERE shape: probe plan + identical rows."""
+    cases = {
+        "contains": CONTAINS_SQL.format(v="routed_docs"),
+        "between": "SELECT doc_id FROM routed_docs "
+                   "WHERE n_chars BETWEEN 100 AND 200",
+        "in_plus_residual": "SELECT doc_id FROM routed_docs "
+                            "WHERE n_chars IN (150, 151, 152) AND doc_id > 5",
+        "strict_range": "SELECT doc_id FROM routed_docs "
+                        "WHERE n_chars > 100 AND n_chars < 160",
+        "equality": "SELECT doc_id FROM routed_docs WHERE n_chars = 150",
+        "combined": "SELECT doc_id FROM routed_docs WHERE "
+                    "array_contains(split(lower(text), '\\\\s+'), 'data') "
+                    "AND n_chars BETWEEN 50 AND 400",
+    }
+    baseline = {k: sorted(r.doc_id for r in spark.sql(q).collect())
+                for k, q in cases.items()}
+    assert all("LeftSemi" not in _plan(spark.sql(q)) for q in cases.values())
+
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    for name, q in cases.items():
+        df = spark.sql(q)
+        assert "LeftSemi" in _plan(df), f"{name} not routed"
+        got = sorted(r.doc_id for r in df.collect())
+        assert got == baseline[name], f"{name} changed results"
+        assert got, f"{name} fixture carries no signal"
+
+    # the contains probe pushes term equality into the posting scan and
+    # prunes the term-hash bucket partition
+    routed_df = spark.sql(cases["contains"])
+    phys = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(term,spark)" in phys, phys[:1500]
+    assert "bucket" in _plan(routed_df)
+
+    # kill switch: disable -> stock plan again
+    rt.disable(spark)
+    assert "LeftSemi" not in _plan(spark.sql(cases["contains"]))
+
+
+def test_sql_routing_is_stock_by_default(spark, routed_ds):
+    """No registration, no routing — even with the rule loaded and the
+    conf flipped on, an UNregistered table plans stock."""
+    rt.enable(spark)
+    try:
+        assert "LeftSemi" not in _plan(
+            spark.sql(CONTAINS_SQL.format(v="routed_docs")))
+    finally:
+        rt.disable(spark)
+
+
+def test_sql_routing_never_rewrites_unsound_shapes(spark, routed_ds):
+    """Name-shadowing and semantics-changing shapes must NOT route:
+    substring contains(), a computed column renamed to the indexed name,
+    uppercase keywords (lower()-tokens can't match them)."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    unsound = [
+        # Spark's contains() is SUBSTRING semantics — a token posting
+        # index cannot answer it
+        "SELECT doc_id FROM routed_docs WHERE contains(text, 'spark')",
+        # computed column shadowing the indexed name
+        "SELECT doc_id FROM (SELECT doc_id, upper(text) AS text "
+        "FROM routed_docs) WHERE "
+        "array_contains(split(lower(text), '\\\\s+'), 'spark')",
+        # uppercase keyword: constant-false against lower() tokens;
+        # leave the predicate alone
+        "SELECT doc_id FROM routed_docs WHERE "
+        "array_contains(split(lower(text), '\\\\s+'), 'SPARK')",
+        # wrong tokenizer regex
+        "SELECT doc_id FROM routed_docs WHERE "
+        "array_contains(split(lower(text), ','), 'spark')",
+    ]
+    stock = [sorted(r.doc_id for r in spark.sql(q).collect())
+             for q in unsound]
+    for q, want in zip(unsound, stock):
+        df = spark.sql(q)
+        assert "LeftSemi" not in _plan(df), f"unsound rewrite: {q}"
+        assert sorted(r.doc_id for r in df.collect()) == want
+
+
+def test_sql_routing_runtime_install_handles_pushed_filters(spark, routed_ds):
+    """The experimental.extraOptimizations install (for already-built
+    sessions) runs POST-pushdown, so it routes predicates the resolution
+    rule can't see yet — e.g. a WHERE on the indexed column in a JOIN
+    query, which the optimizer pushes down to the scan."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    rt.install(spark)
+    try:
+        q = ("SELECT d.doc_id FROM routed_docs d "
+             "JOIN (SELECT DISTINCT n_chars AS nc FROM routed_docs) s "
+             "ON d.n_chars = s.nc "
+             "WHERE array_contains(split(lower(d.text), '\\\\s+'), 'spark')")
+        df = spark.sql(q)
+        assert "LeftSemi" in _plan(df)
+        rt.disable(spark)
+        want = sorted(r.doc_id for r in spark.sql(q).collect())
+        rt.enable(spark)
+        assert sorted(r.doc_id for r in df.collect()) == want
+    finally:
+        rt.uninstall(spark)
+
+
+def test_routing_matches_tql_contains_route(spark, routed_ds):
+    """Same question through all three front doors — TQL CONTAINS, the
+    SQL spelling routed, the SQL spelling unrouted — one answer."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    tql_rows = sorted(
+        r.doc_id for r in
+        routed_ds.query("SELECT doc_id WHERE CONTAINS(text, 'spark')")
+        .collect())
+    routed = spark.sql(CONTAINS_SQL.format(v="routed_docs"))
+    assert "LeftSemi" in _plan(routed)
+    assert sorted(r.doc_id for r in routed.collect()) == tql_rows
+    # and both agree with the brute-force tokenization
+    brute = sorted(
+        r.doc_id for r in routed_ds.to_df()
+        .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
+        .select("doc_id").collect())
+    assert tql_rows == brute
