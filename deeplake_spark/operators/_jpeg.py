@@ -367,12 +367,234 @@ def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
 
 
 # --------------------------------------------------------------------------
-# decoder
+# progressive encoder (SOF2) — spectral selection + successive
+# approximation, the libjpeg-style scan script, so web-crawl-shaped
+# streams exercise every decoder path in round-trip tests.
 
-def decode_baseline(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, sampling factors up to 2x2 — covers 4:4:4, 4:2:2 and
-    the real-world-default 4:2:0) to (h, w) or (h, w, 3) uint8."""
+class _ProgScanState:
+    """Per-scan EOB-run accumulation (+ the refinement correction bits
+    that ride along with a deferred EOB symbol, T.81 G.1.2.3)."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _flush_eobrun(st: _ProgScanState, sym, bits) -> None:
+    if st.eobrun > 0:
+        nb = st.eobrun.bit_length() - 1
+        sym(nb << 4)
+        if nb:
+            bits(st.eobrun - (1 << nb), nb)
+        st.eobrun = 0
+    for b in st.pending:
+        bits(b, 1)
+    st.pending = []
+
+
+def _enc_dc_first(coef, preds, ci, al, sym, bits) -> None:
+    v = int(coef[0]) >> al          # DC point transform = arithmetic shift
+    diff = v - preds[ci]
+    preds[ci] = v
+    size = _category(diff)
+    sym(size)
+    if size:
+        bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _enc_ac_first(coef, ss, se, al, st, sym, bits) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        a = abs(v) >> al            # AC point transform = toward zero
+        if a == 0:
+            run += 1
+            continue
+        _flush_eobrun(st, sym, bits)
+        while run > 15:
+            sym(0xF0)
+            run -= 16
+        size = a.bit_length()
+        sym((run << 4) | size)
+        sv = a if v > 0 else -a
+        bits(sv if sv >= 0 else sv + (1 << size) - 1, size)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(st, sym, bits)
+
+
+def _enc_ac_refine(coef, ss, se, al, st, sym, bits) -> None:
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k                 # last NEWLY-nonzero coefficient
+    run = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _flush_eobrun(st, sym, bits)
+            sym(0xF0)
+            run -= 16
+            for b in br_bits:
+                bits(b, 1)
+            br_bits = []
+        if t > 1:                   # history coefficient: correction bit
+            br_bits.append(t & 1)
+            continue
+        _flush_eobrun(st, sym, bits)
+        sym((run << 4) | 1)
+        bits(1 if coef[k] > 0 else 0, 1)
+        for b in br_bits:
+            bits(b, 1)
+        br_bits = []
+        run = 0
+    if run > 0 or br_bits:
+        st.eobrun += 1
+        st.pending.extend(br_bits)
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(st, sym, bits)
+
+
+def encode_progressive(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2) with a libjpeg-flavored scan
+    script: shifted DC first scan + DC refinement, per-component AC
+    band scans (the luma band split 1-5 / 6-63) at Al=1 followed by a
+    full-band refinement to Al=0 — so decoding exercises spectral
+    selection, successive approximation, and EOB-run accumulation.
+    Same quantization as the baseline encoder: a progressive re-encode
+    of the same image decodes to the IDENTICAL pixels (tested)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    planes, sampling = _to_planes(img, subsampling)
+    ncomp = len(planes)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = [
+        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs)
+        for ci, (hs, vs) in enumerate(sampling)
+    ]
+
+    def dc_blocks():
+        """interleaved MCU order over every component's blocks."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hs, vs) in enumerate(sampling):
+                    for v in range(vs):
+                        for u in range(hs):
+                            yield ci, comp_blocks[ci][my * vs + v][mx * hs + u]
+
+    def ac_blocks(ci):
+        """non-interleaved raster order over the REAL block grid."""
+        hs, vs = sampling[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield comp_blocks[ci][by][bx]
+
+    # scan script
+    scans: list[dict] = []
+    scans.append({"kind": "dc_first", "al": 1})
+    for ci in range(ncomp):
+        if ci == 0:
+            scans.append({"kind": "ac_first", "ci": 0, "ss": 1, "se": 5,
+                          "al": 1})
+            scans.append({"kind": "ac_first", "ci": 0, "ss": 6, "se": 63,
+                          "al": 1})
+        else:
+            scans.append({"kind": "ac_first", "ci": ci, "ss": 1, "se": 63,
+                          "al": 1})
+        scans.append({"kind": "ac_refine", "ci": ci, "ss": 1, "se": 63,
+                      "ah": 1, "al": 0})
+    scans.append({"kind": "dc_refine", "ah": 1, "al": 0})
+
+    def run_scan(sc, sym, bits):
+        if sc["kind"] == "dc_first":
+            preds = [0] * ncomp
+            for ci, zz in dc_blocks():
+                _enc_dc_first(zz, preds, ci, sc["al"], sym, bits)
+        elif sc["kind"] == "dc_refine":
+            for ci, zz in dc_blocks():
+                bits((int(zz[0]) >> sc["al"]) & 1, 1)
+        else:
+            st = _ProgScanState()
+            fn = _enc_ac_first if sc["kind"] == "ac_first" else _enc_ac_refine
+            for zz in ac_blocks(sc["ci"]):
+                fn(zz, sc["ss"], sc["se"], sc["al"], st, sym, bits)
+            _flush_eobrun(st, sym, bits)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qz = _QTAB.reshape(64)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in qz)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    for sc in scans:
+        # pass 1: this scan's symbol alphabet -> its own canonical DHT
+        syms: set[int] = set()
+        run_scan(sc, syms.add, lambda v, n: None)
+        table: dict[int, tuple[int, int]] = {}
+        if sc["kind"] != "dc_refine":           # DC refinement is raw bits
+            counts, table = _canonical_code(sorted(syms) or [0])
+            tc = 0 if sc["kind"] == "dc_first" else 1
+            out += _dht_segment(tc, 0, counts, table)
+        # SOS header
+        if sc["kind"] in ("dc_first", "dc_refine"):
+            sos = bytearray([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, 0x00])
+            ss_, se_ = 0, 0
+        else:
+            sos = bytearray([1, sc["ci"] + 1, 0x00])
+            ss_, se_ = sc["ss"], sc["se"]
+        sos += bytes([ss_, se_, (sc.get("ah", 0) << 4) | sc["al"]])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        # pass 2: entropy-coded data
+        bw_ = _BitWriter()
+        run_scan(sc,
+                 lambda s, t=table, b=bw_: b.put(*t[s]),
+                 lambda v, n, b=bw_: b.put(v, n))
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder — baseline (SOF0) and progressive (SOF2: spectral selection +
+# successive approximation, per ITU T.81 G.2 / the libjpeg phuff decoder)
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the first 0xFF not followed by a
+    stuffed 0x00 or a restart marker."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _parse_stream(payload: bytes):
+    """Marker walk -> (frame, comps, qtabs, scans). Each scan carries a
+    SNAPSHOT of the Huffman tables in force at its SOS (progressive
+    streams redefine DHT between scans)."""
     if payload[:2] != b"\xff\xd8":
         raise JpegUnsupported("not a JPEG (no SOI)")
     pos = 2
@@ -380,8 +602,7 @@ def decode_baseline(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     comps: list[dict] = []
-    scan_data = None
-    scan_comp_tables: list[tuple[int, int]] = []
+    scans: list[dict] = []
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -415,7 +636,7 @@ def decode_baseline(payload: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17:p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(counts, symbols)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegUnsupported("non-8-bit precision")
@@ -428,69 +649,239 @@ def decode_baseline(payload: bytes) -> np.ndarray:
                     raise JpegUnsupported(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 p += 3
-            frame = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (h, w, nc, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegUnsupported(f"non-baseline frame marker {marker:#x}")
+            raise JpegUnsupported(f"unsupported frame marker {marker:#x}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             p = 1
-            scan_comp_tables = []
+            specs = []
             for _ in range(ns):
+                cs = seg[p]
                 td, ta = seg[p + 1] >> 4, seg[p + 1] & 0x0F
-                scan_comp_tables.append((td, ta))
+                ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+                specs.append((ci, td, ta))
                 p += 2
-            scan_data = payload[pos + seglen:]
-            break
+            ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            data_start = pos + seglen
+            data_end = _entropy_end(payload, data_start)
+            scans.append({
+                "specs": specs, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0x0F,
+                "data": payload[data_start:data_end],
+                "huff": dict(huff),
+            })
+            pos = data_end
+            continue
         pos += seglen
-    if frame is None or scan_data is None:
-        raise JpegUnsupported("missing SOF0/SOS")
+    if frame is None or not scans:
+        raise JpegUnsupported("missing SOF/SOS")
     if restart_interval:
         raise JpegUnsupported("restart markers")
-    h, w, nc = frame
+    return frame, comps, qtabs, scans
+
+
+def _comp_block_dims(c: dict, w: int, h: int, hmax: int, vmax: int):
+    """REAL (non-MCU-padded) block grid of one component — the block
+    count a non-interleaved scan codes (T.81 A.2.2)."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _block_full(br, dc, ac, coef, preds, ci):
+    """Baseline DC+AC decode of one block (SOF0 single-scan)."""
+    size = dc.decode(br)
+    preds[ci] += br.receive_extend(size)
+    coef[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise JpegUnsupported("AC index overflow")
+        coef[k] = br.receive_extend(size)
+        k += 1
+
+
+def _block_dc_first(br, dc, coef, preds, ci, al):
+    size = dc.decode(br)
+    preds[ci] += br.receive_extend(size)
+    coef[0] = preds[ci] << al
+
+
+def _block_dc_refine(br, coef, al):
+    if br.get(1):
+        coef[0] |= 1 << al
+
+
+def _block_ac_first(br, ac, coef, ss, se, al, eobrun):
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:
+                eobrun[0] = (1 << run) - 1
+                if run:
+                    eobrun[0] += br.get(run)
+                return
+            k += 16
+            continue
+        k += run
+        if k > se:
+            raise JpegUnsupported("AC band overflow")
+        coef[k] = br.receive_extend(size) << al
+        k += 1
+
+
+def _block_ac_refine(br, ac, coef, ss, se, al, eobrun):
+    """Successive-approximation refinement (T.81 G.1.2.3 decode side):
+    correction bits for already-nonzero coefficients, a +-1<<Al for
+    newly nonzero ones, EOB runs cover whole blocks of corrections."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if br.get(1) and (int(coef[k]) & p1) == 0:
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:
+                    eobrun[0] = 1 << run
+                    if run:
+                        eobrun[0] += br.get(run)
+                    break  # rest of block handled by the EOB branch
+                val = 0
+            else:
+                if size != 1:
+                    raise JpegUnsupported("refine size != 1")
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _apply_scan(scan, comps, coefs, frame):
+    h, w, nc, progressive = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(scan["data"])
+    huff = scan["huff"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    preds = [0] * nc
+    eobrun = [0]
+    if len(scan["specs"]) == 1:
+        # non-interleaved: the component's REAL block grid, raster order
+        ci, td, ta = scan["specs"][0]
+        c = comps[ci]
+        bh, bw = _comp_block_dims(c, w, h, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = coefs[ci][by][bx]
+                if not progressive:
+                    _block_full(br, huff[(0, td)], huff[(1, ta)],
+                                coef, preds, ci)
+                elif ss == 0:
+                    if ah == 0:
+                        _block_dc_first(br, huff[(0, td)], coef, preds,
+                                        ci, al)
+                    else:
+                        _block_dc_refine(br, coef, al)
+                elif ah == 0:
+                    _block_ac_first(br, huff[(1, ta)], coef, ss, se, al,
+                                    eobrun)
+                else:
+                    _block_ac_refine(br, huff[(1, ta)], coef, ss, se, al,
+                                     eobrun)
+        return
+    # interleaved: MCU order (baseline full scans, progressive DC scans)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, td, ta in scan["specs"]:
+                c = comps[ci]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        coef = coefs[ci][my * c["v"] + v][mx * c["h"] + u]
+                        if not progressive:
+                            _block_full(br, huff[(0, td)], huff[(1, ta)],
+                                        coef, preds, ci)
+                        elif ss == 0 and ah == 0:
+                            _block_dc_first(br, huff[(0, td)], coef,
+                                            preds, ci, al)
+                        elif ss == 0:
+                            _block_dc_refine(br, coef, al)
+                        else:
+                            raise JpegUnsupported(
+                                "interleaved AC scan in progressive frame")
+
+
+def decode_baseline(payload: bytes) -> np.ndarray:
+    """Decode a JPEG — baseline sequential (SOF0) or progressive (SOF2,
+    spectral selection + successive approximation), 8-bit, 1 or 3
+    components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0) — to
+    (h, w) or (h, w, 3) uint8. Name kept for compatibility; `decode`
+    is the alias that says what it now does."""
+    frame, comps, qtabs, scans = _parse_stream(payload)
+    h, w, nc, progressive = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    br = _BitReader(scan_data)
+    # per-component coefficient store on the PADDED (MCU) grid; zigzag
+    # order (progressive scans address zigzag indices directly)
+    coefs = [
+        [[np.zeros(64, dtype=np.int64) for _ in range(mcus_x * c["h"])]
+         for _ in range(mcus_y * c["v"])]
+        for c in comps
+    ]
+    if not progressive and len(scans) > 1:
+        raise JpegUnsupported("multi-scan baseline stream")
+    for scan in scans:
+        _apply_scan(scan, comps, coefs, frame)
+
     planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
               for c in comps]
-    preds = [0] * nc
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, c in enumerate(comps):
-                td, ta = scan_comp_tables[ci]
-                dc = huff[(0, td)]
-                ac = huff[(1, ta)]
-                q = qtabs[c["tq"]]
-                for v in range(c["v"]):
-                    for u in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = dc.decode(br)
-                        preds[ci] += br.receive_extend(size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac.decode(br)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise JpegUnsupported("AC index overflow")
-                            zz[k] = br.receive_extend(size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz
-                        blk = _C.T @ (coef.reshape(8, 8) * q) @ _C
-                        by = (my * c["v"] + v) * 8
-                        bx = (mx * c["h"] + u) * 8
-                        planes[ci][by:by + 8, bx:bx + 8] = blk
+    for ci, c in enumerate(comps):
+        q = qtabs[c["tq"]]
+        for by, row in enumerate(coefs[ci]):
+            for bx, zz in enumerate(row):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz
+                blk = _C.T @ (coef.reshape(8, 8) * q) @ _C
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
     # upsample each component to full resolution and crop
     full = []
     for ci, c in enumerate(comps):
@@ -510,3 +901,6 @@ def decode_baseline(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+decode = decode_baseline

@@ -567,14 +567,73 @@ def test_real_jpeg_decode_roundtrip(spark):
     px = np.array(row["pixels"], dtype=np.uint8)
     assert np.abs(px.astype(int) - rgb.astype(int)).mean() <= 4
 
-    # non-baseline stream (progressive SOF2) must fall through, never
-    # return garbage: strict raises here (no PIL in this container)
+    # a TRUNCATED stream (SOF2 header, no scans) must fall through,
+    # never return garbage: strict raises here (no PIL in this
+    # container). Real progressive streams now decode — see
+    # test_progressive_jpeg_decode below.
     import pytest as pt
 
-    progressive = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01"
-                   + b"\x01\x11\x00" + b"\xff\xd9")
+    truncated = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01"
+                 + b"\x01\x11\x00" + b"\xff\xd9")
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pt.raises(NotImplementedError):
-            _decode_one(progressive, "jpg", strict=True)
+            _decode_one(truncated, "jpg", strict=True)
+
+
+def test_progressive_jpeg_decode(spark):
+    """Progressive JPEG (SOF2 — the dominant layout in web-crawled
+    corpora; reference Image htype decodes it via libjpeg,
+    python/deeplake/types.pyi:1011-1036) decodes for REAL in-container.
+
+    The progressive encoder uses a libjpeg-flavored scan script (DC
+    first at Al=1 + DC refinement; luma AC split into 1-5 / 6-63 bands;
+    per-component full-band refinement to Al=0), so the decode exercises
+    spectral selection, successive approximation (first + refine for DC
+    and AC), and EOB-run accumulation. Quantization matches the baseline
+    encoder, so the progressive re-encode must decode to PIXEL-IDENTICAL
+    output vs the baseline stream — a far stronger check than a
+    tolerance band."""
+    import numpy as np
+
+    from deeplake_spark.operators._jpeg import (
+        decode_baseline,
+        encode_baseline,
+        encode_progressive,
+    )
+    from deeplake_spark.operators.multimodal import _decode_one, decode_images
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:41, 0:53]
+    gray = np.clip(90 + 2 * xx + 1.7 * yy + rng.normal(0, 4, (41, 53)),
+                   0, 255).astype(np.uint8)
+    rgb = np.stack([
+        np.clip(70 + 2 * xx, 0, 255),
+        np.clip(50 + 1.5 * yy, 0, 255),
+        np.clip(160 - 1.2 * xx, 0, 255)], axis=-1).astype(np.uint8)
+    flat = np.full((40, 48, 3), 128, dtype=np.uint8)  # EOB-run heavy
+    noisy = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+    cases = [(gray, "444"), (rgb, "444"), (rgb, "422"), (rgb, "420"),
+             (flat, "420"), (noisy, "444"), (noisy, "420")]
+    for img, sub in cases:
+        if img.ndim == 2:
+            base_b, prog_b = encode_baseline(img), encode_progressive(img)
+        else:
+            base_b = encode_baseline(img, subsampling=sub)
+            prog_b = encode_progressive(img, subsampling=sub)
+        assert b"\xff\xc2" in prog_b and b"\xff\xc0" not in prog_b
+        assert prog_b.count(b"\xff\xda") > 3      # genuinely multi-scan
+        assert np.array_equal(decode_baseline(prog_b),
+                              decode_baseline(base_b)), (img.shape, sub)
+
+    # through the multimodal entry and the Spark pipeline
+    out = _decode_one(encode_progressive(rgb, subsampling="420"), "jpg",
+                      strict=True)
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() <= 5
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_progressive(rgb)))], "id long, image binary")
+    row = decode_images(df, compression="jpg", strict=True).head()
+    assert row["shape"] == [41, 53, 3]
