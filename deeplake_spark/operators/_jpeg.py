@@ -4,15 +4,19 @@ and the reference's Image htype defaults to png/**jpeg**
 real in-container implementation alongside the stdlib PNG/PPM/BMP
 codecs in multimodal.py.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, grayscale and YCbCr
-with sampling factors up to 2x2 — 4:4:4, 4:2:2 and the real-world
-default 4:2:0 all decode; the paired encoder emits 4:4:4 or 4:2:0.
-Progressive (SOF2), restart-marker, and 16-bit streams raise
-`JpegUnsupported` and the caller falls back to the optional-import
-(PIL) branch or the deterministic fake. Huffman and quantization
-tables are read FROM the stream (DHT/DQT), per the standard — nothing
-here depends on the Annex-K defaults, and the encoder writes its own
-canonical tables, so the pair is self-consistent AND standard-valid.
+Scope: baseline sequential DCT (SOF0) AND progressive (SOF2 —
+spectral selection + successive approximation, the dominant layout in
+web-crawled corpora), 8-bit, grayscale and YCbCr with sampling factors
+up to 2x2 — 4:4:4, 4:2:2 and the real-world default 4:2:0 all decode.
+The paired encoders emit baseline (4:4:4/4:2:2/4:2:0) and progressive
+(libjpeg-style scan script) streams from the SAME quantization, so
+round-trip tests can demand pixel-identical agreement. Restart-marker
+and 16-bit streams raise `JpegUnsupported` and the caller falls back
+to the optional-import (PIL) branch or the deterministic fake. Huffman
+and quantization tables are read FROM the stream (DHT/DQT), per the
+standard — nothing here depends on the Annex-K defaults, and the
+encoders write their own canonical tables, so the pair is
+self-consistent AND standard-valid.
 
 The DCT is the exact orthonormal DCT-II as two 8x8 matrix products
 (numpy), the IDCT its transpose — no scipy.
@@ -24,7 +28,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_baseline", "decode_baseline", "JpegUnsupported"]
+__all__ = ["encode_baseline", "encode_progressive", "decode",
+           "decode_baseline", "JpegUnsupported"]
 
 
 class JpegUnsupported(Exception):

@@ -53,7 +53,7 @@ class InvertedIndex:
         """terms → row_id relation (the roaring bitmap analog).
         mode='any' (OR) unions postings; mode='all' (AND) intersects
         via group-count."""
-        hit = self.postings.filter(F.col("term").isin([t.lower() for t in terms]))
+        hit = _term_hit(self.postings, [t.lower() for t in terms])
         if mode == "any" or len(terms) == 1:
             return hit.select("row_id").distinct()
         return (
@@ -91,10 +91,31 @@ class InvertedIndex:
             (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
         )
         return cls(
-            postings=spark.read.parquet(os.path.join(path, "postings")).drop("bucket"),
+            # keep `bucket`: probes prune the term-hash partition with it
+            # (_term_hit) — dropping it here made every probe scan all 64
+            # posting partitions
+            postings=spark.read.parquet(os.path.join(path, "postings")),
             stats=stats,
             doclens=spark.read.parquet(os.path.join(path, "doclens")),
         )
+
+
+def _term_hit(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Posting rows for `terms`, PARTITION-PRUNED when the postings carry
+    their save-time term-hash bucket: the probe filters on
+    `bucket == abs(hash('term')) % 64` — Catalyst constant-folds the
+    literal hash, so the parquet scan reads only the matching term
+    buckets (|terms| of 64 partitions) instead of every posting file.
+    A loaded index keeps `bucket`; a freshly-built one (pre-save) has no
+    bucket column and scans its in-memory lineage as before."""
+    if "bucket" in postings.columns:
+        pred = None
+        for t in terms:
+            c = F.col("bucket") == (F.abs(F.hash(F.lit(t))) % 64)
+            pred = c if pred is None else (pred | c)
+        if pred is not None:
+            postings = postings.filter(pred)
+    return postings.filter(F.col("term").isin(terms))
 
 
 def build_inverted_index(df: DataFrame, text_col: str = "text",
@@ -139,7 +160,7 @@ def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,
     `candidates` (a row_id relation) restricts which documents are
     scored (the reference's filter+search, index_holder.hpp:30-36) —
     IDF/corpus stats stay GLOBAL, matching search-then-filter scores."""
-    tf = index.postings.filter(F.col("term").isin([t.lower() for t in terms]))
+    tf = _term_hit(index.postings, [t.lower() for t in terms])
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if candidates is not None:
         cand = candidates.toDF("row_id") if candidates.columns != ["row_id"] else candidates

@@ -94,15 +94,20 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class _PngUnsupported(Exception):
     """Valid PNG, but a variant outside the stdlib decoder's scope
-    (16-bit, interlaced, ...) — falls through to PIL when present."""
+    (interlaced, exotic color types) — falls through to PIL when
+    present. 8- and 16-bit non-interlaced streams decode for real."""
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int,
+                  sample_bytes: int = 1) -> np.ndarray:
     """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
-    Average/Paeth). Up is vectorized; Sub/Average/Paeth carry a
-    left-neighbor dependency, so those rows scan byte-wise."""
-    stride = w * channels
-    bpp = channels  # 8-bit depth → bytes per pixel == channels
+    Average/Paeth). Filters operate on BYTES regardless of bit depth
+    (spec §9: bpp = ceil(depth/8) * channels), so 16-bit rows reuse the
+    same math with doubled stride/bpp. Up is vectorized; Sub/Average/
+    Paeth carry a left-neighbor dependency, so those rows scan
+    byte-wise."""
+    stride = w * channels * sample_bytes
+    bpp = channels * sample_bytes
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)
     pos = 0
@@ -143,12 +148,13 @@ def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL decoder for 8-bit non-interlaced PNG: stdlib zlib + struct
-    only (the reference Image htype's default compression,
+    """REAL decoder for 8/16-bit non-interlaced PNG: stdlib zlib +
+    struct only (the reference Image htype's default compression,
     python/deeplake/types.pyi:1011-1036). Supports grayscale (→ HxW),
     gray+alpha (HxWx2), RGB (HxWx3), RGBA (HxWx4), and paletted
-    (PLTE lookup → HxWx3) color types; 16-bit/interlaced variants
-    raise _PngUnsupported and fall through to PIL when installed."""
+    (PLTE lookup → HxWx3) color types; 16-bit samples come back as
+    uint16 (big-endian per spec §7.1). Interlaced variants raise
+    _PngUnsupported and fall through to PIL when installed."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
@@ -173,21 +179,30 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace != 0:
         raise _PngUnsupported(
-            f"stdlib PNG path handles 8-bit non-interlaced only "
+            f"stdlib PNG path handles 8/16-bit non-interlaced only "
             f"(depth={depth}, interlace={interlace})")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise _PngUnsupported(f"unknown PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("paletted PNG cannot be 16-bit")
     raw = zlib.decompress(bytes(idat))
-    img = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    sample_bytes = depth // 8
+    rows = _png_unfilter(raw, h, w, channels, sample_bytes)
+    if depth == 16:
+        # samples are big-endian uint16 (spec §7.1)
+        img = ((rows[:, 0::2].astype(np.uint16) << 8)
+               | rows[:, 1::2]).reshape(h, w, channels)
+    else:
+        img = rows.reshape(h, w, channels)
     if color == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
         return palette[img[:, :, 0]]
     if color == 0:
-        return img.reshape(h, w)  # PIL 'L'-mode convention: 2-D sample
+        return img.reshape(h, w)  # PIL 'L'/'I;16' convention: 2-D sample
     return img
 
 

@@ -1,59 +1,11 @@
-"""Docs-as-tests: every ```python block in TQL.md must execute —
-adopting the reference's executable-doc-snippet strategy
-(docs/docs/advanced/tql.md hidden test-context blocks, SURVEY §5.5).
-The test provides the context the snippets assume (spark, dataset,
-named tables), mirroring the reference's `<!-- test-context -->`."""
+"""Docs/meta invariants. The TQL.md docs-as-tests harness lives in
+tests/test_tql_docs.py (true hidden test-context blocks, the
+reference's docs/docs/advanced/tql.md pattern — SURVEY §5.5); this file
+keeps the repo-shape invariants."""
 
 from __future__ import annotations
 
-import re
-import tempfile
-
 import pytest
-
-from deeplake_spark.io import load_table
-
-
-def _python_blocks(path: str) -> list[str]:
-    text = open(path).read()
-    return re.findall(r"```python\n(.*?)```", text, re.S)
-
-
-def test_tql_md_snippets_run(spark, sf_dir):
-    blocks = _python_blocks("/root/repo/TQL.md")
-    assert blocks, "TQL.md must contain python snippets"
-    with tempfile.TemporaryDirectory() as tmp:
-        import deeplake_spark as dls
-        from deeplake_spark import dataset as dl
-
-        # test-context: a real dataset + named tables for the snippets.
-        # The index-routing snippets need embedding + doc_matrix columns
-        # and query params, so the dataset is documents ⋈ embeddings.
-        from pyspark.sql import functions as F
-
-        docs = load_table(spark, sf_dir, "documents")
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("doc_id"), "embedding")
-        src = docs.join(emb, "doc_id").withColumn(
-            "doc_matrix", F.array("embedding"))
-        src.write.parquet(tmp + "/src")
-        ds = dl.from_parquet(tmp + "/src", tmp + "/ds", spark)
-        qvec = [float(v) for v in emb.head()["embedding"]]
-        ctx = {
-            "dls": dls,
-            "spark": spark,
-            "nation_df": load_table(spark, sf_dir, "nation"),
-            "region_df": load_table(spark, sf_dir, "region"),
-            "qvec": qvec,
-            "query_matrix": [qvec],
-        }
-        for block in blocks:
-            # the import/get_spark/open lines are illustrative — rebind to
-            # the test context instead of opening /data paths
-            code = block.replace('dls.open("/data/my_dataset", spark)', "ds")
-            code = code.replace("spark = dls.get_spark()", "pass")
-            ctx["ds"] = ds
-            exec(compile(code, "TQL.md", "exec"), ctx)  # noqa: S102
 
 
 def test_readme_mentions_every_module(spark):

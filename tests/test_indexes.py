@@ -1123,3 +1123,42 @@ def test_maxsim_recall_monotone_across_presets(spark, sf_dir):
     for lo, hi in zip(curve, curve[1:]):
         assert hi >= lo - 1e-9, f"maxsim recall regressed: {curve}"
     assert curve[-1] >= 0.8, f"maxsim high_accuracy {curve}"
+
+
+def test_inverted_probe_prunes_term_buckets(spark, sf_dir, tmp_path):
+    """A loaded inverted index probe must READ only the probed terms'
+    hash-bucket partitions (PartitionFilters on `bucket`), not all 64 —
+    at 100 TB the posting table is the big relation and this prune is
+    the difference between O(matching postings) and a full index scan."""
+    import re as _re
+
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        bm25_via_index,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = str(tmp_path / "inv")
+    build_inverted_index(docs).save(p)
+    idx = InvertedIndex.load(spark, p)
+
+    probe = idx.probe(["spark"])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, f"no bucket partition filter:\n{plan[:1200]}"
+
+    # pruning must not change results: same rows as the unpruned scan
+    want = {r.doc_id for r in docs.filter(
+        F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
+        .collect()}
+    assert {r.row_id for r in probe.collect()} == want and want
+
+    # BM25 goes through the same pruned path and ranks identically to a
+    # fresh (unsaved, bucketless) index
+    fresh = build_inverted_index(docs)
+    got = [(r.row_id, r.bm25) for r in
+           bm25_via_index(idx, ["spark", "fast"], k=10).collect()]
+    ref = [(r.row_id, r.bm25) for r in
+           bm25_via_index(fresh, ["spark", "fast"], k=10).collect()]
+    assert got == ref

@@ -143,25 +143,35 @@ def _encode_png(img, filters=None, color=None):
 
     import numpy as np
 
+    depth = 16 if img.dtype == np.uint16 else 8
+    sb = depth // 8
     if img.ndim == 2:
         h, w, ch = img.shape[0], img.shape[1], 1
-        flat = img.reshape(h, w * 1).astype(np.int32)
         color = 0 if color is None else color
     else:
         h, w, ch = img.shape
-        flat = img.reshape(h, w * ch).astype(np.int32)
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
+    # PNG filters operate on BYTES whatever the depth: expand samples to
+    # big-endian bytes, filter with bpp = ch * sample_bytes
+    samples = img.reshape(h, w * ch).astype(np.uint16 if sb == 2 else np.uint8)
+    if sb == 2:
+        flat = np.empty((h, w * ch * 2), dtype=np.int32)
+        flat[:, 0::2] = samples >> 8
+        flat[:, 1::2] = samples & 0xFF
+    else:
+        flat = samples.astype(np.int32)
+    bpp = ch * sb
     filters = filters or [0] * h
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
+    prev = np.zeros(w * ch * sb, dtype=np.int32)
     for y in range(h):
         line = flat[y]
         ft = filters[y % len(filters)]
-        filt = np.empty(w * ch, dtype=np.int32)
-        for x in range(w * ch):
-            a = int(line[x - ch]) if x >= ch else 0
+        filt = np.empty(w * ch * sb, dtype=np.int32)
+        for x in range(w * ch * sb):
+            a = int(line[x - bpp]) if x >= bpp else 0
             b = int(prev[x])
-            c = int(prev[x - ch]) if x >= ch else 0
+            c = int(prev[x - bpp]) if x >= bpp else 0
             if ft == 0:
                 pred = 0
             elif ft == 1:
@@ -182,7 +192,7 @@ def _encode_png(img, filters=None, color=None):
         return (st.pack(">I", len(data)) + ctype + data
                 + st.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -237,15 +247,30 @@ def test_real_png_gray_rgba_palette():
     assert (_decode_png(payload) == plte[idx]).all()
 
 
-def test_png_16bit_falls_through_not_garbage():
-    """A 16-bit PNG is outside the stdlib path: strict mode must raise
-    (no PIL in this container), never silently return wrong pixels."""
+def test_png_16bit_decodes_real():
+    """16-bit PNG decodes for REAL in the stdlib path (medical/depth
+    imagery ships 16-bit; reference Image htype accepts any libpng
+    stream, python/deeplake/types.pyi:1011-1036): big-endian samples,
+    byte-level filters with doubled bpp, exact round trip through every
+    filter type for gray and RGB; values above 255 prove real 16-bit
+    (not a truncated 8-bit read)."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_one, _decode_png
+
+    rng = np.random.default_rng(3)
+    gray16 = rng.integers(0, 65536, size=(9, 6), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    for img in (gray16, rgb16):
+        for filters in ([0], [0, 1, 2, 3, 4], [4, 3, 1, 2]):
+            out = _decode_png(_encode_png(img, filters=filters))
+            assert out.dtype == np.uint16
+            assert np.array_equal(out, img), filters
+    assert gray16.max() > 255  # the fixture genuinely exercises 16-bit
+
+    # one-pixel hand-built stream: value 1 (big-endian 0x0001)
     import struct as st
     import zlib
-
-    import pytest as pt
-
-    from deeplake_spark.operators.multimodal import _decode_one
 
     def chunk(ctype, data):
         return (st.pack(">I", len(data)) + ctype + data
@@ -255,16 +280,20 @@ def test_png_16bit_falls_through_not_garbage():
     raw = b"\x00\x00\x01"  # filter 0 + one 16-bit gray pixel
     payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = _decode_one(payload, "png", strict=True)
+    assert out.shape == (1, 1) and int(out[0, 0]) == 1
+
+    # interlaced stays out of scope: strict raises, never garbage
+    import pytest as pt
+
+    ihdr_i = st.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     try:
         import PIL  # noqa: F401
-        has_pil = True
     except ImportError:
-        has_pil = False
-    if has_pil:
-        _decode_one(payload, "png", strict=True)  # PIL handles it
-    else:
         with pt.raises(NotImplementedError):
-            _decode_one(payload, "png", strict=True)
+            _decode_one(bad, "png", strict=True)
 
 
 def test_real_wav_decode_features(spark):
