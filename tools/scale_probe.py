@@ -258,8 +258,11 @@ def main() -> None:
             "skew-split applies to). `aqe_split` lowers the skew "
             "thresholds to the probe's scale — the same split a 100 TB "
             "run gets at stock thresholds; `salted` is the explicit "
-            "plans/layout.salted_join lever. All variants return "
-            "identical rows (asserted in the probe).",
+            "plans/layout.salted_join lever — it pays a constant "
+            "replication factor on the other side, so it only wins when "
+            "the hot reducer dominates wall-clock (true at 100 TB; at "
+            "probe scale the replication cost shows instead). All "
+            "variants return identical rows (asserted in the probe).",
             "",
             "| variant | sec |",
             "|---|---|",
