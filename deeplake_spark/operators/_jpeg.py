@@ -10,9 +10,12 @@ web-crawled corpora), 8-bit, grayscale and YCbCr with sampling factors
 up to 2x2 — 4:4:4, 4:2:2 and the real-world default 4:2:0 all decode.
 The paired encoders emit baseline (4:4:4/4:2:2/4:2:0) and progressive
 (libjpeg-style scan script) streams from the SAME quantization, so
-round-trip tests can demand pixel-identical agreement. Restart-marker
-and 16-bit streams raise `JpegUnsupported` and the caller falls back
-to the optional-import (PIL) branch or the deterministic fake. Huffman
+round-trip tests can demand pixel-identical agreement. Restart markers
+(DRI/RSTn) decode — DC predictors, EOB runs, and bit alignment reset
+per interval (E.2.4) — and the baseline encoder can emit them. 16-bit
+(12-bit precision) streams raise `JpegUnsupported` and the caller
+falls back to the optional-import (PIL) branch or the deterministic
+fake. Huffman
 and quantization tables are read FROM the stream (DHT/DQT), per the
 standard — nothing here depends on the Annex-K defaults, and the
 encoders write their own canonical tables, so the pair is
@@ -147,6 +150,17 @@ class _BitReader:
             v -= (1 << size) - 1
         return v
 
+    def restart(self) -> None:
+        """Cross an RSTn marker: drop buffered (padding) bits, consume
+        the two marker bytes, resume on the byte boundary (E.2.4)."""
+        self._acc = 0
+        self._n = 0
+        while self.pos < len(self.data) and self.data[self.pos] != 0xFF:
+            self.pos += 1
+        if (self.pos + 1 < len(self.data)
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+
 
 # --------------------------------------------------------------------------
 # canonical Huffman construction (encoder) and decoding (both)
@@ -275,10 +289,14 @@ def _plane_blocks(chan: np.ndarray, bh: int, bw: int) -> list:
     return rows
 
 
-def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_baseline(img: np.ndarray, subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
     sequential JPEG. `subsampling`: '444' (default) or '420' (2x2
-    chroma subsampling — the real-world default layout)."""
+    chroma subsampling — the real-world default layout).
+    `restart_interval` > 0 writes a DRI segment and an RSTn marker
+    every that-many MCUs (DC predictors reset per interval — the
+    error-resilience layout camera firmware emits)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     planes, sampling = _to_planes(img, subsampling)
@@ -290,21 +308,28 @@ def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
         _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs)
         for ci, (hs, vs) in enumerate(sampling)
     ]
+    ri = int(restart_interval)
 
     def mcu_stream():
-        """yields (component index, zigzag block) in scan order."""
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci, (hs, vs) in enumerate(sampling):
-                    for v in range(vs):
-                        for u in range(hs):
-                            yield ci, comp_blocks[ci][my * vs + v][mx * hs + u]
+        """yields (mcu index, component index, zigzag block)."""
+        for m, (my, mx) in enumerate(
+                (my, mx) for my in range(mcus_y) for mx in range(mcus_x)):
+            for ci, (hs, vs) in enumerate(sampling):
+                for v in range(vs):
+                    for u in range(hs):
+                        yield m, ci, comp_blocks[ci][my * vs + v][mx * hs + u]
 
     # pass 1: symbol alphabets for the shared canonical DC/AC tables
+    # (restart intervals reset the DC predictor, changing the diffs —
+    # the alphabet pass must mirror that)
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00, 0xF0}
     preds = [0] * len(planes)
-    for ci, zz in mcu_stream():
+    last_m = -1
+    for m, ci, zz in mcu_stream():
+        if ri and m != last_m and m % ri == 0 and m:
+            preds = [0] * len(planes)
+        last_m = m
         dc_syms.add(_category(int(zz[0]) - preds[ci]))
         preds[ci] = int(zz[0])
         run = 0
@@ -322,7 +347,15 @@ def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
     # pass 2: entropy-coded data
     bw_ = _BitWriter()
     preds = [0] * len(planes)
-    for ci, zz in mcu_stream():
+    last_m = -1
+    rst = 0
+    for m, ci, zz in mcu_stream():
+        if ri and m != last_m and m % ri == 0 and m:
+            bw_.flush()
+            bw_.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(planes)
+        last_m = m
         diff = int(zz[0]) - preds[ci]
         preds[ci] = int(zz[0])
         size = _category(diff)
@@ -361,6 +394,8 @@ def encode_baseline(img: np.ndarray, subsampling: str = "444") -> bytes:
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, dc_counts, dc_table)
     out += _dht_segment(1, 0, ac_counts, ac_table)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
@@ -678,14 +713,13 @@ def _parse_stream(payload: bytes):
                 "ah": ahal >> 4, "al": ahal & 0x0F,
                 "data": payload[data_start:data_end],
                 "huff": dict(huff),
+                "ri": restart_interval,
             })
             pos = data_end
             continue
         pos += seglen
     if frame is None or not scans:
         raise JpegUnsupported("missing SOF/SOS")
-    if restart_interval:
-        raise JpegUnsupported("restart markers")
     return frame, comps, qtabs, scans
 
 
@@ -804,8 +838,21 @@ def _apply_scan(scan, comps, coefs, frame):
     br = _BitReader(scan["data"])
     huff = scan["huff"]
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    ri = scan.get("ri", 0)
     preds = [0] * nc
     eobrun = [0]
+    unit = [0]  # MCUs (interleaved) / blocks (non-interleaved) decoded
+
+    def maybe_restart():
+        """Every `ri` units an RSTn marker sits in the stream: realign
+        and reset the inter-block decoder state (E.2.4)."""
+        if ri and unit[0] and unit[0] % ri == 0:
+            br.restart()
+            for i in range(nc):
+                preds[i] = 0
+            eobrun[0] = 0
+        unit[0] += 1
+
     if len(scan["specs"]) == 1:
         # non-interleaved: the component's REAL block grid, raster order
         ci, td, ta = scan["specs"][0]
@@ -813,6 +860,7 @@ def _apply_scan(scan, comps, coefs, frame):
         bh, bw = _comp_block_dims(c, w, h, hmax, vmax)
         for by in range(bh):
             for bx in range(bw):
+                maybe_restart()
                 coef = coefs[ci][by][bx]
                 if not progressive:
                     _block_full(br, huff[(0, td)], huff[(1, ta)],
@@ -835,6 +883,7 @@ def _apply_scan(scan, comps, coefs, frame):
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            maybe_restart()
             for ci, td, ta in scan["specs"]:
                 c = comps[ci]
                 for v in range(c["v"]):

@@ -666,3 +666,29 @@ def test_progressive_jpeg_decode(spark):
         [(1, bytearray(encode_progressive(rgb)))], "id long, image binary")
     row = decode_images(df, compression="jpg", strict=True).head()
     assert row["shape"] == [41, 53, 3]
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn streams (the error-resilience layout camera firmware
+    emits) decode for real: DC predictors and bit alignment reset per
+    interval. Encoding with any restart interval must decode to the
+    IDENTICAL pixels as the marker-free stream — including intervals
+    that do not divide the MCU count."""
+    import numpy as np
+
+    from deeplake_spark.operators._jpeg import decode_baseline, encode_baseline
+
+    x, y = np.meshgrid(np.arange(61), np.arange(45))
+    rgb = np.stack([(x * 3 + y * 5) % 256, (x * 7) % 256, (y * 11) % 256],
+                   axis=-1).astype(np.uint8)
+    gray = ((x * 2 + y * 3) % 256).astype(np.uint8)
+    for img, sub in [(rgb, "444"), (rgb, "420"), (rgb, "422"), (gray, None)]:
+        kw = {} if sub is None else {"subsampling": sub}
+        plain = decode_baseline(encode_baseline(img, **kw))
+        for ri in (1, 3, 7):
+            b = encode_baseline(img, restart_interval=ri, **kw)
+            assert b"\xff\xdd" in b
+            # real RSTn markers present (0xFF in entropy data is always
+            # stuffed with 0x00, so FF Dn can only be a marker)
+            assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+            assert np.array_equal(decode_baseline(b), plain), (sub, ri)
