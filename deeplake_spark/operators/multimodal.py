@@ -357,10 +357,97 @@ def _decode_video_frames_av(payload: bytes, every_n: int) -> list[tuple[int, np.
     return out
 
 
+def _decode_video_frames_avi(payload: bytes,
+                             every_n: int) -> list[tuple[int, np.ndarray]]:
+    """REAL video decode for MJPEG-in-AVI — stdlib/numpy only: the RIFF
+    container walk is ~30 lines of struct, and every '00dc' chunk is a
+    whole JPEG image handed to the in-repo JPEG decoder (operators/
+    _jpeg.py, baseline + progressive + restart markers). MJPEG is the
+    classic capture/surveillance interchange format, so the video
+    lane has a real in-container decode path exactly like images
+    (PNG/JPEG) and audio (WAV) do; h264/mp4 stays PyAV-gated."""
+    from deeplake_spark.operators._jpeg import decode_baseline
+
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def find_movi(pos: int, end: int) -> tuple[int, int] | None:
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            if cid == b"LIST":
+                if data[pos + 8:pos + 12] == b"movi":
+                    return pos + 12, pos + 8 + ln
+                inner = find_movi(pos + 12, pos + 8 + ln)
+                if inner:
+                    return inner
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        return None
+
+    movi = find_movi(12, len(data))
+    if movi is None:
+        raise ValueError("AVI missing movi list")
+    pos, end = movi
+    out: list[tuple[int, np.ndarray]] = []
+    idx = 0
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid[2:4] in (b"dc", b"db"):  # compressed / uncompressed DIB
+            if not body.startswith(b"\xff\xd8"):
+                raise ValueError("non-MJPEG AVI stream")
+            if idx % every_n == 0:
+                frame = decode_baseline(body)
+                if frame.ndim == 2:  # grayscale clip → stack to HxWx3
+                    frame = np.repeat(frame[:, :, None], 3, axis=2)
+                out.append((idx, frame))
+            idx += 1
+    return out
+
+
+def encode_mjpeg_avi(frames: list, fps: int = 10,
+                     subsampling: str = "420") -> bytes:
+    """Encode (h, w, 3) uint8 frames as an MJPEG AVI (RIFF) — the
+    writer half of the real video lane, so round-trip tests need no
+    third-party codec. Each frame is one baseline JPEG '00dc' chunk."""
+    from deeplake_spark.operators._jpeg import encode_baseline
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    payloads = [encode_baseline(f, subsampling=subsampling) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames), 0,
+                                            10_000, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int, np.ndarray]]:
-    """Per-payload frame extraction: real PyAV when the lib is present
-    (decode errors fall back to the fake unless strict), deterministic
-    8-frame fake clip otherwise."""
+    """Per-payload frame extraction: MJPEG-AVI decodes for REAL
+    (stdlib RIFF walk + the in-repo JPEG decoder); other containers go
+    to PyAV when the lib is present (decode errors fall back to the
+    fake unless strict); deterministic 8-frame fake clip otherwise."""
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+        return _decode_video_frames_avi(payload, every_n)
     if _module_available("av"):
         try:
             return _decode_video_frames_av(payload, every_n)
