@@ -147,14 +147,30 @@ def _png_unfilter(raw: bytes, h: int, w: int, channels: int,
     return out
 
 
+#: Adam7 pass origins and strides (spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_rows_to_samples(rows: np.ndarray, h: int, w: int, channels: int,
+                         depth: int) -> np.ndarray:
+    """(h, stride) filter-reversed bytes → (h, w, channels) samples
+    (big-endian uint16 assembly for 16-bit, spec §7.1)."""
+    if depth == 16:
+        return ((rows[:, 0::2].astype(np.uint16) << 8)
+                | rows[:, 1::2]).reshape(h, w, channels)
+    return rows.reshape(h, w, channels)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL decoder for 8/16-bit non-interlaced PNG: stdlib zlib +
-    struct only (the reference Image htype's default compression,
-    python/deeplake/types.pyi:1011-1036). Supports grayscale (→ HxW),
-    gray+alpha (HxWx2), RGB (HxWx3), RGBA (HxWx4), and paletted
-    (PLTE lookup → HxWx3) color types; 16-bit samples come back as
-    uint16 (big-endian per spec §7.1). Interlaced variants raise
-    _PngUnsupported and fall through to PIL when installed."""
+    """REAL decoder for 8/16-bit PNG, sequential AND Adam7-interlaced:
+    stdlib zlib + struct only (the reference Image htype's default
+    compression, python/deeplake/types.pyi:1011-1036). Supports
+    grayscale (→ HxW), gray+alpha (HxWx2), RGB (HxWx3), RGBA (HxWx4),
+    and paletted (PLTE lookup → HxWx3) color types; 16-bit samples come
+    back as uint16 (big-endian per spec §7.1). Each Adam7 pass is an
+    independently-filtered sub-image whose pixels scatter back on the
+    (x0 + i*dx, y0 + j*dy) grid (spec §8.2)."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
@@ -179,9 +195,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16) or interlace != 0:
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise _PngUnsupported(
-            f"stdlib PNG path handles 8/16-bit non-interlaced only "
+            f"stdlib PNG path handles 8/16-bit depth, interlace 0/1 "
             f"(depth={depth}, interlace={interlace})")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
@@ -190,13 +206,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("paletted PNG cannot be 16-bit")
     raw = zlib.decompress(bytes(idat))
     sample_bytes = depth // 8
-    rows = _png_unfilter(raw, h, w, channels, sample_bytes)
-    if depth == 16:
-        # samples are big-endian uint16 (spec §7.1)
-        img = ((rows[:, 0::2].astype(np.uint16) << 8)
-               | rows[:, 1::2]).reshape(h, w, channels)
+    if interlace == 1:
+        dtype = np.uint16 if depth == 16 else np.uint8
+        img = np.zeros((h, w, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbytes = hp * (1 + wp * channels * sample_bytes)
+            rows = _png_unfilter(raw[pos:pos + nbytes], hp, wp, channels,
+                                 sample_bytes)
+            pos += nbytes
+            img[y0::dy, x0::dx] = _png_rows_to_samples(
+                rows, hp, wp, channels, depth)
     else:
-        img = rows.reshape(h, w, channels)
+        rows = _png_unfilter(raw, h, w, channels, sample_bytes)
+        img = _png_rows_to_samples(rows, h, w, channels, depth)
     if color == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")

@@ -134,10 +134,12 @@ def test_real_bmp_decode_roundtrip(spark):
     assert (got == pix).all()
 
 
-def _encode_png(img, filters=None, color=None):
+def _encode_png(img, filters=None, color=None, interlace=False):
     """Test-side PNG encoder: applies the REQUESTED filter type per
     scanline (spec §9 forward transform) so the decoder's unfilter
-    paths all get exercised, not just filter 0."""
+    paths all get exercised, not just filter 0. With `interlace` the
+    Adam7 passes are emitted as independently-filtered sub-images
+    (spec §8.2)."""
     import struct as st
     import zlib
 
@@ -151,48 +153,69 @@ def _encode_png(img, filters=None, color=None):
     else:
         h, w, ch = img.shape
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
-    # PNG filters operate on BYTES whatever the depth: expand samples to
-    # big-endian bytes, filter with bpp = ch * sample_bytes
-    samples = img.reshape(h, w * ch).astype(np.uint16 if sb == 2 else np.uint8)
-    if sb == 2:
-        flat = np.empty((h, w * ch * 2), dtype=np.int32)
-        flat[:, 0::2] = samples >> 8
-        flat[:, 1::2] = samples & 0xFF
-    else:
-        flat = samples.astype(np.int32)
     bpp = ch * sb
-    filters = filters or [0] * h
-    raw = bytearray()
-    prev = np.zeros(w * ch * sb, dtype=np.int32)
-    for y in range(h):
-        line = flat[y]
-        ft = filters[y % len(filters)]
-        filt = np.empty(w * ch * sb, dtype=np.int32)
-        for x in range(w * ch * sb):
-            a = int(line[x - bpp]) if x >= bpp else 0
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) >> 1
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            filt[x] = (int(line[x]) - pred) & 0xFF
-        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
-        prev = line
+    filters = filters or [0]
+
+    def to_bytes(sub):
+        """(hp, wp[, ch]) samples -> (hp, wp*ch*sb) byte matrix: PNG
+        filters operate on BYTES whatever the depth (big-endian)."""
+        hp, wp = sub.shape[0], sub.shape[1]
+        samples = sub.reshape(hp, wp * ch).astype(
+            np.uint16 if sb == 2 else np.uint8)
+        if sb == 2:
+            flat = np.empty((hp, wp * ch * 2), dtype=np.int32)
+            flat[:, 0::2] = samples >> 8
+            flat[:, 1::2] = samples & 0xFF
+            return flat
+        return samples.astype(np.int32)
+
+    def filter_block(flat):
+        hp, stride = flat.shape
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(hp):
+            line = flat[y]
+            ft = filters[y % len(filters)]
+            filt = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                filt[x] = (int(line[x]) - pred) & 0xFF
+            raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+            prev = line
+        return bytes(raw)
+
+    if interlace:
+        from deeplake_spark.operators.multimodal import _ADAM7
+
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_block(to_bytes(sub))
+    else:
+        raw = filter_block(to_bytes(img))
 
     def chunk(ctype, data):
         return (st.pack(">I", len(data)) + ctype + data
                 + st.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                   1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -283,17 +306,45 @@ def test_png_16bit_decodes_real():
     out = _decode_one(payload, "png", strict=True)
     assert out.shape == (1, 1) and int(out[0, 0]) == 1
 
-    # interlaced stays out of scope: strict raises, never garbage
-    import pytest as pt
-
+    # the interlaced spelling of the same 1x1 stream decodes too (a 1x1
+    # image is entirely Adam7 pass 1)
     ihdr_i = st.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 1)
-    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
-           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pt.raises(NotImplementedError):
-            _decode_one(bad, "png", strict=True)
+    inter = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = _decode_one(inter, "png", strict=True)
+    assert out.shape == (1, 1) and int(out[0, 0]) == 1
+
+
+def test_png_adam7_interlaced_decodes_real():
+    """Adam7-interlaced PNG (the progressive web layout) decodes for
+    REAL: each of the 7 passes is an independently-filtered sub-image
+    scattered back on its (x0 + i*dx, y0 + j*dy) grid — exact round
+    trips across filter types, odd sizes (passes drop out), 8- and
+    16-bit, gray and RGBA."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(5)
+    cases = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(13, 7, 4), dtype=np.uint8),   # odd dims
+        rng.integers(0, 256, size=(9, 10), dtype=np.uint8),      # gray
+        rng.integers(0, 65536, size=(11, 6, 3), dtype=np.uint16),  # 16-bit
+        rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8),    # tiny:
+        rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8),    # passes absent
+    ]
+    for img in cases:
+        for filters in ([0], [0, 1, 2, 3, 4], [4, 2, 3]):
+            out = _decode_png(_encode_png(img, filters=filters,
+                                          interlace=True))
+            assert out.dtype == img.dtype
+            assert np.array_equal(out, img), (img.shape, filters)
+    # sequential and interlaced spellings of the same image agree
+    img = cases[0]
+    a = _decode_png(_encode_png(img))
+    b = _decode_png(_encode_png(img, interlace=True))
+    assert np.array_equal(a, b)
 
 
 def test_real_wav_decode_features(spark):
