@@ -99,15 +99,18 @@ class _PngUnsupported(Exception):
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, channels: int,
-                  sample_bytes: int = 1) -> np.ndarray:
+                  sample_bytes: int = 1, stride: int | None = None,
+                  bpp: int | None = None) -> np.ndarray:
     """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
     Average/Paeth). Filters operate on BYTES regardless of bit depth
-    (spec §9: bpp = ceil(depth/8) * channels), so 16-bit rows reuse the
-    same math with doubled stride/bpp. Up is vectorized; Sub/Average/
-    Paeth carry a left-neighbor dependency, so those rows scan
-    byte-wise."""
-    stride = w * channels * sample_bytes
-    bpp = channels * sample_bytes
+    (spec §9: bpp = max(1, depth//8) * channels), so 16-bit rows reuse
+    the same math with doubled stride/bpp and sub-byte depths with
+    bpp=1 and a packed stride. Up is vectorized; Sub/Average/Paeth
+    carry a left-neighbor dependency, so those rows scan byte-wise."""
+    if stride is None:
+        stride = w * channels * sample_bytes
+    if bpp is None:
+        bpp = channels * sample_bytes
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)
     pos = 0
@@ -154,11 +157,18 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 def _png_rows_to_samples(rows: np.ndarray, h: int, w: int, channels: int,
                          depth: int) -> np.ndarray:
-    """(h, stride) filter-reversed bytes → (h, w, channels) samples
-    (big-endian uint16 assembly for 16-bit, spec §7.1)."""
+    """(h, stride) filter-reversed bytes → (h, w, channels) samples:
+    big-endian uint16 assembly for 16-bit (spec §7.1), MSB-first bit
+    unpacking for sub-byte depths (spec §7.2; only 1-channel color
+    types may be sub-byte)."""
     if depth == 16:
         return ((rows[:, 0::2].astype(np.uint16) << 8)
                 | rows[:, 1::2]).reshape(h, w, channels)
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8).reshape(h, w, 1)
     return rows.reshape(h, w, channels)
 
 
@@ -195,17 +205,21 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16) or interlace not in (0, 1):
-        raise _PngUnsupported(
-            f"stdlib PNG path handles 8/16-bit depth, interlace 0/1 "
-            f"(depth={depth}, interlace={interlace})")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8),
+                    2: (8, 16), 4: (8, 16), 6: (8, 16)}
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise _PngUnsupported(f"unknown PNG color type {color}")
-    if depth == 16 and color == 3:
-        raise ValueError("paletted PNG cannot be 16-bit")
+    if depth not in valid_depths[color] or interlace not in (0, 1):
+        raise _PngUnsupported(
+            f"PNG depth/interlace outside the stdlib path "
+            f"(depth={depth}, color={color}, interlace={interlace})")
     raw = zlib.decompress(bytes(idat))
-    sample_bytes = depth // 8
+    bpp = max(1, channels * depth // 8)
+
+    def stride_of(wp: int) -> int:
+        return -(-wp * channels * depth // 8)  # packed rows round UP
+
     if interlace == 1:
         dtype = np.uint16 if depth == 16 else np.uint8
         img = np.zeros((h, w, channels), dtype=dtype)
@@ -215,21 +229,29 @@ def _decode_png(payload: bytes) -> np.ndarray:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            nbytes = hp * (1 + wp * channels * sample_bytes)
+            stride = stride_of(wp)
+            nbytes = hp * (1 + stride)
             rows = _png_unfilter(raw[pos:pos + nbytes], hp, wp, channels,
-                                 sample_bytes)
+                                 stride=stride, bpp=bpp)
             pos += nbytes
             img[y0::dy, x0::dx] = _png_rows_to_samples(
                 rows, hp, wp, channels, depth)
     else:
-        rows = _png_unfilter(raw, h, w, channels, sample_bytes)
+        rows = _png_unfilter(raw, h, w, channels,
+                             stride=stride_of(w), bpp=bpp)
         img = _png_rows_to_samples(rows, h, w, channels, depth)
     if color == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
         return palette[img[:, :, 0]]
     if color == 0:
-        return img.reshape(h, w)  # PIL 'L'/'I;16' convention: 2-D sample
+        gray = img.reshape(h, w)  # PIL 'L'/'I;16' convention: 2-D
+        if depth < 8:
+            # present sub-byte gray at 8-bit (PIL convert-'L' scaling;
+            # exact: 255/(2^d - 1) is an integer for d in 1/2/4)
+            gray = (gray.astype(np.uint16)
+                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return gray
     return img
 
 

@@ -134,35 +134,43 @@ def test_real_bmp_decode_roundtrip(spark):
     assert (got == pix).all()
 
 
-def _encode_png(img, filters=None, color=None, interlace=False):
+def _encode_png(img, filters=None, color=None, interlace=False, depth=None):
     """Test-side PNG encoder: applies the REQUESTED filter type per
     scanline (spec §9 forward transform) so the decoder's unfilter
     paths all get exercised, not just filter 0. With `interlace` the
     Adam7 passes are emitted as independently-filtered sub-images
-    (spec §8.2)."""
+    (spec §8.2). `depth` of 1/2/4 packs sub-byte gray/palette samples
+    MSB-first (spec §7.2)."""
     import struct as st
     import zlib
 
     import numpy as np
 
-    depth = 16 if img.dtype == np.uint16 else 8
-    sb = depth // 8
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
     if img.ndim == 2:
         h, w, ch = img.shape[0], img.shape[1], 1
         color = 0 if color is None else color
     else:
         h, w, ch = img.shape
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
-    bpp = ch * sb
+    bpp = max(1, ch * depth // 8)
     filters = filters or [0]
 
     def to_bytes(sub):
-        """(hp, wp[, ch]) samples -> (hp, wp*ch*sb) byte matrix: PNG
-        filters operate on BYTES whatever the depth (big-endian)."""
+        """(hp, wp[, ch]) samples -> (hp, stride) byte matrix: PNG
+        filters operate on BYTES whatever the depth (big-endian;
+        sub-byte samples pack MSB-first)."""
         hp, wp = sub.shape[0], sub.shape[1]
+        if depth < 8:
+            vals = sub.reshape(hp, wp).astype(np.uint8)
+            bits = ((vals[:, :, None]
+                     >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+                hp, wp * depth).astype(np.uint8)
+            return np.packbits(bits, axis=1).astype(np.int32)
         samples = sub.reshape(hp, wp * ch).astype(
-            np.uint16 if sb == 2 else np.uint8)
-        if sb == 2:
+            np.uint16 if depth == 16 else np.uint8)
+        if depth == 16:
             flat = np.empty((hp, wp * ch * 2), dtype=np.int32)
             flat[:, 0::2] = samples >> 8
             flat[:, 1::2] = samples & 0xFF
@@ -788,3 +796,41 @@ def test_real_mjpeg_avi_video_decode(spark):
     bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
     with pt.raises(Exception):
         _decode_video_frames_avi(bad, every_n=1)
+
+
+def test_png_low_bit_depths_decode_real():
+    """1/2/4-bit PNG (the favicon/icon layout across web crawls)
+    decodes for real: packed MSB-first samples, byte-level filters with
+    bpp=1, gray presented at 8-bit with the exact PIL 'L' scaling
+    (255/(2^d-1)), palette indices looked up directly — sequential AND
+    Adam7, all filter types, widths that do not fill the last byte."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(9)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        vals = rng.integers(0, 1 << d, size=(9, 11), dtype=np.uint8)
+        for interlace in (False, True):
+            for filters in ([0], [0, 1, 2, 3, 4]):
+                out = _decode_png(_encode_png(vals, filters=filters,
+                                              depth=d, interlace=interlace))
+                assert out.shape == (9, 11)
+                assert np.array_equal(out, vals * scale), (d, interlace)
+
+    # paletted 4-bit: indices -> PLTE rows
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 5), dtype=np.uint8)
+    body = _encode_png(idx, color=3, depth=4, filters=[0, 2])
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr_end = 8 + 12 + 13
+    payload = body[:ihdr_end] + chunk(b"PLTE", plte.tobytes()) + body[ihdr_end:]
+    assert (_decode_png(payload) == plte[idx]).all()
