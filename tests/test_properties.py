@@ -351,3 +351,65 @@ def test_tql_slice_index_fuzz_matches_duckdb(spark_global, sf_dir):
                               and abs(float(g) - float(w)) <= 1e-6)
             assert ok, (f"col {i}: spark={g!r} duckdb={w!r} "
                         f"expr={'vec_id' if i == 0 else cases[i - 1]}")
+
+
+# --------------------------------------------------------------------------
+# codec properties: random images must survive the stdlib codecs exactly
+# (PNG lossless round trip; progressive JPEG == baseline JPEG pixels;
+# restart markers never change pixels; MJPEG-AVI == per-frame JPEG)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    depth16=st.booleans(),
+    interlace=st.booleans(),
+    fseed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_random(h, w, ch, depth16, interlace, fseed):
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+    from tests.test_multimodal import _encode_png
+
+    rng = np.random.default_rng(fseed)
+    hi = 65536 if depth16 else 256
+    dt = np.uint16 if depth16 else np.uint8
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, hi, size=shape, dtype=dt)
+    filters = list(rng.integers(0, 5, size=rng.integers(1, 5)))
+    out = _decode_png(_encode_png(img, filters=[int(f) for f in filters],
+                                  interlace=interlace))
+    assert out.dtype == img.dtype and np.array_equal(out, img)
+
+
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    sub=st.sampled_from(["444", "422", "420"]),
+    ri=st.integers(0, 5),
+    fseed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_progressive_and_restarts_random(h, w, sub, ri, fseed):
+    """For ANY image: progressive decode == baseline decode (same
+    quantization), and restart markers never change a pixel."""
+    import numpy as np
+
+    from deeplake_spark.operators._jpeg import (
+        decode_baseline,
+        encode_baseline,
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(fseed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_baseline(encode_baseline(img, subsampling=sub))
+    prog = decode_baseline(encode_progressive(img, subsampling=sub))
+    assert np.array_equal(base, prog)
+    if ri:
+        rst = decode_baseline(
+            encode_baseline(img, subsampling=sub, restart_interval=ri))
+        assert np.array_equal(base, rst)
