@@ -186,6 +186,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     continue;
                 }
             }
+            String[] eqs = matchStringEquality(c);
+            if (eqs != null) {
+                IndexRegistry.Entry en = byCol.get(eqs[0]);
+                if (en != null && "exact".equals(en.kind)
+                        && hasAttr(child, en.idCol)) {
+                    probes.add(exactProbe(en, eqs[1]));
+                    probeIdCols.add(en.idCol);
+                    continue;
+                }
+            }
             InMatch in = matchIn(c);
             if (in != null) {
                 IndexRegistry.Entry en = byCol.get(in.column);
@@ -266,6 +276,33 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             p = p.filter(functions.col("bucket").equalTo(b));
         }
         return p.filter(functions.col("term").equalTo(functions.lit(kw)))
+                .select("row_id").distinct();
+    }
+
+    /** whole-string equality via the exact-text index: md5-hex digest
+     *  lookup, pruned to the 2-char digest-prefix partition (the same
+     *  digest-only semantics as the Python probe / the reference's
+     *  index_search.cpp:172-199 hash lookup). */
+    private Dataset<Row> exactProbe(IndexRegistry.Entry en, String value) {
+        String hex;
+        try {
+            java.security.MessageDigest md =
+                    java.security.MessageDigest.getInstance("MD5");
+            StringBuilder sb = new StringBuilder();
+            for (byte b : md.digest(
+                    value.getBytes(java.nio.charset.StandardCharsets.UTF_8))) {
+                sb.append(String.format("%02x", b));
+            }
+            hex = sb.toString();
+        } catch (java.security.NoSuchAlgorithmException e) {
+            throw new IllegalStateException(e);
+        }
+        Dataset<Row> d = session.read().parquet(en.indexPath + "/digests");
+        if (Arrays.asList(d.columns()).contains("bucket")) {
+            d = d.filter(functions.col("bucket")
+                    .equalTo(hex.substring(0, 2)));
+        }
+        return d.filter(functions.col("digest").equalTo(hex))
                 .select("row_id").distinct();
     }
 
@@ -475,6 +512,27 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         b.strict = strict;
         b.eq = eq;                      // Range.add treats eq as lo == hi
         return b;
+    }
+
+    /** col = 'literal' (either side) on a string column -> {col, value}. */
+    private static String[] matchStringEquality(Expression e) {
+        if (!(e instanceof EqualTo)) {
+            return null;
+        }
+        Expression l = stripNoopCast(((EqualTo) e).left());
+        Expression r = stripNoopCast(((EqualTo) e).right());
+        String v;
+        if (l instanceof AttributeReference
+                && l.dataType() instanceof StringType
+                && (v = stringLit(r)) != null) {
+            return new String[]{((AttributeReference) l).name(), v};
+        }
+        if (r instanceof AttributeReference
+                && r.dataType() instanceof StringType
+                && (v = stringLit(l)) != null) {
+            return new String[]{((AttributeReference) r).name(), v};
+        }
+        return null;
     }
 
     private static final class InMatch {

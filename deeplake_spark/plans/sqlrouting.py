@@ -42,6 +42,9 @@ EXACT — residual conjuncts stay filtered):
   index cannot answer substring semantics.
 - comparisons / BETWEEN / IN / ``=`` on a numeric-indexed column →
   range-bucket-pruned value probe semijoin.
+- ``col = 'literal'`` on an exact-text-indexed string column →
+  digest-prefix-pruned md5 lookup semijoin (the TQL EQUALS rewrite;
+  same digest-only semantics as the Python probe).
 """
 
 from __future__ import annotations
@@ -102,7 +105,7 @@ def register_path(spark: SparkSession, table_path: str, column: str,
                   kind: str, index_path: str, id_col: str) -> None:
     """Register one index for a parquet table path PREFIX: any scan whose
     root paths fall under `table_path` becomes routable on `column`."""
-    if kind not in ("inverted", "numeric"):
+    if kind not in ("inverted", "numeric", "exact"):
         raise ValueError(f"unsupported routing kind {kind!r}")
     _registry(spark).register(str(table_path), column, kind,
                               str(index_path), id_col)
@@ -127,7 +130,7 @@ def register_dataset(ds) -> None:
 
     for col, meta in _read_refs(ds.path).get("indexes", {}).items():
         kind = meta["kind"]
-        if kind not in ("inverted", "numeric"):
+        if kind not in ("inverted", "numeric", "exact"):
             continue  # other kinds route via TQL only
         idx_path = os.path.join(ds.path, "_indexes", f"{col}_{kind}")
         register_path(ds.spark, ds.path, col, kind, idx_path,

@@ -166,3 +166,38 @@ def test_routing_matches_tql_contains_route(spark, routed_ds):
         .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
         .select("doc_id").collect())
     assert tql_rows == brute
+
+
+def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
+    """`col = 'literal'` on an exact-text-indexed column routes through
+    the md5 digest lookup (TQL's EQUALS rewrite, reference
+    index_search.cpp:172-199), digest-prefix partition pruned, with
+    rows identical to the unrouted plan."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("lang", "exact")
+    ds.to_df().createOrReplaceTempView("exact_docs")
+    q = "SELECT doc_id FROM exact_docs WHERE lang = 'en' AND doc_id < 500"
+    try:
+        want = sorted(r.doc_id for r in spark.sql(q).collect())
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        df = spark.sql(q)
+        plan = _plan(df)
+        assert "LeftSemi" in plan
+        assert "digest" in plan           # the md5 lookup relation
+        got = sorted(r.doc_id for r in df.collect())
+        assert got == want and got
+        # literal-on-the-left spelling routes too
+        df2 = spark.sql("SELECT doc_id FROM exact_docs "
+                        "WHERE 'en' = lang AND doc_id < 500")
+        assert "LeftSemi" in _plan(df2)
+        assert sorted(r.doc_id for r in df2.collect()) == want
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("exact_docs")
