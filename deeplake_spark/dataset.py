@@ -721,6 +721,23 @@ class Dataset:
         s = self._entry.get("schema")
         return Schema(T.StructType.fromJson(s).fields, ds=self) if s else None
 
+    def as_sql_view(self, name: str, routed: bool = True) -> None:
+        """Expose the dataset to plain ``spark.sql`` users: register the
+        current snapshot as a temp view and (with `routed`, when the
+        Catalyst extension is on the driver classpath) register every
+        routable persisted index + flip the routing conf, so
+        ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` gets the same
+        posting/value/digest-probe semijoins ``ds.query`` emits
+        (plans/sqlrouting.py; reference behavior: every entry point goes
+        through index_holder, cpp/query_core/index_holder.hpp:18-43)."""
+        self.to_df().createOrReplaceTempView(name)
+        if routed:
+            from deeplake_spark.plans import sqlrouting
+
+            if sqlrouting.is_available(self.spark):
+                sqlrouting.register_dataset(self)
+                sqlrouting.enable(self.spark)
+
     def to_df(self) -> DataFrame:
         """Current snapshot as a DataFrame: one multi-file parquet scan,
         minus update-superseded rows (patch precedence), plus the latest

@@ -201,3 +201,65 @@ def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("exact_docs")
+
+
+def test_as_sql_view_wires_routing_in_one_call(spark, sf_dir, tmp_path):
+    """ds.as_sql_view(name): temp view + index registration + routing
+    conf in one call — the one-liner a reference user migrating to
+    plain SQL reaches for."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    try:
+        ds.as_sql_view("oneshot_docs")
+        df = spark.sql(CONTAINS_SQL.format(v="oneshot_docs"))
+        assert "LeftSemi" in _plan(df)
+        want = sorted(
+            r.doc_id for r in ds.to_df()
+            .filter(F.array_contains(F.split(F.lower("text"), r"\s+"),
+                                     "spark"))
+            .select("doc_id").collect())
+        assert sorted(r.doc_id for r in df.collect()) == want and want
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("oneshot_docs")
+
+
+def test_sql_routing_equivalence_fuzz(spark, routed_ds):
+    """Randomized equivalence: routed and unrouted plans must agree for
+    arbitrary keywords (hit or miss) and arbitrary numeric ranges,
+    including empty, inverted (lo>hi), and out-of-domain ranges."""
+    import random
+
+    rnd = random.Random(17)
+    words = ["spark", "data", "fast", "query", "zzzznothere", "lake",
+             "the", "a", "join", "1", "-", "x'y"]
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    try:
+        for _ in range(8):
+            kw = rnd.choice(words)
+            lo = rnd.randint(-50, 700)
+            hi = rnd.randint(-50, 700)
+            safe = kw.replace("'", "''")
+            q = ("SELECT doc_id FROM routed_docs WHERE "
+                 f"array_contains(split(lower(text), '\\\\s+'), '{safe}') "
+                 f"OR (n_chars BETWEEN {lo} AND {hi})")
+            # OR blocks conjunct routing — must stay stock AND correct
+            df_or = spark.sql(q)
+            assert "LeftSemi" not in _plan(df_or)
+            q2 = ("SELECT doc_id FROM routed_docs WHERE "
+                  f"array_contains(split(lower(text), '\\\\s+'), '{safe}') "
+                  f"AND n_chars BETWEEN {lo} AND {hi}")
+            routed = spark.sql(q2)
+            rt.disable(spark)
+            want = sorted(r.doc_id for r in spark.sql(q2).collect())
+            rt.enable(spark)
+            assert sorted(r.doc_id for r in routed.collect()) == want, q2
+    finally:
+        rt.disable(spark)
