@@ -260,3 +260,29 @@ def top_bigram_fraction(bigrams: Column) -> Column:
         top.cast("double") / F.nullif(F.size(bigrams).cast("double"), F.lit(0.0)),
         F.lit(0.0),
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for crawl dedup (the before-fetch/after-fetch
+    URL-level dedup every web pipeline runs ahead of content dedup):
+
+    - drop the fragment,
+    - unify away the http/https scheme (case-insensitive),
+    - lowercase the authority (host[:port]) but NOT the path (paths are
+      case-sensitive per RFC 3986),
+    - strip tracking query params (utm_*, fbclid, gclid) and tidy the
+      separators they leave behind,
+    - strip trailing slashes.
+
+    Pure JVM expressions (no UDF) and deliberately limited to regex
+    features DuckDB's RE2 also supports, so oracles can mirror it
+    exactly (t25_url_dedup)."""
+    c = F.regexp_replace(url, "#.*", "")
+    c = F.regexp_replace(c, "^[hH][tT][tT][pP][sS]?://", "")
+    host = F.lower(F.regexp_extract(c, "^[^/?]*", 0))
+    c = F.concat(host, c.substr(F.length(host) + F.lit(1), F.length(c)))
+    c = F.regexp_replace(c, "(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, "&&+", "&")
+    c = F.regexp_replace(c, "[?&]+$", "")
+    return F.regexp_replace(c, "/+$", "")

@@ -1176,3 +1176,72 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: messy-URL synthesis shared by the Spark query and the oracle: scheme
+#: case, host case, trailing slash, tracking params, and fragments all
+#: vary with doc_id so canonicalization does real work. Written once as
+#: a SQL fragment both engines parse identically.
+_URL_SYNTH = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END, "
+    "'.Example.COM/Docs/', CAST(doc_id % 40 AS VARCHAR), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x' "
+    "     WHEN doc_id % 5 = 1 THEN '?id=7&utm_medium=y&fbclid=abc' "
+    "     WHEN doc_id % 5 = 2 THEN '?id=7' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+@query(
+    "t25_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SYNTH.replace("AS VARCHAR", "AS VARCHAR")} AS url
+      FROM documents
+    ),
+    c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+    c2 AS (SELECT doc_id,
+                  regexp_replace(u, '^[hH][tT][tT][pP][sS]?://', '') AS u
+           FROM c1),
+    c3 AS (SELECT doc_id,
+                  lower(regexp_extract(u, '^[^/?]*'))
+                  || substring(u, length(regexp_extract(u, '^[^/?]*')) + 1)
+                    AS u
+           FROM c2),
+    c4 AS (SELECT doc_id,
+                  regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*',
+                                 '', 'g') AS u
+           FROM c3),
+    c5 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(u,
+                      '\\?&+', '?', 'g'), '&&+', '&', 'g'),
+                      '[?&]+$', '') AS u
+           FROM c4),
+    canon AS (SELECT doc_id, regexp_replace(u, '/+$', '') AS url FROM c5)
+    SELECT url, CAST(COUNT(*) AS BIGINT) AS n
+    FROM canon GROUP BY url HAVING COUNT(*) > 1 ORDER BY url
+    """,
+    doc="URL canonicalization + dedup — the URL-level dedup every crawl "
+    "pipeline runs before content dedup (scheme/host-case unification, "
+    "fragment and tracking-param stripping, trailing-slash removal; "
+    "host lowercased, path case preserved per RFC 3986). URLs are "
+    "synthesized in-query with doc_id-varied mess (the d04 "
+    "planted-signal pattern), so the duplicate groups are exactly "
+    "checkable. Pure JVM regex expressions, RE2-compatible so the "
+    "DuckDB oracle mirrors them verbatim; at 100 TB this is one "
+    "scan + one groupBy on the canonical key.",
+    tags=("text", "dedup", "url"),
+)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import canonical_url
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    spark_synth = _URL_SYNTH.replace("AS VARCHAR", "AS STRING")
+    canon = d.select(canonical_url(F.expr(spark_synth)).alias("url"))
+    return (canon.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .orderBy("url"))
