@@ -1245,3 +1245,60 @@ def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .orderBy("url"))
+
+
+@query(
+    "t26_hashed_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g'), ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (((CAST(('0x' || substr(md5(tok || '#0'), 1, 15)) AS UBIGINT)
+                % 1024) * 2654435761) % 100003) / 100003.0 - 0.5 AS wt
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(wt), 6) AS score,
+           AVG(wt) > 0 AS keep
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="fasttext-style quality-classifier INFERENCE as pure JVM "
+    "expressions: hashing-trick featurization (portable md5-int60 "
+    "token hash % 1024 buckets) with weights that are a closed-form "
+    "function of the bucket id — so scoring a 100 TB corpus is one "
+    "scan with zero UDFs, zero weight-table joins, zero shuffles "
+    "before the per-doc aggregate. The same deterministic weights make "
+    "the score exactly oracle-checkable (the d09/d10 portable-hash "
+    "convention); a real trained model swaps the closed-form weight "
+    "for a broadcast 1024-float array with the identical plan shape. "
+    "keep compares the UNROUNDED score (repo rounding convention).",
+    tags=("text", "quality", "scoring"),
+)
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    bucket = _md5_int60(F.col("tok"), 0) % 1024
+    wt = ((bucket * 2654435761) % 100003) / F.lit(100003.0) - 0.5
+    return (
+        toks.select("doc_id", wt.alias("__wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__wt"), 6).alias("score"),
+            (F.avg("__wt") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
