@@ -650,10 +650,12 @@ class Column(ColumnView):
 
     def encode(self, images) -> list[bytes]:
         """Encode numpy arrays into the column's sample codec
-        (reference Column.encode; Image htype). Real here: ppm (stdlib
-        P6), jpg/jpeg (operators/_jpeg.py baseline codec — the same
-        pair the decode path round-trips) and raw bytes passthrough;
-        other codecs raise like the strict decode path."""
+        (reference Column.encode; Image/Video htypes). Real here: ppm
+        (stdlib P6), jpg/jpeg (operators/_jpeg.py baseline codec — the
+        same pair the decode path round-trips), avi (MJPEG-in-AVI: a
+        list/stack of frames becomes one clip payload the video decode
+        path samples for real) and raw bytes passthrough; other codecs
+        raise like the strict decode path."""
         md = self.metadata or {}
         dl_md = md.get("dl", md)  # DLType.field nests under "dl"
         codec = (dl_md.get("sample_compression")
@@ -665,6 +667,11 @@ class Column(ColumnView):
                 continue
             import numpy as np
 
+            if codec == "avi":
+                from deeplake_spark.operators.multimodal import encode_mjpeg_avi
+
+                out.append(encode_mjpeg_avi(list(img)))
+                continue
             a = np.asarray(img, dtype="uint8")
             if codec in ("jpg", "jpeg"):
                 from deeplake_spark.operators._jpeg import encode_baseline

@@ -288,3 +288,26 @@ def test_column_encode_jpeg(ds, spark):
     out = _decode_one(payload, "jpg", strict=True)
     assert out.shape == img.shape
     assert float(abs(out.astype(int) - img.astype(int)).mean()) <= 4
+
+
+def test_column_encode_mjpeg_avi(ds, spark):
+    """Column.encode with an avi-codec Video column produces a real
+    MJPEG AVI clip that the video decode path frame-samples exactly."""
+    import numpy as np
+
+    from deeplake_spark import types as dt
+    from deeplake_spark.operators._jpeg import decode_baseline, encode_baseline
+    from deeplake_spark.operators.multimodal import _decode_video_frames_avi
+
+    ds.add_column("clip", dt.Video(sample_compression="avi"))
+    col = ds["clip"]
+    base = np.clip(np.add.outer(np.arange(16) * 3, np.arange(24) * 2), 0, 255)
+    frames = [np.stack([base + 5 * t, base, 200 - base], axis=-1)
+              .astype("uint8") for t in range(4)]
+    [payload] = col.encode([np.stack(frames)])
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    got = _decode_video_frames_avi(payload, every_n=1)
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for i, fr in got:
+        want = decode_baseline(encode_baseline(frames[i], subsampling="420"))
+        assert np.array_equal(fr, want)
