@@ -58,12 +58,16 @@ public final class IndexRegistry {
         return BY_PREFIX.size();
     }
 
-    /** First registered prefix owning ANY of the given root paths. */
+    /** First registered prefix owning ANY of the given root paths.
+     *  Prefixes match on PATH-SEGMENT boundaries only: /x/docs owns
+     *  /x/docs and /x/docs/file.parquet, never the sibling /x/docs2. */
     static Map<String, Entry> lookupByPaths(List<String> rootPaths) {
         for (String p : rootPaths) {
             String n = normalize(p);
             for (Map.Entry<String, Map<String, Entry>> e : BY_PREFIX.entrySet()) {
-                if (n.startsWith(e.getKey())) {
+                String k = e.getKey();
+                if (n.equals(k) || n.startsWith(
+                        k.endsWith("/") ? k : k + "/")) {
                     return e.getValue();
                 }
             }

@@ -263,3 +263,31 @@ def test_sql_routing_equivalence_fuzz(spark, routed_ds):
             assert sorted(r.doc_id for r in routed.collect()) == want, q2
     finally:
         rt.disable(spark)
+
+
+def test_sql_routing_prefix_matches_segment_boundaries(spark, sf_dir,
+                                                       tmp_path):
+    """A registered dataset at /x/docs must NOT capture scans of a
+    sibling /x/docs2 — prefix ownership stops at path-segment
+    boundaries (a wrong-index rewrite would silently change results)."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    sibling = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                              str(tmp_path / "docs2"), spark)
+    sibling.to_df().createOrReplaceTempView("sibling_docs")
+    try:
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        df = spark.sql(CONTAINS_SQL.format(v="sibling_docs"))
+        assert "LeftSemi" not in _plan(df), \
+            "sibling table captured by another dataset's registration"
+        assert df.count() > 0
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("sibling_docs")
