@@ -400,6 +400,12 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (!"\\s+".equals(stringLit(sp.regex()))) {
             return null;
         }
+        // a bounded split (limit > 0) produces different tokens than the
+        // index's tokenizer — only the unlimited form is routable
+        Number lim = numLit(sp.limit());
+        if (lim == null || lim.intValue() != -1) {
+            return null;
+        }
         if (!(sp.str() instanceof Lower)) {
             return null;
         }

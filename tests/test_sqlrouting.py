@@ -116,6 +116,9 @@ def test_sql_routing_never_rewrites_unsound_shapes(spark, routed_ds):
         # wrong tokenizer regex
         "SELECT doc_id FROM routed_docs WHERE "
         "array_contains(split(lower(text), ','), 'spark')",
+        # bounded split: different tokens than the index's tokenizer
+        "SELECT doc_id FROM routed_docs WHERE "
+        "array_contains(split(lower(text), '\\\\s+', 2), 'spark')",
     ]
     stock = [sorted(r.doc_id for r in spark.sql(q).collect())
              for q in unsound]
