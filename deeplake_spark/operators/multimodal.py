@@ -188,6 +188,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     idat = bytearray()
     palette = None
+    trns = None
     w = h = depth = color = interlace = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -201,6 +202,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
             idat += data
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IEND":
             break
     if w is None:
@@ -243,7 +246,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
-        return palette[img[:, :, 0]]
+        idxs = img[:, :, 0]
+        if trns is not None:
+            # tRNS: one alpha byte per palette entry, short chunk means
+            # the rest are opaque (spec 11.3.2) -> RGBA output
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(palette))] = \
+                trns[:min(len(trns), len(palette))]
+            rgba = np.concatenate([palette, alpha[:, None]], axis=1)
+            return rgba[idxs]
+        return palette[idxs]
     if color == 0:
         gray = img.reshape(h, w)  # PIL 'L'/'I;16' convention: 2-D
         if depth < 8:

@@ -834,3 +834,40 @@ def test_png_low_bit_depths_decode_real():
     ihdr_end = 8 + 12 + 13
     payload = body[:ihdr_end] + chunk(b"PLTE", plte.tobytes()) + body[ihdr_end:]
     assert (_decode_png(payload) == plte[idx]).all()
+
+
+def test_png_palette_trns_alpha():
+    """Paletted PNG with a tRNS chunk decodes to RGBA: per-entry alpha,
+    short chunks leave the remaining entries opaque (spec 11.3.2) —
+    the transparent-background web-image layout."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(21)
+    plte = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(5, 6), dtype=np.uint8)
+    body = _encode_png(idx, color=3, depth=4)
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr_end = 8 + 12 + 13
+    alphas = bytes([0, 128, 255])          # entries 3..7 default opaque
+    payload = (body[:ihdr_end] + chunk(b"PLTE", plte.tobytes())
+               + chunk(b"tRNS", alphas) + body[ihdr_end:])
+    out = _decode_png(payload)
+    assert out.shape == (5, 6, 4)
+    assert np.array_equal(out[:, :, :3], plte[idx])
+    want_a = np.array([0, 128, 255, 255, 255, 255, 255, 255],
+                      dtype=np.uint8)[idx]
+    assert np.array_equal(out[:, :, 3], want_a)
+
+    # without tRNS the same stream stays RGB
+    plain = (body[:ihdr_end] + chunk(b"PLTE", plte.tobytes())
+             + body[ihdr_end:])
+    assert _decode_png(plain).shape == (5, 6, 3)
