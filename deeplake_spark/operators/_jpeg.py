@@ -921,8 +921,10 @@ def decode_baseline(payload: bytes) -> np.ndarray:
          for _ in range(mcus_y * c["v"])]
         for c in comps
     ]
-    if not progressive and len(scans) > 1:
-        raise JpegUnsupported("multi-scan baseline stream")
+    # multi-scan baseline (one non-interleaved SOS per component,
+    # T.81 A.2.2) flows through the same per-scan decode as progressive:
+    # the DC predictor resets per scan, each scan walks its component's
+    # REAL block grid
     for scan in scans:
         _apply_scan(scan, comps, coefs, frame)
 

@@ -871,3 +871,100 @@ def test_png_palette_trns_alpha():
     plain = (body[:ihdr_end] + chunk(b"PLTE", plte.tobytes())
              + body[ihdr_end:])
     assert _decode_png(plain).shape == (5, 6, 3)
+
+
+def test_jpeg_multiscan_baseline_noninterleaved():
+    """Multi-scan BASELINE JPEG (one non-interleaved SOS per component,
+    T.81 A.2.2 — some encoders emit it for 4:2:0) decodes identically
+    to the interleaved single-scan stream of the same image. The
+    fixture stream is built here from the codec's own block/Huffman
+    primitives, so the decoder is exercised against an independently
+    assembled layout, not its own encoder's output."""
+    import struct as st
+
+    import numpy as np
+
+    from deeplake_spark.operators import _jpeg as J
+
+    x, y = np.meshgrid(np.arange(37), np.arange(29))
+    img = np.stack([(x * 3 + y * 5) % 256, (x * 7) % 256, (y * 11) % 256],
+                   axis=-1).astype(np.uint8)
+
+    for sub in ("444", "420"):
+        planes, sampling = J._to_planes(img, sub)
+        h, w = img.shape[:2]
+        hmax = max(hs for hs, _ in sampling)
+        vmax = max(vs for _, vs in sampling)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        blocks = [J._plane_blocks(planes[ci], my * vs, mx * hs)
+                  for ci, (hs, vs) in enumerate(sampling)]
+
+        def comp_blocks(ci):
+            hs, vs = sampling[ci]
+            cw = -(-(w * hs) // hmax)
+            ch = -(-(h * vs) // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield blocks[ci][by][bx]
+
+        def encode_block(zz, pred, dc_sym, ac_sym, bits):
+            diff = int(zz[0]) - pred
+            size = J._category(diff)
+            dc_sym(size)
+            if size:
+                bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last = max((i for i in range(1, 64) if zz[i] != 0), default=0)
+            for i in range(1, last + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_sym(0xF0)
+                    run -= 16
+                s = J._category(v)
+                ac_sym((run << 4) | s)
+                bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                ac_sym(0x00)
+            return int(zz[0])
+
+        out = bytearray(b"\xff\xd8")
+        qz = J._QTAB.reshape(64)[J._ZIGZAG]
+        out += (b"\xff\xdb" + st.pack(">H", 67) + b"\x00"
+                + bytes(int(v) for v in qz))
+        sof = bytearray(st.pack(">BHHB", 8, h, w, 3))
+        for ci, (hs, vs) in enumerate(sampling):
+            sof += bytes([ci + 1, (hs << 4) | vs, 0])
+        out += b"\xff\xc0" + st.pack(">H", len(sof) + 2) + sof
+
+        for ci in range(3):
+            dc_syms, ac_syms = set(), {0x00, 0xF0}
+            pred = 0
+            for zz in comp_blocks(ci):
+                pred = encode_block(zz, pred, dc_syms.add, ac_syms.add,
+                                    lambda v, n: None)
+            dc_counts, dc_tab = J._canonical_code(sorted(dc_syms))
+            ac_counts, ac_tab = J._canonical_code(sorted(ac_syms))
+            out += J._dht_segment(0, 0, dc_counts, dc_tab)
+            out += J._dht_segment(1, 0, ac_counts, ac_tab)
+            out += (b"\xff\xda" + st.pack(">H", 8)
+                    + bytes([1, ci + 1, 0x00, 0, 63, 0]))
+            bw = J._BitWriter()
+            pred = 0
+            for zz in comp_blocks(ci):
+                pred = encode_block(
+                    zz, pred,
+                    lambda s: bw.put(*dc_tab[s]),
+                    lambda s: bw.put(*ac_tab[s]),
+                    lambda v, n: bw.put(v, n))
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+
+        multi = J.decode_baseline(bytes(out))
+        single = J.decode_baseline(J.encode_baseline(img, subsampling=sub))
+        assert np.array_equal(multi, single), sub
