@@ -1302,3 +1302,75 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t27_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      WHERE len(t) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln(b.c2 / CAST(u.c1 AS DOUBLE))), 6) AS avg_surprisal
+    FROM pairs p
+    JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN uni u ON u.w1 = p.w1
+    WHERE p.doc_id < 200
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+    doc="Bigram-LM conditional surprisal — the n-gram perplexity filter "
+    "(KenLM-style quality gating) one order up from t24's unigram LM: "
+    "P(w2|w1) = corpus bigram count / corpus first-word count (MLE), "
+    "per-doc mean of -ln P over adjacent pairs. One tokenize pass "
+    "feeds BOTH the model counts and the scoring join (no second "
+    "corpus scan); the count relations shuffle on the bigram/unigram "
+    "keys and broadcast-join back. Exactly oracle-checked — DuckDB "
+    "builds the same MLE model from the same tokens.",
+    tags=("text", "quality", "lm"),
+)
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    # no size>=2 filter: it would push `size(tokenize(text))>=2` (with
+    # tokenize inlined) into the scan (CLAUDE.md traps 2/3); a <2-token
+    # doc zips to an empty array and explode_outer's null-filter drops it
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull())
+        .select("doc_id", F.col("__p.w1").alias("w1"),
+                F.col("__p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    scored = (
+        pairs.filter(F.col("doc_id") < 200)
+        .join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id",
+                (-F.log(F.col("__c2") / F.col("__c1"))).alias("__s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg("__s"), 6).alias("avg_surprisal"))
+        .orderBy("doc_id")
+    )
