@@ -258,12 +258,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
         return palette[idxs]
     if color == 0:
         gray = img.reshape(h, w)  # PIL 'L'/'I;16' convention: 2-D
+        if trns is not None and len(trns) >= 2:
+            # tRNS on gray: ONE fully-transparent sample value
+            # (2-byte big-endian, spec 11.3.2) -> gray+alpha output.
+            # The raw (pre-scaling) sample value is compared.
+            key = (int(trns[0]) << 8) | int(trns[1])
+            if depth < 16:  # sample sits in the low bits of the field
+                key &= (1 << depth) - 1
+            alpha = np.where(gray == key, 0, 255).astype(gray.dtype)
+            if depth == 16:
+                alpha = (alpha.astype(np.uint16) * 257)  # 255 -> 65535
+            out16 = np.stack([gray, alpha], axis=-1)
+            if depth < 8:
+                out16[:, :, 0] = (out16[:, :, 0].astype(np.uint16)
+                                  * (255 // ((1 << depth) - 1)))
+            return out16.astype(np.uint16 if depth == 16 else np.uint8)
         if depth < 8:
             # present sub-byte gray at 8-bit (PIL convert-'L' scaling;
             # exact: 255/(2^d - 1) is an integer for d in 1/2/4)
             gray = (gray.astype(np.uint16)
                     * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return gray
+    if color == 2 and trns is not None and len(trns) >= 6:
+        # tRNS on RGB: one fully-transparent RGB value (three 2-byte
+        # big-endian samples) -> RGBA output
+        key = np.array([(int(trns[i]) << 8) | int(trns[i + 1])
+                        for i in (0, 2, 4)])
+        if depth == 8:
+            key = key & 0xFF
+        mask = (img == key.astype(img.dtype)).all(axis=2)
+        hi = 65535 if depth == 16 else 255
+        alpha = np.where(mask, 0, hi).astype(img.dtype)
+        return np.concatenate([img, alpha[:, :, None]], axis=2)
     return img
 
 

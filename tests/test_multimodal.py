@@ -968,3 +968,48 @@ def test_jpeg_multiscan_baseline_noninterleaved():
         multi = J.decode_baseline(bytes(out))
         single = J.decode_baseline(J.encode_baseline(img, subsampling=sub))
         assert np.array_equal(multi, single), sub
+
+
+def test_png_trns_gray_and_rgb_colorkey():
+    """tRNS on gray (one transparent sample value) and on RGB (one
+    transparent color) decode to gray+alpha / RGBA — the color-key
+    transparency layout (spec 11.3.2); the raw pre-scaling sample is
+    what the key matches."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    def splice(body, tchunk):
+        ihdr_end = 8 + 12 + 13
+        return body[:ihdr_end] + tchunk + body[ihdr_end:]
+
+    # 8-bit gray, key = 7
+    gray = np.array([[7, 8], [9, 7]], dtype=np.uint8)
+    out = _decode_png(splice(_encode_png(gray),
+                             chunk(b"tRNS", st.pack(">H", 7))))
+    assert out.shape == (2, 2, 2)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1],
+                          np.where(gray == 7, 0, 255).astype(np.uint8))
+
+    # 16-bit gray, key above 255 proves the full-width compare
+    g16 = np.array([[300, 301]], dtype=np.uint16)
+    out = _decode_png(splice(_encode_png(g16),
+                             chunk(b"tRNS", st.pack(">H", 300))))
+    assert out.dtype == np.uint16 and out.shape == (1, 2, 2)
+    assert list(out[0, :, 1]) == [0, 65535]
+
+    # 8-bit RGB color key
+    rgb = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    out = _decode_png(splice(_encode_png(rgb),
+                             chunk(b"tRNS", st.pack(">HHH", 1, 2, 3))))
+    assert out.shape == (1, 2, 4)
+    assert list(out[0, :, 3]) == [0, 255]
+    assert np.array_equal(out[:, :, :3], rgb)
