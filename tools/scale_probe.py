@@ -96,6 +96,11 @@ def probes(reg):
         "t22_curriculum_bins",
         "v22_norm_outliers",
         "t23_source_overlap",
+        "t25_url_dedup",
+        # t26/t27 join the probe as the newest heavy text shapes:
+        # hashed-feature scoring (scan-only) and the bigram-LM joins
+        "t26_hashed_linear_score",
+        "t27_bigram_surprisal",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
