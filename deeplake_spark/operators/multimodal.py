@@ -446,33 +446,72 @@ def _decode_video_frames_av(payload: bytes, every_n: int) -> list[tuple[int, np.
 
 def _decode_video_frames_avi(payload: bytes,
                              every_n: int) -> list[tuple[int, np.ndarray]]:
-    """REAL video decode for MJPEG-in-AVI — stdlib/numpy only: the RIFF
-    container walk is ~30 lines of struct, and every '00dc' chunk is a
-    whole JPEG image handed to the in-repo JPEG decoder (operators/
-    _jpeg.py, baseline + progressive + restart markers). MJPEG is the
-    classic capture/surveillance interchange format, so the video
-    lane has a real in-container decode path exactly like images
-    (PNG/JPEG) and audio (WAV) do; h264/mp4 stays PyAV-gated."""
+    """REAL video decode for AVI — stdlib/numpy only: the RIFF container
+    walk is ~30 lines of struct. Two in-container codecs: every '00dc'
+    JPEG chunk goes to the in-repo JPEG decoder (operators/_jpeg.py,
+    baseline + progressive + restart markers), and uncompressed-DIB
+    '00db' chunks (BI_RGB 24-bit, the raw-capture interchange format)
+    decode as bottom-up BGR rows with 4-byte row padding straight from
+    the strf BITMAPINFOHEADER. MJPEG is the classic capture/surveillance
+    format, so the video lane has a real in-container decode path
+    exactly like images (PNG/JPEG) and audio (WAV) do; h264/mp4 stays
+    PyAV-gated."""
     from deeplake_spark.operators._jpeg import decode_baseline
 
     data = bytes(payload)
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
 
-    def find_movi(pos: int, end: int) -> tuple[int, int] | None:
+    def find_list(kind: bytes, pos: int, end: int) -> tuple[int, int] | None:
         while pos + 8 <= end:
             cid = data[pos:pos + 4]
             (ln,) = struct.unpack_from("<I", data, pos + 4)
             if cid == b"LIST":
-                if data[pos + 8:pos + 12] == b"movi":
+                if data[pos + 8:pos + 12] == kind:
                     return pos + 12, pos + 8 + ln
-                inner = find_movi(pos + 12, pos + 8 + ln)
+                inner = find_list(kind, pos + 12, pos + 8 + ln)
                 if inner:
                     return inner
             pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         return None
 
-    movi = find_movi(12, len(data))
+    # strf BITMAPINFOHEADER of the vids stream: (width, height, bitcount,
+    # compression) — needed only for raw-DIB frames
+    dib: tuple[int, int, int, int] | None = None
+    hdrl = find_list(b"hdrl", 12, len(data))
+    if hdrl:
+        strl = find_list(b"strl", *hdrl)
+        if strl:
+            pos, end = strl
+            is_vids = False
+            while pos + 8 <= end:
+                cid = data[pos:pos + 4]
+                (ln,) = struct.unpack_from("<I", data, pos + 4)
+                body = data[pos + 8:pos + 8 + ln]
+                pos += 8 + ln + (ln & 1)
+                if cid == b"strh":
+                    is_vids = body[:4] == b"vids"
+                elif cid == b"strf" and is_vids and ln >= 20:
+                    w, h = struct.unpack_from("<ii", body, 4)
+                    (bits,) = struct.unpack_from("<H", body, 14)
+                    comp = body[16:20]
+                    dib = (w, h, bits, 0 if comp == b"\x00\x00\x00\x00"
+                           else 1)
+
+    def decode_dib(body: bytes) -> np.ndarray:
+        if dib is None or dib[3] != 0 or dib[2] != 24:
+            raise ValueError("unsupported uncompressed-DIB AVI stream")
+        w, h = dib[0], abs(dib[1])
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(body) < stride * h:
+            raise ValueError("truncated DIB frame")
+        rows = np.frombuffer(body[:stride * h], dtype=np.uint8)
+        rows = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if dib[1] > 0:  # positive biHeight = bottom-up
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+
+    movi = find_list(b"movi", 12, len(data))
     if movi is None:
         raise ValueError("AVI missing movi list")
     pos, end = movi
@@ -484,12 +523,15 @@ def _decode_video_frames_avi(payload: bytes,
         body = data[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if cid[2:4] in (b"dc", b"db"):  # compressed / uncompressed DIB
-            if not body.startswith(b"\xff\xd8"):
-                raise ValueError("non-MJPEG AVI stream")
             if idx % every_n == 0:
-                frame = decode_baseline(body)
-                if frame.ndim == 2:  # grayscale clip → stack to HxWx3
-                    frame = np.repeat(frame[:, :, None], 3, axis=2)
+                if body.startswith(b"\xff\xd8"):
+                    frame = decode_baseline(body)
+                    if frame.ndim == 2:  # grayscale clip → stack to HxWx3
+                        frame = np.repeat(frame[:, :, None], 3, axis=2)
+                elif cid[2:4] == b"db":
+                    frame = decode_dib(body)
+                else:
+                    raise ValueError("non-MJPEG compressed AVI stream")
                 out.append((idx, frame))
             idx += 1
     return out
@@ -502,6 +544,8 @@ def encode_mjpeg_avi(frames: list, fps: int = 10,
     third-party codec. Each frame is one baseline JPEG '00dc' chunk."""
     from deeplake_spark.operators._jpeg import encode_baseline
 
+    if not frames:
+        raise ValueError("avi encode requires at least one frame")
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w = frames[0].shape[:2]
     payloads = [encode_baseline(f, subsampling=subsampling) for f in frames]
@@ -528,13 +572,59 @@ def encode_mjpeg_avi(frames: list, fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_dib_avi(frames: list, fps: int = 10) -> bytes:
+    """Encode (h, w, 3) uint8 frames as an UNCOMPRESSED-DIB AVI (BI_RGB
+    24-bit '00db' chunks, bottom-up BGR rows padded to 4 bytes) — the
+    second real in-container video codec alongside MJPEG, losslessly
+    round-trippable with zero third-party deps."""
+    if not frames:
+        raise ValueError("avi encode requires at least one frame")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def dib_body(f: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        return rows.tobytes()
+
+    payloads = [dib_body(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames), 0,
+                                            stride * h, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                       b"\x00\x00\x00\x00", stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int, np.ndarray]]:
-    """Per-payload frame extraction: MJPEG-AVI decodes for REAL
-    (stdlib RIFF walk + the in-repo JPEG decoder); other containers go
-    to PyAV when the lib is present (decode errors fall back to the
-    fake unless strict); deterministic 8-frame fake clip otherwise."""
+    """Per-payload frame extraction: MJPEG-AVI and uncompressed-DIB AVI
+    decode for REAL (stdlib RIFF walk + the in-repo JPEG decoder); an
+    AVI carrying any other codec falls through to PyAV/fake unless
+    strict; other containers go to PyAV when the lib is present (decode
+    errors fall back to the fake unless strict); deterministic 8-frame
+    fake clip otherwise."""
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
-        return _decode_video_frames_avi(payload, every_n)
+        try:
+            return _decode_video_frames_avi(payload, every_n)
+        except ValueError:
+            if strict:
+                raise
     if _module_available("av"):
         try:
             return _decode_video_frames_av(payload, every_n)

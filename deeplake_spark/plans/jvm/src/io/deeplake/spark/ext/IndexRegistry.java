@@ -58,18 +58,29 @@ public final class IndexRegistry {
         return BY_PREFIX.size();
     }
 
-    /** First registered prefix owning ANY of the given root paths.
-     *  Prefixes match on PATH-SEGMENT boundaries only: /x/docs owns
-     *  /x/docs and /x/docs/file.parquet, never the sibling /x/docs2. */
+    /** Registered prefix owning ALL of the given root paths (a multi-root
+     *  scan mixing a registered dataset with an unregistered path must
+     *  NOT route — the index semijoin would wrongly drop the unregistered
+     *  rows). Prefixes match on PATH-SEGMENT boundaries only: /x/docs
+     *  owns /x/docs and /x/docs/file.parquet, never the sibling
+     *  /x/docs2. */
     static Map<String, Entry> lookupByPaths(List<String> rootPaths) {
-        for (String p : rootPaths) {
-            String n = normalize(p);
-            for (Map.Entry<String, Map<String, Entry>> e : BY_PREFIX.entrySet()) {
-                String k = e.getKey();
-                if (n.equals(k) || n.startsWith(
-                        k.endsWith("/") ? k : k + "/")) {
-                    return e.getValue();
+        if (rootPaths.isEmpty()) {
+            return null;
+        }
+        for (Map.Entry<String, Map<String, Entry>> e : BY_PREFIX.entrySet()) {
+            String k = e.getKey();
+            String kSlash = k.endsWith("/") ? k : k + "/";
+            boolean ownsAll = true;
+            for (String p : rootPaths) {
+                String n = normalize(p);
+                if (!n.equals(k) && !n.startsWith(kSlash)) {
+                    ownsAll = false;
+                    break;
                 }
+            }
+            if (ownsAll) {
+                return e.getValue();
             }
         }
         return null;

@@ -14,31 +14,51 @@ import org.apache.spark.sql.Column;
 import org.apache.spark.sql.Dataset;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.catalyst.expressions.Add;
+import org.apache.spark.sql.catalyst.expressions.Alias;
 import org.apache.spark.sql.catalyst.expressions.And;
+import org.apache.spark.sql.catalyst.expressions.ArrayAggregate;
 import org.apache.spark.sql.catalyst.expressions.ArrayContains;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.expressions.AttributeReference;
+import org.apache.spark.sql.catalyst.expressions.Cast;
+import org.apache.spark.sql.catalyst.expressions.Descending$;
+import org.apache.spark.sql.catalyst.expressions.Divide;
 import org.apache.spark.sql.catalyst.expressions.EqualTo;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThan;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.In;
+import org.apache.spark.sql.catalyst.expressions.LambdaFunction;
 import org.apache.spark.sql.catalyst.expressions.LessThan;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.Lower;
+import org.apache.spark.sql.catalyst.expressions.Multiply;
+import org.apache.spark.sql.catalyst.expressions.NamedExpression;
+import org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable;
+import org.apache.spark.sql.catalyst.expressions.SortOrder;
+import org.apache.spark.sql.catalyst.expressions.Sqrt;
 import org.apache.spark.sql.catalyst.expressions.StringSplit;
+import org.apache.spark.sql.catalyst.expressions.Subtract;
+import org.apache.spark.sql.catalyst.expressions.ZipWith;
 import org.apache.spark.sql.catalyst.plans.LeftSemi$;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.GlobalLimit;
 import org.apache.spark.sql.catalyst.plans.logical.Join;
 import org.apache.spark.sql.catalyst.plans.logical.JoinHint;
+import org.apache.spark.sql.catalyst.plans.logical.LocalLimit;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.plans.logical.Project;
+import org.apache.spark.sql.catalyst.plans.logical.Sort;
 import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias;
 import org.apache.spark.sql.catalyst.rules.Rule;
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import org.apache.spark.sql.functions;
+import org.apache.spark.sql.types.ArrayType;
 import org.apache.spark.sql.types.Decimal;
+import org.apache.spark.sql.types.NumericType;
 import org.apache.spark.sql.types.StringType;
 
 import scala.Option;
@@ -122,6 +142,12 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 return routed;
             }
         }
+        if (node instanceof GlobalLimit) {
+            LogicalPlan routed = tryRouteTopK((GlobalLimit) node);
+            if (routed != null) {
+                return routed;
+            }
+        }
         return node;
     }
 
@@ -193,6 +219,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                         && hasAttr(child, en.idCol)) {
                     probes.add(exactProbe(en, eqs[1]));
                     probeIdCols.add(en.idCol);
+                    // digest lookup prunes; the equality itself is KEPT
+                    // as a residual so an md5 collision can never admit
+                    // a wrong row (exactness is ~free: it runs on the
+                    // handful of post-semijoin rows)
+                    residual.add(c);
                     continue;
                 }
             }
@@ -376,6 +407,642 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             // sidecar missing: probe stays exact, just unpruned
         }
         return null;
+    }
+
+    // ------------------------------------------- top-k ANN (Sort + Limit)
+
+    public static final String ANN_ENABLED_KEY =
+            "spark.sql.deeplake.routing.ann.enabled";
+    public static final String ANN_NPROBE_KEY =
+            "spark.sql.deeplake.routing.ann.nprobe";
+    public static final String ANN_ACCURACY_KEY =
+            "spark.sql.deeplake.routing.ann.accuracyFactor";
+
+    /**
+     * Route {@code ORDER BY <vector score> [DESC|ASC] LIMIT k} over a
+     * registered dataset through its clustered (IVF) index: prune the
+     * base relation to the {@code nprobe} nearest k-means cells via a
+     * semijoin against the cluster-partitioned assignments table, and
+     * KEEP the user's Sort+Limit on top as the exact reranker — the
+     * reference serves {@code top_k_search_info} from its index holder
+     * for every entry path (cpp/query_core/index_holder.hpp:30-36,
+     * detection cpp/tql/tql.hpp:171).
+     *
+     * Matched score shapes (the documented Spark-SQL spellings —
+     * plans/sqlrouting.py cosine_sql/dot_sql/l2_sq_sql, which is also
+     * what functions/vector.py emits):
+     * <ul>
+     *  <li>dot: {@code aggregate(zip_with(col, array(...), (x,y)->x*y),
+     *      0d, (a,x)->a+x)} — DESC</li>
+     *  <li>cosine: dot divided by a ZipWith-free norm product — DESC</li>
+     *  <li>L2 / L2²: {@code zip_with} of {@code (x-y)*(x-y)} summed, or
+     *      plain difference summed as squares/abs in the merge lambda —
+     *      ASC (sqrt and other monotone wrappers unwrapped)</li>
+     * </ul>
+     * Monotone wrappers (round/cast/sqrt, +/- constants, * / by
+     * constants with sign-aware direction flip) are peeled off the
+     * root; {@code 1 - cos ASC} therefore routes too. Soundness: the
+     * score may reference exactly ONE attribute, matched by exprId
+     * against the relation output (alias shadowing can't spoof it),
+     * exactly one literal query vector, and the required direction must
+     * agree with the family — otherwise untouched. Recall follows IVF
+     * semantics (the same contract as the TQL route), gated by the
+     * nprobe/accuracyFactor confs mirroring SearchConfig.
+     */
+    private LogicalPlan tryRouteTopK(GlobalLimit gl) {
+        if (!gl.resolved()
+                || !"true".equalsIgnoreCase(
+                        session.conf().get(ANN_ENABLED_KEY, "true"))
+                || !(gl.child() instanceof LocalLimit)) {
+            return null;
+        }
+        Number k = numLit(gl.limitExpr());
+        if (k == null || k.intValue() <= 0) {
+            return null;
+        }
+        // LocalLimit -> (attrs-only Projects from sort-reference
+        // widening) -> Sort(global)
+        LogicalPlan cur = ((LocalLimit) gl.child()).child();
+        while (cur instanceof Project && attributesOnly((Project) cur)) {
+            cur = ((Project) cur).child();
+        }
+        if (!(cur instanceof Sort) || !((Sort) cur).global()
+                || ((Sort) cur).order().isEmpty()) {
+            return null;
+        }
+        Sort sort = (Sort) cur;
+        SortOrder first = sort.order().apply(0);
+        Expression score = first.child();
+        if (score instanceof AttributeReference
+                && sort.child() instanceof Project) {
+            Expression aliased = resolveAlias((Project) sort.child(),
+                    (AttributeReference) score);
+            if (aliased == null) {
+                return null;
+            }
+            score = aliased;
+        }
+        ScoreMatch m = matchScore(score);
+        if (m == null) {
+            return null;
+        }
+        boolean wantDesc = m.similarity != m.flip;
+        boolean isDesc = Descending$.MODULE$.equals(first.direction());
+        if (wantDesc != isDesc) {
+            return null;
+        }
+        // descend to the scan; LeftSemi joins appear when WHERE
+        // conjuncts were routed earlier in this same bottom-up pass —
+        // remember their probe sides so a fixed-point re-run of this
+        // rule doesn't stack a second identical ANN semijoin
+        LogicalPlan base = sort.child();
+        List<LogicalPlan> semiProbes = new ArrayList<>();
+        while (true) {
+            if (base instanceof SubqueryAlias) {
+                base = ((SubqueryAlias) base).child();
+            } else if (base instanceof org.apache.spark.sql.catalyst.plans.logical.View) {
+                base = ((org.apache.spark.sql.catalyst.plans.logical.View) base).child();
+            } else if (base instanceof Project) {
+                base = ((Project) base).child();
+            } else if (base instanceof Filter) {
+                base = ((Filter) base).child();
+            } else if (base instanceof Join
+                    && LeftSemi$.MODULE$.equals(((Join) base).joinType())) {
+                semiProbes.add(((Join) base).right());
+                base = ((Join) base).left();
+            } else {
+                break;
+            }
+        }
+        if (!(base instanceof LogicalRelation)
+                || !(((LogicalRelation) base).relation()
+                        instanceof HadoopFsRelation)) {
+            return null;
+        }
+        LogicalRelation relation = (LogicalRelation) base;
+        List<String> paths = new ArrayList<>();
+        scala.collection.Iterator<org.apache.hadoop.fs.Path> pit =
+                ((HadoopFsRelation) relation.relation()).location()
+                        .rootPaths().iterator();
+        while (pit.hasNext()) {
+            paths.add(pit.next().toString());
+        }
+        Map<String, IndexRegistry.Entry> byCol =
+                IndexRegistry.lookupByPaths(paths);
+        if (byCol == null) {
+            return null;
+        }
+        // resolve the score's attribute against the relation output by
+        // exprId — a Project aliasing something AS <vec col> cannot spoof
+        Attribute vecAttr = null;
+        scala.collection.Iterator<AttributeReference> oit =
+                relation.output().iterator();
+        while (oit.hasNext()) {
+            Attribute a = oit.next();
+            if (a.exprId().equals(m.attr.exprId())) {
+                vecAttr = a;
+            }
+        }
+        if (vecAttr == null) {
+            return null;
+        }
+        IndexRegistry.Entry en = byCol.get(vecAttr.name());
+        if (en == null || !"clustered".equals(en.kind)) {
+            return null;
+        }
+        for (LogicalPlan pr : semiProbes) {
+            if (scansUnder(pr, en.indexPath)) {
+                return null;    // already ANN-routed (idempotence)
+            }
+        }
+        @SuppressWarnings("unchecked")
+        scala.collection.immutable.Seq<Attribute> relOut =
+                (scala.collection.immutable.Seq<Attribute>)
+                        (scala.collection.immutable.Seq<?>) relation.output();
+        Attribute idAttr = findAttr(relOut, en.idCol);
+        if (idAttr == null) {
+            return null;
+        }
+        Dataset<Row> probe = ivfProbe(en, m.vec);
+        if (probe == null) {
+            return null;
+        }
+        LogicalPlan probePlan = probe.queryExecution().optimizedPlan();
+        Attribute probeAttr = findAttr(probePlan.output(), "row_id");
+        if (probeAttr == null) {
+            return null;
+        }
+        LogicalPlan joined = new Join(relation, probePlan, LeftSemi$.MODULE$,
+                Option.apply(new EqualTo(idAttr, probeAttr)),
+                JoinHint.NONE());
+        LogicalPlan rebuilt = replaceNode(gl, relation, joined);
+        return rebuilt == gl ? null : rebuilt;
+    }
+
+    /** Cluster-pruned candidate row ids: rank the (metadata-small)
+     *  centroid table driver-side, read only the eff-nprobe nearest
+     *  cluster partitions of the assignments table, project the id. */
+    private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q) {
+        try {
+            byte[] txt = Files.readAllBytes(Paths.get(
+                    IndexRegistry.normalize(en.indexPath), "centroids.json"));
+            com.fasterxml.jackson.databind.JsonNode root =
+                    new com.fasterxml.jackson.databind.ObjectMapper()
+                            .readTree(txt);
+            com.fasterxml.jackson.databind.JsonNode cents =
+                    root.get("centroids");
+            String assignIdCol = root.get("id_col").asText();
+            int n = cents.size();
+            if (n == 0) {
+                return null;
+            }
+            Integer[] order = new Integer[n];
+            int[] cid = new int[n];
+            double[] d2 = new double[n];
+            for (int i = 0; i < n; i++) {
+                com.fasterxml.jackson.databind.JsonNode c = cents.get(i);
+                cid[i] = c.get(0).asInt();
+                com.fasterxml.jackson.databind.JsonNode vec = c.get(1);
+                if (vec.size() != q.length) {
+                    return null;        // dimension mismatch: not our vector
+                }
+                double s = 0.0;
+                for (int j = 0; j < q.length; j++) {
+                    double diff = vec.get(j).asDouble() - q[j];
+                    s += diff * diff;
+                }
+                d2[i] = s;
+                order[i] = i;
+            }
+            int nprobe = Integer.parseInt(
+                    session.conf().get(ANN_NPROBE_KEY, "4"));
+            int af = Integer.parseInt(
+                    session.conf().get(ANN_ACCURACY_KEY, "10"));
+            int eff = Math.min(n, Math.max(nprobe,
+                    (int) Math.ceil(n * af / 20.0)));
+            Arrays.sort(order, (x, y) -> Double.compare(d2[x], d2[y]));
+            Object[] cells = new Object[eff];
+            for (int i = 0; i < eff; i++) {
+                cells[i] = cid[order[i]];
+            }
+            return session.read().parquet(en.indexPath + "/assignments")
+                    .filter(functions.col("cluster").isin(cells))
+                    .select(functions.col(assignIdCol).alias("row_id"));
+        } catch (Exception e) {
+            return null;                // unreadable sidecar: stay stock
+        }
+    }
+
+    private static final class ScoreMatch {
+        boolean similarity;     // true: dot/cosine (DESC); false: L2 (ASC)
+        boolean flip;           // odd count of order-flipping wrappers
+        AttributeReference attr;
+        double[] vec;
+    }
+
+    private ScoreMatch matchScore(Expression score) {
+        List<AttributeReference> attrs = new ArrayList<>();
+        List<double[]> vecs = new ArrayList<>();
+        collectAttrsAndVecs(score, attrs, vecs);
+        if (attrs.isEmpty() || vecs.isEmpty()) {
+            return null;
+        }
+        AttributeReference attr = attrs.get(0);
+        for (AttributeReference a : attrs) {
+            if (!a.exprId().equals(attr.exprId())) {
+                return null;    // more than one column: not a vector score
+            }
+        }
+        double[] vec = vecs.get(0);
+        for (double[] v : vecs) {
+            if (!Arrays.equals(v, vec)) {
+                return null;    // ambiguous query vector
+            }
+        }
+        List<ZipWith> zips = new ArrayList<>();
+        collectZipWith(score, zips);
+        if (zips.size() != 1) {
+            return null;
+        }
+        ZipWith zw = zips.get(0);
+        // one zip_with input carries the column, the other the literal
+        boolean leftHasAttr = containsAttrRef(zw.left());
+        if (leftHasAttr == containsAttrRef(zw.right())) {
+            return null;
+        }
+        Boolean similarity = classifyFamily(zw, enclosingAggregate(score, zw));
+        if (similarity == null) {
+            return null;
+        }
+        // peel monotone wrappers off the root, tracking direction flips
+        boolean flip = false;
+        Expression cur = score;
+        while (true) {
+            if (cur instanceof org.apache.spark.sql.catalyst.expressions.Round) {
+                cur = ((org.apache.spark.sql.catalyst.expressions.Round) cur).child();
+            } else if (cur instanceof Cast) {
+                cur = ((Cast) cur).child();
+            } else if (cur instanceof Sqrt) {
+                cur = ((Sqrt) cur).child();
+            } else if (cur instanceof Subtract) {
+                Subtract s = (Subtract) cur;
+                if (numLit(s.left()) != null) {
+                    flip = !flip;
+                    cur = s.right();
+                } else if (numLit(s.right()) != null) {
+                    cur = s.left();
+                } else {
+                    break;
+                }
+            } else if (cur instanceof Add) {
+                Add a = (Add) cur;
+                if (numLit(a.left()) != null) {
+                    cur = a.right();
+                } else if (numLit(a.right()) != null) {
+                    cur = a.left();
+                } else {
+                    break;
+                }
+            } else if (cur instanceof Multiply) {
+                Multiply mu = (Multiply) cur;
+                Number c = numLit(mu.left());
+                if (c != null) {
+                    if (c.doubleValue() == 0.0) {
+                        return null;
+                    }
+                    flip ^= c.doubleValue() < 0;
+                    cur = mu.right();
+                } else if ((c = numLit(mu.right())) != null) {
+                    if (c.doubleValue() == 0.0) {
+                        return null;
+                    }
+                    flip ^= c.doubleValue() < 0;
+                    cur = mu.left();
+                } else {
+                    break;
+                }
+            } else if (cur instanceof Divide
+                    && numLit(((Divide) cur).right()) != null) {
+                Number c = numLit(((Divide) cur).right());
+                if (c.doubleValue() == 0.0) {
+                    return null;
+                }
+                flip ^= c.doubleValue() < 0;
+                cur = ((Divide) cur).left();
+            } else {
+                break;
+            }
+        }
+        // the unwrapped core must be the aggregate itself (dot / L2) or
+        // cosine's dot ÷ ZipWith-free norm product; anything else could
+        // hide a non-monotone transform of the score
+        boolean coreOk;
+        if (cur instanceof ArrayAggregate) {
+            coreOk = containsZipWith(cur);
+        } else if (cur instanceof Divide && similarity) {
+            coreOk = containsZipWith(((Divide) cur).left())
+                    && !containsZipWith(((Divide) cur).right());
+        } else {
+            coreOk = false;
+        }
+        if (!coreOk) {
+            return null;
+        }
+        ScoreMatch m = new ScoreMatch();
+        m.similarity = similarity;
+        m.flip = flip;
+        m.attr = attr;
+        m.vec = vec;
+        return m;
+    }
+
+    /** The ArrayAggregate that folds this ZipWith's output (the zip may
+     *  sit under a cast transform); null when none encloses it. */
+    private static ArrayAggregate enclosingAggregate(Expression e, ZipWith zw) {
+        if (e instanceof ArrayAggregate && containsNode(e, zw)) {
+            return (ArrayAggregate) e;
+        }
+        scala.collection.Iterator<Expression> it =
+                castChildren(e).iterator();
+        while (it.hasNext()) {
+            ArrayAggregate r = enclosingAggregate(it.next(), zw);
+            if (r != null) {
+                return r;
+            }
+        }
+        return null;
+    }
+
+    /** similarity=TRUE for element products summed (dot/cosine),
+     *  FALSE for squared/absolute differences summed (L2²/L1);
+     *  null = unrecognized, never route. */
+    private static Boolean classifyFamily(ZipWith zw, ArrayAggregate agg) {
+        if (agg == null || !(zw.function() instanceof LambdaFunction)
+                || !(agg.merge() instanceof LambdaFunction)) {
+            return null;
+        }
+        LambdaFunction zf = (LambdaFunction) zw.function();
+        LambdaFunction mf = (LambdaFunction) agg.merge();
+        if (zf.arguments().size() != 2 || mf.arguments().size() != 2) {
+            return null;
+        }
+        // finish must be the identity (no hidden transform of the sum)
+        if (agg.finish() instanceof LambdaFunction) {
+            Expression fin = stripCasts(
+                    ((LambdaFunction) agg.finish()).function());
+            if (!(fin instanceof NamedLambdaVariable)) {
+                return null;
+            }
+        }
+        Expression zbody = stripCasts(zf.function());
+        NamedExpression za = zf.arguments().apply(0);
+        NamedExpression zb = zf.arguments().apply(1);
+        Expression mbody = stripCasts(mf.function());
+        NamedExpression acc = mf.arguments().apply(0);
+        NamedExpression el = mf.arguments().apply(1);
+        if (zbody instanceof Multiply) {
+            Multiply mu = (Multiply) zbody;
+            Expression l = stripCasts(mu.left());
+            Expression r = stripCasts(mu.right());
+            if (isVar(l, za) && isVar(r, zb)
+                    || isVar(l, zb) && isVar(r, za)) {
+                // (x, y) -> x * y : dot — merge must be a plain sum
+                return isPlainSum(mbody, acc, el) ? Boolean.TRUE : null;
+            }
+            if (l instanceof Subtract && r instanceof Subtract
+                    && sameDiff((Subtract) l, (Subtract) r, za, zb)) {
+                // (x, y) -> (x - y) * (x - y) : squared distance
+                return isPlainSum(mbody, acc, el) ? Boolean.FALSE : null;
+            }
+            return null;
+        }
+        if (zbody instanceof Subtract
+                && sameDiff((Subtract) zbody, (Subtract) zbody, za, zb)) {
+            // (x, y) -> x - y : the merge must square or abs the element
+            return isSquaredOrAbsSum(mbody, acc, el) ? Boolean.FALSE : null;
+        }
+        return null;
+    }
+
+    private static boolean sameDiff(Subtract a, Subtract b,
+                                    NamedExpression x, NamedExpression y) {
+        Expression al = stripCasts(a.left());
+        Expression ar = stripCasts(a.right());
+        Expression bl = stripCasts(b.left());
+        Expression br = stripCasts(b.right());
+        boolean aOk = isVar(al, x) && isVar(ar, y)
+                || isVar(al, y) && isVar(ar, x);
+        boolean same = (isVar(al, x) && isVar(bl, x)
+                || isVar(al, y) && isVar(bl, y));
+        return aOk && same && (isVar(ar, x) && isVar(br, x)
+                || isVar(ar, y) && isVar(br, y));
+    }
+
+    /** (acc, x) -> acc + x, either orientation. */
+    private static boolean isPlainSum(Expression body, NamedExpression acc,
+                                      NamedExpression el) {
+        if (!(body instanceof Add)) {
+            return false;
+        }
+        Expression l = stripCasts(((Add) body).left());
+        Expression r = stripCasts(((Add) body).right());
+        return isVar(l, acc) && isVar(r, el)
+                || isVar(l, el) && isVar(r, acc);
+    }
+
+    /** (acc, x) -> acc + x*x or acc + abs(x), either orientation. */
+    private static boolean isSquaredOrAbsSum(Expression body,
+                                             NamedExpression acc,
+                                             NamedExpression el) {
+        if (!(body instanceof Add)) {
+            return false;
+        }
+        Expression l = stripCasts(((Add) body).left());
+        Expression r = stripCasts(((Add) body).right());
+        Expression other;
+        if (isVar(l, acc)) {
+            other = r;
+        } else if (isVar(r, acc)) {
+            other = l;
+        } else {
+            return false;
+        }
+        if (other instanceof Multiply) {
+            return isVar(stripCasts(((Multiply) other).left()), el)
+                    && isVar(stripCasts(((Multiply) other).right()), el);
+        }
+        if (other instanceof org.apache.spark.sql.catalyst.expressions.Abs) {
+            return isVar(stripCasts(
+                    ((org.apache.spark.sql.catalyst.expressions.Abs) other)
+                            .child()), el);
+        }
+        return false;
+    }
+
+    private static boolean isVar(Expression e, NamedExpression arg) {
+        return e instanceof NamedLambdaVariable
+                && ((NamedLambdaVariable) e).exprId().equals(arg.exprId());
+    }
+
+    private static Expression stripCasts(Expression e) {
+        while (e instanceof Cast) {
+            e = ((Cast) e).child();
+        }
+        return e;
+    }
+
+    /** Attributes and foldable numeric-array literals in one walk; a
+     *  literal vector is a leaf (no descent into its elements). */
+    private static void collectAttrsAndVecs(Expression e,
+                                            List<AttributeReference> attrs,
+                                            List<double[]> vecs) {
+        if (e instanceof AttributeReference) {
+            attrs.add((AttributeReference) e);
+            return;
+        }
+        if (e.foldable() && e.dataType() instanceof ArrayType
+                && ((ArrayType) e.dataType()).elementType()
+                        instanceof NumericType) {
+            double[] v = evalVec(e);
+            if (v != null && v.length > 0) {
+                vecs.add(v);
+                return;
+            }
+        }
+        scala.collection.Iterator<Expression> it = castChildren(e).iterator();
+        while (it.hasNext()) {
+            collectAttrsAndVecs(it.next(), attrs, vecs);
+        }
+    }
+
+    private static double[] evalVec(Expression e) {
+        try {
+            Object v = e.eval(null);
+            if (!(v instanceof org.apache.spark.sql.catalyst.util.ArrayData)) {
+                return null;
+            }
+            org.apache.spark.sql.catalyst.util.ArrayData ad =
+                    (org.apache.spark.sql.catalyst.util.ArrayData) v;
+            Object[] els = ad.toObjectArray(
+                    ((ArrayType) e.dataType()).elementType());
+            double[] out = new double[els.length];
+            for (int i = 0; i < els.length; i++) {
+                if (els[i] == null) {
+                    return null;
+                }
+                out[i] = els[i] instanceof Decimal
+                        ? ((Decimal) els[i]).toDouble()
+                        : ((Number) els[i]).doubleValue();
+            }
+            return out;
+        } catch (Exception ex) {
+            return null;
+        }
+    }
+
+    private static void collectZipWith(Expression e, List<ZipWith> out) {
+        if (e instanceof ZipWith) {
+            out.add((ZipWith) e);
+        }
+        scala.collection.Iterator<Expression> it = castChildren(e).iterator();
+        while (it.hasNext()) {
+            collectZipWith(it.next(), out);
+        }
+    }
+
+    private static boolean containsZipWith(Expression e) {
+        List<ZipWith> out = new ArrayList<>();
+        collectZipWith(e, out);
+        return !out.isEmpty();
+    }
+
+    private static boolean containsAttrRef(Expression e) {
+        if (e instanceof AttributeReference) {
+            return true;
+        }
+        scala.collection.Iterator<Expression> it = castChildren(e).iterator();
+        while (it.hasNext()) {
+            if (containsAttrRef(it.next())) {
+                return true;
+            }
+        }
+        return false;
+    }
+
+    private static boolean containsNode(Expression e, Expression target) {
+        if (e == target) {
+            return true;
+        }
+        scala.collection.Iterator<Expression> it = castChildren(e).iterator();
+        while (it.hasNext()) {
+            if (containsNode(it.next(), target)) {
+                return true;
+            }
+        }
+        return false;
+    }
+
+    @SuppressWarnings("unchecked")
+    private static scala.collection.immutable.Seq<Expression> castChildren(
+            Expression e) {
+        return (scala.collection.immutable.Seq<Expression>)
+                (scala.collection.immutable.Seq<?>) e.children();
+    }
+
+    private static Expression resolveAlias(Project p, AttributeReference a) {
+        scala.collection.Iterator<NamedExpression> it =
+                p.projectList().iterator();
+        while (it.hasNext()) {
+            NamedExpression ne = it.next();
+            if (ne instanceof Alias && ne.exprId().equals(a.exprId())) {
+                return ((Alias) ne).child();
+            }
+        }
+        return null;
+    }
+
+    /** Does any scan in this subtree read files under `pathPrefix`? */
+    private static boolean scansUnder(LogicalPlan plan, String pathPrefix) {
+        String pfx = IndexRegistry.normalize(pathPrefix);
+        String pfxSlash = pfx.endsWith("/") ? pfx : pfx + "/";
+        if (plan instanceof LogicalRelation
+                && ((LogicalRelation) plan).relation()
+                        instanceof HadoopFsRelation) {
+            scala.collection.Iterator<org.apache.hadoop.fs.Path> pit =
+                    ((HadoopFsRelation) ((LogicalRelation) plan).relation())
+                            .location().rootPaths().iterator();
+            while (pit.hasNext()) {
+                String n = IndexRegistry.normalize(pit.next().toString());
+                if (n.equals(pfx) || n.startsWith(pfxSlash)) {
+                    return true;
+                }
+            }
+        }
+        scala.collection.Iterator<LogicalPlan> it = plan.children().iterator();
+        while (it.hasNext()) {
+            if (scansUnder(it.next(), pathPrefix)) {
+                return true;
+            }
+        }
+        return false;
+    }
+
+    private static LogicalPlan replaceNode(LogicalPlan plan,
+                                           LogicalPlan target,
+                                           LogicalPlan replacement) {
+        if (plan == target) {
+            return replacement;
+        }
+        List<LogicalPlan> kids = new ArrayList<>();
+        boolean changed = false;
+        scala.collection.Iterator<LogicalPlan> it = plan.children().iterator();
+        while (it.hasNext()) {
+            LogicalPlan c = it.next();
+            LogicalPlan r = replaceNode(c, target, replacement);
+            changed |= (r != c);
+            kids.add(r);
+        }
+        return changed ? plan.withNewChildren(toSeq(kids)) : plan;
     }
 
     // -------------------------------------------------- pattern matchers

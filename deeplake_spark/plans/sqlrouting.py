@@ -43,8 +43,22 @@ EXACT — residual conjuncts stay filtered):
 - comparisons / BETWEEN / IN / ``=`` on a numeric-indexed column →
   range-bucket-pruned value probe semijoin.
 - ``col = 'literal'`` on an exact-text-indexed string column →
-  digest-prefix-pruned md5 lookup semijoin (the TQL EQUALS rewrite;
-  same digest-only semantics as the Python probe).
+  digest-prefix-pruned md5 lookup semijoin, with the equality KEPT as
+  a residual filter so an md5 collision can never admit a wrong row
+  (the TQL EQUALS rewrite has the same residual).
+- ``ORDER BY <vector score> [DESC|ASC] LIMIT k`` where the score is
+  the documented HOF spelling of dot / cosine / L2 against a literal
+  query vector (:func:`dot_sql` / :func:`cosine_sql` /
+  :func:`l2_sq_sql` emit it) on a ``clustered`` (IVF) indexed column
+  → the base scan is semijoined against the nprobe nearest k-means
+  cell partitions of the assignments table and the user's Sort+Limit
+  reranks exactly over the pruned candidates — the reference serves
+  ``top_k_search_info`` from its index holder for every entry path
+  (cpp/query_core/index_holder.hpp:30-36). Recall follows IVF
+  semantics, tuned by ``spark.sql.deeplake.routing.ann.nprobe`` /
+  ``...ann.accuracyFactor`` (SearchConfig's knobs); set
+  ``spark.sql.deeplake.routing.ann.enabled=false`` to keep filter
+  routing but force exact top-k scans.
 """
 
 from __future__ import annotations
@@ -104,8 +118,8 @@ def disable(spark: SparkSession) -> None:
 def register_path(spark: SparkSession, table_path: str, column: str,
                   kind: str, index_path: str, id_col: str) -> None:
     """Register one index for a parquet table path PREFIX: any scan whose
-    root paths fall under `table_path` becomes routable on `column`."""
-    if kind not in ("inverted", "numeric", "exact"):
+    root paths ALL fall under `table_path` becomes routable on `column`."""
+    if kind not in ("inverted", "numeric", "exact", "clustered"):
         raise ValueError(f"unsupported routing kind {kind!r}")
     _registry(spark).register(str(table_path), column, kind,
                               str(index_path), id_col)
@@ -130,8 +144,43 @@ def register_dataset(ds) -> None:
 
     for col, meta in _read_refs(ds.path).get("indexes", {}).items():
         kind = meta["kind"]
-        if kind not in ("inverted", "numeric", "exact"):
+        if kind not in ("inverted", "numeric", "exact", "clustered"):
             continue  # other kinds route via TQL only
         idx_path = os.path.join(ds.path, "_indexes", f"{col}_{kind}")
         register_path(ds.spark, ds.path, col, kind, idx_path,
                       id_col="_row_id")
+
+
+def _vec_sql(vec) -> str:
+    return "array(" + ", ".join(repr(float(v)) for v in vec) + ")"
+
+
+def _agg_sum(arr_sql: str) -> str:
+    return (f"aggregate({arr_sql}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)")
+
+
+def dot_sql(col: str, vec) -> str:
+    """The routable Spark-SQL spelling of DOT(col, vec) — sort DESC.
+
+    This is exactly the HOF tree functions/vector.py dot() builds, so
+    the Catalyst rule recognizes both the string and the DSL form."""
+    return _agg_sum(f"zip_with(CAST({col} AS ARRAY<DOUBLE>), "
+                    f"{_vec_sql(vec)}, (x, y) -> x * y)")
+
+
+def cosine_sql(col: str, vec) -> str:
+    """Routable spelling of COSINE_SIMILARITY(col, vec) — sort DESC.
+    The query-side norm is precomputed in Python (a constant), so the
+    denominator stays ZipWith-free as the rule requires."""
+    qn = sum(float(v) * float(v) for v in vec) ** 0.5
+    norm_col = f"sqrt({_agg_sum(f'transform(CAST({col} AS ARRAY<DOUBLE>), x -> x * x)')})"
+    return (f"({dot_sql(col, vec)} / "
+            f"nullif({norm_col} * {qn!r}, 0.0))")
+
+
+def l2_sq_sql(col: str, vec) -> str:
+    """Routable spelling of squared L2 distance — sort ASC (wrap in
+    sqrt() for the true distance; the rule unwraps monotone sqrt)."""
+    return _agg_sum(f"zip_with(CAST({col} AS ARRAY<DOUBLE>), "
+                    f"{_vec_sql(vec)}, (x, y) -> (x - y) * (x - y))")

@@ -1198,7 +1198,7 @@ _URL_SYNTH = (
     "t25_url_dedup",
     oracle=f"""
     WITH raw AS (
-      SELECT doc_id, {_URL_SYNTH.replace("AS VARCHAR", "AS VARCHAR")} AS url
+      SELECT doc_id, {_URL_SYNTH} AS url
       FROM documents
     ),
     c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
@@ -1349,8 +1349,13 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode_outer(
                 F.zip_with(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    # greatest(...,0): slice length -1 throws on zero-token
+                    # docs (ANSI INVALID_PARAMETER_VALUE.LENGTH) — same
+                    # guard as functions/text.py word_bigrams
+                    F.slice(F.col("__t"), 1,
+                            F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2,
+                            F.greatest(F.size("__t") - 1, F.lit(0))),
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("__p"),

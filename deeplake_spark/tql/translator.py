@@ -432,7 +432,12 @@ class Translator:
         ):
             m = entry(c.args[0].name, "exact")
             if m:
-                return semijoin(m[0].probe(c.args[1].value), m[1])
+                # digest semijoin prunes; re-check the equality on the
+                # surviving handful of rows so an md5 collision can never
+                # admit a wrong row (exactness is ~free post-semijoin)
+                return semijoin(m[0].probe(c.args[1].value), m[1]).filter(
+                    F.col(c.args[0].name) == F.lit(c.args[1].value)
+                )
         # col BETWEEN a AND b → numeric range probe
         if (
             isinstance(c, ast.BetweenOp)

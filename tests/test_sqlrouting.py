@@ -193,6 +193,9 @@ def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
         plan = _plan(df)
         assert "LeftSemi" in plan
         assert "digest" in plan           # the md5 lookup relation
+        # the equality conjunct is KEPT as a residual filter above the
+        # semijoin: an md5 collision can never admit a wrong row
+        assert "= en" in plan, plan
         got = sorted(r.doc_id for r in df.collect())
         assert got == want and got
         # literal-on-the-left spelling routes too
@@ -266,6 +269,120 @@ def test_sql_routing_equivalence_fuzz(spark, routed_ds):
             assert sorted(r.doc_id for r in routed.collect()) == want, q2
     finally:
         rt.disable(spark)
+
+
+@pytest.fixture()
+def ann_ds(spark, sf_dir, tmp_path):
+    """Embeddings dataset with a clustered (IVF) index + temp view."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/embeddings.parquet",
+                         str(tmp_path / "emb"), spark)
+    ds.create_index("embedding", "clustered", n_clusters=16)
+    ds.to_df().createOrReplaceTempView("ann_emb")
+    qv = [float(x) for x in spark.sql(
+        "SELECT embedding FROM ann_emb WHERE vec_id = 7"
+    ).collect()[0].embedding]
+    try:
+        yield ds, qv
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for key in ("spark.sql.deeplake.routing.ann.accuracyFactor",
+                    "spark.sql.deeplake.routing.ann.enabled"):
+            spark.conf.unset(key)
+        spark.catalog.dropTempView("ann_emb")
+
+
+def _ann_sqls(qv):
+    return {
+        "cosine_desc": ("SELECT vec_id FROM ann_emb ORDER BY "
+                        f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10"),
+        "dot_desc": ("SELECT vec_id FROM ann_emb ORDER BY "
+                     f"{rt.dot_sql('embedding', qv)} DESC LIMIT 10"),
+        "l2_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
+                   f"{rt.l2_sq_sql('embedding', qv)} ASC LIMIT 10"),
+        "l2_sqrt_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
+                        f"sqrt({rt.l2_sq_sql('embedding', qv)}) ASC LIMIT 10"),
+        "one_minus_cos_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
+                              f"1.0 - {rt.cosine_sql('embedding', qv)} "
+                              "ASC LIMIT 10"),
+        "aliased_score": (f"SELECT vec_id, {rt.cosine_sql('embedding', qv)}"
+                          " AS score FROM ann_emb "
+                          "ORDER BY score DESC LIMIT 10"),
+    }
+
+
+def test_sql_topk_ann_routes_every_spelling(spark, ann_ds):
+    """ORDER BY <vector score> LIMIT k over a clustered-indexed column
+    routes through the IVF cell-pruned semijoin for every documented
+    spelling (dot/cosine/L2, monotone wrappers, aliased score), keeps
+    the user's Sort+Limit as the exact reranker, and meets the IVF
+    recall bar at the default probe width (the v10 contract)."""
+    ds, qv = ann_ds
+    sqls = _ann_sqls(qv)
+    exact = {k: [r.vec_id for r in spark.sql(q).collect()]
+             for k, q in sqls.items()}
+    assert all("LeftSemi" not in _plan(spark.sql(q)) for q in sqls.values())
+
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    for name, q in sqls.items():
+        df = spark.sql(q)
+        plan = _plan(df)
+        assert "LeftSemi" in plan and "cluster#" in plan, f"{name} not routed"
+        got = [r.vec_id for r in df.collect()]
+        overlap = len(set(got) & set(exact[name])) / 10
+        assert overlap >= 0.6, f"{name} recall {overlap} too low"
+
+    # probing every cell (accuracy_factor=20 -> eff_nprobe=n) must give
+    # EXACTLY the exact top-k: the pruned candidate set is the corpus
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "20")
+    df = spark.sql(sqls["cosine_desc"])
+    assert "LeftSemi" in _plan(df)
+    assert set(r.vec_id for r in df.collect()) == set(exact["cosine_desc"])
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "10")
+
+    # parity with the Python entry path: same cells, same candidates
+    from deeplake_spark.operators.similarity import ivf_search, load_ivf
+
+    idx = load_ivf(spark, f"{ds.path}/_indexes/embedding_clustered")
+    via_py = set(r[idx.id_col] for r in ivf_search(idx, qv, k=10).collect())
+    via_sql = set(
+        r.vec_id for r in spark.sql(sqls["cosine_desc"]).collect())
+    rows = {r.vec_id: r._row_id for r in spark.sql(
+        "SELECT vec_id, _row_id FROM ann_emb").collect()}
+    assert {rows[v] for v in via_sql} == via_py
+
+
+def test_sql_topk_ann_never_routes_unsound_shapes(spark, ann_ds):
+    """Direction/family mismatches, multi-column scores, and the ANN
+    kill-switch conf must leave the plan stock (exact top-k scan)."""
+    ds, qv = ann_ds
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    cos = rt.cosine_sql("embedding", qv)
+    l2 = rt.l2_sq_sql("embedding", qv)
+    unsound = [
+        # similarity ASC = least-similar: far cells hold the answer
+        f"SELECT vec_id FROM ann_emb ORDER BY {cos} ASC LIMIT 10",
+        f"SELECT vec_id FROM ann_emb ORDER BY {l2} DESC LIMIT 10",
+        # second column in the score: not a pure vector ranking
+        f"SELECT vec_id FROM ann_emb ORDER BY {cos} * vec_id DESC LIMIT 10",
+        # non-monotone wrapper around the score
+        f"SELECT vec_id FROM ann_emb ORDER BY abs({cos}) DESC LIMIT 10",
+        # no LIMIT: a full sort must stay exact
+        f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC",
+    ]
+    for q in unsound:
+        assert "cluster#" not in _plan(spark.sql(q)), f"unsound route: {q}"
+    spark.conf.set("spark.sql.deeplake.routing.ann.enabled", "false")
+    q = f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC LIMIT 10"
+    assert "cluster#" not in _plan(spark.sql(q))
+    spark.conf.set("spark.sql.deeplake.routing.ann.enabled", "true")
+    assert "cluster#" in _plan(spark.sql(q))
 
 
 def test_sql_routing_prefix_matches_segment_boundaries(spark, sf_dir,
