@@ -736,14 +736,28 @@ class Dataset:
         ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` gets the same
         posting/value/digest-probe semijoins ``ds.query`` emits
         (plans/sqlrouting.py; reference behavior: every entry point goes
-        through index_holder, cpp/query_core/index_holder.hpp:18-43)."""
-        self.to_df().createOrReplaceTempView(name)
-        if routed:
-            from deeplake_spark.plans import sqlrouting
+        through index_holder, cpp/query_core/index_holder.hpp:18-43).
 
-            if sqlrouting.is_available(self.spark):
-                sqlrouting.register_dataset(self)
-                sqlrouting.enable(self.spark)
+        Inverted-indexed columns additionally get their side tables
+        registered as ``{name}__postings`` / ``__doclens`` /
+        ``__stats`` views (jar-independent), so
+        ``sqlrouting.bm25_topk_sql`` / ``hybrid_search_sql`` statements
+        — the reference's BM25 top-k and hybrid softmax fusion
+        (hybrid_query_merge.hpp:27-149) — run as plain SQL text."""
+        from deeplake_spark.plans import sqlrouting
+
+        self.to_df().createOrReplaceTempView(name)
+        for _col, meta in _read_refs(self.path).get("indexes", {}).items():
+            if meta["kind"] == "inverted":
+                # one {name}__* view set per dataset view: with several
+                # inverted columns, register the rest explicitly via
+                # sqlrouting.register_index_views under distinct names
+                sqlrouting.register_index_views(self.spark, name,
+                                                meta["path"])
+                break
+        if routed and sqlrouting.is_available(self.spark):
+            sqlrouting.register_dataset(self)
+            sqlrouting.enable(self.spark)
 
     def to_df(self) -> DataFrame:
         """Current snapshot as a DataFrame: one multi-file parquet scan,

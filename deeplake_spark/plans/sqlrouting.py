@@ -184,3 +184,115 @@ def l2_sq_sql(col: str, vec) -> str:
     sqrt() for the true distance; the rule unwraps monotone sqrt)."""
     return _agg_sum(f"zip_with(CAST({col} AS ARRAY<DOUBLE>), "
                     f"{_vec_sql(vec)}, (x, y) -> (x - y) * (x - y))")
+
+
+def _terms_sql(terms) -> tuple[str, str]:
+    """(bucket-prune predicate, IN-list) for a term probe. The bucket
+    comparison is a constant-foldable Spark expression, so Catalyst
+    folds it before planning and the partition prune actually fires
+    (the same trick the index probes rely on)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    esc = [t.replace("'", "''") for t in uniq]
+    buckets = ", ".join(f"abs(hash('{t}')) % 64" for t in esc)
+    inlist = ", ".join(f"'{t}'" for t in esc)
+    return f"bucket IN ({buckets})", inlist
+
+
+def bm25_cte_sql(view: str, terms, n: int,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """WITH-body CTEs computing index-backed BM25 top-n as `__bl
+    (doc_id, bm25)` — pure SQL over the ``{view}__postings`` /
+    ``__doclens`` / ``__stats`` side views ``Dataset.as_sql_view``
+    registers. Mirrors operators/indexes.py bm25_via_index term for
+    term (partition-pruned probe, global IDF, per-doc sum, round 6),
+    so work is O(matching postings), never O(corpus)."""
+    bucket_pred, inlist = _terms_sql(terms)
+    return f"""
+    __tfp AS (
+      SELECT term, row_id, tf FROM {view}__postings
+      WHERE ({bucket_pred}) AND term IN ({inlist})
+    ),
+    __dfq AS (SELECT term, COUNT(*) AS df FROM __tfp GROUP BY term),
+    __idf AS (
+      SELECT term, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM __dfq CROSS JOIN {view}__stats s
+    ),
+    __bl AS (
+      SELECT __tfp.row_id AS doc_id,
+             ROUND(SUM(__idf.idf * (__tfp.tf * ({k1} + 1))
+                   / (__tfp.tf + {k1} * (1 - {b} + {b} * __dl.dl / s.avgdl))),
+                   6) AS bm25
+      FROM __tfp
+      JOIN __idf ON __idf.term = __tfp.term
+      JOIN {view}__doclens __dl ON __dl.row_id = __tfp.row_id
+      CROSS JOIN {view}__stats s
+      GROUP BY __tfp.row_id
+      ORDER BY bm25 DESC, doc_id LIMIT {int(n)}
+    )"""
+
+
+def bm25_topk_sql(view: str, terms, k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """Complete statement: index-backed BM25 top-k for plain
+    ``spark.sql`` users — `(doc_id, score)`, the t13/t08 shape."""
+    return (f"WITH {bm25_cte_sql(view, terms, k, k1, b)} "
+            "SELECT doc_id, bm25 AS score FROM __bl "
+            f"ORDER BY score DESC, doc_id LIMIT {int(k)}")
+
+
+def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
+                      n: int | None = None, vec_col: str = "embedding",
+                      id_col: str = "_row_id", text_weight: float = 0.5,
+                      vec_weight: float = 0.5, k1: float = 1.2,
+                      b: float = 0.75) -> str:
+    """Complete statement: vector+BM25 softmax fusion for plain
+    ``spark.sql`` users — the reference's hybrid merge
+    (cpp/query_core/hybrid_query_merge.hpp:27-149) without the Python
+    API. Top-n each side (n = k * accuracy_factor by default),
+    softmax-normalize each bounded list via 1-row aggregate CTEs (never
+    a corpus-wide window), weighted sum over the union, top-k. The
+    BM25 side probes the ``{view}__*`` index views; the vector side is
+    an exact TakeOrderedAndProject — with a clustered index registered
+    it additionally ANN-routes through the Catalyst rule."""
+    n = int(n if n is not None else k * 5)
+    cos = cosine_sql(vec_col, vec)
+    return f"""
+    WITH {bm25_cte_sql(view, terms, n, k1, b)},
+    __vl AS (
+      SELECT {id_col} AS doc_id, ROUND({cos}, 6) AS cos FROM {view}
+      ORDER BY cos DESC, doc_id LIMIT {n}
+    ),
+    __bn AS (SELECT MAX(bm25) AS mb FROM __bl),
+    __bs AS (SELECT SUM(exp(bm25 - mb)) AS sb FROM __bl CROSS JOIN __bn),
+    __bw AS (SELECT doc_id, exp(bm25 - mb) / sb AS wb
+             FROM __bl CROSS JOIN __bn CROSS JOIN __bs),
+    __vn AS (SELECT MAX(cos) AS mc FROM __vl),
+    __vs AS (SELECT SUM(exp(cos - mc)) AS sc FROM __vl CROSS JOIN __vn),
+    __vw AS (SELECT doc_id, exp(cos - mc) / sc AS wc
+             FROM __vl CROSS JOIN __vn CROSS JOIN __vs)
+    SELECT COALESCE(__bw.doc_id, __vw.doc_id) AS doc_id,
+           ROUND({float(text_weight)} * COALESCE(wb, 0.0)
+                 + {float(vec_weight)} * COALESCE(wc, 0.0), 9) AS fused
+    FROM __bw FULL OUTER JOIN __vw ON __bw.doc_id = __vw.doc_id
+    ORDER BY fused DESC, doc_id LIMIT {int(k)}"""
+
+
+def register_index_views(spark: SparkSession, view: str,
+                         index_path: str) -> None:
+    """Register an inverted index's side tables as ``{view}__postings``
+    / ``__doclens`` / ``__stats`` temp views (stats pre-merged across
+    delta appends, the InvertedIndex.load contract) so
+    :func:`bm25_topk_sql` / :func:`hybrid_search_sql` statements run on
+    a plain session — no jar, no Python operators in the query path."""
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(os.path.join(index_path, "postings")) \
+        .createOrReplaceTempView(f"{view}__postings")
+    spark.read.parquet(os.path.join(index_path, "doclens")) \
+        .createOrReplaceTempView(f"{view}__doclens")
+    raw = spark.read.parquet(os.path.join(index_path, "stats"))
+    raw.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum(F.col("n_docs") * F.col("avgdl"))
+         / F.sum("n_docs")).alias("avgdl"),
+    ).createOrReplaceTempView(f"{view}__stats")

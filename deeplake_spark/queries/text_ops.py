@@ -1379,3 +1379,150 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("__s"), 6).alias("avg_surprisal"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t28_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM dl),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf / CAST(dl.dl AS DOUBLE))
+             * ln(n.n_docs / CAST(dfr.df AS DOUBLE)) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           ROUND(s, 6) AS tfidf
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="Per-document TF-IDF keyword extraction — the topic/keyword "
+    "tagging step of a curation pipeline (and the classic relevance "
+    "weight): tfidf = (tf/doclen) * ln(n_docs/df), top 3 terms per doc "
+    "with a deterministic term tiebreak. ONE tokenize pass feeds tf, "
+    "doclen, df AND the corpus size (dl is re-aggregated from tf, "
+    "never a second scan); the rank window is PARTITIONED by doc_id — "
+    "corpus-parallel, no global sort. Exactly oracle-checked: DuckDB "
+    "builds the same model from the same tokens.",
+    tags=("text", "keywords", "tfidf"),
+)
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+        .select("doc_id", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("__tf").alias("__dl"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = dl.agg(F.count(F.lit(1)).alias("__n"))
+    s = (
+        tf.join(dl, "doc_id")
+        .join(dfr, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            ((F.col("__tf") / F.col("__dl").cast("double"))
+             * F.log(F.col("__n") / F.col("__df").cast("double"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__s"), "term")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", F.round("__s", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "t29_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    ts AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS nd
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    bgs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nb FROM bgc
+            GROUP BY doc_id)
+    SELECT ts.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(nd / CAST(nullif(n_tokens, 0) AS DOUBLE), 6)
+             AS distinct_ratio,
+           ROUND(mx / CAST(nb AS DOUBLE), 6) AS top_bigram_frac,
+           (COALESCE(nd / CAST(nullif(n_tokens, 0) AS DOUBLE) > 0.3, FALSE)
+            AND COALESCE(mx / CAST(nb AS DOUBLE) < 0.18, TRUE)) AS keep
+    FROM ts LEFT JOIN bgs ON bgs.doc_id = ts.doc_id
+    ORDER BY ts.doc_id
+    """,
+    doc="Gopher-style repetition filtering (Rae et al. 2021 quality "
+    "rules): per-doc distinct-token ratio and most-frequent-bigram "
+    "fraction, with the keep decision on the UNROUNDED values "
+    "(rounded-filter trap) and rounded projections. Zero-token and "
+    "one-token documents survive: explode_outer keeps them in the "
+    "token stats (n_tokens 0/1), the bigram side left-joins, and the "
+    "null ratios resolve via COALESCE exactly as the oracle does. One "
+    "tokenize pass projected to a column feeds both the token and the "
+    "bigram aggregates.",
+    tags=("text", "quality", "dedup"),
+)
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import word_bigrams
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    ts = (
+        base.select("doc_id", F.explode_outer("__t").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("tok").alias("n_tokens"),
+             F.countDistinct("tok").alias("__nd"))
+    )
+    bgs = (
+        base.select("doc_id", F.explode_outer(word_bigrams(F.col("__t")))
+                    .alias("__bg"))
+        .filter(F.col("__bg").isNotNull())
+        .groupBy("doc_id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__mx"), F.sum("__c").alias("__nb"))
+    )
+    dr = F.col("__nd") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+    tbf = F.col("__mx") / F.col("__nb").cast("double")
+    return (
+        ts.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(dr, 6).alias("distinct_ratio"),
+            F.round(tbf, 6).alias("top_bigram_frac"),
+            (F.coalesce(dr > 0.3, F.lit(False))
+             & F.coalesce(tbf < 0.18, F.lit(True))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

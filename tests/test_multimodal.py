@@ -798,6 +798,59 @@ def test_real_mjpeg_avi_video_decode(spark):
         _decode_video_frames_avi(bad, every_n=1)
 
 
+def test_real_dib_avi_video_decode(spark):
+    """The SECOND real in-container video codec: uncompressed-DIB AVI
+    (BI_RGB 24-bit '00db' chunks) round-trips LOSSLESSLY through the
+    stdlib RIFF walk — bottom-up BGR rows with 4-byte padding decoded
+    straight from the strf header. A non-MJPEG/non-DIB AVI falls back
+    to the deterministic fake under strict=False (the PyAV/fake
+    hierarchy the docstring promises) and raises under strict=True."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators.multimodal import (
+        _decode_video_frames_avi,
+        _video_frames,
+        encode_dib_avi,
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    # width 47: stride 141 pads to 144 — the row-padding path is real
+    x, y = np.meshgrid(np.arange(47), np.arange(22))
+    frames = [np.stack([(x * 5 + y + 9 * t) % 256, (y * 3 + t) % 256,
+                        (x + y * 7 + 2 * t) % 256], axis=-1).astype(np.uint8)
+              for t in range(5)]
+    avi = encode_dib_avi(frames, fps=4)
+
+    got = _decode_video_frames_avi(avi, every_n=2)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, fr in got:
+        assert np.array_equal(fr, frames[i])   # lossless, unlike MJPEG
+
+    # the Spark lane sees identical pixels
+    df = spark.createDataFrame([(3, bytearray(avi))],
+                               "doc_id long, video binary")
+    rows = sample_video_frames(df, every_n=4, strict=True).collect()
+    assert sorted(r.frame_index for r in rows) == [0, 4]
+    for r in rows:
+        assert np.array_equal(np.array(r.frame, dtype=np.uint8),
+                              frames[r.frame_index])
+
+    # unsupported codec in an AVI: strict raises, lax falls back to the
+    # deterministic fake clip instead of erroring the whole batch
+    h264ish = encode_mjpeg_avi(frames[:2]).replace(b"\xff\xd8", b"\x1b\x00")
+    with pt.raises(ValueError):
+        _video_frames(h264ish, every_n=1, strict=True)
+    lax = _video_frames(h264ish, every_n=4, strict=False)
+    assert [i for i, _ in lax] == [0, 4]
+
+    with pt.raises(ValueError, match="at least one frame"):
+        encode_dib_avi([])
+    with pt.raises(ValueError, match="at least one frame"):
+        encode_mjpeg_avi([])
+
+
 def test_png_low_bit_depths_decode_real():
     """1/2/4-bit PNG (the favicon/icon layout across web crawls)
     decodes for real: packed MSB-first samples, byte-level filters with

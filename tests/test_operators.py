@@ -677,3 +677,25 @@ def test_chunk_fixed_tokens_reconstructs_documents(spark):
         "doc_id", tokenize(F.col("text")).alias("toks")).collect()}
     for doc_id, chunks in by_doc.items():
         assert " ".join(chunks) == originals[doc_id]
+
+
+def test_lm_surprisal_queries_survive_zero_token_docs(spark, tmp_path):
+    """Driver-regenerated testdata may carry empty / whitespace-only
+    documents (CLAUDE.md: sniff, don't assume): the bigram query's
+    pair-slice must not throw ANSI INVALID_PARAMETER_VALUE.LENGTH on a
+    zero-token array, and one-token docs contribute no pairs."""
+    from deeplake_spark.queries import load_all
+
+    reg = load_all()
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, ""), (3, "   "), (4, "solo"),
+         (5, "a b")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = reg["t27_bigram_surprisal"].fn(spark, str(tmp_path)).collect()
+    # docs 2/3 (zero tokens) and 4 (one token) emit no bigram rows
+    assert [r.doc_id for r in out] == [1, 5]
+    assert [r.n_bigrams for r in out] == [4, 1]
+    uni = reg["t24_unigram_surprisal"].fn(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in uni] == [1, 4, 5]

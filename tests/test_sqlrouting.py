@@ -385,6 +385,74 @@ def test_sql_topk_ann_never_routes_unsound_shapes(spark, ann_ds):
     assert "cluster#" in _plan(spark.sql(q))
 
 
+def test_hybrid_and_bm25_sql_match_python_paths(spark, sf_dir):
+    """Plain ``spark.sql`` text for BM25 top-k and hybrid vector+BM25
+    softmax fusion (hybrid_query_merge.hpp semantics): the generated
+    statements over the registered index side views must reproduce the
+    Python paths' rows exactly — t10's fused list and bm25_via_index's
+    scores. Jar-independent: these are plain views + SQL."""
+    from deeplake_spark.operators.indexes import bm25_via_index
+    from deeplake_spark.queries import load_all
+    from deeplake_spark.queries.text_ops import _HYBRID_N, _inv_index
+
+    reg = load_all()
+    idx = _inv_index(spark, sf_dir)
+    import tempfile
+
+    idx_path = f"{tempfile.gettempdir()}/dls_inv_{abs(hash(sf_dir))}"
+    rt.register_index_views(spark, "hyb_docs", idx_path)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("hyb_docs")
+    qv = [float(x) for x in spark.sql(
+        "SELECT embedding FROM hyb_docs WHERE vec_id = 0"
+    ).collect()[0].embedding]
+    try:
+        # BM25 top-k: SQL == bm25_via_index, row for row
+        q = rt.bm25_topk_sql("hyb_docs", ["spark", "vector"], k=10)
+        got = [(r.doc_id, r.score) for r in spark.sql(q).collect()]
+        want = [(r.row_id, r.bm25) for r in
+                bm25_via_index(idx, ["spark", "vector"], k=10).collect()]
+        assert got == want and got
+        # the posting probe partition-prunes via the foldable bucket hash
+        phys = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "bucket" in phys
+
+        # hybrid fusion: SQL == the t10 registered query, row for row
+        q = rt.hybrid_search_sql(
+            "hyb_docs", ["spark", "vector"], qv,
+            k=10, n=_HYBRID_N, id_col="vec_id")
+        got = [(r.doc_id, round(r.fused, 9))
+               for r in spark.sql(q).collect()]
+        want = [(r.doc_id, round(r.fused, 9))
+                for r in reg["t10_hybrid_search"].fn(spark, sf_dir)
+                .collect()]
+        assert got == want and len(got) == 10
+    finally:
+        for v in ("hyb_docs", "hyb_docs__postings", "hyb_docs__doclens",
+                  "hyb_docs__stats"):
+            spark.catalog.dropTempView(v)
+
+
+def test_as_sql_view_registers_index_side_views(spark, sf_dir, tmp_path):
+    """ds.as_sql_view wires the inverted side tables too, so a plain
+    SQL user can run the generated BM25 statement with no extra
+    setup."""
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    try:
+        ds.as_sql_view("sv_docs", routed=False)
+        out = spark.sql(
+            rt.bm25_topk_sql("sv_docs", ["spark"], k=5)).collect()
+        assert out and all(r.score > 0 for r in out)
+    finally:
+        for v in ("sv_docs", "sv_docs__postings", "sv_docs__doclens",
+                  "sv_docs__stats"):
+            spark.catalog.dropTempView(v)
+
+
 def test_sql_routing_prefix_matches_segment_boundaries(spark, sf_dir,
                                                        tmp_path):
     """A registered dataset at /x/docs must NOT capture scans of a

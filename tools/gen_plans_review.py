@@ -162,6 +162,47 @@ COMMENTARY = {
         "is the 3-group aggregate. No RNG state, no shuffle for the "
         "assignment itself, append-stable by construction."
     ),
+    "t25_url_dedup": (
+        "URL canonicalization dedup (round 6): the whole canonicalizer is "
+        "a chain of JVM regexp_replace expressions inside one "
+        "whole-stage-codegen span — one scan, one groupBy on the canonical "
+        "key with map-side partials, a HAVING filter on the merged counts. "
+        "No UDFs, no joins; at 100 TB this is the cheapest dedup shape "
+        "there is (scan + one exchange keyed on the canonical URL)."
+    ),
+    "t26_hashed_linear_score": (
+        "Hashing-trick classifier inference (round 6): tokenize projected "
+        "once, per-token weight derived from a hash expression (the model "
+        "IS an expression, no weight table, no join), one per-doc "
+        "aggregate. Zero UDFs, zero joins — inference at 100 TB is a "
+        "single scan-shaped pass."
+    ),
+    "t27_bigram_surprisal": (
+        "Bigram-LM surprisal (round 6, zero-token guard round 7): ONE "
+        "tokenize pass builds the pair relation (guarded zip_with slices "
+        "— slice length floors at 0 so empty docs can't throw under "
+        "ANSI; explode_outer + output null filter keeps the generator "
+        "input un-pushed); the bigram/unigram count relations shuffle on "
+        "their keys and join back. The doc_id<200 workload filter sits "
+        "on the SCORING branch only — the model still trains on the full "
+        "corpus, as a perplexity filter must."
+    ),
+    "t28_tfidf_keywords": (
+        "TF-IDF keyword extraction (round 7): one tokenize pass feeds tf; "
+        "doclen and df are RE-aggregations of the tf relation (no second "
+        "corpus scan); corpus size is a broadcast 1-row aggregate. The "
+        "rank window is PARTITIONED by doc_id — each doc's top-3 resolves "
+        "inside its hash partition, no global sort. Shuffle state is the "
+        "(doc, term) relation, linear in corpus tokens."
+    ),
+    "t29_repetition_metrics": (
+        "Gopher repetition filters (round 7): tokenize projected to a "
+        "column once, token stats and bigram stats both derive from it "
+        "(explode_outer keeps zero-token docs alive); keep decision "
+        "compares UNROUNDED ratios (the rounded-filter trap) and the "
+        "bigram side left-joins back per doc. Two doc-keyed exchanges, "
+        "both map-side partial — linear, skew-free (keys are doc ids)."
+    ),
 }
 
 
@@ -193,9 +234,78 @@ def main() -> None:
         out.append(tree.strip())
         out.append("```")
         out.append("")
+    out.extend(routed_sql_section(spark))
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
+
+
+def routed_sql_section(spark) -> list[str]:
+    """Optimized plans for the plain-`spark.sql` routed shapes (the
+    Catalyst extension, plans/jvm): a WHERE filter route and an ORDER
+    BY <vector score> LIMIT k ANN route over a registered dataset."""
+    import shutil
+    import tempfile
+
+    from deeplake_spark.plans import sqlrouting as rt
+
+    if not rt.is_available(spark):
+        return ["## plain-SQL routed shapes", "",
+                "(extension jar not on this session's classpath — "
+                "rerun with the jar to include routed plans)", ""]
+    import deeplake_spark as dl
+
+    work = tempfile.mkdtemp(prefix="plans_routed_")
+    out = []
+    try:
+        ds = dl.from_parquet(f"{SF_DIR}/embeddings.parquet",
+                             os.path.join(work, "emb"), spark)
+        ds.create_index("embedding", "clustered", n_clusters=16)
+        dd = dl.from_parquet(f"{SF_DIR}/documents.parquet",
+                             os.path.join(work, "docs"), spark)
+        dd.create_index("text", "inverted")
+        ds.as_sql_view("plans_emb")
+        dd.as_sql_view("plans_docs")
+        qv = [float(x) for x in spark.sql(
+            "SELECT embedding FROM plans_emb WHERE vec_id = 0"
+        ).collect()[0].embedding]
+        shapes = {
+            "plain-SQL WHERE contains route": (
+                "SELECT doc_id FROM plans_docs WHERE "
+                "array_contains(split(lower(text), '\\\\s+'), 'spark')",
+                "Token-CONTAINS filter rewritten to a bucket-pruned "
+                "posting-probe LeftSemi — the posting scan reads ONE of "
+                "64 term-hash partitions; the corpus side never "
+                "tokenizes."),
+            "plain-SQL top-k ANN route": (
+                "SELECT vec_id FROM plans_emb ORDER BY "
+                f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10",
+                "ORDER BY cosine LIMIT k semijoined against the nprobe "
+                "nearest IVF cell partitions (cluster IN (...) prunes "
+                "the assignments scan); the user's Sort+Limit stays on "
+                "top as the exact reranker — TakeOrderedAndProject over "
+                "candidates, never the corpus."),
+        }
+        for title, (sql, comment) in shapes.items():
+            plan = (spark.sql(sql)._jdf.queryExecution()
+                    .optimizedPlan().toString())
+            # literal query vectors bloat the dump; elide them
+            import re
+
+            plan = re.sub(r"\[[-0-9.,E]{80,}\]", "[<query vector>]", plan)
+            out += [f"## {title}", "", comment, "", "```",
+                    plan.strip()[:2400], "```", ""]
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for v in ("plans_emb", "plans_docs", "plans_docs__postings",
+                  "plans_docs__doclens", "plans_docs__stats"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
