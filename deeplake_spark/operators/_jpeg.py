@@ -8,14 +8,18 @@ Scope: baseline sequential DCT (SOF0) AND progressive (SOF2 —
 spectral selection + successive approximation, the dominant layout in
 web-crawled corpora), 8-bit, grayscale and YCbCr with sampling factors
 up to 2x2 — 4:4:4, 4:2:2 and the real-world default 4:2:0 all decode.
-The paired encoders emit baseline (4:4:4/4:2:2/4:2:0) and progressive
-(libjpeg-style scan script) streams from the SAME quantization, so
-round-trip tests can demand pixel-identical agreement. Restart markers
-(DRI/RSTn) decode — DC predictors, EOB runs, and bit alignment reset
-per interval (E.2.4) — and the baseline encoder can emit them. 16-bit
-(12-bit precision) streams raise `JpegUnsupported` and the caller
-falls back to the optional-import (PIL) branch or the deterministic
-fake. Huffman
+LOSSLESS (SOF3, T.81 Annex H — the archival/medical-imaging flavor)
+also decodes and encodes: Huffman-coded prediction residuals at any
+precision 2-16 bits, predictors 1-7, pixel-exact at uint8 AND uint16.
+The paired lossy encoders emit baseline (4:4:4/4:2:2/4:2:0) and
+progressive (libjpeg-style scan script) streams from the SAME
+quantization, so round-trip tests can demand pixel-identical
+agreement. Restart markers (DRI/RSTn) decode — DC predictors, EOB
+runs, and bit alignment reset per interval (E.2.4) — and the baseline
+encoder can emit them. 12-bit DCT (SOF1 extended) and
+arithmetic-coded streams raise `JpegUnsupported` and the caller falls
+back to the optional-import (PIL) branch or the deterministic fake.
+Huffman
 and quantization tables are read FROM the stream (DHT/DQT), per the
 standard — nothing here depends on the Annex-K defaults, and the
 encoders write their own canonical tables, so the pair is
@@ -31,8 +35,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_baseline", "encode_progressive", "decode",
-           "decode_baseline", "JpegUnsupported"]
+__all__ = ["encode_baseline", "encode_progressive", "encode_lossless",
+           "decode", "decode_baseline", "JpegUnsupported"]
 
 
 class JpegUnsupported(Exception):
@@ -676,21 +680,27 @@ def _parse_stream(payload: bytes):
                 symbols = list(seg[p + 17:p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):
+            # SOF0 baseline / SOF2 progressive / SOF3 lossless
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if marker != 0xC3 and prec != 8:
                 raise JpegUnsupported("non-8-bit precision")
+            if marker == 0xC3 and not (2 <= prec <= 16):
+                raise JpegUnsupported(f"lossless precision {prec}")
             comps = []
             p = 6
             for _ in range(nc):
                 cid, sampling, tq = seg[p], seg[p + 1], seg[p + 2]
                 hs, vs = sampling >> 4, sampling & 0x0F
+                if marker == 0xC3 and (hs, vs) != (1, 1):
+                    raise JpegUnsupported("subsampled lossless frame")
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise JpegUnsupported(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 p += 3
-            frame = (h, w, nc, marker == 0xC2)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            mode = {0xC0: False, 0xC2: True, 0xC3: "lossless"}[marker]
+            frame = (h, w, nc, mode, prec)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"unsupported frame marker {marker:#x}")
         elif marker == 0xDD:  # DRI
@@ -832,7 +842,7 @@ def _block_ac_refine(br, ac, coef, ss, se, al, eobrun):
 
 
 def _apply_scan(scan, comps, coefs, frame):
-    h, w, nc, progressive = frame
+    h, w, nc, progressive = frame[:4]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     br = _BitReader(scan["data"])
@@ -909,7 +919,9 @@ def decode_baseline(payload: bytes) -> np.ndarray:
     (h, w) or (h, w, 3) uint8. Name kept for compatibility; `decode`
     is the alias that says what it now does."""
     frame, comps, qtabs, scans = _parse_stream(payload)
-    h, w, nc, progressive = frame
+    h, w, nc, progressive = frame[:4]
+    if progressive == "lossless":
+        return _decode_lossless(frame, comps, scans)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -957,6 +969,155 @@ def decode_baseline(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# lossless (SOF3) — ITU T.81 Annex H: Huffman-coded prediction residuals,
+# 2-16 bit precision, no DCT, no quantization, no color transform
+
+
+def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
+    """Predictor selections 1-7 (T.81 H.1.2.1); a=left, b=above,
+    c=above-left."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise JpegUnsupported(f"lossless predictor {sel}")
+
+
+def _decode_lossless(frame, comps, scans) -> np.ndarray:
+    """SOF3 decode: per-sample Huffman SSSS category + magnitude bits
+    give the prediction residual; samples reconstruct modulo 2^16
+    (H.1.2.2). Components are stored untransformed (grayscale or RGB),
+    so the output is exact. Restart intervals are not supported in the
+    lossless path (rare in the wild; the paired encoder never emits
+    them)."""
+    h, w, nc, _, prec = frame
+    out = np.zeros((h, w, nc), dtype=np.int64)
+    seen = [False] * nc
+    for scan in scans:
+        if scan.get("ri"):
+            raise JpegUnsupported("restart markers in lossless scan")
+        sel = scan["ss"]                 # predictor selection lives in Ss
+        pt = scan["al"]                  # point transform in Al
+        default = 1 << (prec - 1 - pt)
+        br = _BitReader(scan["data"])
+        tables = {ci: scan["huff"][(0, td)] for ci, td, _ in scan["specs"]}
+        order = [ci for ci, _, _ in scan["specs"]]
+        for ci in order:
+            seen[ci] = True
+
+        def sample(ci: int, y: int, x: int) -> None:
+            ssss = tables[ci].decode(br)
+            diff = 32768 if ssss == 16 else br.receive_extend(ssss)
+            if y == 0 and x == 0:
+                px = default
+            elif y == 0:
+                px = int(out[y, x - 1, ci])          # first line: left
+            elif x == 0:
+                px = int(out[y - 1, x, ci])          # first column: above
+            else:
+                px = _lossless_predict(
+                    int(out[y, x - 1, ci]), int(out[y - 1, x, ci]),
+                    int(out[y - 1, x - 1, ci]), sel)
+            out[y, x, ci] = (px + diff) & 0xFFFF
+
+        # interleaved MCU order = one sample per component per position
+        for y in range(h):
+            for x in range(w):
+                for ci in order:
+                    sample(ci, y, x)
+        if pt:
+            for ci in order:
+                out[:, :, ci] <<= pt
+    if not all(seen):
+        raise JpegUnsupported("lossless scan missing components")
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    arr = out.astype(dtype)
+    return arr[:, :, 0] if nc == 1 else arr
+
+
+def encode_lossless(img: np.ndarray, predictor: int = 4,
+                    precision: int | None = None) -> bytes:
+    """Encode (h, w) or (h, w, nc<=4) uint8/uint16 as a LOSSLESS JPEG
+    (SOF3, T.81 Annex H) — the archival/medical-imaging JPEG flavor:
+    prediction residuals Huffman-coded per component, pixel-exact round
+    trip with :func:`decode` at any precision 2-16. No DCT, no color
+    transform (RGB stays RGB)."""
+    img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError("lossless encode expects uint8 or uint16")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or not (1 <= img.shape[2] <= 4):
+        raise ValueError("expected (h, w) or (h, w, 1..4)")
+    h, w, nc = img.shape
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not (2 <= precision <= 16) or int(img.max(initial=0)) >= (1 << precision):
+        raise ValueError(f"samples exceed precision {precision}")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor must be 1..7")
+    data = img.astype(np.int64)
+    default = 1 << (precision - 1)
+
+    def residuals():
+        """(component, ssss, diff) per sample in interleaved order."""
+        for y in range(h):
+            for x in range(w):
+                for ci in range(nc):
+                    if y == 0 and x == 0:
+                        px = default
+                    elif y == 0:
+                        px = int(data[y, x - 1, ci])
+                    elif x == 0:
+                        px = int(data[y - 1, x, ci])
+                    else:
+                        px = _lossless_predict(
+                            int(data[y, x - 1, ci]), int(data[y - 1, x, ci]),
+                            int(data[y - 1, x - 1, ci]), predictor)
+                    # residuals live mod 2^16, folded to [-32768, 32767]
+                    diff = (int(data[y, x, ci]) - px) & 0xFFFF
+                    if diff >= 32768:
+                        diff -= 65536
+                    ssss = 16 if diff == -32768 else _category(diff)
+                    yield ci, ssss, diff
+
+    syms = sorted({s for _, s, _ in residuals()})
+    counts, table = _canonical_code(syms)
+    bw_ = _BitWriter()
+    for _, ssss, diff in residuals():
+        code, ln = table[ssss]
+        bw_.put(code, ln)
+        if ssss and ssss != 16:
+            bw_.put(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+    bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, nc))
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, counts, table)
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])      # Ss=predictor, Se=0, AhAl=Pt 0
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 decode = decode_baseline

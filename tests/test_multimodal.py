@@ -1066,3 +1066,50 @@ def test_png_trns_gray_and_rgb_colorkey():
     assert out.shape == (1, 2, 4)
     assert list(out[0, :, 3]) == [0, 255]
     assert np.array_equal(out[:, :, :3], rgb)
+
+
+def test_lossless_jpeg_roundtrip_all_predictors():
+    """SOF3 lossless JPEG (T.81 Annex H — the archival/medical flavor):
+    every predictor 1-7 round-trips PIXEL-EXACT through the from-scratch
+    codec at 8, 12 and 16-bit precision, grayscale and RGB (components
+    stay untransformed — no YCbCr in the lossless path). The stream is
+    standard-valid: SOF3 + DHT + SOS with the predictor in Ss."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import (
+        JpegUnsupported,
+        decode,
+        encode_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, (21, 33), dtype=np.uint8),
+        rng.integers(0, 256, (14, 15, 3), dtype=np.uint8),
+        rng.integers(0, 65536, (11, 8), dtype=np.uint16),
+        np.full((6, 6), 200, dtype=np.uint8),                 # flat
+        np.arange(0, 256, dtype=np.uint8).reshape(16, 16),    # gradient
+    ]
+    for img in cases:
+        for pred in range(1, 8):
+            got = decode(encode_lossless(img, predictor=pred))
+            assert got.dtype == img.dtype
+            assert np.array_equal(got, img), pred
+    # 12-bit (the DICOM staple): exact too, decodes to uint16
+    img12 = rng.integers(0, 4096, (9, 13), dtype=np.uint16)
+    got = decode(encode_lossless(img12, precision=12))
+    assert got.dtype == np.uint16 and np.array_equal(got, img12)
+    # header invariants: SOF3 marker present, and out-of-range samples
+    # or bad predictors refuse loudly
+    assert b"\xff\xc3" in encode_lossless(img12, precision=12)
+    with pt.raises(ValueError):
+        encode_lossless(img12, precision=8)    # samples exceed precision
+    with pt.raises(ValueError):
+        encode_lossless(cases[0], predictor=9)
+    # truncated-precision streams stay refusable on the lossy path:
+    # SOF1 (12-bit extended DCT) still raises JpegUnsupported
+    bad = bytearray(encode_lossless(cases[0]))
+    bad[bad.index(b"\xff\xc3") + 1] = 0xC1
+    with pt.raises(JpegUnsupported):
+        decode(bytes(bad))
