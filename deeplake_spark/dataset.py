@@ -1052,6 +1052,49 @@ class Dataset:
             base = base.join(candidates.distinct(), "_row_id", "left_semi")
         return topk_cosine(base, column, query_vec, k=k, id_col="_row_id")
 
+    def hybrid_search(self, terms, query_vec, *, text_col: str | None = None,
+                      vec_col: str | None = None, k: int = 10,
+                      text_weight: float = 0.5, vec_weight: float = 0.5,
+                      config=None):
+        """Hybrid text+vector search over THIS dataset's indexes — the
+        reference's two-list softmax fusion
+        (cpp/query_core/hybrid_query_merge.hpp:27-149): BM25 top-N from
+        the inverted index on `text_col`, cosine top-N on `vec_col`
+        (ANN-routed through the clustered index when one exists, exact
+        TakeOrderedAndProject otherwise), softmax-normalize each
+        bounded list, weighted union, top-k (N = k * accuracy_factor).
+        Returns (_row_id, fused). Column defaults resolve from the
+        registered indexes when unambiguous."""
+        from deeplake_spark.operators.indexes import (
+            InvertedIndex,
+            bm25_via_index,
+            softmax_fuse,
+        )
+
+        config = config or self.query_config
+        refs = _read_refs(self.path).get("indexes", {})
+        if text_col is None:
+            cands = [c for c, m in refs.items() if m["kind"] == "inverted"]
+            if len(cands) != 1:
+                raise DatasetError(
+                    "pass text_col= (no unique inverted index)")
+            text_col = cands[0]
+        if vec_col is None:
+            vec_kinds = ("clustered", "clustered_quantized", "pq")
+            cands = [c for c, m in refs.items() if m["kind"] in vec_kinds]
+            vec_col = cands[0] if len(cands) == 1 else "embedding"
+        meta = refs.get(text_col)
+        if not meta or meta["kind"] != "inverted":
+            raise DatasetError(f"no inverted index on {text_col!r}")
+        n = k * config.accuracy_factor
+        inv = InvertedIndex.load(self.spark, meta["path"])
+        bl = bm25_via_index(inv, list(terms), k=n).withColumnRenamed(
+            "row_id", "_row_id")
+        vl = self.search(vec_col, query_vec, k=n, config=config)
+        return softmax_fuse(
+            [(bl, "bm25", text_weight), (vl, "score", vec_weight)],
+            k=k, id_col="_row_id")
+
     def __len__(self) -> int:
         return self.to_df().count()
 

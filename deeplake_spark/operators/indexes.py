@@ -187,6 +187,41 @@ def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,
     )
 
 
+def softmax_fuse(lists: list, k: int = 10,
+                 id_col: str = "row_id") -> DataFrame:
+    """Fuse top-N score lists by softmax-normalized weighted sum — the
+    reference's hybrid merge (cpp/query_core/hybrid_query_merge.hpp:
+    27-149), which always fuses two bounded RESULT lists, never
+    corpus-wide relations.
+
+    `lists` is [(df, score_col, weight), ...]; each df carries
+    (id_col, score_col) and is already LIMIT-bounded (N = k *
+    accuracy_factor rows), so the unpartitioned softmax windows run
+    over corpus-independent inputs. Returns (id_col, fused) top-k with
+    a deterministic id tiebreak."""
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
+    fused = None
+    weights = []
+    for i, (lst, score, weight) in enumerate(lists):
+        ex = F.exp(F.col(score) - F.max(score).over(_all))
+        wcol = f"__w{i}"
+        weights.append((wcol, weight))
+        part = lst.select(id_col, (ex / F.sum(ex).over(_all)).alias(wcol))
+        fused = part if fused is None else fused.join(part, id_col,
+                                                      "full_outer")
+    total = None
+    for wcol, weight in weights:
+        term = float(weight) * F.coalesce(F.col(wcol), F.lit(0.0))
+        total = term if total is None else total + term
+    return (
+        fused.select(id_col, F.round(total, 9).alias("fused"))
+        .orderBy(F.desc("fused"), id_col)
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------------- numeric
 
 

@@ -482,19 +482,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             }
             score = aliased;
         }
-        ScoreMatch m = matchScore(score);
-        if (m == null) {
-            return null;
-        }
-        boolean wantDesc = m.similarity != m.flip;
-        boolean isDesc = Descending$.MODULE$.equals(first.direction());
-        if (wantDesc != isDesc) {
-            return null;
-        }
-        // descend to the scan; LeftSemi joins appear when WHERE
-        // conjuncts were routed earlier in this same bottom-up pass —
-        // remember their probe sides so a fixed-point re-run of this
-        // rule doesn't stack a second identical ANN semijoin
+        // descend to the scan BEFORE matching the score (the score match
+        // may execute a scalar subquery — do all cheap bail-outs first);
+        // LeftSemi joins appear when WHERE conjuncts were routed earlier
+        // in this same bottom-up pass — remember their probe sides so a
+        // fixed-point re-run doesn't stack a second identical ANN semijoin
         LogicalPlan base = sort.child();
         List<LogicalPlan> semiProbes = new ArrayList<>();
         while (true) {
@@ -532,6 +524,28 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (byCol == null) {
             return null;
         }
+        // idempotence pre-guard: if any existing semijoin already probes
+        // a clustered index of this dataset, this top-k was routed on an
+        // earlier fixed-point pass — bail before any subquery execution
+        for (IndexRegistry.Entry cand : byCol.values()) {
+            if (!"clustered".equals(cand.kind)) {
+                continue;
+            }
+            for (LogicalPlan pr : semiProbes) {
+                if (scansUnder(pr, cand.indexPath)) {
+                    return null;
+                }
+            }
+        }
+        ScoreMatch m = matchScore(score);
+        if (m == null) {
+            return null;
+        }
+        boolean wantDesc = m.similarity != m.flip;
+        boolean isDesc = Descending$.MODULE$.equals(first.direction());
+        if (wantDesc != isDesc) {
+            return null;
+        }
         // resolve the score's attribute against the relation output by
         // exprId — a Project aliasing something AS <vec col> cannot spoof
         Attribute vecAttr = null;
@@ -549,11 +563,6 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         IndexRegistry.Entry en = byCol.get(vecAttr.name());
         if (en == null || !"clustered".equals(en.kind)) {
             return null;
-        }
-        for (LogicalPlan pr : semiProbes) {
-            if (scansUnder(pr, en.indexPath)) {
-                return null;    // already ANN-routed (idempotence)
-            }
         }
         @SuppressWarnings("unchecked")
         scala.collection.immutable.Seq<Attribute> relOut =
@@ -644,6 +653,21 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         List<AttributeReference> attrs = new ArrayList<>();
         List<double[]> vecs = new ArrayList<>();
         collectAttrsAndVecs(score, attrs, vecs);
+        if (vecs.isEmpty()) {
+            // no literal vector: accept ONE uncorrelated scalar subquery
+            // of numeric-array type as the query vector (the reference's
+            // "FROM other_table" query-vector pattern) — executed once at
+            // plan time; it is exactly the 1-row fetch the probe needs
+            List<org.apache.spark.sql.catalyst.expressions.ScalarSubquery>
+                    subs = new ArrayList<>();
+            collectScalarSubqueries(score, subs);
+            if (subs.size() == 1) {
+                double[] v = subqueryVec(subs.get(0));
+                if (v != null) {
+                    vecs.add(v);
+                }
+            }
+        }
         if (attrs.isEmpty() || vecs.isEmpty()) {
             return null;
         }
@@ -937,6 +961,71 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             return out;
         } catch (Exception ex) {
             return null;
+        }
+    }
+
+    private static void collectScalarSubqueries(
+            Expression e,
+            List<org.apache.spark.sql.catalyst.expressions.ScalarSubquery> out) {
+        if (e instanceof org.apache.spark.sql.catalyst.expressions.ScalarSubquery) {
+            out.add((org.apache.spark.sql.catalyst.expressions.ScalarSubquery) e);
+            return;
+        }
+        scala.collection.Iterator<Expression> it = castChildren(e).iterator();
+        while (it.hasNext()) {
+            collectScalarSubqueries(it.next(), out);
+        }
+    }
+
+    /** Evaluate an uncorrelated 1-row numeric-array scalar subquery at
+     *  plan time. Guarded: correlated, non-array, or multi-row results
+     *  return null and the plan stays stock. */
+    private double[] subqueryVec(
+            org.apache.spark.sql.catalyst.expressions.ScalarSubquery sq) {
+        try {
+            if (!sq.plan().resolved() || !sq.outerAttrs().isEmpty()
+                    || !(sq.dataType() instanceof ArrayType)
+                    || !(((ArrayType) sq.dataType()).elementType()
+                            instanceof NumericType)) {
+                return null;
+            }
+            List<Row> rows = org.apache.spark.sql.classic.Dataset$.MODULE$
+                    .ofRows((org.apache.spark.sql.classic.SparkSession) session,
+                            sq.plan())
+                    .limit(2).collectAsList();
+            if (rows.size() != 1) {
+                return null;
+            }
+            Object v = rows.get(0).get(0);
+            List<Object> els = new ArrayList<>();
+            if (v instanceof scala.collection.Seq) {
+                scala.collection.Iterator<?> it =
+                        ((scala.collection.Seq<?>) v).iterator();
+                while (it.hasNext()) {
+                    els.add(it.next());
+                }
+            } else if (v instanceof java.util.List) {
+                els.addAll((java.util.List<?>) v);
+            } else {
+                return null;
+            }
+            if (els.isEmpty()) {
+                return null;
+            }
+            double[] out = new double[els.size()];
+            for (int i = 0; i < els.size(); i++) {
+                Object o = els.get(i);
+                if (o instanceof java.math.BigDecimal) {
+                    out[i] = ((java.math.BigDecimal) o).doubleValue();
+                } else if (o instanceof Number) {
+                    out[i] = ((Number) o).doubleValue();
+                } else {
+                    return null;
+                }
+            }
+            return out;
+        } catch (Throwable t) {
+            return null;                // stay stock on any failure
         }
     }
 

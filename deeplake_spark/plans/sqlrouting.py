@@ -59,6 +59,16 @@ EXACT — residual conjuncts stay filtered):
   ``...ann.accuracyFactor`` (SearchConfig's knobs); set
   ``spark.sql.deeplake.routing.ann.enabled=false`` to keep filter
   routing but force exact top-k scans.
+
+  Query vectors are LITERAL arrays: Spark rejects subquery
+  expressions inside higher-order functions
+  (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY), so a
+  ``(SELECT embedding ...)`` query side cannot appear in the score
+  spelling at all — fetch the vector first (one 1-row select, the
+  same materialization the reference performs before probing) and
+  interpolate it via :func:`cosine_sql` & friends. The rule still
+  guards an uncorrelated 1-row array subquery should a future Spark
+  allow one there.
 """
 
 from __future__ import annotations

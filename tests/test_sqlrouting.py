@@ -479,3 +479,40 @@ def test_sql_routing_prefix_matches_segment_boundaries(spark, sf_dir,
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("sibling_docs")
+
+
+def test_dataset_hybrid_search_matches_sql_statement(spark, sf_dir,
+                                                     tmp_path):
+    """Dataset.hybrid_search (Python API) and hybrid_search_sql (plain
+    SQL text) are the SAME fusion: over one dataset carrying both a
+    text and an embedding column (no ANN index, so both vector sides
+    are exact), the two front doors return identical (id, fused)
+    rows."""
+    import deeplake_spark as dl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumnRenamed("vec_id", "doc_id").select("doc_id", "embedding")
+    joined = docs.join(emb, "doc_id")
+    src = str(tmp_path / "joined.parquet")
+    joined.write.parquet(src)
+    ds = dl.from_parquet(src, str(tmp_path / "hyb"), spark)
+    ds.create_index("text", "inverted")
+    qv = [float(x) for x in emb.filter("doc_id = 0")
+          .collect()[0].embedding]
+    try:
+        out = ds.hybrid_search(["spark", "vector"], qv, k=10)
+        rows = [(r._row_id, round(r.fused, 9)) for r in out.collect()]
+        assert len(rows) == 10 and rows == sorted(
+            rows, key=lambda t: (-t[1], t[0]))
+
+        ds.as_sql_view("hybapi_docs", routed=False)
+        n = 10 * ds.query_config.accuracy_factor
+        q = rt.hybrid_search_sql("hybapi_docs", ["spark", "vector"], qv,
+                                 k=10, n=n)
+        want = [(r.doc_id, round(r.fused, 9)) for r in spark.sql(q).collect()]
+        assert rows == want
+    finally:
+        for v in ("hybapi_docs", "hybapi_docs__postings",
+                  "hybapi_docs__doclens", "hybapi_docs__stats"):
+            spark.catalog.dropTempView(v)
