@@ -11,13 +11,15 @@ up to 2x2 — 4:4:4, 4:2:2 and the real-world default 4:2:0 all decode.
 LOSSLESS (SOF3, T.81 Annex H — the archival/medical-imaging flavor)
 also decodes and encodes: Huffman-coded prediction residuals at any
 precision 2-16 bits, predictors 1-7, pixel-exact at uint8 AND uint16.
-The paired lossy encoders emit baseline (4:4:4/4:2:2/4:2:0) and
-progressive (libjpeg-style scan script) streams from the SAME
+EXTENDED sequential (SOF1) decodes and encodes at 8 AND 12-bit
+precision (uint16 samples, 16-bit DQT entries — the DICOM DCT
+flavor). The paired lossy encoders emit baseline (4:4:4/4:2:2/4:2:0)
+and progressive (libjpeg-style scan script) streams from the SAME
 quantization, so round-trip tests can demand pixel-identical
 agreement. Restart markers (DRI/RSTn) decode — DC predictors, EOB
 runs, and bit alignment reset per interval (E.2.4) — and the baseline
-encoder can emit them. 12-bit DCT (SOF1 extended) and
-arithmetic-coded streams raise `JpegUnsupported` and the caller falls
+encoder can emit them. Arithmetic-coded and hierarchical streams
+raise `JpegUnsupported` and the caller falls
 back to the optional-import (PIL) branch or the deterministic fake.
 Huffman
 and quantization tables are read FROM the stream (DHT/DQT), per the
@@ -235,21 +237,24 @@ class _HuffDecoder:
 # --------------------------------------------------------------------------
 # encoder
 
-def _to_planes(img: np.ndarray, subsampling: str):
-    """img -> (level-shifted component planes, sampling factors (h, v))."""
-    img = np.asarray(img, dtype=np.uint8)
+def _to_planes(img: np.ndarray, subsampling: str, precision: int = 8):
+    """img -> (level-shifted component planes, sampling factors (h, v)).
+    The level shift / chroma center scale with `precision` (T.81
+    A.3.1: 2^(P-1))."""
+    center = float(1 << (precision - 1))
+    img = np.asarray(img, dtype=np.uint8 if precision == 8 else np.uint16)
     if img.ndim == 2:
-        return [img.astype(np.float64) - 128.0], [(1, 1)]
+        return [img.astype(np.float64) - center], [(1, 1)]
     if img.ndim != 3 or img.shape[2] != 3:
-        raise ValueError("expected (h, w) or (h, w, 3) uint8")
+        raise ValueError("expected (h, w) or (h, w, 3)")
     r = img[..., 0].astype(np.float64)
     g = img[..., 1].astype(np.float64)
     b = img[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     if subsampling == "444":
-        return [y - 128.0, cb - 128.0, cr - 128.0], [(1, 1)] * 3
+        return [y - center, cb - center, cr - center], [(1, 1)] * 3
     if subsampling not in ("420", "422"):
         raise ValueError("subsampling must be '444', '422' or '420'")
 
@@ -266,13 +271,17 @@ def _to_planes(img: np.ndarray, subsampling: str):
 
     fy, fx = (2, 2) if subsampling == "420" else (1, 2)
     lum = (2, 2) if subsampling == "420" else (2, 1)
-    return ([y - 128.0, down(cb, fy, fx) - 128.0, down(cr, fy, fx) - 128.0],
+    return ([y - center, down(cb, fy, fx) - center,
+             down(cr, fy, fx) - center],
             [lum, (1, 1), (1, 1)])
 
 
-def _plane_blocks(chan: np.ndarray, bh: int, bw: int) -> list:
+def _plane_blocks(chan: np.ndarray, bh: int, bw: int,
+                  qtab: np.ndarray | None = None) -> list:
     """Quantized zigzag blocks of `chan` padded (edge-replicate) to a
     (bh x bw)-block grid; indexed [by][bx]."""
+    if qtab is None:
+        qtab = _QTAB
     ph, pw = bh * 8, bw * 8
     padded = np.zeros((ph, pw))
     h, w = chan.shape
@@ -287,29 +296,36 @@ def _plane_blocks(chan: np.ndarray, bh: int, bw: int) -> list:
         for bx in range(bw):
             blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
             coef = _C @ blk @ _C.T
-            q = np.round(coef / _QTAB).astype(np.int64)
+            q = np.round(coef / qtab).astype(np.int64)
             row.append(q.reshape(64)[_ZIGZAG])
         rows.append(row)
     return rows
 
 
 def encode_baseline(img: np.ndarray, subsampling: str = "444",
-                    restart_interval: int = 0) -> bytes:
+                    restart_interval: int = 0, precision: int = 8) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
     sequential JPEG. `subsampling`: '444' (default) or '420' (2x2
     chroma subsampling — the real-world default layout).
     `restart_interval` > 0 writes a DRI segment and an RSTn marker
     every that-many MCUs (DC predictors reset per interval — the
-    error-resilience layout camera firmware emits)."""
-    img = np.asarray(img, dtype=np.uint8)
+    error-resilience layout camera firmware emits). `precision=12`
+    emits an EXTENDED sequential frame (SOF1, uint16 samples
+    0..4095, 16-bit DQT) — the DICOM/archival DCT flavor."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    img = np.asarray(img, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples exceed 4095")
+    qtab = _QTAB if precision == 8 else _QTAB * 16
     h, w = img.shape[:2]
-    planes, sampling = _to_planes(img, subsampling)
+    planes, sampling = _to_planes(img, subsampling, precision)
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     comp_blocks = [
-        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs)
+        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs, qtab)
         for ci, (hs, vs) in enumerate(sampling)
     ]
     ri = int(restart_interval)
@@ -390,12 +406,18 @@ def encode_baseline(img: np.ndarray, subsampling: str = "444",
 
     ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
-    qz = _QTAB.reshape(64)[_ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in qz)
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    qz = qtab.reshape(64)[_ZIGZAG]
+    if precision == 8:
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+                + bytes(int(x) for x in qz))
+    else:  # 16-bit DQT entries (pq=1) for the extended frame
+        out += (b"\xff\xdb" + struct.pack(">H", 131) + b"\x10"
+                + b"".join(struct.pack(">H", int(x)) for x in qz))
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
     for ci, (hs, vs) in enumerate(sampling):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, dc_counts, dc_table)
     out += _dht_segment(1, 0, ac_counts, ac_table)
     if ri:
@@ -660,17 +682,23 @@ def _parse_stream(payload: bytes):
             break
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (pq=0: 8-bit entries; pq=1: 16-bit)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise JpegUnsupported("16-bit quant table")
                 raster = np.zeros(64, dtype=np.int64)
-                raster[_ZIGZAG] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                if pq == 0:
+                    raster[_ZIGZAG] = np.frombuffer(seg[p:p + 64],
+                                                    dtype=np.uint8)
+                    p += 64
+                elif pq == 1:
+                    raster[_ZIGZAG] = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    raise JpegUnsupported(f"DQT precision {pq}")
                 qtabs[tq] = raster.reshape(8, 8)
-                p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -680,11 +708,14 @@ def _parse_stream(payload: bytes):
                 symbols = list(seg[p + 17:p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3):
-            # SOF0 baseline / SOF2 progressive / SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0 baseline / SOF1 extended sequential (8/12-bit) /
+            # SOF2 progressive / SOF3 lossless
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if marker != 0xC3 and prec != 8:
+            if marker in (0xC0, 0xC2) and prec != 8:
                 raise JpegUnsupported("non-8-bit precision")
+            if marker == 0xC1 and prec not in (8, 12):
+                raise JpegUnsupported(f"extended precision {prec}")
             if marker == 0xC3 and not (2 <= prec <= 16):
                 raise JpegUnsupported(f"lossless precision {prec}")
             comps = []
@@ -698,9 +729,10 @@ def _parse_stream(payload: bytes):
                     raise JpegUnsupported(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 p += 3
-            mode = {0xC0: False, 0xC2: True, 0xC3: "lossless"}[marker]
+            mode = {0xC0: False, 0xC1: False, 0xC2: True,
+                    0xC3: "lossless"}[marker]
             frame = (h, w, nc, mode, prec)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"unsupported frame marker {marker:#x}")
         elif marker == 0xDD:  # DRI
@@ -950,7 +982,13 @@ def decode_baseline(payload: bytes) -> np.ndarray:
                 coef[_ZIGZAG] = zz
                 blk = _C.T @ (coef.reshape(8, 8) * q) @ _C
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    # upsample each component to full resolution and crop
+    # upsample each component to full resolution and crop; the level
+    # shift / color center / clamp all scale with the frame precision
+    # (8-bit: 128/255; 12-bit extended: 2048/4095 — T.81 A.3.1)
+    prec = frame[4]
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     full = []
     for ci, c in enumerate(comps):
         p_ = planes[ci]
@@ -959,16 +997,16 @@ def decode_baseline(payload: bytes) -> np.ndarray:
             p_ = np.repeat(p_, ry, axis=0)
         if rx > 1:
             p_ = np.repeat(p_, rx, axis=1)
-        full.append(p_[:h, :w] + 128.0)
+        full.append(p_[:h, :w] + center)
     if nc == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
     if nc != 3:
         raise JpegUnsupported(f"{nc}-component JPEG")
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(dtype)
 
 
 # --------------------------------------------------------------------------

@@ -1107,9 +1107,47 @@ def test_lossless_jpeg_roundtrip_all_predictors():
         encode_lossless(img12, precision=8)    # samples exceed precision
     with pt.raises(ValueError):
         encode_lossless(cases[0], predictor=9)
-    # truncated-precision streams stay refusable on the lossy path:
-    # SOF1 (12-bit extended DCT) still raises JpegUnsupported
+    # out-of-scope frame families stay refusable: SOF5 (differential
+    # sequential) raises JpegUnsupported rather than mis-decoding
     bad = bytearray(encode_lossless(cases[0]))
-    bad[bad.index(b"\xff\xc3") + 1] = 0xC1
+    bad[bad.index(b"\xff\xc3") + 1] = 0xC5
     with pt.raises(JpegUnsupported):
         decode(bytes(bad))
+
+
+def test_extended_12bit_jpeg_roundtrip():
+    """SOF1 extended sequential at 12-bit (the DICOM DCT flavor):
+    uint16 samples with 16-bit DQT entries decode through the shared
+    DCT path, and the reconstruction error matches the 8-bit baseline
+    RELATIVE error (same quantizer scaled 16x) — proving the level
+    shift / clamp / color center all scaled with precision rather than
+    silently truncating to 8 bits."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import encode_baseline, decode
+
+    x, y = np.meshgrid(np.arange(48), np.arange(32))
+    r = 2048 + 1500 * np.sin(x / 9.0) * np.cos(y / 7.0)
+    g = 2048 + 1200 * np.cos(x / 11.0)
+    b = 2048 + 900 * np.sin(y / 5.0)
+    rgb12 = np.clip(np.stack([r, g, b], axis=-1), 0, 4095).astype(np.uint16)
+
+    enc = encode_baseline(rgb12, precision=12)
+    assert b"\xff\xc1" in enc and b"\xff\xdb\x00\x83\x10" in enc  # SOF1+DQT16
+    dec = decode(enc)
+    assert dec.dtype == np.uint16 and dec.shape == rgb12.shape
+    err12 = np.abs(dec.astype(int) - rgb12.astype(int)).mean()
+    dec8 = decode(encode_baseline((rgb12 // 16).astype(np.uint8)))
+    err8 = np.abs(dec8.astype(int) - (rgb12 // 16).astype(int)).mean() * 16
+    assert err12 < err8 * 1.2 + 16    # same relative quality
+
+    gray12 = rgb12[:, :, 0]
+    dg = decode(encode_baseline(gray12, precision=12))
+    assert dg.dtype == np.uint16
+    assert np.abs(dg.astype(int) - gray12.astype(int)).max() < 160
+
+    with pt.raises(ValueError):
+        encode_baseline(rgb12, precision=10)
+    with pt.raises(ValueError):
+        encode_baseline(np.full((8, 8), 5000, np.uint16), precision=12)
