@@ -525,10 +525,10 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             return null;
         }
         // idempotence pre-guard: if any existing semijoin already probes
-        // a clustered index of this dataset, this top-k was routed on an
+        // a vector index of this dataset, this top-k was routed on an
         // earlier fixed-point pass — bail before any subquery execution
         for (IndexRegistry.Entry cand : byCol.values()) {
-            if (!"clustered".equals(cand.kind)) {
+            if (!"clustered".equals(cand.kind) && !"pq".equals(cand.kind)) {
                 continue;
             }
             for (LogicalPlan pr : semiProbes) {
@@ -561,7 +561,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             return null;
         }
         IndexRegistry.Entry en = byCol.get(vecAttr.name());
-        if (en == null || !"clustered".equals(en.kind)) {
+        if (en == null
+                || !("clustered".equals(en.kind) || "pq".equals(en.kind))) {
             return null;
         }
         @SuppressWarnings("unchecked")
@@ -590,17 +591,28 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
 
     /** Cluster-pruned candidate row ids: rank the (metadata-small)
      *  centroid table driver-side, read only the eff-nprobe nearest
-     *  cluster partitions of the assignments table, project the id. */
+     *  cluster partitions of the cell-partitioned id table, project
+     *  the id. Serves `clustered` (IVF assignments) and `pq` with a
+     *  coarse quantizer (IVFADC codes — same cluster partitioning;
+     *  the user's kept Sort reranks with the EXACT score, so the ADC
+     *  compression never touches results). Flat PQ (no centroids)
+     *  yields no pruning and stays stock. */
     private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q) {
         try {
+            boolean pq = "pq".equals(en.kind);
             byte[] txt = Files.readAllBytes(Paths.get(
-                    IndexRegistry.normalize(en.indexPath), "centroids.json"));
+                    IndexRegistry.normalize(en.indexPath),
+                    pq ? "codebooks.json" : "centroids.json"));
             com.fasterxml.jackson.databind.JsonNode root =
                     new com.fasterxml.jackson.databind.ObjectMapper()
                             .readTree(txt);
             com.fasterxml.jackson.databind.JsonNode cents =
                     root.get("centroids");
+            if (cents == null || cents.isNull()) {
+                return null;            // flat PQ: nothing to prune on
+            }
             String assignIdCol = root.get("id_col").asText();
+            String dataDir = pq ? "/codes" : "/assignments";
             int n = cents.size();
             if (n == 0) {
                 return null;
@@ -634,7 +646,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             for (int i = 0; i < eff; i++) {
                 cells[i] = cid[order[i]];
             }
-            return session.read().parquet(en.indexPath + "/assignments")
+            return session.read().parquet(en.indexPath + dataDir)
                     .filter(functions.col("cluster").isin(cells))
                     .select(functions.col(assignIdCol).alias("row_id"));
         } catch (Exception e) {

@@ -49,9 +49,11 @@ EXACT — residual conjuncts stay filtered):
 - ``ORDER BY <vector score> [DESC|ASC] LIMIT k`` where the score is
   the documented HOF spelling of dot / cosine / L2 against a literal
   query vector (:func:`dot_sql` / :func:`cosine_sql` /
-  :func:`l2_sq_sql` emit it) on a ``clustered`` (IVF) indexed column
+  :func:`l2_sq_sql` emit it) on a ``clustered`` (IVF) indexed column —
+  or a ``pq`` column built with a coarse quantizer (IVFADC: its codes
+  table carries the same cluster partitioning; flat PQ stays stock) —
   → the base scan is semijoined against the nprobe nearest k-means
-  cell partitions of the assignments table and the user's Sort+Limit
+  cell partitions of the cell-partitioned id table and the user's Sort+Limit
   reranks exactly over the pruned candidates — the reference serves
   ``top_k_search_info`` from its index holder for every entry path
   (cpp/query_core/index_holder.hpp:30-36). Recall follows IVF
@@ -129,7 +131,7 @@ def register_path(spark: SparkSession, table_path: str, column: str,
                   kind: str, index_path: str, id_col: str) -> None:
     """Register one index for a parquet table path PREFIX: any scan whose
     root paths ALL fall under `table_path` becomes routable on `column`."""
-    if kind not in ("inverted", "numeric", "exact", "clustered"):
+    if kind not in ("inverted", "numeric", "exact", "clustered", "pq"):
         raise ValueError(f"unsupported routing kind {kind!r}")
     _registry(spark).register(str(table_path), column, kind,
                               str(index_path), id_col)
@@ -154,7 +156,7 @@ def register_dataset(ds) -> None:
 
     for col, meta in _read_refs(ds.path).get("indexes", {}).items():
         kind = meta["kind"]
-        if kind not in ("inverted", "numeric", "exact", "clustered"):
+        if kind not in ("inverted", "numeric", "exact", "clustered", "pq"):
             continue  # other kinds route via TQL only
         idx_path = os.path.join(ds.path, "_indexes", f"{col}_{kind}")
         register_path(ds.spark, ds.path, col, kind, idx_path,

@@ -516,3 +516,58 @@ def test_dataset_hybrid_search_matches_sql_statement(spark, sf_dir,
         for v in ("hybapi_docs", "hybapi_docs__postings",
                   "hybapi_docs__doclens", "hybapi_docs__stats"):
             spark.catalog.dropTempView(v)
+
+
+def test_sql_topk_routes_through_ivfpq_codes(spark, sf_dir, tmp_path):
+    """A `pq` index built WITH a coarse quantizer (IVFADC) carries the
+    same cluster partitioning on its codes table as an IVF index does
+    on assignments — the top-k rule prunes through it identically (the
+    kept Sort reranks with the EXACT score, so ADC compression never
+    touches results). A flat PQ (no centroids) must stay stock: there
+    is nothing to prune on."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/embeddings.parquet",
+                         str(tmp_path / "emb"), spark)
+    ds.create_index("embedding", "pq", m=8, n_clusters=8)
+    ds.to_df().createOrReplaceTempView("pq_emb")
+    qv = [float(x) for x in spark.sql(
+        "SELECT embedding FROM pq_emb WHERE vec_id = 3"
+    ).collect()[0].embedding]
+    q = ("SELECT vec_id FROM pq_emb ORDER BY "
+         f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+    try:
+        exact = [r.vec_id for r in spark.sql(q).collect()]
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        df = spark.sql(q)
+        plan = _plan(df)
+        assert "LeftSemi" in plan and "cluster#" in plan
+        got = [r.vec_id for r in df.collect()]
+        assert len(set(got) & set(exact)) / 10 >= 0.6
+        # full probe == exact, same as the IVF route
+        spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor",
+                       "20")
+        assert set(r.vec_id for r in spark.sql(q).collect()) == set(exact)
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.conf.unset("spark.sql.deeplake.routing.ann.accuracyFactor")
+        spark.catalog.dropTempView("pq_emb")
+
+    flat = dl.from_parquet(f"{sf_dir}/embeddings.parquet",
+                           str(tmp_path / "embflat"), spark)
+    flat.create_index("embedding", "pq", m=8)     # no coarse quantizer
+    flat.to_df().createOrReplaceTempView("pqflat_emb")
+    try:
+        rt.register_dataset(flat)
+        rt.enable(spark)
+        q2 = ("SELECT vec_id FROM pqflat_emb ORDER BY "
+              f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+        assert "cluster#" not in _plan(spark.sql(q2))
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("pqflat_emb")
