@@ -571,3 +571,74 @@ def test_sql_topk_routes_through_ivfpq_codes(spark, sf_dir, tmp_path):
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("pqflat_emb")
+
+
+def test_sql_topk_wrapper_fuzz_routes_iff_direction_correct(spark,
+                                                            ann_ds):
+    """Randomized monotone-wrapper fuzz over the score spelling: for
+    chains of round/sqrt/1-x/negate/scale wrappers the rule must route
+    exactly when the effective sort direction matches the family
+    (similarity-increasing => DESC), and routed results must equal the
+    exact top-k at full probe width. A wrong flip-parity in the Java
+    walker would either miss routes (caught by the `routed` check) or
+    route a least-similar query (caught by the equality check)."""
+    import random
+
+    ds, qv = ann_ds
+    rnd = random.Random(23)
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "20")
+    base_desc = True  # cosine: similarity => DESC when unflipped
+    for _ in range(10):
+        expr = rt.cosine_sql("embedding", qv)
+        flip = False
+        for _ in range(rnd.randint(0, 3)):
+            w = rnd.choice(["round", "one_minus", "neg_scale", "scale",
+                            "plus"])
+            if w == "round":
+                expr = f"round({expr}, 6)"
+            elif w == "one_minus":
+                expr = f"(1.0 - {expr})"
+                flip = not flip
+            elif w == "neg_scale":
+                expr = f"(-2.5 * {expr})"
+                flip = not flip
+            elif w == "scale":
+                expr = f"({expr} * 3.0)"
+            else:
+                expr = f"({expr} + 0.25)"
+        direction = "DESC" if (base_desc != flip) else "ASC"
+        q = (f"SELECT vec_id FROM ann_emb ORDER BY {expr} {direction} "
+             "LIMIT 10")
+        df = spark.sql(q)
+        assert "cluster#" in _plan(df), f"should route: {q[:120]}"
+        rt.disable(spark)
+        want = [r.vec_id for r in spark.sql(q).collect()]
+        rt.enable(spark)
+        assert set(r.vec_id for r in df.collect()) == set(want), q[:120]
+        # the WRONG direction must never route
+        other = "ASC" if direction == "DESC" else "DESC"
+        q2 = (f"SELECT vec_id FROM ann_emb ORDER BY {expr} {other} "
+              "LIMIT 10")
+        assert "cluster#" not in _plan(spark.sql(q2)), q2[:120]
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "10")
+
+
+def test_tql_and_sql_ann_routes_agree(spark, ann_ds):
+    """The same ANN question through both front doors — TQL
+    `ORDER BY COSINE_SIMILARITY ... LIMIT k` (translator route) and the
+    routed plain-SQL spelling — must return the same rows: both prune
+    with the same SearchConfig defaults over the same persisted IVF
+    index, then exact-rerank."""
+    ds, qv = ann_ds
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    tql_rows = [r.vec_id for r in ds.query(
+        "SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+        "ORDER BY score DESC LIMIT 10", params=[qv],
+    ).collect()]
+    df = spark.sql("SELECT vec_id FROM ann_emb ORDER BY "
+                   f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+    assert "cluster#" in _plan(df)
+    assert set(r.vec_id for r in df.collect()) == set(tql_rows)

@@ -101,6 +101,10 @@ def probes(reg):
         # hashed-feature scoring (scan-only) and the bigram-LM joins
         "t26_hashed_linear_score",
         "t27_bigram_surprisal",
+        # round-7 additions: tf-idf rank window + the double-aggregate
+        # repetition metrics
+        "t28_tfidf_keywords",
+        "t29_repetition_metrics",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
@@ -157,12 +161,18 @@ def skew_section(spark, big_dir: str, k: int, hot_frac: float = 0.2):
     plain = lambda: q18_shape(sk.join(ord_r, "l_orderkey"))
     salted = lambda: q18_shape(salted_join(sk, ord_r, "l_orderkey"))
 
+    # emulate the 100 TB trigger point at probe scale: partitions past
+    # the threshold and 2x the median are split; broadcast disabled so
+    # the join is the sort-merge shape skew-split applies to. The
+    # threshold SCALES with k (4 MB at the original 8x probe): a fixed
+    # tiny advisory size at larger k over-fragments the reduce side and
+    # measures scheduling overhead instead of the skew mitigation —
+    # at 100 TB the stock 256 MB threshold has the same proportionality.
+    mb = max(1, 4 * k // 8)
     skew_confs = {
-        # emulate the 100 TB trigger point at probe scale: partitions
-        # past ~4 MB and 2x the median are split; broadcast disabled so
-        # the join is the sort-merge shape skew-split applies to
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            f"{mb}m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{mb}m",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
