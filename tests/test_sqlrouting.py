@@ -642,3 +642,45 @@ def test_tql_and_sql_ann_routes_agree(spark, ann_ds):
                    f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
     assert "cluster#" in _plan(df)
     assert set(r.vec_id for r in df.collect()) == set(tql_rows)
+
+
+def test_multi_root_scan_with_foreign_path_stays_stock(spark, sf_dir,
+                                                       tmp_path):
+    """A scan whose root paths MIX a registered dataset with an
+    unregistered directory must not route: the index semijoin would
+    wrongly drop every row of the unregistered files (ALL roots must
+    fall under one registered prefix — IndexRegistry.lookupByPaths)."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    # a second parquet dir with the same schema, OUTSIDE the dataset
+    other = str(tmp_path / "extra")
+    (ds.to_df().limit(7)
+     .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+     .write.parquet(other))
+
+    import glob
+
+    data_dir = glob.glob(str(tmp_path / "docs" / "data" / "*.parquet"))[0]
+    try:
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        both = spark.read.parquet(data_dir, other)
+        q = both.filter(F.expr(
+            "array_contains(split(lower(text), '\\\\s+'), 'spark')"
+        )).select("doc_id")
+        assert "LeftSemi" not in _plan(q), "multi-root scan was routed"
+        # the pure dataset scan still routes
+        alone = spark.read.parquet(data_dir).filter(F.expr(
+            "array_contains(split(lower(text), '\\\\s+'), 'spark')"
+        )).select("doc_id")
+        assert "LeftSemi" in _plan(alone)
+        assert sorted(r.doc_id for r in alone.collect()) == sorted(
+            r.doc_id for r in q.filter("doc_id < 1000000").collect())
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
