@@ -417,6 +417,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             "spark.sql.deeplake.routing.ann.nprobe";
     public static final String ANN_ACCURACY_KEY =
             "spark.sql.deeplake.routing.ann.accuracyFactor";
+    /** LIMITs above this stay exact: a k at corpus scale turns "top-k
+     *  among the probed cells" into "most of the table, minus the
+     *  pruned cells" — not what anyone means by ANN. */
+    public static final String ANN_MAXK_KEY =
+            "spark.sql.deeplake.routing.ann.maxK";
 
     /**
      * Route {@code ORDER BY <vector score> [DESC|ASC] LIMIT k} over a
@@ -457,7 +462,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             return null;
         }
         Number k = numLit(gl.limitExpr());
-        if (k == null || k.intValue() <= 0) {
+        if (k == null || k.intValue() <= 0 || k.intValue() > Integer
+                .parseInt(session.conf().get(ANN_MAXK_KEY, "10000"))) {
             return null;
         }
         // LocalLimit -> (attrs-only Projects from sort-reference

@@ -60,7 +60,10 @@ EXACT — residual conjuncts stay filtered):
   semantics, tuned by ``spark.sql.deeplake.routing.ann.nprobe`` /
   ``...ann.accuracyFactor`` (SearchConfig's knobs); set
   ``spark.sql.deeplake.routing.ann.enabled=false`` to keep filter
-  routing but force exact top-k scans.
+  routing but force exact top-k scans. LIMITs above
+  ``...ann.maxK`` (default 10000) stay exact — a corpus-scale k
+  would turn cell pruning into silent row loss, not approximate
+  ranking.
 
   Query vectors are LITERAL arrays: Spark rejects subquery
   expressions inside higher-order functions

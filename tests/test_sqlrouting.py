@@ -684,3 +684,21 @@ def test_multi_root_scan_with_foreign_path_stays_stock(spark, sf_dir,
     finally:
         rt.disable(spark)
         rt.clear(spark)
+
+
+def test_sql_topk_huge_limit_stays_exact(spark, ann_ds):
+    """LIMIT beyond routing.ann.maxK (default 10000) must not route:
+    a corpus-scale k turns cell pruning into silent row loss rather
+    than approximate ranking."""
+    ds, qv = ann_ds
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    cos = rt.cosine_sql("embedding", qv)
+    big = f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC LIMIT 50000"
+    assert "cluster#" not in _plan(spark.sql(big))
+    # and the same query routes once the ceiling is raised
+    spark.conf.set("spark.sql.deeplake.routing.ann.maxK", "100000")
+    try:
+        assert "cluster#" in _plan(spark.sql(big))
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.ann.maxK")
