@@ -7,6 +7,7 @@ import java.util.Arrays;
 import java.util.HashMap;
 import java.util.List;
 import java.util.Map;
+import java.util.concurrent.ConcurrentHashMap;
 import java.util.regex.Matcher;
 import java.util.regex.Pattern;
 
@@ -297,10 +298,48 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
 
     // ----------------------------------------------------- probe builders
 
+    /** Per-(session, path) scan cache keyed by a directory mtime/size
+     *  signature: every probe otherwise pays a fresh file listing +
+     *  parquet footer read PER PLANNED QUERY (~120-145 ms on the
+     *  Python side, same cost here). Delta appends touch the partition
+     *  directory mtimes, so the signature invalidates exactly when the
+     *  index content changes. Bounded: one entry per registered index
+     *  side table. */
+    private static final Map<String, Object[]> SCAN_CACHE =
+            new ConcurrentHashMap<>();
+
+    private Dataset<Row> readCached(String path) {
+        String norm = IndexRegistry.normalize(path);
+        String key = System.identityHashCode(session) + "|" + norm;
+        long sig = dirSignature(norm);
+        Object[] hit = SCAN_CACHE.get(key);
+        if (hit != null && ((Long) hit[0]).longValue() == sig) {
+            @SuppressWarnings("unchecked")
+            Dataset<Row> cached = (Dataset<Row>) hit[1];
+            return cached;
+        }
+        Dataset<Row> d = session.read().parquet(path);
+        SCAN_CACHE.put(key, new Object[]{sig, d});
+        return d;
+    }
+
+    private static long dirSignature(String dir) {
+        java.io.File f = new java.io.File(dir);
+        long sig = f.lastModified();
+        java.io.File[] kids = f.listFiles();
+        if (kids != null) {
+            Arrays.sort(kids);
+            for (java.io.File k : kids) {
+                sig = sig * 31 + k.lastModified() + k.length();
+            }
+        }
+        return sig;
+    }
+
     /** filter(term = kw) over the bucket-partitioned postings, pruned to
      *  the keyword's bucket with the same hash the build used. */
     private Dataset<Row> invertedProbe(IndexRegistry.Entry en, String kw) {
-        Dataset<Row> p = session.read().parquet(en.indexPath + "/postings");
+        Dataset<Row> p = readCached(en.indexPath + "/postings");
         if (Arrays.asList(p.columns()).contains("bucket")) {
             Column b = functions.abs(functions.hash(functions.lit(kw)))
                     .mod(functions.lit(64));
@@ -328,7 +367,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         } catch (java.security.NoSuchAlgorithmException e) {
             throw new IllegalStateException(e);
         }
-        Dataset<Row> d = session.read().parquet(en.indexPath + "/digests");
+        Dataset<Row> d = readCached(en.indexPath + "/digests");
         if (Arrays.asList(d.columns()).contains("bucket")) {
             d = d.filter(functions.col("bucket")
                     .equalTo(hex.substring(0, 2)));
@@ -338,7 +377,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     }
 
     private Dataset<Row> inProbe(IndexRegistry.Entry en, List<Object> values) {
-        Dataset<Row> v = session.read().parquet(en.indexPath + "/values");
+        Dataset<Row> v = readCached(en.indexPath + "/values");
         double[] meta = readMeta(en.indexPath);
         if (meta != null && Arrays.asList(v.columns()).contains("bucket")) {
             List<Object> buckets = new ArrayList<>();
@@ -355,7 +394,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     }
 
     private Dataset<Row> rangeProbe(Range r) {
-        Dataset<Row> v = session.read().parquet(r.entry.indexPath + "/values");
+        Dataset<Row> v = readCached(r.entry.indexPath + "/values");
         double[] meta = readMeta(r.entry.indexPath);
         boolean hasBucket = Arrays.asList(v.columns()).contains("bucket");
         if (meta != null && hasBucket) {
@@ -652,7 +691,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             for (int i = 0; i < eff; i++) {
                 cells[i] = cid[order[i]];
             }
-            return session.read().parquet(en.indexPath + dataDir)
+            return readCached(en.indexPath + dataDir)
                     .filter(functions.col("cluster").isin(cells))
                     .select(functions.col(assignIdCol).alias("row_id"));
         } catch (Exception e) {

@@ -702,3 +702,39 @@ def test_sql_topk_huge_limit_stays_exact(spark, ann_ds):
         assert "cluster#" in _plan(spark.sql(big))
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.ann.maxK")
+
+
+def test_probe_scan_cache_sees_index_deltas(spark, sf_dir, tmp_path):
+    """The JVM-side probe scan cache (per-(session,path), directory
+    mtime/size signature) must invalidate when the index gains delta
+    files: rows appended after registration (indexing_mode automatic
+    appends postings) must be findable through the ROUTED plan."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import time
+
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    ds.as_sql_view("cache_docs")
+    q = ("SELECT doc_id FROM cache_docs WHERE "
+         "array_contains(split(lower(text), '\\\\s+'), 'zanzibar')")
+    try:
+        df = spark.sql(q)
+        assert "LeftSemi" in _plan(df)
+        assert df.count() == 0          # fills the probe cache
+        time.sleep(1.05)                # mtime granularity
+        ds.append(spark.createDataFrame(
+            [(9_000_001, "totally zanzibar content", "xx", "synth", 24)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"))
+        ds.commit()
+        ds.as_sql_view("cache_docs")    # re-register the new snapshot
+        got = [r.doc_id for r in spark.sql(q).collect()]
+        assert got == [9_000_001], got  # stale cache would return []
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("cache_docs")
