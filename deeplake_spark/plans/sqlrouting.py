@@ -207,7 +207,12 @@ def _terms_sql(terms) -> tuple[str, str]:
     folds it before planning and the partition prune actually fires
     (the same trick the index probes rely on)."""
     uniq = list(dict.fromkeys(t.lower() for t in terms))
-    esc = [t.replace("'", "''") for t in uniq]
+    # Spark's default string-literal parser treats backslash as an
+    # escape char (escapedStringLiterals=false): escape it FIRST, then
+    # double quotes — otherwise a term like "path\to" silently parses
+    # as "path<tab>o" and the SQL statement diverges from
+    # bm25_via_index, which passes terms as literals.
+    esc = [t.replace("\\", "\\\\").replace("'", "''") for t in uniq]
     buckets = ", ".join(f"abs(hash('{t}')) % 64" for t in esc)
     inlist = ", ".join(f"'{t}'" for t in esc)
     return f"bucket IN ({buckets})", inlist

@@ -433,6 +433,42 @@ def test_hybrid_and_bm25_sql_match_python_paths(spark, sf_dir):
             spark.catalog.dropTempView(v)
 
 
+def test_bm25_sql_escapes_backslash_terms(spark, tmp_path):
+    """A query term containing a backslash must survive SQL string
+    interpolation: Spark's default literal parser treats \\ as an
+    escape, so an unescaped term silently becomes a different string
+    and the SQL statement diverges from bm25_via_index (which passes
+    terms as Python literals)."""
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        bm25_via_index,
+        build_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "path\\to thing"), (2, "other words here"),
+         (3, "path\\to again path\\to")],
+        "doc_id long, text string")
+    idx_path = str(tmp_path / "bs_idx")
+    build_inverted_index(df, "text", "doc_id").save(idx_path)
+    idx = InvertedIndex.load(spark, idx_path)
+    rt.register_index_views(spark, "bs_docs", idx_path)
+    try:
+        got = [(r.doc_id, r.score) for r in spark.sql(
+            rt.bm25_topk_sql("bs_docs", ["path\\to"], k=5)).collect()]
+        want = [(r.row_id, r.bm25) for r in
+                bm25_via_index(idx, ["path\\to"], k=5).collect()]
+        assert got == want
+        assert [d for d, _ in got] == [3, 1]  # the term actually matched
+        # quote + backslash together
+        got2 = [r.doc_id for r in spark.sql(
+            rt.bm25_topk_sql("bs_docs", ["o'x\\y"], k=5)).collect()]
+        assert got2 == []                     # parses cleanly, no hits
+    finally:
+        for v in ("bs_docs__postings", "bs_docs__doclens", "bs_docs__stats"):
+            spark.catalog.dropTempView(v)
+
+
 def test_as_sql_view_registers_index_side_views(spark, sf_dir, tmp_path):
     """ds.as_sql_view wires the inverted side tables too, so a plain
     SQL user can run the generated BM25 statement with no extra
