@@ -1,13 +1,10 @@
 package io.deeplake.spark.ext;
 
-import java.nio.file.Files;
-import java.nio.file.Paths;
 import java.util.ArrayList;
 import java.util.Arrays;
 import java.util.HashMap;
 import java.util.List;
 import java.util.Map;
-import java.util.concurrent.ConcurrentHashMap;
 import java.util.regex.Matcher;
 import java.util.regex.Pattern;
 
@@ -296,6 +293,59 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return new Filter(cond, joined);
     }
 
+    // ------------------------------------------- sidecar / filesystem I/O
+
+    /** Hadoop Configuration of the owning session (built lazily, once
+     *  per rule instance): ALL probe-side metadata I/O goes through the
+     *  Hadoop FileSystem API, so routing works when indexes live on
+     *  object storage (s3a://, gs://, hdfs://) — the 100 TB deployment
+     *  shape — not only on the driver-local disk (the reference serves
+     *  indexes from any storage backend,
+     *  python/deeplake/storage.pyi:26-121). */
+    private org.apache.hadoop.conf.Configuration hadoopConf;
+
+    private org.apache.hadoop.conf.Configuration hconf() {
+        if (hadoopConf == null) {
+            hadoopConf = ((org.apache.spark.sql.classic.SparkSession) session)
+                    .sessionState().newHadoopConf();
+        }
+        return hadoopConf;
+    }
+
+    /** Read a small index sidecar (JSON metadata) through the Hadoop
+     *  FileSystem; null when missing or unreadable — the probe then
+     *  stays stock or unpruned, never an error. */
+    private byte[] readSidecar(String pathStr) {
+        try {
+            org.apache.hadoop.fs.Path p =
+                    new org.apache.hadoop.fs.Path(pathStr);
+            org.apache.hadoop.fs.FileSystem fs = p.getFileSystem(hconf());
+            org.apache.hadoop.fs.FileStatus st = fs.getFileStatus(p);
+            if (st.getLen() > 256L * 1024 * 1024) {
+                return null;            // not a sidecar
+            }
+            byte[] buf = new byte[(int) st.getLen()];
+            try (org.apache.hadoop.fs.FSDataInputStream in = fs.open(p)) {
+                in.readFully(0, buf);
+            }
+            return buf;
+        } catch (Exception e) {
+            return null;
+        }
+    }
+
+    /** Safe integer conf read: a malformed user value falls back to the
+     *  default instead of failing analysis of every query (the rule's
+     *  stay-stock-on-failure convention). */
+    private int confInt(String key, int def) {
+        try {
+            return Integer.parseInt(
+                    session.conf().get(key, Integer.toString(def)).trim());
+        } catch (Exception e) {
+            return def;
+        }
+    }
+
     // ----------------------------------------------------- probe builders
 
     /** Per-(session, path) scan cache keyed by a directory mtime/size
@@ -303,15 +353,37 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  parquet footer read PER PLANNED QUERY (~120-145 ms on the
      *  Python side, same cost here). Delta appends touch the partition
      *  directory mtimes, so the signature invalidates exactly when the
-     *  index content changes. Bounded: one entry per registered index
-     *  side table. */
+     *  index content changes. Keys use the session UUID (identity
+     *  hashes are reusable across GC'd sessions) and the map is a
+     *  bounded LRU, so dead sessions' entries age out instead of
+     *  pinning Datasets for the JVM lifetime. */
+    private static final int SCAN_CACHE_CAP = 256;
     private static final Map<String, Object[]> SCAN_CACHE =
-            new ConcurrentHashMap<>();
+            java.util.Collections.synchronizedMap(
+                    new java.util.LinkedHashMap<String, Object[]>(
+                            64, 0.75f, true) {
+                        @Override
+                        protected boolean removeEldestEntry(
+                                Map.Entry<String, Object[]> eldest) {
+                            return size() > SCAN_CACHE_CAP;
+                        }
+                    });
+
+    /** Test hooks: the cache must stay bounded no matter how many
+     *  sessions/side-tables a long-lived JVM serves. */
+    public static int scanCacheSize() {
+        return SCAN_CACHE.size();
+    }
+
+    public static int scanCacheCap() {
+        return SCAN_CACHE_CAP;
+    }
 
     private Dataset<Row> readCached(String path) {
         String norm = IndexRegistry.normalize(path);
-        String key = System.identityHashCode(session) + "|" + norm;
-        long sig = dirSignature(norm);
+        String key = ((org.apache.spark.sql.classic.SparkSession) session)
+                .sessionUUID() + "|" + norm;
+        long sig = dirSignature(path);
         Object[] hit = SCAN_CACHE.get(key);
         if (hit != null && ((Long) hit[0]).longValue() == sig) {
             @SuppressWarnings("unchecked")
@@ -323,17 +395,29 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return d;
     }
 
-    private static long dirSignature(String dir) {
-        java.io.File f = new java.io.File(dir);
-        long sig = f.lastModified();
-        java.io.File[] kids = f.listFiles();
-        if (kids != null) {
-            Arrays.sort(kids);
-            for (java.io.File k : kids) {
-                sig = sig * 31 + k.lastModified() + k.length();
+    private static final java.util.concurrent.atomic.AtomicLong NO_SIG =
+            new java.util.concurrent.atomic.AtomicLong(-2);
+
+    private long dirSignature(String dir) {
+        try {
+            org.apache.hadoop.fs.Path p = new org.apache.hadoop.fs.Path(dir);
+            org.apache.hadoop.fs.FileSystem fs = p.getFileSystem(hconf());
+            org.apache.hadoop.fs.FileStatus root = fs.getFileStatus(p);
+            long sig = root.getModificationTime();
+            org.apache.hadoop.fs.FileStatus[] kids = fs.listStatus(p);
+            Arrays.sort(kids, (a, b) -> a.getPath().compareTo(b.getPath()));
+            for (org.apache.hadoop.fs.FileStatus k : kids) {
+                sig = sig * 31 + k.getModificationTime() + k.getLen();
             }
+            return sig;
+        } catch (Exception e) {
+            // unlistable path: a unique sentinel per call keeps the
+            // cache COLD (re-read every plan) rather than permanently
+            // stale — the old java.io.File signature returned a
+            // constant 0 for any remote path, which meant wrong rows
+            // after an index rebuild on object storage
+            return NO_SIG.decrementAndGet();
         }
-        return sig;
     }
 
     /** filter(term = kw) over the bucket-partitioned postings, pruned to
@@ -432,10 +516,14 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     private static final Pattern WIDTH =
             Pattern.compile("\"width\"\\s*:\\s*(-?[0-9.eE+]+)");
 
-    private static double[] readMeta(String indexPath) {
+    private double[] readMeta(String indexPath) {
         try {
-            String txt = new String(Files.readAllBytes(
-                    Paths.get(IndexRegistry.normalize(indexPath), "meta.json")));
+            byte[] raw = readSidecar(indexPath + "/meta.json");
+            if (raw == null) {
+                return null;
+            }
+            String txt = new String(raw,
+                    java.nio.charset.StandardCharsets.UTF_8);
             Matcher mv = VMIN.matcher(txt);
             Matcher mw = WIDTH.matcher(txt);
             if (mv.find() && mw.find()) {
@@ -501,8 +589,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             return null;
         }
         Number k = numLit(gl.limitExpr());
-        if (k == null || k.intValue() <= 0 || k.intValue() > Integer
-                .parseInt(session.conf().get(ANN_MAXK_KEY, "10000"))) {
+        if (k == null || k.intValue() <= 0
+                || k.intValue() > confInt(ANN_MAXK_KEY, 10000)) {
             return null;
         }
         // LocalLimit -> (attrs-only Projects from sort-reference
@@ -517,6 +605,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         }
         Sort sort = (Sort) cur;
         SortOrder first = sort.order().apply(0);
+        // NULLS FIRST (the ASC default) puts null-score rows — null
+        // vectors — at the HEAD of the exact result; the cluster
+        // semijoin drops them (no assignment), a real row change, not
+        // the documented IVF recall approximation. Route only when
+        // nulls sort last (any DESC default, or `ASC NULLS LAST` —
+        // the spelling plans/sqlrouting.l2_sq_sql documents).
+        if (!org.apache.spark.sql.catalyst.expressions.NullsLast$.MODULE$
+                .equals(first.nullOrdering())) {
+            return null;
+        }
         Expression score = first.child();
         if (score instanceof AttributeReference
                 && sort.child() instanceof Project) {
@@ -645,9 +743,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q) {
         try {
             boolean pq = "pq".equals(en.kind);
-            byte[] txt = Files.readAllBytes(Paths.get(
-                    IndexRegistry.normalize(en.indexPath),
-                    pq ? "codebooks.json" : "centroids.json"));
+            byte[] txt = readSidecar(en.indexPath
+                    + (pq ? "/codebooks.json" : "/centroids.json"));
+            if (txt == null) {
+                return null;            // unreadable sidecar: stay stock
+            }
             com.fasterxml.jackson.databind.JsonNode root =
                     new com.fasterxml.jackson.databind.ObjectMapper()
                             .readTree(txt);
@@ -680,10 +780,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 d2[i] = s;
                 order[i] = i;
             }
-            int nprobe = Integer.parseInt(
-                    session.conf().get(ANN_NPROBE_KEY, "4"));
-            int af = Integer.parseInt(
-                    session.conf().get(ANN_ACCURACY_KEY, "10"));
+            int nprobe = confInt(ANN_NPROBE_KEY, 4);
+            int af = confInt(ANN_ACCURACY_KEY, 10);
             int eff = Math.min(n, Math.max(nprobe,
                     (int) Math.ceil(n * af / 20.0)));
             Arrays.sort(order, (x, y) -> Double.compare(d2[x], d2[y]));

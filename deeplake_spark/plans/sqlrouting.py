@@ -58,7 +58,11 @@ EXACT — residual conjuncts stay filtered):
   ``top_k_search_info`` from its index holder for every entry path
   (cpp/query_core/index_holder.hpp:30-36). Recall follows IVF
   semantics, tuned by ``spark.sql.deeplake.routing.ann.nprobe`` /
-  ``...ann.accuracyFactor`` (SearchConfig's knobs); set
+  ``...ann.accuracyFactor`` (SearchConfig's knobs). ASC (distance)
+  orderings route only as ``ASC NULLS LAST``: the ASC default NULLS
+  FIRST leads with null-vector rows, which the cluster semijoin
+  drops — a row change, not a recall approximation — so the rule
+  stays stock there. Set
   ``spark.sql.deeplake.routing.ann.enabled=false`` to keep filter
   routing but force exact top-k scans. LIMITs above
   ``...ann.maxK`` (default 10000) stay exact — a corpus-scale k
@@ -195,8 +199,12 @@ def cosine_sql(col: str, vec) -> str:
 
 
 def l2_sq_sql(col: str, vec) -> str:
-    """Routable spelling of squared L2 distance — sort ASC (wrap in
-    sqrt() for the true distance; the rule unwraps monotone sqrt)."""
+    """Routable spelling of squared L2 distance — sort ``ASC NULLS
+    LAST`` (wrap in sqrt() for the true distance; the rule unwraps
+    monotone sqrt). The bare ASC default is NULLS FIRST, which would
+    put null-vector rows at the head of the exact result — rows the
+    cluster semijoin necessarily drops — so the rule stays stock
+    there; spell the null ordering explicitly to route."""
     return _agg_sum(f"zip_with(CAST({col} AS ARRAY<DOUBLE>), "
                     f"{_vec_sql(vec)}, (x, y) -> (x - y) * (x - y))")
 

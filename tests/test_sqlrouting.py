@@ -302,13 +302,17 @@ def _ann_sqls(qv):
                         f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10"),
         "dot_desc": ("SELECT vec_id FROM ann_emb ORDER BY "
                      f"{rt.dot_sql('embedding', qv)} DESC LIMIT 10"),
+        # ASC routes require NULLS LAST: the ASC default (NULLS FIRST)
+        # would lead with null-vector rows the cluster semijoin drops
         "l2_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
-                   f"{rt.l2_sq_sql('embedding', qv)} ASC LIMIT 10"),
+                   f"{rt.l2_sq_sql('embedding', qv)} ASC NULLS LAST "
+                   "LIMIT 10"),
         "l2_sqrt_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
-                        f"sqrt({rt.l2_sq_sql('embedding', qv)}) ASC LIMIT 10"),
+                        f"sqrt({rt.l2_sq_sql('embedding', qv)}) "
+                        "ASC NULLS LAST LIMIT 10"),
         "one_minus_cos_asc": ("SELECT vec_id FROM ann_emb ORDER BY "
                               f"1.0 - {rt.cosine_sql('embedding', qv)} "
-                              "ASC LIMIT 10"),
+                              "ASC NULLS LAST LIMIT 10"),
         "aliased_score": (f"SELECT vec_id, {rt.cosine_sql('embedding', qv)}"
                           " AS score FROM ann_emb "
                           "ORDER BY score DESC LIMIT 10"),
@@ -644,7 +648,7 @@ def test_sql_topk_wrapper_fuzz_routes_iff_direction_correct(spark,
                 expr = f"({expr} * 3.0)"
             else:
                 expr = f"({expr} + 0.25)"
-        direction = "DESC" if (base_desc != flip) else "ASC"
+        direction = "DESC" if (base_desc != flip) else "ASC NULLS LAST"
         q = (f"SELECT vec_id FROM ann_emb ORDER BY {expr} {direction} "
              "LIMIT 10")
         df = spark.sql(q)
@@ -654,7 +658,7 @@ def test_sql_topk_wrapper_fuzz_routes_iff_direction_correct(spark,
         rt.enable(spark)
         assert set(r.vec_id for r in df.collect()) == set(want), q[:120]
         # the WRONG direction must never route
-        other = "ASC" if direction == "DESC" else "DESC"
+        other = "ASC NULLS LAST" if direction == "DESC" else "DESC"
         q2 = (f"SELECT vec_id FROM ann_emb ORDER BY {expr} {other} "
               "LIMIT 10")
         assert "cluster#" not in _plan(spark.sql(q2)), q2[:120]
@@ -738,6 +742,147 @@ def test_sql_topk_huge_limit_stays_exact(spark, ann_ds):
         assert "cluster#" in _plan(spark.sql(big))
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.ann.maxK")
+
+
+def test_sql_topk_nulls_first_stays_stock_and_exact(spark, sf_dir,
+                                                    tmp_path):
+    """Default-ASC (NULLS FIRST) must NOT route: rows with a NULL
+    embedding lead the exact result, and the cluster semijoin would
+    silently drop them — a row change, not the documented recall
+    approximation. The same query spelled ASC NULLS LAST routes."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.similarity import build_ivf, save_ivf
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(base.head().embedding)
+    src = str(tmp_path / "withnull.parquet")
+    null_row = base.limit(1).select(*[
+        (F.lit(900001).cast("long") if c == "vec_id"
+         else F.lit(None).cast(base.schema[c].dataType)).alias(c)
+        for c in base.columns])
+    base.unionByName(null_row).write.parquet(src)
+    # index covers the non-null vectors (the reference's contract: a
+    # vector index never holds null embeddings)
+    idx_path = str(tmp_path / "null_ivf")
+    save_ivf(build_ivf(spark.read.parquet(src).filter(
+        F.col("embedding").isNotNull()), "embedding", "vec_id",
+        n_clusters=8), idx_path)
+    spark.read.parquet(src).createOrReplaceTempView("null_emb")
+    qv = [float(x) for x in base.head().embedding]
+    assert len(qv) == dim
+    l2 = rt.l2_sq_sql("embedding", qv)
+    q_default = f"SELECT vec_id FROM null_emb ORDER BY {l2} ASC LIMIT 5"
+    q_last = (f"SELECT vec_id FROM null_emb ORDER BY {l2} "
+              "ASC NULLS LAST LIMIT 5")
+    try:
+        rt.register_path(spark, src, "embedding", "clustered", idx_path,
+                         id_col="vec_id")
+        rt.enable(spark)
+        df = spark.sql(q_default)
+        assert "cluster#" not in _plan(df), "nulls-first ASC was routed"
+        got = [r.vec_id for r in df.collect()]
+        assert got[0] == 900001, "null vector must lead the exact result"
+        assert "cluster#" in _plan(spark.sql(q_last))
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("null_emb")
+
+
+def test_routing_works_through_file_uri_paths(spark, sf_dir, tmp_path):
+    """Registering with explicit ``file://`` URIs must route the same
+    as bare local paths: all probe metadata I/O (centroid sidecars,
+    directory signatures) goes through the Hadoop FileSystem API, the
+    interface object-store deployments (s3a://, gs://) use — not
+    java.io.File, which silently failed on any non-local URI."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import deeplake_spark as dl
+
+    ds = dl.from_parquet(f"{sf_dir}/documents.parquet",
+                         str(tmp_path / "docs"), spark)
+    ds.create_index("text", "inverted")
+    emb = dl.from_parquet(f"{sf_dir}/embeddings.parquet",
+                          str(tmp_path / "emb"), spark)
+    emb.create_index("embedding", "clustered", n_clusters=8)
+    # temp views over file:// URIs so the scan roots carry the scheme
+    import glob
+
+    docs_file = glob.glob(f"{ds.path}/data/*.parquet")[0]
+    emb_file = glob.glob(f"{emb.path}/data/*.parquet")[0]
+    spark.read.parquet(f"file://{docs_file}") \
+        .createOrReplaceTempView("uri_docs")
+    spark.read.parquet(f"file://{emb_file}") \
+        .createOrReplaceTempView("uri_emb")
+    qv = [float(x) for x in spark.sql(
+        "SELECT embedding FROM uri_emb WHERE vec_id = 7"
+    ).collect()[0].embedding]
+    contains_q = CONTAINS_SQL.format(v="uri_docs")
+    ann_q = ("SELECT vec_id FROM uri_emb ORDER BY "
+             f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+    try:
+        stock_contains = sorted(
+            r.doc_id for r in spark.sql(contains_q).collect())
+        stock_ann = [r.vec_id for r in spark.sql(ann_q).collect()]
+        # register under file:// URIs too — both prefix matching and
+        # sidecar reads must handle the scheme
+        rt.register_path(spark, f"file://{ds.path}", "text", "inverted",
+                         f"file://{ds.path}/_indexes/text_inverted",
+                         "_row_id")
+        rt.register_path(spark, f"file://{emb.path}", "embedding",
+                         "clustered",
+                         f"file://{emb.path}/_indexes/embedding_clustered",
+                         "_row_id")
+        rt.enable(spark)
+        df = spark.sql(contains_q)
+        assert "LeftSemi" in _plan(df), "file:// contains did not route"
+        assert sorted(r.doc_id for r in df.collect()) == stock_contains
+        ann = spark.sql(ann_q)
+        assert "cluster#" in _plan(ann), "file:// ANN did not route"
+        got = [r.vec_id for r in ann.collect()]
+        assert len(set(got) & set(stock_ann)) / 10 >= 0.6
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("uri_docs")
+        spark.catalog.dropTempView("uri_emb")
+
+
+def test_probe_scan_cache_is_bounded(spark, routed_ds):
+    """The JVM probe-scan cache must stay bounded (LRU) no matter how
+    many sessions/side tables a long-lived JVM serves — entries for
+    dead sessions age out instead of pinning Datasets forever."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    try:
+        spark.sql(CONTAINS_SQL.format(v="routed_docs")).collect()
+        rule = spark._jvm.io.deeplake.spark.ext.IndexRoutingRule
+        assert rule.scanCacheSize() >= 1
+        assert rule.scanCacheSize() <= rule.scanCacheCap() == 256
+    finally:
+        rt.disable(spark)
+
+
+def test_malformed_ann_conf_falls_back_to_defaults(spark, ann_ds):
+    """A malformed routing conf value must fall back to the default —
+    never fail analysis of every query (the rule's stay-stock-on-
+    failure convention)."""
+    ds, qv = ann_ds
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    cos = rt.cosine_sql("embedding", qv)
+    q = f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC LIMIT 10"
+    for key in ("spark.sql.deeplake.routing.ann.maxK",
+                "spark.sql.deeplake.routing.ann.nprobe",
+                "spark.sql.deeplake.routing.ann.accuracyFactor"):
+        spark.conf.set(key, "not-a-number")
+        try:
+            df = spark.sql(q)           # must plan, with defaults
+            assert "cluster#" in _plan(df)
+            assert len(df.collect()) == 10
+        finally:
+            spark.conf.unset(key)
 
 
 def test_probe_scan_cache_sees_index_deltas(spark, sf_dir, tmp_path):
