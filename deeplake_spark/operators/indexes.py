@@ -33,6 +33,41 @@ from deeplake_spark.io import ensure_parallelism
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
+# ------------------------------------------------- routing cost gate
+#
+# The reference disables an index when it would lose to a scan
+# (cpp/deeplake_pg/index_search.cpp:316-420 pg_costestimate returns
+# max-cost to force a seqscan; stats injected from
+# column_statistics.cpp:278-356). Here: indexes persist cheap
+# selectivity stats at build time (heavy-term df for inverted,
+# per-bucket counts for numeric) and every route consults them —
+# a predicate whose estimated selectivity exceeds the conf below
+# stays on the stock pushed-down scan filter, because semijoining a
+# near-corpus-size probe side shuffles ~the corpus to avoid a filter
+# Parquet evaluates in place (measured at sf0.1: a 77%-df term's
+# routed plan is 1.6x SLOWER than the stock scan, and the gap grows
+# with data).
+
+MAX_SELECTIVITY_KEY = "spark.sql.deeplake.routing.maxSelectivity"
+DEFAULT_MAX_SELECTIVITY = 0.1
+
+#: build-time heavy-hitter floor: terms with df >= n/64 (~1.6%) are
+#: recorded in the termstats sidecar. Any term ABSENT from the sidecar
+#: therefore has selectivity < 1/64 — below any sane gate threshold —
+#: so unknown terms always route. The floor must stay <= the gate
+#: default for that invariant to hold.
+_HEAVY_FRAC = 1.0 / 64
+_HEAVY_CAP = 8192
+
+
+def route_max_selectivity(spark) -> float:
+    """Gate threshold from the session conf (malformed → default)."""
+    try:
+        return float(spark.conf.get(MAX_SELECTIVITY_KEY,
+                                    str(DEFAULT_MAX_SELECTIVITY)))
+    except Exception:
+        return DEFAULT_MAX_SELECTIVITY
+
 
 # ----------------------------------------------------------- inverted (text)
 
@@ -48,6 +83,24 @@ class InvertedIndex:
     postings: DataFrame  # term, row_id, tf
     stats: DataFrame  # n_docs, avgdl
     doclens: DataFrame  # row_id, dl
+    #: routing-gate stats (termstats.json sidecar, loaded): heavy-term
+    #: df map + corpus size. None on a freshly built (unsaved) index —
+    #: est_selectivity then returns None and routes stay ungated.
+    heavy: dict | None = None
+    n_docs_est: int | None = None
+    floor_frac: float = _HEAVY_FRAC
+
+    def est_selectivity(self, term: str) -> float | None:
+        """Estimated df(term)/n from the persisted heavy-term sidecar;
+        terms absent from the sidecar are guaranteed rarer than
+        `floor_frac` (the build-time recording floor), which is the
+        returned upper bound. None = no stats (never gate)."""
+        if not self.n_docs_est:
+            return None
+        df = (self.heavy or {}).get(term.lower())
+        if df is None:
+            return min(1.0, self.floor_frac)
+        return min(1.0, df / self.n_docs_est)
 
     def probe(self, terms: list[str], mode: str = "any") -> DataFrame:
         """terms → row_id relation (the roaring bitmap analog).
@@ -72,6 +125,47 @@ class InvertedIndex:
         ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
         self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
         self.doclens.write.mode(mode).parquet(os.path.join(path, "doclens"))
+        self._write_termstats(path, merge=(mode == "append"))
+
+    def _write_termstats(self, path: str, merge: bool) -> None:
+        """Persist the routing-gate sidecar: df for every HEAVY term
+        (df >= floor_frac * n) + corpus size — the stats the reference
+        injects into its cost hook (column_statistics.cpp:278-356).
+        Bounded: heavy terms number at most avgdl/floor_frac, and a
+        _HEAVY_CAP top-by-df cut raises the recorded floor so unknown
+        terms keep a sound upper bound. On delta append the maps merge
+        by summing: a term absent from BOTH maps has df < floor*n_i in
+        each segment, hence < max(floor)*n overall — the bound
+        survives."""
+        import math
+
+        from deeplake_spark.storage import get_json, json_exists, put_json
+
+        srow = self.stats.agg(
+            F.sum("n_docs").cast("long").alias("n")).head()
+        n = int(srow["n"] or 0)
+        thr = max(1, int(math.ceil(n * _HEAVY_FRAC)))
+        rows = (
+            self.postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= thr)
+            .orderBy(F.desc("df"), "term")
+            .limit(_HEAVY_CAP)
+            .collect()
+        )
+        heavy = {r["term"]: int(r["df"]) for r in rows}
+        floor = _HEAVY_FRAC
+        if len(rows) == _HEAVY_CAP and heavy:
+            floor = max(floor, min(heavy.values()) / max(n, 1))
+        sidecar = os.path.join(path, "termstats.json")
+        if merge and json_exists(sidecar):
+            old = get_json(sidecar)
+            for t, df in old.get("heavy", {}).items():
+                heavy[t] = heavy.get(t, 0) + int(df)
+            n += int(old.get("n_docs", 0))
+            floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
+        put_json(sidecar, {"n_docs": n, "floor_frac": floor,
+                           "heavy": heavy})
 
     def append_to(self, path: str) -> None:
         """Delta maintenance: write this (delta-built) index's postings/
@@ -90,6 +184,16 @@ class InvertedIndex:
             F.sum("n_docs").cast("long").alias("n_docs"),
             (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
         )
+        from deeplake_spark.storage import get_json, json_exists
+
+        heavy = n_est = None
+        floor = _HEAVY_FRAC
+        sidecar = os.path.join(path, "termstats.json")
+        if json_exists(sidecar):
+            ts = get_json(sidecar)
+            heavy = {t: int(df) for t, df in ts.get("heavy", {}).items()}
+            n_est = int(ts.get("n_docs", 0)) or None
+            floor = float(ts.get("floor_frac", _HEAVY_FRAC))
         return cls(
             # keep `bucket`: probes prune the term-hash partition with it
             # (_term_hit) — dropping it here made every probe scan all 64
@@ -97,6 +201,9 @@ class InvertedIndex:
             postings=spark.read.parquet(os.path.join(path, "postings")),
             stats=stats,
             doclens=spark.read.parquet(os.path.join(path, "doclens")),
+            heavy=heavy,
+            n_docs_est=n_est,
+            floor_frac=floor,
         )
 
 
@@ -241,11 +348,36 @@ class NumericIndex:
     values: DataFrame  # value, row_id [, bucket]
     vmin: float | None = None
     width: float | None = None
+    #: routing-gate stats (meta.json): per-bucket row counts + total —
+    #: the 64-cell histogram the range/IN gate estimates from (the
+    #: zone-map twin of the reference's planner stats injection,
+    #: column_statistics.cpp:278-356). None on pre-stats indexes.
+    bucket_counts: dict | None = None
+    n_rows: int | None = None
 
     def _bucket_of(self, v) -> int:
         if self.vmin is None or not self.width:
             return 0
         return max(0, min(_NUM_BUCKETS - 1, int((float(v) - self.vmin) / self.width)))
+
+    def est_range_selectivity(self, lo, hi) -> float | None:
+        """Fraction of rows in the buckets overlapping [lo, hi]; an
+        upper bound at bucket resolution. None = no stats (never
+        gate)."""
+        if not self.n_rows or self.bucket_counts is None:
+            return None
+        blo = 0 if lo is None else self._bucket_of(lo)
+        bhi = _NUM_BUCKETS - 1 if hi is None else self._bucket_of(hi)
+        tot = sum(int(c) for b, c in self.bucket_counts.items()
+                  if blo <= int(b) <= bhi)
+        return min(1.0, tot / self.n_rows)
+
+    def est_in_selectivity(self, items) -> float | None:
+        if not self.n_rows or self.bucket_counts is None:
+            return None
+        buckets = {self._bucket_of(v) for v in items}
+        tot = sum(int(self.bucket_counts.get(str(b), 0)) for b in buckets)
+        return min(1.0, tot / self.n_rows)
 
     def probe_between(self, lo, hi) -> DataFrame:
         out = self.values
@@ -272,7 +404,27 @@ class NumericIndex:
         vmax = float(bounds["hi"]) if bounds["hi"] is not None else vmin
         width = (vmax - vmin) / _NUM_BUCKETS or 1.0
         self._write_values(self.values, path, vmin, width, mode="overwrite")
-        put_json(os.path.join(path, "meta.json"), {"vmin": vmin, "width": width})
+        counts = self._bucket_count_map(self.values, vmin, width)
+        put_json(os.path.join(path, "meta.json"),
+                 {"vmin": vmin, "width": width, "bucket_counts": counts,
+                  "n": sum(counts.values())})
+
+    @staticmethod
+    def _bucket_count_map(values: DataFrame, vmin: float,
+                          width: float) -> dict:
+        """Per-bucket row counts with the same bucket expression the
+        writer partitions by — ≤64 rows collected, build-time only."""
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(_NUM_BUCKETS - 1),
+                F.floor((F.col("value").cast("double") - vmin) / width)
+                .cast("int"),
+            ),
+        )
+        rows = (values.groupBy(bucket.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+        return {str(int(r["b"])): int(r["c"]) for r in rows}
 
     @staticmethod
     def _write_values(values: DataFrame, path: str, vmin: float, width: float,
@@ -290,25 +442,35 @@ class NumericIndex:
 
     def append_to(self, path: str) -> None:
         """Delta append using the EXISTING bucket bounds — prior files
-        untouched."""
-        from deeplake_spark.storage import get_json
+        untouched. Gate stats merge by summing per-bucket counts."""
+        from deeplake_spark.storage import get_json, put_json
 
         meta = get_json(os.path.join(path, "meta.json"))
         self._write_values(self.values, path, meta["vmin"], meta["width"],
                            mode="append")
+        delta = self._bucket_count_map(self.values, meta["vmin"],
+                                       meta["width"])
+        counts = dict(meta.get("bucket_counts", {}))
+        for b, c in delta.items():
+            counts[b] = int(counts.get(b, 0)) + c
+        meta.update(bucket_counts=counts,
+                    n=int(meta.get("n", 0)) + sum(delta.values()))
+        put_json(os.path.join(path, "meta.json"), meta)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "NumericIndex":
         from deeplake_spark.storage import get_json, json_exists
 
-        vmin = width = None
+        vmin = width = counts = n = None
         meta_path = os.path.join(path, "meta.json")
         if json_exists(meta_path):
             meta = get_json(meta_path)
             vmin, width = meta["vmin"], meta["width"]
+            counts = meta.get("bucket_counts")
+            n = int(meta.get("n", 0)) or None
         return cls(
             values=spark.read.parquet(os.path.join(path, "values")),
-            vmin=vmin, width=width,
+            vmin=vmin, width=width, bucket_counts=counts, n_rows=n,
         )
 
 

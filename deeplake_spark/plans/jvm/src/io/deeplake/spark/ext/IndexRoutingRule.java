@@ -5,8 +5,6 @@ import java.util.Arrays;
 import java.util.HashMap;
 import java.util.List;
 import java.util.Map;
-import java.util.regex.Matcher;
-import java.util.regex.Pattern;
 
 import org.apache.spark.sql.Column;
 import org.apache.spark.sql.Dataset;
@@ -93,6 +91,18 @@ import scala.Option;
 public class IndexRoutingRule extends Rule<LogicalPlan> {
 
     public static final String ENABLED_KEY = "spark.sql.deeplake.routing.enabled";
+
+    /** Selectivity cost gate (mirrors the reference's pg_costestimate,
+     *  cpp/deeplake_pg/index_search.cpp:316-420, fed by planner stats
+     *  from column_statistics.cpp:278-356): a predicate whose
+     *  persisted-stats estimate keeps MORE than this fraction of rows
+     *  is NOT routed — its posting/value probe side would be
+     *  near-corpus-size, and semijoining it shuffles ~the corpus to
+     *  avoid a filter Parquet evaluates in place. Unknown stats (no
+     *  sidecar) route as before. Shared with the TQL routes. */
+    public static final String MAX_SELECTIVITY_KEY =
+            "spark.sql.deeplake.routing.maxSelectivity";
+    static final double DEFAULT_MAX_SELECTIVITY = 0.1;
 
     /** re-entrancy guard: probe plans are themselves analyzed/optimized. */
     private static final ThreadLocal<Boolean> IN_REWRITE =
@@ -195,6 +205,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         List<Dataset<Row>> probes = new ArrayList<>();
         List<String> probeIdCols = new ArrayList<>();
         Map<String, Range> ranges = new HashMap<>();
+        double maxSel = confDouble(MAX_SELECTIVITY_KEY,
+                DEFAULT_MAX_SELECTIVITY);
 
         scala.collection.Iterator<Expression> cit =
                 f.splitConjunctivePredicates(f.condition()).iterator();
@@ -204,7 +216,9 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             if (tok != null) {
                 IndexRegistry.Entry en = byCol.get(tok[0]);
                 if (en != null && "inverted".equals(en.kind)
-                        && hasAttr(child, en.idCol)) {
+                        && hasAttr(child, en.idCol)
+                        && routable(invertedSelectivity(en, tok[1]),
+                                maxSel)) {
                     probes.add(invertedProbe(en, tok[1]));
                     probeIdCols.add(en.idCol);
                     continue;
@@ -229,7 +243,9 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             if (in != null) {
                 IndexRegistry.Entry en = byCol.get(in.column);
                 if (en != null && "numeric".equals(en.kind)
-                        && hasAttr(child, en.idCol)) {
+                        && hasAttr(child, en.idCol)
+                        && routable(estInSel(readNumMeta(en.indexPath),
+                                in.values), maxSel)) {
                     probes.add(inProbe(en, in.values));
                     probeIdCols.add(en.idCol);
                     continue;
@@ -244,6 +260,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                             k -> new Range(en));
                     r.add(bt[0]);
                     r.add(bt[1]);
+                    r.sources.add(c);
                     continue;
                 }
             }
@@ -252,14 +269,26 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 IndexRegistry.Entry en = byCol.get(b.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)) {
-                    ranges.computeIfAbsent(b.column, k -> new Range(en))
-                            .add(b);
+                    Range r = ranges.computeIfAbsent(b.column,
+                            k -> new Range(en));
+                    r.add(b);
+                    r.sources.add(c);
                     continue;
                 }
             }
             residual.add(c);
         }
         for (Range r : ranges.values()) {
+            // gate on the TIGHTENED bounds — several conjuncts may
+            // combine into one selective range; if the range would
+            // keep too much, its conjuncts return to the residual
+            // filter and the stock scan evaluates them in place
+            double sel = estRangeSel(readNumMeta(r.entry.indexPath),
+                    r.lo, r.hi);
+            if (!routable(sel, maxSel)) {
+                residual.addAll(r.sources);
+                continue;
+            }
             probes.add(rangeProbe(r));
             probeIdCols.add(r.entry.idCol);
         }
@@ -344,6 +373,84 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         } catch (Exception e) {
             return def;
         }
+    }
+
+    private double confDouble(String key, double def) {
+        try {
+            return Double.parseDouble(
+                    session.conf().get(key, Double.toString(def)).trim());
+        } catch (Exception e) {
+            return def;
+        }
+    }
+
+    // ------------------------------------------------ selectivity stats
+
+    /** Parsed-sidecar LRU keyed by normalized path, invalidated by the
+     *  file's (mtime, len) signature — stats are consulted on EVERY
+     *  candidate route, so they must not cost a filesystem read per
+     *  planned query. */
+    private static final Map<String, Object[]> STATS_CACHE =
+            java.util.Collections.synchronizedMap(
+                    new java.util.LinkedHashMap<String, Object[]>(
+                            32, 0.75f, true) {
+                        @Override
+                        protected boolean removeEldestEntry(
+                                Map.Entry<String, Object[]> eldest) {
+                            return size() > 128;
+                        }
+                    });
+
+    private com.fasterxml.jackson.databind.JsonNode cachedJson(
+            String pathStr) {
+        String norm = IndexRegistry.normalize(pathStr);
+        long sig;
+        try {
+            org.apache.hadoop.fs.Path p =
+                    new org.apache.hadoop.fs.Path(pathStr);
+            org.apache.hadoop.fs.FileStatus st =
+                    p.getFileSystem(hconf()).getFileStatus(p);
+            sig = st.getModificationTime() * 31 + st.getLen();
+        } catch (Exception e) {
+            return null;                // missing sidecar: no stats
+        }
+        Object[] hit = STATS_CACHE.get(norm);
+        if (hit != null && ((Long) hit[0]).longValue() == sig) {
+            return (com.fasterxml.jackson.databind.JsonNode) hit[1];
+        }
+        byte[] raw = readSidecar(pathStr);
+        if (raw == null) {
+            return null;
+        }
+        try {
+            com.fasterxml.jackson.databind.JsonNode node =
+                    new com.fasterxml.jackson.databind.ObjectMapper()
+                            .readTree(raw);
+            STATS_CACHE.put(norm, new Object[]{sig, node});
+            return node;
+        } catch (Exception e) {
+            return null;
+        }
+    }
+
+    /** Estimated df(term)/n from the inverted index's heavy-term
+     *  sidecar; terms absent from it are rarer than the recorded
+     *  floor (the build-time invariant). -1 = no stats, never gate. */
+    private double invertedSelectivity(IndexRegistry.Entry en, String kw) {
+        com.fasterxml.jackson.databind.JsonNode ts =
+                cachedJson(en.indexPath + "/termstats.json");
+        if (ts == null) {
+            return -1;
+        }
+        long n = ts.path("n_docs").asLong(0);
+        if (n <= 0) {
+            return -1;
+        }
+        com.fasterxml.jackson.databind.JsonNode h = ts.path("heavy").get(kw);
+        if (h != null && h.isNumber()) {
+            return Math.min(1.0, h.asDouble() / n);
+        }
+        return Math.min(1.0, ts.path("floor_frac").asDouble(1.0 / 64));
     }
 
     // ----------------------------------------------------- probe builders
@@ -462,7 +569,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
 
     private Dataset<Row> inProbe(IndexRegistry.Entry en, List<Object> values) {
         Dataset<Row> v = readCached(en.indexPath + "/values");
-        double[] meta = readMeta(en.indexPath);
+        NumMeta meta = readNumMeta(en.indexPath);
         if (meta != null && Arrays.asList(v.columns()).contains("bucket")) {
             List<Object> buckets = new ArrayList<>();
             for (Object o : values) {
@@ -479,7 +586,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
 
     private Dataset<Row> rangeProbe(Range r) {
         Dataset<Row> v = readCached(r.entry.indexPath + "/values");
-        double[] meta = readMeta(r.entry.indexPath);
+        NumMeta meta = readNumMeta(r.entry.indexPath);
         boolean hasBucket = Arrays.asList(v.columns()).contains("bucket");
         if (meta != null && hasBucket) {
             if (r.lo != null) {
@@ -504,36 +611,80 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return v.select("row_id").distinct();
     }
 
-    private static int bucketOf(double v, double[] meta) {
-        double vmin = meta[0];
-        double width = meta[1] == 0.0 ? 1.0 : meta[1];
-        int b = (int) Math.floor((v - vmin) / width);
+    private static int bucketOf(double v, NumMeta meta) {
+        double width = meta.width == 0.0 ? 1.0 : meta.width;
+        int b = (int) Math.floor((v - meta.vmin) / width);
         return Math.max(0, Math.min(63, b));
     }
 
-    private static final Pattern VMIN =
-            Pattern.compile("\"vmin\"\\s*:\\s*(-?[0-9.eE+]+)");
-    private static final Pattern WIDTH =
-            Pattern.compile("\"width\"\\s*:\\s*(-?[0-9.eE+]+)");
+    /** Numeric-index sidecar: bucket bounds (always) + the 64-bucket
+     *  histogram the range/IN gate estimates from (round-8 builds). */
+    private static final class NumMeta {
+        double vmin;
+        double width;
+        long[] counts;      // null on pre-stats indexes
+        long n;
+    }
 
-    private double[] readMeta(String indexPath) {
+    private NumMeta readNumMeta(String indexPath) {
         try {
-            byte[] raw = readSidecar(indexPath + "/meta.json");
-            if (raw == null) {
+            com.fasterxml.jackson.databind.JsonNode m =
+                    cachedJson(indexPath + "/meta.json");
+            if (m == null || !m.has("vmin") || !m.has("width")) {
                 return null;
             }
-            String txt = new String(raw,
-                    java.nio.charset.StandardCharsets.UTF_8);
-            Matcher mv = VMIN.matcher(txt);
-            Matcher mw = WIDTH.matcher(txt);
-            if (mv.find() && mw.find()) {
-                return new double[]{Double.parseDouble(mv.group(1)),
-                        Double.parseDouble(mw.group(1))};
+            NumMeta nm = new NumMeta();
+            nm.vmin = m.get("vmin").asDouble();
+            nm.width = m.get("width").asDouble();
+            com.fasterxml.jackson.databind.JsonNode bc =
+                    m.get("bucket_counts");
+            if (bc != null && bc.isObject()) {
+                nm.counts = new long[64];
+                java.util.Iterator<String> it = bc.fieldNames();
+                while (it.hasNext()) {
+                    String k = it.next();
+                    int b = Integer.parseInt(k);
+                    if (b >= 0 && b < 64) {
+                        nm.counts[b] = bc.get(k).asLong();
+                    }
+                }
+                nm.n = m.path("n").asLong(0);
             }
+            return nm;
         } catch (Exception ignored) {
-            // sidecar missing: probe stays exact, just unpruned
+            // sidecar missing: probe stays exact, just unpruned/ungated
+            return null;
         }
-        return null;
+    }
+
+    /** Bucket-resolution selectivity upper bound; -1 = no stats. */
+    private static double estRangeSel(NumMeta nm, Number lo, Number hi) {
+        if (nm == null || nm.counts == null || nm.n <= 0) {
+            return -1;
+        }
+        int blo = lo == null ? 0 : bucketOf(lo.doubleValue(), nm);
+        int bhi = hi == null ? 63 : bucketOf(hi.doubleValue(), nm);
+        long tot = 0;
+        for (int b = blo; b <= bhi; b++) {
+            tot += nm.counts[b];
+        }
+        return Math.min(1.0, (double) tot / nm.n);
+    }
+
+    private static double estInSel(NumMeta nm, List<Object> values) {
+        if (nm == null || nm.counts == null || nm.n <= 0) {
+            return -1;
+        }
+        boolean[] seen = new boolean[64];
+        long tot = 0;
+        for (Object o : values) {
+            int b = bucketOf(((Number) o).doubleValue(), nm);
+            if (!seen[b]) {
+                seen[b] = true;
+                tot += nm.counts[b];
+            }
+        }
+        return Math.min(1.0, (double) tot / nm.n);
     }
 
     // ------------------------------------------- top-k ANN (Sort + Limit)
@@ -1481,8 +1632,14 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return m;
     }
 
+    /** sel < 0 = no stats (route, the pre-gate behavior). */
+    private static boolean routable(double sel, double maxSel) {
+        return sel < 0 || sel <= maxSel;
+    }
+
     private final class Range {
         final IndexRegistry.Entry entry;
+        final List<Expression> sources = new ArrayList<>();
         Number lo;
         Number hi;
         boolean loStrict;

@@ -90,6 +90,13 @@ JAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm",
                    "deeplake-spark-ext.jar")
 EXTENSION_CLASS = "io.deeplake.spark.ext.DeeplakeSparkExtensions"
 ENABLED_KEY = "spark.sql.deeplake.routing.enabled"
+#: selectivity cost gate, shared with the TQL routes (operators/
+#: indexes.py): a CONTAINS/BETWEEN/IN predicate whose persisted-stats
+#: estimate keeps more than this fraction of rows stays on the stock
+#: pushed-down scan filter — semijoining a near-corpus-size probe side
+#: shuffles ~the corpus to avoid a filter Parquet evaluates in place
+#: (the reference's pg_costestimate, index_search.cpp:316-420).
+MAX_SELECTIVITY_KEY = "spark.sql.deeplake.routing.maxSelectivity"
 
 
 def session_confs() -> dict[str, str]:

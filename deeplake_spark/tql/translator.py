@@ -410,6 +410,17 @@ class Translator:
         def semijoin(ids, id_col):
             return df.join(ids.withColumnRenamed("row_id", id_col), id_col, "left_semi")
 
+        def gate_ok(est) -> bool:
+            """Selectivity cost gate (the reference's pg_costestimate,
+            index_search.cpp:316-420): when the index's persisted stats
+            estimate the predicate to keep MORE than the conf'd
+            fraction of rows, the posting/value semijoin would shuffle
+            ~the corpus to avoid a filter Parquet evaluates in place —
+            leave the plan stock. est None = no stats, never gate."""
+            if est is None:
+                return True
+            return est <= self._route_gate()
+
         # CONTAINS(col, 'kw') → inverted probe
         if (
             isinstance(c, ast.FuncCall)
@@ -419,7 +430,7 @@ class Translator:
             and isinstance(c.args[1], ast.Literal)
         ):
             m = entry(c.args[0].name, "inverted")
-            if m:
+            if m and gate_ok(m[0].est_selectivity(str(c.args[1].value))):
                 return contains_via_index(df, m[0], str(c.args[1].value), id_col=m[1])
         # EQUALS(col, 'lit') → exact digest probe (index_search.cpp:172-199)
         if (
@@ -446,7 +457,8 @@ class Translator:
             and isinstance(c.high, ast.Literal)
         ):
             m = entry(c.operand.name, "numeric")
-            if m:
+            if m and gate_ok(
+                    m[0].est_range_selectivity(c.low.value, c.high.value)):
                 return semijoin(m[0].probe_between(c.low.value, c.high.value), m[1])
         # col IN (v1, v2, ...) → numeric membership probe
         if (
@@ -456,7 +468,8 @@ class Translator:
             and all(isinstance(i, ast.Literal) for i in c.items)
         ):
             m = entry(c.operand.name, "numeric")
-            if m:
+            if m and gate_ok(
+                    m[0].est_in_selectivity([i.value for i in c.items])):
                 return semijoin(m[0].probe_in([i.value for i in c.items]), m[1])
         # json_col['path'] == lit → JSON path-value probe
         if (
@@ -472,6 +485,19 @@ class Translator:
             if m:
                 return semijoin(m[0].probe(c.left.index.value, c.right.value), m[1])
         return None
+
+    def _route_gate(self) -> float:
+        """Max estimated selectivity a predicate may have and still
+        route through an index (conf `spark.sql.deeplake.routing.
+        maxSelectivity`, shared with the Catalyst rule)."""
+        from deeplake_spark.operators.indexes import (
+            DEFAULT_MAX_SELECTIVITY,
+            route_max_selectivity,
+        )
+
+        if self.spark is None:
+            return DEFAULT_MAX_SELECTIVITY
+        return route_max_selectivity(self.spark)
 
     def _vec_literal(self, node: ast.Node) -> list[float] | None:
         """Resolve a query-vector expression to a Python float list

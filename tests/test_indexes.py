@@ -106,25 +106,105 @@ def test_exact_index(spark, docs):
     assert got == exp and 3 in got
 
 
+def test_inverted_termstats_sidecar_and_merge(spark, tmp_path):
+    """save() persists heavy-term df + corpus size (the routing gate's
+    stats, reference column_statistics.cpp:278-356); append_to merges
+    by summing so the unknown-term upper bound survives deltas."""
+    from deeplake_spark.operators.indexes import InvertedIndex
+
+    df = spark.createDataFrame(
+        [(i, "common " + ("rareword" if i == 0 else "filler")) for i in range(20)],
+        "doc_id long, text string")
+    p = str(tmp_path / "inv")
+    build_inverted_index(df, "text", "doc_id").save(p)
+    idx = InvertedIndex.load(spark, p)
+    assert idx.n_docs_est == 20
+    assert idx.est_selectivity("common") == 1.0
+    assert idx.est_selectivity("rareword") == pytest.approx(0.05)
+    # unknown terms: bounded by the recording floor (always routable)
+    assert idx.est_selectivity("neverseen") <= 1.0 / 64
+    # freshly built (unsaved) index: no stats, never gated
+    assert build_inverted_index(df, "text", "doc_id") \
+        .est_selectivity("common") is None
+
+    delta = spark.createDataFrame(
+        [(100 + i, "common extra") for i in range(10)],
+        "doc_id long, text string")
+    build_inverted_index(delta, "text", "doc_id").append_to(p)
+    merged = InvertedIndex.load(spark, p)
+    assert merged.n_docs_est == 30
+    assert merged.est_selectivity("common") == 1.0
+    assert merged.est_selectivity("rareword") == pytest.approx(1 / 30)
+
+
+def test_numeric_bucket_counts_sidecar_and_merge(spark, tmp_path):
+    """NumericIndex meta.json carries the 64-bucket histogram the
+    range/IN gate estimates from; append_to sums the delta's counts
+    (out-of-range values clamp to edge buckets, same as the writer)."""
+    from deeplake_spark.operators.indexes import NumericIndex
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "row long, v double")
+    p = str(tmp_path / "num")
+    build_numeric_index(df, "v", id_col="row").save(p)
+    idx = NumericIndex.load(spark, p)
+    assert idx.n_rows == 100
+    assert idx.est_range_selectivity(0, 99) == 1.0
+    narrow = idx.est_range_selectivity(0, 5)
+    assert narrow is not None and narrow <= 0.15   # bucket resolution
+    assert idx.est_in_selectivity([0.0]) <= 0.05
+    assert idx.est_range_selectivity(None, 10) <= 0.2   # open lower bound
+
+    delta = spark.createDataFrame([(1000 + i, 1e6) for i in range(100)],
+                                  "row long, v double")
+    build_numeric_index(delta, "v", id_col="row").append_to(p)
+    merged = NumericIndex.load(spark, p)
+    assert merged.n_rows == 200
+    # the delta clamped into the top bucket: full-range still 1.0,
+    # a low range now ~half as selective
+    assert merged.est_range_selectivity(0, 99) == 1.0
+    assert merged.est_range_selectivity(0, 5) == pytest.approx(
+        narrow / 2, rel=0.01)
+
+
 def test_dataset_create_index_and_tql_rewrite(spark, sf_dir):
     """End-to-end: ds.create_index → TQL CONTAINS routes through the
-    posting semijoin and matches the scan path."""
+    posting semijoin for a SELECTIVE term and matches the scan path —
+    while a frequent term (df ≈ 0.77·N in this fixture) stays on the
+    stock scan filter under the default selectivity gate (the
+    reference's pg_costestimate behavior, index_search.cpp:316-420):
+    semijoining a near-corpus-size probe side loses to the in-place
+    filter, measurably (sf0.1: 1.6x)."""
     import tempfile
 
     from deeplake_spark import dataset as dl
+    from deeplake_spark.operators.indexes import MAX_SELECTIVITY_KEY
+    from deeplake_spark.plans.explain import explain_query
 
     with tempfile.TemporaryDirectory() as d:
         ds = dl.from_parquet(f"{sf_dir}/documents.parquet", d + "/ds", spark)
-        scan = {r.doc_id for r in ds.query("SELECT doc_id WHERE CONTAINS(text, 'spark')").collect()}
+        q_rare = "SELECT doc_id WHERE CONTAINS(text, 'dup')"
+        q_freq = "SELECT doc_id WHERE CONTAINS(text, 'spark')"
+        scan_rare = {r.doc_id for r in ds.query(q_rare).collect()}
+        scan_freq = {r.doc_id for r in ds.query(q_freq).collect()}
+        assert scan_rare and scan_freq
         ds.create_index("text", "inverted")
-        via = ds.query("SELECT doc_id WHERE CONTAINS(text, 'spark')")
-        assert {r.doc_id for r in via.collect()} == scan
-        # plan proof: the rewrite produced a semijoin, not a tokenize scan
-        from deeplake_spark.plans.explain import explain_query
-
+        # selective term: routed (posting semijoin), same rows
+        via = ds.query(q_rare)
+        assert {r.doc_id for r in via.collect()} == scan_rare
         assert "Join" in explain_query(via).text
+        # frequent term: the gate keeps the stock plan, same rows
+        freq = ds.query(q_freq)
+        assert {r.doc_id for r in freq.collect()} == scan_freq
+        assert "Join" not in explain_query(freq).text
+        # raising the threshold routes the frequent term again
+        spark.conf.set(MAX_SELECTIVITY_KEY, "1.0")
+        try:
+            assert "Join" in explain_query(ds.query(q_freq)).text
+        finally:
+            spark.conf.unset(MAX_SELECTIVITY_KEY)
         ds.drop_index("text")
-        assert {r.doc_id for r in ds.query("SELECT doc_id WHERE CONTAINS(text, 'spark')").collect()} == scan
+        assert {r.doc_id for r in ds.query(q_rare).collect()} == scan_rare
 
 
 def test_numeric_and_json_index_rewrites(spark, sf_dir):

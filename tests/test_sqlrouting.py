@@ -25,6 +25,18 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+@pytest.fixture(autouse=True)
+def _ungated(spark):
+    """The synthetic fixture vocabulary is DENSE (31 words, most in
+    >50% of docs), so under the default selectivity gate almost no
+    CONTAINS would route. These tests pin the rewrite machinery — run
+    them ungated; the gate itself is covered by
+    test_selectivity_gate_keeps_frequent_predicates_stock."""
+    spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")
+    yield
+    spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
+
+
 @pytest.fixture()
 def routed_ds(spark, sf_dir, tmp_path):
     if not rt.is_available(spark):
@@ -742,6 +754,44 @@ def test_sql_topk_huge_limit_stays_exact(spark, ann_ds):
         assert "cluster#" in _plan(spark.sql(big))
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.ann.maxK")
+
+
+def test_selectivity_gate_keeps_frequent_predicates_stock(spark,
+                                                          routed_ds):
+    """The cost gate (reference pg_costestimate, index_search.cpp:
+    316-420): under the DEFAULT maxSelectivity, a frequent term
+    (df ≈ 0.77·N here) and a broad numeric range stay on the stock
+    pushed-down scan — their probe sides would be near-corpus-size and
+    the semijoin measurably loses to the in-place filter (sf0.1:
+    stock 0.178s vs routed 0.29s) — while a selective term ('dup',
+    df ≈ 0.05·N) and a narrow range still route. Results identical
+    in every case."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    spark.conf.unset(rt.MAX_SELECTIVITY_KEY)     # exercise the DEFAULT
+    freq = CONTAINS_SQL.format(v="routed_docs")  # 'spark': df ~0.77
+    rare = ("SELECT doc_id FROM routed_docs WHERE "
+            "array_contains(split(lower(text), '\\\\s+'), 'dup')")
+    broad = ("SELECT doc_id FROM routed_docs "
+             "WHERE n_chars BETWEEN 50 AND 400")  # ~0.68 of rows
+    narrow = ("SELECT doc_id FROM routed_docs "
+              "WHERE n_chars BETWEEN 104 AND 112")
+    try:
+        for q, should_route in ((freq, False), (rare, True),
+                                (broad, False), (narrow, True)):
+            df = spark.sql(q)
+            routed = "LeftSemi" in _plan(df)
+            assert routed == should_route, (q, _plan(df)[:400])
+            rt.disable(spark)
+            want = sorted(r.doc_id for r in spark.sql(q).collect())
+            rt.enable(spark)
+            assert sorted(r.doc_id for r in df.collect()) == want
+        # raising the threshold routes the frequent term again
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")
+        assert "LeftSemi" in _plan(spark.sql(freq))
+    finally:
+        rt.disable(spark)
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # autouse teardown
 
 
 def test_sql_topk_nulls_first_stays_stock_and_exact(spark, sf_dir,

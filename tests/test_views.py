@@ -83,8 +83,13 @@ def test_view_tag_and_summary(ds):
         bare.tag("nope")
 
 
-def test_chained_view_keeps_index_acceleration(ds):
+def test_chained_view_keeps_index_acceleration(ds, spark):
+    from deeplake_spark.operators.indexes import MAX_SELECTIVITY_KEY
+
     ds.create_index("text", "inverted")
+    # 'spark' hits half this tiny fixture — lift the selectivity gate;
+    # this test pins CHAINING, the gate has its own tests
+    spark.conf.set(MAX_SELECTIVITY_KEY, "1.0")
     try:
         v = ds.query("SELECT text, score, _row_id WHERE score >= 0")
         routed = v.query("SELECT text WHERE CONTAINS(text, 'spark')")
@@ -93,6 +98,7 @@ def test_chained_view_keeps_index_acceleration(ds):
         assert "LeftSemi" in plan
         assert routed.count() == 5
     finally:
+        spark.conf.unset(MAX_SELECTIVITY_KEY)
         ds.drop_index("text")
 
 

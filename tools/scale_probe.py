@@ -215,6 +215,149 @@ def skew_section(spark, big_dir: str, k: int, hot_frac: float = 0.2):
     return {"hot_frac": hot_frac, "hot_key": int(hot), "rows": rows}
 
 
+def _replicate_plain_docs(spark, k: int, out: str) -> None:
+    """Documents replicated WITHOUT the token suffixing `replicate`
+    applies: the gate/ANN probes need terms whose FRACTIONAL df stays
+    constant as the corpus grows (a suffixed term's global selectivity
+    would fall 1/k and measure the wrong regime)."""
+    df = load_table(spark, BASE_SF, "documents")
+    parts = [df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+             for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(max(4, 4 * k)).write.mode("overwrite").parquet(out)
+
+
+def gate_section(spark, k: int):
+    """Selectivity-gate datapoint: frequent-term CONTAINS (df ~0.77·N
+    at every scale) through the stock pushed-down scan filter vs the
+    ungated posting semijoin, plus the same pair for a selective term
+    (df ~0.05·N). The gate's claim: stock wins on the frequent term
+    and the gap grows with scale; the index keeps winning regimes
+    (selective predicates) routed."""
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        build_inverted_index,
+    )
+    from deeplake_spark.plans import sqlrouting as rt
+
+    out = {}
+    for kk in (1, k):
+        docs_path = os.path.join(WORK, f"gatedocs_x{kk}.parquet")
+        _replicate_plain_docs(spark, kk, docs_path)
+        d = spark.read.parquet(docs_path)
+        idx_path = os.path.join(WORK, f"gateidx_x{kk}")
+        build_inverted_index(d, "text", "doc_id").save(idx_path)
+        d.createOrReplaceTempView("gate_docs")
+        rt.register_path(spark, docs_path, "text", "inverted", idx_path,
+                         "doc_id")
+
+        def timed(q, n=2):
+            best = None
+            for _ in range(n):
+                t0 = time.perf_counter()
+                spark.sql(q).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        res = {}
+        for term, label in (("spark", "frequent"), ("dup", "selective")):
+            q = ("SELECT doc_id FROM gate_docs WHERE "
+                 f"array_contains(split(lower(text), '\\\\s+'), '{term}')")
+            rt.disable(spark)
+            res[f"{label}_stock"] = timed(q)
+            rt.enable(spark)
+            spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # force route
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan() \
+                .toString()
+            assert "LeftSemi" in plan, f"{term} did not route"
+            res[f"{label}_routed"] = timed(q)
+            # the DEFAULT gate picks stock for frequent, route for rare
+            spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan() \
+                .toString()
+            res[f"{label}_gate_routes"] = "LeftSemi" in plan
+            rt.disable(spark)
+        assert res["frequent_gate_routes"] is False
+        assert res["selective_gate_routes"] is True
+        rt.clear(spark)
+        out[f"x{kk}"] = res
+    return out
+
+
+def ann_section(spark, k: int):
+    """Routed-vs-exact ANN at 1x and Kx: the same plain-SQL top-k
+    cosine query through the stock exact TakeOrderedAndProject and
+    through the IVF cell-pruned route. The route reads eff-nprobe of
+    the cluster partitions, so its win over the full exact scan should
+    GROW with corpus size; recall vs the exact top-k is asserted at
+    both scales."""
+    from deeplake_spark.operators.similarity import build_ivf, save_ivf
+    from deeplake_spark.plans import sqlrouting as rt
+
+    out = {}
+    for kk in (1, k):
+        # replicas carry IDENTICAL embeddings (only vec_id shifts) —
+        # a deterministic per-replica jitter makes every score unique,
+        # so exact-vs-routed recall compares well-defined top-k sets.
+        # Materialized to parquet: the route requires the score column
+        # to be a SCAN attribute, not a computed projection.
+        emb_src = os.path.join(WORK, f"x{kk}", "embeddings.parquet")
+        emb_path = os.path.join(WORK, f"annemb_x{kk}.parquet")
+        (spark.read.parquet(emb_src)
+         .withColumn("embedding", F.expr(
+             "transform(embedding, (x, i) -> cast(x as double) + "
+             "(vec_id div 10000000) * 0.0002 * (pmod((i + 1) * 131, 17)"
+             " - 8))"))
+         .write.mode("overwrite").parquet(emb_path))
+        d = spark.read.parquet(emb_path)
+        idx_path = os.path.join(WORK, f"annidx_x{kk}")
+        n_clusters = 64
+        save_ivf(build_ivf(d, "embedding", "vec_id",
+                           n_clusters=n_clusters, max_iter=5), idx_path)
+        d.createOrReplaceTempView("ann_docs")
+        qv = [float(x) for x in
+              d.filter(F.col("vec_id") == 7).head().embedding]
+        q = ("SELECT vec_id FROM ann_docs ORDER BY "
+             f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+
+        def timed(n=2):
+            best = None
+            for _ in range(n):
+                t0 = time.perf_counter()
+                spark.sql(q).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        rt.disable(spark)
+        exact_ids = [r.vec_id for r in spark.sql(q).collect()]
+        exact_s = timed()
+        rt.register_path(spark, emb_path, "embedding", "clustered",
+                         idx_path, "vec_id")
+        rt.enable(spark)
+        # eff-nprobe = max(4, 64*af/20) cells of 64: af=4 probes ~20%
+        spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor",
+                       "4")
+        plan = spark.sql(q)._jdf.queryExecution().optimizedPlan() \
+            .toString()
+        assert "cluster#" in plan, "ANN route did not engage"
+        routed_ids = [r.vec_id for r in spark.sql(q).collect()]
+        routed_s = timed()
+        recall = len(set(routed_ids) & set(exact_ids)) / 10
+        assert recall >= 0.6, f"x{kk} recall {recall}"
+        spark.conf.unset("spark.sql.deeplake.routing.ann.accuracyFactor")
+        rt.disable(spark)
+        rt.clear(spark)
+        out[f"x{kk}"] = {"exact_s": exact_s, "routed_s": routed_s,
+                         "recall_at_10": recall,
+                         "speedup": round(exact_s / routed_s, 2)
+                         if routed_s else None}
+    return out
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [8]
     spark = get_spark("scale-probe")
@@ -250,7 +393,10 @@ def main() -> None:
     k = max(ks)                   # skew runs at the largest scale
     big_dir = os.path.join(WORK, f"x{k}")
     skew = skew_section(spark, big_dir, k)
-    print(json.dumps({"ks": ks, "rows": rows, "skew": skew}, indent=1))
+    gate = gate_section(spark, k)
+    ann = ann_section(spark, k)
+    print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
+                      "gate": gate, "ann": ann}, indent=1))
 
     out_md = None
     if "--out" in sys.argv:
@@ -301,6 +447,46 @@ def main() -> None:
         ]
         for r in skew["rows"]:
             lines.append(f"| {r['variant']} | {r['sec']} |")
+        lines += [
+            "",
+            "## Selectivity gate (frequent vs selective CONTAINS)",
+            "",
+            "Documents replicated WITHOUT token suffixing so fractional "
+            "df stays constant with scale: 'spark' hits ~77% of docs, "
+            "'dup' ~5%. `stock` = pushed-down scan filter (what the "
+            "default gate picks for the frequent term); `routed` = the "
+            "posting semijoin forced with maxSelectivity=1.0. The gate's "
+            "claim is the frequent row: stock beats routed and the gap "
+            "grows with corpus size (the probe side is ~0.77·corpus). "
+            "The probe asserts the default gate routes the selective "
+            "term and refuses the frequent one at both scales.",
+            "",
+            "| scale | frequent stock s | frequent routed s | "
+            "selective stock s | selective routed s |",
+            "|---|---|---|---|---|",
+        ]
+        for kk, r in gate.items():
+            lines.append(
+                f"| {kk} | {r['frequent_stock']} | {r['frequent_routed']}"
+                f" | {r['selective_stock']} | {r['selective_routed']} |")
+        lines += [
+            "",
+            "## ANN: routed (IVF cell prune) vs exact top-k",
+            "",
+            "Same plain-SQL `ORDER BY cosine DESC LIMIT 10` through the "
+            "stock exact TakeOrderedAndProject and through the Catalyst "
+            "ANN route (64 cells, accuracyFactor=4 → ~20% of cells "
+            "probed). The route scans eff-nprobe cluster partitions "
+            "instead of the corpus, so its win should grow with scale; "
+            "recall@10 vs the exact answer is asserted ≥ 0.6 at both "
+            "scales.",
+            "",
+            "| scale | exact s | routed s | speedup | recall@10 |",
+            "|---|---|---|---|---|",
+        ]
+        for kk, r in ann.items():
+            lines.append(f"| {kk} | {r['exact_s']} | {r['routed_s']} | "
+                         f"{r['speedup']} | {r['recall_at_10']} |")
         with open(out_md, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"wrote {out_md}")
