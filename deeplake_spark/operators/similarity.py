@@ -207,10 +207,34 @@ def topk_l2(df: DataFrame, vec_col: str, query_vec, k: int = 10,
     )
 
 
+def _widened_nprobe(n_clusters: int, config,
+                    candidate_selectivity: float | None) -> int:
+    """eff-nprobe with filtered-search compensation: when the probe is
+    restricted to a WHERE-prefiltered candidate set keeping fraction
+    `s` of rows, the nearest cells hold ~s of their usual candidate
+    mass — recall degrades as s falls. Widen the probe set by 1/s
+    (capped at every cell == the reference's behavior, which runs
+    top_k with a roaring prefilter over the FULL index,
+    cpp/query_core/index_holder.hpp:35-36). None = unfiltered or no
+    estimate: the stock eff-nprobe."""
+    import math
+
+    eff = min(
+        n_clusters,
+        max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
+    )
+    if candidate_selectivity is not None and candidate_selectivity > 0:
+        eff = min(n_clusters,
+                  math.ceil(eff / max(candidate_selectivity,
+                                      1.0 / n_clusters)))
+    return eff
+
+
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,
                config: SearchConfig | None = None,
                candidates: DataFrame | None = None,
-               metric: str = "cosine") -> DataFrame:
+               metric: str = "cosine",
+               candidate_selectivity: float | None = None) -> DataFrame:
     """Probe the `nprobe` nearest clusters, exact-rerank inside them.
     `metric` picks the rerank ordering: cosine DESC (similarity) or
     l2 ASC (distance — k-means cells are euclidean, so the same
@@ -226,10 +250,11 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     probe (cpp/query_core/index_holder.hpp:30-36, tql.md filtered
     search). Here it is a semijoin applied after the cluster prune, so
     its cost is O(pruned rows), never O(corpus).
+    `candidate_selectivity` (estimated fraction of rows the filter
+    keeps, from the index stats sidecars) widens eff-nprobe by 1/s so
+    filtered recall holds — see _widened_nprobe.
     """
     import numpy as np
-
-    import math
 
     config = config or SearchConfig()
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -240,10 +265,9 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     # count (the reference's recall/latency knob, search_config.hpp:31-55):
     # high_accuracy (20) probes ~all clusters, fast (1) probes few
     n_clusters = len(index.centroids)
-    eff_nprobe = min(
-        n_clusters,
-        max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
-    )
+    eff_nprobe = _widened_nprobe(
+        n_clusters, config,
+        candidate_selectivity if candidates is not None else None)
     probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
     pruned = index.assignments.filter(F.col("cluster").isin(probe))
     if candidates is not None:
@@ -602,7 +626,8 @@ def append_pq_delta(index: PQIndex, new_df: DataFrame, path: str) -> None:
 def pq_search(index: PQIndex, query_vec, k: int = 10,
               config: SearchConfig | None = None,
               candidates: DataFrame | None = None,
-              metric: str = "cosine") -> DataFrame:
+              metric: str = "cosine",
+              candidate_selectivity: float | None = None) -> DataFrame:
     """Asymmetric-distance probe: the query builds an m x 2^nbits dot
     lookup table driver-side (index metadata arithmetic, like the IVF
     centroid ranking); the scan scores each row as
@@ -636,11 +661,9 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
         dists = [(cid, float(np.linalg.norm(np.asarray(c) - q)))
                  for cid, c in index.centroids]
         n_clusters = len(index.centroids)
-        eff_nprobe = min(
-            n_clusters,
-            max(config.nprobe,
-                math.ceil(n_clusters * config.accuracy_factor / 20)),
-        )
+        eff_nprobe = _widened_nprobe(
+            n_clusters, config,
+            candidate_selectivity if candidates is not None else None)
         probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
         codes = codes.filter(F.col("cluster").isin(probe))
     if candidates is not None:

@@ -700,6 +700,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  pruned cells" — not what anyone means by ANN. */
     public static final String ANN_MAXK_KEY =
             "spark.sql.deeplake.routing.ann.maxK";
+    /** Filtered-search recall compensation (default on): when the
+     *  routed top-k sits above WHERE filters, candidates = probed
+     *  cells ∩ filter, so recall falls with filter selectivity. The
+     *  reference never degrades here — it runs top_k with a roaring
+     *  prefilter over the FULL index (index_holder.hpp:35-36); we
+     *  widen eff-nprobe by 1/selectivity, estimated from the same
+     *  stats sidecars the cost gate reads (routed semijoins bound it
+     *  by maxSelectivity — they passed that gate to exist). */
+    public static final String ANN_WIDEN_KEY =
+            "spark.sql.deeplake.routing.ann.widenFiltered";
 
     /**
      * Route {@code ORDER BY <vector score> [DESC|ASC] LIMIT k} over a
@@ -783,6 +793,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         // fixed-point re-run doesn't stack a second identical ANN semijoin
         LogicalPlan base = sort.child();
         List<LogicalPlan> semiProbes = new ArrayList<>();
+        List<Expression> filterConds = new ArrayList<>();
         while (true) {
             if (base instanceof SubqueryAlias) {
                 base = ((SubqueryAlias) base).child();
@@ -791,6 +802,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             } else if (base instanceof Project) {
                 base = ((Project) base).child();
             } else if (base instanceof Filter) {
+                filterConds.add(((Filter) base).condition());
                 base = ((Filter) base).child();
             } else if (base instanceof Join
                     && LeftSemi$.MODULE$.equals(((Join) base).joinType())) {
@@ -867,7 +879,30 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (idAttr == null) {
             return null;
         }
-        Dataset<Row> probe = ivfProbe(en, m.vec);
+        // filtered-search widening: estimate how much of the corpus
+        // the filters below the Sort keep, and probe 1/s more cells
+        double filterSel = -1;
+        if ("true".equalsIgnoreCase(
+                session.conf().get(ANN_WIDEN_KEY, "true"))) {
+            if (!semiProbes.isEmpty()) {
+                // routed semijoins passed the cost gate, so each keeps
+                // at most maxSelectivity of the corpus
+                filterSel = confDouble(MAX_SELECTIVITY_KEY,
+                        DEFAULT_MAX_SELECTIVITY);
+            }
+            List<Expression> cs = new ArrayList<>();
+            for (Expression cond : filterConds) {
+                splitAnd(cond, cs);
+            }
+            for (Expression c : cs) {
+                double s = estimateConjunctSel(c, byCol);
+                if (s >= 0) {
+                    filterSel = filterSel < 0 ? s
+                            : Math.min(filterSel, s);
+                }
+            }
+        }
+        Dataset<Row> probe = ivfProbe(en, m.vec, filterSel);
         if (probe == null) {
             return null;
         }
@@ -891,7 +926,59 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  the user's kept Sort reranks with the EXACT score, so the ADC
      *  compression never touches results). Flat PQ (no centroids)
      *  yields no pruning and stays stock. */
-    private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q) {
+    private static void splitAnd(Expression e, List<Expression> out) {
+        if (e instanceof And) {
+            splitAnd(((And) e).left(), out);
+            splitAnd(((And) e).right(), out);
+        } else {
+            out.add(e);
+        }
+    }
+
+    /** Estimated selectivity of one residual-filter conjunct from the
+     *  same stats sidecars the cost gate reads; -1 = unknown shape or
+     *  no stats (no widening from this conjunct). */
+    private double estimateConjunctSel(Expression c,
+                                       Map<String, IndexRegistry.Entry> byCol) {
+        String[] tok = matchTokenContains(c);
+        if (tok != null) {
+            IndexRegistry.Entry en = byCol.get(tok[0]);
+            if (en != null && "inverted".equals(en.kind)) {
+                return invertedSelectivity(en, tok[1]);
+            }
+        }
+        Bound[] bt = matchBetween(c);
+        if (bt != null) {
+            IndexRegistry.Entry en = byCol.get(bt[0].column);
+            if (en != null && "numeric".equals(en.kind)) {
+                return estRangeSel(readNumMeta(en.indexPath),
+                        bt[0].value, bt[1].value);
+            }
+        }
+        Bound b = matchComparison(c);
+        if (b != null) {
+            IndexRegistry.Entry en = byCol.get(b.column);
+            if (en != null && "numeric".equals(en.kind)) {
+                NumMeta nm = readNumMeta(en.indexPath);
+                if (b.eq) {
+                    return estRangeSel(nm, b.value, b.value);
+                }
+                return b.isLow ? estRangeSel(nm, b.value, null)
+                        : estRangeSel(nm, null, b.value);
+            }
+        }
+        InMatch in = matchIn(c);
+        if (in != null) {
+            IndexRegistry.Entry en = byCol.get(in.column);
+            if (en != null && "numeric".equals(en.kind)) {
+                return estInSel(readNumMeta(en.indexPath), in.values);
+            }
+        }
+        return -1;
+    }
+
+    private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q,
+                                  double filterSel) {
         try {
             boolean pq = "pq".equals(en.kind);
             byte[] txt = readSidecar(en.indexPath
@@ -935,6 +1022,13 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             int af = confInt(ANN_ACCURACY_KEY, 10);
             int eff = Math.min(n, Math.max(nprobe,
                     (int) Math.ceil(n * af / 20.0)));
+            if (filterSel > 0) {
+                // filtered search keeps ~filterSel of each cell's
+                // candidates: probe 1/s more cells (capped at all —
+                // the reference's full-index prefilter equivalent)
+                eff = Math.min(n, (int) Math.ceil(
+                        eff / Math.max(filterSel, 1.0 / n)));
+            }
             Arrays.sort(order, (x, y) -> Double.compare(d2[x], d2[y]));
             Object[] cells = new Object[eff];
             for (int i = 0; i < eff; i++) {

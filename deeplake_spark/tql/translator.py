@@ -486,6 +486,64 @@ class Translator:
                 return semijoin(m[0].probe(c.left.index.value, c.right.value), m[1])
         return None
 
+    def _estimate_where_selectivity(self, where: ast.Node) -> float | None:
+        """Estimated fraction of rows the WHERE keeps, from the index
+        stats sidecars (same shapes _try_index_rewrite matches). AND
+        semantics: the minimum over conjuncts with a known estimate;
+        None when no conjunct is estimable. Feeds the filtered-ANN
+        probe widening (the reference runs top_k with a roaring
+        prefilter over the FULL index — index_holder.hpp:35-36 — so
+        its filtered recall never degrades; we compensate by widening
+        eff-nprobe by 1/selectivity)."""
+        conjuncts: list[ast.Node] = []
+
+        def split(n: ast.Node):
+            if isinstance(n, ast.BinaryOp) and n.op == "AND":
+                split(n.left)
+                split(n.right)
+            else:
+                conjuncts.append(n)
+
+        split(where)
+        best = None
+        for c in conjuncts:
+            est = None
+            if (
+                isinstance(c, ast.FuncCall)
+                and c.name.upper() == "CONTAINS"
+                and len(c.args) == 2
+                and isinstance(c.args[0], ast.ColumnRef)
+                and isinstance(c.args[1], ast.Literal)
+            ):
+                meta = self.indexes.get(c.args[0].name)
+                if meta is not None and len(meta) >= 2:
+                    idx = meta[1] if len(meta) == 3 else meta[0]
+                    f = getattr(idx, "est_selectivity", None)
+                    est = f(str(c.args[1].value)) if f else None
+            elif (
+                isinstance(c, ast.BetweenOp)
+                and isinstance(c.operand, ast.ColumnRef)
+                and isinstance(c.low, ast.Literal)
+                and isinstance(c.high, ast.Literal)
+            ):
+                meta = self.indexes.get(c.operand.name)
+                if meta is not None and len(meta) == 3 and meta[0] == "numeric":
+                    est = meta[1].est_range_selectivity(c.low.value,
+                                                        c.high.value)
+            elif (
+                isinstance(c, ast.InOp)
+                and not c.negated
+                and isinstance(c.operand, ast.ColumnRef)
+                and all(isinstance(i, ast.Literal) for i in c.items)
+            ):
+                meta = self.indexes.get(c.operand.name)
+                if meta is not None and len(meta) == 3 and meta[0] == "numeric":
+                    est = meta[1].est_in_selectivity(
+                        [i.value for i in c.items])
+            if est is not None:
+                best = est if best is None else min(best, est)
+        return best
+
     def _route_gate(self) -> float:
         """Max estimated selectivity a predicate may have and still
         route through an index (conf `spark.sql.deeplake.routing.
@@ -566,13 +624,15 @@ class Translator:
         qvec = self._vec_constant(q_arg, df)
         if qvec is None:
             return None
-        candidates = None
+        candidates = cand_sel = None
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
+            cand_sel = self._estimate_where_selectivity(sel.where)
         fetch = sel.limit.n + (sel.limit.offset or 0)
         search = ivf_search if kind == "clustered" else pq_search
         hits = search(idx, qvec, k=fetch, config=self.search_config,
-                      candidates=candidates, metric="l2").select(
+                      candidates=candidates, metric="l2",
+                      candidate_selectivity=cand_sel).select(
             F.col(idx.id_col).alias(id_col))
         return df.join(F.broadcast(hits), id_col, "left_semi")
 
@@ -665,9 +725,10 @@ class Translator:
             return None
 
         df = self._resolve_source(None)
-        candidates = None
+        candidates = cand_sel = None
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
+            cand_sel = self._estimate_where_selectivity(sel.where)
         fetch = sel.limit.n + (sel.limit.offset or 0)
 
         if fname == "COSINE_SIMILARITY":
@@ -691,11 +752,12 @@ class Translator:
 
                 hits = pq_search(
                     idx, qvec, k=fetch, config=self.search_config,
-                    candidates=candidates,
+                    candidates=candidates, candidate_selectivity=cand_sel,
                 ).select(F.col(idx.id_col).alias(id_col))
             else:
                 hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
-                                  candidates=candidates).select(id_col)
+                                  candidates=candidates,
+                                  candidate_selectivity=cand_sel).select(id_col)
             # k rows — always broadcastable; score recomputed exactly
             # on ≤k rows by the normal path
             return df.join(F.broadcast(hits), id_col, "left_semi")

@@ -106,6 +106,69 @@ def test_exact_index(spark, docs):
     assert got == exp and 3 in got
 
 
+def test_filtered_ann_widens_probe_for_selective_filters(spark, tmp_path):
+    """Filtered ANN recall compensation: when the top-k sits above a
+    selective WHERE, candidates = nprobe cells ∩ filter — if the
+    filtered rows live in cells FAR from the query, the unwidened
+    probe demonstrably misses them. The reference never degrades here
+    (it runs top_k with a roaring prefilter over the FULL index,
+    index_holder.hpp:35-36); we compensate by widening eff-nprobe by
+    1/selectivity, estimated from the task-1 stats sidecars. This
+    fixture is adversarial by construction: 90% of vectors (and the
+    query) sit at +A, the 10% passing the filter sit at -A."""
+    import numpy as np
+
+    import deeplake_spark as dl
+    from deeplake_spark.operators.similarity import ivf_search, load_ivf
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(1000):
+        filt = i % 10 == 0
+        base = -10.0 if filt else 10.0
+        v = rng.normal(0, 0.2, 8)
+        v[0] += base
+        rows.append((i, 1 if filt else 0, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<double>")
+    src = str(tmp_path / "fembed.parquet")
+    df.write.parquet(src)
+    ds = dl.from_parquet(src, str(tmp_path / "fds"), spark)
+    ds.create_index("embedding", "clustered", n_clusters=8)
+    ds.create_index("grp", "numeric")
+    qv = [10.0] + [0.0] * 7
+
+    base_df = ds.to_df()
+    filtered = base_df.filter("grp = 1")
+    from deeplake_spark.operators.similarity import topk_cosine
+
+    exact = [r._row_id for r in
+             topk_cosine(filtered, "embedding", qv, k=5,
+                         id_col="_row_id").collect()]
+    assert len(exact) == 5
+
+    idx = load_ivf(spark, f"{ds.path}/_indexes/embedding_clustered")
+    cand = filtered.select("_row_id")
+    # UNWIDENED: the 4 default cells are all +A cells; ∩ filter = ∅
+    unwidened = ivf_search(idx, qv, k=5, candidates=cand)
+    assert unwidened.count() == 0, "fixture not adversarial enough"
+    # widened by the estimated 10% selectivity: full probe, exact rows
+    widened = [r._row_id for r in
+               ivf_search(idx, qv, k=5, candidates=cand,
+                          candidate_selectivity=0.1).collect()]
+    assert len(set(widened) & set(exact)) / 5 >= 0.6
+
+    # end-to-end TQL: the translator estimates the BETWEEN's
+    # selectivity from the numeric index's bucket stats and widens
+    got = [r.vec_id for r in ds.query(
+        "SELECT vec_id WHERE grp BETWEEN 1 AND 1 "
+        "ORDER BY COSINE_SIMILARITY(embedding, ?) DESC LIMIT 5",
+        params=[qv]).collect()]
+    id_map = {r._row_id: r.vec_id for r in
+              base_df.select("_row_id", "vec_id").collect()}
+    assert len(set(got) & {id_map[i] for i in exact}) / 5 >= 0.6
+
+
 def test_inverted_termstats_sidecar_and_merge(spark, tmp_path):
     """save() persists heavy-term df + corpus size (the routing gate's
     stats, reference column_statistics.cpp:278-356); append_to merges

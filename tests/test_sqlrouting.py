@@ -935,6 +935,62 @@ def test_malformed_ann_conf_falls_back_to_defaults(spark, ann_ds):
             spark.conf.unset(key)
 
 
+def test_sql_filtered_ann_widens_probe(spark, tmp_path):
+    """Filtered-ANN widening in the Catalyst rule: a routed top-k
+    above a selective WHERE probes 1/selectivity more cells (estimated
+    from the stats sidecars / the routed-semijoin gate bound), so the
+    adversarial fixture — filtered rows living in cells far from the
+    query — still returns the exact rows. With
+    routing.ann.widenFiltered=false the unwidened route demonstrably
+    misses them."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import numpy as np
+
+    import deeplake_spark as dl
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(1000):
+        filt = i % 10 == 0
+        v = rng.normal(0, 0.2, 8)
+        v[0] += -10.0 if filt else 10.0
+        rows.append((i, 1 if filt else 0, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<double>")
+    src = str(tmp_path / "fembed.parquet")
+    df.write.parquet(src)
+    ds = dl.from_parquet(src, str(tmp_path / "fds"), spark)
+    ds.create_index("embedding", "clustered", n_clusters=8)
+    ds.create_index("grp", "numeric")
+    ds.to_df().createOrReplaceTempView("fann_emb")
+    qv = [10.0] + [0.0] * 7
+    q = ("SELECT vec_id FROM fann_emb WHERE grp BETWEEN 1 AND 1 "
+         f"ORDER BY {rt.cosine_sql('embedding', qv)} DESC LIMIT 5")
+    try:
+        exact = [r.vec_id for r in spark.sql(q).collect()]
+        assert len(exact) == 5
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        spark.conf.unset(rt.MAX_SELECTIVITY_KEY)   # the gate bound feeds
+        # the widening estimate — exercise the default
+        routed = spark.sql(q)
+        assert "cluster#" in _plan(routed)
+        got = [r.vec_id for r in routed.collect()]
+        assert len(set(got) & set(exact)) / 5 >= 0.6
+        # without widening the route misses the far-cell candidates
+        spark.conf.set("spark.sql.deeplake.routing.ann.widenFiltered",
+                       "false")
+        narrow = [r.vec_id for r in spark.sql(q).collect()]
+        assert len(set(narrow) & set(exact)) / 5 < 0.6
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.conf.unset("spark.sql.deeplake.routing.ann.widenFiltered")
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # autouse teardown
+        spark.catalog.dropTempView("fann_emb")
+
+
 def test_probe_scan_cache_sees_index_deltas(spark, sf_dir, tmp_path):
     """The JVM-side probe scan cache (per-(session,path), directory
     mtime/size signature) must invalidate when the index gains delta
