@@ -612,16 +612,215 @@ def encode_dib_avi(frames: list, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _decode_video_frames_mp4(payload: bytes,
+                             every_n: int) -> list[tuple[int, np.ndarray]]:
+    """REAL video decode for mp4 (ISO-BMFF) carrying MOTION-JPEG
+    samples — the same trick the AVI path uses, moved to the other
+    mainstream container: a stdlib box walk (ftyp/moov/trak/mdia/minf/
+    stbl → stsd + stsz + stsc + stco/co64) reconstructs per-sample
+    file offsets, and every sampled frame goes to the in-repo JPEG
+    decoder (operators/_jpeg.py). Accepted sample-entry fourccs:
+    'jpeg' (MP4/QuickTime motion-JPEG), 'mjpg'/'MJPG', 'mjpa'. Any
+    other codec (avc1/hev1/...) raises ValueError so the caller's
+    documented hierarchy (PyAV → deterministic fake) takes over —
+    an H.264 entropy decoder is genuinely out of stdlib scope
+    (reference Video htype decodes via ffmpeg,
+    python/deeplake/types.pyi:1310-1361)."""
+    from deeplake_spark.operators._jpeg import decode_baseline
+
+    data = bytes(payload)
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+
+    def boxes(pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("malformed mp4 largesize box")
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed mp4 box")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def child(kind: bytes, pos: int, end: int) -> tuple[int, int] | None:
+        for t, s, e in boxes(pos, end):
+            if t == kind:
+                return s, e
+        return None
+
+    moov = child(b"moov", 0, len(data))
+    if moov is None:
+        raise ValueError("mp4 missing moov")
+
+    def parse_stbl(s: int, e: int):
+        fmt = sizes = stsc = stco = None
+        for t, bs, be in boxes(s, e):
+            if t == b"stsd":
+                (count,) = struct.unpack_from(">I", data, bs + 4)
+                if count >= 1:
+                    fmt = data[bs + 12:bs + 16]
+            elif t == b"stsz":
+                uniform, n = struct.unpack_from(">II", data, bs + 4)
+                if uniform:
+                    sizes = [uniform] * n
+                else:
+                    sizes = list(struct.unpack_from(f">{n}I", data,
+                                                    bs + 12))
+            elif t == b"stsc":
+                (n,) = struct.unpack_from(">I", data, bs + 4)
+                stsc = [struct.unpack_from(">III", data, bs + 8 + 12 * i)
+                        for i in range(n)]
+            elif t == b"stco":
+                (n,) = struct.unpack_from(">I", data, bs + 4)
+                stco = list(struct.unpack_from(f">{n}I", data, bs + 8))
+            elif t == b"co64":
+                (n,) = struct.unpack_from(">I", data, bs + 4)
+                stco = list(struct.unpack_from(f">{n}Q", data, bs + 8))
+        return fmt, sizes, stsc, stco
+
+    found = None
+    for t, s, e in boxes(*moov):
+        if t != b"trak":
+            continue
+        mdia = child(b"mdia", s, e)
+        minf = mdia and child(b"minf", *mdia)
+        stbl = minf and child(b"stbl", *minf)
+        if not stbl:
+            continue
+        fmt, sizes, stsc, stco = parse_stbl(*stbl)
+        if fmt is None or sizes is None or stsc is None or stco is None:
+            continue
+        if fmt.lower() in (b"jpeg", b"mjpg", b"mjpa"):
+            found = (sizes, stsc, stco)
+            break
+        raise ValueError(
+            f"non-MJPEG mp4 video stream {fmt!r}")
+    if found is None:
+        raise ValueError("mp4 has no MJPEG video track")
+    sizes, stsc, stco = found
+
+    # expand the stsc runs: entry (first_chunk, samples_per_chunk, _)
+    # applies from first_chunk until the next entry's first_chunk
+    out: list[tuple[int, np.ndarray]] = []
+    sample = 0
+    for ci, base in enumerate(stco):
+        spc = 1
+        for first, per, _desc in stsc:
+            if first <= ci + 1:
+                spc = per
+            else:
+                break
+        off = base
+        for _ in range(spc):
+            if sample >= len(sizes):
+                break
+            body = data[off:off + sizes[sample]]
+            if sample % every_n == 0:
+                if not body.startswith(b"\xff\xd8"):
+                    raise ValueError("mp4 MJPEG sample is not a JPEG")
+                frame = decode_baseline(body)
+                if frame.ndim == 2:
+                    frame = np.repeat(frame[:, :, None], 3, axis=2)
+                out.append((sample, frame))
+            off += sizes[sample]
+            sample += 1
+    return out
+
+
+def encode_mjpeg_mp4(frames: list, fps: int = 10,
+                     subsampling: str = "420") -> bytes:
+    """Encode (h, w, 3) uint8 frames as an MJPEG mp4 (ISO-BMFF) — the
+    writer half of the mp4 lane, so round-trip tests need no
+    third-party codec. ftyp + mdat (one baseline JPEG per sample) +
+    moov written last so the stco chunk offsets are known; each frame
+    is its own chunk, so the decoder's stsc/stco expansion is
+    exercised for real."""
+    from deeplake_spark.operators._jpeg import encode_baseline
+
+    if not frames:
+        raise ValueError("mp4 encode requires at least one frame")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    payloads = [encode_baseline(f, subsampling=subsampling) for f in frames]
+    n = len(payloads)
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    def full(t: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(t, struct.pack(">I", (version << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+               + b"isom" + b"mp41")
+    mdat = box(b"mdat", b"".join(payloads))
+    base = len(ftyp) + 8                  # first sample's file offset
+    offsets = []
+    acc = base
+    for p in payloads:
+        offsets.append(acc)
+        acc += len(p)
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, fps, n) + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">I", n) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n,
+                                           0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1)
+                + full(b"url ", 0, 1, b""))
+    dinf = box(b"dinf", dref)
+    entry = box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 16 + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x480000, 0x480000)
+                + struct.pack(">I", 0) + struct.pack(">H", 1)
+                + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", 1)
+                + struct.pack(">III", 1, 1, 1))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *[len(p) for p in payloads]))
+    stco = full(b"stco", 0, 0, struct.pack(">I", n)
+                + struct.pack(f">{n}I", *offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int, np.ndarray]]:
-    """Per-payload frame extraction: MJPEG-AVI and uncompressed-DIB AVI
-    decode for REAL (stdlib RIFF walk + the in-repo JPEG decoder); an
-    AVI carrying any other codec falls through to PyAV/fake unless
-    strict; other containers go to PyAV when the lib is present (decode
-    errors fall back to the fake unless strict); deterministic 8-frame
-    fake clip otherwise."""
+    """Per-payload frame extraction: MJPEG-AVI, uncompressed-DIB AVI
+    and MJPEG-mp4 decode for REAL (stdlib RIFF/ISO-BMFF walks + the
+    in-repo JPEG decoder); a container carrying any other codec falls
+    through to PyAV/fake unless strict; other containers go to PyAV
+    when the lib is present (decode errors fall back to the fake
+    unless strict); deterministic 8-frame fake clip otherwise."""
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         try:
             return _decode_video_frames_avi(payload, every_n)
+        except ValueError:
+            if strict:
+                raise
+    if len(payload) >= 12 and bytes(payload[4:8]) == b"ftyp":
+        try:
+            return _decode_video_frames_mp4(payload, every_n)
         except ValueError:
             if strict:
                 raise

@@ -851,6 +851,68 @@ def test_real_dib_avi_video_decode(spark):
         encode_mjpeg_avi([])
 
 
+def test_real_mjpeg_mp4_video_decode(spark):
+    """mp4 (ISO-BMFF) joins AVI as a REAL container: a stdlib box walk
+    (moov/trak/mdia/minf/stbl → stsd+stsz+stsc+stco) reconstructs
+    per-sample offsets and feeds each MJPEG sample to the in-repo JPEG
+    decoder — pixels identical to a per-frame JPEG decode. The encoder
+    writes each frame as its own chunk, so the stsc/stco expansion is
+    exercised for real. A non-MJPEG mp4 (avc1 sample entry) raises in
+    the box walk and falls through to the fake under strict=False —
+    the same PyAV/fake hierarchy AVI documents; h264 entropy decode
+    itself stays out of stdlib scope (reference decodes via ffmpeg,
+    types.pyi:1310-1361)."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import decode_baseline, encode_baseline
+    from deeplake_spark.operators.multimodal import (
+        _decode_video_frames_mp4,
+        _video_frames,
+        encode_mjpeg_mp4,
+        sample_video_frames,
+    )
+
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    frames = [np.stack([(x * 2 + y * 3 + 17 * t) % 256, (y * 5 + t) % 256,
+                        (x * 3 + 4 * t) % 256], axis=-1).astype(np.uint8)
+              for t in range(5)]
+    mp4 = encode_mjpeg_mp4(frames, fps=6)
+    assert mp4[4:8] == b"ftyp" and b"moov" in mp4 and b"jpeg" in mp4
+
+    got = _decode_video_frames_mp4(mp4, every_n=2)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, fr in got:
+        want = decode_baseline(encode_baseline(frames[i], subsampling="420"))
+        assert np.array_equal(fr, want)
+
+    # the Spark mapInPandas lane decodes the same pixels, strict mode
+    df = spark.createDataFrame([(11, bytearray(mp4))],
+                               "doc_id long, video binary")
+    rows = sample_video_frames(df, every_n=3, strict=True).collect()
+    assert sorted(r.frame_index for r in rows) == [0, 3]
+    for r in rows:
+        want = decode_baseline(
+            encode_baseline(frames[r.frame_index], subsampling="420"))
+        assert np.array_equal(np.array(r.frame, dtype=np.uint8), want)
+
+    # an mp4 whose sample entry is NOT an MJPEG flavor: strict raises
+    # from the box walk; lax falls back to the deterministic fake
+    h264ish = mp4.replace(b"jpeg", b"avc1")
+    with pt.raises(ValueError, match="non-MJPEG"):
+        _decode_video_frames_mp4(h264ish, every_n=1)
+    with pt.raises(ValueError):
+        _video_frames(h264ish, every_n=1, strict=True)
+    lax = _video_frames(h264ish, every_n=4, strict=False)
+    assert [i for i, _ in lax] == [0, 4]
+
+    # truncated/garbage ISO-BMFF refuses rather than mis-slicing
+    with pt.raises(ValueError):
+        _decode_video_frames_mp4(mp4[:40], every_n=1)
+    with pt.raises(ValueError, match="at least one frame"):
+        encode_mjpeg_mp4([])
+
+
 def test_png_low_bit_depths_decode_real():
     """1/2/4-bit PNG (the favicon/icon layout across web crawls)
     decodes for real: packed MSB-first samples, byte-level filters with
