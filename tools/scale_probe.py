@@ -30,7 +30,14 @@ from deeplake_spark import get_spark
 from deeplake_spark.io import load_table
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TESTDATA = BASE_SF
 WORK = "/tmp/deeplake_spark_scale_probe"
+
+#: the ANN routed-vs-exact section replicates the (2k-row) embeddings
+#: table by these factors — independent of the main-table K because
+#: below ~100k vectors both lanes are fixed-overhead-dominated and the
+#: comparison measures job setup, not the scan the route prunes
+ANN_KS = (64, 512)
 
 #: key columns shifted per replica so joins/groupBys see K-times the
 #: key cardinality, not K copies of every key (which would blow up
@@ -287,30 +294,44 @@ def gate_section(spark, k: int):
     return out
 
 
-def ann_section(spark, k: int):
-    """Routed-vs-exact ANN at 1x and Kx: the same plain-SQL top-k
-    cosine query through the stock exact TakeOrderedAndProject and
-    through the IVF cell-pruned route. The route reads eff-nprobe of
-    the cluster partitions, so its win over the full exact scan should
-    GROW with corpus size; recall vs the exact top-k is asserted at
-    both scales."""
+def ann_section(spark):
+    """Routed-vs-exact ANN: the same plain-SQL top-k cosine query
+    through the stock exact TakeOrderedAndProject and through the IVF
+    cell-pruned route. The route reads eff-nprobe of the cluster
+    partitions, so its win over the full exact scan should GROW with
+    corpus size; recall vs the exact top-k is asserted at both scales.
+
+    Uses its OWN replication factors (ANN_KS), larger than the main
+    table's: the sf0.1 embeddings table is only 2k rows, and below
+    ~100k vectors both lanes are fixed-overhead-dominated (probe-side
+    scan + join setup ≈ the whole exact scan), which measures the
+    wrong regime — the regime the route exists for is the one where
+    the corpus scan dominates."""
     from deeplake_spark.operators.similarity import build_ivf, save_ivf
     from deeplake_spark.plans import sqlrouting as rt
 
     out = {}
-    for kk in (1, k):
+    for kk in ANN_KS:
         # replicas carry IDENTICAL embeddings (only vec_id shifts) —
         # a deterministic per-replica jitter makes every score unique,
         # so exact-vs-routed recall compares well-defined top-k sets.
         # Materialized to parquet: the route requires the score column
-        # to be a SCAN attribute, not a computed projection.
-        emb_src = os.path.join(WORK, f"x{kk}", "embeddings.parquet")
+        # to be a SCAN attribute, not a computed projection. Replicate
+        # via crossJoin(range(kk)) — one plan, not kk unioned scans.
+        emb_src = os.path.join(TESTDATA, "embeddings.parquet")
         emb_path = os.path.join(WORK, f"annemb_x{kk}.parquet")
-        (spark.read.parquet(emb_src)
-         .withColumn("embedding", F.expr(
-             "transform(embedding, (x, i) -> cast(x as double) + "
-             "(vec_id div 10000000) * 0.0002 * (pmod((i + 1) * 131, 17)"
-             " - 8))"))
+        base = spark.read.parquet(emb_src)
+        reps = spark.range(kk).withColumnRenamed("id", "rep")
+        (base.crossJoin(reps)
+         .select(
+             (F.col("vec_id") + F.col("rep") * 10_000_000)
+             .alias("vec_id"),
+             F.expr(
+                 "transform(embedding, (x, i) -> cast(x as double) + "
+                 "rep * 0.0002 * (pmod((i + 1) * 131, 17) - 8))")
+             .alias("embedding"),
+             "label")
+         .repartition(max(8, kk // 16))
          .write.mode("overwrite").parquet(emb_path))
         d = spark.read.parquet(emb_path)
         idx_path = os.path.join(WORK, f"annidx_x{kk}")
@@ -394,7 +415,7 @@ def main() -> None:
     big_dir = os.path.join(WORK, f"x{k}")
     skew = skew_section(spark, big_dir, k)
     gate = gate_section(spark, k)
-    ann = ann_section(spark, k)
+    ann = ann_section(spark)
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
                       "gate": gate, "ann": ann}, indent=1))
 
@@ -476,7 +497,11 @@ def main() -> None:
             "Same plain-SQL `ORDER BY cosine DESC LIMIT 10` through the "
             "stock exact TakeOrderedAndProject and through the Catalyst "
             "ANN route (64 cells, accuracyFactor=4 → ~20% of cells "
-            "probed). The route scans eff-nprobe cluster partitions "
+            "probed). Scales here replicate the 2k-row sf0.1 embeddings "
+            "table by its OWN factors (x64 ≈ 128k vectors, x512 ≈ 1M): "
+            "below ~100k vectors both lanes are fixed-overhead-dominated "
+            "and the comparison measures job setup, not the scan the "
+            "route prunes. The route scans eff-nprobe cluster partitions "
             "instead of the corpus, so its win should grow with scale; "
             "recall@10 vs the exact answer is asserted ≥ 0.6 at both "
             "scales.",
