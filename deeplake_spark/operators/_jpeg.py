@@ -18,8 +18,12 @@ and progressive (libjpeg-style scan script) streams from the SAME
 quantization, so round-trip tests can demand pixel-identical
 agreement. Restart markers (DRI/RSTn) decode — DC predictors, EOB
 runs, and bit alignment reset per interval (E.2.4) — and the baseline
-encoder can emit them. Arithmetic-coded and hierarchical streams
-raise `JpegUnsupported` and the caller falls
+encoder can emit them. ARITHMETIC-coded frames (SOF9 sequential and
+SOF10 progressive — the QM coder, T.81 Annex D + the Annex F/G
+statistical models) decode AND encode, byte-for-byte interoperable
+with libjpeg in both directions (tests compile a small harness against
+the system libjpeg to prove it). Hierarchical streams raise
+`JpegUnsupported` and the caller falls
 back to the optional-import (PIL) branch or the deterministic fake.
 Huffman
 and quantization tables are read FROM the stream (DHT/DQT), per the
@@ -38,6 +42,7 @@ import struct
 import numpy as np
 
 __all__ = ["encode_baseline", "encode_progressive", "encode_lossless",
+           "encode_arithmetic", "encode_arithmetic_progressive",
            "decode", "decode_baseline", "JpegUnsupported"]
 
 
@@ -670,6 +675,9 @@ def _parse_stream(payload: bytes):
     comps: list[dict] = []
     scans: list[dict] = []
     restart_interval = 0
+    arith = False
+    cond_dc: dict[int, tuple[int, int]] = {}
+    cond_ac: dict[int, int] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -708,14 +716,28 @@ def _parse_stream(payload: bytes):
                 symbols = list(seg[p + 17:p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                v = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    cond_dc[tb] = (v & 0x0F, v >> 4)    # (L, U)
+                else:
+                    cond_ac[tb] = v                     # Kx
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (8/12-bit) /
-            # SOF2 progressive / SOF3 lossless
+            # SOF2 progressive / SOF3 lossless / SOF9+SOF10 the
+            # arithmetic-coded twins of SOF1/SOF2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if marker in (0xC0, 0xC2) and prec != 8:
+            if marker in (0xC0, 0xC2, 0xCA) and prec != 8:
                 raise JpegUnsupported("non-8-bit precision")
             if marker == 0xC1 and prec not in (8, 12):
                 raise JpegUnsupported(f"extended precision {prec}")
+            if marker == 0xC9 and prec not in (8, 12):
+                raise JpegUnsupported(f"arith precision {prec}")
+            arith = marker in (0xC9, 0xCA)
             if marker == 0xC3 and not (2 <= prec <= 16):
                 raise JpegUnsupported(f"lossless precision {prec}")
             comps = []
@@ -730,10 +752,9 @@ def _parse_stream(payload: bytes):
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 p += 3
             mode = {0xC0: False, 0xC1: False, 0xC2: True,
-                    0xC3: "lossless"}[marker]
+                    0xC3: "lossless", 0xC9: False, 0xCA: True}[marker]
             frame = (h, w, nc, mode, prec)
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"unsupported frame marker {marker:#x}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -756,6 +777,9 @@ def _parse_stream(payload: bytes):
                 "data": payload[data_start:data_end],
                 "huff": dict(huff),
                 "ri": restart_interval,
+                "arith": arith,
+                "cond_dc": dict(cond_dc),
+                "cond_ac": dict(cond_ac),
             })
             pos = data_end
             continue
@@ -874,6 +898,9 @@ def _block_ac_refine(br, ac, coef, ss, se, al, eobrun):
 
 
 def _apply_scan(scan, comps, coefs, frame):
+    if scan.get("arith"):
+        _apply_arith_scan(scan, comps, coefs, frame)
+        return
     h, w, nc, progressive = frame[:4]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1154,6 +1181,748 @@ def encode_lossless(img: np.ndarray, predictor: int = 4,
     sos += bytes([predictor, 0, 0])      # Ss=predictor, Se=0, AhAl=Pt 0
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# arithmetic coding (SOF9 sequential / SOF10 progressive) — ITU T.81
+# Annex D QM-coder + Annex F/G statistical models. Written from the
+# standard's procedures; byte-for-byte interoperable with libjpeg(-turbo)
+# in BOTH directions (tests/test_jpeg_arith.py compiles
+# tests/helpers/jpegarith.c against the system libjpeg and round-trips).
+# The reference decodes arithmetic JPEG through its vendored libjpeg
+# (cpp/3rd_party/libtiff/tif_jpeg.c delegates); this is an independent
+# from-scratch implementation of the published standard.
+
+#: ITU T.81 Table D.3 — Qe probability estimates and the state machine
+#: (NMPS/NLPS transitions, MPS switch flags). Entry 113 is the
+#: non-adaptive "fixed" state (Qe≈0.37, self-looping) used for AC sign
+#: and refinement decisions (F.1.4.3.1).
+_QM_QE = (
+    0x5A1D, 0x2586, 0x1114, 0x080B, 0x03D8, 0x01DA, 0x00E5, 0x006F, 0x0036,
+    0x001A, 0x000D, 0x0006, 0x0003, 0x0001, 0x5A7F, 0x3F25, 0x2CF2, 0x207C,
+    0x17B9, 0x1182, 0x0CEF, 0x09A1, 0x072F, 0x055C, 0x0406, 0x0303, 0x0240,
+    0x01B1, 0x0144, 0x00F5, 0x00B7, 0x008A, 0x0068, 0x004E, 0x003B, 0x002C,
+    0x5AE1, 0x484C, 0x3A0D, 0x2EF1, 0x261F, 0x1F33, 0x19A8, 0x1518, 0x1177,
+    0x0E74, 0x0BFB, 0x09F8, 0x0861, 0x0706, 0x05CD, 0x04DE, 0x040F, 0x0363,
+    0x02D4, 0x025C, 0x01F8, 0x01A4, 0x0160, 0x0125, 0x00F6, 0x00CB, 0x00AB,
+    0x008F, 0x5B12, 0x4D04, 0x412C, 0x37D8, 0x2FE8, 0x293C, 0x2379, 0x1EDF,
+    0x1AA9, 0x174E, 0x1424, 0x119C, 0x0F6B, 0x0D51, 0x0BB6, 0x0A40, 0x5832,
+    0x4D1C, 0x438E, 0x3BDD, 0x34EE, 0x2EAE, 0x299A, 0x2516, 0x5570, 0x4CA9,
+    0x44D9, 0x3E22, 0x3824, 0x32B4, 0x2E17, 0x56A8, 0x4F46, 0x47E5, 0x41CF,
+    0x3C3D, 0x375E, 0x5231, 0x4C0F, 0x4639, 0x415E, 0x5627, 0x50E7, 0x4B85,
+    0x5597, 0x504F, 0x5A10, 0x5522, 0x59EB, 0x5A1D,
+)
+_QM_NMPS = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 13, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 9, 37, 38,
+    39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56,
+    57, 58, 59, 60, 61, 62, 63, 32, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+    75, 76, 77, 78, 79, 48, 81, 82, 83, 84, 85, 86, 87, 71, 89, 90, 91, 92,
+    93, 94, 86, 96, 97, 98, 99, 100, 93, 102, 103, 104, 99, 106, 107, 103,
+    109, 107, 111, 109, 111, 113,
+)
+_QM_NLPS = (
+    1, 14, 16, 18, 20, 23, 25, 28, 30, 33, 35, 9, 10, 12, 15, 36, 38, 39,
+    40, 42, 43, 45, 46, 48, 49, 51, 52, 54, 56, 57, 59, 60, 62, 63, 32, 33,
+    37, 64, 65, 67, 68, 69, 70, 72, 73, 74, 75, 77, 78, 79, 48, 50, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 59, 61, 61, 65, 80, 81, 82, 83, 84, 86, 87,
+    87, 72, 72, 74, 74, 75, 77, 77, 80, 88, 89, 90, 91, 92, 93, 86, 88, 95,
+    96, 97, 99, 99, 93, 95, 101, 102, 103, 104, 99, 105, 106, 107, 103,
+    105, 108, 109, 110, 111, 110, 112, 112, 113,
+)
+_QM_SW = (
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0,
+    0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 1, 0,
+)
+
+#: index of the fixed (non-adaptive) statistics state
+_QM_FIXED = 113
+
+
+class _ArithDecoder:
+    """QM-coder decoder (T.81 D.2/F.2.2). Statistics bins are bytes in
+    a caller-owned bytearray: low 7 bits = Table D.3 state index, bit 7
+    = current MPS sense. Byte-stuffed data convention: an 0xFF data
+    byte is followed by a stuffed 0x00; a bare marker ends the segment
+    and further reads feed zero bytes (mirroring the encoder's
+    trailing-zero discard, D.1.8)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        self.ended = False
+        b0 = self._next_byte()
+        b1 = self._next_byte()
+        self.c = (b0 << 24) | (b1 << 16)
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.ended or self.bp >= len(d):
+            return 0
+        b = d[self.bp]
+        self.bp += 1
+        if b == 0xFF:
+            nxt = d[self.bp] if self.bp < len(d) else 0xD9
+            if nxt == 0x00:
+                self.bp += 1        # stuffed zero: data byte is 0xFF
+            else:
+                self.ended = True   # marker: feed zeros from now on
+                self.bp -= 1
+                return 0
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """One binary decision against statistics bin st[i]."""
+        sv = st[i]
+        idx = sv & 0x7F
+        mps = sv >> 7
+        qe = _QM_QE[idx]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return mps          # fast path: no renormalization
+            if self.a < qe:         # MPS/LPS conditional exchange
+                d = 1 - mps
+                if _QM_SW[idx]:
+                    mps = 1 - mps
+                idx = _QM_NLPS[idx]
+            else:
+                d = mps
+                idx = _QM_NMPS[idx]
+        else:
+            self.c -= self.a << 16
+            if self.a < qe:
+                d = mps
+                idx = _QM_NMPS[idx]
+            else:
+                d = 1 - mps
+                if _QM_SW[idx]:
+                    mps = 1 - mps
+                idx = _QM_NLPS[idx]
+            self.a = qe
+        while True:                 # RENORMD
+            if self.ct == 0:
+                self.c += self._next_byte() << 8
+                self.ct = 8
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        st[i] = idx | (mps << 7)
+        return d
+
+
+class _ArithEncoder:
+    """QM-coder encoder (T.81 D.1): carry resolution via 0xFF stacking,
+    0xFF00 byte stuffing, trailing zero bytes discarded at flush.
+    Produces streams byte-identical to libjpeg's jcarith for the same
+    decision sequence (proven in tests)."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer: int | None = None  # pending byte (carry receptacle)
+        self.sc = 0                     # stacked 0xFF bytes
+        self.zc = 0                     # deferred zero bytes
+        self.out = bytearray()
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        idx = sv & 0x7F
+        mps = sv >> 7
+        qe = _QM_QE[idx]
+        self.a -= qe
+        if bit != mps:
+            if self.a >= qe:        # no exchange: LPS takes the top
+                self.c += self.a
+                self.a = qe
+            if _QM_SW[idx]:
+                mps = 1 - mps
+            idx = _QM_NLPS[idx]
+        else:
+            if self.a & 0x8000:
+                return              # fast path: no renormalization
+            if self.a < qe:         # exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            idx = _QM_NMPS[idx]
+        while True:                 # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+        st[i] = idx | (mps << 7)
+
+    def _emit_zeros(self) -> None:
+        if self.zc:
+            self.out += bytes(self.zc)
+            self.zc = 0
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: ripple +1 into the pending byte; stacked 0xFFs
+            # become zero bytes (FF + carry = 00, carry propagated)
+            if self.buffer is not None:
+                self._emit_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = t & 0xFF  # can't be 0xFF again (spacer bits)
+        elif t == 0xFF:
+            self.sc += 1            # stack: may still receive a carry
+        else:
+            if self.buffer == 0:
+                self.zc += 1        # defer zeros (trailing ones drop)
+            elif self.buffer is not None:
+                self._emit_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._emit_zeros()
+                self.out += b"\xff\x00" * self.sc
+                self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: pick the in-interval code point with the
+        most trailing zeros, push out the remaining bits, discard
+        trailing zero bytes."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self.buffer not in (None, 0):
+            self._emit_zeros()
+            self.out.append(self.buffer)
+        if self.sc:
+            self._emit_zeros()
+            self.out += b"\xff\x00" * self.sc
+        res = bytes(self.out)
+        self.__init__()             # ready for the next restart interval
+        return res
+
+
+class _ArithStats:
+    """Per-scan statistics: DC and AC bin arrays per table id, the DC
+    conditioning contexts and predictors per component, and the shared
+    fixed bin. Reset at scan starts and restart markers."""
+
+    def __init__(self, nc: int):
+        self.dc = {t: bytearray(64) for t in range(4)}
+        self.ac = {t: bytearray(256) for t in range(4)}
+        self.fixed = bytearray([_QM_FIXED])
+        self.preds = [0] * nc
+        self.dc_ctx = [0] * nc
+
+
+def _arith_decode_dc(dec, stats, td, ci, L, U) -> int:
+    """DC difference decode (T.81 F.2.4.1); updates the component's
+    predictor and conditioning context, returns the new prediction."""
+    dc = stats.dc[td]
+    ctx = stats.dc_ctx[ci]
+    if dec.decode(dc, ctx):
+        sign = dec.decode(dc, ctx + 1)
+        stx = ctx + 2 + sign
+        m = dec.decode(dc, stx)
+        if m:
+            stx = 20                # X1 bin (Table F.4)
+            while dec.decode(dc, stx):
+                m <<= 1
+                if m == 0x8000:
+                    raise JpegUnsupported("DC magnitude overflow")
+                stx += 1
+        # conditioning category for the NEXT block (F.1.4.4.1.2)
+        if m < ((1 << L) >> 1):
+            stats.dc_ctx[ci] = 0
+        elif m > ((1 << U) >> 1):
+            stats.dc_ctx[ci] = 12 + sign * 4
+        else:
+            stats.dc_ctx[ci] = 4 + sign * 4
+        v = m
+        stx += 14                   # magnitude bit bins
+        while m > 1:
+            m >>= 1
+            if dec.decode(dc, stx):
+                v |= m
+        v += 1
+        stats.preds[ci] += -v if sign else v
+    else:
+        stats.dc_ctx[ci] = 0
+    return stats.preds[ci]
+
+
+def _arith_decode_ac(dec, stats, ta, coef, ss, se, al, kx) -> None:
+    """AC band decode (T.81 F.2.4.2 / G.2 first pass): sequential when
+    ss=1, se=63, al=0."""
+    ac = stats.ac[ta]
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ac, st):
+            break                   # EOB
+        while dec.decode(ac, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise JpegUnsupported("AC index overflow")
+        sign = dec.decode(stats.fixed, 0)
+        st += 2
+        m = dec.decode(ac, st)
+        if m:
+            if dec.decode(ac, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(ac, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise JpegUnsupported("AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(ac, st):
+                v |= m
+        v += 1
+        coef[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_dc_refine(dec, stats, coef, al) -> None:
+    """Successive-approximation DC correction bit (G.2.1): fixed bin."""
+    if dec.decode(stats.fixed, 0):
+        coef[0] |= 1 << al
+
+
+def _arith_ac_refine(dec, stats, ta, coef, ss, se, al) -> None:
+    """Successive-approximation AC refinement (T.81 G.2.2)."""
+    ac = stats.ac[ta]
+    p1, m1 = 1 << al, -(1 << al)
+    kex = 0                         # previous-stage end-of-block index
+    for k in range(se, ss - 1, -1):
+        if abs(int(coef[k])) >> (al + 1):
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac, st):
+            break                   # EOB
+        while True:
+            cv = int(coef[k])
+            if cv:
+                if dec.decode(ac, st + 2):
+                    coef[k] = cv + (p1 if cv > 0 else m1)
+                break
+            if dec.decode(ac, st + 1):
+                coef[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise JpegUnsupported("AC refine overflow")
+        k += 1
+
+
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split an entropy-coded segment on RSTn markers (stuffed 0xFF00
+    pairs are data, everything else after 0xFF ends a chunk)."""
+    segs = []
+    start = 0
+    i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(data[start:i])
+                start = i = i + 2
+                continue
+        i += 1
+    segs.append(data[start:])
+    return segs
+
+
+def _apply_arith_scan(scan, comps, coefs, frame) -> None:
+    """Arithmetic twin of the Huffman scan walk in `_apply_scan`:
+    same interleaved/non-interleaved traversal and progressive stage
+    dispatch, QM-coded entropy. Restart markers re-initialize the
+    decoder AND all statistics (F.2.1.3)."""
+    h, w, nc, progressive = frame[:4]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    ri = scan.get("ri", 0)
+    cond_dc = scan.get("cond_dc", {})
+    cond_ac = scan.get("cond_ac", {})
+    segments = _split_restart_segments(scan["data"])
+    seg_iter = iter(segments)
+    dec = _ArithDecoder(next(seg_iter))
+    stats = _ArithStats(nc)
+    unit = [0]
+
+    def maybe_restart():
+        nonlocal dec, stats
+        if ri and unit[0] and unit[0] % ri == 0:
+            dec = _ArithDecoder(next(seg_iter, b""))
+            stats = _ArithStats(nc)
+        unit[0] += 1
+
+    def do_block(ci, td, ta, coef):
+        L, U = cond_dc.get(td, (0, 1))
+        kx = cond_ac.get(ta, 5)
+        if not progressive:
+            coef[0] = _arith_decode_dc(dec, stats, td, ci, L, U)
+            _arith_decode_ac(dec, stats, ta, coef, 1, 63, 0, kx)
+        elif ss == 0:
+            if ah == 0:
+                coef[0] = _arith_decode_dc(dec, stats, td, ci, L, U) << al
+            else:
+                _arith_dc_refine(dec, stats, coef, al)
+        elif ah == 0:
+            _arith_decode_ac(dec, stats, ta, coef, ss, se, al, kx)
+        else:
+            _arith_ac_refine(dec, stats, ta, coef, ss, se, al)
+
+    if len(scan["specs"]) == 1:
+        ci, td, ta = scan["specs"][0]
+        c = comps[ci]
+        bh, bw = _comp_block_dims(c, w, h, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                do_block(ci, td, ta, coefs[ci][by][bx])
+        return
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            maybe_restart()
+            for ci, td, ta in scan["specs"]:
+                c = comps[ci]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        if progressive and ss != 0:
+                            raise JpegUnsupported(
+                                "interleaved AC scan in progressive frame")
+                        do_block(ci, td, ta,
+                                 coefs[ci][my * c["v"] + v][mx * c["h"] + u])
+
+
+# ---- arithmetic encoders (F.1.4 sequential, G.1 progressive) ----
+
+def _arith_encode_dc(enc, stats, td, ci, diff, L, U) -> None:
+    dc = stats.dc[td]
+    ctx = stats.dc_ctx[ci]
+    if diff == 0:
+        enc.encode(dc, ctx, 0)
+        stats.dc_ctx[ci] = 0
+        return
+    enc.encode(dc, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dc, ctx + 1, sign)
+    sz = abs(diff) - 1
+    stx = ctx + 2 + sign
+    if sz == 0:
+        enc.encode(dc, stx, 0)
+        m = 0
+    else:
+        enc.encode(dc, stx, 1)
+        m = 1
+        stx = 20
+        while sz >= (m << 1):
+            enc.encode(dc, stx, 1)
+            m <<= 1
+            stx += 1
+        enc.encode(dc, stx, 0)
+    if m < ((1 << L) >> 1):
+        stats.dc_ctx[ci] = 0
+    elif m > ((1 << U) >> 1):
+        stats.dc_ctx[ci] = 12 + sign * 4
+    else:
+        stats.dc_ctx[ci] = 4 + sign * 4
+    stx += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(dc, stx, 1 if (sz & mm) else 0)
+
+
+def _arith_encode_ac(enc, stats, ta, zz, ss, se, al, kx) -> None:
+    ac = stats.ac[ta]
+    scaled = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    last_nz = 0
+    for k in range(se, ss - 1, -1):
+        if scaled[k - ss]:
+            last_nz = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > last_nz:
+            enc.encode(ac, st, 1)   # EOB
+            return
+        enc.encode(ac, st, 0)
+        while scaled[k - ss] == 0:
+            enc.encode(ac, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac, st + 1, 1)
+        enc.encode(stats.fixed, 0, 1 if int(zz[k]) < 0 else 0)
+        st += 2
+        sz = scaled[k - ss] - 1
+        if sz == 0:
+            enc.encode(ac, st, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(ac, st, 1)
+            enc.encode(ac, st, 0)
+            m = 1
+        else:
+            enc.encode(ac, st, 1)
+            enc.encode(ac, st, 1)
+            m = 2
+            st = 189 if k <= kx else 217
+            while sz >= (m << 1):
+                enc.encode(ac, st, 1)
+                m <<= 1
+                st += 1
+            enc.encode(ac, st, 0)
+        st += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(ac, st, 1 if (sz & mm) else 0)
+        k += 1
+
+
+def _arith_encode_ac_refine(enc, stats, ta, zz, ss, se, al) -> None:
+    """G.1.2.3 twin of `_arith_ac_refine`."""
+    ac = stats.ac[ta]
+    scaled = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    ke = 0                          # last coefficient needing coding
+    for k in range(se, ss - 1, -1):
+        if scaled[k - ss]:
+            ke = k
+            break
+    kex = 0                         # previous-stage end-of-block
+    for k in range(ke, ss - 1, -1):
+        if scaled[k - ss] >> 1:
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac, st, 0)   # not yet EOB
+        while True:
+            m = scaled[k - ss]
+            if m > 1:               # history coefficient: correction bit
+                enc.encode(ac, st + 2, m & 1)
+                break
+            if m == 1:              # newly significant
+                enc.encode(ac, st + 1, 1)
+                enc.encode(stats.fixed, 0, 1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(ac, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(ac, 3 * (k - 1), 1)  # EOB
+
+
+#: DAC segment for the default conditioning (L=0, U=1, Kx=5) on table
+#: pair 0 — T.81 defaults, emitted explicitly like libjpeg does.
+_DAC_DEFAULT = b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10,
+                                                           0x10, 0x05])
+
+
+def encode_arithmetic(img: np.ndarray, subsampling: str = "444",
+                      restart_interval: int = 0,
+                      precision: int = 8) -> bytes:
+    """Encode as an ARITHMETIC-coded sequential JPEG (SOF9) — same
+    quantization and block layout as `encode_baseline`, QM-coded
+    entropy (no Huffman tables, ~5-10% smaller streams, single pass).
+    `precision=12` emits 12-bit samples (16-bit DQT) like the SOF1
+    encoder. Interoperable with libjpeg in both directions."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    img = np.asarray(img, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples exceed 4095")
+    qtab = _QTAB if precision == 8 else _QTAB * 16
+    h, w = img.shape[:2]
+    planes, sampling = _to_planes(img, subsampling, precision)
+    ncomp = len(planes)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = [
+        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs, qtab)
+        for ci, (hs, vs) in enumerate(sampling)
+    ]
+    ri = int(restart_interval)
+    enc = _ArithEncoder()
+    stats = _ArithStats(ncomp)
+    ent = bytearray()
+    rst = 0
+    for m in range(mcus_y * mcus_x):
+        if ri and m and m % ri == 0:
+            ent += enc.flush()
+            ent += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            stats = _ArithStats(ncomp)
+        my, mx = divmod(m, mcus_x)
+        for ci, (hs, vs) in enumerate(sampling):
+            for v in range(vs):
+                for u in range(hs):
+                    zz = comp_blocks[ci][my * vs + v][mx * hs + u]
+                    diff = int(zz[0]) - stats.preds[ci]
+                    stats.preds[ci] = int(zz[0])
+                    _arith_encode_dc(enc, stats, 0, ci, diff, 0, 1)
+                    _arith_encode_ac(enc, stats, 0, zz, 1, 63, 0, 5)
+    ent += enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+    qz = qtab.reshape(64)[_ZIGZAG]
+    if precision == 8:
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+                + bytes(int(x) for x in qz))
+    else:
+        out += (b"\xff\xdb" + struct.pack(">H", 131) + b"\x10"
+                + b"".join(struct.pack(">H", int(x)) for x in qz))
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc9" + struct.pack(">H", len(sof) + 2) + sof
+    out += _DAC_DEFAULT
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_arithmetic_progressive(img: np.ndarray,
+                                  subsampling: str = "444") -> bytes:
+    """Encode as an ARITHMETIC-coded progressive JPEG (SOF10) with the
+    same scan script as `encode_progressive` (shifted DC first + DC
+    refinement, per-component AC bands at Al=1, full-band refinement to
+    Al=0), so the SOF10 decode path exercises every progressive stage.
+    Decodes to pixels identical to the Huffman encoders (tested)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    planes, sampling = _to_planes(img, subsampling)
+    ncomp = len(planes)
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = [
+        _plane_blocks(planes[ci], mcus_y * vs, mcus_x * hs)
+        for ci, (hs, vs) in enumerate(sampling)
+    ]
+
+    def dc_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hs, vs) in enumerate(sampling):
+                    for v in range(vs):
+                        for u in range(hs):
+                            yield ci, comp_blocks[ci][my * vs + v][mx * hs + u]
+
+    def ac_blocks(ci):
+        hs, vs = sampling[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield comp_blocks[ci][by][bx]
+
+    scans: list[dict] = [{"kind": "dc_first", "al": 1}]
+    for ci in range(ncomp):
+        if ci == 0:
+            scans.append({"kind": "ac_first", "ci": 0, "ss": 1, "se": 5,
+                          "al": 1})
+            scans.append({"kind": "ac_first", "ci": 0, "ss": 6, "se": 63,
+                          "al": 1})
+        else:
+            scans.append({"kind": "ac_first", "ci": ci, "ss": 1, "se": 63,
+                          "al": 1})
+        scans.append({"kind": "ac_refine", "ci": ci, "ss": 1, "se": 63,
+                      "ah": 1, "al": 0})
+    scans.append({"kind": "dc_refine", "ah": 1, "al": 0})
+
+    out = bytearray(b"\xff\xd8")
+    qz = _QTAB.reshape(64)[_ZIGZAG]
+    out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes(int(x) for x in qz))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof
+    out += _DAC_DEFAULT
+
+    for sc in scans:
+        enc = _ArithEncoder()
+        stats = _ArithStats(ncomp)
+        al = sc["al"]
+        if sc["kind"] == "dc_first":
+            for ci, zz in dc_blocks():
+                v = int(zz[0]) >> al
+                diff = v - stats.preds[ci]
+                stats.preds[ci] = v
+                _arith_encode_dc(enc, stats, 0, ci, diff, 0, 1)
+        elif sc["kind"] == "dc_refine":
+            for ci, zz in dc_blocks():
+                enc.encode(stats.fixed, 0, (int(zz[0]) >> al) & 1)
+        elif sc["kind"] == "ac_first":
+            for zz in ac_blocks(sc["ci"]):
+                _arith_encode_ac(enc, stats, 0, zz, sc["ss"], sc["se"],
+                                 al, 5)
+        else:
+            for zz in ac_blocks(sc["ci"]):
+                _arith_encode_ac_refine(enc, stats, 0, zz, sc["ss"],
+                                        sc["se"], al)
+        if sc["kind"] in ("dc_first", "dc_refine"):
+            sos = bytearray([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, 0x00])
+            ss_, se_ = 0, 0
+        else:
+            sos = bytearray([1, sc["ci"] + 1, 0x00])
+            ss_, se_ = sc["ss"], sc["se"]
+        sos += bytes([ss_, se_, (sc.get("ah", 0) << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
