@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 
@@ -104,6 +105,21 @@ class IVFIndex:
     id_col: str
 
 
+def _ivf_build_plan(n_total: int, n_clusters: int) -> tuple[int, int]:
+    """(nlist, training-set target) for an IVF build over `n_total`
+    vectors. `n_clusters` <= 0 picks the FAISS rule nlist ~ sqrt(N)
+    clamped to [16, 4096] — a fixed nlist leaves 100 TB cells
+    millions of vectors deep (no prune) or tiny corpora over-split.
+    Training is bounded at ~256 vectors/centroid (min 20k): k-means
+    quality saturates there, so the expensive multi-pass fit runs on
+    a sample while the full corpus is touched exactly ONCE (the
+    assignment pass) — the FAISS train/add protocol, same reason the
+    PQ codebooks train on a bounded sample (CLAUDE.md trap 10)."""
+    if n_clusters <= 0:
+        n_clusters = int(min(4096, max(16, round(math.sqrt(max(1, n_total))))))
+    return n_clusters, max(20_000, 256 * n_clusters)
+
+
 def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
               n_clusters: int = 16, seed: int = 42, max_iter: int = 10,
               config=None) -> IVFIndex:
@@ -111,7 +127,10 @@ def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     build happens as a batch job, not per query). `config`
     (IndexBuildConfig) scales the k-means effort: maxIter *
     build_multiplier — fast() halves build time, high_quality()
-    doubles the refinement passes."""
+    doubles the refinement passes. `n_clusters=0` auto-sizes nlist to
+    ~sqrt(N); the fit always runs on a bounded sample (see
+    `_ivf_build_plan`) so build cost is O(corpus) for the single
+    assignment pass, not O(maxIter * corpus)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -120,7 +139,15 @@ def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     feats = df.select(id_col, vec_col).withColumn(
         "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__features").fit(feats)
+    n_total = feats.count()  # parquet-metadata-cheap; build is a batch job
+    n_clusters, train_target = _ivf_build_plan(n_total, n_clusters)
+    train = feats
+    if n_total > train_target:
+        # distributed sample — nothing is collected to the driver
+        train = feats.sample(fraction=min(1.0, 1.05 * train_target / n_total),
+                             seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                   featuresCol="__features").fit(train)
     assignments = (
         model.transform(feats)
         .select(id_col, vec_col, F.col(model.getPredictionCol()).alias("cluster"))

@@ -23,6 +23,43 @@ def _exact_topk(spark, sf_dir, k=10, qid=0):
     return [r.vec_id for r in topk_cosine(e, "embedding", list(q), k=k).collect()]
 
 
+def test_ivf_build_plan_scales_with_corpus():
+    """nlist follows the FAISS sqrt rule with clamps; the k-means
+    training set is bounded (~256 vectors/centroid, min 20k) so the
+    multi-pass fit never runs over the full corpus — at 100 TB the
+    corpus is touched once (assignment), not maxIter times."""
+    from deeplake_spark.operators.similarity import _ivf_build_plan
+
+    # explicit nlist is respected verbatim
+    assert _ivf_build_plan(10**9, 64) == (64, 20_000)
+    # auto: sqrt(N), clamped to [16, 4096]
+    assert _ivf_build_plan(100, 0)[0] == 16
+    assert _ivf_build_plan(1_000_000, 0)[0] == 1000
+    assert _ivf_build_plan(10**12, 0)[0] == 4096
+    # training target grows with nlist but never below 20k
+    nlist, target = _ivf_build_plan(1_000_000, 0)
+    assert target == 256 * nlist
+    assert _ivf_build_plan(30_000, 16) == (16, 20_000)
+
+
+def test_ivf_auto_nlist_build_and_search(spark, sf_dir):
+    """n_clusters=0 auto-sizes from the corpus and the sampled fit
+    still yields a searchable index (exact hit present at full probe)."""
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, _ivf_build_plan, build_ivf, ivf_search)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    index = build_ivf(e, n_clusters=0, seed=42)
+    assert len(index.centroids) == _ivf_build_plan(n, 0)[0]
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = set(_exact_topk(spark, sf_dir, k=10))
+    approx = {r.vec_id for r in ivf_search(
+        index, list(q), k=10,
+        config=SearchConfig(nprobe=len(index.centroids))).collect()}
+    assert len(exact & approx) == 10  # full probe == exact
+
+
 def test_ivf_recall(spark, sf_dir):
     from deeplake_spark.operators.similarity import SearchConfig, build_ivf, ivf_search
 

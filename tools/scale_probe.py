@@ -309,6 +309,15 @@ def ann_section(spark):
     the corpus scan dominates."""
     from deeplake_spark.operators.similarity import build_ivf, save_ivf
     from deeplake_spark.plans import sqlrouting as rt
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # one-time MLlib warmup so the first timed fit doesn't absorb the
+    # kmeans codegen/class-load cost
+    _warm = (spark.range(256)
+             .selectExpr("array(cast(id as double), 1.0d) AS e")
+             .withColumn("__features", array_to_vector(F.col("e"))))
+    KMeans(k=2, seed=1, maxIter=1, featuresCol="__features").fit(_warm)
 
     out = {}
     for kk in ANN_KS:
@@ -336,6 +345,30 @@ def ann_section(spark):
         d = spark.read.parquet(emb_path)
         idx_path = os.path.join(WORK, f"annidx_x{kk}")
         n_clusters = 64
+        # build lane: k-means FIT cost under the round-8 sampled
+        # protocol (count + distributed sample + fit on ~20k rows) vs
+        # the naive full-corpus fit (maxIter corpus passes, input
+        # cached by MLlib) that build_ivf used before round 8. The
+        # corpus-wide assignment pass + partitioned index write are
+        # IDENTICAL under both protocols, so they're excluded — the
+        # fit is the only term the protocol changes. The sampled fit
+        # is corpus-size-independent; the full fit grows with the
+        # corpus AND falls off a cliff once maxIter × corpus no longer
+        # fits the cache (the 100 TB regime this probe can't reach).
+        feats_full = d.withColumn(
+            "__features",
+            array_to_vector(F.col("embedding").cast("array<double>")))
+        t0 = time.perf_counter()
+        n_total = feats_full.count()
+        train = feats_full.sample(
+            fraction=min(1.0, 1.05 * 20_000 / n_total), seed=42)
+        KMeans(k=n_clusters, seed=42, maxIter=5,
+               featuresCol="__features").fit(train)
+        build_sampled_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        KMeans(k=n_clusters, seed=42, maxIter=5,
+               featuresCol="__features").fit(feats_full)
+        build_fullfit_s = round(time.perf_counter() - t0, 3)
         save_ivf(build_ivf(d, "embedding", "vec_id",
                            n_clusters=n_clusters, max_iter=5), idx_path)
         d.createOrReplaceTempView("ann_docs")
@@ -375,7 +408,9 @@ def ann_section(spark):
         out[f"x{kk}"] = {"exact_s": exact_s, "routed_s": routed_s,
                          "recall_at_10": recall,
                          "speedup": round(exact_s / routed_s, 2)
-                         if routed_s else None}
+                         if routed_s else None,
+                         "build_sampled_s": build_sampled_s,
+                         "build_fullfit_s": build_fullfit_s}
     return out
 
 
@@ -512,6 +547,27 @@ def main() -> None:
         for kk, r in ann.items():
             lines.append(f"| {kk} | {r['exact_s']} | {r['routed_s']} | "
                          f"{r['speedup']} | {r['recall_at_10']} |")
+        lines += [
+            "",
+            "## IVF build: sampled-fit protocol vs full-corpus fit",
+            "",
+            "k-means FIT cost only — the corpus-wide assignment pass + "
+            "partitioned index write are identical under both "
+            "protocols, so the fit is the only term the round-8 "
+            "sampled protocol (FAISS train/add: count + distributed "
+            "sample + fit on ~256 vectors/centroid, min 20k) changes "
+            "vs the naive full-corpus fit (maxIter cached corpus "
+            "passes). The sampled fit is corpus-size-independent; the "
+            "full fit grows with the corpus here and becomes "
+            "I/O-bound-per-iteration once the corpus outgrows cache — "
+            "the 100 TB regime this probe cannot reach.",
+            "",
+            "| scale | sampled fit s | full-corpus fit s |",
+            "|---|---|---|",
+        ]
+        for kk, r in ann.items():
+            lines.append(f"| {kk} | {r['build_sampled_s']} | "
+                         f"{r['build_fullfit_s']} |")
         with open(out_md, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"wrote {out_md}")
