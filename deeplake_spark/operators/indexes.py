@@ -164,6 +164,15 @@ class InvertedIndex:
                 heavy[t] = heavy.get(t, 0) + int(df)
             n += int(old.get("n_docs", 0))
             floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
+            if len(heavy) > _HEAVY_CAP:
+                # re-cap the merged map (unioned vocabularies can
+                # otherwise grow it by up to _HEAVY_CAP per delta) and
+                # raise the floor to the largest dropped df so absent
+                # terms keep a sound upper bound
+                kept = sorted(heavy.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
+                heavy = dict(kept)
+                floor = max(floor, min(heavy.values()) / max(n, 1))
         put_json(sidecar, {"n_docs": n, "floor_frac": floor,
                            "heavy": heavy})
 

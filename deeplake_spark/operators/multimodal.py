@@ -686,11 +686,20 @@ def _decode_video_frames_mp4(payload: bytes,
         return fmt, sizes, stsc, stco
 
     found = None
+    bad_video_fmt = None
     for t, s, e in boxes(*moov):
         if t != b"trak":
             continue
         mdia = child(b"mdia", s, e)
-        minf = mdia and child(b"minf", *mdia)
+        if not mdia:
+            continue
+        # only VIDEO traks participate: an audio/hint trak listed
+        # before the video trak (the common ffmpeg layout) must be
+        # skipped, not mistaken for a non-MJPEG video stream
+        hdlr = child(b"hdlr", *mdia)
+        if hdlr is not None and data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = child(b"minf", *mdia)
         stbl = minf and child(b"stbl", *minf)
         if not stbl:
             continue
@@ -700,9 +709,12 @@ def _decode_video_frames_mp4(payload: bytes,
         if fmt.lower() in (b"jpeg", b"mjpg", b"mjpa"):
             found = (sizes, stsc, stco)
             break
-        raise ValueError(
-            f"non-MJPEG mp4 video stream {fmt!r}")
+        if bad_video_fmt is None:
+            bad_video_fmt = fmt
     if found is None:
+        if bad_video_fmt is not None:
+            raise ValueError(
+                f"non-MJPEG mp4 video stream {bad_video_fmt!r}")
         raise ValueError("mp4 has no MJPEG video track")
     sizes, stsc, stco = found
 

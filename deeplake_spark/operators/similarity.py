@@ -244,8 +244,6 @@ def _widened_nprobe(n_clusters: int, config,
     top_k with a roaring prefilter over the FULL index,
     cpp/query_core/index_holder.hpp:35-36). None = unfiltered or no
     estimate: the stock eff-nprobe."""
-    import math
-
     eff = min(
         n_clusters,
         max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
@@ -326,8 +324,6 @@ def ivf_search_batch(index: IVFIndex, queries: DataFrame,
     queries probe it — and a per-qid window takes the top k. Returns
     (qid, id, score) with score = exact cosine, ranked per query.
     """
-    import math
-
     config = config or SearchConfig()
     n_clusters = len(index.centroids)
     eff_nprobe = min(
@@ -668,8 +664,6 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
     `metric="l2"` ranks candidates by the ADC distance
     anorm - 2*approx_dot (||q||^2 is rank-constant) and reranks by
     exact L2 ascending."""
-    import math
-
     import numpy as np
 
     config = config or SearchConfig()

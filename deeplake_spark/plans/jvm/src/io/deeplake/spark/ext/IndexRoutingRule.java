@@ -401,28 +401,50 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                         }
                     });
 
+    /** Missing sidecars are cached NEGATIVELY for this long: without
+     *  it every planned query against a stats-less (pre-round-8) index
+     *  pays a failed getFileStatus (an object-store HEAD) per gated
+     *  conjunct — the per-plan filesystem cost this cache exists to
+     *  avoid. A sidecar written later is noticed within the TTL;
+     *  routing merely stays stats-less (fail-open) until then. */
+    private static final long NEG_TTL_NANOS = 60L * 1_000_000_000L;
+
     private com.fasterxml.jackson.databind.JsonNode cachedJson(
             String pathStr) {
         String norm = IndexRegistry.normalize(pathStr);
-        long sig;
-        try {
-            org.apache.hadoop.fs.Path p =
-                    new org.apache.hadoop.fs.Path(pathStr);
-            org.apache.hadoop.fs.FileStatus st =
-                    p.getFileSystem(hconf()).getFileStatus(p);
-            sig = st.getModificationTime() * 31 + st.getLen();
-        } catch (Exception e) {
-            return null;                // missing sidecar: no stats
-        }
         Object[] hit = STATS_CACHE.get(norm);
-        if (hit != null && ((Long) hit[0]).longValue() == sig) {
-            return (com.fasterxml.jackson.databind.JsonNode) hit[1];
+        if (hit != null && hit[1] == null) {        // negative entry
+            if (System.nanoTime() < ((Long) hit[0]).longValue()) {
+                return null;
+            }
+            STATS_CACHE.remove(norm);
         }
-        byte[] raw = readSidecar(pathStr);
-        if (raw == null) {
+        org.apache.hadoop.fs.FileStatus st;
+        org.apache.hadoop.fs.FileSystem fs;
+        org.apache.hadoop.fs.Path p =
+                new org.apache.hadoop.fs.Path(pathStr);
+        try {
+            fs = p.getFileSystem(hconf());
+            st = fs.getFileStatus(p);
+        } catch (Exception e) {                     // missing sidecar
+            STATS_CACHE.put(norm, new Object[]{
+                    System.nanoTime() + NEG_TTL_NANOS, null});
             return null;
         }
+        long sig = st.getModificationTime() * 31 + st.getLen();
+        hit = STATS_CACHE.get(norm);
+        if (hit != null && hit[1] != null
+                && ((Long) hit[0]).longValue() == sig) {
+            return (com.fasterxml.jackson.databind.JsonNode) hit[1];
+        }
         try {
+            if (st.getLen() > 256L * 1024 * 1024) {
+                return null;            // not a sidecar
+            }
+            byte[] raw = new byte[(int) st.getLen()];
+            try (org.apache.hadoop.fs.FSDataInputStream in = fs.open(p)) {
+                in.readFully(0, raw);
+            }
             com.fasterxml.jackson.databind.JsonNode node =
                     new com.fasterxml.jackson.databind.ObjectMapper()
                             .readTree(raw);

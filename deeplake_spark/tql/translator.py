@@ -388,6 +388,19 @@ class Translator:
         order = "_row_id" if "_row_id" in df.columns else None
         return with_row_id(df, order_by=order, col_name="__tql_rownum")
 
+    def _index_entry(self, col: str, kind: str):
+        """Registry decode shared by the route rewrite AND the
+        selectivity estimator (they must never diverge on which index
+        serves a predicate shape). Returns (index, id_col) or None."""
+        meta = self.indexes.get(col)
+        if meta is None:
+            return None
+        # legacy 2-tuple = inverted; 3-tuple = (kind, index, id_col)
+        if len(meta) == 2:
+            return (meta[0], meta[1]) if kind == "inverted" else None
+        k, idx, id_col = meta
+        return (idx, id_col) if k == kind else None
+
     def _try_index_rewrite(self, c: ast.Node, df: DataFrame) -> DataFrame | None:
         """Route one WHERE conjunct through a registered index if its
         shape matches (the reference's probe extraction: CONTAINS /
@@ -397,15 +410,7 @@ class Translator:
         DataFrame, or None when no index applies."""
         from deeplake_spark.operators.indexes import contains_via_index
 
-        def entry(col: str, kind: str):
-            meta = self.indexes.get(col)
-            if meta is None:
-                return None
-            # legacy 2-tuple = inverted; 3-tuple = (kind, index, id_col)
-            if len(meta) == 2:
-                return (meta[0], meta[1]) if kind == "inverted" else None
-            k, idx, id_col = meta
-            return (idx, id_col) if k == kind else None
+        entry = self._index_entry
 
         def semijoin(ids, id_col):
             return df.join(ids.withColumnRenamed("row_id", id_col), id_col, "left_semi")
@@ -515,30 +520,28 @@ class Translator:
                 and isinstance(c.args[0], ast.ColumnRef)
                 and isinstance(c.args[1], ast.Literal)
             ):
-                meta = self.indexes.get(c.args[0].name)
-                if meta is not None and len(meta) >= 2:
-                    idx = meta[1] if len(meta) == 3 else meta[0]
-                    f = getattr(idx, "est_selectivity", None)
-                    est = f(str(c.args[1].value)) if f else None
+                en = self._index_entry(c.args[0].name, "inverted")
+                if en is not None:
+                    est = en[0].est_selectivity(str(c.args[1].value))
             elif (
                 isinstance(c, ast.BetweenOp)
                 and isinstance(c.operand, ast.ColumnRef)
                 and isinstance(c.low, ast.Literal)
                 and isinstance(c.high, ast.Literal)
             ):
-                meta = self.indexes.get(c.operand.name)
-                if meta is not None and len(meta) == 3 and meta[0] == "numeric":
-                    est = meta[1].est_range_selectivity(c.low.value,
-                                                        c.high.value)
+                en = self._index_entry(c.operand.name, "numeric")
+                if en is not None:
+                    est = en[0].est_range_selectivity(c.low.value,
+                                                      c.high.value)
             elif (
                 isinstance(c, ast.InOp)
                 and not c.negated
                 and isinstance(c.operand, ast.ColumnRef)
                 and all(isinstance(i, ast.Literal) for i in c.items)
             ):
-                meta = self.indexes.get(c.operand.name)
-                if meta is not None and len(meta) == 3 and meta[0] == "numeric":
-                    est = meta[1].est_in_selectivity(
+                en = self._index_entry(c.operand.name, "numeric")
+                if en is not None:
+                    est = en[0].est_in_selectivity(
                         [i.value for i in c.items])
             if est is not None:
                 best = est if best is None else min(best, est)

@@ -912,6 +912,27 @@ def test_real_mjpeg_mp4_video_decode(spark):
     with pt.raises(ValueError, match="at least one frame"):
         encode_mjpeg_mp4([])
 
+    # an AUDIO trak listed BEFORE the video trak (the common ffmpeg
+    # layout) must be skipped by the hdlr check, not mistaken for a
+    # non-MJPEG video stream: splice a 'soun'/'mp4a' clone of the trak
+    # ahead of the real one (moov is the last box, so stco offsets
+    # into mdat stay valid)
+    import struct as _st
+    mpos = mp4.rindex(b"moov") - 4
+    (msize,) = _st.unpack_from(">I", mp4, mpos)
+    payload = mp4[mpos + 8:mpos + msize]
+    tpos = payload.index(b"trak") - 4
+    trak = payload[tpos:]
+    fake_audio = trak.replace(b"vide", b"soun").replace(b"jpeg", b"mp4a")
+    new_payload = payload[:tpos] + fake_audio + trak
+    spliced = (mp4[:mpos]
+               + _st.pack(">I", len(new_payload) + 8) + b"moov"
+               + new_payload)
+    got2 = _decode_video_frames_mp4(spliced, every_n=2)
+    assert [i for i, _ in got2] == [0, 2, 4]
+    for (i, a), (_, b) in zip(got2, got):
+        assert np.array_equal(a, b)
+
 
 def test_png_low_bit_depths_decode_real():
     """1/2/4-bit PNG (the favicon/icon layout across web crawls)
