@@ -309,7 +309,8 @@ def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
             pass  # non-strict: not PNG bytes → PIL/fake below
     if compression in ("jpg", "jpeg"):
         try:
-            # real, numpy/stdlib-only: baseline sequential 4:4:4
+            # real, numpy/stdlib-only: sequential/progressive/lossless/
+            # 12-bit/arithmetic (SOF0/1/2/3/9/10), sampling up to 2x2
             from deeplake_spark.operators._jpeg import (
                 JpegUnsupported,
                 decode_baseline,

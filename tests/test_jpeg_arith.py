@@ -95,6 +95,37 @@ def test_arith_decode_via_multimodal_dispatch():
     assert np.array_equal(out, J.decode(data))
 
 
+def test_qm_coder_roundtrips_random_decision_sequences():
+    """Property fuzz of the QM coder core independent of JPEG
+    structure: random binary decisions against random context bins
+    (shared state arrays, skewed and unskewed streams) must decode
+    back exactly, and the emitted stream must keep the byte-stuffing
+    invariant (0xFF always followed by 0x00 inside entropy data) that
+    the marker scan relies on. Long all-ones runs drive the
+    0xFF-stacking + carry paths single-image tests rarely reach."""
+    rng = np.random.default_rng(42)
+    for trial in range(24):
+        n_ctx = int(rng.integers(1, 16))
+        n = int(rng.integers(1, 4000))
+        p1 = float(rng.uniform(0.02, 0.98))
+        bits = (rng.random(n) < p1).astype(int).tolist()
+        if trial % 4 == 0:
+            bits += [1] * int(rng.integers(100, 1200))  # carry stress
+        ctxs = rng.integers(0, n_ctx, len(bits)).tolist()
+        enc = J._ArithEncoder()
+        st_e = bytearray(n_ctx)
+        for c, b in zip(ctxs, bits):
+            enc.encode(st_e, c, b)
+        data = enc.flush()
+        for i, byte in enumerate(data[:-1]):
+            if byte == 0xFF:
+                assert data[i + 1] == 0x00, f"unstuffed FF at {i}"
+        dec = J._ArithDecoder(data)
+        st_d = bytearray(n_ctx)
+        got = [dec.decode(st_d, c) for c in ctxs]
+        assert got == bits, f"trial {trial} diverged"
+
+
 # --------------------------------------------------------------------------
 # third-party interop against the system libjpeg(-turbo)
 
