@@ -243,7 +243,18 @@ def _widened_nprobe(n_clusters: int, config,
     (capped at every cell == the reference's behavior, which runs
     top_k with a roaring prefilter over the FULL index,
     cpp/query_core/index_holder.hpp:35-36). None = unfiltered or no
-    estimate: the stock eff-nprobe."""
+    estimate: the stock eff-nprobe.
+
+    Design note: the accuracy_factor term probes a FRACTION of the
+    index (af/20 of the cells), not a fixed cell count — deliberately.
+    A fixed nprobe gives recall that decays as nlist grows with the
+    corpus (the FAISS failure mode users tune around); a fixed
+    fraction keeps each preset's recall roughly scale-invariant, which
+    is what a declarative accuracy dial should mean. The scan cost is
+    still pruned by the same factor at every scale (SCALING.md's
+    routed-vs-exact table), and callers who want FAISS-style absolute
+    probes set `config.nprobe` explicitly — it is the floor of the
+    same max()."""
     eff = min(
         n_clusters,
         max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
