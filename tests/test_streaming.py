@@ -413,3 +413,84 @@ def test_stream_near_dup_unique_pairs_and_exact_verify(spark, sf_dir, tmp_path):
     assert thr_pairs <= set(verified)
     assert all(verified[p] >= 0.9 - 5e-7 for p in thr_pairs)
     assert {p for p, j in verified.items() if j >= 0.9 + 5e-7} <= thr_pairs
+
+
+def test_stream_ann_search_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ANN (both lanes) must return exactly what the batch
+    index probe returns for the same queries: the declarative lane
+    (stream-static cluster join + mapInPandas partial top-k +
+    watermarked windowed merge) against per-query `ivf_search`, and
+    the foreachBatch lane against `ivf_search_batch` (which it runs).
+    The append-mode windowed merge only emits once the watermark
+    passes a query's window, so the query files carry event times an
+    hour apart and maxFilesPerTrigger=1 forces the late file into a
+    second micro-batch that flushes the first."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        build_ivf,
+        ivf_search,
+        ivf_search_batch,
+    )
+    from deeplake_spark.streaming.events import run_stream_to_memory
+    from deeplake_spark.streaming.vectors import (
+        stream_ann_foreach_batch,
+        stream_ann_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf(e, n_clusters=8, seed=42)
+    index.assignments.cache()
+    cfg = SearchConfig.balanced()
+    qvecs = {r.vec_id: list(r.embedding)
+             for r in e.filter(F.col("vec_id") < 3).collect()}
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    qdir = str(tmp_path / "queries")
+    rows = [(int(qid), v, t0) for qid, v in qvecs.items()]
+    schema = "qid long, qv array<float>, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(qdir)
+    # flush row an hour later: advances the watermark past t0's window
+    spark.createDataFrame([(999, list(qvecs.values())[0],
+                            t0 + dt.timedelta(hours=1))],
+                          schema).coalesce(1).write.mode("append").parquet(qdir)
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(qdir))
+    out = stream_ann_search(stream, index, k=5, config=cfg)
+    run_stream_to_memory(out, "ann_stream")
+    got = spark.sql("SELECT * FROM ann_stream").collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r.qid, []).append(r)
+    assert set(qvecs) <= set(by_qid)          # the flush row may or may not emit
+    for qid, vec in qvecs.items():
+        want = [(r.vec_id, r.score)
+                for r in ivf_search(index, vec, k=5, config=cfg).collect()]
+        hits = sorted(by_qid[qid], key=lambda r: r.rank)
+        assert [(r.vec_id, r.score) for r in hits] == want
+
+    # batch DataFrame through the SAME declarative plan (backfill lane)
+    batch_out = stream_ann_search(spark.read.parquet(qdir), index, k=5,
+                                  config=cfg)
+    assert sorted((r.qid, r.rank, r.vec_id) for r in batch_out.collect()
+                  if r.qid in qvecs) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in got if r.qid in qvecs)
+
+    # foreachBatch lane == ivf_search_batch on the whole query set
+    collected: list = []
+    q = stream_ann_foreach_batch(
+        (spark.readStream.format("parquet").schema(schema).load(qdir)),
+        index,
+        lambda df, bid: collected.extend(df.collect()),
+        k=5, config=cfg,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    want_fb = {(r.qid, r.vec_id, r.score) for r in ivf_search_batch(
+        index, spark.read.parquet(qdir), k=5, config=cfg).collect()}
+    assert {(r.qid, r.vec_id, r.score) for r in collected} == want_fb
+    index.assignments.unpersist()
