@@ -317,6 +317,29 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 
 
+def _centroid_route_sql(centroids: list, eff_nprobe: int,
+                        vec_col: str) -> str:
+    """SQL expression: array of the `eff_nprobe` nearest cluster ids
+    for `vec_col` (squared-L2 over the centroid literals, ties by
+    cluster id — the order `ivf_search` computes driver-side). ONE
+    parsed expression per plan (trap-12 convention). Shared by
+    `ivf_search_batch` and `streaming.vectors`: their batch/stream
+    equivalence is test-pinned, so there must be exactly one spelling
+    of the routing math."""
+    entries = ", ".join(
+        "named_struct('d', aggregate(zip_with(cast({v} as array<double>), "
+        "array({vals}), (a, b) -> (a - b) * (a - b)), 0D, "
+        "(acc, x) -> acc + x), 'cid', {cid})".format(
+            v=vec_col, cid=int(cid),
+            vals=", ".join(repr(float(x)) for x in c))
+        for cid, c in centroids
+    )
+    return (
+        f"transform(slice(array_sort(array({entries})), 1, "
+        f"{int(eff_nprobe)}), s -> s.cid)"
+    )
+
+
 def ivf_search_batch(index: IVFIndex, queries: DataFrame,
                      qvec_col: str = "qv", qid_col: str = "qid",
                      k: int = 5,
@@ -341,25 +364,15 @@ def ivf_search_batch(index: IVFIndex, queries: DataFrame,
         n_clusters,
         max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
     )
-    # per-query centroid ranking as ONE parsed expression over the
-    # centroid literals (trap-12 convention; centroids are index
-    # metadata, broadcast-small by construction)
-    cells = []
-    for cid, c in index.centroids:
-        vec = ",".join(repr(float(x)) for x in c)
-        cells.append(
-            "named_struct('d', aggregate(zip_with(cast(__qv as array<double>), "
-            f"array({vec}), (a, b) -> (a - b) * (a - b)), cast(0.0 as double), "
-            f"(acc, x) -> acc + x), 'c', {cid})")
+    # per-query centroid ranking via the shared routing expression
+    # (centroids are index metadata, broadcast-small by construction)
     routed = (
         queries.select(F.col(qid_col).alias("__qid"),
                        F.col(qvec_col).alias("__qv"))
         .select(
             "__qid", "__qv",
-            F.explode(F.expr(
-                f"slice(array_sort(array({','.join(cells)})), 1, {eff_nprobe})"
-            )).alias("__cell"))
-        .select("__qid", "__qv", F.col("__cell.c").alias("cluster"))
+            F.explode(F.expr(_centroid_route_sql(
+                index.centroids, eff_nprobe, "__qv"))).alias("cluster"))
     )
     scored = (
         index.assignments.join(F.broadcast(routed), "cluster")

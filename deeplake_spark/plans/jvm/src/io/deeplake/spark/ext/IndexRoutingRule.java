@@ -426,20 +426,31 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         try {
             fs = p.getFileSystem(hconf());
             st = fs.getFileStatus(p);
-        } catch (Exception e) {                     // missing sidecar
+        } catch (Exception e) {
+            // A TRANSIENT stat failure must not evict still-valid
+            // cached stats (stats are advisory: slightly stale beats
+            // none) — serve the existing positive entry; only a path
+            // with no known-good stats gets the negative entry.
+            if (hit != null && hit[1] != null) {
+                return (com.fasterxml.jackson.databind.JsonNode) hit[1];
+            }
             STATS_CACHE.put(norm, new Object[]{
                     System.nanoTime() + NEG_TTL_NANOS, null});
             return null;
         }
         long sig = st.getModificationTime() * 31 + st.getLen();
-        hit = STATS_CACHE.get(norm);
         if (hit != null && hit[1] != null
                 && ((Long) hit[0]).longValue() == sig) {
             return (com.fasterxml.jackson.databind.JsonNode) hit[1];
         }
         try {
             if (st.getLen() > 256L * 1024 * 1024) {
-                return null;            // not a sidecar
+                // oversize/corrupt sidecars get the SAME negative
+                // caching as missing ones — otherwise every planned
+                // query repays the read+parse attempt forever
+                STATS_CACHE.put(norm, new Object[]{
+                        System.nanoTime() + NEG_TTL_NANOS, null});
+                return null;
             }
             byte[] raw = new byte[(int) st.getLen()];
             try (org.apache.hadoop.fs.FSDataInputStream in = fs.open(p)) {
@@ -451,6 +462,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             STATS_CACHE.put(norm, new Object[]{sig, node});
             return node;
         } catch (Exception e) {
+            STATS_CACHE.put(norm, new Object[]{
+                    System.nanoTime() + NEG_TTL_NANOS, null});
             return null;
         }
     }

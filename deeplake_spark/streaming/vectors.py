@@ -38,24 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _route_expr(centroids: list, eff_nprobe: int, vec_col: str) -> str:
-    """SQL expression: the `eff_nprobe` nearest cluster ids (squared-L2
-    over the centroid literals, ties by cluster id — the exact order
-    `ivf_search` computes driver-side)."""
-    entries = ", ".join(
-        "named_struct('d', aggregate(zip_with(cast({v} as array<double>), "
-        "array({vals}), (a, b) -> (a - b) * (a - b)), 0D, "
-        "(acc, x) -> acc + x), 'cid', {cid})".format(
-            v=vec_col, cid=int(cid),
-            vals=", ".join(repr(float(x)) for x in c))
-        for cid, c in centroids
-    )
-    return (
-        f"transform(slice(array_sort(array({entries})), 1, "
-        f"{int(eff_nprobe)}), s -> s.cid)"
-    )
-
-
 def stream_ann_search(queries: DataFrame, index, k: int = 10,
                       config=None, qid_col: str = "qid",
                       qvec_col: str = "qv", ts_col: str = "ts",
@@ -68,14 +50,15 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
     Works on batch DataFrames too (same plan minus the watermark, for
     equivalence tests and backfills)."""
     from deeplake_spark.operators.similarity import (
-        SearchConfig, _widened_nprobe)
+        SearchConfig, _centroid_route_sql, _widened_nprobe)
     from deeplake_spark.functions.vector import cosine_similarity
 
     config = config or SearchConfig()
     eff = _widened_nprobe(len(index.centroids), config, None)
     routed = queries.withColumn(
         "cluster",
-        F.explode(F.expr(_route_expr(index.centroids, eff, qvec_col))))
+        F.explode(F.expr(_centroid_route_sql(index.centroids, eff,
+                                             qvec_col))))
     cand = routed.join(index.assignments, "cluster").select(
         qid_col,
         ts_col,
@@ -84,15 +67,19 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
                                   F.col(qvec_col)), 6).alias("score"),
     )
 
-    part_schema = (f"{qid_col} long, {ts_col} timestamp, vec_id long, "
-                   "score double")
+    part_schema = cand.schema  # id/ts types follow the inputs verbatim
 
     def partial_topk(batches):
         for pdf in batches:
             if len(pdf):
+                # group by (qid, ts), not qid alone: the same qid
+                # re-queried in a different window must not have its
+                # weaker window's candidates truncated by the stronger
+                # one's (finer groups keep a superset of every
+                # window-group's true top-k)
                 yield (pdf.sort_values(["score", "vec_id"],
                                        ascending=[False, True])
-                       .groupby(qid_col, as_index=False).head(k))
+                       .groupby([qid_col, ts_col], as_index=False).head(k))
 
     partial = cand.mapInPandas(partial_topk, part_schema)
     merged_col = F.slice(

@@ -418,8 +418,11 @@ def main() -> None:
     ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [8]
     # K-fold replicas of sf0.1 run 32 concurrent tasks in ONE local
     # JVM — the 8g session default (sized for the sf0.1 bench) GC-
-    # thrashes past ~x64. A real cluster holds this in executor heaps.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # thrashes past ~x64, but requesting 48g unconditionally would OOM
+    # smaller hosts on the routine x8 probe. A real cluster holds this
+    # in executor heaps.
+    if max(ks) >= 64:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     from deeplake_spark.queries import load_all
