@@ -270,13 +270,22 @@ def routed_sql_section(spark) -> list[str]:
             "SELECT embedding FROM plans_emb WHERE vec_id = 0"
         ).collect()[0].embedding]
         shapes = {
-            "plain-SQL WHERE contains route": (
+            "plain-SQL WHERE contains route (selective term)": (
+                "SELECT doc_id FROM plans_docs WHERE "
+                "array_contains(split(lower(text), '\\\\s+'), 'dup')",
+                "Token-CONTAINS on a SELECTIVE term (df ~5%) rewritten "
+                "to a bucket-pruned posting-probe LeftSemi — the "
+                "posting scan reads ONE of 64 term-hash partitions; "
+                "the corpus side never tokenizes."),
+            "plain-SQL WHERE contains, frequent term: gate keeps it stock": (
                 "SELECT doc_id FROM plans_docs WHERE "
                 "array_contains(split(lower(text), '\\\\s+'), 'spark')",
-                "Token-CONTAINS filter rewritten to a bucket-pruned "
-                "posting-probe LeftSemi — the posting scan reads ONE of "
-                "64 term-hash partitions; the corpus side never "
-                "tokenizes."),
+                "The SAME shape on a FREQUENT term ('spark', df ~77%): "
+                "the selectivity gate (persisted termstats df vs "
+                "routing.maxSelectivity) refuses the route — a "
+                "~corpus-sized posting semijoin would lose to the "
+                "pushed-down scan filter Parquet evaluates in place, "
+                "and the gap grows with data (SCALING.md gate table)."),
             "plain-SQL top-k ANN route": (
                 "SELECT vec_id FROM plans_emb ORDER BY "
                 f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10",
