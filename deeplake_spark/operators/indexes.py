@@ -199,10 +199,18 @@ class InvertedIndex:
         floor = _HEAVY_FRAC
         sidecar = os.path.join(path, "termstats.json")
         if json_exists(sidecar):
-            ts = get_json(sidecar)
-            heavy = {t: int(df) for t, df in ts.get("heavy", {}).items()}
-            n_est = int(ts.get("n_docs", 0)) or None
-            floor = float(ts.get("floor_frac", _HEAVY_FRAC))
+            try:
+                ts = get_json(sidecar)
+                heavy = {t: int(df) for t, df in ts.get("heavy", {}).items()}
+                n_est = int(ts.get("n_docs", 0)) or None
+                floor = float(ts.get("floor_frac", _HEAVY_FRAC))
+            except Exception:
+                # stats are ADVISORY: a corrupt/half-written sidecar
+                # (crashed append) must not brick index loading — load
+                # stats-less (est_selectivity None => never gated),
+                # the same fail-open the JVM rule applies
+                heavy = n_est = None
+                floor = _HEAVY_FRAC
         return cls(
             # keep `bucket`: probes prune the term-hash partition with it
             # (_term_hit) — dropping it here made every probe scan all 64
@@ -473,10 +481,15 @@ class NumericIndex:
         vmin = width = counts = n = None
         meta_path = os.path.join(path, "meta.json")
         if json_exists(meta_path):
-            meta = get_json(meta_path)
-            vmin, width = meta["vmin"], meta["width"]
-            counts = meta.get("bucket_counts")
-            n = int(meta.get("n", 0)) or None
+            try:
+                meta = get_json(meta_path)
+                vmin, width = meta["vmin"], meta["width"]
+                counts = meta.get("bucket_counts")
+                n = int(meta.get("n", 0)) or None
+            except Exception:
+                # histogram stats are advisory — a corrupt sidecar
+                # loads stats-less (never gated), not a crash
+                vmin = width = counts = n = None
         return cls(
             values=spark.read.parquet(os.path.join(path, "values")),
             vmin=vmin, width=width, bucket_counts=counts, n_rows=n,

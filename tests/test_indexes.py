@@ -1305,3 +1305,63 @@ def test_inverted_probe_prunes_term_buckets(spark, sf_dir, tmp_path):
     ref = [(r.row_id, r.bm25) for r in
            bm25_via_index(fresh, ["spark", "fast"], k=10).collect()]
     assert got == ref
+
+
+def test_corrupt_stats_sidecars_load_stats_less(spark, tmp_path):
+    """Stats sidecars are ADVISORY: a corrupt/half-written
+    termstats.json or meta.json (crashed append) must load the index
+    stats-less (est_* -> None, never gated; numeric probes fall back
+    to unpruned-but-correct) — not brick loading."""
+    from deeplake_spark.operators.indexes import InvertedIndex, NumericIndex
+
+    df = spark.createDataFrame(
+        [(i, "common filler", float(i)) for i in range(20)],
+        "doc_id long, text string, v double")
+    ip = str(tmp_path / "inv")
+    build_inverted_index(df, "text", "doc_id").save(ip)
+    with open(f"{ip}/termstats.json", "w") as f:
+        f.write("{not json")
+    idx = InvertedIndex.load(spark, ip)
+    assert idx.est_selectivity("common") is None
+    # probes still answer correctly without stats
+    assert sorted(r.row_id for r in idx.probe(["common"]).collect()) \
+        == list(range(20))
+
+    np_ = str(tmp_path / "num")
+    build_numeric_index(df, "v", id_col="doc_id").save(np_)
+    with open(f"{np_}/meta.json", "w") as f:
+        f.write("\x00garbage")
+    nidx = NumericIndex.load(spark, np_)
+    assert nidx.est_range_selectivity(0, 5) is None
+    assert sorted(r.row_id for r in nidx.probe_between(0, 5).collect()) \
+        == [0, 1, 2, 3, 4, 5]
+
+
+def test_termstats_merge_recaps_heavy_map(spark, tmp_path, monkeypatch):
+    """Delta appends with rotating heavy vocabularies must not grow the
+    termstats sidecar unboundedly: the merged map re-caps to
+    _HEAVY_CAP top-by-df and raises the floor over the dropped terms
+    (the absent-term upper bound stays sound)."""
+    import deeplake_spark.operators.indexes as ix
+
+    monkeypatch.setattr(ix, "_HEAVY_CAP", 4)
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string")
+    p = str(tmp_path / "inv")
+    build_inverted_index(base, "text", "doc_id").save(p)
+    delta = spark.createDataFrame(
+        [(100 + i, "epsilon zeta eta theta") for i in range(8)],
+        "doc_id long, text string")
+    build_inverted_index(delta, "text", "doc_id").append_to(p)
+    from deeplake_spark.storage import get_json
+
+    ts = get_json(f"{p}/termstats.json")
+    assert len(ts["heavy"]) <= 4
+    assert ts["n_docs"] == 16
+    # every dropped term had df <= min(kept df) <= floor * n
+    assert ts["floor_frac"] * ts["n_docs"] >= min(ts["heavy"].values())
+    merged = ix.InvertedIndex.load(spark, p)
+    for term in ("alpha", "epsilon", "theta"):
+        est = merged.est_selectivity(term)
+        assert est is not None and est <= ts["floor_frac"] + 1e-9 or est == 0.5
