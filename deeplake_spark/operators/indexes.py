@@ -134,9 +134,11 @@ class InvertedIndex:
         Bounded: heavy terms number at most avgdl/floor_frac, and a
         _HEAVY_CAP top-by-df cut raises the recorded floor so unknown
         terms keep a sound upper bound. On delta append the maps merge
-        by summing: a term absent from BOTH maps has df < floor*n_i in
-        each segment, hence < max(floor)*n overall — the bound
-        survives."""
+        by summing, and a term already heavy in the OLD map gets its
+        EXACT delta df (probed below the delta's own floor) so repeated
+        appends cannot erode a frequent term's estimate below the gate;
+        a term absent from BOTH maps has df < floor*n_i in each
+        segment, hence < max(floor)*n overall — the bound survives."""
         import math
 
         from deeplake_spark.storage import get_json, json_exists, put_json
@@ -145,23 +147,38 @@ class InvertedIndex:
             F.sum("n_docs").cast("long").alias("n")).head()
         n = int(srow["n"] or 0)
         thr = max(1, int(math.ceil(n * _HEAVY_FRAC)))
+        sidecar = os.path.join(path, "termstats.json")
+        old = get_json(sidecar) if merge and json_exists(sidecar) else None
+        old_heavy = (old or {}).get("heavy", {})
+        df_counts = self.postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"))
+        keep = F.col("df") >= thr
+        if old_heavy:
+            # terms already heavy in the OLD map contribute their delta
+            # df even when it falls below the delta's own heavy floor —
+            # without this a merged df underestimates by up to
+            # floor*n_delta per append and a term hovering at the gate
+            # threshold keeps routing after many appends
+            keep = keep | F.col("term").isin(list(old_heavy))
         rows = (
-            self.postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") >= thr)
+            df_counts.filter(keep)
             .orderBy(F.desc("df"), "term")
-            .limit(_HEAVY_CAP)
+            .limit(_HEAVY_CAP + len(old_heavy))
             .collect()
         )
-        heavy = {r["term"]: int(r["df"]) for r in rows}
+        delta = {r["term"]: int(r["df"]) for r in rows}
+        # delta-heavy terms enter the map; old-heavy terms are handled
+        # in the merge below (their sub-floor delta dfs are in `delta`)
+        heavy = {t: df for t, df in delta.items() if df >= thr}
         floor = _HEAVY_FRAC
-        if len(rows) == _HEAVY_CAP and heavy:
+        if len(heavy) >= _HEAVY_CAP and heavy:
+            kept = sorted(heavy.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
+            heavy = dict(kept)
             floor = max(floor, min(heavy.values()) / max(n, 1))
-        sidecar = os.path.join(path, "termstats.json")
-        if merge and json_exists(sidecar):
-            old = get_json(sidecar)
-            for t, df in old.get("heavy", {}).items():
-                heavy[t] = heavy.get(t, 0) + int(df)
+        if old is not None:
+            for t, df in old_heavy.items():
+                heavy[t] = heavy.get(t, delta.get(t, 0)) + int(df)
             n += int(old.get("n_docs", 0))
             floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
             if len(heavy) > _HEAVY_CAP:

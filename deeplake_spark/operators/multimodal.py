@@ -825,16 +825,21 @@ def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int,
     through to PyAV/fake unless strict; other containers go to PyAV
     when the lib is present (decode errors fall back to the fake
     unless strict); deterministic 8-frame fake clip otherwise."""
+    # JpegUnsupported too: an 'mjpa' sample can carry out-of-subset JPEG
+    # features (hierarchical, >2x2 sampling) — those must take the same
+    # documented PyAV/fake fallback as a non-MJPEG codec, not escape
+    from deeplake_spark.operators._jpeg import JpegUnsupported
+
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         try:
             return _decode_video_frames_avi(payload, every_n)
-        except ValueError:
+        except (ValueError, JpegUnsupported):
             if strict:
                 raise
     if len(payload) >= 12 and bytes(payload[4:8]) == b"ftyp":
         try:
             return _decode_video_frames_mp4(payload, every_n)
-        except ValueError:
+        except (ValueError, JpegUnsupported):
             if strict:
                 raise
     if _module_available("av"):

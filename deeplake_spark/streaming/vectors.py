@@ -45,8 +45,12 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
                       window: str = "10 seconds") -> DataFrame:
     """Top-k cosine neighbors from `index` (an `IVFIndex`) for every
     query vector on a stream. `queries` needs (`qid_col`, `qvec_col`,
-    `ts_col` instant-typed event time); emits (qid, rank, vec_id,
-    score) rows — k per query — when the query's window expires.
+    `ts_col` instant-typed event time); emits (qid, win_start, rank,
+    vec_id, score) rows — k per query per window — when the query's
+    window expires. `win_start` (the aggregation window's start
+    instant) keys the emission: the same qid re-queried in a later
+    window emits a second top-k set, and without the window column the
+    two sets would collide rank-for-rank indistinguishably.
     Works on batch DataFrames too (same plan minus the watermark, for
     equivalence tests and backfills)."""
     from deeplake_spark.operators.similarity import (
@@ -91,8 +95,9 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
         F.window(F.col(ts_col), window).alias("win"), qid_col)
     return (
         grouped.agg(merged_col.alias("top"))
-        .select(qid_col, F.posexplode("top").alias("pos", "hit"))
-        .select(qid_col,
+        .select(qid_col, F.col("win.start").alias("win_start"),
+                F.posexplode("top").alias("pos", "hit"))
+        .select(qid_col, "win_start",
                 (F.col("pos") + 1).alias("rank"),
                 F.col("hit.vec_id").alias("vec_id"),
                 (-F.col("hit.ns")).alias("score"))

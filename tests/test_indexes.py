@@ -1365,3 +1365,30 @@ def test_termstats_merge_recaps_heavy_map(spark, tmp_path, monkeypatch):
     for term in ("alpha", "epsilon", "theta"):
         est = merged.est_selectivity(term)
         assert est is not None and est <= ts["floor_frac"] + 1e-9 or est == 0.5
+
+
+def test_termstats_merge_counts_subfloor_delta_df(spark, tmp_path,
+                                                  monkeypatch):
+    """A term heavy in the OLD map whose df in the delta falls below
+    the DELTA's own heavy floor must still contribute that delta df to
+    the merged estimate — otherwise each append under-counts by up to
+    floor*n_delta and a term hovering at the gate threshold keeps
+    routing after many appends (round-8 ADVICE)."""
+    import deeplake_spark.operators.indexes as ix
+
+    monkeypatch.setattr(ix, "_HEAVY_FRAC", 0.5)
+    base = spark.createDataFrame(
+        [(i, "hot filler") for i in range(4)], "doc_id long, text string")
+    p = str(tmp_path / "inv")
+    build_inverted_index(base, "text", "doc_id").save(p)
+
+    # delta: 'hot' in 1 of 4 docs — below the delta floor ceil(0.5*4)=2
+    delta = spark.createDataFrame(
+        [(100, "hot other"), (101, "cold other"),
+         (102, "cold other"), (103, "cold other")],
+        "doc_id long, text string")
+    build_inverted_index(delta, "text", "doc_id").append_to(p)
+
+    merged = ix.InvertedIndex.load(spark, p)
+    # exact merged df: 4 (base) + 1 (sub-floor delta) over 8 docs
+    assert merged.est_selectivity("hot") == pytest.approx(5 / 8)

@@ -1234,3 +1234,43 @@ def test_extended_12bit_jpeg_roundtrip():
         encode_baseline(rgb12, precision=10)
     with pt.raises(ValueError):
         encode_baseline(np.full((8, 8), 5000, np.uint16), precision=12)
+
+
+def test_video_out_of_subset_jpeg_falls_back_not_raises():
+    """An MJPEG container whose JPEG sample uses out-of-subset features
+    (JpegUnsupported, not ValueError — e.g. 12-bit precision inside an
+    8-bit-advertised stream) must take the same documented fallback
+    hierarchy as a foreign codec under strict=False, and surface the
+    precise error under strict=True — for BOTH container lanes."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import JpegUnsupported
+    from deeplake_spark.operators.multimodal import (
+        _video_frames,
+        encode_mjpeg_avi,
+        encode_mjpeg_mp4,
+    )
+
+    frames = [np.full((16, 16, 3), 40 * (t + 1), np.uint8)
+              for t in range(3)]
+    for enc in (encode_mjpeg_avi, encode_mjpeg_mp4):
+        clip = bytearray(enc(frames))
+        # patch every SOF0 precision byte 8 -> 12: decode_baseline then
+        # raises JpegUnsupported("extended precision"), a plain
+        # Exception subclass the ValueError-only fallback used to miss
+        patched = 0
+        i = 0
+        while True:
+            j = clip.find(b"\xff\xc0", i)
+            if j < 0:
+                break
+            assert clip[j + 4] == 8
+            clip[j + 4] = 12
+            patched += 1
+            i = j + 2
+        assert patched >= len(frames)
+        with pt.raises(JpegUnsupported):
+            _video_frames(bytes(clip), every_n=1, strict=True)
+        lax = _video_frames(bytes(clip), every_n=4, strict=False)
+        assert [i for i, _ in lax] == [0, 4]   # deterministic fake clip

@@ -494,3 +494,38 @@ def test_stream_ann_search_matches_batch(spark, sf_dir, tmp_path):
         index, spark.read.parquet(qdir), k=5, config=cfg).collect()}
     assert {(r.qid, r.vec_id, r.score) for r in collected} == want_fb
     index.assignments.unpersist()
+
+
+def test_stream_ann_output_keyed_per_window(spark, sf_dir):
+    """A qid queried in TWO different windows emits two top-k sets;
+    `win_start` in the output schema is what keeps them apart — without
+    it the sets collide rank-for-rank indistinguishably (round-8
+    ADVICE). Exercised through the batch lane (same plan minus the
+    watermark), where every window emits."""
+    import datetime as dt
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import SearchConfig, build_ivf
+
+    from deeplake_spark.streaming.vectors import stream_ann_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf(e, n_clusters=4, seed=42)
+    qv = [float(x) for x in e.limit(1).head().embedding]
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    queries = spark.createDataFrame(
+        [(7, qv, t0), (7, qv, t0 + dt.timedelta(hours=1))],
+        "qid long, qv array<double>, ts timestamp")
+    out = stream_ann_search(queries, index, k=3,
+                            config=SearchConfig.high_accuracy()).collect()
+    assert {c for c in ("qid", "win_start", "rank", "vec_id", "score")} \
+        <= {f for f in out[0].asDict()}
+    by_win: dict = {}
+    for r in out:
+        by_win.setdefault(r.win_start, []).append(r)
+    assert len(by_win) == 2                    # one emission per window
+    for rows in by_win.values():
+        assert sorted(r.rank for r in rows) == [1, 2, 3]
+    wins = sorted(by_win)
+    assert [r.vec_id for r in sorted(by_win[wins[0]], key=lambda r: r.rank)] \
+        == [r.vec_id for r in sorted(by_win[wins[1]], key=lambda r: r.rank)]
