@@ -29,6 +29,7 @@ import org.apache.spark.sql.catalyst.expressions.LambdaFunction;
 import org.apache.spark.sql.catalyst.expressions.LessThan;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
+import org.apache.spark.sql.catalyst.expressions.Literal$;
 import org.apache.spark.sql.catalyst.expressions.Lower;
 import org.apache.spark.sql.catalyst.expressions.Multiply;
 import org.apache.spark.sql.catalyst.expressions.NamedExpression;
@@ -103,6 +104,34 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     public static final String MAX_SELECTIVITY_KEY =
             "spark.sql.deeplake.routing.maxSelectivity";
     static final double DEFAULT_MAX_SELECTIVITY = 0.1;
+
+    /** Probe → row-group pruning (mirrors the reference's roaring
+     *  bitmap → chunk-granular reads, cpp/icm/roaring.hpp +
+     *  cpp/query_core/index_holder.hpp:37-40): at route time the
+     *  probe's row ids are summarized into per-granule min/max,
+     *  coalesced into at most {@code maxRanges} [lo, hi] ranges, and
+     *  pushed as a LITERAL BETWEEN-OR filter on the corpus scan — so
+     *  parquet row-group/page stats skip the corpus I/O outside them
+     *  (the ingest layout is row-id-sorted). The semijoin stays on
+     *  top: ranges are pure I/O pruning, never a correctness surface.
+     *  Skipped when the ranges would cover more than
+     *  {@code maxRangeCoverage} of the corpus (nothing to skip).
+     *  Conf names shared with the TQL route (operators/indexes.py). */
+    public static final String RANGE_PRUNE_KEY =
+            "spark.sql.deeplake.routing.rangePrune";
+    public static final String RANGE_GRANULE_KEY =
+            "spark.sql.deeplake.routing.rangeGranule";
+    public static final String MAX_RANGES_KEY =
+            "spark.sql.deeplake.routing.maxRanges";
+    public static final String MAX_RANGE_COVERAGE_KEY =
+            "spark.sql.deeplake.routing.maxRangeCoverage";
+    static final long DEFAULT_RANGE_GRANULE = 65536;
+    static final int DEFAULT_MAX_RANGES = 64;
+    static final double DEFAULT_MAX_RANGE_COVERAGE = 0.8;
+    /** probes touching more granules than this bail out of range
+     *  pruning (bounds the plan-time collect; such probes cannot
+     *  prune meaningfully anyway). */
+    static final int RANGE_CHUNK_CAP = 4096;
 
     /** re-entrancy guard: probe plans are themselves analyzed/optimized. */
     private static final ThreadLocal<Boolean> IN_REWRITE =
@@ -204,6 +233,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         List<Expression> residual = new ArrayList<>();
         List<Dataset<Row>> probes = new ArrayList<>();
         List<String> probeIdCols = new ArrayList<>();
+        List<String> probeDescs = new ArrayList<>();   // range-cache keys
+        List<Long> probeNEsts = new ArrayList<>();     // corpus-size ests
         Map<String, Range> ranges = new HashMap<>();
         double maxSel = confDouble(MAX_SELECTIVITY_KEY,
                 DEFAULT_MAX_SELECTIVITY);
@@ -221,6 +252,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                                 maxSel)) {
                     probes.add(invertedProbe(en, tok[1]));
                     probeIdCols.add(en.idCol);
+                    probeDescs.add("inv|" + en.indexPath + "|" + tok[1]);
+                    probeNEsts.add(invertedNDocs(en));
                     continue;
                 }
             }
@@ -231,6 +264,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                         && hasAttr(child, en.idCol)) {
                     probes.add(exactProbe(en, eqs[1]));
                     probeIdCols.add(en.idCol);
+                    probeDescs.add("ex|" + en.indexPath + "|" + eqs[1]);
+                    probeNEsts.add(-1L);
                     // digest lookup prunes; the equality itself is KEPT
                     // as a residual so an md5 collision can never admit
                     // a wrong row (exactness is ~free: it runs on the
@@ -239,8 +274,12 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     continue;
                 }
             }
+            // predicates on a registered ROW-ID column never route: the
+            // id-sorted ingest layout already serves them via parquet
+            // min/max stats, and skipping them keeps the rule's own
+            // synthetic range filters from re-routing at the fixed point
             InMatch in = matchIn(c);
-            if (in != null) {
+            if (in != null && !isIdCol(byCol, in.column)) {
                 IndexRegistry.Entry en = byCol.get(in.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)
@@ -248,11 +287,13 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                                 in.values), maxSel)) {
                     probes.add(inProbe(en, in.values));
                     probeIdCols.add(en.idCol);
+                    probeDescs.add("in|" + en.indexPath + "|" + in.values);
+                    probeNEsts.add(numericN(en));
                     continue;
                 }
             }
             Bound[] bt = matchBetween(c);
-            if (bt != null) {
+            if (bt != null && !isIdCol(byCol, bt[0].column)) {
                 IndexRegistry.Entry en = byCol.get(bt[0].column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)) {
@@ -265,7 +306,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 }
             }
             Bound b = matchComparison(c);
-            if (b != null) {
+            if (b != null && !isIdCol(byCol, b.column)) {
                 IndexRegistry.Entry en = byCol.get(b.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)) {
@@ -291,12 +332,42 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             }
             probes.add(rangeProbe(r));
             probeIdCols.add(r.entry.idCol);
+            probeDescs.add("rg|" + r.entry.indexPath + "|" + r.lo + "|"
+                    + r.loStrict + "|" + r.hi + "|" + r.hiStrict);
+            probeNEsts.add(numericN(r.entry));
         }
         if (probes.isEmpty()) {
             return null;
         }
 
-        LogicalPlan joined = child;
+        // probe → corpus row-group pruning: summarize each probe's row
+        // ids into coalesced literal ranges and filter the corpus scan
+        // BEFORE the semijoins, so parquet min/max stats skip I/O
+        Expression rangePred = null;
+        if ("true".equalsIgnoreCase(
+                session.conf().get(RANGE_PRUNE_KEY, "true"))) {
+            for (int i = 0; i < probes.size(); i++) {
+                Attribute idAttr = findAttr(child.output(),
+                        probeIdCols.get(i));
+                if (idAttr == null || !(idAttr.dataType()
+                        instanceof org.apache.spark.sql.types.IntegralType)) {
+                    continue;
+                }
+                List<long[]> rs = cachedRanges(probes.get(i),
+                        probeDescs.get(i), probeNEsts.get(i));
+                if (rs == null || rs.isEmpty()) {
+                    continue;
+                }
+                Expression p = rangesPred(idAttr, rs);
+                if (p != null) {
+                    rangePred = rangePred == null ? p
+                            : new And(rangePred, p);
+                }
+            }
+        }
+
+        LogicalPlan joined = rangePred == null ? child
+                : new Filter(rangePred, child);
         for (int i = 0; i < probes.size(); i++) {
             Attribute idAttr = findAttr(child.output(), probeIdCols.get(i));
             if (idAttr == null) {
@@ -488,6 +559,201 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return Math.min(1.0, ts.path("floor_frac").asDouble(1.0 / 64));
     }
 
+    /** True when `name` is the registered row-id column of any index on
+     *  this dataset (such predicates are served by parquet stats on the
+     *  id-sorted layout directly — and the guard keeps the rule's own
+     *  synthetic range filters inert at the fixed point). */
+    private static boolean isIdCol(Map<String, IndexRegistry.Entry> byCol,
+                                   String name) {
+        for (IndexRegistry.Entry en : byCol.values()) {
+            if (en.idCol != null && en.idCol.equalsIgnoreCase(name)) {
+                return true;
+            }
+        }
+        return false;
+    }
+
+    /** Corpus size from the inverted index's termstats sidecar; -1 when
+     *  absent (range pruning then skips only on scatter, not coverage). */
+    private long invertedNDocs(IndexRegistry.Entry en) {
+        com.fasterxml.jackson.databind.JsonNode ts =
+                cachedJson(en.indexPath + "/termstats.json");
+        return ts == null ? -1 : ts.path("n_docs").asLong(-1);
+    }
+
+    private long numericN(IndexRegistry.Entry en) {
+        NumMeta nm = readNumMeta(en.indexPath);
+        return nm == null || nm.counts == null ? -1 : nm.n;
+    }
+
+    // ------------------------------------- probe → row-group pruning
+
+    /** Computed range sets are memoized (the same probe is re-planned
+     *  across queries and the plan-time job must not repeat): key =
+     *  session | probe descriptor | index dir signature | confs, value
+     *  = long[lo,hi][] or a no-ranges sentinel. Bounded LRU like the
+     *  scan cache. */
+    private static final Object NO_RANGES = new Object();
+    private static final Map<String, Object> RANGE_CACHE =
+            java.util.Collections.synchronizedMap(
+                    new java.util.LinkedHashMap<String, Object>(
+                            64, 0.75f, true) {
+                        @Override
+                        protected boolean removeEldestEntry(
+                                Map.Entry<String, Object> eldest) {
+                            return size() > 256;
+                        }
+                    });
+
+    /** [lo, hi] row-id ranges for the corpus scan filter, or null when
+     *  the probe is too scattered (> RANGE_CHUNK_CAP granules) or the
+     *  ranges would cover more than the conf'd fraction of the corpus.
+     *  Runs ONE bounded job over the (already partition-pruned) probe:
+     *  per-granule min/max, coalesced driver-side. */
+    @SuppressWarnings("unchecked")
+    private List<long[]> cachedRanges(Dataset<Row> probe, String desc,
+                                      long nEst) {
+        long granule = confLong(RANGE_GRANULE_KEY, DEFAULT_RANGE_GRANULE);
+        int maxRanges = confInt(MAX_RANGES_KEY, DEFAULT_MAX_RANGES);
+        double coverage = confDouble(MAX_RANGE_COVERAGE_KEY,
+                DEFAULT_MAX_RANGE_COVERAGE);
+        if (granule <= 0 || maxRanges <= 0) {
+            return null;
+        }
+        // desc embeds the index path; the dir signature invalidates the
+        // memo when a delta append changes the index content
+        String idxPath = desc.split("\\|", 3)[1];
+        String key = ((org.apache.spark.sql.classic.SparkSession) session)
+                .sessionUUID() + "|" + desc + "|" + dirSignature(idxPath)
+                + "|" + granule + "|" + maxRanges + "|" + coverage;
+        Object hit = RANGE_CACHE.get(key);
+        if (hit != null) {
+            return hit == NO_RANGES ? null : (List<long[]>) hit;
+        }
+        List<long[]> out = computeRanges(probe, granule, maxRanges,
+                coverage, nEst);
+        RANGE_CACHE.put(key, out == null ? NO_RANGES : out);
+        return out;
+    }
+
+    private List<long[]> computeRanges(Dataset<Row> probe, long granule,
+                                       int maxRanges, double coverage,
+                                       long nEst) {
+        try {
+            if (!(probe.schema().apply("row_id").dataType()
+                    instanceof org.apache.spark.sql.types.IntegralType)) {
+                return null;
+            }
+            List<Row> rows = probe
+                    .groupBy(functions.expr("row_id div " + granule))
+                    .agg(functions.min("row_id").alias("lo"),
+                         functions.max("row_id").alias("hi"))
+                    .limit(RANGE_CHUNK_CAP + 1)
+                    .collectAsList();
+            if (rows.isEmpty() || rows.size() > RANGE_CHUNK_CAP) {
+                return null;
+            }
+            List<long[]> bounds = new ArrayList<>(rows.size());
+            for (Row r : rows) {
+                bounds.add(new long[]{((Number) r.get(1)).longValue(),
+                        ((Number) r.get(2)).longValue()});
+            }
+            List<long[]> merged = coalesceRanges(bounds, maxRanges);
+            if (nEst > 0) {
+                long covered = 0;
+                for (long[] r : merged) {
+                    covered += r[1] - r[0] + 1;
+                }
+                if (covered >= coverage * nEst) {
+                    return null;   // spans ~the corpus: nothing to skip
+                }
+            }
+            return merged;
+        } catch (Exception e) {
+            return null;           // pruning is advisory: fail open
+        }
+    }
+
+    /** Merge overlapping/adjacent ranges; past `maxRanges`, keep the
+     *  maxRanges-1 LARGEST gaps as splits and merge across the rest
+     *  (minimizes the extra id-space the bounded set admits). Same
+     *  algorithm as operators/indexes.py coalesce_id_ranges. */
+    static List<long[]> coalesceRanges(List<long[]> bounds, int maxRanges) {
+        bounds.sort((a, b) -> Long.compare(a[0], b[0]));
+        List<long[]> merged = new ArrayList<>();
+        for (long[] r : bounds) {
+            if (!merged.isEmpty()
+                    && r[0] <= merged.get(merged.size() - 1)[1] + 1) {
+                long[] last = merged.get(merged.size() - 1);
+                last[1] = Math.max(last[1], r[1]);
+            } else {
+                merged.add(new long[]{r[0], r[1]});
+            }
+        }
+        if (merged.size() > maxRanges) {
+            long[][] gaps = new long[merged.size() - 1][2];
+            for (int i = 0; i < merged.size() - 1; i++) {
+                gaps[i][0] = merged.get(i + 1)[0] - merged.get(i)[1];
+                gaps[i][1] = i;
+            }
+            Arrays.sort(gaps, (a, b) -> Long.compare(b[0], a[0]));
+            java.util.TreeSet<Long> splits = new java.util.TreeSet<>();
+            for (int i = 0; i < maxRanges - 1 && i < gaps.length; i++) {
+                splits.add(gaps[i][1]);
+            }
+            List<long[]> out = new ArrayList<>();
+            int start = 0;
+            for (long s : splits) {
+                out.add(new long[]{merged.get(start)[0],
+                        merged.get((int) s)[1]});
+                start = (int) s + 1;
+            }
+            out.add(new long[]{merged.get(start)[0],
+                    merged.get(merged.size() - 1)[1]});
+            merged = out;
+        }
+        return merged;
+    }
+
+    /** `id BETWEEN lo AND hi OR ...` as catalyst nodes typed to the id
+     *  attribute (literal, so parquet pushdown sees it at planning). */
+    private static Expression rangesPred(Attribute idAttr,
+                                         List<long[]> ranges) {
+        org.apache.spark.sql.types.DataType dt = idAttr.dataType();
+        Expression out = null;
+        for (long[] r : ranges) {
+            Object lo;
+            Object hi;
+            if (dt instanceof org.apache.spark.sql.types.LongType) {
+                lo = r[0];
+                hi = r[1];
+            } else if (dt instanceof org.apache.spark.sql.types.IntegerType) {
+                lo = (int) r[0];
+                hi = (int) r[1];
+            } else {
+                return null;       // other integral widths: skip pruning
+            }
+            Expression one = new And(
+                    new GreaterThanOrEqual(idAttr,
+                            Literal$.MODULE$.create(lo, dt)),
+                    new LessThanOrEqual(idAttr,
+                            Literal$.MODULE$.create(hi, dt)));
+            out = out == null ? one
+                    : new org.apache.spark.sql.catalyst.expressions.Or(
+                            out, one);
+        }
+        return out;
+    }
+
+    private long confLong(String key, long def) {
+        try {
+            return Long.parseLong(
+                    session.conf().get(key, Long.toString(def)).trim());
+        } catch (Exception e) {
+            return def;
+        }
+    }
+
     // ----------------------------------------------------- probe builders
 
     /** Per-(session, path) scan cache keyed by a directory mtime/size
@@ -571,8 +837,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     .mod(functions.lit(64));
             p = p.filter(functions.col("bucket").equalTo(b));
         }
+        // no distinct: postings are unique per (term, row_id) by
+        // construction, and the LeftSemi needs no dedup — the shuffle
+        // costs more than the whole bucket-pruned scan
         return p.filter(functions.col("term").equalTo(functions.lit(kw)))
-                .select("row_id").distinct();
+                .select("row_id");
     }
 
     /** whole-string equality via the exact-text index: md5-hex digest
@@ -598,8 +867,9 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             d = d.filter(functions.col("bucket")
                     .equalTo(hex.substring(0, 2)));
         }
+        // no distinct: one digest row per corpus row
         return d.filter(functions.col("digest").equalTo(hex))
-                .select("row_id").distinct();
+                .select("row_id");
     }
 
     private Dataset<Row> inProbe(IndexRegistry.Entry en, List<Object> values) {
@@ -615,8 +885,9 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             }
             v = v.filter(functions.col("bucket").isin(buckets.toArray()));
         }
+        // no distinct: one value row per corpus row
         return v.filter(functions.col("value").isin(values.toArray()))
-                .select("row_id").distinct();
+                .select("row_id");
     }
 
     private Dataset<Row> rangeProbe(Range r) {
@@ -643,7 +914,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             v = v.filter(r.hiStrict ? c.lt(functions.lit(r.hi))
                     : c.leq(functions.lit(r.hi)));
         }
-        return v.select("row_id").distinct();
+        return v.select("row_id");   // unique per corpus row already
     }
 
     private static int bucketOf(double v, NumMeta meta) {

@@ -408,12 +408,19 @@ class Translator:
         inverted_index_search_info.hpp:19-44,
         duckdb_deeplake_scan.cpp:209-279). Returns the semijoined
         DataFrame, or None when no index applies."""
-        from deeplake_spark.operators.indexes import contains_via_index
+        from deeplake_spark.operators.indexes import (
+            contains_via_index,
+            routed_semijoin,
+        )
 
         entry = self._index_entry
 
-        def semijoin(ids, id_col):
-            return df.join(ids.withColumnRenamed("row_id", id_col), id_col, "left_semi")
+        def semijoin(ids, id_col, n_est=None, prune=True):
+            # probe row-id ranges pushed onto the corpus scan first
+            # (row-group skip — the reference's bitmap→chunk reads);
+            # the LeftSemi on top keeps the rewrite exact
+            return routed_semijoin(df, ids, id_col, n_rows_est=n_est,
+                                   prune=prune)
 
         def gate_ok(est) -> bool:
             """Selectivity cost gate (the reference's pg_costestimate,
@@ -451,7 +458,10 @@ class Translator:
                 # digest semijoin prunes; re-check the equality on the
                 # surviving handful of rows so an md5 collision can never
                 # admit a wrong row (exactness is ~free post-semijoin)
-                return semijoin(m[0].probe(c.args[1].value), m[1]).filter(
+                return semijoin(
+                    m[0].probe(c.args[1].value), m[1],
+                    prune="bucket" in m[0].digests.columns,
+                ).filter(
                     F.col(c.args[0].name) == F.lit(c.args[1].value)
                 )
         # col BETWEEN a AND b → numeric range probe
@@ -464,7 +474,9 @@ class Translator:
             m = entry(c.operand.name, "numeric")
             if m and gate_ok(
                     m[0].est_range_selectivity(c.low.value, c.high.value)):
-                return semijoin(m[0].probe_between(c.low.value, c.high.value), m[1])
+                return semijoin(m[0].probe_between(c.low.value, c.high.value),
+                                m[1], n_est=m[0].n_rows,
+                                prune="bucket" in m[0].values.columns)
         # col IN (v1, v2, ...) → numeric membership probe
         if (
             isinstance(c, ast.InOp)
@@ -475,7 +487,9 @@ class Translator:
             m = entry(c.operand.name, "numeric")
             if m and gate_ok(
                     m[0].est_in_selectivity([i.value for i in c.items])):
-                return semijoin(m[0].probe_in([i.value for i in c.items]), m[1])
+                return semijoin(m[0].probe_in([i.value for i in c.items]),
+                                m[1], n_est=m[0].n_rows,
+                                prune="bucket" in m[0].values.columns)
         # json_col['path'] == lit → JSON path-value probe
         if (
             isinstance(c, ast.BinaryOp)
@@ -488,7 +502,8 @@ class Translator:
         ):
             m = entry(c.left.operand.name, "json")
             if m:
-                return semijoin(m[0].probe(c.left.index.value, c.right.value), m[1])
+                return semijoin(m[0].probe(c.left.index.value, c.right.value),
+                                m[1], prune=m[0].loaded)
         return None
 
     def _estimate_where_selectivity(self, where: ast.Node) -> float | None:

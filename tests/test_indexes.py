@@ -1392,3 +1392,185 @@ def test_termstats_merge_counts_subfloor_delta_df(spark, tmp_path,
     merged = ix.InvertedIndex.load(spark, p)
     # exact merged df: 4 (base) + 1 (sub-floor delta) over 8 docs
     assert merged.est_selectivity("hot") == pytest.approx(5 / 8)
+
+
+# ------------------------------------------- probe → row-group pruning
+
+
+def test_coalesce_id_ranges_merges_and_bounds():
+    """Unit contract of the bitmap→range conversion: overlapping and
+    adjacent ranges merge; past max_ranges the LARGEST gaps survive as
+    splits (minimal extra id-space admitted); order is canonical."""
+    from deeplake_spark.operators.indexes import coalesce_id_ranges
+
+    assert coalesce_id_ranges([], 8) == []
+    # adjacency (hi+1 == lo) merges; true gaps stay
+    assert coalesce_id_ranges([(0, 4), (5, 9), (20, 25)], 8) == \
+        [(0, 9), (20, 25)]
+    assert coalesce_id_ranges([(20, 25), (0, 4), (3, 9)], 8) == \
+        [(0, 9), (20, 25)]
+    # 4 islands, max 2: the single biggest gap (100..999) splits;
+    # smaller gaps merge across
+    got = coalesce_id_ranges([(0, 9), (30, 39), (70, 79), (1000, 1009)], 2)
+    assert got == [(0, 79), (1000, 1009)]
+    # bound respected for any max
+    many = [(i * 100, i * 100 + 5) for i in range(50)]
+    for mr in (1, 3, 7, 50):
+        out = coalesce_id_ranges(list(many), mr)
+        assert len(out) <= mr
+        # soundness: every input id is inside some output range
+        for lo, hi in many:
+            assert any(o_lo <= lo and hi <= o_hi for o_lo, o_hi in out)
+
+
+@pytest.fixture()
+def clustered_docs(spark, tmp_path):
+    """200k docs, id-sorted multi-row-group layout; 'xclust' marks one
+    contiguous 5% id slice (a crawl batch), 'sparse' hits every 20th
+    doc uniformly (same 5% selectivity, zero locality)."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        build_inverted_index,
+    )
+
+    docs = (spark.range(200_000).withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "text",
+                F.concat(
+                    F.lit("alpha beta gamma"),
+                    F.when((F.col("doc_id") >= 50_000)
+                           & (F.col("doc_id") < 60_000),
+                           F.lit(" xclust")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 20 == 0,
+                           F.lit(" sparse")).otherwise(F.lit("")),
+                )))
+    path = str(tmp_path / "cdocs.parquet")
+    (docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+     .write.option("parquet.block.size", 256 * 1024).parquet(path))
+    d = spark.read.parquet(path)
+    ip = str(tmp_path / "cidx")
+    build_inverted_index(d, "text", "doc_id").save(ip)
+    return d, InvertedIndex.load(spark, ip), path, ip
+
+
+def test_contains_route_pushes_probe_ranges_to_scan(spark, clustered_docs,
+                                                    monkeypatch):
+    """The routed CONTAINS plan carries the probe's row-id ranges as
+    PUSHED literal filters on the corpus scan (parquet min/max then
+    skips the row groups outside them — the reference's roaring-bitmap
+    chunk reads, icm/roaring.hpp + index_holder.hpp:37-40), and the
+    rows stay identical to stock."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark import tql
+
+    d, idx, _, _ = clustered_docs
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "4096")
+    try:
+        q = "SELECT doc_id WHERE CONTAINS(text, 'xclust')"
+        routed = tql.query(q, default=d, indexes={"text": (idx, "doc_id")})
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        # (scan Location paths truncate in plan strings — match the
+        # pushed tokens; only the corpus scan carries doc_id filters)
+        assert "GreaterThanOrEqual(doc_id,50000)" in phys, phys[:2000]
+        assert "LessThanOrEqual(doc_id,59999)" in phys
+        stock = sorted(
+            r.doc_id for r in d.filter(F.array_contains(
+                F.split(F.lower("text"), r"\s+"), "xclust")).collect())
+        assert sorted(r.doc_id for r in routed.collect()) == stock
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_contains_route_skips_ranges_when_coverage_high(spark,
+                                                        clustered_docs):
+    """A selective-but-UNIFORM term's granule ranges span ~the whole
+    corpus — nothing for parquet stats to skip, so the coverage gate
+    keeps the per-row OR predicate out of the plan (semijoin only)."""
+    from deeplake_spark import tql
+
+    d, idx, _, _ = clustered_docs
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "4096")
+    try:
+        q = "SELECT doc_id WHERE CONTAINS(text, 'sparse')"
+        routed = tql.query(q, default=d, indexes={"text": (idx, "doc_id")})
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id" not in phys
+        assert routed.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_fresh_index_route_runs_no_plan_time_job(spark, monkeypatch):
+    """A FRESHLY BUILT (unsaved) index's probe lineage is a corpus
+    tokenize: summarizing it at plan time would cost what it saves.
+    contains_via_index must not trigger the range job there."""
+    import deeplake_spark.operators.indexes as ix
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" + (" rare" if i == 3 else "")) for i in range(30)],
+        "doc_id long, text string")
+    idx = build_inverted_index(df, "text", "doc_id")
+
+    def boom(*a, **kw):
+        raise AssertionError("plan-time range job on a fresh index")
+
+    monkeypatch.setattr(ix, "probe_id_ranges", boom)
+    out = ix.contains_via_index(df, idx, "rare")
+    assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_range_prune_conf_disables(spark, clustered_docs):
+    """spark.sql.deeplake.routing.rangePrune=false keeps the round-8
+    plain-semijoin shape (kill switch for non-id-sorted layouts)."""
+    from deeplake_spark import tql
+
+    d, idx, _, _ = clustered_docs
+    spark.conf.set("spark.sql.deeplake.routing.rangePrune", "false")
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "4096")
+    try:
+        q = "SELECT doc_id WHERE CONTAINS(text, 'xclust')"
+        routed = tql.query(q, default=d, indexes={"text": (idx, "doc_id")})
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id" not in phys
+        assert routed.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangePrune")
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_numeric_between_route_pushes_probe_ranges(spark, tmp_path):
+    """The BETWEEN route gets the same probe→scan range pruning: value
+    correlates with id here (time-ordered ingest — the realistic case),
+    so the value probe's ids coalesce into a tight pushed range."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import (
+        NumericIndex,
+        build_numeric_index,
+    )
+
+    docs = (spark.range(100_000).withColumnRenamed("id", "doc_id")
+            .withColumn("score", (F.col("doc_id") / 100).cast("double")))
+    path = str(tmp_path / "ndocs.parquet")
+    (docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+     .write.option("parquet.block.size", 256 * 1024).parquet(path))
+    d = spark.read.parquet(path)
+    ip = str(tmp_path / "nidx")
+    build_numeric_index(d, "score", id_col="doc_id").save(ip)
+    idx = NumericIndex.load(spark, ip)
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "4096")
+    try:
+        q = "SELECT doc_id WHERE score BETWEEN 100.0 AND 149.99"
+        routed = tql.query(
+            q, default=d, indexes={"score": ("numeric", idx, "doc_id")})
+        phys = routed._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id,10000)" in phys, phys[:2000]
+        assert "LessThanOrEqual(doc_id,14999)" in phys
+        got = sorted(r.doc_id for r in routed.collect())
+        assert got == list(range(10_000, 15_000))
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")

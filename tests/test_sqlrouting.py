@@ -1025,3 +1025,112 @@ def test_probe_scan_cache_sees_index_deltas(spark, sf_dir, tmp_path):
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("cache_docs")
+
+
+@pytest.fixture()
+def clustered_sql_docs(spark, tmp_path):
+    """Id-sorted multi-row-group corpus with a clustered 5% term
+    ('xclust', one contiguous id slice) and a uniform 5% term
+    ('sparse') — the two regimes of probe→row-group pruning."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.indexes import build_inverted_index
+
+    docs = (spark.range(200_000).withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "text",
+                F.concat(
+                    F.lit("alpha beta gamma"),
+                    F.when((F.col("doc_id") >= 50_000)
+                           & (F.col("doc_id") < 60_000),
+                           F.lit(" xclust")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 20 == 0,
+                           F.lit(" sparse")).otherwise(F.lit("")),
+                )))
+    path = str(tmp_path / "csql.parquet")
+    (docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+     .write.option("parquet.block.size", 256 * 1024).parquet(path))
+    d = spark.read.parquet(path)
+    ip = str(tmp_path / "csqlidx")
+    build_inverted_index(d, "text", "doc_id").save(ip)
+    d.createOrReplaceTempView("csql_docs")
+    rt.register_path(spark, path, "text", "inverted", ip, "doc_id")
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "4096")
+    try:
+        yield d
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("csql_docs")
+
+
+def _csql(term):
+    return ("SELECT doc_id FROM csql_docs WHERE "
+            f"array_contains(split(lower(text), '\\\\s+'), '{term}')")
+
+
+def test_sql_route_pushes_probe_ranges_to_corpus_scan(spark,
+                                                      clustered_sql_docs):
+    """The Catalyst rule's routed CONTAINS carries the probe's row-id
+    ranges as pushed literal filters on the corpus scan (row-group
+    skip — the reference's bitmap→chunk reads); uniform-term probes
+    whose ranges span the corpus are coverage-gated back to the plain
+    semijoin; rows identical to stock in both regimes."""
+    routed = spark.sql(_csql("xclust"))
+    phys = routed._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(doc_id,50000)" in phys, phys[:2000]
+    assert "LessThanOrEqual(doc_id,59999)" in phys
+    assert sorted(r.doc_id for r in routed.collect()) == \
+        list(range(50_000, 60_000))
+
+    uniform = spark.sql(_csql("sparse"))
+    uphys = uniform._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in _plan(uniform)
+    assert "GreaterThanOrEqual(doc_id" not in uphys
+    assert uniform.count() == 10_000
+
+    rt.disable(spark)
+    assert sorted(r.doc_id for r in spark.sql(_csql("xclust")).collect()) \
+        == list(range(50_000, 60_000))
+
+
+def test_sql_range_cache_bounds_plan_time_jobs(spark, clustered_sql_docs):
+    """Re-planning the same probe must hit the JVM range memo, not
+    re-run the granule job per query (bounded-LRU, dir-signature
+    keyed — the SCAN_CACHE discipline)."""
+    jvm = spark._jvm.io.deeplake.spark.ext.IndexRoutingRule
+    for _ in range(3):
+        spark.sql(_csql("xclust"))._jdf.queryExecution().optimizedPlan()
+    # the memo is bounded the same way the probe scan cache is
+    assert jvm.scanCacheCap() == 256
+
+
+def test_sql_id_column_predicates_never_route(spark, sf_dir, tmp_path):
+    """A BETWEEN on the registered ROW-ID column stays stock even with
+    a numeric index whose id_col IS that column: parquet min/max on the
+    id-sorted layout already serves it, and the guard keeps the rule's
+    own synthetic range filters inert at the resolution fixed point."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.indexes import build_numeric_index
+
+    src = f"{sf_dir}/documents.parquet"
+    d = spark.read.parquet(src)
+    ip = str(tmp_path / "idcolidx")
+    build_numeric_index(d, "doc_id", id_col="doc_id").save(ip)
+    d.createOrReplaceTempView("idcol_docs")
+    rt.register_path(spark, src, "doc_id", "numeric", ip, "doc_id")
+    rt.enable(spark)
+    try:
+        q = "SELECT doc_id FROM idcol_docs WHERE doc_id BETWEEN 5 AND 25"
+        df = spark.sql(q)
+        assert "LeftSemi" not in _plan(df)
+        assert sorted(r.doc_id for r in df.collect()) == \
+            sorted(r.doc_id for r in
+                   d.filter(F.col("doc_id").between(5, 25)).collect())
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("idcol_docs")

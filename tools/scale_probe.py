@@ -236,13 +236,52 @@ def _replicate_plain_docs(spark, k: int, out: str) -> None:
     u.repartition(max(4, 4 * k)).write.mode("overwrite").parquet(out)
 
 
+def _gate_docs_sorted(spark, k: int, out: str) -> int:
+    """Gate corpus: k dense-re-id'd replicas written ID-SORTED across
+    range-partitioned files with ~8 MB row groups — the ingest layout
+    (a real multi-TB ingest writes row-id-ordered chunks;
+    plans/layout.py). Text is inflated 8x (real documents are KBs; the
+    sf0.1 fixture's ~100-char rows make every scan fixed-cost-bound
+    and would hide what pruning skips — token SET per doc is unchanged,
+    so term selectivities and the index size are unaffected). One
+    contiguous 5% id slice additionally carries ' batchzz' (a
+    crawl-batch term: selective AND clustered in id space, the regime
+    probe→row-group pruning exists for). Returns the corpus size."""
+    df = load_table(spark, BASE_SF, "documents")
+    base_n = df.count()
+    n = base_n * k
+    lo, hi = int(0.45 * n), int(0.45 * n) + n // 20
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    u = (df.crossJoin(reps)
+         .select((F.col("doc_id") + F.col("rep") * base_n).alias("doc_id"),
+                 F.expr("repeat(concat(text, ' '), 8)").alias("text"))
+         .withColumn(
+             "text",
+             F.when((F.col("doc_id") >= lo) & (F.col("doc_id") < hi),
+                    F.concat(F.col("text"), F.lit(" batchzz")))
+             .otherwise(F.col("text"))))
+    (u.repartitionByRange(max(8, min(64, k)), "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.mode("overwrite").option("parquet.block.size", 8 << 20)
+     .parquet(out))
+    return n
+
+
 def gate_section(spark, k: int):
-    """Selectivity-gate datapoint: frequent-term CONTAINS (df ~0.77·N
-    at every scale) through the stock pushed-down scan filter vs the
-    ungated posting semijoin, plus the same pair for a selective term
-    (df ~0.05·N). The gate's claim: stock wins on the frequent term
-    and the gap grows with scale; the index keeps winning regimes
-    (selective predicates) routed."""
+    """Selectivity-gate + range-prune datapoints over the id-sorted
+    gate corpus, three regimes per scale:
+
+    - frequent ('spark', df ~0.77·N): the gate's claim — stock beats
+      the forced route and the gap grows with corpus size.
+    - selective-uniform ('dup', df ~0.05·N, zero id locality): routes
+      under the default gate; its probe ranges span the corpus, so the
+      coverage gate keeps the pushed range filter OUT of the plan.
+    - selective-clustered ('batchzz', df = 0.05·N in ONE contiguous id
+      slice — a crawl batch): the probe's row-id ranges push onto the
+      corpus scan and parquet min/max skips ~95% of the row groups —
+      the regime where the routed lane should BEAT the stock scan,
+      and the reason the route exists at 100 TB (the reference's
+      bitmap→chunk reads, icm/roaring.hpp)."""
     from deeplake_spark.operators.indexes import (
         InvertedIndex,
         build_inverted_index,
@@ -250,9 +289,12 @@ def gate_section(spark, k: int):
     from deeplake_spark.plans import sqlrouting as rt
 
     out = {}
-    for kk in (1, k):
+    # third point at 4k (x128 for the default k=32): the gate corpus is
+    # small (5k docs at sf0.1), and the regime the route exists for —
+    # corpus scan dominating fixed costs — only appears past ~500k docs
+    for kk in (1, k, 4 * k):
         docs_path = os.path.join(WORK, f"gatedocs_x{kk}.parquet")
-        _replicate_plain_docs(spark, kk, docs_path)
+        _gate_docs_sorted(spark, kk, docs_path)
         d = spark.read.parquet(docs_path)
         idx_path = os.path.join(WORK, f"gateidx_x{kk}")
         build_inverted_index(d, "text", "doc_id").save(idx_path)
@@ -270,16 +312,38 @@ def gate_section(spark, k: int):
             return round(best, 3)
 
         res = {}
-        for term, label in (("spark", "frequent"), ("dup", "selective")):
-            q = ("SELECT doc_id FROM gate_docs WHERE "
+        for term, label in (("spark", "frequent"),
+                            ("dup", "selective"),
+                            ("batchzz", "clustered")):
+            # SELECT the document, not just its id: a CONTAINS user
+            # fetches rows, and materializing `text` is where the scan
+            # I/O actually is (an id-only projection reads nothing but
+            # the join key and would hide what pruning skips)
+            q = ("SELECT doc_id, text FROM gate_docs WHERE "
                  f"array_contains(split(lower(text), '\\\\s+'), '{term}')")
             rt.disable(spark)
             res[f"{label}_stock"] = timed(q)
             rt.enable(spark)
             spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # force route
+            t0 = time.perf_counter()
             plan = spark.sql(q)._jdf.queryExecution().optimizedPlan() \
                 .toString()
+            # first-plan cost: includes the one bounded probe-summary
+            # job range pruning runs before its memo warms (honest
+            # accounting for the routed lane's plan-time work)
+            res[f"{label}_first_plan_s"] = round(time.perf_counter() - t0, 3)
             assert "LeftSemi" in plan, f"{term} did not route"
+            if label == "clustered":
+                # probe ranges pushed to the corpus scan (row-group skip)
+                phys = spark.sql(q)._jdf.queryExecution().executedPlan() \
+                    .toString()
+                assert "GreaterThanOrEqual(doc_id" in phys, \
+                    "clustered term got no pushed range filter"
+            if label == "selective":
+                phys = spark.sql(q)._jdf.queryExecution().executedPlan() \
+                    .toString()
+                assert "GreaterThanOrEqual(doc_id" not in phys, \
+                    "uniform term should be coverage-gated out of ranges"
             res[f"{label}_routed"] = timed(q)
             # the DEFAULT gate picks stock for frequent, route for rare
             spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
@@ -289,6 +353,7 @@ def gate_section(spark, k: int):
             rt.disable(spark)
         assert res["frequent_gate_routes"] is False
         assert res["selective_gate_routes"] is True
+        assert res["clustered_gate_routes"] is True
         rt.clear(spark)
         out[f"x{kk}"] = res
     return out
@@ -416,6 +481,12 @@ def ann_section(spark):
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [8]
+    # --sections ops,skew,gate,ann — iterate on one section without
+    # paying for the others (the full MD rewrite needs all four)
+    sections = {"ops", "skew", "gate", "ann"}
+    if "--sections" in sys.argv:
+        sections = set(
+            sys.argv[sys.argv.index("--sections") + 1].split(","))
     # K-fold replicas of sf0.1 run 32 concurrent tasks in ONE local
     # JVM — the 8g session default (sized for the sf0.1 bench) GC-
     # thrashes past ~x64, but requesting 48g unconditionally would OOM
@@ -430,40 +501,48 @@ def main() -> None:
     reg = load_all()
     fns = probes(reg)
 
-    base_dir = os.path.join(WORK, "x1")
     shutil.rmtree(WORK, ignore_errors=True)
-    for t in TABLES:
-        replicate(spark, t, 1, base_dir)
-
-    warm = run(spark, fns, base_dir, n=1)  # compile everything once
-    t1 = run(spark, fns, base_dir)
-    del warm
-    tk: dict[int, dict[str, float]] = {}
-    for k in ks:
-        big_dir = os.path.join(WORK, f"x{k}")
-        for t in TABLES:
-            replicate(spark, t, k, big_dir)
-        tk[k] = run(spark, fns, big_dir)
-
     rows = []
-    for name, _ in fns:
-        r = {"op": name, "t_1x": t1[name]}
-        for k in ks:
-            r[f"t_{k}x"] = tk[k][name]
-            r[f"ratio_{k}"] = (round(tk[k][name] / t1[name], 2)
-                               if t1[name] > 0 else None)
-        rows.append(r)
-    k = max(ks)                   # skew runs at the largest scale
-    big_dir = os.path.join(WORK, f"x{k}")
-    skew = skew_section(spark, big_dir, k)
-    gate = gate_section(spark, k)
-    ann = ann_section(spark)
+    skew = gate = ann = None
+    k = max(ks)
+    if "ops" in sections or "skew" in sections:
+        base_dir = os.path.join(WORK, "x1")
+        for t in TABLES:
+            replicate(spark, t, 1, base_dir)
+        if "ops" in sections:
+            warm = run(spark, fns, base_dir, n=1)  # compile once
+            t1 = run(spark, fns, base_dir)
+            del warm
+        tk: dict[int, dict[str, float]] = {}
+        for kk in ks:
+            big_dir = os.path.join(WORK, f"x{kk}")
+            for t in TABLES:
+                replicate(spark, t, kk, big_dir)
+            if "ops" in sections:
+                tk[kk] = run(spark, fns, big_dir)
+        if "ops" in sections:
+            for name, _ in fns:
+                r = {"op": name, "t_1x": t1[name]}
+                for kk in ks:
+                    r[f"t_{kk}x"] = tk[kk][name]
+                    r[f"ratio_{kk}"] = (round(tk[kk][name] / t1[name], 2)
+                                        if t1[name] > 0 else None)
+                rows.append(r)
+        if "skew" in sections:     # skew runs at the largest scale
+            skew = skew_section(spark, os.path.join(WORK, f"x{k}"), k)
+    if "gate" in sections:
+        gate = gate_section(spark, k)
+    if "ann" in sections:
+        ann = ann_section(spark)
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
                       "gate": gate, "ann": ann}, indent=1))
 
     out_md = None
     if "--out" in sys.argv:
         out_md = sys.argv[sys.argv.index("--out") + 1]
+    if out_md and sections != {"ops", "skew", "gate", "ann"}:
+        print("--out needs all sections; skipping MD rewrite")
+        out_md = None
     if out_md:
         kdesc = "/".join(str(k) for k in ks)
         lines = [
@@ -512,26 +591,52 @@ def main() -> None:
             lines.append(f"| {r['variant']} | {r['sec']} |")
         lines += [
             "",
-            "## Selectivity gate (frequent vs selective CONTAINS)",
+            "## Selectivity gate + probe→row-group pruning (CONTAINS)",
             "",
-            "Documents replicated WITHOUT token suffixing so fractional "
-            "df stays constant with scale: 'spark' hits ~77% of docs, "
-            "'dup' ~5%. `stock` = pushed-down scan filter (what the "
-            "default gate picks for the frequent term); `routed` = the "
-            "posting semijoin forced with maxSelectivity=1.0. The gate's "
-            "claim is the frequent row: stock beats routed and the gap "
-            "grows with corpus size (the probe side is ~0.77·corpus). "
-            "The probe asserts the default gate routes the selective "
-            "term and refuses the frequent one at both scales.",
+            "Gate corpus: dense re-id'd replicas, text inflated 8x to "
+            "KB-scale documents (token SET per doc unchanged, so term "
+            "selectivities and index size are unaffected), written "
+            "ID-SORTED with ~8 MB row groups (the ingest layout); the "
+            "query fetches `doc_id, text` (a CONTAINS user reads "
+            "documents — an id-only projection reads nothing but the "
+            "join key and hides what pruning skips). Three regimes: "
+            "'spark' (frequent, ~77% of docs), 'dup' (selective ~5%, "
+            "uniformly spread), 'batchzz' (selective 5% in ONE "
+            "contiguous id slice — a crawl batch). `stock` = pushed-down "
+            "scan filter; `routed` = the posting semijoin forced with "
+            "maxSelectivity=1.0 — which since round 9 also pushes the "
+            "probe's row-id ranges onto the corpus scan as literal "
+            "BETWEEN filters (parquet min/max row-group skip, the "
+            "reference's roaring-bitmap chunk reads, icm/roaring.hpp). "
+            "The probe asserts: the default gate refuses the frequent "
+            "term and routes both selective ones; the clustered term's "
+            "plan carries the pushed range filter; the uniform term's "
+            "ranges are coverage-gated out (they span the corpus — "
+            "nothing to skip). Routed timings are steady-state (range "
+            "memo warm); `first plan` is the one-off bounded "
+            "probe-summary job. Readings: the SELECTIVE routed lanes "
+            "beat stock once the corpus outgrows fixed job costs, and "
+            "clustered beats uniform by the pruned corpus decode. The "
+            "frequent term's routed lane also wins at the largest probe "
+            "scale — its saving is the skipped per-row tokenize, CPU "
+            "that grows with corpus — but its probe side is 0.77·N row "
+            "ids, which stops being broadcastable (and becomes a "
+            "corpus-size shuffle join) at 100 TB; the default gate "
+            "keeps it stock for exactly that regime, the one this "
+            "probe cannot reach.",
             "",
             "| scale | frequent stock s | frequent routed s | "
-            "selective stock s | selective routed s |",
-            "|---|---|---|---|---|",
+            "selective stock s | selective routed s | "
+            "clustered stock s | clustered routed s | "
+            "clustered first plan s |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for kk, r in gate.items():
             lines.append(
                 f"| {kk} | {r['frequent_stock']} | {r['frequent_routed']}"
-                f" | {r['selective_stock']} | {r['selective_routed']} |")
+                f" | {r['selective_stock']} | {r['selective_routed']}"
+                f" | {r['clustered_stock']} | {r['clustered_routed']}"
+                f" | {r['clustered_first_plan_s']} |")
         lines += [
             "",
             "## ANN: routed (IVF cell prune) vs exact top-k",
