@@ -37,6 +37,15 @@ class SearchConfig:
 
     accuracy_factor: int = 10
     nprobe: int = 4
+    #: Ceiling on filtered-search probe widening: honoring recall for a
+    #: WHERE-prefiltered search widens eff-nprobe by 1/selectivity (see
+    #: _widened_nprobe); this bounds the widened probe at
+    #: max_widen_factor x the base probe cost so a very selective
+    #: filter can't silently turn the route into a full-index scan.
+    #: Routing layers fall back to the stock exact plan instead when
+    #: the cap binds (_widening_capped); direct ivf_search/pq_search
+    #: callers get a cost-bounded (possibly lower-recall) probe.
+    max_widen_factor: int = 8
 
     @classmethod
     def fast(cls) -> "SearchConfig":
@@ -255,15 +264,41 @@ def _widened_nprobe(n_clusters: int, config,
     routed-vs-exact table), and callers who want FAISS-style absolute
     probes set `config.nprobe` explicitly — it is the floor of the
     same max()."""
-    eff = min(
+    eff = _base_nprobe(n_clusters, config)
+    if candidate_selectivity is not None and candidate_selectivity > 0:
+        # full probe gives exact filtered recall, so the honest need is
+        # min(1/s widening, all cells); the cap bounds what we'll pay
+        need = min(n_clusters,
+                   math.ceil(eff / max(candidate_selectivity,
+                                       1.0 / n_clusters)))
+        eff = min(need, eff * max(config.max_widen_factor, 1))
+    return eff
+
+
+def _base_nprobe(n_clusters: int, config) -> int:
+    return min(
         n_clusters,
         max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
     )
-    if candidate_selectivity is not None and candidate_selectivity > 0:
-        eff = min(n_clusters,
-                  math.ceil(eff / max(candidate_selectivity,
-                                      1.0 / n_clusters)))
-    return eff
+
+
+def _widening_capped(n_clusters: int, config,
+                     candidate_selectivity: float | None) -> bool:
+    """True when honoring filtered recall — 1/s probe widening, which
+    never needs more than all cells — would exceed
+    ``max_widen_factor`` x the base probe cost. Routing layers check
+    this BEFORE rewriting and leave the stock exact plan in place: an
+    over-widened probe pays most of a full-index scan AND a rerank
+    while a stock scan over the (tiny) filtered set is both exact and
+    cheaper. Mirrored by the Catalyst rule's
+    spark.sql.deeplake.routing.ann.maxWidenFactor conf."""
+    if candidate_selectivity is None or candidate_selectivity <= 0:
+        return False
+    base = _base_nprobe(n_clusters, config)
+    need = min(n_clusters,
+               math.ceil(base / max(candidate_selectivity,
+                                    1.0 / n_clusters)))
+    return need > base * max(config.max_widen_factor, 1)
 
 
 def ivf_search(index: IVFIndex, query_vec, k: int = 10,

@@ -1016,6 +1016,15 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  by maxSelectivity — they passed that gate to exist). */
     public static final String ANN_WIDEN_KEY =
             "spark.sql.deeplake.routing.ann.widenFiltered";
+    /** Ceiling on the filtered-search widening: when honoring recall
+     *  (1/s widening, never more than all cells) would probe more
+     *  than maxWidenFactor x the base cell count, the route declines
+     *  and the stock exact plan runs — an over-widened probe pays
+     *  most of a full-index scan AND a rerank while the stock scan of
+     *  the tiny filtered set is exact and cheaper. Mirrors
+     *  SearchConfig.max_widen_factor on the Python side. */
+    public static final String ANN_WIDEN_CAP_KEY =
+            "spark.sql.deeplake.routing.ann.maxWidenFactor";
 
     /**
      * Route {@code ORDER BY <vector score> [DESC|ASC] LIMIT k} over a
@@ -1330,10 +1339,21 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     (int) Math.ceil(n * af / 20.0)));
             if (filterSel > 0) {
                 // filtered search keeps ~filterSel of each cell's
-                // candidates: probe 1/s more cells (capped at all —
-                // the reference's full-index prefilter equivalent)
-                eff = Math.min(n, (int) Math.ceil(
+                // candidates: probe 1/s more cells. The honest need is
+                // bounded by all cells (a full probe is exact — the
+                // reference's full-index prefilter equivalent); when
+                // even that exceeds maxWidenFactor x the base probe
+                // cost, decline the route — the stock exact plan over
+                // the (tiny) filtered set is both exact and cheaper
+                // than a near-full-index scan plus rerank. Mirrors
+                // SearchConfig.max_widen_factor / _widening_capped.
+                int need = Math.min(n, (int) Math.ceil(
                         eff / Math.max(filterSel, 1.0 / n)));
+                int cap = Math.max(confInt(ANN_WIDEN_CAP_KEY, 8), 1);
+                if (need > eff * cap) {
+                    return null;
+                }
+                eff = need;
             }
             Arrays.sort(order, (x, y) -> Double.compare(d2[x], d2[y]));
             Object[] cells = new Object[eff];

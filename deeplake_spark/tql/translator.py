@@ -562,6 +562,19 @@ class Translator:
                 best = est if best is None else min(best, est)
         return best
 
+    def _filtered_widening_capped(self, idx, cand_sel: float | None) -> bool:
+        """True when the filtered-ANN recall compensation for `idx`
+        would widen the probe past SearchConfig.max_widen_factor x the
+        base cost — the route then declines and the stock exact plan
+        (a scan of the tiny filtered set) runs instead. Indexes
+        without a coarse stage (flat PQ) never widen."""
+        centroids = getattr(idx, "centroids", None)
+        if not centroids:
+            return False
+        from deeplake_spark.operators.similarity import _widening_capped
+
+        return _widening_capped(len(centroids), self.search_config, cand_sel)
+
     def _route_gate(self) -> float:
         """Max estimated selectivity a predicate may have and still
         route through an index (conf `spark.sql.deeplake.routing.
@@ -646,6 +659,8 @@ class Translator:
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
             cand_sel = self._estimate_where_selectivity(sel.where)
+            if self._filtered_widening_capped(idx, cand_sel):
+                return None  # stock exact beats an over-widened probe
         fetch = sel.limit.n + (sel.limit.offset or 0)
         search = ivf_search if kind == "clustered" else pq_search
         hits = search(idx, qvec, k=fetch, config=self.search_config,
@@ -747,6 +762,9 @@ class Translator:
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
             cand_sel = self._estimate_where_selectivity(sel.where)
+            if kind in ("clustered", "pq") and \
+                    self._filtered_widening_capped(meta[1], cand_sel):
+                return None  # stock exact beats an over-widened probe
         fetch = sel.limit.n + (sel.limit.offset or 0)
 
         if fname == "COSINE_SIMILARITY":

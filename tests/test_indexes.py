@@ -169,6 +169,59 @@ def test_filtered_ann_widens_probe_for_selective_filters(spark, tmp_path):
     assert len(set(got) & {id_map[i] for i in exact}) / 5 >= 0.6
 
 
+def test_filtered_ann_widening_cap_falls_back_to_exact(spark, tmp_path):
+    """Widening cost ceiling (SearchConfig.max_widen_factor): a
+    very-low-selectivity filter would turn the recall compensation
+    into a (near-)full-index probe — paying most of a corpus scan AND
+    a rerank. The route must decline instead and leave the stock
+    exact plan: 2000 rows, 0.5% pass the filter, 64 cells, fast
+    preset (base probe 4 cells) — honoring recall needs all 64 cells,
+    past the 8x cap."""
+    import numpy as np
+
+    import deeplake_spark as dl
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, _widened_nprobe, _widening_capped, topk_cosine)
+
+    assert _widening_capped(64, SearchConfig.fast(), 0.005)
+    assert not _widening_capped(64, SearchConfig.fast(), None)
+    assert not _widening_capped(64, SearchConfig(), 0.1)
+    # direct API calls stay cost-bounded rather than full-probe
+    assert _widened_nprobe(64, SearchConfig.fast(), 0.005) == 32
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(2000):
+        filt = i % 200 == 0
+        v = rng.normal(0, 0.2, 8)
+        v[0] += -10.0 if filt else 10.0
+        rows.append((i, 1 if filt else 0, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<double>")
+    src = str(tmp_path / "cembed.parquet")
+    df.write.parquet(src)
+    ds = dl.from_parquet(src, str(tmp_path / "cds"), spark)
+    ds.create_index("embedding", "clustered", n_clusters=64)
+    ds.create_index("grp", "numeric")
+    qv = [10.0] + [0.0] * 7
+
+    exact = {r.vec_id for r in
+             topk_cosine(ds.to_df().filter("grp = 1"), "embedding", qv,
+                         k=5, id_col="vec_id").collect()}
+    assert len(exact) == 5
+
+    q = ("SELECT vec_id WHERE grp BETWEEN 1 AND 1 "
+         "ORDER BY COSINE_SIMILARITY(embedding, ?) DESC LIMIT 5")
+    ds.query_config = SearchConfig.fast()
+    capped = ds.query(q, params=[qv])
+    assert "cluster#" not in capped._jdf.queryExecution().toString()
+    assert {r.vec_id for r in capped.collect()} == exact
+    # default preset: base 32 cells, need 64 <= 8x32 -> still routes
+    ds.query_config = SearchConfig()
+    routed = ds.query(q, params=[qv])
+    assert "cluster#" in routed._jdf.queryExecution().toString()
+
+
 def test_inverted_termstats_sidecar_and_merge(spark, tmp_path):
     """save() persists heavy-term df + corpus size (the routing gate's
     stats, reference column_statistics.cpp:278-356); append_to merges

@@ -991,6 +991,58 @@ def test_sql_filtered_ann_widens_probe(spark, tmp_path):
         spark.catalog.dropTempView("fann_emb")
 
 
+def test_sql_widening_cap_declines_route(spark, tmp_path):
+    """routing.ann.maxWidenFactor: when the filtered-search recall
+    compensation would probe more than cap x the base cells, the
+    Catalyst rule declines the rewrite — the stock exact plan (scan
+    of the tiny filtered set) runs instead of a near-full-index probe
+    plus rerank. Same fixture as the widening test; the 10% filter
+    needs a full 8-cell probe (2x base), so cap=1 must bail and the
+    default cap=8 must route."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    import numpy as np
+
+    import deeplake_spark as dl
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for i in range(1000):
+        filt = i % 10 == 0
+        v = rng.normal(0, 0.2, 8)
+        v[0] += -10.0 if filt else 10.0
+        rows.append((i, 1 if filt else 0, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<double>")
+    src = str(tmp_path / "wembed.parquet")
+    df.write.parquet(src)
+    ds = dl.from_parquet(src, str(tmp_path / "wds"), spark)
+    ds.create_index("embedding", "clustered", n_clusters=8)
+    ds.create_index("grp", "numeric")
+    ds.to_df().createOrReplaceTempView("wcap_emb")
+    qv = [10.0] + [0.0] * 7
+    q = ("SELECT vec_id FROM wcap_emb WHERE grp BETWEEN 1 AND 1 "
+         f"ORDER BY {rt.cosine_sql('embedding', qv)} DESC LIMIT 5")
+    try:
+        exact = {r.vec_id for r in spark.sql(q).collect()}
+        assert len(exact) == 5
+        rt.register_dataset(ds)
+        rt.enable(spark)
+        spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
+        assert "cluster#" in _plan(spark.sql(q))   # default cap routes
+        spark.conf.set(
+            "spark.sql.deeplake.routing.ann.maxWidenFactor", "1")
+        capped = spark.sql(q)
+        assert "cluster#" not in _plan(capped)
+        assert {r.vec_id for r in capped.collect()} == exact
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.conf.unset("spark.sql.deeplake.routing.ann.maxWidenFactor")
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # autouse teardown
+        spark.catalog.dropTempView("wcap_emb")
+
+
 def test_probe_scan_cache_sees_index_deltas(spark, sf_dir, tmp_path):
     """The JVM-side probe scan cache (per-(session,path), directory
     mtime/size signature) must invalidate when the index gains delta
