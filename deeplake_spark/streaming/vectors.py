@@ -30,6 +30,16 @@ different things:
 Batch equivalence is test-pinned for both lanes: the same queries
 through `ivf_search` / `ivf_search_batch` return the same ids and
 scores (tests/test_streaming.py).
+
+INDEX SNAPSHOT SEMANTICS (test-pinned,
+test_stream_ann_index_append_mid_stream): a stream-static join
+re-executes the static side each micro-batch, but the parquet
+relation's FILE LISTING is captured when the index is loaded — an
+`append_ivf_delta` landing mid-stream is invisible to later
+micro-batches of a running `stream_ann_search` (and its centroid
+literals are baked at plan time regardless). Restart the query to
+pick up deltas, or use `stream_ann_foreach_batch(index_path=...)`,
+which re-loads the index per micro-batch.
 """
 
 from __future__ import annotations
@@ -107,7 +117,8 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
 def stream_ann_foreach_batch(queries: DataFrame, index, sink,
                              k: int = 10, config=None,
                              qid_col: str = "qid", qvec_col: str = "qv",
-                             checkpoint: str | None = None):
+                             checkpoint: str | None = None,
+                             index_path: str | None = None):
     """Micro-batch ANN lane: every micro-batch of query vectors runs
     the BATCH `ivf_search_batch` plan (broadcast (qid, cluster)
     routing relation joined against the cluster-partitioned
@@ -116,13 +127,22 @@ def stream_ann_foreach_batch(queries: DataFrame, index, sink,
     cannot get). `sink(result_df, batch_id)` receives the
     (qid, id, score) top-k relation per micro-batch. Returns the
     started StreamingQuery (availableNow trigger — the caller awaits
-    it)."""
-    from deeplake_spark.operators.similarity import ivf_search_batch
+    it).
+
+    Index refresh: with `index_path` set, the index is RE-LOADED at
+    the start of every micro-batch (one sidecar read + a parquet
+    re-list, ~100ms), so `append_ivf_delta`s that land mid-stream are
+    searched by subsequent batches. Without it, `index` is a snapshot
+    — same staleness contract as the declarative lane (see
+    test_stream_ann_index_append_mid_stream)."""
+    from deeplake_spark.operators.similarity import ivf_search_batch, load_ivf
 
     def fb(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        sink(ivf_search_batch(index, batch_df, qvec_col=qvec_col,
+        idx = load_ivf(batch_df.sparkSession, index_path) \
+            if index_path else index
+        sink(ivf_search_batch(idx, batch_df, qvec_col=qvec_col,
                               qid_col=qid_col, k=k, config=config),
              batch_id)
 

@@ -496,6 +496,106 @@ def test_stream_ann_search_matches_batch(spark, sf_dir, tmp_path):
     index.assignments.unpersist()
 
 
+def test_stream_ann_index_append_mid_stream(spark, tmp_path):
+    """Index-refresh semantics, pinned (round-8 verdict #4): the
+    declarative lane's stream-static join re-EXECUTES the static side
+    every micro-batch, but the parquet relation's file listing was
+    captured when the index was loaded — an `append_ivf_delta` landing
+    mid-stream is NOT seen by later micro-batches (windows opened
+    after the append still search the snapshot). Restart the query to
+    pick up deltas, or use the foreachBatch lane with `index_path`,
+    which re-loads the index per micro-batch and DOES search them.
+    The appended vectors equal the query vector exactly (cosine 1.0 >
+    every corpus-A score), so they'd dominate top-k if visible."""
+    import datetime as dt
+    import os
+
+    from deeplake_spark.operators.similarity import (
+        SearchConfig,
+        append_ivf_delta,
+        build_ivf,
+        ivf_search,
+        load_ivf,
+        save_ivf,
+    )
+    from deeplake_spark.streaming.vectors import (
+        stream_ann_foreach_batch,
+        stream_ann_search,
+    )
+
+    # corpus A: cosine vs the query strictly < 1 (second component)
+    rows_a = [(i, [10.0, 1.0 + (i % 7) * 0.1, (i % 5) * 0.3, 0.0])
+              for i in range(100)]
+    df_a = spark.createDataFrame(rows_a,
+                                 "vec_id long, embedding array<double>")
+    idx_path = str(tmp_path / "ivf")
+    save_ivf(build_ivf(df_a, n_clusters=4, seed=1), idx_path)
+    idx = load_ivf(spark, idx_path)
+
+    qv = [10.0, 0.0, 0.0, 0.0]
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "qid long, qv array<double>, ts timestamp"
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame([(1, qv, t0)], schema) \
+        .coalesce(1).write.parquet(qdir)
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(qdir))
+    out = stream_ann_search(stream, idx, k=5,
+                            config=SearchConfig.high_accuracy())
+    q = (out.writeStream.format("memory").queryName("annrefresh")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # delta lands while the stream runs: ids 1000+ AT the query
+        df_b = spark.createDataFrame(
+            [(1000 + i, qv) for i in range(5)],
+            "vec_id long, embedding array<double>")
+        append_ivf_delta(idx, df_b, idx_path)
+        # window-2 query (after the append), then a flush row
+        for h, qid in ((1, 2), (2, 3)):
+            spark.createDataFrame(
+                [(qid, qv, t0 + dt.timedelta(hours=h))], schema) \
+                .coalesce(1).write.mode("append").parquet(qdir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    by_qid: dict = {}
+    for r in spark.sql("SELECT * FROM annrefresh").collect():
+        by_qid.setdefault(r.qid, set()).add(r.vec_id)
+    # both windows emitted, neither saw the delta: snapshot semantics
+    assert by_qid[1] == by_qid[2]
+    assert not any(v >= 1000 for v in by_qid[2])
+    # a restart (fresh load) DOES search the delta
+    fresh = load_ivf(spark, idx_path)
+    assert {r.vec_id for r in
+            ivf_search(fresh, qv, k=5,
+                       config=SearchConfig.high_accuracy()).collect()} \
+        == {1000, 1001, 1002, 1003, 1004}
+    # foreachBatch lane with index_path: re-loads per batch, sees it
+    collected: list = []
+    fb = stream_ann_foreach_batch(
+        (spark.readStream.format("parquet").schema(schema).load(qdir)),
+        idx,   # deliberately the STALE handle — index_path must win
+        lambda df, bid: collected.extend(df.collect()),
+        k=5, config=SearchConfig.high_accuracy(),
+        checkpoint=str(tmp_path / "ckpt"), index_path=idx_path)
+    fb.awaitTermination()
+    got_fb = {r.vec_id for r in collected if r.qid == 1}
+    assert got_fb == {1000, 1001, 1002, 1003, 1004}
+    # stale-handle contract unchanged when index_path is omitted
+    collected2: list = []
+    fb2 = stream_ann_foreach_batch(
+        (spark.readStream.format("parquet").schema(schema).load(qdir)),
+        idx,
+        lambda df, bid: collected2.extend(df.collect()),
+        k=5, config=SearchConfig.high_accuracy(),
+        checkpoint=str(tmp_path / "ckpt2"))
+    fb2.awaitTermination()
+    assert not any(r.vec_id >= 1000 for r in collected2)
+    assert os.path.isdir(idx_path)
+
+
 def test_stream_ann_output_keyed_per_window(spark, sf_dir):
     """A qid queried in TWO different windows emits two top-k sets;
     `win_start` in the output schema is what keeps them apart — without
