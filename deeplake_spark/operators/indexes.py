@@ -229,6 +229,69 @@ def route_max_selectivity(spark) -> float:
         return DEFAULT_MAX_SELECTIVITY
 
 
+def _heavy_map(counts: DataFrame, n: int, old: dict | None) -> dict:
+    """The heavy-hitter sidecar algorithm shared by every gated index
+    (inverted terms, exact digests, json path-values): record df for
+    every key with df >= _HEAVY_FRAC * n (bounded by a _HEAVY_CAP
+    top-by-df cut that RAISES the recorded floor so absent keys keep a
+    sound upper bound); on delta merge, sum dfs — and a key already
+    heavy in the OLD map contributes its EXACT delta df even below the
+    delta's own floor, so repeated appends cannot erode a frequent
+    key's estimate under the gate (round-8 advice). `counts` must have
+    columns (key, df). Returns {"n_docs", "floor_frac", "heavy"}."""
+    import math
+
+    thr = max(1, int(math.ceil(n * _HEAVY_FRAC)))
+    old_heavy = (old or {}).get("heavy", {})
+    keep = F.col("df") >= thr
+    if old_heavy:
+        keep = keep | F.col("key").isin(list(old_heavy))
+    rows = (
+        counts.filter(keep)
+        .orderBy(F.desc("df"), "key")
+        .limit(_HEAVY_CAP + len(old_heavy))
+        .collect()
+    )
+    delta = {r["key"]: int(r["df"]) for r in rows}
+    heavy = {t: df for t, df in delta.items() if df >= thr}
+    floor = _HEAVY_FRAC
+    if len(heavy) >= _HEAVY_CAP and heavy:
+        kept = sorted(heavy.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
+        heavy = dict(kept)
+        floor = max(floor, min(heavy.values()) / max(n, 1))
+    if old is not None:
+        for t, df in old_heavy.items():
+            heavy[t] = heavy.get(t, delta.get(t, 0)) + int(df)
+        n += int(old.get("n_docs", 0))
+        floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
+        if len(heavy) > _HEAVY_CAP:
+            kept = sorted(heavy.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
+            heavy = dict(kept)
+            floor = max(floor, min(heavy.values()) / max(n, 1))
+    return {"n_docs": n, "floor_frac": floor, "heavy": heavy}
+
+
+def _load_stats_sidecar(path: str) -> dict | None:
+    """Read a heavy-hitter sidecar; corrupt or missing → None (the
+    index loads stats-less and routes ungated — never fail the
+    index over its stats)."""
+    from deeplake_spark.storage import get_json, json_exists
+
+    try:
+        if not json_exists(path):
+            return None
+        ts = get_json(path)
+        return {
+            "n_docs": int(ts.get("n_docs", 0)),
+            "floor_frac": float(ts.get("floor_frac", _HEAVY_FRAC)),
+            "heavy": {k: int(v) for k, v in ts.get("heavy", {}).items()},
+        }
+    except Exception:
+        return None
+
+
 # ----------------------------------------------------------- inverted (text)
 
 
@@ -304,59 +367,16 @@ class InvertedIndex:
         appends cannot erode a frequent term's estimate below the gate;
         a term absent from BOTH maps has df < floor*n_i in each
         segment, hence < max(floor)*n overall — the bound survives."""
-        import math
-
         from deeplake_spark.storage import get_json, json_exists, put_json
 
         srow = self.stats.agg(
             F.sum("n_docs").cast("long").alias("n")).head()
         n = int(srow["n"] or 0)
-        thr = max(1, int(math.ceil(n * _HEAVY_FRAC)))
         sidecar = os.path.join(path, "termstats.json")
         old = get_json(sidecar) if merge and json_exists(sidecar) else None
-        old_heavy = (old or {}).get("heavy", {})
-        df_counts = self.postings.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"))
-        keep = F.col("df") >= thr
-        if old_heavy:
-            # terms already heavy in the OLD map contribute their delta
-            # df even when it falls below the delta's own heavy floor —
-            # without this a merged df underestimates by up to
-            # floor*n_delta per append and a term hovering at the gate
-            # threshold keeps routing after many appends
-            keep = keep | F.col("term").isin(list(old_heavy))
-        rows = (
-            df_counts.filter(keep)
-            .orderBy(F.desc("df"), "term")
-            .limit(_HEAVY_CAP + len(old_heavy))
-            .collect()
-        )
-        delta = {r["term"]: int(r["df"]) for r in rows}
-        # delta-heavy terms enter the map; old-heavy terms are handled
-        # in the merge below (their sub-floor delta dfs are in `delta`)
-        heavy = {t: df for t, df in delta.items() if df >= thr}
-        floor = _HEAVY_FRAC
-        if len(heavy) >= _HEAVY_CAP and heavy:
-            kept = sorted(heavy.items(),
-                          key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
-            heavy = dict(kept)
-            floor = max(floor, min(heavy.values()) / max(n, 1))
-        if old is not None:
-            for t, df in old_heavy.items():
-                heavy[t] = heavy.get(t, delta.get(t, 0)) + int(df)
-            n += int(old.get("n_docs", 0))
-            floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
-            if len(heavy) > _HEAVY_CAP:
-                # re-cap the merged map (unioned vocabularies can
-                # otherwise grow it by up to _HEAVY_CAP per delta) and
-                # raise the floor to the largest dropped df so absent
-                # terms keep a sound upper bound
-                kept = sorted(heavy.items(),
-                              key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
-                heavy = dict(kept)
-                floor = max(floor, min(heavy.values()) / max(n, 1))
-        put_json(sidecar, {"n_docs": n, "floor_frac": floor,
-                           "heavy": heavy})
+        counts = self.postings.groupBy(
+            F.col("term").alias("key")).agg(F.count(F.lit(1)).alias("df"))
+        put_json(sidecar, _heavy_map(counts, n, old))
 
     def append_to(self, path: str) -> None:
         """Delta maintenance: write this (delta-built) index's postings/
@@ -375,24 +395,14 @@ class InvertedIndex:
             F.sum("n_docs").cast("long").alias("n_docs"),
             (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
         )
-        from deeplake_spark.storage import get_json, json_exists
-
-        heavy = n_est = None
-        floor = _HEAVY_FRAC
-        sidecar = os.path.join(path, "termstats.json")
-        if json_exists(sidecar):
-            try:
-                ts = get_json(sidecar)
-                heavy = {t: int(df) for t, df in ts.get("heavy", {}).items()}
-                n_est = int(ts.get("n_docs", 0)) or None
-                floor = float(ts.get("floor_frac", _HEAVY_FRAC))
-            except Exception:
-                # stats are ADVISORY: a corrupt/half-written sidecar
-                # (crashed append) must not brick index loading — load
-                # stats-less (est_selectivity None => never gated),
-                # the same fail-open the JVM rule applies
-                heavy = n_est = None
-                floor = _HEAVY_FRAC
+        # stats are ADVISORY: a corrupt/half-written sidecar (crashed
+        # append) must not brick index loading — load stats-less
+        # (est_selectivity None => never gated), the same fail-open
+        # the JVM rule applies
+        ts = _load_stats_sidecar(os.path.join(path, "termstats.json"))
+        heavy = ts["heavy"] if ts else None
+        n_est = (ts["n_docs"] or None) if ts else None
+        floor = ts["floor_frac"] if ts else _HEAVY_FRAC
         return cls(
             # keep `bucket`: probes prune the term-hash partition with it
             # (_term_hit) — dropping it here made every probe scan all 64
@@ -692,6 +702,11 @@ def build_numeric_index(df: DataFrame, col: str, id_col: str = "doc_id") -> Nume
 # -------------------------------------------------------------------- json
 
 
+#: separator for the composite (path, value) key in the json-index
+#: stats sidecar — a unit-separator control char no json path contains
+_JSON_KEY_SEP = "\x1f"
+
+
 @dataclass
 class JsonIndex:
     """JsonIndex(Inverted) (types.pyi:202-233): (path, value) → row_ids
@@ -702,6 +717,27 @@ class JsonIndex:
     #: pruned side-table scan, safe to summarize at plan time (range
     #: pruning); a freshly-built one's lineage re-extracts the corpus.
     loaded: bool = False
+    #: routing-gate stats (valstats.json sidecar): heavy (path,value) df
+    #: map — a hot value ('type':'like' in a bluesky-style stream) is
+    #: the same frequent-term hazard the inverted gate exists for.
+    heavy: dict | None = None
+    n_rows_est: int | None = None
+    floor_frac: float = _HEAVY_FRAC
+
+    def est_selectivity(self, path: str, value) -> float | None:
+        """Estimated df(path==value)/n from the persisted sidecar;
+        pairs absent from it are rarer than `floor_frac` (the recording
+        floor), the returned upper bound. None = no stats, never gate.
+        n is the densest path's entry count — a lower bound on the
+        corpus size, so the estimate only ever OVERSTATES selectivity
+        (gates conservatively)."""
+        if not self.n_rows_est:
+            return None
+        df = (self.heavy or {}).get(
+            f"{path}{_JSON_KEY_SEP}{value}")
+        if df is None:
+            return min(1.0, self.floor_frac)
+        return min(1.0, df / self.n_rows_est)
 
     def probe(self, path: str, value) -> DataFrame:
         # no distinct: one entry row per (path, corpus row)
@@ -712,20 +748,35 @@ class JsonIndex:
         )
 
     def save(self, path: str, mode: str = "overwrite") -> None:
+        from deeplake_spark.storage import get_json, json_exists, put_json
+
         # partition by json path: a probe reads exactly one directory
         self.entries.write.mode(mode).partitionBy("path").parquet(
             os.path.join(path, "entries")
         )
+        sidecar = os.path.join(path, "valstats.json")
+        old = get_json(sidecar) if mode == "append" \
+            and json_exists(sidecar) else None
+        per_path = self.entries.groupBy("path").agg(
+            F.count(F.lit(1)).alias("c")).agg(F.max("c")).head()[0]
+        counts = self.entries.groupBy(
+            F.concat_ws(_JSON_KEY_SEP, "path", "value").alias("key")
+        ).agg(F.count(F.lit(1)).alias("df"))
+        put_json(sidecar, _heavy_map(counts, int(per_path or 0), old))
 
     def append_to(self, path: str) -> None:
         """Delta append: new entries land in new files under each path
-        partition — prior files untouched."""
+        partition — prior files untouched; valstats merge by summing."""
         self.save(path, mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "JsonIndex":
+        ts = _load_stats_sidecar(os.path.join(path, "valstats.json"))
         return cls(entries=spark.read.parquet(os.path.join(path, "entries")),
-                   loaded=True)
+                   loaded=True,
+                   heavy=ts["heavy"] if ts else None,
+                   n_rows_est=(ts["n_docs"] or None) if ts else None,
+                   floor_frac=ts["floor_frac"] if ts else _HEAVY_FRAC)
 
 
 def build_json_index(df: DataFrame, json_col: str, paths: list[str],
@@ -754,6 +805,27 @@ class ExactTextIndex:
     digest → row_ids hash lookup."""
 
     digests: DataFrame  # digest, row_id [, bucket]
+    #: routing-gate stats (digeststats.json sidecar): heavy digest df
+    #: map — a hot exact value (the empty document, a boilerplate page)
+    #: is the same frequent-term hazard the inverted gate exists for.
+    heavy: dict | None = None
+    n_rows_est: int | None = None
+    floor_frac: float = _HEAVY_FRAC
+
+    def est_selectivity(self, value: str) -> float | None:
+        """Estimated df(value)/n from the persisted digest sidecar;
+        digests absent from it are rarer than `floor_frac` (the
+        recording floor), the returned upper bound. None = no stats,
+        never gate."""
+        import hashlib
+
+        if not self.n_rows_est:
+            return None
+        df = (self.heavy or {}).get(
+            hashlib.md5(value.encode()).hexdigest())
+        if df is None:
+            return min(1.0, self.floor_frac)
+        return min(1.0, df / self.n_rows_est)
 
     def probe(self, value: str) -> DataFrame:
         import hashlib
@@ -766,20 +838,34 @@ class ExactTextIndex:
         return out.filter(F.col("digest") == h).select("row_id")
 
     def save(self, path: str, mode: str = "overwrite") -> None:
+        from deeplake_spark.storage import get_json, json_exists, put_json
+
         # digest-prefix buckets: probe() filters the bucket column so an
         # exact lookup prunes to one partition directory
         self.digests.withColumn(
             "bucket", F.substring("digest", 1, 2)
         ).write.mode(mode).partitionBy("bucket").parquet(os.path.join(path, "digests"))
+        sidecar = os.path.join(path, "digeststats.json")
+        old = get_json(sidecar) if mode == "append" \
+            and json_exists(sidecar) else None
+        srow = self.digests.agg(
+            F.count(F.lit(1)).alias("n")).head()
+        counts = self.digests.groupBy(
+            F.col("digest").alias("key")).agg(F.count(F.lit(1)).alias("df"))
+        put_json(sidecar, _heavy_map(counts, int(srow["n"] or 0), old))
 
     def append_to(self, path: str) -> None:
         """Delta append: new digests land in new files per bucket —
-        prior files untouched."""
+        prior files untouched; digeststats merge by summing."""
         self.save(path, mode="append")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ExactTextIndex":
-        return cls(digests=spark.read.parquet(os.path.join(path, "digests")))
+        ts = _load_stats_sidecar(os.path.join(path, "digeststats.json"))
+        return cls(digests=spark.read.parquet(os.path.join(path, "digests")),
+                   heavy=ts["heavy"] if ts else None,
+                   n_rows_est=(ts["n_docs"] or None) if ts else None,
+                   floor_frac=ts["floor_frac"] if ts else _HEAVY_FRAC)
 
 
 def build_exact_index(df: DataFrame, col: str, id_col: str = "doc_id") -> ExactTextIndex:

@@ -261,7 +261,9 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             if (eqs != null) {
                 IndexRegistry.Entry en = byCol.get(eqs[0]);
                 if (en != null && "exact".equals(en.kind)
-                        && hasAttr(child, en.idCol)) {
+                        && hasAttr(child, en.idCol)
+                        && routable(exactSelectivity(en, eqs[1]),
+                                maxSel)) {
                     probes.add(exactProbe(en, eqs[1]));
                     probeIdCols.add(en.idCol);
                     probeDescs.add("ex|" + en.indexPath + "|" + eqs[1]);
@@ -559,6 +561,44 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return Math.min(1.0, ts.path("floor_frac").asDouble(1.0 / 64));
     }
 
+    /** Estimated df(value)/n from the exact index's digeststats
+     *  sidecar (md5-hex keyed); digests absent from it are rarer than
+     *  the recorded floor. -1 = no stats, never gate. A hot exact
+     *  value (empty document, boilerplate page) is the same
+     *  frequent-term hazard the inverted gate covers. */
+    private double exactSelectivity(IndexRegistry.Entry en, String value) {
+        com.fasterxml.jackson.databind.JsonNode ts =
+                cachedJson(en.indexPath + "/digeststats.json");
+        if (ts == null) {
+            return -1;
+        }
+        long n = ts.path("n_docs").asLong(0);
+        if (n <= 0) {
+            return -1;
+        }
+        com.fasterxml.jackson.databind.JsonNode h =
+                ts.path("heavy").get(md5Hex(value));
+        if (h != null && h.isNumber()) {
+            return Math.min(1.0, h.asDouble() / n);
+        }
+        return Math.min(1.0, ts.path("floor_frac").asDouble(1.0 / 64));
+    }
+
+    private static String md5Hex(String value) {
+        try {
+            java.security.MessageDigest md =
+                    java.security.MessageDigest.getInstance("MD5");
+            StringBuilder sb = new StringBuilder();
+            for (byte b : md.digest(
+                    value.getBytes(java.nio.charset.StandardCharsets.UTF_8))) {
+                sb.append(String.format("%02x", b));
+            }
+            return sb.toString();
+        } catch (java.security.NoSuchAlgorithmException e) {
+            throw new IllegalStateException(e);
+        }
+    }
+
     /** True when `name` is the registered row-id column of any index on
      *  this dataset (such predicates are served by parquet stats on the
      *  id-sorted layout directly — and the guard keeps the rule's own
@@ -849,19 +889,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  digest-only semantics as the Python probe / the reference's
      *  index_search.cpp:172-199 hash lookup). */
     private Dataset<Row> exactProbe(IndexRegistry.Entry en, String value) {
-        String hex;
-        try {
-            java.security.MessageDigest md =
-                    java.security.MessageDigest.getInstance("MD5");
-            StringBuilder sb = new StringBuilder();
-            for (byte b : md.digest(
-                    value.getBytes(java.nio.charset.StandardCharsets.UTF_8))) {
-                sb.append(String.format("%02x", b));
-            }
-            hex = sb.toString();
-        } catch (java.security.NoSuchAlgorithmException e) {
-            throw new IllegalStateException(e);
-        }
+        String hex = md5Hex(value);
         Dataset<Row> d = readCached(en.indexPath + "/digests");
         if (Arrays.asList(d.columns()).contains("bucket")) {
             d = d.filter(functions.col("bucket")

@@ -454,7 +454,7 @@ class Translator:
             and isinstance(c.args[1].value, str)
         ):
             m = entry(c.args[0].name, "exact")
-            if m:
+            if m and gate_ok(m[0].est_selectivity(c.args[1].value)):
                 # digest semijoin prunes; re-check the equality on the
                 # surviving handful of rows so an md5 collision can never
                 # admit a wrong row (exactness is ~free post-semijoin)
@@ -501,7 +501,8 @@ class Translator:
             and isinstance(c.right, ast.Literal)
         ):
             m = entry(c.left.operand.name, "json")
-            if m:
+            if m and gate_ok(m[0].est_selectivity(c.left.index.value,
+                                                  c.right.value)):
                 return semijoin(m[0].probe(c.left.index.value, c.right.value),
                                 m[1], prune=m[0].loaded)
         return None

@@ -283,6 +283,74 @@ def test_numeric_bucket_counts_sidecar_and_merge(spark, tmp_path):
         narrow / 2, rel=0.01)
 
 
+def test_exact_and_json_gate_stats(spark, tmp_path):
+    """Round-9: JSON path-value and exact-digest probes carry the same
+    heavy-hitter selectivity sidecars as inverted terms (digeststats /
+    valstats.json) and the same cost gate — a hot exact value (the
+    boilerplate/empty document) or a hot json value ('type':'like' in
+    a bluesky-style stream, reference bluesky_queries.sql) keeps the
+    stock pushed-down filter; rare values still route. Results
+    identical either way."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import (
+        ExactTextIndex,
+        JsonIndex,
+        build_exact_index,
+        build_json_index,
+    )
+    from deeplake_spark.plans.explain import explain_query
+
+    rows = [(i,
+             "boiler" if i % 2 == 0 else f"unique-{i}",
+             '{"type": "like"}' if i % 5 != 0
+             else '{"type": "rare%d"}' % i)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "row_id long, text string, meta string")
+    epath, jpath = str(tmp_path / "eidx"), str(tmp_path / "jidx")
+    build_exact_index(df, "text", id_col="row_id").save(epath)
+    build_json_index(df, "meta", ["type"], id_col="row_id").save(jpath)
+    eidx = ExactTextIndex.load(spark, epath)
+    jidx = JsonIndex.load(spark, jpath)
+
+    # sidecar estimates: hot values measured, absent bounded by floor
+    assert abs(eidx.est_selectivity("boiler") - 0.5) < 0.01
+    assert eidx.est_selectivity("unique-7") <= eidx.floor_frac
+    assert abs(jidx.est_selectivity("type", "like") - 0.8) < 0.01
+    assert jidx.est_selectivity("type", "rare5") <= jidx.floor_frac
+
+    indexes = {"text": ("exact", eidx, "row_id"),
+               "meta": ("json", jidx, "row_id")}
+    pairs = [
+        ("SELECT row_id WHERE EQUALS(text, 'boiler')", False,
+         df.filter(F.col("text") == "boiler")),
+        ("SELECT row_id WHERE EQUALS(text, 'unique-7')", True,
+         df.filter(F.col("text") == "unique-7")),
+        ("SELECT row_id WHERE meta['type'] == 'like'", False,
+         df.filter(F.get_json_object("meta", "$.type") == "like")),
+        ("SELECT row_id WHERE meta['type'] == 'rare5'", True,
+         df.filter(F.get_json_object("meta", "$.type") == "rare5")),
+    ]
+    for q, should_route, scan in pairs:
+        out = tql.query(q, default=df, indexes=indexes)
+        assert ("Join" in explain_query(out).text) == should_route, q
+        assert sorted(r.row_id for r in out.collect()) == sorted(
+            r.row_id for r in scan.collect()), q
+    # freshly-built (unsaved) indexes have no stats: route ungated
+    fresh = {"text": ("exact", build_exact_index(df, "text",
+                                                 id_col="row_id"), "row_id")}
+    out = tql.query("SELECT row_id WHERE EQUALS(text, 'boiler')",
+                    default=df, indexes=fresh)
+    assert "Join" in explain_query(out).text
+    # delta append merges the sidecars by summing
+    delta = spark.createDataFrame(
+        [(1000 + i, "boiler", '{"type": "like"}') for i in range(100)],
+        "row_id long, text string, meta string")
+    build_exact_index(delta, "text", id_col="row_id").append_to(epath)
+    merged = ExactTextIndex.load(spark, epath)
+    assert merged.n_rows_est == 1100
+    assert abs(merged.est_selectivity("boiler") - 600 / 1100) < 0.01
+
+
 def test_dataset_create_index_and_tql_rewrite(spark, sf_dir):
     """End-to-end: ds.create_index → TQL CONTAINS routes through the
     posting semijoin for a SELECTIVE term and matches the scan path —

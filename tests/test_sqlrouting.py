@@ -201,6 +201,15 @@ def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
         want = sorted(r.doc_id for r in spark.sql(q).collect())
         rt.register_dataset(ds)
         rt.enable(spark)
+        # every lang value is FREQUENT in this fixture ('en' ≈ 41%,
+        # rarest ≈ 14%): under the DEFAULT gate the digeststats sidecar
+        # keeps the stock pushed-down filter (round-9 — a hot exact
+        # value is the same hazard as a frequent term)
+        spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
+        assert "LeftSemi" not in _plan(spark.sql(q))
+        assert sorted(r.doc_id for r in spark.sql(q).collect()) == want
+        # the _ungated threshold exercises the route mechanics
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")
         df = spark.sql(q)
         plan = _plan(df)
         assert "LeftSemi" in plan
@@ -218,6 +227,7 @@ def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
     finally:
         rt.disable(spark)
         rt.clear(spark)
+        spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")  # autouse teardown
         spark.catalog.dropTempView("exact_docs")
 
 
