@@ -2,11 +2,16 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+    {"metric": "warm_total_query_wall_time", "value": <warm total sec>,
+     "unit": "sec", "queries": {name: warm sec, ...},
+     "cold": {name: first-run sec, ...}, "sf": <sf>}
 
-Each query is forced end-to-end with the `noop` sink (full execution,
-no driver-side materialization cost).
+The headline value and `queries` are the WARM (second-run) lane —
+steady-state cost, stable round-over-round; first-run timings are
+codegen-compile-dominated noise (CLAUDE.md perf trap 6) and live
+under `cold` / `detail.cold_total`. Each query is forced end-to-end
+with the `noop` sink (full execution, no driver-side materialization
+cost).
 """
 
 from __future__ import annotations
@@ -129,14 +134,21 @@ def main() -> None:
             print(f"bench: warm {name} FAILED: {exc}", file=sys.stderr)
         scrub(i)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
-    detail["warm_total"] = round(sum(t for t in warm.values() if t >= 0), 4)
+    # Headline = the WARM lane (round-8 verdict: cold totals moved
+    # ±10% between rounds from codegen-compile/machine noise alone
+    # while warm was stable — warm is the steady-state signal a scale-
+    # up actually pays). Cold stays fully recorded under "cold"/
+    # "detail.cold_total" for the first-touch story.
+    cold_total = round(sum(t for t in timings.values() if t >= 0), 4)
+    warm_total = round(sum(t for t in warm.values() if t >= 0), 4)
+    detail["cold_total"] = cold_total
+    detail["warm_total"] = warm_total
     payload = {
-        "metric": "total_query_wall_time",
-        "value": total,
+        "metric": "warm_total_query_wall_time",
+        "value": warm_total,
         "unit": "sec",
-        "queries": timings,
-        "warm": warm,
+        "queries": warm,
+        "cold": timings,
         "sf": sf,
     }
     if detail:
@@ -162,10 +174,10 @@ def main() -> None:
             out[s if s not in out else n] = v
         return out
 
-    compact = dict(payload, queries=shorten(timings), warm=shorten(warm))
+    compact = dict(payload, queries=shorten(warm), cold=shorten(timings))
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # fallbacks: warm map, then detail, then queries
-        compact.pop("warm", None)  # warm_total survives inside detail
+    if len(line) > 1900:  # fallbacks: cold map, then detail, then queries
+        compact.pop("cold", None)  # cold_total survives inside detail
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact.pop("detail", None)

@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from deeplake_spark import get_spark
@@ -386,12 +387,17 @@ def ann_section(spark):
 
     out = {}
     for kk in ANN_KS:
-        # replicas carry IDENTICAL embeddings (only vec_id shifts) —
-        # a deterministic per-replica jitter makes every score unique,
-        # so exact-vs-routed recall compares well-defined top-k sets.
-        # Materialized to parquet: the route requires the score column
-        # to be a SCAN attribute, not a computed projection. Replicate
-        # via crossJoin(range(kk)) — one plan, not kk unioned scans.
+        # NON-replicated structure (round-9): each replica of a base
+        # vector gets hash-pseudo-random per-element noise at amplitude
+        # comparable to the inter-base distance (elements ~N(0, 0.12),
+        # base L2 separation ~1.3; amp 0.15 uniform noise puts each
+        # base's kk replicas in a cloud of radius ~0.7 — clouds overlap
+        # and straddle IVF cell boundaries, so small probes genuinely
+        # miss true neighbors instead of coasting on replicated
+        # clusters that all land in one cell. Materialized to parquet:
+        # the route requires the score column to be a SCAN attribute,
+        # not a computed projection. Replicate via crossJoin(range(kk))
+        # — one plan, not kk unioned scans.
         emb_src = os.path.join(TESTDATA, "embeddings.parquet")
         emb_path = os.path.join(WORK, f"annemb_x{kk}.parquet")
         base = spark.read.parquet(emb_src)
@@ -402,7 +408,8 @@ def ann_section(spark):
              .alias("vec_id"),
              F.expr(
                  "transform(embedding, (x, i) -> cast(x as double) + "
-                 "rep * 0.0002 * (pmod((i + 1) * 131, 17) - 8))")
+                 "0.15 * (pmod(hash(vec_id, rep, i), 2001) - 1000) "
+                 "/ 1000.0)")
              .alias("embedding"),
              "label")
          .repartition(max(8, kk // 16))
@@ -451,32 +458,104 @@ def ann_section(spark):
                 best = dt if best is None else min(best, dt)
             return round(best, 3)
 
+        # recall evidence: 8 query points, exact top-10 each, then the
+        # routed answer under each accuracy preset. On the hash-noise
+        # structure the presets must separate — fast meaningfully
+        # below 1.0 and rising with the preset (monotone), which the
+        # replicated-data probe could never show (recall pinned at 1).
+        qids = [1, 3, 7, 11, 19, 23, 31, 47]
+        qvecs = {r.vec_id: [float(x) for x in r.embedding]
+                 for r in d.filter(F.col("vec_id").isin(qids)).collect()}
+
+        def topk_sql(qv2):
+            return ("SELECT vec_id FROM ann_docs ORDER BY "
+                    f"{rt.cosine_sql('embedding', qv2)} DESC LIMIT 10")
+
         rt.disable(spark)
-        exact_ids = [r.vec_id for r in spark.sql(q).collect()]
+        exact_sets = {qid: {r.vec_id for r in
+                            spark.sql(topk_sql(qv2)).collect()}
+                      for qid, qv2 in qvecs.items()}
         exact_s = timed()
         rt.register_path(spark, emb_path, "embedding", "clustered",
                          idx_path, "vec_id")
         rt.enable(spark)
-        # eff-nprobe = max(4, 64*af/20) cells of 64: af=4 probes ~20%
-        spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor",
-                       "4")
+        af_key = "spark.sql.deeplake.routing.ann.accuracyFactor"
+        np_key = "spark.sql.deeplake.routing.ann.nprobe"
+        # timing lane: af=4 → eff-nprobe = max(4, 64*4/20) ≈ 20% of 64
+        spark.conf.set(af_key, "4")
         plan = spark.sql(q)._jdf.queryExecution().optimizedPlan() \
             .toString()
         assert "cluster#" in plan, "ANN route did not engage"
-        routed_ids = [r.vec_id for r in spark.sql(q).collect()]
         routed_s = timed()
-        recall = len(set(routed_ids) & set(exact_ids)) / 10
-        assert recall >= 0.6, f"x{kk} recall {recall}"
-        spark.conf.unset("spark.sql.deeplake.routing.ann.accuracyFactor")
+        # presets mirror SearchConfig.fast/balanced/high_accuracy
+        # (af, nprobe); af4 is the timing lane's operating point
+        presets = {"fast": (1, 1), "balanced": (5, 2), "af4": (4, 4),
+                   "high_accuracy": (20, 8)}
+        recalls = {}
+        for pname, (af, nprobe) in presets.items():
+            spark.conf.set(af_key, str(af))
+            spark.conf.set(np_key, str(nprobe))
+            vals = []
+            for qid, qv2 in qvecs.items():
+                got = {r.vec_id for r in
+                       spark.sql(topk_sql(qv2)).collect()}
+                vals.append(len(got & exact_sets[qid]) / 10)
+            recalls[pname] = round(sum(vals) / len(vals), 3)
+        assert recalls["fast"] <= recalls["balanced"] \
+            <= recalls["high_accuracy"], f"x{kk} not monotone {recalls}"
+        assert recalls["fast"] < 0.95, \
+            f"x{kk} fixture too easy: fast recall {recalls['fast']}"
+        assert recalls["high_accuracy"] >= 0.9, f"x{kk} {recalls}"
+        assert recalls["af4"] >= 0.5, f"x{kk} {recalls}"
+        spark.conf.unset(af_key)
+        spark.conf.unset(np_key)
         rt.disable(spark)
         rt.clear(spark)
         out[f"x{kk}"] = {"exact_s": exact_s, "routed_s": routed_s,
-                         "recall_at_10": recall,
+                         "recall_at_10": recalls["af4"],
+                         "recall_fast": recalls["fast"],
+                         "recall_balanced": recalls["balanced"],
+                         "recall_high_accuracy": recalls["high_accuracy"],
                          "speedup": round(exact_s / routed_s, 2)
                          if routed_s else None,
                          "build_sampled_s": build_sampled_s,
                          "build_fullfit_s": build_fullfit_s}
     return out
+
+
+def _heap_gb(spec: str) -> float:
+    """'48g' / '8192m' / '48' (JVM -Xmx spelling) → GiB."""
+    s = spec.strip().lower()
+    mult = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    if s and s[-1] in mult:
+        return float(s[:-1]) * mult[s[-1]]
+    return float(s) / (1 << 30)    # bare bytes
+
+
+def _require_heap(max_k: int) -> None:
+    """Fail fast (exit 2) when the probe scale needs more driver heap
+    than SPARK_DRIVER_MEMORY / an already-running session provides —
+    an undersized heap doesn't crash, it GC-thrashes and silently
+    inflates every number (round-8 lesson, SCALING.md x128 note)."""
+    need = 48 if max_k >= 64 else 8
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        have = active.conf.get("spark.driver.memory", "1g")
+        if _heap_gb(have) < need:
+            sys.exit(
+                f"scale_probe: x{max_k} needs >= {need}g driver heap but "
+                f"an active session has spark.driver.memory={have}; stop "
+                "it (or run the probe in a fresh process) — an "
+                "undersized heap GC-thrashes and inflates every timing.")
+        return
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env is None:
+        os.environ["SPARK_DRIVER_MEMORY"] = f"{need}g"
+    elif _heap_gb(env) < need:
+        sys.exit(
+            f"scale_probe: x{max_k} needs >= {need}g driver heap but "
+            f"SPARK_DRIVER_MEMORY={env}; raise it or drop the scale — "
+            "an undersized heap GC-thrashes and inflates every timing.")
 
 
 def main() -> None:
@@ -489,11 +568,13 @@ def main() -> None:
             sys.argv[sys.argv.index("--sections") + 1].split(","))
     # K-fold replicas of sf0.1 run 32 concurrent tasks in ONE local
     # JVM — the 8g session default (sized for the sf0.1 bench) GC-
-    # thrashes past ~x64, but requesting 48g unconditionally would OOM
-    # smaller hosts on the routine x8 probe. A real cluster holds this
-    # in executor heaps.
-    if max(ks) >= 64:
-        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # thrashes past ~x64 (the round-8 x128 probe inflated q01 1.5x
+    # per-row before the heap was raised), but requesting 48g
+    # unconditionally would OOM smaller hosts on the routine x8 probe.
+    # A real cluster holds this in executor heaps. FAIL FAST when the
+    # requested scale exceeds the configured heap instead of silently
+    # publishing GC-thrash-inflated numbers.
+    _require_heap(max(ks))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     from deeplake_spark.queries import load_all
@@ -643,22 +724,29 @@ def main() -> None:
             "",
             "Same plain-SQL `ORDER BY cosine DESC LIMIT 10` through the "
             "stock exact TakeOrderedAndProject and through the Catalyst "
-            "ANN route (64 cells, accuracyFactor=4 → ~20% of cells "
-            "probed). Scales here replicate the 2k-row sf0.1 embeddings "
-            "table by its OWN factors (x64 ≈ 128k vectors, x512 ≈ 1M): "
-            "below ~100k vectors both lanes are fixed-overhead-dominated "
-            "and the comparison measures job setup, not the scan the "
-            "route prunes. The route scans eff-nprobe cluster partitions "
-            "instead of the corpus, so its win should grow with scale; "
-            "recall@10 vs the exact answer is asserted ≥ 0.6 at both "
-            "scales.",
+            "ANN route (64 cells, timing lane accuracyFactor=4 → ~20% "
+            "of cells probed). Scales expand the 2k-row sf0.1 "
+            "embeddings table by its OWN factors (x64 ≈ 128k vectors, "
+            "x512 ≈ 1M) with hash-pseudo-random per-replica noise at "
+            "inter-point amplitude — replicas form overlapping clouds "
+            "that straddle IVF cell boundaries, so recall is earned, "
+            "not an artifact of replicated clusters (which pinned it "
+            "at 1.0 through round 8). Recall columns are mean "
+            "recall@10 over 8 query points per accuracy preset "
+            "(fast/balanced/high_accuracy mirror SearchConfig); "
+            "asserted monotone, fast < 0.95, high_accuracy ≥ 0.9, and "
+            "the af4 timing point ≥ 0.5, at every scale.",
             "",
-            "| scale | exact s | routed s | speedup | recall@10 |",
-            "|---|---|---|---|---|",
+            "| scale | exact s | routed s | speedup | recall@10 (af4) "
+            "| fast | balanced | high_accuracy |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for kk, r in ann.items():
             lines.append(f"| {kk} | {r['exact_s']} | {r['routed_s']} | "
-                         f"{r['speedup']} | {r['recall_at_10']} |")
+                         f"{r['speedup']} | {r['recall_at_10']} | "
+                         f"{r.get('recall_fast', '—')} | "
+                         f"{r.get('recall_balanced', '—')} | "
+                         f"{r.get('recall_high_accuracy', '—')} |")
         lines += [
             "",
             "## IVF build: sampled-fit protocol vs full-corpus fit",
