@@ -153,7 +153,9 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
     pruning is off / too scattered / covers ~everything."""
     spark = ids.sparkSession
     try:
-        if spark.conf.get(RANGE_PRUNE_KEY, "true") == "false":
+        # enabled iff "true" (case-insensitive) — the JVM rule parses the
+        # same way, so the kill switch can't half-work across lanes
+        if spark.conf.get(RANGE_PRUNE_KEY, "true").strip().lower() != "true":
             return None
         granule = int(spark.conf.get(RANGE_GRANULE_KEY,
                                      str(DEFAULT_RANGE_GRANULE)))
@@ -243,26 +245,30 @@ def _heavy_map(counts: DataFrame, n: int, old: dict | None) -> dict:
 
     thr = max(1, int(math.ceil(n * _HEAVY_FRAC)))
     old_heavy = (old or {}).get("heavy", {})
-    keep = F.col("df") >= thr
-    if old_heavy:
-        keep = keep | F.col("key").isin(list(old_heavy))
     rows = (
-        counts.filter(keep)
+        counts.filter(F.col("df") >= thr)
         .orderBy(F.desc("df"), "key")
-        .limit(_HEAVY_CAP + len(old_heavy))
+        .limit(_HEAVY_CAP + 1)
         .collect()
     )
-    delta = {r["key"]: int(r["df"]) for r in rows}
-    heavy = {t: df for t, df in delta.items() if df >= thr}
+    heavy = {r["key"]: int(r["df"]) for r in rows}
     floor = _HEAVY_FRAC
-    if len(heavy) >= _HEAVY_CAP and heavy:
+    if len(heavy) > _HEAVY_CAP:
         kept = sorted(heavy.items(),
                       key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_CAP]
         heavy = dict(kept)
         floor = max(floor, min(heavy.values()) / max(n, 1))
     if old is not None:
+        # old-heavy keys' delta dfs are collected SEPARATELY (bounded by
+        # the old map's own cap) so the top-by-df cut above can never
+        # truncate them — the exact-merge guarantee survives a delta
+        # with more than _HEAVY_CAP heavy keys of its own
+        missing = [t for t in old_heavy if t not in heavy]
+        sub = ({r["key"]: int(r["df"]) for r in
+                counts.filter(F.col("key").isin(missing)).collect()}
+               if missing else {})
         for t, df in old_heavy.items():
-            heavy[t] = heavy.get(t, delta.get(t, 0)) + int(df)
+            heavy[t] = heavy.get(t, sub.get(t, 0)) + int(df)
         n += int(old.get("n_docs", 0))
         floor = max(floor, float(old.get("floor_frac", _HEAVY_FRAC)))
         if len(heavy) > _HEAVY_CAP:

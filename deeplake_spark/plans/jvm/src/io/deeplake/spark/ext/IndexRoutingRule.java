@@ -238,6 +238,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         Map<String, Range> ranges = new HashMap<>();
         double maxSel = confDouble(MAX_SELECTIVITY_KEY,
                 DEFAULT_MAX_SELECTIVITY);
+        boolean rangePrune = "true".equalsIgnoreCase(
+                session.conf().get(RANGE_PRUNE_KEY, "true"));
 
         scala.collection.Iterator<Expression> cit =
                 f.splitConjunctivePredicates(f.condition()).iterator();
@@ -267,7 +269,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     probes.add(exactProbe(en, eqs[1]));
                     probeIdCols.add(en.idCol);
                     probeDescs.add("ex|" + en.indexPath + "|" + eqs[1]);
-                    probeNEsts.add(-1L);
+                    probeNEsts.add(exactN(en));
                     // digest lookup prunes; the equality itself is KEPT
                     // as a residual so an md5 collision can never admit
                     // a wrong row (exactness is ~free: it runs on the
@@ -276,12 +278,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     continue;
                 }
             }
-            // predicates on a registered ROW-ID column never route: the
-            // id-sorted ingest layout already serves them via parquet
-            // min/max stats, and skipping them keeps the rule's own
-            // synthetic range filters from re-routing at the fixed point
+            // with range pruning ON, predicates on a registered ROW-ID
+            // column never route: the id-sorted ingest layout already
+            // serves them via parquet min/max stats, and skipping them
+            // keeps the rule's own synthetic range filters from
+            // re-routing at the fixed point. With pruning OFF (the
+            // documented kill switch for layouts that are NOT id-sorted,
+            // where parquet stats can't serve these predicates) no
+            // synthetic filters exist, so id-col predicates may route.
             InMatch in = matchIn(c);
-            if (in != null && !isIdCol(byCol, in.column)) {
+            if (in != null && (!rangePrune || !isIdCol(byCol, in.column))) {
                 IndexRegistry.Entry en = byCol.get(in.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)
@@ -295,7 +301,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 }
             }
             Bound[] bt = matchBetween(c);
-            if (bt != null && !isIdCol(byCol, bt[0].column)) {
+            if (bt != null && (!rangePrune || !isIdCol(byCol, bt[0].column))) {
                 IndexRegistry.Entry en = byCol.get(bt[0].column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)) {
@@ -308,7 +314,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 }
             }
             Bound b = matchComparison(c);
-            if (b != null && !isIdCol(byCol, b.column)) {
+            if (b != null && (!rangePrune || !isIdCol(byCol, b.column))) {
                 IndexRegistry.Entry en = byCol.get(b.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)) {
@@ -346,8 +352,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         // ids into coalesced literal ranges and filter the corpus scan
         // BEFORE the semijoins, so parquet min/max stats skip I/O
         Expression rangePred = null;
-        if ("true".equalsIgnoreCase(
-                session.conf().get(RANGE_PRUNE_KEY, "true"))) {
+        if (rangePrune) {
             for (int i = 0; i < probes.size(); i++) {
                 Attribute idAttr = findAttr(child.output(),
                         probeIdCols.get(i));
@@ -626,6 +631,14 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return nm == null || nm.counts == null ? -1 : nm.n;
     }
 
+    /** Corpus size from the exact index's digeststats sidecar; -1 when
+     *  absent (range pruning then skips only on scatter, not coverage). */
+    private long exactN(IndexRegistry.Entry en) {
+        com.fasterxml.jackson.databind.JsonNode ts =
+                cachedJson(en.indexPath + "/digeststats.json");
+        return ts == null ? -1 : ts.path("n_docs").asLong(-1);
+    }
+
     // ------------------------------------- probe → row-group pruning
 
     /** Computed range sets are memoized (the same probe is re-planned
@@ -676,9 +689,19 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return out;
     }
 
+    /** Total granule-summary jobs run (memo misses) — test hook: a
+     *  re-planned probe must hit RANGE_CACHE, not grow this. */
+    private static final java.util.concurrent.atomic.AtomicLong
+            RANGE_JOBS = new java.util.concurrent.atomic.AtomicLong();
+
+    public static long rangeJobsRun() {
+        return RANGE_JOBS.get();
+    }
+
     private List<long[]> computeRanges(Dataset<Row> probe, long granule,
                                        int maxRanges, double coverage,
                                        long nEst) {
+        RANGE_JOBS.incrementAndGet();
         try {
             if (!(probe.schema().apply("row_id").dataType()
                     instanceof org.apache.spark.sql.types.IntegralType)) {

@@ -460,6 +460,7 @@ class Translator:
                 # admit a wrong row (exactness is ~free post-semijoin)
                 return semijoin(
                     m[0].probe(c.args[1].value), m[1],
+                    n_est=m[0].n_rows_est,
                     prune="bucket" in m[0].digests.columns,
                 ).filter(
                     F.col(c.args[0].name) == F.lit(c.args[1].value)
@@ -504,7 +505,8 @@ class Translator:
             if m and gate_ok(m[0].est_selectivity(c.left.index.value,
                                                   c.right.value)):
                 return semijoin(m[0].probe(c.left.index.value, c.right.value),
-                                m[1], prune=m[0].loaded)
+                                m[1], n_est=m[0].n_rows_est,
+                                prune=m[0].loaded)
         return None
 
     def _estimate_where_selectivity(self, where: ast.Node) -> float | None:

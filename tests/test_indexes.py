@@ -1515,6 +1515,33 @@ def test_termstats_merge_counts_subfloor_delta_df(spark, tmp_path,
     assert merged.est_selectivity("hot") == pytest.approx(5 / 8)
 
 
+def test_termstats_merge_exact_past_heavy_cap_cut(spark, tmp_path,
+                                                  monkeypatch):
+    """An old-heavy term's sub-floor delta df must merge EXACTLY even
+    when the delta has more heavy keys of its own than the _HEAVY_CAP
+    top-by-df cut keeps: the cut must never truncate the old keys'
+    contributions (they're fetched by a separate bounded lookup, not
+    the capped top-df collect)."""
+    import deeplake_spark.operators.indexes as ix
+
+    monkeypatch.setattr(ix, "_HEAVY_FRAC", 0.5)
+    monkeypatch.setattr(ix, "_HEAVY_CAP", 2)
+    base = spark.createDataFrame(
+        [(i, "hot filler") for i in range(4)], "doc_id long, text string")
+    p = str(tmp_path / "inv")
+    build_inverted_index(base, "text", "doc_id").save(p)
+    # delta: 3 terms at df >= thr(2) outrank 'hot' (df 1, sub-floor) in
+    # a top-by-df ordering, so a single capped collect would cut it
+    delta = spark.createDataFrame(
+        [(100, "aaa bbb ccc hot"), (101, "aaa bbb ccc"),
+         (102, "aaa bbb"), (103, "mmm")],
+        "doc_id long, text string")
+    build_inverted_index(delta, "text", "doc_id").append_to(p)
+    merged = ix.InvertedIndex.load(spark, p)
+    # exact: 4 (base) + 1 (sub-floor, below the cap cut) over 8 docs
+    assert merged.est_selectivity("hot") == pytest.approx(5 / 8)
+
+
 # ------------------------------------------- probe → row-group pruning
 
 
@@ -1693,5 +1720,78 @@ def test_numeric_between_route_pushes_probe_ranges(spark, tmp_path):
         assert "LessThanOrEqual(doc_id,14999)" in phys
         got = sorted(r.doc_id for r in routed.collect())
         assert got == list(range(10_000, 15_000))
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_range_prune_conf_polarity(spark):
+    """The kill switch parses identically in both lanes — enabled iff
+    'true' case-insensitively, so 'False'/'0'/'off' disable here just
+    as they do in the JVM rule's equalsIgnoreCase('true')."""
+    from deeplake_spark.operators.indexes import (
+        RANGE_PRUNE_KEY,
+        routed_scan_ranges,
+    )
+
+    ids = spark.range(50).withColumnRenamed("id", "row_id")
+    try:
+        for v in ("False", "0", "off", "false"):
+            spark.conf.set(RANGE_PRUNE_KEY, v)
+            assert routed_scan_ranges(ids, None) is None, v
+        spark.conf.set(RANGE_PRUNE_KEY, "TRUE")
+        assert routed_scan_ranges(ids, None) == [(0, 49)]
+    finally:
+        spark.conf.unset(RANGE_PRUNE_KEY)
+
+
+def test_exact_and_json_routes_coverage_gate_uniform_ranges(spark, tmp_path):
+    """The exact-digest and JSON path-value routes pass the corpus size
+    to the range-coverage gate: a selective-but-UNIFORM value's granule
+    ranges span ~the whole corpus, so no per-row BETWEEN-OR predicate
+    is pushed (semijoin only) — the same economics the CONTAINS lane
+    gets from its termstats n."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import (
+        ExactTextIndex,
+        JsonIndex,
+        build_exact_index,
+        build_json_index,
+    )
+
+    n = 12_000
+    src = (spark.range(n).withColumnRenamed("id", "doc_id")
+           .withColumn("lang", F.when(F.col("doc_id") % 12 == 0, F.lit("xx"))
+                       .otherwise(F.concat(
+                           F.lit("u"),
+                           (F.col("doc_id") % 97).cast("string"))))
+           .withColumn("meta", F.when(F.col("doc_id") % 12 == 0,
+                                      F.lit('{"type": "like"}'))
+                       .otherwise(F.lit('{"type": "post"}'))))
+    path = str(tmp_path / "docs.parquet")
+    (src.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(path))
+    docs = spark.read.parquet(path)
+    ep, jp = str(tmp_path / "ex"), str(tmp_path / "js")
+    build_exact_index(docs, "lang", id_col="doc_id").save(ep)
+    build_json_index(docs, "meta", ["type"], id_col="doc_id").save(jp)
+    eidx = ExactTextIndex.load(spark, ep)
+    jidx = JsonIndex.load(spark, jp)
+    assert eidx.n_rows_est == n and jidx.n_rows_est == n
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "64")
+    try:
+        for q, idxmap in (
+            ("SELECT doc_id WHERE EQUALS(lang, 'xx')",
+             {"lang": ("exact", eidx, "doc_id")}),
+            ("SELECT doc_id WHERE meta['type'] == 'like'",
+             {"meta": ("json", jidx, "doc_id")}),
+        ):
+            routed = tql.query(q, default=docs, indexes=idxmap)
+            phys = routed._jdf.queryExecution().executedPlan().toString()
+            assert "LeftSemi" in phys, q
+            assert "GreaterThanOrEqual(doc_id" not in phys, phys[:2000]
+            assert sorted(r.doc_id for r in routed.collect()) == \
+                list(range(0, n, 12)), q
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")

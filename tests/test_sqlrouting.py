@@ -217,6 +217,12 @@ def test_sql_routing_exact_string_equality(spark, sf_dir, tmp_path):
         # the equality conjunct is KEPT as a residual filter above the
         # semijoin: an md5 collision can never admit a wrong row
         assert "= en" in plan, plan
+        # a uniformly-spread value's probe ranges span ~the corpus: the
+        # coverage gate (digeststats n via exactN) keeps the synthetic
+        # range filter OUT of the corpus scan (the stock doc_id < 500
+        # conjunct pushes as LessThan, not GreaterThanOrEqual)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id" not in phys, phys[:2000]
         got = sorted(r.doc_id for r in df.collect())
         assert got == want and got
         # literal-on-the-left spelling routes too
@@ -1161,10 +1167,14 @@ def test_sql_route_pushes_probe_ranges_to_corpus_scan(spark,
 def test_sql_range_cache_bounds_plan_time_jobs(spark, clustered_sql_docs):
     """Re-planning the same probe must hit the JVM range memo, not
     re-run the granule job per query (bounded-LRU, dir-signature
-    keyed — the SCAN_CACHE discipline)."""
+    keyed — the SCAN_CACHE discipline). rangeJobsRun() counts actual
+    memo misses, so deleting the cache lookup fails this."""
     jvm = spark._jvm.io.deeplake.spark.ext.IndexRoutingRule
+    spark.sql(_csql("xclust"))._jdf.queryExecution().optimizedPlan()
+    j0 = jvm.rangeJobsRun()
     for _ in range(3):
         spark.sql(_csql("xclust"))._jdf.queryExecution().optimizedPlan()
+    assert jvm.rangeJobsRun() == j0
     # the memo is bounded the same way the probe scan cache is
     assert jvm.scanCacheCap() == 256
 
@@ -1196,3 +1206,35 @@ def test_sql_id_column_predicates_never_route(spark, sf_dir, tmp_path):
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("idcol_docs")
+
+
+def test_sql_id_column_routes_when_range_prune_off(spark, sf_dir, tmp_path):
+    """With rangePrune=false — the documented kill switch for layouts
+    that are NOT id-sorted, where parquet min/max can't serve id
+    predicates — an id-column BETWEEN may route through its numeric
+    index: the rule emits no synthetic range filters, so the
+    fixed-point hazard the isIdCol guard protects against is gone."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.indexes import build_numeric_index
+
+    src = f"{sf_dir}/documents.parquet"
+    d = spark.read.parquet(src)
+    ip = str(tmp_path / "idcolidx2")
+    build_numeric_index(d, "doc_id", id_col="doc_id").save(ip)
+    d.createOrReplaceTempView("idcol_docs2")
+    rt.register_path(spark, src, "doc_id", "numeric", ip, "doc_id")
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.rangePrune", "false")
+    try:
+        q = "SELECT doc_id FROM idcol_docs2 WHERE doc_id BETWEEN 5 AND 25"
+        df = spark.sql(q)
+        assert "LeftSemi" in _plan(df)
+        assert sorted(r.doc_id for r in df.collect()) == \
+            sorted(r.doc_id for r in
+                   d.filter(F.col("doc_id").between(5, 25)).collect())
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangePrune")
+        rt.disable(spark)
+        rt.clear(spark)
+        spark.catalog.dropTempView("idcol_docs2")

@@ -276,7 +276,12 @@ def routed_sql_section(spark) -> list[str]:
                 "Token-CONTAINS on a SELECTIVE term (df ~5%) rewritten "
                 "to a bucket-pruned posting-probe LeftSemi — the "
                 "posting scan reads ONE of 64 term-hash partitions; "
-                "the corpus side never tokenizes."),
+                "the corpus side never tokenizes. (This fixture's term "
+                "is uniformly spread, so the coverage gate correctly "
+                "keeps probe→row-group range filters out of the corpus "
+                "scan — the id-clustered regime where they appear and "
+                "win is plan-pinned in test_indexes/test_sqlrouting "
+                "and measured in SCALING.md's gate table.)"),
             "plain-SQL WHERE contains, frequent term: gate keeps it stock": (
                 "SELECT doc_id FROM plans_docs WHERE "
                 "array_contains(split(lower(text), '\\\\s+'), 'spark')",

@@ -223,20 +223,6 @@ def skew_section(spark, big_dir: str, k: int, hot_frac: float = 0.2):
     return {"hot_frac": hot_frac, "hot_key": int(hot), "rows": rows}
 
 
-def _replicate_plain_docs(spark, k: int, out: str) -> None:
-    """Documents replicated WITHOUT the token suffixing `replicate`
-    applies: the gate/ANN probes need terms whose FRACTIONAL df stays
-    constant as the corpus grows (a suffixed term's global selectivity
-    would fall 1/k and measure the wrong regime)."""
-    df = load_table(spark, BASE_SF, "documents")
-    parts = [df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-             for i in range(k)]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(max(4, 4 * k)).write.mode("overwrite").parquet(out)
-
-
 def _gate_docs_sorted(spark, k: int, out: str) -> int:
     """Gate corpus: k dense-re-id'd replicas written ID-SORTED across
     range-partitioned files with ~8 MB row groups — the ingest layout
@@ -523,13 +509,19 @@ def ann_section(spark):
     return out
 
 
-def _heap_gb(spec: str) -> float:
-    """'48g' / '8192m' / '48' (JVM -Xmx spelling) → GiB."""
-    s = spec.strip().lower()
+def _heap_gb(spec: str) -> float | None:
+    """'48g' / '8192m' / '2gb' / '8192' → GiB; None when unparseable
+    (the guard then skips rather than exiting spuriously). A bare
+    number is MiB — that's how Spark reads a suffixless
+    spark.driver.memory."""
+    s = spec.strip().lower().removesuffix("b")
     mult = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
-    if s and s[-1] in mult:
-        return float(s[:-1]) * mult[s[-1]]
-    return float(s) / (1 << 30)    # bare bytes
+    try:
+        if s and s[-1] in mult:
+            return float(s[:-1]) * mult[s[-1]]
+        return float(s) / 1024    # bare number = MiB (Spark semantics)
+    except ValueError:
+        return None
 
 
 def _require_heap(max_k: int) -> None:
@@ -541,7 +533,8 @@ def _require_heap(max_k: int) -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         have = active.conf.get("spark.driver.memory", "1g")
-        if _heap_gb(have) < need:
+        got = _heap_gb(have)
+        if got is not None and got < need:
             sys.exit(
                 f"scale_probe: x{max_k} needs >= {need}g driver heap but "
                 f"an active session has spark.driver.memory={have}; stop "
@@ -549,9 +542,10 @@ def _require_heap(max_k: int) -> None:
                 "undersized heap GC-thrashes and inflates every timing.")
         return
     env = os.environ.get("SPARK_DRIVER_MEMORY")
+    got = None if env is None else _heap_gb(env)
     if env is None:
         os.environ["SPARK_DRIVER_MEMORY"] = f"{need}g"
-    elif _heap_gb(env) < need:
+    elif got is not None and got < need:
         sys.exit(
             f"scale_probe: x{max_k} needs >= {need}g driver heap but "
             f"SPARK_DRIVER_MEMORY={env}; raise it or drop the scale — "
