@@ -318,6 +318,9 @@ class InvertedIndex:
     heavy: dict | None = None
     n_docs_est: int | None = None
     floor_frac: float = _HEAVY_FRAC
+    #: True when read back from a persisted index — probe lineage is a
+    #: pruned side-table scan, safe to summarize at plan time
+    loaded: bool = False
 
     def est_selectivity(self, term: str) -> float | None:
         """Estimated df(term)/n from the persisted heavy-term sidecar;
@@ -419,6 +422,7 @@ class InvertedIndex:
             heavy=heavy,
             n_docs_est=n_est,
             floor_frac=floor,
+            loaded=True,
         )
 
 

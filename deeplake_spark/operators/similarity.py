@@ -112,6 +112,12 @@ class IVFIndex:
     centroids: list  # [(cluster_id, [float, ...])]
     vec_col: str
     id_col: str
+    #: True when read back from a persisted index: probe lineage is a
+    #: pruned side-table scan, safe to summarize at plan time for
+    #: row-group pruning (a fresh build's lineage re-derives the corpus)
+    loaded: bool = False
+    #: corpus size from the persisted meta (range-coverage gate)
+    n_rows_est: int | None = None
 
 
 def _ivf_build_plan(n_total: int, n_clusters: int) -> tuple[int, int]:
@@ -174,10 +180,15 @@ def save_ivf(index: IVFIndex, path: str) -> None:
     index.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "assignments")
     )
+    # corpus size for the range-coverage gate: counted from the files
+    # just written (parquet-metadata-cheap, no recompute of the plan)
+    n = int(index.assignments.sparkSession.read.parquet(
+        os.path.join(path, "assignments")).count())
     put_json(os.path.join(path, "centroids.json"), {
         "centroids": index.centroids,
         "vec_col": index.vec_col,
         "id_col": index.id_col,
+        "n": n,
     })
 
 
@@ -190,6 +201,8 @@ def load_ivf(spark, path: str) -> IVFIndex:
         centroids=[(int(c), v) for c, v in meta["centroids"]],
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
+        loaded=True,
+        n_rows_est=meta.get("n"),
     )
 
 
@@ -441,6 +454,9 @@ class QuantizedIndex:
     source: DataFrame  # id_col, vec_col — live relation for exact rerank
     vec_col: str
     id_col: str
+    #: see IVFIndex.loaded / n_rows_est (row-group-pruned rerank gate)
+    loaded: bool = False
+    n_rows_est: int | None = None
 
 
 def build_quantized(df: DataFrame, vec_col: str = "embedding",
@@ -457,8 +473,10 @@ def save_quantized(index: QuantizedIndex, path: str) -> None:
     from deeplake_spark.storage import put_json
 
     index.bits.write.mode("overwrite").parquet(os.path.join(path, "bits"))
+    n = int(index.bits.sparkSession.read.parquet(
+        os.path.join(path, "bits")).count())
     put_json(os.path.join(path, "meta.json"),
-             {"vec_col": index.vec_col, "id_col": index.id_col})
+             {"vec_col": index.vec_col, "id_col": index.id_col, "n": n})
 
 
 def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
@@ -478,7 +496,36 @@ def load_quantized(spark, path: str, source: DataFrame) -> QuantizedIndex:
         source=source.select(meta["id_col"], meta["vec_col"]),
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
+        loaded=True,
+        n_rows_est=meta.get("n"),
     )
+
+
+def _rerank_scan(index, cand: DataFrame, prune: bool = True) -> DataFrame:
+    """The rerank stage's corpus relation, row-group-pruned to the
+    candidates' id ranges when that's sound and cheap: the candidate
+    set is k*accuracy_factor ids from the NARROW side table, so
+    summarizing it at plan time is one bounded job, and the pushed
+    ranges let parquet min/max skip the corpus row groups the rerank
+    will never read — the reference's bitmap→chunk-read applied to its
+    rerank (index_holder.hpp:37-40). LOADED indexes only (a fresh
+    build's candidate lineage re-derives the corpus — summarizing it
+    would double that work); the semijoin on top keeps the rerank
+    exact either way."""
+    from deeplake_spark.operators.indexes import (
+        ranges_predicate,
+        routed_scan_ranges,
+    )
+
+    src = index.source
+    if (prune and index.loaded and src is not None
+            and dict(src.dtypes).get(index.id_col) in ("bigint", "int")):
+        ranges = routed_scan_ranges(
+            cand.select(F.col(index.id_col).alias("row_id")),
+            index.n_rows_est)
+        if ranges:
+            src = src.filter(ranges_predicate(index.id_col, ranges))
+    return src
 
 
 def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
@@ -501,7 +548,8 @@ def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
         .limit(k * config.accuracy_factor)
         .select(index.id_col)
     )
-    rerank = index.source.join(F.broadcast(cand), index.id_col, "left_semi")
+    rerank = _rerank_scan(index, cand, prune=candidates is None).join(
+        F.broadcast(cand), index.id_col, "left_semi")
     return topk_cosine(rerank, index.vec_col, query_vec, k=k, id_col=index.id_col)
 
 
@@ -555,6 +603,9 @@ class PQIndex:
     vec_col: str
     id_col: str
     centroids: list | None = None  # coarse quantizer → IVF-PQ cluster prune
+    #: see IVFIndex.loaded / n_rows_est (row-group-pruned rerank gate)
+    loaded: bool = False
+    n_rows_est: int | None = None
 
 
 def _pq_encoder(codebooks: list):
@@ -661,11 +712,14 @@ def save_pq(index: PQIndex, path: str) -> None:
     if index.centroids is not None:
         w = w.partitionBy("cluster")
     w.parquet(os.path.join(path, "codes"))
+    n = int(index.codes.sparkSession.read.parquet(
+        os.path.join(path, "codes")).count())
     put_json(os.path.join(path, "codebooks.json"), {
         "codebooks": index.codebooks,
         "vec_col": index.vec_col,
         "id_col": index.id_col,
         "centroids": index.centroids,
+        "n": n,
     })
 
 
@@ -683,6 +737,8 @@ def load_pq(spark, path: str, source: DataFrame | None = None) -> PQIndex:
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
         centroids=[(int(c), v) for c, v in cents] if cents else None,
+        loaded=True,
+        n_rows_est=meta.get("n"),
     )
 
 
@@ -773,7 +829,8 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
     )
     if index.source is None:
         return cand
-    rerank = index.source.join(F.broadcast(cand), index.id_col, "left_semi")
+    rerank = _rerank_scan(index, cand, prune=candidates is None).join(
+        F.broadcast(cand), index.id_col, "left_semi")
     if metric == "l2":
         return topk_l2(rerank, index.vec_col, query_vec, k=k,
                        id_col=index.id_col)
@@ -905,6 +962,9 @@ class PooledMaxsimIndex:
     source: DataFrame  # id_col, matrix_col
     id_col: str
     matrix_col: str
+    #: see IVFIndex.loaded / n_rows_est (row-group-pruned rerank gate)
+    loaded: bool = False
+    n_rows_est: int | None = None
 
 
 def build_pooled_maxsim(df: DataFrame, matrix_col: str, id_col: str) -> PooledMaxsimIndex:
@@ -933,8 +993,11 @@ def save_pooled_maxsim(index: PooledMaxsimIndex, path: str) -> None:
     from deeplake_spark.storage import put_json
 
     index.pooled.write.mode("overwrite").parquet(os.path.join(path, "pooled"))
+    n = int(index.pooled.sparkSession.read.parquet(
+        os.path.join(path, "pooled")).count())
     put_json(os.path.join(path, "meta.json"),
-             {"matrix_col": index.matrix_col, "id_col": index.id_col})
+             {"matrix_col": index.matrix_col, "id_col": index.id_col,
+              "n": n})
 
 
 def append_pooled_delta(new_df: DataFrame, matrix_col: str, id_col: str,
@@ -956,6 +1019,8 @@ def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex
         source=source.select(meta["id_col"], meta["matrix_col"]),
         id_col=meta["id_col"],
         matrix_col=meta["matrix_col"],
+        loaded=True,
+        n_rows_est=meta.get("n"),
     )
 
 
@@ -984,7 +1049,8 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     )
     maxsim = maxsim_pandas_const(qm)
     return (
-        index.source.join(cands, index.id_col, "left_semi")
+        _rerank_scan(index, cands, prune=candidates is None)
+        .join(cands, index.id_col, "left_semi")
         .select(
             index.id_col,
             F.round(maxsim(F.col(index.matrix_col)), 6).alias("maxsim_score"),

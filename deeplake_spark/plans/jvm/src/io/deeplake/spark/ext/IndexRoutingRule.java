@@ -1277,11 +1277,47 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (probeAttr == null) {
             return null;
         }
-        LogicalPlan joined = new Join(relation, probePlan, LeftSemi$.MODULE$,
+        // probe → corpus row-group pruning, same as the filter routes:
+        // the cluster-pruned candidate ids summarize into literal id
+        // ranges on the corpus scan, so parquet min/max skips the row
+        // groups the rerank can never keep (the reference applies its
+        // bitmap→chunk reads to ANN probes too, index_holder.hpp:37-40).
+        // Coverage-gated on the persisted corpus size — cells scattered
+        // across the id space (the usual case) decline; cells that
+        // correlate with ingest order (content drift) prune real I/O.
+        LogicalPlan corpusSide = relation;
+        if ("true".equalsIgnoreCase(
+                session.conf().get(RANGE_PRUNE_KEY, "true"))) {
+            long nEst = annN(en);
+            if (nEst > 0 && idAttr.dataType()
+                    instanceof org.apache.spark.sql.types.IntegralType) {
+                List<long[]> rs = cachedRanges(probe,
+                        "ann|" + en.indexPath + "|"
+                                + probePlan.semanticHash(),
+                        nEst);
+                if (rs != null && !rs.isEmpty()) {
+                    Expression p = rangesPred(idAttr, rs);
+                    if (p != null) {
+                        corpusSide = new Filter(p, relation);
+                    }
+                }
+            }
+        }
+        LogicalPlan joined = new Join(corpusSide, probePlan, LeftSemi$.MODULE$,
                 Option.apply(new EqualTo(idAttr, probeAttr)),
                 JoinHint.NONE());
         LogicalPlan rebuilt = replaceNode(gl, relation, joined);
         return rebuilt == gl ? null : rebuilt;
+    }
+
+    /** Corpus size persisted in the vector index's metadata sidecar;
+     *  -1 when absent (older index — ANN range pruning then stays off,
+     *  a safe rollout: no coverage gate means no sound push). */
+    private long annN(IndexRegistry.Entry en) {
+        com.fasterxml.jackson.databind.JsonNode r = cachedJson(
+                en.indexPath + ("pq".equals(en.kind)
+                        ? "/codebooks.json" : "/centroids.json"));
+        return r == null ? -1 : r.path("n").asLong(-1);
     }
 
     /** Cluster-pruned candidate row ids: rank the (metadata-small)

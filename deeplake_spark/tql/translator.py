@@ -799,7 +799,9 @@ class Translator:
                                   candidate_selectivity=cand_sel).select(id_col)
             # k rows — always broadcastable; score recomputed exactly
             # on ≤k rows by the normal path
-            return df.join(F.broadcast(hits), id_col, "left_semi")
+            return self._hits_fetchback(df, hits, id_col, idx,
+                                        prune=candidates is None,
+                                        how="left_semi")
 
         if fname == "BM25_SIMILARITY":
             from deeplake_spark.operators.indexes import bm25_via_index
@@ -829,7 +831,37 @@ class Translator:
             )
         self._routed_score = e  # _call resolves this exact call shape
         # inner join: ≤k hit rows (broadcastable) carry the index score
-        return df.join(F.broadcast(hits), id_col, "inner")
+        return self._hits_fetchback(df, hits, id_col, idx,
+                                    prune=candidates is None, how="inner")
+
+    def _hits_fetchback(self, df: DataFrame, hits: DataFrame, id_col: str,
+                        idx, prune: bool, how: str) -> DataFrame:
+        """Fetch the winners' full rows with the corpus scan row-group-
+        pruned to their id ranges: the search's output is ≤k ids, so
+        the pushed ranges let parquet min/max skip essentially the
+        whole corpus — the reference never full-scans to materialize
+        results either (bitmap→chunk reads, index_holder.hpp:37-40).
+        LOADED indexes only: computing the ranges executes the search
+        once at plan time (memoized by probe lineage — warm re-plans
+        are free), which is a bounded side-table job for a persisted
+        index but a corpus re-derivation for a fresh build. Skipped
+        when a WHERE prefilter exists (its candidate lineage scans the
+        corpus — summarizing it would cost what it saves). The join on
+        top keeps the result exact either way."""
+        from deeplake_spark.operators.indexes import (
+            ranges_predicate,
+            routed_scan_ranges,
+        )
+
+        if (prune and getattr(idx, "loaded", False)
+                and dict(df.dtypes).get(id_col) in ("bigint", "int")):
+            ranges = routed_scan_ranges(
+                hits.select(F.col(id_col).alias("row_id")),
+                getattr(idx, "n_rows_est", None)
+                or getattr(idx, "n_docs_est", None))
+            if ranges:
+                df = df.filter(ranges_predicate(id_col, ranges))
+        return df.join(F.broadcast(hits), id_col, how)
 
     def _param_str(self, node: ast.Node) -> str | None:
         if isinstance(node, ast.Param) and node.index < len(self.params):

@@ -1724,6 +1724,72 @@ def test_numeric_between_route_pushes_probe_ranges(spark, tmp_path):
         spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
 
 
+def test_ann_rerank_and_fetchback_push_probe_ranges(spark, tmp_path,
+                                                    monkeypatch):
+    """A LOADED vector index's exact-rerank scan and the TQL top-k
+    fetch-back join both carry pushed row-id range filters when the
+    winners cluster in id space (content drift: similar vectors were
+    ingested together) — the reference applies its bitmap→chunk reads
+    to ANN probes too (index_holder.hpp:37-40). A FRESH (unsaved)
+    index must run no plan-time range job at all."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        build_pq,
+        load_pq,
+        save_pq,
+        topk_cosine,
+    )
+
+    n, lo, hi = 20_000, 12_000, 12_100
+    e = (spark.range(n).withColumnRenamed("id", "vec_id")
+         .withColumn("embedding", F.expr(
+             f"CASE WHEN vec_id >= {lo} AND vec_id < {hi} THEN "
+             "array(1.0D, 0.01D * (vec_id % 7), 0D, 0D, 0D, 0D, 0D, 0D) "
+             "ELSE array(0.01D * (vec_id % 11), 1.0D, 0D, 0D, 0D, 0D, "
+             "0D, 0D) END")))
+    path = str(tmp_path / "emb.parquet")
+    (e.repartitionByRange(4, "vec_id").sortWithinPartitions("vec_id")
+     .write.option("parquet.block.size", 128 * 1024).parquet(path))
+    d = spark.read.parquet(path)
+    ip = str(tmp_path / "pqidx")
+    save_pq(build_pq(d, "embedding", "vec_id", m=4, nbits=4), ip)
+    idx = load_pq(spark, ip, source=d)
+    assert idx.loaded and idx.n_rows_est == n
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    tql_q = ("SELECT vec_id, COSINE_SIMILARITY(embedding, ?) AS score "
+             "ORDER BY score DESC LIMIT 10")
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "256")
+    try:
+        out = tql.query(tql_q, default=d, params=[q],
+                        indexes={"embedding": ("pq", idx, "vec_id")})
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(vec_id" in phys, phys[:3000]
+        got = {r.vec_id for r in out.collect()}
+        exact = {r.vec_id for r in topk_cosine(
+            d, "embedding", q, k=10, id_col="vec_id").collect()}
+        assert got == exact
+        assert all(lo <= v < hi for v in got)
+
+        # fresh (unsaved) index: the candidate lineage re-derives the
+        # corpus — no plan-time range job may run
+        import deeplake_spark.operators.indexes as ix
+
+        fresh = build_pq(d, "embedding", "vec_id", m=4, nbits=4)
+        assert not fresh.loaded
+
+        def boom(*a, **kw):
+            raise AssertionError("plan-time range job on a fresh index")
+
+        monkeypatch.setattr(ix, "probe_id_ranges", boom)
+        out2 = tql.query(tql_q, default=d, params=[q],
+                         indexes={"embedding": ("pq", fresh, "vec_id")})
+        assert {r.vec_id for r in out2.collect()} == exact
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
 def test_range_prune_conf_polarity(spark):
     """The kill switch parses identically in both lanes — enabled iff
     'true' case-insensitively, so 'False'/'0'/'off' disable here just

@@ -1208,6 +1208,60 @@ def test_sql_id_column_predicates_never_route(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView("idcol_docs")
 
 
+def test_sql_ann_route_pushes_probe_ranges_for_clustered_cells(
+        spark, tmp_path):
+    """When cluster membership correlates with ingest order (content
+    drift: similar vectors arrive together), the ANN route's
+    cluster-pruned candidate ids coalesce into tight id ranges pushed
+    onto the corpus scan — parquet min/max skips the row groups the
+    rerank can never keep (the reference's bitmap→chunk reads apply to
+    ANN probes too, index_holder.hpp:37-40). Coverage-gated on the
+    persisted corpus size; rows stay the exact top-k."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.similarity import build_ivf, save_ivf
+
+    n, g = 16_000, 2_000  # 8 contiguous id groups, one direction each
+    e = (spark.range(n).withColumnRenamed("id", "vec_id")
+         .withColumn("embedding", F.expr(
+             f"transform(sequence(0, 7), j -> CASE WHEN j = "
+             f"CAST(vec_id DIV {g} AS INT) THEN 1.0D + "
+             "0.001D * CAST(vec_id % 13 AS DOUBLE) ELSE "
+             "0.001D * CAST((vec_id + j) % 17 AS DOUBLE) END)")))
+    path = str(tmp_path / "clustemb.parquet")
+    (e.repartitionByRange(4, "vec_id").sortWithinPartitions("vec_id")
+     .write.option("parquet.block.size", 128 * 1024).parquet(path))
+    d = spark.read.parquet(path)
+    ip = str(tmp_path / "clustivf")
+    save_ivf(build_ivf(d, vec_col="embedding", id_col="vec_id",
+                       n_clusters=8, seed=7), ip)
+    d.createOrReplaceTempView("clust_emb")
+    rt.register_path(spark, path, "embedding", "clustered", ip, "vec_id")
+    qv = [1.0] + [0.0] * 7
+    q = ("SELECT vec_id FROM clust_emb ORDER BY "
+         f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+    want = sorted(r.vec_id for r in spark.sql(q).collect())
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.ann.nprobe", "2")
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "1")
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "256")
+    try:
+        df = spark.sql(q)
+        plan = _plan(df)
+        assert "LeftSemi" in plan
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(vec_id" in phys, phys[:3000]
+        assert sorted(r.vec_id for r in df.collect()) == want
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for key in ("spark.sql.deeplake.routing.ann.nprobe",
+                    "spark.sql.deeplake.routing.ann.accuracyFactor",
+                    "spark.sql.deeplake.routing.rangeGranule"):
+            spark.conf.unset(key)
+        spark.catalog.dropTempView("clust_emb")
+
+
 def test_sql_id_column_routes_when_range_prune_off(spark, sf_dir, tmp_path):
     """With rangePrune=false — the documented kill switch for layouts
     that are NOT id-sorted, where parquet min/max can't serve id
