@@ -168,8 +168,25 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
     if granule <= 0 or max_ranges <= 0:
         return None
     try:
-        key = (id(spark), ids.semanticHash(), granule, max_ranges)
-    except Exception:  # pragma: no cover - semanticHash unavailable
+        # content key: a cache hit serving ANOTHER probe's ranges would
+        # EXCLUDE true candidate rows from the corpus scan — wrong
+        # results, not just a bad plan. No single ingredient suffices:
+        # semanticHash alone is 32-bit (collidable across query
+        # vectors); the canonicalized plan string normalizes expr ids
+        # (so re-translations still hit the memo) but PRINTS relations
+        # without their file paths (identical-shape probes over
+        # different datasets would collide); inputFiles pins the scanned
+        # files but not in-memory data. md5(canon + files) +
+        # semanticHash together cover all three.
+        import hashlib
+
+        canon = (ids._jdf.queryExecution().optimizedPlan()
+                 .canonicalized().toString())
+        files = ",".join(sorted(ids.inputFiles()))
+        key = (id(spark),
+               hashlib.md5(f"{canon}||{files}".encode()).hexdigest(),
+               ids.semanticHash(), granule, max_ranges)
+    except Exception:  # pragma: no cover - plan string unavailable
         key = None
     if key is not None and key in _RANGE_CACHE:
         hit = _RANGE_CACHE[key]
@@ -198,6 +215,33 @@ def ranges_predicate(id_col: str, ranges: list[tuple[int, int]]) -> Column:
     return F.expr(body)
 
 
+def prune_scan_to_ids(df: DataFrame, ids: DataFrame, id_col: str,
+                      n_rows_est: int | None = None,
+                      prune: bool = True,
+                      ids_col: str | None = None,
+                      ranges_out: dict | None = None) -> DataFrame:
+    """`df` with the probe's row-id ranges pushed as a scan filter —
+    THE shared prune block for every routed lane (filter semijoins,
+    ANN rerank scans, top-k fetch-back joins), so the dtype gate,
+    conf/scatter/coverage gates (routed_scan_ranges) and predicate
+    spelling live in exactly one place. The caller's join on top keeps
+    results exact: ranges are always a superset of the probe ids.
+    `ids_col` names the id column in `ids` (default: its first
+    column); `ranges_out`, when given, receives the computed ranges
+    under "ranges" so a later stage can reuse them without re-running
+    the summary job (the fetch-back join reuses the rerank's)."""
+    if prune and dict(df.dtypes).get(id_col) in ("bigint", "int"):
+        c = ids_col or ids.columns[0]
+        probe = ids.select(F.col(c).alias("row_id")) \
+            if c != "row_id" or len(ids.columns) > 1 else ids
+        ranges = routed_scan_ranges(probe, n_rows_est)
+        if ranges:
+            if ranges_out is not None:
+                ranges_out["ranges"] = ranges
+            df = df.filter(ranges_predicate(id_col, ranges))
+    return df
+
+
 def routed_semijoin(df: DataFrame, ids: DataFrame, id_col: str,
                     n_rows_est: int | None = None,
                     prune: bool = True) -> DataFrame:
@@ -206,10 +250,8 @@ def routed_semijoin(df: DataFrame, ids: DataFrame, id_col: str,
     stats skip row groups outside them (the reference's chunk-granular
     index read). `prune=False` (freshly-built index whose probe lineage
     is a full corpus tokenize) keeps the plain semijoin."""
-    if prune and dict(df.dtypes).get(id_col) in ("bigint", "int"):
-        ranges = routed_scan_ranges(ids, n_rows_est)
-        if ranges:
-            df = df.filter(ranges_predicate(id_col, ranges))
+    df = prune_scan_to_ids(df, ids, id_col, n_rows_est, prune,
+                           ids_col="row_id")
     return df.join(ids.withColumnRenamed("row_id", id_col), id_col,
                    "left_semi")
 

@@ -238,6 +238,7 @@ def append_ivf_delta(index: IVFIndex, new_df: DataFrame, path: str) -> None:
     assigned.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(path, "assignments")
     )
+    _bump_meta_n(new_df.sparkSession, path, "assignments", "centroids.json")
 
 
 def topk_l2(df: DataFrame, vec_col: str, query_vec, k: int = 10,
@@ -485,6 +486,7 @@ def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
     new_df.select(id_col, sign_bits(F.col(vec_col)).alias("bits")).write.mode(
         "append"
     ).parquet(os.path.join(path, "bits"))
+    _bump_meta_n(new_df.sparkSession, path, "bits", "meta.json")
 
 
 def load_quantized(spark, path: str, source: DataFrame) -> QuantizedIndex:
@@ -501,36 +503,51 @@ def load_quantized(spark, path: str, source: DataFrame) -> QuantizedIndex:
     )
 
 
-def _rerank_scan(index, cand: DataFrame, prune: bool = True) -> DataFrame:
+def _bump_meta_n(spark, path: str, sub: str, meta_name: str) -> None:
+    """Refresh the persisted corpus size after a delta append — a stale
+    undercount makes the range-coverage gate decline pruning on exactly
+    the append-maintained indexes it targets (perf-only but silent).
+    Counted from the just-written files (parquet-metadata-cheap);
+    advisory — never fail an append over its stats."""
+    from deeplake_spark.storage import get_json, put_json
+
+    try:
+        meta = get_json(os.path.join(path, meta_name))
+        meta["n"] = int(spark.read.parquet(os.path.join(path, sub)).count())
+        put_json(os.path.join(path, meta_name), meta)
+    except Exception:
+        pass
+
+
+def _rerank_scan(index, cand: DataFrame, prune: bool = True,
+                 ranges_out: dict | None = None) -> DataFrame:
     """The rerank stage's corpus relation, row-group-pruned to the
     candidates' id ranges when that's sound and cheap: the candidate
     set is k*accuracy_factor ids from the NARROW side table, so
     summarizing it at plan time is one bounded job, and the pushed
     ranges let parquet min/max skip the corpus row groups the rerank
     will never read — the reference's bitmap→chunk-read applied to its
-    rerank (index_holder.hpp:37-40). LOADED indexes only (a fresh
-    build's candidate lineage re-derives the corpus — summarizing it
-    would double that work); the semijoin on top keeps the rerank
-    exact either way."""
-    from deeplake_spark.operators.indexes import (
-        ranges_predicate,
-        routed_scan_ranges,
-    )
+    rerank (index_holder.hpp:37-40). LOADED indexes with a persisted
+    corpus size only (a fresh build's candidate lineage re-derives the
+    corpus, and without n the coverage gate can't tell there's nothing
+    to skip — same rule as the JVM lane); the semijoin on top keeps
+    the rerank exact either way. `ranges_out` surfaces the computed
+    ranges so the TQL fetch-back can reuse them (hits ⊆ candidates,
+    so they're a sound superset) without re-running the search."""
+    from deeplake_spark.operators.indexes import prune_scan_to_ids
 
-    src = index.source
-    if (prune and index.loaded and src is not None
-            and dict(src.dtypes).get(index.id_col) in ("bigint", "int")):
-        ranges = routed_scan_ranges(
-            cand.select(F.col(index.id_col).alias("row_id")),
-            index.n_rows_est)
-        if ranges:
-            src = src.filter(ranges_predicate(index.id_col, ranges))
-    return src
+    if index.source is None:
+        return index.source
+    return prune_scan_to_ids(
+        index.source, cand, index.id_col, index.n_rows_est,
+        prune=prune and index.loaded and index.n_rows_est is not None,
+        ids_col=index.id_col, ranges_out=ranges_out)
 
 
 def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
                            config: SearchConfig | None = None,
-                           candidates: DataFrame | None = None) -> DataFrame:
+                           candidates: DataFrame | None = None,
+                           ranges_out: dict | None = None) -> DataFrame:
     """Probe the STORED sign bits: Hamming prefilter to
     k*accuracy_factor over the narrow bits table (integer ops, no
     corpus re-quantize), exact cosine rerank on the candidates only."""
@@ -548,7 +565,8 @@ def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
         .limit(k * config.accuracy_factor)
         .select(index.id_col)
     )
-    rerank = _rerank_scan(index, cand, prune=candidates is None).join(
+    rerank = _rerank_scan(index, cand, prune=candidates is None,
+                          ranges_out=ranges_out).join(
         F.broadcast(cand), index.id_col, "left_semi")
     return topk_cosine(rerank, index.vec_col, query_vec, k=k, id_col=index.id_col)
 
@@ -759,13 +777,15 @@ def append_pq_delta(index: PQIndex, new_df: DataFrame, path: str) -> None:
     if index.centroids is not None:
         w = w.partitionBy("cluster")
     w.parquet(os.path.join(path, "codes"))
+    _bump_meta_n(new_df.sparkSession, path, "codes", "codebooks.json")
 
 
 def pq_search(index: PQIndex, query_vec, k: int = 10,
               config: SearchConfig | None = None,
               candidates: DataFrame | None = None,
               metric: str = "cosine",
-              candidate_selectivity: float | None = None) -> DataFrame:
+              candidate_selectivity: float | None = None,
+              ranges_out: dict | None = None) -> DataFrame:
     """Asymmetric-distance probe: the query builds an m x 2^nbits dot
     lookup table driver-side (index metadata arithmetic, like the IVF
     centroid ranking); the scan scores each row as
@@ -829,7 +849,8 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
     )
     if index.source is None:
         return cand
-    rerank = _rerank_scan(index, cand, prune=candidates is None).join(
+    rerank = _rerank_scan(index, cand, prune=candidates is None,
+                          ranges_out=ranges_out).join(
         F.broadcast(cand), index.id_col, "left_semi")
     if metric == "l2":
         return topk_l2(rerank, index.vec_col, query_vec, k=k,
@@ -1006,6 +1027,7 @@ def append_pooled_delta(new_df: DataFrame, matrix_col: str, id_col: str,
     prior pooled files untouched."""
     delta = build_pooled_maxsim(new_df, matrix_col=matrix_col, id_col=id_col)
     delta.pooled.write.mode("append").parquet(os.path.join(path, "pooled"))
+    _bump_meta_n(new_df.sparkSession, path, "pooled", "meta.json")
 
 
 def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex:
@@ -1026,7 +1048,8 @@ def load_pooled_maxsim(spark, path: str, source: DataFrame) -> PooledMaxsimIndex
 
 def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
                   config: SearchConfig | None = None,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  ranges_out: dict | None = None) -> DataFrame:
     """Two-stage MAXSIM: pooled-cosine prefilter to k*accuracy_factor,
     exact late-interaction rerank (pandas UDF) on candidates only.
 
@@ -1049,7 +1072,8 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     )
     maxsim = maxsim_pandas_const(qm)
     return (
-        _rerank_scan(index, cands, prune=candidates is None)
+        _rerank_scan(index, cands, prune=candidates is None,
+                     ranges_out=ranges_out)
         .join(cands, index.id_col, "left_semi")
         .select(
             index.id_col,

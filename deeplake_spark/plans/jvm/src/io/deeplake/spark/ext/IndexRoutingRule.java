@@ -1268,10 +1268,11 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 }
             }
         }
-        Dataset<Row> probe = ivfProbe(en, m.vec, filterSel);
-        if (probe == null) {
+        Probe pr = ivfProbe(en, m.vec, filterSel);
+        if (pr == null) {
             return null;
         }
+        Dataset<Row> probe = pr.ds;
         LogicalPlan probePlan = probe.queryExecution().optimizedPlan();
         Attribute probeAttr = findAttr(probePlan.output(), "row_id");
         if (probeAttr == null) {
@@ -1292,8 +1293,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             if (nEst > 0 && idAttr.dataType()
                     instanceof org.apache.spark.sql.types.IntegralType) {
                 List<long[]> rs = cachedRanges(probe,
-                        "ann|" + en.indexPath + "|"
-                                + probePlan.semanticHash(),
+                        "ann|" + en.indexPath + "|" + pr.cells,
                         nEst);
                 if (rs != null && !rs.isEmpty()) {
                     Expression p = rangesPred(idAttr, rs);
@@ -1379,7 +1379,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         return -1;
     }
 
-    private Dataset<Row> ivfProbe(IndexRegistry.Entry en, double[] q,
+    private Probe ivfProbe(IndexRegistry.Entry en, double[] q,
                                   double filterSel) {
         try {
             boolean pq = "pq".equals(en.kind);
@@ -1447,12 +1447,29 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             for (int i = 0; i < eff; i++) {
                 cells[i] = cid[order[i]];
             }
-            return readCached(en.indexPath + dataDir)
+            Arrays.sort(cells, (x, y) ->
+                    Integer.compare((Integer) x, (Integer) y));
+            Probe out = new Probe();
+            out.ds = readCached(en.indexPath + dataDir)
                     .filter(functions.col("cluster").isin(cells))
                     .select(functions.col(assignIdCol).alias("row_id"));
+            // exact content key for the range memo: the sorted cell set
+            // fully determines the probe's id set (with the index dir
+            // signature cachedRanges adds) — a 32-bit plan-hash key
+            // could collide across query vectors and serve one probe's
+            // ranges to another, excluding true candidates (wrong rows)
+            out.cells = Arrays.toString(cells);
+            return out;
         } catch (Exception e) {
             return null;                // unreadable sidecar: stay stock
         }
+    }
+
+    /** A cluster-pruned candidate probe + the exact cell set it reads
+     *  (the content key for the range memo). */
+    private static final class Probe {
+        Dataset<Row> ds;
+        String cells;
     }
 
     private static final class ScoreMatch {

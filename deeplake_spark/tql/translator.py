@@ -665,12 +665,20 @@ class Translator:
             if self._filtered_widening_capped(idx, cand_sel):
                 return None  # stock exact beats an over-widened probe
         fetch = sel.limit.n + (sel.limit.offset or 0)
-        search = ivf_search if kind == "clustered" else pq_search
-        hits = search(idx, qvec, k=fetch, config=self.search_config,
-                      candidates=candidates, metric="l2",
-                      candidate_selectivity=cand_sel).select(
-            F.col(idx.id_col).alias(id_col))
-        return df.join(F.broadcast(hits), id_col, "left_semi")
+        ro: dict = {}
+        if kind == "clustered":
+            hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
+                              candidates=candidates, metric="l2",
+                              candidate_selectivity=cand_sel)
+        else:
+            hits = pq_search(idx, qvec, k=fetch, config=self.search_config,
+                             candidates=candidates, metric="l2",
+                             candidate_selectivity=cand_sel, ranges_out=ro)
+        hits = hits.select(F.col(idx.id_col).alias(id_col))
+        return self._hits_fetchback(df, hits, id_col, idx,
+                                    prune=candidates is None,
+                                    how="left_semi",
+                                    ranges=ro.get("ranges"))
 
     def _matrix_literal(self, node: ast.Node) -> list[list[float]] | None:
         """Resolve a query-matrix expression (nested ARRAY literal or a
@@ -779,12 +787,14 @@ class Translator:
             qvec = self._vec_literal(q_arg)
             if qvec is None:
                 return None
+            ro: dict = {}
             if kind == "clustered_quantized":
                 hits = quantized_index_search(
                     idx, qvec, k=fetch, config=self.search_config,
                     candidates=candidates.withColumnRenamed(
                         candidates.columns[0], idx.id_col)
                     if candidates is not None else None,
+                    ranges_out=ro,
                 ).select(F.col(idx.id_col).alias(id_col))
             elif kind == "pq":
                 from deeplake_spark.operators.similarity import pq_search
@@ -792,6 +802,7 @@ class Translator:
                 hits = pq_search(
                     idx, qvec, k=fetch, config=self.search_config,
                     candidates=candidates, candidate_selectivity=cand_sel,
+                    ranges_out=ro,
                 ).select(F.col(idx.id_col).alias(id_col))
             else:
                 hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
@@ -801,8 +812,10 @@ class Translator:
             # on ≤k rows by the normal path
             return self._hits_fetchback(df, hits, id_col, idx,
                                         prune=candidates is None,
-                                        how="left_semi")
+                                        how="left_semi",
+                                        ranges=ro.get("ranges"))
 
+        ro = {}
         if fname == "BM25_SIMILARITY":
             from deeplake_spark.operators.indexes import bm25_via_index
 
@@ -825,42 +838,51 @@ class Translator:
             if qm is None:
                 return None
             hits = maxsim_search(idx, qm, k=fetch, config=self.search_config,
-                                 candidates=candidates).select(
+                                 candidates=candidates,
+                                 ranges_out=ro).select(
                 F.col(idx.id_col).alias(id_col),
                 F.col("maxsim_score").alias("__tql_score"),
             )
         self._routed_score = e  # _call resolves this exact call shape
         # inner join: ≤k hit rows (broadcastable) carry the index score
         return self._hits_fetchback(df, hits, id_col, idx,
-                                    prune=candidates is None, how="inner")
+                                    prune=candidates is None, how="inner",
+                                    ranges=ro.get("ranges"))
 
     def _hits_fetchback(self, df: DataFrame, hits: DataFrame, id_col: str,
-                        idx, prune: bool, how: str) -> DataFrame:
+                        idx, prune: bool, how: str,
+                        ranges: list | None = None) -> DataFrame:
         """Fetch the winners' full rows with the corpus scan row-group-
         pruned to their id ranges: the search's output is ≤k ids, so
         the pushed ranges let parquet min/max skip essentially the
         whole corpus — the reference never full-scans to materialize
         results either (bitmap→chunk reads, index_holder.hpp:37-40).
-        LOADED indexes only: computing the ranges executes the search
-        once at plan time (memoized by probe lineage — warm re-plans
-        are free), which is a bounded side-table job for a persisted
-        index but a corpus re-derivation for a fresh build. Skipped
-        when a WHERE prefilter exists (its candidate lineage scans the
+        When the search already summarized its rerank candidates
+        (`ranges` from its ranges_out — hits ⊆ candidates, so they're
+        a sound superset), reuse them for FREE; otherwise summarize
+        `hits`, which for a LOADED index with a persisted corpus size
+        executes the search once at plan time (memoized by probe
+        lineage — warm re-plans are free; a bounded side-table job for
+        ivf/bm25 whose hits never scan the corpus). Skipped for fresh
+        builds, missing n (no sound coverage gate — JVM-lane rule),
+        and WHERE prefilters (their candidate lineage scans the
         corpus — summarizing it would cost what it saves). The join on
         top keeps the result exact either way."""
         from deeplake_spark.operators.indexes import (
+            prune_scan_to_ids,
             ranges_predicate,
-            routed_scan_ranges,
         )
 
-        if (prune and getattr(idx, "loaded", False)
-                and dict(df.dtypes).get(id_col) in ("bigint", "int")):
-            ranges = routed_scan_ranges(
-                hits.select(F.col(id_col).alias("row_id")),
-                getattr(idx, "n_rows_est", None)
-                or getattr(idx, "n_docs_est", None))
-            if ranges:
-                df = df.filter(ranges_predicate(id_col, ranges))
+        if ranges and dict(df.dtypes).get(id_col) in ("bigint", "int"):
+            df = df.filter(ranges_predicate(id_col, ranges))
+        elif ranges is None:
+            n_est = (getattr(idx, "n_rows_est", None)
+                     or getattr(idx, "n_docs_est", None))
+            df = prune_scan_to_ids(
+                df, hits, id_col, n_est,
+                prune=(prune and getattr(idx, "loaded", False)
+                       and n_est is not None),
+                ids_col=id_col)
         return df.join(F.broadcast(hits), id_col, how)
 
     def _param_str(self, node: ast.Node) -> str | None:

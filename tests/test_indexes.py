@@ -1786,8 +1786,40 @@ def test_ann_rerank_and_fetchback_push_probe_ranges(spark, tmp_path,
         out2 = tql.query(tql_q, default=d, params=[q],
                          indexes={"embedding": ("pq", fresh, "vec_id")})
         assert {r.vec_id for r in out2.collect()} == exact
+        monkeypatch.undo()
+
+        # the L2 spelling prunes identically (review follow-up: the
+        # lane initially missed the fetch-back conversion)
+        out3 = tql.query(
+            "SELECT vec_id, L2_NORM(embedding - ?) AS dist "
+            "ORDER BY dist ASC LIMIT 10",
+            default=d, params=[q],
+            indexes={"embedding": ("pq", idx, "vec_id")})
+        phys3 = out3._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(vec_id" in phys3, phys3[:3000]
+        assert {r.vec_id for r in out3.collect()} == exact
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_range_cache_distinguishes_same_shape_probes(spark, tmp_path):
+    """Two probes with IDENTICAL plan shape over DIFFERENT datasets
+    must not share a range-memo entry — a collision serves one probe's
+    ranges to the other, and the pushed filter then excludes true
+    candidate rows (wrong results, caught live: canonicalized plan
+    strings print relations WITHOUT their paths, so the memo key must
+    also pin the scanned files)."""
+    from deeplake_spark.operators.indexes import routed_scan_ranges
+
+    for tag, lo in (("a", 0), ("b", 5_000)):
+        (spark.range(lo, lo + 100).withColumnRenamed("id", "row_id")
+         .coalesce(1).write.parquet(str(tmp_path / f"ids_{tag}.parquet")))
+    ra = routed_scan_ranges(
+        spark.read.parquet(str(tmp_path / "ids_a.parquet")), None)
+    rb = routed_scan_ranges(
+        spark.read.parquet(str(tmp_path / "ids_b.parquet")), None)
+    assert ra == [(0, 99)]
+    assert rb == [(5_000, 5_099)]
 
 
 def test_range_prune_conf_polarity(spark):
