@@ -864,6 +864,9 @@ def test_ivf_and_pooled_delta_append(spark, sf_dir, tmp_path):
     idx2 = load_ivf(spark, idx_path)
     got = idx2.assignments.filter(F.col("vec_id") == 10_000_000).head()
     assert got["cluster"] == 2
+    # the persisted corpus size follows the append — a stale undercount
+    # would make the range-coverage gate decline pruning as it grows
+    assert idx2.loaded and idx2.n_rows_est == e.count() + 1
     # the probe path surfaces the new row for a query at that centroid
     from deeplake_spark.operators.similarity import SearchConfig, ivf_search
 
@@ -897,6 +900,7 @@ def test_ivf_and_pooled_delta_append(spark, sf_dir, tmp_path):
     assert len(pafter) > len(pbefore)
     loaded = load_pooled_maxsim(spark, pp, source=docs.unionByName(new_doc))
     assert loaded.pooled.filter(F.col("doc_id") == 77_777).count() == 1
+    assert loaded.n_rows_est == docs.count() + 1
 
 
 def test_quantized_index_roundtrip_and_tql_route(spark, sf_dir, tmp_path):
