@@ -1261,6 +1261,35 @@ def test_sql_ann_route_pushes_probe_ranges_for_clustered_cells(
             spark.conf.unset(key)
         spark.catalog.dropTempView("clust_emb")
 
+    # the pq (IVFADC) kind prunes through its codes table identically —
+    # this exercises annN's codebooks.json sidecar branch, which the
+    # clustered lane (centroids.json) can't
+    from deeplake_spark.operators.similarity import build_pq, save_pq
+
+    pp = str(tmp_path / "clustpq")
+    save_pq(build_pq(d, "embedding", "vec_id", m=4, nbits=4,
+                     n_clusters=8, seed=7), pp)
+    d.createOrReplaceTempView("clust_emb_pq")
+    rt.register_path(spark, path, "embedding", "pq", pp, "vec_id")
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.ann.nprobe", "2")
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "1")
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "256")
+    try:
+        df2 = spark.sql("SELECT vec_id FROM clust_emb_pq ORDER BY "
+                        f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+        phys2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(vec_id" in phys2, phys2[:3000]
+        assert sorted(r.vec_id for r in df2.collect()) == want
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for key in ("spark.sql.deeplake.routing.ann.nprobe",
+                    "spark.sql.deeplake.routing.ann.accuracyFactor",
+                    "spark.sql.deeplake.routing.rangeGranule"):
+            spark.conf.unset(key)
+        spark.catalog.dropTempView("clust_emb_pq")
+
 
 def test_sql_id_column_routes_when_range_prune_off(spark, sf_dir, tmp_path):
     """With rangePrune=false — the documented kill switch for layouts
