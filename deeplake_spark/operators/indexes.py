@@ -51,6 +51,27 @@ _BM25_B = 0.75
 MAX_SELECTIVITY_KEY = "spark.sql.deeplake.routing.maxSelectivity"
 DEFAULT_MAX_SELECTIVITY = 0.1
 
+# Corpus-size cost floor (the second term of the reference's cost
+# model — pg_costestimate compares index cost against the SCAN cost,
+# index_search.cpp:247-420; selectivity alone is only half of it): on
+# a small corpus the stock pushed-down scan finishes before the routed
+# lane's probe + semijoin + one-off plan-time range-summary job even
+# start paying off. Measured (SCALING.md numeric-BETWEEN table, 5k-row
+# x1 corpus): routed 0.111 s vs stock 0.056 s, plus a 0.411 s first-
+# plan job — a 2x steady-state loss; break-even ~x32 (160k rows),
+# clear win at x128 (640k rows, 1.9x). The floor applies ONLY to
+# routes whose stock alternative is a cheap per-row compare the
+# parquet reader evaluates in place (numeric BETWEEN/IN/comparison,
+# exact digest equality): declining those below the floor keeps the
+# measured-loss regime stock. Tokenize-class predicates (CONTAINS) and
+# JSON path probes are EXEMPT — their stock scan pays a per-row
+# tokenize/JSON-parse that grows with corpus CPU, so routed is within
+# noise at x1 and wins 3-7x from x32 up (gate table). Corpus
+# size comes from the same persisted sidecars the selectivity gate
+# reads; unknown (no stats) fails open, like the selectivity gate.
+MIN_CORPUS_ROWS_KEY = "spark.sql.deeplake.routing.minCorpusRows"
+DEFAULT_MIN_CORPUS_ROWS = 200_000
+
 # ------------------------------------------- probe → row-group pruning
 #
 # The reference's index probes return roaring bitmaps that convert to
@@ -142,8 +163,13 @@ def probe_id_ranges(ids: DataFrame, granule: int,
 #: across queries (t09/t13 shapes) and the plan-time job must not
 #: repeat per query. Keyed by (session id, probe plan semanticHash,
 #: granule) — a delta append changes the loaded postings lineage and
-#: with it the hash.
-_RANGE_CACHE: dict = {}
+#: with it the hash. Access-order LRU (matches the JVM twin,
+#: IndexRoutingRule.RANGE_CACHE): crossing the bound evicts the
+#: single least-recently-used entry, not the whole memo — a long
+#: many-index session keeps its hot probes' plan-time work.
+import collections as _collections
+
+_RANGE_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
 _RANGE_CACHE_MAX = 256
 
 
@@ -189,14 +215,15 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
     except Exception:  # pragma: no cover - plan string unavailable
         key = None
     if key is not None and key in _RANGE_CACHE:
+        _RANGE_CACHE.move_to_end(key)
         hit = _RANGE_CACHE[key]
     else:
         chunks = probe_id_ranges(ids, granule)
         hit = (coalesce_id_ranges(chunks, max_ranges)
                if chunks is not None else None)
         if key is not None:
-            if len(_RANGE_CACHE) >= _RANGE_CACHE_MAX:
-                _RANGE_CACHE.clear()
+            while len(_RANGE_CACHE) >= _RANGE_CACHE_MAX:
+                _RANGE_CACHE.popitem(last=False)
             _RANGE_CACHE[key] = hit
     if not hit:
         return None
@@ -271,6 +298,21 @@ def route_max_selectivity(spark) -> float:
                                     str(DEFAULT_MAX_SELECTIVITY)))
     except Exception:
         return DEFAULT_MAX_SELECTIVITY
+
+
+def corpus_floor_ok(spark, n_rows: int | None) -> bool:
+    """Corpus-size cost floor for CHEAP-stock routes (see the
+    MIN_CORPUS_ROWS_KEY comment): True = big enough to route. Unknown
+    size (no stats sidecar) fails open — same convention as the
+    selectivity gate."""
+    if not n_rows:
+        return True
+    try:
+        floor = int(spark.conf.get(MIN_CORPUS_ROWS_KEY,
+                                   str(DEFAULT_MIN_CORPUS_ROWS)))
+    except Exception:
+        floor = DEFAULT_MIN_CORPUS_ROWS
+    return n_rows >= floor
 
 
 def _heavy_map(counts: DataFrame, n: int, old: dict | None) -> dict:

@@ -105,6 +105,26 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             "spark.sql.deeplake.routing.maxSelectivity";
     static final double DEFAULT_MAX_SELECTIVITY = 0.1;
 
+    /** Corpus-size cost floor — the SECOND term of the reference's
+     *  cost model (pg_costestimate weighs index cost against the scan
+     *  cost, cpp/deeplake_pg/index_search.cpp:247-420; selectivity
+     *  alone is only half of it). Below the floor the stock
+     *  pushed-down scan finishes before the routed lane's probe +
+     *  semijoin + one-off plan-time range job pay off (measured:
+     *  SCALING.md numeric-BETWEEN table — a 2x steady-state loss at
+     *  5k rows, break-even ~160k, 1.9x win at 640k). Applies ONLY to
+     *  routes whose stock alternative is a cheap per-row compare the
+     *  parquet reader evaluates in place (numeric BETWEEN/IN/
+     *  comparison, exact digest equality); token-CONTAINS is EXEMPT —
+     *  its stock scan pays a per-row tokenize that grows with corpus
+     *  CPU (routed is within noise at x1 and wins 3-7x from x32, gate
+     *  table). Corpus size comes from the same sidecars the
+     *  selectivity gate reads; unknown fails open. Shared conf name
+     *  with the TQL routes (operators/indexes.py). */
+    public static final String MIN_CORPUS_ROWS_KEY =
+            "spark.sql.deeplake.routing.minCorpusRows";
+    static final long DEFAULT_MIN_CORPUS_ROWS = 200_000L;
+
     /** Probe → row-group pruning (mirrors the reference's roaring
      *  bitmap → chunk-granular reads, cpp/icm/roaring.hpp +
      *  cpp/query_core/index_holder.hpp:37-40): at route time the
@@ -238,6 +258,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         Map<String, Range> ranges = new HashMap<>();
         double maxSel = confDouble(MAX_SELECTIVITY_KEY,
                 DEFAULT_MAX_SELECTIVITY);
+        long minRows = confLong(MIN_CORPUS_ROWS_KEY,
+                DEFAULT_MIN_CORPUS_ROWS);
         boolean rangePrune = "true".equalsIgnoreCase(
                 session.conf().get(RANGE_PRUNE_KEY, "true"));
 
@@ -264,6 +286,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 IndexRegistry.Entry en = byCol.get(eqs[0]);
                 if (en != null && "exact".equals(en.kind)
                         && hasAttr(child, en.idCol)
+                        && corpusFloorOk(exactN(en), minRows)
                         && routable(exactSelectivity(en, eqs[1]),
                                 maxSel)) {
                     probes.add(exactProbe(en, eqs[1]));
@@ -291,6 +314,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 IndexRegistry.Entry en = byCol.get(in.column);
                 if (en != null && "numeric".equals(en.kind)
                         && hasAttr(child, en.idCol)
+                        && corpusFloorOk(numericN(en), minRows)
                         && routable(estInSel(readNumMeta(en.indexPath),
                                 in.values), maxSel)) {
                     probes.add(inProbe(en, in.values));
@@ -334,7 +358,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             // filter and the stock scan evaluates them in place
             double sel = estRangeSel(readNumMeta(r.entry.indexPath),
                     r.lo, r.hi);
-            if (!routable(sel, maxSel)) {
+            if (!routable(sel, maxSel)
+                    || !corpusFloorOk(numericN(r.entry), minRows)) {
                 residual.addAll(r.sources);
                 continue;
             }
@@ -2159,6 +2184,12 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
     /** sel < 0 = no stats (route, the pre-gate behavior). */
     private static boolean routable(double sel, double maxSel) {
         return sel < 0 || sel <= maxSel;
+    }
+
+    /** Corpus-size cost floor for CHEAP-stock routes (see
+     *  MIN_CORPUS_ROWS_KEY): n <= 0 = no stats, fail open. */
+    private static boolean corpusFloorOk(long n, long floor) {
+        return n <= 0 || n >= floor;
     }
 
     private final class Range {

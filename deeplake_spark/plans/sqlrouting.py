@@ -97,6 +97,12 @@ ENABLED_KEY = "spark.sql.deeplake.routing.enabled"
 #: shuffles ~the corpus to avoid a filter Parquet evaluates in place
 #: (the reference's pg_costestimate, index_search.cpp:316-420).
 MAX_SELECTIVITY_KEY = "spark.sql.deeplake.routing.maxSelectivity"
+#: corpus-size cost floor, shared with the TQL routes: cheap-stock
+#: predicates (numeric BETWEEN/IN/comparison, exact equality) decline
+#: the route below this many corpus rows — the stock pushed-down scan
+#: wins there (SCALING.md numeric-BETWEEN table; the scan-cost term of
+#: the reference's pg_costestimate, index_search.cpp:247-420).
+MIN_CORPUS_ROWS_KEY = "spark.sql.deeplake.routing.minCorpusRows"
 
 
 def session_confs() -> dict[str, str]:

@@ -410,10 +410,12 @@ class Translator:
         DataFrame, or None when no index applies."""
         from deeplake_spark.operators.indexes import (
             contains_via_index,
+            corpus_floor_ok,
             routed_semijoin,
         )
 
         entry = self._index_entry
+        spark = df.sparkSession
 
         def semijoin(ids, id_col, n_est=None, prune=True):
             # probe row-id ranges pushed onto the corpus scan first
@@ -454,7 +456,11 @@ class Translator:
             and isinstance(c.args[1].value, str)
         ):
             m = entry(c.args[0].name, "exact")
-            if m and gate_ok(m[0].est_selectivity(c.args[1].value)):
+            # corpus floor: stock string equality is a cheap in-place
+            # parquet compare — below the floor the route's fixed costs
+            # exceed the whole stock scan (MIN_CORPUS_ROWS_KEY comment)
+            if m and corpus_floor_ok(spark, m[0].n_rows_est) \
+                    and gate_ok(m[0].est_selectivity(c.args[1].value)):
                 # digest semijoin prunes; re-check the equality on the
                 # surviving handful of rows so an md5 collision can never
                 # admit a wrong row (exactness is ~free post-semijoin)
@@ -473,7 +479,9 @@ class Translator:
             and isinstance(c.high, ast.Literal)
         ):
             m = entry(c.operand.name, "numeric")
-            if m and gate_ok(
+            # corpus floor: stock BETWEEN is a cheap per-row double
+            # compare — measured 2x routed LOSS at 5k rows (SCALING.md)
+            if m and corpus_floor_ok(spark, m[0].n_rows) and gate_ok(
                     m[0].est_range_selectivity(c.low.value, c.high.value)):
                 return semijoin(m[0].probe_between(c.low.value, c.high.value),
                                 m[1], n_est=m[0].n_rows,
@@ -486,7 +494,7 @@ class Translator:
             and all(isinstance(i, ast.Literal) for i in c.items)
         ):
             m = entry(c.operand.name, "numeric")
-            if m and gate_ok(
+            if m and corpus_floor_ok(spark, m[0].n_rows) and gate_ok(
                     m[0].est_in_selectivity([i.value for i in c.items])):
                 return semijoin(m[0].probe_in([i.value for i in c.items]),
                                 m[1], n_est=m[0].n_rows,

@@ -15,6 +15,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("deeplake-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # tests build kb-row indexes; the corpus-size cost floor (default
+    # 200k rows, tuned for the SCALING.md break-even) would decline
+    # every numeric/exact route at test scale. Disabled session-wide;
+    # the floor's own plan-pair tests set it explicitly and restore.
+    s.conf.set("spark.sql.deeplake.routing.minCorpusRows", "0")
     yield s
 
 

@@ -1897,3 +1897,115 @@ def test_exact_and_json_routes_coverage_gate_uniform_ranges(spark, tmp_path):
                 list(range(0, n, 12)), q
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+
+
+def test_corpus_floor_declines_cheap_routes_on_small_corpus(spark, sf_dir,
+                                                            tmp_path):
+    """Corpus-size cost floor (the scan-cost term of the reference's
+    pg_costestimate, index_search.cpp:247-420): a LOADED numeric/exact
+    index whose sidecar says the corpus is below
+    routing.minCorpusRows declines the rewrite — the stock pushed-down
+    scan measurably wins there (SCALING.md BETWEEN x1) — while at/above
+    the floor the same query routes. CONTAINS is exempt: its stock
+    alternative pays a per-row tokenize that grows with corpus CPU
+    (routed wins 3-7x from x32 up, gate table)."""
+    from deeplake_spark import tql
+    from deeplake_spark.operators.indexes import (
+        MIN_CORPUS_ROWS_KEY,
+        ExactTextIndex,
+        InvertedIndex,
+        NumericIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    np_, ep, ip = (str(tmp_path / d) for d in ("num", "ex", "inv"))
+    build_numeric_index(docs, "n_chars").save(np_)
+    build_exact_index(docs, "lang").save(ep)
+    build_inverted_index(docs).save(ip)
+    nidx = NumericIndex.load(spark, np_)
+    eidx = ExactTextIndex.load(spark, ep)
+    iidx = InvertedIndex.load(spark, ip)
+    assert nidx.n_rows and eidx.n_rows_est  # floors have a size to gate on
+    indexes = {
+        "n_chars": ("numeric", nidx, "doc_id"),
+        "lang": ("exact", eidx, "doc_id"),
+        "text": iidx,  # legacy 2-tuple form is (index, id_col)
+    }
+    indexes["text"] = (iidx, "doc_id")
+    cases = [
+        "SELECT doc_id WHERE n_chars BETWEEN 100 AND 200",
+        "SELECT doc_id WHERE n_chars IN (128, 200, 305)",
+        "SELECT doc_id WHERE EQUALS(lang, 'en')",
+    ]
+
+    def is_routed(q) -> bool:
+        df = tql.query(q, spark=spark, default=docs, indexes=indexes)
+        return "Join" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    try:
+        # ungate selectivity (the fixture vocabulary is dense): this
+        # test pins the FLOOR, the selectivity gate has its own tests
+        spark.conf.set("spark.sql.deeplake.routing.maxSelectivity", "1.0")
+        # below the floor: every cheap-stock lane stays stock …
+        spark.conf.set(MIN_CORPUS_ROWS_KEY, str(int(nidx.n_rows) + 1))
+        assert not any(is_routed(q) for q in cases)
+        # … but tokenize-class CONTAINS still routes (floor-exempt)
+        assert is_routed("SELECT doc_id WHERE CONTAINS(text, 'spark')")
+        # rows are identical either side of the floor
+        floored = {q: sorted(
+            r.doc_id
+            for r in tql.query(q, spark=spark, default=docs, indexes=indexes).collect())
+            for q in cases}
+        # at the floor: all route again
+        spark.conf.set(MIN_CORPUS_ROWS_KEY, str(int(nidx.n_rows)))
+        for q in cases:
+            assert is_routed(q), q
+            got = sorted(
+                r.doc_id
+                for r in tql.query(q, spark=spark, default=docs,
+                                   indexes=indexes).collect())
+            assert got == floored[q], q
+            assert got, f"no signal: {q}"
+    finally:
+        # the test session runs floor-less (conftest) — restore that
+        spark.conf.set(MIN_CORPUS_ROWS_KEY, "0")
+        spark.conf.unset("spark.sql.deeplake.routing.maxSelectivity")
+
+
+def test_range_cache_lru_evicts_one_not_all(spark, monkeypatch):
+    """The Python range memo is an access-order LRU like its JVM twin
+    (IndexRoutingRule.RANGE_CACHE): crossing the bound evicts ONE
+    least-recently-used entry — a hot probe re-planned across a long
+    many-index session never re-pays its plan-time summary job. (The
+    round-9 version cleared the whole memo at the bound.)"""
+    import deeplake_spark.operators.indexes as ix
+
+    calls = {"n": 0}
+    real = ix.probe_id_ranges
+
+    def counting(ids, granule, max_chunks=4096):
+        calls["n"] += 1
+        return real(ids, granule, max_chunks)
+
+    monkeypatch.setattr(ix, "probe_id_ranges", counting)
+    monkeypatch.setattr(ix, "_RANGE_CACHE_MAX", 3)
+    ix._RANGE_CACHE.clear()
+
+    def probe(n):
+        return spark.range(n).withColumnRenamed("id", "row_id")
+
+    a, b, c, d = (probe(n) for n in (11, 22, 33, 44))
+    for p in (a, b, c):
+        assert ix.routed_scan_ranges(p, None)
+    assert calls["n"] == 3
+    # touch a: it becomes MRU, so b is now the LRU
+    assert ix.routed_scan_ranges(a, None)
+    assert calls["n"] == 3, "memo hit must not re-run the job"
+    # insert d: evicts exactly b
+    assert ix.routed_scan_ranges(d, None)
+    assert calls["n"] == 4
+    assert ix.routed_scan_ranges(a, None) and ix.routed_scan_ranges(c, None)
+    assert calls["n"] == 4, "a and c must have survived the eviction"
+    assert ix.routed_scan_ranges(b, None)
+    assert calls["n"] == 5, "b was the LRU and must have been evicted"
+    ix._RANGE_CACHE.clear()

@@ -1321,3 +1321,38 @@ def test_sql_id_column_routes_when_range_prune_off(spark, sf_dir, tmp_path):
         rt.disable(spark)
         rt.clear(spark)
         spark.catalog.dropTempView("idcol_docs2")
+
+
+def test_sql_corpus_floor_declines_cheap_routes(spark, routed_ds):
+    """Corpus-size cost floor in the Catalyst rule (the scan-cost term
+    of the reference's pg_costestimate, index_search.cpp:247-420):
+    below routing.minCorpusRows the numeric BETWEEN/equality rewrites
+    decline — the stock pushed-down compare wins on small corpora
+    (SCALING.md BETWEEN x1: routed loses 2x) — while token-CONTAINS is
+    exempt (its stock scan pays a per-row tokenize; routed wins 3-7x
+    from x32 up). Under the DEFAULT floor (200k rows) this
+    500-row fixture also stays stock, pinning the default's polarity."""
+    rt.register_dataset(routed_ds)
+    rt.enable(spark)
+    between = ("SELECT doc_id FROM routed_docs "
+               "WHERE n_chars BETWEEN 100 AND 200")
+    equality = "SELECT doc_id FROM routed_docs WHERE n_chars = 150"
+    contains = CONTAINS_SQL.format(v="routed_docs")
+    try:
+        spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "1000000")
+        assert "LeftSemi" not in _plan(spark.sql(between))
+        assert "LeftSemi" not in _plan(spark.sql(equality))
+        assert "LeftSemi" in _plan(spark.sql(contains))   # floor-exempt
+        stock = sorted(r.doc_id for r in spark.sql(between).collect())
+
+        spark.conf.unset(rt.MIN_CORPUS_ROWS_KEY)          # default 200k
+        assert "LeftSemi" not in _plan(spark.sql(between))
+
+        spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "1")
+        routed = spark.sql(between)
+        assert "LeftSemi" in _plan(routed)
+        assert sorted(r.doc_id for r in routed.collect()) == stock
+        assert stock, "fixture carries no signal"
+    finally:
+        # the test session runs floor-less (conftest) — restore that
+        spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "0")
