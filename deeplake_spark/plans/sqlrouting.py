@@ -272,20 +272,154 @@ def bm25_cte_sql(view: str, terms, n: int,
     )"""
 
 
+def _term_probe_ranges(spark: SparkSession, view: str, terms):
+    """Coalesced [lo, hi] row-id ranges of the ``{view}__postings``
+    term probe, or None (missing views / non-integral ids / probe too
+    scattered / pruning conf off). One bounded, memoized job over the
+    bucket-pruned postings — the same plan-time protocol as the
+    routed-filter lanes (operators/indexes.py routed_scan_ranges)."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.indexes import routed_scan_ranges
+
+    try:
+        p = spark.table(f"{view}__postings")
+    except Exception:
+        return None
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    if "bucket" in p.columns:
+        pred = None
+        for t in uniq:
+            c = F.col("bucket") == (F.abs(F.hash(F.lit(t))) % 64)
+            pred = c if pred is None else (pred | c)
+        p = p.filter(pred)
+    probe = p.filter(F.col("term").isin(uniq)).select("row_id")
+    if dict(probe.dtypes).get("row_id") not in ("bigint", "int"):
+        return None
+    return routed_scan_ranges(probe, None)
+
+
+def _coverage_gated(spark: SparkSession, ranges, view: str):
+    """Drop ranges that span ~the corpus (nothing for parquet stats to
+    skip; the per-row OR would be pure overhead) — same conf'd gate as
+    the routed lanes. Corpus size from the ``{view}__stats`` sidecar
+    view; unknown size keeps the ranges (scatter already bounded)."""
+    from deeplake_spark.operators.indexes import (
+        DEFAULT_MAX_RANGE_COVERAGE,
+        MAX_RANGE_COVERAGE_KEY,
+    )
+
+    if not ranges:
+        return None
+    try:
+        n = int(spark.table(f"{view}__stats").head()["n_docs"])
+        cov = float(spark.conf.get(MAX_RANGE_COVERAGE_KEY,
+                                   str(DEFAULT_MAX_RANGE_COVERAGE)))
+    except Exception:
+        return ranges
+    if n > 0 and sum(hi - lo + 1 for lo, hi in ranges) >= cov * n:
+        return None
+    return ranges
+
+
+def _fetchback_clause(view: str, fetch_cols, id_col: str,
+                      ranges) -> tuple[str, str]:
+    """(projection list, corpus-side subquery) for a winners→corpus
+    fetch-back join. With `ranges`, the subquery carries a LITERAL
+    BETWEEN-OR id prefilter that parquet row-group min/max stats
+    evaluate at the scan (the reference's bitmap→chunk reads,
+    index_holder.hpp:37-40) — the join on top keeps rows exact, the
+    ranges are pure I/O pruning."""
+    cols = ", ".join(f"__c.`{c}` AS `{c}`" for c in fetch_cols)
+    where = ""
+    if ranges:
+        ors = " OR ".join(f"(`{id_col}` BETWEEN {int(lo)} AND {int(hi)})"
+                          for lo, hi in ranges)
+        where = f" WHERE {ors}"
+    return cols, f"(SELECT * FROM {view}{where}) __c"
+
+
 def bm25_topk_sql(view: str, terms, k: int = 10,
-                  k1: float = 1.2, b: float = 0.75) -> str:
+                  k1: float = 1.2, b: float = 0.75, *,
+                  fetch_cols=None, id_col: str = "doc_id",
+                  spark: SparkSession | None = None) -> str:
     """Complete statement: index-backed BM25 top-k for plain
-    ``spark.sql`` users — `(doc_id, score)`, the t13/t08 shape."""
-    return (f"WITH {bm25_cte_sql(view, terms, k, k1, b)} "
-            "SELECT doc_id, bm25 AS score FROM __bl "
-            f"ORDER BY score DESC, doc_id LIMIT {int(k)}")
+    ``spark.sql`` users — `(doc_id, score)`, the t13/t08 shape.
+
+    `fetch_cols` additionally joins the winners back to ``{view}`` and
+    projects those corpus columns (+ `score`) — the result-
+    materialization step the reference serves with chunk-granular
+    bitmap reads (index_holder.hpp:37-40). With `spark` given, the
+    fetch-back corpus scan is prefiltered to the TERM PROBE's
+    coalesced row-id ranges, computed at statement-build time from the
+    ``{view}__postings`` view (one bounded, memoized job — the same
+    plan-time protocol as the TQL lane's _hits_fetchback): every BM25
+    winner matches ≥1 query term, so winners ⊆ probe ids and the
+    ranges are a sound superset; parquet row-group stats then skip the
+    corpus payload I/O outside them on the id-sorted ingest layout."""
+    head = f"WITH {bm25_cte_sql(view, terms, k, k1, b)}"
+    if not fetch_cols:
+        return (f"{head} SELECT doc_id, bm25 AS score FROM __bl "
+                f"ORDER BY score DESC, doc_id LIMIT {int(k)}")
+    ranges = None
+    if spark is not None:
+        ranges = _coverage_gated(
+            spark, _term_probe_ranges(spark, view, terms), view)
+    cols, corpus = _fetchback_clause(view, fetch_cols, id_col, ranges)
+    return (f"{head} SELECT {cols}, __bl.bm25 AS score "
+            f"FROM __bl JOIN {corpus} ON __c.`{id_col}` = __bl.doc_id "
+            f"ORDER BY score DESC, __bl.doc_id LIMIT {int(k)}")
+
+
+def _hybrid_fetch_ranges(spark: SparkSession, view: str, terms,
+                         cos_sql: str, id_col: str, n: int):
+    """Sound fetch-back ranges for the hybrid statement: fused winners
+    ⊆ (BM25 term-probe ids ∪ vector top-n ids), so push the coalesced
+    UNION of both sides' granule summaries — or None when either side
+    can't be bounded (missing views / non-integral ids / scattered /
+    conf off), since a one-sided prefilter would drop the other lane's
+    winners. The vector side executes its top-n once at build time
+    (memoized by plan content in the routed lanes' range cache)."""
+    from deeplake_spark.operators.indexes import (
+        DEFAULT_MAX_RANGES,
+        MAX_RANGES_KEY,
+        coalesce_id_ranges,
+        routed_scan_ranges,
+    )
+
+    probe_rs = _term_probe_ranges(spark, view, terms)
+    if not probe_rs:
+        return None
+    try:
+        # EXACT mirror of the statement's __vl lane (same rounding and
+        # tiebreak) — a different ordering could admit a different
+        # boundary row at rank n, and that row's id must be in-range
+        hits = spark.sql(
+            f"SELECT `{id_col}` AS row_id, ROUND({cos_sql}, 6) AS cos "
+            f"FROM {view} ORDER BY cos DESC, row_id LIMIT {int(n)}"
+        ).select("row_id")
+        if dict(hits.dtypes).get("row_id") not in ("bigint", "int"):
+            return None
+        vec_rs = routed_scan_ranges(hits, None)
+    except Exception:
+        return None
+    if not vec_rs:
+        return None
+    try:
+        max_ranges = int(spark.conf.get(MAX_RANGES_KEY,
+                                        str(DEFAULT_MAX_RANGES)))
+    except Exception:
+        max_ranges = DEFAULT_MAX_RANGES
+    return _coverage_gated(
+        spark, coalesce_id_ranges(probe_rs + vec_rs, max_ranges), view)
 
 
 def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
                       n: int | None = None, vec_col: str = "embedding",
                       id_col: str = "_row_id", text_weight: float = 0.5,
                       vec_weight: float = 0.5, k1: float = 1.2,
-                      b: float = 0.75) -> str:
+                      b: float = 0.75, fetch_cols=None,
+                      spark: SparkSession | None = None) -> str:
     """Complete statement: vector+BM25 softmax fusion for plain
     ``spark.sql`` users — the reference's hybrid merge
     (cpp/query_core/hybrid_query_merge.hpp:27-149) without the Python
@@ -294,9 +428,35 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     a corpus-wide window), weighted sum over the union, top-k. The
     BM25 side probes the ``{view}__*`` index views; the vector side is
     an exact TakeOrderedAndProject — with a clustered index registered
-    it additionally ANN-routes through the Catalyst rule."""
+    it additionally ANN-routes through the Catalyst rule.
+
+    `fetch_cols` joins the fused winners back to ``{view}`` and
+    projects those corpus columns (+ `fused`). With `spark` given, the
+    fetch-back corpus scan is prefiltered to LITERAL row-id ranges
+    computed at statement-build time: fused winners ⊆ (BM25 term-probe
+    ids ∪ vector top-n ids), so the pushed ranges are the coalesced
+    UNION of the term probe's granule summary and the vector lane's
+    top-n ids — the vector lane runs ONCE at build time (one corpus
+    job, memoized in the routed lanes' range cache, so re-building the
+    same statement is free; the statement itself re-runs that lane at
+    query time anyway). Either side unavailable (no views, scattered
+    probe, pruning conf off) → no prefilter, plain join — the ranges
+    are pure I/O pruning, never a correctness surface."""
     n = int(n if n is not None else k * 5)
     cos = cosine_sql(vec_col, vec)
+    fetch_head = fetch_tail = ""
+    if fetch_cols:
+        ranges = None
+        if spark is not None:
+            ranges = _hybrid_fetch_ranges(spark, view, terms, cos,
+                                          id_col, n)
+        cols, corpus = _fetchback_clause(view, fetch_cols, id_col, ranges)
+        fetch_head = "__f AS ("
+        fetch_tail = f"""
+    )
+    SELECT {cols}, __f.fused AS fused
+    FROM __f JOIN {corpus} ON __c.`{id_col}` = __f.doc_id
+    ORDER BY fused DESC, __f.doc_id LIMIT {int(k)}"""
     return f"""
     WITH {bm25_cte_sql(view, terms, n, k1, b)},
     __vl AS (
@@ -311,11 +471,12 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     __vs AS (SELECT SUM(exp(cos - mc)) AS sc FROM __vl CROSS JOIN __vn),
     __vw AS (SELECT doc_id, exp(cos - mc) / sc AS wc
              FROM __vl CROSS JOIN __vn CROSS JOIN __vs)
+    {"," if fetch_head else ""}{fetch_head}
     SELECT COALESCE(__bw.doc_id, __vw.doc_id) AS doc_id,
            ROUND({float(text_weight)} * COALESCE(wb, 0.0)
                  + {float(vec_weight)} * COALESCE(wc, 0.0), 9) AS fused
     FROM __bw FULL OUTER JOIN __vw ON __bw.doc_id = __vw.doc_id
-    ORDER BY fused DESC, doc_id LIMIT {int(k)}"""
+    ORDER BY fused DESC, doc_id LIMIT {int(k)}{fetch_tail}"""
 
 
 def register_index_views(spark: SparkSession, view: str,

@@ -1356,3 +1356,101 @@ def test_sql_corpus_floor_declines_cheap_routes(spark, routed_ds):
     finally:
         # the test session runs floor-less (conftest) — restore that
         spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "0")
+
+
+def test_sql_fetchback_pushes_probe_ranges(spark, tmp_path):
+    """Jar-independent SQL fetch-back (round 10): `fetch_cols` joins
+    the BM25 / hybrid winners back to the corpus view, and with a
+    session given the corpus scan carries LITERAL row-id ranges
+    computed at statement-build time — BM25 winners ⊆ term-probe ids;
+    hybrid winners ⊆ (term-probe ids ∪ vector top-n ids), so each
+    statement pushes its sound superset (the reference materializes
+    results through chunk-granular bitmap reads too,
+    index_holder.hpp:37-40). Rows must equal the non-fetch statement
+    joined to the corpus, with and without the prefilter."""
+    import math
+
+    from deeplake_spark.operators.indexes import build_inverted_index
+
+    n = 400
+    rows = []
+    for i in range(n):
+        text = f"filler{i % 7} common words here"
+        if 10 <= i < 20:
+            text += " needlezz"
+        # ids 0..49 cluster near the query vector; the rest orthogonal
+        vec = [1.0, 0.01 * i, 0.0] if i < 50 else [0.0, 0.1, 1.0 + i % 3]
+        rows.append((i, text, vec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(corpus_path))
+    corpus = spark.read.parquet(corpus_path)
+    corpus.createOrReplaceTempView("fb_docs")
+    idx_path = str(tmp_path / "fb_idx")
+    build_inverted_index(corpus, "text", "doc_id").save(idx_path)
+    rt.register_index_views(spark, "fb_docs", idx_path)
+    qv = [1.0, 0.25, 0.0]
+    text_of = {r.doc_id: r.text for r in corpus.collect()}
+    try:
+        # --- BM25 fetch-back ---
+        base = [(r.doc_id, r.score) for r in spark.sql(
+            rt.bm25_topk_sql("fb_docs", ["needlezz"], k=5)).collect()]
+        assert base, "fixture carries no signal"
+        want = [(d, text_of[d], s) for d, s in base]
+        fq = rt.bm25_topk_sql("fb_docs", ["needlezz"], k=5,
+                              fetch_cols=["doc_id", "text"],
+                              id_col="doc_id", spark=spark)
+        fdf = spark.sql(fq)
+        assert [(r.doc_id, r.text, r.score) for r in fdf.collect()] == want
+        phys = fdf._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id" in phys, phys[:2000]
+        # without a session: same rows, no prefilter
+        nq = rt.bm25_topk_sql("fb_docs", ["needlezz"], k=5,
+                              fetch_cols=["doc_id", "text"],
+                              id_col="doc_id")
+        ndf = spark.sql(nq)
+        assert [(r.doc_id, r.text, r.score) for r in ndf.collect()] == want
+        assert "GreaterThanOrEqual(doc_id" not in \
+            ndf._jdf.queryExecution().executedPlan().toString()
+
+        # --- hybrid fetch-back ---
+        hbase = [(r.doc_id, round(r.fused, 9)) for r in spark.sql(
+            rt.hybrid_search_sql("fb_docs", ["needlezz"], qv, k=5, n=20,
+                                 vec_col="embedding", id_col="doc_id",
+                                 text_weight=0.1, vec_weight=0.9)
+        ).collect()]
+        assert hbase and not math.isnan(hbase[0][1])
+        hwant = [(d, text_of[d], f) for d, f in hbase]
+        hq = rt.hybrid_search_sql("fb_docs", ["needlezz"], qv, k=5, n=20,
+                                  vec_col="embedding", id_col="doc_id",
+                                  text_weight=0.1, vec_weight=0.9,
+                                  fetch_cols=["doc_id", "text"],
+                                  spark=spark)
+        hdf = spark.sql(hq)
+        assert [(r.doc_id, r.text, round(r.fused, 9))
+                for r in hdf.collect()] == hwant
+        hphys = hdf._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(doc_id" in hphys, hphys[:2000]
+        # a vector-only winner OUTSIDE the bm25 term band [10, 20)
+        # must survive the prefilter (the union bound makes it sound)
+        assert any(not 10 <= d < 20 for d, _, _ in hwant), hwant
+
+        # pruning conf off: no plan-time job, no prefilter, same rows
+        spark.conf.set("spark.sql.deeplake.routing.rangePrune", "false")
+        oq = rt.hybrid_search_sql("fb_docs", ["needlezz"], qv, k=5, n=20,
+                                  vec_col="embedding", id_col="doc_id",
+                                  text_weight=0.1, vec_weight=0.9,
+                                  fetch_cols=["doc_id", "text"],
+                                  spark=spark)
+        odf = spark.sql(oq)
+        assert [(r.doc_id, r.text, round(r.fused, 9))
+                for r in odf.collect()] == hwant
+        assert "GreaterThanOrEqual(doc_id" not in \
+            odf._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangePrune")
+        for v in ("fb_docs", "fb_docs__postings", "fb_docs__doclens",
+                  "fb_docs__stats"):
+            spark.catalog.dropTempView(v)
