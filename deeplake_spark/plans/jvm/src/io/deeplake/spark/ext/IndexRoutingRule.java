@@ -1082,6 +1082,20 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  pruned cells" — not what anyone means by ANN. */
     public static final String ANN_MAXK_KEY =
             "spark.sql.deeplake.routing.ann.maxK";
+    /** CORPUS-RELATIVE k ceiling (round 10), composed with the
+     *  absolute one: the route declines when k exceeds this fraction
+     *  of the index's persisted corpus size. IVF recall@k DECAYS with
+     *  k on a fixed-fraction probe — rank-k true neighbors spread
+     *  across more cells as k grows (measured at 128k vectors, af4:
+     *  0.925@10, 0.858@100, 0.637@1000 — SCALING.md decay note) — so
+     *  a flat 10000 ceiling is not recall-safe on small corpora. At
+     *  the 0.001 default the boundary sits where recall still tracks
+     *  the small-k presets (~0.86 at 128k), and past it the stock
+     *  exact plan runs (recall 1.0 by definition); unknown corpus
+     *  size (no sidecar n) falls back to the absolute ceiling only. */
+    public static final String ANN_MAXK_FRAC_KEY =
+            "spark.sql.deeplake.routing.ann.maxKFrac";
+    static final double DEFAULT_ANN_MAXK_FRAC = 0.001;
     /** Filtered-search recall compensation (default on): when the
      *  routed top-k sits above WHERE filters, candidates = probed
      *  cells ∩ filter, so recall falls with filter selectivity. The
@@ -1261,6 +1275,19 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (en == null
                 || !("clustered".equals(en.kind) || "pq".equals(en.kind))) {
             return null;
+        }
+        // corpus-relative k ceiling (see ANN_MAXK_FRAC_KEY): recall@k
+        // decays with k on a fixed-fraction probe, so "just under a
+        // flat ceiling" is recall-unsafe on small corpora — decline
+        // and let the stock exact plan run
+        long nCorpus = annN(en);
+        if (nCorpus > 0) {
+            double frac = confDouble(ANN_MAXK_FRAC_KEY,
+                    DEFAULT_ANN_MAXK_FRAC);
+            if (frac > 0
+                    && k.longValue() > Math.max(1L, (long) (frac * nCorpus))) {
+                return null;
+            }
         }
         @SuppressWarnings("unchecked")
         scala.collection.immutable.Seq<Attribute> relOut =

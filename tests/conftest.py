@@ -20,6 +20,11 @@ def spark():
     # every numeric/exact route at test scale. Disabled session-wide;
     # the floor's own plan-pair tests set it explicitly and restore.
     s.conf.set("spark.sql.deeplake.routing.minCorpusRows", "0")
+    # likewise the corpus-relative ANN k ceiling (default 0.1% of the
+    # corpus) would decline every k=10 route on the kb-row fixtures;
+    # frac=1.0 keeps ceiling == corpus size (inert for k <= n) while
+    # still exercising the conf path. Its own tests set it explicitly.
+    s.conf.set("spark.sql.deeplake.routing.ann.maxKFrac", "1.0")
     yield s
 
 

@@ -764,12 +764,16 @@ def test_sql_topk_huge_limit_stays_exact(spark, ann_ds):
     cos = rt.cosine_sql("embedding", qv)
     big = f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC LIMIT 50000"
     assert "cluster#" not in _plan(spark.sql(big))
-    # and the same query routes once the ceiling is raised
+    # and the same query routes once the ceiling is raised (frac=0
+    # isolates the absolute ceiling from the corpus-relative one,
+    # which has its own plan-pair test)
     spark.conf.set("spark.sql.deeplake.routing.ann.maxK", "100000")
+    spark.conf.set("spark.sql.deeplake.routing.ann.maxKFrac", "0")
     try:
         assert "cluster#" in _plan(spark.sql(big))
     finally:
         spark.conf.unset("spark.sql.deeplake.routing.ann.maxK")
+        spark.conf.set("spark.sql.deeplake.routing.ann.maxKFrac", "1.0")
 
 
 def test_selectivity_gate_keeps_frequent_predicates_stock(spark,
@@ -1454,3 +1458,41 @@ def test_sql_fetchback_pushes_probe_ranges(spark, tmp_path):
         for v in ("fb_docs", "fb_docs__postings", "fb_docs__doclens",
                   "fb_docs__stats"):
             spark.catalog.dropTempView(v)
+
+
+def test_sql_ann_corpus_relative_k_ceiling(spark, ann_ds):
+    """Corpus-relative ANN k ceiling (round 10): IVF recall@k decays
+    with k on a fixed-fraction probe (measured 0.925@10 → 0.637@1000
+    at 128k vectors, SCALING.md), so besides the absolute ann.maxK the
+    route declines when k exceeds ann.maxKFrac (default 0.001) of the
+    index's persisted corpus size — the stock exact plan (recall 1.0)
+    runs instead. Plan pair on a ~2k-row corpus: k=10 routes at
+    frac=1.0 and at frac=10/n, declines at the default 0.1% (ceiling
+    = 2) and at frac just under 10/n; rows stay exact either way."""
+    ds, qv = ann_ds
+    frac_key = "spark.sql.deeplake.routing.ann.maxKFrac"
+    q = ("SELECT vec_id FROM ann_emb ORDER BY "
+         f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10")
+    rt.register_dataset(ds)
+    n = ds.to_df().count()
+    assert n >= 20, "fixture too small for the boundary pair"
+    exact = [r.vec_id for r in spark.sql(q).collect()]  # routing off: exact
+    rt.enable(spark)
+    try:
+        assert "cluster#" in _plan(spark.sql(q))        # frac=1.0: routed
+        # exactly at the boundary: k == frac*n routes
+        spark.conf.set(frac_key, str(10 / n))
+        assert "cluster#" in _plan(spark.sql(q))
+        # just under: ceiling = 9 < k -> stock exact
+        spark.conf.set(frac_key, str(9.5 / n))
+        assert "cluster#" not in _plan(spark.sql(q))
+        assert [r.vec_id for r in spark.sql(q).collect()] == exact
+        # the DEFAULT frac declines k=10 on a corpus this small
+        spark.conf.unset(frac_key)
+        assert "cluster#" not in _plan(spark.sql(q))
+        # frac=0 disables the relative ceiling (absolute maxK only)
+        spark.conf.set(frac_key, "0")
+        assert "cluster#" in _plan(spark.sql(q))
+    finally:
+        spark.conf.set(frac_key, "1.0")  # the test session's default
+        rt.disable(spark)

@@ -264,6 +264,7 @@ def routed_sql_section(spark) -> list[str]:
         dd = dl.from_parquet(f"{SF_DIR}/documents.parquet",
                              os.path.join(work, "docs"), spark)
         dd.create_index("text", "inverted")
+        dd.create_index("n_chars", "numeric")
         ds.as_sql_view("plans_emb")
         dd.as_sql_view("plans_docs")
         qv = [float(x) for x in spark.sql(
@@ -291,6 +292,29 @@ def routed_sql_section(spark) -> list[str]:
                 "~corpus-sized posting semijoin would lose to the "
                 "pushed-down scan filter Parquet evaluates in place, "
                 "and the gap grows with data (SCALING.md gate table)."),
+            "plain-SQL BETWEEN, small corpus: cost floor keeps it stock": (
+                "SELECT doc_id FROM plans_docs "
+                "WHERE n_chars BETWEEN 100 AND 200",
+                "Numeric BETWEEN on a SMALL registered corpus (this "
+                "fixture is far below routing.minCorpusRows, default "
+                "200k rows): the corpus-size cost floor — the scan-cost "
+                "term of the reference's pg_costestimate "
+                "(index_search.cpp:247-420) — declines the rewrite, "
+                "because the stock pushed-down double-compare "
+                "measurably beats probe + semijoin + the plan-time "
+                "range job there (SCALING.md BETWEEN table: 2x at 5k "
+                "rows, break-even ~160k, routed wins at 640k). The "
+                "plan is the plain pushed filter."),
+            "plain-SQL BETWEEN, past the floor: value probe routes": (
+                "__FLOOR0__SELECT doc_id FROM plans_docs "
+                "WHERE n_chars BETWEEN 100 AND 200",
+                "The SAME shape with the floor lifted (the plan a "
+                "200k+-row corpus gets under defaults): rewritten to a "
+                "range-bucket-pruned value-probe LeftSemi with the "
+                "probe's row-id ranges pushed onto the corpus scan as "
+                "literal BETWEEN filters — parquet row-group min/max "
+                "skips the corpus I/O outside them on the id-sorted "
+                "layout."),
             "plain-SQL top-k ANN route": (
                 "SELECT vec_id FROM plans_emb ORDER BY "
                 f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10",
@@ -301,8 +325,16 @@ def routed_sql_section(spark) -> list[str]:
                 "candidates, never the corpus."),
         }
         for title, (sql, comment) in shapes.items():
-            plan = (spark.sql(sql)._jdf.queryExecution()
-                    .optimizedPlan().toString())
+            floor0 = sql.startswith("__FLOOR0__")
+            if floor0:
+                sql = sql.removeprefix("__FLOOR0__")
+                spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "0")
+            try:
+                plan = (spark.sql(sql)._jdf.queryExecution()
+                        .optimizedPlan().toString())
+            finally:
+                if floor0:
+                    spark.conf.unset(rt.MIN_CORPUS_ROWS_KEY)
             # literal query vectors bloat the dump; elide them
             import re
 

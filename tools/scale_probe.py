@@ -560,6 +560,53 @@ def ann_section(spark):
             f"x{kk} fixture too easy: fast recall {recalls['fast']}"
         assert recalls["high_accuracy"] >= 0.9, f"x{kk} {recalls}"
         assert recalls["af4"] >= 0.5, f"x{kk} {recalls}"
+        # maxK gate edge (round 10): IVF recall@k DECAYS with k on a
+        # fixed-fraction probe (rank-k true neighbors spread across
+        # more cells as k grows — measured decay at x64/af4:
+        # 0.925@10 → 0.858@100 → 0.637@1000), so a flat absolute
+        # ceiling is not recall-safe on small corpora. The rule's
+        # CORPUS-RELATIVE ceiling (ann.maxKFrac, default 0.1% of the
+        # persisted corpus size) is set where recall still tracks the
+        # small-k presets. Pin the boundary: at the effective ceiling
+        # k = frac·n the route still engages and MEAN recall@k over
+        # the 8 query points (af4 lane) holds ≥ 0.7 — the fast
+        # preset's measured floor, i.e. no worse than the cheapest
+        # preset a user can opt into at k=10; at k = ceiling + 1 the
+        # plan is stock exact (recall trivially 1.0).
+        n_corpus = d.count()
+        edge_k = max(1, int(0.001 * n_corpus))
+        spark.conf.set(af_key, "4")
+        spark.conf.set(np_key, "4")
+
+        def topk_sql_k(qv2, k):
+            return ("SELECT vec_id FROM ann_docs ORDER BY "
+                    f"{rt.cosine_sql('embedding', qv2)} DESC LIMIT {k}")
+
+        rt.disable(spark)
+        exact_edge = {qid: {r.vec_id for r in
+                            spark.sql(topk_sql_k(qv2, edge_k)).collect()}
+                      for qid, qv2 in qvecs.items()}
+        rt.enable(spark)
+        vals = []
+        for qid, qv2 in qvecs.items():
+            at_df = spark.sql(topk_sql_k(qv2, edge_k))
+            assert "cluster#" in at_df._jdf.queryExecution() \
+                .optimizedPlan().toString(), \
+                "route must engage at the relative ceiling"
+            got_edge = {r.vec_id for r in at_df.collect()}
+            vals.append(len(got_edge & exact_edge[qid]) / edge_k)
+        edge_recall = round(sum(vals) / len(vals), 3)
+        # the bar is the FAST preset's floor (~0.7 measured): at the
+        # ceiling the route may be no worse than the cheapest preset a
+        # user can opt into at k=10; past it the plan is stock exact
+        assert edge_recall >= 0.7, \
+            f"x{kk} decline boundary not recall-safe: " \
+            f"recall@{edge_k}={edge_recall} < 0.7 (fast floor)"
+        over_plan = spark.sql(
+            topk_sql_k(next(iter(qvecs.values())), edge_k + 1)) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "cluster#" not in over_plan, \
+            "route must decline past frac*n (stock exact plan)"
         spark.conf.unset(af_key)
         spark.conf.unset(np_key)
         rt.disable(spark)
@@ -571,6 +618,9 @@ def ann_section(spark):
                          "recall_high_accuracy": recalls["high_accuracy"],
                          "speedup": round(exact_s / routed_s, 2)
                          if routed_s else None,
+                         "maxk_edge_k": edge_k,
+                         "maxk_edge_recall": edge_recall,
+                         "maxk_over_declines": True,
                          "build_sampled_s": build_sampled_s,
                          "build_fullfit_s": build_fullfit_s}
     return out
@@ -840,18 +890,35 @@ def main() -> None:
             "recall@10 over 8 query points per accuracy preset "
             "(fast/balanced/high_accuracy mirror SearchConfig); "
             "asserted monotone, fast < 0.95, high_accuracy ≥ 0.9, and "
-            "the af4 timing point ≥ 0.5, at every scale.",
+            "the af4 timing point ≥ 0.5, at every scale. "
+            "`recall@k edge` (round 10) pins the k-ceiling decline "
+            "boundary as recall-safe. Probing this FOUND a routing "
+            "hazard: IVF recall@k decays with k on a fixed-fraction "
+            "probe (rank-k true neighbors spread across more cells — "
+            "measured at x64/af4: 0.925@10, 0.895@50, 0.858@100, "
+            "0.759@250, 0.687@500, 0.637@1000), so the flat "
+            "ann.maxK=10000 ceiling was NOT recall-safe on small "
+            "corpora. The rule now composes a CORPUS-RELATIVE ceiling "
+            "(ann.maxKFrac, default 0.001 — decline when k > 0.1% of "
+            "the persisted corpus size; unknown size falls back to "
+            "the absolute ceiling). The probe asserts: at the "
+            "effective ceiling k = frac·n the route engages and MEAN "
+            "recall@k over the 8 query points (af4) holds ≥ 0.7 — the "
+            "fast preset's measured floor, i.e. no worse than the "
+            "cheapest preset a user can opt into; at k = ceiling+1 "
+            "the plan is stock exact (recall 1.0).",
             "",
             "| scale | exact s | routed s | speedup | recall@10 (af4) "
-            "| fast | balanced | high_accuracy |",
-            "|---|---|---|---|---|---|---|---|",
+            "| fast | balanced | high_accuracy | recall@k edge |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for kk, r in ann.items():
             lines.append(f"| {kk} | {r['exact_s']} | {r['routed_s']} | "
                          f"{r['speedup']} | {r['recall_at_10']} | "
                          f"{r.get('recall_fast', '—')} | "
                          f"{r.get('recall_balanced', '—')} | "
-                         f"{r.get('recall_high_accuracy', '—')} |")
+                         f"{r.get('recall_high_accuracy', '—')} | "
+                         f"{r.get('maxk_edge_recall', '—')} |")
         lines += [
             "",
             "## IVF build: sampled-fit protocol vs full-corpus fit",
