@@ -356,7 +356,13 @@ def bm25_topk_sql(view: str, terms, k: int = 10,
     plan-time protocol as the TQL lane's _hits_fetchback): every BM25
     winner matches ≥1 query term, so winners ⊆ probe ids and the
     ranges are a sound superset; parquet row-group stats then skip the
-    corpus payload I/O outside them on the id-sorted ingest layout."""
+    corpus payload I/O outside them on the id-sorted ingest layout.
+
+    SNAPSHOT CONTRACT: the pushed ranges reflect the index/corpus AT
+    STATEMENT-BUILD TIME — the same planning-snapshot semantics as the
+    TQL routes (a bitmap fetched at query start). After a delta append
+    or re-registering the views, REBUILD the statement; running a
+    stale string keeps returning the old snapshot's fetch-back rows."""
     head = f"WITH {bm25_cte_sql(view, terms, k, k1, b)}"
     if not fetch_cols:
         return (f"{head} SELECT doc_id, bm25 AS score FROM __bl "
@@ -393,14 +399,29 @@ def _hybrid_fetch_ranges(spark: SparkSession, view: str, terms,
     try:
         # EXACT mirror of the statement's __vl lane (same rounding and
         # tiebreak) — a different ordering could admit a different
-        # boundary row at rank n, and that row's id must be in-range
-        hits = spark.sql(
-            f"SELECT `{id_col}` AS row_id, ROUND({cos_sql}, 6) AS cos "
-            f"FROM {view} ORDER BY cos DESC, row_id LIMIT {int(n)}"
-        ).select("row_id")
-        if dict(hits.dtypes).get("row_id") not in ("bigint", "int"):
-            return None
-        vec_rs = routed_scan_ranges(hits, None)
+        # boundary row at rank n, and that row's id must be in-range.
+        # The mirror must run UNROUTED: with the Catalyst rule enabled
+        # on the build session, the ANN route would make it an
+        # APPROXIMATE top-n whose misses the statement's exact lane
+        # (e.g. on a plain no-jar session) later finds — outside the
+        # frozen ranges, silently dropped. Disable routing for the
+        # mirror and restore.
+        prev = spark.conf.get(ENABLED_KEY, None)
+        spark.conf.set(ENABLED_KEY, "false")
+        try:
+            hits = spark.sql(
+                f"SELECT `{id_col}` AS row_id, ROUND({cos_sql}, 6) "
+                f"AS cos FROM {view} "
+                f"ORDER BY cos DESC, row_id LIMIT {int(n)}"
+            ).select("row_id")
+            if dict(hits.dtypes).get("row_id") not in ("bigint", "int"):
+                return None
+            vec_rs = routed_scan_ranges(hits, None)
+        finally:
+            if prev is None:
+                spark.conf.unset(ENABLED_KEY)
+            else:
+                spark.conf.set(ENABLED_KEY, prev)
     except Exception:
         return None
     if not vec_rs:
@@ -439,9 +460,14 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     top-n ids — the vector lane runs ONCE at build time (one corpus
     job, memoized in the routed lanes' range cache, so re-building the
     same statement is free; the statement itself re-runs that lane at
-    query time anyway). Either side unavailable (no views, scattered
-    probe, pruning conf off) → no prefilter, plain join — the ranges
-    are pure I/O pruning, never a correctness surface."""
+    query time anyway; the mirror runs with routing DISABLED so an
+    enabled ANN route can't make it approximate). Either side
+    unavailable (no views, scattered probe, pruning conf off) → no
+    prefilter, plain join. SNAPSHOT CONTRACT: ranges reflect the
+    index/corpus at statement-build time (TQL planning-snapshot
+    semantics) — rebuild the statement after a delta append or a
+    view re-registration, and after changing the statement's
+    accuracy confs."""
     n = int(n if n is not None else k * 5)
     cos = cosine_sql(vec_col, vec)
     fetch_head = fetch_tail = ""

@@ -586,6 +586,45 @@ class Translator:
 
         return _widening_capped(len(centroids), self.search_config, cand_sel)
 
+    def _topk_ceiling_declines(self, df: DataFrame, idx,
+                               fetch: int) -> bool:
+        """k ceiling for the APPROXIMATE top-k routes (clustered /
+        quantized / pq / pooled; BM25 is exact and exempt) —
+        EXPLICIT-CONF-ONLY in the TQL lane. Reference parity: an index
+        created via create_index is a declared accuracy/latency
+        tradeoff and serves any k, recall governed by the SearchConfig
+        presets — so by default TQL routes every LIMIT. The implicit
+        plain-SQL rule is different: it rewrites a query the user
+        wrote as EXACT, so its ceilings (`routing.ann.maxK`,
+        `routing.ann.maxKFrac`) default ON there. When a deployment
+        sets either conf on the session, the TQL routes honor it too
+        (IVF recall@k decays with k on a fixed-fraction probe —
+        SCALING.md decay curve — and one knob should govern every
+        lane), declining to the stock exact plan."""
+        try:
+            spark = df.sparkSession
+            maxk = spark.conf.get("spark.sql.deeplake.routing.ann.maxK",
+                                  None)
+            frac = spark.conf.get(
+                "spark.sql.deeplake.routing.ann.maxKFrac", None)
+        except Exception:
+            return False
+        if maxk is not None:
+            try:
+                if fetch > int(maxk):
+                    return True
+            except ValueError:
+                pass
+        if frac is not None:
+            n = getattr(idx, "n_rows_est", None)
+            try:
+                f = float(frac)
+            except ValueError:
+                return False
+            if f > 0 and n and fetch > max(1, int(f * n)):
+                return True
+        return False
+
     def _route_gate(self) -> float:
         """Max estimated selectivity a predicate may have and still
         route through an index (conf `spark.sql.deeplake.routing.
@@ -666,13 +705,15 @@ class Translator:
         qvec = self._vec_constant(q_arg, df)
         if qvec is None:
             return None
+        fetch = sel.limit.n + (sel.limit.offset or 0)
+        if self._topk_ceiling_declines(df, idx, fetch):
+            return None  # conf'd k ceiling: stock exact instead
         candidates = cand_sel = None
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
             cand_sel = self._estimate_where_selectivity(sel.where)
             if self._filtered_widening_capped(idx, cand_sel):
                 return None  # stock exact beats an over-widened probe
-        fetch = sel.limit.n + (sel.limit.offset or 0)
         ro: dict = {}
         if kind == "clustered":
             hits = ivf_search(idx, qvec, k=fetch, config=self.search_config,
@@ -777,6 +818,10 @@ class Translator:
             return None
 
         df = self._resolve_source(None)
+        fetch = sel.limit.n + (sel.limit.offset or 0)
+        if kind != "inverted" and self._topk_ceiling_declines(
+                df, idx, fetch):
+            return None  # conf'd k ceiling: stock exact instead
         candidates = cand_sel = None
         if sel.where is not None:
             candidates = self._apply_where(sel.where, df).select(id_col)
@@ -784,7 +829,6 @@ class Translator:
             if kind in ("clustered", "pq") and \
                     self._filtered_widening_capped(meta[1], cand_sel):
                 return None  # stock exact beats an over-widened probe
-        fetch = sel.limit.n + (sel.limit.offset or 0)
 
         if fname == "COSINE_SIMILARITY":
             from deeplake_spark.operators.similarity import (

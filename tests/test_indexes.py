@@ -1929,9 +1929,8 @@ def test_corpus_floor_declines_cheap_routes_on_small_corpus(spark, sf_dir,
     indexes = {
         "n_chars": ("numeric", nidx, "doc_id"),
         "lang": ("exact", eidx, "doc_id"),
-        "text": iidx,  # legacy 2-tuple form is (index, id_col)
+        "text": (iidx, "doc_id"),  # legacy 2-tuple inverted form
     }
-    indexes["text"] = (iidx, "doc_id")
     cases = [
         "SELECT doc_id WHERE n_chars BETWEEN 100 AND 200",
         "SELECT doc_id WHERE n_chars IN (128, 200, 305)",
@@ -2009,3 +2008,61 @@ def test_range_cache_lru_evicts_one_not_all(spark, monkeypatch):
     assert ix.routed_scan_ranges(b, None)
     assert calls["n"] == 5, "b was the LRU and must have been evicted"
     ix._RANGE_CACHE.clear()
+
+
+def test_tql_topk_ceiling_confs_decline_route(spark, sf_dir, tmp_path):
+    """Conf'd k ceiling in the TQL lane (round-10 review): by default
+    an explicitly created index serves any LIMIT (reference parity —
+    recall is governed by SearchConfig presets), but when a deployment
+    sets routing.ann.maxK / maxKFrac the TQL routes honor them like
+    the plain-SQL rule does (recall@k decays with k, SCALING.md),
+    declining to the stock exact plan — which returns the exact rows."""
+    import os as _os
+
+    from deeplake_spark import tql
+    from deeplake_spark.operators.similarity import (
+        build_ivf, load_ivf, save_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ivf")
+    save_ivf(build_ivf(e, "embedding", "vec_id", n_clusters=8), p)
+    idx = load_ivf(spark, p)
+    assert idx.n_rows_est
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).head().embedding]
+    q = ("SELECT vec_id ORDER BY COSINE_SIMILARITY(embedding, ?) "
+         "DESC LIMIT 10")
+    indexes = {"embedding": ("clustered", idx, "vec_id")}
+
+    def run():
+        return tql.query(q, spark=spark, default=e, params=[qv],
+                         indexes=indexes)
+
+    def routed(df):
+        return "Join" in df._jdf.queryExecution().optimizedPlan() \
+            .toString()
+
+    maxk_key = "spark.sql.deeplake.routing.ann.maxK"
+    frac_key = "spark.sql.deeplake.routing.ann.maxKFrac"
+    try:
+        assert routed(run())  # conftest frac=1.0: ceiling=n, routes
+        spark.conf.set(maxk_key, "9")
+        declined = run()
+        assert not routed(declined)
+        # the declined plan is the stock exact top-k: exact rows
+        got = [r.vec_id for r in declined.collect()]
+        want = [r.vec_id for r in
+                tql.query(q, spark=spark, default=e, params=[qv])
+                .collect()]
+        assert got == want and got
+        spark.conf.unset(maxk_key)
+        assert routed(run())
+        # relative ceiling: 9.5/n puts the boundary just under k=10
+        spark.conf.set(frac_key, str(9.5 / idx.n_rows_est))
+        assert not routed(run())
+        spark.conf.set(frac_key, "1.0")
+        assert routed(run())
+    finally:
+        spark.conf.unset(maxk_key)
+        spark.conf.set(frac_key, "1.0")  # the test session's default

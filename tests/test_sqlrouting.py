@@ -1496,3 +1496,71 @@ def test_sql_ann_corpus_relative_k_ceiling(spark, ann_ds):
     finally:
         spark.conf.set(frac_key, "1.0")  # the test session's default
         rt.disable(spark)
+
+
+def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
+    """Round-10 review hazard: hybrid fetch-back ranges come from a
+    build-time mirror of the __vl vector lane. If the Catalyst ANN
+    route rewrote that mirror (build session has the jar + routing
+    enabled), the mirror would be APPROXIMATE — and a plain session
+    executing the statement's exact __vl later finds winners the
+    mirror missed, outside the frozen ranges, silently dropped. The
+    builder must run the mirror with routing disabled (and restore
+    the conf). Pinned by building the statement on a routed session
+    and executing it unrouted: rows must equal the no-prefilter
+    build."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.indexes import build_inverted_index
+    from deeplake_spark.operators.similarity import build_ivf, save_ivf
+
+    n = 400
+    rows = []
+    for i in range(n):
+        text = f"filler{i % 7} words here" + (" needlezz" if 10 <= i < 20
+                                              else "")
+        vec = [1.0, 0.01 * i, 0.0] if i < 50 else [0.0, 0.1, 1.0 + i % 3]
+        rows.append((i, text, vec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(corpus_path))
+    corpus = spark.read.parquet(corpus_path)
+    corpus.createOrReplaceTempView("mir_docs")
+    build_inverted_index(corpus, "text", "doc_id").save(
+        str(tmp_path / "inv"))
+    rt.register_index_views(spark, "mir_docs", str(tmp_path / "inv"))
+    save_ivf(build_ivf(corpus, "embedding", "doc_id", n_clusters=8),
+             str(tmp_path / "ivf"))
+    qv = [1.0, 0.25, 0.0]
+    kw = dict(k=5, n=20, vec_col="embedding", id_col="doc_id",
+              text_weight=0.1, vec_weight=0.9,
+              fetch_cols=["doc_id", "text"])
+    try:
+        # route-enabled build session (the hazard's precondition)
+        rt.register_path(spark, corpus_path, "embedding", "clustered",
+                         str(tmp_path / "ivf"), "doc_id")
+        rt.enable(spark)
+        routed_built = rt.hybrid_search_sql(
+            "mir_docs", ["needlezz"], qv, spark=spark, **kw)
+        assert spark.conf.get(rt.ENABLED_KEY) == "true", \
+            "builder must restore the routing conf"
+        # execute UNROUTED (the jar-independent contract)
+        rt.disable(spark)
+        want = [(r.doc_id, r.text, round(r.fused, 9)) for r in spark.sql(
+            rt.hybrid_search_sql("mir_docs", ["needlezz"], qv, **kw)
+        ).collect()]
+        got = [(r.doc_id, r.text, round(r.fused, 9))
+               for r in spark.sql(routed_built).collect()]
+        assert got == want and got
+        # the prefilter is still there (the fix disables routing for
+        # the mirror only, it doesn't give up on pruning)
+        assert "GreaterThanOrEqual(doc_id" in spark.sql(routed_built) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for v in ("mir_docs", "mir_docs__postings", "mir_docs__doclens",
+                  "mir_docs__stats"):
+            spark.catalog.dropTempView(v)

@@ -306,35 +306,58 @@ def routed_sql_section(spark) -> list[str]:
                 "rows, break-even ~160k, routed wins at 640k). The "
                 "plan is the plain pushed filter."),
             "plain-SQL BETWEEN, past the floor: value probe routes": (
-                "__FLOOR0__SELECT doc_id FROM plans_docs "
+                "__ROUTED__SELECT doc_id FROM plans_docs "
                 "WHERE n_chars BETWEEN 100 AND 200",
-                "The SAME shape with the floor lifted (the plan a "
-                "200k+-row corpus gets under defaults): rewritten to a "
-                "range-bucket-pruned value-probe LeftSemi with the "
-                "probe's row-id ranges pushed onto the corpus scan as "
-                "literal BETWEEN filters — parquet row-group min/max "
-                "skips the corpus I/O outside them on the id-sorted "
-                "layout."),
+                "The SAME shape past the gates (floor lifted AND "
+                "selectivity ungated — this fixture's band keeps ~17% "
+                "of rows, above the 0.10 default; a 200k+-row corpus "
+                "with a selective band gets this plan under stock "
+                "confs): rewritten to a range-bucket-pruned "
+                "value-probe LeftSemi with the probe's row-id ranges "
+                "pushed onto the corpus scan as literal BETWEEN "
+                "filters — parquet row-group min/max skips the corpus "
+                "I/O outside them on the id-sorted layout."),
             "plain-SQL top-k ANN route": (
-                "SELECT vec_id FROM plans_emb ORDER BY "
+                "__ROUTED__SELECT vec_id FROM plans_emb ORDER BY "
                 f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 10",
-                "ORDER BY cosine LIMIT k semijoined against the nprobe "
+                "ORDER BY cosine LIMIT k (k-ceiling gates lifted for "
+                "this kb-row fixture) semijoined against the nprobe "
                 "nearest IVF cell partitions (cluster IN (...) prunes "
                 "the assignments scan); the user's Sort+Limit stays on "
                 "top as the exact reranker — TakeOrderedAndProject over "
                 "candidates, never the corpus."),
         }
         for title, (sql, comment) in shapes.items():
-            floor0 = sql.startswith("__FLOOR0__")
-            if floor0:
-                sql = sql.removeprefix("__FLOOR0__")
+            forced = sql.startswith("__ROUTED__")
+            if forced:
+                sql = sql.removeprefix("__ROUTED__")
+                # lift the corpus-scale gates: the doc fixtures are
+                # kb-row tables the default floor/relative-k ceiling
+                # correctly decline — the exhibits document the plan
+                # SHAPE a production-size corpus gets
                 spark.conf.set(rt.MIN_CORPUS_ROWS_KEY, "0")
+                spark.conf.set(rt.MAX_SELECTIVITY_KEY, "1.0")
+                spark.conf.set(
+                    "spark.sql.deeplake.routing.ann.maxKFrac", "1.0")
             try:
                 plan = (spark.sql(sql)._jdf.queryExecution()
                         .optimizedPlan().toString())
             finally:
-                if floor0:
+                if forced:
                     spark.conf.unset(rt.MIN_CORPUS_ROWS_KEY)
+                    spark.conf.unset(rt.MAX_SELECTIVITY_KEY)
+                    spark.conf.unset(
+                        "spark.sql.deeplake.routing.ann.maxKFrac")
+            # a routed exhibit whose plan is secretly stock is wrong
+            # published documentation — fail the tool, not the reader
+            # (round-10 review: the first floor pair shipped exactly
+            # that; the fixture's band exceeded the selectivity gate)
+            if forced or "routes" in title or "route" in title.split(":")[0]:
+                assert "LeftSemi" in plan or "cluster#" in plan, \
+                    f"exhibit '{title}' did not route:\n{plan[:1500]}"
+            if "stock" in title:
+                assert "LeftSemi" not in plan and "cluster#" not in plan, \
+                    f"exhibit '{title}' unexpectedly routed"
             # literal query vectors bloat the dump; elide them
             import re
 
