@@ -1564,3 +1564,71 @@ def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
         for v in ("mir_docs", "mir_docs__postings", "mir_docs__doclens",
                   "mir_docs__stats"):
             spark.catalog.dropTempView(v)
+
+
+def test_sql_fetchback_rebuild_after_append_sees_new_docs(spark,
+                                                          tmp_path):
+    """The fetch-back SNAPSHOT contract's positive side: after a delta
+    append (new postings files + re-registered views), REBUILDING the
+    statement recomputes the pushed ranges and the new document — with
+    an id far outside the old snapshot's ranges — appears in the
+    fetch-back result. (The docstring's contract: a stale statement
+    keeps answering from its build-time snapshot; the rebuild is how
+    appends become visible, mirroring TQL re-planning.)"""
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        build_inverted_index,
+    )
+
+    n = 300
+    rows = [(i, f"filler{i % 5} words here"
+             + (" needlezz" if 10 <= i < 15 else "")) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus_path = str(tmp_path / "c1")
+    (df.repartitionByRange(2, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(corpus_path))
+    idx_path = str(tmp_path / "inv")
+    build_inverted_index(spark.read.parquet(corpus_path), "text",
+                         "doc_id").save(idx_path)
+    spark.read.parquet(corpus_path).createOrReplaceTempView("snap_docs")
+    rt.register_index_views(spark, "snap_docs", idx_path)
+    # kb-row fixture: the default 64k-row granule folds the whole id
+    # space into one [min,max] range that the coverage gate then
+    # (soundly) declines — shrink the granule so ranges resolve like
+    # they do on a real multi-granule corpus
+    spark.conf.set("spark.sql.deeplake.routing.rangeGranule", "64")
+    try:
+        q1 = rt.bm25_topk_sql("snap_docs", ["needlezz"], k=10,
+                              fetch_cols=["doc_id", "text"],
+                              id_col="doc_id", spark=spark)
+        ids1 = {r.doc_id for r in spark.sql(q1).collect()}
+        assert ids1 == set(range(10, 15))
+
+        # delta append: one new matching doc at the next ingest id
+        # (outside the old snapshot's [10,14] range; contiguous ids are
+        # the ingest layout — a far-flung sparse id would make the
+        # granule span exceed the row-count coverage gate and the
+        # builder would soundly skip the prefilter);
+        # new corpus files + index delta + re-registration
+        new = spark.createDataFrame(
+            [(300, "totally new needlezz document")],
+            "doc_id long, text string")
+        new.write.mode("append").parquet(corpus_path)
+        build_inverted_index(new, "text", "doc_id").append_to(idx_path)
+        spark.read.parquet(corpus_path).createOrReplaceTempView(
+            "snap_docs")
+        rt.register_index_views(spark, "snap_docs", idx_path)
+
+        q2 = rt.bm25_topk_sql("snap_docs", ["needlezz"], k=10,
+                              fetch_cols=["doc_id", "text"],
+                              id_col="doc_id", spark=spark)
+        got2 = {r.doc_id for r in spark.sql(q2).collect()}
+        assert 300 in got2 and ids1 <= got2
+        # and the rebuilt statement still carries a pushed range filter
+        assert "GreaterThanOrEqual(doc_id" in spark.sql(q2) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.rangeGranule")
+        for v in ("snap_docs", "snap_docs__postings",
+                  "snap_docs__doclens", "snap_docs__stats"):
+            spark.catalog.dropTempView(v)
