@@ -1144,3 +1144,198 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
         .filter(sim >= threshold)
         .select("a", "b", F.round(sim, 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------- semantic dedup
+
+
+def seed_centroids(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8) -> list:
+    """Deterministic centroid seeding: the ``k`` rows with the smallest
+    ids, enumerated as ``[(0, vec0), (1, vec1), ...]``. A bounded
+    TakeOrderedAndProject collect (k rows to the driver — the DATA()
+    static-prefetch protocol, cpp/tql/input.hpp:89-107), so runs are
+    reproducible and exactly oracle-checkable. Production pipelines pass
+    k-means centroids instead (``build_ivf(...).centroids`` has them);
+    the semantics downstream are identical.
+    """
+    rows = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    return [(i, [float(v) for v in r[0]]) for i, r in enumerate(rows)]
+
+
+def assign_to_centroids_cosine(df: DataFrame, vec_col: str, centroids: list,
+                               cluster_col: str = "cluster",
+                               sim_col: str = "centroid_sim") -> DataFrame:
+    """Max-cosine centroid assignment as one map-only projection (the
+    cosine twin of ``assign_to_centroids``): per row, argmax cosine over
+    the broadcast-small centroid literals; ties break to the smallest
+    centroid id via a struct-ordered ``array_max`` (no shuffle, no
+    window). Adds ``cluster`` (int) and ``centroid_sim`` (double).
+
+    The whole argmax is ONE parsed SQL expression: the chained-Column
+    spelling costs k*(dim+6) py4j round trips at plan-build time
+    (measured 1.6s of DRIVER time for k=8, dim=64 — perf trap 12);
+    the parsed expr yields the identical JVM plan for one call. The
+    arithmetic mirrors functions.vector.dot/l2_norm fold-for-fold
+    (left fold from 0.0), and centroid norms are constant-folded in
+    Python with the same left fold, so results are bit-identical to
+    the HOF spelling and to the DuckDB oracle. The final destructure
+    goes through an ``inline_outer`` generator rather than two struct
+    field projections: a Generate node stops CollapseProject from
+    inlining the k*dim-literal argmax into every downstream consumer
+    (measured ~0.5s of Catalyst time per semantic_dedup query;
+    ``_outer`` avoids the trap-2 constraint-inference duplication).
+    (A 1-row broadcast relation carrying the centroid matrix was also
+    tried — it strips the literals from the plan but leaves every
+    downstream join stats-blind, and the pair join then degrades off
+    the broadcast path: measured 5.4s vs 1.9s. Literals keep
+    Catalyst's estimates intact.)
+    """
+    import math
+
+    def dlit(x: float) -> str:
+        # CAST('<repr>' AS DOUBLE) round-trips the exact double (a bare
+        # SQL decimal literal would parse as DECIMAL under ANSI mode)
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    sims = []
+    for cid, c in centroids:
+        arr = "array(" + ",".join(dlit(x) for x in c) + ")"
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cnorm = math.sqrt(acc)
+        sims.append(
+            "named_struct('s', "
+            "aggregate(zip_with(__sdv, " + arr + ", (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x) / "
+            f"nullif(__sdn * {dlit(cnorm)}, 0.0D), 'nc', {-int(cid)})"
+        )
+    best = f"array_max(array({','.join(sims)}))"
+    return (
+        df.selectExpr("*", f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS __sdv")
+        .selectExpr(
+            "*", "sqrt(aggregate(__sdv, 0.0D, (acc, x) -> acc + x * x)) AS __sdn")
+        .selectExpr("*", f"{best} AS __best")
+        .selectExpr(
+            "*",
+            f"inline_outer(array(named_struct('{cluster_col}', -__best.nc, "
+            f"'{sim_col}', __best.s)))")
+        .drop("__sdv", "__sdn", "__best")
+    )
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", centroids: list | None = None,
+                   n_clusters: int = 8, tau: float = 0.95,
+                   policy: str = "pairwise") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus in embedding space, then
+    inside each cluster drop semantic duplicates (pairs with cosine >=
+    ``tau``), keeping the member MOST diverse w.r.t. its cluster — the
+    lowest cosine-to-centroid survives (the paper's keeper rule; ids
+    break exact ties). Beyond-reference LLM-pipeline operator; the
+    reference's closest machinery is the Clustered embedding index
+    (types.pyi:145), which this reuses for the cluster step.
+
+    Returns ``df`` with three added columns: ``cluster`` (int),
+    ``centroid_sim`` (double), ``kept`` (boolean).
+
+    policy="pairwise" (default, exactly SQL-checkable): x is dropped
+    iff SOME same-cluster y with cos(x,y) >= tau dominates it
+    (centroid_sim(y) < centroid_sim(x), ties to smaller id). On a
+    clique of mutual duplicates this keeps exactly the most-diverse
+    member; on a CHAIN a--b--c (a,c not within tau of each other) it
+    keeps both endpoints — local pairwise evidence only.
+
+    policy="components" (the paper's grouping): duplicate groups are
+    connected components of the >=tau graph within a cluster (reuses
+    operators.dedup.connected_components), one keeper per component by
+    the same (centroid_sim, id) rule — on the chain above exactly one
+    of a/b/c survives. Iterative (O(diameter) rounds), so no SQL
+    oracle; batch-equivalence with pairwise on clique-shaped planted
+    duplicates is pinned in tests.
+
+    Scale shape: assignment is map-only against broadcast centroid
+    literals; the duplicate join shuffles both sides on ``cluster``
+    only, so pair work is O(sum of cluster_size^2) — the SemDeDup cost
+    model. At corpus scale, grow ``n_clusters`` proportionally (the
+    paper uses 50k clusters for LAION-440M) to bound cluster sizes;
+    skewed clusters split under AQE skew-join like any keyed self-join.
+    No global window, no driver-side pair loop; the only collect is the
+    k-row centroid seed (or none, when centroids are passed in).
+    """
+    from deeplake_spark.io import ensure_parallelism
+
+    if centroids is None:
+        centroids = seed_centroids(df, vec_col, id_col, k=n_clusters)
+    assigned = assign_to_centroids_cosine(
+        ensure_parallelism(df), vec_col, centroids)
+    members = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col("cluster").alias("__cl"),
+        F.col("centroid_sim").alias("__cs"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    # fully distinct names per side: same-name self-join refs
+    # (a["__cl"] == b["__cl"]) silently degrade to a trivially-true
+    # predicate under Spark's self-join disambiguation, turning the
+    # keyed join into a per-cluster cross product over the whole corpus
+    a = members.select(F.col("__id").alias("__ida"),
+                       F.col("__cl").alias("__cla"),
+                       F.col("__cs").alias("__csa"),
+                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = members.select(F.col("__id").alias("__idb"),
+                       F.col("__cl").alias("__clb"),
+                       F.col("__cs").alias("__csb"),
+                       F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    # pair cosine stays the HOF fold: an unrolled 64-term element_at
+    # expression was MEASURED 3x slower here (1.5s vs 0.54s on 250k
+    # pairs — the giant codegen tree ships ~1MB task binaries and
+    # evaluates element_at type checks per term), the opposite of the
+    # element_at-vs-slice compile trap (CLAUDE.md perf trap 6)
+    cos = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0))
+    # the tau filter compares the UNROUNDED cosine (CLAUDE.md filter
+    # discipline); nothing rounded is emitted from this subtree
+    if policy == "pairwise":
+        # dominance goes INTO the join condition: it's a cheap column
+        # compare and strict (a tie requires __idb < __ida), so only
+        # the dominated half of each pair ever evaluates the cosine
+        dominated = (
+            a.join(b, (F.col("__cla") == F.col("__clb")) & (
+                (F.col("__csb") < F.col("__csa"))
+                | ((F.col("__csb") == F.col("__csa"))
+                   & (F.col("__idb") < F.col("__ida")))))
+            .filter(cos >= tau)
+            .select(F.col("__ida").alias("__dropped"))
+            .distinct()
+        )
+    elif policy == "components":
+        from deeplake_spark.operators.dedup import connected_components
+
+        edges = (
+            a.join(b, (F.col("__cla") == F.col("__clb"))
+                   & (F.col("__ida") < F.col("__idb")))
+            .filter(cos >= tau)
+            .select(F.col("__ida").alias("a"), F.col("__idb").alias("b"))
+        )
+        cc = connected_components(edges, "a", "b")
+        keepers = (
+            cc.join(members.select(F.col("__id").alias("id"), "__cs"), "id")
+            .groupBy("label")
+            .agg(F.min(F.struct(F.col("__cs"), F.col("id"))).alias("__k"))
+            .select(F.col("__k")["id"].alias("__keep"))
+        )
+        dominated = (
+            cc.join(keepers, cc["id"] == keepers["__keep"], "left_anti")
+            .select(F.col("id").alias("__dropped"))
+        )
+    else:
+        raise ValueError(f"unknown policy: {policy!r}")
+    return (
+        assigned.join(
+            dominated, assigned[id_col] == dominated["__dropped"], "left")
+        .withColumn("kept", F.col("__dropped").isNull())
+        .drop("__dropped")
+    )

@@ -1,5 +1,8 @@
 """Query registry — the single source of truth consumed by
-``__spark_entry__.py`` (driver correctness gate) and ``bench.py``. 65 queries are registered; 60 carry exact oracles.
+``__spark_entry__.py`` (driver correctness gate) and ``bench.py``.
+All but a handful of queries carry exact DuckDB oracles (the exceptions
+are index-routed rankings whose result depends on trained cells —
+``load_all()`` reports the live counts).
 
 Every implemented operator from SURVEY.md §2 registers here as:
   - a callable ``(spark, sf_dir) -> DataFrame`` (the Spark-first plan)

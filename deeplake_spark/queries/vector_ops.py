@@ -943,3 +943,88 @@ def v23(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("qv")))
     return ivf_search_batch(idx, queries, k=5).orderBy("qid", F.desc("score"),
                                                        "vec_id")
+
+#: seed-centroid memo for v24 (build-at-ingest protocol, like _IVF_CACHE)
+_SEED_CACHE: dict = {}
+
+
+@query(
+    "v24_semantic_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+             emb AS cv
+      FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT b.vec_id, b.emb, c.cid,
+             {_DUCK_COS.format(a="b.emb", b="c.cv")} AS sim
+      FROM base b CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, emb, cid, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE {_DUCK_COS.format(a="a.emb", b="b.emb")} >= 0.95
+        AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+    )
+    SELECT assign.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM assign LEFT JOIN dropped d ON assign.vec_id = d.vec_id
+    GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): max-cosine "
+    "centroid assignment (map-only vs broadcast centroid literals), "
+    "then within-cluster >=tau duplicates drop in favor of the "
+    "least-centroid-similar member (ids break exact ties). Planted "
+    "1.1x-scaled copies (cosine-invariant, the v08 protocol) guarantee "
+    "drops at any tau; the tau filter and the dominance comparison both "
+    "use UNROUNDED doubles computed identically on both engines. "
+    "Centroids are the 8 smallest-id embeddings (deterministic seed "
+    "protocol — production passes build_ivf's k-means centroids). "
+    "Pair work is O(sum cluster_size^2) keyed on cluster only; the "
+    "components policy (the paper's connected-component grouping) is "
+    "exercised in tests/test_operators.py.",
+    tags=("vector", "dedup"),
+)
+def v24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import seed_centroids, semantic_dedup
+
+    base = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.1).alias("embedding"),
+    )
+    e = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    # centroid seeding is a build-at-ingest step (the _ivf8 protocol):
+    # memoize the k-row collect per (session, sf_dir)
+    if key not in _SEED_CACHE:
+        _SEED_CACHE[key] = seed_centroids(e, k=8)
+    sd = semantic_dedup(e, centroids=_SEED_CACHE[key], tau=0.95)
+    return (
+        sd.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

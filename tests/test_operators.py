@@ -736,3 +736,85 @@ def test_lm_surprisal_queries_survive_zero_token_docs(spark, tmp_path):
     assert [r.n_bigrams for r in out] == [4, 1]
     uni = reg["t24_unigram_surprisal"].fn(spark, str(tmp_path)).collect()
     assert [r.doc_id for r in uni] == [1, 4, 5]
+
+
+def test_semantic_dedup_keeper_rule(spark):
+    """Pairwise SemDeDup: the less-centroid-similar member of a >=tau
+    pair survives (diversity keeper); exact centroid_sim ties keep the
+    smaller id; singletons and sub-threshold members are kept."""
+    from deeplake_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed c0 (centroid_sim 1.0)
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed c1
+        (2, [1.0, 0.01, 0.0, 0.0]),  # dup of 0, slightly off-centroid
+        (3, [0.0, 1.0, 0.0, 0.0]),   # exact dup of 1 (sim tie)
+        (4, [0.6, 0.8, 0.0, 0.0]),   # cluster 1, below tau vs everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_clusters=2, tau=0.99).collect()}
+    assert not out[0].kept          # dominated by the more diverse 2
+    assert out[2].kept
+    assert out[1].kept              # tie with 3 -> smaller id wins
+    assert not out[3].kept
+    assert out[4].kept              # no >=tau neighbor
+    assert out[2].cluster == 0 and out[4].cluster == 1
+
+
+def test_semantic_dedup_components_matches_pairwise_on_cliques(spark):
+    """On clique-shaped duplicate groups (planted exact copies: every
+    pair >=tau) the components policy and the pairwise policy keep the
+    same rows — one most-diverse member per group."""
+    from deeplake_spark.operators.similarity import semantic_dedup
+
+    import random
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        for scale in (1.0, 1.1, 0.9):  # cosine-invariant copies: a clique
+            rows.append((vid, [x * scale for x in base])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    # explicit well-separated centroids: the default smallest-id seeds
+    # would be three PARALLEL copies of one vector here, and ulp-level
+    # assignment ties can then scatter a triple across clusters
+    centroids = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(4)]
+    kw = dict(centroids=centroids, tau=0.999)
+    pw = {r.vec_id for r in semantic_dedup(df, **kw).collect() if r.kept}
+    cc = {r.vec_id for r in
+          semantic_dedup(df, policy="components", **kw).collect() if r.kept}
+    assert pw == cc
+    assert len(pw) == 20  # one keeper per planted triple
+
+
+def test_semantic_dedup_chain_policies_differ_as_documented(spark):
+    """On a chain a--b--c (a~b and b~c >=tau, a~c below) pairwise keeps
+    both endpoints while components keeps exactly one of the three —
+    the documented semantic difference between the policies."""
+    import math
+
+    from deeplake_spark.operators.similarity import semantic_dedup
+
+    # unit vectors at angles 0, theta, 2*theta: cos(theta) >= tau but
+    # cos(2*theta) < tau -> a duplicate chain, not a clique
+    theta = math.radians(14.0)
+    def vec(t):
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+    rows = [(0, vec(0.0)), (1, vec(theta)), (2, vec(2 * theta))]
+    # centroid seeds are ids 0,1 -> everything lands in one of two
+    # clusters; force ONE cluster so the chain stays together
+    centroids = [(0, vec(theta))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.95  # cos(14deg)=0.970 >= tau, cos(28deg)=0.883 < tau
+    pw = {r.vec_id for r in semantic_dedup(
+        df, centroids=centroids, tau=tau).collect() if r.kept}
+    cc = {r.vec_id for r in semantic_dedup(
+        df, centroids=centroids, tau=tau, policy="components").collect() if r.kept}
+    # pairwise: 1 (the middle, most centroid-similar) is dominated by
+    # both endpoints; 0 and 2 have no dominating >=tau neighbor
+    assert pw == {0, 2}
+    # components: {0,1,2} is one component -> exactly one keeper, the
+    # least-centroid-similar member (0 or 2; ids break the exact tie
+    # only if sims tie exactly)
+    assert len(cc) == 1 and cc <= {0, 2}
