@@ -1264,6 +1264,11 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     skewed clusters split under AQE skew-join like any keyed self-join.
     No global window, no driver-side pair loop; the only collect is the
     k-row centroid seed (or none, when centroids are passed in).
+
+    The literal-argmax assignment is the deterministic, oracle-checkable
+    lane and caps out around a few hundred centroids (k*dim literal
+    leaves are Catalyst-visible). For production cluster counts use
+    ``semantic_dedup_indexed`` over a built/persisted IVF index.
     """
     from deeplake_spark.io import ensure_parallelism
 
@@ -1271,6 +1276,42 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
         centroids = seed_centroids(df, vec_col, id_col, k=n_clusters)
     assigned = assign_to_centroids_cosine(
         ensure_parallelism(df), vec_col, centroids)
+    return _prune_semantic_dups(assigned, vec_col, id_col, tau, policy)
+
+
+def semantic_dedup_indexed(index: IVFIndex, tau: float = 0.95,
+                           policy: str = "pairwise") -> DataFrame:
+    """SemDeDup over a built/persisted IVF index — the production-scale
+    lane of ``semantic_dedup``. The cluster step is the index's own
+    k-means assignment (the paper's actual clustering); centroid_sim is
+    ONE cosine per row against the broadcast-joined centroid (no k-wide
+    argmax, no literal centroids in the plan), so cluster counts scale
+    to the paper's 50k+ while the pruning machinery stays identical to
+    the literal lane (same keeper rule, same policies — pinned shared).
+
+    Returns (id_col, vec_col, cluster, centroid_sim, kept)."""
+    spark = index.assignments.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in index.centroids],
+        "cluster int, __cv array<double>")
+    vec = F.col(index.vec_col).cast("array<double>")
+    csim = dot(vec, F.col("__cv")) / F.nullif(
+        l2_norm(vec) * l2_norm(F.col("__cv")), F.lit(0.0))
+    assigned = (
+        index.assignments
+        .join(F.broadcast(cent), "cluster")
+        .withColumn("centroid_sim", csim)
+        .drop("__cv")
+    )
+    return _prune_semantic_dups(
+        assigned, index.vec_col, index.id_col, tau, policy)
+
+
+def _prune_semantic_dups(assigned: DataFrame, vec_col: str, id_col: str,
+                         tau: float, policy: str) -> DataFrame:
+    """Shared within-cluster >=tau pruning for both semantic_dedup
+    lanes: input must carry ``cluster`` and ``centroid_sim``; adds
+    ``kept``."""
     members = assigned.select(
         F.col(id_col).alias("__id"),
         F.col("cluster").alias("__cl"),

@@ -818,3 +818,45 @@ def test_semantic_dedup_chain_policies_differ_as_documented(spark):
     # least-centroid-similar member (0 or 2; ids break the exact tie
     # only if sims tie exactly)
     assert len(cc) == 1 and cc <= {0, 2}
+
+
+def test_semantic_dedup_indexed_lane(spark):
+    """The IVF-backed lane shares the pruning machinery: on a manually
+    built index (known centroids + assignments) it applies the same
+    keeper rule; on a real build_ivf index, exact duplicate vectors
+    always share a cluster, so exactly one of each planted pair
+    survives (smaller id on the exact centroid_sim tie)."""
+    import random
+
+    from deeplake_spark.operators.similarity import (
+        IVFIndex,
+        build_ivf,
+        semantic_dedup_indexed,
+    )
+
+    # manual index: two clusters, one >=tau pair in cluster 0
+    asg = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, cluster int")
+    idx = IVFIndex(assignments=asg,
+                   centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                   vec_col="embedding", id_col="vec_id")
+    out = {r.vec_id: r for r in semantic_dedup_indexed(idx, tau=0.99).collect()}
+    assert not out[0].kept and out[2].kept and out[1].kept
+
+    # real kmeans index over planted exact copies
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i < 20:
+            rows.append((1000 + i, list(v)))  # exact copy
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    built = build_ivf(df, "embedding", "vec_id", n_clusters=8, seed=5)
+    got = {r.vec_id: r for r in
+           semantic_dedup_indexed(built, tau=0.999999).collect()}
+    for i in range(20):
+        # identical vectors share a k-means cell; exact tie -> min id kept
+        assert got[i].kept and not got[1000 + i].kept
+    assert all(got[i].kept for i in range(20, 60))

@@ -631,6 +631,72 @@ def ann_section(spark):
     return out
 
 
+def semdedup_section(spark):
+    """SemDeDup cost model: pair work is O(sum cluster_size^2), so the
+    operator scales LINEARLY only when the cluster count grows with the
+    corpus (constant cluster size — the paper runs 50k clusters on
+    LAION-440M for exactly this reason). Measures the indexed lane's
+    pruning machinery at x1/x8/x64 with corpus-proportional cluster
+    counts (~100 rows/cluster; expect ~K, linear), and the FIXED-k trap
+    arm at x8 with the x1 cluster count (cluster size 8x -> ~8x pair
+    work per row on 8x rows: expect ~K^2-ish growth).
+
+    Clusters are hash-assigned (uniform, constant size by construction)
+    so the probe isolates the pair/prune machinery from the k-means fit
+    — fit cost scaling is the IVF-build section's own measurement.
+    Real skewed clusters split under AQE skew-join (skew section).
+    Replicas carry hash-pseudo-random per-element noise (the ANN
+    section's protocol), so >=tau pairs stay rare and the timing
+    measures pair evaluation, not a planted-duplicate pathology."""
+    from deeplake_spark.operators.similarity import (
+        IVFIndex, semantic_dedup_indexed)
+
+    def build(kk: int) -> str:
+        emb_src = os.path.join(TESTDATA, "embeddings.parquet")
+        path = os.path.join(WORK, f"sdemb_x{kk}.parquet")
+        base = spark.read.parquet(emb_src)
+        reps = spark.range(kk).withColumnRenamed("id", "rep")
+        (base.crossJoin(reps)
+         .select(
+             (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+             F.expr(
+                 "transform(embedding, (x, i) -> cast(x as double) + "
+                 "0.15 * (pmod(hash(vec_id, rep, i), 2001) - 1000) "
+                 "/ 1000.0)").alias("embedding"))
+         .repartition(max(8, kk // 8))
+         .write.mode("overwrite").parquet(path))
+        return path
+
+    def timed(path: str, nlist: int, n=2):
+        d = spark.read.parquet(path)
+        cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(
+            d.orderBy("vec_id").select("embedding").limit(nlist).collect())]
+        asg = d.withColumn("cluster",
+                           F.pmod(F.hash("vec_id"), F.lit(nlist)).cast("int"))
+        idx = IVFIndex(assignments=asg, centroids=cents,
+                       vec_col="embedding", id_col="vec_id")
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            (semantic_dedup_indexed(idx, tau=0.95)
+             .write.mode("overwrite").format("noop").save())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    base_n = spark.read.parquet(
+        os.path.join(TESTDATA, "embeddings.parquet")).count()
+    out = {"base_rows": base_n, "cluster_rows_target": 100}
+    paths = {kk: build(kk) for kk in (1, 8, 64)}
+    for kk in (1, 8, 64):
+        nlist = max(4, (base_n * kk) // 100)
+        out[f"t_x{kk}_scaledk"] = timed(paths[kk], nlist)
+        out[f"nlist_x{kk}"] = nlist
+    # fixed-k trap: x8 corpus with the x1 cluster count
+    out["t_x8_fixedk"] = timed(paths[8], max(4, base_n // 100))
+    return out
+
+
 def _heap_gb(spec: str) -> float | None:
     """'48g' / '8192m' / '2gb' / '8192' → GiB; None when unparseable
     (the guard then skips rather than exiting spuriously). A bare
@@ -679,6 +745,8 @@ def main() -> None:
     # --sections ops,skew,gate,ann — iterate on one section without
     # paying for the others (the full MD rewrite needs all four)
     sections = {"ops", "skew", "gate", "ann"}
+    # semdedup runs only on request (--sections semdedup): its corpus
+    # replication is independent of the main K ladder
     if "--sections" in sys.argv:
         sections = set(
             sys.argv[sys.argv.index("--sections") + 1].split(","))
@@ -731,8 +799,10 @@ def main() -> None:
         gate = gate_section(spark, k)
     if "ann" in sections:
         ann = ann_section(spark)
+    semdedup = semdedup_section(spark) if "semdedup" in sections else None
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
-                      "gate": gate, "ann": ann}, indent=1))
+                      "gate": gate, "ann": ann, "semdedup": semdedup},
+                     indent=1))
 
     out_md = None
     if "--out" in sys.argv:
