@@ -308,3 +308,116 @@ def temperature_mixture(df: DataFrame, domain_col: str, alpha: float,
         F.col("__rate").alias("keep_rate"),
     )
     return kept, rates_out
+
+
+def gumbel_key(id_col: str, salt: str) -> Column:
+    """Deterministic standard-Gumbel draw from the md5 uniform:
+    -ln(-ln(u)) with u = (md5_32bits + 0.5) / 2^32, strictly inside
+    (0, 1) so neither ln can hit 0/inf. Engine-portable like
+    ``md5_uniform`` (DuckDB computes the identical double). Adding it
+    to a log-weight and taking the top-k is the Gumbel-top-k trick:
+    sampling WITHOUT replacement proportional to the (exponentiated)
+    weights, as one TakeOrderedAndProject — no RNG, no state, no
+    sequential pass."""
+    bits = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit("#"), F.lit(salt))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (bits + F.lit(0.5)) / F.lit(float(1 << 32))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 1024, k: int = 100,
+                seed: int = 0, salt: str = "dsir") -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): select raw-corpus examples whose hashed
+    bag-of-bigrams distribution looks like a (small) target domain.
+    Beyond-reference LLM-pipeline operator.
+
+      1. featurize: each bigram hashes into one of ``n_buckets``
+         (portable md5-int60, the d09/d10 convention);
+      2. fit: bucket unigram-of-bigrams distributions for target and
+         raw, add-0.5 smoothed;
+      3. weight: per raw doc, log importance weight = sum over its
+         bigrams of ln(p_target[b] / p_raw[b]);
+      4. resample: Gumbel-top-k on the log weight (``gumbel_key``) =
+         sampling without replacement proportional to the importance
+         weight, deterministic under ``salt``.
+
+    Scale shape: two corpus passes (one over target, one over raw —
+    the weights join reuses the raw bigram pass lineage), both ending
+    in a <= n_buckets-row aggregate; the per-bucket log-ratio table and
+    the 1-row totals are broadcast (no corpus shuffle before the
+    per-doc aggregate); selection is one TakeOrderedAndProject. Docs
+    with fewer than two tokens have no features and are not selected
+    (the paper's featurization is undefined there).
+
+    Returns (id_col, n_bigrams, logw, gkey) for the k selected docs,
+    highest key first. Oracle discipline: per-bigram log-ratios
+    accumulate as DECIMAL(38,6) (order-independent sum), emitted
+    values round to 6; the ORDER BY key is the ROUNDED key with the
+    id as tiebreaker, so selection is engine-exact.
+    """
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    def buckets(df: DataFrame) -> DataFrame:
+        d = ensure_parallelism(df).select(
+            F.col(id_col).alias("__doc"), tokenize(F.col(text_col)).alias("__t"))
+        n = F.size("__t") - 1
+        rows = (
+            d.select(
+                "__doc", "__t",
+                F.explode_outer(
+                    F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
+            .filter(F.col("__i").isNotNull())
+        )
+        bg = F.concat(F.element_at("__t", F.col("__i")), F.lit(" "),
+                      F.element_at("__t", F.col("__i") + 1))
+        return rows.select(
+            "__doc", (_md5_int60(bg, seed) % n_buckets).alias("__b"))
+
+    raw_bg = buckets(raw)
+    tgt_c = buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    raw_c = raw_bg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    # totals as broadcast 1-row aggregates OVER THE BUCKET TABLES
+    # (<= n_buckets rows) — no extra corpus pass, no driver action
+    tgt_tot = tgt_c.agg(F.sum("__ct").alias("__tt"))
+    raw_tot = raw_c.agg(F.sum("__cr").alias("__tr"))
+    half_b = float(0.5 * n_buckets)
+    ratio = (
+        raw_c.join(tgt_c, "__b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "__b",
+            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(0.5))
+                   / (F.col("__tt") + F.lit(half_b)))
+             - F.log((F.col("__cr") + F.lit(0.5))
+                     / (F.col("__tr") + F.lit(half_b)))).alias("__lr"),
+        )
+    )
+    weights = (
+        raw_bg.join(F.broadcast(ratio), "__b")
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("__lr").cast("decimal(38,6)")).alias("__lw"),
+        )
+    )
+    logw = F.col("__lw").cast("double")
+    key = logw + gumbel_key("__doc", salt)
+    return (
+        weights.select(
+            F.col("__doc").alias(id_col),
+            "n_bigrams",
+            F.round(logw, 6).alias("logw"),
+            F.round(key, 6).alias("gkey"),
+        )
+        .orderBy(F.desc("gkey"), id_col)
+        .limit(k)
+    )

@@ -1526,3 +1526,62 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t30_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             (CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1] || '#0'),
+                    1, 15)) AS UBIGINT) % 1024) AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      WHERE len(t) >= 2
+    ),
+    tgtc AS (SELECT b, COUNT(*) AS ct FROM bg
+             WHERE source IN ('src0', 'src1') GROUP BY b),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM bg GROUP BY b),
+    tot AS (SELECT (SELECT SUM(ct) FROM tgtc) AS tt,
+                   (SELECT SUM(cr) FROM rawc) AS tr),
+    ratio AS (
+      SELECT r.b,
+             ln((COALESCE(t.ct, 0) + 0.5) / (tot.tt + 512.0))
+             - ln((r.cr + 0.5) / (tot.tr + 512.0)) AS lr
+      FROM rawc r LEFT JOIN tgtc t ON r.b = t.b CROSS JOIN tot
+    ),
+    w AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(CAST(lr AS DECIMAL(38,6))) AS lw
+      FROM bg JOIN ratio ON bg.b = ratio.b GROUP BY bg.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_bigrams, CAST(lw AS DOUBLE) AS logw,
+             CAST(lw AS DOUBLE) + (-ln(-ln(
+               (CAST(('0x' || substr(md5(doc_id || '#dsir'), 1, 8))
+                     AS UBIGINT) + 0.5) / 4294967296.0))) AS gk
+      FROM w
+    )
+    SELECT doc_id, n_bigrams, ROUND(logw, 6) AS logw,
+           ROUND(gk, 6) AS gkey
+    FROM keyed ORDER BY gkey DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR data selection (Xie et al. 2023): hashed bag-of-bigrams "
+    "importance weights ln(p_target/p_raw) over 1024 md5-portable "
+    "buckets (target domain: source src0/src1), Gumbel-top-k resample "
+    "(sampling w/o replacement proportional to importance, from the "
+    "same md5-uniform primitive as assign_splits — no RNG). Two corpus "
+    "passes + <=1024-row broadcast ratio/totals; selection is one "
+    "TakeOrderedAndProject. Per-bigram log-ratios sum as "
+    "DECIMAL(38,6) (order-independent); ORDER BY uses the ROUNDED "
+    "key + doc_id tiebreak so the selected set is engine-exact.",
+    tags=("text", "sampling", "selection"),
+)
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_select(d, target, k=50, n_buckets=1024, seed=0, salt="dsir")

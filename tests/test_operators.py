@@ -860,3 +860,35 @@ def test_semantic_dedup_indexed_lane(spark):
         # identical vectors share a k-means cell; exact tie -> min id kept
         assert got[i].kept and not got[1000 + i].kept
     assert all(got[i].kept for i in range(20, 60))
+
+
+def test_dsir_select_enriches_target_like_docs(spark):
+    """DSIR importance resampling must overwhelmingly select raw docs
+    whose bigram distribution matches the target domain: two disjoint
+    vocabularies, target drawn from vocab A -> selected set is
+    dominated by A-vocab docs; selection is salt-deterministic."""
+    import random
+
+    from deeplake_spark.operators.sampling import dsir_select
+
+    rng = random.Random(7)
+    va = [f"alpha{i}" for i in range(30)]
+    vb = [f"beta{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        vocab = va if i < 100 else vb
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join(rng.choice(va) for _ in range(30)))
+         for i in range(40)], "doc_id long, text string")
+    sel = dsir_select(raw, target, k=50, salt="s1")
+    ids = [r.doc_id for r in sel.collect()]
+    assert len(ids) == 50
+    frac_a = sum(1 for i in ids if i < 100) / 50
+    assert frac_a >= 0.9, f"only {frac_a:.0%} of selected docs are target-like"
+    # deterministic under the same salt, different under another
+    again = [r.doc_id for r in dsir_select(raw, target, k=50, salt="s1").collect()]
+    assert again == ids
+    other = [r.doc_id for r in dsir_select(raw, target, k=50, salt="s2").collect()]
+    assert other != ids

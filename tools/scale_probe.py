@@ -113,6 +113,9 @@ def probes(reg):
         # repetition metrics
         "t28_tfidf_keywords",
         "t29_repetition_metrics",
+        # round-10: DSIR importance resampling (two tokenize passes +
+        # broadcast ratio join + Gumbel top-k)
+        "t30_dsir_selection",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
