@@ -1312,3 +1312,116 @@ def mesh_stats(df: DataFrame, payload_col: str = "mesh",
             yield out
 
     return df.mapInPandas(stats, out_schema)
+
+
+# ------------------------------------------------------- perceptual hash
+
+
+def _phash_one(a: np.ndarray, hash_size: int = 8,
+               highfreq_factor: int = 4) -> list[int]:
+    """64-bit perceptual hash of one decoded image: grayscale →
+    nearest-resize to (hash_size*highfreq_factor)² → orthonormal 2-D
+    DCT-II (numpy matrix product, the _jpeg.py construction at NxN) →
+    top-left hash_size² low-frequency block → bit per coefficient
+    above the block median (the classic pHash recipe). Returns the
+    bit list, MSB-first row-major."""
+    n = hash_size * highfreq_factor
+    g = a.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    sy = np.minimum(np.arange(n) * h // n, h - 1)
+    sx = np.minimum(np.arange(n) * w // n, w - 1)
+    g = g[sy][:, sx]
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    low = (m @ g @ m.T)[:hash_size, :hash_size].ravel()
+    med = np.median(low)
+    return [int(x > med) for x in low]
+
+
+def _pack_bits_signed(bits: list[int]) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | (b & 1)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_images(df: DataFrame, payload_col: str = "image",
+                 compression: str = "png", strict: bool = False,
+                 hash_size: int = 8, highfreq_factor: int = 4) -> DataFrame:
+    """Perceptual image hashing inside the decode batch (no pixel
+    materialization in the plan): adds ``phash_bits``
+    (array<int>, hash_size² sign bits — the banding/verify input) and
+    ``phash`` (the bits packed into one signed 64-bit long — the
+    storage/equality form). The content-based image near-dup primitive
+    of a multimodal training pipeline; resolution changes, recompress,
+    and small edits move only a few bits."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", phash_bits array<int>, phash long"
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bits = [
+                _phash_one(_decode_one(p, compression, strict),
+                           hash_size, highfreq_factor)
+                for p in pdf[payload_col]
+            ]
+            out = pdf[keep].copy()
+            out["phash_bits"] = bits
+            out["phash"] = [_pack_bits_signed(b) for b in bits]
+            yield out
+
+    return df.mapInPandas(ph, out_schema)
+
+
+def image_near_dup_pairs(df: DataFrame, payload_col: str = "image",
+                         id_col: str = "img_id", compression: str = "png",
+                         strict: bool = False, max_hamming: int = 6,
+                         bands: int = 8) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual hash — pHash →
+    band the 64 bits into ``bands`` buckets → bucket-join candidates →
+    exact Hamming verify (pure JVM on the bit arrays). EXACT for
+    ``max_hamming < bands`` by pigeonhole: a pair differing in h bits
+    has some all-equal band whenever h < bands, so every true pair
+    collides in at least one bucket — recall 1 with candidate volume
+    proportional to true collisions, the near_dup_pairs_lsh shape with
+    a provable (not probabilistic) guarantee. Returns (a, b, hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
+            "for the exactness guarantee — raise bands instead")
+    from deeplake_spark.functions.vector import hamming_distance
+    from deeplake_spark.operators.similarity import _band_hash_array
+
+    hashed = phash_images(df, payload_col, compression, strict).select(
+        F.col(id_col), F.col("phash_bits"))
+    rows = 64 // bands
+    banded = hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            _band_hash_array(bands, rows, "phash_bits")).alias("band", "bh"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ha = hashed.select(F.col(id_col).alias("a"),
+                       F.col("phash_bits").alias("__ba"))
+    hb = hashed.select(F.col(id_col).alias("b"),
+                       F.col("phash_bits").alias("__bb"))
+    ham = hamming_distance(F.col("__ba"), F.col("__bb"))
+    return (
+        cands.join(ha, "a").join(hb, "b")
+        .filter(ham <= max_hamming)
+        .select("a", "b", ham.cast("int").alias("hamming"))
+    )

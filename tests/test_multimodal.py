@@ -1274,3 +1274,83 @@ def test_video_out_of_subset_jpeg_falls_back_not_raises():
             _video_frames(bytes(clip), every_n=1, strict=True)
         lax = _video_frames(bytes(clip), every_n=4, strict=False)
         assert [i for i, _ in lax] == [0, 4]   # deterministic fake clip
+
+
+def _ppm(pix):
+    import numpy as np
+    a = np.asarray(pix, dtype=np.uint8)
+    return bytearray(b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes())
+
+
+def test_phash_invariances(spark):
+    """pHash: identical pixels → identical hash; nearest-upscale (the
+    hash resizes both to the same grid) → identical; small local edit →
+    few bits move; unrelated images → many bits differ."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import phash_images
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (16, 16, 3))
+    up = base.repeat(2, axis=0).repeat(2, axis=1)       # 2x nearest upscale
+    # recompress-like perturbation: small zero-mean noise everywhere
+    edited = np.clip(base + rng.integers(-8, 9, base.shape), 0, 255)
+    other = rng.integers(0, 256, (16, 16, 3))
+    df = spark.createDataFrame(
+        [(0, _ppm(base)), (1, _ppm(base)), (2, _ppm(up)),
+         (3, _ppm(edited)), (4, _ppm(other))],
+        "img_id long, image binary")
+    got = {r.img_id: (list(r.phash_bits), r.phash) for r in
+           phash_images(df, "image", compression="ppm", strict=True).collect()}
+    ham = lambda x, y: sum(a != b for a, b in zip(got[x][0], got[y][0]))
+    assert got[0] == got[1]
+    assert ham(0, 2) == 0          # scale-invariant on the DCT grid
+    assert ham(0, 3) <= 10         # recompress-like noise moves few bits
+    assert ham(0, 4) >= 20         # unrelated content is far
+    assert got[0][1] != got[4][1]  # packed longs differ too
+
+
+def test_image_near_dup_pairs_exact_vs_bruteforce(spark):
+    """Banded pHash near-dup is EXACT for max_hamming < bands
+    (pigeonhole): operator pairs == brute-force Hamming<=6 pairs over
+    planted perturbed copies + randoms."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        image_near_dup_pairs, phash_images)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for i in range(24):
+        base = rng.integers(0, 256, (16, 16, 3))
+        rows.append((vid, _ppm(base))); vid += 1
+        if i % 3 == 0:  # plant a lightly edited copy
+            pert = base.copy()
+            pert[:2, :2] = rng.integers(0, 256, (2, 2, 3))
+            rows.append((vid, _ppm(pert))); vid += 1
+    df = spark.createDataFrame(rows, "img_id long, image binary").repartition(4)
+    got = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        df, "image", "img_id", compression="ppm", strict=True,
+        max_hamming=6).collect()}
+    bits = {r.img_id: list(r.phash_bits) for r in
+            phash_images(df, "image", compression="ppm", strict=True).collect()}
+    ids = sorted(bits)
+    brute = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = sum(p != q for p, q in zip(bits[ids[x]], bits[ids[y]]))
+            if h <= 6:
+                brute[(ids[x], ids[y])] = h
+    assert got == brute
+    assert len(brute) >= 4  # the planted copies are really near-dups
+
+
+def test_image_near_dup_rejects_unguaranteed_threshold(spark):
+    import pytest as _pytest
+
+    from deeplake_spark.operators.multimodal import image_near_dup_pairs
+
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "img_id long, image binary")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        image_near_dup_pairs(df, max_hamming=8, bands=8)
