@@ -1392,36 +1392,89 @@ def image_near_dup_pairs(df: DataFrame, payload_col: str = "image",
     proportional to true collisions, the near_dup_pairs_lsh shape with
     a provable (not probabilistic) guarantee. Returns (a, b, hamming).
     """
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
-            "for the exactness guarantee — raise bands instead")
-    from deeplake_spark.functions.vector import hamming_distance
-    from deeplake_spark.operators.similarity import _band_hash_array
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
 
-    hashed = phash_images(df, payload_col, compression, strict).select(
-        F.col(id_col), F.col("phash_bits"))
-    rows = 64 // bands
-    banded = hashed.select(
-        F.col(id_col),
-        F.posexplode(
-            _band_hash_array(bands, rows, "phash_bits")).alias("band", "bh"),
-    )
-    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
-    cands = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    ha = hashed.select(F.col(id_col).alias("a"),
-                       F.col("phash_bits").alias("__ba"))
-    hb = hashed.select(F.col(id_col).alias("b"),
-                       F.col("phash_bits").alias("__bb"))
-    ham = hamming_distance(F.col("__ba"), F.col("__bb"))
-    return (
-        cands.join(ha, "a").join(hb, "b")
-        .filter(ham <= max_hamming)
-        .select("a", "b", ham.cast("int").alias("hamming"))
-    )
+    hashed = phash_images(df, payload_col, compression, strict)
+    return bits_near_dup_pairs(hashed, "phash_bits", id_col,
+                               max_hamming=max_hamming, bands=bands)
+
+
+# -------------------------------------------------- audio fingerprint
+
+
+def _audio_sig_one(x: np.ndarray, t_cells: int = 8, f_cells: int = 8) -> list[int]:
+    """64-bit spectral fingerprint of one waveform: peak-normalize,
+    split into ``t_cells`` time segments, rfft magnitude per segment
+    binned into ``f_cells``+1 log-spaced frequency bands, bit[t,f] =
+    band f louder than band f+1 (the Haitsma–Kalker spectral-slope
+    sign, per time cell). Slope signs compare adjacent log energies,
+    so uniform gain cancels exactly and — unlike a global median
+    threshold, which degenerates to ~f_cells effective bits on
+    STATIONARY clips (every time column identical, half the grid above
+    the median by construction) — the bits encode the spectrum SHAPE
+    in every time cell."""
+    n = len(x)
+    cells = np.zeros((t_cells, f_cells + 1))
+    if n >= t_cells * 2:
+        x = x.astype(np.float64)
+        peak = np.max(np.abs(x))
+        if peak > 0:
+            x = x / peak
+        seg = n // t_cells
+        for t in range(t_cells):
+            mag = np.abs(np.fft.rfft(x[t * seg:(t + 1) * seg]))[1:]
+            if len(mag) < f_cells + 1:
+                mag = np.pad(mag, (0, f_cells + 1 - len(mag)))
+            # log-spaced band edges emphasize the low end like a mel scale
+            edges = np.unique(np.geomspace(1, len(mag), f_cells + 2)
+                              .astype(int))
+            while len(edges) < f_cells + 2:
+                edges = np.append(edges, edges[-1] + 1)
+            for f in range(f_cells + 1):
+                lo, hi = edges[f], max(edges[f + 1], edges[f] + 1)
+                cells[t, f] = np.log1p(mag[lo - 1:hi - 1].sum())
+    return [int(cells[t, f] > cells[t, f + 1])
+            for t in range(t_cells) for f in range(f_cells)]
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "audio",
+                      compression: str = "wav",
+                      strict: bool = False) -> DataFrame:
+    """Audio fingerprinting inside the decode batch: adds ``afp_bits``
+    (array<int>, 64 time-frequency sign bits) and ``afp`` (packed
+    signed long). Peak normalization + the median threshold undo
+    uniform gain exactly on the waveform; through an integer re-encode
+    the quantization noise moves at most a few near-median bits (same
+    class as re-encode noise) — the content-based audio near-dup
+    primitive."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", afp_bits array<int>, afp long"
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bits = [
+                _audio_sig_one(_audio_waveform(p, compression, strict))
+                for p in pdf[payload_col]
+            ]
+            out = pdf[keep].copy()
+            out["afp_bits"] = bits
+            out["afp"] = [_pack_bits_signed(b) for b in bits]
+            yield out
+
+    return df.mapInPandas(fp, out_schema)
+
+
+def audio_near_dup_pairs(df: DataFrame, payload_col: str = "audio",
+                         id_col: str = "clip_id", compression: str = "wav",
+                         strict: bool = False, max_hamming: int = 6,
+                         bands: int = 8) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprint → the shared
+    banded-bits engine (`similarity.bits_near_dup_pairs` — exact for
+    max_hamming < bands). Returns (a, b, hamming)."""
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
+
+    hashed = audio_fingerprint(df, payload_col, compression, strict)
+    return bits_near_dup_pairs(hashed, "afp_bits", id_col,
+                               max_hamming=max_hamming, bands=bands)

@@ -1380,3 +1380,47 @@ def _prune_semantic_dups(assigned: DataFrame, vec_col: str, id_col: str,
         .withColumn("kept", F.col("__dropped").isNull())
         .drop("__dropped")
     )
+
+
+def bits_near_dup_pairs(hashed: DataFrame, bits_col: str, id_col: str,
+                        max_hamming: int, bands: int,
+                        nbits: int = 64) -> DataFrame:
+    """Generic banded bit-signature near-dup: band ``nbits`` sign bits
+    into ``bands`` bucket hashes → bucket-join candidates → exact
+    Hamming verify (pure JVM). EXACT for ``max_hamming < bands`` by
+    pigeonhole — a pair differing in h < bands bits always shares an
+    all-equal band, so recall is 1 (guaranteed, not probabilistic)
+    while candidate volume tracks true collisions. The shared engine
+    behind image (pHash) and audio (spectral fingerprint) near-dup.
+    Returns (a, b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
+            "for the exactness guarantee — raise bands instead")
+    if nbits % bands:
+        raise ValueError(f"nbits={nbits} must divide into bands={bands}")
+    from deeplake_spark.functions.vector import hamming_distance
+
+    base = hashed.select(F.col(id_col), F.col(bits_col))
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode(
+            _band_hash_array(bands, nbits // bands, bits_col)
+        ).alias("band", "bh"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ha = base.select(F.col(id_col).alias("a"), F.col(bits_col).alias("__ba"))
+    hb = base.select(F.col(id_col).alias("b"), F.col(bits_col).alias("__bb"))
+    ham = hamming_distance(F.col("__ba"), F.col("__bb"))
+    return (
+        cands.join(ha, "a").join(hb, "b")
+        .filter(ham <= max_hamming)
+        .select("a", "b", ham.cast("int").alias("hamming"))
+    )

@@ -1354,3 +1354,52 @@ def test_image_near_dup_rejects_unguaranteed_threshold(spark):
     df = spark.createDataFrame([(0, bytearray(b"x"))], "img_id long, image binary")
     with _pytest.raises(ValueError, match="max_hamming"):
         image_near_dup_pairs(df, max_hamming=8, bands=8)
+
+
+def _wav(samples, rate=8000):
+    import io
+    import struct as st
+    import wave as _wave
+
+    import numpy as np
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(rate)
+        a = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("<i2")
+        wf.writeframes(a.tobytes())
+    return bytearray(buf.getvalue())
+
+
+def test_audio_fingerprint_invariances(spark):
+    """Spectral fingerprint: identical → identical; uniform gain →
+    within near-dup range (peak normalization undoes the gain exactly;
+    the int16 WAV round trip re-quantizes, flipping a few
+    near-median bits); light noise → few bits; different frequency
+    content → far."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import audio_near_dup_pairs, audio_fingerprint
+
+    rng = np.random.default_rng(5)
+    t = np.arange(8000) / 8000.0
+    tone = (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1320 * t)
+            + 0.2 * np.sin(2 * np.pi * 220 * t * (1 + t)))
+    noisy = tone + rng.normal(0, 0.01, tone.shape)
+    other = np.sin(2 * np.pi * 2937 * t) + rng.normal(0, 0.3, t.shape)
+    df = spark.createDataFrame(
+        [(0, _wav(tone)), (1, _wav(tone)), (2, _wav(tone * 0.25)),
+         (3, _wav(noisy)), (4, _wav(other))],
+        "clip_id long, audio binary")
+    got = {r.clip_id: (list(r.afp_bits), r.afp) for r in
+           audio_fingerprint(df, "audio", compression="wav",
+                             strict=True).collect()}
+    ham = lambda x, y: sum(a != b for a, b in zip(got[x][0], got[y][0]))
+    assert got[0] == got[1]
+    assert ham(0, 2) <= 6          # gain-invariant up to i16 re-quantization
+    assert ham(0, 3) <= 8          # light noise moves few bits
+    assert ham(0, 4) >= 16         # different content is far
+    pairs = {(r.a, r.b): r.hamming for r in audio_near_dup_pairs(
+        df, "audio", "clip_id", compression="wav", strict=True,
+        max_hamming=6).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 4) not in pairs and (1, 4) not in pairs
