@@ -1478,3 +1478,55 @@ def audio_near_dup_pairs(df: DataFrame, payload_col: str = "audio",
     hashed = audio_fingerprint(df, payload_col, compression, strict)
     return bits_near_dup_pairs(hashed, "afp_bits", id_col,
                                max_hamming=max_hamming, bands=bands)
+
+
+def video_fingerprint(df: DataFrame, payload_col: str = "video",
+                      every_n: int = 5, strict: bool = False) -> DataFrame:
+    """Video fingerprinting inside the decode batch: sample every
+    ``every_n``-th frame (the sample_video_frames path), pHash each
+    sampled frame, majority-vote the 64 bit positions across frames
+    into one clip signature (``vfp_bits`` array<int> + ``vfp`` long).
+    Majority pooling makes the signature stable under re-encode noise
+    and small frame drops/offsets — per-frame hashes vote, so a
+    minority of disturbed frames cannot flip a bit position that the
+    rest of the clip agrees on. Clips that decode to zero frames
+    fingerprint as all-zero bits."""
+    keep = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_schema += ", n_frames_hashed int, vfp_bits array<int>, vfp long"
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nfs, bits_col, packed = [], [], []
+            for p in pdf[payload_col]:
+                frames = _video_frames(p, every_n, strict)
+                votes = np.zeros(64)
+                for _, frame in frames:
+                    votes += np.array(_phash_one(frame))
+                nf = len(frames)
+                bits = [int(v * 2 > nf) for v in votes]  # strict majority
+                nfs.append(nf)
+                bits_col.append(bits)
+                packed.append(_pack_bits_signed(bits))
+            out = pdf[keep].copy()
+            out["n_frames_hashed"] = nfs
+            out["vfp_bits"] = bits_col
+            out["vfp"] = packed
+            yield out
+
+    return df.mapInPandas(fp, out_schema)
+
+
+def video_near_dup_pairs(df: DataFrame, payload_col: str = "video",
+                         id_col: str = "clip_id", every_n: int = 5,
+                         strict: bool = False, max_hamming: int = 6,
+                         bands: int = 8) -> DataFrame:
+    """Video near-duplicate pairs: majority-pooled frame pHash → the
+    shared banded-bits engine (exact for max_hamming < bands).
+    Returns (a, b, hamming)."""
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
+
+    hashed = video_fingerprint(df, payload_col, every_n, strict)
+    return bits_near_dup_pairs(hashed, "vfp_bits", id_col,
+                               max_hamming=max_hamming, bands=bands)

@@ -1403,3 +1403,46 @@ def test_audio_fingerprint_invariances(spark):
         max_hamming=6).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs
     assert (0, 4) not in pairs and (1, 4) not in pairs
+
+
+def test_video_fingerprint_and_near_dup(spark):
+    """Majority-pooled frame pHash: identical clips match; a
+    frame-dropped re-edit (every other frame) stays within near-dup
+    range; a clip of unrelated frames is far. Pairs via the shared
+    banded engine."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        encode_dib_avi, video_fingerprint, video_near_dup_pairs)
+
+    rng = np.random.default_rng(9)
+
+    def textured(seed, t):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, 256, (16, 16, 3))
+        out = base.copy()
+        out[t % 16, :, :] = 255  # a moving stripe so frames differ
+        return out.astype(np.uint8)
+
+    frames = [textured(1, t) for t in range(12)]
+    clip = encode_dib_avi(frames, fps=4)
+    dropped = encode_dib_avi(frames[::2], fps=4)       # re-edit: half the frames
+    other = encode_dib_avi(
+        [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+         for _ in range(12)], fps=4)
+    df = spark.createDataFrame(
+        [(0, bytearray(clip)), (1, bytearray(clip)),
+         (2, bytearray(dropped)), (3, bytearray(other))],
+        "clip_id long, video binary")
+    got = {r.clip_id: (r.n_frames_hashed, list(r.vfp_bits)) for r in
+           video_fingerprint(df, "video", every_n=1, strict=True).collect()}
+    ham = lambda x, y: sum(a != b for a, b in zip(got[x][1], got[y][1]))
+    assert got[0] == got[1]
+    assert got[0][0] == 12 and got[2][0] == 6
+    assert ham(0, 2) <= 6          # frame-dropped re-edit is near
+    assert ham(0, 3) >= 16         # unrelated content is far
+    pairs = {(r.a, r.b) for r in video_near_dup_pairs(
+        df, "video", "clip_id", every_n=1, strict=True,
+        max_hamming=6).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) not in pairs
