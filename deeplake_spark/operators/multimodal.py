@@ -1343,10 +1343,18 @@ def _phash_one(a: np.ndarray, hash_size: int = 8,
 
 
 def _pack_bits_signed(bits: list[int]) -> int:
+    """Pack up to 64 bits (MSB first) into a signed 64-bit value —
+    two's complement over len(bits), so any length <= 64 fits the
+    Spark long column."""
+    n = len(bits)
+    if n > 64:
+        raise ValueError(
+            f"{n} bits cannot pack into a 64-bit long — use hash grids "
+            "of at most 64 cells, or work with the bits array directly")
     v = 0
     for b in bits:
         v = (v << 1) | (b & 1)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return v - (1 << n) if n and v >= (1 << (n - 1)) else v
 
 
 def phash_images(df: DataFrame, payload_col: str = "image",
@@ -1358,7 +1366,16 @@ def phash_images(df: DataFrame, payload_col: str = "image",
     ``phash`` (the bits packed into one signed 64-bit long — the
     storage/equality form). The content-based image near-dup primitive
     of a multimodal training pipeline; resolution changes, recompress,
-    and small edits move only a few bits."""
+    and small edits move only a few bits. ``hash_size`` is capped at 8
+    (64 bits) — a larger grid cannot pack into the long column and
+    `bits_near_dup_pairs`' pigeonhole guarantee is stated per nbits."""
+    if hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size={hash_size} gives {hash_size * hash_size} bits; "
+            "the packed phash long holds at most 64")
+    from deeplake_spark.io import ensure_parallelism
+
+    df = ensure_parallelism(df)
     keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
@@ -1441,12 +1458,15 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "audio",
                       compression: str = "wav",
                       strict: bool = False) -> DataFrame:
     """Audio fingerprinting inside the decode batch: adds ``afp_bits``
-    (array<int>, 64 time-frequency sign bits) and ``afp`` (packed
-    signed long). Peak normalization + the median threshold undo
-    uniform gain exactly on the waveform; through an integer re-encode
-    the quantization noise moves at most a few near-median bits (same
-    class as re-encode noise) — the content-based audio near-dup
-    primitive."""
+    (array<int>, 64 spectral-slope sign bits) and ``afp`` (packed
+    signed long). Slope signs compare adjacent log band energies, so
+    uniform gain cancels exactly on the waveform; through an integer
+    re-encode the quantization noise moves at most a few near-boundary
+    bits (same class as re-encode noise) — the content-based audio
+    near-dup primitive."""
+    from deeplake_spark.io import ensure_parallelism
+
+    df = ensure_parallelism(df)
     keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
@@ -1491,6 +1511,9 @@ def video_fingerprint(df: DataFrame, payload_col: str = "video",
     minority of disturbed frames cannot flip a bit position that the
     rest of the clip agrees on. Clips that decode to zero frames
     fingerprint as all-zero bits."""
+    from deeplake_spark.io import ensure_parallelism
+
+    df = ensure_parallelism(df)
     keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)

@@ -318,14 +318,14 @@ def gumbel_key(id_col: str, salt: str) -> Column:
     to a log-weight and taking the top-k is the Gumbel-top-k trick:
     sampling WITHOUT replacement proportional to the (exponentiated)
     weights, as one TakeOrderedAndProject — no RNG, no state, no
-    sequential pass."""
-    bits = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"),
-                           F.lit("#"), F.lit(salt))), 1, 8),
-        16, 10,
-    ).cast("long")
-    u = (bits + F.lit(0.5)) / F.lit(float(1 << 32))
+    sequential pass.
+
+    Reuses ``md5_uniform`` (ONE copy of the oracle-critical md5
+    spelling): md5_uniform + 2^-33 == (bits + 0.5)/2^32 exactly in
+    IEEE doubles (bits/2^32 is an exact power-of-two division and the
+    sum spans <= 33 significand bits), which is the (0,1)-open form
+    the DuckDB oracle spells directly."""
+    u = md5_uniform(id_col, salt) + F.lit(2.0 ** -33)
     return -F.log(-F.log(u))
 
 
@@ -347,13 +347,16 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
          sampling without replacement proportional to the importance
          weight, deterministic under ``salt``.
 
-    Scale shape: two corpus passes (one over target, one over raw —
-    the weights join reuses the raw bigram pass lineage), both ending
-    in a <= n_buckets-row aggregate; the per-bucket log-ratio table and
-    the 1-row totals are broadcast (no corpus shuffle before the
-    per-doc aggregate); selection is one TakeOrderedAndProject. Docs
-    with fewer than two tokens have no features and are not selected
-    (the paper's featurization is undefined there).
+    Scale shape: three tokenize passes — target once, raw TWICE (the
+    bucket-count aggregate and the weights join each re-evaluate the
+    raw bigram lineage; the bigram stream is deliberately recomputed
+    rather than pinned, since persisting it is corpus-token-sized
+    state). Each pass ends in a <= n_buckets-row aggregate or a
+    broadcast join; the per-bucket log-ratio table and the 1-row
+    totals are broadcast (no corpus shuffle before the per-doc
+    aggregate); selection is one TakeOrderedAndProject. Docs with
+    fewer than two tokens have no features and are not selected (the
+    paper's featurization is undefined there).
 
     Returns (id_col, n_bigrams, logw, gkey) for the k selected docs,
     highest key first. Oracle discipline: per-bigram log-ratios

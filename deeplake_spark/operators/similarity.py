@@ -1311,7 +1311,14 @@ def _prune_semantic_dups(assigned: DataFrame, vec_col: str, id_col: str,
                          tau: float, policy: str) -> DataFrame:
     """Shared within-cluster >=tau pruning for both semantic_dedup
     lanes: input must carry ``cluster`` and ``centroid_sim``; adds
-    ``kept``."""
+    ``kept``.
+
+    The assignment subtree is referenced three times (pair sides a/b +
+    the final output join) and deliberately RECOMPUTES rather than
+    checkpoints: it is a map-only JVM pass, and pinning it would pin
+    the embedding vectors — corpus-sized state, unlike the ~300 B/row
+    bit signatures bits_near_dup_pairs checkpoints. Three cheap scans
+    beat one corpus-sized persist at the 100 TB shape this targets."""
     members = assigned.select(
         F.col(id_col).alias("__id"),
         F.col("cluster").alias("__cl"),
@@ -1398,10 +1405,17 @@ def bits_near_dup_pairs(hashed: DataFrame, bits_col: str, id_col: str,
             f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
             "for the exactness guarantee — raise bands instead")
     if nbits % bands:
-        raise ValueError(f"nbits={nbits} must divide into bands={bands}")
+        raise ValueError(
+            f"bands={bands} must evenly divide nbits={nbits}")
     from deeplake_spark.functions.vector import hamming_distance
 
-    base = hashed.select(F.col(id_col), F.col(bits_col))
+    # the upstream hash subtree is typically an EXPENSIVE Python decode
+    # (pHash/audio/video fingerprints) and this plan references it from
+    # four places (two banded sides + two verify sides) — pin the tiny
+    # (id, nbits ints) projection once instead of decoding 3-4x. Safe
+    # at any corpus size: ~300 B/row, unlike pinning payloads/vectors.
+    base = hashed.select(F.col(id_col), F.col(bits_col)).localCheckpoint(
+        eager=False)
     banded = base.select(
         F.col(id_col),
         F.posexplode(
