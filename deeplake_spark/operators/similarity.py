@@ -1438,3 +1438,72 @@ def bits_near_dup_pairs(hashed: DataFrame, bits_col: str, id_col: str,
         .filter(ham <= max_hamming)
         .select("a", "b", ham.cast("int").alias("hamming"))
     )
+
+
+def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", label_col: str = "label",
+                          k: int = 5, index: IVFIndex | None = None,
+                          config=None) -> DataFrame:
+    """k-NN label propagation (auto-labeling): rows whose ``label_col``
+    is NULL take the MAJORITY label of their k nearest labeled
+    neighbors by cosine — the weak-supervision staple for propagating
+    a small seed of human labels over a large corpus. Beyond-reference
+    LLM-pipeline operator; composes the existing kNN machinery.
+
+    Ties break deterministically: neighbor ranking by (rounded score
+    DESC, neighbor id ASC) — the v06 convention, engine-exact — and
+    the vote by (count DESC, label ASC).
+
+    Lanes: exact (default) broadcasts the unlabeled queries against
+    the labeled corpus (the v06 batched-kNN shape — oracle-checkable);
+    pass ``index`` (an IVF index built over the LABELED subset) to
+    route through ``ivf_search_batch`` instead — one pruned corpus
+    pass for the whole query set, the corpus-scale lane (recall
+    follows the index's presets; exactness tests pin lane agreement
+    at full probe).
+
+    Returns (id_col, pred_label, votes) for the unlabeled rows.
+    """
+    labeled = df.filter(F.col(label_col).isNotNull())
+    unlabeled = df.filter(F.col(label_col).isNull())
+    queries = unlabeled.select(F.col(id_col).alias("__qid"),
+                               F.col(vec_col).alias("__qv"))
+    if index is not None:
+        neigh = (
+            ivf_search_batch(index, queries, qvec_col="__qv",
+                             qid_col="__qid", k=k, config=config)
+            .join(labeled.select(F.col(id_col),
+                                 F.col(label_col).alias("__nl")), id_col)
+            .select("__qid", "__nl")
+        )
+    else:
+        scored = (
+            labeled.crossJoin(F.broadcast(queries))
+            .select(
+                "__qid",
+                F.col(id_col),
+                F.col(label_col).alias("__nl"),
+                F.round(
+                    cosine_similarity(F.col(vec_col), F.col("__qv")), 6
+                ).alias("__score"),
+            )
+        )
+        w = Window.partitionBy("__qid").orderBy(F.desc("__score"), id_col)
+        neigh = (
+            scored.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k)
+            .select("__qid", "__nl")
+        )
+    votes = neigh.groupBy("__qid", "__nl").agg(
+        F.count(F.lit(1)).alias("__votes"))
+    vw = Window.partitionBy("__qid").orderBy(
+        F.desc("__votes"), F.col("__nl"))
+    return (
+        votes.withColumn("__vr", F.row_number().over(vw))
+        .filter(F.col("__vr") == 1)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__nl").alias("pred_label"),
+            F.col("__votes").alias("votes"),
+        )
+    )

@@ -1028,3 +1028,62 @@ def v24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "v25_knn_label_propagation",
+    oracle=f"""
+    WITH masked AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id % 5 = 0 THEN NULL ELSE label END AS label
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM masked
+          WHERE label IS NULL),
+    l AS (SELECT vec_id, embedding, label FROM masked
+          WHERE label IS NOT NULL),
+    scored AS (
+      SELECT q.qid, l.vec_id, l.label AS nl,
+             ROUND({_DUCK_COS.format(a="l.embedding", b="q.qv")}, 6) AS score
+      FROM l, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, nl, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, nl, COUNT(*) AS c FROM ranked WHERE rnk <= 5
+      GROUP BY qid, nl
+    ),
+    win AS (
+      SELECT qid, nl, c, row_number() OVER (
+        PARTITION BY qid ORDER BY c DESC, nl) AS vr
+      FROM votes
+    )
+    SELECT qid AS vec_id, CAST(nl AS INT) AS pred_label,
+           CAST(c AS BIGINT) AS votes
+    FROM win WHERE vr = 1 ORDER BY vec_id
+    """,
+    doc="k-NN label propagation (auto-labeling): every 5th row's label "
+    "is masked NULL and re-derived as the majority label of its 5 "
+    "nearest labeled neighbors by cosine (weak supervision over a "
+    "seed label set). Exact lane = the v06 batched-kNN shape "
+    "(broadcast queries, per-qid window — partitioned, not global); "
+    "both tie-breaks deterministic (rounded score DESC + id, then "
+    "votes DESC + label). The corpus-scale lane routes the same "
+    "operator through ivf_search_batch (one pruned corpus pass); "
+    "lane agreement at full probe is pinned in tests.",
+    tags=("vector", "labels", "knn"),
+)
+def v25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import knn_label_propagation
+
+    e = load_table(spark, sf_dir, "embeddings")
+    masked = e.select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("label")).alias("label"),
+    )
+    return knn_label_propagation(masked, k=5).orderBy("vec_id")

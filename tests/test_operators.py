@@ -892,3 +892,28 @@ def test_dsir_select_enriches_target_like_docs(spark):
     assert again == ids
     other = [r.doc_id for r in dsir_select(raw, target, k=50, salt="s2").collect()]
     assert other != ids
+
+
+def test_knn_label_propagation_lanes_agree(spark, sf_dir):
+    """The IVF lane of knn_label_propagation at FULL probe must predict
+    the same labels as the exact lane (index built over the labeled
+    subset only, so neighbor sets coincide)."""
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_ivf, knn_label_propagation)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    masked = e.select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("label")).alias("label"),
+    )
+    exact = {r.vec_id: (r.pred_label, r.votes)
+             for r in knn_label_propagation(masked, k=5).collect()}
+    labeled = masked.filter(F.col("label").isNotNull())
+    idx = build_ivf(labeled, "embedding", "vec_id", n_clusters=8, seed=42)
+    routed = {r.vec_id: (r.pred_label, r.votes)
+              for r in knn_label_propagation(
+                  masked, k=5, index=idx,
+                  config=SearchConfig(nprobe=8)).collect()}
+    assert routed == exact
+    assert len(exact) > 0
