@@ -175,6 +175,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     spark = df.sparkSession
     if spark.conf.get("spark.deeplake_spark.ensureParallelism", "true") == "false":
         return df
+    if df.isStreaming:
+        # no RDD probe on a streaming plan (it would throw); micro-batch
+        # sources set their own partitioning and shuffle stages re-split
+        return df
     sc = spark.sparkContext
     target = sc.defaultParallelism * factor
     try:

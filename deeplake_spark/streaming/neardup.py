@@ -163,3 +163,73 @@ def verify_pairs_exact(pairs: DataFrame, corpus: DataFrame,
         out = out.filter(j >= threshold)
     keep = [c for c in pairs.columns if c not in ("a", "b")]
     return out.select("a", "b", *keep, F.round(j, 6).alias("jaccard"))
+
+
+def stream_phash_near_dup(images, payload_col: str = "image",
+                          id_col: str = "img_id",
+                          compression: str = "png", strict: bool = False,
+                          max_hamming: int = 6, bands: int = 8,
+                          bucket_cap: int = 256) -> DataFrame:
+    """Streaming image near-dup: pHash each arriving payload (the batch
+    `multimodal.phash_images` mapInPandas runs unchanged on a
+    readStream), band the 64 bits, and keep per-(band, bucket)
+    membership in `applyInPandasWithState` — a pair is emitted the
+    moment an image lands in a bucket already holding a neighbor
+    within ``max_hamming``. Unlike the MinHash stream (estimated
+    Jaccard), verification here is EXACT: the full 64-bit signature
+    IS the state, so the emitted hamming equals the batch operator's,
+    and recall keeps the batch lane's pigeonhole guarantee
+    (max_hamming < bands). Emits (band, a, b, hamming) — distinct
+    (a, b) downstream for a unique pair set; state is bounded at
+    O(bucket_cap * 64 ints) per bucket."""
+    import pandas as pd
+
+    from deeplake_spark.operators.multimodal import phash_images
+    from deeplake_spark.operators.similarity import _band_hash_array
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
+            "for the exactness guarantee — raise bands instead")
+    hashed = phash_images(images, payload_col, compression, strict).select(
+        F.col(id_col).alias("img_id"), "phash_bits")
+    banded = hashed.select(
+        "img_id", "phash_bits",
+        F.posexplode(_band_hash_array(bands, 64 // bands, "phash_bits"))
+        .alias("band", "bh"),
+    )
+
+    out_schema = "band int, a bigint, b bigint, hamming int"
+    state_schema = "ids array<bigint>, bits array<array<int>>"
+
+    def fn(key, pdf_iter, state):
+        ids, bit_list = (list(state.get[0]), [list(b) for b in state.get[1]]) \
+            if state.exists else ([], [])
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdf_iter:
+            for img_id, bits in zip(pdf["img_id"], pdf["phash_bits"]):
+                img_id = int(img_id)
+                if img_id in ids:
+                    continue  # replay/idempotence: already a member
+                bits = [int(x) for x in bits]
+                for other_id, other_bits in zip(ids, bit_list):
+                    h = sum(x != y for x, y in zip(bits, other_bits))
+                    if h <= max_hamming:
+                        lo, hi = sorted((img_id, other_id))
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_h.append(h)
+                if len(ids) < bucket_cap:
+                    ids.append(img_id)
+                    bit_list.append(bits)
+        state.update((ids, bit_list))
+        yield pd.DataFrame({
+            "band": [int(key[0])] * len(out_a),
+            "a": out_a, "b": out_b, "hamming": out_h,
+        })
+
+    return (
+        banded.groupBy("band", "bh")
+        .applyInPandasWithState(fn, out_schema, state_schema,
+                                "append", "NoTimeout")
+    )

@@ -629,3 +629,53 @@ def test_stream_ann_output_keyed_per_window(spark, sf_dir):
     wins = sorted(by_win)
     assert [r.vec_id for r in sorted(by_win[wins[0]], key=lambda r: r.rank)] \
         == [r.vec_id for r in sorted(by_win[wins[1]], key=lambda r: r.rank)]
+
+
+def test_stream_phash_near_dup_matches_batch(spark, tmp_path):
+    """Streaming pHash near-dup: the stateful bucket operator must emit
+    exactly the batch image_near_dup_pairs pair set with IDENTICAL
+    hamming values (the 64-bit signature is the state, so verification
+    is exact, unlike the MinHash stream's estimate)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.multimodal import image_near_dup_pairs
+    from deeplake_spark.streaming.neardup import stream_phash_near_dup
+
+    rng = np.random.default_rng(21)
+
+    def ppm(a):
+        a = np.asarray(a, dtype=np.uint8)
+        return bytearray(b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0])
+                         + a.tobytes())
+
+    rows, vid = [], 0
+    for i in range(18):
+        base = rng.integers(0, 256, (16, 16, 3))
+        rows.append((vid, ppm(base))); vid += 1
+        if i % 3 == 0:  # planted perturbed copy
+            pert = base.copy()
+            pert[:2, :2] = rng.integers(0, 256, (2, 2, 3))
+            rows.append((vid, ppm(pert))); vid += 1
+    corpus_dir = str(tmp_path / "imgs")
+    (spark.createDataFrame(rows, "img_id long, image binary")
+     .repartition(4).write.parquet(corpus_dir))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("img_id long, image binary")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    out = stream_phash_near_dup(stream, "image", "img_id",
+                                compression="ppm", strict=True,
+                                max_hamming=6)
+    run_stream_to_memory(out, "phash_stream_out")
+    got = {(r.a, r.b): r.hamming
+           for r in spark.sql(
+               "SELECT DISTINCT a, b, hamming FROM phash_stream_out"
+           ).collect()}
+
+    batch = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        spark.read.parquet(corpus_dir), "image", "img_id",
+        compression="ppm", strict=True, max_hamming=6).collect()}
+    assert got == batch
+    assert len(batch) >= 3  # the planted copies are really found
