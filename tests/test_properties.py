@@ -413,3 +413,65 @@ def test_jpeg_progressive_and_restarts_random(h, w, sub, ri, fseed):
         rst = decode_baseline(
             encode_baseline(img, subsampling=sub, restart_interval=ri))
         assert np.array_equal(base, rst)
+
+
+@given(st.lists(st.integers(0, 1), min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_pack_bits_signed_roundtrip(bits):
+    """_pack_bits_signed is a bijection over its bit length: two's
+    complement decode recovers the exact bit list, and the value always
+    fits a signed 64-bit long."""
+    from deeplake_spark.operators.multimodal import _pack_bits_signed
+
+    v = _pack_bits_signed(bits)
+    assert -(1 << 63) <= v < (1 << 63)
+    n = len(bits)
+    u = v + (1 << n) if n and v < 0 else v
+    decoded = [(u >> (n - 1 - i)) & 1 for i in range(n)]
+    assert decoded == bits
+
+
+def test_gumbel_key_matches_oracle_spelling(spark_global):
+    """gumbel_key's md5_uniform + 2^-33 reuse must be bit-identical to
+    the (bits + 0.5)/2^32 form the DuckDB oracles spell — the IEEE
+    exactness claim, checked across many ids. Cross-engine, the UNIFORM
+    is bit-identical but ln() differs by ulps (Java Math.log vs libm),
+    which is why t30 orders by the ROUNDED key — pinned here at the
+    oracle's 6-decimal contract."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.sampling import gumbel_key
+
+    ids = spark_global.range(0, 5000).withColumnRenamed("id", "doc_id")
+    inline_bits = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("#dsir"))), 1, 8), 16, 10,
+    ).cast("long")
+    inline = -F.log(-F.log((inline_bits + F.lit(0.5))
+                           / F.lit(float(1 << 32))))
+    mismatch = ids.select(
+        gumbel_key("doc_id", "dsir").alias("g"), inline.alias("i")
+    ).filter(F.col("g") != F.col("i")).count()
+    assert mismatch == 0
+    # the UNIFORM itself is bit-identical across engines...
+    spark_u = [r.u for r in ids.select(
+        "doc_id",
+        ((inline_bits + F.lit(0.5)) / F.lit(float(1 << 32))).alias("u")
+    ).orderBy("doc_id").collect()]
+    duck_u = [d[0] for d in duckdb.sql("""
+        SELECT (CAST(('0x' || substr(md5(r || '#dsir'), 1, 8))
+                AS UBIGINT) + 0.5) / 4294967296.0 AS u
+        FROM range(5000) t(r) ORDER BY r
+    """).fetchall()]
+    assert spark_u == duck_u
+    # ...and the Gumbel agrees at the oracle's ROUND(6) contract
+    spark_g = [r.g for r in ids.select(
+        F.round(gumbel_key("doc_id", "dsir"), 6).alias("g")
+    ).orderBy("doc_id").collect()]
+    duck_g = [d[0] for d in duckdb.sql("""
+        SELECT ROUND(-ln(-ln((CAST(('0x' || substr(md5(r || '#dsir'), 1, 8))
+                     AS UBIGINT) + 0.5) / 4294967296.0)), 6) AS g
+        FROM range(5000) t(r) ORDER BY r
+    """).fetchall()]
+    assert spark_g == duck_g
