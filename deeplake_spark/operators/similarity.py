@@ -1464,6 +1464,11 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
 
     Returns (id_col, pred_label, votes) for the unlabeled rows.
     """
+    from deeplake_spark.io import ensure_parallelism
+
+    # the exact lane evaluates one HOF cosine per (labeled x query)
+    # row — a single-file scan would run them all on one core (trap 1)
+    df = ensure_parallelism(df)
     labeled = df.filter(F.col(label_col).isNotNull())
     unlabeled = df.filter(F.col(label_col).isNull())
     queries = unlabeled.select(F.col(id_col).alias("__qid"),
