@@ -389,8 +389,12 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
     raw_c = raw_bg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     # totals as broadcast 1-row aggregates OVER THE BUCKET TABLES
     # (<= n_buckets rows) — no extra corpus pass, no driver action
-    tgt_tot = tgt_c.agg(F.sum("__ct").alias("__tt"))
-    raw_tot = raw_c.agg(F.sum("__cr").alias("__tr"))
+    # coalesce: SUM over an EMPTY bucket table is NULL, which would
+    # null every weight — with 0 the smoothed target distribution is
+    # simply uniform (0.5/(0.5*B) per bucket), so an empty/featureless
+    # target degrades to inverse-raw-frequency selection, not garbage
+    tgt_tot = tgt_c.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    raw_tot = raw_c.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"))
     half_b = float(0.5 * n_buckets)
     ratio = (
         raw_c.join(tgt_c, "__b", "left")

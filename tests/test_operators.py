@@ -917,3 +917,17 @@ def test_knn_label_propagation_lanes_agree(spark, sf_dir):
                   config=SearchConfig(nprobe=8)).collect()}
     assert routed == exact
     assert len(exact) > 0
+
+
+def test_dsir_select_empty_target_degrades_to_uniform(spark):
+    """An empty (or featureless) target must not null the weights: the
+    smoothed target distribution degrades to uniform, so selection is
+    inverse-raw-frequency — every doc still gets a finite key."""
+    from deeplake_spark.operators.sampling import dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+        "doc_id long, text string")
+    out = dsir_select(raw, raw.filter("doc_id < 0"), k=10).collect()
+    assert len(out) == 10
+    assert all(r.logw is not None and r.gkey is not None for r in out)
