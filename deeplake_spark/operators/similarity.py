@@ -1274,6 +1274,13 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
 
     if centroids is None:
         centroids = seed_centroids(df, vec_col, id_col, k=n_clusters)
+    if not centroids:
+        # empty corpus (or explicit no-clusters): nothing can be a
+        # duplicate; keep the output schema stable instead of letting
+        # array_max(array()) type as VOID and fail analysis cryptically
+        return (df.withColumn("cluster", F.lit(None).cast("int"))
+                .withColumn("centroid_sim", F.lit(None).cast("double"))
+                .withColumn("kept", F.lit(True)))
     assigned = assign_to_centroids_cosine(
         ensure_parallelism(df), vec_col, centroids)
     return _prune_semantic_dups(assigned, vec_col, id_col, tau, policy)

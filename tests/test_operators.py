@@ -931,3 +931,15 @@ def test_dsir_select_empty_target_degrades_to_uniform(spark):
     out = dsir_select(raw, raw.filter("doc_id < 0"), k=10).collect()
     assert len(out) == 10
     assert all(r.logw is not None and r.gkey is not None for r in out)
+
+
+def test_semantic_dedup_empty_corpus_schema_stable(spark):
+    """Empty corpus (no seed centroids): zero rows with the full output
+    schema, not an array_max(array()) VOID analysis crash."""
+    from deeplake_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=4, tau=0.9)
+    assert [f.name for f in out.schema.fields][-3:] == [
+        "cluster", "centroid_sim", "kept"]
+    assert out.count() == 0
