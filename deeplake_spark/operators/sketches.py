@@ -1,0 +1,70 @@
+"""Cardinality sketches — engine-portable k-minimum-values (KMV).
+
+A KMV sketch keeps the k smallest uniform hashes of a value stream;
+the k-th smallest u_k estimates distinct count as (k-1)/u_k (Bar-Yossef
+et al. 2002), and sketches MERGE by keeping the k smallest of a union —
+the bounded-size, mergeable distinct-count primitive a 100 TB pipeline
+needs for vocab sizes, dedup-rate estimates, and cross-source overlap,
+where COUNT(DISTINCT) means shuffling every distinct value.
+
+Unlike Spark's builtin approx_count_distinct (HLL++, engine-private
+hashing), this sketch hashes with the repo's md5-int60 convention
+(operators.dedup._md5_int60), so every estimate is DETERMINISTIC and
+exactly reproducible in DuckDB — oracle-checkable to the hash.
+
+Scale shape: sketch build shuffles (group, distinct hash) once and
+takes the per-group k smallest through a partitioned WindowGroupLimit
+(rank <= k never materializes a group's full sort output); sketches
+persist as arrays of <= k doubles (~8k bytes at k=1024) and merge as a
+pure array expression — incremental maintenance appends a delta
+sketch and re-merges, no corpus re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: hash domain: md5-int60 values normalized by 2^60 into [0, 1)
+_DOM = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
+               k: int = 64, seed: int = 0) -> DataFrame:
+    """Per-group KMV sketch of ``col``: the k smallest distinct
+    normalized hashes, sorted ascending. Returns the grouping columns
+    plus ``sketch`` (array<double>, length <= k)."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    by = list(by or [])
+    u = (_md5_int60(F.col(col), seed) / F.lit(_DOM)).alias("__u")
+    hashes = df.select(*by, u).distinct()
+    if not by:
+        # global sketch: k smallest via TakeOrderedAndProject — an
+        # empty partitionBy would be the banned single-task global
+        # window (perf trap 7)
+        topk = hashes.orderBy("__u").limit(k)
+        return topk.agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__u")
+    topk = (hashes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k))
+    return (topk.groupBy(*by)
+            .agg(F.array_sort(F.collect_list("__u")).alias("sketch")))
+
+
+def kmv_estimate(sketch: Column, k: int = 64) -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact
+    cardinality while the sketch is not full (fewer than k distinct
+    values seen), else (k-1)/u_k."""
+    n = F.size(sketch)
+    full = (F.lit(k - 1).cast("double")
+            / F.nullif(F.element_at(sketch, k), F.lit(0.0)))
+    return F.when(n < k, n.cast("double")).otherwise(full)
+
+
+def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
+    """Union of two KMV sketches: the k smallest of the combined
+    distinct hashes — the mergeability that makes the sketch usable
+    across partitions, datasets, and incremental deltas."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)

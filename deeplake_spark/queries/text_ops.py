@@ -1585,3 +1585,75 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     target = d.filter(F.col("source").isin("src0", "src1"))
     return dsir_select(d, target, k=50, n_buckets=1024, seed=0, salt="dsir")
+
+
+@query(
+    "t31_kmv_distinct_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest({_DUCK_TOKS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    hashes AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(tok || '#0'), 1, 15)) AS UBIGINT)
+               / 1152921504606846976.0 AS u
+      FROM toks
+    ),
+    ranked AS (
+      SELECT source, u,
+             row_number() OVER (PARTITION BY source ORDER BY u) AS r
+      FROM hashes
+    ),
+    sk AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(u) AS uk
+      FROM ranked WHERE r <= 64 GROUP BY source
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY source
+    )
+    SELECT sk.source,
+           ROUND(CASE WHEN sk.n_seen < 64 THEN CAST(sk.n_seen AS DOUBLE)
+                      ELSE 63.0 / sk.uk END, 6) AS est_distinct,
+           exact.exact_distinct
+    FROM sk JOIN exact ON sk.source = exact.source
+    ORDER BY sk.source
+    """,
+    doc="KMV distinct-cardinality sketch (Bar-Yossef et al. 2002): "
+    "per-source distinct-token estimate from the 64 smallest "
+    "md5-portable token hashes — (k-1)/u_k, exact while the sketch is "
+    "not full — next to the true COUNT(DISTINCT) so the estimate "
+    "quality is visible in the output. Deterministic (no HLL "
+    "engine-private hashing), mergeable (operators.sketches.kmv_merge "
+    "— array expression over <=k doubles), hash-exactly "
+    "oracle-checkable. Build = one (group, distinct-hash) shuffle + "
+    "partitioned WindowGroupLimit; at 100 TB the persisted sketches "
+    "answer cardinality/overlap questions without re-shuffling "
+    "distinct values.",
+    tags=("text", "sketch", "stats"),
+)
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("source", tokenize(F.col("text")).alias("__t"))
+        .select("source", F.explode_outer("__t").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    sk = kmv_sketch(toks, "tok", by=["source"], k=64)
+    exact = toks.groupBy("source").agg(
+        F.count_distinct(F.col("tok")).alias("exact_distinct"))
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            F.round(kmv_estimate(F.col("sketch"), k=64), 6)
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("source")
+    )

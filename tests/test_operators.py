@@ -943,3 +943,44 @@ def test_semantic_dedup_empty_corpus_schema_stable(spark):
     assert [f.name for f in out.schema.fields][-3:] == [
         "cluster", "centroid_sim", "kept"]
     assert out.count() == 0
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV: exact while not full; within ~2/sqrt(k) relative error when
+    full; merge(a,b) estimates the union and equals the sketch built
+    on the concatenated data (order-free mergeability); global lane
+    (no partitions) agrees with the windowed lane."""
+    from deeplake_spark.operators.sketches import (
+        kmv_estimate, kmv_merge, kmv_sketch)
+
+    k = 64
+    small = spark.createDataFrame(
+        [(f"v{i}",) for i in range(20)], "x string")
+    sk_small = kmv_sketch(small, "x", k=k).head().sketch
+    assert len(sk_small) == 20
+    got = spark.range(1).select(
+        kmv_estimate(F.lit(sk_small), k=k).alias("e")).head().e
+    assert got == 20.0  # exact below k
+
+    big_a = spark.createDataFrame([(f"a{i}",) for i in range(3000)], "x string")
+    big_b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(1500, 3000)]
+        + [(f"b{i}",) for i in range(1500)], "x string")
+    sa = kmv_sketch(big_a, "x", k=k).head().sketch
+    sb = kmv_sketch(big_b, "x", k=k).head().sketch
+    ea = spark.range(1).select(kmv_estimate(F.lit(sa), k=k).alias("e")).head().e
+    assert abs(ea - 3000) / 3000 < 0.35  # 2/sqrt(64) = 0.25 + slack
+    # union: |a ∪ b| = 4500
+    merged = spark.range(1).select(
+        kmv_estimate(kmv_merge(F.lit(sa), F.lit(sb), k=k), k=k).alias("e")
+    ).head().e
+    both = big_a.unionByName(big_b)
+    direct = kmv_sketch(both, "x", k=k).head().sketch
+    ed = spark.range(1).select(
+        kmv_estimate(F.lit(direct), k=k).alias("e")).head().e
+    assert merged == ed  # merge == sketch-of-union, hash-exactly
+    assert abs(merged - 4500) / 4500 < 0.35
+    # grouped lane matches the global lane per group
+    tagged = big_a.withColumn("g", F.lit("g1"))
+    per_group = kmv_sketch(tagged, "x", by=["g"], k=k).head().sketch
+    assert list(per_group) == list(sa)
