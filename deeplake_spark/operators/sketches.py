@@ -68,3 +68,15 @@ def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
     distinct hashes — the mergeability that makes the sketch usable
     across partitions, datasets, and incremental deltas."""
     return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_jaccard(a: Column, b: Column, k: int = 64) -> Column:
+    """Jaccard-similarity estimate between the SETS two KMV sketches
+    summarize (Beyer et al. 2007): over the merged sketch (the k
+    smallest union hashes — an unbiased sample of the union), the
+    fraction present in BOTH inputs estimates |A∩B|/|A∪B|. Pure array
+    expression — cross-source overlap grids cost sketch-pairs, not
+    token-set joins."""
+    m = kmv_merge(a, b, k)
+    both = F.size(F.array_intersect(F.array_intersect(m, a), b))
+    return both.cast("double") / F.nullif(F.size(m).cast("double"), F.lit(0.0))

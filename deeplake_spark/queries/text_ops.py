@@ -1657,3 +1657,113 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "t32_kmv_source_overlap",
+    oracle=f"""
+    WITH raw_toks AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS.format(c="text")}) AS tok0
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    toks AS (
+      -- planted divergence: alternate docs WITHIN each source suffix
+      -- their tokens (source = doc_id % 20 in the testdata, so a raw
+      -- doc_id parity would be constant per source),
+      -- so the synthetic shared vocabulary splits into a shared half
+      -- and a per-source half (otherwise every pair is Jaccard 1.0
+      -- and the overlap estimate carries no signal)
+      SELECT source,
+             CASE WHEN (doc_id // 20) % 2 = 0 THEN tok0 || '_' || source
+                  ELSE tok0 END AS tok
+      FROM raw_toks
+    ),
+    hashes AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(tok || '#0'), 1, 15)) AS UBIGINT)
+               / 1152921504606846976.0 AS u
+      FROM toks
+    ),
+    sk AS (
+      SELECT source, list_sort(list(u)) AS sketch FROM (
+        SELECT source, u, row_number() OVER (
+          PARTITION BY source ORDER BY u) AS r
+        FROM hashes) WHERE r <= 64 GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             list_slice(list_sort(list_distinct(
+               list_concat(a.sketch, b.sketch))), 1, 64) AS m,
+             a.sketch AS sa, b.sketch AS sb
+      FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+      SELECT src_a, src_b,
+             CAST(len(list_intersect(list_intersect(m, sa), sb)) AS DOUBLE)
+               / len(m) AS ej
+      FROM pairs
+    ),
+    sets AS (SELECT source, list(DISTINCT tok) AS ts FROM toks GROUP BY source),
+    exact AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+               AS xj
+      FROM sets a JOIN sets b ON a.source < b.source
+    )
+    SELECT est.src_a, est.src_b, ROUND(est.ej, 6) AS est_jaccard,
+           ROUND(exact.xj, 6) AS exact_jaccard
+    FROM est JOIN exact ON est.src_a = exact.src_a AND est.src_b = exact.src_b
+    ORDER BY est.src_a, est.src_b
+    """,
+    doc="Cross-source token-set overlap from KMV sketches (Beyer et "
+    "al. 2007): the merged-sketch membership fraction estimates "
+    "Jaccard per source pair — next to the exact set Jaccard so the "
+    "estimate quality is in the output. The pair grid costs "
+    "sketch-array expressions over <=64 doubles per pair; the exact "
+    "column is the sf-scale luxury a 100 TB run skips (it joins full "
+    "distinct token sets). Hash-exactly oracle-checked.",
+    tags=("text", "sketch", "overlap"),
+)
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin("src0", "src1", "src2", "src3"))
+    toks = (
+        d.select("doc_id", "source", tokenize(F.col("text")).alias("__t"))
+        .select("doc_id", "source", F.explode_outer("__t").alias("tok0"))
+        .filter(F.col("tok0").isNotNull())
+        .select(
+            "source",
+            F.when((F.col("doc_id") / 20).cast("long") % 2 == 0,
+                   F.concat(F.col("tok0"), F.lit("_"), F.col("source")))
+            .otherwise(F.col("tok0")).alias("tok"),
+        )
+    )
+    sk = kmv_sketch(toks, "tok", by=["source"], k=64)
+    a = sk.select(F.col("source").alias("src_a"), F.col("sketch").alias("__sa"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("sketch").alias("__sb"))
+    est = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b",
+                kmv_jaccard(F.col("__sa"), F.col("__sb"), k=64).alias("__ej"))
+    )
+    sets = toks.groupBy("source").agg(
+        F.collect_set("tok").alias("__ts"))
+    sa = sets.select(F.col("source").alias("src_a"), F.col("__ts").alias("__ta"))
+    sb = sets.select(F.col("source").alias("src_b"), F.col("__ts").alias("__tb"))
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("double")
+    union = (F.size("__ta") + F.size("__tb")).cast("double") - inter
+    exact = (
+        sa.join(sb, F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", (inter / union).alias("__xj"))
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"])
+        .select("src_a", "src_b",
+                F.round(F.col("__ej"), 6).alias("est_jaccard"),
+                F.round(F.col("__xj"), 6).alias("exact_jaccard"))
+        .orderBy("src_a", "src_b")
+    )
