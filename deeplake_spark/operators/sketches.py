@@ -39,7 +39,11 @@ def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
 
     by = list(by or [])
     u = (_md5_int60(F.col(col), seed) / F.lit(_DOM)).alias("__u")
-    hashes = df.select(*by, u).distinct()
+    # NULL values hash to NULL, which sorts FIRST (asc nulls-first) and
+    # would steal a top-k slot that collect_list then drops — silently
+    # shrinking the sketch and biasing the estimate; NULL is not a set
+    # member, so drop it before ranking
+    hashes = df.select(*by, u).filter(F.col("__u").isNotNull()).distinct()
     if not by:
         # global sketch: k smallest via TakeOrderedAndProject — an
         # empty partitionBy would be the banned single-task global

@@ -177,11 +177,18 @@ def stream_phash_near_dup(images, payload_col: str = "image",
     moment an image lands in a bucket already holding a neighbor
     within ``max_hamming``. Unlike the MinHash stream (estimated
     Jaccard), verification here is EXACT: the full 64-bit signature
-    IS the state, so the emitted hamming equals the batch operator's,
-    and recall keeps the batch lane's pigeonhole guarantee
-    (max_hamming < bands). Emits (band, a, b, hamming) — distinct
-    (a, b) downstream for a unique pair set; state is bounded at
-    O(bucket_cap * 64 ints) per bucket."""
+    IS the state, so every EMITTED hamming equals the batch
+    operator's. Recall keeps the batch lane's pigeonhole guarantee
+    (max_hamming < bands) only WHILE buckets are under ``bucket_cap``:
+    a capped bucket stops storing new members (mirroring the batch
+    bucket_cap drop in near_dup_pairs_lsh), so two near-dups that BOTH
+    arrive after their one clean band's bucket filled are missed where
+    the uncapped batch ``image_near_dup_pairs`` would pair them — size
+    the cap for the expected degenerate-bucket population, or set it
+    high when exact batch parity matters more than bounded state.
+    Emits (band, a, b, hamming) — distinct (a, b) downstream for a
+    unique pair set; state is bounded at O(bucket_cap * 64 ints) per
+    bucket."""
     import pandas as pd
 
     from deeplake_spark.operators.multimodal import phash_images
@@ -191,6 +198,11 @@ def stream_phash_near_dup(images, payload_col: str = "image",
         raise ValueError(
             f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
             "for the exactness guarantee — raise bands instead")
+    if 64 % bands:
+        # mirror bits_near_dup_pairs: a non-dividing band count would
+        # silently leave trailing bits out of the banding (and bands>64
+        # would generate a zero-argument hash() that fails analysis)
+        raise ValueError(f"bands={bands} must evenly divide nbits=64")
     hashed = phash_images(images, payload_col, compression, strict).select(
         F.col(id_col).alias("img_id"), "phash_bits")
     banded = hashed.select(

@@ -980,7 +980,15 @@ def test_kmv_sketch_properties(spark):
         kmv_estimate(F.lit(direct), k=k).alias("e")).head().e
     assert merged == ed  # merge == sketch-of-union, hash-exactly
     assert abs(merged - 4500) / 4500 < 0.35
-    # grouped lane matches the global lane per group
-    tagged = big_a.withColumn("g", F.lit("g1"))
+    # grouped lane matches the global lane per group — the group column
+    # must be DATA-DERIVED: a constant F.lit tag constant-folds out of
+    # the window partition spec and the test would silently exercise
+    # the banned global-window shape instead (perf trap 7)
+    tagged = big_a.withColumn("g", F.substring("x", 1, 1))
     per_group = kmv_sketch(tagged, "x", by=["g"], k=k).head().sketch
     assert list(per_group) == list(sa)
+    # NULL values are not set members: they must neither steal a top-k
+    # slot nor shrink the sketch
+    with_null = small.unionByName(
+        spark.createDataFrame([(None,)], "x string"))
+    assert len(kmv_sketch(with_null, "x", k=k).head().sketch) == 20
