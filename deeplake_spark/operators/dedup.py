@@ -627,3 +627,97 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
         agg.select("doc_id", bit_array(bits))
         .select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
     )
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               w: int = 4, mask: int = 15) -> DataFrame:
+    """Content-defined chunking: split every document into variable
+    token spans whose boundaries are set by CONTENT — a chunk ends
+    after token i when md5(last ``w`` tokens) % (mask+1) == 0, so the
+    expected chunk length is mask+1 tokens. Insertions and deletions
+    only move the boundaries NEAR the edit (the rsync/LBFS property);
+    a shared passage elsewhere re-chunks identically, which
+    fixed-stride windows (dup_window_stats) cannot promise under
+    shift. Returns (doc_id, seg, chunk) — one row per chunk, ``chunk``
+    the space-joined token span.
+
+    Scale shape: one tokenize pass, a guarded explode (one row per
+    token), the boundary flag as a pure hash expression, segment ids
+    via a PER-DOC running sum (partitioned window — never global),
+    and one (doc, seg) aggregation whose collect_list is bounded by
+    the chunk length. Everything is md5-portable — exactly
+    oracle-checkable.
+    """
+    from deeplake_spark.functions.text import tokenize
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    rows = (
+        d.select("doc_id", "__t",
+                 F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n)))
+                 .alias("__i"))
+        .filter(F.col("__i").isNotNull())
+    )
+    ctx = F.expr(
+        "concat_ws(' ', slice(__t, greatest(1, __i - %d + 1), "
+        "least(__i, %d)))" % (w, w))
+    flagged = rows.select(
+        "doc_id", "__i",
+        F.element_at("__t", F.col("__i")).alias("__tok"),
+        ((_md5_int60(ctx, 0) % (mask + 1)) == 0).cast("int").alias("__b"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("__i")
+    seg = (F.sum("__b").over(win) - F.col("__b")).alias("seg")
+    return (
+        flagged.select("doc_id", "__i", "__tok", seg)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__i"), F.col("__tok")))),
+                    lambda s: s["__tok"]),
+                " ",
+            ).alias("chunk")
+        )
+    )
+
+
+def cdc_shared_passages(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = 4,
+                        mask: int = 15, min_docs: int = 2,
+                        max_docs: int | None = 100) -> DataFrame:
+    """Shared-passage detection on content-defined chunks: a chunk
+    string appearing in >= ``min_docs`` distinct documents marks a
+    copied passage; per document-pair, count the shared distinct
+    chunks. Because boundaries are content-defined, a passage pasted
+    at a DIFFERENT offset in another document still yields identical
+    interior chunks — the shift robustness fixed windows lack.
+    Returns (a, b, n_shared_chunks), a < b.
+
+    Scale shape: chunk strings are the join key exactly as in
+    dup_window_stats (hash-groupBy with map-side partials); the pair
+    fan-out lists only chunks that actually repeat, so work tracks
+    true sharing — EXCEPT boilerplate: a short chunk shared by d
+    documents yields d^2/2 pairs, so ``max_docs`` drops chunks more
+    common than that (boilerplate headers/footers, not copied
+    passages — the bucket_cap convention from the LSH operators; set
+    None to disable). At 100 TB the key becomes a chunk hash; the
+    string key keeps sf-scale runs oracle-checkable."""
+    chunks = cdc_chunks(df, text_col, id_col, w, mask).select(
+        "doc_id", "chunk").distinct()
+    counted = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("__n"))
+    dup = counted.filter(F.col("__n") >= min_docs)
+    if max_docs is not None:
+        dup = dup.filter(F.col("__n") <= max_docs)
+    dup = dup.select("chunk")
+    hits = chunks.join(dup, "chunk", "left_semi")
+    a = hits.select(F.col("doc_id").alias("a"), "chunk")
+    b = hits.select(F.col("doc_id").alias("b"), "chunk")
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )

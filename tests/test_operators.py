@@ -992,3 +992,37 @@ def test_kmv_sketch_properties(spark):
     with_null = small.unionByName(
         spark.createDataFrame([(None,)], "x string"))
     assert len(kmv_sketch(with_null, "x", k=k).head().sketch) == 20
+
+
+def test_cdc_chunks_shift_robust_shared_passages(spark):
+    """Content-defined chunking: chunks reassemble the document
+    exactly, and a passage pasted at a DIFFERENT offset in another
+    document still produces identical interior chunks — the shift
+    robustness fixed-stride windows lack."""
+    import random
+
+    from deeplake_spark.operators.dedup import cdc_chunks, cdc_shared_passages
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(200)]
+    passage = " ".join(rng.choice(vocab) for _ in range(120))
+    pre_a = " ".join(rng.choice(vocab) for _ in range(37))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(11))  # different shift
+    doc_a = f"{pre_a} {passage}"
+    doc_b = f"{pre_b} {passage} trailing tokens here"
+    doc_c = " ".join(rng.choice(vocab) for _ in range(150))  # unrelated
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, doc_c)], "doc_id long, text string")
+
+    chunks = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.seg, r.chunk))
+    for did, text in [(0, doc_a), (1, doc_b), (2, doc_c)]:
+        joined = " ".join(c for _, c in sorted(by_doc[did]))
+        assert joined == text  # chunks partition the token stream
+
+    pairs = {(r.a, r.b): r.n_shared_chunks
+             for r in cdc_shared_passages(df).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3  # interior chunks align
+    assert (0, 2) not in pairs and (1, 2) not in pairs
