@@ -64,6 +64,7 @@ from deeplake_spark.dataset import (
     explain_query,
     from_coco,
     from_csv,
+    from_jsonl,
     from_parquet,
     like,
     link,
@@ -113,7 +114,7 @@ __all__ = [
     "Client", "TelemetryClient", "client", "telemetry_client",
     "Random", "random",
     "copy", "like", "convert", "delete", "exists", "from_parquet",
-    "from_csv", "from_coco", "query", "query_async", "prepare_query",
+    "from_csv", "from_coco", "from_jsonl", "query", "query_async", "prepare_query",
     "explain_query", "create_async", "open_async",
     "open_read_only_async", "delete_async", "exists_async",
     "types", "tql", "core", "schemas", "storage", "formats",

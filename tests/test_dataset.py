@@ -722,3 +722,27 @@ def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
 
     with pytest.raises(dl.ColumnDoesNotExistError):
         ds.optimize(zorder_by=["nope"])
+
+
+def test_from_jsonl(spark, tmp_path_ds, tmp_path):
+    """JSONL ingestion: line-per-doc JSON becomes a committed dataset
+    with dense row ids; an explicit DDL schema skips inference."""
+    import json
+
+    import deeplake_spark as dl
+
+    src = tmp_path / "corpus.jsonl"
+    rows = [{"doc_id": i, "text": f"doc number {i}", "meta": {"lang": "en"}}
+            for i in range(7)]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    ds = dl.from_jsonl(str(src), tmp_path_ds + "_jl", spark)
+    got = ds.query("SELECT doc_id, text ORDER BY doc_id").df.collect()
+    assert [r.doc_id for r in got] == list(range(7))
+    assert got[3].text == "doc number 3"
+
+    ds2 = dl.from_jsonl(
+        str(src), tmp_path_ds + "_jl2", spark,
+        schema="doc_id long, text string")
+    assert [f.name for f in ds2.to_df().schema.fields if f.name != "_row_id"] \
+        == ["doc_id", "text"]
