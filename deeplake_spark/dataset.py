@@ -1175,6 +1175,11 @@ class Dataset:
     def to_csv(self, out_path: str) -> None:
         self.to_df().orderBy("_row_id").write.mode("overwrite").option("header", True).csv(out_path)
 
+    def to_jsonl(self, out_path: str) -> None:
+        """Export as newline-delimited JSON (the from_jsonl inverse) —
+        one object per row, row order preserved via _row_id."""
+        self.to_df().orderBy("_row_id").write.mode("overwrite").json(out_path)
+
     # ----------------------------------------------------------------- DDL
 
     def add_column(self, name: str, dtype: DLType | str, default_value=None) -> None:

@@ -746,3 +746,18 @@ def test_from_jsonl(spark, tmp_path_ds, tmp_path):
         schema="doc_id long, text string")
     assert [f.name for f in ds2.to_df().schema.fields if f.name != "_row_id"] \
         == ["doc_id", "text"]
+
+
+def test_to_jsonl_roundtrip(spark, tmp_path_ds, tmp_path):
+    """to_jsonl is the from_jsonl inverse: export then re-ingest
+    preserves rows and values."""
+    import deeplake_spark as dl
+
+    ds = dl.create(tmp_path_ds, spark, schema={"t": dt.Text()})
+    ds.append([{"t": f"line {i}"} for i in range(5)])
+    ds.commit("rows")
+    out = str(tmp_path / "export_jl")
+    ds.to_jsonl(out)
+    back = dl.from_jsonl(out, tmp_path_ds + "_back", spark)
+    got = sorted(r.t for r in back.to_df().select("t").collect())
+    assert got == [f"line {i}" for i in range(5)]
