@@ -84,3 +84,56 @@ def kmv_jaccard(a: Column, b: Column, k: int = 64) -> Column:
     m = kmv_merge(a, b, k)
     both = F.size(F.array_intersect(F.array_intersect(m, a), b))
     return both.cast("double") / F.nullif(F.size(m).cast("double"), F.lit(0.0))
+
+
+def save_kmv(sketches: DataFrame, path: str) -> None:
+    """Persist per-group KMV sketches (grouping columns + ``sketch``)
+    as a tiny parquet side table — the build-at-ingest protocol the
+    vector/text indexes follow."""
+    sketches.write.mode("overwrite").parquet(path)
+
+
+def load_kmv(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_kmv_delta(df_new: DataFrame, col: str, path: str,
+                     by: list[str] | None = None, k: int = 64,
+                     seed: int = 0) -> None:
+    """Incremental sketch maintenance: sketch ONLY the appended rows,
+    merge with the stored sketches per group (full outer join +
+    ``kmv_merge``; a group missing on either side contributes an empty
+    sketch), overwrite the side table. Because merge == sketch-of-union
+    hash-exactly (pinned in tests), the maintained sketch equals a
+    fresh build over the full corpus — without re-reading it. The
+    join touches <= groups x k doubles, never corpus rows."""
+    by = list(by or [])
+    spark = df_new.sparkSession
+    delta = kmv_sketch(df_new, col, by=by, k=k, seed=seed)
+    old = load_kmv(spark, path)
+    if not by:
+        merged = (old.select(F.col("sketch").alias("__a"))
+                  .crossJoin(delta.select(F.col("sketch").alias("__b")))
+                  .select(kmv_merge(F.col("__a"), F.col("__b"), k)
+                          .alias("sketch")))
+    else:
+        a = old.select(*by, F.col("sketch").alias("__a"))
+        b = delta.select(*by, F.col("sketch").alias("__b"))
+        empty = F.array().cast("array<double>")
+        merged = (
+            a.join(b, by, "full_outer")
+            .select(*by, kmv_merge(
+                F.coalesce(F.col("__a"), empty),
+                F.coalesce(F.col("__b"), empty), k).alias("sketch"))
+        )
+    # write via a temp dir: the merged plan READS the path it would
+    # overwrite (self-overwrite reads zero rows mid-write)
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    # Hadoop-FS delete, not shutil: the side table may live on any
+    # supported filesystem (s3a/...), same as the index sidecars
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)

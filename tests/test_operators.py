@@ -1026,3 +1026,23 @@ def test_cdc_chunks_shift_robust_shared_passages(spark):
              for r in cdc_shared_passages(df).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 3  # interior chunks align
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_kmv_persisted_incremental_equals_full_build(spark, tmp_path):
+    """append_kmv_delta: sketch half the data, append the other half —
+    the maintained side table equals a fresh full-corpus build
+    hash-exactly, per group and globally (merge == sketch-of-union)."""
+    from deeplake_spark.operators.sketches import (
+        append_kmv_delta, kmv_sketch, load_kmv, save_kmv)
+
+    rows = [(f"g{i % 3}", f"v{i}") for i in range(900)]
+    full = spark.createDataFrame(rows, "g string, x string")
+    first = full.filter(F.substring("x", 2, 10).cast("long") < 450)
+    second = full.filter(F.substring("x", 2, 10).cast("long") >= 450)
+    path = str(tmp_path / "kmv")
+    save_kmv(kmv_sketch(first, "x", by=["g"], k=32), path)
+    append_kmv_delta(second, "x", path, by=["g"], k=32)
+    got = {r.g: list(r.sketch) for r in load_kmv(spark, path).collect()}
+    want = {r.g: list(r.sketch)
+            for r in kmv_sketch(full, "x", by=["g"], k=32).collect()}
+    assert got == want
