@@ -189,25 +189,44 @@ def stream_phash_near_dup(images, payload_col: str = "image",
     Emits (band, a, b, hamming) — distinct (a, b) downstream for a
     unique pair set; state is bounded at O(bucket_cap * 64 ints) per
     bucket."""
+    from deeplake_spark.operators.multimodal import phash_images
+
+    hashed = phash_images(images, payload_col, compression, strict)
+    return stream_bits_near_dup(hashed, "phash_bits", id_col,
+                                max_hamming=max_hamming, bands=bands,
+                                bucket_cap=bucket_cap)
+
+
+def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
+                         max_hamming: int = 6, bands: int = 8,
+                         nbits: int = 64,
+                         bucket_cap: int = 256) -> DataFrame:
+    """Streaming twin of `similarity.bits_near_dup_pairs`, shared by
+    every bit-signature modality (image pHash, audio spectral
+    fingerprint, video majority pHash): input is a (possibly
+    streaming) DataFrame already carrying the signature column; the
+    banding is the batch expression, the per-(band, bucket) membership
+    is `applyInPandasWithState`. Recall/semantics and the bucket_cap
+    boundary are documented on `stream_phash_near_dup`."""
     import pandas as pd
 
-    from deeplake_spark.operators.multimodal import phash_images
     from deeplake_spark.operators.similarity import _band_hash_array
 
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs max_hamming < bands={bands} "
             "for the exactness guarantee — raise bands instead")
-    if 64 % bands:
+    if nbits % bands:
         # mirror bits_near_dup_pairs: a non-dividing band count would
-        # silently leave trailing bits out of the banding (and bands>64
-        # would generate a zero-argument hash() that fails analysis)
-        raise ValueError(f"bands={bands} must evenly divide nbits=64")
-    hashed = phash_images(images, payload_col, compression, strict).select(
-        F.col(id_col).alias("img_id"), "phash_bits")
-    banded = hashed.select(
-        "img_id", "phash_bits",
-        F.posexplode(_band_hash_array(bands, 64 // bands, "phash_bits"))
+        # silently leave trailing bits out of the banding (and bands >
+        # nbits would generate a zero-argument hash() that fails
+        # analysis)
+        raise ValueError(f"bands={bands} must evenly divide nbits={nbits}")
+    base = hashed.select(F.col(id_col).alias("__sid"),
+                         F.col(bits_col).alias("__sbits"))
+    banded = base.select(
+        "__sid", "__sbits",
+        F.posexplode(_band_hash_array(bands, nbits // bands, "__sbits"))
         .alias("band", "bh"),
     )
 
@@ -219,20 +238,20 @@ def stream_phash_near_dup(images, payload_col: str = "image",
             if state.exists else ([], [])
         out_a, out_b, out_h = [], [], []
         for pdf in pdf_iter:
-            for img_id, bits in zip(pdf["img_id"], pdf["phash_bits"]):
-                img_id = int(img_id)
-                if img_id in ids:
+            for sid, bits in zip(pdf["__sid"], pdf["__sbits"]):
+                sid = int(sid)
+                if sid in ids:
                     continue  # replay/idempotence: already a member
                 bits = [int(x) for x in bits]
                 for other_id, other_bits in zip(ids, bit_list):
                     h = sum(x != y for x, y in zip(bits, other_bits))
                     if h <= max_hamming:
-                        lo, hi = sorted((img_id, other_id))
+                        lo, hi = sorted((sid, other_id))
                         out_a.append(lo)
                         out_b.append(hi)
                         out_h.append(h)
                 if len(ids) < bucket_cap:
-                    ids.append(img_id)
+                    ids.append(sid)
                     bit_list.append(bits)
         state.update((ids, bit_list))
         yield pd.DataFrame({

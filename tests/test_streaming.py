@@ -679,3 +679,53 @@ def test_stream_phash_near_dup_matches_batch(spark, tmp_path):
         compression="ppm", strict=True, max_hamming=6).collect()}
     assert got == batch
     assert len(batch) >= 3  # the planted copies are really found
+
+
+def test_stream_bits_near_dup_audio_matches_batch(spark, tmp_path):
+    """The generic streaming bits engine serves the audio modality too:
+    stream fingerprint pairs == batch audio_near_dup_pairs."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        audio_fingerprint, audio_near_dup_pairs)
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    def wav(samples, rate=8000):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(rate)
+            a = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("<i2")
+            wf.writeframes(a.tobytes())
+        return bytearray(buf.getvalue())
+
+    rng = np.random.default_rng(31)
+    t = np.arange(4000) / 8000.0
+    rows, cid = [], 0
+    for i in range(10):
+        f0 = 200 + 180 * i
+        tone = np.sin(2 * np.pi * f0 * t) + 0.4 * np.sin(2 * np.pi * 3 * f0 * t)
+        rows.append((cid, wav(tone))); cid += 1
+        if i % 2 == 0:  # planted noisy copy
+            rows.append((cid, wav(tone + rng.normal(0, 0.01, t.shape)))); cid += 1
+    corpus_dir = str(tmp_path / "clips")
+    (spark.createDataFrame(rows, "clip_id long, audio binary")
+     .repartition(3).write.parquet(corpus_dir))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("clip_id long, audio binary")
+              .option("maxFilesPerTrigger", "1")
+              .load(corpus_dir))
+    hashed = audio_fingerprint(stream, "audio", compression="wav", strict=True)
+    out = stream_bits_near_dup(hashed, "afp_bits", "clip_id", max_hamming=6)
+    run_stream_to_memory(out, "afp_stream_out")
+    got = {(r.a, r.b): r.hamming for r in spark.sql(
+        "SELECT DISTINCT a, b, hamming FROM afp_stream_out").collect()}
+
+    batch = {(r.a, r.b): r.hamming for r in audio_near_dup_pairs(
+        spark.read.parquet(corpus_dir), "audio", "clip_id",
+        compression="wav", strict=True, max_hamming=6).collect()}
+    assert got == batch
+    assert len(batch) >= 3
