@@ -1767,3 +1767,85 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("__xj"), 6).alias("exact_jaccard"))
         .orderBy("src_a", "src_b")
     )
+
+# t33 registers HERE (text_ops), not in dedup_ops, so the driver's
+# correctness window — the first 50 queries in queries() INSERTION
+# order, i.e. d01-d10 + q01-q22 + r01-r18 — stays stable (round 10
+# registered it in dedup_ops and silently evicted r18 from the
+# window). The operator itself lives in operators/dedup.py.
+
+@query(
+    "t33_cdc_shared_passages",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- planted shifted copies: same text behind a doc-specific prefix,
+      -- so fixed-stride windows would misalign but content-defined
+      -- boundaries re-synchronize inside the shared passage
+      SELECT doc_id + 1000000,
+             'prefix' || CAST(doc_id AS VARCHAR) || ' padd ' || text
+      FROM documents WHERE doc_id < 12
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM base
+    ),
+    rws AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      FROM toks WHERE len(t) >= 1
+    ),
+    flagged AS (
+      SELECT doc_id, i, t[i] AS tok,
+             CASE WHEN CAST(('0x' || substr(md5(
+               array_to_string(t[greatest(1, i - 3):i], ' ') || '#0'),
+               1, 15)) AS UBIGINT) % 16 = 0 THEN 1 ELSE 0 END AS b
+      FROM rws
+    ),
+    segged AS (
+      SELECT doc_id, i, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i) - b AS seg
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT DISTINCT doc_id,
+             string_agg(tok, ' ' ORDER BY i) AS chunk
+      FROM segged GROUP BY doc_id, seg
+    ),
+    dup AS (
+      -- min_docs=2, max_docs=100: the boilerplate cap that keeps the
+      -- pair fan-out quadratic only in TRUE passage sharing
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 100
+    ),
+    hits AS (SELECT chunks.* FROM chunks SEMI JOIN dup USING (chunk))
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+    FROM hits a JOIN hits b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY a, b
+    """,
+    doc="Shared-passage detection via content-defined chunking (the "
+    "rsync/LBFS boundary trick on tokens): chunk ends where "
+    "md5(last-4-tokens) % 16 == 0, so a passage pasted at a DIFFERENT "
+    "offset re-chunks identically and pairs by plain chunk equality — "
+    "the shift robustness d06's fixed windows lack. Planted copies "
+    "behind doc-specific prefixes prove it: every (orig, copy) pair "
+    "shares its interior chunks despite the misaligned prefix. One "
+    "tokenize pass, per-doc running-sum segmentation (partitioned "
+    "window, never global), chunk-keyed hash joins.",
+    tags=("dedup", "cdc", "text"),
+)
+def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import cdc_shared_passages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("prefix"), F.col("doc_id").cast("string"),
+                 F.lit(" padd "), F.col("text")).alias("text"),
+    )
+    base = d.unionByName(planted)
+    return cdc_shared_passages(base).orderBy("a", "b")

@@ -21,17 +21,24 @@ def test_readme_mentions_every_module(spark):
 
 
 def test_driver_correctness_window_invariant():
-    """The grading driver checks the first 50 queries in alphabetical
-    order; d* + q* + r* must fill EXACTLY those 50 slots and every one
-    must carry an oracle (CLAUDE.md driver contract). New queries
-    belong in t*/v* (or later) prefixes."""
+    """The grading driver checks the first 50 queries in queries()
+    INSERTION order (proven by CORRECTNESS_r10: registering t33 in
+    dedup_ops evicted r18 even though r18 < t33 alphabetically). Pin
+    the window on list(load_all())[:50] — the ordering the driver
+    actually uses — AND assert it equals the sorted d*/q*/r* set, so
+    any future insertion-order drift (a new registration in an
+    early-imported module) fails loudly. Every window query must carry
+    an oracle (CLAUDE.md driver contract); new queries belong in
+    t*/v* (or later) prefixes registered in later-imported modules."""
     from deeplake_spark.queries import load_all
 
     reg = load_all()
-    names = sorted(reg)
+    names = list(reg)  # dict preserves insertion order
     window = names[:50]
-    assert all(n[0] in "dqr" for n in window), window
-    assert not any(n[0] in "dqr" for n in names[50:]), (
-        "a d*/q*/r* query fell outside the driver's 50-slot window")
+    dqr = sorted(n for n in reg if n[0] in "dqr")
+    assert sorted(window) == dqr, (
+        "driver window (insertion order) drifted from the d/q/r set: "
+        f"window={sorted(window)} expected={dqr}")
+    assert len(dqr) == 50, f"d*/q*/r* must fill exactly 50 slots, got {len(dqr)}"
     missing = [n for n in window if reg[n].oracle is None]
     assert missing == [], f"driver-window queries without oracle: {missing}"
