@@ -86,6 +86,28 @@ public final class IndexRegistry {
         return null;
     }
 
+    /** Comma-joined "column=kind" pairs of the registry entry owning ALL
+     *  of the given paths, "" when none. Python-side introspection hook:
+     *  sqlrouting._hybrid_fetch_ranges asks whether a clustered/pq
+     *  registration covers a view's files — if one does, the statement's
+     *  __vl lane can ANN-route at execution and become approximate, so
+     *  build-time exact-mirror fetch-back ranges would not be a sound
+     *  superset of the executed winners. */
+    public static String kindsForPaths(List<String> rootPaths) {
+        Map<String, Entry> m = lookupByPaths(rootPaths);
+        if (m == null) {
+            return "";
+        }
+        StringBuilder sb = new StringBuilder();
+        for (Entry e : m.values()) {
+            if (sb.length() > 0) {
+                sb.append(',');
+            }
+            sb.append(e.column).append('=').append(e.kind);
+        }
+        return sb.toString();
+    }
+
     /** file:/x, file:///x and /x all normalize to /x. */
     static String normalize(String p) {
         String s = p;

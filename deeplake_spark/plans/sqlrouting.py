@@ -377,6 +377,26 @@ def bm25_topk_sql(view: str, terms, k: int = 10,
             f"ORDER BY score DESC, __bl.doc_id LIMIT {int(k)}")
 
 
+def _ann_route_possible(spark: SparkSession, view: str) -> bool:
+    """True when a clustered/pq registration covers the view's files,
+    i.e. the built statement's ``__vl`` top-n lane could be ANN-routed
+    (approximate) AT EXECUTION on this JVM. Then the build-time EXACT
+    mirror's ranges are not a sound superset of the executed winners —
+    a routed top-n admits probed-cell rows the exact top-n excludes,
+    and the frozen BETWEEN prefilter would silently drop those fused
+    winners at the fetch-back join. Fail closed (True) if the registry
+    is non-empty but can't be inspected."""
+    try:
+        if not is_available(spark) or _registry(spark).isEmpty():
+            return False
+        files = list(spark.table(view).inputFiles())
+        kinds = _registry(spark).kindsForPaths(files)
+        return any(k.split("=", 1)[-1] in ("clustered", "pq")
+                   for k in kinds.split(",") if k)
+    except Exception:
+        return True
+
+
 def _hybrid_fetch_ranges(spark: SparkSession, view: str, terms,
                          cos_sql: str, id_col: str, n: int):
     """Sound fetch-back ranges for the hybrid statement: fused winners
@@ -385,7 +405,13 @@ def _hybrid_fetch_ranges(spark: SparkSession, view: str, terms,
     can't be bounded (missing views / non-integral ids / scattered /
     conf off), since a one-sided prefilter would drop the other lane's
     winners. The vector side executes its top-n once at build time
-    (memoized by plan content in the routed lanes' range cache)."""
+    (memoized by plan content in the routed lanes' range cache).
+
+    Declines entirely (None — no prefilter) when an ANN registration
+    covers the view: execution could route ``__vl`` approximate, and
+    approximate winners need not fall inside the exact mirror's ranges
+    (the BM25 term-probe side alone is unsound for vector-lane
+    winners). test_sql_fetchback_execute_routed pins the parity."""
     from deeplake_spark.operators.indexes import (
         DEFAULT_MAX_RANGES,
         MAX_RANGES_KEY,
@@ -393,6 +419,8 @@ def _hybrid_fetch_ranges(spark: SparkSession, view: str, terms,
         routed_scan_ranges,
     )
 
+    if _ann_route_possible(spark, view):
+        return None
     probe_rs = _term_probe_ranges(spark, view, terms)
     if not probe_rs:
         return None
@@ -463,7 +491,12 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     query time anyway; the mirror runs with routing DISABLED so an
     enabled ANN route can't make it approximate). Either side
     unavailable (no views, scattered probe, pruning conf off) → no
-    prefilter, plain join. SNAPSHOT CONTRACT: ranges reflect the
+    prefilter, plain join; likewise when a clustered/pq registration
+    covers the view, the builder declines the prefilter ENTIRELY —
+    EXECUTION could ANN-route the ``__vl`` lane, and approximate
+    winners need not fall inside the exact mirror's frozen ranges
+    (test_sql_fetchback_execute_routed pins the parity). SNAPSHOT
+    CONTRACT: ranges reflect the
     index/corpus at statement-build time (TQL planning-snapshot
     semantics) — rebuild the statement after a delta append or a
     view re-registration, and after changing the statement's

@@ -1460,6 +1460,80 @@ def test_sql_fetchback_pushes_probe_ranges(spark, tmp_path):
             spark.catalog.dropTempView(v)
 
 
+def test_sql_fetchback_execute_routed(spark, tmp_path):
+    """Round-11 soundness fix: when a clustered/pq registration covers
+    the view, hybrid_search_sql must NOT push build-time fetch-back
+    ranges — at execution the statement's ``__vl`` lane can ANN-route
+    (approximate), and approximate winners need not fall inside the
+    exact build-time mirror's ranges; the frozen BETWEEN prefilter
+    would then silently drop fused winners at the fetch-back join.
+    Pins: (a) built statement carries no prefilter while the ANN
+    registration exists, (b) executing it WITH routing enabled returns
+    exactly the routed non-fetch winners joined to the corpus, (c)
+    after unregistering, the prefilter comes back (pruning isn't lost
+    where it IS sound)."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    from deeplake_spark.operators.indexes import build_inverted_index
+    from deeplake_spark.operators.similarity import build_ivf, save_ivf
+
+    n = 400
+    rows = []
+    for i in range(n):
+        text = f"filler{i % 7} common words here"
+        if 10 <= i < 20:
+            text += " needlezz"
+        vec = [1.0, 0.01 * i, 0.0] if i < 50 else [0.0, 0.1, 1.0 + i % 3]
+        rows.append((i, text, vec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(corpus_path))
+    corpus = spark.read.parquet(corpus_path)
+    corpus.createOrReplaceTempView("fr_docs")
+    idx_path = str(tmp_path / "fr_idx")
+    build_inverted_index(corpus, "text", "doc_id").save(idx_path)
+    rt.register_index_views(spark, "fr_docs", idx_path)
+    ivf_path = str(tmp_path / "fr_ivf")
+    save_ivf(build_ivf(corpus, "embedding", "doc_id", n_clusters=4),
+             ivf_path)
+    qv = [1.0, 0.25, 0.0]
+    text_of = {r.doc_id: r.text for r in corpus.collect()}
+    kw = dict(k=5, n=20, vec_col="embedding", id_col="doc_id",
+              text_weight=0.1, vec_weight=0.9)
+    try:
+        rt.register_path(spark, corpus_path, "embedding", "clustered",
+                         ivf_path, id_col="doc_id")
+        rt.enable(spark)
+        hq = rt.hybrid_search_sql("fr_docs", ["needlezz"], qv,
+                                  fetch_cols=["doc_id", "text"],
+                                  spark=spark, **kw)
+        # (a) ANN registration covers the view -> builder declined
+        assert "BETWEEN" not in hq, hq
+        # (b) execute-routed parity: the prefilter-free fetch-back must
+        # return the routed winners exactly (whatever cells were probed)
+        base = [(r.doc_id, round(r.fused, 9)) for r in spark.sql(
+            rt.hybrid_search_sql("fr_docs", ["needlezz"], qv, **kw)
+        ).collect()]
+        assert base
+        got = [(r.doc_id, r.text, round(r.fused, 9))
+               for r in spark.sql(hq).collect()]
+        assert got == [(d, text_of[d], f) for d, f in base]
+        # (c) no ANN registration -> the sound prefilter comes back
+        rt.clear(spark)
+        pq = rt.hybrid_search_sql("fr_docs", ["needlezz"], qv,
+                                  fetch_cols=["doc_id", "text"],
+                                  spark=spark, **kw)
+        assert "BETWEEN" in pq, pq
+    finally:
+        rt.disable(spark)
+        rt.clear(spark)
+        for v in ("fr_docs", "fr_docs__postings", "fr_docs__doclens",
+                  "fr_docs__stats"):
+            spark.catalog.dropTempView(v)
+
+
 def test_sql_ann_corpus_relative_k_ceiling(spark, ann_ds):
     """Corpus-relative ANN k ceiling (round 10): IVF recall@k decays
     with k on a fixed-fraction probe (measured 0.925@10 → 0.637@1000
