@@ -35,10 +35,22 @@ BROADCAST_TABLES = {"region", "nation"}
 #: regenerates testdata between rounds.
 _SCAN_CACHE: dict[tuple[str, int, int], str] = {}
 
-#: (session id, resolved path, source fingerprint) -> DataFrame.
+#: (session key, resolved path, source fingerprint) -> DataFrame.
 #: Bounded load_table memo — see the comment at its use site.
 _TABLE_MEMO: dict = {}
 _TABLE_MEMO_MAX = 64
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key: the JVM sessionUUID (the JVM-side
+    probe caches' convention, IndexRoutingRule.java). NOT ``id(spark)``
+    — CPython reuses object addresses after GC, so an id-keyed memo
+    could serve one session's entries to a LATER session at the same
+    address (stale DataFrames/centroids with no error)."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - no JVM session (mocks)
+        return f"pyid-{id(spark)}"
 
 
 def _source_fingerprint(path: str) -> tuple[str, int, int] | None:
@@ -116,7 +128,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runs many queries pays it per query per table. DataFrames are
     # immutable, so reuse is safe; the fingerprint keys out testdata
     # regenerated in place.
-    memo_key = (id(spark), cached or path, fp)
+    memo_key = (session_key(spark), cached or path, fp)
     df = _TABLE_MEMO.get(memo_key)
     if df is not None:
         return df
@@ -151,9 +163,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-#: (session id, plan semanticHash) -> probed partition count. Bounded;
+#: (session key, plan semanticHash) -> probed partition count. Bounded;
 #: avoids re-running plan→RDD physical planning on every operator entry.
-_PARTITION_PROBE_CACHE: dict[tuple[int, int], int] = {}
+_PARTITION_PROBE_CACHE: dict[tuple[str, int], int] = {}
 _PARTITION_PROBE_CACHE_MAX = 512
 
 
@@ -182,7 +194,7 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     sc = spark.sparkContext
     target = sc.defaultParallelism * factor
     try:
-        key = (id(spark), df.semanticHash())
+        key = (session_key(spark), df.semanticHash())
     except Exception:  # pragma: no cover - semanticHash unavailable
         key = None
     n = _PARTITION_PROBE_CACHE.get(key) if key is not None else None

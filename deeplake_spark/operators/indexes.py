@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deeplake_spark.functions.text import tokenize
-from deeplake_spark.io import ensure_parallelism
+from deeplake_spark.io import ensure_parallelism, session_key
 
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -209,7 +209,7 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
         canon = (ids._jdf.queryExecution().optimizedPlan()
                  .canonicalized().toString())
         files = ",".join(sorted(ids.inputFiles()))
-        key = (id(spark),
+        key = (session_key(spark),
                hashlib.md5(f"{canon}||{files}".encode()).hexdigest(),
                ids.semanticHash(), granule, max_ranges)
     except Exception:  # pragma: no cover - plan string unavailable

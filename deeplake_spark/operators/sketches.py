@@ -34,7 +34,10 @@ def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
                k: int = 64, seed: int = 0) -> DataFrame:
     """Per-group KMV sketch of ``col``: the k smallest distinct
     normalized hashes, sorted ascending. Returns the grouping columns
-    plus ``sketch`` (array<double>, length <= k)."""
+    plus ``sketch`` (array<double>, length <= k) and ``k`` (the build
+    parameter, persisted with the sketch so the read-side helpers can
+    never be fed a mismatched k — a sketch built at k=32 read at k=64
+    would silently return size-as-exact, a biased estimate)."""
     from deeplake_spark.operators.dedup import _md5_int60
 
     by = list(by or [])
@@ -49,32 +52,47 @@ def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
         # empty partitionBy would be the banned single-task global
         # window (perf trap 7)
         topk = hashes.orderBy("__u").limit(k)
-        return topk.agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
+        return (topk.agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
+                .withColumn("k", F.lit(int(k))))
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__u")
     topk = (hashes.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k))
     return (topk.groupBy(*by)
-            .agg(F.array_sort(F.collect_list("__u")).alias("sketch")))
+            .agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
+            .withColumn("k", F.lit(int(k))))
 
 
-def kmv_estimate(sketch: Column, k: int = 64) -> Column:
+def _k_col(k: int | Column) -> Column:
+    """Read-side k: REQUIRED (no default — a k differing from the build
+    k silently biases every estimate; the build k travels in the
+    sketch table's ``k`` column, pass ``F.col("k")`` when reading a
+    persisted table)."""
+    return k if isinstance(k, Column) else F.lit(int(k))
+
+
+def kmv_estimate(sketch: Column, k: int | Column) -> Column:
     """Distinct-count estimate from a KMV sketch column: exact
     cardinality while the sketch is not full (fewer than k distinct
-    values seen), else (k-1)/u_k."""
+    values seen), else (k-1)/u_k. ``k`` must be the BUILD k — pass the
+    persisted ``k`` column (``F.col("k")``) or the same literal used at
+    build time."""
+    kc = _k_col(k)
     n = F.size(sketch)
-    full = (F.lit(k - 1).cast("double")
-            / F.nullif(F.element_at(sketch, k), F.lit(0.0)))
-    return F.when(n < k, n.cast("double")).otherwise(full)
+    full = ((kc - F.lit(1)).cast("double")
+            / F.nullif(F.element_at(sketch, kc), F.lit(0.0)))
+    return F.when(n < kc, n.cast("double")).otherwise(full)
 
 
-def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
+def kmv_merge(a: Column, b: Column, k: int | Column) -> Column:
     """Union of two KMV sketches: the k smallest of the combined
     distinct hashes — the mergeability that makes the sketch usable
-    across partitions, datasets, and incremental deltas."""
-    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    across partitions, datasets, and incremental deltas. Merge only
+    same-k sketches (``k`` = their shared build k)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))),
+                   F.lit(1), _k_col(k))
 
 
-def kmv_jaccard(a: Column, b: Column, k: int = 64) -> Column:
+def kmv_jaccard(a: Column, b: Column, k: int | Column) -> Column:
     """Jaccard-similarity estimate between the SETS two KMV sketches
     summarize (Beyer et al. 2007): over the merged sketch (the k
     smallest union hashes — an unbiased sample of the union), the
@@ -106,11 +124,21 @@ def append_kmv_delta(df_new: DataFrame, col: str, path: str,
     sketch), overwrite the side table. Because merge == sketch-of-union
     hash-exactly (pinned in tests), the maintained sketch equals a
     fresh build over the full corpus — without re-reading it. The
-    join touches <= groups x k doubles, never corpus rows."""
+    join touches <= groups x k doubles, never corpus rows. Raises when
+    ``k`` differs from the side table's persisted build k — merging
+    across k would keep a k'-slice of a k-sketch, silently biasing
+    every later estimate."""
     by = list(by or [])
     spark = df_new.sparkSession
     delta = kmv_sketch(df_new, col, by=by, k=k, seed=seed)
     old = load_kmv(spark, path)
+    if "k" in old.columns:
+        # tiny side table: one bounded job over <= groups rows
+        stored = [r.k for r in old.select("k").distinct().collect()]
+        if stored and stored != [int(k)]:
+            raise ValueError(
+                f"stored KMV sketches at {path} were built with "
+                f"k={stored}, got k={k} — pass the build k")
     if not by:
         merged = (old.select(F.col("sketch").alias("__a"))
                   .crossJoin(delta.select(F.col("sketch").alias("__b")))
@@ -126,6 +154,7 @@ def append_kmv_delta(df_new: DataFrame, col: str, path: str,
                 F.coalesce(F.col("__a"), empty),
                 F.coalesce(F.col("__b"), empty), k).alias("sketch"))
         )
+    merged = merged.withColumn("k", F.lit(int(k)))
     # write via a temp dir: the merged plan READS the path it would
     # overwrite (self-overwrite reads zero rows mid-write)
     tmp = path.rstrip("/") + "__tmp"

@@ -25,7 +25,7 @@ from deeplake_spark.functions.text import (
     quality_score,
     tokenize,
 )
-from deeplake_spark.io import load_table
+from deeplake_spark.io import load_table, session_key
 from deeplake_spark.queries import query
 
 #: DuckDB tokenizer mirroring functions.text.tokenize
@@ -361,7 +361,7 @@ def _inv_index(spark: SparkSession, sf_dir: str):
 
     from deeplake_spark.operators.indexes import InvertedIndex, build_inverted_index
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _INV_CACHE:
         d = load_table(spark, sf_dir, "documents")
         idx = build_inverted_index(d, text_col="text", id_col="doc_id")

@@ -31,7 +31,7 @@ from deeplake_spark.functions.vector import (
     linf_norm,
     sign_bits,
 )
-from deeplake_spark.io import load_table
+from deeplake_spark.io import load_table, session_key
 from deeplake_spark.queries import query
 
 #: DuckDB expression mirroring our double-cast dot product.
@@ -52,7 +52,7 @@ _IVF_CACHE: dict = {}
 def _ivf8(spark: SparkSession, sf_dir: str):
     from deeplake_spark.operators.similarity import build_ivf
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _IVF_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
         _IVF_CACHE[key] = build_ivf(e, n_clusters=8, seed=42)
@@ -74,7 +74,7 @@ def _quantized_index(spark: SparkSession, sf_dir: str):
         save_quantized,
     )
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _QUANT_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
         path = os.path.join(tempfile.gettempdir(), f"dls_quant_{abs(hash(sf_dir))}")
@@ -94,7 +94,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
 
     from deeplake_spark.operators.similarity import build_pq, load_pq, save_pq
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _PQ_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
         path = os.path.join(tempfile.gettempdir(), f"dls_pq_{abs(hash(sf_dir))}")
@@ -605,7 +605,7 @@ def _pooled_index(spark: SparkSession, sf_dir: str):
         save_pooled_maxsim,
     )
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _POOLED_CACHE:
         docs = _doc_matrices(spark, sf_dir)
         path = os.path.join(tempfile.gettempdir(), f"dls_pooled_{abs(hash(sf_dir))}")
@@ -1006,7 +1006,7 @@ def v24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.operators.similarity import seed_centroids, semantic_dedup
 
     base = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     planted = base.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"),

@@ -187,8 +187,10 @@ def stream_phash_near_dup(images, payload_col: str = "image",
     the cap for the expected degenerate-bucket population, or set it
     high when exact batch parity matters more than bounded state.
     Emits (band, a, b, hamming) — distinct (a, b) downstream for a
-    unique pair set; state is bounded at O(bucket_cap * 64 ints) per
-    bucket."""
+    unique pair set (the SAME pair can surface from several bands);
+    state is bounded at O(bucket_cap * 64 ints) per bucket plus one
+    bigint per post-cap arrival (the `seen` record that keeps replays
+    from re-emitting a capped-out member's pairs)."""
     from deeplake_spark.operators.multimodal import phash_images
 
     hashed = phash_images(images, payload_col, compression, strict)
@@ -222,7 +224,18 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
         # nbits would generate a zero-argument hash() that fails
         # analysis)
         raise ValueError(f"bands={bands} must evenly divide nbits={nbits}")
-    base = hashed.select(F.col(id_col).alias("__sid"),
+    # the state/output schemas key pairs by BIGINT ids; a non-integral
+    # id column (string ids work in the batch twin bits_near_dup_pairs)
+    # would otherwise die with an opaque ValueError inside the stateful
+    # UDF at runtime — fail eagerly with the workaround instead
+    id_type = dict(hashed.dtypes).get(id_col)
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"stream_bits_near_dup needs an integral id column, got "
+            f"{id_col}: {id_type} — map ids to bigint first (e.g. a "
+            "monotonically-assigned row id), or use the batch twin "
+            "similarity.bits_near_dup_pairs, which accepts any id type")
+    base = hashed.select(F.col(id_col).cast("long").alias("__sid"),
                          F.col(bits_col).alias("__sbits"))
     banded = base.select(
         "__sid", "__sbits",
@@ -231,17 +244,26 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
     )
 
     out_schema = "band int, a bigint, b bigint, hamming int"
-    state_schema = "ids array<bigint>, bits array<array<int>>"
+    # `seen` records POST-CAP arrivals (ids only, no bits): they emit
+    # their pairs against the stored members once, but aren't members —
+    # without the record, a micro-batch replay would re-evaluate and
+    # RE-EMIT their pairs (append-mode sinks would see duplicate (a,b)
+    # rows beyond the documented cap-recall caveat). 8 bytes/id of
+    # state vs O(nbits) for a member.
+    state_schema = ("ids array<bigint>, bits array<array<int>>, "
+                    "seen array<bigint>")
 
     def fn(key, pdf_iter, state):
-        ids, bit_list = (list(state.get[0]), [list(b) for b in state.get[1]]) \
-            if state.exists else ([], [])
+        ids, bit_list, seen = (
+            list(state.get[0]), [list(b) for b in state.get[1]],
+            set(state.get[2]),
+        ) if state.exists else ([], [], set())
         out_a, out_b, out_h = [], [], []
         for pdf in pdf_iter:
             for sid, bits in zip(pdf["__sid"], pdf["__sbits"]):
                 sid = int(sid)
-                if sid in ids:
-                    continue  # replay/idempotence: already a member
+                if sid in ids or sid in seen:
+                    continue  # replay/idempotence: already evaluated
                 bits = [int(x) for x in bits]
                 for other_id, other_bits in zip(ids, bit_list):
                     h = sum(x != y for x, y in zip(bits, other_bits))
@@ -253,7 +275,9 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
                 if len(ids) < bucket_cap:
                     ids.append(sid)
                     bit_list.append(bits)
-        state.update((ids, bit_list))
+                else:
+                    seen.add(sid)
+        state.update((ids, bit_list, sorted(seen)))
         yield pd.DataFrame({
             "band": [int(key[0])] * len(out_a),
             "a": out_a, "b": out_b, "hamming": out_h,

@@ -1046,3 +1046,28 @@ def test_kmv_persisted_incremental_equals_full_build(spark, tmp_path):
     want = {r.g: list(r.sketch)
             for r in kmv_sketch(full, "x", by=["g"], k=32).collect()}
     assert got == want
+
+
+def test_kmv_build_k_persisted_and_guarded(spark, tmp_path):
+    """The build k travels WITH the sketch (a ``k`` column in the side
+    table): estimates read it via F.col('k') instead of re-stating a
+    literal, and append_kmv_delta refuses a mismatched k — a k=32
+    sketch read at k=64 would silently return size-as-exact (32.0), a
+    biased estimate with no error."""
+    from deeplake_spark.operators.sketches import (
+        append_kmv_delta, kmv_estimate, kmv_sketch, load_kmv, save_kmv)
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i}") for i in range(400)], "g string, x string")
+    path = str(tmp_path / "kmv")
+    save_kmv(kmv_sketch(df, "x", by=["g"], k=32), path)
+    stored = load_kmv(spark, path)
+    assert set(r.k for r in stored.select("k").collect()) == {32}
+    # estimate from the persisted k column == estimate at the literal k
+    via_col = {r.g: r.e for r in stored.select(
+        "g", kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).collect()}
+    via_lit = {r.g: r.e for r in stored.select(
+        "g", kmv_estimate(F.col("sketch"), 32).alias("e")).collect()}
+    assert via_col == via_lit
+    with pytest.raises(ValueError, match="built with.*k=\\[32\\]"):
+        append_kmv_delta(df, "x", path, by=["g"], k=64)

@@ -395,3 +395,32 @@ def test_aqe_skew_split_engages_on_hot_key(spark, sf_dir):
               .select(F.spark_partition_id().alias("pid"))
               .distinct().count())
     assert spread > 1, "salted join left the hot key on one partition"
+
+
+def test_session_key_is_uuid_not_address(spark):
+    """Every Python-side per-session memo keys on io.session_key — the
+    JVM sessionUUID (the JVM probe caches' convention) — never
+    id(spark): CPython reuses object addresses after GC, so an
+    id-keyed memo could silently serve one session's DataFrames or
+    centroids to a LATER session at the same address. Also greps the
+    package so no new id(spark) cache key sneaks back in."""
+    import glob
+
+    from deeplake_spark.io import session_key
+
+    k = session_key(spark)
+    assert k == session_key(spark), "must be stable per session"
+    assert k == str(spark._jsparkSession.sessionUUID())
+    assert session_key(spark.newSession()) != k
+    offenders = []
+    for path in glob.glob("/root/repo/deeplake_spark/**/*.py",
+                          recursive=True):
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            # flag only assignments (cache keys); the session_key
+            # fallback and docstrings mention id(spark) legitimately
+            if "id(spark)" in line and "=" in line \
+                    and "pyid-" not in line \
+                    and not line.lstrip().startswith("#"):
+                offenders.append(f"{path}:{i}: {line.strip()}")
+    assert offenders == [], offenders

@@ -729,3 +729,68 @@ def test_stream_bits_near_dup_audio_matches_batch(spark, tmp_path):
         compression="wav", strict=True, max_hamming=6).collect()}
     assert got == batch
     assert len(batch) >= 3
+
+
+def test_stream_bits_near_dup_rejects_non_integral_ids(spark):
+    """Non-integral id columns fail EAGERLY with a clear message (the
+    state/output schemas key pairs by bigint) instead of a ValueError
+    deep inside the stateful UDF at runtime; the batch twin
+    bits_near_dup_pairs stays the documented fallback for string ids."""
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    df = spark.createDataFrame(
+        [("a", [0] * 64)], "doc string, bits array<int>")
+    with pytest.raises(TypeError, match="integral id column.*batch twin"):
+        stream_bits_near_dup(df, "bits", "doc")
+
+
+def test_stream_bits_near_dup_post_cap_arrivals_idempotent(spark, tmp_path):
+    """A post-cap arrival emits its pairs against the stored members
+    exactly ONCE: the bucket records its id (`seen`, ids only — no
+    bits) even though it never becomes a member, so an at-least-once
+    re-delivery / micro-batch replay of the same row is skipped instead
+    of re-emitting its (a, b) pairs into an append-mode sink."""
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    bands, bits = 8, [1] * 64
+    data_dir = str(tmp_path / "bits_in")
+    out_dir = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_rows(rows):
+        (spark.createDataFrame(rows, "clip_id long, bits array<int>")
+         .coalesce(1).write.mode("append").parquet(data_dir))
+
+    def run():
+        # file sink (memory doesn't recover from a checkpoint): the
+        # append-mode at-least-once shape real deployments use
+        stream = (spark.readStream.format("parquet")
+                  .schema("clip_id long, bits array<int>")
+                  .option("maxFilesPerTrigger", "1")
+                  .load(data_dir))
+        out = stream_bits_near_dup(stream, "bits", "clip_id",
+                                   max_hamming=6, bands=bands,
+                                   bucket_cap=1)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: two identical signatures; cap=1 -> the second is post-cap,
+    # emits its pairs, and is recorded in `seen` (not a member)
+    write_rows([(1, bits)])
+    write_rows([(2, bits)])
+    run()
+    # run 2 (same checkpoint): id 2 RE-DELIVERED plus a new id 3
+    write_rows([(2, bits), (3, bits)])
+    run()
+    rows = spark.read.parquet(out_dir).select("a", "b").collect()
+    member = min(r.a for r in rows)  # whichever file listed first
+    from collections import Counter
+
+    counts = Counter((r.a, r.b) for r in rows)
+    others = sorted({1, 2, 3} - {member})
+    # each pair once per band — the re-delivered id 2 added nothing
+    assert counts == {(member, o) if member < o else (o, member): bands
+                      for o in others}, counts
