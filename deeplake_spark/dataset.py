@@ -856,8 +856,11 @@ class Dataset:
         types.pyi:604-615) | clustered_quantized (stored sign-bit
         quantization, types.pyi:625-632) | pq (product quantization,
         Jégou et al. 2011 — extends the stored quantized family with
-        the memory-bound ADC scale path). `json` takes `paths=[...]`
-        (the JSON
+        the memory-bound ADC scale path) | fingerprint (persisted bit
+        signatures over a binary payload column — decode once at
+        ingest, near-dup re-runs probe the side table; requires
+        modality='image'|'audio'|'video' plus that modality's decode
+        params). `json` takes `paths=[...]` (the JSON
         paths extracted at build time); options are persisted so
         auto-refresh on commit rebuilds identically."""
         self._check_writable()
@@ -927,6 +930,24 @@ class Dataset:
                                      "train_limit", "n_clusters", "config")}),
                 idx_path,
             )
+        elif kind == "fingerprint":
+            from deeplake_spark.operators.multimodal import (
+                build_fingerprint_index,
+                save_fingerprint_index,
+            )
+
+            modality = options.get("modality")
+            if not modality:
+                raise InvalidIndexCreationError(
+                    "fingerprint index requires modality="
+                    "'image'|'audio'|'video'")
+            save_fingerprint_index(
+                build_fingerprint_index(
+                    self.to_df(), payload_col=column, id_col="_row_id",
+                    modality=modality,
+                    **{k: v for k, v in options.items() if k != "modality"}),
+                idx_path,
+            )
         else:
             raise InvalidIndexCreationError(f"unsupported index kind {kind!r}")
         refs = _read_refs(self.path)
@@ -956,12 +977,15 @@ class Dataset:
         )
         from deeplake_spark.operators.similarity import load_ivf
 
+        from deeplake_spark.operators.multimodal import load_fingerprint_index
+
         loaders = {
             "inverted": InvertedIndex.load,
             "numeric": NumericIndex.load,
             "json": JsonIndex.load,
             "exact": ExactTextIndex.load,
             "clustered": load_ivf,
+            "fingerprint": load_fingerprint_index,
         }
         refs = _read_refs(self.path)
         out = {}
@@ -1501,6 +1525,10 @@ class Dataset:
             from deeplake_spark.operators.similarity import append_ivf_delta, load_ivf
 
             append_ivf_delta(load_ivf(self.spark, idx_path), new_df, idx_path)
+        elif kind == "fingerprint":
+            from deeplake_spark.operators.multimodal import append_fingerprint_delta
+
+            append_fingerprint_delta(new_df, column, idx_path)
         elif kind == "pooled":
             from deeplake_spark.operators.similarity import append_pooled_delta
 

@@ -1399,7 +1399,8 @@ def phash_images(df: DataFrame, payload_col: str = "image",
 def image_near_dup_pairs(df: DataFrame, payload_col: str = "image",
                          id_col: str = "img_id", compression: str = "png",
                          strict: bool = False, max_hamming: int = 6,
-                         bands: int = 8) -> DataFrame:
+                         bands: int = 8,
+                         index_path: str | None = None) -> DataFrame:
     """Image near-duplicate pairs by banded perceptual hash — pHash →
     band the 64 bits into ``bands`` buckets → bucket-join candidates →
     exact Hamming verify (pure JVM on the bit arrays). EXACT for
@@ -1408,9 +1409,17 @@ def image_near_dup_pairs(df: DataFrame, payload_col: str = "image",
     collides in at least one bucket — recall 1 with candidate volume
     proportional to true collisions, the near_dup_pairs_lsh shape with
     a provable (not probabilistic) guarantee. Returns (a, b, hamming).
+    With ``index_path`` the pairs come from the PERSISTED fingerprint
+    index (build_fingerprint_index at ingest) — no payload decode; the
+    side table is the corpus snapshot, delta-append keeps it fresh.
     """
     from deeplake_spark.operators.similarity import bits_near_dup_pairs
 
+    if index_path is not None:
+        # persisted-fingerprint lane: the side table IS the corpus
+        # snapshot (delta-append keeps it fresh) — zero payload decode
+        return fingerprint_index_near_dup_pairs(
+            df.sparkSession, index_path, "image", max_hamming, bands)
     hashed = phash_images(df, payload_col, compression, strict)
     return bits_near_dup_pairs(hashed, "phash_bits", id_col,
                                max_hamming=max_hamming, bands=bands)
@@ -1489,12 +1498,16 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "audio",
 def audio_near_dup_pairs(df: DataFrame, payload_col: str = "audio",
                          id_col: str = "clip_id", compression: str = "wav",
                          strict: bool = False, max_hamming: int = 6,
-                         bands: int = 8) -> DataFrame:
+                         bands: int = 8,
+                         index_path: str | None = None) -> DataFrame:
     """Audio near-duplicate pairs: spectral fingerprint → the shared
     banded-bits engine (`similarity.bits_near_dup_pairs` — exact for
     max_hamming < bands). Returns (a, b, hamming)."""
     from deeplake_spark.operators.similarity import bits_near_dup_pairs
 
+    if index_path is not None:
+        return fingerprint_index_near_dup_pairs(
+            df.sparkSession, index_path, "audio", max_hamming, bands)
     hashed = audio_fingerprint(df, payload_col, compression, strict)
     return bits_near_dup_pairs(hashed, "afp_bits", id_col,
                                max_hamming=max_hamming, bands=bands)
@@ -1544,12 +1557,162 @@ def video_fingerprint(df: DataFrame, payload_col: str = "video",
 def video_near_dup_pairs(df: DataFrame, payload_col: str = "video",
                          id_col: str = "clip_id", every_n: int = 5,
                          strict: bool = False, max_hamming: int = 6,
-                         bands: int = 8) -> DataFrame:
+                         bands: int = 8,
+                         index_path: str | None = None) -> DataFrame:
     """Video near-duplicate pairs: majority-pooled frame pHash → the
     shared banded-bits engine (exact for max_hamming < bands).
-    Returns (a, b, hamming)."""
+    Returns (a, b, hamming); ``index_path`` probes the persisted
+    fingerprint index instead of decoding."""
     from deeplake_spark.operators.similarity import bits_near_dup_pairs
 
+    if index_path is not None:
+        return fingerprint_index_near_dup_pairs(
+            df.sparkSession, index_path, "video", max_hamming, bands)
     hashed = video_fingerprint(df, payload_col, every_n, strict)
     return bits_near_dup_pairs(hashed, "vfp_bits", id_col,
                                max_hamming=max_hamming, bands=bands)
+
+
+# ---------------------------------------- persisted fingerprint index
+#
+# Build-at-ingest side table of bit signatures keyed by row id — the
+# same save/load/append_delta protocol as the vector/text indexes
+# (similarity.save_ivf is the template; reference index side tables per
+# SURVEY §4.3, Column.create_index `python/deeplake/__init__.pyi:1678`).
+# Decode economics: at 100 TB of payloads the mapInPandas decode
+# dominates a near-dup run by orders of magnitude, while the signature
+# table is ~300 B/row — decoding ONCE at ingest and probing the side
+# table makes multimodal dedup re-runnable at payload-free cost
+# (SCALING.md "fingerprint index" ladder).
+
+#: modality -> (fingerprint fn, bits col, packed col, allowed params)
+_FP_BUILDERS = {
+    "image": ("phash_images", "phash_bits", "phash",
+              ("compression", "strict", "hash_size", "highfreq_factor")),
+    "audio": ("audio_fingerprint", "afp_bits", "afp",
+              ("compression", "strict")),
+    "video": ("video_fingerprint", "vfp_bits", "vfp",
+              ("every_n", "strict")),
+}
+
+
+class FingerprintIndex:
+    """Persisted bit-signature index: ``signatures`` is a DataFrame
+    (id_col, bits array<int>, packed long) — the payload-free corpus
+    every ``*_near_dup_pairs(index_path=...)`` lane and the streaming
+    probe consume."""
+
+    def __init__(self, signatures: DataFrame, modality: str, id_col: str,
+                 params: dict, nbits: int = 64, loaded: bool = False,
+                 n_rows_est: int | None = None):
+        self.signatures = signatures
+        self.modality = modality
+        self.id_col = id_col
+        self.params = dict(params)
+        self.nbits = int(nbits)
+        self.loaded = loaded
+        self.n_rows_est = n_rows_est
+
+
+def build_fingerprint_index(df: DataFrame, payload_col: str, id_col: str,
+                            modality: str, **params) -> FingerprintIndex:
+    """One decode pass over the payloads → canonical (id, bits, packed)
+    signature frame. ``params`` are the modality's decode parameters
+    (persisted by save so delta appends and rebuilds encode
+    IDENTICALLY — a compression/hash_size drift between build and
+    append would silently mix incomparable signatures)."""
+    if modality not in _FP_BUILDERS:
+        raise ValueError(
+            f"unknown fingerprint modality {modality!r}; "
+            f"one of {sorted(_FP_BUILDERS)}")
+    fn_name, bits_col, packed_col, allowed = _FP_BUILDERS[modality]
+    bad = sorted(set(params) - set(allowed))
+    if bad:
+        raise ValueError(f"{modality} fingerprint takes {allowed}, got {bad}")
+    fn = globals()[fn_name]
+    hashed = fn(df.select(id_col, payload_col), payload_col, **params)
+    sigs = hashed.select(
+        F.col(id_col),
+        F.col(bits_col).alias("bits"),
+        F.col(packed_col).alias("packed"),
+    )
+    return FingerprintIndex(sigs, modality, id_col, params)
+
+
+def save_fingerprint_index(index: FingerprintIndex, path: str) -> None:
+    """Persist: signatures range-partitioned + sorted by id (row-group
+    min/max stats make later id probes prunable, the ingest layout
+    convention) plus a meta.json sidecar carrying the decode params and
+    corpus size."""
+    import os
+
+    from deeplake_spark.storage import put_json
+
+    sig_path = os.path.join(path, "signatures")
+    (index.signatures.repartitionByRange(F.col(index.id_col))
+     .sortWithinPartitions(index.id_col)
+     .write.mode("overwrite").parquet(sig_path))
+    spark = index.signatures.sparkSession
+    n = int(spark.read.parquet(sig_path).count())  # metadata-cheap
+    put_json(os.path.join(path, "meta.json"), {
+        "modality": index.modality,
+        "id_col": index.id_col,
+        "params": index.params,
+        "nbits": index.nbits,
+        "n": n,
+    })
+
+
+def load_fingerprint_index(spark, path: str) -> FingerprintIndex:
+    import os
+
+    from deeplake_spark.storage import get_json
+
+    meta = get_json(os.path.join(path, "meta.json"))
+    return FingerprintIndex(
+        signatures=spark.read.parquet(os.path.join(path, "signatures")),
+        modality=meta["modality"],
+        id_col=meta["id_col"],
+        params=meta.get("params", {}),
+        nbits=int(meta.get("nbits", 64)),
+        loaded=True,
+        n_rows_est=meta.get("n"),
+    )
+
+
+def append_fingerprint_delta(new_df: DataFrame, payload_col: str,
+                             path: str) -> None:
+    """Incremental maintenance: decode ONLY the appended payloads with
+    the PERSISTED params and append their signatures — existing
+    signature files untouched, never a corpus re-read (the inverted
+    index's append_to contract)."""
+    import os
+
+    from deeplake_spark.operators.similarity import _bump_meta_n
+    from deeplake_spark.storage import get_json
+
+    meta = get_json(os.path.join(path, "meta.json"))
+    delta = build_fingerprint_index(
+        new_df, payload_col, meta["id_col"], meta["modality"],
+        **meta.get("params", {}))
+    delta.signatures.write.mode("append").parquet(
+        os.path.join(path, "signatures"))
+    _bump_meta_n(new_df.sparkSession, path, "signatures", "meta.json")
+
+
+def fingerprint_index_near_dup_pairs(spark, index_path: str,
+                                     modality: str, max_hamming: int,
+                                     bands: int) -> DataFrame:
+    """Near-dup pairs over the PERSISTED signatures — zero payload
+    decode. Same (a, b, hamming) result as the decode lane (pinned in
+    tests); raises if the side table was built for another modality."""
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
+
+    idx = load_fingerprint_index(spark, index_path)
+    if idx.modality != modality:
+        raise ValueError(
+            f"index at {index_path} holds {idx.modality} fingerprints, "
+            f"asked for {modality}")
+    return bits_near_dup_pairs(idx.signatures, "bits", idx.id_col,
+                               max_hamming=max_hamming, bands=bands,
+                               nbits=idx.nbits)

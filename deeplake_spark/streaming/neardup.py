@@ -202,14 +202,24 @@ def stream_phash_near_dup(images, payload_col: str = "image",
 def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
                          max_hamming: int = 6, bands: int = 8,
                          nbits: int = 64,
-                         bucket_cap: int = 256) -> DataFrame:
+                         bucket_cap: int = 256,
+                         index_path: str | None = None) -> DataFrame:
     """Streaming twin of `similarity.bits_near_dup_pairs`, shared by
     every bit-signature modality (image pHash, audio spectral
     fingerprint, video majority pHash): input is a (possibly
     streaming) DataFrame already carrying the signature column; the
     banding is the batch expression, the per-(band, bucket) membership
     is `applyInPandasWithState`. Recall/semantics and the bucket_cap
-    boundary are documented on `stream_phash_near_dup`."""
+    boundary are documented on `stream_phash_near_dup`.
+
+    ``index_path`` adds the stream-vs-CORPUS lane: arriving signatures
+    additionally probe the persisted fingerprint side table
+    (multimodal.build_fingerprint_index — already-decoded history)
+    through a stateless stream-static band-bucket join + exact Hamming
+    verify, unioned with the within-stream pairs. The side table must
+    hold ids DISJOINT from the stream's (its snapshot of already-
+    ingested rows), else a replayed ingested row pairs with itself's
+    corpus copy — the `a != b` guard drops only the exact self-pair."""
     import pandas as pd
 
     from deeplake_spark.operators.similarity import _band_hash_array
@@ -283,8 +293,38 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
             "a": out_a, "b": out_b, "hamming": out_h,
         })
 
-    return (
+    within = (
         banded.groupBy("band", "bh")
         .applyInPandasWithState(fn, out_schema, state_schema,
                                 "append", "NoTimeout")
     )
+    if index_path is None:
+        return within
+    from deeplake_spark.functions.vector import hamming_distance
+    from deeplake_spark.operators.multimodal import load_fingerprint_index
+
+    idx = load_fingerprint_index(hashed.sparkSession, index_path)
+    if idx.nbits != nbits:
+        raise ValueError(
+            f"index at {index_path} holds {idx.nbits}-bit signatures, "
+            f"stream is banded for nbits={nbits}")
+    side = idx.signatures.select(
+        F.col(idx.id_col).cast("long").alias("__cid"),
+        F.col("bits").alias("__cbits"),
+        F.posexplode(_band_hash_array(bands, nbits // bands, "bits"))
+        .alias("band", "bh"),
+    )
+    ham = hamming_distance(F.col("__sbits"), F.col("__cbits")).cast("int")
+    cross = (
+        banded.join(side, ["band", "bh"])
+        .filter(F.col("__sid") != F.col("__cid"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "band",
+            F.least("__sid", "__cid").alias("a"),
+            F.greatest("__sid", "__cid").alias("b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)

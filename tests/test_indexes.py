@@ -2066,3 +2066,60 @@ def test_tql_topk_ceiling_confs_decline_route(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset(maxk_key)
         spark.conf.set(frac_key, "1.0")  # the test session's default
+
+
+def test_dataset_fingerprint_index_lifecycle(spark):
+    """Dataset.create_index(kind='fingerprint') builds the signature
+    side table at ingest; image_near_dup_pairs(index_path=...) probes
+    it decode-free; an append-only commit under IndexingMode automatic
+    delta-appends ONLY the new payloads' signatures (reference
+    Column.create_index / IndexingMode, __init__.pyi:1678,2885)."""
+    import tempfile
+
+    import numpy as np
+
+    from deeplake_spark import dataset as dl
+    from deeplake_spark import types as dt
+    from deeplake_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        load_fingerprint_index,
+    )
+
+    def ppm(pix):
+        pix = np.asarray(pix, dtype=np.uint8)
+        h, w, _ = pix.shape
+        return bytearray(f"P6 {w} {h} 255\n".encode() + pix.tobytes())
+
+    rng = np.random.default_rng(29)
+    imgs = []
+    for i in range(10):
+        base = rng.integers(0, 256, (16, 16, 3))
+        imgs.append(ppm(base))
+        if i % 3 == 0:
+            pert = base.copy()
+            pert[0, 0] = rng.integers(0, 256, 3)
+            imgs.append(ppm(pert))
+    with tempfile.TemporaryDirectory() as d:
+        ds = dl.create(d + "/ds", spark,
+                       schema={"image": dt.Image("uint8", "ppm")})
+        ds.append([{"image": p} for p in imgs[:8]])
+        ds.commit("first")
+        ds.create_index("image", "fingerprint", modality="image",
+                        compression="ppm", strict=True)
+        idx_path = ds._load_indexes()["image"][1]  # loaded FingerprintIndex
+        assert idx_path.modality == "image"
+        assert idx_path.n_rows_est == 8
+        # append-only commit: automatic delta refresh, no rebuild
+        ds.append([{"image": p} for p in imgs[8:]])
+        ds.commit("second")
+        meta = ds._load_indexes()["image"][1]
+        assert meta.n_rows_est == len(imgs)
+        fp_dir = d + "/ds/_indexes/image_fingerprint"
+        persisted = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+            ds.to_df(), max_hamming=6, index_path=fp_dir).collect()}
+        decode = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+            ds.to_df(), "image", "_row_id", compression="ppm",
+            strict=True, max_hamming=6).collect()}
+        assert persisted == decode and len(decode) >= 3
+        ds.drop_index("image")
+        assert "image" not in ds._load_indexes()

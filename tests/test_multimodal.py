@@ -1446,3 +1446,112 @@ def test_video_fingerprint_and_near_dup(spark):
         max_hamming=6).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs
     assert (0, 3) not in pairs
+
+
+def test_fingerprint_index_persisted_equals_decode_lane(spark, tmp_path):
+    """Persisted fingerprint index (round 11): pairs from the side
+    table == pairs from the decode lane, for image AND audio; a
+    modality mismatch raises; the side table carries the decode params
+    so a rebuild/delta encodes identically."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        build_fingerprint_index,
+        image_near_dup_pairs,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    rng = np.random.default_rng(17)
+    rows, vid = [], 0
+    for i in range(16):
+        base = rng.integers(0, 256, (16, 16, 3))
+        rows.append((vid, _ppm(base))); vid += 1
+        if i % 3 == 0:
+            pert = base.copy()
+            pert[:2, :2] = rng.integers(0, 256, (2, 2, 3))
+            rows.append((vid, _ppm(pert))); vid += 1
+    df = spark.createDataFrame(rows, "img_id long, image binary").repartition(4)
+    decode = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        df, "image", "img_id", compression="ppm", strict=True,
+        max_hamming=6).collect()}
+    idx_path = str(tmp_path / "img_fp")
+    save_fingerprint_index(
+        build_fingerprint_index(df, "image", "img_id", "image",
+                                compression="ppm", strict=True),
+        idx_path)
+    idx = load_fingerprint_index(spark, idx_path)
+    assert idx.modality == "image" and idx.id_col == "img_id"
+    assert idx.params == {"compression": "ppm", "strict": True}
+    assert idx.n_rows_est == len(rows)
+    persisted = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        df, max_hamming=6, index_path=idx_path).collect()}
+    assert persisted == decode and len(decode) >= 3
+
+    with pytest.raises(ValueError, match="holds image fingerprints"):
+        audio_near_dup_pairs(df, max_hamming=6, index_path=idx_path).collect()
+
+    # audio modality through the same protocol
+    t = np.arange(2000) / 8000.0
+    arows, cid = [], 0
+    for i in range(8):
+        tone = np.sin(2 * np.pi * (220 + 170 * i) * t)
+        arows.append((cid, _wav(tone))); cid += 1
+        if i % 2 == 0:
+            arows.append((cid, _wav(tone + rng.normal(0, 0.01, t.shape))))
+            cid += 1
+    adf = spark.createDataFrame(arows, "clip_id long, audio binary")
+    adecode = {(r.a, r.b): r.hamming for r in audio_near_dup_pairs(
+        adf, "audio", "clip_id", compression="wav", strict=True,
+        max_hamming=6).collect()}
+    apath = str(tmp_path / "aud_fp")
+    save_fingerprint_index(
+        build_fingerprint_index(adf, "audio", "clip_id", "audio",
+                                compression="wav", strict=True),
+        apath)
+    apers = {(r.a, r.b): r.hamming for r in audio_near_dup_pairs(
+        adf, max_hamming=6, index_path=apath).collect()}
+    assert apers == adecode and len(adecode) >= 2
+
+
+def test_fingerprint_index_incremental_append(spark, tmp_path):
+    """append_fingerprint_delta decodes ONLY the appended payloads
+    (persisted params) and appends their signatures: the maintained
+    index serves the same pairs as a fresh full-corpus decode."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        append_fingerprint_delta,
+        build_fingerprint_index,
+        image_near_dup_pairs,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    rng = np.random.default_rng(23)
+    rows, vid = [], 0
+    for i in range(20):
+        base = rng.integers(0, 256, (16, 16, 3))
+        rows.append((vid, _ppm(base))); vid += 1
+        if i % 4 == 0:
+            pert = base.copy()
+            pert[0, 0] = rng.integers(0, 256, 3)
+            rows.append((vid, _ppm(pert))); vid += 1
+    full = spark.createDataFrame(rows, "img_id long, image binary")
+    half = len(rows) // 2
+    first = full.filter(F.col("img_id") < half)
+    second = full.filter(F.col("img_id") >= half)
+    idx_path = str(tmp_path / "inc_fp")
+    save_fingerprint_index(
+        build_fingerprint_index(first, "image", "img_id", "image",
+                                compression="ppm", strict=True),
+        idx_path)
+    append_fingerprint_delta(second, "image", idx_path)
+    assert load_fingerprint_index(spark, idx_path).n_rows_est == len(rows)
+    maintained = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        full, max_hamming=6, index_path=idx_path).collect()}
+    fresh = {(r.a, r.b): r.hamming for r in image_near_dup_pairs(
+        full, "image", "img_id", compression="ppm", strict=True,
+        max_hamming=6).collect()}
+    assert maintained == fresh and len(fresh) >= 3

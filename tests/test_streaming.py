@@ -794,3 +794,65 @@ def test_stream_bits_near_dup_post_cap_arrivals_idempotent(spark, tmp_path):
     # each pair once per band — the re-delivered id 2 added nothing
     assert counts == {(member, o) if member < o else (o, member): bands
                       for o in others}, counts
+
+
+def test_stream_bits_near_dup_probes_persisted_index(spark, tmp_path):
+    """index_path lane: arriving signatures probe the persisted
+    fingerprint side table (already-decoded corpus) through a
+    stateless stream-static band join — emitted distinct pairs ==
+    batch pairs over (stream ∪ corpus) MINUS the corpus-internal
+    pairs (history-vs-history is the batch rerun's job, not the
+    stream's), with within-stream pairs still coming from the
+    stateful lane."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        FingerprintIndex, save_fingerprint_index)
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    rng = np.random.default_rng(37)
+
+    def flip3(bits):
+        out = bits[:]
+        for j in rng.choice(64, 3, replace=False):
+            out[j] ^= 1
+        return out
+
+    sigs = {i: [int(b) for b in rng.integers(0, 2, 64)] for i in range(12)}
+    sigs[1] = flip3(sigs[0])   # corpus-corpus pair (must be EXCLUDED)
+    sigs[6] = flip3(sigs[2])   # corpus-stream cross pair
+    sigs[9] = flip3(sigs[8])   # within-stream pair
+    # ids 0-5 are the CORPUS (persisted signatures), 6-11 the stream
+    corpus_ids, stream_ids = list(range(6)), list(range(6, 12))
+    side = spark.createDataFrame(
+        [(i, sigs[i], 0) for i in corpus_ids],
+        "clip_id long, bits array<int>, packed long")
+    idx_path = str(tmp_path / "fp_idx")
+    save_fingerprint_index(
+        FingerprintIndex(side, "image", "clip_id", {}), idx_path)
+
+    stream_dir = str(tmp_path / "stream_in")
+    (spark.createDataFrame([(i, sigs[i]) for i in stream_ids],
+                           "clip_id long, bits array<int>")
+     .coalesce(1).write.parquet(stream_dir))
+    stream = (spark.readStream.format("parquet")
+              .schema("clip_id long, bits array<int>")
+              .option("maxFilesPerTrigger", "1").load(stream_dir))
+    out = stream_bits_near_dup(stream, "bits", "clip_id",
+                               max_hamming=6, index_path=idx_path)
+    run_stream_to_memory(out, "fp_probe_out")
+    got = {(r.a, r.b) for r in spark.sql(
+        "SELECT DISTINCT a, b FROM fp_probe_out").collect()}
+
+    everything = spark.createDataFrame(
+        [(i, sigs[i]) for i in range(12)], "clip_id long, bits array<int>")
+    batch = {(r.a, r.b) for r in bits_near_dup_pairs(
+        everything, "bits", "clip_id", max_hamming=6, bands=8).collect()}
+    want = {(a, b) for a, b in batch
+            if not (a in corpus_ids and b in corpus_ids)}
+    assert got == want
+    assert (2, 6) in got, "fixture must exercise the cross lane"
+    assert (8, 9) in got, "fixture must exercise the within-stream lane"
+    assert (0, 1) in batch and (0, 1) not in got, \
+        "corpus-internal pairs stay out of the stream output"
