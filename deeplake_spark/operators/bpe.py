@@ -1,0 +1,241 @@
+"""Exact byte-pair-encoding tokenization (Sennrich et al. 2016) —
+the merge-table subword tokenizer real pipelines budget tokens with,
+replacing the regex approximation (`functions.text.bpe_ish_token_count`)
+wherever exact counts matter (`pack_token_budget`, `chunk_fixed_tokens`
+both accept ``merges=``).
+
+Protocol (beyond-reference; the reference has no tokenizer — SURVEY §2.9
+covers only whitespace/regex counting):
+
+- **Train** on the distributed word-frequency table, fit driver-side on
+  a BOUNDED top-``max_word_types`` slice (the FAISS/codebook protocol —
+  CLAUDE.md perf trap 10: corpus passes stay distributed, the
+  smalldata iterative fit runs where iteration is cheap). BPE training
+  is inherently sequential (merge i+1 depends on i), so a "distributed"
+  trainer would be a driver loop with a cluster round-trip per merge —
+  strictly worse. Tie-break is (count DESC, pair ASC): retraining on
+  the same corpus yields the SAME merge list, bit for bit.
+- **Encode** executor-side: the ranked merge list travels by closure
+  into an Arrow-batched pandas UDF (trap 9's convention), with a
+  per-batch word→tokens memo — natural-language batches repeat words
+  heavily, so the merge loop runs per DISTINCT word per batch, not per
+  token. An iterative Column-expression encoder was considered and
+  rejected without benching: it needs one full-column pass PER MERGE
+  RANK (the loop is data-dependent per word, so the plan would carry
+  len(merges) sequential rewrite stages — the k*dim literal-leaf
+  Catalyst blowup of trap 21 at 10-100x the leaf count).
+
+The symbol alphabet is characters plus a terminal ``</w>`` word-end
+marker (the subword-nmt convention), so detokenization is exact:
+``concat(tokens)`` with ``</w>`` → space reproduces the whitespace-
+normalized lowercased text (round-trip pinned in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+# ------------------------------------------------------------- training
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     max_word_types: int = 20_000) -> list[tuple[str, int]]:
+    """Distributed word-frequency table → bounded driver list, ordered
+    (count DESC, word ASC) for determinism. The ONLY corpus pass
+    training makes."""
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(df)
+    counts = (
+        d.select(F.explode_outer(tokenize(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(int(max_word_types))
+    )
+    # Row.__w attribute access trips PySpark's dunder guard — index it
+    return [(r["__w"], int(r["__n"])) for r in counts.collect()]
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              num_merges: int = 1_000,
+              max_word_types: int = 20_000) -> list[tuple[str, str]]:
+    """Learn a ranked merge list from the corpus. Deterministic: pair
+    selection tie-breaks (count DESC, pair ASC); training twice on the
+    same data returns the identical list (pinned in tests)."""
+    return train_bpe_from_counts(
+        word_frequencies(df, text_col, max_word_types), num_merges)
+
+
+def train_bpe_from_counts(word_counts: list[tuple[str, int]],
+                          num_merges: int) -> list[tuple[str, str]]:
+    """Driver-side BPE fit over a (word, count) table — pure data in,
+    pure data out (the Sennrich reference algorithm with incremental
+    pair-count maintenance; recomputing all pair stats per merge is
+    O(types * merges) and dominates at realistic sizes)."""
+    from collections import Counter, defaultdict
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in word_counts:
+        if not w:
+            continue
+        words.append(list(w) + [END])
+        freqs.append(int(c))
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += freqs[i]
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        if not pair_counts:
+            break
+        # deterministic argmax: count DESC, pair ASC
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in list(pair_words[best]):
+            syms, f = words[i], freqs[i]
+            # remove the word's old pair contributions
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            # apply the merge left-to-right
+            out, j = [], 0
+            while j < len(syms):
+                if (j + 1 < len(syms)
+                        and syms[j] == best[0] and syms[j + 1] == best[1]):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            # add the new contributions
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(i)
+    return merges
+
+
+# ------------------------------------------------------------- encoding
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference single-word encoder (also the test oracle): repeatedly
+    apply the LOWEST-RANK applicable merge until none applies."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        pairs = [(ranks.get((a, b)), k)
+                 for k, (a, b) in enumerate(zip(syms, syms[1:]))
+                 if (a, b) in ranks]
+        if not pairs:
+            break
+        rank, _ = min(pairs)
+        a, b = None, None
+        # merge ALL occurrences of the chosen pair, left to right
+        for pr, k in pairs:
+            if pr == rank:
+                a, b = syms[k], syms[k + 1]
+                break
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def _encoder(merges: list[tuple[str, str]]):
+    """(word -> tokens) closure with the ranked merge table; used
+    per-batch behind a distinct-word memo."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def enc(word: str) -> list[str]:
+        return encode_word(word, ranks)
+
+    return enc
+
+
+def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
+                 text_col: str = "text",
+                 out_col: str = "bpe_tokens") -> DataFrame:
+    """Exact BPE tokens per row (array<string>): Arrow-batched pandas
+    UDF, merge table by closure, per-batch distinct-word memo."""
+    import pandas as pd
+
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism
+
+    enc = _encoder(merges)
+
+    @F.pandas_udf("array<string>")
+    def _bpe(words_s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def doc(words) -> list[str]:
+            out: list[str] = []
+            for w in words if words is not None else []:
+                toks = cache.get(w)
+                if toks is None:
+                    toks = cache[w] = enc(w)
+                out.extend(toks)
+            return out
+
+        return words_s.map(doc)
+
+    d = ensure_parallelism(df)
+    # pre-tokenize (lowercase whitespace words) in the JVM; Python only
+    # runs the merge loop
+    return d.withColumn(out_col, _bpe(tokenize(F.col(text_col))))
+
+
+def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Exact token counts — the budget input for pack_token_budget /
+    chunk_fixed_tokens(merges=...). Counted from the tokens UDF (the
+    count is len(tokens); a count-only UDF saves only the Arrow array
+    transfer, measured immaterial next to the merge loop)."""
+    out = bpe_tokenize(df, merges, text_col, "__bpe")
+    return out.withColumn(out_col, F.size("__bpe").cast("int")).drop("__bpe")
+
+
+def bpe_detokenize(tokens: Column) -> Column:
+    """Inverse of bpe_tokenize on the whitespace-normalized lowercased
+    text: concatenate symbols, word-end markers become spaces."""
+    return F.trim(F.regexp_replace(F.concat_ws("", tokens), END, " "))
+
+
+# ------------------------------------------------------- persistence
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table (tiny JSON sidecar — the index-protocol
+    convention, consumable by any engine: the list IS the tokenizer)."""
+    from deeplake_spark.storage import put_json
+
+    put_json(path, {"merges": [list(p) for p in merges]})
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    from deeplake_spark.storage import get_json
+
+    return [tuple(p) for p in get_json(path)["merges"]]

@@ -211,7 +211,8 @@ def split_sequences(df: DataFrame, seq_col: str, chunk_len: int | None = None,
 
 
 def pack_token_budget(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", budget: int = 512) -> DataFrame:
+                      id_col: str = "doc_id", budget: int = 512,
+                      merges: list | None = None) -> DataFrame:
     """Token-budget sequence packing for LM training: concatenate
     documents in id order and chunk the stream into fixed-budget
     training sequences (each doc lands in the sequence where its first
@@ -226,14 +227,23 @@ def pack_token_budget(df: DataFrame, text_col: str = "text",
     a one-row-per-partition relation, broadcast back.
 
     Returns one row per packed sequence: (seq_id, n_docs, total_tokens,
-    first_doc, last_doc).
+    first_doc, last_doc). With ``merges`` (a trained BPE merge table,
+    operators.bpe.train_bpe) the budget counts EXACT subword tokens —
+    what the training run will actually see — instead of whitespace
+    words.
     """
     from pyspark.sql.window import Window
 
     from deeplake_spark.functions.text import token_count
 
-    d = df.select(F.col(id_col).alias("doc_id"),
-                  token_count(F.col(text_col)).alias("n_tok"))
+    if merges is not None:
+        from deeplake_spark.operators.bpe import bpe_token_count
+
+        d = bpe_token_count(df, merges, text_col, "n_tok").select(
+            F.col(id_col).alias("doc_id"), "n_tok")
+    else:
+        d = df.select(F.col(id_col).alias("doc_id"),
+                      token_count(F.col(text_col)).alias("n_tok"))
     tagged = d.repartitionByRange(F.col("doc_id")).withColumn(
         "__pid", F.spark_partition_id())
     offsets = (
@@ -268,7 +278,8 @@ def pack_token_budget(df: DataFrame, text_col: str = "text",
 
 
 def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", chunk: int = 32) -> DataFrame:
+                       id_col: str = "doc_id", chunk: int = 32,
+                       merges: list | None = None) -> DataFrame:
     """Fixed-length context chunking for LM training: split each
     document's token stream into consecutive ``chunk``-token training
     examples (the per-document analogue of pack_token_budget's
@@ -289,8 +300,19 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
     from deeplake_spark.functions.text import tokenize
     from deeplake_spark.io import ensure_parallelism
 
-    d = ensure_parallelism(df).select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    if merges is not None:
+        # exact-BPE chunking: boundaries fall in SUBWORD-token space
+        # (what the model consumes); chunk_text reassembles losslessly
+        # by symbol concat, `</w>` -> space (bpe.bpe_detokenize)
+        from deeplake_spark.operators.bpe import bpe_tokenize
+
+        d = bpe_tokenize(df, merges, text_col, "__toks").select(
+            F.col(id_col), "__toks")
+        joiner, sep = "''", ""
+    else:
+        d = ensure_parallelism(df).select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        joiner, sep = "' '", " "
     n = F.size(F.col("__toks"))
     nchunks = F.ceil(n / F.lit(float(chunk))).cast("int")
     # guard: sequence(0, -1) counts DOWN in Spark — only generate for
@@ -304,9 +326,13 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
     base = F.col("chunk_idx") * chunk
     # one parsed expression — see operators/dedup.bit_vote_sums on the
     # driver-side cost of chained-Column construction
-    text_expr = F.expr("concat_ws(' ', " + ",".join(
+    text_expr = F.expr(f"concat_ws({joiner}, " + ",".join(
         f"try_element_at(__toks, chunk_idx * {chunk} + {j})"
         for j in range(1, chunk + 1)) + ")")
+    if merges is not None:
+        from deeplake_spark.operators.bpe import END
+
+        text_expr = F.trim(F.regexp_replace(text_expr, END, " "))
     return with_idx.select(
         F.col(id_col),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
