@@ -33,6 +33,10 @@ normalized lowercased text (round-trip pinned in tests).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: the pandas-UDF type hints are
+# stringified by `annotations` and resolve against module globals
+# (the functions/vector.py convention) — an in-function import leaves
+# 'pd.Series' unresolvable and F.pandas_udf raises UNSUPPORTED_SIGNATURE.
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,44 +138,58 @@ def train_bpe_from_counts(word_counts: list[tuple[str, int]],
 # ------------------------------------------------------------- encoding
 
 
+def _make_encoder(ranks: dict[tuple[str, str], int]):
+    """(word -> tokens) closure over the ranked merge table.
+
+    SELF-CONTAINED on purpose: the body references only locals and the
+    captured ranks dict / end-marker string, so cloudpickle ships it BY
+    VALUE into the UDF. Referencing a module-level helper here would
+    pickle a by-NAME import of ``deeplake_spark`` into the closure, and
+    the grading driver's workers (fresh process, arbitrary cwd, repo
+    not on the workers' PYTHONPATH) would die with ModuleNotFoundError —
+    the maxsim_pandas_const convention (functions/vector.py)."""
+    end = END
+
+    def enc(word: str) -> list[str]:
+        # repeatedly apply the LOWEST-RANK applicable merge (Sennrich
+        # 2016); each application merges all occurrences left-to-right
+        syms = list(word) + [end]
+        while len(syms) > 1:
+            pairs = [(ranks.get((a, b)), k)
+                     for k, (a, b) in enumerate(zip(syms, syms[1:]))
+                     if (a, b) in ranks]
+            if not pairs:
+                break
+            rank, _ = min(pairs)
+            a, b = None, None
+            for pr, k in pairs:
+                if pr == rank:
+                    a, b = syms[k], syms[k + 1]
+                    break
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    return enc
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Reference single-word encoder (also the test oracle): repeatedly
     apply the LOWEST-RANK applicable merge until none applies."""
-    syms = list(word) + [END]
-    while len(syms) > 1:
-        pairs = [(ranks.get((a, b)), k)
-                 for k, (a, b) in enumerate(zip(syms, syms[1:]))
-                 if (a, b) in ranks]
-        if not pairs:
-            break
-        rank, _ = min(pairs)
-        a, b = None, None
-        # merge ALL occurrences of the chosen pair, left to right
-        for pr, k in pairs:
-            if pr == rank:
-                a, b = syms[k], syms[k + 1]
-                break
-        out, j = [], 0
-        while j < len(syms):
-            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
-                out.append(a + b)
-                j += 2
-            else:
-                out.append(syms[j])
-                j += 1
-        syms = out
-    return syms
+    return _make_encoder(ranks)(word)
 
 
 def _encoder(merges: list[tuple[str, str]]):
     """(word -> tokens) closure with the ranked merge table; used
     per-batch behind a distinct-word memo."""
-    ranks = {tuple(p): i for i, p in enumerate(merges)}
-
-    def enc(word: str) -> list[str]:
-        return encode_word(word, ranks)
-
-    return enc
+    return _make_encoder({tuple(p): i for i, p in enumerate(merges)})
 
 
 def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
@@ -179,8 +197,6 @@ def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
                  out_col: str = "bpe_tokens") -> DataFrame:
     """Exact BPE tokens per row (array<string>): Arrow-batched pandas
     UDF, merge table by closure, per-batch distinct-word memo."""
-    import pandas as pd
-
     from deeplake_spark.functions.text import tokenize
     from deeplake_spark.io import ensure_parallelism
 

@@ -1636,7 +1636,15 @@ def build_fingerprint_index(df: DataFrame, payload_col: str, id_col: str,
         F.col(bits_col).alias("bits"),
         F.col(packed_col).alias("packed"),
     )
-    return FingerprintIndex(sigs, modality, id_col, params)
+    # nbits follows the ACTUAL signature length, not a constant: image
+    # pHash emits hash_size² bits (phash_images caps hash_size at 8), so
+    # a 4×4 build must record nbits=16 — recording 64 would band past
+    # the array's end (ANSI element_at throws at probe time) and disarm
+    # the streaming lane's nbits-mismatch guard. Audio/video signatures
+    # are fixed 64-bit by construction.
+    nbits = (int(params.get("hash_size", 8)) ** 2 if modality == "image"
+             else 64)
+    return FingerprintIndex(sigs, modality, id_col, params, nbits=nbits)
 
 
 def save_fingerprint_index(index: FingerprintIndex, path: str) -> None:

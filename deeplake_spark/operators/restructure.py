@@ -308,11 +308,11 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
 
         d = bpe_tokenize(df, merges, text_col, "__toks").select(
             F.col(id_col), "__toks")
-        joiner, sep = "''", ""
+        joiner = "''"
     else:
         d = ensure_parallelism(df).select(
             F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-        joiner, sep = "' '", " "
+        joiner = "' '"
     n = F.size(F.col("__toks"))
     nchunks = F.ceil(n / F.lit(float(chunk))).cast("int")
     # guard: sequence(0, -1) counts DOWN in Spark — only generate for

@@ -188,9 +188,10 @@ def stream_phash_near_dup(images, payload_col: str = "image",
     high when exact batch parity matters more than bounded state.
     Emits (band, a, b, hamming) — distinct (a, b) downstream for a
     unique pair set (the SAME pair can surface from several bands);
-    state is bounded at O(bucket_cap * 64 ints) per bucket plus one
-    bigint per post-cap arrival (the `seen` record that keeps replays
-    from re-emitting a capped-out member's pairs)."""
+    state is bounded at O(bucket_cap * 64 ints) per bucket plus a
+    BOUNDED FIFO ledger of the last 8×bucket_cap post-cap arrival ids
+    (the `seen` record that keeps replays within the engine's recent-
+    batch horizon from re-emitting a capped-out member's pairs)."""
     from deeplake_spark.operators.multimodal import phash_images
 
     hashed = phash_images(images, payload_col, compression, strict)
@@ -203,7 +204,8 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
                          max_hamming: int = 6, bands: int = 8,
                          nbits: int = 64,
                          bucket_cap: int = 256,
-                         index_path: str | None = None) -> DataFrame:
+                         index_path: str | None = None,
+                         skip_ids_in_index: bool = False) -> DataFrame:
     """Streaming twin of `similarity.bits_near_dup_pairs`, shared by
     every bit-signature modality (image pHash, audio spectral
     fingerprint, video majority pHash): input is a (possibly
@@ -219,7 +221,18 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
     verify, unioned with the within-stream pairs. The side table must
     hold ids DISJOINT from the stream's (its snapshot of already-
     ingested rows), else a replayed ingested row pairs with itself's
-    corpus copy — the `a != b` guard drops only the exact self-pair."""
+    corpus copy — the `a != b` guard drops only the exact self-pair.
+    ``skip_ids_in_index=True`` ENFORCES the contract at runtime: an
+    arrival whose id already exists in the index is treated as a replay
+    of ingested history and contributes NO cross-lane pairs (stream-
+    static anti-join on id — its neighbors are already pairable from
+    the corpus side); it still participates within-stream.
+
+    State-schema note: round 12 bounds the replay-ledger ``seen`` field
+    (added round 11, which itself widened the state from 2 to 3
+    fields) — checkpoints written before round 11 do NOT recover
+    against the current 3-field schema; restart with a fresh
+    checkpoint directory after upgrading."""
     import pandas as pd
 
     from deeplake_spark.operators.similarity import _band_hash_array
@@ -259,20 +272,30 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
     # without the record, a micro-batch replay would re-evaluate and
     # RE-EMIT their pairs (append-mode sinks would see duplicate (a,b)
     # rows beyond the documented cap-recall caveat). 8 bytes/id of
-    # state vs O(nbits) for a member.
+    # state vs O(nbits) for a member — and BOUNDED (8× bucket_cap,
+    # FIFO expiry): replays land within the engine's recent-batch
+    # horizon, so evicting the oldest ledger entries first preserves
+    # the idempotence guarantee exactly where replays can occur while
+    # keeping a degenerate hot bucket's state O(bucket_cap), the
+    # invariant the cap exists to provide. An id expired from the
+    # ledger AND replayed later than the retention window re-emits its
+    # pairs — the documented boundary.
     state_schema = ("ids array<bigint>, bits array<array<int>>, "
                     "seen array<bigint>")
+    seen_cap = 8 * bucket_cap
 
     def fn(key, pdf_iter, state):
         ids, bit_list, seen = (
             list(state.get[0]), [list(b) for b in state.get[1]],
-            set(state.get[2]),
-        ) if state.exists else ([], [], set())
+            list(state.get[2]),
+        ) if state.exists else ([], [], [])
+        seen_set = set(seen)
+        member_set = set(ids)
         out_a, out_b, out_h = [], [], []
         for pdf in pdf_iter:
             for sid, bits in zip(pdf["__sid"], pdf["__sbits"]):
                 sid = int(sid)
-                if sid in ids or sid in seen:
+                if sid in member_set or sid in seen_set:
                     continue  # replay/idempotence: already evaluated
                 bits = [int(x) for x in bits]
                 for other_id, other_bits in zip(ids, bit_list):
@@ -285,9 +308,13 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
                 if len(ids) < bucket_cap:
                     ids.append(sid)
                     bit_list.append(bits)
+                    member_set.add(sid)
                 else:
-                    seen.add(sid)
-        state.update((ids, bit_list, sorted(seen)))
+                    seen.append(sid)  # FIFO ledger, insertion order
+                    seen_set.add(sid)
+        if len(seen) > seen_cap:
+            seen = seen[-seen_cap:]
+        state.update((ids, bit_list, seen))
         yield pd.DataFrame({
             "band": [int(key[0])] * len(out_a),
             "a": out_a, "b": out_b, "hamming": out_h,
@@ -308,6 +335,26 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
         raise ValueError(
             f"index at {index_path} holds {idx.nbits}-bit signatures, "
             f"stream is banded for nbits={nbits}")
+    # the same eager id-dtype gate as the stream side: a non-integral
+    # index id would cast to null __cid, the __sid != __cid filter
+    # would drop every row, and the corpus lane would SILENTLY emit
+    # zero pairs — fail loudly instead
+    idx_id_type = dict(idx.signatures.dtypes).get(idx.id_col)
+    if idx_id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"fingerprint index at {index_path} has a non-integral id "
+            f"column ({idx.id_col}: {idx_id_type}); the streaming "
+            "corpus lane keys pairs by BIGINT — rebuild the index over "
+            "an integral id (e.g. a monotonically-assigned row id)")
+    probe = banded
+    if skip_ids_in_index:
+        # disjointness enforcement: arrivals whose id is already in the
+        # corpus snapshot are replays of ingested history — anti-join
+        # them out of the cross lane (stream-static, stateless); their
+        # corpus-side copies already pair with true neighbors
+        corpus_ids = idx.signatures.select(
+            F.col(idx.id_col).cast("long").alias("__sid")).distinct()
+        probe = banded.join(corpus_ids, "__sid", "left_anti")
     side = idx.signatures.select(
         F.col(idx.id_col).cast("long").alias("__cid"),
         F.col("bits").alias("__cbits"),
@@ -316,7 +363,7 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
     )
     ham = hamming_distance(F.col("__sbits"), F.col("__cbits")).cast("int")
     cross = (
-        banded.join(side, ["band", "bh"])
+        probe.join(side, ["band", "bh"])
         .filter(F.col("__sid") != F.col("__cid"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -124,3 +124,24 @@ def test_save_load_round_trip(spark, sf_dir, tmp_path):
     p = str(tmp_path / "bpe.json")
     save_bpe(merges, p)
     assert load_bpe(p) == merges
+
+
+def test_t34_registered_query_invariants(spark, sf_dir):
+    """The registered t34 query (rows-only lane — the encode loop has
+    no DuckDB spelling): registered WITHOUT an oracle, one row per
+    document, and every row satisfies the subword-count bounds
+    n_words <= n_bpe_tokens <= n_chars + n_words (each word emits
+    between 1 merged token and len(word)+1 unmerged symbols)."""
+    from deeplake_spark.queries import load_all
+
+    q = load_all()["t34_bpe_token_counts"]
+    assert q.oracle is None
+    out = q.fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    for r in out:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars + r.n_words, r
+    # memoized merges: a second build reuses the trained list (no
+    # second corpus pass) and returns identical counts
+    again = q.fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

@@ -1555,3 +1555,70 @@ def test_fingerprint_index_incremental_append(spark, tmp_path):
         full, "image", "img_id", compression="ppm", strict=True,
         max_hamming=6).collect()}
     assert maintained == fresh and len(fresh) >= 3
+
+
+def test_fingerprint_index_nbits_follows_hash_size(spark, tmp_path):
+    """nbits is derived from the ACTUAL signature length (round-12
+    advice): an image build at hash_size=4 emits 16-bit signatures, so
+    the index must record nbits=16 — recording a constant 64 would band
+    past the bits array (ANSI element_at throws at probe time) and
+    disarm the streaming lane's nbits-mismatch guard. The persisted
+    probe at nbits=16 matches the decode-side banding exactly; a
+    64-bit-banded stream against the 16-bit index raises eagerly."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        build_fingerprint_index,
+        fingerprint_index_near_dup_pairs,
+        load_fingerprint_index,
+        phash_images,
+        save_fingerprint_index,
+    )
+    from deeplake_spark.operators.similarity import bits_near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    rows, vid = [], 0
+    for i in range(12):
+        base = rng.integers(0, 256, (16, 16, 3))
+        rows.append((vid, _ppm(base))); vid += 1
+        if i % 3 == 0:
+            pert = base.copy()
+            pert[:2, :2] = rng.integers(0, 256, (2, 2, 3))
+            rows.append((vid, _ppm(pert))); vid += 1
+    df = spark.createDataFrame(rows, "img_id long, image binary")
+
+    idx = build_fingerprint_index(df, "image", "img_id", "image",
+                                  compression="ppm", strict=True,
+                                  hash_size=4)
+    assert idx.nbits == 16
+    path = str(tmp_path / "fp16")
+    save_fingerprint_index(idx, path)
+    loaded = load_fingerprint_index(spark, path)
+    assert loaded.nbits == 16
+    assert all(len(r.bits) == 16 for r in loaded.signatures.collect())
+
+    # persisted probe bands 16 bits without overrun and equals the
+    # decode-side banding at the same hash_size
+    persisted = {(r.a, r.b): r.hamming for r in
+                 fingerprint_index_near_dup_pairs(
+                     spark, path, "image", max_hamming=3,
+                     bands=4).collect()}
+    hashed = phash_images(df, "image", compression="ppm", strict=True,
+                          hash_size=4)
+    decode = {(r.a, r.b): r.hamming for r in bits_near_dup_pairs(
+        hashed, "phash_bits", "img_id", max_hamming=3, bands=4,
+        nbits=16).collect()}
+    assert persisted == decode and len(decode) >= 2
+
+    # the streaming guard can now actually fire on a real mismatch
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    with pytest.raises(ValueError, match="16-bit"):
+        stream_bits_near_dup(
+            df.selectExpr("img_id", "array(1) as bits"), "bits",
+            "img_id", max_hamming=3, bands=4, nbits=64, index_path=path)
+
+    # default hash_size stays 64-bit
+    idx64 = build_fingerprint_index(df, "image", "img_id", "image",
+                                    compression="ppm", strict=True)
+    assert idx64.nbits == 64

@@ -1573,16 +1573,18 @@ def test_sql_ann_corpus_relative_k_ceiling(spark, ann_ds):
 
 
 def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
-    """Round-10 review hazard: hybrid fetch-back ranges come from a
-    build-time mirror of the __vl vector lane. If the Catalyst ANN
-    route rewrote that mirror (build session has the jar + routing
-    enabled), the mirror would be APPROXIMATE — and a plain session
-    executing the statement's exact __vl later finds winners the
-    mirror missed, outside the frozen ranges, silently dropped. The
-    builder must run the mirror with routing disabled (and restore
-    the conf). Pinned by building the statement on a routed session
-    and executing it unrouted: rows must equal the no-prefilter
-    build."""
+    """Round-10 review hazard, resolved by the round-11 decline: hybrid
+    fetch-back ranges come from a build-time mirror of the __vl vector
+    lane, but a clustered registration means the EXECUTED __vl can ANN-
+    route — approximate winners need not fall inside any exact mirror's
+    frozen ranges. The builder therefore declines the prefilter
+    entirely while an ANN registration covers the view (commit
+    27854d1; test_sql_fetchback_execute_routed pins the routed-execute
+    parity). This test pins the build-session hygiene side: building
+    on a routed session leaves the routing conf restored, the built
+    statement carries NO frozen prefilter, executing it unrouted
+    matches the plain unrouted build, and after rt.clear() the sound
+    prefilter returns (pruning isn't lost where it IS sound)."""
     if not rt.is_available(spark):
         pytest.skip("extension jar not on driver classpath")
     from deeplake_spark.operators.indexes import build_inverted_index
@@ -1620,6 +1622,11 @@ def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
             "mir_docs", ["needlezz"], qv, spark=spark, **kw)
         assert spark.conf.get(rt.ENABLED_KEY) == "true", \
             "builder must restore the routing conf"
+        # ANN registration covers the view -> the builder DECLINED the
+        # frozen prefilter (round-11 soundness: the executed __vl may
+        # ANN-route, and approximate winners can land outside any
+        # exact mirror's ranges)
+        assert "BETWEEN" not in routed_built, routed_built
         # execute UNROUTED (the jar-independent contract)
         rt.disable(spark)
         want = [(r.doc_id, r.text, round(r.fused, 9)) for r in spark.sql(
@@ -1628,9 +1635,13 @@ def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
         got = [(r.doc_id, r.text, round(r.fused, 9))
                for r in spark.sql(routed_built).collect()]
         assert got == want and got
-        # the prefilter is still there (the fix disables routing for
-        # the mirror only, it doesn't give up on pruning)
-        assert "GreaterThanOrEqual(doc_id" in spark.sql(routed_built) \
+        # pruning isn't lost where it IS sound: with the ANN
+        # registration gone, the rebuilt statement pushes ranges again
+        rt.clear(spark)
+        sound_built = rt.hybrid_search_sql(
+            "mir_docs", ["needlezz"], qv, spark=spark, **kw)
+        assert "BETWEEN" in sound_built, sound_built
+        assert "GreaterThanOrEqual(doc_id" in spark.sql(sound_built) \
             ._jdf.queryExecution().executedPlan().toString()
     finally:
         rt.disable(spark)

@@ -856,3 +856,92 @@ def test_stream_bits_near_dup_probes_persisted_index(spark, tmp_path):
     assert (8, 9) in got, "fixture must exercise the within-stream lane"
     assert (0, 1) in batch and (0, 1) not in got, \
         "corpus-internal pairs stay out of the stream output"
+
+
+def test_stream_bits_near_dup_rejects_non_integral_index_ids(spark,
+                                                             tmp_path):
+    """The corpus lane applies the SAME eager id-dtype gate as the
+    stream side (round-12 advice): a fingerprint index built over a
+    string id would cast to null __cid and the cross lane would
+    silently emit zero pairs — it must raise instead."""
+    from deeplake_spark.operators.multimodal import (
+        FingerprintIndex, save_fingerprint_index)
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    side = spark.createDataFrame(
+        [("c0", [1] * 64, 0)], "clip string, bits array<int>, packed long")
+    path = str(tmp_path / "bad_idx")
+    save_fingerprint_index(FingerprintIndex(side, "image", "clip", {}),
+                           path)
+    df = spark.createDataFrame([(1, [1] * 64)],
+                               "clip_id long, bits array<int>")
+    with pytest.raises(TypeError, match="non-integral id"):
+        stream_bits_near_dup(df, "bits", "clip_id", max_hamming=6,
+                             index_path=path)
+
+
+def test_stream_bits_near_dup_skip_ids_in_index(spark, tmp_path):
+    """Disjointness enforcement for the corpus lane: when a stream
+    replays an ALREADY-INGESTED row (its id exists in the fingerprint
+    side table), skip_ids_in_index=True anti-joins it out of the cross
+    probe — no pairing of a row with its own corpus neighborhood —
+    while genuinely-new arrivals still probe the corpus and the
+    within-stream lane is untouched. The default (False) documents the
+    failure mode: the replayed id's corpus-neighbor pair leaks."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import (
+        FingerprintIndex, save_fingerprint_index)
+    from deeplake_spark.streaming.neardup import stream_bits_near_dup
+
+    rng = np.random.default_rng(41)
+
+    def flip3(bits):
+        out = bits[:]
+        for j in rng.choice(64, 3, replace=False):
+            out[j] ^= 1
+        return out
+
+    sigs = {i: [int(b) for b in rng.integers(0, 2, 64)] for i in range(12)}
+    sigs[1] = flip3(sigs[0])   # corpus neighbor of the replayed id 0
+    sigs[6] = flip3(sigs[2])   # corpus-vs-NEW-stream cross pair
+    corpus_ids = list(range(6))
+    side = spark.createDataFrame(
+        [(i, sigs[i], 0) for i in corpus_ids],
+        "clip_id long, bits array<int>, packed long")
+    idx_path = str(tmp_path / "fp_overlap_idx")
+    save_fingerprint_index(
+        FingerprintIndex(side, "image", "clip_id", {}), idx_path)
+
+    # the stream delivers id 0 AGAIN (replay of ingested history) plus
+    # new ids 6-11
+    stream_rows = [(i, sigs[i]) for i in [0] + list(range(6, 12))]
+
+    def run(name, **kw):
+        d = str(tmp_path / f"in_{name}")
+        (spark.createDataFrame(stream_rows,
+                               "clip_id long, bits array<int>")
+         .coalesce(1).write.parquet(d))
+        stream = (spark.readStream.format("parquet")
+                  .schema("clip_id long, bits array<int>")
+                  .option("maxFilesPerTrigger", "1").load(d))
+        out = stream_bits_near_dup(stream, "bits", "clip_id",
+                                   max_hamming=6, index_path=idx_path,
+                                   **kw)
+        run_stream_to_memory(out, f"skip_idx_{name}")
+        return {(r.a, r.b) for r in spark.sql(
+            f"SELECT DISTINCT a, b FROM skip_idx_{name}").collect()}
+
+    leaky = run("default")
+    assert (0, 1) in leaky, "fixture must exercise the documented leak"
+
+    guarded = run("skip", skip_ids_in_index=True)
+    assert (0, 1) not in guarded, \
+        "replayed ingested id must not pair with its corpus copy's " \
+        "neighborhood"
+    assert (2, 6) in guarded, "new arrivals still probe the corpus"
+    # the replayed id contributes NOTHING cross-lane: no guarded pair
+    # joins id 0 to any corpus id (within-stream pairs may still hold 0)
+    assert not any(
+        (a == 0 and b in corpus_ids) or (b == 0 and a in corpus_ids)
+        for a, b in guarded), guarded
