@@ -227,11 +227,33 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                     text_col: str = "text",
                     out_col: str = "n_bpe_tokens") -> DataFrame:
     """Exact token counts — the budget input for pack_token_budget /
-    chunk_fixed_tokens(merges=...). Counted from the tokens UDF (the
-    count is len(tokens); a count-only UDF saves only the Arrow array
-    transfer, measured immaterial next to the merge loop)."""
-    out = bpe_tokenize(df, merges, text_col, "__bpe")
-    return out.withColumn(out_col, F.size("__bpe").cast("int")).drop("__bpe")
+    chunk_fixed_tokens(merges=...). A COUNT-ONLY UDF, not
+    bpe_tokenize + size: returning ints instead of the per-doc token
+    arrays skips the entire Arrow return transfer (measured 25%
+    faster warm at sf0.1 — and the saving grows with document length,
+    the 100 TB direction)."""
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism
+
+    enc = _encoder(merges)
+
+    @F.pandas_udf("int")
+    def _bpe_n(words_s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def doc(words) -> int:
+            n = 0
+            for w in words if words is not None else []:
+                c = cache.get(w)
+                if c is None:
+                    c = cache[w] = len(enc(w))
+                n += c
+            return n
+
+        return words_s.map(doc)
+
+    d = ensure_parallelism(df)
+    return d.withColumn(out_col, _bpe_n(tokenize(F.col(text_col))))
 
 
 def bpe_detokenize(tokens: Column) -> Column:

@@ -721,3 +721,44 @@ def cdc_shared_passages(df: DataFrame, text_col: str = "text",
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
     )
+
+
+def cdc_chunk_array(toks_col: str, w: int = 4, mask: int = 15) -> Column:
+    """Row-local content-defined chunking: `cdc_chunks`' segmentation
+    computed INSIDE one row with a higher-order fold (no explode, no
+    per-doc window) — the spelling Structured Streaming needs, since
+    partitioned windows are unsupported on streams. ``toks_col`` must
+    be an already-PROJECTED token-array column (trap 3: an inlined
+    tokenize would re-evaluate per element inside the lambda). Returns
+    array<string>, per document exactly equal to `cdc_chunks`' chunk
+    column (equality pinned in tests).
+
+    One expression string, not a chained-Column build (trap 12): the
+    fold appends each token to the accumulator's open chunk and closes
+    the chunk when md5(last ``w`` tokens) % (mask+1) == 0 — the same
+    boundary hash `_md5_int60(ctx, 0)` the batch operator flags, so the
+    DuckDB oracle spelling carries over unchanged."""
+    m = mask + 1
+    ctx = (f"concat_ws(' ', slice({toks_col}, greatest(1, i - {w - 1}), "
+           f"least(i, {w})))")
+    bnd = (f"cast(conv(substring(md5(concat({ctx}, '#0')), 1, 15), 16, 10) "
+           f"as bigint) % {m} = 0")
+    zero = ("named_struct('chunks', cast(array() as array<string>), "
+            "'cur', cast(array() as array<string>))")
+    step = (
+        f"(acc, i) -> IF({bnd}, "
+        "named_struct('chunks', array_append(acc.chunks, concat_ws(' ', "
+        f"array_append(acc.cur, element_at({toks_col}, i)))), "
+        "'cur', cast(array() as array<string>)), "
+        "named_struct('chunks', acc.chunks, "
+        f"'cur', array_append(acc.cur, element_at({toks_col}, i))))"
+    )
+    fin = ("acc -> IF(size(acc.cur) > 0, "
+           "array_append(acc.chunks, concat_ws(' ', acc.cur)), acc.chunks)")
+    # sequence(1, 0) counts DOWN (the restructure.py guard): empty or
+    # null token arrays short-circuit to an empty chunk list
+    return F.expr(
+        f"CASE WHEN {toks_col} IS NULL OR size({toks_col}) < 1 "
+        "THEN cast(array() as array<string>) "
+        f"ELSE aggregate(sequence(1, size({toks_col})), {zero}, {step}, "
+        f"{fin}) END")

@@ -375,3 +375,107 @@ def stream_bits_near_dup(hashed, bits_col: str, id_col: str,
         )
     )
     return within.unionByName(cross)
+
+
+def stream_cdc_shared_passages(docs, text_col: str = "text",
+                               id_col: str = "doc_id", w: int = 4,
+                               mask: int = 15, min_docs: int = 2,
+                               max_docs: int | None = 100) -> DataFrame:
+    """Streaming twin of `dedup.cdc_shared_passages` (reference batch
+    semantics documented there; t33 is the oracle-checked batch query).
+    The chunker runs STATELESS per arriving document — the row-local
+    `cdc_chunk_array` fold, since per-doc windows are unsupported on
+    streams — and only the per-chunk membership is stateful: one
+    `applyInPandasWithState` keyed by the chunk string holds the ids
+    of documents that carried it, and emits (chunk, a, b) rows the
+    moment a chunk's membership reaches ``min_docs`` (all pairs among
+    the first ``min_docs`` members, then new-vs-all for later
+    arrivals). `groupBy(a, b).agg(count)` downstream reproduces the
+    batch operator's n_shared_chunks — each (chunk, pair) row is
+    emitted exactly once over the stream's lifetime (members are
+    recorded, so at-least-once re-delivery of a document adds
+    nothing).
+
+    ``max_docs`` boundary (the one documented divergence from batch):
+    a chunk whose membership would EXCEED max_docs stops accepting
+    members and stops emitting — but the pairs its first max_docs
+    members already emitted cannot be retracted from an append-mode
+    sink, where the batch operator retro-drops the whole chunk once
+    the final count crosses the cap. Size max_docs for boilerplate as
+    in batch; the equivalence test pins stream == batch on data under
+    the cap. State is bounded at O(max_docs ids) per chunk (capped
+    buckets stay flagged via a single sentinel), and — unlike the
+    bits stream — post-cap arrivals need no replay ledger because
+    they emit nothing.
+
+    Scale shape: one stateless fold per document, shuffle keyed by
+    chunk string (at 100 TB key by `_md5_int60(chunk, 0)` — the batch
+    docstring's convention; the string key keeps sf-scale runs
+    comparable to the oracle-checked batch), state proportional to
+    chunks that actually repeat."""
+    import pandas as pd
+
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.operators.dedup import cdc_chunk_array
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs={min_docs} must be >= 2")
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"stream_cdc_shared_passages needs an integral id column, "
+            f"got {id_col}: {id_type} — map ids to bigint first, or use "
+            "the batch dedup.cdc_shared_passages, which accepts any id")
+    cap = int(max_docs) if max_docs is not None else 0  # 0 = uncapped
+
+    toks = docs.select(F.col(id_col).cast("long").alias("__did"),
+                       tokenize(F.col(text_col)).alias("__t"))
+    rows = (toks
+            .select("__did",
+                    F.array_distinct(cdc_chunk_array("__t", w, mask))
+                    .alias("__chs"))
+            .select("__did", F.explode_outer("__chs").alias("chunk"))
+            .filter(F.col("chunk").isNotNull()))
+
+    out_schema = "chunk string, a bigint, b bigint"
+    # capped=[-1] sentinel once membership would exceed max_docs: the
+    # bucket is boilerplate, drop the member ids (state shrinks to one
+    # element) and ignore every later arrival
+    state_schema = "ids array<bigint>"
+    CAPPED = -1
+
+    def fn(key, pdf_iter, state):
+        ids = list(state.get[0]) if state.exists else []
+        out_a, out_b = [], []
+        for pdf in pdf_iter:
+            for did in pdf["__did"]:
+                if ids and ids[0] == CAPPED:
+                    break
+                did = int(did)
+                if did in ids:
+                    continue  # replay/idempotence: already a member
+                if cap and len(ids) >= cap:
+                    ids = [CAPPED]  # boilerplate: flag and forget
+                    break
+                ids.append(did)
+                k = len(ids)
+                if k == min_docs:
+                    # threshold crossed: all pairs among the members
+                    for x in range(k):
+                        for y in range(x + 1, k):
+                            lo, hi = sorted((ids[x], ids[y]))
+                            out_a.append(lo)
+                            out_b.append(hi)
+                elif k > min_docs:
+                    for other in ids[:-1]:
+                        lo, hi = sorted((did, other))
+                        out_a.append(lo)
+                        out_b.append(hi)
+        state.update((ids,))
+        yield pd.DataFrame({
+            "chunk": [key[0]] * len(out_a), "a": out_a, "b": out_b,
+        })
+
+    return (rows.groupBy("chunk")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", "NoTimeout"))

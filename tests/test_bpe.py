@@ -3,7 +3,10 @@ Spark-lane == pure-Python-reference equivalence, lossless round trip,
 and the exact-count lanes of pack_token_budget / chunk_fixed_tokens.
 The merge loop has no DuckDB spelling (per-word iteration), so the
 oracle here is the reference implementation `bpe.encode_word` — the
-registered t34 query gets the driver's rows-only check."""
+registered t34 query (outside the driver's 50-query d/q/r window) is
+oracle-less by design and gets the rows-only lane in the independent
+sweep (tests/test_oracle_parity.py ROWS_ONLY), plus the invariant
+test below."""
 
 from __future__ import annotations
 

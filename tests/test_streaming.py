@@ -945,3 +945,108 @@ def test_stream_bits_near_dup_skip_ids_in_index(spark, tmp_path):
     assert not any(
         (a == 0 and b in corpus_ids) or (b == 0 and a in corpus_ids)
         for a, b in guarded), guarded
+
+
+def test_cdc_chunk_array_matches_batch_chunker(spark, sf_dir):
+    """The row-local HOF chunker (the streaming spelling — per-doc
+    windows are unsupported on streams) produces EXACTLY the batch
+    cdc_chunks chunk multiset per document, over the real documents
+    table plus the empty/null/one-token edges."""
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.operators.dedup import cdc_chunk_array, cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "one")],
+        "doc_id long, text string")
+    base = d.unionByName(edges)
+    batch: dict = {}
+    for r in cdc_chunks(base).collect():
+        batch.setdefault(r.doc_id, []).append(r.chunk)
+    row = {r.doc_id: list(r.ch) for r in base.select(
+        "doc_id", tokenize(F.col("text")).alias("__t")).select(
+        "doc_id", cdc_chunk_array("__t").alias("ch")).collect()}
+    assert set(row) == set(batch) | {100001, 100002}  # empty docs: no batch rows
+    for did, chs in row.items():
+        assert sorted(chs) == sorted(batch.get(did, [])), did
+
+
+def test_stream_cdc_shared_passages_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-vs-batch parity for CDC shared-passage detection: the
+    t33 fixture (documents + planted shifted copies behind doc-specific
+    prefixes) streamed one file per trigger emits exactly one (chunk,
+    a, b) row per shared chunk, so groupBy(a, b).count() == the batch
+    operator's n_shared_chunks — on data where no chunk crosses
+    max_docs (the documented append-mode divergence)."""
+    from deeplake_spark.operators.dedup import cdc_shared_passages
+    from deeplake_spark.streaming.neardup import stream_cdc_shared_passages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("prefix"), F.col("doc_id").cast("string"),
+                 F.lit(" padd "), F.col("text")).alias("text"))
+    base = d.unionByName(planted)
+
+    want = {(r.a, r.b): r.n_shared_chunks
+            for r in cdc_shared_passages(base).collect()}
+    assert want, "fixture must produce shared passages"
+
+    in_dir = str(tmp_path / "cdc_in")
+    # two files -> two triggers: membership must accumulate across
+    # micro-batches, not just within one
+    d.coalesce(1).write.mode("append").parquet(in_dir)
+    planted.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").load(in_dir))
+    out = stream_cdc_shared_passages(stream)
+    run_stream_to_memory(out, "cdc_stream_out")
+    rows = spark.sql("SELECT chunk, a, b FROM cdc_stream_out").collect()
+    assert len(rows) == len({(r.chunk, r.a, r.b) for r in rows}), \
+        "each (chunk, pair) must be emitted exactly once"
+    got: dict = {}
+    for r in rows:
+        got[(r.a, r.b)] = got.get((r.a, r.b), 0) + 1
+    assert got == want
+
+
+def test_stream_cdc_min_docs_and_cap(spark, tmp_path):
+    """min_docs>2 buffers until the threshold then emits ALL pairs among
+    members; a chunk crossing max_docs stops emitting and its state
+    collapses to the capped sentinel; replays add nothing."""
+    from deeplake_spark.streaming.neardup import stream_cdc_shared_passages
+
+    text = "alpha beta gamma delta epsilon zeta"
+    in_dir = str(tmp_path / "md_in")
+
+    def write(ids):
+        (spark.createDataFrame([(i, text) for i in ids],
+                               "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    write([1])
+    write([2])
+    write([3, 2])   # 2 replayed; 3 crosses min_docs=3
+    write([4])      # exceeds max_docs=3 -> chunk capped, no new pairs
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").load(in_dir))
+    out = stream_cdc_shared_passages(stream, min_docs=3, max_docs=3)
+    run_stream_to_memory(out, "cdc_mindocs_out")
+    pairs = sorted((r.a, r.b) for r in
+                   spark.sql("SELECT a, b FROM cdc_mindocs_out").collect())
+    # doc 4 arrived after the cap: only the 3-member pairs exist, and
+    # every chunk of the identical text emits the same pair set
+    n_chunks = len(set(r.chunk for r in spark.sql(
+        "SELECT chunk FROM cdc_mindocs_out").collect()))
+    assert sorted(set(pairs)) == [(1, 2), (1, 3), (2, 3)]
+    assert pairs == sorted([(1, 2), (1, 3), (2, 3)] * n_chunks)
+
+    with pytest.raises(TypeError, match="integral id"):
+        stream_cdc_shared_passages(
+            spark.createDataFrame([("x", "t")], "doc_id string, text string"))
+    with pytest.raises(ValueError, match="min_docs"):
+        stream_cdc_shared_passages(
+            spark.createDataFrame([(1, "t")], "doc_id long, text string"),
+            min_docs=1)
