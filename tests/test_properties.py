@@ -475,3 +475,91 @@ def test_gumbel_key_matches_oracle_spelling(spark_global):
         FROM range(5000) t(r) ORDER BY r
     """).fetchall()]
     assert spark_g == duck_g
+
+
+@given(data=st.data())
+@settings(max_examples=5, deadline=None)
+def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
+                                          data):
+    """Reference §5.4 parity (py_tests/test_random_operations.py):
+    random append/update/delete/commit/compact/reopen sequences vs an
+    independent Python model of the documented semantics — dense
+    row-id assignment on append, tombstone delete, latest-patch-wins
+    update, compact folding staged state into one committed snapshot.
+    `reopen` doubles as the crash-consistency check: staged files are
+    on disk but NOT in the commit log, so a reopen (= process death
+    before commit) must show exactly the last committed state, and
+    row ids of the discarded staged appends are reused."""
+    import deeplake_spark.dataset as dl
+    from deeplake_spark import types as dt
+
+    ops = data.draw(st.lists(
+        st.tuples(st.sampled_from(
+            ["append", "update", "delete", "commit", "compact", "reopen"]),
+            st.integers(0, 10_000)),
+        min_size=4, max_size=12))
+
+    path = str(tmp_path_factory.mktemp("dmlprop")) + "/ds"
+    spark = spark_global
+    ds = dl.create(path, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": i} for i in range(3)])
+    ds.commit("base")
+
+    committed = {0: 0, 1: 1, 2: 2}   # rid -> x, the durable state
+    pending: list[tuple] = []         # staged ops in order
+    next_id = 3
+
+    def fold(state, staged):
+        out = dict(state)
+        for kind, rid, val in staged:
+            if kind == "append":
+                out[rid] = val
+            elif kind == "update":
+                out[rid] = val
+            elif kind == "delete":
+                out.pop(rid, None)
+        return out
+
+    for kind, arg in ops:
+        if kind == "append":
+            val = 1000 + arg
+            ds.append([{"x": val}])
+            pending.append(("append", next_id, val))
+            next_id += 1
+        elif kind in ("update", "delete"):
+            # only COMMITTED live rows: staged rows aren't readable yet
+            live = sorted(set(committed) - {
+                r for k, r, _ in pending if k == "delete"})
+            if not live:
+                continue
+            rid = live[arg % len(live)]
+            if kind == "update":
+                val = 2000 + arg
+                ds.update(rid, {"x": val})
+                pending.append(("update", rid, val))
+            else:
+                ds.delete(rid)
+                pending.append(("delete", rid, 0))
+        elif kind == "commit":
+            ds.commit("step")
+            committed = fold(committed, pending)
+            pending = []
+        elif kind == "compact":
+            ds.compact()
+            committed = fold(committed, pending)
+            pending = []
+        elif kind == "reopen":
+            # crash before commit: staged files exist on disk but the
+            # commit log never heard of them
+            ds = dl.open(path, spark)
+            pending = []
+            next_id = (max(committed) + 1) if committed else 0
+
+    ds.commit("final")
+    committed = fold(committed, pending)
+    got = {r._row_id: r.x for r in ds.to_df().collect()}
+    assert got == committed
+    # durable after a final reopen too
+    got2 = {r._row_id: r.x
+            for r in dl.open(path, spark).to_df().collect()}
+    assert got2 == committed

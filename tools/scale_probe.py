@@ -116,6 +116,19 @@ def probes(reg):
         # round-10: DSIR importance resampling (two tokenize passes +
         # broadcast ratio join + Gumbel top-k)
         "t30_dsir_selection",
+        # round-12 additions (round-11 verdict task 5): the KMV sketch
+        # build, the CDC per-token partitioned-window shape, and
+        # exact-BPE counting (bounded driver fit memoized per session —
+        # the x-K run re-trains per replica dir, so its t includes ONE
+        # train). v24 is NOT here: its literal lane fixes k=8 clusters
+        # by design (the oracle-checkable arm), so replication grows
+        # cluster SIZE — the fixed-k K^2 anti-pattern the semdedup
+        # section measures on purpose; its x8 point runs there, and the
+        # scaling answer for semantic dedup is semantic_dedup_indexed
+        # with corpus-proportional clusters (linear to x64).
+        "t31_kmv_distinct_sketch",
+        "t33_cdc_shared_passages",
+        "t34_bpe_token_counts",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
@@ -697,6 +710,29 @@ def semdedup_section(spark):
         out[f"nlist_x{kk}"] = nlist
     # fixed-k trap: x8 corpus with the x1 cluster count
     out["t_x8_fixedk"] = timed(paths[8], max(4, base_n // 100))
+
+    # v24 literal lane (the registered, oracle-checked query): k=8
+    # clusters FIXED by design, so replication grows cluster size —
+    # this arm measures the fixed-k anti-pattern on the real query at
+    # x1/x8 over the same noised replicas (written as
+    # <dir>/embeddings.parquet for the query's load_table). x32+
+    # declined on purpose: it would spend minutes re-measuring the
+    # K^2 conclusion above; the scaling lane for semantic dedup is
+    # semantic_dedup_indexed with corpus-proportional clusters.
+    from deeplake_spark.queries import load_all
+
+    v24 = load_all()["v24_semantic_dedup"].fn
+    for kk in (1, 8):
+        d = os.path.join(WORK, f"v24_x{kk}")
+        (spark.read.parquet(paths[kk]).write.mode("overwrite")
+         .parquet(os.path.join(d, "embeddings.parquet")))
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            v24(spark, d).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"v24_literal_x{kk}"] = round(best, 3)
     return out
 
 
