@@ -762,3 +762,134 @@ def cdc_chunk_array(toks_col: str, w: int = 4, mask: int = 15) -> Column:
         "THEN cast(array() as array<string>) "
         f"ELSE aggregate(sequence(1, size({toks_col})), {zero}, {step}, "
         f"{fin}) END")
+
+
+def excise_dup_windows(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", w: int = 8,
+                       min_count: int = 2) -> DataFrame:
+    """Substring-dedup CLEAN step — the rewrite half of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", §4.1
+    ExactSubstr): `dup_window_stats` DETECTS duplicated ``w``-token
+    spans; this operator removes all but ONE occurrence from the corpus
+    and returns the cleaned text. An occurrence of a window repeated
+    >= ``min_count`` times (across documents OR within one) is
+    KEEP-FIRST canonical iff it holds the group's minimum global order
+    key (doc_id, position); every token covered by a NON-canonical
+    duplicate occurrence is excised. A canonical occurrence's tokens
+    can still fall to a different window's excision (the paper's
+    overlapping-span artifact — deterministic, documented). Returns
+    (doc_id, clean_text, n_tokens, n_removed); an exact-duplicate
+    document cleans to ''.
+
+    Scale shape: one explode (ntokens rows/doc), ONE window-key
+    hash-groupBy carrying (count, min ord) with map-side partials, one
+    occurrences⋈dup-keys join, a bounded per-occurrence position
+    explode (w rows each, true duplicates only), one anti-join on
+    (doc, position), and a per-doc ordered reassembly via
+    array_sort(collect_list) — partitioned by doc, never a global
+    sort. The global order key is doc_id*1_000_000+i, identical in
+    the DuckDB oracle (exactly hash-checkable; at petabyte scale the
+    window string key becomes xxhash64 as in dup_window_stats)."""
+    from deeplake_spark.functions.text import tokenize
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    # guarded index explode (trap 2; sequence counts DOWN past the end)
+    toks = (
+        d.select("doc_id", "__t",
+                 F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n)))
+                 .alias("__i"))
+        .filter(F.col("__i").isNotNull())
+    )
+    win = F.expr("concat_ws(' ', " + ",".join(
+        f"element_at(__t, __i + {j})" for j in range(w)) + ")")
+    rows = toks.select(
+        "doc_id", "__i",
+        F.element_at("__t", F.col("__i")).alias("__tok"),
+        F.when(F.col("__i") <= F.size("__t") - F.lit(w - 1), win)
+        .alias("__w"),
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("__i")).alias("__ord"),
+    ).persist()  # feeds the dup aggregate, the join, and the anti side
+    occ = rows.filter(F.col("__w").isNotNull())
+    dup = (occ.groupBy("__w")
+           .agg(F.count(F.lit(1)).alias("__cnt"),
+                F.min("__ord").alias("__keep"))
+           .filter(F.col("__cnt") >= min_count)
+           .select("__w", "__keep"))
+    dup_occ = (occ.join(dup, "__w")
+               .filter(F.col("__ord") != F.col("__keep"))
+               .select("doc_id", "__i"))
+    # exc derives from rows — DISTINCT aliases per side before the
+    # expression self-join, or the equi-key silently vanishes (trap 20)
+    exc = (dup_occ.select(
+        F.col("doc_id").alias("__xd"),
+        F.explode_outer(F.sequence(F.col("__i"),
+                                   F.col("__i") + F.lit(w - 1)))
+        .alias("__xj"))
+        .filter(F.col("__xj").isNotNull())
+        .distinct())
+    kept = rows.select("doc_id", "__i", "__tok").join(
+        exc, (F.col("doc_id") == F.col("__xd"))
+        & (F.col("__i") == F.col("__xj")),
+        "left_anti")
+    clean = (kept.groupBy("doc_id")
+             .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("__i", "__tok"))),
+                 lambda s: s["__tok"])).alias("clean_text"),
+                  F.count(F.lit(1)).alias("__nk")))
+    totals = d.select("doc_id", n.cast("int").alias("n_tokens"))
+    return (totals.join(clean, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_tokens",
+                    (F.col("n_tokens") - F.coalesce(F.col("__nk"), F.lit(0)))
+                    .cast("int").alias("n_removed")))
+
+
+def minhash_cross_pairs(left: DataFrame, right: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_perm: int = 32, bands: int = 8,
+                        threshold: float = 0.35) -> DataFrame:
+    """FUZZY cross-corpus decontamination — the near-duplicate
+    complement of `contamination_hits`' exact n-gram check (the
+    Llama-style fuzzy train/eval overlap sweep): MinHash-LSH candidate
+    pairs BETWEEN two corpora. Both sides shingle → sign → band; the
+    bucket join is LEFT x RIGHT on (band, band-hash) — never a
+    self-join, never a cross join — and candidates get exact-Jaccard
+    verification (threshold on the UNROUNDED value, repo convention).
+    Returns (a = left id, b = right id, jaccard).
+
+    Scale shape: the eval/right side is typically tiny next to the
+    training corpus, so its banded relation and shingle sets are
+    broadcast — the corpus makes one signing pass and shuffles only
+    colliding candidates. At threshold=1.0 recall is provably 1 for
+    ANY signature hash (identical shingle sets → identical signatures
+    → collide in every band), which is what makes the registered t36
+    query exactly oracle-checkable; production thresholds (<1) are
+    recall-gated in tests."""
+    rows = num_perm // bands
+    lsets = shingle_sets(left, text_col, id_col, n).persist()
+    rsets = shingle_sets(right, text_col, id_col, n).persist()
+    band_sql = ",".join(
+        f"hash(cast(cast(slice(sig, {b * rows + 1}, {rows}) "
+        "as array<string>) as string))"
+        for b in range(bands))
+
+    def banded(sets: DataFrame, out: str) -> DataFrame:
+        return minhash_signatures(sets, num_perm).select(
+            F.col("doc_id").alias(out),
+            F.posexplode(F.expr(f"array({band_sql})")).alias("band", "bh"))
+
+    cands = (banded(lsets, "a")
+             .join(F.broadcast(banded(rsets, "b")), ["band", "bh"])
+             .select("a", "b").distinct())
+    sa = lsets.select(F.col("doc_id").alias("a"),
+                      F.col("shingles").alias("sha"))
+    sb = rsets.select(F.col("doc_id").alias("b"),
+                      F.col("shingles").alias("shb"))
+    jacc = (F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")).cast("double"))
+    return (cands.join(sa, "a").join(F.broadcast(sb), "b")
+            .filter(jacc >= threshold)
+            .select("a", "b", F.round(jacc, 6).alias("jaccard")))

@@ -1895,3 +1895,155 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize(F.col("text"))).cast("int").alias("n_words"),
         F.length("text").cast("int").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@query(
+    "t35_dup_window_excision",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- planted cross-doc copies behind doc-specific lead/outro tokens
+      SELECT doc_id + 2000000,
+             'lead' || CAST(doc_id AS VARCHAR) || ' intro ' || text
+               || ' outro'
+      FROM documents WHERE doc_id < 8
+      UNION ALL
+      -- a within-document repetition (text doubled)
+      SELECT 3000000, text || ' ' || text FROM documents WHERE doc_id = 9
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM base
+    ),
+    rws AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      FROM toks WHERE len(t) >= 1
+    ),
+    tok AS (
+      SELECT doc_id, i, t[i] AS tok,
+             CASE WHEN i + 7 <= len(t)
+                  THEN array_to_string(t[i:i+7], ' ') END AS wkey
+      FROM rws
+    ),
+    occ AS (
+      SELECT doc_id, i, wkey, doc_id * 1000000 + i AS ord
+      FROM tok WHERE wkey IS NOT NULL
+    ),
+    dup AS (
+      SELECT wkey, min(ord) AS keep_ord FROM occ
+      GROUP BY wkey HAVING COUNT(*) >= 2
+    ),
+    dup_occ AS (
+      SELECT o.doc_id, o.i FROM occ o
+      JOIN dup d ON o.wkey = d.wkey AND o.ord <> d.keep_ord
+    ),
+    exc AS (
+      SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS j FROM dup_occ
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.i, tok.tok FROM tok
+      ANTI JOIN exc ON tok.doc_id = exc.doc_id AND tok.i = exc.j
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(c.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS INT) AS n_tokens,
+           CAST(len(t.t) - coalesce(c.nk, 0) AS INT) AS n_removed
+    FROM toks t LEFT JOIN clean c USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Substring-dedup CLEAN step (Lee et al. 2021 ExactSubstr's "
+    "rewrite half; d06/dup_window_stats is the detection half): every "
+    "8-token window repeated >=2 times keeps only its globally-first "
+    "occurrence — tokens covered by any non-canonical duplicate window "
+    "are excised and the document text is reassembled in order. "
+    "Planted fixtures prove both lanes: cross-doc copies behind "
+    "doc-specific lead/outro tokens lose their shared interior to the "
+    "original's canonical copy, and a doubled document cleans its "
+    "second half. One explode, one window-key groupBy carrying "
+    "(count, min ord), a bounded w-row coverage explode for TRUE "
+    "duplicates only, one (doc, pos) anti-join, per-doc ordered "
+    "reassembly — partitioned windows only.",
+    tags=("dedup", "text", "excision"),
+)
+def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import excise_dup_windows
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("lead"), F.col("doc_id").cast("string"),
+                 F.lit(" intro "), F.col("text"),
+                 F.lit(" outro")).alias("text"))
+    doubled = d.filter(F.col("doc_id") == 9).select(
+        F.lit(3_000_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"))
+    base = d.unionByName(copies).unionByName(doubled)
+    return excise_dup_windows(base, w=8, min_count=2).orderBy("doc_id")
+
+
+@query(
+    "t36_fuzzy_decontamination",
+    oracle="""
+    WITH evals AS (
+      -- planted eval set: 6 exact copies of corpus docs + one
+      -- unrelated probe that must NOT pair at threshold 1.0
+      SELECT doc_id + 5000000 AS doc_id, text FROM documents
+      WHERE doc_id < 6
+      UNION ALL SELECT 6000000, 'qq1 qq2 qq3 qq4 qq5 qq6'
+    ),
+    ctoks AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\s+'),
+                          t -> t <> '') AS t FROM documents),
+    etoks AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\s+'),
+                          t -> t <> '') AS t FROM evals),
+    csh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM ctoks),
+    esh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM etoks),
+    cex AS (SELECT doc_id, unnest(s) AS sng FROM csh WHERE len(s) > 0),
+    eex AS (SELECT doc_id, unnest(s) AS sng FROM esh WHERE len(s) > 0),
+    common AS (
+      SELECT c.doc_id AS a, e.doc_id AS b, COUNT(*) AS n_common
+      FROM cex c JOIN eex e ON c.sng = e.sng
+      GROUP BY c.doc_id, e.doc_id
+    )
+    SELECT m.a, m.b,
+           ROUND(m.n_common / CAST(sa.ns + sb.ns - m.n_common AS DOUBLE),
+                 6) AS jaccard
+    FROM common m
+    JOIN (SELECT doc_id, len(s) AS ns FROM csh) sa ON sa.doc_id = m.a
+    JOIN (SELECT doc_id, len(s) AS ns FROM esh) sb ON sb.doc_id = m.b
+    WHERE m.n_common = sa.ns + sb.ns - m.n_common
+    ORDER BY m.a, m.b
+    """,
+    doc="FUZZY cross-corpus decontamination (dedup.minhash_cross_pairs "
+    "— the near-dup complement of d08's exact n-gram check): MinHash "
+    "sign both corpora, band, bucket-join LEFT x RIGHT (never a self "
+    "or cross join; the tiny eval side broadcasts), exact-Jaccard "
+    "verify candidates. Oracle-checkable configuration per d04's "
+    "argument: threshold 1.0 + planted exact eval copies — identical "
+    "shingle sets give identical signatures for ANY hash, so J=1 "
+    "pairs collide in EVERY band and LSH recall on the admitted set "
+    "is provably 1; DuckDB computes the exhaustive J=1 cross pair "
+    "set. Production thresholds (<1) are recall-gated in "
+    "tests/test_operators.py.",
+    tags=("dedup", "decontamination", "minhash"),
+)
+def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import minhash_cross_pairs
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = corpus.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    ).unionByName(spark.createDataFrame(
+        [(6_000_000, "qq1 qq2 qq3 qq4 qq5 qq6")],
+        "doc_id long, text string"))
+    return minhash_cross_pairs(corpus, evals,
+                               threshold=1.0).orderBy("a", "b")

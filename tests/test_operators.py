@@ -1071,3 +1071,65 @@ def test_kmv_build_k_persisted_and_guarded(spark, tmp_path):
     assert via_col == via_lit
     with pytest.raises(ValueError, match="built with.*k=\\[32\\]"):
         append_kmv_delta(df, "x", path, by=["g"], k=64)
+
+
+def test_excise_dup_windows_hand_case(spark):
+    """Keep-first substring excision on a hand-computed corpus: a
+    cross-doc shared 8-token span survives only in the globally-first
+    document, an exact-copy document cleans to '', a within-doc
+    repetition loses its second half, sub-window docs pass through,
+    and min_count=3 leaves a twice-occurring span alone."""
+    from deeplake_spark.operators.dedup import excise_dup_windows
+
+    rows = [
+        (1, "a b c d e f g h x y"),
+        (2, "p q a b c d e f g h r"),
+        (3, "a b c d e f g h x y"),
+        (4, "k l m"),
+        (5, "m1 m2 m3 m4 m5 m6 m7 m8 z m1 m2 m3 m4 m5 m6 m7 m8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in excise_dup_windows(df, w=8).collect()}
+    assert got[1] == ("a b c d e f g h x y", 10, 0)   # canonical: intact
+    assert got[2] == ("p q r", 11, 8)                 # shared span excised
+    assert got[3] == ("", 10, 10)                     # exact copy: emptied
+    assert got[4] == ("k l m", 3, 0)                  # < w tokens: no-op
+    assert got[5] == ("m1 m2 m3 m4 m5 m6 m7 m8 z", 17, 8)  # within-doc
+    # min_count=3: only the THRICE-occurring window (docs 1, 2, 3 share
+    # "a b c d e f g h") still qualifies — its two non-canonical
+    # occurrences lose 8 tokens; the twice-occurring spans (the copy's
+    # tail windows, doc 5's repetition) survive
+    loose = {r.doc_id: r.n_removed
+             for r in excise_dup_windows(df, w=8, min_count=3).collect()}
+    assert loose == {1: 0, 2: 8, 3: 8, 4: 0, 5: 0}
+
+
+def test_minhash_cross_pairs_fuzzy_recall(spark, sf_dir):
+    """Production-threshold lane of t36's operator: eval docs that are
+    NEAR-copies (one token in ~15 edited) of corpus docs must pair at
+    threshold 0.5 with high Jaccard, an unrelated probe must not, and
+    a<->b sides stay cross-corpus (no corpus-internal pairs)."""
+    from deeplake_spark.operators.dedup import minhash_cross_pairs
+
+    corpus = (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "text").filter(F.col("doc_id") < 60))
+    # near-copy: replace the 4th whitespace token with an OOV marker
+    edited = F.expr(
+        "concat_ws(' ', transform(filter(split(lower(text), '\\\\s+'), "
+        "t -> t <> ''), (t, i) -> IF(i = 3, 'zzedit', t)))")
+    evals = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        edited.alias("text")
+    ).unionByName(spark.createDataFrame(
+        [(8_000_000, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8")],
+        "doc_id long, text string"))
+    got = {(r.a, r.b): r.jaccard for r in minhash_cross_pairs(
+        corpus, evals, threshold=0.5).collect()}
+    # every edited eval doc pairs back to its source (recall gate)
+    found = {b - 7_000_000 for (a, b) in got if a == b - 7_000_000}
+    assert len(found) >= 8, found  # LSH at j~0.7: allow rare band misses
+    assert all(j >= 0.5 for j in got.values())
+    assert not any(b == 8_000_000 for _, b in got), "unrelated probe paired"
+    assert all(a < 1_000_000 and b >= 7_000_000 for a, b in got), \
+        "pairs must be cross-corpus"

@@ -203,6 +203,40 @@ COMMENTARY = {
         "bigram side left-joins back per doc. Two doc-keyed exchanges, "
         "both map-side partial — linear, skew-free (keys are doc ids)."
     ),
+    "t33_cdc_shared_passages": (
+        "Content-defined chunking: one tokenize pass, guarded index "
+        "explode (one row per token), boundary flag as a pure hash "
+        "expression, segment ids via a PER-DOC running-sum window "
+        "(partitioned, never global), then chunk-string-keyed "
+        "hash joins with the max_docs boilerplate cap bounding the "
+        "pair fan-out. Scaled x32 at ratio 2.6 (SCALING.md)."
+    ),
+    "t34_bpe_token_counts": (
+        "Exact BPE counting: training is ONE distributed "
+        "tokenize+groupBy pass feeding a bounded top-5k driver fit "
+        "(memoized per session); the count lane is a single Arrow "
+        "batch UDF returning ints (no token-array return transfer), "
+        "fed by JVM-side tokenize over the parallelized scan. No "
+        "shuffle beyond the training aggregate; x32 ratio 2.2."
+    ),
+    "t35_dup_window_excision": (
+        "Substring-dedup rewrite: guarded token explode, window keys "
+        "as a single parsed concat_ws expression, ONE window-key "
+        "hash aggregate carrying (count, min ord) with map-side "
+        "partials, occurrences joined back only for TRUE duplicates, "
+        "a bounded w-row coverage explode, a (doc, pos) anti-join "
+        "(distinct per-side aliases — trap 20), and per-doc ordered "
+        "reassembly via array_sort(collect_list) — partitioned, no "
+        "global sort anywhere."
+    ),
+    "t36_fuzzy_decontamination": (
+        "Cross-corpus MinHash: both sides sign in one pass; the tiny "
+        "eval side's banded relation and shingle sets BROADCAST, so "
+        "the corpus never shuffles for candidates — the bucket join "
+        "emits only colliding (band, hash) rows, then exact-Jaccard "
+        "verify on candidates. At 100 TB the corpus-side work is one "
+        "map pass plus true-collision traffic."
+    ),
 }
 
 
