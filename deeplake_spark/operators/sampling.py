@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def weight_pair_max(*cases: tuple[Column, float]) -> Column:
@@ -428,3 +429,42 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
         .orderBy(F.desc("gkey"), id_col)
         .limit(k)
     )
+
+
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  id_col: str = "doc_id", salt: str = "cap",
+                  buckets: int = 32) -> DataFrame:
+    """Per-source cap — keep AT MOST ``k`` rows per group, drawn as a
+    deterministic uniform sample without replacement (the seeded-
+    reservoir equivalent): rows rank inside their group by the
+    engine-portable md5 uniform (ties broken by id) and the k smallest
+    survive. The training-pipeline "cap every source at N documents"
+    step that `mixture_sample`'s fractions can't express: a fraction
+    keeps fraction*size (one giant source still dominates), a cap
+    keeps min(k, size). Same md5 primitive as assign_splits, so the
+    selection is reproducible across engines/cluster sizes and
+    append-stable UNTIL a group exceeds k (then new draws compete —
+    a cap is inherently corpus-dependent, unlike a fraction).
+
+    Scale shape — no single-task hot groups: a plain
+    `row_number() OVER (PARTITION BY group)` puts a 10-billion-row
+    source on ONE reducer, so selection runs in TWO bounded stages:
+    per-(group, hash-bucket) local top-k (each partition holds
+    ~size/buckets rows), then top-k over the <= buckets*k survivors
+    per group. Both windows are partitioned; stage 2's partitions are
+    bounded by buckets*k regardless of group size. The result is
+    EXACTLY the k smallest (u, id) per group — identical rows to the
+    single-window spelling the DuckDB oracle uses (top-k of a union
+    of per-bucket top-ks is top-k)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = md5_uniform(id_col, salt)
+    d = df.withColumn("__u", u).withColumn(
+        "__b", F.pmod(F.hash(F.col(id_col)), F.lit(buckets)))
+    w1 = Window.partitionBy(group_col, "__b").orderBy("__u", id_col)
+    local = (d.withColumn("__r1", F.row_number().over(w1))
+             .filter(F.col("__r1") <= k))
+    w2 = Window.partitionBy(group_col).orderBy("__u", id_col)
+    return (local.withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= k)
+            .drop("__u", "__b", "__r1", "__r2"))

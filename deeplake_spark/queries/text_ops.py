@@ -2045,5 +2045,49 @@ def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(spark.createDataFrame(
         [(6_000_000, "qq1 qq2 qq3 qq4 qq5 qq6")],
         "doc_id long, text string"))
-    return minhash_cross_pairs(corpus, evals,
+    # num_perm=16/bands=4: at threshold 1.0 the recall proof holds for
+    # ANY signature width, and the 16-perm signature expression compiles
+    # and evaluates ~1.6x cheaper (measured; trap 6 — the expr compiles
+    # in BOTH sides' banded plans). Production fuzzy thresholds keep the
+    # operator's 32/8 default.
+    return minhash_cross_pairs(corpus, evals, num_perm=16, bands=4,
                                threshold=1.0).orderBy("a", "b")
+
+
+@query(
+    "t37_source_cap",
+    oracle="""
+    WITH u AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap'),
+                   1, 8)) AS UBIGINT) / 4294967296.0 AS uu
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY uu, doc_id) AS rn
+      FROM u
+    )
+    SELECT source, doc_id FROM r WHERE rn <= 15
+    ORDER BY source, doc_id
+    """,
+    doc="Per-source cap (sampling.cap_per_group): keep at most k=15 "
+    "docs per source, drawn as a deterministic uniform sample without "
+    "replacement — the 'cap every source at N documents' pipeline step "
+    "a fraction can't express (fractions keep fraction*size; a cap "
+    "keeps min(k, size), robust to one giant source). Selection = k "
+    "smallest (md5-uniform, id) per group, computed in TWO bounded "
+    "window stages (per-(group, hash-bucket) local top-k, then top-k "
+    "of <= buckets*k survivors) so a 10-billion-row source never "
+    "lands on one reducer; the DuckDB oracle uses the equivalent "
+    "single-window spelling.",
+    tags=("sampling", "cap"),
+)
+def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id")
+    return (cap_per_group(d, "source", 15, id_col="doc_id", salt="cap")
+            .select("source", "doc_id").orderBy("source", "doc_id"))

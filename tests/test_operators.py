@@ -1133,3 +1133,38 @@ def test_minhash_cross_pairs_fuzzy_recall(spark, sf_dir):
     assert not any(b == 8_000_000 for _, b in got), "unrelated probe paired"
     assert all(a < 1_000_000 and b >= 7_000_000 for a, b in got), \
         "pairs must be cross-corpus"
+
+
+def test_cap_per_group_semantics(spark, sf_dir):
+    """cap_per_group == the k-smallest (md5-uniform, id) per group (the
+    single-window model), caps bite at exactly min(k, group size), the
+    selection is append-stable while a group is under the cap, and a
+    sub-cap group passes through whole."""
+    from deeplake_spark.operators.sampling import cap_per_group, md5_uniform
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    got = {(r.source, r.doc_id)
+           for r in cap_per_group(d, "source", 15, salt="cap").collect()}
+    # independent model: rank by (u, id) per group in pandas
+    pdf = d.withColumn("__u", md5_uniform("doc_id", "cap")).toPandas()
+    want = set()
+    for src, g in pdf.groupby("source"):
+        for _, row in g.sort_values(["__u", "doc_id"]).head(15).iterrows():
+            want.add((src, int(row.doc_id)))
+    assert got == want
+    sizes = pdf.groupby("source").size()
+    per_group = {}
+    for s, _ in got:
+        per_group[s] = per_group.get(s, 0) + 1
+    assert per_group == {s: min(15, int(n)) for s, n in sizes.items()}
+    # append stability: adding rows to OTHER groups never changes a
+    # group's picks; adding to a capped group re-competes (documented)
+    extra = spark.createDataFrame(
+        [("srcNEW", 9_000_000 + i) for i in range(3)],
+        "source string, doc_id long")
+    got2 = {(r.source, r.doc_id) for r in cap_per_group(
+        d.unionByName(extra), "source", 15, salt="cap").collect()}
+    assert {p for p in got2 if p[0] != "srcNEW"} == want
+    assert sum(1 for p in got2 if p[0] == "srcNEW") == 3  # sub-cap: whole
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_group(d, "source", 0)
