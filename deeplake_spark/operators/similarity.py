@@ -1519,3 +1519,43 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
             F.col("__votes").alias("votes"),
         )
     )
+
+
+def mrl_prefilter_topk(df: DataFrame, vec_col: str, query_vec, k: int,
+                       dims: int, refine: int = 4,
+                       id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka coarse-to-fine top-k (Kusupati et al. 2022 MRL: the
+    first ``dims`` components of an MRL-trained embedding are
+    themselves a valid lower-dim embedding): rank the corpus by cosine
+    over the ``dims``-prefix, keep ``k * refine`` candidates (a
+    TakeOrderedAndProject — never a global sort), then rerank ONLY the
+    candidates by full-dimension cosine and return the top ``k``.
+    Returns (id, coarse_score, score), both scores rounded to 6.
+
+    The candidate cut orders by the ROUNDED coarse score with the id
+    tiebreak — the repo's engine-portable-boundary convention (t19's
+    rate rounding): the kept set is then bit-stable across engines,
+    which is what lets the DuckDB oracle replay the funnel exactly.
+
+    100 TB shape: the coarse pass is scan + top-(k*refine) with
+    per-partition pruning (TakeOrdered), the rerank touches k*refine
+    rows. In a real layout the prefix is written as its OWN column at
+    ingest (`F.slice` at write time), so the coarse scan reads dims/D
+    of the vector bytes and the full column is fetched only for
+    candidates — the fetch-back pruning the ANN lanes already
+    implement; here the slice runs in the scan projection, which is
+    the same plan shape at sf scale."""
+    from deeplake_spark.functions.vector import cosine_similarity
+
+    if not isinstance(query_vec, Column):
+        query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
+    qpre = F.slice(query_vec, 1, dims)
+    coarse = F.round(
+        cosine_similarity(F.slice(F.col(vec_col), 1, dims), qpre), 6)
+    cands = (df.select(id_col, vec_col, coarse.alias("coarse_score"))
+             .orderBy(F.desc("coarse_score"), id_col)
+             .limit(int(k) * int(refine)))
+    full = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    return (cands.select(id_col, "coarse_score", full.alias("score"))
+            .orderBy(F.desc("score"), id_col)
+            .limit(int(k)))

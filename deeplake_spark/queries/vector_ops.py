@@ -1087,3 +1087,40 @@ def v25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label")).alias("label"),
     )
     return knn_label_propagation(masked, k=5).orderBy("vec_id")
+
+
+@query(
+    "v26_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id, embedding,
+             ROUND({_DUCK_COS.format(a="embedding[1:8]", b="q.qv[1:8]")},
+                   6) AS coarse_score
+      FROM embeddings, q
+      ORDER BY coarse_score DESC, vec_id
+      LIMIT 40
+    )
+    SELECT c.vec_id, c.coarse_score,
+           ROUND({_DUCK_COS.format(a="c.embedding", b="q.qv")}, 6) AS score
+    FROM cands c, q
+    ORDER BY score DESC, c.vec_id
+    LIMIT 10
+    """,
+    doc="Matryoshka coarse-to-fine top-k "
+    "(similarity.mrl_prefilter_topk, Kusupati et al. 2022): rank by "
+    "cosine over the 8-component MRL prefix, keep k*refine=40 "
+    "candidates via TakeOrderedAndProject, exact full-dim rerank of "
+    "candidates only. The candidate cut orders by the ROUNDED coarse "
+    "score + id (the engine-portable-boundary convention), so DuckDB "
+    "replays the funnel bit-for-bit. At 100 TB the prefix is its own "
+    "ingest-time column: the coarse scan reads dims/D of the bytes "
+    "and full vectors are fetched only for candidates.",
+    tags=("vector", "topk", "mrl"),
+)
+def v26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import mrl_prefilter_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return mrl_prefilter_topk(e, "embedding", qv, k=10, dims=8, refine=4)
