@@ -1050,3 +1050,52 @@ def test_stream_cdc_min_docs_and_cap(spark, tmp_path):
         stream_cdc_shared_passages(
             spark.createDataFrame([(1, "t")], "doc_id long, text string"),
             min_docs=1)
+
+
+def test_stream_source_cap_admits_first_k_and_replays_nothing(
+        spark, tmp_path):
+    """Streaming per-source cap: exactly the first k arrivals per group
+    are admitted across micro-batches, an at-least-once re-delivery of
+    an admitted row emits nothing, post-cap arrivals leave no trace,
+    and a checkpointed second run stays idempotent."""
+    from deeplake_spark.streaming.sampling import stream_source_cap
+
+    in_dir = str(tmp_path / "cap_in")
+    out_dir = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+
+    def write(rows):
+        (spark.createDataFrame(rows, "source string, doc_id long")
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    def run():
+        stream = (spark.readStream.format("parquet")
+                  .schema("source string, doc_id long")
+                  .option("maxFilesPerTrigger", "1").load(in_dir))
+        out = stream_source_cap(stream, "source", k=2)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write([("a", 1), ("b", 10)])
+    write([("a", 2), ("a", 1)])      # a hits the cap; 1 re-delivered
+    write([("a", 3), ("b", 11)])     # a past cap; b admits its 2nd
+    run()
+    # second run (same checkpoint): replay id 2 plus a fresh post-cap id
+    write([("a", 2), ("a", 4), ("b", 12)])
+    run()
+    got = sorted((r.grp, r.id)
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == [("a", 1), ("a", 2), ("b", 10), ("b", 11)], got
+
+    with pytest.raises(TypeError, match="integral id"):
+        stream_source_cap(
+            spark.createDataFrame([("a", "x")],
+                                  "source string, doc_id string"),
+            "source", k=2)
+    with pytest.raises(ValueError, match="k must be"):
+        stream_source_cap(
+            spark.createDataFrame([("a", 1)], "source string, doc_id long"),
+            "source", k=0)
