@@ -468,3 +468,23 @@ def cap_per_group(df: DataFrame, group_col: str, k: int,
     return (local.withColumn("__r2", F.row_number().over(w2))
             .filter(F.col("__r2") <= k)
             .drop("__u", "__b", "__r1", "__r2"))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
+                  salt: str = "epoch0",
+                  out_col: str = "epoch_rank") -> DataFrame:
+    """Deterministic training-epoch permutation: attach a dense 0-based
+    global rank drawn by the engine-portable md5 uniform (id tiebreak).
+    Rotate ``salt`` per epoch for a fresh permutation; the same
+    (corpus, salt) yields the same order on any cluster size, any run,
+    any engine — the reproducible "shuffle the corpus between epochs"
+    step of a training-data pipeline, without RNG state.
+
+    Scale shape: a range-partitioned parallel sort + the partition-
+    offset rank (io.with_row_id) — never an unpartitioned row_number
+    window (CLAUDE.md trap 7); no task holds more than its partition."""
+    from deeplake_spark.io import with_row_id
+
+    d = df.withColumn("__u", md5_uniform(id_col, salt))
+    return (with_row_id(d, order_by=["__u", id_col], col_name=out_col)
+            .drop("__u"))

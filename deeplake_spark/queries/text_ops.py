@@ -2091,3 +2091,37 @@ def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id")
     return (cap_per_group(d, "source", 15, id_col="doc_id", salt="cap")
             .select("source", "doc_id").orderBy("source", "doc_id"))
+
+
+@query(
+    "t38_epoch_shuffle",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep1'),
+                   1, 8)) AS UBIGINT) / 4294967296.0 AS uu
+      FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY uu, doc_id) - 1 AS BIGINT)
+             AS epoch_rank,
+           doc_id
+    FROM u
+    ORDER BY epoch_rank
+    """,
+    doc="Deterministic epoch shuffle (sampling.epoch_shuffle): global "
+    "permutation rank by md5-uniform(id # salt) with id tiebreak — "
+    "rotate the salt per epoch; reproducible on any cluster size/"
+    "engine, no RNG state. Spark computes the rank with a range-"
+    "partitioned sort + partition offsets (io.with_row_id — no "
+    "unpartitioned window, trap 7); the oracle uses the equivalent "
+    "single-window spelling.",
+    tags=("sampling", "shuffle"),
+)
+def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (epoch_shuffle(d, salt="ep1")
+            .select(F.col("epoch_rank").cast("long").alias("epoch_rank"),
+                    "doc_id")
+            .orderBy("epoch_rank"))
