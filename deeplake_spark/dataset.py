@@ -2215,15 +2215,20 @@ class Dataset:
         else:
             all_files = self._entry["files"] + list(files or [])
         # carry max_row_id in the log so appends never scan data files.
-        # replace_files rewrites preserve row ids; otherwise fold in the
+        # replace_files rewrites preserve row ids but FOLD IN staged
+        # appends (every replace_files caller rewrites to_df(), which
+        # includes staged files, then clears staged) — the carried max
+        # must cover them or the next append reuses their ids (row-id
+        # collision; caught by the round-12 randomized-DML property
+        # test on append,append,compact,append). Otherwise fold in the
         # footer-stat max of each newly-added file.
         max_row_id = self._entry.get("max_row_id")
-        if not replace_files:
-            for f in files or []:
-                fm = self._staged_file_max.get(f)
-                if fm is None:
-                    fm = self._file_max_row_id(f)
-                max_row_id = fm if max_row_id is None else max(max_row_id, fm)
+        fold = self._staged_files if replace_files else (files or [])
+        for f in fold:
+            fm = self._staged_file_max.get(f)
+            if fm is None:
+                fm = self._file_max_row_id(f)
+            max_row_id = fm if max_row_id is None else max(max_row_id, fm)
         entry = {
             "version": new_version,
             "parent": self.version or None,

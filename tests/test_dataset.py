@@ -761,3 +761,23 @@ def test_to_jsonl_roundtrip(spark, tmp_path_ds, tmp_path):
     back = dl.from_jsonl(out, tmp_path_ds + "_back", spark)
     got = sorted(r.t for r in back.to_df().select("t").collect())
     assert got == [f"line {i}" for i in range(5)]
+
+
+def test_compact_folds_staged_appends_into_max_row_id(spark, tmp_path_ds):
+    """Round-12 collision regression (found by the randomized-DML
+    property test): compact() rewrites to_df(), which INCLUDES staged
+    appends, so the replace_files commit must fold the staged files'
+    max row id into the carried max_row_id — or the next append reuses
+    their ids and two rows share a _row_id."""
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 0}, {"x": 1}, {"x": 2}])
+    ds.commit("base")
+    ds.append([{"x": 1000}])       # staged: row 3
+    ds.append([{"x": 1001}])       # staged: row 4
+    ds.compact()                   # folds staged rows 3-4 into the snapshot
+    assert ds._entry["max_row_id"] == 4
+    ds.append([{"x": 1002}])       # must get id 5, not 3
+    ds.commit("after compact")
+    got = {r._row_id: r.x for r in ds.to_df().collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1000, 4: 1001, 5: 1002}
+    assert len(ds) == 6
