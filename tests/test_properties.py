@@ -506,6 +506,11 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
     ds.commit("base")
 
     committed = {0: 0, 1: 1, 2: 2}   # rid -> x, the durable state
+    committed_max = 2                 # highest id ever COMMITTED: ids of
+    # tombstoned rows are NEVER reused (merge-on-read delete keeps the
+    # id occupied; compact carries the max forward), so a reopen resumes
+    # numbering from here — only ids of DISCARDED staged appends (crash
+    # before commit) are reused
     pending: list[tuple] = []         # staged ops in order
     next_id = 3
 
@@ -543,20 +548,26 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
         elif kind == "commit":
             ds.commit("step")
             committed = fold(committed, pending)
+            committed_max = max([committed_max]
+                                + [r for k, r, _ in pending if k == "append"])
             pending = []
         elif kind == "compact":
             ds.compact()
             committed = fold(committed, pending)
+            committed_max = max([committed_max]
+                                + [r for k, r, _ in pending if k == "append"])
             pending = []
         elif kind == "reopen":
             # crash before commit: staged files exist on disk but the
-            # commit log never heard of them
+            # commit log never heard of them; numbering resumes after
+            # the highest COMMITTED id (tombstoned ids stay occupied)
             ds = dl.open(path, spark)
             pending = []
-            next_id = (max(committed) + 1) if committed else 0
+            next_id = committed_max + 1
 
     ds.commit("final")
     committed = fold(committed, pending)
+    del committed_max  # final compare needs values only
     got = {r._row_id: r.x for r in ds.to_df().collect()}
     assert got == committed
     # durable after a final reopen too
