@@ -781,3 +781,44 @@ def test_compact_folds_staged_appends_into_max_row_id(spark, tmp_path_ds):
     got = {r._row_id: r.x for r in ds.to_df().collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1000, 4: 1001, 5: 1002}
     assert len(ds) == 6
+
+
+def test_torn_commit_recovers_to_refs_tip(spark, tmp_path_ds):
+    """Crash-consistency of the commit protocol's torn window: a crash
+    BETWEEN the commit-log write and the refs update leaves an orphan
+    log entry on disk while the branch ref still points at the last
+    good version. Reopen must serve the refs tip (the orphan is
+    invisible), and the next commit must claim a version number PAST
+    the orphan (never reuse a possibly-poisoned number) with its
+    parent pointing at the refs tip."""
+    import json as js
+
+    from deeplake_spark.dataset import _log_path, _store
+
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    ds.append([{"x": 1}, {"x": 2}])
+    ds.commit("good")
+    good_v = ds.version
+
+    # forge the torn commit: log entry for good_v+1 referencing a data
+    # file that was never written, refs NOT updated (the crash point)
+    orphan = dict(ds._entry)
+    orphan["version"] = good_v + 1
+    orphan["message"] = "torn"
+    orphan["files"] = list(orphan["files"]) + ["never_written.parquet"]
+    _store(tmp_path_ds).put_bytes(
+        _log_path(tmp_path_ds, good_v + 1), js.dumps(orphan).encode())
+
+    re = dl.open(tmp_path_ds, spark)
+    assert re.version == good_v
+    assert {r.x for r in re.to_df().collect()} == {1, 2}
+
+    re.append([{"x": 3}])
+    re.commit("after crash")
+    assert re.version == good_v + 2, "must skip the orphan's number"
+    assert re._entry["parent"] == good_v
+    assert {r.x for r in re.to_df().collect()} == {1, 2, 3}
+    # history walks parent links from the refs tip — the orphan never
+    # appears
+    msgs = [v.message for v in re.history()]
+    assert "torn" not in msgs
