@@ -512,6 +512,7 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
     # numbering from here — only ids of DISCARDED staged appends (crash
     # before commit) are reused
     pending: list[tuple] = []         # staged ops in order
+    snapshots: list[tuple] = []       # (version, model state) per commit
     next_id = 3
 
     def fold(state, staged):
@@ -551,6 +552,7 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
             committed_max = max([committed_max]
                                 + [r for k, r, _ in pending if k == "append"])
             pending = []
+            snapshots.append((ds.version, dict(committed)))
         elif kind == "compact":
             ds.compact()
             committed = fold(committed, pending)
@@ -574,3 +576,12 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
     got2 = {r._row_id: r.x
             for r in dl.open(path, spark).to_df().collect()}
     assert got2 == committed
+    # time travel: a commit's snapshot is reproducible from its version
+    # number (first, middle, last — bounded checkout cost per example)
+    for i in sorted({0, len(snapshots) // 2, len(snapshots) - 1}):
+        if not snapshots:
+            break
+        v, snap = snapshots[i]
+        back = {r._row_id: r.x
+                for r in dl.open(path, spark, version=v).to_df().collect()}
+        assert back == snap, f"checkout({v}) diverged"
