@@ -1,4 +1,7 @@
-"""Cardinality sketches — engine-portable k-minimum-values (KMV).
+"""Engine-portable set sketches: k-minimum-values (KMV) for
+cardinality/overlap, Bloom filters for membership — both hashed with
+the repo's md5-int60 convention so every bit is deterministic and
+exactly reproducible in DuckDB.
 
 A KMV sketch keeps the k smallest uniform hashes of a value stream;
 the k-th smallest u_k estimates distinct count as (k-1)/u_k (Bar-Yossef
@@ -113,6 +116,174 @@ def save_kmv(sketches: DataFrame, path: str) -> None:
 
 def load_kmv(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+#: Bloom words pack 60 bits each — every shift stays <= 59, which both
+#: Spark (shiftleft on 1L) and DuckDB (1::BIGINT << b) evaluate
+#: identically with no sign-bit edge, keeping the sketch engine-portable
+#: the way the 15-hex-digit md5 hash is.
+_BLOOM_BITS_PER_WORD = 60
+
+
+def _bloom_m(n_words: int) -> int:
+    return int(n_words) * _BLOOM_BITS_PER_WORD
+
+
+def bloom_sketch(df: DataFrame, col: str, by: list[str] | None = None,
+                 n_words: int = 256, k_hashes: int = 5,
+                 seed: int = 0) -> DataFrame:
+    """Per-group Bloom filter over ``col`` (a STRING column — digest the
+    value first, the d01 convention): ``bloom`` is an array<bigint> of
+    exactly ``n_words`` words, 60 bits used per word, bit positions
+    md5_int60(value, seed+j) % m for j in [0, k_hashes) — deterministic
+    and exactly reproducible in DuckDB, like every sketch here. The
+    KMV sibling answers "how many distinct"; the Bloom answers "have we
+    seen THIS one" with no false negatives — the ingest-admission /
+    incremental-dedup primitive: probe a KB-scale side table instead of
+    joining new arrivals against the 100 TB corpus (false positives go
+    to exact verification, the LSH-candidate convention).
+
+    Scale shape: no distinct pass (bit-OR is idempotent) — mappers emit
+    k positions per row, partial bit_or combines map-side, and the ONE
+    shuffle carries <= mappers * n_words * groups rows regardless of
+    corpus size. Build params persist in the output (``n_words``,
+    ``k_hashes``, ``seed``) so the read side can never probe with
+    mismatched geometry."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    by = list(by or [])
+    m = _bloom_m(n_words)
+    v = F.col(col)
+    pos_arr = F.array(*[(_md5_int60(v, seed + j) % F.lit(m))
+                        for j in range(int(k_hashes))])
+    rows = (df.select(*by, F.explode_outer(F.when(v.isNotNull(), pos_arr))
+                      .alias("__pos"))
+            .filter(F.col("__pos").isNotNull()))
+    words = rows.select(
+        *by,
+        F.floor(F.col("__pos") / F.lit(_BLOOM_BITS_PER_WORD))
+        .cast("int").alias("__wd"),
+        # F.shiftleft only takes a LITERAL shift — spell the column-shift
+        # in SQL (60-bit words keep the shift <= 59, no sign-bit edge)
+        F.expr(f"shiftleft(1L, CAST(__pos % {_BLOOM_BITS_PER_WORD} "
+               "AS INT))").alias("__mask"))
+    agg = words.groupBy(*by, "__wd").agg(F.bit_or("__mask").alias("__bits"))
+    perg = (agg.groupBy(*by) if by else agg.groupBy()).agg(
+        F.map_from_entries(F.collect_list(F.struct("__wd", "__bits")))
+        .alias("__m"))
+    zero = F.lit(0).cast("long")
+    return perg.select(
+        *by,
+        F.transform(F.sequence(F.lit(0), F.lit(int(n_words) - 1)),
+                    lambda w: F.coalesce(F.element_at("__m", w), zero))
+        .alias("bloom"),
+        F.lit(int(n_words)).alias("n_words"),
+        F.lit(int(k_hashes)).alias("k_hashes"),
+        F.lit(int(seed)).alias("seed"))
+
+
+def bloom_contains(bloom: Column, value: Column, n_words: int,
+                   k_hashes: int, seed: int = 0) -> Column:
+    """Membership test against a Bloom column: true iff every one of the
+    k bits is set. NO false negatives by construction; a true result is
+    a CANDIDATE (verify exactly where it matters, as with LSH
+    candidates). ``n_words``/``k_hashes``/``seed`` must be the build
+    geometry (persisted in the sketch table)."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    m = _bloom_m(n_words)
+    out = None
+    for j in range(int(k_hashes)):
+        pos = _md5_int60(value, seed + j) % F.lit(m)
+        wd = F.floor(pos / F.lit(_BLOOM_BITS_PER_WORD)).cast("int")
+        bit = (pos % _BLOOM_BITS_PER_WORD).cast("int")
+        term = F.bit_get(F.element_at(bloom, wd + F.lit(1)), bit) == 1
+        out = term if out is None else (out & term)
+    return out
+
+
+def bloom_merge(a: Column, b: Column) -> Column:
+    """Union of two same-geometry Bloom filters: element-wise OR — a
+    pure array expression, so sketches merge across partitions,
+    datasets, and incremental deltas without touching corpus rows.
+    merge(build(A), build(B)) == build(A ∪ B) EXACTLY (bit-OR is
+    idempotent and commutative; pinned in tests)."""
+    return F.zip_with(a, b, lambda x, y: x.bitwiseOR(y))
+
+
+def bloom_fill(bloom: Column, n_words: int, k_hashes: int) -> Column:
+    """Observed false-positive rate estimate: (set_bits / m) ^ k — the
+    fraction of bits set is exactly the probability one probe bit lands
+    on a set bit. Deterministic (a pure expression over the sketch);
+    use it to decide when a filter is saturated and needs a rebuild at
+    larger ``n_words``."""
+    m = float(_bloom_m(n_words))
+    setbits = F.aggregate(
+        bloom, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.bit_count(w))
+    return F.pow(setbits.cast("double") / F.lit(m), F.lit(int(k_hashes)))
+
+
+def save_bloom(sketches: DataFrame, path: str) -> None:
+    """Persist per-group Bloom filters (grouping columns + ``bloom`` +
+    geometry columns) as a tiny parquet side table."""
+    sketches.write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_bloom_delta(df_new: DataFrame, col: str, path: str,
+                       by: list[str] | None = None, n_words: int = 256,
+                       k_hashes: int = 5, seed: int = 0) -> None:
+    """Incremental Bloom maintenance: sketch ONLY the appended rows,
+    OR-merge with the stored filters per group, overwrite the side
+    table. Equals a fresh full-corpus build bit-for-bit (tests pin it).
+    Raises when the geometry differs from the persisted build params —
+    positions from a different (n_words, k_hashes, seed) land on
+    different bits and the merged filter would silently lose its
+    no-false-negative guarantee."""
+    by = list(by or [])
+    spark = df_new.sparkSession
+    delta = bloom_sketch(df_new, col, by=by, n_words=n_words,
+                         k_hashes=k_hashes, seed=seed)
+    old = load_bloom(spark, path)
+    stored = [tuple(r) for r in
+              old.select("n_words", "k_hashes", "seed").distinct().collect()]
+    want = (int(n_words), int(k_hashes), int(seed))
+    if stored and stored != [want]:
+        raise ValueError(
+            f"stored Bloom filters at {path} were built with "
+            f"(n_words, k_hashes, seed)={stored}, got {want} — "
+            "pass the build geometry")
+    geom = [F.lit(int(n_words)).alias("n_words"),
+            F.lit(int(k_hashes)).alias("k_hashes"),
+            F.lit(int(seed)).alias("seed")]
+    if not by:
+        merged = (old.select(F.col("bloom").alias("__a"))
+                  .crossJoin(delta.select(F.col("bloom").alias("__b")))
+                  .select(bloom_merge(F.col("__a"), F.col("__b"))
+                          .alias("bloom"), *geom))
+    else:
+        a = old.select(*by, F.col("bloom").alias("__a"))
+        b = delta.select(*by, F.col("bloom").alias("__b"))
+        empty = F.array_repeat(F.lit(0).cast("long"), int(n_words))
+        merged = (
+            a.join(b, by, "full_outer")
+            .select(*by, bloom_merge(
+                F.coalesce(F.col("__a"), empty),
+                F.coalesce(F.col("__b"), empty)).alias("bloom"), *geom)
+        )
+    # write via a temp dir: the merged plan READS the path it would
+    # overwrite (self-overwrite reads zero rows mid-write)
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def append_kmv_delta(df_new: DataFrame, col: str, path: str,

@@ -2125,3 +2125,98 @@ def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("epoch_rank").cast("long").alias("epoch_rank"),
                     "doc_id")
             .orderBy("epoch_rank"))
+
+
+@query(
+    "t39_bloom_membership",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, md5(lower(text)) AS dg
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    cbits AS (
+      SELECT CAST(CAST(('0x' || substr(md5(dg || '#' ||
+               CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) % 3840 AS BIGINT)
+               AS pos
+      FROM corpus, range(5) t(j)
+    ),
+    bloom AS (
+      SELECT pos // 60 AS wd,
+             bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits
+      FROM cbits GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, md5(lower(text)) AS dg
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, dg FROM corpus
+    ),
+    pbits AS (
+      SELECT doc_id, dg,
+             CAST(CAST(('0x' || substr(md5(dg || '#' ||
+               CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) % 3840 AS BIGINT)
+               AS pos
+      FROM probes, range(5) t(j)
+    ),
+    checks AS (
+      SELECT p.doc_id, p.dg,
+             SUM(CASE WHEN b.bits IS NOT NULL AND
+                   (b.bits & (1::BIGINT << CAST(p.pos % 60 AS INT))) <> 0
+                 THEN 1 ELSE 0 END) AS nset
+      FROM pbits p LEFT JOIN bloom b ON b.wd = p.pos // 60
+      GROUP BY 1, 2
+    ),
+    members AS (SELECT DISTINCT dg FROM corpus),
+    flags AS (
+      SELECT c.doc_id,
+             CASE WHEN c.nset = 5 THEN 1 ELSE 0 END AS hit,
+             CASE WHEN m.dg IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM checks c LEFT JOIN members m ON c.dg = m.dg
+    )
+    SELECT hit, is_member, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flags GROUP BY 1, 2 ORDER BY hit, is_member
+    """,
+    doc="Bloom-filter ingest admission (operators.sketches.bloom_sketch/"
+    "bloom_contains): the even-id half of the corpus builds a "
+    "64-word/5-hash Bloom filter over content digests; arrivals (the "
+    "odd-id half plus replays of the corpus itself) probe it for "
+    "have-we-seen-this membership WITHOUT joining the corpus — the "
+    "truth table of (hit, is_member) counts is the output, and the "
+    "hash match proves the no-false-negative guarantee: a "
+    "(hit=0, is_member=1) row can never appear. Bit positions are "
+    "md5-int60 % m with 60 bits packed per bigint word (shifts stay "
+    "<= 59, portable to DuckDB's 1::BIGINT << b), so the filter is "
+    "deterministic and exactly oracle-checkable. Build = one "
+    "(word)-keyed shuffle with map-side bit_or partials (<= mappers x "
+    "n_words rows regardless of corpus size); the probe is a pure "
+    "expression over a broadcast 1-row side table. At 100 TB the "
+    "persisted filter (sketches.save_bloom/append_bloom_delta — "
+    "OR-merge == fresh rebuild bit-for-bit) screens new arrivals at "
+    "KB cost; positives fall to exact verification, the LSH-candidate "
+    "convention.",
+    tags=("text", "sketch", "dedup"),
+)
+def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sketches import bloom_contains, bloom_sketch
+
+    nw, kh = 64, 5
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("dg"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_sketch(corpus, "dg", n_words=nw, k_hashes=kh)
+    probes = (docs.filter(F.col("doc_id") % 2 == 1)
+              .unionByName(corpus.select(
+                  (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                  "dg")))
+    flagged = (probes.crossJoin(F.broadcast(bloom.select("bloom")))
+               .select("dg", bloom_contains(
+                   F.col("bloom"), F.col("dg"), nw, kh)
+                   .cast("int").alias("hit")))
+    members = corpus.select("dg").distinct().withColumn(
+        "is_member", F.lit(1))
+    return (flagged.join(F.broadcast(members), "dg", "left")
+            .select("hit",
+                    F.coalesce("is_member", F.lit(0)).alias("is_member"))
+            .groupBy("hit", "is_member")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("hit", "is_member"))

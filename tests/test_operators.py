@@ -1073,6 +1073,108 @@ def test_kmv_build_k_persisted_and_guarded(spark, tmp_path):
         append_kmv_delta(df, "x", path, by=["g"], k=64)
 
 
+def test_bloom_sketch_model_and_membership(spark):
+    """Bloom sketch: words match an independent Python bit model
+    bit-for-bit; every member probes true (no false negatives — the
+    guarantee the whole operator exists for); non-member false-positive
+    rate tracks the bloom_fill estimate; NULL values set no bits;
+    the per-group lane equals per-slice global builds."""
+    from deeplake_spark.operators.sketches import (
+        bloom_contains, bloom_fill, bloom_sketch)
+
+    nw, kh = 8, 5
+    df = spark.createDataFrame(
+        [(f"v{i}", f"g{i % 2}") for i in range(50)], "x string, g string")
+    built = bloom_sketch(df, "x", n_words=nw, k_hashes=kh).head()
+    assert built.n_words == nw and built.k_hashes == kh and built.seed == 0
+    assert len(built.bloom) == nw
+
+    import hashlib
+
+    def md5i(v, s):
+        return int(hashlib.md5(f"{v}#{s}".encode()).hexdigest()[:15], 16)
+
+    m = nw * 60
+    model = [0] * nw
+    for i in range(50):
+        for j in range(kh):
+            p = md5i(f"v{i}", j) % m
+            model[p // 60] |= 1 << (p % 60)
+    assert list(built.bloom) == model
+
+    probe = df.select("x").crossJoin(
+        F.broadcast(spark.range(1).select(F.lit(built.bloom).alias("bloom"))))
+    hits = probe.select(
+        bloom_contains(F.col("bloom"), F.col("x"), nw, kh).alias("h"))
+    assert all(r.h for r in hits.collect())  # no false negatives
+
+    non = spark.createDataFrame(
+        [(f"n{i}",) for i in range(500)], "x string")
+    fp = (non.crossJoin(F.broadcast(
+        spark.range(1).select(F.lit(built.bloom).alias("bloom"))))
+        .select(bloom_contains(F.col("bloom"), F.col("x"), nw, kh)
+                .alias("h")).collect())
+    fill = spark.range(1).select(
+        bloom_fill(F.lit(built.bloom), nw, kh).alias("f")).head().f
+    assert sum(r.h for r in fp) / 500.0 < max(5 * fill, 0.05)
+
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, "g0")], "x string, g string"))
+    assert list(bloom_sketch(with_null, "x", n_words=nw,
+                             k_hashes=kh).head().bloom) == model
+
+    per_group = {r.g: list(r.bloom) for r in bloom_sketch(
+        df, "x", by=["g"], n_words=nw, k_hashes=kh).collect()}
+    for g in ("g0", "g1"):
+        split = bloom_sketch(df.filter(F.col("g") == g), "x",
+                             n_words=nw, k_hashes=kh).head().bloom
+        assert per_group[g] == list(split)
+
+
+def test_bloom_incremental_equals_full_build(spark, tmp_path):
+    """append_bloom_delta: sketch half, append the other half — the
+    maintained side table equals a fresh full-corpus build bit-for-bit
+    (bit-OR mergeability), per group and globally; mismatched build
+    geometry raises instead of silently losing the no-false-negative
+    guarantee."""
+    from deeplake_spark.operators.sketches import (
+        append_bloom_delta, bloom_merge, bloom_sketch, load_bloom,
+        save_bloom)
+
+    rows = [(f"g{i % 3}", f"v{i}") for i in range(900)]
+    full = spark.createDataFrame(rows, "g string, x string")
+    first = full.filter(F.substring("x", 2, 10).cast("long") < 450)
+    second = full.filter(F.substring("x", 2, 10).cast("long") >= 450)
+
+    # merge == sketch-of-union, bit-for-bit
+    a = bloom_sketch(first, "x", n_words=16).select(
+        F.col("bloom").alias("a"))
+    b = bloom_sketch(second, "x", n_words=16).select(
+        F.col("bloom").alias("b"))
+    merged = a.crossJoin(b).select(
+        bloom_merge(F.col("a"), F.col("b")).alias("bloom")).head().bloom
+    direct = bloom_sketch(full, "x", n_words=16).head().bloom
+    assert list(merged) == list(direct)
+
+    # per-group incremental maintenance == fresh full build
+    path = str(tmp_path / "bloom")
+    save_bloom(bloom_sketch(first, "x", by=["g"], n_words=16), path)
+    append_bloom_delta(second, "x", path, by=["g"], n_words=16)
+    got = {r.g: list(r.bloom) for r in load_bloom(spark, path).collect()}
+    want = {r.g: list(r.bloom) for r in bloom_sketch(
+        full, "x", by=["g"], n_words=16).collect()}
+    assert got == want
+
+    # global lane too (cross-join merge path)
+    gpath = str(tmp_path / "bloom_g")
+    save_bloom(bloom_sketch(first, "x", n_words=16), gpath)
+    append_bloom_delta(second, "x", gpath, n_words=16)
+    assert list(load_bloom(spark, gpath).head().bloom) == list(direct)
+
+    with pytest.raises(ValueError, match="built with"):
+        append_bloom_delta(second, "x", path, by=["g"], n_words=32)
+
+
 def test_excise_dup_windows_hand_case(spark):
     """Keep-first substring excision on a hand-computed corpus: a
     cross-doc shared 8-token span survives only in the globally-first
