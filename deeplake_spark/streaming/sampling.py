@@ -72,3 +72,53 @@ def stream_source_cap(docs, group_col: str, k: int,
     return (base.groupBy("grp")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def stream_bloom_screen(docs: DataFrame, path: str, col: str,
+                        out_col: str = "seen_before") -> DataFrame:
+    """Streaming ingest admission against a PERSISTED Bloom filter
+    (sketches.save_bloom / append_bloom_delta): flags each arriving row
+    with whether its ``col`` value MAY already be in the corpus. No
+    false negatives — ``out_col`` false is definitely new; true is a
+    candidate for exact verification (the LSH convention). The batch
+    twin is `sketches.bloom_contains`; stream == batch flags pinned in
+    tests.
+
+    STATELESS by construction: a global filter is collected ONCE at
+    stream-definition time (n_words bigints — KB-scale, the bounded
+    side-table protocol) and probed as a pure per-row expression; a
+    per-group filter table becomes a stream-static broadcast join on
+    the grouping columns (rows whose group has no stored filter flag
+    false — nothing of that group is in the corpus). Snapshot
+    semantics, like the streaming ANN index: `append_bloom_delta`s
+    made while the query runs are invisible until restart — rebuild
+    the query (or screen in foreachBatch) to pick up deltas."""
+    from deeplake_spark.operators.sketches import (
+        bloom_contains, load_bloom)
+
+    spark = docs.sparkSession
+    stored = load_bloom(spark, path)
+    geom = [tuple(r) for r in
+            stored.select("n_words", "k_hashes", "seed").distinct()
+            .collect()]
+    if len(geom) != 1:
+        raise ValueError(
+            f"Bloom side table at {path} holds mixed geometries {geom} "
+            "— rebuild it with one (n_words, k_hashes, seed)")
+    n_words, k_hashes, seed = (int(x) for x in geom[0])
+    by = [c for c in stored.columns
+          if c not in ("bloom", "n_words", "k_hashes", "seed")]
+    if not by:
+        # global filter: one bounded row -> literal expression
+        words = list(stored.select("bloom").head().bloom)
+        return docs.withColumn(out_col, bloom_contains(
+            F.lit(words), F.col(col), n_words, k_hashes, seed))
+    side = stored.select(
+        *by, F.col("bloom").alias("__bloom"))
+    flagged = (docs.join(F.broadcast(side), by, "left")
+               .withColumn(out_col, F.when(
+                   F.col("__bloom").isNull(), F.lit(False)).otherwise(
+                   bloom_contains(F.col("__bloom"), F.col(col),
+                                  n_words, k_hashes, seed)))
+               .drop("__bloom"))
+    return flagged

@@ -1099,3 +1099,72 @@ def test_stream_source_cap_admits_first_k_and_replays_nothing(
         stream_source_cap(
             spark.createDataFrame([("a", 1)], "source string, doc_id long"),
             "source", k=0)
+
+
+def test_stream_bloom_screen_matches_batch(spark, tmp_path):
+    """Streaming Bloom admission: arrivals screened against a persisted
+    filter get exactly the batch bloom_contains flags — global lane
+    (literal expression) and per-group lane (stream-static broadcast
+    join, unknown groups flag false); a member arrival always flags
+    true (no false negatives); mixed-geometry side tables raise."""
+    from deeplake_spark.operators.sketches import (
+        bloom_contains, bloom_sketch, save_bloom)
+    from deeplake_spark.streaming.sampling import stream_bloom_screen
+
+    corpus = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i}") for i in range(60)], "src string, x string")
+    gpath = str(tmp_path / "bloom_global")
+    ppath = str(tmp_path / "bloom_pergrp")
+    save_bloom(bloom_sketch(corpus, "x", n_words=16), gpath)
+    save_bloom(bloom_sketch(corpus, "x", by=["src"], n_words=16), ppath)
+
+    arrivals = ([("g0", f"v{i}") for i in range(50, 70)]      # members+new
+                + [("g1", f"v{i+9}") for i in range(55, 65)]
+                + [("g9", "v1")])                              # unknown group
+    in_dir = str(tmp_path / "arr_in")
+    (spark.createDataFrame(arrivals, "src string, x string")
+     .coalesce(1).write.mode("append").parquet(in_dir))
+
+    def run(path, out_name):
+        stream = (spark.readStream.format("parquet")
+                  .schema("src string, x string").load(in_dir))
+        out_dir = str(tmp_path / out_name)
+        q = (stream_bloom_screen(stream, path, "x")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", out_dir + "_ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.src, r.x): r.seen_before
+                for r in spark.read.parquet(out_dir).collect()}
+
+    arr_df = spark.createDataFrame(arrivals, "src string, x string")
+    gbloom = spark.read.parquet(gpath).head()
+    want_global = {(r.src, r.x): r.f for r in arr_df.select(
+        "src", "x", bloom_contains(F.lit(list(gbloom.bloom)), F.col("x"),
+                                   16, 5).alias("f")).collect()}
+    assert run(gpath, "out_g") == want_global
+    # members all flag true in the global lane
+    assert all(want_global[(s, x)] for (s, x) in want_global
+               if int(x[1:]) < 60 and s != "g9")
+
+    pblooms = {r.src: list(r.bloom)
+               for r in spark.read.parquet(ppath).collect()}
+    want_grp = {}
+    for s, x in arrivals:
+        if s not in pblooms:
+            want_grp[(s, x)] = False
+        else:
+            want_grp[(s, x)] = arr_df.limit(0).sparkSession.range(1).select(
+                bloom_contains(F.lit(pblooms[s]), F.lit(x), 16, 5)
+                .alias("f")).head().f
+    assert run(ppath, "out_p") == want_grp
+
+    # mixed geometry raises
+    mixed = str(tmp_path / "bloom_mixed")
+    save_bloom(bloom_sketch(corpus, "x", n_words=16), mixed)
+    bloom_sketch(corpus, "x", n_words=8).write.mode("append").parquet(mixed)
+    with pytest.raises(ValueError, match="mixed geometries"):
+        stream_bloom_screen(
+            spark.readStream.format("parquet")
+            .schema("src string, x string").load(in_dir), mixed, "x")
