@@ -118,6 +118,125 @@ def load_kmv(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def sample_sketch(df: DataFrame, value_col: str, id_col: str,
+                  by: list[str] | None = None, k: int = 256,
+                  salt: str = "q") -> DataFrame:
+    """Bottom-k uniform row sample (coordinated sampling, Cohen &
+    Kaplan 2007): keep the k rows whose md5-uniform(id # salt) hashes
+    are smallest, storing (u, v) pairs sorted by u — a DETERMINISTIC
+    uniform sample of the rows, and therefore a mergeable quantile/
+    distribution sketch: quantiles of the sample estimate corpus
+    quantiles within ~1/sqrt(k), and two sketches over DISJOINT row
+    sets merge by keeping the k smallest of the union (exactly the
+    sketch a fresh build over the union would produce — the KMV
+    argument, pinned in tests). The KMV sibling counts distinct
+    VALUES; this one samples ROWS, so it carries any per-row value
+    distribution (lengths, scores, token counts) to quantile queries
+    that never re-touch the corpus.
+
+    Same build shape as kmv_sketch: global lane = TakeOrderedAndProject
+    (no single-task global window), grouped lane = partitioned
+    WindowGroupLimit. NULL values are excluded (a NULL carries no
+    distribution information; NULL ids hash to NULL and are likewise
+    dropped). ``k`` persists with the sketch; merge helpers require it."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    by = list(by or [])
+    # hash the SALTED id (rotate the salt to draw an independent sample)
+    u = (_md5_int60(F.concat(F.col(id_col).cast("string"),
+                             F.lit(f"|{salt}")), 0) / F.lit(_DOM))
+    base = (df.select(*by, u.alias("__u"),
+                      F.col(value_col).cast("double").alias("__v"))
+            .filter(F.col("__u").isNotNull() & F.col("__v").isNotNull()))
+    if not by:
+        topk = base.orderBy("__u").limit(int(k))
+        agged = topk.agg(
+            F.array_sort(F.collect_list(F.struct("__u", "__v")))
+            .alias("sample"))
+    else:
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__u")
+        topk = (base.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= int(k)))
+        agged = (topk.groupBy(*by)
+                 .agg(F.array_sort(F.collect_list(F.struct("__u", "__v")))
+                      .alias("sample")))
+    return agged.withColumn("k", F.lit(int(k)))
+
+
+def sample_merge(a: Column, b: Column, k: int | Column) -> Column:
+    """Union of two bottom-k row samples over DISJOINT row sets (shards,
+    append deltas): the k hash-smallest of the combined pairs — equals
+    a fresh build over the union exactly. Overlapping row sets would
+    double-count only if the same id carried DIFFERENT values;
+    identical (u, v) pairs dedupe."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))),
+                   F.lit(1), _k_col(k))
+
+
+def sample_quantile(sample: Column, q: float) -> Column:
+    """Nearest-rank quantile estimate from a bottom-k sample column:
+    sort the sampled VALUES and take element ceil(q * n) (1-indexed) —
+    deterministic and replicated verbatim in DuckDB oracles (no
+    interpolation: an interpolated boundary is an engine-rounding
+    hazard the estimate's ~1/sqrt(k) error cannot justify)."""
+    vs = F.array_sort(F.transform(sample, lambda s: s["__v"]))
+    n = F.size(vs)
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n).cast("int"))
+    return F.element_at(vs, idx)
+
+
+def save_sample(sketches: DataFrame, path: str) -> None:
+    """Persist per-group bottom-k samples (grouping columns + ``sample``
+    + ``k``) as a tiny parquet side table."""
+    sketches.write.mode("overwrite").parquet(path)
+
+
+def load_sample(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
+                        path: str, by: list[str] | None = None,
+                        k: int = 256, salt: str = "q") -> None:
+    """Incremental sample maintenance: sketch ONLY the appended rows
+    (append-only ingest keeps row ids disjoint from the stored
+    sketch's), merge per group, overwrite the side table — equals a
+    fresh full build exactly. Raises on a k mismatch with the stored
+    build k (a k-slice of a k'-sample is not a uniform sample)."""
+    by = list(by or [])
+    spark = df_new.sparkSession
+    delta = sample_sketch(df_new, value_col, id_col, by=by, k=k, salt=salt)
+    old = load_sample(spark, path)
+    stored = [r.k for r in old.select("k").distinct().collect()]
+    if stored and stored != [int(k)]:
+        raise ValueError(
+            f"stored samples at {path} were built with k={stored}, "
+            f"got k={k} — pass the build k")
+    if not by:
+        merged = (old.select(F.col("sample").alias("__a"))
+                  .crossJoin(delta.select(F.col("sample").alias("__b")))
+                  .select(sample_merge(F.col("__a"), F.col("__b"), k)
+                          .alias("sample")))
+    else:
+        a = old.select(*by, F.col("sample").alias("__a"))
+        b = delta.select(*by, F.col("sample").alias("__b"))
+        empty = F.array().cast("array<struct<__u:double,__v:double>>")
+        merged = (
+            a.join(b, by, "full_outer")
+            .select(*by, sample_merge(
+                F.coalesce(F.col("__a"), empty),
+                F.coalesce(F.col("__b"), empty), k).alias("sample"))
+        )
+    merged = merged.withColumn("k", F.lit(int(k)))
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 #: Bloom words pack 60 bits each — every shift stays <= 59, which both
 #: Spark (shiftleft on 1L) and DuckDB (1::BIGINT << b) evaluate
 #: identically with no sign-bit edge, keeping the sketch engine-portable

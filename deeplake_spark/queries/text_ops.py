@@ -2220,3 +2220,91 @@ def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("hit", "is_member")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("hit", "is_member"))
+
+
+@query(
+    "t40_sample_quantile_sketch",
+    oracle="""
+    WITH u AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+               '|len#0'), 1, 15)) AS UBIGINT)
+               / 1152921504606846976.0 AS uu
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    topk AS (
+      SELECT lang, v FROM (
+        SELECT lang, v,
+               row_number() OVER (PARTITION BY lang ORDER BY uu) AS r
+        FROM u) WHERE r <= 64
+    ),
+    sk AS (
+      SELECT lang, list_sort(list(v)) AS vs, COUNT(*) AS n
+      FROM topk GROUP BY lang
+    ),
+    est AS (
+      SELECT lang,
+             vs[GREATEST(1, CAST(ceil(0.25 * n) AS INT))] AS est_p25,
+             vs[GREATEST(1, CAST(ceil(0.5 * n) AS INT))] AS est_p50,
+             vs[GREATEST(1, CAST(ceil(0.9 * n) AS INT))] AS est_p90
+      FROM sk
+    ),
+    full_vs AS (
+      SELECT lang, list_sort(list(v)) AS vs, COUNT(*) AS n
+      FROM u GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang,
+             vs[GREATEST(1, CAST(ceil(0.5 * n) AS INT))] AS exact_p50,
+             vs[GREATEST(1, CAST(ceil(0.9 * n) AS INT))] AS exact_p90
+      FROM full_vs
+    )
+    SELECT est.lang, est_p25, est_p50, est_p90, exact_p50, exact_p90
+    FROM est JOIN exact ON est.lang = exact.lang
+    ORDER BY est.lang
+    """,
+    doc="Mergeable quantile sketch (operators.sketches.sample_sketch — "
+    "bottom-k coordinated row sampling, Cohen & Kaplan 2007): per-"
+    "language document-length quantiles estimated from the 64 rows "
+    "with the smallest md5-uniform(doc_id|salt) hashes, NEXT TO the "
+    "exact same-spelling nearest-rank quantiles so estimate quality "
+    "is visible (the t31 KMV display convention; the exact columns "
+    "are the display — at 100 TB only the sketch side runs). "
+    "Deterministic (no RNG), hash-exactly oracle-checkable, and "
+    "mergeable: disjoint-shard sketches OR append deltas combine by "
+    "keeping the k hash-smallest pairs, equal to a fresh full build "
+    "(sketches.sample_merge/append_sample_delta, pinned in tests) — "
+    "so persisted per-group samples answer quantile/distribution "
+    "queries without re-scanning the corpus. Build = one bounded "
+    "partitioned WindowGroupLimit (grouped) or TakeOrderedAndProject "
+    "(global); estimates are pure array expressions over <= k doubles.",
+    tags=("text", "sketch", "stats"),
+)
+def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sketches import (
+        sample_quantile, sample_sketch)
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("lang", "doc_id", "n_chars")
+         .filter(F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()))
+    sk = sample_sketch(d, "n_chars", "doc_id", by=["lang"], k=64,
+                       salt="len")
+    est = sk.select(
+        "lang",
+        sample_quantile(F.col("sample"), 0.25).alias("est_p25"),
+        sample_quantile(F.col("sample"), 0.5).alias("est_p50"),
+        sample_quantile(F.col("sample"), 0.9).alias("est_p90"))
+    vs = F.array_sort(F.collect_list(F.col("n_chars").cast("double")))
+    full = (d.groupBy("lang")
+            .agg(vs.alias("__vs"), F.count(F.lit(1)).alias("__n")))
+
+    def rank(q: float):
+        return F.element_at(
+            F.col("__vs"),
+            F.greatest(F.lit(1),
+                       F.ceil(F.lit(q) * F.col("__n")).cast("int")))
+
+    exact = full.select("lang", rank(0.5).alias("exact_p50"),
+                        rank(0.9).alias("exact_p90"))
+    return est.join(exact, "lang").orderBy("lang")

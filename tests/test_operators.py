@@ -1175,6 +1175,70 @@ def test_bloom_incremental_equals_full_build(spark, tmp_path):
         append_bloom_delta(second, "x", path, by=["g"], n_words=32)
 
 
+def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
+    """Bottom-k sample sketch: pairs match an independent Python model
+    exactly; quantile estimates land within the ~1/sqrt(k) band on a
+    skewed (quadratic) distribution; disjoint-shard merge == full
+    build; per-group delta append == full rebuild; k guard raises."""
+    import hashlib
+
+    from deeplake_spark.operators.sketches import (
+        append_sample_delta, load_sample, sample_merge, sample_quantile,
+        sample_sketch, save_sample)
+
+    rows = [(i, float(i * i), f"g{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    sk = sample_sketch(df, "v", "id", k=128)
+    got = [(s["__u"], s["__v"]) for s in sk.head().sample]
+
+    def u(i):
+        return int(hashlib.md5(f"{i}|q#0".encode()).hexdigest()[:15],
+                   16) / float(1 << 60)
+
+    model = sorted((u(i), float(i * i)) for i in range(2000))[:128]
+    assert all(abs(a[0] - b[0]) < 1e-12 and a[1] == b[1]
+               for a, b in zip(model, got))
+
+    ests = sk.select(
+        sample_quantile(F.col("sample"), 0.5).alias("q50"),
+        sample_quantile(F.col("sample"), 0.9).alias("q90")).head()
+    exact = sorted(v for _, v, _ in rows)
+    # value-space slack: rank error ~1/sqrt(128) doubles in value space
+    # on the quadratic distribution
+    assert abs(ests.q50 - exact[1000]) / exact[1000] < 0.25
+    assert abs(ests.q90 - exact[1800]) / exact[1800] < 0.25
+
+    h1, h2 = df.filter("id < 1000"), df.filter("id >= 1000")
+    s1 = sample_sketch(h1, "v", "id", k=128).select(
+        F.col("sample").alias("a"))
+    s2 = sample_sketch(h2, "v", "id", k=128).select(
+        F.col("sample").alias("b"))
+    merged = s1.crossJoin(s2).select(
+        sample_merge(F.col("a"), F.col("b"), 128)
+        .alias("s")).head().s
+    assert [(x["__u"], x["__v"]) for x in merged] == got
+
+    path = str(tmp_path / "sample")
+    save_sample(sample_sketch(h1, "v", "id", by=["g"], k=64), path)
+    append_sample_delta(h2, "v", "id", path, by=["g"], k=64)
+    got2 = {r.g: [(s["__u"], s["__v"]) for s in r.sample]
+            for r in load_sample(spark, path).collect()}
+    want2 = {r.g: [(s["__u"], s["__v"]) for s in r.sample]
+             for r in sample_sketch(df, "v", "id", by=["g"],
+                                    k=64).collect()}
+    assert got2 == want2
+    with pytest.raises(ValueError, match="built with"):
+        append_sample_delta(h2, "v", "id", path, by=["g"], k=128)
+
+    # NULL values/ids excluded, sketch never shrinks below real rows
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 1.0, "g0"), (5000, None, "g0")],
+                              "id long, v double, g string"))
+    assert [(s["__u"], s["__v"])
+            for s in sample_sketch(with_null, "v", "id", k=128)
+            .head().sample] == got
+
+
 def test_excise_dup_windows_hand_case(spark):
     """Keep-first substring excision on a hand-computed corpus: a
     cross-doc shared 8-token span survives only in the globally-first
