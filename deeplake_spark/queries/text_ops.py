@@ -2308,3 +2308,73 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = full.select("lang", rank(0.5).alias("exact_p50"),
                         rank(0.9).alias("exact_p90"))
     return est.join(exact, "lang").orderBy("lang")
+
+
+@query(
+    "t41_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      WHERE len(t) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    u1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    u2 AS (SELECT w2, COUNT(*) AS c2 FROM pairs GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS b FROM pairs),
+    scored AS (
+      SELECT big.w1, big.w2, CAST(c12 AS BIGINT) AS pair_count,
+             ROUND(ln((c12 * b) / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+      FROM big JOIN u1 ON big.w1 = u1.w1
+               JOIN u2 ON big.w2 = u2.w2
+               CROSS JOIN tot
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, pair_count, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="PMI collocation extraction (Church & Hanks 1990) — the "
+    "corpus-statistics pass behind phrase vocabularies and tokenizer "
+    "seeding: pointwise mutual information ln(p(ab)/(p1(a)p2(b))) over "
+    "adjacent-bigram slot marginals, min pair count 5, top 50 by "
+    "(rounded pmi DESC, w1, w2) — the rounded-key ordering convention "
+    "(t30) keeps the cross-engine sort stable; the c12>=5 threshold is "
+    "an exact integer compare, so no unrounded-filter hazard. One "
+    "tokenize+explode pass feeds the bigram relation; marginals and "
+    "total derive from IT (three keyed aggregates with map-side "
+    "partials, one 1-row broadcast), never a second corpus scan; the "
+    "final is a TakeOrderedAndProject. At 100 TB the aggregates "
+    "shuffle vocabulary-sized relations, not the corpus.",
+    tags=("text", "stats", "lm"),
+)
+def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(tokenize(F.col("text")).alias("__t"))
+    n = F.size("__t")
+    pairs = (toks
+             .select("__t", F.explode_outer(
+                 F.when(n >= 2, F.sequence(F.lit(1), n - 1))).alias("__i"))
+             .filter(F.col("__i").isNotNull())
+             .select(F.element_at("__t", F.col("__i")).alias("w1"),
+                     F.element_at("__t", F.col("__i") + 1).alias("w2")))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("b"))
+    scored = (big.filter(F.col("c12") >= 5)
+              .join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "w1", "w2",
+                  F.col("c12").cast("long").alias("pair_count"),
+                  F.round(F.log(
+                      (F.col("c12") * F.col("b"))
+                      / (F.col("c1") * F.col("c2")).cast("double")), 6)
+                  .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
+            .select("w1", "w2", "pair_count", "pmi"))

@@ -129,6 +129,16 @@ def probes(reg):
         "t31_kmv_distinct_sketch",
         "t33_cdc_shared_passages",
         "t34_bpe_token_counts",
+        # round-12 additions: MinHash cross-corpus decontamination
+        # (sign both corpora, banded LEFT x RIGHT bucket join), the
+        # two-stage per-source cap, the range-partitioned epoch
+        # shuffle, and the two new sketch builds (Bloom bit_or
+        # aggregation, bottom-k sample)
+        "t36_fuzzy_decontamination",
+        "t37_source_cap",
+        "t38_epoch_shuffle",
+        "t39_bloom_membership",
+        "t40_sample_quantile_sketch",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
