@@ -965,6 +965,86 @@ class Dataset:
             _store(self.path).delete(meta["path"])
             _write_refs(self.path, refs)
 
+    # ------------------------------------------------------ sketch lifecycle
+
+    def create_sketch(self, column: str, kind: str = "kmv",
+                      **options) -> None:
+        """Register a PERSISTED set sketch over ``column`` (beyond
+        reference — operators/sketches.py): the index protocol applied
+        to the sketch family, so corpus-level statistics stay fresh
+        under ingest without re-scanning the corpus.
+
+        Kinds: ``kmv`` (distinct-cardinality/overlap; options k, seed),
+        ``bloom`` (membership / ingest admission; options n_words,
+        k_hashes, seed), ``sample`` (bottom-k row sample for quantile/
+        distribution queries over a NUMERIC column; options k, salt).
+        All take ``by=[...]`` for per-group sketches. The side table
+        lives under <path>/_sketches/ and follows indexing_mode:
+        append-only commits append a delta (== a fresh full rebuild,
+        exactly — the merge laws pinned in the operator tests);
+        update/delete commits rebuild (a removed row cannot leave a
+        sketch)."""
+        self._check_writable()
+        rebuild = options.pop("_rebuild", False)
+        key = f"{column}:{kind}"
+        if not rebuild and key in _read_refs(self.path).get("sketches", {}):
+            raise IndexAlreadyExistsError(
+                f"{key!r} sketch already exists; drop_sketch first")
+        if column not in [f.name for f in (self.schema or T.StructType([])).fields]:
+            raise ColumnDoesNotExistError(f"no column {column!r}")
+        sk_path = os.path.join(self.path, "_sketches", f"{column}_{kind}")
+        self._build_sketch(self.to_df(), column, kind, sk_path, options)
+        refs = _read_refs(self.path)
+        refs.setdefault("sketches", {})[key] = {
+            "kind": kind, "column": column, "path": sk_path,
+            "options": options,
+        }
+        _write_refs(self.path, refs)
+
+    def _build_sketch(self, df, column: str, kind: str, sk_path: str,
+                      options: dict) -> None:
+        from deeplake_spark.operators import sketches as sk
+
+        by = options.get("by")
+        if kind == "kmv":
+            sk.save_kmv(sk.kmv_sketch(
+                df, column, by=by, k=options.get("k", 64),
+                seed=options.get("seed", 0)), sk_path)
+        elif kind == "bloom":
+            sk.save_bloom(sk.bloom_sketch(
+                df, column, by=by, n_words=options.get("n_words", 256),
+                k_hashes=options.get("k_hashes", 5),
+                seed=options.get("seed", 0)), sk_path)
+        elif kind == "sample":
+            sk.save_sample(sk.sample_sketch(
+                df, column, id_col="_row_id", by=by,
+                k=options.get("k", 256), salt=options.get("salt", "q")),
+                sk_path)
+        else:
+            raise InvalidIndexCreationError(
+                f"unsupported sketch kind {kind!r} "
+                "(kmv | bloom | sample)")
+
+    def drop_sketch(self, column: str, kind: str = "kmv") -> None:
+        self._check_writable()
+        refs = _read_refs(self.path)
+        meta = refs.get("sketches", {}).pop(f"{column}:{kind}", None)
+        if meta:
+            _store(self.path).delete(meta["path"])
+            _write_refs(self.path, refs)
+
+    def load_sketch(self, column: str, kind: str = "kmv"):
+        """The persisted sketch side table as a DataFrame (grouping
+        columns + sketch payload + build params)."""
+        from deeplake_spark.operators import sketches as sk
+
+        meta = _read_refs(self.path).get("sketches", {}).get(
+            f"{column}:{kind}")
+        if meta is None:
+            raise NotFoundError(
+                f"no {kind!r} sketch on column {column!r}")
+        return sk.load_kmv(self.spark, meta["path"])
+
     def _load_indexes(self) -> dict:
         """column → (kind, index, id_col) for every registered index —
         the translator's rewrite table (CONTAINS/EQUALS/BETWEEN/IN/JSON
@@ -1496,7 +1576,42 @@ class Dataset:
                     # index files untouched (IndexingMode automatic,
                     # __init__.pyi:2885-2926)
                     self._append_index_delta(col, meta, new_files)
+            for _key, meta in refs.get("sketches", {}).items():
+                if mutated:
+                    # a removed/updated row cannot leave a sketch:
+                    # full rebuild, same as the indexes
+                    self.create_sketch(meta["column"], meta["kind"],
+                                       _rebuild=True,
+                                       **meta.get("options", {}))
+                elif new_files:
+                    self._append_sketch_delta(meta, new_files)
         return str(entry["version"])
+
+    def _append_sketch_delta(self, meta: dict, new_files: list[str]) -> None:
+        """Incremental sketch refresh for an append-only commit: sketch
+        ONLY the new rows and merge (== a fresh full rebuild exactly —
+        the merge laws pinned in the operator tests)."""
+        from deeplake_spark.operators import sketches as sk
+
+        new_df = self.spark.read.schema(self.schema).parquet(
+            *[os.path.join(self.path, _DATA_DIR, f) for f in new_files]
+        )
+        kind, column, sk_path = meta["kind"], meta["column"], meta["path"]
+        opts = meta.get("options", {})
+        by = opts.get("by")
+        if kind == "kmv":
+            sk.append_kmv_delta(new_df, column, sk_path, by=by,
+                                k=opts.get("k", 64),
+                                seed=opts.get("seed", 0))
+        elif kind == "bloom":
+            sk.append_bloom_delta(new_df, column, sk_path, by=by,
+                                  n_words=opts.get("n_words", 256),
+                                  k_hashes=opts.get("k_hashes", 5),
+                                  seed=opts.get("seed", 0))
+        elif kind == "sample":
+            sk.append_sample_delta(new_df, column, "_row_id", sk_path,
+                                   by=by, k=opts.get("k", 256),
+                                   salt=opts.get("salt", "q"))
 
     def _append_index_delta(self, column: str, meta: dict, new_files: list[str]) -> None:
         """Incremental index refresh for an append-only commit."""
@@ -2492,8 +2607,9 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
         dst_refs["branches"][br] = max(int(v), int(dst_refs["branches"].get(br, 0)))
     for tag, meta in src_refs.get("tags", {}).items():
         dst_refs.setdefault("tags", {}).setdefault(tag, meta)
-    # deliberately NOT replicating src's "indexes" refs: index paths are
-    # absolute to src; replicas rebuild via create_index.
+    # deliberately NOT replicating src's "indexes"/"sketches" refs:
+    # side-table paths are absolute to src; replicas rebuild via
+    # create_index/create_sketch.
     _write_refs(dst_path, dst_refs)
 
 

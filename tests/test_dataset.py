@@ -822,3 +822,60 @@ def test_torn_commit_recovers_to_refs_tip(spark, tmp_path_ds):
     # appears
     msgs = [v.message for v in re.history()]
     assert "torn" not in msgs
+
+
+def test_sketch_lifecycle_incremental_and_rebuild(spark, tmp_path_ds):
+    """Dataset sketch lifecycle (the index protocol applied to the
+    sketch family): create_sketch persists the side table and registers
+    it; an append-only commit appends a delta that equals a fresh full
+    build EXACTLY (per kind); an update commit triggers a full rebuild
+    (a changed row cannot leave a sketch); drop_sketch removes;
+    duplicates and unknown kinds raise."""
+    from deeplake_spark.operators import sketches as sk
+
+    ds = dl.create(tmp_path_ds, spark, schema={
+        "src": dt.Text(), "text": dt.Text(),
+        "val": dt.Generic("float64")})
+    ds.append([{"src": f"s{i % 2}", "text": f"tok{i}", "val": float(i)}
+               for i in range(100)])
+    ds.commit("seed")
+    ds.create_sketch("text", "kmv", by=["src"], k=16)
+    ds.create_sketch("text", "bloom", n_words=8)
+    ds.create_sketch("val", "sample", k=16)
+
+    with pytest.raises(dl.IndexAlreadyExistsError):
+        ds.create_sketch("text", "kmv")
+    with pytest.raises(dl.InvalidIndexCreationError):
+        ds.create_sketch("text", "hll")
+
+    ds.append([{"src": f"s{i % 2}", "text": f"tok{i}", "val": float(i)}
+               for i in range(100, 160)])
+    ds.commit("append")  # incremental delta per sketch
+
+    def kmv_rows(df):
+        return sorted((r.src, list(r.sketch)) for r in df.collect())
+
+    fresh_kmv = sk.kmv_sketch(ds.to_df(), "text", by=["src"], k=16)
+    assert kmv_rows(ds.load_sketch("text", "kmv")) == kmv_rows(fresh_kmv)
+    fresh_bloom = sk.bloom_sketch(ds.to_df(), "text", n_words=8)
+    assert list(ds.load_sketch("text", "bloom").head().bloom) == \
+        list(fresh_bloom.head().bloom)
+    fresh_sample = sk.sample_sketch(ds.to_df(), "val", id_col="_row_id",
+                                    k=16)
+    assert [tuple(s) for s in
+            ds.load_sketch("val", "sample").head().sample] == \
+        [tuple(s) for s in fresh_sample.head().sample]
+
+    # update commit -> full rebuild reflects the new values
+    ds.update(0, {"val": 999.0})
+    ds.commit("mutate")
+    rebuilt = ds.load_sketch("val", "sample")
+    fresh2 = sk.sample_sketch(ds.to_df(), "val", id_col="_row_id", k=16)
+    assert [tuple(s) for s in rebuilt.head().sample] == \
+        [tuple(s) for s in fresh2.head().sample]
+
+    ds.drop_sketch("text", "bloom")
+    with pytest.raises(dl.NotFoundError):
+        ds.load_sketch("text", "bloom")
+    # the other sketches survive the drop
+    assert ds.load_sketch("text", "kmv").count() == 2
