@@ -1442,11 +1442,12 @@ class Dataset:
 
         Each epoch is one append + commit, so history() shows one
         Version per micro-batch, time travel works mid-stream, and
-        `indexing_mode='automatic'` extends every registered index with
-        the epoch's delta (append-only commit → incremental refresh,
-        never a rebuild). With a `checkpoint_dir`, restart replays only
-        uncommitted epochs — an epoch that already has its commit-log
-        entry is skipped, making the append idempotent end-to-end.
+        `indexing_mode='automatic'` extends every registered index AND
+        sketch with the epoch's delta (append-only commit → incremental
+        refresh, never a rebuild). With a `checkpoint_dir`, restart
+        replays only uncommitted epochs — an epoch that already has its
+        commit-log entry is skipped, making the append idempotent
+        end-to-end.
 
         Returns the StreamingQuery (trigger availableNow when
         `available_now`, else continuous micro-batches).

@@ -157,6 +157,47 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def kgram_hashes(tokens: Column, k: int) -> Column:
+    """md5-portable hash per token k-gram (array<bigint>, length
+    n-k+1; empty below k tokens) — the winnowing input. PROJECT the
+    token array to a column before calling (CLAUDE.md trap 3: an
+    inlined tokenize would re-evaluate per element)."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    n = F.size(tokens)
+
+    def h(i: Column) -> Column:
+        gram = F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(int(k))])
+        return _md5_int60(gram, 0)
+
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - F.lit(int(k) - 1)), h)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow(hashes: Column, w: int) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): the distinct set of per-window minima
+    over every window of ``w`` consecutive k-gram hashes. GUARANTEE:
+    two documents sharing a token run of length >= w + k - 1 share at
+    least one fingerprint (every such run contains a full hash window,
+    and a window's minimum is selected wherever the window appears) —
+    the detection floor t07's every-position rolling hash samples
+    cannot promise. Selection is by VALUE only (set semantics), so the
+    tie rule is engine-free and the oracle replicates it verbatim.
+    Documents shorter than one window fingerprint to their global
+    minimum. PROJECT the hash array to a column before calling
+    (trap 3 — an inlined kgram_hashes would re-evaluate per window)."""
+    m = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), m - F.lit(int(w) - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, int(w))))
+    return (F.when(m >= w, F.array_distinct(mins))
+            .when(m >= 1, F.array(F.array_min(hashes)))
+            .otherwise(F.array().cast("array<bigint>")))
+
+
 def contains_keyword(text: Column, keyword: str) -> Column:
     """TQL CONTAINS(col, 'kw') for text columns — case-insensitive token
     membership (reference text_search_info::search_type::contains)."""

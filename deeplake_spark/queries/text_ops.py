@@ -2378,3 +2378,90 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("pmi")))
     return (scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
             .select("w1", "w2", "pair_count", "pmi"))
+
+
+@query(
+    "t42_winnow_fingerprint_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'prefix' || CAST(doc_id AS VARCHAR) || ' padd ' || text
+      FROM documents WHERE doc_id < 12
+    ),
+    toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM base
+    ),
+    hs AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 4 THEN
+          list_transform(range(1, len(t) - 2), i ->
+            CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+              || t[i+2] || ' ' || t[i+3] || '#0'), 1, 15)) AS UBIGINT)
+              AS BIGINT))
+        ELSE [] END AS h
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(h) >= 4 THEN
+          list_distinct(list_transform(range(1, len(h) - 2), j ->
+            list_min(list_slice(h, j, j + 3))))
+        WHEN len(h) >= 1 THEN [list_min(h)]
+        ELSE [] END) AS fp
+      FROM hs
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY a, b
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+    "2003 — the MOSS plagiarism-detection algorithm): md5-portable "
+    "4-gram hashes, per-window (w=4) minima, distinct per doc; doc "
+    "pairs sharing >= 3 fingerprints. The GUARANTEE t07's rolling "
+    "hash lacks: any shared token run of length >= w + k - 1 = 7 "
+    "shares at least one fingerprint, while only ~1/w of positions "
+    "are stored — planted copies behind doc-specific prefixes (the "
+    "t33 fixture) surface with high shared counts. Selection is by "
+    "value only, so the tie rule is engine-free. Shapes: hashes and "
+    "winnow are pure per-row array expressions over PROJECTED columns "
+    "(trap 3 — no re-evaluation inside the HOF windows), one "
+    "fingerprint-keyed self-join with DISTINCT per-side aliases "
+    "(trap 20); at 100 TB the pair fan-out is bounded by winnowing's "
+    "1/w sampling and a t33-style max-docs cap on hot fingerprints.",
+    tags=("text", "dedup", "fingerprint"),
+)
+def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import kgram_hashes, winnow
+    from deeplake_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") < 12)
+               .select((F.col("doc_id") + F.lit(1_000_000))
+                       .alias("doc_id"),
+                       F.concat(F.lit("prefix"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(" padd "),
+                                F.col("text")).alias("text")))
+    base = docs.unionByName(planted)
+    toks = base.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    hashed = toks.select("doc_id", kgram_hashes(F.col("__t"), 4)
+                         .alias("__h"))
+    fps = (hashed
+           .select("doc_id",
+                   F.explode_outer(winnow(F.col("__h"), 4)).alias("fp"))
+           .filter(F.col("fp").isNotNull()))
+    left = fps.select(F.col("doc_id").alias("a"),
+                      F.col("fp").alias("__f1"))
+    right = fps.select(F.col("doc_id").alias("b"),
+                       F.col("fp").alias("__f2"))
+    return (left.join(right, (F.col("__f1") == F.col("__f2"))
+                      & (F.col("a") < F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+            .filter(F.col("n_shared_fps") >= 3)
+            .orderBy("a", "b"))

@@ -1239,6 +1239,56 @@ def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
             .head().sample] == got
 
 
+def test_winnow_fingerprints_model_and_guarantee(spark):
+    """Winnowing: Spark fingerprint sets equal an independent Python
+    model exactly, and the MOSS guarantee holds — ANY two docs sharing
+    a token run of length >= w + k - 1 share at least one fingerprint,
+    while short docs fingerprint to their global minimum."""
+    import hashlib
+    import random
+
+    from deeplake_spark.functions.text import kgram_hashes, tokenize, winnow
+
+    k, w = 4, 4
+
+    def md5i(s):
+        return int(hashlib.md5(f"{s}#0".encode()).hexdigest()[:15], 16)
+
+    def model(text):
+        t = text.lower().split()
+        hs = [md5i(" ".join(t[i:i + k])) for i in range(len(t) - k + 1)]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    shared = " ".join(rng.choice(vocab) for _ in range(w + k - 1))
+    docs = []
+    for i in range(30):
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        body = f"{pre} {shared} {post}" if i < 10 else \
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        docs.append((i, body.strip()))
+    docs.append((98, "one two three"))        # below k tokens -> empty
+    docs.append((99, "a b c d e f"))          # k <= n < k+w-1 -> global min
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    hashed = toks.select("doc_id", kgram_hashes(F.col("__t"), k).alias("__h"))
+    got = {r.doc_id: set(r.fps) for r in hashed.select(
+        "doc_id", winnow(F.col("__h"), w).alias("fps")).collect()}
+    for did, text in docs:
+        assert got[did] == model(text), f"doc {did} mismatch"
+    # the guarantee: every pair of shared-run docs intersects
+    for i in range(10):
+        for j in range(i + 1, 10):
+            assert got[i] & got[j], (i, j)
+
+
 def test_excise_dup_windows_hand_case(spark):
     """Keep-first substring excision on a hand-computed corpus: a
     cross-doc shared 8-token span survives only in the globally-first

@@ -263,6 +263,7 @@ def test_ingest_stream_versioned_commits_and_index_refresh(spark, sf_dir, tmp_pa
     })
     ds.commit("init")
     ds.create_index("text", "inverted")
+    ds.create_sketch("text", "kmv", k=32)
     v0 = ds.version
 
     stream = (spark.readStream.format("parquet")
@@ -296,6 +297,13 @@ def test_ingest_stream_versioned_commits_and_index_refresh(spark, sf_dir, tmp_pa
             .filter(F.array_contains(F.split(F.lower("text"), r"\s+"), "spark"))
             .collect()}
     assert hits == want and hits
+
+    # ...and the registered sketch too: three per-epoch delta merges
+    # equal a fresh full build over the settled corpus, hash-exactly
+    from deeplake_spark.operators.sketches import kmv_sketch
+
+    assert list(ds.load_sketch("text", "kmv").head().sketch) == \
+        list(kmv_sketch(ds.to_df(), "text", k=32).head().sketch)
 
 
 def test_stream_epoch_idempotence_is_o1_in_epochs(spark, tmp_path, monkeypatch):
