@@ -2465,3 +2465,74 @@ def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_shared_fps"))
             .filter(F.col("n_shared_fps") >= 3)
             .orderBy("a", "b"))
+
+
+@query(
+    "t43_unicode_normalization",
+    oracle="""
+    WITH fam AS (
+      SELECT doc_id, text || ' caf' || chr(233) AS v
+      FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id, text || ' cafe' || chr(769) AS v
+      FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id, text || ' cafe' AS v
+      FROM documents WHERE doc_id < 20
+    ),
+    agg AS (
+      SELECT doc_id,
+        COUNT(DISTINCT md5(v)) AS raw,
+        COUNT(DISTINCT md5(nfc_normalize(v))) AS nfc,
+        COUNT(DISTINCT md5(strip_accents(nfc_normalize(v)))) AS stripped
+      FROM fam GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(SUM(raw) AS BIGINT) AS n_raw_digests,
+           CAST(SUM(nfc) AS BIGINT) AS n_nfc_digests,
+           CAST(SUM(stripped) AS BIGINT) AS n_stripped_digests
+    FROM agg
+    """,
+    doc="Unicode normalization for dedup (functions.text."
+    "normalize_unicode — Arrow UDF over stdlib unicodedata; Spark has "
+    "no normalization builtin, DuckDB's nfc_normalize/strip_accents "
+    "are the oracle twins): each planted family carries the composed "
+    "e-acute (U+00E9), the decomposed e + combining acute (U+0301), "
+    "and the plain-ASCII spelling — byte-different, so raw digests "
+    "see 3 per family; NFC unifies composed/decomposed (2); accent "
+    "stripping collapses all 3. Exact dedup without this step splits "
+    "canonically-equal documents. The totals row is hash-checked "
+    "against DuckDB computing the same three digest families.",
+    tags=("text", "cleaning"),
+)
+def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import normalize_unicode
+    from deeplake_spark.io import ensure_parallelism
+
+    base = (ensure_parallelism(load_table(spark, sf_dir, "documents"))
+            .filter(F.col("doc_id") < 20).select("doc_id", "text"))
+
+    def variant(suffix: str):
+        return base.select(
+            "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("v"))
+
+    # composed U+00E9 / decomposed e + U+0301 / plain — the first two
+    # render identically but are byte-different strings
+    fam = (variant(" caf\u00e9")
+           .unionByName(variant(" cafe\u0301"))
+           .unionByName(variant(" cafe")))
+    normed = fam.select(
+        "doc_id",
+        F.md5("v").alias("__raw"),
+        F.md5(normalize_unicode(F.col("v"))).alias("__nfc"),
+        F.md5(normalize_unicode(F.col("v"), strip_accents=True))
+        .alias("__stripped"))
+    agg = normed.groupBy("doc_id").agg(
+        F.count_distinct("__raw").alias("raw"),
+        F.count_distinct("__nfc").alias("nfc"),
+        F.count_distinct("__stripped").alias("stripped"))
+    return agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        F.sum("raw").cast("long").alias("n_raw_digests"),
+        F.sum("nfc").cast("long").alias("n_nfc_digests"),
+        F.sum("stripped").cast("long").alias("n_stripped_digests"))

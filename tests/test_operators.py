@@ -1239,6 +1239,45 @@ def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
             .head().sample] == got
 
 
+def test_normalize_unicode_matches_stdlib(spark):
+    """normalize_unicode: NFC composes decomposed sequences, accent
+    stripping collapses to ASCII, casefold is FULL folding (ss for ß —
+    not lower()), NULLs pass through; every output equals stdlib
+    unicodedata applied driver-side."""
+    import unicodedata
+
+    from deeplake_spark.functions.text import normalize_unicode
+
+    vals = ["caf\u00e9", "cafe\u0301", "cafe", "STRA\u00dfE",
+            "na\u00efve", None, ""]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = df.select(
+        "t",
+        normalize_unicode(F.col("t")).alias("nfc"),
+        normalize_unicode(F.col("t"), strip_accents=True).alias("sa"),
+        normalize_unicode(F.col("t"), casefold=True).alias("cf")).collect()
+
+    def strip(x):
+        y = "".join(c for c in unicodedata.normalize("NFD", x)
+                    if not unicodedata.combining(c))
+        return unicodedata.normalize("NFC", y)
+
+    by_val = {}
+    for v, r in zip(vals, got):
+        if v is None:
+            assert r.nfc is None and r.sa is None and r.cf is None
+            continue
+        assert r.nfc == unicodedata.normalize("NFC", v)
+        assert r.sa == strip(unicodedata.normalize("NFC", v))
+        assert r.cf == unicodedata.normalize("NFC", v).casefold()
+        by_val[v] = r
+    # composed and decomposed spellings unify under NFC; both strip to
+    # the plain ASCII form; full casefolding is not lower()
+    assert by_val["caf\u00e9"].nfc == by_val["cafe\u0301"].nfc
+    assert by_val["caf\u00e9"].sa == "cafe" == by_val["cafe\u0301"].sa
+    assert by_val["STRA\u00dfE"].cf == "strasse"
+
+
 def test_winnow_fingerprints_model_and_guarantee(spark):
     """Winnowing: Spark fingerprint sets equal an independent Python
     model exactly, and the MOSS guarantee holds — ANY two docs sharing
