@@ -1434,7 +1434,8 @@ class Dataset:
     def ingest_stream(self, stream_df: DataFrame,
                       checkpoint_dir: str | None = None,
                       commit_message: str = "stream epoch {epoch}",
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      transform=None):
         """Continuous ingestion into the VERSIONED dataset: every
         micro-batch appends as a new immutable file and commits one
         log entry (beyond-reference — the reference ingests batch-only;
@@ -1448,6 +1449,14 @@ class Dataset:
         replays only uncommitted epochs — an epoch that already has its
         commit-log entry is skipped, making the append idempotent
         end-to-end.
+
+        ``transform`` (optional) maps each micro-batch DataFrame to the
+        rows actually appended — BATCH semantics inside the sink, so
+        shapes a streaming plan can't express (groupBy assembly,
+        joins without watermarks) are fine; it must be deterministic
+        per batch for the replay idempotence to mean anything
+        (sources/webdataset.ingest_webdataset_stream is the canonical
+        user: tar-shard batches → assembled samples).
 
         Returns the StreamingQuery (trigger availableNow when
         `available_now`, else continuous micro-batches).
@@ -1466,7 +1475,8 @@ class Dataset:
             last = self._last_stream_epoch()
             if last is not None and last >= epoch_id:
                 return
-            self.append(batch_df)
+            rows = batch_df if transform is None else transform(batch_df)
+            self.append(rows)
             self.commit(
                 f"{commit_message.format(epoch=epoch_id)} [{marker}]")
 

@@ -29,13 +29,23 @@ from pyspark.sql import functions as F
 _SKIP_PREFIXES = ("__",)
 
 
+#: binaryFile source schema (needed explicitly for readStream)
+BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                     "length long, content binary")
+
+
 def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
     """All tar members across the matched shards: one row per member —
     (shard, key, ext, data). ``key`` is the basename up to the FIRST
     dot, ``ext`` everything after it (the WebDataset convention:
     "dir/10023.seg.png" → key "dir/10023", ext "seg.png"). Directories
     and __-prefixed metadata members are skipped."""
-    shards = spark.read.format("binaryFile").load(path)
+    return unpack_members(spark.read.format("binaryFile").load(path))
+
+
+def unpack_members(shards: DataFrame) -> DataFrame:
+    """(path, content) shard rows → one row per tar member. Works on a
+    batch OR streaming DataFrame (stateless mapInPandas)."""
 
     def unpack(batches):
         import io
@@ -105,6 +115,29 @@ def from_webdataset(spark: SparkSession, path: str, dataset_path: str,
     ds._staged_files.append(ds._write_file(rows))
     ds.commit(f"from_webdataset {path}")
     return ds
+
+
+def ingest_webdataset_stream(ds, path: str, exts: list[str],
+                             checkpoint_dir: str | None = None):
+    """Continuous WebDataset ingestion: arriving tar shards become
+    dataset commits (one epoch per micro-batch, the ingest_stream
+    ledger — replay-idempotent with a checkpoint). Samples never span
+    shards (the WebDataset contract), so per-batch assembly is exact.
+    ``exts`` is REQUIRED: a streaming schema is declared, not inferred
+    (the from_jsonl convention). Registered indexes/sketches extend
+    with each epoch's delta via the commit hook."""
+    if not exts:
+        raise ValueError(
+            "streaming WebDataset ingest needs exts=[...] — a stream's "
+            "schema is declared, not inferred")
+    shards = (ds.spark.readStream.format("binaryFile")
+              .schema(BINARYFILE_SCHEMA).load(path))
+    return ds.ingest_stream(
+        shards,
+        checkpoint_dir=checkpoint_dir,
+        commit_message="webdataset shard epoch {epoch}",
+        transform=lambda bdf: webdataset_samples(
+            unpack_members(bdf), exts))
 
 
 def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",

@@ -225,3 +225,71 @@ def test_webdataset_round_trip_and_ingest(spark, tmp_path):
         with open(os.path.join(out1, fn), "rb") as fa, \
                 open(os.path.join(out2, fn), "rb") as fb:
             assert fa.read() == fb.read(), fn
+
+
+def test_webdataset_streaming_ingest_matches_batch(spark, tmp_path):
+    """Streaming WebDataset ingestion: arriving shards become dataset
+    commits (per-batch sample assembly inside the sink — samples never
+    span shards), rows equal the batch from_webdataset contents, and a
+    checkpointed replay adds nothing."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from deeplake_spark import dataset as dl
+    from deeplake_spark.sources.webdataset import (
+        from_webdataset, ingest_webdataset_stream)
+
+    shard_dir = tmp_path / "stream_shards"
+    shard_dir.mkdir()
+
+    def make_shard(name, keys):
+        with tarfile.open(str(shard_dir / name), "w") as tf:
+            for k in keys:
+                for ext in ("ppm", "txt"):
+                    blob = f"{ext} payload {k}".encode()
+                    info = tarfile.TarInfo(f"{k}.{ext}")
+                    info.size = len(blob)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(blob))
+
+    make_shard("s0.tar", ["000", "001"])
+    make_shard("s1.tar", ["100", "101", "102"])
+
+    ds = dl.create(str(tmp_path / "sds"), spark)
+    q = ingest_webdataset_stream(
+        ds, str(shard_dir) + "/*.tar", exts=["ppm", "txt"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(ds) == 5
+
+    # replay over the same checkpoint: nothing new
+    q2 = ingest_webdataset_stream(
+        ds, str(shard_dir) + "/*.tar", exts=["ppm", "txt"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert len(ds) == 5
+    assert len([v for v in ds.history()
+                if "stream-epoch:" in v.message]) >= 1
+
+    # contents equal the batch ingestion path
+    batch = from_webdataset(spark, str(shard_dir) + "/*.tar",
+                            str(tmp_path / "bds"), exts=["ppm", "txt"])
+    got = sorted((r.key, bytes(r.txt))
+                 for r in ds.to_df().select("key", "txt").collect())
+    want = sorted((r.key, bytes(r.txt))
+                  for r in batch.to_df().select("key", "txt").collect())
+    assert got == want
+
+    # a late shard arrives: a new run picks up ONLY the new shard
+    make_shard("s2.tar", ["200"])
+    q3 = ingest_webdataset_stream(
+        ds, str(shard_dir) + "/*.tar", exts=["ppm", "txt"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q3.awaitTermination()
+    assert len(ds) == 6
+    assert ds.query("SELECT key WHERE key == '200'").count() == 1
+
+    with pytest.raises(ValueError, match="exts"):
+        ingest_webdataset_stream(ds, str(shard_dir) + "/*.tar", exts=[])
