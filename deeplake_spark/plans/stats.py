@@ -45,6 +45,48 @@ class ColumnStatistics:
 _ORDERED = (T.NumericType, T.StringType, T.TimestampType, T.DateType, T.BooleanType)
 
 
+def sketch_column_statistics(ds, column: str) -> dict[str, DataFrame]:
+    """Corpus-free column statistics from the dataset's REGISTERED
+    sketches (Dataset.create_sketch): whatever sketch kinds exist on
+    ``column`` become estimate DataFrames reading ONLY the persisted
+    side tables — at 100 TB this answers distinct-count / quantile /
+    membership-saturation questions in side-table time while
+    `compute_column_statistics` would re-scan the corpus. Returned per
+    kind: ``kmv`` → (grouping cols, est_distinct), ``sample`` →
+    (grouping cols, est_p25/est_p50/est_p90), ``bloom`` → (grouping
+    cols, fill_fpp). Sketches refresh at commit (indexing_mode), so
+    the estimates track ingest without a rebuild."""
+    from deeplake_spark.operators.sketches import (
+        bloom_fill, kmv_estimate, sample_quantile)
+
+    out: dict[str, DataFrame] = {}
+    for kind in ("kmv", "sample", "bloom"):
+        try:
+            sk = ds.load_sketch(column, kind)
+        except Exception:
+            continue
+        meta_cols = {"sketch", "sample", "bloom",
+                     "k", "n_words", "k_hashes", "seed"}
+        by = [c for c in sk.columns if c not in meta_cols]
+        if kind == "kmv":
+            out[kind] = sk.select(
+                *by, F.round(kmv_estimate(F.col("sketch"), F.col("k")), 6)
+                .alias("est_distinct"))
+        elif kind == "sample":
+            out[kind] = sk.select(
+                *by,
+                sample_quantile(F.col("sample"), 0.25).alias("est_p25"),
+                sample_quantile(F.col("sample"), 0.5).alias("est_p50"),
+                sample_quantile(F.col("sample"), 0.9).alias("est_p90"))
+        else:
+            first = sk.select("n_words", "k_hashes").head()
+            out[kind] = sk.select(
+                *by, F.round(bloom_fill(
+                    F.col("bloom"), int(first.n_words),
+                    int(first.k_hashes)), 9).alias("fill_fpp"))
+    return out
+
+
 def compute_column_statistics(df: DataFrame, columns: list[str] | None = None,
                               n_mcv: int = 5) -> dict[str, ColumnStatistics]:
     """One aggregation pass for counts/nulls/min/max/ndv/width; MCVs via

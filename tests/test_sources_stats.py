@@ -293,3 +293,45 @@ def test_webdataset_streaming_ingest_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exts"):
         ingest_webdataset_stream(ds, str(shard_dir) + "/*.tar", exts=[])
+
+
+def test_sketch_column_statistics_corpus_free(spark, tmp_path):
+    """sketch_column_statistics serves estimates from the persisted
+    side tables ONLY (every input file lives under _sketches/), the
+    estimates track the exact values, and they stay fresh after an
+    append commit without re-scanning."""
+    from deeplake_spark import dataset as dl
+    from deeplake_spark import types as dt
+    from deeplake_spark.plans.stats import sketch_column_statistics
+
+    ds = dl.create(str(tmp_path / "ds"), spark, schema={
+        "tok": dt.Text(), "ln": dt.Generic("float64")})
+    ds.append([{"tok": f"t{i % 40}", "ln": float(i % 97)}
+               for i in range(300)])
+    ds.commit("seed")
+    ds.create_sketch("tok", "kmv", k=64)
+    ds.create_sketch("tok", "bloom", n_words=16)
+    ds.create_sketch("ln", "sample", k=64)
+
+    stats_tok = sketch_column_statistics(ds, "tok")
+    assert set(stats_tok) == {"kmv", "bloom"}
+    est = stats_tok["kmv"].head().est_distinct
+    assert est == 40.0  # below k: exact
+    fpp = stats_tok["bloom"].head().fill_fpp
+    assert 0 < fpp < 1
+    stats_ln = sketch_column_statistics(ds, "ln")
+    assert set(stats_ln) == {"sample"}
+    q = stats_ln["sample"].head()
+    assert 0 <= q.est_p25 <= q.est_p50 <= q.est_p90 <= 96.0
+
+    # corpus-free: every scanned file is a sketch side table
+    for kind, df in {**stats_tok, **stats_ln}.items():
+        files = df.inputFiles()
+        assert files and all("_sketches" in f for f in files), (kind, files)
+
+    # append + commit refreshes the estimate without a rebuild call
+    ds.append([{"tok": f"new{i}", "ln": 200.0} for i in range(30)])
+    ds.commit("append")
+    est2 = sketch_column_statistics(ds, "tok")["kmv"].head().est_distinct
+    # 70 distinct now exceeds k=64: the (k-1)/u_k estimator takes over
+    assert abs(est2 - 70.0) / 70.0 < 0.3 and est2 != 40.0
