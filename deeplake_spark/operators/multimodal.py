@@ -298,6 +298,34 @@ def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
         return _decode_ppm(payload)  # real, stdlib-only
     if compression == "bmp":
         return _decode_bmp(payload)  # real, stdlib-only
+    if compression == "gif":
+        try:
+            # real, stdlib+numpy: 87a/89a, interlace, transparency,
+            # first composited frame (operators/_gif.py)
+            from deeplake_spark.operators._gif import (
+                GifUnsupported,
+                decode_gif_image,
+            )
+
+            return decode_gif_image(payload)
+        except GifUnsupported:
+            pass  # restore-to-previous disposal → PIL below
+        except Exception:
+            if strict:
+                raise
+            pass
+    if compression == "gif":
+        try:
+            from PIL import Image  # noqa: F401  (not in this image)
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except ImportError:
+            if strict:
+                raise FormatNotSupportedError(
+                    "codec 'gif' variant requires Pillow, which is not "
+                    "installed")
+            return _fake_decode(payload)
     if compression == "png":
         try:
             return _decode_png(payload)  # real, stdlib-only
@@ -830,6 +858,18 @@ def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int,
     # documented PyAV/fake fallback as a non-MJPEG codec, not escape
     from deeplake_spark.operators._jpeg import JpegUnsupported
 
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        # animated GIF = a real video container in web corpora; frames
+        # composite on the canvas (operators/_gif.py)
+        from deeplake_spark.operators._gif import GifUnsupported, decode_gif
+
+        try:
+            frames = decode_gif(payload)
+            return [(i, f[..., :3]) for i, (f, _delay) in
+                    enumerate(frames) if i % every_n == 0]
+        except (ValueError, GifUnsupported):
+            if strict:
+                raise
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         try:
             return _decode_video_frames_avi(payload, every_n)
