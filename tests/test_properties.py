@@ -386,6 +386,53 @@ def test_png_roundtrip_random(h, w, ch, depth16, interlace, fseed):
 
 
 @given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncolors=st.integers(1, 32),
+    nframes=st.integers(1, 3),
+    interlace=st.booleans(),
+    alpha=st.booleans(),
+    fseed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_random(h, w, ncolors, nframes, interlace, alpha,
+                              fseed):
+    """Random exact-palette GIFs (any size/palette/frame count,
+    interlaced or not, with or without a transparent index) decode back
+    pixel-exactly; opaque pixels survive the RGBA lane."""
+    import numpy as np
+
+    from deeplake_spark.operators._gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(fseed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    frames = []
+    for _ in range(nframes):
+        idx = rng.integers(0, ncolors, (h, w))
+        f = pal[idx]
+        if alpha:
+            f = np.dstack([f, np.where(idx == 0, 0, 255).astype(np.uint8)])
+        frames.append(f)
+    dec = decode_gif(encode_gif(frames, interlace=interlace))
+    assert len(dec) == nframes
+    # independent compositor model: GIF transparency means "show the
+    # previous frame through" (draw-over disposal), and a clip with no
+    # transparent pixel anywhere encodes as plain RGB
+    any_trans = alpha and any((f[..., 3] == 0).any() for f in frames)
+    channels = 4 if any_trans else 3
+    canvas = np.zeros((h, w, channels), np.uint8)
+    for got, f in zip((g for g, _ in dec), frames):
+        opaque = (f[..., 3] == 255) if alpha else np.ones((h, w), bool)
+        if channels == 4:
+            canvas[opaque] = np.concatenate(
+                [f[..., :3][opaque],
+                 np.full((int(opaque.sum()), 1), 255, np.uint8)], axis=1)
+        else:
+            canvas[...] = f[..., :3]
+        assert np.array_equal(got, canvas)
+
+
+@given(
     h=st.integers(8, 40),
     w=st.integers(8, 40),
     sub=st.sampled_from(["444", "422", "420"]),

@@ -237,6 +237,37 @@ COMMENTARY = {
         "verify on candidates. At 100 TB the corpus-side work is one "
         "map pass plus true-collision traffic."
     ),
+    "t39_bloom_membership": (
+        "Bloom build + probe: mappers emit k bit positions per digest, "
+        "bit_or combines MAP-SIDE, so the one word-keyed exchange "
+        "carries <= mappers x n_words rows at any corpus size; the "
+        "assembled filter is ONE row, broadcast to the probe side as a "
+        "pure expression (no corpus join — the whole point). x32 ratio "
+        "1.72 (SCALING.md)."
+    ),
+    "t40_sample_quantile_sketch": (
+        "Bottom-k sample sketch: per-group WindowGroupLimit keeps k "
+        "hash-smallest rows without materializing a group's full sort "
+        "output; quantile estimates are array expressions over <= k "
+        "doubles. The exact columns (display) are the only corpus-"
+        "sized aggregate; at 100 TB only the sketch side runs. x32 "
+        "ratio 1.31 — the flattest shape in the roster."
+    ),
+    "t41_pmi_collocations": (
+        "PMI collocations: one tokenize+explode pass materializes the "
+        "bigram relation; pair/marginal counts are three keyed "
+        "aggregates with map-side partials (vocabulary-sized, not "
+        "corpus-sized), the total is a 1-row broadcast, and the final "
+        "is a TakeOrderedAndProject on the rounded key."
+    ),
+    "t42_winnow_fingerprint_pairs": (
+        "Winnowing: k-gram hashes and window minima are pure per-row "
+        "array expressions over PROJECTED columns (trap 3 — nothing "
+        "re-evaluates inside the HOF windows); the distinct-per-doc "
+        "fingerprint explode feeds ONE fp-keyed self-join with "
+        "distinct per-side aliases (trap 20); pair fan-out is bounded "
+        "by winnowing's ~1/w sampling. x32 ratio in SCALING.md."
+    ),
 }
 
 

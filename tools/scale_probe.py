@@ -139,6 +139,12 @@ def probes(reg):
         "t38_epoch_shuffle",
         "t39_bloom_membership",
         "t40_sample_quantile_sketch",
+        # second round-12 wave: the PMI aggregate chain and the
+        # winnowing fingerprint self-join. t43 is excluded for t20's
+        # reason: its doc_id < 20 planted-family filter pins work
+        # constant under shifted-key replication.
+        "t41_pmi_collocations",
+        "t42_winnow_fingerprint_pairs",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
