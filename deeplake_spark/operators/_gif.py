@@ -196,6 +196,11 @@ def decode_gif(payload: bytes):
     trans_idx = -1
     delay = 0
     disposal = 0
+    # disposal applies AFTER a frame is displayed: the previous frame's
+    # disposal-2 restores ITS rect to background before the next frame
+    # draws (GIF89a §23; the frame itself shows with its content)
+    prev_disposal = 0
+    prev_rect = (0, 0, 0, 0)
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:
@@ -232,8 +237,9 @@ def decode_gif(payload: bytes):
         if ip & 0x40:
             idxs = _deinterlace(idxs)
         rgb = ct[np.minimum(idxs, len(ct) - 1)]
-        if disposal == 2:
-            canvas[top:top + fh, left:left + fw] = 0
+        if prev_disposal == 2:
+            pl, pt, pw, ph = prev_rect
+            canvas[pt:pt + ph, pl:pl + pw] = 0
         region = canvas[top:top + fh, left:left + fw]
         if channels == 4:
             opaque = (idxs != trans_idx) if trans_idx >= 0 else \
@@ -244,6 +250,10 @@ def decode_gif(payload: bytes):
         else:
             region[...] = rgb
         frames.append((canvas.copy(), delay))
+        prev_disposal, prev_rect = disposal, (left, top, fw, fh)
+        # a GCE governs only the single rendering block that follows
+        # (GIF89a §23): reset for the next frame
+        trans_idx, delay, disposal = -1, 0, 0
     if not frames:
         raise ValueError("GIF with no image data")
     return frames
@@ -286,8 +296,13 @@ def encode_gif(frames, delays_cs=None, interlace: bool = False,
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((size_pow - 1) & 0x07), 0, 0)
     out += table.tobytes()
-    # color -> index lookup
-    lut = {tuple(c): i for i, c in enumerate(palette)}
+    # vectorized color -> index: pack RGB into uint32 keys; np.unique's
+    # lexicographic palette order makes the packed keys ascending, so
+    # searchsorted IS the lookup (a per-pixel Python dict would cost
+    # ~2M interpreter round trips per 1080p frame)
+    packed_pal = ((palette[:, 0].astype(np.uint32) << 16)
+                  | (palette[:, 1].astype(np.uint32) << 8)
+                  | palette[:, 2])
     mcs = max(2, size_pow)
     for f, delay in zip(frames, delays):
         if len(frames) > 1 or has_trans:
@@ -298,9 +313,11 @@ def encode_gif(frames, delays_cs=None, interlace: bool = False,
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
                            0x40 if interlace else 0x00)
         rgb = f[..., :3]
-        idxs = np.array(
-            [lut[tuple(c)] for c in rgb.reshape(-1, 3)],
-            np.uint8).reshape(h, w)
+        packed = ((rgb[..., 0].astype(np.uint32) << 16)
+                  | (rgb[..., 1].astype(np.uint32) << 8)
+                  | rgb[..., 2])
+        idxs = np.searchsorted(packed_pal, packed.ravel()) \
+            .astype(np.uint8).reshape(h, w)
         if rgba and has_trans:
             idxs[f[..., 3] == 0] = trans_idx
         if interlace:

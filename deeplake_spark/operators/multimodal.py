@@ -299,22 +299,21 @@ def _decode_one(payload: bytes, compression: str, strict: bool) -> np.ndarray:
     if compression == "bmp":
         return _decode_bmp(payload)  # real, stdlib-only
     if compression == "gif":
+        from deeplake_spark.operators._gif import (
+            GifUnsupported,
+            decode_gif_image,
+        )
+
         try:
             # real, stdlib+numpy: 87a/89a, interlace, transparency,
             # first composited frame (operators/_gif.py)
-            from deeplake_spark.operators._gif import (
-                GifUnsupported,
-                decode_gif_image,
-            )
-
             return decode_gif_image(payload)
         except GifUnsupported:
             pass  # restore-to-previous disposal → PIL below
         except Exception:
             if strict:
-                raise
-            pass
-    if compression == "gif":
+                raise  # corrupt payload is a real decode error
+            pass  # non-strict: not GIF bytes → PIL/fake below
         try:
             from PIL import Image  # noqa: F401  (not in this image)
             import io
@@ -860,14 +859,16 @@ def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int,
 
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         # animated GIF = a real video container in web corpora; frames
-        # composite on the canvas (operators/_gif.py)
-        from deeplake_spark.operators._gif import GifUnsupported, decode_gif
-
+        # composite on the canvas (operators/_gif.py). Truncated/corrupt
+        # payloads raise struct.error/IndexError from the binary walk —
+        # catch Exception like the image path so non-strict falls back
         try:
+            from deeplake_spark.operators._gif import decode_gif
+
             frames = decode_gif(payload)
             return [(i, f[..., :3]) for i, (f, _delay) in
                     enumerate(frames) if i % every_n == 0]
-        except (ValueError, GifUnsupported):
+        except Exception:
             if strict:
                 raise
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":

@@ -160,7 +160,11 @@ def sample_sketch(df: DataFrame, value_col: str, id_col: str,
         agged = (topk.groupBy(*by)
                  .agg(F.array_sort(F.collect_list(F.struct("__u", "__v")))
                       .alias("sample")))
-    return agged.withColumn("k", F.lit(int(k)))
+    # the salt persists with the sketch (like bloom's geometry): two
+    # samples drawn under different salts are NOT coordinated and must
+    # never merge — append_sample_delta guards on it
+    return (agged.withColumn("k", F.lit(int(k)))
+            .withColumn("salt", F.lit(str(salt))))
 
 
 def sample_merge(a: Column, b: Column, k: int | Column) -> Column:
@@ -178,11 +182,13 @@ def sample_quantile(sample: Column, q: float) -> Column:
     sort the sampled VALUES and take element ceil(q * n) (1-indexed) —
     deterministic and replicated verbatim in DuckDB oracles (no
     interpolation: an interpolated boundary is an engine-rounding
-    hazard the estimate's ~1/sqrt(k) error cannot justify)."""
+    hazard the estimate's ~1/sqrt(k) error cannot justify). An EMPTY
+    sample (all-NULL value column) estimates NULL — try_element_at,
+    not element_at: ANSI mode throws on index 1 of []."""
     vs = F.array_sort(F.transform(sample, lambda s: s["__v"]))
     n = F.size(vs)
     idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n).cast("int"))
-    return F.element_at(vs, idx)
+    return F.try_element_at(vs, idx)
 
 
 def save_sample(sketches: DataFrame, path: str) -> None:
@@ -195,23 +201,43 @@ def load_sample(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
+    """Overwrite a side table whose plan READS the path it replaces
+    (self-overwrite reads zero rows mid-write): write a temp dir,
+    re-read, overwrite, Hadoop-FS delete (the table may live on any
+    supported filesystem — s3a/..., like the index sidecars)."""
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
                         path: str, by: list[str] | None = None,
                         k: int = 256, salt: str = "q") -> None:
     """Incremental sample maintenance: sketch ONLY the appended rows
     (append-only ingest keeps row ids disjoint from the stored
     sketch's), merge per group, overwrite the side table — equals a
-    fresh full build exactly. Raises on a k mismatch with the stored
-    build k (a k-slice of a k'-sample is not a uniform sample)."""
+    fresh full build exactly. Raises when (k, salt) differ from the
+    stored build params: a k-slice of a k'-sample is not a uniform
+    sample, and samples drawn under different salts are not
+    coordinated — merging them silently breaks the merge == fresh-build
+    law."""
     by = list(by or [])
     spark = df_new.sparkSession
     delta = sample_sketch(df_new, value_col, id_col, by=by, k=k, salt=salt)
     old = load_sample(spark, path)
-    stored = [r.k for r in old.select("k").distinct().collect()]
-    if stored and stored != [int(k)]:
+    sel = ["k"] + (["salt"] if "salt" in old.columns else [])
+    stored = [tuple(r) for r in old.select(*sel).distinct().collect()]
+    want = (int(k),) + ((str(salt),) if len(sel) == 2 else ())
+    if stored and stored != [want]:
         raise ValueError(
-            f"stored samples at {path} were built with k={stored}, "
-            f"got k={k} — pass the build k")
+            f"stored samples at {path} were built with (k, salt)="
+            f"{stored}, got {want} — pass the build params")
     if not by:
         merged = (old.select(F.col("sample").alias("__a"))
                   .crossJoin(delta.select(F.col("sample").alias("__b")))
@@ -227,14 +253,9 @@ def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
                 F.coalesce(F.col("__a"), empty),
                 F.coalesce(F.col("__b"), empty), k).alias("sample"))
         )
-    merged = merged.withColumn("k", F.lit(int(k)))
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    merged = (merged.withColumn("k", F.lit(int(k)))
+              .withColumn("salt", F.lit(str(salt))))
+    _overwrite_via_tmp(merged, path)
 
 
 #: Bloom words pack 60 bits each — every shift stays <= 59, which both
@@ -394,15 +415,7 @@ def append_bloom_delta(df_new: DataFrame, col: str, path: str,
                 F.coalesce(F.col("__a"), empty),
                 F.coalesce(F.col("__b"), empty)).alias("bloom"), *geom)
         )
-    # write via a temp dir: the merged plan READS the path it would
-    # overwrite (self-overwrite reads zero rows mid-write)
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    _overwrite_via_tmp(merged, path)
 
 
 def append_kmv_delta(df_new: DataFrame, col: str, path: str,
@@ -445,14 +458,4 @@ def append_kmv_delta(df_new: DataFrame, col: str, path: str,
                 F.coalesce(F.col("__b"), empty), k).alias("sketch"))
         )
     merged = merged.withColumn("k", F.lit(int(k)))
-    # write via a temp dir: the merged plan READS the path it would
-    # overwrite (self-overwrite reads zero rows mid-write)
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    # Hadoop-FS delete, not shutil: the side table may live on any
-    # supported filesystem (s3a/...), same as the index sidecars
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    _overwrite_via_tmp(merged, path)

@@ -66,7 +66,7 @@ def sketch_column_statistics(ds, column: str) -> dict[str, DataFrame]:
         except Exception:
             continue
         meta_cols = {"sketch", "sample", "bloom",
-                     "k", "n_words", "k_hashes", "seed"}
+                     "k", "n_words", "k_hashes", "seed", "salt"}
         by = [c for c in sk.columns if c not in meta_cols]
         if kind == "kmv":
             out[kind] = sk.select(

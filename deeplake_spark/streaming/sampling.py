@@ -108,17 +108,24 @@ def stream_bloom_screen(docs: DataFrame, path: str, col: str,
     n_words, k_hashes, seed = (int(x) for x in geom[0])
     by = [c for c in stored.columns
           if c not in ("bloom", "n_words", "k_hashes", "seed")]
+    # NULL probe values flag False, not NULL: the filter holds no NULLs
+    # (bloom_sketch drops them), so NULL is definitely-not-in-corpus —
+    # and the documented contract is "false is definitely new", which a
+    # NULL flag would silently break under ~col filters
     if not by:
         # global filter: one bounded row -> literal expression
         words = list(stored.select("bloom").head().bloom)
-        return docs.withColumn(out_col, bloom_contains(
-            F.lit(words), F.col(col), n_words, k_hashes, seed))
+        return docs.withColumn(out_col, F.coalesce(
+            bloom_contains(F.lit(words), F.col(col),
+                           n_words, k_hashes, seed), F.lit(False)))
     side = stored.select(
         *by, F.col("bloom").alias("__bloom"))
     flagged = (docs.join(F.broadcast(side), by, "left")
                .withColumn(out_col, F.when(
                    F.col("__bloom").isNull(), F.lit(False)).otherwise(
-                   bloom_contains(F.col("__bloom"), F.col(col),
-                                  n_words, k_hashes, seed)))
+                   F.coalesce(
+                       bloom_contains(F.col("__bloom"), F.col(col),
+                                      n_words, k_hashes, seed),
+                       F.lit(False))))
                .drop("__bloom"))
     return flagged

@@ -1670,6 +1670,82 @@ def test_gif_codec_round_trips():
     assert len(blob) < big.size // 4  # real compression, not code spam
 
 
+def test_gif_external_disposal_and_gce_scope():
+    """External-GIF semantics the round-trip tests can't reach (our
+    encoder never emits disposal bits): (a) a frame's disposal-2
+    restores ITS rect to background AFTER it is displayed — the frame
+    itself shows its content, the NEXT frame starts from background;
+    (b) a GCE governs only the single following image block — the next
+    frame inherits neither transparency nor delay; (c) truncated
+    payloads raise through decode_gif but fall to the fake clip in the
+    non-strict video path."""
+    import struct
+
+    import numpy as np
+
+    from deeplake_spark.operators._gif import _lzw_encode, decode_gif
+    from deeplake_spark.operators.multimodal import _video_frames
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   np.uint8)
+
+    def img_block(left, top, fw, fh, idxs):
+        blk = struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        blk += bytes([2])
+        comp = _lzw_encode(bytes(idxs), 2)
+        for i in range(0, len(comp), 255):
+            c = comp[i:i + 255]
+            blk += bytes([len(c)]) + c
+        return blk + b"\x00"
+
+    def gce(disposal, delay, trans=-1):
+        flags = (disposal << 2) | (0x01 if trans >= 0 else 0)
+        return bytes([0x21, 0xF9, 4, flags, delay & 0xFF, delay >> 8,
+                      max(trans, 0), 0])
+
+    header = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0) \
+        + pal.tobytes()
+
+    # (a) frame 1 fills the canvas with color 1, disposal=2; frame 2 is
+    # a 2x2 patch of color 2 at (0, 0) with no GCE
+    payload = (header
+               + gce(2, 7)
+               + img_block(0, 0, 4, 4, [1] * 16)
+               + img_block(0, 0, 2, 2, [2] * 4)
+               + b"\x3b")
+    frames = decode_gif(payload)
+    f1, d1 = frames[0]
+    f2, d2 = frames[1]
+    assert d1 == 7 and np.array_equal(f1, np.tile(pal[1], (4, 4, 1)))
+    want2 = np.tile(pal[0] * 0, (4, 4, 1))          # background zeros
+    want2[:2, :2] = pal[2]
+    assert np.array_equal(f2, want2), "disposal-2 must clear AFTER display"
+    assert d2 == 0, "GCE delay must not leak to the next frame"
+
+    # (b) GCE transparency applies only to its own frame: frame 1
+    # declares index 3 transparent, frame 2 (no GCE) uses index 3
+    payload2 = (header
+                + gce(0, 0, trans=3)
+                + img_block(0, 0, 4, 4, [1] * 16)
+                + img_block(0, 0, 4, 4, [3] * 16)
+                + b"\x3b")
+    fr2 = decode_gif(payload2)
+    last = fr2[-1][0]
+    assert np.array_equal(last[..., :3], np.tile(pal[3], (4, 4, 1))), \
+        "next frame must not inherit the previous GCE's transparency"
+    assert (last[..., 3] == 255).all()
+
+    # (c) truncated payload: non-strict video path falls back to the
+    # deterministic fake clip instead of crashing the task
+    trunc = payload[:20]
+    with pytest.raises(Exception):
+        decode_gif(trunc)
+    frames = _video_frames(trunc, every_n=1, strict=False)
+    assert len(frames) == 8  # the documented fake clip
+    with pytest.raises(Exception):
+        _video_frames(trunc, every_n=1, strict=True)
+
+
 def test_gif_through_image_and_video_operators(spark):
     """GIF payloads flow through the Spark-side operators: decode_images
     (strict — the real decoder, no fake fallback), pHash invariance to

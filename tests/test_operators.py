@@ -1229,6 +1229,11 @@ def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
     assert got2 == want2
     with pytest.raises(ValueError, match="built with"):
         append_sample_delta(h2, "v", "id", path, by=["g"], k=128)
+    # a salt mismatch is just as biased as a k mismatch: two samples
+    # drawn under different salts are not coordinated and must not merge
+    with pytest.raises(ValueError, match="built with"):
+        append_sample_delta(h2, "v", "id", path, by=["g"], k=64,
+                            salt="other")
 
     # NULL values/ids excluded, sketch never shrinks below real rows
     with_null = df.unionByName(
@@ -1237,6 +1242,16 @@ def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
     assert [(s["__u"], s["__v"])
             for s in sample_sketch(with_null, "v", "id", k=128)
             .head().sample] == got
+
+    # an all-NULL value column yields an EMPTY global sample; the
+    # quantile estimates NULL instead of throwing under ANSI
+    all_null = spark.createDataFrame(
+        [(1, None, "g0"), (2, None, "g0")], "id long, v double, g string")
+    empty_sk = sample_sketch(all_null, "v", "id", k=8)
+    row = empty_sk.select(
+        F.size("sample").alias("n"),
+        sample_quantile(F.col("sample"), 0.5).alias("q")).head()
+    assert row.n == 0 and row.q is None
 
 
 def test_normalize_unicode_matches_stdlib(spark):

@@ -1128,7 +1128,8 @@ def test_stream_bloom_screen_matches_batch(spark, tmp_path):
 
     arrivals = ([("g0", f"v{i}") for i in range(50, 70)]      # members+new
                 + [("g1", f"v{i+9}") for i in range(55, 65)]
-                + [("g9", "v1")])                              # unknown group
+                + [("g9", "v1"),                               # unknown group
+                   ("g0", None)])                              # NULL probe
     in_dir = str(tmp_path / "arr_in")
     (spark.createDataFrame(arrivals, "src string, x string")
      .coalesce(1).write.mode("append").parquet(in_dir))
@@ -1148,19 +1149,23 @@ def test_stream_bloom_screen_matches_batch(spark, tmp_path):
 
     arr_df = spark.createDataFrame(arrivals, "src string, x string")
     gbloom = spark.read.parquet(gpath).head()
-    want_global = {(r.src, r.x): r.f for r in arr_df.select(
-        "src", "x", bloom_contains(F.lit(list(gbloom.bloom)), F.col("x"),
-                                   16, 5).alias("f")).collect()}
+    # NULL probes flag FALSE (the filter holds no NULLs; "false is
+    # definitely new" must hold under ~col filters)
+    want_global = {(r.src, r.x): bool(r.f) for r in arr_df.select(
+        "src", "x", F.coalesce(
+            bloom_contains(F.lit(list(gbloom.bloom)), F.col("x"), 16, 5),
+            F.lit(False)).alias("f")).collect()}
+    assert want_global[("g0", None)] is False
     assert run(gpath, "out_g") == want_global
     # members all flag true in the global lane
     assert all(want_global[(s, x)] for (s, x) in want_global
-               if int(x[1:]) < 60 and s != "g9")
+               if x is not None and int(x[1:]) < 60 and s != "g9")
 
     pblooms = {r.src: list(r.bloom)
                for r in spark.read.parquet(ppath).collect()}
     want_grp = {}
     for s, x in arrivals:
-        if s not in pblooms:
+        if s not in pblooms or x is None:
             want_grp[(s, x)] = False
         else:
             want_grp[(s, x)] = arr_df.limit(0).sparkSession.range(1).select(
