@@ -308,15 +308,26 @@ def bloom_sketch(df: DataFrame, col: str, by: list[str] | None = None,
         F.expr(f"shiftleft(1L, CAST(__pos % {_BLOOM_BITS_PER_WORD} "
                "AS INT))").alias("__mask"))
     agg = words.groupBy(*by, "__wd").agg(F.bit_or("__mask").alias("__bits"))
-    perg = (agg.groupBy(*by) if by else agg.groupBy()).agg(
-        F.map_from_entries(F.collect_list(F.struct("__wd", "__bits")))
-        .alias("__m"))
-    zero = F.lit(0).cast("long")
+    # dense-array assembly via a zero-word skeleton join, NOT
+    # element_at(map): Spark maps are arrays with LINEAR-scan lookup, so
+    # a map-backed n_words-element transform is O(n_words²) — measured
+    # 300 s at n_words=64k where this spelling takes the sort's
+    # n log n (the round-12 bloom-economics probe caught it)
+    spark = df.sparkSession
+    skel = spark.range(int(n_words)).select(
+        F.col("id").cast("int").alias("__wd"))
+    if by:
+        skel = df.select(*by).distinct().crossJoin(skel)
+    full = skel.join(agg, [*by, "__wd"], "left").select(
+        *by, "__wd",
+        F.coalesce(F.col("__bits"), F.lit(0).cast("long")).alias("__bits"))
+    perg = (full.groupBy(*by) if by else full.groupBy()).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__wd", "__bits"))),
+            lambda s: s["__bits"]).alias("bloom"))
     return perg.select(
         *by,
-        F.transform(F.sequence(F.lit(0), F.lit(int(n_words) - 1)),
-                    lambda w: F.coalesce(F.element_at("__m", w), zero))
-        .alias("bloom"),
+        "bloom",
         F.lit(int(n_words)).alias("n_words"),
         F.lit(int(k_hashes)).alias("k_hashes"),
         F.lit(int(seed)).alias("seed"))
