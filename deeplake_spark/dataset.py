@@ -1903,12 +1903,90 @@ class Dataset:
         return _qa(self.refresh)
 
     def checkout(self, version: int | str) -> "Dataset":
-        """Time travel to a version id (Delta versionAsOf equivalent)."""
+        """Time travel to a version id (Delta versionAsOf equivalent).
+        A version whose exclusive data files were reclaimed by
+        `vacuum()` refuses with a clear error instead of failing later
+        with a missing-file read."""
         version = int(version)
         if version > 0 and not _store(self.path).exists(_log_path(self.path, version)):
             raise VersionNotFoundError(f"no version {version} at {self.path}")
+        if version > 0 and _read_entry(self.path, version).get("vacuumed"):
+            raise VersionNotFoundError(
+                f"version {version} at {self.path} was vacuumed: its "
+                "exclusive data files were reclaimed past the retention "
+                "horizon (Dataset.vacuum keep_versions)")
         return Dataset(self.spark, self.path, version=version, branch=self._branch,
                        read_only=True)
+
+    def vacuum(self, keep_versions: int = 10,
+               dry_run: bool = False) -> dict:
+        """Reclaim data files reachable ONLY from versions past the
+        retention horizon (Delta VACUUM with versioned retention): the
+        newest ``keep_versions`` versions on EVERY branch plus every
+        tagged version stay fully time-travelable; older versions keep
+        their log entries (history metadata is cheap) but lose any data
+        file no retained version references — they are marked
+        ``vacuumed`` and `checkout` refuses them with a clear error.
+        Entry file lists are CUMULATIVE, so reachability needs only the
+        retained entries' own lists, never an ancestry closure.
+
+        Requires no CONCURRENT writers (the Delta convention: another
+        writer's staged-but-uncommitted files look unreferenced); this
+        instance's own staged files are excluded. ``dry_run`` reports
+        without deleting. Returns {deleted_files, retained_versions,
+        vacuumed_versions, dry_run}."""
+        self._check_writable()
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        refs = _read_refs(self.path)
+        st = _store(self.path)
+        retained: set[int] = set()
+        for head in set(refs.get("branches", {}).values()):
+            v, n = int(head), 0
+            while v and v > 0 and n < keep_versions:
+                if not st.exists(_log_path(self.path, v)):
+                    break
+                retained.add(v)
+                v = _read_entry(self.path, v).get("parent") or 0
+                n += 1
+        for tmeta in refs.get("tags", {}).values():
+            tv = tmeta.get("version") if isinstance(tmeta, dict) else tmeta
+            if tv:
+                retained.add(int(tv))
+        live: set[str] = set()
+        for v in sorted(retained):
+            if st.exists(_log_path(self.path, v)):
+                e = _read_entry(self.path, v)
+                live.update(e.get("files", []))
+                live.update(e.get("patches", []))
+        live.update(self._staged_files)
+        live.update(self._staged_patches)
+        data_dir = os.path.join(self.path, _DATA_DIR)
+        victims = sorted(set(st.list(data_dir)) - live)
+        all_versions = sorted(
+            int(fn[:-5]) for fn in st.list(os.path.join(self.path, _LOG_DIR))
+            if fn.endswith(".json"))
+        vacuumed_versions = []
+        for v in all_versions:
+            if v in retained:
+                continue
+            e = _read_entry(self.path, v)
+            if set(e.get("files", [])) | set(e.get("patches", [])) <= live:
+                continue  # every file survives: still checkoutable
+            vacuumed_versions.append(v)
+            if not dry_run and not e.get("vacuumed"):
+                e["vacuumed"] = True
+                st.put_bytes(_log_path(self.path, v),
+                             json.dumps(e).encode())
+        if not dry_run:
+            for f in victims:
+                st.delete(os.path.join(data_dir, f))
+            self._log_op("vacuum", keep_versions=keep_versions,
+                         n_deleted=len(victims))
+        return {"deleted_files": victims,
+                "retained_versions": sorted(retained),
+                "vacuumed_versions": vacuumed_versions,
+                "dry_run": dry_run}
 
     def branch(self, name: str, version: int | None = None) -> "Dataset":
         """Create a branch at a version (reference branch(name, version),
@@ -2590,8 +2668,12 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
             continue
         blob = src_st.get_bytes(os.path.join(src_log, fn))
         entry = json.loads(blob)
-        needed.update(entry.get("files", []))
-        needed.update(entry.get("patches", []))
+        if not entry.get("vacuumed"):
+            # a vacuumed version's exclusive files were reclaimed at the
+            # source; its log entry (with the flag) still replicates, so
+            # checkout refuses identically on the replica
+            needed.update(entry.get("files", []))
+            needed.update(entry.get("patches", []))
         d = os.path.join(dst_path, _LOG_DIR, fn)
         if dst_st.exists(d):
             # both replicas hold this version: replication only fast-

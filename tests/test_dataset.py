@@ -879,3 +879,63 @@ def test_sketch_lifecycle_incremental_and_rebuild(spark, tmp_path_ds):
         ds.load_sketch("text", "bloom")
     # the other sketches survive the drop
     assert ds.load_sketch("text", "kmv").count() == 2
+
+
+def test_vacuum_retention_refusal_and_replication(spark, tmp_path_ds, tmp_path):
+    """Dataset.vacuum (Delta-style versioned retention): after a
+    compact rewrite, data files referenced ONLY by pre-compact versions
+    are reclaimed past the horizon; retained/tagged versions stay fully
+    time-travelable (and so does any older version whose cumulative
+    file list survives as a subset); vacuumed versions refuse checkout
+    with a clear error; dry_run deletes nothing; push of a vacuumed
+    dataset replicates cleanly and refuses the same checkouts."""
+    import os
+
+    from deeplake_spark.dataset import _DATA_DIR
+
+    ds = dl.create(tmp_path_ds, spark, schema={"x": dt.Generic("int64")})
+    for i in range(3):
+        ds.append([{"x": 10 * i + j} for j in range(5)])
+        ds.commit(f"batch {i}")
+    v_pre = ds.version              # 3 commits, 3 data files
+    v_two_batches = v_pre - 1       # version after the second batch
+    ds.tag("hold", version=v_two_batches)
+    ds.compact()                    # rewrite: head drops the old files
+    v_head = ds.version
+    data_dir = os.path.join(tmp_path_ds, _DATA_DIR)
+    files_before = set(os.listdir(data_dir))
+
+    rep = ds.vacuum(keep_versions=1, dry_run=True)
+    assert rep["dry_run"] and set(os.listdir(data_dir)) == files_before
+    assert rep["deleted_files"]     # something IS reclaimable
+
+    rep = ds.vacuum(keep_versions=1)
+    after = set(os.listdir(data_dir))
+    assert after == files_before - set(rep["deleted_files"])
+    assert v_head in rep["retained_versions"]
+    assert v_two_batches in rep["retained_versions"]   # tagged
+    assert v_pre in rep["vacuumed_versions"]      # lost its 3rd file
+
+    # current data intact; the tagged version still time-travels; the
+    # version BEFORE it survives too (its cumulative files are a
+    # subset of the tagged version's)
+    assert len(ds) == 15
+    assert len(ds.checkout(v_two_batches)) == 10
+    assert len(ds.checkout(v_two_batches - 1)) == 5
+    with pytest.raises(dl.VersionNotFoundError, match="vacuumed"):
+        ds.checkout(v_pre)
+
+    # idempotent: nothing more to delete
+    assert ds.vacuum(keep_versions=1)["deleted_files"] == []
+
+    # replication of a vacuumed dataset: no missing-file copy, same
+    # refusal on the replica
+    dst = str(tmp_path / "replica")
+    ds.push(dst)
+    rd = dl.open(dst, spark)
+    assert len(rd) == 15
+    with pytest.raises(dl.VersionNotFoundError, match="vacuumed"):
+        rd.checkout(v_pre)
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        ds.vacuum(keep_versions=0)
