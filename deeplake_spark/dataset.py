@@ -1919,7 +1919,7 @@ class Dataset:
                        read_only=True)
 
     def vacuum(self, keep_versions: int = 10,
-               dry_run: bool = False) -> dict:
+               dry_run: bool = False, min_age_s: float = 0.0) -> dict:
         """Reclaim data files reachable ONLY from versions past the
         retention horizon (Delta VACUUM with versioned retention): the
         newest ``keep_versions`` versions on EVERY branch plus every
@@ -1932,8 +1932,11 @@ class Dataset:
 
         Requires no CONCURRENT writers (the Delta convention: another
         writer's staged-but-uncommitted files look unreferenced); this
-        instance's own staged files are excluded. ``dry_run`` reports
-        without deleting. Returns {deleted_files, retained_versions,
+        instance's own staged files are excluded. ``min_age_s``
+        additionally retains any version committed within the window —
+        the Delta hours-retention analog protecting readers that
+        checked out just before the vacuum. ``dry_run`` reports without
+        deleting. Returns {deleted_files, retained_versions,
         vacuumed_versions, dry_run}."""
         self._check_writable()
         if keep_versions < 1:
@@ -1953,6 +1956,15 @@ class Dataset:
             tv = tmeta.get("version") if isinstance(tmeta, dict) else tmeta
             if tv:
                 retained.add(int(tv))
+        if min_age_s > 0:
+            cutoff = time.time() - float(min_age_s)
+            for fn in st.list(os.path.join(self.path, _LOG_DIR)):
+                if not fn.endswith(".json"):
+                    continue
+                v = int(fn[:-5])
+                if v not in retained and \
+                        _read_entry(self.path, v).get("timestamp", 0) >= cutoff:
+                    retained.add(v)
         live: set[str] = set()
         for v in sorted(retained):
             if st.exists(_log_path(self.path, v)):

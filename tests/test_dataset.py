@@ -939,3 +939,13 @@ def test_vacuum_retention_refusal_and_replication(spark, tmp_path_ds, tmp_path):
 
     with pytest.raises(ValueError, match="keep_versions"):
         ds.vacuum(keep_versions=0)
+
+    # min_age_s retains everything committed within the window: a
+    # fresh history vacuums nothing under a generous age guard
+    ds2 = dl.create(tmp_path_ds + "_age", spark,
+                    schema={"x": dt.Generic("int64")})
+    ds2.append([{"x": 1}])
+    ds2.commit("one")
+    ds2.compact()
+    rep2 = ds2.vacuum(keep_versions=1, min_age_s=3600)
+    assert rep2["deleted_files"] == [] and rep2["vacuumed_versions"] == []
