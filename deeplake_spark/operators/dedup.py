@@ -847,6 +847,53 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
                     .cast("int").alias("n_removed")))
 
 
+def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 4,
+                             w: int = 4, min_shared: int = 3,
+                             max_docs: int | None = 100) -> DataFrame:
+    """Winnowing copy detection over a corpus (Schleimer, Wilkerson &
+    Aiken 2003 — MOSS; the operator form of the t42 query): per-doc
+    distinct window-min fingerprints of k-gram hashes, then doc pairs
+    sharing >= ``min_shared`` fingerprints. GUARANTEE: any shared
+    token run of length >= w + k - 1 shares at least one fingerprint
+    while only ~1/w of positions are stored.
+
+    ``max_docs`` caps the per-fingerprint posting (the t33 boilerplate
+    cap): a fingerprint appearing in more than ``max_docs`` documents
+    is dropped before the self-join — a header/footer n-gram shared by
+    millions of docs would otherwise contribute a quadratic pair
+    blow-up while carrying no copy signal. Returns
+    (a, b, n_shared_fps) with a < b."""
+    from deeplake_spark.functions.text import kgram_hashes, tokenize, winnow
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt"))
+    toks = d.select("doc_id", tokenize(F.col("__txt")).alias("__t"))
+    hashed = toks.select("doc_id", kgram_hashes(F.col("__t"), k)
+                         .alias("__h"))
+    fps = (hashed
+           .select("doc_id",
+                   F.explode_outer(winnow(F.col("__h"), w)).alias("fp"))
+           .filter(F.col("fp").isNotNull()))
+    if max_docs is None:
+        kept = fps  # uncapped (the exactly-oracled t42 lane)
+    else:
+        bounded = (fps.groupBy("fp")
+                   .agg(F.count(F.lit(1)).alias("__df"))
+                   .filter(F.col("__df") <= int(max_docs))
+                   .select("fp"))
+        kept = fps.join(bounded, "fp")
+    left = kept.select(F.col("doc_id").alias("a"),
+                       F.col("fp").alias("__f1"))
+    right = kept.select(F.col("doc_id").alias("b"),
+                        F.col("fp").alias("__f2"))
+    return (left.join(right, (F.col("__f1") == F.col("__f2"))
+                      & (F.col("a") < F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+            .filter(F.col("n_shared_fps") >= int(min_shared)))
+
+
 def minhash_cross_pairs(left: DataFrame, right: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_perm: int = 32, bands: int = 8,

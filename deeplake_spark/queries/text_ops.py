@@ -2435,11 +2435,9 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "fingerprint"),
 )
 def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.functions.text import kgram_hashes, winnow
-    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.dedup import winnow_fingerprint_pairs
 
-    docs = ensure_parallelism(
-        load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (docs.filter(F.col("doc_id") < 12)
                .select((F.col("doc_id") + F.lit(1_000_000))
                        .alias("doc_id"),
@@ -2448,22 +2446,10 @@ def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit(" padd "),
                                 F.col("text")).alias("text")))
     base = docs.unionByName(planted)
-    toks = base.select("doc_id", tokenize(F.col("text")).alias("__t"))
-    hashed = toks.select("doc_id", kgram_hashes(F.col("__t"), 4)
-                         .alias("__h"))
-    fps = (hashed
-           .select("doc_id",
-                   F.explode_outer(winnow(F.col("__h"), 4)).alias("fp"))
-           .filter(F.col("fp").isNotNull()))
-    left = fps.select(F.col("doc_id").alias("a"),
-                      F.col("fp").alias("__f1"))
-    right = fps.select(F.col("doc_id").alias("b"),
-                       F.col("fp").alias("__f2"))
-    return (left.join(right, (F.col("__f1") == F.col("__f2"))
-                      & (F.col("a") < F.col("b")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
-            .filter(F.col("n_shared_fps") >= 3)
+    # max_docs=None: the uncapped lane keeps the oracle exact at test
+    # scale; production corpora pass the default cap
+    return (winnow_fingerprint_pairs(base, k=4, w=4, min_shared=3,
+                                     max_docs=None)
             .orderBy("a", "b"))
 
 

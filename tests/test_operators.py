@@ -1293,6 +1293,42 @@ def test_normalize_unicode_matches_stdlib(spark):
     assert by_val["STRA\u00dfE"].cf == "strasse"
 
 
+def test_winnow_pairs_max_docs_cap(spark):
+    """winnow_fingerprint_pairs: a boilerplate n-gram shared by EVERY
+    doc (header/footer) pairs the whole corpus quadratically without
+    the cap; with max_docs it contributes nothing, while true copy
+    pairs (sharing rarer fingerprints) survive."""
+    import random
+
+    from deeplake_spark.operators.dedup import winnow_fingerprint_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    # long enough that many hash windows sit ENTIRELY inside it — the
+    # MOSS guarantee then forces shared fingerprints on every doc pair
+    boiler = ("site header navigation menu about contact careers press "
+              "privacy cookie policy terms of service all rights "
+              "reserved copyright footer links sitemap")
+    passage = " ".join(rng.choice(vocab) for _ in range(40))
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(30))
+        if i in (3, 4):
+            body = f"{body} {passage}"          # a true copy pair
+        docs.append((i, f"{boiler} {body}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {(r.a, r.b) for r in winnow_fingerprint_pairs(
+        df, min_shared=2, max_docs=None).collect()}
+    capped = {(r.a, r.b) for r in winnow_fingerprint_pairs(
+        df, min_shared=2, max_docs=10).collect()}
+    assert (3, 4) in capped                      # the true copy survives
+    assert len(capped) < len(uncapped)           # boilerplate pairs gone
+    # with the cap, no pair should exist on boilerplate alone: every
+    # non-copy pair must disappear
+    assert capped == {(3, 4)}, capped
+
+
 def test_winnow_fingerprints_model_and_guarantee(spark):
     """Winnowing: Spark fingerprint sets equal an independent Python
     model exactly, and the MOSS guarantee holds — ANY two docs sharing
