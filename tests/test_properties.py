@@ -8,6 +8,8 @@ from __future__ import annotations
 import fnmatch
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -542,7 +544,8 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
 
     ops = data.draw(st.lists(
         st.tuples(st.sampled_from(
-            ["append", "update", "delete", "commit", "compact", "reopen"]),
+            ["append", "update", "delete", "commit", "compact", "reopen",
+             "vacuum"]),
             st.integers(0, 10_000)),
         min_size=4, max_size=12))
 
@@ -560,6 +563,7 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
     # before commit) are reused
     pending: list[tuple] = []         # staged ops in order
     snapshots: list[tuple] = []       # (version, model state) per commit
+    vacuumed: set[int] = set()        # versions reclaimed by vacuum ops
     next_id = 3
 
     def fold(state, staged):
@@ -606,6 +610,12 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
             committed_max = max([committed_max]
                                 + [r for k, r, _ in pending if k == "append"])
             pending = []
+        elif kind == "vacuum":
+            # retention: current state must be untouched; versions the
+            # report marks vacuumed must REFUSE checkout afterwards,
+            # everything else must keep replaying exactly
+            rep = ds.vacuum(keep_versions=2)
+            vacuumed |= set(rep["vacuumed_versions"])
         elif kind == "reopen":
             # crash before commit: staged files exist on disk but the
             # commit log never heard of them; numbering resumes after
@@ -629,6 +639,10 @@ def test_random_dml_sequences_match_model(spark_global, tmp_path_factory,
         if not snapshots:
             break
         v, snap = snapshots[i]
+        if v in vacuumed:
+            with pytest.raises(dl.VersionNotFoundError, match="vacuumed"):
+                ds.checkout(v)
+            continue
         back = {r._row_id: r.x
                 for r in dl.open(path, spark, version=v).to_df().collect()}
         assert back == snap, f"checkout({v}) diverged"
