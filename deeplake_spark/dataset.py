@@ -977,7 +977,9 @@ class Dataset:
         Kinds: ``kmv`` (distinct-cardinality/overlap; options k, seed),
         ``bloom`` (membership / ingest admission; options n_words,
         k_hashes, seed), ``sample`` (bottom-k row sample for quantile/
-        distribution queries over a NUMERIC column; options k, salt).
+        distribution queries over a NUMERIC column; options k, salt),
+        ``cm`` (Count-Min point frequencies; options d, w, seed —
+        delta maintenance is EXACT, counts add).
         All take ``by=[...]`` for per-group sketches. The side table
         lives under <path>/_sketches/ and follows indexing_mode:
         append-only commits append a delta (== a fresh full rebuild,
@@ -1020,10 +1022,15 @@ class Dataset:
                 df, column, id_col="_row_id", by=by,
                 k=options.get("k", 256), salt=options.get("salt", "q")),
                 sk_path)
+        elif kind == "cm":
+            sk.save_cm(sk.cm_sketch(
+                df, column, by=by, d=options.get("d", 4),
+                w=options.get("w", 1024), seed=options.get("seed", 0)),
+                sk_path)
         else:
             raise InvalidIndexCreationError(
                 f"unsupported sketch kind {kind!r} "
-                "(kmv | bloom | sample)")
+                "(kmv | bloom | sample | cm)")
 
     def drop_sketch(self, column: str, kind: str = "kmv") -> None:
         self._check_writable()
@@ -1623,6 +1630,10 @@ class Dataset:
             sk.append_sample_delta(new_df, column, "_row_id", sk_path,
                                    by=by, k=opts.get("k", 256),
                                    salt=opts.get("salt", "q"))
+        elif kind == "cm":
+            sk.append_cm_delta(new_df, column, sk_path, by=by,
+                               d=opts.get("d", 4), w=opts.get("w", 1024),
+                               seed=opts.get("seed", 0))
 
     def _append_index_delta(self, column: str, meta: dict, new_files: list[str]) -> None:
         """Incremental index refresh for an append-only commit."""

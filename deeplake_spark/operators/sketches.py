@@ -258,6 +258,123 @@ def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
     _overwrite_via_tmp(merged, path)
 
 
+def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
+              d: int = 4, w: int = 1024, seed: int = 0) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``col``
+    occurrences: ``d`` rows of ``w`` counters, cell (j, md5_int60(v,
+    seed+j) % w) accumulates every occurrence of v; a point estimate is
+    the MIN over the d cells — an overestimate, never an under. The
+    frequency member of the sketch family (KMV = how many distinct,
+    Bloom = have we seen it, sample = how are values distributed,
+    CM = how OFTEN) — deterministic like its siblings, so estimates are
+    exactly oracle-checkable, and ADDITIVE: merge is cell-wise sum and
+    a delta append equals a fresh full build exactly (not just
+    distributionally — counts add).
+
+    Stored flat: array<bigint> of length d*w, cell (j, c) at index
+    j*w + c (32 KB at the defaults). Build = one (group, cell) shuffle
+    with map-side partial counts; dense assembly by zero-skeleton join
+    (trap 25 — never an element_at(map) transform)."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    by = list(by or [])
+    v = F.col(col)
+    cells = F.array(*[
+        (F.lit(int(j * w)) + _md5_int60(v, seed + j) % F.lit(int(w)))
+        for j in range(int(d))])
+    rows = (df.select(*by, F.explode_outer(F.when(v.isNotNull(), cells))
+                      .alias("__cell"))
+            .filter(F.col("__cell").isNotNull())
+            .select(*by, F.col("__cell").cast("int").alias("__cell")))
+    agg = rows.groupBy(*by, "__cell").agg(
+        F.count(F.lit(1)).alias("__n"))
+    spark = df.sparkSession
+    skel = spark.range(int(d * w)).select(
+        F.col("id").cast("int").alias("__cell"))
+    if by:
+        skel = df.select(*by).distinct().crossJoin(skel)
+    full = skel.join(agg, [*by, "__cell"], "left").select(
+        *by, "__cell",
+        F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("__n"))
+    perg = (full.groupBy(*by) if by else full.groupBy()).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__cell", "__n"))),
+            lambda s: s["__n"]).alias("cm"))
+    return perg.select(
+        *by, "cm",
+        F.lit(int(d)).alias("d"), F.lit(int(w)).alias("w"),
+        F.lit(int(seed)).alias("seed"))
+
+
+def cm_estimate(cm: Column, value: Column, d: int, w: int,
+                seed: int = 0) -> Column:
+    """Point-frequency estimate: min over the d cells — NEVER an
+    underestimate; overestimates bounded by the corpus size / w per
+    row with probability 1 - 2^-d. ``d``/``w``/``seed`` must be the
+    build geometry (persisted in the sketch table)."""
+    from deeplake_spark.operators.dedup import _md5_int60
+
+    out = None
+    for j in range(int(d)):
+        idx = (F.lit(int(j * w)) + _md5_int60(value, seed + j)
+               % F.lit(int(w)) + F.lit(1)).cast("int")
+        cell = F.element_at(cm, idx)
+        out = cell if out is None else F.least(out, cell)
+    return out
+
+
+def cm_merge(a: Column, b: Column) -> Column:
+    """Union of two same-geometry CM sketches: cell-wise SUM — exact
+    (counts are additive), so merge(build(A), build(B)) == build(A++B)
+    cell-for-cell."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def save_cm(sketches: DataFrame, path: str) -> None:
+    sketches.write.mode("overwrite").parquet(path)
+
+
+def load_cm(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_cm_delta(df_new: DataFrame, col: str, path: str,
+                    by: list[str] | None = None, d: int = 4,
+                    w: int = 1024, seed: int = 0) -> None:
+    """Incremental CM maintenance: sketch ONLY the appended rows,
+    cell-wise add per group, overwrite — equals a fresh full build
+    cell-for-cell. Raises on a geometry mismatch."""
+    by = list(by or [])
+    spark = df_new.sparkSession
+    delta = cm_sketch(df_new, col, by=by, d=d, w=w, seed=seed)
+    old = load_cm(spark, path)
+    stored = [tuple(r) for r in
+              old.select("d", "w", "seed").distinct().collect()]
+    want = (int(d), int(w), int(seed))
+    if stored and stored != [want]:
+        raise ValueError(
+            f"stored CM sketches at {path} were built with (d, w, seed)="
+            f"{stored}, got {want} — pass the build geometry")
+    geom = [F.lit(int(d)).alias("d"), F.lit(int(w)).alias("w"),
+            F.lit(int(seed)).alias("seed")]
+    if not by:
+        merged = (old.select(F.col("cm").alias("__a"))
+                  .crossJoin(delta.select(F.col("cm").alias("__b")))
+                  .select(cm_merge(F.col("__a"), F.col("__b"))
+                          .alias("cm"), *geom))
+    else:
+        a = old.select(*by, F.col("cm").alias("__a"))
+        b = delta.select(*by, F.col("cm").alias("__b"))
+        empty = F.array_repeat(F.lit(0).cast("long"), int(d * w))
+        merged = (
+            a.join(b, by, "full_outer")
+            .select(*by, cm_merge(
+                F.coalesce(F.col("__a"), empty),
+                F.coalesce(F.col("__b"), empty)).alias("cm"), *geom)
+        )
+    _overwrite_via_tmp(merged, path)
+
+
 #: Bloom words pack 60 bits each — every shift stays <= 59, which both
 #: Spark (shiftleft on 1L) and DuckDB (1::BIGINT << b) evaluate
 #: identically with no sign-bit edge, keeping the sketch engine-portable

@@ -2311,6 +2311,71 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t44_cm_token_frequencies",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS.format(c="text")}) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT (j * 2048 + CAST(CAST(('0x' || substr(md5(tok || '#' ||
+               CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) % 2048
+               AS BIGINT)) AS cell,
+             COUNT(*) AS n
+      FROM toks, range(4) t(j) GROUP BY 1
+    ),
+    exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY tok
+      ORDER BY exact_count DESC, tok LIMIT 10
+    ),
+    probe AS (
+      SELECT e.tok, e.exact_count,
+             (j * 2048 + CAST(CAST(('0x' || substr(md5(e.tok || '#' ||
+               CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) % 2048
+               AS BIGINT)) AS cell
+      FROM exact e, range(4) t(j)
+    )
+    SELECT p.tok, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est_count,
+           p.exact_count
+    FROM probe p LEFT JOIN cells c USING (cell)
+    GROUP BY p.tok, p.exact_count
+    ORDER BY p.exact_count DESC, p.tok
+    """,
+    doc="Count-Min token frequencies (Cormode & Muthukrishnan 2005; "
+    "operators.sketches.cm_sketch): d=4 rows x w=2048 counters over "
+    "every token occurrence, point estimate = min over the d cells — "
+    "never an underestimate — shown NEXT TO the exact counts for the "
+    "top-10 tokens (the t31 display convention). The frequency member "
+    "of the sketch family; deterministic md5 rows make it exactly "
+    "oracle-checkable, and counts ADD, so delta maintenance and "
+    "cross-shard merges are exact cell-for-cell (operator tests pin "
+    "the law). Build = one (cell)-keyed shuffle with map-side partial "
+    "counts (<= mappers x d*w rows at any corpus size); estimates are "
+    "pure expressions over a broadcast 32 KB side table.",
+    tags=("text", "sketch", "stats"),
+)
+def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.sketches import cm_estimate, cm_sketch
+
+    d_, w_ = 4, 2048
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (docs.select(F.explode_outer(tokenize(F.col("text")))
+                        .alias("tok"))
+            .filter(F.col("tok").isNotNull()))
+    sk = cm_sketch(toks, "tok", d=d_, w=w_)
+    exact = (toks.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("exact_count"))
+             .orderBy(F.desc("exact_count"), "tok").limit(10))
+    return (exact.crossJoin(F.broadcast(sk.select("cm")))
+            .select("tok",
+                    cm_estimate(F.col("cm"), F.col("tok"), d_, w_)
+                    .cast("long").alias("est_count"),
+                    "exact_count")
+            .orderBy(F.desc("exact_count"), "tok"))
+
+
+@query(
     "t41_pmi_collocations",
     oracle=f"""
     WITH toks AS (

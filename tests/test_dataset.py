@@ -842,6 +842,7 @@ def test_sketch_lifecycle_incremental_and_rebuild(spark, tmp_path_ds):
     ds.create_sketch("text", "kmv", by=["src"], k=16)
     ds.create_sketch("text", "bloom", n_words=8)
     ds.create_sketch("val", "sample", k=16)
+    ds.create_sketch("text", "cm", d=2, w=64)
 
     with pytest.raises(dl.IndexAlreadyExistsError):
         ds.create_sketch("text", "kmv")
@@ -865,6 +866,10 @@ def test_sketch_lifecycle_incremental_and_rebuild(spark, tmp_path_ds):
     assert [tuple(s) for s in
             ds.load_sketch("val", "sample").head().sample] == \
         [tuple(s) for s in fresh_sample.head().sample]
+    # cm: delta maintenance is EXACT (counts add cell-for-cell)
+    fresh_cm = sk.cm_sketch(ds.to_df(), "text", d=2, w=64)
+    assert list(ds.load_sketch("text", "cm").head().cm) == \
+        list(fresh_cm.head().cm)
 
     # update commit -> full rebuild reflects the new values
     ds.update(0, {"val": 999.0})

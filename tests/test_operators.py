@@ -1175,6 +1175,72 @@ def test_bloom_incremental_equals_full_build(spark, tmp_path):
         append_bloom_delta(second, "x", path, by=["g"], n_words=32)
 
 
+def test_cm_sketch_model_merge_and_bounds(spark, tmp_path):
+    """Count-Min: cells match an independent Python model exactly;
+    point estimates NEVER underestimate; disjoint-split merge and
+    per-group delta append equal a fresh full build CELL-FOR-CELL
+    (counts are additive — an exact law, not distributional);
+    geometry guard raises; NULL occurrences count nothing."""
+    import hashlib
+    from collections import Counter
+
+    from deeplake_spark.operators.sketches import (
+        append_cm_delta, cm_estimate, cm_merge, cm_sketch, load_cm,
+        save_cm)
+
+    vals = []
+    for i in range(60):
+        vals += [f"t{i}"] * (200 // (i + 1))    # zipf-ish
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "x string, i long")
+    d_, w_ = 4, 256
+    sk = cm_sketch(df, "x", d=d_, w=w_).head()
+    assert sk.d == d_ and sk.w == w_ and len(sk.cm) == d_ * w_
+
+    def md5i(v, s):
+        return int(hashlib.md5(f"{v}#{s}".encode()).hexdigest()[:15], 16)
+
+    cells = [0] * (d_ * w_)
+    for v in vals:
+        for j in range(d_):
+            cells[j * w_ + md5i(v, j) % w_] += 1
+    assert list(sk.cm) == cells
+
+    true = Counter(vals)
+    probe = spark.createDataFrame([(t,) for t in true], "x string")
+    ests = {r.x: r.e for r in probe.crossJoin(F.broadcast(
+        spark.createDataFrame([(cells,)], "cm array<bigint>"))).select(
+        "x", cm_estimate(F.col("cm"), F.col("x"), d_, w_).alias("e"))
+        .collect()}
+    assert all(ests[t] >= c for t, c in true.items())  # never under
+
+    # deterministic split: merge == full build cell-for-cell
+    h1, h2 = df.filter("i % 2 = 0"), df.filter("i % 2 = 1")
+    s1 = cm_sketch(h1, "x", d=d_, w=w_).select(F.col("cm").alias("a"))
+    s2 = cm_sketch(h2, "x", d=d_, w=w_).select(F.col("cm").alias("b"))
+    merged = s1.crossJoin(s2).select(
+        cm_merge(F.col("a"), F.col("b")).alias("cm")).head().cm
+    assert list(merged) == cells
+
+    gdf = df.withColumn("g", F.concat(F.lit("g"), (F.col("i") % 2)
+                                      .cast("string")))
+    path = str(tmp_path / "cm")
+    save_cm(cm_sketch(gdf.filter("i < 600"), "x", by=["g"],
+                      d=d_, w=w_), path)
+    append_cm_delta(gdf.filter("i >= 600"), "x", path, by=["g"],
+                    d=d_, w=w_)
+    got = {r.g: list(r.cm) for r in load_cm(spark, path).collect()}
+    want = {r.g: list(r.cm) for r in cm_sketch(
+        gdf, "x", by=["g"], d=d_, w=w_).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="built with"):
+        append_cm_delta(gdf, "x", path, by=["g"], d=8, w=w_)
+
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 9999)], "x string, i long"))
+    assert list(cm_sketch(with_null, "x", d=d_, w=w_).head().cm) == cells
+
+
 def test_sample_sketch_model_merge_and_quantiles(spark, tmp_path):
     """Bottom-k sample sketch: pairs match an independent Python model
     exactly; quantile estimates land within the ~1/sqrt(k) band on a
