@@ -145,6 +145,8 @@ def probes(reg):
         # constant under shifted-key replication.
         "t41_pmi_collocations",
         "t42_winnow_fingerprint_pairs",
+        # the CM sketch build (cell-keyed shuffle, map-side partials)
+        "t44_cm_token_frequencies",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
