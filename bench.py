@@ -31,6 +31,58 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def calibration_probe(spark) -> float:
+    """Fixed synthetic workload timed at bench start (detail.calibration_s).
+
+    Two rounds running, cross-round warm deltas were dominated by host
+    drift (round-12 VERDICT: a 2.25x apparent v25 regression A/B'd to
+    parity on the same host; BASELINE.md "Host calibration" measured
+    the round-12 container 1.21x slower on an unchanged snapshot).
+    This probe is the in-band host speedometer: a seeded 1M-row
+    tokenize + HOF-cosine + shuffle round with NO testdata dependence
+    (md5-of-id synthesizes both the token list and the vector, so the
+    workload is bit-identical on every host and every round). Protocol
+    (BASELINE.md): divide a cross-round warm comparison by the
+    calibration ratio before reading it as a code delta.
+
+    Returns the best of two timed passes after one untimed codegen
+    pass — same warm discipline as the query lanes.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    df = (
+        spark.range(0, n, 1, 32)
+        # tokenize-ish: 8 deterministic hash words per row
+        .withColumn("toks", F.expr(
+            "transform(sequence(0, 7),"
+            " i -> substr(md5(cast(id * 8 + i as string)), 1, 8))"))
+        # HOF cosine: 32-dim deterministic vector vs a constant vector
+        .withColumn("vec", F.expr(
+            "transform(sequence(0, 31),"
+            " i -> cast(conv(substr(md5(cast(id * 32 + i as string)), 1, 6),"
+            " 16, 10) as double) / 16777215.0)"))
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(vec, transform(sequence(0, 31),"
+            " i -> cast(i + 1 as double) / 32.0), (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"))
+        .withColumn("norm", F.expr(
+            "sqrt(aggregate(vec, cast(0.0 as double),"
+            " (acc, x) -> acc + x * x))"))
+        # shuffle round: bucket agg over the derived values
+        .groupBy((F.col("id") % 1024).alias("bucket"))
+        .agg(F.sum(F.col("dot") / F.col("norm")).alias("s"),
+             F.sum(F.size(F.col("toks"))).alias("ntok"))
+    )
+    force(df)  # untimed: codegen compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(df)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -48,6 +100,10 @@ def main() -> None:
     # indexes before the timed loop; report each build's cost in
     # `detail` so the ingest price stays visible.
     detail: dict[str, float] = {}
+    try:
+        detail["calibration_s"] = calibration_probe(spark)
+    except Exception as exc:
+        print(f"bench: calibration probe FAILED: {exc}", file=sys.stderr)
     try:
         # scan-layout ingest: the testdata ships its big tables as ONE
         # parquet row group, which serializes every decode onto one core
@@ -191,6 +247,10 @@ def main() -> None:
 
     compact = dict(payload, queries=shorten(warm), cold=shorten(timings))
     compact.pop("warm_runs", None)  # full samples live in BENCH_FULL.json
+    if "calibration_s" in detail:
+        # host speedometer must survive every length fallback below —
+        # it's the one field BASELINE.md's cross-round protocol needs
+        compact["calib"] = detail["calibration_s"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # fallbacks: cold map, then detail, then queries
         compact.pop("cold", None)  # cold_total survives inside detail
