@@ -1106,6 +1106,162 @@ def _decode_nifti(payload: bytes) -> np.ndarray:
     return arr.reshape(shape, order="F")
 
 
+# DICOM (NEMA PS3.10 file format / PS3.5 encoding) — from-scratch
+# decoder for the uncompressed little-endian transfer syntaxes, the
+# same stdlib struct+numpy protocol as _decode_nifti. Compressed /
+# exotic syntaxes raise _MedicalUnsupported and fall through to
+# pydicom when installed. Reference Medical htype:
+# python/deeplake/types.pyi:1369-1428, cpp/deeplake_core/medical_type.hpp.
+
+_DICOM_IMPLICIT_LE = "1.2.840.10008.1.2"
+_DICOM_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+# VRs using the 4-byte length form (2 reserved bytes + uint32), PS3.5 §7.1.2
+_DICOM_LONG_VRS = {b"OB", b"OD", b"OF", b"OL", b"OV", b"OW", b"SQ",
+                   b"SV", b"UC", b"UN", b"UR", b"UT", b"UV"}
+_DICOM_SHORT_VRS = {b"AE", b"AS", b"AT", b"CS", b"DA", b"DS", b"DT",
+                    b"FL", b"FD", b"IS", b"LO", b"LT", b"PN", b"SH",
+                    b"SL", b"SS", b"ST", b"TM", b"UI", b"UL", b"US"}
+
+
+def _dicom_walk(payload: bytes, pos: int, end: int, explicit: bool,
+                collect: dict | None) -> int:
+    """Walk one dataset scope in payload[pos:end]; fill `collect`
+    (tag → value bytes) for top-level elements. Sequence bodies are
+    skipped (defined length: by length; undefined length: by item walk,
+    recursing for undefined-length items). Returns the position after
+    the scope — end of buffer, or just past an item/sequence delimiter
+    when called for a nested scope."""
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", payload, pos)
+        tag = (group, elem)
+        if tag in ((0xFFFE, 0xE00D), (0xFFFE, 0xE0DD)):
+            return pos + 8  # item / sequence delimitation (zero length)
+        if tag == (0xFFFE, 0xE000):  # item header inside a sequence body
+            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            pos += 8
+            pos = (_dicom_walk(payload, pos, end, explicit, None)
+                   if length == 0xFFFFFFFF else pos + length)
+            continue
+        if explicit:
+            vr = payload[pos + 4:pos + 6]
+            if vr in _DICOM_LONG_VRS:
+                (length,) = struct.unpack_from("<I", payload, pos + 8)
+                vpos = pos + 12
+            else:
+                (length,) = struct.unpack_from("<H", payload, pos + 6)
+                vpos = pos + 8
+        else:
+            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            vpos = pos + 8
+        if length == 0xFFFFFFFF:  # undefined length
+            if tag == (0x7FE0, 0x0010):
+                raise _MedicalUnsupported(
+                    "encapsulated (compressed) DICOM PixelData")
+            pos = _dicom_walk(payload, vpos, end, explicit, None)
+            continue
+        if vpos + length > end:
+            raise ValueError("DICOM element overruns payload")
+        if collect is not None and tag in collect:
+            collect[tag] = payload[vpos:vpos + length]
+        pos = vpos + length
+    return pos
+
+
+def _decode_dicom(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed little-endian DICOM (PS3.10 part-10
+    files and raw datasets): preamble+DICM sniff, explicit-VR file meta
+    walk for the TransferSyntaxUID, then an explicit- or implicit-VR
+    element walk to Rows/Columns/BitsAllocated/PixelRepresentation/
+    SamplesPerPixel/NumberOfFrames and the PixelData buffer. Compressed
+    or big-endian transfer syntaxes raise _MedicalUnsupported (pydicom
+    fallthrough, the nibabel convention)."""
+    payload = bytes(payload)
+    explicit = True
+    if len(payload) >= 132 and payload[128:132] == b"DICM":
+        pos, end = 132, len(payload)
+        ts = None
+        while pos + 8 <= end:  # file meta group: always explicit VR LE
+            group, _elem = struct.unpack_from("<HH", payload, pos)
+            if group != 0x0002:
+                break
+            meta: dict = {(0x0002, 0x0010): None}
+            # parse just this element via a single-element walk
+            vr = payload[pos + 4:pos + 6]
+            if vr in _DICOM_LONG_VRS:
+                (length,) = struct.unpack_from("<I", payload, pos + 8)
+                vpos = pos + 12
+            else:
+                (length,) = struct.unpack_from("<H", payload, pos + 6)
+                vpos = pos + 8
+            if (group, _elem) == (0x0002, 0x0010):
+                ts = (payload[vpos:vpos + length]
+                      .rstrip(b"\x00 ").decode("ascii", "replace"))
+            pos = vpos + length
+        if ts is None:
+            raise ValueError("DICOM file meta missing TransferSyntaxUID")
+        if ts == _DICOM_EXPLICIT_LE:
+            explicit = True
+        elif ts == _DICOM_IMPLICIT_LE:
+            explicit = False
+        else:
+            raise _MedicalUnsupported(f"DICOM transfer syntax {ts}")
+    elif len(payload) >= 8 and payload[4:6] in _DICOM_SHORT_VRS | _DICOM_LONG_VRS:
+        pos, end = 0, len(payload)  # raw explicit-VR dataset
+        explicit = True
+    elif len(payload) >= 8:
+        # raw implicit-VR dataset: first tag must be a plausible group
+        group, _ = struct.unpack_from("<HH", payload, 0)
+        if group in (0x0008, 0x0010, 0x0018, 0x0020, 0x0028, 0x7FE0):
+            pos, end, explicit = 0, len(payload), False
+        else:
+            raise ValueError("not a DICOM payload")
+    else:
+        raise ValueError("not a DICOM payload (too short)")
+
+    want: dict = {
+        (0x0028, 0x0002): None,  # SamplesPerPixel US
+        (0x0028, 0x0008): None,  # NumberOfFrames IS
+        (0x0028, 0x0010): None,  # Rows US
+        (0x0028, 0x0011): None,  # Columns US
+        (0x0028, 0x0100): None,  # BitsAllocated US
+        (0x0028, 0x0103): None,  # PixelRepresentation US
+        (0x7FE0, 0x0010): None,  # PixelData OW/OB
+    }
+    _dicom_walk(payload, pos, end, explicit, want)
+
+    def us(tag, default):
+        v = want[tag]
+        return default if not v else struct.unpack_from("<H", v, 0)[0]
+
+    rows, cols = us((0x0028, 0x0010), 0), us((0x0028, 0x0011), 0)
+    if not rows or not cols:
+        raise ValueError("DICOM payload missing Rows/Columns")
+    pix = want[(0x7FE0, 0x0010)]
+    if pix is None:
+        raise ValueError("DICOM payload missing PixelData")
+    bits = us((0x0028, 0x0100), 16)
+    signed = us((0x0028, 0x0103), 0) == 1
+    samples = us((0x0028, 0x0002), 1)
+    nf_raw = want[(0x0028, 0x0008)]
+    frames = int(nf_raw.strip(b"\x00 ") or b"1") if nf_raw else 1
+    base = {8: np.int8 if signed else np.uint8,
+            16: np.int16 if signed else np.uint16,
+            32: np.int32 if signed else np.uint32}.get(bits)
+    if base is None:
+        raise _MedicalUnsupported(f"DICOM BitsAllocated {bits}")
+    count = rows * cols * samples * frames
+    if len(pix) < count * np.dtype(base).itemsize:
+        raise ValueError("DICOM PixelData shorter than Rows*Columns*...")
+    arr = np.frombuffer(pix, dtype=np.dtype(base).newbyteorder("<"),
+                        count=count)
+    shape = [rows, cols]
+    if samples > 1:
+        shape.append(samples)
+    if frames > 1:
+        shape = [frames] + shape
+    return arr.reshape(shape)  # pydicom pixel_array shape convention
+
+
 def _decode_dicom_pydicom(payload: bytes) -> np.ndarray:
     """REAL DICOM decode via pydicom (import-gated by the caller)."""
     import io
@@ -1130,8 +1286,10 @@ def _decode_nifti_nibabel(payload: bytes) -> np.ndarray:
 
 def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
     """Medical payload → nd voxel array. nii/nii.gz decode for REAL
-    stdlib-only (nibabel as fallthrough for exotic variants); dcm is
-    pydicom-gated; deterministic fake otherwise."""
+    stdlib-only (nibabel as fallthrough for exotic variants); dcm
+    decodes for REAL stdlib-only for the uncompressed little-endian
+    transfer syntaxes (pydicom as fallthrough for compressed ones);
+    deterministic fake otherwise."""
     if compression in ("nii", "nii.gz"):
         try:
             return _decode_nifti(payload)
@@ -1152,6 +1310,14 @@ def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
                 "this NIfTI variant requires nibabel, which is not installed")
         return _fake_decode(payload)[:, :, 0]
     if compression == "dcm":
+        try:
+            return _decode_dicom(payload)
+        except _MedicalUnsupported:
+            pass  # compressed/big-endian transfer syntax → pydicom below
+        except Exception:
+            if strict:
+                raise
+            return _fake_decode(payload)[:, :, 0]
         if _module_available("pydicom"):
             try:
                 return _decode_dicom_pydicom(payload)
@@ -1160,7 +1326,8 @@ def _volume(payload: bytes, compression: str, strict: bool) -> np.ndarray:
                     raise
         elif strict:
             raise FormatNotSupportedError(
-                "DICOM decode requires pydicom, which is not installed")
+                "this DICOM transfer syntax requires pydicom, "
+                "which is not installed")
         return _fake_decode(payload)[:, :, 0]
     if strict:
         raise FormatNotSupportedError(f"medical codec {compression!r} not available")

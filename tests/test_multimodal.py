@@ -513,9 +513,109 @@ def test_real_nifti_decode_roundtrip(spark):
     assert (got == vol).all()
 
 
-def test_medical_dicom_real_branch_with_stubbed_pydicom(monkeypatch):
-    """With pydicom importable, the real dcm branch runs (stub-module
-    proof, the av/soundfile pattern); without it, strict raises."""
+def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
+                  with_seq=False):
+    """Test-side DICOM part-10 writer (NEMA PS3.10/PS3.5): 128-byte
+    preamble + DICM + explicit-VR file meta (TransferSyntaxUID) + a
+    little-endian dataset with the image-pixel module and PixelData.
+    `with_seq` plants an undefined-length SQ with an undefined-length
+    item before the pixel module to exercise the decoder's skip walk."""
+    import struct as st
+
+    import numpy as np
+
+    def ele(g, e, vr, v):  # explicit-VR element
+        if len(v) % 2:
+            v += b"\x00"
+        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+            return st.pack("<HH2sHI", g, e, vr, 0, len(v)) + v
+        return st.pack("<HH2sH", g, e, vr, len(v)) + v
+
+    def eli(g, e, vr, v):  # implicit-VR element
+        if len(v) % 2:
+            v += b"\x00"
+        return st.pack("<HHI", g, e, len(v)) + v
+
+    el = ele if explicit else eli
+    signed = arr.dtype.kind == "i"
+    bits = arr.dtype.itemsize * 8
+    if arr.ndim == 2:
+        frames, (rows, cols) = 1, arr.shape
+    else:
+        frames, rows, cols = arr.shape
+    body = b""
+    if with_seq:
+        inner = el(0x0008, 0x0100, b"SH", b"CODE")
+        item = (st.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
+                + st.pack("<HHI", 0xFFFE, 0xE00D, 0))
+        seq = item + st.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        if explicit:
+            body += st.pack("<HH2sHI", 0x0008, 0x1140, b"SQ", 0,
+                            0xFFFFFFFF) + seq
+        else:
+            body += st.pack("<HHI", 0x0008, 0x1140, 0xFFFFFFFF) + seq
+    body += el(0x0028, 0x0002, b"US", st.pack("<H", 1))
+    if frames > 1:
+        body += el(0x0028, 0x0008, b"IS", str(frames).encode())
+    body += el(0x0028, 0x0010, b"US", st.pack("<H", rows))
+    body += el(0x0028, 0x0011, b"US", st.pack("<H", cols))
+    body += el(0x0028, 0x0100, b"US", st.pack("<H", bits))
+    body += el(0x0028, 0x0101, b"US", st.pack("<H", bits))
+    body += el(0x0028, 0x0102, b"US", st.pack("<H", bits - 1))
+    body += el(0x0028, 0x0103, b"US", st.pack("<H", 1 if signed else 0))
+    pix = arr.astype(arr.dtype.newbyteorder("<")).tobytes(order="C")
+    body += (ele if explicit else eli)(0x7FE0, 0x0010, b"OW", pix)
+    if not preamble:
+        return body
+    ts = transfer_syntax or ("1.2.840.10008.1.2.1" if explicit
+                             else "1.2.840.10008.1.2")
+    tsb = ts.encode()
+    if len(tsb) % 2:
+        tsb += b"\x00"
+    meta = st.pack("<HH2sH", 2, 0x10, b"UI", len(tsb)) + tsb
+    metalen = st.pack("<HH2sH", 2, 0, b"UL", 4) + st.pack("<I", len(meta))
+    return b"\x00" * 128 + b"DICM" + metalen + meta + body
+
+
+def test_real_dicom_decode_roundtrip(spark):
+    """Uncompressed LE DICOM decodes for REAL (stdlib struct+numpy, no
+    pydicom): explicit and implicit VR, part-10 and raw datasets,
+    signed int16, undefined-length sequence skipped, multi-frame
+    uint8 → (frames, rows, cols)."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_dicom, decode_medical
+
+    sl = (np.arange(12, dtype=np.int16) - 5).reshape(3, 4)
+    for kw in (dict(), dict(explicit=False), dict(preamble=False),
+               dict(explicit=False, preamble=False), dict(with_seq=True),
+               dict(explicit=False, with_seq=True)):
+        got = _decode_dicom(_encode_dicom(sl, **kw))
+        assert got.dtype == np.int16 and (got == sl).all(), kw
+
+    mf = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    got = _decode_dicom(_encode_dicom(mf))
+    assert got.shape == (2, 3, 4) and got.dtype == np.uint8
+    assert (got == mf).all()
+
+    # executor-side: decode_medical over the dcm branch, strict, no pydicom
+    df = spark.createDataFrame(
+        [(0, bytearray(_encode_dicom(sl))),
+         (1, bytearray(_encode_dicom(sl, explicit=False, with_seq=True)))],
+        "id long, scan binary")
+    rows = (decode_medical(df, "scan", compression="dcm", strict=True)
+            .orderBy("id").collect())
+    for row in rows:
+        assert list(row.shape) == [3, 4]
+        assert (np.array(row.voxels).reshape(3, 4) == sl).all()
+
+
+def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
+    """Compressed transfer syntaxes are _MedicalUnsupported for the
+    stdlib decoder: strict without pydicom raises the taxonomy error;
+    with pydicom importable the fallthrough runs (stub-module proof,
+    the av/soundfile pattern). Truly malformed payloads raise
+    ValueError in strict mode."""
     import sys
     import types
 
@@ -524,7 +624,11 @@ def test_medical_dicom_real_branch_with_stubbed_pydicom(monkeypatch):
 
     from deeplake_spark.operators.multimodal import _volume
 
+    jpg = _encode_dicom(np.zeros((2, 2), dtype=np.uint8),
+                        transfer_syntax="1.2.840.10008.1.2.4.70")
     with pt.raises(NotImplementedError):
+        _volume(jpg, "dcm", strict=True)
+    with pt.raises(ValueError):
         _volume(b"DICM-ish", "dcm", strict=True)
 
     pix = np.full((3, 3), 42, dtype=np.int16)
@@ -535,7 +639,7 @@ def test_medical_dicom_real_branch_with_stubbed_pydicom(monkeypatch):
     stub = types.ModuleType("pydicom")
     stub.dcmread = lambda fh: _DS()
     monkeypatch.setitem(sys.modules, "pydicom", stub)
-    assert (_volume(b"DICM-ish", "dcm", strict=True) == pix).all()
+    assert (_volume(jpg, "dcm", strict=True) == pix).all()
 
 
 def test_real_stl_mesh_stats(spark):
