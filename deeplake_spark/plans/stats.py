@@ -45,19 +45,28 @@ class ColumnStatistics:
 _ORDERED = (T.NumericType, T.StringType, T.TimestampType, T.DateType, T.BooleanType)
 
 
-def sketch_column_statistics(ds, column: str) -> dict[str, DataFrame]:
+def sketch_column_statistics(ds, column: str,
+                             probe_values: list | None = None,
+                             ) -> dict[str, DataFrame]:
     """Corpus-free column statistics from the dataset's REGISTERED
     sketches (Dataset.create_sketch): whatever sketch kinds exist on
     ``column`` become estimate DataFrames reading ONLY the persisted
     side tables — at 100 TB this answers distinct-count / quantile /
-    membership-saturation questions in side-table time while
-    `compute_column_statistics` would re-scan the corpus. Returned per
-    kind: ``kmv`` → (grouping cols, est_distinct), ``sample`` →
-    (grouping cols, est_p25/est_p50/est_p90), ``bloom`` → (grouping
-    cols, fill_fpp). Sketches refresh at commit (indexing_mode), so
-    the estimates track ingest without a rebuild."""
+    membership-saturation / point-frequency questions in side-table
+    time while `compute_column_statistics` would re-scan the corpus.
+    Returned per kind: ``kmv`` → (grouping cols, est_distinct),
+    ``sample`` → (grouping cols, est_p25/est_p50/est_p90), ``bloom`` →
+    (grouping cols, fill_fpp), ``cm`` → (grouping cols, value,
+    est_count) ordered heaviest-first. Count-Min needs PROBE values:
+    pass ``probe_values`` explicitly, or — when a ``sample`` sketch
+    also exists on the column — its sampled values serve as probes (a
+    uniform row sample contains every heavy hitter with high
+    probability, the standard CM heavy-hitter pairing; probes are cast
+    back to the column dtype so they hash identically to the build).
+    Sketches refresh at commit (indexing_mode), so the estimates track
+    ingest without a rebuild."""
     from deeplake_spark.operators.sketches import (
-        bloom_fill, kmv_estimate, sample_quantile)
+        bloom_fill, cm_estimate, kmv_estimate, sample_quantile)
 
     out: dict[str, DataFrame] = {}
     for kind in ("kmv", "sample", "bloom"):
@@ -84,6 +93,46 @@ def sketch_column_statistics(ds, column: str) -> dict[str, DataFrame]:
                 *by, F.round(bloom_fill(
                     F.col("bloom"), int(first.n_words),
                     int(first.k_hashes)), 9).alias("fill_fpp"))
+
+    try:
+        cm = ds.load_sketch(column, "cm")
+    except Exception:
+        cm = None
+    if cm is not None:
+        geo = cm.select("d", "w", "seed").head()
+        d, w, seed = int(geo.d), int(geo.w), int(geo.seed)
+        by = [c for c in cm.columns if c not in {"cm", "d", "w", "seed"}]
+        dtype = ds.schema[column].dataType.simpleString()
+        joined = None
+        if probe_values is not None:
+            arr = F.array(*[F.lit(v).cast(dtype) for v in probe_values])
+            joined = (cm.select(*by, "cm",
+                                F.explode_outer(arr).alias("__probe"))
+                      .filter(F.col("__probe").isNotNull()))
+        else:
+            try:
+                samp = ds.load_sketch(column, "sample")
+            except Exception:
+                samp = None
+            if samp is not None:
+                sby = [c for c in samp.columns
+                       if c not in {"sample", "k", "salt"}]
+                vals = (samp.select(
+                    *sby,
+                    F.explode_outer(F.array_distinct(F.transform(
+                        F.col("sample"), lambda s: s["__v"])))
+                    .alias("__probe"))
+                    .filter(F.col("__probe").isNotNull()))
+                shared = [c for c in sby if c in by]
+                probes = vals.select(*shared, "__probe")
+                joined = (cm.join(probes, shared) if shared
+                          else cm.crossJoin(probes))  # KB-scale side tables
+        if joined is not None:
+            out["cm"] = (joined.select(
+                *by, F.col("__probe").cast(dtype).alias("value"),
+                cm_estimate(F.col("cm"), F.col("__probe").cast(dtype),
+                            d, w, seed).alias("est_count"))
+                .orderBy(F.desc("est_count"), "value"))
     return out
 
 

@@ -312,17 +312,35 @@ def test_sketch_column_statistics_corpus_free(spark, tmp_path):
     ds.create_sketch("tok", "kmv", k=64)
     ds.create_sketch("tok", "bloom", n_words=16)
     ds.create_sketch("ln", "sample", k=64)
+    ds.create_sketch("tok", "cm", w=512)
+    ds.create_sketch("ln", "cm", w=512)
 
     stats_tok = sketch_column_statistics(ds, "tok")
+    # cm needs probes (no sample sketch on tok, none passed) → absent
     assert set(stats_tok) == {"kmv", "bloom"}
     est = stats_tok["kmv"].head().est_distinct
     assert est == 40.0  # below k: exact
     fpp = stats_tok["bloom"].head().fill_fpp
     assert 0 < fpp < 1
     stats_ln = sketch_column_statistics(ds, "ln")
-    assert set(stats_ln) == {"sample"}
+    assert set(stats_ln) == {"sample", "cm"}
     q = stats_ln["sample"].head()
     assert 0 <= q.est_p25 <= q.est_p50 <= q.est_p90 <= 96.0
+
+    # cm heavy hitters, explicit probe list: tok t{i%40} over 300 rows
+    # → true counts 8 (i<20) / 7 (i>=20); CM never underestimates
+    stats_tok = sketch_column_statistics(
+        ds, "tok", probe_values=["t0", "t39", "zzz-absent"])
+    rows = {r.value: r.est_count for r in stats_tok["cm"].collect()}
+    assert rows["t0"] >= 8 and rows["t39"] >= 7
+    assert rows["zzz-absent"] <= 2  # ~0: 300 increments over 4x512 cells
+    # cm paired with the sample sketch's values (ln: each value 3-4x)
+    cm_ln = stats_ln["cm"].collect()
+    assert cm_ln and all(r.est_count >= 3 for r in cm_ln)
+    assert all(r.est_count <= 10 for r in cm_ln)  # small overestimate only
+    # ordered heaviest-first
+    ests = [r.est_count for r in cm_ln]
+    assert ests == sorted(ests, reverse=True)
 
     # corpus-free: every scanned file is a sketch side table
     for kind, df in {**stats_tok, **stats_ln}.items():
