@@ -2587,3 +2587,85 @@ def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw").cast("long").alias("n_raw_digests"),
         F.sum("nfc").cast("long").alias("n_nfc_digests"),
         F.sum("stripped").cast("long").alias("n_stripped_digests"))
+
+
+@query(
+    "t45_winnow_capped_boilerplate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'prefix' || CAST(doc_id AS VARCHAR) || ' padd ' || text
+             || ' standard footer applies all rights reserved worldwide'
+             || ' contact support team'
+      FROM documents WHERE doc_id < 40
+    ),
+    toks AS (
+      SELECT doc_id, {{toks}} AS t FROM base
+    ),
+    hs AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 4 THEN
+          list_transform(range(1, len(t) - 2), i ->
+            CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+              || t[i+2] || ' ' || t[i+3] || '#0'), 1, 15)) AS UBIGINT)
+              AS BIGINT))
+        ELSE [] END AS h
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(h) >= 4 THEN
+          list_distinct(list_transform(range(1, len(h) - 2), j ->
+            list_min(list_slice(h, j, j + 3))))
+        WHEN len(h) >= 1 THEN [list_min(h)]
+        ELSE [] END) AS fp
+      FROM hs
+    ),
+    bounded AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16
+    ),
+    kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN bounded USING (fp)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY a, b
+    """.format(toks=_DUCK_TOKS.format(c="text")),
+    doc="The CAPPED winnowing lane (winnow_fingerprint_pairs "
+    "max_docs=16) — the arm a real corpus runs, now hash-checked: 40 "
+    "planted docs share a 10-token boilerplate footer whose "
+    "fingerprints hit document frequency 40 > 16 and are dropped "
+    "before the self-join (DuckDB spells the cap as HAVING COUNT(*) "
+    "<= 16 on the posting CTE), so the ~780 footer-only pairs "
+    "contribute ZERO rows while each doc's genuine copy (same body "
+    "behind a doc-specific prefix, df = 2) still surfaces with a "
+    "high shared-fingerprint count. This moves the cap's "
+    "boilerplate-zero-pair guarantee from a unit test to an "
+    "oracle-checked query; at 100 TB the cap is what bounds the "
+    "posting self-join's fan-out (the t33 convention).",
+    tags=("text", "dedup", "fingerprint"),
+)
+def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import winnow_fingerprint_pairs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    footer = (" standard footer applies all rights reserved worldwide"
+              " contact support team")
+    planted = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") < 40)
+               .select((F.col("doc_id") + F.lit(2_000_000))
+                       .alias("doc_id"),
+                       F.concat(F.lit("prefix"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(" padd "),
+                                F.col("text"),
+                                F.lit(footer)).alias("text")))
+    base = docs.unionByName(planted)
+    return (winnow_fingerprint_pairs(base, k=4, w=4, min_shared=3,
+                                     max_docs=16)
+            .orderBy("a", "b"))
