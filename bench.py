@@ -160,6 +160,12 @@ def main() -> None:
         import gc
 
         if i % 10 == 9:
+            # explicit release first (round-13: the dedup operators
+            # track their persisted intermediates), then collect the
+            # remaining untracked refs for the ContextCleaner
+            from deeplake_spark.operators.dedup import release_cached
+
+            release_cached()
             gc.collect()
             time.sleep(0.3)  # let the async ContextCleaner drain
 

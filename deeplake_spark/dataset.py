@@ -1941,12 +1941,17 @@ class Dataset:
         Entry file lists are CUMULATIVE, so reachability needs only the
         retained entries' own lists, never an ancestry closure.
 
-        Requires no CONCURRENT writers (the Delta convention: another
-        writer's staged-but-uncommitted files look unreferenced); this
-        instance's own staged files are excluded. ``min_age_s``
-        additionally retains any version committed within the window —
-        the Delta hours-retention analog protecting readers that
-        checked out just before the vacuum. ``dry_run`` reports without
+        Retention walks parent AND merge_parent edges, so a merged-in
+        branch's history stays protected even after its branch ref is
+        deleted. This instance's own staged files are always excluded
+        from reclamation; ``min_age_s`` additionally (1) retains any
+        version committed within the window — the Delta
+        hours-retention analog protecting readers that checked out
+        just before the vacuum — and (2) skips ANY data file younger
+        than the window regardless of reachability, which is what
+        protects a CONCURRENT writer's staged-but-uncommitted files
+        (with ``min_age_s=0`` the Delta no-concurrent-writers
+        convention applies unsoftened). ``dry_run`` reports without
         deleting. Returns {deleted_files, retained_versions,
         vacuumed_versions, dry_run}."""
         self._check_writable()
@@ -1956,13 +1961,24 @@ class Dataset:
         st = _store(self.path)
         retained: set[int] = set()
         for head in set(refs.get("branches", {}).values()):
-            v, n = int(head), 0
-            while v and v > 0 and n < keep_versions:
-                if not st.exists(_log_path(self.path, v)):
-                    break
-                retained.add(v)
-                v = _read_entry(self.path, v).get("parent") or 0
-                n += 1
+            # BFS over parent AND merge_parent edges, keep_versions
+            # levels deep: a merged-in branch's history stays protected
+            # after its ref is deleted (round-12 ADVICE — first-parent-
+            # only walks left merge_parent chains reclaimable at once)
+            frontier, seen = {int(head)}, set()
+            for _ in range(keep_versions):
+                nxt: set[int] = set()
+                for v in frontier:
+                    if not v or v <= 0 or v in seen or \
+                            not st.exists(_log_path(self.path, v)):
+                        continue
+                    seen.add(v)
+                    retained.add(v)
+                    e = _read_entry(self.path, v)
+                    for p in (e.get("parent"), e.get("merge_parent")):
+                        if p:
+                            nxt.add(int(p))
+                frontier = nxt
         for tmeta in refs.get("tags", {}).values():
             tv = tmeta.get("version") if isinstance(tmeta, dict) else tmeta
             if tv:
@@ -1985,6 +2001,17 @@ class Dataset:
         live.update(self._staged_files)
         live.update(self._staged_patches)
         data_dir = os.path.join(self.path, _DATA_DIR)
+        if min_age_s > 0:
+            # staged-file age guard: a file younger than the window is
+            # indistinguishable from ANOTHER writer's staged-but-
+            # uncommitted data — keep it regardless of reachability
+            # (and don't mark its versions vacuumed below). Backends
+            # without mtime report 0.0 → the guard degrades to the
+            # reachability-only behavior for those files.
+            cutoff = time.time() - float(min_age_s)
+            for f in set(st.list(data_dir)) - live:
+                if st.mtime(os.path.join(data_dir, f)) >= cutoff:
+                    live.add(f)
         victims = sorted(set(st.list(data_dir)) - live)
         all_versions = sorted(
             int(fn[:-5]) for fn in st.list(os.path.join(self.path, _LOG_DIR))

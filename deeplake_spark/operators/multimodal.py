@@ -863,14 +863,24 @@ def _video_frames(payload: bytes, every_n: int, strict: bool) -> list[tuple[int,
         # payloads raise struct.error/IndexError from the binary walk —
         # catch Exception like the image path so non-strict falls back
         try:
-            from deeplake_spark.operators._gif import decode_gif
+            from deeplake_spark.operators._gif import (
+                GifUnsupported,
+                decode_gif,
+            )
 
             frames = decode_gif(payload)
             return [(i, f[..., :3]) for i, (f, _delay) in
                     enumerate(frames) if i % every_n == 0]
+        except GifUnsupported:
+            # in-scope-boundary variant (restore-to-previous disposal):
+            # same fallthrough as the image path's _decode_one — the
+            # PyAV/fake chain below, FormatNotSupportedError in strict
+            # mode without the lib (NOT a re-raise: the two entry
+            # points must surface the same condition the same way)
+            pass
         except Exception:
             if strict:
-                raise
+                raise  # corrupt payload is a real decode error
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         try:
             return _decode_video_frames_avi(payload, every_n)

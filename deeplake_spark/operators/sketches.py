@@ -115,7 +115,7 @@ def save_kmv(sketches: DataFrame, path: str) -> None:
 
 
 def load_kmv(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _load_side_table(spark, path)
 
 
 def sample_sketch(df: DataFrame, value_col: str, id_col: str,
@@ -198,22 +198,95 @@ def save_sample(sketches: DataFrame, path: str) -> None:
 
 
 def load_sample(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _load_side_table(spark, path)
+
+
+def _hfs(spark, path: str):
+    """(FileSystem, Path-class, Path) for ``path`` — the side table may
+    live on any supported filesystem (s3a/..., like the index
+    sidecars)."""
+    cls = spark._jvm.org.apache.hadoop.fs.Path
+    hpath = cls(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), cls, hpath
+
+
+def _list_gens(fs, pcls, path: str) -> list[str]:
+    """Generation subdir names (``g-NNNNNN``) under ``path``, sorted."""
+    hpath = pcls(path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("g-") and st.isDirectory() and \
+                name[2:].isdigit():
+            out.append(name)
+    # numeric sort: a generation counter past 6 digits must not sort
+    # lexicographically behind a shorter one
+    return sorted(out, key=lambda g: int(g[2:]))
+
+
+def _load_side_table(spark, path: str) -> DataFrame:
+    """Read a sketch side table in either layout: legacy flat parquet
+    (a fresh ``save_*``), or the versioned layout the delta appenders
+    write (generation dirs + a ``_HEAD`` pointer). When ``_HEAD`` is
+    missing but complete generations exist (a crash in the middle of
+    the pointer flip), the newest generation carrying ``_SUCCESS``
+    serves — the data a finished flip would have pointed at."""
+    fs, pcls, _ = _hfs(spark, path)
+    base = path.rstrip("/")
+    gen = None
+    head = pcls(base + "/_HEAD")
+    if fs.exists(head):
+        stream = fs.open(head)
+        try:
+            reader = spark._jvm.java.io.BufferedReader(
+                spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            gen = reader.readLine()
+        finally:
+            stream.close()
+    if gen is None:
+        done = [g for g in _list_gens(fs, pcls, base)
+                if fs.exists(pcls(f"{base}/{g}/_SUCCESS"))]
+        gen = done[-1] if done else None
+    return spark.read.parquet(f"{base}/{gen}" if gen else base)
 
 
 def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
-    """Overwrite a side table whose plan READS the path it replaces
-    (self-overwrite reads zero rows mid-write): write a temp dir,
-    re-read, overwrite, Hadoop-FS delete (the table may live on any
-    supported filesystem — s3a/..., like the index sidecars)."""
+    """Crash-safe side-table overwrite — the commit-log write-then-swap
+    discipline dataset.py uses for refs: (1) write the merged table to
+    a NEW generation dir under ``path`` (its plan reads the OLD
+    files — flat or previous generation — so there is no self-
+    overwrite and no tmp+re-read double write), (2) flip the ``_HEAD``
+    pointer (tmp write + atomic-ish rename), (3) GC old generations /
+    legacy flat files / stray tmps. A kill at ANY step leaves a
+    servable table: before the flip the old layout still serves; a
+    kill between the ``_HEAD`` delete and rename is covered by
+    ``_load_side_table``'s newest-complete-generation fallback; after
+    the flip only garbage remains to collect (re-collected by the next
+    overwrite)."""
     spark = df.sparkSession
-    tmp = path.rstrip("/") + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    fs, pcls, hpath = _hfs(spark, path)
+    base = path.rstrip("/")
+    gens = _list_gens(fs, pcls, base)
+    n = 1 + max((int(g[2:]) for g in gens), default=0)
+    gen = f"g-{n:06d}"
+    # mode=overwrite: a stray same-number dir from a crashed run (which
+    # by construction never made HEAD) must not fail the write
+    df.write.mode("overwrite").parquet(f"{base}/{gen}")
+    head, tmp_head = pcls(base + "/_HEAD"), pcls(base + "/_HEAD__tmp")
+    out = fs.create(tmp_head, True)
+    try:
+        out.write(bytearray(gen.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(head):
+        fs.delete(head, False)
+    fs.rename(tmp_head, head)
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name not in (gen, "_HEAD"):
+            fs.delete(st.getPath(), True)
 
 
 def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
@@ -335,7 +408,7 @@ def save_cm(sketches: DataFrame, path: str) -> None:
 
 
 def load_cm(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _load_side_table(spark, path)
 
 
 def append_cm_delta(df_new: DataFrame, col: str, path: str,
@@ -499,7 +572,7 @@ def save_bloom(sketches: DataFrame, path: str) -> None:
 
 
 def load_bloom(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _load_side_table(spark, path)
 
 
 def append_bloom_delta(df_new: DataFrame, col: str, path: str,

@@ -53,11 +53,12 @@ def unpack_members(shards: DataFrame) -> DataFrame:
         import tarfile
 
         for pdf in batches:
-            out = {"shard": [], "key": [], "ext": [], "data": []}
+            out = {"shard": [], "key": [], "ext": [], "idx": [],
+                   "data": []}
             for shard_path, blob in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(shard_path)
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                    for m in tf.getmembers():
+                    for i, m in enumerate(tf.getmembers()):
                         if not m.isfile():
                             continue
                         base = os.path.basename(m.name)
@@ -71,11 +72,12 @@ def unpack_members(shards: DataFrame) -> DataFrame:
                         out["shard"].append(shard)
                         out["key"].append(key)
                         out["ext"].append(base[dot + 1:])
+                        out["idx"].append(i)  # archive order: dup keys last-wins
                         out["data"].append(tf.extractfile(m).read())
             yield pd.DataFrame(out)
 
     return shards.mapInPandas(
-        unpack, "shard string, key string, ext string, data binary")
+        unpack, "shard string, key string, ext string, idx long, data binary")
 
 
 def webdataset_samples(members: DataFrame,
@@ -88,7 +90,18 @@ def webdataset_samples(members: DataFrame,
     if exts is None:
         exts = sorted(
             r.ext for r in members.select("ext").distinct().collect())
-    grouped = (members.groupBy("shard", "key")
+    # duplicate member names are LEGAL in tar (last occurrence wins —
+    # GNU tar extract semantics); dedupe per (shard, key, ext) BEFORE
+    # the map aggregation, or one malformed shard throws
+    # DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION
+    # and fails the whole assembly job. `idx` is the archive ordinal
+    # unpack_members emits; a members frame built without it (older
+    # side tables) falls back to a deterministic content tiebreak.
+    order = (F.col("idx") if "idx" in members.columns
+             else F.crc32(F.col("data")).cast("long"))
+    dedup = (members.groupBy("shard", "key", "ext")
+             .agg(F.max_by("data", order).alias("data")))
+    grouped = (dedup.groupBy("shard", "key")
                .agg(F.map_from_entries(
                    F.collect_list(F.struct("ext", "data"))).alias("__m")))
     cols = [F.element_at("__m", e).alias(e.replace(".", "_"))
@@ -144,11 +157,18 @@ def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
                   n_shards: int = 4) -> DataFrame:
     """Samples → tar shards: every non-key column becomes a member
     named <key>.<column> (underscores in column names map back to
-    dots: seg_png → seg.png). Samples are RANGE-partitioned by key and
-    written sorted, one shard per partition with fixed metadata
-    (mtime 0, uid/gid 0), so the same input always produces
-    byte-identical shards — re-exports are diffable. Returns the
-    manifest (shard, n_samples, n_bytes).
+    dots: seg_png → seg.png). Shard assignment is HASH-derived from
+    the key itself (``repartition(n, key)`` — a pure function of the
+    key, never of the input's partitioning/parallelism; sampled range
+    boundaries would split the same logical input differently across
+    sessions and cluster layouts), members are written key-sorted with
+    fixed metadata (mtime 0, uid/gid 0), so the same logical input
+    always produces byte-identical shards — re-exports are diffable.
+    Returns the manifest (shard, n_samples, n_bytes).
+
+    LAZY: shards are written as a side effect of the manifest's
+    mapInPandas — nothing lands on disk until the caller materializes
+    the returned DataFrame (``.collect()`` or any action).
 
     Writes through local filesystem APIs (executor-local paths): on a
     cluster, point ``out_dir`` at shared storage or upload shards as a
@@ -190,6 +210,6 @@ def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
                             "n_samples": [len(rows)],
                             "n_bytes": [os.path.getsize(path)]})
 
-    parted = df.repartitionByRange(int(n_shards), key_col)
+    parted = df.repartition(int(n_shards), key_col)
     return parted.mapInPandas(
         write_part, "shard string, n_samples long, n_bytes long")

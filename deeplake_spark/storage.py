@@ -81,8 +81,22 @@ class MetadataStore:
         between two datasets on the same backend)."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float:
+        """Last-modified POSIX seconds; 0.0 when the backend cannot
+        say — age guards then degrade to reachability-only behavior
+        for that file (never retain-forever)."""
+        return 0.0
+
 
 class PosixMetadataStore(MetadataStore):
+    def mtime(self, path: str) -> float:
+        import os
+
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return 0.0
+
     def get_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -130,6 +144,7 @@ class MemoryMetadataStore(MetadataStore):
 
     def __init__(self) -> None:
         self.blobs: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
 
     def _norm(self, path: str) -> str:
         return path.rstrip("/")
@@ -138,7 +153,13 @@ class MemoryMetadataStore(MetadataStore):
         return self.blobs[self._norm(path)]
 
     def put_bytes(self, path: str, data: bytes) -> None:
+        import time
+
         self.blobs[self._norm(path)] = bytes(data)
+        self._mtimes[self._norm(path)] = time.time()
+
+    def mtime(self, path: str) -> float:
+        return self._mtimes.get(self._norm(path), 0.0)
 
     def list(self, path: str) -> list[str]:
         prefix = self._norm(path) + "/"
@@ -217,6 +238,13 @@ class HadoopMetadataStore(MetadataStore):
         self._jvm.org.apache.hadoop.fs.FileUtil.copy(
             fs, self._path(src), self._fs(dst), self._path(dst),
             False, True, self._conf)
+
+    def mtime(self, path: str) -> float:
+        fs = self._fs(path)
+        p = self._path(path)
+        if not fs.exists(p):
+            return 0.0
+        return fs.getFileStatus(p).getModificationTime() / 1000.0
 
 
 _POSIX_STORE = PosixMetadataStore()

@@ -1891,3 +1891,50 @@ def test_gif_through_image_and_video_operators(spark):
     assert np.array_equal(
         np.array(next(r.frame for r in got if r.frame_index == 2),
                  np.uint8), imgs[2])
+
+
+def test_gif_disposal3_consistent_across_image_and_video_paths():
+    """Round-12 ADVICE: the same in-scope-boundary condition
+    (restore-to-previous disposal, GifUnsupported) must surface the
+    same way from BOTH entry points. Strict mode without the optional
+    libs: the image path (_decode_one → PIL gate) and the video path
+    (_video_frames → PyAV gate) both raise FormatNotSupportedError —
+    the video path must NOT re-raise the raw GifUnsupported."""
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.exceptions import FormatNotSupportedError
+    from deeplake_spark.operators._gif import _lzw_encode
+    from deeplake_spark.operators.multimodal import _decode_one, _video_frames
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   np.uint8)
+
+    def img_block(left, top, fw, fh, idxs):
+        blk = struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        blk += bytes([2])
+        comp = _lzw_encode(bytes(idxs), 2)
+        for i in range(0, len(comp), 255):
+            c = comp[i:i + 255]
+            blk += bytes([len(c)]) + c
+        return blk + b"\x00"
+
+    header = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0) \
+        + pal.tobytes()
+    gce3 = bytes([0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0])  # disposal=3
+    payload = (header + gce3 + img_block(0, 0, 4, 4, [1] * 16)
+               + img_block(0, 0, 2, 2, [2] * 4) + b"\x3b")
+
+    with pt.raises(FormatNotSupportedError):
+        _decode_one(payload, "gif", strict=True)
+    with pt.raises(FormatNotSupportedError):
+        _video_frames(payload, 1, strict=True)
+    # non-strict: both fall to the deterministic fake
+    assert _decode_one(payload, "gif", strict=False).shape
+    assert len(_video_frames(payload, 1, strict=False)) == 8
+    # a truly CORRUPT gif still raises in the strict video path
+    with pt.raises(Exception) as exc:
+        _video_frames(header + gce3 + b"\x2c\x01", 1, strict=True)
+    assert not isinstance(exc.value, FormatNotSupportedError)

@@ -1573,3 +1573,102 @@ def test_mrl_funnel_recall_and_exhaustive_equality(spark, sf_dir):
     assert len(set(got) & set(exact)) >= 4, (got, exact)
     plan = funnel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_overwrite_crash_safety(spark, tmp_path):
+    """The side-table overwrite is write-then-swap (round-12 VERDICT
+    wrong#2): a kill between ANY two steps leaves a servable table.
+    Simulated kill points: (a) new generation written but _HEAD not
+    flipped -> the OLD data still serves; (b) _HEAD deleted mid-flip ->
+    the newest COMPLETE generation serves; (c) stray dirs from a
+    crashed run are GC'd by the next successful overwrite."""
+    import os
+
+    from deeplake_spark.operators.sketches import (
+        _overwrite_via_tmp, append_kmv_delta, kmv_estimate, kmv_sketch,
+        load_kmv, save_kmv)
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(50)], "x string")
+    path = str(tmp_path / "kmv")
+    save_kmv(kmv_sketch(df, "x", k=128), path)  # legacy flat layout
+    est0 = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est0 == 50.0
+
+    # real overwrite #1: migrates flat -> generation layout
+    d2 = spark.createDataFrame([(f"w{i}",) for i in range(25)], "x string")
+    append_kmv_delta(d2, "x", path, k=128)
+    assert os.path.exists(os.path.join(path, "_HEAD"))
+    gen1 = open(os.path.join(path, "_HEAD")).read().strip()
+    est1 = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est1 == 75.0
+    # flat files were GC'd after the flip
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    # kill point (a): a NEWER complete generation exists but _HEAD was
+    # never flipped — the old generation must keep serving
+    crash_gen = "g-999999"
+    (kmv_sketch(df.limit(10), "x", k=128)
+     .write.parquet(os.path.join(path, crash_gen)))
+    assert open(os.path.join(path, "_HEAD")).read().strip() == gen1
+    est_a = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est_a == 75.0  # NOT the crashed 10-row write
+
+    # kill point (b): _HEAD deleted mid-flip — fallback serves the
+    # newest generation WITH _SUCCESS (complete data, never partial)
+    os.remove(os.path.join(path, "_HEAD"))
+    os.remove(os.path.join(path, crash_gen, "_SUCCESS"))  # incomplete
+    est_b = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est_b == 75.0  # gen1 is the newest COMPLETE generation
+
+    # (c) the next successful overwrite restores _HEAD and GCs strays
+    d3 = spark.createDataFrame([(f"z{i}",) for i in range(10)], "x string")
+    merged = load_kmv(spark, path)  # plan reads gen1 while we overwrite
+    del merged
+    append_kmv_delta(d3, "x", path, k=128)
+    # Hadoop's local ChecksumFileSystem keeps hidden .crc siblings —
+    # compare the visible namespace only
+    names = {n for n in os.listdir(path) if not n.startswith(".")}
+    head = open(os.path.join(path, "_HEAD")).read().strip()
+    assert names == {head, "_HEAD"}, names
+    est_c = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est_c == 85.0
+
+
+def test_dedup_release_cached_returns_blocks_to_baseline(spark):
+    """The dedup operators' persisted intermediates (posting tables,
+    shingle sets) are tracked and releasable (round-12 VERDICT
+    wrong#1): after materializing results, release_cached() /
+    cached_scope() return the session's persistent-block count to its
+    baseline — long interactive sessions no longer depend on bench.py's
+    gc-scrub for the trap-15 residue."""
+    from deeplake_spark.operators.dedup import (
+        cached_scope, jaccard_pairs, minhash_dedup_pairs, release_cached)
+
+    release_cached()  # drop residue from earlier tests in this session
+
+    def blocks():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = blocks()
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta")
+         for i in range(60)], "doc_id long, text string")
+    pairs = jaccard_pairs(df, threshold=0.1)
+    dups = minhash_dedup_pairs(df, threshold=0.1)
+    pairs.count(), dups.count()  # materialize: fills the tracked caches
+    assert blocks() > base
+    assert release_cached() >= 2
+    assert blocks() == base
+    # released plans recompute, never fail
+    assert pairs.count() == jaccard_pairs(df, threshold=0.1).count()
+    release_cached()
+
+    with cached_scope():
+        jaccard_pairs(df, threshold=0.1).count()
+        assert blocks() > base
+    assert blocks() == base

@@ -182,6 +182,9 @@ def test_webdataset_round_trip_and_ingest(spark, tmp_path):
             member(tf, f"{k}.txt", f"caption {k}".encode())
             member(tf, f"{k}.seg.png", b"fakepng" + k.encode())
         member(tf, "__meta__.json", json.dumps({"v": 1}).encode())
+        # duplicate member names are legal in tar — extract semantics
+        # are last-wins; assembly must not throw DUPLICATED_MAP_KEY
+        member(tf, "001.txt", b"caption 001 v2")
     with tarfile.open(str(shard_dir / "s1.tar"), "w") as tf:
         for k in ("sub/100", "sub/101"):
             member(tf, f"{k}.ppm", b"P6 1 1 255 \x00\xff\x00" + k.encode())
@@ -191,12 +194,13 @@ def test_webdataset_round_trip_and_ingest(spark, tmp_path):
     m = read_webdataset_members(spark, str(shard_dir) + "/*.tar")
     exts = sorted(r.ext for r in m.select("ext").distinct().collect())
     assert exts == ["ppm", "seg.png", "txt"]       # __meta__ skipped
-    assert m.count() == 12
+    assert m.count() == 13                         # incl. the dup member
 
     s = webdataset_samples(m)
     rows = {r.key: r for r in s.collect()}
     assert sorted(rows) == ["000", "001", "sub/100", "sub/101"]
     assert rows["000"].txt == b"caption 000"
+    assert rows["001"].txt == b"caption 001 v2"    # dup: last-wins
     assert rows["sub/101"].seg_png == b"fakepngsub/101"  # dotted ext col
 
     ds = from_webdataset(spark, str(shard_dir) + "/*.tar",
