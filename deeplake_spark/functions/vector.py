@@ -142,6 +142,41 @@ def maxsim_pandas_const(query_matrix):
     return maxsim1
 
 
+def route_clusters_pandas(centroids, cluster_ids, eff_nprobe: int):
+    """Per-query IVF coarse routing against a FIXED centroid matrix
+    captured in the UDF closure (the maxsim_pandas_const convention):
+    array of the ``eff_nprobe`` nearest cluster ids by squared L2,
+    ties by cluster id ascending — the exact ranking `ivf_search`
+    computes driver-side, with the same numpy ops.
+
+    This is the vectorized twin of the retired interpreted SQL-fold
+    routing spelling: that expression evaluated O(n_clusters * dim)
+    lambda steps PER QUERY ROW (fine for a handful of queries;
+    measured ~26 s for a 2k-query batch at nlist=160 and linear in
+    nlist from there — the round-13 knn-ladder finding), while this
+    UDF routes the same batch in well under a second and is flat to
+    1k+ clusters. One spelling serves both the batch and streaming
+    lanes (their equivalence is test-pinned). The closure carries only
+    numpy data + universally-importable libs (CLAUDE.md trap 23)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    cids = np.asarray([int(c) for c in cluster_ids], dtype=np.int64)
+    npb = int(eff_nprobe)
+
+    @pandas_udf("array<int>")
+    def route(qv: pd.Series) -> pd.Series:
+        out = []
+        for v in qv:
+            q = np.asarray(v, dtype=np.float64)
+            d2 = ((C - q) ** 2).sum(axis=1)
+            sel = np.lexsort((cids, d2))[:npb]
+            out.append([int(x) for x in cids[sel]])
+        return pd.Series(out)
+
+    return route
+
+
 def pq_encode_pandas(codebooks: list):
     """Product-quantization encoder closing over the codebooks
     ([m][ksub][sub_dim] floats): Arrow-batched, vectorized argmin per

@@ -366,27 +366,20 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
 
 
-def _centroid_route_sql(centroids: list, eff_nprobe: int,
-                        vec_col: str) -> str:
-    """SQL expression: array of the `eff_nprobe` nearest cluster ids
-    for `vec_col` (squared-L2 over the centroid literals, ties by
-    cluster id — the order `ivf_search` computes driver-side). ONE
-    parsed expression per plan (trap-12 convention). Shared by
-    `ivf_search_batch` and `streaming.vectors`: their batch/stream
-    equivalence is test-pinned, so there must be exactly one spelling
-    of the routing math."""
-    entries = ", ".join(
-        "named_struct('d', aggregate(zip_with(cast({v} as array<double>), "
-        "array({vals}), (a, b) -> (a - b) * (a - b)), 0D, "
-        "(acc, x) -> acc + x), 'cid', {cid})".format(
-            v=vec_col, cid=int(cid),
-            vals=", ".join(repr(float(x)) for x in c))
-        for cid, c in centroids
-    )
-    return (
-        f"transform(slice(array_sort(array({entries})), 1, "
-        f"{int(eff_nprobe)}), s -> s.cid)"
-    )
+def _route_clusters(centroids: list, eff_nprobe: int):
+    """Arrow-batched per-query centroid routing (see
+    functions.vector.route_clusters_pandas): the one spelling of the
+    routing math shared by `ivf_search_batch` and `streaming.vectors`
+    — their batch/stream equivalence is test-pinned. Replaced the
+    interpreted per-row SQL fold in round 13: that spelling cost
+    O(n_clusters * dim) lambda evals per query row (~26 s for a
+    2k-query batch at nlist=160; linear in nlist), this one routes
+    the same batch in well under a second."""
+    from deeplake_spark.functions.vector import route_clusters_pandas
+
+    return route_clusters_pandas([c for _, c in centroids],
+                                 [cid for cid, _ in centroids],
+                                 eff_nprobe)
 
 
 def ivf_search_batch(index: IVFIndex, queries: DataFrame,
@@ -413,15 +406,19 @@ def ivf_search_batch(index: IVFIndex, queries: DataFrame,
         n_clusters,
         max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
     )
-    # per-query centroid ranking via the shared routing expression
-    # (centroids are index metadata, broadcast-small by construction)
+    # per-query centroid ranking via the shared vectorized routing UDF
+    # (centroids ride in the UDF closure — index metadata, KB-scale).
+    # Projected to a column first, explode_outer + null filter after:
+    # a plain explode would let InferFiltersFromGenerate push the UDF
+    # into a scan-side filter and evaluate it twice (traps 2/3).
     routed = (
         queries.select(F.col(qid_col).alias("__qid"),
                        F.col(qvec_col).alias("__qv"))
-        .select(
-            "__qid", "__qv",
-            F.explode(F.expr(_centroid_route_sql(
-                index.centroids, eff_nprobe, "__qv"))).alias("cluster"))
+        .withColumn("__route", _route_clusters(
+            index.centroids, eff_nprobe)(F.col("__qv")))
+        .select("__qid", "__qv",
+                F.explode_outer("__route").alias("cluster"))
+        .filter(F.col("cluster").isNotNull())
     )
     scored = (
         index.assignments.join(F.broadcast(routed), "cluster")

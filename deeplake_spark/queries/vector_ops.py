@@ -1072,8 +1072,13 @@ def v24(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seed label set). Exact lane = the v06 batched-kNN shape "
     "(broadcast queries, per-qid window — partitioned, not global); "
     "both tie-breaks deterministic (rounded score DESC + id, then "
-    "votes DESC + label). The corpus-scale lane routes the same "
-    "operator through ivf_search_batch (one pruned corpus pass); "
+    "votes DESC + label). NOTE: the registered lane here IS the exact "
+    "oracle arm — a broadcast NLJ whose cost is O(labeled x "
+    "unlabeled), QUADRATIC by design (the price of an exactly "
+    "DuckDB-checkable oracle; the most expensive vector query in the "
+    "bench for that reason). The corpus-scale lane routes the same "
+    "operator through ivf_search_batch with a FIXED nprobe (one "
+    "pruned corpus pass; SCALING.md 'knn label propagation' ladder); "
     "lane agreement at full probe is pinned in tests.",
     tags=("vector", "labels", "knn"),
 )

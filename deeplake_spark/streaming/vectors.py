@@ -9,9 +9,10 @@ Two lanes, because Spark's streaming planner can and cannot do
 different things:
 
 - `stream_ann_search` — fully declarative (one readStream →
-  writeStream plan). Centroid routing is a pure JVM expression over
-  the broadcast-small centroid literals (ONE `F.expr` string —
-  CLAUDE.md trap 12); candidates come from a stream-static join on
+  writeStream plan). Centroid routing is the shared Arrow-batched
+  routing UDF (centroid matrix in the closure — round 13 replaced the
+  interpreted per-row SQL fold, whose cost was O(n_clusters * dim)
+  lambda evals per query); candidates come from a stream-static join on
   `cluster`; a stateless `mapInPandas` partial top-k bounds what the
   final aggregation sees to <= k rows per (query, batch-partition) —
   the map-side combine TakeOrdered does in batch; the per-query merge
@@ -64,15 +65,18 @@ def stream_ann_search(queries: DataFrame, index, k: int = 10,
     Works on batch DataFrames too (same plan minus the watermark, for
     equivalence tests and backfills)."""
     from deeplake_spark.operators.similarity import (
-        SearchConfig, _centroid_route_sql, _widened_nprobe)
+        SearchConfig, _route_clusters, _widened_nprobe)
     from deeplake_spark.functions.vector import cosine_similarity
 
     config = config or SearchConfig()
     eff = _widened_nprobe(len(index.centroids), config, None)
-    routed = queries.withColumn(
-        "cluster",
-        F.explode(F.expr(_centroid_route_sql(index.centroids, eff,
-                                             qvec_col))))
+    routed = (
+        queries
+        .withColumn("__route",
+                    _route_clusters(index.centroids, eff)(F.col(qvec_col)))
+        .withColumn("cluster", F.explode_outer("__route"))
+        .filter(F.col("cluster").isNotNull())
+        .drop("__route"))
     cand = routed.join(index.assignments, "cluster").select(
         qid_col,
         ts_col,

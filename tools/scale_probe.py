@@ -698,7 +698,9 @@ def knn_section(spark):
     far below the corpus factor K — the ratio << K that makes this the
     100 TB lane.
 
-    The probe budget is FIXED (nprobe=8, accuracy_factor=1) across the
+    The probe budget is FIXED (nprobe=8, accuracy_factor=0 — the accuracy
+    term itself widens eff_nprobe by ceil(nlist/20), i.e. linearly in
+    the corpus) across the
     ladder: the default preset's accuracy_factor=10 widens eff_nprobe
     to n_clusters/2 — HALF the index probed per query, which turned the
     round-13 first-cut x64 arm into ~125M interpreted HOF cosines.
@@ -737,7 +739,7 @@ def knn_section(spark):
             t0 = time.perf_counter()
             (knn_label_propagation(
                 df, index=idx, k=5,
-                config=SearchConfig(accuracy_factor=1, nprobe=8))
+                config=SearchConfig(accuracy_factor=0, nprobe=8))
              .write.mode("overwrite").format("noop").save())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
