@@ -2123,3 +2123,39 @@ def test_dataset_fingerprint_index_lifecycle(spark):
         assert persisted == decode and len(decode) >= 3
         ds.drop_index("image")
         assert "image" not in ds._load_indexes()
+
+
+def test_route_clusters_pandas_matches_python_model(spark):
+    """The Arrow-batched coarse-routing UDF (round 13 — replaced the
+    interpreted SQL fold) ranks clusters exactly like the driver-side
+    model: squared-L2 ascending, ties by cluster id ascending, first
+    eff_nprobe ids. Planted ties included (two identical centroids)."""
+    import numpy as np
+
+    from deeplake_spark.functions.vector import route_clusters_pandas
+
+    rng = np.random.RandomState(7)
+    cents = rng.rand(12, 8).round(3)
+    cents[5] = cents[2]  # exact tie: cids 2 and 5 equidistant everywhere
+    cids = [30, 1, 22, 3, 14, 9, 6, 7, 8, 19, 10, 11]  # non-contiguous
+    queries = rng.rand(40, 8).round(3)
+
+    route = route_clusters_pandas([list(c) for c in cents], cids, 5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "qid long, qv array<double>")
+    got = {r.qid: list(r.route)
+           for r in df.select("qid", route("qv").alias("route")).collect()}
+
+    carr = np.asarray(cents, dtype=np.float64)
+    cida = np.asarray(cids, dtype=np.int64)
+    for i, q in enumerate(queries):
+        d2 = ((carr - q) ** 2).sum(axis=1)
+        want = [int(x) for x in cida[np.lexsort((cida, d2))[:5]]]
+        assert got[i] == want, (i, got[i], want)
+    # the planted tie must order by cid ascending: 9 (cents[5]) always
+    # precedes 22 (cents[2] — the identical centroid) when both appear
+    tied = [r for r in got.values() if 9 in r and 22 in r]
+    assert tied, "tie fixture never surfaced — strengthen the fixture"
+    for r in tied:
+        assert r.index(9) < r.index(22)
