@@ -147,6 +147,10 @@ def probes(reg):
         "t42_winnow_fingerprint_pairs",
         # the CM sketch build (cell-keyed shuffle, map-side partials)
         "t44_cm_token_frequencies",
+        # round-13: the CAPPED winnowing lane — same posting self-join
+        # as t42 but with the df cap a real corpus runs (strictly less
+        # pair fan-out; the planted boilerplate is per-query fixture)
+        "t45_winnow_capped_boilerplate",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
