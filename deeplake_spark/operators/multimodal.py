@@ -1194,8 +1194,6 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
             group, _elem = struct.unpack_from("<HH", payload, pos)
             if group != 0x0002:
                 break
-            meta: dict = {(0x0002, 0x0010): None}
-            # parse just this element via a single-element walk
             vr = payload[pos + 4:pos + 6]
             if vr in _DICOM_LONG_VRS:
                 (length,) = struct.unpack_from("<I", payload, pos + 8)
