@@ -36,7 +36,9 @@ BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
     """All tar members across the matched shards: one row per member —
-    (shard, key, ext, data). ``key`` is the basename up to the FIRST
+    (shard, key, ext, idx, data) — ``idx`` is the member's archive
+    ordinal (duplicate names dedupe last-wins by it at assembly).
+    ``key`` is the basename up to the FIRST
     dot, ``ext`` everything after it (the WebDataset convention:
     "dir/10023.seg.png" → key "dir/10023", ext "seg.png"). Directories
     and __-prefixed metadata members are skipped."""
