@@ -168,6 +168,9 @@ def route_clusters_pandas(centroids, cluster_ids, eff_nprobe: int):
     def route(qv: pd.Series) -> pd.Series:
         out = []
         for v in qv:
+            if v is None:  # null query vector routes nowhere (the old
+                out.append([])  # SQL spelling's explode-of-null drop)
+                continue
             q = np.asarray(v, dtype=np.float64)
             d2 = ((C - q) ** 2).sum(axis=1)
             sel = np.lexsort((cids, d2))[:npb]

@@ -2159,3 +2159,17 @@ def test_route_clusters_pandas_matches_python_model(spark):
     assert tied, "tie fixture never surfaced — strengthen the fixture"
     for r in tied:
         assert r.index(9) < r.index(22)
+
+
+def test_route_clusters_pandas_null_query_routes_nowhere(spark):
+    """A NULL query vector routes to zero clusters (the retired SQL
+    spelling's explode-of-null drop) — a streaming micro-batch with one
+    bad row must not die in the routing UDF."""
+    from deeplake_spark.functions.vector import route_clusters_pandas
+
+    route = route_clusters_pandas([[0.0, 0.0], [1.0, 1.0]], [0, 1], 1)
+    df = spark.createDataFrame([(0, [0.1, 0.1]), (1, None)],
+                               "qid long, qv array<double>")
+    rows = {r.qid: list(r.r)
+            for r in df.select("qid", route("qv").alias("r")).collect()}
+    assert rows == {0: [0], 1: []}
