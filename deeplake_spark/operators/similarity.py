@@ -1518,6 +1518,66 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         label_col: str = "label", k: int = 5,
+                         qid_col: str = "qid", qvec_col: str = "qv",
+                         qlabel_col: str = "qlabel",
+                         index: IVFIndex | None = None,
+                         config=None) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    Contriever protocol, Karpukhin et al. 2020): for each query, the k
+    most-similar corpus rows carrying a DIFFERENT label — semantically
+    close but wrong-class, the negatives that actually move a
+    contrastive loss (random negatives are trivially separable).
+    Beyond-reference LLM-pipeline operator; composes the existing kNN
+    machinery.
+
+    Exact lane (default): broadcast queries x corpus, label-mismatch
+    filter, per-query window top-k — the v06 batched-kNN shape,
+    oracle-checkable, O(corpus x queries) by design. With ``index``
+    (IVF over the corpus) candidates come from ONE pruned corpus pass
+    (`ivf_search_batch`, the knn_label_propagation convention) with a
+    4x over-fetch absorbing the same-label hits the filter discards
+    (a label filter can only shrink a probed set); recall follows the
+    index presets, lane agreement at full probe is test-pinned.
+
+    NULL labels carry no class information: null-labeled corpus rows
+    are never negatives, null-labeled queries mine nothing. Returns
+    (qid, rank, id, label, score), rank 1..k per query by (rounded
+    score DESC, id) — the engine-exact tie rule."""
+    from deeplake_spark.io import ensure_parallelism
+
+    labeled = ensure_parallelism(corpus).filter(F.col(label_col).isNotNull())
+    qs = queries.filter(F.col(qlabel_col).isNotNull())
+    if index is not None:
+        cand = (
+            ivf_search_batch(index, qs, qvec_col=qvec_col,
+                             qid_col=qid_col, k=int(k) * 4, config=config)
+            .join(labeled.select(id_col, label_col), id_col)
+            .join(F.broadcast(qs.select(qid_col, qlabel_col)), qid_col)
+            .filter(F.col(label_col) != F.col(qlabel_col))
+            .select(qid_col, id_col, label_col, "score")
+        )
+    else:
+        cand = (
+            labeled.crossJoin(F.broadcast(qs))
+            .filter((F.col(label_col) != F.col(qlabel_col))
+                    & (F.col(id_col) != F.col(qid_col)))
+            .select(
+                qid_col, id_col, label_col,
+                F.round(cosine_similarity(F.col(vec_col),
+                                          F.col(qvec_col)), 6)
+                .alias("score"))
+        )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), id_col)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(qid_col, F.col("rank").cast("int").alias("rank"),
+                    id_col, label_col, "score"))
+
+
 def mrl_prefilter_topk(df: DataFrame, vec_col: str, query_vec, k: int,
                        dims: int, refine: int = 4,
                        id_col: str = "vec_id") -> DataFrame:

@@ -1129,3 +1129,51 @@ def v26(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return mrl_prefilter_topk(e, "embedding", qv, k=10, dims=8, refine=4)
+
+
+@query(
+    "v27_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 8 AND label IS NOT NULL
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             ROUND({_DUCK_COS.format(a="e.embedding", b="q.qv")}, 6)
+             AS score
+      FROM embeddings e, q
+      WHERE e.label IS NOT NULL AND e.label <> q.qlabel
+        AND e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, label, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, CAST(rnk AS INT) AS rank, vec_id,
+           CAST(label AS INT) AS label, score
+    FROM ranked WHERE rnk <= 5
+    ORDER BY qid, rank
+    """,
+    doc="Hard-negative mining for contrastive training (DPR/Contriever "
+    "— Karpukhin et al. 2020): for each of 8 query vectors, the 5 "
+    "most-similar corpus rows with a DIFFERENT label — semantically "
+    "close but wrong-class, the negatives that actually move a "
+    "contrastive loss. Exact lane = the v06 batched-kNN shape "
+    "(broadcast queries, label-mismatch filter, per-query window "
+    "top-k; rounded-score-DESC + id tie rule, engine-exact). The "
+    "corpus-scale lane routes candidates through ivf_search_batch "
+    "with 4x over-fetch (the label filter only shrinks a probed "
+    "set); lane agreement at full probe is pinned in tests.",
+    tags=("vector", "labels", "contrastive"),
+)
+def v27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import hard_negative_mining
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"))
+    return hard_negative_mining(e, q, k=5).orderBy("qid", "rank")

@@ -1672,3 +1672,26 @@ def test_dedup_release_cached_returns_blocks_to_baseline(spark):
         jaccard_pairs(df, threshold=0.1).count()
         assert blocks() > base
     assert blocks() == base
+
+
+def test_hard_negative_mining_lanes_agree(spark, sf_dir):
+    """The IVF lane of hard_negative_mining at FULL probe must return
+    the exact lane's negatives (same ids, ranks, scores)."""
+    from pyspark.sql import functions as F2
+
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_ivf, hard_negative_mining)
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id", "embedding", "label"))
+    q = e.filter(F2.col("vec_id") < 6).select(
+        F2.col("vec_id").alias("qid"), F2.col("embedding").alias("qv"),
+        F2.col("label").alias("qlabel"))
+    exact = {(r.qid, r.rank): (r.vec_id, r.score)
+             for r in hard_negative_mining(e, q, k=4).collect()}
+    idx = build_ivf(e, n_clusters=4, seed=7)
+    full = SearchConfig(accuracy_factor=20, nprobe=4)  # probes all
+    routed = {(r.qid, r.rank): (r.vec_id, r.score)
+              for r in hard_negative_mining(e, q, k=4, index=idx,
+                                            config=full).collect()}
+    assert routed == exact and exact
