@@ -2669,3 +2669,87 @@ def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (winnow_fingerprint_pairs(base, k=4, w=4, min_shared=3,
                                      max_docs=16)
             .orderBy("a", "b"))
+
+
+@query(
+    "t46_zipf_alpha",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    f AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, freq FROM f ORDER BY freq DESC, tok LIMIT 1000
+    ),
+    r AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM top
+    ),
+    d AS (SELECT ln(rnk) AS lx, ln(freq) AS ly FROM r),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(lx AS DECIMAL(38,12))) AS sx,
+             SUM(CAST(ly AS DECIMAL(38,12))) AS sy,
+             SUM(CAST(lx * lx AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(lx * ly AS DECIMAL(38,12))) AS sxy
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND(-(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS alpha
+    FROM s
+    """,
+    doc="Zipf exponent of the corpus token distribution — the standard "
+    "corpus-health diagnostic (natural text sits near alpha = 1; "
+    "boilerplate-heavy or synthetic corpora drift): least-squares "
+    "slope of ln(freq) on ln(rank) over the top-1000 tokens, via "
+    "exact sufficient statistics. Shapes: ranks come from "
+    "io.with_row_id over the TakeOrdered top set (never an "
+    "unpartitioned row_number window — trap 7); the four sums "
+    "accumulate as DECIMAL(38,12) (order-independent, so the window "
+    "tie-permutation within equal-frequency groups cannot move the "
+    "hash — within a tie group freq is constant and the rank SET is "
+    "identical on both engines), cast to DOUBLE only for the closed-"
+    "form slope; the 1000-token cut is deterministic (freq DESC, "
+    "token ASC on both sides). At 100 TB this is one vocabulary "
+    "aggregate + a 1000-row fit — corpus-sized work only in the "
+    "token count.",
+    tags=("text", "stats"),
+)
+def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.io import ensure_parallelism, with_row_id
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokenize(F.col("text")).alias("__t"))
+    freq = (toks.select(F.explode_outer("__t").alias("tok"))
+            .filter(F.col("tok").isNotNull())
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    top = (freq.orderBy(F.desc("freq"), "tok").limit(1000)
+           .withColumn("__neg", -F.col("freq")))
+    ranked = with_row_id(top, order_by=["__neg", "tok"], col_name="__r0")
+    d = ranked.select(
+        F.log((F.col("__r0") + F.lit(1)).cast("double")).alias("__lx"),
+        F.log(F.col("freq").cast("double")).alias("__ly"))
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__lx").cast("decimal(38,12)")).alias("sx"),
+        F.sum(F.col("__ly").cast("decimal(38,12)")).alias("sy"),
+        F.sum((F.col("__lx") * F.col("__lx")).cast("decimal(38,12)"))
+        .alias("sxx"),
+        F.sum((F.col("__lx") * F.col("__ly")).cast("decimal(38,12)"))
+        .alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = ((n * sxy - sx * sy)
+             / F.nullif(n * sxx - sx * sx, F.lit(0.0)))
+    return s.select(F.col("n").cast("long").alias("n_vocab"),
+                    F.round(-slope, 6).alias("alpha"))
