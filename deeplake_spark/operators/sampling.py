@@ -488,3 +488,32 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     d = df.withColumn("__u", md5_uniform(id_col, salt))
     return (with_row_id(d, order_by=["__u", id_col], col_name=out_col)
             .drop("__u"))
+
+
+def class_balance(df: DataFrame, label_col: str, id_col: str = "doc_id",
+                  salt: str = "balance",
+                  target: int | None = None) -> DataFrame:
+    """Class-balanced downsampling — the classifier-training prep step:
+    every label keeps the SAME number of rows (`target` if given, else
+    the minority class's count), selected deterministically by the
+    engine-portable md5 uniform over the id (the mixture_sample hash:
+    reproducible across engines and cluster sizes; engine-exact, so the
+    kept SET is oracle-checkable, not just the counts). NULL labels
+    carry no class and are dropped.
+
+    Shapes: the per-label rank is a PARTITIONED window (trap 7
+    compliant); the minority count arrives as a broadcast 1-row
+    aggregate INSIDE the plan — no driver-side count (trap 8). At
+    100 TB this is one label-keyed shuffle."""
+    u = md5_uniform(id_col, salt)
+    base = df.filter(F.col(label_col).isNotNull()).withColumn("__u", u)
+    w = Window.partitionBy(label_col).orderBy("__u", id_col)
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    if target is not None:
+        return ranked.filter(F.col("__rk") <= int(target)) \
+                     .drop("__u", "__rk")
+    tmin = (base.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.min("__n").alias("__t")))
+    return (ranked.crossJoin(F.broadcast(tmin))
+            .filter(F.col("__rk") <= F.col("__t"))
+            .drop("__u", "__rk", "__t"))

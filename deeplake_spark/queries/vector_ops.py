@@ -1177,3 +1177,50 @@ def v27(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"))
     return hard_negative_mining(e, q, k=5).orderBy("qid", "rank")
+
+
+@query(
+    "v28_class_balance",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                  || '#balance'), 1, 8)) AS UBIGINT)
+             / 4294967296.0 AS unif
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    r AS (
+      SELECT label, vec_id, unif,
+             row_number() OVER (
+               PARTITION BY label ORDER BY unif, vec_id) AS rk
+      FROM u
+    ),
+    m AS (
+      SELECT MIN(cnt) AS t
+      FROM (SELECT COUNT(*) AS cnt FROM u GROUP BY label)
+    ),
+    kept AS (SELECT label, vec_id FROM r, m WHERE r.rk <= m.t)
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+    FROM kept GROUP BY label ORDER BY label
+    """,
+    doc="Class-balanced downsampling (operators/sampling.class_balance "
+    "— classifier-training prep): every label keeps exactly the "
+    "minority class's row count, rows selected by the engine-portable "
+    "md5 uniform over the id, so the kept SET is engine-exact — "
+    "sum_ids hash-pins WHICH rows were kept, not just how many. The "
+    "minority count is a broadcast 1-row aggregate inside the plan "
+    "(no driver count); the rank window is label-partitioned. One "
+    "label-keyed shuffle at any scale.",
+    tags=("sampling", "labels", "pipeline"),
+)
+def v28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.sampling import class_balance
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    kept = class_balance(e, label_col="label", id_col="vec_id")
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("vec_id").cast("long").alias("sum_ids"))
+            .orderBy("label"))

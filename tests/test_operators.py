@@ -1695,3 +1695,25 @@ def test_hard_negative_mining_lanes_agree(spark, sf_dir):
               for r in hard_negative_mining(e, q, k=4, index=idx,
                                             config=full).collect()}
     assert routed == exact and exact
+
+
+def test_class_balance_target_and_null_labels(spark):
+    """class_balance: explicit target caps every class; default equals
+    the minority count; NULL labels are dropped; selection is
+    deterministic (same result twice)."""
+    from deeplake_spark.operators.sampling import class_balance
+
+    rows = ([(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(7)]
+            + [(200, None)])
+    df = spark.createDataFrame(rows, "doc_id long, label string")
+    bal = class_balance(df, "label")
+    counts = {r.label: r.n for r in
+              bal.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 7, "b": 7}
+    t3 = class_balance(df, "label", target=3)
+    assert {r.label: r.n for r in
+            t3.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()} \
+        == {"a": 3, "b": 3}
+    ids1 = sorted(r.doc_id for r in bal.collect())
+    ids2 = sorted(r.doc_id for r in class_balance(df, "label").collect())
+    assert ids1 == ids2 and 200 not in ids1
