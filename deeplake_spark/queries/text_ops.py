@@ -2753,3 +2753,65 @@ def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.nullif(n * sxx - sx * sx, F.lit(0.0)))
     return s.select(F.col("n").cast("long").alias("n_vocab"),
                     F.round(-slope, 6).alias("alpha"))
+
+
+@query(
+    "t47_chat_turn_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             'Header junk. User: ' || substr(text, 1, 40)
+             || ' Assistant: ' || substr(text, 41, 50)
+             || ' User: tell me more ' || CAST(doc_id AS VARCHAR)
+             || ' Assistant: ' || substr(text, 91, 30) AS dialog
+      FROM documents WHERE doc_id < 40
+    ),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(dialog, '(User:|Assistant:)',
+                            chr(1) || '\\1', 'g') AS m
+      FROM base
+    ),
+    parts AS (
+      SELECT doc_id,
+             unnest(range(1, len(p) + 1)) AS pos,
+             unnest(p) AS part
+      FROM (SELECT doc_id, string_split(m, chr(1)) AS p FROM marked)
+    ),
+    turns AS (
+      SELECT doc_id, pos, part FROM parts
+      WHERE part LIKE 'User:%' OR part LIKE 'Assistant:%'
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS turn_idx,
+           CASE WHEN part LIKE 'User:%' THEN 'user'
+                ELSE 'assistant' END AS role,
+           trim(regexp_replace(part, '^(User:|Assistant:)', ''))
+           AS content
+    FROM turns
+    ORDER BY doc_id, turn_idx
+    """,
+    doc="Chat-transcript segmentation (operators/restructure."
+    "split_chat_turns — the SFT-data prep step): synthesized "
+    "four-turn dialogues (with a pre-marker header that must be "
+    "dropped) split into one row per turn with (doc_id, turn_idx, "
+    "role, content). Marker insertion is a regexp_replace to a "
+    "chr(1) separator, split + posexplode_outer with the null filter "
+    "on the generator OUTPUT (trap 2), and the renumbering window is "
+    "doc-partitioned (trap 7). Content equality is hash-checked "
+    "byte-for-byte against DuckDB's zipped double-unnest spelling.",
+    tags=("text", "sft", "pipeline"),
+)
+def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.restructure import split_chat_turns
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40))
+    dialog = F.concat(
+        F.lit("Header junk. User: "), F.substring(F.col("text"), 1, 40),
+        F.lit(" Assistant: "), F.substring(F.col("text"), 41, 50),
+        F.lit(" User: tell me more "), F.col("doc_id").cast("string"),
+        F.lit(" Assistant: "), F.substring(F.col("text"), 91, 30))
+    base = docs.select("doc_id", dialog.alias("text"))
+    return split_chat_turns(base).orderBy("doc_id", "turn_idx")
