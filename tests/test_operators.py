@@ -1717,3 +1717,24 @@ def test_class_balance_target_and_null_labels(spark):
     ids1 = sorted(r.doc_id for r in bal.collect())
     ids2 = sorted(r.doc_id for r in class_balance(df, "label").collect())
     assert ids1 == ids2 and 200 not in ids1
+
+
+def test_split_chat_turns_edges(spark):
+    """split_chat_turns: header-only text yields zero rows; custom
+    markers work; roles and ordering are exact."""
+    from deeplake_spark.operators.restructure import split_chat_turns
+
+    df = spark.createDataFrame(
+        [(1, "no markers here at all"),
+         (2, "hdr User: hi Assistant: hello! User: bye"),
+         (3, "Q: one A: two Q: three")],
+        "doc_id long, text string")
+    out = split_chat_turns(df).orderBy("doc_id", "turn_idx").collect()
+    assert [(r.doc_id, r.turn_idx, r.role, r.content) for r in out] == [
+        (2, 0, "user", "hi"), (2, 1, "assistant", "hello!"),
+        (2, 2, "user", "bye")]
+    qa = split_chat_turns(df, markers=("Q:", "A:")) \
+        .orderBy("doc_id", "turn_idx").collect()
+    assert [(r.doc_id, r.role, r.content) for r in qa
+            if r.doc_id == 3] == [
+        (3, "q", "one"), (3, "a", "two"), (3, "q", "three")]
