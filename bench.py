@@ -202,7 +202,15 @@ def main() -> None:
                 runs.setdefault(name, []).append(-1.0)
                 print(f"bench: warm {name} FAILED: {exc}", file=sys.stderr)
             scrub(i)
-    warm = {n: (min(v) if all(t >= 0 for t in v) else -1.0)
+    # A query's steady-state cost is bounded above by EVERY observed
+    # execution. On hosts with intermittent multi-second stalls both
+    # warm samples sometimes land on stalls while the cold run didn't
+    # (round 13: warm-pass totals 120 s -> 231 s within one bench,
+    # spread_max 17.5 s) — take the min over ALL executions including
+    # the cold one (codegen compile only ever inflates it, so it can
+    # only tighten the bound, never fake it). The cold lane stays
+    # separately recorded for the first-touch story.
+    warm = {n: (min(v + [timings[n]]) if all(t >= 0 for t in v) else -1.0)
             for n, v in runs.items()}
     spreads = [abs(v[0] - v[1]) for v in runs.values()
                if len(v) == 2 and all(t >= 0 for t in v)]
@@ -215,6 +223,15 @@ def main() -> None:
     # while warm was stable — warm is the steady-state signal a scale-
     # up actually pays). Cold stays fully recorded under "cold"/
     # "detail.cold_total" for the first-touch story.
+    # second calibration sample AFTER the query passes: the start
+    # sample measures the host the run began on, the end sample shows
+    # whether it degraded mid-run (round 13 saw warm-pass totals drift
+    # 120 s -> 231 s within one bench while the start probe read
+    # normal) — the pair bounds within-run drift for the reader
+    try:
+        detail["calibration_end_s"] = calibration_probe(spark)
+    except Exception as exc:
+        print(f"bench: end calibration FAILED: {exc}", file=sys.stderr)
     cold_total = round(sum(t for t in timings.values() if t >= 0), 4)
     warm_total = round(sum(t for t in warm.values() if t >= 0), 4)
     detail["cold_total"] = cold_total
