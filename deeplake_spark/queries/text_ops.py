@@ -2815,3 +2815,65 @@ def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" Assistant: "), F.substring(F.col("text"), 91, 30))
     base = docs.select("doc_id", dialog.alias("text"))
     return split_chat_turns(base).orderBy("doc_id", "turn_idx")
+
+
+from deeplake_spark.queries.dedup_ops import _DUCK_SHINGLES3  # noqa: E402
+
+
+@query(
+    "t48_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES3.format(t="t")} AS s FROM toks
+           WHERE len({_DUCK_SHINGLES3.format(t="t")}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+    dfq AS (SELECT sng, COUNT(*) AS df FROM ex GROUP BY sng),
+    per_doc AS (
+      SELECT e.doc_id, COUNT(*) AS ns,
+             SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS novel
+      FROM ex e JOIN dfq d ON e.sng = d.sng GROUP BY e.doc_id
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.ns) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(p.novel) AS DOUBLE)
+                 / CAST(SUM(p.ns) AS DOUBLE), 6) AS novelty
+    FROM per_doc p JOIN documents s ON s.doc_id = p.doc_id
+    GROUP BY s.source ORDER BY s.source
+    """,
+    doc="Per-source n-gram novelty — the corpus DIVERSITY diagnostic "
+    "dual to the dedup lanes: the fraction of each source's distinct "
+    "3-word shingles that appear NOWHERE else in the corpus (df = 1). "
+    "Low novelty flags templated/boilerplate-heavy or internally "
+    "duplicated sources before training wastes epochs on them; "
+    "Self-BLEU-style diversity without the all-pairs cost. Shapes: "
+    "the d03 posting relation (one tokenize+shingle pass, "
+    "explode_outer + null filter), a shingle-keyed df aggregate, one "
+    "join back, two bounded aggregates — no pair join at all, so at "
+    "100 TB this costs a dedup PREP pass, not a dedup.",
+    tags=("text", "diversity", "stats"),
+)
+def t48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import _posting, shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _posting(shingle_sets(docs, n=3), None)
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (ex.join(dfreq, "sh")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("__ns"),
+                    F.sum((F.col("__df") == 1).cast("long"))
+                    .alias("__novel")))
+    src = docs.select("doc_id", "source")
+    return (per_doc.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__ns").cast("long").alias("n_shingles"),
+                 F.sum("__novel").cast("long").alias("n_novel"),
+                 F.round(F.sum("__novel").cast("double")
+                         / F.sum("__ns").cast("double"), 6)
+                 .alias("novelty"))
+            .orderBy("source"))
