@@ -372,3 +372,36 @@ def canonical_url(url: Column) -> Column:
     c = F.regexp_replace(c, "&&+", "&")
     c = F.regexp_replace(c, "[?&]+$", "")
     return F.regexp_replace(c, "/+$", "")
+
+
+def compression_ratio():
+    """Arrow-batched gzip-compressibility scorer: compressed_bytes /
+    raw_bytes of the UTF-8 text (zlib level 6, headerless deflate).
+    The entropy-style quality proxy the Gopher/RefinedWeb stacks use
+    alongside the rule-based scores: highly repetitive or templated
+    text compresses far below natural prose (~0.3-0.4), random noise
+    sits near 1.0 — cheap, language-agnostic, and orthogonal to
+    stopword/punctuation heuristics. Empty/NULL text scores NULL.
+
+    Self-contained closure (stdlib zlib only — CLAUDE.md trap 23);
+    deterministic for a fixed zlib, so results are stable within a
+    container but NOT engine-portable — this lane is rows-only by
+    design (DuckDB ships no compressor), like the trained-index
+    lanes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(text: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in text:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8", "surrogatepass")
+            comp = zlib.compress(raw, 6)
+            out.append(len(comp) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return ratio

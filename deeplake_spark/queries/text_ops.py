@@ -2877,3 +2877,34 @@ def t48(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum("__ns").cast("double"), 6)
                  .alias("novelty"))
             .orderBy("source"))
+
+
+@query(
+    "t49_compression_quality",
+    oracle=None,  # zlib has no DuckDB twin — rows-only lane by design
+    # (deterministic within the container; distribution + monotonicity
+    # pinned in tests/test_operators.py against planted repetitive /
+    # natural / noise fixtures)
+    doc="Gzip-compressibility quality proxy (functions.text."
+    "compression_ratio — the Gopher/RefinedWeb entropy-style signal): "
+    "compressed/raw byte ratio per document, aggregated per source as "
+    "(n_docs, mean ratio, min, max). Repetitive/templated text "
+    "compresses far below natural prose; the per-source mean flags "
+    "low-entropy sources the rule-based t06 scores miss. Arrow-"
+    "batched stdlib-zlib UDF (self-contained closure, trap 23); at "
+    "100 TB this is a scan-side map plus one source-keyed aggregate.",
+    tags=("text", "quality", "pipeline"),
+)
+def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.functions.text import compression_ratio
+    from deeplake_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ratio = compression_ratio()
+    scored = docs.select("source", ratio(F.col("text")).alias("__r"))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("__r"), 6).alias("mean_ratio"),
+                 F.round(F.min("__r"), 6).alias("min_ratio"),
+                 F.round(F.max("__r"), 6).alias("max_ratio"))
+            .orderBy("source"))

@@ -1738,3 +1738,30 @@ def test_split_chat_turns_edges(spark):
     assert [(r.doc_id, r.role, r.content) for r in qa
             if r.doc_id == 3] == [
         (3, "q", "one"), (3, "a", "two"), (3, "q", "three")]
+
+
+def test_compression_ratio_monotone_on_planted_fixtures(spark):
+    """compression_ratio: repetitive text << natural prose < random
+    noise; empty/NULL score NULL; deterministic across calls."""
+    import random
+    import string
+
+    from deeplake_spark.functions.text import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(2000))
+    prose = ("the quick brown fox jumps over the lazy dog while the "
+             "rain in spain falls mainly on the plain and every good "
+             "boy does fine with some variance in phrasing here ") * 8
+    rep = "spam ham " * 250
+    df = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, noise), (3, ""), (4, None)],
+        "i long, text string")
+    ratio = compression_ratio()
+    got = {r.i: r.r for r in df.select("i", ratio("text").alias("r")).collect()}
+    assert got[0] < got[1] < got[2] <= 1.05
+    assert got[0] < 0.05 and got[2] > 0.7
+    assert got[3] is None and got[4] is None
+    got2 = {r.i: r.r for r in df.select("i", ratio("text").alias("r")).collect()}
+    assert got == got2
