@@ -36,6 +36,12 @@ from deeplake_spark.io import ensure_parallelism
 # bound their residue instead of growing it without limit.
 
 _TRACKED: list[DataFrame] = []
+# Cap note (r13 VERDICT watch#3): eviction is oldest-first with no
+# liveness check — correctness holds (an evicted plan recomputes), but
+# a warm loop that re-forces a query whose persists are >CAP
+# constructions old silently pays the rebuild. Keep the cap >= the
+# warmest re-execution window (bench.py scrubs every 10 queries, well
+# inside 32); raise it here if a longer warm lane appears.
 _TRACKED_CAP = 32
 
 
@@ -70,16 +76,25 @@ class cached_scope:
     (materialize results inside the scope)."""
 
     def __enter__(self) -> "cached_scope":
-        self._mark = len(_TRACKED)
+        # Membership by identity, not list index: a FIFO-cap eviction
+        # inside the scope pops from the front and shifts indices, so
+        # an index mark would let early in-scope persists slide below
+        # it and leak (ADVICE r13). Holding strong refs to the
+        # pre-scope entries also pins their id()s against reuse.
+        self._before = list(_TRACKED)
         return self
 
     def __exit__(self, *exc) -> None:
-        for df in _TRACKED[self._mark:]:
+        pre = {id(df) for df in self._before}
+        for df in list(_TRACKED):
+            if id(df) in pre:
+                continue
             try:
                 df.unpersist()
             except Exception:
                 pass
-        del _TRACKED[self._mark:]
+        _TRACKED[:] = [df for df in _TRACKED if id(df) in pre]
+        self._before = []
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",

@@ -1125,6 +1125,8 @@ def _decode_nifti(payload: bytes) -> np.ndarray:
 
 _DICOM_IMPLICIT_LE = "1.2.840.10008.1.2"
 _DICOM_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_DICOM_EXPLICIT_BE = "1.2.840.10008.1.2.2"  # retired; byteswapped walk
+_DICOM_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
 # VRs using the 4-byte length form (2 reserved bytes + uint32), PS3.5 §7.1.2
 _DICOM_LONG_VRS = {b"OB", b"OD", b"OF", b"OL", b"OV", b"OW", b"SQ",
                    b"SV", b"UC", b"UN", b"UR", b"UT", b"UV"}
@@ -1134,40 +1136,48 @@ _DICOM_SHORT_VRS = {b"AE", b"AS", b"AT", b"CS", b"DA", b"DS", b"DT",
 
 
 def _dicom_walk(payload: bytes, pos: int, end: int, explicit: bool,
-                collect: dict | None) -> int:
+                collect: dict | None, endian: str = "<",
+                frames_out: list | None = None) -> int:
     """Walk one dataset scope in payload[pos:end]; fill `collect`
     (tag → value bytes) for top-level elements. Sequence bodies are
     skipped (defined length: by length; undefined length: by item walk,
-    recursing for undefined-length items). Returns the position after
-    the scope — end of buffer, or just past an item/sequence delimiter
-    when called for a nested scope."""
+    recursing for undefined-length items). ``endian`` byteswaps tags
+    and lengths for the retired explicit-VR big-endian syntax. With
+    ``frames_out`` (the RLE lane), an undefined-length PixelData is
+    parsed as PS3.5 A.4 encapsulation — one fragment item per frame
+    appended to the list — instead of raising. Returns the position
+    after the scope — end of buffer, or just past an item/sequence
+    delimiter when called for a nested scope."""
     while pos + 8 <= end:
-        group, elem = struct.unpack_from("<HH", payload, pos)
+        group, elem = struct.unpack_from(endian + "HH", payload, pos)
         tag = (group, elem)
         if tag in ((0xFFFE, 0xE00D), (0xFFFE, 0xE0DD)):
             return pos + 8  # item / sequence delimitation (zero length)
         if tag == (0xFFFE, 0xE000):  # item header inside a sequence body
-            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            (length,) = struct.unpack_from(endian + "I", payload, pos + 4)
             pos += 8
-            pos = (_dicom_walk(payload, pos, end, explicit, None)
+            pos = (_dicom_walk(payload, pos, end, explicit, None, endian)
                    if length == 0xFFFFFFFF else pos + length)
             continue
         if explicit:
             vr = payload[pos + 4:pos + 6]
             if vr in _DICOM_LONG_VRS:
-                (length,) = struct.unpack_from("<I", payload, pos + 8)
+                (length,) = struct.unpack_from(endian + "I", payload, pos + 8)
                 vpos = pos + 12
             else:
-                (length,) = struct.unpack_from("<H", payload, pos + 6)
+                (length,) = struct.unpack_from(endian + "H", payload, pos + 6)
                 vpos = pos + 8
         else:
-            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            (length,) = struct.unpack_from(endian + "I", payload, pos + 4)
             vpos = pos + 8
         if length == 0xFFFFFFFF:  # undefined length
             if tag == (0x7FE0, 0x0010):
-                raise _MedicalUnsupported(
-                    "encapsulated (compressed) DICOM PixelData")
-            pos = _dicom_walk(payload, vpos, end, explicit, None)
+                if frames_out is None:
+                    raise _MedicalUnsupported(
+                        "encapsulated (compressed) DICOM PixelData")
+                pos = _dicom_encap_items(payload, vpos, end, frames_out)
+                continue
+            pos = _dicom_walk(payload, vpos, end, explicit, None, endian)
             continue
         if vpos + length > end:
             raise ValueError("DICOM element overruns payload")
@@ -1177,16 +1187,112 @@ def _dicom_walk(payload: bytes, pos: int, end: int, explicit: bool,
     return pos
 
 
+def _dicom_encap_items(payload: bytes, pos: int, end: int,
+                       frames_out: list) -> int:
+    """Encapsulated-PixelData item walk (PS3.5 A.4): a Basic Offset
+    Table item (possibly empty — skipped; fragments are delimited by
+    their own item headers so the table is redundant here), then one
+    defined-length fragment item per frame, terminated by the sequence
+    delimiter. Item tags/lengths are always little-endian (every
+    encapsulated transfer syntax is explicit-VR LE)."""
+    first = True
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", payload, pos)
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return pos + 8
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise ValueError("malformed encapsulated DICOM PixelData")
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8
+        if length == 0xFFFFFFFF or pos + length > end:
+            raise ValueError("encapsulated DICOM item overruns payload")
+        if first:
+            first = False  # Basic Offset Table
+        else:
+            frames_out.append(payload[pos:pos + length])
+        pos += length
+    raise ValueError("unterminated encapsulated DICOM PixelData")
+
+
+def _packbits_decode(data: bytes, pos: int, end: int, out_len: int) -> bytes:
+    """PS3.5 G.3.1 byte decoder (the TIFF PackBits scheme): control
+    byte n<128 → copy the next n+1 literal bytes; n>128 → replicate the
+    next byte 257−n times; n==128 → no-op."""
+    out = bytearray()
+    while pos < end and len(out) < out_len:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > end:
+                raise ValueError("RLE literal run overruns segment")
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= end:
+                raise ValueError("RLE replicate run overruns segment")
+            out += data[pos:pos + 1] * (257 - n)
+            pos += 1
+    if len(out) < out_len:
+        raise ValueError("RLE segment decodes short")
+    return bytes(out[:out_len])
+
+
+def _decode_rle_frame(frame: bytes, rows: int, cols: int, samples: int,
+                      base: np.dtype) -> np.ndarray:
+    """One RLE-lossless frame (PS3.5 Annex G): a 64-byte header (uint32
+    LE segment count + 15 offsets), then PackBits segments — one byte
+    plane of the Composite Pixel Code each, MSB first per sample.
+    Returns (rows, cols) or (rows, cols, samples)."""
+    base = np.dtype(base)
+    itemsize = base.itemsize
+    if len(frame) < 64:
+        raise ValueError("RLE frame shorter than its 64-byte header")
+    header = struct.unpack_from("<16I", frame, 0)
+    nseg = header[0]
+    if nseg != samples * itemsize or not 1 <= nseg <= 15:
+        raise ValueError(
+            f"RLE segment count {nseg} != SamplesPerPixel*bytes "
+            f"({samples}*{itemsize})")
+    offs = list(header[1:1 + nseg]) + [len(frame)]
+    plane_len = rows * cols
+    planes = [np.frombuffer(
+        _packbits_decode(frame, offs[i], min(offs[i + 1], len(frame)),
+                         plane_len), dtype=np.uint8)
+        for i in range(nseg)]
+    uns = np.dtype({1: np.uint8, 2: np.uint16, 4: np.uint32}[itemsize])
+    vals = np.empty((plane_len, samples), dtype=base)
+    k = 0
+    for s in range(samples):
+        acc = np.zeros(plane_len, dtype=np.uint64)
+        for _b in range(itemsize):
+            acc = (acc << np.uint64(8)) | planes[k]
+            k += 1
+        vals[:, s] = acc.astype(uns).view(base)
+    if samples > 1:
+        return vals.reshape(rows, cols, samples)
+    return vals[:, 0].reshape(rows, cols)
+
+
 def _decode_dicom(payload: bytes) -> np.ndarray:
-    """REAL decoder for uncompressed little-endian DICOM (PS3.10 part-10
-    files and raw datasets): preamble+DICM sniff, explicit-VR file meta
-    walk for the TransferSyntaxUID, then an explicit- or implicit-VR
-    element walk to Rows/Columns/BitsAllocated/PixelRepresentation/
-    SamplesPerPixel/NumberOfFrames and the PixelData buffer. Compressed
-    or big-endian transfer syntaxes raise _MedicalUnsupported (pydicom
-    fallthrough, the nibabel convention)."""
+    """REAL decoder for uncompressed DICOM (PS3.10 part-10 files and
+    raw datasets) plus RLE Lossless: preamble+DICM sniff, explicit-VR
+    file meta walk for the TransferSyntaxUID, then an explicit- or
+    implicit-VR element walk (little- or big-endian) to Rows/Columns/
+    BitsAllocated/PixelRepresentation/SamplesPerPixel/NumberOfFrames
+    and the PixelData buffer — native for implicit/explicit LE,
+    explicit BE (retired .1.2.2, a byteswapped walk) and RLE Lossless
+    (.1.2.5, PS3.5 Annex G PackBits segments). Other compressed
+    syntaxes raise _MedicalUnsupported (pydicom fallthrough, the
+    nibabel convention).
+
+    Raw datasets carry no TransferSyntaxUID, so the VR mode is
+    sniffed. The sniff is a TRIAL, not a commitment (ADVICE r13): in
+    an implicit-VR dataset bytes 4:6 are the LOW half of the first
+    element's uint32 length and can spell a valid VR by accident
+    (length 0x4144 reads as "DA"), so when both readings are
+    plausible the explicit parse runs first and a failure falls back
+    to the implicit parse — only an exhausted candidate list raises."""
     payload = bytes(payload)
-    explicit = True
     if len(payload) >= 132 and payload[128:132] == b"DICM":
         pos, end = 132, len(payload)
         ts = None
@@ -1207,25 +1313,48 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
             pos = vpos + length
         if ts is None:
             raise ValueError("DICOM file meta missing TransferSyntaxUID")
+        # (explicit, endian, rle) per transfer syntax — authoritative,
+        # no sniff fallback for part-10 files
         if ts == _DICOM_EXPLICIT_LE:
-            explicit = True
+            modes = [(True, "<", False)]
         elif ts == _DICOM_IMPLICIT_LE:
-            explicit = False
+            modes = [(False, "<", False)]
+        elif ts == _DICOM_EXPLICIT_BE:
+            modes = [(True, ">", False)]
+        elif ts == _DICOM_RLE:
+            modes = [(True, "<", True)]
         else:
             raise _MedicalUnsupported(f"DICOM transfer syntax {ts}")
-    elif len(payload) >= 8 and payload[4:6] in _DICOM_SHORT_VRS | _DICOM_LONG_VRS:
-        pos, end = 0, len(payload)  # raw explicit-VR dataset
-        explicit = True
     elif len(payload) >= 8:
-        # raw implicit-VR dataset: first tag must be a plausible group
+        pos, end = 0, len(payload)
         group, _ = struct.unpack_from("<HH", payload, 0)
-        if group in (0x0008, 0x0010, 0x0018, 0x0020, 0x0028, 0x7FE0):
-            pos, end, explicit = 0, len(payload), False
-        else:
+        plausible_group = group in (0x0008, 0x0010, 0x0018, 0x0020,
+                                    0x0028, 0x7FE0)
+        modes = []
+        if payload[4:6] in _DICOM_SHORT_VRS | _DICOM_LONG_VRS:
+            modes.append((True, "<", False))
+        if plausible_group:
+            modes.append((False, "<", False))
+        if not modes:
             raise ValueError("not a DICOM payload")
     else:
         raise ValueError("not a DICOM payload (too short)")
 
+    err: Exception | None = None
+    for explicit, endian, rle in modes:
+        try:
+            return _dicom_extract(payload, pos, end, explicit, endian, rle)
+        except _MedicalUnsupported:
+            raise
+        except (ValueError, struct.error) as e:
+            err = e
+    if isinstance(err, ValueError):
+        raise err
+    raise ValueError(f"DICOM parse failed: {err}")
+
+
+def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
+                   endian: str, rle: bool) -> np.ndarray:
     want: dict = {
         (0x0028, 0x0002): None,  # SamplesPerPixel US
         (0x0028, 0x0008): None,  # NumberOfFrames IS
@@ -1235,18 +1364,16 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
         (0x0028, 0x0103): None,  # PixelRepresentation US
         (0x7FE0, 0x0010): None,  # PixelData OW/OB
     }
-    _dicom_walk(payload, pos, end, explicit, want)
+    frames_items: list | None = [] if rle else None
+    _dicom_walk(payload, pos, end, explicit, want, endian, frames_items)
 
     def us(tag, default):
         v = want[tag]
-        return default if not v else struct.unpack_from("<H", v, 0)[0]
+        return default if not v else struct.unpack_from(endian + "H", v, 0)[0]
 
     rows, cols = us((0x0028, 0x0010), 0), us((0x0028, 0x0011), 0)
     if not rows or not cols:
         raise ValueError("DICOM payload missing Rows/Columns")
-    pix = want[(0x7FE0, 0x0010)]
-    if pix is None:
-        raise ValueError("DICOM payload missing PixelData")
     bits = us((0x0028, 0x0100), 16)
     signed = us((0x0028, 0x0103), 0) == 1
     samples = us((0x0028, 0x0002), 1)
@@ -1257,11 +1384,26 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
             32: np.int32 if signed else np.uint32}.get(bits)
     if base is None:
         raise _MedicalUnsupported(f"DICOM BitsAllocated {bits}")
+    if rle:
+        if not frames_items:
+            raise ValueError("RLE DICOM without encapsulated frames")
+        if frames > 1 and frames != len(frames_items):
+            raise ValueError(
+                f"RLE DICOM NumberOfFrames {frames} != "
+                f"{len(frames_items)} encapsulated fragments")
+        decoded = [_decode_rle_frame(fr, rows, cols, samples, base)
+                   for fr in frames_items]
+        return (np.stack(decoded) if len(decoded) > 1 else decoded[0])
+    pix = want[(0x7FE0, 0x0010)]
+    if pix is None:
+        raise ValueError("DICOM payload missing PixelData")
     count = rows * cols * samples * frames
     if len(pix) < count * np.dtype(base).itemsize:
         raise ValueError("DICOM PixelData shorter than Rows*Columns*...")
-    arr = np.frombuffer(pix, dtype=np.dtype(base).newbyteorder("<"),
+    arr = np.frombuffer(pix, dtype=np.dtype(base).newbyteorder(endian),
                         count=count)
+    if endian == ">":
+        arr = arr.astype(base)  # native byte order out
     shape = [rows, cols]
     if samples > 1:
         shape.append(samples)

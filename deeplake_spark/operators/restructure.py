@@ -359,7 +359,10 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
     from pyspark.sql.window import Window
 
     sep = "\u0001"
-    pattern = "(" + "|".join(markers) + ")"
+    # Markers are literal text: \Q...\E-quote each one so regex
+    # metacharacters ("[INST]", "Q.") match literally in every stage
+    # (regexp_replace, rlike, and the strip below) — ADVICE r13.
+    pattern = "(" + "|".join("\\Q" + m + "\\E" for m in markers) + ")"
     marked = F.regexp_replace(F.col(text_col), pattern, sep + "$1")
     parts = df.select(
         F.col(id_col),

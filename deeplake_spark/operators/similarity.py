@@ -1558,6 +1558,10 @@ def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
             .join(labeled.select(id_col, label_col), id_col)
             .join(F.broadcast(qs.select(qid_col, qlabel_col)), qid_col)
             .filter(F.col(label_col) != F.col(qlabel_col))
+            # Self-exclusion, matching the exact lane: when query and
+            # corpus id spaces overlap, the query's own row is never a
+            # negative even if its corpus label differs (ADVICE r13).
+            .filter(F.col(id_col) != F.col(qid_col))
             .select(qid_col, id_col, label_col, "score")
         )
     else:

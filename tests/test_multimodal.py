@@ -513,13 +513,65 @@ def test_real_nifti_decode_roundtrip(spark):
     assert (got == vol).all()
 
 
+def _packbits_encode_test(b):
+    """Independent test-side PS3.5 G.3.1 encoder: replicate runs >= 2,
+    literal runs broken at 128 bytes or a 3-run lookahead; even pad."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        j = i
+        while j + 1 < n and b[j + 1] == b[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(b[i])
+            i = j + 1
+            continue
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and b[k + 1] == b[k] and b[k + 2] == b[k]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += b[i:k]
+        i = k
+    if len(out) % 2:
+        out.append(0x80)  # pad with the no-op control byte
+    return bytes(out)
+
+
+def _rle_encode_frame_test(a):
+    """Test-side PS3.5 Annex G frame: 64-byte header (segment count +
+    offsets) + one PackBits segment per Composite-Pixel-Code byte,
+    MSB first per sample."""
+    import struct as st
+
+    if a.ndim == 2:
+        a = a[:, :, None]
+    itemsize = a.dtype.itemsize
+    segs = []
+    for s in range(a.shape[2]):
+        be = a[:, :, s].astype(a.dtype.newbyteorder(">")).tobytes(order="C")
+        for b in range(itemsize):
+            segs.append(_packbits_encode_test(be[b::itemsize]))
+    offs, cur = [], 64
+    for seg in segs:
+        offs.append(cur)
+        cur += len(seg)
+    offs += [0] * (15 - len(segs))
+    return st.pack("<16I", len(segs), *offs) + b"".join(segs)
+
+
 def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
-                  with_seq=False):
+                  with_seq=False, endian="<", rle=False):
     """Test-side DICOM part-10 writer (NEMA PS3.10/PS3.5): 128-byte
     preamble + DICM + explicit-VR file meta (TransferSyntaxUID) + a
-    little-endian dataset with the image-pixel module and PixelData.
-    `with_seq` plants an undefined-length SQ with an undefined-length
-    item before the pixel module to exercise the decoder's skip walk."""
+    dataset with the image-pixel module and PixelData. `with_seq`
+    plants an undefined-length SQ with an undefined-length item before
+    the pixel module to exercise the decoder's skip walk. `endian='>'`
+    writes the retired explicit-VR big-endian syntax; `rle=True`
+    writes RLE Lossless (encapsulated PixelData, Annex G frames)."""
     import struct as st
 
     import numpy as np
@@ -528,47 +580,67 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
         if len(v) % 2:
             v += b"\x00"
         if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
-            return st.pack("<HH2sHI", g, e, vr, 0, len(v)) + v
-        return st.pack("<HH2sH", g, e, vr, len(v)) + v
+            return st.pack(endian + "HH2sHI", g, e, vr, 0, len(v)) + v
+        return st.pack(endian + "HH2sH", g, e, vr, len(v)) + v
 
     def eli(g, e, vr, v):  # implicit-VR element
         if len(v) % 2:
             v += b"\x00"
-        return st.pack("<HHI", g, e, len(v)) + v
+        return st.pack(endian + "HHI", g, e, len(v)) + v
 
     el = ele if explicit else eli
     signed = arr.dtype.kind == "i"
     bits = arr.dtype.itemsize * 8
+    samples = 1
     if arr.ndim == 2:
         frames, (rows, cols) = 1, arr.shape
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4) and rle:
+        frames, (rows, cols, samples) = 1, arr.shape
     else:
         frames, rows, cols = arr.shape
     body = b""
     if with_seq:
         inner = el(0x0008, 0x0100, b"SH", b"CODE")
-        item = (st.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
-                + st.pack("<HHI", 0xFFFE, 0xE00D, 0))
-        seq = item + st.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        item = (st.pack(endian + "HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
+                + st.pack(endian + "HHI", 0xFFFE, 0xE00D, 0))
+        seq = item + st.pack(endian + "HHI", 0xFFFE, 0xE0DD, 0)
         if explicit:
-            body += st.pack("<HH2sHI", 0x0008, 0x1140, b"SQ", 0,
+            body += st.pack(endian + "HH2sHI", 0x0008, 0x1140, b"SQ", 0,
                             0xFFFFFFFF) + seq
         else:
-            body += st.pack("<HHI", 0x0008, 0x1140, 0xFFFFFFFF) + seq
-    body += el(0x0028, 0x0002, b"US", st.pack("<H", 1))
+            body += st.pack(endian + "HHI", 0x0008, 0x1140, 0xFFFFFFFF) + seq
+    body += el(0x0028, 0x0002, b"US", st.pack(endian + "H", samples))
     if frames > 1:
         body += el(0x0028, 0x0008, b"IS", str(frames).encode())
-    body += el(0x0028, 0x0010, b"US", st.pack("<H", rows))
-    body += el(0x0028, 0x0011, b"US", st.pack("<H", cols))
-    body += el(0x0028, 0x0100, b"US", st.pack("<H", bits))
-    body += el(0x0028, 0x0101, b"US", st.pack("<H", bits))
-    body += el(0x0028, 0x0102, b"US", st.pack("<H", bits - 1))
-    body += el(0x0028, 0x0103, b"US", st.pack("<H", 1 if signed else 0))
-    pix = arr.astype(arr.dtype.newbyteorder("<")).tobytes(order="C")
-    body += (ele if explicit else eli)(0x7FE0, 0x0010, b"OW", pix)
+    body += el(0x0028, 0x0010, b"US", st.pack(endian + "H", rows))
+    body += el(0x0028, 0x0011, b"US", st.pack(endian + "H", cols))
+    body += el(0x0028, 0x0100, b"US", st.pack(endian + "H", bits))
+    body += el(0x0028, 0x0101, b"US", st.pack(endian + "H", bits))
+    body += el(0x0028, 0x0102, b"US", st.pack(endian + "H", bits - 1))
+    body += el(0x0028, 0x0103, b"US", st.pack(endian + "H", 1 if signed else 0))
+    if rle:
+        fr_arrs = [arr] if arr.ndim == 2 or samples > 1 else list(arr)
+        items = st.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty offset table
+        for fa in fr_arrs:
+            payload_fr = _rle_encode_frame_test(np.ascontiguousarray(fa))
+            items += st.pack("<HHI", 0xFFFE, 0xE000, len(payload_fr))
+            items += payload_fr
+        items += st.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        body += st.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0,
+                        0xFFFFFFFF) + items
+    else:
+        pix = arr.astype(arr.dtype.newbyteorder(endian)).tobytes(order="C")
+        body += (ele if explicit else eli)(0x7FE0, 0x0010, b"OW", pix)
     if not preamble:
         return body
-    ts = transfer_syntax or ("1.2.840.10008.1.2.1" if explicit
-                             else "1.2.840.10008.1.2")
+    if rle:
+        default_ts = "1.2.840.10008.1.2.5"
+    elif endian == ">":
+        default_ts = "1.2.840.10008.1.2.2"
+    else:
+        default_ts = ("1.2.840.10008.1.2.1" if explicit
+                      else "1.2.840.10008.1.2")
+    ts = transfer_syntax or default_ts
     tsb = ts.encode()
     if len(tsb) % 2:
         tsb += b"\x00"
@@ -608,6 +680,58 @@ def test_real_dicom_decode_roundtrip(spark):
     for row in rows:
         assert list(row.shape) == [3, 4]
         assert (np.array(row.voxels).reshape(3, 4) == sl).all()
+
+
+def test_real_dicom_rle_and_bigendian():
+    """Round 14: RLE Lossless (1.2.840.10008.1.2.5) and explicit-VR
+    big-endian (.1.2.2) decode for REAL against the independent
+    test-side encoder: 8/16-bit, signed, RGB samples, multi-frame."""
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_dicom
+
+    rng = np.random.default_rng(14)
+    # runs + noise so both PackBits branches (replicate + literal) fire
+    flat = np.repeat(rng.integers(0, 255, 40), rng.integers(1, 9, 40))
+    u8 = flat[:96].astype(np.uint8).reshape(8, 12)
+    i16 = (rng.integers(-4000, 4000, (7, 9))).astype(np.int16)
+    i16[2:5, 3:6] = -1234  # a replicate run in both byte planes
+    rgb = rng.integers(0, 255, (5, 6, 3)).astype(np.uint8)
+    rgb[:, :3, :] = 77
+    mf16 = rng.integers(0, 60000, (3, 4, 5)).astype(np.uint16)
+    for a in (u8, i16, rgb):
+        got = _decode_dicom(_encode_dicom(a, rle=True))
+        assert got.dtype == a.dtype and got.shape == a.shape
+        assert (got == a).all(), a.dtype
+    got = _decode_dicom(_encode_dicom(mf16, rle=True))
+    assert got.shape == (3, 4, 5) and (got == mf16).all()
+
+    for a in (u8, i16):
+        got = _decode_dicom(_encode_dicom(a, endian=">"))
+        assert got.dtype == a.dtype and (got == a).all()
+    got = _decode_dicom(_encode_dicom(mf16, endian=">", with_seq=True))
+    assert (got == mf16).all()
+
+
+def test_raw_implicit_dataset_vr_lookalike():
+    """ADVICE r13: a raw implicit-VR dataset whose first element length
+    low-half spells a valid VR ("DA" = 0x4144) must still decode — the
+    explicit sniff is a trial with an implicit fallback, not a
+    commitment."""
+    import struct as st
+
+    import numpy as np
+
+    from deeplake_spark.operators.multimodal import _decode_dicom
+
+    sl = (np.arange(20, dtype=np.int16) - 7).reshape(4, 5)
+    body = _encode_dicom(sl, explicit=False, preamble=False)
+    # prepend (0008,xxxx) with a 0x4144-byte value: bytes 4:6 == b"DA"
+    filler = st.pack("<HHI", 0x0008, 0x0099, 0x4144) + b"\x00" * 0x4144
+    payload = filler + body
+    assert payload[4:6] == b"DA"
+    got = _decode_dicom(payload)
+    assert got.dtype == np.int16 and (got == sl).all()
 
 
 def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):

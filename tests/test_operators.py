@@ -1603,8 +1603,9 @@ def test_sketch_overwrite_crash_safety(spark, tmp_path):
     est1 = load_kmv(spark, path).select(
         kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
     assert est1 == 75.0
-    # flat files were GC'd after the flip
-    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # the flat files this merge READ survive one overwrite cycle
+    # (stale-reader deferral, r13 ADVICE) — GC'd by the NEXT overwrite
+    assert [f for f in os.listdir(path) if f.endswith(".parquet")]
 
     # kill point (a): a NEWER complete generation exists but _HEAD was
     # never flipped — the old generation must keep serving
@@ -1624,19 +1625,43 @@ def test_sketch_overwrite_crash_safety(spark, tmp_path):
         kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
     assert est_b == 75.0  # gen1 is the newest COMPLETE generation
 
-    # (c) the next successful overwrite restores _HEAD and GCs strays
+    # (c) the next successful overwrite restores _HEAD, GCs the
+    # incomplete stray AND the legacy flat files (they are now one
+    # cycle old), but keeps the generation it read for one more cycle
     d3 = spark.createDataFrame([(f"z{i}",) for i in range(10)], "x string")
-    merged = load_kmv(spark, path)  # plan reads gen1 while we overwrite
-    del merged
+    stale = load_kmv(spark, path)  # plan pinned to gen1's files
     append_kmv_delta(d3, "x", path, k=128)
     # Hadoop's local ChecksumFileSystem keeps hidden .crc siblings —
     # compare the visible namespace only
     names = {n for n in os.listdir(path) if not n.startswith(".")}
     head = open(os.path.join(path, "_HEAD")).read().strip()
-    assert names == {head, "_HEAD"}, names
+    assert names == {head, "_HEAD", gen1}, names
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
     est_c = load_kmv(spark, path).select(
         kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
     assert est_c == 85.0
+    # the pre-overwrite reader plan still executes (gen1 survived)
+    est_stale = stale.select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est_stale == 75.0
+
+    # (d) lost-update edge (r13 VERDICT wrong#1): a COMMITTED
+    # generation numbered past the one this writer read (a concurrent
+    # appender's just-flipped write landing between the read and the
+    # GC) must survive the sweep — its data stays loadable for a
+    # re-merge, never deleted.
+    concurrent_gen = "g-2000000"
+    (kmv_sketch(d2, "x", k=128)
+     .write.parquet(os.path.join(path, concurrent_gen)))  # has _SUCCESS
+    d4 = spark.createDataFrame([(f"y{i}",) for i in range(5)], "x string")
+    append_kmv_delta(d4, "x", path, k=128)
+    names = {n for n in os.listdir(path) if not n.startswith(".")}
+    assert concurrent_gen in names, names
+    assert gen1 not in names  # two cycles old now — collected
+    est_conc = spark.read.parquet(
+        os.path.join(path, concurrent_gen)).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est_conc == 25.0  # the concurrent writer's data, intact
 
 
 def test_dedup_release_cached_returns_blocks_to_baseline(spark):
@@ -1736,8 +1761,22 @@ def test_split_chat_turns_edges(spark):
     qa = split_chat_turns(df, markers=("Q:", "A:")) \
         .orderBy("doc_id", "turn_idx").collect()
     assert [(r.doc_id, r.role, r.content) for r in qa
-            if r.doc_id == 3] == [
+        if r.doc_id == 3] == [
         (3, "q", "one"), (3, "a", "two"), (3, "q", "three")]
+    # markers with regex metacharacters split LITERALLY (ADVICE r13):
+    # "[INST]" must not parse as a character class, "Q." not as Q-any
+    inst = spark.createDataFrame(
+        [(4, "sys [INST] do a thing [/INST] sure thing"),
+         (5, "Qx should not match Q. but Q. does")],
+        "doc_id long, text string")
+    got = split_chat_turns(inst, markers=("[INST]", "[/INST]")) \
+        .orderBy("doc_id", "turn_idx").collect()
+    assert [(r.doc_id, r.turn_idx, r.role, r.content) for r in got] == [
+        (4, 0, "[inst]", "do a thing"), (4, 1, "[/inst]", "sure thing")]
+    dot = split_chat_turns(inst, markers=("Q.",)) \
+        .orderBy("doc_id", "turn_idx").collect()
+    assert [(r.doc_id, r.content) for r in dot] == [
+        (5, "but"), (5, "does")]  # literal "Q." matches only, not "Qx"
 
 
 def test_compression_ratio_monotone_on_planted_fixtures(spark):
