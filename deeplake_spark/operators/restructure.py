@@ -382,5 +382,38 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
                 F.col(id_col),
                 (F.col("__t") - 1).cast("int").alias("turn_idx"),
                 role.alias("role"),
-                F.trim(F.regexp_replace(
-                    F.col("__part"), "^" + pattern, "")).alias("content")))
+                # whitespace-trim, not just space-trim: turns in real
+                # transcripts are newline-separated (render_chat's
+                # round-trip pins this)
+                F.regexp_replace(
+                    F.regexp_replace(F.col("__part"), "^" + pattern, ""),
+                    r"^\s+|\s+$", "").alias("content")))
+
+
+def render_chat(turns: DataFrame, id_col: str = "doc_id",
+                role_col: str = "role", content_col: str = "content",
+                order_col: str = "turn_idx",
+                role_sep: str = ": ", turn_sep: str = "\n") -> DataFrame:
+    """Inverse of :func:`split_chat_turns` — the SFT template-rendering
+    step: turn rows (id, turn_idx, role, content) fold back into ONE
+    canonical training string per conversation,
+    ``role + role_sep + content`` joined by ``turn_sep`` in turn
+    order. Returns (id, n_turns, rendered).
+
+    Engine-exact without an ordered string aggregate (Spark has no
+    string_agg ... ORDER BY): collect_list of (turn_idx, line) structs,
+    array_sort (struct ordering = field order, turn_idx first — a
+    total order since turn_idx is unique per doc), transform to the
+    line, array_join. All JVM built-ins; at 100 TB this is one
+    doc-keyed aggregate — the same single shuffle a GROUP BY costs,
+    with per-doc state bounded by conversation length."""
+    line = F.concat(F.col(role_col), F.lit(role_sep), F.col(content_col))
+    packed = turns.select(
+        F.col(id_col),
+        F.struct(F.col(order_col).alias("i"), line.alias("s")).alias("__t"))
+    return (packed.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_turns"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("__t")),
+                                 lambda t: t["s"]),
+                     turn_sep).alias("rendered")))

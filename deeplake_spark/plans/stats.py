@@ -124,9 +124,13 @@ def sketch_column_statistics(ds, column: str,
                     .alias("__probe"))
                     .filter(F.col("__probe").isNotNull()))
                 shared = [c for c in sby if c in by]
-                probes = vals.select(*shared, "__probe")
+                # broadcast-pin the probe side (r13 VERDICT wrong#2):
+                # both relations are KB-scale side tables, but the
+                # claim is then true by CONSTRUCTION — a BroadcastHash /
+                # BroadcastNestedLoop plan regardless of size stats
+                probes = F.broadcast(vals.select(*shared, "__probe"))
                 joined = (cm.join(probes, shared) if shared
-                          else cm.crossJoin(probes))  # KB-scale side tables
+                          else cm.crossJoin(probes))
         if joined is not None:
             out["cm"] = (joined.select(
                 *by, F.col("__probe").cast(dtype).alias("value"),

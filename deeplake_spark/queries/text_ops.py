@@ -2908,3 +2908,129 @@ def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("__r"), 6).alias("min_ratio"),
                  F.round(F.max("__r"), 6).alias("max_ratio"))
             .orderBy("source"))
+
+
+@query(
+    "t50_effective_tokens",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len({_DUCK_TOKS.format(c="text")}) AS nt,
+             md5(lower(text)) AS h
+      FROM documents
+    ),
+    k AS (
+      SELECT source, nt,
+             doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END)
+                            AS DOUBLE)
+                 / nullif(CAST(SUM(nt) AS DOUBLE), 0.0), 6)
+             AS dup_token_ratio
+    FROM k GROUP BY source ORDER BY source
+    """,
+    doc="Dedup-discounted token accounting — the 'effective data size' "
+    "a curriculum actually pays for: per source, total tokens vs the "
+    "tokens surviving exact keep-first dedup (corpus-wide md5 groups, "
+    "keeper = min doc_id — the d02 convention, so a duplicate "
+    "spanning sources credits its keeper's source). dup_token_ratio "
+    "is the fraction of the source's token budget that is duplicate "
+    "payload. Shapes: one tokenize pass, a digest-PARTITIONED window "
+    "(trap 7 satisfied), one source-keyed aggregate — dedup-PREP "
+    "cost, no pair join.",
+    tags=("text", "dedup", "stats"),
+)
+def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from deeplake_spark.functions.text import token_count
+    from deeplake_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source", "doc_id",
+        token_count(F.col("text")).cast("long").alias("__nt"),
+        F.md5(F.lower(F.col("text"))).alias("__h"))
+    w = Window.partitionBy("__h")
+    k = d.withColumn(
+        "__keep", F.col("doc_id") == F.min("doc_id").over(w))
+    kept = F.sum(F.when(F.col("__keep"), F.col("__nt")).otherwise(F.lit(0)))
+    return (k.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__nt").cast("long").alias("n_tokens"),
+                 kept.cast("long").alias("kept_tokens"),
+                 F.round(F.lit(1.0) - kept.cast("double")
+                         / F.nullif(F.sum("__nt").cast("double"),
+                                    F.lit(0.0)), 6)
+                 .alias("dup_token_ratio"))
+            .orderBy("source"))
+
+
+@query(
+    "t51_chat_render",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             'Header junk. User: ' || substr(text, 1, 40)
+             || ' Assistant: ' || substr(text, 41, 50)
+             || ' User: tell me more ' || CAST(doc_id AS VARCHAR)
+             || ' Assistant: ' || substr(text, 91, 30) AS dialog
+      FROM documents WHERE doc_id < 40
+    ),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(dialog, '(User:|Assistant:)',
+                            chr(1) || '\\1', 'g') AS m
+      FROM base
+    ),
+    parts AS (
+      SELECT doc_id,
+             unnest(range(1, len(p) + 1)) AS pos,
+             unnest(p) AS part
+      FROM (SELECT doc_id, string_split(m, chr(1)) AS p FROM marked)
+    ),
+    turns AS (
+      SELECT doc_id, pos,
+             CASE WHEN part LIKE 'User:%' THEN 'user'
+                  ELSE 'assistant' END AS role,
+             trim(regexp_replace(part, '^(User:|Assistant:)', ''))
+               AS content
+      FROM parts
+      WHERE part LIKE 'User:%' OR part LIKE 'Assistant:%'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_turns,
+           string_agg(role || ': ' || content, chr(10) ORDER BY pos)
+             AS rendered
+    FROM turns GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="SFT template rendering (operators/restructure.render_chat — "
+    "the inverse of t47's segmentation): the synthesized dialogues "
+    "split into turns and fold back into ONE canonical training "
+    "string per conversation ('role: content' joined by newline in "
+    "turn order). Engine-exact ordered fold without string_agg: "
+    "collect_list of (turn_idx, line) structs, array_sort, transform, "
+    "array_join — one doc-keyed aggregate at 100 TB. Hash-checked "
+    "byte-for-byte against DuckDB's ordered string_agg.",
+    tags=("text", "sft", "pipeline"),
+)
+def t51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.restructure import (
+        render_chat, split_chat_turns)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40))
+    dialog = F.concat(
+        F.lit("Header junk. User: "), F.substring(F.col("text"), 1, 40),
+        F.lit(" Assistant: "), F.substring(F.col("text"), 41, 50),
+        F.lit(" User: tell me more "), F.col("doc_id").cast("string"),
+        F.lit(" Assistant: "), F.substring(F.col("text"), 91, 30))
+    base = docs.select("doc_id", dialog.alias("text"))
+    return (render_chat(split_chat_turns(base))
+            .orderBy("doc_id"))

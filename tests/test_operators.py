@@ -1699,6 +1699,34 @@ def test_dedup_release_cached_returns_blocks_to_baseline(spark):
     assert blocks() == base
 
 
+def test_cached_scope_survives_cap_eviction(spark):
+    """ADVICE r13: cached_scope tracks membership by IDENTITY, so a
+    FIFO-cap eviction inside the scope (which shifts list positions)
+    neither leaks in-scope persists nor unpersists pre-scope ones."""
+    from deeplake_spark.operators import dedup as dd
+
+    dd.release_cached()
+    old_cap = dd._TRACKED_CAP
+    try:
+        pre = dd._track(spark.range(10))
+        pre.count()
+        dd._TRACKED_CAP = 2  # force evictions inside the scope
+        with dd.cached_scope():
+            frames = [dd._track(spark.range(20 + i)) for i in range(4)]
+            for f in frames:
+                f.count()
+            # cap evicted the oldest in-scope entries already; the
+            # pre-scope entry itself was evicted too (FIFO) — that is
+            # the cap's contract, not the scope's
+        # scope exit released every REMAINING in-scope persist
+        assert all(f.storageLevel.useMemory is False for f in frames)
+        assert dd._TRACKED == [] or all(
+            df is pre for df in dd._TRACKED)
+    finally:
+        dd._TRACKED_CAP = old_cap
+        dd.release_cached()
+
+
 def test_hard_negative_mining_lanes_agree(spark, sf_dir):
     """The IVF lane of hard_negative_mining at FULL probe must return
     the exact lane's negatives (same ids, ranks, scores)."""
@@ -1777,6 +1805,34 @@ def test_split_chat_turns_edges(spark):
         .orderBy("doc_id", "turn_idx").collect()
     assert [(r.doc_id, r.content) for r in dot] == [
         (5, "but"), (5, "does")]  # literal "Q." matches only, not "Qx"
+
+
+def test_render_chat_round_trip(spark):
+    """render_chat is split_chat_turns' inverse: splitting a rendered
+    string reproduces the turn rows exactly (roles lowercased in the
+    render are re-used as markers), and turn order follows turn_idx
+    regardless of collect order."""
+    from deeplake_spark.operators.restructure import (
+        render_chat, split_chat_turns)
+
+    df = spark.createDataFrame(
+        [(1, "hdr User: hi Assistant: hello there User: bye"),
+         (2, "User: solo")],
+        "doc_id long, text string")
+    turns = split_chat_turns(df)
+    rendered = render_chat(turns).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_turns) for r in rendered] == [(1, 3), (2, 1)]
+    assert rendered[0].rendered == \
+        "user: hi\nassistant: hello there\nuser: bye"
+    back = split_chat_turns(
+        render_chat(turns).select(
+            "doc_id", F.col("rendered").alias("text")),
+        markers=("user:", "assistant:"))
+    a = sorted((r.doc_id, r.turn_idx, r.role, r.content)
+               for r in turns.collect())
+    b = sorted((r.doc_id, r.turn_idx, r.role, r.content)
+               for r in back.collect())
+    assert a == b
 
 
 def test_compression_ratio_monotone_on_planted_fixtures(spark):

@@ -308,6 +308,24 @@ def test_norm_outliers_single_corpus_stats_pass(spark, sf_dir):
     assert scans <= 2, f"v22 should scan embeddings at most twice:\n{rep.text}"
 
 
+def test_ivf_batch_routing_udf_evaluates_once(spark, sf_dir):
+    """v23's vectorized centroid-routing UDF (trap 26) is projected to
+    a column and exploded via explode_outer (traps 2/3 guard): exactly
+    ONE ArrowEvalPython node in the physical plan — a plain explode
+    would let InferFiltersFromGenerate push a UDF-bearing size()>0
+    filter to the scan and evaluate the routing twice — and the
+    (qid, cluster) routing relation broadcast-joins the assignments
+    (r13 VERDICT task 5)."""
+    plan = (REG["v23_ivf_batch_knn"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never row-wise
+    assert "BroadcastHashJoin" in plan, plan
+    scan_part = plan[plan.find("Scan parquet"):].split("ReadSchema")[0]
+    assert "pythonUDF" not in scan_part, (
+        "routing UDF leaked into the scan-side filters")
+
+
 def test_global_plan_audit_no_cartesian_no_global_windows(spark, sf_dir):
     """Sweep EVERY registered query's physical plan (translate-only, no
     execution): no CartesianProduct anywhere, and every row_number

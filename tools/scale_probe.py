@@ -152,6 +152,13 @@ def probes(reg):
         # replication (measured flat 1.14 at x32 — fixture-bound, not
         # operator scaling). The capped OPERATOR's ladder is the
         # SCALING.md winnowing row (max_docs over the full corpus).
+        # round-14 (r13 VERDICT task 3): the per-source n-gram novelty
+        # lane — one shingle pass + shingle-keyed df aggregate + one
+        # join back; the df aggregate is the skew candidate. Replica-
+        # suffixed tokens keep the shingle-key cardinality scaling
+        # linearly (no cross-replica df inflation). t46/t47/t49/v28
+        # stay out: map + bounded-agg shapes, nothing join-bearing.
+        "t48_ngram_novelty",
     ]
     return [(n, reg[n].fn) for n in names if n in reg]
 
@@ -753,6 +760,59 @@ def knn_section(spark):
     return out
 
 
+def hnm_section(spark):
+    """hard_negative_mining IVF-lane ladder (round-13 VERDICT task 3):
+    the registered v27 query is the EXACT oracle arm — broadcast
+    queries x corpus, O(corpus x queries) by design — while the scale
+    lane routes the query set through an IVF index over the labeled
+    corpus with a 4x over-fetch absorbing the label filter's discards.
+    Knn-ladder protocol: labeled corpus x1/x8/x64 (noised replicas,
+    hash-assigned corpus-proportional clusters at ~100 rows/cluster),
+    FIXED base-size query set, FIXED probe budget (nprobe=8,
+    accuracy_factor=0 — the preset widening is a recall knob, not a
+    scale default). Per-query candidate work is eff_nprobe x
+    cluster_size x over-fetch (all bounded), so wall time should stay
+    far below the corpus factor K."""
+    from deeplake_spark.operators.similarity import (
+        IVFIndex, SearchConfig, hard_negative_mining)
+
+    base = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    base_n = base.count()
+    queries = base.select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("qid"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qv"),
+        F.pmod(F.hash("vec_id"), F.lit(20)).cast("string").alias("qlabel"))
+    out = {"corpus_base_rows": base_n, "query_rows": base_n,
+           "cluster_rows_target": 100, "overfetch": 4}
+    for kk in (1, 8, 64):
+        path = _noised_embeddings(spark, kk)
+        rep = spark.read.parquet(path)
+        corpus = rep.select(
+            "vec_id", "embedding",
+            F.pmod(F.hash("vec_id"), F.lit(20)).cast("string")
+            .alias("label"))
+        nlist = max(4, (base_n * kk) // 100)
+        cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(
+            rep.orderBy("vec_id").select("embedding")
+            .limit(nlist).collect())]
+        asg = corpus.withColumn(
+            "cluster", F.pmod(F.hash("vec_id"), F.lit(nlist)).cast("int"))
+        idx = IVFIndex(assignments=asg, centroids=cents,
+                       vec_col="embedding", id_col="vec_id")
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (hard_negative_mining(
+                corpus, queries, index=idx, k=5,
+                config=SearchConfig(accuracy_factor=0, nprobe=8))
+             .write.mode("overwrite").format("noop").save())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"t_x{kk}"] = round(best, 3)
+        out[f"nlist_x{kk}"] = nlist
+    return out
+
+
 def semdedup_section(spark):
     """SemDeDup cost model: pair work is O(sum cluster_size^2), so the
     operator scales LINEARLY only when the cluster count grows with the
@@ -881,6 +941,11 @@ def main() -> None:
     if "--sections" in sys.argv:
         sections = set(
             sys.argv[sys.argv.index("--sections") + 1].split(","))
+    # --only name1,name2 — restrict the ops roster to specific probes
+    # (targeted ladder for a new query without re-running the suite)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     # K-fold replicas of sf0.1 run 32 concurrent tasks in ONE local
     # JVM — the 8g session default (sized for the sf0.1 bench) GC-
     # thrashes past ~x64 (the round-8 x128 probe inflated q01 1.5x
@@ -896,6 +961,8 @@ def main() -> None:
 
     reg = load_all()
     fns = probes(reg)
+    if only is not None:
+        fns = [(n, f) for n, f in fns if n in only]
 
     shutil.rmtree(WORK, ignore_errors=True)
     rows = []
@@ -932,9 +999,10 @@ def main() -> None:
         ann = ann_section(spark)
     semdedup = semdedup_section(spark) if "semdedup" in sections else None
     knn = knn_section(spark) if "knn" in sections else None
+    hnm = hnm_section(spark) if "hnm" in sections else None
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
                       "gate": gate, "ann": ann, "semdedup": semdedup,
-                      "knn": knn},
+                      "knn": knn, "hnm": hnm},
                      indent=1))
 
     out_md = None
