@@ -232,7 +232,16 @@ def _load_side_table(spark, path: str) -> DataFrame:
     write (generation dirs + a ``_HEAD`` pointer). When ``_HEAD`` is
     missing but complete generations exist (a crash in the middle of
     the pointer flip), the newest generation carrying ``_SUCCESS``
-    serves — the data a finished flip would have pointed at."""
+    serves — the data a finished flip would have pointed at.
+
+    Reader contract (r13 ADVICE): the returned plan is pinned to the
+    served generation's FILES. Overwrite GC keeps that generation for
+    exactly ONE further overwrite cycle, so a plan loaded before an
+    ``append_*_delta`` stays executable across it but not across two —
+    re-call ``load_*`` after each append for long-lived handles.
+    Writers are single-writer by the Dataset convention (vacuum's
+    contract); a concurrent writer's committed generation is never
+    GC-deleted, but its logical delta still needs a re-merge."""
     gen = _served_gen(spark, path)
     base = path.rstrip("/")
     return spark.read.parquet(f"{base}/{gen}" if gen else base)
