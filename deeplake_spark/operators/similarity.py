@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from deeplake_spark.functions.vector import cosine_similarity, dot, l2_norm, sign_bits
@@ -1580,6 +1581,85 @@ def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= int(k))
             .select(qid_col, F.col("rank").cast("int").alias("rank"),
                     id_col, label_col, "score"))
+
+
+def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
+               lam: float = 0.7, pool: int = 20,
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998) — the diverse-retrieval selection a training-data pipeline
+    uses where plain top-k returns k near-copies: greedily pick the
+    candidate maximizing ``lam * rel(c) − (1−lam) * max_{s∈S} sim(c,s)``
+    over the already-selected set S. Returns
+    (mmr_rank, id, rel, mmr_score), rank 1..k.
+
+    Engine-exact greedy: the candidate pool is the ROUNDED-score top
+    ``pool`` with the id tiebreak (the mrl/v26 engine-portable-boundary
+    convention), pairwise pool sims are rounded to 6, and every greedy
+    argmax compares (half-up-rounded mmr DESC, id ASC) over those
+    already-rounded operands — so a SQL oracle can replay the unrolled
+    greedy bit-for-bit.
+
+    100 TB shape: the pool cut is the corpus pass — a
+    TakeOrderedAndProject (or an ANN index route upstream); pairwise
+    sims touch pool² rows and the greedy is O(k·pool) driver-side over
+    a BOUNDED collected candidate set (the mrl-funnel / PQ-codebook
+    driver-fit convention — pool is a knob, never corpus-sized)."""
+    spark = df.sparkSession
+    if not isinstance(query_vec, Column):
+        query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
+    rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    pool_df = (df.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
+               .orderBy(F.desc("rel"), id_col).limit(int(pool)))
+    # DISTINCTLY aliased per side before the expression self-join
+    # (trap 20: same-name refs on one lineage resolve trivially true)
+    pa = pool_df.select(F.col(id_col).alias("__ia"),
+                        F.col(vec_col).alias("__va"))
+    pb = pool_df.select(F.col(id_col).alias("__ib"),
+                        F.col(vec_col).alias("__vb"))
+    pairs = (pa.join(F.broadcast(pb), F.col("__ia") < F.col("__ib"))
+             .select("__ia", "__ib",
+                     F.round(cosine_similarity(F.col("__va"),
+                                               F.col("__vb")), 6)
+                     .alias("__s")))
+    # bounded collects: pool + pool*(pool-1)/2 rows (the documented
+    # driver-side exception class — DATA() prefetch / PQ codebook fit)
+    rels = {r[0]: r[1] for r in pool_df.select(id_col, "rel").collect()}
+    sim: dict = {}
+    for r in pairs.collect():
+        sim[(r["__ia"], r["__ib"])] = r["__s"]
+        sim[(r["__ib"], r["__ia"])] = r["__s"]
+
+    def rnd6(x: float) -> float:
+        # ROUND(double, 6) half away from zero — the Spark/DuckDB rule
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    mu = 1.0 - lam  # one shared double; the oracle embeds repr(mu)
+    selected: list = []
+    out: list = []
+    remaining = set(rels)
+    for rank in range(1, int(k) + 1):
+        if not remaining:
+            break
+        best_id, best_m = None, None
+        for c in sorted(remaining):  # ascending id + strict > = id tiebreak
+            if selected:
+                m = rnd6(lam * rels[c]
+                         - mu * max(sim[(c, s)] for s in selected))
+            else:
+                m = rnd6(lam * rels[c])
+            if best_m is None or m > best_m:
+                best_id, best_m = c, m
+        out.append((rank, best_id, float(rels[best_id]), float(best_m)))
+        selected.append(best_id)
+        remaining.remove(best_id)
+    idt = {f.name: f.dataType for f in df.schema.fields}[id_col]
+    schema = T.StructType([
+        T.StructField("mmr_rank", T.IntegerType()),
+        T.StructField(id_col, idt),
+        T.StructField("rel", T.DoubleType()),
+        T.StructField("mmr_score", T.DoubleType())])
+    return spark.createDataFrame(out, schema)
 
 
 def mrl_prefilter_topk(df: DataFrame, vec_col: str, query_vec, k: int,

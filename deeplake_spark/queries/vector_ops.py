@@ -1224,3 +1224,71 @@ def v28(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
                  F.sum("vec_id").cast("long").alias("sum_ids"))
             .orderBy("label"))
+
+
+def _mmr_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
+    """Unrolled-greedy MMR oracle: the greedy argmax is sequential, but
+    with k FIXED it unrolls into k chained CTE stages (each ORDER BY
+    rounded-mmr DESC, id LIMIT 1 over the not-yet-selected pool) — so
+    the iterative operator still gets an EXACT hash-checked oracle
+    instead of the rows-only lane iterative algorithms usually take.
+    Float discipline: rel and pairwise sims are ROUND(...,6) on both
+    sides; the mmr combine embeds repr(lam)/repr(1-lam) so DuckDB
+    parses the EXACT doubles Python computes with."""
+    la, mu = repr(float(lam)), repr(1.0 - float(lam))
+    cos_q = _DUCK_COS.format(a="embedding", b="q.qv")
+    cos_ab = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    sql = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, embedding, ROUND({cos_q}, 6) AS rel
+      FROM embeddings, q
+      ORDER BY rel DESC, vec_id LIMIT {p}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, ROUND({cos_ab}, 6) AS s
+      FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT CAST(1 AS INT) AS mmr_rank, vec_id, rel,
+             ROUND({la} * rel, 6) AS mmr_score
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    prev = ["s1"]
+    for i in range(2, int(k) + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+        sql += f""",
+    s{i} AS (
+      SELECT CAST({i} AS INT) AS mmr_rank, p.vec_id, p.rel,
+             ROUND({la} * p.rel - {mu} * MAX(pr.s), 6) AS mmr_score
+      FROM pool p JOIN pairs pr ON pr.ia = p.vec_id
+      WHERE pr.ib IN ({sel}) AND p.vec_id NOT IN ({sel})
+      GROUP BY p.vec_id, p.rel
+      ORDER BY mmr_score DESC, p.vec_id LIMIT 1
+    )"""
+        prev.append(f"s{i}")
+    body = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev)
+    return sql + f"\n    {body}\n    ORDER BY mmr_rank"
+
+
+@query(
+    "v29_mmr_diverse_topk",
+    oracle=_mmr_oracle(p=20, k=6, lam=0.7),
+    doc="Maximal Marginal Relevance diverse top-k "
+    "(similarity.mmr_select, Carbonell & Goldstein 1998): greedy "
+    "lam*rel - (1-lam)*max-sim-to-selected over a rounded-score top-20 "
+    "candidate pool — the diverse-retrieval selection where plain "
+    "top-k returns near-copies. Pool cut + pairwise sims run in Spark "
+    "(TakeOrdered + a broadcast <-join over pool rows); the greedy is "
+    "O(k*pool) driver-side over the bounded collected pool (the "
+    "mrl/PQ driver-fit convention). Oracle: the greedy UNROLLS into "
+    "k chained argmax CTEs, so the iterative operator is exactly "
+    "hash-checked, not rows-only.",
+    tags=("vector", "topk", "diversity"),
+)
+def v29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return mmr_select(e, "embedding", qv, k=6, lam=0.7, pool=20)

@@ -1807,6 +1807,39 @@ def test_split_chat_turns_edges(spark):
         (5, "but"), (5, "does")]  # literal "Q." matches only, not "Qx"
 
 
+def test_mmr_select_diversifies_planted_near_dups(spark):
+    """mmr_select: with two near-identical top candidates, plain top-2
+    takes both copies; MMR's second pick skips the near-dup for the
+    diverse runner-up. lam=1 degenerates to plain top-k (rel order)."""
+    import numpy as np
+
+    from deeplake_spark.operators.similarity import mmr_select
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, [0.99, 0.10, 0.0, 0.0]),   # best match
+        (1, [0.99, 0.101, 0.0, 0.0]),  # its near-copy
+        (2, [0.80, 0.0, 0.58, 0.0]),   # diverse runner-up
+        (3, [0.10, 0.0, 0.0, 0.99]),   # off-topic
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    out = mmr_select(df, "embedding", q, k=3, lam=0.5, pool=4).collect()
+    picked = [r.vec_id for r in out]
+    assert picked[0] == 0          # pure relevance first
+    assert picked[1] == 2          # near-dup 1 penalized below 2
+    assert [r.mmr_rank for r in out] == [1, 2, 3]
+    assert all(out[i].rel >= -1.0 for i in range(3))
+    top = mmr_select(df, "embedding", q, k=3, lam=1.0, pool=4).collect()
+    assert [r.vec_id for r in top][:2] == [0, 1]  # degenerate = top-k
+    # rel column equals the rounded cosine (numpy cross-check)
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(out[0].rel - round(cos(rows[0][1], q), 6)) < 2e-6
+
+
 def test_render_chat_round_trip(spark):
     """render_chat is split_chat_turns' inverse: splitting a rendered
     string reproduces the turn rows exactly (roles lowercased in the
