@@ -1292,3 +1292,39 @@ def v29(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return mmr_select(e, "embedding", qv, k=6, lam=0.7, pool=20)
+
+
+@query(
+    "v30_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_DUCK_COS.format(a="embedding", b="q.qv")}, 6) AS score
+    FROM embeddings, q
+    WHERE label IN (3, 7)
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Filtered vector search — top-k cosine under a metadata "
+    "predicate (the WHERE + ORDER BY sim LIMIT k combination every "
+    "vector store special-cases): this registered lane is the EXACT "
+    "arm — the filter pushes to the parquet scan and the top-k is a "
+    "TakeOrderedAndProject over survivors. The index lane is "
+    "similarity.ivf_search(candidates=, candidate_selectivity=) — the "
+    "reference's roaring-rowset filter+search (index_holder.hpp:30-36) "
+    "as a post-prune semijoin with 1/selectivity nprobe widening so "
+    "filtered recall holds (pinned in tests/test_indexes.py).",
+    tags=("vector", "topk", "filter"),
+)
+def v30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return (
+        e.filter(F.col("label").isin(3, 7))
+        .select(
+            "vec_id", "label",
+            F.round(cosine_similarity(F.col("embedding"), qv), 6)
+            .alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )

@@ -268,6 +268,47 @@ COMMENTARY = {
         "distinct per-side aliases (trap 20); pair fan-out is bounded "
         "by winnowing's ~1/w sampling. x32 ratio in SCALING.md."
     ),
+    "t48_ngram_novelty": (
+        "One tokenize+shingle pass (projected column, explode_outer + "
+        "output null-filter — traps 2/3), a shingle-keyed df aggregate "
+        "(partial-aggregated — boilerplate skew lands in a map-side "
+        "combine, never a pair join), one shingle-keyed join back, two "
+        "bounded aggregates. No pair join anywhere: dedup-PREP cost. "
+        "x32 ratio 8.13 (saturated-linear) in SCALING.md."
+    ),
+    "t50_effective_tokens": (
+        "Dedup-discounted token accounting: one tokenize pass, one "
+        "digest-PARTITIONED min window (trap 7 satisfied — never a "
+        "global window), one source-keyed aggregate. The window "
+        "shuffle is the same digest shuffle exact dedup pays; at "
+        "100 TB the lane prices the corpus's duplicate token load "
+        "for the cost of dedup prep."
+    ),
+    "t51_chat_render": (
+        "SFT render: split_chat_turns' generator (explode_outer + "
+        "null filter on the OUTPUT) feeds a doc-partitioned renumber "
+        "window, then render_chat folds turns back with ONE doc-keyed "
+        "aggregate (collect_list of (idx, line) structs + array_sort "
+        "+ array_join — engine-exact ordered fold without an ordered "
+        "string_agg). Two doc-keyed shuffles total at any scale."
+    ),
+    "v29_mmr_diverse_topk": (
+        "MMR: the corpus pass is the rounded-score top-20 pool cut "
+        "(TakeOrderedAndProject); pairwise sims touch pool² rows via "
+        "a broadcast <-join with DISTINCT per-side aliases (trap 20); "
+        "the greedy argmax chain is O(k*pool) driver-side over the "
+        "bounded collected pool (the mrl/PQ driver-fit convention). "
+        "The returned relation is k local rows — the plan the audit "
+        "sees is a LocalRelation because the heavy work is the "
+        "bounded pool job, not the output."
+    ),
+    "v30_filtered_topk": (
+        "Filtered vector search, exact arm: the label predicate pushes "
+        "to the parquet scan (PushedFilters carries the In) and the "
+        "top-k is a TakeOrderedAndProject over survivors — no shuffle "
+        "wider than k rows. The index arm is ivf_search(candidates=) "
+        "with 1/selectivity nprobe widening (tests/test_indexes.py)."
+    ),
 }
 
 
