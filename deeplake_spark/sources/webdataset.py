@@ -156,7 +156,8 @@ def ingest_webdataset_stream(ds, path: str, exts: list[str],
 
 
 def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
-                  n_shards: int = 4) -> DataFrame:
+                  n_shards: int = 4,
+                  target_shard_mb: float | None = None) -> DataFrame:
     """Samples → tar shards: every non-key column becomes a member
     named <key>.<column> (underscores in column names map back to
     dots: seg_png → seg.png). Shard assignment is HASH-derived from
@@ -180,9 +181,23 @@ def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
     Hadoop FileSystem handle (sketches._hfs) is driver-only and cannot
     run inside a Python worker, which is why the executor lane speaks
     pyarrow; Hadoop-only schemes pyarrow cannot resolve still need a
-    shared mount or a copy step."""
+    shared mount or a copy step.
+
+    ``target_shard_mb`` sizes the shard count from the data instead of
+    a fixed ``n_shards`` — the WebDataset convention is ~1 GB shards
+    (the task-scheduling unit at read time), and a fixed count drifts
+    as the corpus grows. Costs ONE bounded payload-bytes aggregate up
+    front (a driver-side ingest-time job, the build_scan_cache class —
+    export is an ingest boundary, not a query)."""
     field_cols = [c for c in df.columns if c != key_col]
     exts = {c: c.replace("_", ".") for c in field_cols}
+    if target_shard_mb is not None:
+        total = df.select(
+            sum((F.coalesce(F.length(F.col(c)), F.lit(0))
+                 for c in field_cols),
+                F.lit(0)).alias("__b")
+        ).agg(F.sum("__b")).head()[0] or 0
+        n_shards = max(1, -(-int(total) // int(target_shard_mb * (1 << 20))))
 
     def write_part(batches):
         import io

@@ -734,6 +734,36 @@ def test_raw_implicit_dataset_vr_lookalike():
     assert got.dtype == np.int16 and (got == sl).all()
 
 
+def test_dicom_rle_property_round_trip():
+    """Property (hypothesis): ANY array round-trips through the RLE
+    encoder/decoder pair — random dtypes/shapes/values, runs planted by
+    value quantization so both PackBits branches exercise."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deeplake_spark.operators.multimodal import _decode_dicom
+
+    dtypes = st.sampled_from([np.uint8, np.int16, np.uint16, np.int32])
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 11), dtypes,
+           st.integers(0, 2 ** 32 - 1), st.integers(1, 16))
+    def run(rows, cols, dt, seed, quant):
+        rng = np.random.default_rng(seed)
+        info = np.iinfo(dt)
+        a = rng.integers(info.min, int(info.max) + 1,
+                         (rows, cols)).astype(dt)
+        a = (a // quant) * quant  # quantize → replicate runs appear
+        got = _decode_dicom(_encode_dicom(a, rle=True))
+        assert got.dtype == a.dtype and got.shape == a.shape
+        assert (got == a).all()
+        got_be = _decode_dicom(_encode_dicom(a, endian=">"))
+        assert (got_be == a).all()
+
+    run()
+
+
 def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
     """Compressed transfer syntaxes are _MedicalUnsupported for the
     stdlib decoder: strict without pydicom raises the taxonomy error;

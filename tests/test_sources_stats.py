@@ -248,6 +248,18 @@ def test_webdataset_round_trip_and_ingest(spark, tmp_path):
         read_webdataset_members(spark, out3 + "/*.tar")).collect()}
     assert sorted(back3) == sorted(rows)
 
+    # size-targeted sharding: a tiny target forces one shard per
+    # sample-ish; a huge target collapses to one shard — n_shards is
+    # derived from payload bytes, not fixed
+    out4 = str(tmp_path / "out4")
+    man4 = to_webdataset(s.drop("shard"), out4, key_col="key",
+                         target_shard_mb=20e-6).collect()  # ~20 bytes
+    assert len(man4) >= 2 and sum(r.n_samples for r in man4) == 4
+    out5 = str(tmp_path / "out5")
+    man5 = to_webdataset(s.drop("shard"), out5, key_col="key",
+                         target_shard_mb=64).collect()
+    assert len(man5) == 1 and man5[0].n_samples == 4
+
 
 def test_webdataset_streaming_ingest_matches_batch(spark, tmp_path):
     """Streaming WebDataset ingestion: arriving shards become dataset
