@@ -235,7 +235,7 @@ def main() -> None:
              if calib0 is not None and calib1 is not None else 0.0)
     resample_thresh = max(1.0, 3.0 * drift)
     n_resampled = 0
-    for i, name in enumerate(sorted(runs)):
+    for name in sorted(runs):
         v = runs[name]
         if len(v) == 2 and all(t >= 0 for t in v) \
                 and abs(v[0] - v[1]) > resample_thresh:
@@ -248,7 +248,10 @@ def main() -> None:
             except Exception as exc:
                 print(f"bench: resample {name} FAILED: {exc}",
                       file=sys.stderr)
-            scrub(i)
+            # scrub keyed on EXECUTION count, not roster position —
+            # positions are almost never ≡9 (mod 10), which would
+            # silently disable the hygiene for the whole resample lane
+            scrub(n_resampled - 1)
     detail["resample_threshold_s"] = round(resample_thresh, 4)
     detail["n_resampled"] = n_resampled
 

@@ -1387,7 +1387,11 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
     if rle:
         if not frames_items:
             raise ValueError("RLE DICOM without encapsulated frames")
-        if frames > 1 and frames != len(frames_items):
+        # PS3.5 Annex G: exactly one fragment per frame — a mismatch in
+        # EITHER direction is malformed (incl. NumberOfFrames absent/1
+        # with multiple fragments: silently stacking those would
+        # invent a multi-frame volume the header contradicts)
+        if frames != len(frames_items):
             raise ValueError(
                 f"RLE DICOM NumberOfFrames {frames} != "
                 f"{len(frames_items)} encapsulated fragments")

@@ -384,10 +384,12 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
                 role.alias("role"),
                 # whitespace-trim, not just space-trim: turns in real
                 # transcripts are newline-separated (render_chat's
-                # round-trip pins this)
+                # round-trip pins this). Explicit char class, not \s:
+                # Java \s includes \x0B, RE2's does not — the explicit
+                # class is what the DuckDB oracles can replay exactly.
                 F.regexp_replace(
                     F.regexp_replace(F.col("__part"), "^" + pattern, ""),
-                    r"^\s+|\s+$", "").alias("content")))
+                    "^[ \t\n\f\r]+|[ \t\n\f\r]+$", "").alias("content")))
 
 
 def render_chat(turns: DataFrame, id_col: str = "doc_id",

@@ -1611,20 +1611,28 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
     rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
     pool_df = (df.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
                .orderBy(F.desc("rel"), id_col).limit(int(pool)))
+    # bounded collect: pool rows incl. vectors (the documented
+    # driver-side exception class — DATA() prefetch / PQ codebook
+    # fit). Collected ONCE: the pairwise job below runs over a local
+    # relation of these rows, so the corpus pays exactly one
+    # TakeOrdered pass per call.
+    pool_rows = pool_df.collect()
+    rels = {r[0]: r[2] for r in pool_rows}
+    local = spark.createDataFrame(pool_rows, pool_df.schema)
     # DISTINCTLY aliased per side before the expression self-join
-    # (trap 20: same-name refs on one lineage resolve trivially true)
-    pa = pool_df.select(F.col(id_col).alias("__ia"),
-                        F.col(vec_col).alias("__va"))
-    pb = pool_df.select(F.col(id_col).alias("__ib"),
-                        F.col(vec_col).alias("__vb"))
+    # (trap 20: same-name refs on one lineage resolve trivially true).
+    # Sims stay ENGINE-side (the same HOF cosine the corpus lanes and
+    # the DuckDB twin compute) — a numpy dot would differ in last-ulp
+    # summation order and can flip a 6th decimal at a rounding edge.
+    pa = local.select(F.col(id_col).alias("__ia"),
+                      F.col(vec_col).alias("__va"))
+    pb = local.select(F.col(id_col).alias("__ib"),
+                      F.col(vec_col).alias("__vb"))
     pairs = (pa.join(F.broadcast(pb), F.col("__ia") < F.col("__ib"))
              .select("__ia", "__ib",
                      F.round(cosine_similarity(F.col("__va"),
                                                F.col("__vb")), 6)
                      .alias("__s")))
-    # bounded collects: pool + pool*(pool-1)/2 rows (the documented
-    # driver-side exception class — DATA() prefetch / PQ codebook fit)
-    rels = {r[0]: r[1] for r in pool_df.select(id_col, "rel").collect()}
     sim: dict = {}
     for r in pairs.collect():
         sim[(r["__ia"], r["__ib"])] = r["__s"]

@@ -2787,7 +2787,8 @@ def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS turn_idx,
            CASE WHEN part LIKE 'User:%' THEN 'user'
                 ELSE 'assistant' END AS role,
-           trim(regexp_replace(part, '^(User:|Assistant:)', ''))
+           regexp_replace(regexp_replace(part, '^(User:|Assistant:)', ''),
+                          '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')
            AS content
     FROM turns
     ORDER BY doc_id, turn_idx
@@ -2999,7 +3000,8 @@ def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              CASE WHEN part LIKE 'User:%' THEN 'user'
                   ELSE 'assistant' END AS role,
-             trim(regexp_replace(part, '^(User:|Assistant:)', ''))
+             regexp_replace(regexp_replace(part, '^(User:|Assistant:)', ''),
+                          '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')
                AS content
       FROM parts
       WHERE part LIKE 'User:%' OR part LIKE 'Assistant:%'

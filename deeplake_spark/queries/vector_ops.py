@@ -1252,7 +1252,7 @@ def _mmr_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
     s1 AS (
       SELECT CAST(1 AS INT) AS mmr_rank, vec_id, rel,
              ROUND({la} * rel, 6) AS mmr_score
-      FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+      FROM pool ORDER BY mmr_score DESC, vec_id LIMIT 1
     )"""
     prev = ["s1"]
     for i in range(2, int(k) + 1):

@@ -197,7 +197,8 @@ def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
                  for c in field_cols),
                 F.lit(0)).alias("__b")
         ).agg(F.sum("__b")).head()[0] or 0
-        n_shards = max(1, -(-int(total) // int(target_shard_mb * (1 << 20))))
+        tgt = max(1, int(target_shard_mb * (1 << 20)))  # bytes; never 0
+        n_shards = max(1, -(-int(total) // tgt))
 
     def write_part(batches):
         import io
