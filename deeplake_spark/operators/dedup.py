@@ -1014,3 +1014,52 @@ def minhash_cross_pairs(left: DataFrame, right: DataFrame,
     return (cands.join(sa, "a").join(F.broadcast(sb), "b")
             .filter(jacc >= threshold)
             .select("a", "b", F.round(jacc, 6).alias("jaccard")))
+
+
+def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sep: str = "\n") -> DataFrame:
+    """Corpus-global line deduplication — the C4 cleanup step (Raffel
+    et al. 2020 §2.2: "we removed all but one of any three-sentence
+    span occurring more than once", here at line granularity): every
+    non-blank line keeps only its FIRST occurrence corpus-wide
+    (ordered by (doc id, position)); later copies are dropped and each
+    document is reassembled in original line order. Blank (space-only)
+    lines pass through — they carry layout, not content. Returns
+    (id, n_lines, n_dropped, text).
+
+    100 TB shape: keep-first is a line-keyed AGGREGATE of
+    min(struct(id, pos)) — partial-aggregated, so a boilerplate line
+    repeated in millions of documents combines map-side instead of
+    funneling through one window partition (no window over data at
+    all) — then one line-keyed join back (AQE skew-join splits the hot
+    line's join partition; real inputs have many mappers, trap 17) and
+    one doc-keyed ordered fold (the render_chat convention)."""
+    df = ensure_parallelism(df)
+    lines = (df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+        .alias("__pos", "__line"))
+        .filter(F.col("__line").isNotNull()))
+    cand = lines.filter(F.trim(F.col("__line")) != "")
+    keepers = cand.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("__pos").alias("p"))).alias("__k"))
+    marked = (lines.join(keepers, "__line", "left")
+              .withColumn(
+                  "__keep",
+                  F.col("__k").isNull()  # blank: not a dedup candidate
+                  | ((F.col("__k.d") == F.col(id_col))
+                     & (F.col("__k.p") == F.col("__pos")))))
+    kept_struct = F.when(F.col("__keep"), F.struct(
+        F.col("__pos").alias("i"), F.col("__line").alias("s")))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lines"),
+                 F.sum((~F.col("__keep")).cast("int")).cast("int")
+                 .alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda t: t["s"]),
+                     sep).alias(text_col)))

@@ -3036,3 +3036,60 @@ def t51(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", dialog.alias("text"))
     return (render_chat(split_chat_turns(base))
             .orderBy("doc_id"))
+
+
+@query(
+    "t52_line_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             substr(text, 1, 30) || chr(10) || 'COMMON FOOTER LINE'
+             || chr(10) || ' ' || chr(10) || substr(text, 31, 30) AS t
+      FROM documents WHERE doc_id < 60
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(range(1, len(p) + 1)) AS pos,
+             unnest(p) AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS p FROM base)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN trim(line) = '' THEN 1
+                  ELSE row_number() OVER (
+                    PARTITION BY line ORDER BY doc_id, pos)
+             END AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT)
+             AS n_dropped,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Corpus-global line deduplication "
+    "(operators/dedup.dedup_corpus_lines — the C4 cleanup step, "
+    "Raffel et al. 2020 §2.2 at line granularity): synthesized "
+    "4-line documents share a boilerplate footer; every non-blank "
+    "line keeps only its first corpus-wide occurrence (by doc id, "
+    "position) and documents reassemble in order — the footer "
+    "survives in doc 0 only, blank layout lines pass through. "
+    "Keep-first is a line-keyed min(struct) AGGREGATE (partial-"
+    "aggregated — a million-doc boilerplate line combines map-side, "
+    "no window over data), one join back, one doc-keyed ordered "
+    "fold. Reassembled text hash-checked byte-for-byte.",
+    tags=("text", "dedup", "pipeline"),
+)
+def t52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.dedup import dedup_corpus_lines
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60))
+    t = F.concat_ws(
+        "\n", F.substring(F.col("text"), 1, 30),
+        F.lit("COMMON FOOTER LINE"), F.lit(" "),
+        F.substring(F.col("text"), 31, 30))
+    base = docs.select("doc_id", t.alias("text"))
+    return dedup_corpus_lines(base).orderBy("doc_id")

@@ -1807,6 +1807,25 @@ def test_split_chat_turns_edges(spark):
         (5, "but"), (5, "does")]  # literal "Q." matches only, not "Qx"
 
 
+def test_dedup_corpus_lines_semantics(spark):
+    """dedup_corpus_lines: cross-doc keep-first by (doc, pos), blank
+    lines pass through, intra-doc repeats drop too, empty docs
+    survive as empty strings."""
+    from deeplake_spark.operators.dedup import dedup_corpus_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nFOOTER\n\nbeta\nFOOTER"),
+         (2, "FOOTER\ngamma\n \nalpha"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_corpus_lines(df).collect()}
+    assert out[1].text == "alpha\nFOOTER\n\nbeta"      # intra-doc repeat dropped
+    assert (out[1].n_lines, out[1].n_dropped) == (5, 1)
+    assert out[2].text == "gamma\n "                   # FOOTER+alpha seen in doc 1
+    assert (out[2].n_lines, out[2].n_dropped) == (4, 2)
+    assert out[3].text == "" and out[3].n_dropped == 0
+
+
 def test_mmr_select_diversifies_planted_near_dups(spark):
     """mmr_select: with two near-identical top candidates, plain top-2
     takes both copies; MMR's second pick skips the near-dup for the
