@@ -245,13 +245,15 @@ def main() -> None:
                 force(q.fn(spark, sf_dir))
                 v.append(round(time.perf_counter() - t0, 4))
                 n_resampled += 1
+                # scrub keyed on EXECUTION count, not roster position
+                # (positions are almost never ≡9 mod 10, which would
+                # disable the hygiene for the whole resample lane) and
+                # only on successful executions (a failure would make
+                # scrub(-1) fire spuriously: -1 % 10 == 9)
+                scrub(n_resampled - 1)
             except Exception as exc:
                 print(f"bench: resample {name} FAILED: {exc}",
                       file=sys.stderr)
-            # scrub keyed on EXECUTION count, not roster position —
-            # positions are almost never ≡9 (mod 10), which would
-            # silently disable the hygiene for the whole resample lane
-            scrub(n_resampled - 1)
     detail["resample_threshold_s"] = round(resample_thresh, 4)
     detail["n_resampled"] = n_resampled
 

@@ -1036,10 +1036,17 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
     line's join partition; real inputs have many mappers, trap 17) and
     one doc-keyed ordered fold (the render_chat convention)."""
     df = ensure_parallelism(df)
-    lines = (df.select(
+    # NULL text coalesces to "" so the document still yields one blank
+    # line and SURVIVES in the output (r14 review: the null-filter
+    # below would otherwise erase the whole document); the exploded
+    # relation feeds both the keepers aggregate and the join left
+    # side, so it is persisted once via the module's tracked-cache
+    # convention instead of re-splitting the corpus twice.
+    lines = _track(df.select(
         F.col(id_col),
         F.posexplode_outer(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    "\\Q" + sep + "\\E"))
         .alias("__pos", "__line"))
         .filter(F.col("__line").isNotNull()))
     cand = lines.filter(F.trim(F.col("__line")) != "")

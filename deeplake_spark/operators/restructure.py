@@ -384,12 +384,14 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
                 role.alias("role"),
                 # whitespace-trim, not just space-trim: turns in real
                 # transcripts are newline-separated (render_chat's
-                # round-trip pins this). Explicit char class, not \s:
-                # Java \s includes \x0B, RE2's does not — the explicit
-                # class is what the DuckDB oracles can replay exactly.
+                # round-trip pins this). Explicit char class, not \s
+                # (Java \s includes \x0B, RE2's does not), and \z, not
+                # $ (Java $ also matches before a FINAL line
+                # terminator like U+2028; RE2's does not) — this exact
+                # spelling is what the DuckDB oracles replay.
                 F.regexp_replace(
                     F.regexp_replace(F.col("__part"), "^" + pattern, ""),
-                    "^[ \t\n\f\r]+|[ \t\n\f\r]+$", "").alias("content")))
+                    "^[ \t\n\f\r]+|[ \t\n\f\r]+\\z", "").alias("content")))
 
 
 def render_chat(turns: DataFrame, id_col: str = "doc_id",

@@ -1816,7 +1816,8 @@ def test_dedup_corpus_lines_semantics(spark):
     df = spark.createDataFrame(
         [(1, "alpha\nFOOTER\n\nbeta\nFOOTER"),
          (2, "FOOTER\ngamma\n \nalpha"),
-         (3, "")],
+         (3, ""),
+         (4, None)],
         "doc_id long, text string")
     out = {r.doc_id: r for r in dedup_corpus_lines(df).collect()}
     assert out[1].text == "alpha\nFOOTER\n\nbeta"      # intra-doc repeat dropped
@@ -1824,6 +1825,8 @@ def test_dedup_corpus_lines_semantics(spark):
     assert out[2].text == "gamma\n "                   # FOOTER+alpha seen in doc 1
     assert (out[2].n_lines, out[2].n_dropped) == (4, 2)
     assert out[3].text == "" and out[3].n_dropped == 0
+    # NULL text must not erase the document (r14 review finding)
+    assert out[4].text == "" and out[4].n_dropped == 0
 
 
 def test_mmr_select_diversifies_planted_near_dups(spark):
