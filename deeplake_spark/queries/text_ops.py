@@ -2788,7 +2788,7 @@ def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN part LIKE 'User:%' THEN 'user'
                 ELSE 'assistant' END AS role,
            regexp_replace(regexp_replace(part, '^(User:|Assistant:)', ''),
-                          '^[ \t\n\f\r]+|[ \t\n\f\r]+\z', '', 'g')
+                          '^[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g')
            AS content
     FROM turns
     ORDER BY doc_id, turn_idx
@@ -3001,7 +3001,7 @@ def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN part LIKE 'User:%' THEN 'user'
                   ELSE 'assistant' END AS role,
              regexp_replace(regexp_replace(part, '^(User:|Assistant:)', ''),
-                          '^[ \t\n\f\r]+|[ \t\n\f\r]+\z', '', 'g')
+                          '^[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g')
                AS content
       FROM parts
       WHERE part LIKE 'User:%' OR part LIKE 'Assistant:%'

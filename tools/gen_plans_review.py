@@ -302,6 +302,15 @@ COMMENTARY = {
         "sees is a LocalRelation because the heavy work is the "
         "bounded pool job, not the output."
     ),
+    "t52_line_dedup": (
+        "C4-style corpus line dedup: split+posexplode_outer (null "
+        "filter on the OUTPUT, trap 2) feeds a line-keyed min(struct) "
+        "AGGREGATE — partial-aggregated, so a corpus-hot boilerplate "
+        "line combines map-side (hot-footer ladder ratio_32 1.19 in "
+        "SCALING.md) — then one line-keyed join back (AQE splits the "
+        "hot join partition, trap 17) and a doc-keyed ordered fold. "
+        "No window over data anywhere."
+    ),
     "v30_filtered_topk": (
         "Filtered vector search, exact arm: the label predicate pushes "
         "to the parquet scan (PushedFilters carries the In) and the "
