@@ -422,8 +422,13 @@ class InvertedIndex:
         """terms → row_id relation (the roaring bitmap analog).
         mode='any' (OR) unions postings; mode='all' (AND) intersects
         via group-count."""
-        hit = _term_hit(self.postings, [t.lower() for t in terms])
-        if len(terms) == 1:
+        # dedupe AFTER lowercasing: the AND count below compares the
+        # DISTINCT matched-term count, so duplicate or case-variant
+        # inputs (['Cat','cat']) must collapse to one required term or
+        # the intersection is wrongly empty (r14 review)
+        uniq = sorted({t.lower() for t in terms})
+        hit = _term_hit(self.postings, uniq)
+        if len(uniq) == 1:
             # postings are unique per (term, row_id) by construction
             # (build groupBy) — a distinct here would add a shuffle
             # that costs more than the whole bucket-pruned scan
@@ -435,18 +440,35 @@ class InvertedIndex:
             .distinct()
             .groupBy("row_id")
             .agg(F.count(F.lit(1)).alias("__nt"))
-            .filter(F.col("__nt") == len(terms))
+            .filter(F.col("__nt") == len(uniq))
             .select("row_id")
         )
 
     def save(self, path: str, mode: str = "overwrite") -> None:
-        # bucket the term dimension: probes prune to matching partitions
-        self.postings.withColumn("bucket", F.abs(F.hash("term")) % 64).write.mode(
-            mode
-        ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
-        self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
-        self.doclens.write.mode(mode).parquet(os.path.join(path, "doclens"))
-        self._write_termstats(path, merge=(mode == "append"))
+        # A fresh (unloaded) index's frames share one corpus-tokenize
+        # lineage, and the four actions below would each re-run it
+        # (r14 review: ~5 full corpus passes per ingest). Persist the
+        # two corpus-sized frames for the duration of the save — one
+        # lineage fill each — and release before returning.
+        fresh = not self.loaded
+        if fresh:
+            self.postings.persist()
+            self.doclens.persist()
+        try:
+            # bucket the term dimension: probes prune to matching
+            # partitions
+            self.postings.withColumn(
+                "bucket", F.abs(F.hash("term")) % 64).write.mode(
+                mode).partitionBy("bucket").parquet(
+                os.path.join(path, "postings"))
+            self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
+            self.doclens.write.mode(mode).parquet(
+                os.path.join(path, "doclens"))
+            self._write_termstats(path, merge=(mode == "append"))
+        finally:
+            if fresh:
+                self.postings.unpersist()
+                self.doclens.unpersist()
 
     def _write_termstats(self, path: str, merge: bool) -> None:
         """Persist the routing-gate sidecar: df for every HEAVY term
@@ -844,19 +866,25 @@ class JsonIndex:
     def save(self, path: str, mode: str = "overwrite") -> None:
         from deeplake_spark.storage import get_json, json_exists, put_json
 
-        # partition by json path: a probe reads exactly one directory
-        self.entries.write.mode(mode).partitionBy("path").parquet(
-            os.path.join(path, "entries")
-        )
-        sidecar = os.path.join(path, "valstats.json")
-        old = get_json(sidecar) if mode == "append" \
-            and json_exists(sidecar) else None
-        per_path = self.entries.groupBy("path").agg(
-            F.count(F.lit(1)).alias("c")).agg(F.max("c")).head()[0]
-        counts = self.entries.groupBy(
-            F.concat_ws(_JSON_KEY_SEP, "path", "value").alias("key")
-        ).agg(F.count(F.lit(1)).alias("df"))
-        put_json(sidecar, _heavy_map(counts, int(per_path or 0), old))
+        # three actions share the corpus json-extraction lineage —
+        # persist it for the save (the InvertedIndex.save discipline)
+        self.entries.persist()
+        try:
+            # partition by json path: a probe reads exactly one directory
+            self.entries.write.mode(mode).partitionBy("path").parquet(
+                os.path.join(path, "entries")
+            )
+            sidecar = os.path.join(path, "valstats.json")
+            old = get_json(sidecar) if mode == "append" \
+                and json_exists(sidecar) else None
+            per_path = self.entries.groupBy("path").agg(
+                F.count(F.lit(1)).alias("c")).agg(F.max("c")).head()[0]
+            counts = self.entries.groupBy(
+                F.concat_ws(_JSON_KEY_SEP, "path", "value").alias("key")
+            ).agg(F.count(F.lit(1)).alias("df"))
+            put_json(sidecar, _heavy_map(counts, int(per_path or 0), old))
+        finally:
+            self.entries.unpersist()
 
     def append_to(self, path: str) -> None:
         """Delta append: new entries land in new files under each path
@@ -927,26 +955,47 @@ class ExactTextIndex:
         h = hashlib.md5(value.encode()).hexdigest()
         out = self.digests
         if "bucket" in out.columns:
-            # partition-prune to the probe's digest-prefix directory
-            out = out.filter(F.col("bucket") == h[:2])
+            # Partition-prune to the probe's digest-prefix directory.
+            # Type-adaptive literal (r14 review, confirmed live): when
+            # every stored prefix happens to be all-digits, Spark's
+            # partition-type inference loads `bucket` as INT, and a
+            # string comparison would ANSI-cast an alpha prefix like
+            # 'aa' to BIGINT and CRASH instead of returning empty.
+            dt = {f.name: f.dataType.simpleString()
+                  for f in out.schema.fields}["bucket"]
+            b = h[:2]
+            if dt == "string":
+                out = out.filter(F.col("bucket") == b)
+            elif b.isdigit():
+                out = out.filter(F.col("bucket") == int(b))
+            else:  # alpha prefix cannot exist among numeric partitions
+                return (out.filter(F.lit(False)).select("row_id"))
         return out.filter(F.col("digest") == h).select("row_id")
 
     def save(self, path: str, mode: str = "overwrite") -> None:
         from deeplake_spark.storage import get_json, json_exists, put_json
 
-        # digest-prefix buckets: probe() filters the bucket column so an
-        # exact lookup prunes to one partition directory
-        self.digests.withColumn(
-            "bucket", F.substring("digest", 1, 2)
-        ).write.mode(mode).partitionBy("bucket").parquet(os.path.join(path, "digests"))
-        sidecar = os.path.join(path, "digeststats.json")
-        old = get_json(sidecar) if mode == "append" \
-            and json_exists(sidecar) else None
-        srow = self.digests.agg(
-            F.count(F.lit(1)).alias("n")).head()
-        counts = self.digests.groupBy(
-            F.col("digest").alias("key")).agg(F.count(F.lit(1)).alias("df"))
-        put_json(sidecar, _heavy_map(counts, int(srow["n"] or 0), old))
+        # three actions share the corpus md5 lineage — persist it for
+        # the save (the InvertedIndex.save discipline)
+        self.digests.persist()
+        try:
+            # digest-prefix buckets: probe() filters the bucket column
+            # so an exact lookup prunes to one partition directory
+            self.digests.withColumn(
+                "bucket", F.substring("digest", 1, 2)
+            ).write.mode(mode).partitionBy("bucket").parquet(
+                os.path.join(path, "digests"))
+            sidecar = os.path.join(path, "digeststats.json")
+            old = get_json(sidecar) if mode == "append" \
+                and json_exists(sidecar) else None
+            srow = self.digests.agg(
+                F.count(F.lit(1)).alias("n")).head()
+            counts = self.digests.groupBy(
+                F.col("digest").alias("key")).agg(
+                F.count(F.lit(1)).alias("df"))
+            put_json(sidecar, _heavy_map(counts, int(srow["n"] or 0), old))
+        finally:
+            self.digests.unpersist()
 
     def append_to(self, path: str) -> None:
         """Delta append: new digests land in new files per bucket —

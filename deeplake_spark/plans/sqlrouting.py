@@ -184,7 +184,15 @@ def register_dataset(ds) -> None:
 
 
 def _vec_sql(vec) -> str:
-    return "array(" + ", ".join(repr(float(v)) for v in vec) + ")"
+    vals = [float(v) for v in vec]
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        # repr() would emit bare `nan`/`inf` tokens, which Spark SQL
+        # parses as COLUMN REFERENCES — fail here with a clear message
+        # instead of a downstream UNRESOLVED_COLUMN (r14 review)
+        raise ValueError(
+            "query vector contains non-finite components (NaN/Inf) — "
+            "not expressible as a SQL array literal")
+    return "array(" + ", ".join(repr(v) for v in vals) + ")"
 
 
 def _agg_sum(arr_sql: str) -> str:
@@ -278,22 +286,20 @@ def _term_probe_ranges(spark: SparkSession, view: str, terms):
     scattered / pruning conf off). One bounded, memoized job over the
     bucket-pruned postings — the same plan-time protocol as the
     routed-filter lanes (operators/indexes.py routed_scan_ranges)."""
-    from pyspark.sql import functions as F
-
-    from deeplake_spark.operators.indexes import routed_scan_ranges
+    from deeplake_spark.operators.indexes import (
+        _term_hit,
+        routed_scan_ranges,
+    )
 
     try:
         p = spark.table(f"{view}__postings")
     except Exception:
         return None
     uniq = list(dict.fromkeys(t.lower() for t in terms))
-    if "bucket" in p.columns:
-        pred = None
-        for t in uniq:
-            c = F.col("bucket") == (F.abs(F.hash(F.lit(t))) % 64)
-            pred = c if pred is None else (pred | c)
-        p = p.filter(pred)
-    probe = p.filter(F.col("term").isin(uniq)).select("row_id")
+    # single source of truth for the bucket-pruned term filter
+    # (indexes._term_hit) — a copy here would desync if the save-time
+    # bucket count/hash ever changed (r14 review)
+    probe = _term_hit(p, uniq).select("row_id")
     if dict(probe.dtypes).get("row_id") not in ("bigint", "int"):
         return None
     return routed_scan_ranges(probe, None)
@@ -495,7 +501,13 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     covers the view, the builder declines the prefilter ENTIRELY —
     EXECUTION could ANN-route the ``__vl`` lane, and approximate
     winners need not fall inside the exact mirror's frozen ranges
-    (test_sql_fetchback_execute_routed pins the parity). SNAPSHOT
+    (test_sql_fetchback_execute_routed pins the parity). When ranges
+    ARE pushed, the emitted ``__vl`` score is additionally
+    ROUTE-PROOFED (``+ 0.0 * id`` — value-identical, but not a
+    spelling the ANN matcher accepts), so an index registered AFTER
+    the build, or a different jar-equipped session running the
+    returned string, cannot make the lane approximate out from under
+    its frozen ranges. SNAPSHOT
     CONTRACT: ranges reflect the
     index/corpus at statement-build time (TQL planning-snapshot
     semantics) — rebuild the statement after a delta append or a
@@ -503,12 +515,25 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     accuracy confs."""
     n = int(n if n is not None else k * 5)
     cos = cosine_sql(vec_col, vec)
+    vl_score = f"ROUND({cos}, 6)"
     fetch_head = fetch_tail = ""
     if fetch_cols:
         ranges = None
         if spark is not None:
             ranges = _hybrid_fetch_ranges(spark, view, terms, cos,
                                           id_col, n)
+        if ranges is not None:
+            # Route-proofing (r14 review): pushed ranges are sound only
+            # if the __vl lane stays EXACT forever — but the build-time
+            # ANN-registry check can't see an index registered AFTER
+            # the build, or a different jar-equipped session running
+            # the returned string. `+ 0.0 * id` is value-identical
+            # (ids are integral; exp(-0.0)==exp(0.0) downstream) yet
+            # not a spelling the Catalyst ANN matcher accepts (it
+            # unwraps +/- CONSTANTS only, and 0.0*col never constant-
+            # folds), so the lane can never be made approximate out
+            # from under its frozen ranges.
+            vl_score = f"ROUND({cos}, 6) + 0.0 * `{id_col}`"
         cols, corpus = _fetchback_clause(view, fetch_cols, id_col, ranges)
         fetch_head = "__f AS ("
         fetch_tail = f"""
@@ -519,7 +544,7 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     return f"""
     WITH {bm25_cte_sql(view, terms, n, k1, b)},
     __vl AS (
-      SELECT {id_col} AS doc_id, ROUND({cos}, 6) AS cos FROM {view}
+      SELECT {id_col} AS doc_id, {vl_score} AS cos FROM {view}
       ORDER BY cos DESC, doc_id LIMIT {n}
     ),
     __bn AS (SELECT MAX(bm25) AS mb FROM __bl),
@@ -545,15 +570,13 @@ def register_index_views(spark: SparkSession, view: str,
     delta appends, the InvertedIndex.load contract) so
     :func:`bm25_topk_sql` / :func:`hybrid_search_sql` statements run on
     a plain session — no jar, no Python operators in the query path."""
-    from pyspark.sql import functions as F
+    from deeplake_spark.operators.indexes import InvertedIndex
 
-    spark.read.parquet(os.path.join(index_path, "postings")) \
-        .createOrReplaceTempView(f"{view}__postings")
-    spark.read.parquet(os.path.join(index_path, "doclens")) \
-        .createOrReplaceTempView(f"{view}__doclens")
-    raw = spark.read.parquet(os.path.join(index_path, "stats"))
-    raw.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        (F.sum(F.col("n_docs") * F.col("avgdl"))
-         / F.sum("n_docs")).alias("avgdl"),
-    ).createOrReplaceTempView(f"{view}__stats")
+    # load through InvertedIndex.load so the delta-stats merge has ONE
+    # source of truth (a copy of the weighted-avgdl aggregate here
+    # would silently diverge from the Python lane's BM25 if the merge
+    # ever changed — r14 review)
+    idx = InvertedIndex.load(spark, index_path)
+    idx.postings.createOrReplaceTempView(f"{view}__postings")
+    idx.doclens.createOrReplaceTempView(f"{view}__doclens")
+    idx.stats.createOrReplaceTempView(f"{view}__stats")

@@ -508,6 +508,13 @@ class Translator:
             and isinstance(c.left.index, ast.Literal)
             and isinstance(c.left.index.value, str)
             and isinstance(c.right, ast.Literal)
+            # STRING literals only (the exact-text gate's rule): the
+            # index stores raw JSON strings, but a stock numeric
+            # comparison coerces — get_json_object(j,'$.n') == 5.0
+            # matches BOTH {"n":5} and {"n":5.0}, while a str(5.0)
+            # probe matches only "5.0" (r14 review, confirmed live) —
+            # so non-string literals stay on the stock path
+            and isinstance(c.right.value, str)
         ):
             m = entry(c.left.operand.name, "json")
             if m and gate_ok(m[0].est_selectivity(c.left.index.value,

@@ -106,6 +106,48 @@ def test_exact_index(spark, docs):
     assert got == exp and 3 in got
 
 
+def test_probe_all_mode_dedups_case_variant_terms(docs, inv):
+    """r14 review: probe(['Spark','spark'], mode='all') must behave as
+    ONE required term — the distinct matched-term count is compared
+    against the DEDUPED query set, or the AND probe is wrongly empty."""
+    one = sorted(r.row_id for r in inv.probe(["spark"]).collect())
+    dup = sorted(r.row_id for r in
+                 inv.probe(["Spark", "spark"], mode="all").collect())
+    assert dup == one and len(one) > 0
+
+
+def test_exact_index_alpha_probe_on_digit_inferred_buckets(spark):
+    """r14 review (confirmed live): when every stored digest prefix is
+    all-digits, partition-type inference loads `bucket` as INT; a probe
+    whose md5 prefix contains a letter must return EMPTY, not crash
+    with an ANSI CAST_INVALID_INPUT."""
+    import hashlib
+    import tempfile
+
+    from deeplake_spark.operators.indexes import (
+        ExactTextIndex, build_exact_index)
+
+    # find values whose md5 prefixes are digit-only / alpha-bearing
+    digit_vals, alpha_val = [], None
+    i = 0
+    while len(digit_vals) < 3 or alpha_val is None:
+        v = f"doc-{i}"
+        p = hashlib.md5(v.encode()).hexdigest()[:2]
+        if p.isdigit() and len(digit_vals) < 3:
+            digit_vals.append(v)
+        elif not p.isdigit() and alpha_val is None:
+            alpha_val = v
+        i += 1
+    df = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(digit_vals)], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        build_exact_index(df, "text").save(d)
+        idx = ExactTextIndex.load(spark, d)
+        assert dict(idx.digests.dtypes)["bucket"] in ("int", "bigint")
+        assert idx.probe(alpha_val).count() == 0          # was: crash
+        assert idx.probe(digit_vals[0]).count() == 1      # pruning intact
+
+
 def test_filtered_ann_widens_probe_for_selective_filters(spark, tmp_path):
     """Filtered ANN recall compensation: when the top-k sits above a
     selective WHERE, candidates = nprobe cells ∩ filter — if the
@@ -432,6 +474,28 @@ def test_numeric_and_json_index_rewrites(spark, sf_dir):
     from deeplake_spark.plans.explain import explain_query
 
     assert "Join" in explain_query(jq).text
+
+    # r14 review (confirmed live): a NON-STRING literal must NOT route
+    # — the index stores raw JSON strings, but stock numeric equality
+    # coerces (props['k'] == 7 matches {"k":7} AND {"k":7.0}), so a
+    # str(7) probe would drop rows. Results must equal the stock scan
+    # AND the plan must stay a filter, not a probe join.
+    jq_num = tql.query(
+        "SELECT event_id WHERE props['k'] == 7", default=ev,
+        indexes=indexes)
+    scan_n = ev.filter(F.get_json_object("props", "$.k") == 7)
+    assert sorted(r.event_id for r in jq_num.collect()) == sorted(
+        r.event_id for r in scan_n.collect())
+    assert "Join" not in explain_query(jq_num).text
+    # the coercion divergence itself, pinned on a crafted corpus
+    mixed = spark.createDataFrame(
+        [(1, '{"n": 5}'), (2, '{"n": 5.0}')], "event_id long, props string")
+    from deeplake_spark.operators.indexes import build_json_index as bji
+    midx = {"props": ("json", bji(mixed, "props", ["n"],
+                                  id_col="event_id"), "event_id")}
+    got = tql.query("SELECT event_id WHERE props['n'] == 5.0",
+                    default=mixed, indexes=midx)
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
 
 
 def test_ivf_save_load_partition_pruning(spark, sf_dir):
