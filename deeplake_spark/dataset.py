@@ -625,9 +625,22 @@ class Column(ColumnView):
             self._ds.update(i, {self._name: value})
             return
         if isinstance(i, slice):
-            start = i.start or 0
             vals = list(value)
-            self.update_batch(start, vals)
+            start, stop, step = i.start or 0, i.stop, i.step or 1
+            if step < 1:
+                raise ValueError(
+                    f"slice step must be >= 1, got {step}")
+            if stop is None:
+                stop = start + step * len(vals)
+            idxs = range(start, stop, step)
+            # r14 review: stop/step were silently ignored — a strided
+            # or bounded assignment patched the WRONG rows
+            if len(idxs) != len(vals):
+                raise ValueError(
+                    f"slice assigns {len(idxs)} rows but got "
+                    f"{len(vals)} values")
+            for off, v in zip(idxs, vals):
+                self._ds.update(off, {self._name: v})
             return
         raise TypeError(type(i))
 
@@ -769,11 +782,19 @@ class Dataset:
         patch_ids = set(self._entry.get("patch_ids", [])) | {
             i for i, _ in self._staged_patch_rows
         }
+        # staged-only datasets (append before the first commit) carry
+        # their schema in _pending_schema (r14 review: a schema-less
+        # read passed None to spark.read.schema and crashed)
+        schema = self.schema or getattr(self, "_pending_schema", None)
         if not files and not patches:
-            if self.schema is not None:
-                return self.spark.createDataFrame([], self.schema.as_struct())
+            if schema is not None:
+                struct = (schema.as_struct()
+                          if hasattr(schema, "as_struct") else schema)
+                return self.spark.createDataFrame([], struct)
             raise DatasetError("empty dataset with no schema")
-        df = self.spark.read.schema(self.schema).parquet(
+        if schema is None:
+            raise DatasetError("dataset has data files but no schema")
+        df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.path, _DATA_DIR, f) for f in files]
         )
         if patches:
@@ -781,26 +802,34 @@ class Dataset:
 
             if patch_ids:
                 df = df.filter(~F.col("_row_id").isin(*[int(x) for x in patch_ids]))
-            parts = [
-                self.spark.read.schema(self.schema)
-                .parquet(os.path.join(self.path, _DATA_DIR, f))
-                .withColumn("__pidx", F.lit(i))
-                for i, f in enumerate(patches)
-            ]
-            pat = parts[0]
-            for p in parts[1:]:
-                pat = pat.unionByName(p)
+            # ONE batched read of every patch file (perf trap 13:
+            # spark.read.parquet costs ~120-145 ms of driver time PER
+            # CALL — a per-patch read loop paid that per patch);
+            # precedence = position in the patch list, rows map to
+            # files via the parsed parent-directory of input_file_name
+            # (the merge() convention — never substring containment)
+            order_rel = self.spark.createDataFrame(
+                [(p, i) for i, p in enumerate(patches)],
+                "__file string, __pidx long")
+            pat = (
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, _DATA_DIR, f)
+                      for f in patches])
+                .withColumn(
+                    "__file",
+                    F.element_at(F.split(F.input_file_name(), "/"), -2))
+                .join(F.broadcast(order_rel), "__file")
+            )
             w = Window.partitionBy("_row_id").orderBy(F.desc("__pidx"))
             latest = (
                 pat.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__pidx", "__rn")
+                .drop("__file", "__pidx", "__rn")
             )
             df = df.unionByName(latest)
         deletes = set(self._entry.get("deletes", [])) | set(self._staged_deletes)
         if deletes:
             df = df.filter(~F.col("_row_id").isin(*[int(x) for x in deletes]))
-        schema = self.schema
         if schema is not None:
             # add_column(default): files written before the column existed
             # surface null under the explicit schema — fill the stored
@@ -1319,6 +1348,14 @@ class Dataset:
             raise ColumnDoesNotExistError(f"no column {name!r}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         self._commit_entry(schema=new_schema, message=f"remove_column {name}")
+        # registrations die with the column (r14 review: a stale
+        # registration crashed the next automatic-commit refresh)
+        refs = _read_refs(self.path)
+        if name in refs.get("indexes", {}):
+            self.drop_index(name)
+        for m in [m for m in refs.get("sketches", {}).values()
+                  if m.get("column") == name]:
+            self.drop_sketch(name, m["kind"])
 
     def rename_column(self, old: str, new: str) -> None:
         self._check_writable()
@@ -1345,6 +1382,22 @@ class Dataset:
                            deletes=[], patches=[], patch_ids=[],
                            message=f"rename_column {old}->{new}")
         self._clear_staged()
+        # registrations follow the column (r14 review: left keyed on
+        # the OLD name they crashed the next automatic refresh and
+        # went dead for queries on the new name). The corpus was just
+        # rewritten anyway — drop + rebuild under the new name is the
+        # maintenance that keeps probes sound.
+        refs = _read_refs(self.path)
+        imeta = refs.get("indexes", {}).get(old)
+        smetas = [m for m in refs.get("sketches", {}).values()
+                  if m.get("column") == old]
+        if imeta:
+            self.drop_index(old)
+            self.create_index(new, imeta["kind"],
+                              **imeta.get("options", {}))
+        for m in smetas:
+            self.drop_sketch(old, m["kind"])
+            self.create_sketch(new, m["kind"], **m.get("options", {}))
 
     def get_column_metadata(self, column: str) -> dict:
         """Column free-form metadata (reference Column.metadata,
@@ -1420,13 +1473,20 @@ class Dataset:
             self._pending_schema = df.schema
         self._note_staged()
 
-    def _last_stream_epoch(self) -> int | None:
+    def _last_stream_epoch(self, sid: str | None = None) -> int | None:
         """Newest stream-epoch id committed on this branch, or None.
 
-        The walk stops at the FIRST `[stream-epoch:N]` marker it meets
-        (epoch ids are monotone per checkpoint, so the newest marker is
-        the maximum), skipping only interleaved non-stream commits —
-        cost is O(commits since the last epoch), NOT O(total epochs).
+        With ``sid`` (the per-checkpoint stream identity ingest_stream
+        embeds as ``[stream-epoch:<sid>:<N>]``), only THAT stream's
+        markers count — a different stream's epochs restarting at 0
+        must not mask this one's (r14 review: the unscoped check
+        silently dropped a new stream's first batches). Without
+        ``sid``, the first marker of any format decides (the legacy
+        behavior). The walk stops at the first MATCHING marker (epoch
+        ids are monotone per checkpoint, so the newest is the maximum)
+        — cost is O(commits since this stream's last epoch), NOT
+        O(total epochs); a brand-new sid walks to genesis ONCE and the
+        sink memoizes from there.
         tests/test_streaming.py counts _read_entry calls to pin this.
         """
         v = self.version
@@ -1434,7 +1494,14 @@ class Dataset:
             e = _read_entry(self.path, v)
             msg = e.get("message", "")
             if "[stream-epoch:" in msg:
-                return int(msg.rsplit("[stream-epoch:", 1)[1].rstrip("]"))
+                tok = msg.rsplit("[stream-epoch:", 1)[1].rstrip("]")
+                parts = tok.split(":")
+                if sid is None:
+                    return int(parts[-1])
+                if len(parts) == 2 and parts[0] == sid:
+                    return int(parts[1])
+                # another stream's marker (or legacy-format): keep
+                # walking — it says nothing about OUR epochs
             v = e.get("parent")
         return None
 
@@ -1469,23 +1536,36 @@ class Dataset:
         `available_now`, else continuous micro-batches).
         """
         self._check_writable()
+        import hashlib as _hl
+        import uuid as _uuid
+
+        # stream identity: epoch ids are monotone only PER CHECKPOINT,
+        # so the idempotence ledger is scoped by it (r14 review: an
+        # unscoped `last >= epoch_id` made a NEW stream's epochs 0..N
+        # collide with a previous stream's and silently drop batches).
+        # No checkpoint → no replay is possible → a fresh identity per
+        # call (every batch appends, which is correct).
+        sid = (_hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
+               if checkpoint_dir else _uuid.uuid4().hex[:8])
+        memo: dict = {}
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            marker = f"stream-epoch:{epoch_id}"
-            # idempotence across checkpoint replays: epoch ids are
-            # monotone per checkpoint, so the newest stream-epoch marker
-            # on the branch decides — id >= ours means this epoch's
-            # commit already landed. O(1) in past epochs (see
-            # _last_stream_epoch), not a full log walk.
-            last = self._last_stream_epoch()
-            if last is not None and last >= epoch_id:
+            marker = f"stream-epoch:{sid}:{epoch_id}"
+            # idempotence across checkpoint replays: the newest marker
+            # FOR THIS STREAM on the branch decides — id >= ours means
+            # this epoch's commit already landed. One log walk on the
+            # first batch of a run, memoized after.
+            if "last" not in memo:
+                memo["last"] = self._last_stream_epoch(sid)
+            if memo["last"] is not None and memo["last"] >= epoch_id:
                 return
             rows = batch_df if transform is None else transform(batch_df)
             self.append(rows)
             self.commit(
                 f"{commit_message.format(epoch=epoch_id)} [{marker}]")
+            memo["last"] = epoch_id
 
         writer = stream_df.writeStream.foreachBatch(sink)
         if available_now:
@@ -1580,30 +1660,40 @@ class Dataset:
         self._log_op("commit", version=entry["version"],
                      message=message or "", n_files=len(new_files),
                      mutated=mutated)
-        if self.indexing_mode == "automatic":
-            refs = _read_refs(self.path)
-            for col, meta in refs.get("indexes", {}).items():
-                if mutated:
-                    # updates/deletes can invalidate existing index rows:
-                    # full rebuild (explicit create_index semantics)
-                    self.create_index(col, meta["kind"], _rebuild=True,
-                                      **meta.get("options", {}))
-                elif new_files:
-                    # append-only commit: build a delta index over JUST
-                    # the new rows and append it — O(new data), existing
-                    # index files untouched (IndexingMode automatic,
-                    # __init__.pyi:2885-2926)
-                    self._append_index_delta(col, meta, new_files)
-            for _key, meta in refs.get("sketches", {}).items():
-                if mutated:
-                    # a removed/updated row cannot leave a sketch:
-                    # full rebuild, same as the indexes
-                    self.create_sketch(meta["column"], meta["kind"],
-                                       _rebuild=True,
-                                       **meta.get("options", {}))
-                elif new_files:
-                    self._append_sketch_delta(meta, new_files)
+        self._auto_refresh_registrations(new_files, mutated)
         return str(entry["version"])
+
+    def _auto_refresh_registrations(self, new_files: list[str],
+                                    mutated: bool) -> None:
+        """indexing_mode='automatic' refresh for a just-written commit
+        entry — shared by commit() AND merge() (r14 review: merge
+        committed via _commit_entry directly and left every registered
+        index/sketch silently stale, so routed queries missed merged
+        rows)."""
+        if self.indexing_mode != "automatic":
+            return
+        refs = _read_refs(self.path)
+        for col, meta in refs.get("indexes", {}).items():
+            if mutated:
+                # updates/deletes can invalidate existing index rows:
+                # full rebuild (explicit create_index semantics)
+                self.create_index(col, meta["kind"], _rebuild=True,
+                                  **meta.get("options", {}))
+            elif new_files:
+                # append-only commit: build a delta index over JUST
+                # the new rows and append it — O(new data), existing
+                # index files untouched (IndexingMode automatic,
+                # __init__.pyi:2885-2926)
+                self._append_index_delta(col, meta, new_files)
+        for _key, meta in refs.get("sketches", {}).items():
+            if mutated:
+                # a removed/updated row cannot leave a sketch:
+                # full rebuild, same as the indexes
+                self.create_sketch(meta["column"], meta["kind"],
+                                   _rebuild=True,
+                                   **meta.get("options", {}))
+            elif new_files:
+                self._append_sketch_delta(meta, new_files)
 
     def _append_sketch_delta(self, meta: dict, new_files: list[str]) -> None:
         """Incremental sketch refresh for an append-only commit: sketch
@@ -2050,6 +2140,7 @@ class Dataset:
         return Dataset(self.spark, self.path, branch=name)
 
     def tag(self, name: str, message: str = "", version: int | None = None) -> None:
+        self._check_writable()  # refs mutation, like branch/delete_tag
         refs = _read_refs(self.path)
         if name in refs["tags"]:
             raise TagExistsError(f"tag {name!r} exists")
@@ -2249,6 +2340,9 @@ class Dataset:
             message=message or f"merge {branch} @{theirs_v} (base {base_v})",
             merge_parent=theirs_v,
         )
+        # a merge rewrites row ids (shift) and unions deletes/patches —
+        # only a full rebuild keeps registered indexes/sketches sound
+        self._auto_refresh_registrations([], mutated=True)
         return str(entry["version"])
 
     def push(self, dst_path: str) -> None:
@@ -2563,7 +2657,11 @@ def open(path: str, spark: SparkSession | None = None, branch: str = "main",
     if not _store(path).list(os.path.join(path, _LOG_DIR)):
         raise NotFoundError(f"no dataset at {path}")
     ds = Dataset(spark, path, branch=branch, version=version)
-    if linked_ro:
+    if linked_ro or version is not None:
+        # a version-pinned handle is TIME TRAVEL (the checkout()
+        # contract): committing from an old snapshot would rebuild the
+        # branch head from that snapshot's file list and silently drop
+        # every newer commit's files — a lost update (r14 review)
         ds.read_only = True
     return ds
 
@@ -2729,8 +2827,14 @@ def _replicate(src: "Dataset", dst_path: str) -> None:
             # both replicas hold this version: replication only fast-
             # forwards, so the entries must be the SAME commit — two
             # histories that committed independently would otherwise
-            # interleave under shared version numbers
-            if json.loads(dst_st.get_bytes(d)) != entry:
+            # interleave under shared version numbers. Compare the
+            # IMMUTABLE commit content: vacuum() annotates entries
+            # in place ('vacuumed'), and a replica vacuumed on one
+            # side only must not read as divergence (r14 review)
+            def _canon(e):
+                return {k: v for k, v in e.items() if k != "vacuumed"}
+
+            if _canon(json.loads(dst_st.get_bytes(d))) != _canon(entry):
                 raise PushError(
                     f"replica histories diverge at log entry {fn}: "
                     "both sides committed independently; refusing to merge refs")
@@ -2765,9 +2869,13 @@ def exists(path: str) -> bool:
 
 def delete(path: str) -> None:
     """deeplake.delete (__init__.pyi:4321): remove the dataset at
-    `path`. Refuses paths that are not datasets (no commit log)."""
+    `path`. Refuses paths that are not datasets (no commit log).
+    connect()/link() aliases resolve first (r14 review: exists()
+    resolved them but the delete itself did not, so deleting by alias
+    crashed on the alias scheme instead of removing the dataset)."""
     if not exists(path):
         raise NotFoundError(f"no dataset at {path}")
+    path, _ = _resolve_alias(path)
     _store(path).delete(path)
 
 

@@ -1001,3 +1001,98 @@ def test_vacuum_staged_age_guard_and_merge_parent_retention(
     assert v_feat in rep["retained_versions"]
     assert v_feat not in rep["vacuumed_versions"]
     assert len(ds.checkout(v_feat)) == 2  # still time-travelable
+
+
+def test_r14_review_dataset_fixes(spark, tmp_path_ds, tmp_path):
+    """Round-14 dataset.py review regressions, each confirmed-or-traced
+    before the fix: slice assignment honors stop/step; a version-pinned
+    open() is read-only (lost-update guard); tag() refuses read-only
+    handles; delete() resolves connect() aliases; to_df works on a
+    schema-less dataset with staged appends; merge() refreshes
+    automatic indexes; rename/remove_column move/drop registrations."""
+    import deeplake_spark as dlk
+    from deeplake_spark.exceptions import (
+        ReadOnlyDatasetModificationError)
+
+    ds = dl.create(tmp_path_ds, spark, schema={
+        "text": dt.Text(), "score": dt.Generic("float64")})
+    ds.append([{"text": f"row {i} words", "score": float(i)}
+               for i in range(10)])
+    ds.commit("seed")
+
+    # --- slice assignment honors stop AND step -------------------------
+    col = ds["score"]
+    col[0:6:2] = [100.0, 102.0, 104.0]
+    ds.commit("strided")
+    got = [r.score for r in ds.to_df().orderBy("_row_id").collect()]
+    assert got[:6] == [100.0, 1.0, 102.0, 3.0, 104.0, 5.0]
+    with pytest.raises(ValueError):
+        col[0:3] = [1.0, 2.0, 3.0, 4.0]  # 4 values into 3 slots
+
+    # --- version-pinned open is time travel: read-only ------------------
+    v_now = int(ds.version)
+    pinned = dl.open(tmp_path_ds, spark, version=v_now - 1)
+    with pytest.raises(ReadOnlyDatasetModificationError):
+        pinned.append([{"text": "x", "score": 0.0}])
+    # --- tag() through a read-only handle refuses ----------------------
+    ro = dl.open_read_only(tmp_path_ds, spark)
+    with pytest.raises(ReadOnlyDatasetModificationError):
+        ro.tag("nope")
+
+    # --- merge refreshes automatic indexes ------------------------------
+    ds.indexing_mode = "automatic"
+    ds.create_index("text", "inverted")
+    b = ds.branch("feat")
+    b.append([{"text": "zzqqxx unique merged token", "score": 9.0}])
+    b.commit("feat rows")
+    ds.merge("feat")
+    hits = ds.query("SELECT text WHERE CONTAINS(text, 'zzqqxx')").collect()
+    assert len(hits) == 1  # was: stale index, silently zero rows
+
+    # --- rename_column moves the registration ---------------------------
+    ds.rename_column("text", "body")
+    refs_idx = dl._read_refs(ds.path).get("indexes", {})
+    assert "body" in refs_idx and "text" not in refs_idx
+    ds2 = dl.open(tmp_path_ds, spark)
+    hits2 = ds2.query("SELECT body WHERE CONTAINS(body, 'zzqqxx')").collect()
+    assert len(hits2) == 1
+    # --- remove_column drops it -----------------------------------------
+    ds2.remove_column("body")
+    assert "body" not in dl._read_refs(ds2.path).get("indexes", {})
+
+    # --- schema-less staged appends readable -----------------------------
+    d2 = str(tmp_path / "noschema")
+    nds = dl.create(d2, spark)
+    nds.append([{"a": 1}, {"a": 2}])
+    assert nds.to_df().count() == 2  # was: TypeError on schema None
+
+    # --- delete() by connect() alias -------------------------------------
+    d3 = str(tmp_path / "alias_target")
+    tds = dl.create(d3, spark, schema={"a": dt.Generic("int64")})
+    tds.append([{"a": 1}]); tds.commit("x")
+    dlk.connect(d3, dest="al://org/thing")
+    assert dlk.exists("al://org/thing")
+    dlk.delete("al://org/thing")
+    assert not dlk.exists(d3)
+
+
+def test_stream_epoch_ledger_scoped_per_checkpoint(spark, tmp_path_ds):
+    """r14 review: a NEW stream (different checkpoint → different sid)
+    restarting epochs at 0 must not be masked by a previous stream's
+    markers — the ledger is scoped by the stream identity embedded in
+    the commit message."""
+    ds = dl.create(tmp_path_ds, spark, schema={
+        "a": dt.Generic("int64")})
+    ds.commit("init")
+    # stream A committed epochs up to 10 (sid 'aaaa1111')
+    for e in (9, 10):
+        ds.commit(f"stream epoch {e} [stream-epoch:aaaa1111:{e}]")
+    assert ds._last_stream_epoch("aaaa1111") == 10
+    # a different stream has NO committed epochs — 0 must not be masked
+    assert ds._last_stream_epoch("bbbb2222") is None
+    # unscoped (legacy) call still reads the newest marker of any form
+    assert ds._last_stream_epoch() == 10
+    # legacy-format markers don't answer for a scoped stream
+    ds.commit("old stream epoch [stream-epoch:7]")
+    assert ds._last_stream_epoch("aaaa1111") == 10
+    assert ds._last_stream_epoch() == 7  # first marker met, any format
