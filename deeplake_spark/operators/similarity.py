@@ -386,27 +386,37 @@ def _route_clusters(centroids: list, eff_nprobe: int):
 def ivf_search_batch(index: IVFIndex, queries: DataFrame,
                      qvec_col: str = "qv", qid_col: str = "qid",
                      k: int = 5,
-                     config: SearchConfig | None = None) -> DataFrame:
+                     config: SearchConfig | None = None,
+                     broadcast_queries: bool = True) -> DataFrame:
     """Batched kNN through the IVF index: resolve a whole query SET in
     ONE pruned corpus pass (the run_batch / multi-query pattern that
     brute-force `knn_batch` pays a corpus scan PER query batch for —
     at 1000 queries over 100 TB that difference is the job).
 
+    ``broadcast_queries`` pins the routed-join strategy: True (the
+    default, right for query BATCHES) broadcasts the (qid, cluster,
+    qvec) routing relation — nprobe rows per query, each carrying the
+    query vector, so it must fit Spark's broadcast ceiling (~8 GB ≈
+    tens of millions of 64-dim queries). For a CORPUS-SIZED query
+    relation (e.g. labeling every unlabeled row) pass False: the join
+    becomes a cluster-keyed shuffle on both sides, which is the
+    correct plan when neither side is small (r14 review — the
+    docstring used to claim 'may itself be large' while
+    unconditionally broadcasting).
+
     Shape: queries route to their `eff_nprobe` nearest centroids
-    in-plan (cross join against the broadcast-small centroid literal
-    array, array_sort, slice — no driver-side query collect, so the
-    query relation may itself be large), the (qid, cluster) routing
-    relation broadcast-joins the cluster-partitioned assignments —
+    in-plan (no driver-side query collect), the (qid, cluster) routing
+    relation joins the cluster-partitioned assignments —
     each assignment partition is read at most once no matter how many
     queries probe it — and a per-qid window takes the top k. Returns
     (qid, id, score) with score = exact cosine, ranked per query.
     """
     config = config or SearchConfig()
     n_clusters = len(index.centroids)
-    eff_nprobe = min(
-        n_clusters,
-        max(config.nprobe, math.ceil(n_clusters * config.accuracy_factor / 20)),
-    )
+    # single source of truth for probe sizing (r14 review: an inline
+    # copy here would desync from ivf_search/_widened_nprobe and break
+    # the pinned batch==stream==single-query equivalence)
+    eff_nprobe = _base_nprobe(n_clusters, config)
     # per-query centroid ranking via the shared vectorized routing UDF
     # (centroids ride in the UDF closure — index metadata, KB-scale).
     # Projected to a column first, explode_outer + null filter after:
@@ -421,8 +431,9 @@ def ivf_search_batch(index: IVFIndex, queries: DataFrame,
                 F.explode_outer("__route").alias("cluster"))
         .filter(F.col("cluster").isNotNull())
     )
+    routed_side = F.broadcast(routed) if broadcast_queries else routed
     scored = (
-        index.assignments.join(F.broadcast(routed), "cluster")
+        index.assignments.join(routed_side, "cluster")
         .select(
             "__qid",
             F.col(index.id_col),
@@ -535,7 +546,12 @@ def _rerank_scan(index, cand: DataFrame, prune: bool = True,
     from deeplake_spark.operators.indexes import prune_scan_to_ids
 
     if index.source is None:
-        return index.source
+        # fail HERE with the reason, not at the caller's .join on None
+        # (r14 review: the old `return index.source` was a disguised
+        # crash path)
+        raise ValueError(
+            "index has no source relation bound — load it against the "
+            "live dataset (rebind at load time) before searching")
     return prune_scan_to_ids(
         index.source, cand, index.id_col, index.n_rows_est,
         prune=prune and index.loaded and index.n_rows_est is not None,
@@ -554,7 +570,13 @@ def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
     config = config or SearchConfig()
     bits = index.bits
     if candidates is not None:
-        bits = bits.join(candidates, index.id_col, "left_semi")
+        # accept ANY 1-column row-id relation (the ivf_search/pq_search
+        # contract): rename to the index's id col before the semijoin —
+        # a USING join on a differently-named column raised (r14 review)
+        cand_col = candidates.columns[0]
+        bits = bits.join(
+            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
+            index.id_col, "left_semi")
     qbits = sign_bits(_as_literal_vec(query_vec))
     cand = (
         bits.select(index.id_col,
@@ -685,7 +707,10 @@ def build_pq(df: DataFrame, vec_col: str = "embedding",
         # the k-means refinement passes (the two levers of PQ quality)
         train_limit = max(ksub_min := 1 << nbits, int(train_limit * config.build_multiplier))
         max_iter = max(1, int(round(max_iter * config.build_multiplier)))
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
+    drow = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if drow is None:
+        raise ValueError("empty corpus: nothing to train PQ codebooks on")
+    dim = drow["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
@@ -894,7 +919,18 @@ def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     keeps recall; set None to disable."""
     if dim is None:
         row = df.select(vec_col).head()
+        if row is None:
+            raise ValueError(
+                "empty corpus: cannot sniff the embedding dimension — "
+                "pass dim= explicitly or provide rows")
         dim = len(row[0])
+    if dim < bands:
+        # rows-per-band would be clamped to 1 and the band hash would
+        # index PAST the bit array — an ANSI INVALID_ARRAY_INDEX mid-
+        # executor instead of a diagnosable error (r14 review)
+        raise ValueError(
+            f"bands={bands} exceeds the embedding dimension {dim}; "
+            "use bands <= dim")
     rows = max(1, dim // bands)
     base = df.select(
         F.col(id_col),
@@ -996,8 +1032,13 @@ def build_pooled_maxsim(df: DataFrame, matrix_col: str, id_col: str) -> PooledMa
         lambda acc, row: F.zip_with(acc, row, lambda a, x: a + x),
     )
     pooled = F.transform(summed, lambda s: s / F.size(m))
+    # an empty matrix has no rows to pool (and element_at(m, 1) on it
+    # RAISES under ANSI mode, failing the whole build — r14 review);
+    # such documents can never match MAXSIM, so they simply stay out
+    # of the prefilter table
+    nonempty = df.filter(F.size(m) > 0)
     return PooledMaxsimIndex(
-        pooled=df.select(id_col, pooled.alias("pooled")),
+        pooled=nonempty.select(id_col, pooled.alias("pooled")),
         source=df.select(id_col, matrix_col),
         id_col=id_col,
         matrix_col=matrix_col,
@@ -1062,7 +1103,12 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     q_pooled = qm.mean(axis=0)
     pooled = index.pooled
     if candidates is not None:
-        pooled = pooled.join(candidates, index.id_col, "left_semi")
+        # rename-first (the ivf_search contract; r14 review): the
+        # caller's id relation may carry any column name
+        cand_col = candidates.columns[0]
+        pooled = pooled.join(
+            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
+            index.id_col, "left_semi")
     cands = (
         topk_cosine(pooled, "pooled", q_pooled.tolist(),
                     k=k * config.accuracy_factor, id_col=index.id_col)
@@ -1099,7 +1145,15 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
     (a, b, cos) with the exact verified cosine."""
     if dim is None:
         row = df_a.select(vec_col).head()
+        if row is None:
+            raise ValueError(
+                "empty A-side corpus: cannot sniff the embedding "
+                "dimension — pass dim= explicitly")
         dim = len(row[0])
+    if dim < bands:
+        raise ValueError(
+            f"bands={bands} exceeds the embedding dimension {dim}; "
+            "use bands <= dim")
     rows = max(1, dim // bands)
 
     def prep(df: DataFrame, side: str):
@@ -1448,7 +1502,8 @@ def bits_near_dup_pairs(hashed: DataFrame, bits_col: str, id_col: str,
 def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
                           id_col: str = "vec_id", label_col: str = "label",
                           k: int = 5, index: IVFIndex | None = None,
-                          config=None) -> DataFrame:
+                          config=None,
+                          broadcast_queries: bool = True) -> DataFrame:
     """k-NN label propagation (auto-labeling): rows whose ``label_col``
     is NULL take the MAJORITY label of their k nearest labeled
     neighbors by cosine — the weak-supervision staple for propagating
@@ -1479,9 +1534,13 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
     queries = unlabeled.select(F.col(id_col).alias("__qid"),
                                F.col(vec_col).alias("__qv"))
     if index is not None:
+        # broadcast_queries=False when the unlabeled set is itself
+        # corpus-sized (the routed relation is nprobe rows PER QUERY
+        # with the vector attached — see ivf_search_batch)
         neigh = (
             ivf_search_batch(index, queries, qvec_col="__qv",
-                             qid_col="__qid", k=k, config=config)
+                             qid_col="__qid", k=k, config=config,
+                             broadcast_queries=broadcast_queries)
             .join(labeled.select(F.col(id_col),
                                  F.col(label_col).alias("__nl")), id_col)
             .select("__qid", "__nl")
@@ -1609,7 +1668,11 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
     if not isinstance(query_vec, Column):
         query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
     rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    # zero-norm vectors score NULL (nullif denominator) — they carry no
+    # direction to be similar OR diverse about, and a None rel would
+    # crash the driver greedy (r14 review); exclude them from the pool
     pool_df = (df.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
+               .filter(F.col("rel").isNotNull())
                .orderBy(F.desc("rel"), id_col).limit(int(pool)))
     # bounded collect: pool rows incl. vectors (the documented
     # driver-side exception class — DATA() prefetch / PQ codebook

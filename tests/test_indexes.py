@@ -2237,3 +2237,50 @@ def test_route_clusters_pandas_null_query_routes_nowhere(spark):
     rows = {r.qid: list(r.r)
             for r in df.select("qid", route("qv").alias("r")).collect()}
     assert rows == {0: [0], 1: []}
+
+
+def test_r14_similarity_review_guards(spark):
+    """r14 similarity.py review regressions: candidates with ANY column
+    name work on the quantized/pooled lanes (the ivf_search contract);
+    bands > dim raises a clear error instead of an executor ANSI crash;
+    zero-norm vectors stay out of the MMR pool; empty matrices don't
+    fail the pooled build."""
+    import pytest as pt
+
+    from deeplake_spark.operators.similarity import (
+        build_pooled_maxsim, build_quantized, maxsim_search, mmr_select,
+        near_dup_pairs_lsh, quantized_index_search)
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.5, -0.25, 0.0, 0.75, -1.0, 0.25, 0.5]
+
+    qidx = build_quantized(df, vec_col="embedding", id_col="vec_id")
+    cand = df.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("my_ids"))  # deliberately odd name
+    got = quantized_index_search(qidx, q, k=5, candidates=cand).collect()
+    assert got and all(r.vec_id < 15 for r in got)
+
+    mats = spark.createDataFrame(
+        [(i, [[float((i + j + k) % 3 - 1) for k in range(4)]
+              for j in range(3)]) for i in range(10)]
+        + [(99, [])],  # empty matrix must not fail the build
+        "doc_id long, mat array<array<double>>")
+    pidx = build_pooled_maxsim(mats, matrix_col="mat", id_col="doc_id")
+    assert pidx.pooled.count() == 10  # the empty-matrix doc stays out
+    qm = [[1.0, 0.0, -1.0, 0.5]]
+    got = maxsim_search(pidx, qm, k=3,
+                        candidates=mats.filter(F.col("doc_id") < 5)
+                        .select(F.col("doc_id").alias("odd_name"))).collect()
+    assert got and all(r.doc_id < 5 for r in got)
+
+    with pt.raises(ValueError, match="bands"):
+        near_dup_pairs_lsh(df.limit(5), vec_col="embedding",
+                           id_col="vec_id", dim=4, bands=8)
+
+    zero = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = mmr_select(zero, "embedding", [1.0, 0.0], k=3, pool=10)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 1]  # no NULL row
