@@ -1473,7 +1473,8 @@ class Dataset:
             self._pending_schema = df.schema
         self._note_staged()
 
-    def _last_stream_epoch(self, sid: str | None = None) -> int | None:
+    def _last_stream_epoch(self, sid: str | None = None,
+                           legacy_fallback: bool = False) -> int | None:
         """Newest stream-epoch id committed on this branch, or None.
 
         With ``sid`` (the per-checkpoint stream identity ingest_stream
@@ -1487,9 +1488,23 @@ class Dataset:
         — cost is O(commits since this stream's last epoch), NOT
         O(total epochs); a brand-new sid walks to genesis ONCE and the
         sink memoizes from there.
+
+        With ``legacy_fallback``, a scoped walk that reaches genesis
+        with no sid-scoped marker returns the newest LEGACY-format
+        marker (``[stream-epoch:N]``, no sid — written before scoping
+        existed) instead of None: a pre-upgrade checkpoint restarting
+        under the scoped ledger must still see its own committed
+        epochs, or it re-commits them as duplicate rows (r14 advice
+        #1). The sink enables it only when the run's first replayed
+        epoch id is > 0 — a genuinely NEW stream starts at epoch 0, so
+        old legacy markers never mask it (the r14 masking bug stays
+        fixed); the one remaining edge (pre-upgrade checkpoint whose
+        only epoch was 0, commit landed but checkpoint ack didn't) is
+        a single duplicate epoch, documented here.
         tests/test_streaming.py counts _read_entry calls to pin this.
         """
         v = self.version
+        legacy: int | None = None
         while v and v > 0:
             e = _read_entry(self.path, v)
             msg = e.get("message", "")
@@ -1500,10 +1515,13 @@ class Dataset:
                     return int(parts[-1])
                 if len(parts) == 2 and parts[0] == sid:
                     return int(parts[1])
-                # another stream's marker (or legacy-format): keep
-                # walking — it says nothing about OUR epochs
+                if len(parts) == 1 and legacy is None:
+                    legacy = int(parts[0])  # newest legacy marker
+                # another stream's scoped marker (or legacy without
+                # fallback): keep walking — it says nothing about OUR
+                # epochs
             v = e.get("parent")
-        return None
+        return legacy if legacy_fallback else None
 
     def ingest_stream(self, stream_df: DataFrame,
                       checkpoint_dir: str | None = None,
@@ -1558,7 +1576,11 @@ class Dataset:
             # this epoch's commit already landed. One log walk on the
             # first batch of a run, memoized after.
             if "last" not in memo:
-                memo["last"] = self._last_stream_epoch(sid)
+                # legacy fallback only on a RESUMED checkpoint (first
+                # replayed epoch > 0): a new stream's epoch 0 must not
+                # be masked by pre-upgrade markers (r14 advice #1).
+                memo["last"] = self._last_stream_epoch(
+                    sid, legacy_fallback=epoch_id > 0)
             if memo["last"] is not None and memo["last"] >= epoch_id:
                 return
             rows = batch_df if transform is None else transform(batch_df)

@@ -357,11 +357,8 @@ def ivf_search(index: IVFIndex, query_vec, k: int = 10,
     probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
     pruned = index.assignments.filter(F.col("cluster").isin(probe))
     if candidates is not None:
-        cand_col = candidates.columns[0]
-        pruned = pruned.join(
-            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
-            index.id_col, "left_semi",
-        )
+        pruned = pruned.join(_cand_ids(candidates, index.id_col),
+                             index.id_col, "left_semi")
     if metric == "l2":
         return topk_l2(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
     return topk_cosine(pruned, index.vec_col, q.tolist(), k=k, id_col=index.id_col)
@@ -558,6 +555,25 @@ def _rerank_scan(index, cand: DataFrame, prune: bool = True,
         ids_col=index.id_col, ranges_out=ranges_out)
 
 
+def _cand_ids(candidates: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a caller's candidate relation to ONE distinct column
+    named `id_col` for the left-semi prune. Accepts either (a) a
+    relation that CARRIES `id_col` in any position — select it
+    (renaming the first column would collide with the existing id_col
+    and raise on a duplicate, r14 advice #4) — or (b) a 1-column
+    relation of any name (the ivf_search/pq_search contract —
+    renamed). A wider relation WITHOUT the id col is ambiguous: raise
+    with the fix instead of silently picking a column."""
+    if id_col in candidates.columns:
+        return candidates.select(id_col).distinct()
+    if len(candidates.columns) == 1:
+        return candidates.withColumnRenamed(
+            candidates.columns[0], id_col).distinct()
+    raise ValueError(
+        f"candidates must be a 1-column row-id relation or carry "
+        f"'{id_col}'; got columns {candidates.columns}")
+
+
 def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
                            config: SearchConfig | None = None,
                            candidates: DataFrame | None = None,
@@ -570,13 +586,10 @@ def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
     config = config or SearchConfig()
     bits = index.bits
     if candidates is not None:
-        # accept ANY 1-column row-id relation (the ivf_search/pq_search
-        # contract): rename to the index's id col before the semijoin —
-        # a USING join on a differently-named column raised (r14 review)
-        cand_col = candidates.columns[0]
-        bits = bits.join(
-            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
-            index.id_col, "left_semi")
+        # normalize to one id_col column (the ivf_search/pq_search
+        # contract, r14 review; carry-or-rename guard, r14 advice #4)
+        bits = bits.join(_cand_ids(candidates, index.id_col),
+                         index.id_col, "left_semi")
     qbits = sign_bits(_as_literal_vec(query_vec))
     cand = (
         bits.select(index.id_col,
@@ -603,9 +616,7 @@ def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
 
     config = config or SearchConfig()
     if candidates is not None:
-        cand_col = candidates.columns[0]
-        df = df.join(candidates.withColumnRenamed(cand_col, id_col).distinct(),
-                     id_col, "left_semi")
+        df = df.join(_cand_ids(candidates, id_col), id_col, "left_semi")
     qv = _as_literal_vec(query_vec)
     n_cand = k * config.accuracy_factor
     cands = (
@@ -846,10 +857,8 @@ def pq_search(index: PQIndex, query_vec, k: int = 10,
         probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:eff_nprobe]]
         codes = codes.filter(F.col("cluster").isin(probe))
     if candidates is not None:
-        cand_col = candidates.columns[0]
-        codes = codes.join(
-            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
-            index.id_col, "left_semi")
+        codes = codes.join(_cand_ids(candidates, index.id_col),
+                           index.id_col, "left_semi")
     approx_dot = sum(
         (F.element_at(F.array(*[F.lit(v) for v in luts[j]]),
                       F.col("code")[j] + 1)
@@ -1103,12 +1112,10 @@ def maxsim_search(index: PooledMaxsimIndex, query_matrix: list, k: int = 10,
     q_pooled = qm.mean(axis=0)
     pooled = index.pooled
     if candidates is not None:
-        # rename-first (the ivf_search contract; r14 review): the
-        # caller's id relation may carry any column name
-        cand_col = candidates.columns[0]
-        pooled = pooled.join(
-            candidates.withColumnRenamed(cand_col, index.id_col).distinct(),
-            index.id_col, "left_semi")
+        # carry-or-rename normalization (ivf_search contract; r14
+        # review + advice #4)
+        pooled = pooled.join(_cand_ids(candidates, index.id_col),
+                             index.id_col, "left_semi")
     cands = (
         topk_cosine(pooled, "pooled", q_pooled.tolist(),
                     k=k * config.accuracy_factor, id_col=index.id_col)

@@ -503,7 +503,7 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
     winners need not fall inside the exact mirror's frozen ranges
     (test_sql_fetchback_execute_routed pins the parity). When ranges
     ARE pushed, the emitted ``__vl`` score is additionally
-    ROUTE-PROOFED (``+ 0.0 * id`` — value-identical, but not a
+    ROUTE-PROOFED (``- 0.0 * abs(id)`` — value-identical, but not a
     spelling the ANN matcher accepts), so an index registered AFTER
     the build, or a different jar-equipped session running the
     returned string, cannot make the lane approximate out from under
@@ -527,13 +527,19 @@ def hybrid_search_sql(view: str, terms, vec, *, k: int = 10,
             # if the __vl lane stays EXACT forever — but the build-time
             # ANN-registry check can't see an index registered AFTER
             # the build, or a different jar-equipped session running
-            # the returned string. `+ 0.0 * id` is value-identical
-            # (ids are integral; exp(-0.0)==exp(0.0) downstream) yet
+            # the returned string. `- 0.0 * abs(id)` is value-identical
+            # INCLUDING the sign of zero: x - (+0.0) keeps -0.0 where
+            # `+ 0.0` normalizes it (r14 advice #3; abs() keeps the
+            # multiplier +0.0 even for negative ids). Spark's ROUND
+            # itself returns +0.0 for tiny negatives, but the emitted
+            # string is engine-portable SQL and e.g. DuckDB's ROUND
+            # keeps -0.0 (both measured, tests pin the spelling) — the
+            # proof term must be a no-op for EVERY double. It is yet
             # not a spelling the Catalyst ANN matcher accepts (it
             # unwraps +/- CONSTANTS only, and 0.0*col never constant-
             # folds), so the lane can never be made approximate out
             # from under its frozen ranges.
-            vl_score = f"ROUND({cos}, 6) + 0.0 * `{id_col}`"
+            vl_score = f"ROUND({cos}, 6) - 0.0 * abs(`{id_col}`)"
         cols, corpus = _fetchback_clause(view, fetch_cols, id_col, ranges)
         fetch_head = "__f AS ("
         fetch_tail = f"""

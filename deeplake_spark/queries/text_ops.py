@@ -2942,14 +2942,15 @@ def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keeper = min doc_id — the d02 convention, so a duplicate "
     "spanning sources credits its keeper's source). dup_token_ratio "
     "is the fraction of the source's token budget that is duplicate "
-    "payload. Shapes: one tokenize pass, a digest-PARTITIONED window "
-    "(trap 7 satisfied), one source-keyed aggregate — dedup-PREP "
-    "cost, no pair join.",
+    "payload. Shapes: one tokenize pass, keep-first as a digest-keyed "
+    "min AGGREGATE + join back (the dedup_corpus_lines convention — a "
+    "corpus-hot duplicate document combines map-side instead of "
+    "funneling one window task; AQE splits the hot join partition), "
+    "one source-keyed aggregate — dedup-PREP cost, no pair join, no "
+    "window over data.",
     tags=("text", "dedup", "stats"),
 )
 def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from deeplake_spark.functions.text import token_count
     from deeplake_spark.io import ensure_parallelism
 
@@ -2958,9 +2959,13 @@ def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id",
         token_count(F.col("text")).cast("long").alias("__nt"),
         F.md5(F.lower(F.col("text"))).alias("__h"))
-    w = Window.partitionBy("__h")
-    k = d.withColumn(
-        "__keep", F.col("doc_id") == F.min("doc_id").over(w))
+    # Keep-first as a digest-keyed partial aggregate + join back
+    # (NOT a digest-partitioned window): a corpus-hot duplicate's
+    # digest group combines map-side; a window would funnel it
+    # through one task that AQE cannot split (r14 verdict #1).
+    keepers = d.groupBy("__h").agg(F.min("doc_id").alias("__keep_id"))
+    k = d.join(keepers, "__h").withColumn(
+        "__keep", F.col("doc_id") == F.col("__keep_id"))
     kept = F.sum(F.when(F.col("__keep"), F.col("__nt")).otherwise(F.lit(0)))
     return (k.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

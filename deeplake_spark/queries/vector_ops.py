@@ -1234,7 +1234,11 @@ def _mmr_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
     instead of the rows-only lane iterative algorithms usually take.
     Float discipline: rel and pairwise sims are ROUND(...,6) on both
     sides; the mmr combine embeds repr(lam)/repr(1-lam) so DuckDB
-    parses the EXACT doubles Python computes with."""
+    parses the EXACT doubles Python computes with. The pool CTE
+    excludes NULL-rel (zero-norm) rows explicitly — mmr_select filters
+    them, and DuckDB's NULLS LAST would otherwise admit them to the
+    pool tail on a corpus with < pool non-zero vectors (r14 advice
+    #2)."""
     la, mu = repr(float(lam)), repr(1.0 - float(lam))
     cos_q = _DUCK_COS.format(a="embedding", b="q.qv")
     cos_ab = _DUCK_COS.format(a="a.embedding", b="b.embedding")
@@ -1243,6 +1247,7 @@ def _mmr_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
     pool AS (
       SELECT vec_id, embedding, ROUND({cos_q}, 6) AS rel
       FROM embeddings, q
+      WHERE {cos_q} IS NOT NULL
       ORDER BY rel DESC, vec_id LIMIT {p}
     ),
     pairs AS (

@@ -1092,7 +1092,12 @@ def test_stream_epoch_ledger_scoped_per_checkpoint(spark, tmp_path_ds):
     assert ds._last_stream_epoch("bbbb2222") is None
     # unscoped (legacy) call still reads the newest marker of any form
     assert ds._last_stream_epoch() == 10
-    # legacy-format markers don't answer for a scoped stream
+    # legacy-format markers don't answer for a scoped stream by
+    # default; with legacy_fallback (resumed pre-upgrade checkpoint,
+    # r15 advice fix) they answer ONLY when no scoped marker exists
     ds.commit("old stream epoch [stream-epoch:7]")
     assert ds._last_stream_epoch("aaaa1111") == 10
+    assert ds._last_stream_epoch("aaaa1111", legacy_fallback=True) == 10
+    assert ds._last_stream_epoch("bbbb2222") is None
+    assert ds._last_stream_epoch("bbbb2222", legacy_fallback=True) == 7
     assert ds._last_stream_epoch() == 7  # first marker met, any format

@@ -2284,3 +2284,31 @@ def test_r14_similarity_review_guards(spark):
         "vec_id long, embedding array<double>")
     out = mmr_select(zero, "embedding", [1.0, 0.0], k=3, pool=10)
     assert sorted(r.vec_id for r in out.collect()) == [0, 1]  # no NULL row
+
+
+def test_candidates_multicolumn_carrying_id_col(spark):
+    """r14 advice #4: a MULTI-column candidates relation that carries
+    the index id col in a non-first position must prune correctly
+    (select the id col — renaming the first column would raise a
+    duplicate-column error); a wider relation WITHOUT the id col is
+    ambiguous and raises with the fix."""
+    import pytest as pt
+
+    from deeplake_spark.operators.similarity import (
+        _cand_ids, build_quantized, quantized_index_search)
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)], f"s{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag string")
+    q = [1.0, 0.5, -0.25, 0.0, 0.75, -1.0, 0.25, 0.5]
+    qidx = build_quantized(df.select("vec_id", "embedding"),
+                           vec_col="embedding", id_col="vec_id")
+    # id col in NON-first position, extra columns around it
+    wide = df.filter(F.col("vec_id") < 12).select("tag", "vec_id",
+                                                  "embedding")
+    got = quantized_index_search(qidx, q, k=5, candidates=wide).collect()
+    assert got and all(r.vec_id < 12 for r in got)
+    # wider relation without the id col: explicit error, not a guess
+    with pt.raises(ValueError, match="1-column row-id relation"):
+        _cand_ids(df.select("tag", "embedding"), "vec_id")

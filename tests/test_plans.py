@@ -231,6 +231,18 @@ def test_pack_token_budget_no_global_window(spark, sf_dir):
             assert "__pid" in line, f"unpartitioned running window: {line[:160]}"
 
 
+def test_effective_tokens_no_window_over_data(spark, sf_dir):
+    """t50's keep-first must be the digest-keyed min AGGREGATE + join
+    back (the dedup_corpus_lines convention), NOT a digest-partitioned
+    window: a corpus-hot duplicate document would funnel its whole
+    digest group through ONE window task, and AQE cannot split a
+    window partition (r14 verdict weak item)."""
+    df = REG["t50_effective_tokens"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan, plan
+    assert "row_number" not in plan.lower()
+
+
 def test_vocab_topk_is_take_ordered(spark, sf_dir):
     # top-50 vocabulary must be TakeOrderedAndProject (k rows per
     # partition to the driver), never a global sort of the term table

@@ -1651,6 +1651,30 @@ def test_sql_fetchback_build_mirror_is_exact_under_routing(spark, tmp_path):
             spark.catalog.dropTempView(v)
 
 
+def test_route_proof_term_is_sign_preserving(spark):
+    """r14 advice #3: the route-proof no-op appended to the __vl score
+    must be value-identical for EVERY double, including -0.0 — the
+    emitted statement is engine-portable SQL, and DuckDB's ROUND keeps
+    -0.0 where Spark's normalizes it, so `+ 0.0 * id` (which maps
+    -0.0 to +0.0) was a value-visible rewrite there. The spelling is
+    `- 0.0 * abs(id)`: x - (+0.0) preserves the sign of zero, and
+    abs() keeps the multiplier +0.0 even for negative ids."""
+    import math
+
+    import duckdb
+
+    r = spark.sql(
+        "SELECT CAST('-0.0' AS DOUBLE) - 0.0 * abs(5) a,"
+        "       CAST('-0.0' AS DOUBLE) - 0.0 * abs(-7) b").collect()[0]
+    assert math.copysign(1, r.a) == -1.0
+    assert math.copysign(1, r.b) == -1.0
+    da, db = duckdb.sql(
+        "SELECT ROUND(-1e-9, 6) - 0.0 * abs(5),"
+        "       ROUND(-1e-9, 6) - 0.0 * abs(-7)").fetchone()
+    assert math.copysign(1, da) == -1.0  # DuckDB ROUND keeps -0.0 …
+    assert math.copysign(1, db) == -1.0  # … and the no-op must too
+
+
 def test_sql_fetchback_rebuild_after_append_sees_new_docs(spark,
                                                           tmp_path):
     """The fetch-back SNAPSHOT contract's positive side: after a delta
