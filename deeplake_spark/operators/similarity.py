@@ -380,26 +380,73 @@ def _route_clusters(centroids: list, eff_nprobe: int):
                                  eff_nprobe)
 
 
+def _routed_size_estimate(queries: DataFrame, qid_col: str,
+                          qvec_col: str, nprobe: int) -> int | None:
+    """Plan-time byte bound for the routed (qid, cluster, qvec)
+    relation: Catalyst's optimized-plan size estimate of the projected
+    query side × nprobe (each query replicates once per probed
+    cluster, vector attached). No job runs — this is the same stats
+    source Spark's own auto-broadcast planning reads; un-stat'd plans
+    answer ~8 EiB, which the gate treats as 'too big' (the safe
+    shuffle fallback). None on any estimation failure."""
+    try:
+        proj = queries.select(qid_col, qvec_col)
+        est = int(proj._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        return est * max(int(nprobe), 1)
+    except Exception:
+        return None
+
+
+def _auto_broadcast_queries(queries: DataFrame, qid_col: str,
+                            qvec_col: str, nprobe: int) -> bool:
+    """Routing-gate for the batched-kNN join strategy (r14 verdict #3):
+    broadcast the routed query relation only when its plan-time size
+    bound fits the session's broadcast threshold
+    (spark.sql.autoBroadcastJoinThreshold; -1 disables). A query BATCH
+    (the common case) broadcasts; a corpus-sized query relation falls
+    to the cluster-keyed shuffle join instead of an ~8 GB broadcast
+    OOM the caller had to know to avoid. Callers can still pin either
+    regime explicitly."""
+    spark = queries.sparkSession
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            thr = int(raw)
+        except ValueError:  # "10MB"-style spelling
+            thr = int(spark._jvm.org.apache.spark.util.Utils
+                      .byteStringAsBytes(raw))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:
+        return False
+    est = _routed_size_estimate(queries, qid_col, qvec_col, nprobe)
+    return est is not None and est <= thr
+
+
 def ivf_search_batch(index: IVFIndex, queries: DataFrame,
                      qvec_col: str = "qv", qid_col: str = "qid",
                      k: int = 5,
                      config: SearchConfig | None = None,
-                     broadcast_queries: bool = True) -> DataFrame:
+                     broadcast_queries: bool | None = None) -> DataFrame:
     """Batched kNN through the IVF index: resolve a whole query SET in
     ONE pruned corpus pass (the run_batch / multi-query pattern that
     brute-force `knn_batch` pays a corpus scan PER query batch for —
     at 1000 queries over 100 TB that difference is the job).
 
-    ``broadcast_queries`` pins the routed-join strategy: True (the
-    default, right for query BATCHES) broadcasts the (qid, cluster,
-    qvec) routing relation — nprobe rows per query, each carrying the
-    query vector, so it must fit Spark's broadcast ceiling (~8 GB ≈
-    tens of millions of 64-dim queries). For a CORPUS-SIZED query
-    relation (e.g. labeling every unlabeled row) pass False: the join
-    becomes a cluster-keyed shuffle on both sides, which is the
-    correct plan when neither side is small (r14 review — the
-    docstring used to claim 'may itself be large' while
-    unconditionally broadcasting).
+    ``broadcast_queries`` pins the routed-join strategy: True (right
+    for query BATCHES) broadcasts the (qid, cluster, qvec) routing
+    relation — nprobe rows per query, each carrying the query vector,
+    so it must fit Spark's broadcast ceiling (~8 GB ≈ tens of millions
+    of 64-dim queries). For a CORPUS-SIZED query relation (e.g.
+    labeling every unlabeled row) False makes the join a cluster-keyed
+    shuffle on both sides — the correct plan when neither side is
+    small. The default (None) AUTO-GATES: the routed relation's
+    plan-time size bound (nprobe × query-side Catalyst estimate) must
+    fit the session's autoBroadcastJoinThreshold, so the corpus-sized
+    caller is safe BY CONSTRUCTION instead of by knowing the knob
+    (r14 verdict #3; un-stat'd plans estimate huge and fall to the
+    shuffle side — pin True to override).
 
     Shape: queries route to their `eff_nprobe` nearest centroids
     in-plan (no driver-side query collect), the (qid, cluster) routing
@@ -428,6 +475,9 @@ def ivf_search_batch(index: IVFIndex, queries: DataFrame,
                 F.explode_outer("__route").alias("cluster"))
         .filter(F.col("cluster").isNotNull())
     )
+    if broadcast_queries is None:
+        broadcast_queries = _auto_broadcast_queries(
+            queries, qid_col, qvec_col, eff_nprobe)
     routed_side = F.broadcast(routed) if broadcast_queries else routed
     scored = (
         index.assignments.join(routed_side, "cluster")
@@ -1510,7 +1560,7 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
                           id_col: str = "vec_id", label_col: str = "label",
                           k: int = 5, index: IVFIndex | None = None,
                           config=None,
-                          broadcast_queries: bool = True) -> DataFrame:
+                          broadcast_queries: bool | None = None) -> DataFrame:
     """k-NN label propagation (auto-labeling): rows whose ``label_col``
     is NULL take the MAJORITY label of their k nearest labeled
     neighbors by cosine — the weak-supervision staple for propagating
@@ -1541,9 +1591,10 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
     queries = unlabeled.select(F.col(id_col).alias("__qid"),
                                F.col(vec_col).alias("__qv"))
     if index is not None:
-        # broadcast_queries=False when the unlabeled set is itself
-        # corpus-sized (the routed relation is nprobe rows PER QUERY
-        # with the vector attached — see ivf_search_batch)
+        # broadcast_queries default None → ivf_search_batch's
+        # size-estimate auto-gate decides (a corpus-sized unlabeled
+        # set shuffles instead of broadcasting nprobe rows per query
+        # with the vector attached); pin True/False to override
         neigh = (
             ivf_search_batch(index, queries, qvec_col="__qv",
                              qid_col="__qid", k=k, config=config,

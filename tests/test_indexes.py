@@ -1359,6 +1359,51 @@ def test_ivf_search_batch_recall_and_single_query_consistency(spark, sf_dir):
     assert hits_total / (5 * len(brute_sets)) >= 0.8
 
 
+def test_ivf_search_batch_broadcast_autogate(spark, sf_dir):
+    """r14 verdict #3: with broadcast_queries unset, the routed-join
+    strategy derives from a plan-time size bound vs the session's
+    autoBroadcastJoinThreshold — a query BATCH broadcasts
+    (BroadcastHashJoin), a relation whose routed estimate exceeds the
+    threshold falls to the shuffle join, and an explicit True still
+    overrides the gate. The corpus-sized caller is safe by
+    construction, not by knowing the knob."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_ivf, ivf_search_batch)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf(e, n_clusters=8)
+    cfg = SearchConfig(nprobe=4)
+    queries = (e.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # small batch, stock threshold: broadcast regime
+    p = plan(ivf_search_batch(idx, queries, k=3, config=cfg))
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        # tiny threshold: the same queries now exceed the bound and
+        # the join flips to the shuffle side — no knob passed
+        spark.conf.set(key, "64")
+        p = plan(ivf_search_batch(idx, queries, k=3, config=cfg))
+        assert "BroadcastHashJoin" not in p, p[:2000]
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p[:2000]
+        # explicit pin overrides the gate
+        p = plan(ivf_search_batch(idx, queries, k=3, config=cfg,
+                                  broadcast_queries=True))
+        assert "BroadcastHashJoin" in p, p[:2000]
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_ann_recall_monotone_across_presets(spark, sf_dir):
     """Reference knob semantics (cpp/query_core/search_config.hpp:31-96;
     quality-test style py_tests/test_embedding_quality.py): raising the
