@@ -1127,6 +1127,19 @@ _DICOM_IMPLICIT_LE = "1.2.840.10008.1.2"
 _DICOM_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 _DICOM_EXPLICIT_BE = "1.2.840.10008.1.2.2"  # retired; byteswapped walk
 _DICOM_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
+# Encapsulated-JPEG transfer syntaxes (PS3.5 A.4.1) routed to the
+# in-repo T.81 decoder (operators/_jpeg.py): baseline Process 1 is the
+# most common compressed DICOM in real PACS exports; .4.51 is the
+# 12-bit extended DCT flavor (SOF1); .4.57/.4.70 are lossless SOF3
+# (Process 14 / 14-SV1 — the decoder takes any predictor, so both UIDs
+# share a lane). JPEG hierarchical (SOF11) and J2K stay unsupported —
+# COVERAGE.md "considered and excluded".
+_DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+_DICOM_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+_DICOM_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
+_DICOM_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+_DICOM_JPEG_SYNTAXES = {_DICOM_JPEG_BASELINE, _DICOM_JPEG_EXTENDED,
+                        _DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1}
 # VRs using the 4-byte length form (2 reserved bytes + uint32), PS3.5 §7.1.2
 _DICOM_LONG_VRS = {b"OB", b"OD", b"OF", b"OL", b"OV", b"OW", b"SQ",
                    b"SV", b"UC", b"UN", b"UR", b"UT", b"UV"}
@@ -1273,6 +1286,58 @@ def _decode_rle_frame(frame: bytes, rows: int, cols: int, samples: int,
     return vals[:, 0].reshape(rows, cols)
 
 
+def _decode_jpeg_frames(frames_items: list, frames: int, rows: int,
+                        cols: int, samples: int,
+                        base: np.dtype) -> np.ndarray:
+    """Encapsulated-JPEG pixel decode (PS3.5 A.4.1) through the in-repo
+    T.81 codec (operators/_jpeg.py — SOF0 baseline, SOF1 12-bit
+    extended, SOF2 progressive, SOF3 lossless): a SINGLE-frame image
+    may split one JPEG stream across several fragments (concatenated —
+    the fixed-size-fragment layout real exporters emit); a MULTI-frame
+    image must carry exactly one fragment per frame (the same rule the
+    RLE lane enforces — without a Basic Offset Table there is no sound
+    way to group a mismatched count). Frame shape/precision must match
+    the DICOM image-pixel header, PixelRepresentation=1 reinterprets
+    the decoded code values as two's complement (the pydicom
+    pixel_array convention). JPEG features the codec lacks (SOF11
+    hierarchical, 4-component color) surface as _MedicalUnsupported —
+    the pydicom/fake fallthrough, never a wrong array."""
+    from deeplake_spark.operators import _jpeg
+
+    if not frames_items:
+        raise ValueError("JPEG DICOM without encapsulated fragments")
+    if frames <= 1:
+        streams = [b"".join(frames_items)]
+    elif len(frames_items) == frames:
+        streams = frames_items
+    else:
+        raise ValueError(
+            f"JPEG DICOM NumberOfFrames {frames} != "
+            f"{len(frames_items)} encapsulated fragments")
+    base = np.dtype(base)
+    decoded = []
+    for s in streams:
+        try:
+            d = _jpeg.decode_baseline(bytes(s))
+        except _jpeg.JpegUnsupported as e:
+            raise _MedicalUnsupported(f"DICOM JPEG: {e}") from e
+        if d.shape[:2] != (rows, cols):
+            raise ValueError(
+                f"JPEG frame {d.shape[:2]} contradicts DICOM "
+                f"Rows/Columns ({rows}, {cols})")
+        nc = d.shape[2] if d.ndim == 3 else 1
+        if nc != samples:
+            raise ValueError(
+                f"JPEG {nc}-component frame contradicts DICOM "
+                f"SamplesPerPixel {samples}")
+        if d.dtype.itemsize != base.itemsize:
+            raise ValueError(
+                f"JPEG sample width {d.dtype.itemsize * 8} contradicts "
+                f"DICOM BitsAllocated {base.itemsize * 8}")
+        decoded.append(d.view(base) if base.kind == "i" else d)
+    return np.stack(decoded) if len(decoded) > 1 else decoded[0]
+
+
 def _decode_dicom(payload: bytes) -> np.ndarray:
     """REAL decoder for uncompressed DICOM (PS3.10 part-10 files and
     raw datasets) plus RLE Lossless: preamble+DICM sniff, explicit-VR
@@ -1280,10 +1345,13 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
     implicit-VR element walk (little- or big-endian) to Rows/Columns/
     BitsAllocated/PixelRepresentation/SamplesPerPixel/NumberOfFrames
     and the PixelData buffer — native for implicit/explicit LE,
-    explicit BE (retired .1.2.2, a byteswapped walk) and RLE Lossless
-    (.1.2.5, PS3.5 Annex G PackBits segments). Other compressed
-    syntaxes raise _MedicalUnsupported (pydicom fallthrough, the
-    nibabel convention).
+    explicit BE (retired .1.2.2, a byteswapped walk), RLE Lossless
+    (.1.2.5, PS3.5 Annex G PackBits segments) and the encapsulated
+    JPEG families (.4.50 baseline / .4.51 12-bit extended / .4.57 +
+    .4.70 lossless SOF3) through the in-repo T.81 codec. Remaining
+    compressed syntaxes (J2K, JPEG-LS, hierarchical) raise
+    _MedicalUnsupported (pydicom fallthrough, the nibabel
+    convention).
 
     Raw datasets carry no TransferSyntaxUID, so the VR mode is
     sniffed. The sniff is a TRIAL, not a commitment (ADVICE r13): in
@@ -1313,16 +1381,18 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
             pos = vpos + length
         if ts is None:
             raise ValueError("DICOM file meta missing TransferSyntaxUID")
-        # (explicit, endian, rle) per transfer syntax — authoritative,
+        # (explicit, endian, codec) per transfer syntax — authoritative,
         # no sniff fallback for part-10 files
         if ts == _DICOM_EXPLICIT_LE:
-            modes = [(True, "<", False)]
+            modes = [(True, "<", None)]
         elif ts == _DICOM_IMPLICIT_LE:
-            modes = [(False, "<", False)]
+            modes = [(False, "<", None)]
         elif ts == _DICOM_EXPLICIT_BE:
-            modes = [(True, ">", False)]
+            modes = [(True, ">", None)]
         elif ts == _DICOM_RLE:
-            modes = [(True, "<", True)]
+            modes = [(True, "<", "rle")]
+        elif ts in _DICOM_JPEG_SYNTAXES:
+            modes = [(True, "<", "jpeg")]
         else:
             raise _MedicalUnsupported(f"DICOM transfer syntax {ts}")
     elif len(payload) >= 8:
@@ -1332,18 +1402,18 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
                                     0x0028, 0x7FE0)
         modes = []
         if payload[4:6] in _DICOM_SHORT_VRS | _DICOM_LONG_VRS:
-            modes.append((True, "<", False))
+            modes.append((True, "<", None))
         if plausible_group:
-            modes.append((False, "<", False))
+            modes.append((False, "<", None))
         if not modes:
             raise ValueError("not a DICOM payload")
     else:
         raise ValueError("not a DICOM payload (too short)")
 
     err: Exception | None = None
-    for explicit, endian, rle in modes:
+    for explicit, endian, codec in modes:
         try:
-            return _dicom_extract(payload, pos, end, explicit, endian, rle)
+            return _dicom_extract(payload, pos, end, explicit, endian, codec)
         except _MedicalUnsupported:
             raise
         except (ValueError, struct.error) as e:
@@ -1354,7 +1424,7 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
 
 
 def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
-                   endian: str, rle: bool) -> np.ndarray:
+                   endian: str, codec: str | None) -> np.ndarray:
     want: dict = {
         (0x0028, 0x0002): None,  # SamplesPerPixel US
         (0x0028, 0x0008): None,  # NumberOfFrames IS
@@ -1364,7 +1434,7 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
         (0x0028, 0x0103): None,  # PixelRepresentation US
         (0x7FE0, 0x0010): None,  # PixelData OW/OB
     }
-    frames_items: list | None = [] if rle else None
+    frames_items: list | None = [] if codec else None
     _dicom_walk(payload, pos, end, explicit, want, endian, frames_items)
 
     def us(tag, default):
@@ -1384,7 +1454,7 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
             32: np.int32 if signed else np.uint32}.get(bits)
     if base is None:
         raise _MedicalUnsupported(f"DICOM BitsAllocated {bits}")
-    if rle:
+    if codec == "rle":
         if not frames_items:
             raise ValueError("RLE DICOM without encapsulated frames")
         # PS3.5 Annex G: exactly one fragment per frame — a mismatch in
@@ -1398,6 +1468,9 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
         decoded = [_decode_rle_frame(fr, rows, cols, samples, base)
                    for fr in frames_items]
         return (np.stack(decoded) if len(decoded) > 1 else decoded[0])
+    if codec == "jpeg":
+        return _decode_jpeg_frames(frames_items, frames, rows, cols,
+                                   samples, base)
     pix = want[(0x7FE0, 0x0010)]
     if pix is None:
         raise ValueError("DICOM payload missing PixelData")

@@ -564,14 +564,17 @@ def _rle_encode_frame_test(a):
 
 
 def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
-                  with_seq=False, endian="<", rle=False):
+                  with_seq=False, endian="<", rle=False, fragments=None):
     """Test-side DICOM part-10 writer (NEMA PS3.10/PS3.5): 128-byte
     preamble + DICM + explicit-VR file meta (TransferSyntaxUID) + a
     dataset with the image-pixel module and PixelData. `with_seq`
     plants an undefined-length SQ with an undefined-length item before
     the pixel module to exercise the decoder's skip walk. `endian='>'`
     writes the retired explicit-VR big-endian syntax; `rle=True`
-    writes RLE Lossless (encapsulated PixelData, Annex G frames)."""
+    writes RLE Lossless (encapsulated PixelData, Annex G frames);
+    `fragments` (list of bytes, with `transfer_syntax`) writes
+    pre-encoded encapsulated fragments verbatim (the JPEG lanes) —
+    `arr` still supplies the image-pixel header."""
     import struct as st
 
     import numpy as np
@@ -594,7 +597,7 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
     samples = 1
     if arr.ndim == 2:
         frames, (rows, cols) = 1, arr.shape
-    elif arr.ndim == 3 and arr.shape[2] in (3, 4) and rle:
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4) and (rle or fragments):
         frames, (rows, cols, samples) = 1, arr.shape
     else:
         frames, rows, cols = arr.shape
@@ -618,11 +621,21 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
     body += el(0x0028, 0x0101, b"US", st.pack(endian + "H", bits))
     body += el(0x0028, 0x0102, b"US", st.pack(endian + "H", bits - 1))
     body += el(0x0028, 0x0103, b"US", st.pack(endian + "H", 1 if signed else 0))
-    if rle:
-        fr_arrs = [arr] if arr.ndim == 2 or samples > 1 else list(arr)
+    if rle or fragments:
+        if fragments:
+            # PS3.5 A.4: items are even-length; only the LAST fragment
+            # may be padded (a pad inside a split stream would corrupt
+            # the concatenated entropy data) — callers split at even
+            # offsets
+            assert all(len(f) % 2 == 0 for f in fragments[:-1])
+            frags = list(fragments[:-1]) + [
+                fragments[-1] + (b"\x00" if len(fragments[-1]) % 2 else b"")]
+        else:
+            fr_arrs = [arr] if arr.ndim == 2 or samples > 1 else list(arr)
+            frags = [_rle_encode_frame_test(np.ascontiguousarray(fa))
+                     for fa in fr_arrs]
         items = st.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty offset table
-        for fa in fr_arrs:
-            payload_fr = _rle_encode_frame_test(np.ascontiguousarray(fa))
+        for payload_fr in frags:
             items += st.pack("<HHI", 0xFFFE, 0xE000, len(payload_fr))
             items += payload_fr
         items += st.pack("<HHI", 0xFFFE, 0xE0DD, 0)
@@ -633,7 +646,9 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
         body += (ele if explicit else eli)(0x7FE0, 0x0010, b"OW", pix)
     if not preamble:
         return body
-    if rle:
+    if fragments:
+        default_ts = "1.2.840.10008.1.2.4.50"
+    elif rle:
         default_ts = "1.2.840.10008.1.2.5"
     elif endian == ">":
         default_ts = "1.2.840.10008.1.2.2"
@@ -764,6 +779,118 @@ def test_dicom_rle_property_round_trip():
     run()
 
 
+def test_real_dicom_encapsulated_jpeg_lossless_exact():
+    """Encapsulated-JPEG DICOM, lossless lanes (r14 verdict #2): the
+    fragment walk routes to the in-repo T.81 SOF3 codec — .4.57 (any
+    predictor) and .4.70 (first-order SV1) round-trip PIXEL-EXACT,
+    signed data reinterprets per PixelRepresentation (the pydicom
+    pixel_array convention), multi-frame stacks one fragment per
+    frame, and fragment/header contradictions raise instead of
+    returning a wrong array."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import encode_lossless
+    from deeplake_spark.operators.multimodal import _decode_dicom
+
+    rng = np.random.default_rng(7)
+
+    # .4.57, 16-bit unsigned, default predictor — exact
+    a = rng.integers(0, 65536, (9, 11)).astype(np.uint16)
+    got = _decode_dicom(_encode_dicom(
+        a, fragments=[encode_lossless(a)],
+        transfer_syntax="1.2.840.10008.1.2.4.57"))
+    assert got.dtype == np.uint16 and (got == a).all()
+
+    # .4.70, first-order prediction (SV1) — exact
+    got = _decode_dicom(_encode_dicom(
+        a, fragments=[encode_lossless(a, predictor=1)],
+        transfer_syntax="1.2.840.10008.1.2.4.70"))
+    assert (got == a).all()
+
+    # signed int16 (PixelRepresentation=1): the JPEG stream carries the
+    # two's-complement code values; the decoder views them back signed
+    s = rng.integers(-3000, 3000, (7, 5)).astype(np.int16)
+    got = _decode_dicom(_encode_dicom(
+        s, fragments=[encode_lossless(s.view(np.uint16))],
+        transfer_syntax="1.2.840.10008.1.2.4.70"))
+    assert got.dtype == np.int16 and (got == s).all()
+
+    # multi-frame: one complete JPEG stream per fragment, stacked
+    mf = rng.integers(0, 65536, (3, 6, 5)).astype(np.uint16)
+    frags = [encode_lossless(f) for f in mf]
+    frags = [f + (b"\x00" if len(f) % 2 else b"") for f in frags]
+    got = _decode_dicom(_encode_dicom(
+        mf, fragments=frags, transfer_syntax="1.2.840.10008.1.2.4.57"))
+    assert got.shape == (3, 6, 5) and (got == mf).all()
+
+    # multi-frame fragment-count mismatch is malformed, not guessed at
+    with pt.raises(ValueError, match="fragments"):
+        _decode_dicom(_encode_dicom(
+            mf, fragments=frags[:2],
+            transfer_syntax="1.2.840.10008.1.2.4.57"))
+
+    # header contradiction: JPEG frame shape != Rows/Columns
+    wrong = rng.integers(0, 65536, (4, 4)).astype(np.uint16)
+    with pt.raises(ValueError, match="contradicts"):
+        _decode_dicom(_encode_dicom(
+            a, fragments=[encode_lossless(wrong)],
+            transfer_syntax="1.2.840.10008.1.2.4.57"))
+
+
+def test_real_dicom_encapsulated_jpeg_baseline_and_extended():
+    """Encapsulated lossy JPEG DICOM: .4.50 baseline (SOF0, 8-bit —
+    the most common compressed PACS export) and .4.51 extended (SOF1,
+    12-bit) decode through the in-repo DCT codec within the MJPEG
+    lossy tolerance band; a single frame split across MULTIPLE
+    fragments concatenates (PS3.5 A.4 — the fixed-fragment-size layout
+    real exporters emit); RGB carries SamplesPerPixel=3."""
+    import numpy as np
+
+    from deeplake_spark.operators._jpeg import encode_baseline
+    from deeplake_spark.operators.multimodal import _decode_dicom
+
+    y, x = np.mgrid[0:16, 0:24]
+    gray = (96 + 40 * np.sin(x / 5.0) + 30 * np.cos(y / 4.0)).astype(np.uint8)
+
+    stream = encode_baseline(gray)
+    payload = _encode_dicom(gray, fragments=[stream],
+                            transfer_syntax="1.2.840.10008.1.2.4.50")
+    got = _decode_dicom(payload)
+    assert got.dtype == np.uint8 and got.shape == gray.shape
+    err = np.abs(got.astype(int) - gray.astype(int))
+    assert err.max() <= 20 and err.mean() <= 4
+
+    # strict mode is REAL for .4.50 now — no pydicom, no fake
+    from deeplake_spark.operators.multimodal import _volume
+    assert (_volume(payload, "dcm", strict=True) == got).all()
+
+    # the SAME stream split mid-entropy-data across two fragments
+    cut = (len(stream) // 2) & ~1  # even offset (items are even-length)
+    got2 = _decode_dicom(_encode_dicom(
+        gray, fragments=[stream[:cut], stream[cut:]],
+        transfer_syntax="1.2.840.10008.1.2.4.50"))
+    assert (got2 == got).all()
+
+    # RGB baseline (SamplesPerPixel=3)
+    rgb = np.stack([gray, gray[::-1], gray[:, ::-1]], axis=-1)
+    got = _decode_dicom(_encode_dicom(
+        rgb, fragments=[encode_baseline(rgb)],
+        transfer_syntax="1.2.840.10008.1.2.4.50"))
+    assert got.shape == rgb.shape
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    assert err.max() <= 25 and err.mean() <= 5
+
+    # .4.51 extended 12-bit (SOF1): uint16 samples, scaled tolerance
+    g12 = (gray.astype(np.uint16) * 16).clip(0, 4095)
+    got = _decode_dicom(_encode_dicom(
+        g12, fragments=[encode_baseline(g12, precision=12)],
+        transfer_syntax="1.2.840.10008.1.2.4.51"))
+    assert got.dtype == np.uint16 and got.shape == g12.shape
+    err = np.abs(got.astype(int) - g12.astype(int))
+    assert err.max() <= 20 * 16 and err.mean() <= 4 * 16
+
+
 def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
     """Compressed transfer syntaxes are _MedicalUnsupported for the
     stdlib decoder: strict without pydicom raises the taxonomy error;
@@ -778,10 +905,12 @@ def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
 
     from deeplake_spark.operators.multimodal import _volume
 
-    jpg = _encode_dicom(np.zeros((2, 2), dtype=np.uint8),
-                        transfer_syntax="1.2.840.10008.1.2.4.70")
+    # J2K (.4.90) stays beyond the stdlib decoder (the JPEG families
+    # .4.50/.51/.57/.70 decode in-repo since r15)
+    j2k = _encode_dicom(np.zeros((2, 2), dtype=np.uint8),
+                        transfer_syntax="1.2.840.10008.1.2.4.90")
     with pt.raises(NotImplementedError):
-        _volume(jpg, "dcm", strict=True)
+        _volume(j2k, "dcm", strict=True)
     with pt.raises(ValueError):
         _volume(b"DICM-ish", "dcm", strict=True)
 
@@ -793,7 +922,7 @@ def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
     stub = types.ModuleType("pydicom")
     stub.dcmread = lambda fh: _DS()
     monkeypatch.setitem(sys.modules, "pydicom", stub)
-    assert (_volume(jpg, "dcm", strict=True) == pix).all()
+    assert (_volume(j2k, "dcm", strict=True) == pix).all()
 
 
 def test_real_stl_mesh_stats(spark):
