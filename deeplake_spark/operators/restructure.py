@@ -341,15 +341,46 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
     )
 
 
+#: Chat-template presets (r14 verdict #7): real SFT corpora ship
+#: templates where the ROLE is part of the marker syntax, not a
+#: "Role:" prefix. "colon" is the literal-marker default; "llama"
+#: maps the [INST]/[/INST]/<<SYS>>/<</SYS>> markers to fixed roles
+#: (the Llama-2 chat format -- blank segments between adjacent markers
+#: are template plumbing and drop); "chatml" is handled structurally
+#: (<|im_start|>role\n...<|im_end|> -- the role is a capture, not an
+#: enumerable marker).
+_CHAT_TEMPLATES: dict = {
+    "colon": {"markers": ("User:", "Assistant:")},
+    "llama": {"markers": ("[INST]", "[/INST]", "<<SYS>>", "<</SYS>>"),
+              "marker_roles": {"[INST]": "user", "[/INST]": "assistant",
+                               "<<SYS>>": "system", "<</SYS>>": "user"},
+              "strip_tokens": ("<s>", "</s>"), "drop_blank": True},
+    "chatml": {"structural": "chatml"},
+}
+_WS_TRIM = "^[ \t\n\f\r]+|[ \t\n\f\r]+\\z"
+
+
 def split_chat_turns(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      markers: tuple[str, ...] = ("User:", "Assistant:"),
-                     ) -> DataFrame:
+                     template: str | None = None,
+                     marker_roles: dict | None = None) -> DataFrame:
     """Chat-transcript segmentation - the SFT-data prep step: a flat
     dialogue string splits into one row per turn with
     (id, turn_idx, role, content). A turn starts at any marker in
-    ``markers``; the role is the marker lowercased without the colon;
-    text before the first marker is dropped (transcript headers).
+    ``markers``; the role comes from ``marker_roles`` when given, else
+    the marker lowercased without the colon; text before the first
+    marker is dropped (transcript headers).
+
+    ``template`` presets the real-world formats where the role is part
+    of the marker SYNTAX: "colon" (the default markers), "llama"
+    ([INST]/[/INST]/<<SYS>>/<</SYS>> -> user/assistant/system; <s>/</s>
+    BOS/EOS tokens stripped from content; blank between-marker
+    segments -- template plumbing like a <</SYS>> separator whose text
+    already belongs to another marker -- drop), and "chatml"
+    (<|im_start|>ROLE\\n...<|im_end|>, the role CAPTURED from the turn
+    header rather than enumerated). render_chat(template=) is the
+    inverse; round-trip tests pin each preset.
 
     Engine-exact: marker insertion is a regexp_replace to a \\x01
     separator, split + posexplode_outer (+ null filter - trap 2), and
@@ -358,10 +389,24 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
     document-keyed window - no corpus shuffle beyond the id key."""
     from pyspark.sql.window import Window
 
+    drop_blank = False
+    strip_tokens: tuple = ()
+    if template is not None:
+        if template not in _CHAT_TEMPLATES:
+            raise ValueError(f"unknown chat template {template!r}; "
+                             f"one of {sorted(_CHAT_TEMPLATES)}")
+        preset = _CHAT_TEMPLATES[template]
+        if preset.get("structural") == "chatml":
+            return _split_chatml(df, text_col, id_col)
+        markers = preset["markers"]
+        marker_roles = preset.get("marker_roles")
+        strip_tokens = preset.get("strip_tokens", ())
+        drop_blank = preset.get("drop_blank", False)
+
     sep = "\u0001"
     # Markers are literal text: \Q...\E-quote each one so regex
     # metacharacters ("[INST]", "Q.") match literally in every stage
-    # (regexp_replace, rlike, and the strip below) — ADVICE r13.
+    # (regexp_replace, rlike, and the strip below) -- ADVICE r13.
     pattern = "(" + "|".join("\\Q" + m + "\\E" for m in markers) + ")"
     marked = F.regexp_replace(F.col(text_col), pattern, sep + "$1")
     parts = df.select(
@@ -373,36 +418,84 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
     role = None
     for m in markers:
         cond = F.col("__part").startswith(m)
-        lab = F.lit(m.rstrip(":").lower())
+        lab = F.lit(marker_roles[m] if marker_roles
+                    else m.rstrip(":").lower())
         role = F.when(cond, lab) if role is None else role.when(cond, lab)
+    content = F.regexp_replace(F.col("__part"), "^" + pattern, "")
+    if strip_tokens:
+        content = F.regexp_replace(
+            content,
+            "|".join("\\Q" + t + "\\E" for t in strip_tokens), "")
+    # whitespace-trim, not just space-trim: turns in real transcripts
+    # are newline-separated (render_chat's round-trip pins this).
+    # Explicit char class, not \s (Java \s includes \x0B, RE2's does
+    # not), and \z, not $ (Java $ also matches before a FINAL line
+    # terminator like U+2028; RE2's does not) -- this exact spelling
+    # is what the DuckDB oracles replay.
+    content = F.regexp_replace(content, _WS_TRIM, "")
+    turns = turns.withColumn("__role", role).withColumn("__c", content)
+    if drop_blank:
+        turns = turns.filter(F.col("__c") != "")
     w = Window.partitionBy(id_col).orderBy("__pos")
     return (turns
             .withColumn("__t", F.row_number().over(w))
             .select(
                 F.col(id_col),
                 (F.col("__t") - 1).cast("int").alias("turn_idx"),
-                role.alias("role"),
-                # whitespace-trim, not just space-trim: turns in real
-                # transcripts are newline-separated (render_chat's
-                # round-trip pins this). Explicit char class, not \s
-                # (Java \s includes \x0B, RE2's does not), and \z, not
-                # $ (Java $ also matches before a FINAL line
-                # terminator like U+2028; RE2's does not) — this exact
-                # spelling is what the DuckDB oracles replay.
-                F.regexp_replace(
-                    F.regexp_replace(F.col("__part"), "^" + pattern, ""),
-                    "^[ \t\n\f\r]+|[ \t\n\f\r]+\\z", "").alias("content")))
+                F.col("__role").alias("role"),
+                F.col("__c").alias("content")))
+
+
+def _split_chatml(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ChatML segmentation (<|im_start|>role\\n ... <|im_end|>): the
+    role is CAPTURED from the turn header (first line after
+    <|im_start|>), content runs to the turn's <|im_end|> -- text after
+    it (separators before the next <|im_start|>) is template plumbing
+    and drops. Same engine shape as the literal-marker path."""
+    from pyspark.sql.window import Window
+
+    sep = "\u0001"
+    start = "\\Q<|im_start|>\\E"
+    marked = F.regexp_replace(F.col(text_col), "(" + start + ")",
+                              sep + "$1")
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(marked, sep)).alias("__pos", "__part"))
+    turns = parts.filter(
+        F.col("__part").isNotNull() & F.col("__part").rlike("^" + start))
+    body = F.regexp_replace(F.col("__part"), "^" + start, "")
+    # role = header up to the first newline; content = the rest up to
+    # <|im_end|> ((?s) so embedded newlines stay inside the turn)
+    role = F.regexp_extract(body, "^([^\n]*)", 1)
+    content = F.regexp_replace(body, "^[^\n]*\n?", "")
+    content = F.regexp_replace(content, "(?s)\\Q<|im_end|>\\E.*", "")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    return (turns
+            .withColumn("__t", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                (F.col("__t") - 1).cast("int").alias("turn_idx"),
+                F.regexp_replace(role, _WS_TRIM, "").alias("role"),
+                F.regexp_replace(content, _WS_TRIM, "").alias("content")))
 
 
 def render_chat(turns: DataFrame, id_col: str = "doc_id",
                 role_col: str = "role", content_col: str = "content",
                 order_col: str = "turn_idx",
-                role_sep: str = ": ", turn_sep: str = "\n") -> DataFrame:
+                role_sep: str = ": ", turn_sep: str = "\n",
+                template: str | None = None) -> DataFrame:
     """Inverse of :func:`split_chat_turns` — the SFT template-rendering
     step: turn rows (id, turn_idx, role, content) fold back into ONE
     canonical training string per conversation,
     ``role + role_sep + content`` joined by ``turn_sep`` in turn
     order. Returns (id, n_turns, rendered).
+
+    ``template`` renders the preset formats instead of the colon
+    lines: "chatml" emits ``<|im_start|>role\\ncontent<|im_end|>`` per
+    turn; "llama" emits ``[INST] c [/INST]`` for user turns,
+    ``<<SYS>>\\nc\\n<</SYS>>`` for system, and the bare content for
+    assistant. split_chat_turns(template=) re-derives the exact turn
+    rows from either rendering (round-trip tests pin it).
 
     Engine-exact without an ordered string aggregate (Spark has no
     string_agg ... ORDER BY): collect_list of (turn_idx, line) structs,
@@ -411,7 +504,24 @@ def render_chat(turns: DataFrame, id_col: str = "doc_id",
     line, array_join. All JVM built-ins; at 100 TB this is one
     doc-keyed aggregate — the same single shuffle a GROUP BY costs,
     with per-doc state bounded by conversation length."""
-    line = F.concat(F.col(role_col), F.lit(role_sep), F.col(content_col))
+    if template is None:
+        line = F.concat(F.col(role_col), F.lit(role_sep),
+                        F.col(content_col))
+    elif template == "chatml":
+        line = F.concat(F.lit("<|im_start|>"), F.col(role_col),
+                        F.lit("\n"), F.col(content_col),
+                        F.lit("<|im_end|>"))
+    elif template == "llama":
+        line = (F.when(F.col(role_col) == "user",
+                       F.concat(F.lit("[INST] "), F.col(content_col),
+                                F.lit(" [/INST]")))
+                .when(F.col(role_col) == "system",
+                      F.concat(F.lit("<<SYS>>\n"), F.col(content_col),
+                               F.lit("\n<</SYS>>")))
+                .otherwise(F.col(content_col)))
+    else:
+        raise ValueError(f"unknown chat template {template!r}; "
+                         f"one of ['chatml', 'colon', 'llama']")
     packed = turns.select(
         F.col(id_col),
         F.struct(F.col(order_col).alias("i"), line.alias("s")).alias("__t"))

@@ -1702,7 +1702,9 @@ def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
 
 def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
                lam: float = 0.7, pool: int = 20,
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id",
+               index: "IVFIndex | None" = None,
+               config: SearchConfig | None = None) -> DataFrame:
     """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
     1998) — the diverse-retrieval selection a training-data pipeline
     uses where plain top-k returns k near-copies: greedily pick the
@@ -1718,20 +1720,46 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
     greedy bit-for-bit.
 
     100 TB shape: the pool cut is the corpus pass — a
-    TakeOrderedAndProject (or an ANN index route upstream); pairwise
-    sims touch pool² rows and the greedy is O(k·pool) driver-side over
-    a BOUNDED collected candidate set (the mrl-funnel / PQ-codebook
-    driver-fit convention — pool is a knob, never corpus-sized)."""
+    TakeOrderedAndProject, or with ``index`` (an IVF index over the
+    corpus, the v26/v30 funnel) one `ivf_search` probe: nprobe-pruned
+    cluster scan instead of a full corpus pass. At FULL probe
+    (nprobe ≥ n_clusters, accuracy_factor ≥ pool) the index pool
+    equals the exact pool and the whole selection is identical
+    (test-pinned); at partial probe the pool is approximate, so recall
+    follows the index presets — the greedy itself stays exact over
+    whatever pool arrives. Pairwise sims touch pool² rows and the
+    greedy is O(k·pool) driver-side over a BOUNDED collected candidate
+    set (the mrl-funnel / PQ-codebook driver-fit convention — pool is
+    a knob, never corpus-sized)."""
     spark = df.sparkSession
+    if index is not None and isinstance(query_vec, Column):
+        raise ValueError(
+            "index-routed mmr_select needs a concrete query vector "
+            "(centroid routing runs driver-side)")
+    raw_qv = query_vec
     if not isinstance(query_vec, Column):
         query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
     rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
     # zero-norm vectors score NULL (nullif denominator) — they carry no
     # direction to be similar OR diverse about, and a None rel would
     # crash the driver greedy (r14 review); exclude them from the pool
-    pool_df = (df.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
-               .filter(F.col("rel").isNotNull())
-               .orderBy(F.desc("rel"), id_col).limit(int(pool)))
+    if index is not None:
+        # ANN pool cut: ivf_search already returns the ROUNDED cosine
+        # with the id tiebreak — reuse its score as rel and fetch the
+        # vectors back through one semijoin on the hit ids
+        hits = (ivf_search(index, raw_qv, k=int(pool), config=config)
+                .withColumnRenamed(index.id_col, id_col)
+                .select(id_col, F.col("score").alias("rel"))
+                .filter(F.col("rel").isNotNull()))
+        pool_df = (df.select(F.col(id_col), F.col(vec_col))
+                   .join(F.broadcast(hits), id_col)
+                   .select(id_col, vec_col, "rel")
+                   .orderBy(F.desc("rel"), id_col).limit(int(pool)))
+    else:
+        pool_df = (df.select(F.col(id_col), F.col(vec_col),
+                             rel.alias("rel"))
+                   .filter(F.col("rel").isNotNull())
+                   .orderBy(F.desc("rel"), id_col).limit(int(pool)))
     # bounded collect: pool rows incl. vectors (the documented
     # driver-side exception class — DATA() prefetch / PQ codebook
     # fit). Collected ONCE: the pairwise job below runs over a local

@@ -183,6 +183,18 @@ def to_webdataset(df: DataFrame, out_dir: str, key_col: str = "key",
     pyarrow; Hadoop-only schemes pyarrow cannot resolve still need a
     shared mount or a copy step.
 
+    CREDENTIALS (r14 verdict #8): because the writes are pyarrow, NOT
+    Hadoop, object-store credentials resolve through pyarrow's chain —
+    the standard env vars (``AWS_ACCESS_KEY_ID``/``AWS_SECRET_ACCESS_
+    KEY``/``AWS_DEFAULT_REGION``, ``GOOGLE_APPLICATION_CREDENTIALS``),
+    config files (``~/.aws/credentials``) or instance metadata ON EACH
+    EXECUTOR — Spark's ``spark.hadoop.fs.s3a.*`` conf is NOT read by
+    this path. On a cluster, ship the env vars via
+    ``spark.executorEnv.AWS_...`` (or rely on instance roles);
+    ``storage.set_concurrency`` documents the same split for the
+    dataset providers and maps the Hadoop conf names where a Hadoop
+    path IS used.
+
     ``target_shard_mb`` sizes the shard count from the data instead of
     a fixed ``n_shards`` — the WebDataset convention is ~1 GB shards
     (the task-scheduling unit at read time), and a fixed count drifts

@@ -1862,6 +1862,96 @@ def test_mmr_select_diversifies_planted_near_dups(spark):
     assert abs(out[0].rel - round(cos(rows[0][1], q), 6)) < 2e-6
 
 
+def test_mmr_select_index_routed_pool(spark, sf_dir):
+    """r14 verdict #6: mmr_select(index=) rides ivf_search for the
+    top-pool cut (nprobe-pruned cluster scan instead of a corpus
+    TakeOrdered — the v26/v30 funnel). At FULL probe the index pool
+    equals the exact pool, so the whole selection — ranks, ids, rel,
+    mmr_score — is IDENTICAL to the exact lane; partial probe stays
+    recall-governed (subset sanity only). A Column query vector on
+    the index lane raises (centroid routing is driver-side)."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.io import load_table
+    from deeplake_spark.operators.similarity import (
+        SearchConfig, build_ivf, mmr_select)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in
+          e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    idx = build_ivf(e, n_clusters=8)
+    exact = mmr_select(e, "embedding", qv, k=6, pool=20).collect()
+    full = SearchConfig(nprobe=8, accuracy_factor=100)
+    routed = mmr_select(e, "embedding", qv, k=6, pool=20,
+                        index=idx, config=full).collect()
+    assert [tuple(r) for r in routed] == [tuple(r) for r in exact]
+
+    # partial probe: approximate pool, exact greedy — k rows, valid ids
+    part = mmr_select(e, "embedding", qv, k=6, pool=20, index=idx,
+                      config=SearchConfig(nprobe=2)).collect()
+    assert len(part) == 6 and [r.mmr_rank for r in part] == list(range(1, 7))
+
+    with pt.raises(ValueError, match="concrete query vector"):
+        mmr_select(e, "embedding", F.col("embedding"), k=2, index=idx)
+
+
+def test_chat_template_presets_round_trip(spark):
+    """r14 verdict #7: split_chat_turns(template=) handles the real
+    SFT formats where the role is marker SYNTAX — ChatML
+    (<|im_start|>role\\n...<|im_end|>) and Llama-2 ([INST]/[/INST]/
+    <<SYS>>, BOS/EOS stripped) — and render_chat(template=) is the
+    exact inverse: split(render(split(text))) == split(text) per
+    preset, roles included. Unknown template names raise."""
+    import pytest as pt
+
+    from deeplake_spark.operators.restructure import (
+        render_chat, split_chat_turns)
+
+    chatml = ("<|im_start|>system\nbe terse<|im_end|>\n"
+              "<|im_start|>user\nhello\nthere<|im_end|>\n"
+              "<|im_start|>assistant\nhi!<|im_end|>")
+    llama = ("<s>[INST] <<SYS>>\nyou are terse\n<</SYS>>\n\n"
+             "what is 2+2? [/INST] 4 </s>"
+             "<s>[INST] and 3+3? [/INST] 6 </s>")
+    df = spark.createDataFrame([(0, chatml), (1, llama)],
+                               "doc_id long, text string")
+
+    def rows(out):
+        return [(r.doc_id, r.turn_idx, r.role, r.content)
+                for r in out.orderBy("doc_id", "turn_idx").collect()]
+
+    cm = split_chat_turns(df.filter("doc_id = 0"), template="chatml")
+    assert rows(cm) == [
+        (0, 0, "system", "be terse"),
+        (0, 1, "user", "hello\nthere"),   # embedded newline survives
+        (0, 2, "assistant", "hi!")]
+    ll = split_chat_turns(df.filter("doc_id = 1"), template="llama")
+    assert rows(ll) == [
+        (1, 0, "system", "you are terse"),
+        (1, 1, "user", "what is 2+2?"), (1, 2, "assistant", "4"),
+        (1, 3, "user", "and 3+3?"), (1, 4, "assistant", "6")]
+
+    # render(template) -> split(template) reproduces the turn rows
+    for template, turns in (("chatml", cm), ("llama", ll)):
+        rendered = render_chat(turns, template=template).select(
+            "doc_id", F.col("rendered").alias("text"))
+        again = split_chat_turns(rendered, template=template)
+        assert rows(again) == rows(turns), template
+
+    # "colon" preset == the literal-marker default
+    colon = spark.createDataFrame(
+        [(2, "User: hi Assistant: hello User: bye")],
+        "doc_id long, text string")
+    assert rows(split_chat_turns(colon, template="colon")) == \
+        rows(split_chat_turns(colon))
+
+    with pt.raises(ValueError, match="unknown chat template"):
+        split_chat_turns(df, template="alpaca")
+    with pt.raises(ValueError, match="unknown chat template"):
+        render_chat(cm, template="alpaca")
+
+
 def test_render_chat_round_trip(spark):
     """render_chat is split_chat_turns' inverse: splitting a rendered
     string reproduces the turn rows exactly (roles lowercased in the
