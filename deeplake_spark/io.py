@@ -8,6 +8,8 @@ unordered, so offset addressing needs an explicit row-id column.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -194,7 +196,19 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     sc = spark.sparkContext
     target = sc.defaultParallelism * factor
     try:
-        key = (session_key(spark), df.semanticHash())
+        # trap-19 keying: semanticHash() alone is 32-bit and canon
+        # strings hide file paths — key on canon digest + inputFiles +
+        # semanticHash TOGETHER, plus the shuffle-partition conf the
+        # probed count depends on for shuffle-bearing plans (r15
+        # io.py review; the probe served a colliding plan's count
+        # otherwise — a skipped repartition, the exact trap-1
+        # serialization this helper exists to prevent)
+        canon = hashlib.md5(
+            df._jdf.queryExecution().logical().canonicalized()
+            .toString().encode()).hexdigest()
+        key = (session_key(spark), canon, tuple(df.inputFiles()),
+               df.semanticHash(),
+               spark.conf.get("spark.sql.shuffle.partitions", ""))
     except Exception:  # pragma: no cover - semanticHash unavailable
         key = None
     n = _PARTITION_PROBE_CACHE.get(key) if key is not None else None
@@ -235,29 +249,39 @@ def with_row_id(df: DataFrame, order_by: str | list[str] | None = None,
         keys = [order_by] if isinstance(order_by, str) else list(order_by)
         return with_row_id(df.orderBy(*[F.col(k) for k in keys]), col_name=col_name)
 
+    # ALL temps namespaced __wro_* (not just the shift column): an
+    # unnamespaced "__pid"/"__mono"/"__base" either collided with a
+    # caller's col_name (result silently dropped with the temps —
+    # masked by ResolveMissingReferences until a select; the historic
+    # "__offset" incident) or overwrote-and-dropped a caller's OWN
+    # column of that name (r15 io.py review). A residual collision
+    # against the namespace itself is an explicit error, not a guess.
+    temps = ("__wro_pid", "__wro_mono", "__wro_base", "__wro_shift")
+    clash = sorted(set(temps) & (set(df.columns) | {col_name}))
+    if clash:
+        raise ValueError(
+            f"with_row_id: column(s) {clash} collide with the helper's "
+            "internal __wro_* namespace — rename them first")
     pid = F.spark_partition_id()
     mono = F.monotonically_increasing_id()
-    tagged = df.withColumn("__pid", pid).withColumn("__mono", mono)
-    # one row per partition — broadcastable at any data scale.
-    # NB: the internal shift column is namespaced (__wro_shift): it used
-    # to be called "__offset", and a caller passing col_name="__offset"
-    # (views._offsets) had its RESULT column silently dropped with the
-    # temps — masked for filter/orderBy by the analyzer's
-    # ResolveMissingReferences, exposed by any select of the column.
+    tagged = df.withColumn("__wro_pid", pid).withColumn("__wro_mono", mono)
+    # one row per partition — broadcastable at any data scale
     offsets = (
-        tagged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"), F.min("__mono").alias("__base"))
+        tagged.groupBy("__wro_pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"),
+             F.min("__wro_mono").alias("__wro_base"))
         .withColumn(
             "__wro_shift",
             F.sum("__cnt").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                Window.orderBy("__wro_pid").rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
         .fillna({"__wro_shift": 0})
-        .select("__pid", "__base", "__wro_shift")
+        .select("__wro_pid", "__wro_base", "__wro_shift")
     )
     return (
-        tagged.join(F.broadcast(offsets), "__pid")
-        .withColumn(col_name, F.col("__mono") - F.col("__base") + F.col("__wro_shift"))
-        .drop("__pid", "__mono", "__base", "__wro_shift")
+        tagged.join(F.broadcast(offsets), "__wro_pid")
+        .withColumn(col_name, F.col("__wro_mono") - F.col("__wro_base")
+                    + F.col("__wro_shift"))
+        .drop(*temps)
     )

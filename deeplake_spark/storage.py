@@ -25,18 +25,35 @@ def concurrency(spark: SparkSession | None = None) -> int:
 
 def set_concurrency(n: int, spark: SparkSession | None = None) -> None:
     """storage.set_concurrency (storage.pyi:104): object-store
-    connection parallelism (S3A pool + per-scheme equivalents)."""
+    connection parallelism (S3A pool + per-scheme equivalents).
+    Requires an active SparkSession — raises a clear error instead of
+    the bare AttributeError the None session used to produce (r15
+    storage.py review; the sibling ``concurrency()`` keeps its
+    documented degrade-to-default read behavior)."""
     spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "set_concurrency needs an active SparkSession — create one "
+            "first (deeplake_spark.get_spark()) or pass spark=")
     spark.conf.set("spark.hadoop.fs.s3a.connection.maximum", str(n))
     spark.conf.set("spark.hadoop.fs.s3a.threads.max", str(n))
 
 
 SUPPORTED_SCHEMES = ("file", "s3a", "s3", "gs", "abfss", "wasbs", "hdfs", "mem")
 
+#: reference-API spellings that map onto a supported provider scheme
+#: (create/open accept "gcs://" and "azure://", __init__.pyi:4123 —
+#: they are the gs/abfss providers; r15 storage.py review: they used
+#: to fall through to "file" and be treated as a LOCAL path)
+_SCHEME_ALIASES = {"gcs": "gs", "azure": "abfss", "az": "abfss"}
+
 
 def resolve_scheme(url: str) -> str:
     """Provider resolution (create/open accept s3:// gcs:// azure://
     file mem:// — __init__.pyi:4123). Unknown scheme → local path."""
+    for alias, real in _SCHEME_ALIASES.items():
+        if url.startswith(alias + "://"):
+            return real
     for s in SUPPORTED_SCHEMES:
         if url.startswith(s + "://"):
             return s
@@ -78,7 +95,13 @@ class MetadataStore:
 
     def copy_tree(self, src: str, dst: str) -> None:
         """Recursive copy within this store (replication of data files
-        between two datasets on the same backend)."""
+        between two datasets on the same backend). CONTRACT, uniform
+        across stores (r15 storage.py review — the three backends used
+        to diverge: POSIX raised, Hadoop nested src UNDER an existing
+        dst dir, Memory merged in place): ``dst`` must NOT already
+        exist; the copy lands AT ``dst``; an existing ``dst`` raises
+        FileExistsError. Callers replicating into a live tree check
+        exists() and choose explicitly (dataset.push does)."""
         raise NotImplementedError
 
     def mtime(self, path: str) -> float:
@@ -131,6 +154,8 @@ class PosixMetadataStore(MetadataStore):
         import os
         import shutil
 
+        if os.path.exists(dst):
+            raise FileExistsError(f"copy_tree destination exists: {dst}")
         if os.path.isdir(src):
             shutil.copytree(src, dst)
         else:
@@ -178,6 +203,8 @@ class MemoryMetadataStore(MetadataStore):
 
     def copy_tree(self, src: str, dst: str) -> None:
         s, d = self._norm(src), self._norm(dst)
+        if self.exists(d):
+            raise FileExistsError(f"copy_tree destination exists: {dst}")
         if s in self.blobs:
             self.blobs[d] = self.blobs[s]
         for k in [k for k in self.blobs if k.startswith(s + "/")]:
@@ -235,8 +262,14 @@ class HadoopMetadataStore(MetadataStore):
 
     def copy_tree(self, src: str, dst: str) -> None:
         fs = self._fs(src)
+        dfs, dp = self._fs(dst), self._path(dst)
+        if dfs.exists(dp):
+            # without this, FileUtil.copy NESTS src under an existing
+            # dst dir (checkDest appends src.getName()) — a silently
+            # mis-placed tree, not the contract's copy-at-dst
+            raise FileExistsError(f"copy_tree destination exists: {dst}")
         self._jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, self._path(src), self._fs(dst), self._path(dst),
+            fs, self._path(src), dfs, dp,
             False, True, self._conf)
 
     def mtime(self, path: str) -> float:

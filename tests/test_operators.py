@@ -614,6 +614,53 @@ def test_ensure_parallelism_probe_cached_and_gated(spark):
         spark.conf.unset("spark.deeplake_spark.ensureParallelism")
 
 
+def test_ensure_parallelism_cache_not_shared_across_datasets(spark, tmp_path):
+    """r15 io.py review (trap 19): the probe cache key must include the
+    scanned FILES — two same-shape scans over DIFFERENT parquet dirs
+    share a canonicalized plan shape (canon hides paths; semanticHash
+    is 32-bit), and a key on semanticHash alone served dataset A's
+    partition count to dataset B: a well-split B would inherit A's
+    n=1 and repartition pointlessly, or worse an under-split B would
+    inherit A's big count and SKIP the repartition this helper exists
+    to add."""
+    from deeplake_spark import io
+
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    spark.range(1000).repartition(20).write.parquet(many)
+    io._PARTITION_PROBE_CACHE.clear()
+    a = io.ensure_parallelism(spark.read.parquet(one))
+    assert a.rdd.getNumPartitions() > 1          # under-split: boosted
+    b_df = spark.read.parquet(many)
+    b = io.ensure_parallelism(b_df)
+    assert b is b_df                              # well-split: untouched
+    assert len(io._PARTITION_PROBE_CACHE) == 2    # distinct keys
+
+
+def test_with_row_id_namespaced_temps(spark):
+    """r15 io.py review: with_row_id's temps are fully namespaced —
+    an input column literally named __pid/__mono/__base survives with
+    its values intact (pre-fix it was overwritten then dropped), and a
+    collision with the __wro_* namespace itself raises instead of
+    silently dropping the result."""
+    import pytest as pt
+
+    from deeplake_spark.io import with_row_id
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "__pid long, __base long")
+    out = with_row_id(df).orderBy("_row_id").collect()
+    assert [(r["__pid"], r["__base"]) for r in out] == [(1, 10), (2, 20)]
+    assert [r["_row_id"] for r in out] == [0, 1]
+
+    with pt.raises(ValueError, match="__wro_"):
+        with_row_id(df, col_name="__wro_shift")
+    clash = spark.createDataFrame([(1,)], "__wro_pid long")
+    with pt.raises(ValueError, match="__wro_"):
+        with_row_id(clash)
+
+
 def test_mixture_sample_rates_and_stability(spark):
     """Domain-mixture sampling: per-domain keep fractions approximately
     honored, deterministic, append-stable (a row's keep decision never

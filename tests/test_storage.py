@@ -109,3 +109,69 @@ def test_replicate_refuses_cross_backend(spark):
         ds.commit("one")
         with pytest.raises(dl.DatasetError, match="storage backends"):
             ds.push("mem://unit/datasets/push-dst")
+
+
+def test_copy_tree_uniform_dst_exists_contract(spark):
+    """r15 storage.py review: copy_tree's dst-exists behavior was
+    THREE different things per backend (POSIX raised, Hadoop nested
+    src UNDER the existing dst dir, Memory merged in place). The
+    pinned contract: dst must not exist — FileExistsError uniformly,
+    copy lands AT dst otherwise."""
+    from deeplake_spark.storage import (
+        HadoopMetadataStore, MemoryMetadataStore, PosixMetadataStore)
+
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        posix = PosixMetadataStore()
+        os.makedirs(d + "/src")
+        with open(d + "/src/a.txt", "w") as f:
+            f.write("x")
+        posix.copy_tree(d + "/src", d + "/dst")
+        assert posix.get_bytes(d + "/dst/a.txt") == b"x"
+        with pytest.raises(FileExistsError):
+            posix.copy_tree(d + "/src", d + "/dst")
+
+        mem = MemoryMetadataStore()
+        mem.put_bytes("mem://t/src/a.txt", b"x")
+        mem.copy_tree("mem://t/src", "mem://t/dst")
+        assert mem.get_bytes("mem://t/dst/a.txt") == b"x"
+        with pytest.raises(FileExistsError):
+            mem.copy_tree("mem://t/src", "mem://t/dst")
+
+        hd = HadoopMetadataStore(spark)
+        src_u = "file://" + d + "/hsrc"
+        hd.put_bytes(src_u + "/a.txt", b"y")
+        hd.copy_tree(src_u, "file://" + d + "/hdst")
+        assert hd.get_bytes("file://" + d + "/hdst/a.txt") == b"y"
+        with pytest.raises(FileExistsError):
+            # pre-fix this NESTED hsrc under hdst instead of erroring
+            hd.copy_tree(src_u, "file://" + d + "/hdst")
+        assert not hd.exists("file://" + d + "/hdst/hsrc")
+
+
+def test_resolve_scheme_reference_aliases():
+    """r15 storage.py review: the reference-API spellings gcs:// and
+    azure:// must resolve to their providers (gs/abfss), not fall
+    through to a LOCAL path."""
+    from deeplake_spark.storage import resolve_scheme
+
+    assert resolve_scheme("gcs://bucket/ds") == "gs"
+    assert resolve_scheme("azure://container/ds") == "abfss"
+    assert resolve_scheme("az://container/ds") == "abfss"
+    assert resolve_scheme("gs://bucket/ds") == "gs"
+    assert resolve_scheme("/plain/path") == "file"
+    assert resolve_scheme("weird://x") == "file"
+
+
+def test_set_concurrency_without_session_raises(monkeypatch):
+    """r15 storage.py review: no active session used to die with a
+    bare AttributeError; now a clear RuntimeError."""
+    from pyspark.sql import SparkSession
+
+    from deeplake_spark.storage import set_concurrency
+
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        staticmethod(lambda: None))
+    with pytest.raises(RuntimeError, match="active SparkSession"):
+        set_concurrency(32)

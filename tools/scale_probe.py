@@ -813,6 +813,177 @@ def hnm_section(spark):
     return out
 
 
+def t50_section(spark):
+    """t50 keep-first skew A/B (round-14 VERDICT tasks 1+4): the
+    effective-token lane over a corpus where ONE document text is
+    corpus-hot (20% of docs share the identical string — the duplicate
+    document dedup accounting exists to find). Two arms, identical
+    output (asserted):
+
+    - window arm: the PRE-fix shape — keep-first as a
+      digest-PARTITIONED window. The hot digest group funnels through
+      ONE window task; AQE cannot split a window partition.
+    - aggregate arm: the shipped t50 — digest-keyed min AGGREGATE +
+      join back (the dedup_corpus_lines convention): map-side partials
+      absorb the hot digest; the join back skew-splits under AQE.
+
+    Protocol: x1/x8/x32 replicated documents (shifted ids, replica-
+    suffixed tokens), then 20% of texts overwritten with one constant
+    multi-sentence string; inputs arrive from many mappers (trap 17 —
+    replicate() writes 4k files). The skew-join thresholds are lowered
+    k-proportionally exactly like skew_section so the aggregate arm's
+    join back splits as it would at stock thresholds on 100 TB
+    partitions."""
+    from pyspark.sql.window import Window
+
+    from deeplake_spark.functions.text import token_count
+    from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.queries import load_all
+
+    reg = load_all()
+    hot_text = ("This boilerplate legal disclaimer is appended to every "
+                "crawled page by the template engine. " * 4)
+
+    def agg_out(kept, d):
+        return (d.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("__nt").cast("long").alias("n_tokens"),
+                     kept.cast("long").alias("kept_tokens"),
+                     F.round(F.lit(1.0) - kept.cast("double")
+                             / F.nullif(F.sum("__nt").cast("double"),
+                                        F.lit(0.0)), 6)
+                     .alias("dup_token_ratio"))
+                .orderBy("source"))
+
+    def digested(docs):
+        docs = ensure_parallelism(docs)
+        return docs.select(
+            "source", "doc_id",
+            token_count(F.col("text")).cast("long").alias("__nt"),
+            F.md5(F.lower(F.col("text"))).alias("__h"))
+
+    def window_arm(docs):
+        d = digested(docs)
+        w = Window.partitionBy("__h")
+        marked = d.withColumn(
+            "__keep", F.col("doc_id") == F.min("doc_id").over(w))
+        kept = F.sum(F.when(F.col("__keep"), F.col("__nt"))
+                     .otherwise(F.lit(0)))
+        return agg_out(kept, marked)
+
+    def timed(fn, n=2):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {"hot_frac": 0.2, "rows": []}
+    for kk in (1, 8, 32):
+        src = os.path.join(WORK, f"t50x{kk}")
+        replicate(spark, "documents", kk, src)
+        hot_dir = os.path.join(WORK, f"t50hot{kk}")
+        (spark.read.parquet(os.path.join(src, "documents.parquet"))
+         .withColumn("text",
+                     F.when(F.pmod(F.hash("doc_id"), F.lit(5)) == 0,
+                            F.lit(hot_text)).otherwise(F.col("text")))
+         .repartition(max(4, 4 * kk))
+         .write.mode("overwrite")
+         .parquet(os.path.join(hot_dir, "documents.parquet")))
+        mb = max(1, 4 * kk // 8)
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                f"{mb}m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{mb}m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        }
+        saved = {c: spark.conf.get(c, None) for c in confs}
+        try:
+            for c, v in confs.items():
+                spark.conf.set(c, v)
+            docs = spark.read.parquet(
+                os.path.join(hot_dir, "documents.parquet"))
+            agg_fn = reg["t50_effective_tokens"].fn
+            row = {"k": kk,
+                   "window_s": timed(lambda: window_arm(docs)),
+                   "aggregate_s": timed(lambda: agg_fn(spark, hot_dir))}
+            a = sorted(map(tuple, window_arm(docs).collect()))
+            b = sorted(map(tuple, agg_fn(spark, hot_dir).collect()))
+            assert a == b, "t50 A/B arms disagree"
+            out["rows"].append(row)
+        finally:
+            for c, v in saved.items():
+                (spark.conf.unset(c) if v is None
+                 else spark.conf.set(c, v))
+    return out
+
+
+def v30_section(spark):
+    """Filtered-ANN widening cost curve (round-14 VERDICT task 4,
+    v30's index arm): ivf_search(candidates=, candidate_selectivity=s)
+    widens eff-nprobe by 1/s so filtered recall holds — this ladder
+    measures what the widening COSTS as the filter narrows. Corpus =
+    x8 noised embeddings, corpus-proportional hash clusters (~100
+    rows/cell, the knn/hnm protocol); candidates keep fraction s via
+    a hash predicate at s = 0.5 / 0.1 / 0.02 (plus the unfiltered
+    reference and an UNWIDENED 0.02 arm — the recall-losing spelling a
+    naive caller would write). x64 (128k rows): big enough that the
+    probed-cell scan dominates the fixed job setup. Reported per arm:
+    eff_nprobe, wall s.
+    Expected: probes scale ~1/s until the n_clusters cap, so cost
+    grows as the filter narrows but stays a pruned scan; at s=0.02
+    with the cap hit, the probe is ~the full corpus pass (the honest
+    ceiling — same as the reference's full-index roaring prefilter)."""
+    from deeplake_spark.operators.similarity import (
+        IVFIndex, SearchConfig, _widened_nprobe, ivf_search)
+
+    kk = 64
+    path = _noised_embeddings(spark, kk)
+    rep = spark.read.parquet(path)
+    n = rep.count()
+    nlist = max(4, n // 100)
+    cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(
+        rep.orderBy("vec_id").select("embedding").limit(nlist).collect())]
+    asg = rep.select("vec_id", "embedding").withColumn(
+        "cluster", F.pmod(F.hash("vec_id"), F.lit(nlist)).cast("int"))
+    idx = IVFIndex(assignments=asg, centroids=cents,
+                   vec_col="embedding", id_col="vec_id")
+    qv = [float(v) for v in rep.filter(F.col("vec_id") == 0)
+          .head()["embedding"]]
+    cfg = SearchConfig(accuracy_factor=0, nprobe=8)
+
+    def timed(fn, n_runs=2):
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    def cand(s: float):
+        mod = int(round(1.0 / s))
+        return rep.filter(F.pmod(F.hash("vec_id"), F.lit(mod)) == 0) \
+            .select("vec_id")
+
+    rows = [{"arm": "unfiltered", "eff_nprobe": 8,
+             "sec": timed(lambda: ivf_search(idx, qv, k=10, config=cfg))}]
+    for s in (0.5, 0.1, 0.02):
+        rows.append({
+            "arm": f"s={s}",
+            "eff_nprobe": _widened_nprobe(nlist, cfg, s),
+            "sec": timed(lambda: ivf_search(
+                idx, qv, k=10, config=cfg, candidates=cand(s),
+                candidate_selectivity=s))})
+    rows.append({
+        "arm": "s=0.02 UNWIDENED", "eff_nprobe": 8,
+        "sec": timed(lambda: ivf_search(
+            idx, qv, k=10, config=cfg, candidates=cand(0.02)))})
+    return {"corpus_rows": n, "nlist": nlist, "rows": rows}
+
+
 def semdedup_section(spark):
     """SemDeDup cost model: pair work is O(sum cluster_size^2), so the
     operator scales LINEARLY only when the cluster count grows with the
@@ -1000,9 +1171,12 @@ def main() -> None:
     semdedup = semdedup_section(spark) if "semdedup" in sections else None
     knn = knn_section(spark) if "knn" in sections else None
     hnm = hnm_section(spark) if "hnm" in sections else None
+    t50skew = t50_section(spark) if "t50skew" in sections else None
+    v30sel = v30_section(spark) if "v30sel" in sections else None
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
                       "gate": gate, "ann": ann, "semdedup": semdedup,
-                      "knn": knn, "hnm": hnm},
+                      "knn": knn, "hnm": hnm, "t50skew": t50skew,
+                      "v30sel": v30sel},
                      indent=1))
 
     out_md = None
