@@ -201,6 +201,46 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8,
+                      df_cap: int | None = None) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric near-dup
+    Jaccard misses: containment(a→b) = |Sa ∩ Sb| / |Sa| finds
+    documents that are EXCERPTS of others (a quote, a syndicated
+    fragment, a page embedded in a larger crawl) where Jaccard stays
+    low because the container is much bigger (Broder 1997's
+    resemblance-vs-containment split; the Lee et al. 2022 dedup
+    setting). Returns (a, b, containment) for a != b with
+    containment >= threshold — a is the (near-)contained document;
+    both directions of an identical pair appear, each with its own
+    ratio.
+
+    Same engine shape as `jaccard_pairs` (one shingle pass persisted,
+    posting self-join with optional df cap, sizes from the posting
+    relation); the threshold compares the UNROUNDED ratio, the
+    projection rounds (the near_dup_pairs_lsh convention). At 100 TB
+    the df cap bounds the join fan-out exactly as in d03."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = _track(_posting(sets, df_cap))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("a"), "sh")
+    b = ex.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    cont = F.col("n_common") / F.col("na").cast("double")
+    return (
+        common.join(sa, "a")
+        .filter(cont >= threshold)
+        .select("a", "b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def minhash_signatures(sets: DataFrame, num_perm: int = 32) -> DataFrame:
     """doc_id → minhash signature: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Pure JVM expression, no shuffle."""

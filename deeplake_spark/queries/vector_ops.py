@@ -1333,3 +1333,80 @@ def v30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+def _diversity_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
+    """v31 oracle: reuse the unrolled-greedy MMR CTE chain (the v29
+    machinery — pool/pairs/s1..sk are byte-identical so both lanes
+    replay the same selection), then compare the mean pairwise
+    rounded sim INSIDE the plain top-k set vs inside the MMR set.
+    Averages of rounded pair sims, ROUND(...,6) emitted (CLAUDE.md
+    float discipline); the gain subtracts the two ROUNDED averages."""
+    base = _mmr_oracle(p=p, k=k, lam=lam)
+    # strip the final UNION-ALL select: keep the WITH chain, re-close
+    # it with the diversity comparison instead
+    head, _, _tail = base.rpartition(")")
+    sel = " UNION ALL ".join(
+        f"SELECT vec_id FROM s{i}" for i in range(1, int(k) + 1))
+    return f"""{head}),
+    topk AS (SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT {k}),
+    mmrk AS ({sel}),
+    tp AS (SELECT ROUND(AVG(s), 6) AS v FROM pairs
+           WHERE ia < ib AND ia IN (SELECT vec_id FROM topk)
+             AND ib IN (SELECT vec_id FROM topk)),
+    mp AS (SELECT ROUND(AVG(s), 6) AS v FROM pairs
+           WHERE ia < ib AND ia IN (SELECT vec_id FROM mmrk)
+             AND ib IN (SELECT vec_id FROM mmrk))
+    SELECT CAST({k} AS INT) AS k,
+           tp.v AS avg_sim_topk,
+           mp.v AS avg_sim_mmr,
+           ROUND(tp.v - mp.v, 6) AS diversity_gain
+    FROM tp, mp
+    """
+
+
+@query(
+    "v31_mmr_diversity_gain",
+    oracle=_diversity_oracle(p=20, k=6, lam=0.7),
+    doc="Diversity audit of MMR vs plain top-k (the metric that "
+    "justifies v29's diverse retrieval): mean pairwise rounded cosine "
+    "INSIDE the plain top-6 set vs inside the MMR-selected 6 — MMR "
+    "trades relevance for spread, so its intra-set similarity must be "
+    "lower; diversity_gain is the drop. Selection replays v29's exact "
+    "machinery (same pool cut, same unrolled-greedy oracle CTEs); the "
+    "pairwise averages run engine-side over the bounded pool pairs. "
+    "One corpus pass (the pool TakeOrdered) at any scale.",
+    tags=("vector", "diversity", "stats"),
+)
+def v31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deeplake_spark.operators.similarity import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    k = 6
+    rel = F.round(cosine_similarity(F.col("embedding"), qv), 6)
+    pool = (e.select("vec_id", "embedding", rel.alias("rel"))
+            .filter(F.col("rel").isNotNull())
+            .orderBy(F.desc("rel"), "vec_id").limit(20))
+    topk = pool.orderBy(F.desc("rel"), "vec_id").limit(k) \
+        .select("vec_id", "embedding")
+    mmrk = (mmr_select(e, "embedding", qv, k=k, lam=0.7, pool=20)
+            .select("vec_id")
+            .join(e.select("vec_id", "embedding"), "vec_id"))
+
+    def avg_pair(ids, name):
+        pa = ids.select(F.col("vec_id").alias("__ia"),
+                        F.col("embedding").alias("__va"))
+        pb = ids.select(F.col("vec_id").alias("__ib"),
+                        F.col("embedding").alias("__vb"))
+        s = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+        return (pa.join(F.broadcast(pb), F.col("__ia") < F.col("__ib"))
+                .agg(F.round(F.avg(s), 6).alias(name)))
+
+    tp = avg_pair(topk, "avg_sim_topk")
+    mp = avg_pair(mmrk, "avg_sim_mmr")
+    return (tp.crossJoin(mp)
+            .select(F.lit(k).cast("int").alias("k"),
+                    "avg_sim_topk", "avg_sim_mmr",
+                    F.round(F.col("avg_sim_topk") - F.col("avg_sim_mmr"),
+                            6).alias("diversity_gain")))
