@@ -277,12 +277,13 @@ COMMENTARY = {
         "x32 ratio 8.13 (saturated-linear) in SCALING.md."
     ),
     "t50_effective_tokens": (
-        "Dedup-discounted token accounting: one tokenize pass, one "
-        "digest-PARTITIONED min window (trap 7 satisfied — never a "
-        "global window), one source-keyed aggregate. The window "
-        "shuffle is the same digest shuffle exact dedup pays; at "
-        "100 TB the lane prices the corpus's duplicate token load "
-        "for the cost of dedup prep."
+        "Dedup-discounted token accounting: one tokenize pass; "
+        "keep-first is a digest-keyed min AGGREGATE + broadcast join "
+        "back (r14 verdict fix — a digest-partitioned window funneled "
+        "a corpus-hot duplicate through ONE task AQE can't split; the "
+        "aggregate's map-side partials absorb it, SCALING.md t50 skew "
+        "A/B), one source-keyed aggregate. No window over data "
+        "(pinned in tests/test_plans.py)."
     ),
     "t51_chat_render": (
         "SFT render: split_chat_turns' generator (explode_outer + "
@@ -316,7 +317,31 @@ COMMENTARY = {
         "to the parquet scan (PushedFilters carries the In) and the "
         "top-k is a TakeOrderedAndProject over survivors — no shuffle "
         "wider than k rows. The index arm is ivf_search(candidates=) "
-        "with 1/selectivity nprobe widening (tests/test_indexes.py)."
+        "with 1/selectivity nprobe widening (tests/test_indexes.py; "
+        "widening cost curve in SCALING.md, round 15)."
+    ),
+    "t53_chatml_turns": (
+        "ChatML segmentation: scan-side regexp marker insertion + "
+        "split + posexplode_outer (null filter on the OUTPUT, trap 2), "
+        "role CAPTURED from the turn header by regexp_extract, one "
+        "doc-partitioned renumber window. Same single doc-keyed "
+        "shuffle as t47 at any scale — the template preset changes "
+        "expressions, not the plan shape."
+    ),
+    "t54_excerpt_containment": (
+        "Containment pairs: d03's exact shape — ONE persisted "
+        "shingle-posting pass feeding the self-join's two sides AND "
+        "the size aggregate, asymmetric a != b pairs, UNROUNDED "
+        "threshold/rounded projection. The df cap bounds join fan-out "
+        "at 100 TB exactly as in d03; sizes come from the posting "
+        "relation (no re-tokenize)."
+    ),
+    "v31_mmr_diversity_gain": (
+        "Diversity audit: one corpus pass (the rounded-score top-20 "
+        "pool TakeOrdered) + v29's bounded driver greedy; both "
+        "pairwise averages run over broadcast joins of k=6-row "
+        "relations. Output is a single local row — the heavy work is "
+        "the pool cut, shared shape with v29."
     ),
 }
 
