@@ -44,13 +44,21 @@ class AsyncPrefetcher:
     def __init__(self, batches: Iterator, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._err: BaseException | None = None
         self._thread = threading.Thread(target=self._pump, args=(batches,), daemon=True)
         self._thread.start()
 
     def _pump(self, batches: Iterator) -> None:
+        # a producer-side failure (executor loss, Py4J error) must
+        # reach the CONSUMER — swallowing it here presented a failed
+        # job as a clean end-of-stream, and a training loop would
+        # finish an epoch on silently truncated data (r15 streaming
+        # review). The exception is stored and re-raised in __iter__.
         try:
             for b in batches:
                 self._q.put(b)
+        except BaseException as exc:  # noqa: BLE001 - re-raised consumer-side
+            self._err = exc
         finally:
             self._q.put(self._done)
 
@@ -58,41 +66,81 @@ class AsyncPrefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._err is not None:
+                    raise self._err
                 return
             yield item
 
 
 def pytorch(df: DataFrame, transform: Callable | None = None, batch_size: int = 32):
     """ds.pytorch(transform) (__init__.pyi:2551): returns a torch
-    IterableDataset when torch is installed, else a plain iterator with
-    identical semantics (import-gated — torch is not in this image)."""
+    IterableDataset when torch is installed, else a plain iterator.
+    CONTRACT in BOTH lanes (r15 streaming review — the torch lane used
+    to yield single rows while the fallback yielded lists, flipping
+    element shape on an environment difference): iteration yields
+    LISTS of ``batch_size`` (optionally transformed) rows, last batch
+    possibly short. Wrap in a DataLoader with batch_size=None to keep
+    these batches, or use iter_rows for per-sample access."""
     try:
         import torch
 
         class _DLIterable(torch.utils.data.IterableDataset):  # pragma: no cover
             def __iter__(self):
-                return iter_rows(df) if transform is None else (
-                    transform(r) for r in iter_rows(df)
-                )
+                return iter_batches(df, batch_size, transform=transform)
 
         return _DLIterable()
     except ImportError:
         return AsyncPrefetcher(iter_batches(df, batch_size, transform=transform))
 
 
+def _tf_signature(tf, schema):
+    """Per-column tf.TensorSpec dict from a Spark schema — scalars and
+    1-D numeric arrays; anything else raises with the fix (select the
+    supported columns first) instead of letting from_generator fail
+    opaquely (r15 streaming review: output_types=None ALWAYS raised
+    whenever tf was importable, so the tf branch had never worked)."""
+    from pyspark.sql import types as T
+
+    scalar = {T.LongType: tf.int64, T.IntegerType: tf.int32,
+              T.ShortType: tf.int32, T.ByteType: tf.int32,
+              T.DoubleType: tf.float64, T.FloatType: tf.float32,
+              T.StringType: tf.string, T.BooleanType: tf.bool,
+              T.BinaryType: tf.string}
+    sig = {}
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType) and type(dt.elementType) in scalar \
+                and not isinstance(dt.elementType, T.ArrayType):
+            sig[f.name] = tf.TensorSpec(shape=[None],
+                                        dtype=scalar[type(dt.elementType)])
+        elif type(dt) in scalar:
+            sig[f.name] = tf.TensorSpec(shape=[], dtype=scalar[type(dt)])
+        else:
+            raise ValueError(
+                f"tensorflow(): column {f.name!r} has unsupported type "
+                f"{dt.simpleString()} — select scalar / 1-D numeric "
+                "array columns first")
+    return sig
+
+
 def tensorflow(df: DataFrame, batch_size: int = 32):
     """ds.tensorflow() (__init__.pyi:2524) — tf.data.Dataset when tf is
-    installed, else the plain prefetching iterator."""
-    try:  # pragma: no cover
+    installed (element = dict of per-column tensors, signature derived
+    from the Spark schema), else the plain prefetching iterator."""
+    try:
         import tensorflow as tf
-
-        def gen():
-            for r in iter_rows(df):
-                yield r.asDict()
-
-        return tf.data.Dataset.from_generator(gen, output_types=None)
     except ImportError:
         return AsyncPrefetcher(iter_batches(df, batch_size))
+
+    sig = _tf_signature(tf, df.schema)
+
+    def gen():
+        for r in iter_rows(df):
+            d = r.asDict()
+            yield {k: ("" if d[k] is None and sig[k].dtype == tf.string
+                       else d[k]) for k in sig}
+
+    return tf.data.Dataset.from_generator(gen, output_signature=sig)
 
 
 import concurrent.futures as _cf

@@ -8,16 +8,57 @@ Shape: `foreachBatch` + the SAME delta-append path batch commits use
 ones, union-on-read, prior files untouched). Each micro-batch is one
 bounded batch index build over just the new rows, so maintenance work
 is O(new data) per trigger — identical to the batch incremental-
-refresh guarantee, delivered continuously. Exactly-once: the
-streaming query's checkpoint makes each micro-batch's append happen
-once per epoch id on restart-replay (parquet appends of the same
-epoch are idempotent at the query level because Spark re-runs only
-uncommitted epochs).
+refresh guarantee, delivered continuously.
+
+Exactly-once is earned with an EPOCH LEDGER, not assumed from
+foreachBatch (r15 streaming review: foreachBatch side-effects are
+at-least-once — a crash AFTER append_to lands its delta files but
+BEFORE the checkpoint commits the epoch replays the batch on restart
+and double-counted every posting/doclen/df in it): with a
+``checkpoint_dir``, each appended epoch writes a marker sidecar under
+``{index_path}/_epochs/`` scoped by the checkpoint identity (the
+dataset.ingest_stream sid convention), and a replayed epoch that
+finds its marker skips the append. The one remaining edge — crash
+BETWEEN append_to and the marker write — duplicates that single
+epoch's delta (at-least-once for exactly one batch); closing it needs
+a transactional rename the side-table layout doesn't have, and the
+window is one small file write.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def _index_sink(index_path: str, text_col: str, id_col: str, sid: str):
+    """The foreachBatch sink, built separately so the epoch ledger is
+    unit-testable: foreachBatch replay = the sink re-invoked with the
+    SAME epoch_id, which is exactly what the test replays (a same-JVM
+    streaming restart with a deleted commit trips Spark 4's
+    concurrent-checkpoint detection, so the ledger can't be exercised
+    through a live query in-process)."""
+    import os
+
+    from deeplake_spark.operators.indexes import build_inverted_index
+    from deeplake_spark.storage import metadata_store_for
+
+    store = metadata_store_for(index_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # isEmpty() probes partitions lazily (stops at the first
+        # non-empty one) — cheaper than head(1)'s collect-limit job
+        # on every trigger.
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(index_path, "_epochs", f"{sid}-{epoch_id}")
+        if store.exists(marker):
+            return  # checkpoint replay of an already-appended epoch
+        idx = build_inverted_index(batch_df, text_col=text_col,
+                                   id_col=id_col)
+        idx.append_to(index_path)
+        store.put_bytes(marker, b"1")
+
+    return sink
 
 
 def maintain_inverted_index(stream_df: DataFrame, index_path: str,
@@ -29,18 +70,12 @@ def maintain_inverted_index(stream_df: DataFrame, index_path: str,
     probe the index between triggers with `InvertedIndex.load` (stats
     rows accumulate one per delta and merge on load).
     """
-    from deeplake_spark.operators.indexes import build_inverted_index
+    import hashlib as _hl
+    import uuid as _uuid
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # isEmpty() probes partitions lazily (stops at the first
-        # non-empty one) — cheaper than head(1)'s collect-limit job
-        # on every trigger.
-        if batch_df.isEmpty():
-            return
-        idx = build_inverted_index(batch_df, text_col=text_col,
-                                   id_col=id_col)
-        idx.append_to(index_path)
-
+    sid = (_hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
+           if checkpoint_dir else _uuid.uuid4().hex[:8])
+    sink = _index_sink(index_path, text_col, id_col, sid)
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

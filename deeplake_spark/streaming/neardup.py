@@ -65,17 +65,30 @@ def stream_near_dup_candidates(docs, text_col: str = "text",
     )
 
     out_schema = "band int, a bigint, b bigint, est_jaccard double"
-    state_schema = "ids array<bigint>, sigs array<array<bigint>>"
+    # `seen` = the bits twin's POST-CAP replay ledger (r15 streaming
+    # review — this lane lacked it): a doc arriving at a full bucket
+    # emits its pairs against the stored members ONCE but isn't a
+    # member, so without a record a micro-batch replay would pass the
+    # membership check and RE-EMIT identical (a, b, est) rows into an
+    # append sink. Bounded FIFO (8× bucket_cap) — replays land within
+    # the engine's recent-batch horizon; see stream_bits_near_dup.
+    state_schema = ("ids array<bigint>, sigs array<array<bigint>>, "
+                    "seen array<bigint>")
+    seen_cap = 8 * bucket_cap
 
     def fn(key, pdf_iter, state):
-        ids, sig_list = (list(state.get[0]), [list(s) for s in state.get[1]]) \
-            if state.exists else ([], [])
+        ids, sig_list, seen = (
+            list(state.get[0]), [list(s) for s in state.get[1]],
+            list(state.get[2]),
+        ) if state.exists else ([], [], [])
+        seen_set = set(seen)
+        member_set = set(ids)
         out_a, out_b, out_j = [], [], []
         for pdf in pdf_iter:
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
                 doc_id = int(doc_id)
-                if doc_id in ids:
-                    continue  # replay/idempotence: already a member
+                if doc_id in member_set or doc_id in seen_set:
+                    continue  # replay/idempotence: already evaluated
                 sig = [int(x) for x in sig]
                 for other_id, other_sig in zip(ids, sig_list):
                     est = sum(x == y for x, y in zip(sig, other_sig)) / len(sig)
@@ -87,7 +100,13 @@ def stream_near_dup_candidates(docs, text_col: str = "text",
                 if len(ids) < bucket_cap:
                     ids.append(doc_id)
                     sig_list.append(sig)
-        state.update((ids, sig_list))
+                    member_set.add(doc_id)
+                else:
+                    seen.append(doc_id)  # FIFO ledger, insertion order
+                    seen_set.add(doc_id)
+        if len(seen) > seen_cap:
+            seen = seen[-seen_cap:]
+        state.update((ids, sig_list, seen))
         yield pd.DataFrame({
             "band": [int(key[0])] * len(out_a),
             "a": out_a, "b": out_b, "est_jaccard": out_j,
@@ -404,9 +423,9 @@ def stream_cdc_shared_passages(docs, text_col: str = "text",
     the final count crosses the cap. Size max_docs for boilerplate as
     in batch; the equivalence test pins stream == batch on data under
     the cap. State is bounded at O(max_docs ids) per chunk (capped
-    buckets stay flagged via a single sentinel), and — unlike the
-    bits stream — post-cap arrivals need no replay ledger because
-    they emit nothing.
+    buckets keep only a boolean flag), and — unlike the bits stream —
+    post-cap arrivals need no replay ledger because they emit
+    nothing.
 
     Scale shape: one stateless fold per document, shuffle keyed by
     chunk string (at 100 TB key by `_md5_int60(chunk, 0)` — the batch
@@ -438,24 +457,27 @@ def stream_cdc_shared_passages(docs, text_col: str = "text",
             .filter(F.col("chunk").isNotNull()))
 
     out_schema = "chunk string, a bigint, b bigint"
-    # capped=[-1] sentinel once membership would exceed max_docs: the
-    # bucket is boilerplate, drop the member ids (state shrinks to one
-    # element) and ignore every later arrival
-    state_schema = "ids array<bigint>"
-    CAPPED = -1
+    # dedicated capped flag once membership would exceed max_docs: the
+    # bucket is boilerplate, drop the member ids (state shrinks to an
+    # empty list) and ignore every later arrival. The flag is its OWN
+    # state field — the old in-band ids=[-1] sentinel collided with a
+    # legitimate id of -1 (hash-derived ids are commonly negative) and
+    # permanently muted that chunk's pairs (r15 streaming review).
+    state_schema = "ids array<bigint>, capped boolean"
 
     def fn(key, pdf_iter, state):
-        ids = list(state.get[0]) if state.exists else []
+        ids, capped = (list(state.get[0]), bool(state.get[1])) \
+            if state.exists else ([], False)
         out_a, out_b = [], []
         for pdf in pdf_iter:
             for did in pdf["__did"]:
-                if ids and ids[0] == CAPPED:
+                if capped:
                     break
                 did = int(did)
                 if did in ids:
                     continue  # replay/idempotence: already a member
                 if cap and len(ids) >= cap:
-                    ids = [CAPPED]  # boilerplate: flag and forget
+                    ids, capped = [], True  # boilerplate: flag, forget
                     break
                 ids.append(did)
                 k = len(ids)
@@ -471,7 +493,7 @@ def stream_cdc_shared_passages(docs, text_col: str = "text",
                         lo, hi = sorted((did, other))
                         out_a.append(lo)
                         out_b.append(hi)
-        state.update((ids,))
+        state.update((ids, capped))
         yield pd.DataFrame({
             "chunk": [key[0]] * len(out_a), "a": out_a, "b": out_b,
         })
