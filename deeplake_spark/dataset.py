@@ -1498,9 +1498,13 @@ class Dataset:
         #1). The sink enables it only when the run's first replayed
         epoch id is > 0 — a genuinely NEW stream starts at epoch 0, so
         old legacy markers never mask it (the r14 masking bug stays
-        fixed); the one remaining edge (pre-upgrade checkpoint whose
-        only epoch was 0, commit landed but checkpoint ack didn't) is
-        a single duplicate epoch, documented here.
+        fixed), and the sink pins the memo on the run's first batch
+        even when empty. Two residual edges, both narrow and accepted:
+        a pre-upgrade checkpoint whose only epoch was 0 (commit landed,
+        checkpoint ack didn't) duplicates ONE epoch; a new stream whose
+        empty-epoch-0 RUN crashes before any batch and resumes at
+        epoch > 0 on a dataset carrying legacy markers reads them as
+        its own (recreate such checkpoints after upgrade).
         tests/test_streaming.py counts _read_entry calls to pin this.
         """
         v = self.version
@@ -1554,20 +1558,35 @@ class Dataset:
         `available_now`, else continuous micro-batches).
         """
         self._check_writable()
-        import hashlib as _hl
-        import uuid as _uuid
+        from deeplake_spark.streaming import stream_identity
 
         # stream identity: epoch ids are monotone only PER CHECKPOINT,
         # so the idempotence ledger is scoped by it (r14 review: an
         # unscoped `last >= epoch_id` made a NEW stream's epochs 0..N
         # collide with a previous stream's and silently drop batches).
+        # The shared helper normalizes the path first — a respelled
+        # checkpoint_dir must not change the identity (r15 review).
         # No checkpoint → no replay is possible → a fresh identity per
         # call (every batch appends, which is correct).
-        sid = (_hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
-               if checkpoint_dir else _uuid.uuid4().hex[:8])
+        sid = stream_identity(checkpoint_dir)
         memo: dict = {}
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            # the ledger memo is pinned on the run's FIRST batch even
+            # when that batch is empty: a NEW stream whose epoch 0
+            # arrives empty must still pin legacy_fallback=False, or a
+            # restart resuming at epoch 1 would read a pre-upgrade
+            # legacy marker as its own and drop batches (r15 diff
+            # review — the narrow re-opening of the r14 masking bug;
+            # the residual edge is an empty-epoch-0 run that CRASHES
+            # before any batch and resumes >0 on a legacy-marker
+            # dataset, documented in _last_stream_epoch).
+            if "last" not in memo:
+                # legacy fallback only on a RESUMED checkpoint (first
+                # replayed epoch > 0): a new stream's epoch 0 must not
+                # be masked by pre-upgrade markers (r14 advice #1).
+                memo["last"] = self._last_stream_epoch(
+                    sid, legacy_fallback=epoch_id > 0)
             if batch_df.isEmpty():
                 return
             marker = f"stream-epoch:{sid}:{epoch_id}"
@@ -1575,12 +1594,6 @@ class Dataset:
             # FOR THIS STREAM on the branch decides — id >= ours means
             # this epoch's commit already landed. One log walk on the
             # first batch of a run, memoized after.
-            if "last" not in memo:
-                # legacy fallback only on a RESUMED checkpoint (first
-                # replayed epoch > 0): a new stream's epoch 0 must not
-                # be masked by pre-upgrade markers (r14 advice #1).
-                memo["last"] = self._last_stream_epoch(
-                    sid, legacy_fallback=epoch_id > 0)
             if memo["last"] is not None and memo["last"] >= epoch_id:
                 return
             rows = batch_df if transform is None else transform(batch_df)
@@ -2637,6 +2650,9 @@ def create(path: str, spark: SparkSession | None = None,
     data_format: a deeplake_spark.formats.DataFormat (formats.pyi:12-22);
     its chunk_compression selects the Parquet codec for every datafile
     this dataset writes."""
+    from deeplake_spark.storage import normalize_url
+
+    path = normalize_url(path)
     spark = spark or SparkSession.getActiveSession()
     if "://" not in path:
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
@@ -2664,10 +2680,12 @@ _CONNECTIONS: dict[str, dict] = {}
 
 
 def _resolve_alias(path: str) -> tuple[str, bool]:
+    from deeplake_spark.storage import normalize_url
+
     entry = _CONNECTIONS.get(path)
     if entry is None:
-        return path, False
-    return entry["path"], bool(entry.get("read_only"))
+        return normalize_url(path), False
+    return normalize_url(entry["path"]), bool(entry.get("read_only"))
 
 
 def open(path: str, spark: SparkSession | None = None, branch: str = "main",

@@ -504,7 +504,10 @@ def render_chat(turns: DataFrame, id_col: str = "doc_id",
     line, array_join. All JVM built-ins; at 100 TB this is one
     doc-keyed aggregate — the same single shuffle a GROUP BY costs,
     with per-doc state bounded by conversation length."""
-    if template is None:
+    if template is None or template == "colon":
+        # "colon" IS the default line format — accepting it keeps the
+        # split/render preset pair symmetric (r15 diff review: the
+        # else-branch rejected the very name its message listed)
         line = F.concat(F.col(role_col), F.lit(role_sep),
                         F.col(content_col))
     elif template == "chatml":

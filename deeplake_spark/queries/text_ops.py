@@ -3100,13 +3100,6 @@ def t52(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus_lines(base).orderBy("doc_id")
 
 
-_DUCK_SHINGLES3 = (
-    "list_distinct(list_transform(range(1, greatest(len({t}) - 2, 0) + 1), "
-    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
-)
-_DUCK_WS_TRIM = "'^[ \t\n\f\r]+|[ \t\n\f\r]+\\z'"
-
-
 @query(
     "t53_chatml_turns",
     oracle="""

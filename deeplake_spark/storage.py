@@ -60,6 +60,20 @@ def resolve_scheme(url: str) -> str:
     return "file"
 
 
+def normalize_url(url: str) -> str:
+    """Rewrite reference-API scheme spellings onto the provider scheme
+    the Hadoop/Spark layer actually resolves (gcs:// → gs://,
+    azure://, az:// → abfss://). Applied at the dataset entry points
+    so BOTH planes see the provider scheme — resolve_scheme alone had
+    no in-repo caller on the dispatch path, so gcs:// URLs reached
+    Hadoop verbatim and failed with 'No FileSystem for scheme gcs'
+    (r15 diff review)."""
+    for alias, real in _SCHEME_ALIASES.items():
+        if url.startswith(alias + "://"):
+            return real + "://" + url.split("://", 1)[1]
+    return url
+
+
 # ------------------------------------------------------- metadata store
 #
 # The dataset's METADATA plane (refs.json, commit-log entries, index

@@ -137,8 +137,22 @@ def tensorflow(df: DataFrame, batch_size: int = 32):
     def gen():
         for r in iter_rows(df):
             d = r.asDict()
-            yield {k: ("" if d[k] is None and sig[k].dtype == tf.string
-                       else d[k]) for k in sig}
+            out = {}
+            for k in sig:
+                v = d[k]
+                if v is None:
+                    if sig[k].dtype == tf.string:
+                        v = ""
+                    else:
+                        # fail CLEARLY at the offending row — tf.data
+                        # would otherwise die mid-epoch with an opaque
+                        # 'None values not supported' (r15 diff review)
+                        raise ValueError(
+                            f"tensorflow(): NULL in non-string column "
+                            f"{k!r} — fillna()/filter nulls before "
+                            "feeding")
+                out[k] = v
+            yield out
 
     return tf.data.Dataset.from_generator(gen, output_signature=sig)
 

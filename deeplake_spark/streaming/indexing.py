@@ -70,11 +70,9 @@ def maintain_inverted_index(stream_df: DataFrame, index_path: str,
     probe the index between triggers with `InvertedIndex.load` (stats
     rows accumulate one per delta and merge on load).
     """
-    import hashlib as _hl
-    import uuid as _uuid
+    from deeplake_spark.streaming import stream_identity
 
-    sid = (_hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
-           if checkpoint_dir else _uuid.uuid4().hex[:8])
+    sid = stream_identity(checkpoint_dir)
     sink = _index_sink(index_path, text_col, id_col, sid)
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -42,6 +42,12 @@ def stream_near_dup_candidates(docs, text_col: str = "text",
     DataFrame: (a, b, est_jaccard) with a < b, one row per (band,
     bucket) collision — dedupe across bands downstream if a unique
     pair set is needed (the batch path's `.distinct()`).
+
+    STATE SCHEMA CHANGED in r15 (the post-cap `seen` ledger was
+    added): a checkpoint written by the previous schema fails Spark's
+    state-store compatibility check at restart — loud, not silent;
+    resume such streams from a fresh checkpoint (Spark has no state
+    migration path for applyInPandasWithState).
     """
     import pandas as pd
 
@@ -431,7 +437,11 @@ def stream_cdc_shared_passages(docs, text_col: str = "text",
     chunk string (at 100 TB key by `_md5_int60(chunk, 0)` — the batch
     docstring's convention; the string key keeps sf-scale runs
     comparable to the oracle-checked batch), state proportional to
-    chunks that actually repeat."""
+    chunks that actually repeat.
+
+    STATE SCHEMA CHANGED in r15 (capped became its own field): a
+    pre-change checkpoint fails Spark's state-store compatibility
+    check at restart — resume from a fresh checkpoint."""
     import pandas as pd
 
     from deeplake_spark.functions.text import tokenize

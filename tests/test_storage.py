@@ -153,8 +153,11 @@ def test_copy_tree_uniform_dst_exists_contract(spark):
 def test_resolve_scheme_reference_aliases():
     """r15 storage.py review: the reference-API spellings gcs:// and
     azure:// must resolve to their providers (gs/abfss), not fall
-    through to a LOCAL path."""
-    from deeplake_spark.storage import resolve_scheme
+    through to a LOCAL path — and the rewrite must reach the DISPATCH
+    path: dataset entry points normalize the URL so Hadoop sees the
+    provider scheme, not the alias (r15 diff review: resolve_scheme
+    alone had no caller on that path)."""
+    from deeplake_spark.storage import normalize_url, resolve_scheme
 
     assert resolve_scheme("gcs://bucket/ds") == "gs"
     assert resolve_scheme("azure://container/ds") == "abfss"
@@ -162,6 +165,19 @@ def test_resolve_scheme_reference_aliases():
     assert resolve_scheme("gs://bucket/ds") == "gs"
     assert resolve_scheme("/plain/path") == "file"
     assert resolve_scheme("weird://x") == "file"
+
+    assert normalize_url("gcs://bucket/ds") == "gs://bucket/ds"
+    assert normalize_url("azure://c/ds") == "abfss://c/ds"
+    assert normalize_url("az://c/ds") == "abfss://c/ds"
+    assert normalize_url("s3a://b/ds") == "s3a://b/ds"
+    assert normalize_url("/plain/path") == "/plain/path"
+
+    # the dataset entry points apply it: an alias-scheme path reaches
+    # the store layer (and so Hadoop/Spark) with the provider scheme
+    import deeplake_spark.dataset as dlmod
+
+    p, ro = dlmod._resolve_alias("gcs://bucket/ds")
+    assert p == "gs://bucket/ds" and ro is False
 
 
 def test_set_concurrency_without_session_raises(monkeypatch):
