@@ -456,11 +456,22 @@ class InvertedIndex:
             self.doclens.persist()
         try:
             # bucket the term dimension: probes prune to matching
-            # partitions
+            # partitions. Range-repartition on (bucket, term) BEFORE
+            # the partitionBy write: a partitionBy write emits one
+            # file per (task, bucket), and the persist above pins the
+            # upstream at shuffle-partition width (32 tasks × buckets
+            # = 672 tiny files; AQE no longer coalesces a cached
+            # plan) — measured +0.3 s on EVERY later probe (t13
+            # 0.88 → 1.2 s warm, r15 worktree bisect). The range
+            # shuffle gives each task a contiguous (bucket, term)
+            # slice, so each bucket directory receives ~1 file here
+            # and files ∝ shuffle partitions at 100 TB — prunable
+            # AND parallel at any scale.
             self.postings.withColumn(
-                "bucket", F.abs(F.hash("term")) % 64).write.mode(
-                mode).partitionBy("bucket").parquet(
-                os.path.join(path, "postings"))
+                "bucket", F.abs(F.hash("term")) % 64) \
+                .repartitionByRange("bucket", "term") \
+                .write.mode(mode).partitionBy("bucket").parquet(
+                    os.path.join(path, "postings"))
             self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
             self.doclens.write.mode(mode).parquet(
                 os.path.join(path, "doclens"))
@@ -768,9 +779,14 @@ class NumericIndex:
                 F.floor((F.col("value").cast("double") - vmin) / width).cast("int"),
             ),
         )
-        values.withColumn("bucket", bucket).write.mode(mode).partitionBy(
-            "bucket"
-        ).parquet(os.path.join(path, "values"))
+        # range-repartition before the partitionBy write (the
+        # InvertedIndex.save layout rule): ~1 file per bucket dir at
+        # small scale, files proportional to shuffle partitions at
+        # 100 TB
+        values.withColumn("bucket", bucket) \
+            .repartitionByRange("bucket", "value") \
+            .write.mode(mode).partitionBy("bucket") \
+            .parquet(os.path.join(path, "values"))
 
     def append_to(self, path: str) -> None:
         """Delta append using the EXISTING bucket bounds — prior files
@@ -870,10 +886,13 @@ class JsonIndex:
         # persist it for the save (the InvertedIndex.save discipline)
         self.entries.persist()
         try:
-            # partition by json path: a probe reads exactly one directory
-            self.entries.write.mode(mode).partitionBy("path").parquet(
-                os.path.join(path, "entries")
-            )
+            # partition by json path: a probe reads exactly one
+            # directory; range-repartition first (the
+            # InvertedIndex.save layout rule — a persisted upstream
+            # otherwise writes one file per task per path)
+            self.entries.repartitionByRange("path", "value") \
+                .write.mode(mode).partitionBy("path").parquet(
+                    os.path.join(path, "entries"))
             sidecar = os.path.join(path, "valstats.json")
             old = get_json(sidecar) if mode == "append" \
                 and json_exists(sidecar) else None
@@ -980,11 +999,14 @@ class ExactTextIndex:
         self.digests.persist()
         try:
             # digest-prefix buckets: probe() filters the bucket column
-            # so an exact lookup prunes to one partition directory
+            # so an exact lookup prunes to one partition directory;
+            # range-repartition first (the InvertedIndex.save layout
+            # rule)
             self.digests.withColumn(
                 "bucket", F.substring("digest", 1, 2)
-            ).write.mode(mode).partitionBy("bucket").parquet(
-                os.path.join(path, "digests"))
+            ).repartitionByRange("bucket", "digest") \
+                .write.mode(mode).partitionBy("bucket").parquet(
+                    os.path.join(path, "digests"))
             sidecar = os.path.join(path, "digeststats.json")
             old = get_json(sidecar) if mode == "append" \
                 and json_exists(sidecar) else None

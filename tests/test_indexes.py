@@ -2357,3 +2357,38 @@ def test_candidates_multicolumn_carrying_id_col(spark):
     # wider relation without the id col: explicit error, not a guess
     with pt.raises(ValueError, match="1-column row-id relation"):
         _cand_ids(df.select("tag", "embedding"), "vec_id")
+
+
+def test_index_save_layout_one_file_per_bucket(spark, tmp_path):
+    """r15 worktree bisect: the r14 save-time persist() pinned the
+    bucketed write's upstream at shuffle-partition width, so
+    partitionBy emitted one file per (task, bucket) — 672 tiny
+    postings files instead of ~21, +0.3 s on EVERY later probe (t13
+    0.88 → 1.2 s warm). The range-repartition before each partitioned
+    index write pins the layout: ~one file per bucket directory no
+    matter how wide the upstream arrives."""
+    import glob
+    import os
+
+    from deeplake_spark.operators.indexes import (
+        build_exact_index, build_inverted_index)
+
+    docs = (spark.createDataFrame(
+        [(i, f"alpha{i % 97} beta{i % 53} gamma{i % 31} common words")
+         for i in range(3000)], "doc_id long, text string")
+        .repartition(32))  # the persisted-width upstream shape
+    idx = build_inverted_index(docs, text_col="text", id_col="doc_id")
+    p = str(tmp_path / "inv")
+    idx.save(p)
+    per_bucket = [
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(p, "postings", "bucket=*"))]
+    assert per_bucket and max(per_bucket) <= 2, per_bucket
+
+    ex = build_exact_index(docs, col="text", id_col="doc_id")
+    pe = str(tmp_path / "exact")
+    ex.save(pe)
+    per_bucket = [
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(pe, "digests", "bucket=*"))]
+    assert per_bucket and max(per_bucket) <= 2, per_bucket
