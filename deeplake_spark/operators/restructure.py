@@ -350,7 +350,7 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
 #: (<|im_start|>role\n...<|im_end|> -- the role is a capture, not an
 #: enumerable marker).
 _CHAT_TEMPLATES: dict = {
-    "colon": {"markers": ("User:", "Assistant:")},
+    "colon": {"markers": ("User:", "Assistant:", "System:")},
     "llama": {"markers": ("[INST]", "[/INST]", "<<SYS>>", "<</SYS>>"),
               "marker_roles": {"[INST]": "user", "[/INST]": "assistant",
                                "<<SYS>>": "system", "<</SYS>>": "user"},
@@ -362,15 +362,20 @@ _WS_TRIM = "^[ \t\n\f\r]+|[ \t\n\f\r]+\\z"
 
 def split_chat_turns(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     markers: tuple[str, ...] = ("User:", "Assistant:"),
+                     markers: tuple[str, ...] | None = None,
                      template: str | None = None,
                      marker_roles: dict | None = None) -> DataFrame:
     """Chat-transcript segmentation - the SFT-data prep step: a flat
     dialogue string splits into one row per turn with
     (id, turn_idx, role, content). A turn starts at any marker in
-    ``markers``; the role comes from ``marker_roles`` when given, else
-    the marker lowercased without the colon; text before the first
-    marker is dropped (transcript headers).
+    ``markers`` (default ``("User:", "Assistant:")``); the role comes
+    from ``marker_roles`` when given (markers it doesn't cover fall
+    back to the default), else the marker lowercased without the
+    colon; text before the first marker is dropped (transcript
+    headers). Explicit ``markers``/``marker_roles`` OVERRIDE a
+    ``template`` preset's values (the preset fills what the caller
+    leaves unset); "chatml" derives roles structurally, so passing
+    either alongside it raises.
 
     ``template`` presets the real-world formats where the role is part
     of the marker SYNTAX: "colon" (the default markers), "llama"
@@ -397,11 +402,22 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
                              f"one of {sorted(_CHAT_TEMPLATES)}")
         preset = _CHAT_TEMPLATES[template]
         if preset.get("structural") == "chatml":
+            if markers is not None or marker_roles is not None:
+                raise ValueError(
+                    "template='chatml' derives roles structurally; "
+                    "markers/marker_roles do not apply")
             return _split_chatml(df, text_col, id_col)
-        markers = preset["markers"]
-        marker_roles = preset.get("marker_roles")
+        # explicit args win; the preset fills what the caller left
+        # unset (r15 review: the preset used to silently DISCARD an
+        # explicit markers/marker_roles argument)
+        if markers is None:
+            markers = preset["markers"]
+        if marker_roles is None:
+            marker_roles = preset.get("marker_roles")
         strip_tokens = preset.get("strip_tokens", ())
         drop_blank = preset.get("drop_blank", False)
+    if markers is None:
+        markers = ("User:", "Assistant:")
 
     sep = "\u0001"
     # Markers are literal text: \Q...\E-quote each one so regex
@@ -418,8 +434,10 @@ def split_chat_turns(df: DataFrame, text_col: str = "text",
     role = None
     for m in markers:
         cond = F.col("__part").startswith(m)
-        lab = F.lit(marker_roles[m] if marker_roles
-                    else m.rstrip(":").lower())
+        # a partial marker_roles falls back per-marker (was a bare
+        # KeyError at plan-build time, r15 review)
+        lab = F.lit(marker_roles.get(m, m.rstrip(":").lower())
+                    if marker_roles else m.rstrip(":").lower())
         role = F.when(cond, lab) if role is None else role.when(cond, lab)
     content = F.regexp_replace(F.col("__part"), "^" + pattern, "")
     if strip_tokens:
@@ -464,11 +482,15 @@ def _split_chatml(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     turns = parts.filter(
         F.col("__part").isNotNull() & F.col("__part").rlike("^" + start))
     body = F.regexp_replace(F.col("__part"), "^" + start, "")
-    # role = header up to the first newline; content = the rest up to
-    # <|im_end|> ((?s) so embedded newlines stay inside the turn)
-    role = F.regexp_extract(body, "^([^\n]*)", 1)
-    content = F.regexp_replace(body, "^[^\n]*\n?", "")
-    content = F.regexp_replace(content, "(?s)\\Q<|im_end|>\\E.*", "")
+    # Cut the turn at <|im_end|> FIRST ((?s) so embedded newlines stay
+    # inside), THEN split role (header line) from content: a loosely
+    # formatted turn with no newline after the role
+    # ("<|im_start|>user hi<|im_end|>") must not leak the end marker
+    # into the role column (r15 review). The t53 oracle replays this
+    # exact order.
+    zone = F.regexp_replace(body, "(?s)\\Q<|im_end|>\\E.*", "")
+    role = F.regexp_extract(zone, "^([^\n]*)", 1)
+    content = F.regexp_replace(zone, "^[^\n]*\n?", "")
     w = Window.partitionBy(id_col).orderBy("__pos")
     return (turns
             .withColumn("__t", F.row_number().over(w))
@@ -490,12 +512,24 @@ def render_chat(turns: DataFrame, id_col: str = "doc_id",
     ``role + role_sep + content`` joined by ``turn_sep`` in turn
     order. Returns (id, n_turns, rendered).
 
-    ``template`` renders the preset formats instead of the colon
-    lines: "chatml" emits ``<|im_start|>role\\ncontent<|im_end|>`` per
-    turn; "llama" emits ``[INST] c [/INST]`` for user turns,
-    ``<<SYS>>\\nc\\n<</SYS>>`` for system, and the bare content for
-    assistant. split_chat_turns(template=) re-derives the exact turn
-    rows from either rendering (round-trip tests pin it).
+    ``template`` renders the preset formats instead of the raw
+    ``role + role_sep`` lines: "colon" emits ``initcap(role):`` line
+    prefixes (``User: hi``) so ``split_chat_turns(template='colon')``
+    re-derives the exact turn rows — the template=None default keeps
+    the role verbatim and is NOT the colon preset's inverse (its
+    lowercase prefixes don't match the preset's markers); "chatml"
+    emits ``<|im_start|>role\\ncontent<|im_end|>`` per turn and
+    round-trips for any role; "llama" emits ``[INST] c [/INST]`` for
+    user turns, ``<<SYS>>\\nc\\n<</SYS>>`` for system, the bare
+    content for assistant, and RAISES on any other role (the marker
+    syntax cannot represent it — silently rendering it markerless
+    would merge it into a neighbor on re-split). Llama round-trips
+    only for conversations alternating user/assistant (optional
+    leading system): an assistant-FIRST turn renders before any
+    marker and is dropped on re-split, and consecutive assistant
+    turns merge — inherent to the format, not repairable here.
+    NULL content renders as '' (counted in n_turns; a NULL line would
+    otherwise be silently dropped by array_join and desync the two).
 
     Engine-exact without an ordered string aggregate (Spark has no
     string_agg ... ORDER BY): collect_list of (turn_idx, line) structs,
@@ -504,24 +538,33 @@ def render_chat(turns: DataFrame, id_col: str = "doc_id",
     line, array_join. All JVM built-ins; at 100 TB this is one
     doc-keyed aggregate — the same single shuffle a GROUP BY costs,
     with per-doc state bounded by conversation length."""
-    if template is None or template == "colon":
-        # "colon" IS the default line format — accepting it keeps the
-        # split/render preset pair symmetric (r15 diff review: the
-        # else-branch rejected the very name its message listed)
-        line = F.concat(F.col(role_col), F.lit(role_sep),
-                        F.col(content_col))
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    if template is None:
+        line = F.concat(F.col(role_col), F.lit(role_sep), content)
+    elif template == "colon":
+        # initcap'd role prefix ("User: hi") so the colon SPLIT
+        # preset's markers re-match on re-split — the round-trip the
+        # docstrings promise (r15 review: the stored lowercase role
+        # rendered prefixes no colon marker matched)
+        line = F.concat(F.initcap(F.col(role_col)), F.lit(role_sep),
+                        content)
     elif template == "chatml":
         line = F.concat(F.lit("<|im_start|>"), F.col(role_col),
-                        F.lit("\n"), F.col(content_col),
-                        F.lit("<|im_end|>"))
+                        F.lit("\n"), content, F.lit("<|im_end|>"))
     elif template == "llama":
+        # an unrepresentable role raises instead of rendering bare
+        # content that merges into a neighbor on re-split (r15 review)
         line = (F.when(F.col(role_col) == "user",
-                       F.concat(F.lit("[INST] "), F.col(content_col),
+                       F.concat(F.lit("[INST] "), content,
                                 F.lit(" [/INST]")))
                 .when(F.col(role_col) == "system",
-                      F.concat(F.lit("<<SYS>>\n"), F.col(content_col),
+                      F.concat(F.lit("<<SYS>>\n"), content,
                                F.lit("\n<</SYS>>")))
-                .otherwise(F.col(content_col)))
+                .when(F.col(role_col) == "assistant", content)
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("render_chat(template='llama'): role "),
+                    F.coalesce(F.col(role_col), F.lit("NULL")),
+                    F.lit(" has no marker in the llama format")))))
     else:
         raise ValueError(f"unknown chat template {template!r}; "
                          f"one of ['chatml', 'colon', 'llama']")

@@ -501,19 +501,33 @@ def class_balance(df: DataFrame, label_col: str, id_col: str = "doc_id",
     kept SET is oracle-checkable, not just the counts). NULL labels
     carry no class and are dropped.
 
-    Shapes: the per-label rank is a PARTITIONED window (trap 7
-    compliant); the minority count arrives as a broadcast 1-row
-    aggregate INSIDE the plan — no driver-side count (trap 8). At
-    100 TB this is one label-keyed shuffle."""
-    u = md5_uniform(id_col, salt)
-    base = df.filter(F.col(label_col).isNotNull()).withColumn("__u", u)
-    w = Window.partitionBy(label_col).orderBy("__u", id_col)
-    ranked = base.withColumn("__rk", F.row_number().over(w))
+    Shapes (r15 review — the cap_per_group discipline, not a plain
+    label-partitioned window that funnels HALF a binary-labeled
+    100 TB corpus through one reducer): selection runs in the same
+    TWO bounded window stages as :func:`cap_per_group` — per-(label,
+    hash-bucket) local top-k, then top-k over the survivors — so a
+    majority class prunes to <= buckets*k rows before any single
+    partition sees it (top-k of per-bucket top-ks IS the global
+    top-k; the kept set is identical to the single-window spelling
+    the oracle uses). The minority count arrives as a broadcast
+    1-row aggregate INSIDE the plan — no driver-side count (trap 8).
+    When k is the minority count itself (a near-balanced corpus),
+    stage 2 carries ~k rows per label, which is the OUTPUT size — an
+    exact rank-based selection can't do better; the win is the
+    majority-class prune."""
+    base = df.filter(F.col(label_col).isNotNull())
     if target is not None:
-        return ranked.filter(F.col("__rk") <= int(target)) \
-                     .drop("__u", "__rk")
+        return cap_per_group(base, label_col, int(target),
+                             id_col=id_col, salt=salt)
     tmin = (base.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
             .agg(F.min("__n").alias("__t")))
-    return (ranked.crossJoin(F.broadcast(tmin))
-            .filter(F.col("__rk") <= F.col("__t"))
-            .drop("__u", "__rk", "__t"))
+    d = (base.withColumn("__u", md5_uniform(id_col, salt))
+         .withColumn("__b", F.pmod(F.hash(F.col(id_col)), F.lit(32)))
+         .crossJoin(F.broadcast(tmin)))
+    w1 = Window.partitionBy(label_col, "__b").orderBy("__u", id_col)
+    local = (d.withColumn("__r1", F.row_number().over(w1))
+             .filter(F.col("__r1") <= F.col("__t")))
+    w2 = Window.partitionBy(label_col).orderBy("__u", id_col)
+    return (local.withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= F.col("__t"))
+            .drop("__u", "__b", "__r1", "__r2", "__t"))

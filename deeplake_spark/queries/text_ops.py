@@ -2917,7 +2917,7 @@ def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT source, doc_id,
              len({_DUCK_TOKS.format(c="text")}) AS nt,
-             md5(lower(text)) AS h
+             md5(lower(coalesce(text, ''))) AS h
       FROM documents
     ),
     k AS (
@@ -2954,11 +2954,20 @@ def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.functions.text import token_count
     from deeplake_spark.io import ensure_parallelism
 
+    from deeplake_spark.operators.dedup import _track
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    d = docs.select(
+    # digest over coalesce(text, ''): a NULL digest never equi-joins,
+    # so a NULL-text document would silently drop from n_docs while
+    # the oracle's window keeps it (r15 review; latent until the
+    # driver regenerates documents with NULL rows). Tracked-persist:
+    # d feeds BOTH the keepers aggregate and the join probe — without
+    # it the CPU-heavy tokenize pass runs twice (the
+    # dedup_corpus_lines convention).
+    d = _track(docs.select(
         "source", "doc_id",
         token_count(F.col("text")).cast("long").alias("__nt"),
-        F.md5(F.lower(F.col("text"))).alias("__h"))
+        F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("__h")))
     # Keep-first as a digest-keyed partial aggregate + join back
     # (NOT a digest-partitioned window): a corpus-hot duplicate's
     # digest group combines map-side; a window would funnel it
@@ -3113,25 +3122,35 @@ def t52(spark: SparkSession, sf_dir: str) -> DataFrame:
              || '<|im_end|>' AS dialog
       FROM documents WHERE doc_id < 40
     ),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(dialog, '(<\\|im_start\\|>)',
+                            chr(1) || '\\1', 'g') AS m
+      FROM base
+    ),
     parts AS (
       SELECT doc_id, pos, part FROM (
         SELECT doc_id,
                unnest(range(1, len(p) + 1)) AS pos,
                unnest(p) AS part
-        FROM (SELECT doc_id, string_split(dialog, '<|im_start|>') AS p
-              FROM base))
-      WHERE part <> ''
+        FROM (SELECT doc_id, string_split(m, chr(1)) AS p FROM marked))
+      WHERE regexp_matches(part, '^<\\|im_start\\|>')
+    ),
+    turns AS (
+      SELECT doc_id, pos,
+             regexp_replace(
+               regexp_replace(part, '^<\\|im_start\\|>', ''),
+               '(?s)<\\|im_end\\|>.*', '') AS zone
+      FROM parts
     )
     SELECT doc_id,
            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
                 AS INT) AS turn_idx,
-           regexp_replace(regexp_extract(part, '^([^\n]*)', 1),
+           regexp_replace(regexp_extract(zone, '^([^\n]*)', 1),
                           '^[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g') AS role,
-           regexp_replace(
-             regexp_replace(regexp_replace(part, '^[^\n]*\n?', ''),
-                            '(?s)<\\|im_end\\|>.*', ''),
+           regexp_replace(regexp_replace(zone, '^[^\n]*\n?', ''),
              '^[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g') AS content
-    FROM parts ORDER BY doc_id, turn_idx
+    FROM turns ORDER BY doc_id, turn_idx
     """,
     doc="ChatML-template chat segmentation "
     "(operators/restructure.split_chat_turns(template='chatml'), r14 "

@@ -1986,17 +1986,84 @@ def test_chat_template_presets_round_trip(spark):
         again = split_chat_turns(rendered, template=template)
         assert rows(again) == rows(turns), template
 
-    # "colon" preset == the literal-marker default
+    # "colon" preset == the literal-marker default on user/assistant
+    # data, and render(colon) -> split(colon) round-trips (the render
+    # initcaps the stored lowercase role back into the marker form)
     colon = spark.createDataFrame(
         [(2, "User: hi Assistant: hello User: bye")],
         "doc_id long, text string")
-    assert rows(split_chat_turns(colon, template="colon")) == \
-        rows(split_chat_turns(colon))
+    ct = split_chat_turns(colon, template="colon")
+    assert rows(ct) == rows(split_chat_turns(colon))
+    ct_again = split_chat_turns(
+        render_chat(ct, template="colon").select(
+            "doc_id", F.col("rendered").alias("text")),
+        template="colon")
+    assert rows(ct_again) == rows(ct)
 
     with pt.raises(ValueError, match="unknown chat template"):
         split_chat_turns(df, template="alpaca")
     with pt.raises(ValueError, match="unknown chat template"):
         render_chat(cm, template="alpaca")
+
+
+def test_chat_template_arg_precedence_and_edges(spark):
+    """r15 review pins: explicit markers/marker_roles OVERRIDE a
+    template preset (they were silently discarded); a partial
+    marker_roles falls back per-marker instead of KeyError; chatml
+    rejects markers/marker_roles; a loosely-formatted ChatML turn
+    with no newline after the role does not leak <|im_end|> into the
+    role column; render(template='llama') raises on a role the
+    marker syntax cannot represent; NULL content renders as '' and
+    still counts in n_turns."""
+    import pytest as pt
+
+    from deeplake_spark.operators.restructure import (
+        render_chat, split_chat_turns)
+
+    # explicit marker_roles wins over the colon preset's defaults
+    colon = spark.createDataFrame(
+        [(0, "User: hi Assistant: yo")], "doc_id long, text string")
+    got = split_chat_turns(
+        colon, template="colon",
+        marker_roles={"User:": "human", "Assistant:": "bot"}) \
+        .orderBy("turn_idx").collect()
+    assert [r.role for r in got] == ["human", "bot"]
+    # explicit markers win over the preset's marker list
+    q = spark.createDataFrame([(0, "Q: a A: b")],
+                              "doc_id long, text string")
+    got = split_chat_turns(q, template="colon", markers=("Q:", "A:")) \
+        .orderBy("turn_idx").collect()
+    assert [(r.role, r.content) for r in got] == [("q", "a"), ("a", "b")]
+    # partial marker_roles: uncovered markers fall back, no KeyError
+    got = split_chat_turns(q, markers=("Q:", "A:"),
+                           marker_roles={"Q:": "asker"}) \
+        .orderBy("turn_idx").collect()
+    assert [r.role for r in got] == ["asker", "a"]
+    with pt.raises(ValueError, match="structurally"):
+        split_chat_turns(q, template="chatml", markers=("Q:",))
+
+    # loose ChatML: no newline after the role -- the end marker must
+    # not leak into the role column
+    loose = spark.createDataFrame(
+        [(0, "<|im_start|>user hello<|im_end|>")],
+        "doc_id long, text string")
+    r = split_chat_turns(loose, template="chatml").collect()[0]
+    assert "<|im_end|>" not in r.role and r.content == ""
+
+    # llama render: unrepresentable role raises (not silent bare text)
+    bad = spark.createDataFrame([(0, 0, "tool", "x")],
+                                "doc_id long, turn_idx int, "
+                                "role string, content string")
+    with pt.raises(Exception, match="no marker in the llama format"):
+        render_chat(bad, template="llama").collect()
+
+    # NULL content: rendered line is '' (array_join would DROP a NULL
+    # line while n_turns still counted it)
+    nc = spark.createDataFrame(
+        [(0, 0, "user", "hi"), (0, 1, "assistant", None)],
+        "doc_id long, turn_idx int, role string, content string")
+    out = render_chat(nc).collect()[0]
+    assert out.n_turns == 2 and out.rendered == "user: hi\nassistant: "
 
 
 def test_render_chat_round_trip(spark):
