@@ -920,6 +920,76 @@ def t50_section(spark):
     return out
 
 
+def balance_section(spark):
+    """class_balance two-stage A/B (r15 review): a class-balanced
+    sample of `target` rows per label over a label-SKEWED corpus
+    (90% majority / 9% mid / 1% rare — the classifier-training-prep
+    reality). Two arms, identical kept set (asserted):
+
+    - window arm: the PRE-fix shape — one row_number window
+      partitioned by label. The majority label (90% of the corpus)
+      funnels through ONE window task; AQE cannot split a window
+      partition.
+    - two-stage arm: the shipped class_balance (cap_per_group shape)
+      — per-(label, hash-bucket) local top-k prunes every label to
+      <= 32*target rows BEFORE the per-label rank, so no task ever
+      holds more than max(partition, 32*target) rows regardless of
+      label skew.
+
+    Protocol: x1/x8/x32 replicated documents (many input files —
+    trap 17), label derived from hash(doc_id). The window arm's hot
+    task grows linearly with the corpus; the two-stage arm's stage-2
+    input is capped at 32*target per label, so its growth is the
+    SCAN, not the rank."""
+    from pyspark.sql.window import Window
+
+    from deeplake_spark.operators.sampling import (
+        class_balance, md5_uniform)
+
+    target = 2000
+
+    def labeled(dir_):
+        docs = spark.read.parquet(os.path.join(dir_, "documents.parquet"))
+        h = F.pmod(F.hash("doc_id"), F.lit(100))
+        return docs.select(
+            "doc_id",
+            F.when(h < 90, F.lit("majority"))
+            .when(h < 99, F.lit("mid"))
+            .otherwise(F.lit("rare")).alias("label"))
+
+    def window_arm(d):
+        w = Window.partitionBy("label").orderBy("__u", "doc_id")
+        return (d.withColumn("__u", md5_uniform("doc_id", "balance"))
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= target)
+                .drop("__u", "__rk"))
+
+    def timed(fn, n=2):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {"target": target, "label_mix": "90/9/1", "rows": []}
+    for kk in (1, 8, 32):
+        src = os.path.join(WORK, f"balx{kk}")
+        replicate(spark, "documents", kk, src)
+        d = labeled(src)
+        row = {"k": kk,
+               "window_s": timed(lambda: window_arm(d)),
+               "twostage_s": timed(
+                   lambda: class_balance(d, "label", target=target))}
+        a = sorted(r.doc_id for r in window_arm(d).collect())
+        b = sorted(r.doc_id for r in
+                   class_balance(d, "label", target=target).collect())
+        assert a == b, "class_balance A/B arms disagree"
+        out["rows"].append(row)
+    return out
+
+
 def v30_section(spark):
     """Filtered-ANN widening cost curve (round-14 VERDICT task 4,
     v30's index arm): ivf_search(candidates=, candidate_selectivity=s)
@@ -1173,10 +1243,11 @@ def main() -> None:
     hnm = hnm_section(spark) if "hnm" in sections else None
     t50skew = t50_section(spark) if "t50skew" in sections else None
     v30sel = v30_section(spark) if "v30sel" in sections else None
+    balance = balance_section(spark) if "balance" in sections else None
     print(json.dumps({"ks": ks, "rows": rows, "skew": skew,
                       "gate": gate, "ann": ann, "semdedup": semdedup,
                       "knn": knn, "hnm": hnm, "t50skew": t50skew,
-                      "v30sel": v30sel},
+                      "v30sel": v30sel, "balance": balance},
                      indent=1))
 
     out_md = None
