@@ -68,6 +68,14 @@ public final class IndexRegistry {
         if (rootPaths.isEmpty()) {
             return null;
         }
+        // LONGEST owning prefix wins, deterministically: with nested
+        // registrations (/data and /data/docs) ConcurrentHashMap
+        // iteration order used to decide which entry map served the
+        // route — and the kindsForPaths soundness answer — per JVM
+        // (r15 review). The most specific registration is the one
+        // that describes the scanned dataset.
+        Map<String, Entry> best = null;
+        int bestLen = -1;
         for (Map.Entry<String, Map<String, Entry>> e : BY_PREFIX.entrySet()) {
             String k = e.getKey();
             String kSlash = k.endsWith("/") ? k : k + "/";
@@ -79,11 +87,12 @@ public final class IndexRegistry {
                     break;
                 }
             }
-            if (ownsAll) {
-                return e.getValue();
+            if (ownsAll && k.length() > bestLen) {
+                best = e.getValue();
+                bestLen = k.length();
             }
         }
-        return null;
+        return best;
     }
 
     /** Comma-joined "column=kind" pairs of the registry entry owning ALL
@@ -108,7 +117,10 @@ public final class IndexRegistry {
         return sb.toString();
     }
 
-    /** file:/x, file:///x and /x all normalize to /x. */
+    /** file:/x, file:///x and /x all normalize to /x; trailing slashes
+     *  strip ("/x/docs/" == "/x/docs" — a trailing-slash registration
+     *  could otherwise never own its own dataset's paths and routing
+     *  silently disengaged, r15 review). */
     static String normalize(String p) {
         String s = p;
         if (s.startsWith("file:")) {
@@ -116,6 +128,9 @@ public final class IndexRegistry {
             while (s.startsWith("//")) {
                 s = s.substring(1);
             }
+        }
+        while (s.length() > 1 && s.endsWith("/")) {
+            s = s.substring(0, s.length() - 1);
         }
         return s;
     }

@@ -254,6 +254,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         List<Dataset<Row>> probes = new ArrayList<>();
         List<String> probeIdCols = new ArrayList<>();
         List<String> probeDescs = new ArrayList<>();   // range-cache keys
+        List<String> probeSigDirs = new ArrayList<>(); // data dirs to sign
         List<Long> probeNEsts = new ArrayList<>();     // corpus-size ests
         Map<String, Range> ranges = new HashMap<>();
         double maxSel = confDouble(MAX_SELECTIVITY_KEY,
@@ -277,6 +278,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     probes.add(invertedProbe(en, tok[1]));
                     probeIdCols.add(en.idCol);
                     probeDescs.add("inv|" + en.indexPath + "|" + tok[1]);
+                    probeSigDirs.add(en.indexPath + "/postings");
                     probeNEsts.add(invertedNDocs(en));
                     continue;
                 }
@@ -292,6 +294,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     probes.add(exactProbe(en, eqs[1]));
                     probeIdCols.add(en.idCol);
                     probeDescs.add("ex|" + en.indexPath + "|" + eqs[1]);
+                    probeSigDirs.add(en.indexPath + "/digests");
                     probeNEsts.add(exactN(en));
                     // digest lookup prunes; the equality itself is KEPT
                     // as a residual so an md5 collision can never admit
@@ -320,6 +323,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     probes.add(inProbe(en, in.values));
                     probeIdCols.add(en.idCol);
                     probeDescs.add("in|" + en.indexPath + "|" + in.values);
+                    probeSigDirs.add(en.indexPath + "/values");
                     probeNEsts.add(numericN(en));
                     continue;
                 }
@@ -367,6 +371,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             probeIdCols.add(r.entry.idCol);
             probeDescs.add("rg|" + r.entry.indexPath + "|" + r.lo + "|"
                     + r.loStrict + "|" + r.hi + "|" + r.hiStrict);
+            probeSigDirs.add(r.entry.indexPath + "/values");
             probeNEsts.add(numericN(r.entry));
         }
         if (probes.isEmpty()) {
@@ -386,7 +391,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     continue;
                 }
                 List<long[]> rs = cachedRanges(probes.get(i),
-                        probeDescs.get(i), probeNEsts.get(i));
+                        probeDescs.get(i), probeNEsts.get(i),
+                        probeSigDirs.get(i));
                 if (rs == null || rs.isEmpty()) {
                     continue;
                 }
@@ -442,28 +448,6 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     .sessionState().newHadoopConf();
         }
         return hadoopConf;
-    }
-
-    /** Read a small index sidecar (JSON metadata) through the Hadoop
-     *  FileSystem; null when missing or unreadable — the probe then
-     *  stays stock or unpruned, never an error. */
-    private byte[] readSidecar(String pathStr) {
-        try {
-            org.apache.hadoop.fs.Path p =
-                    new org.apache.hadoop.fs.Path(pathStr);
-            org.apache.hadoop.fs.FileSystem fs = p.getFileSystem(hconf());
-            org.apache.hadoop.fs.FileStatus st = fs.getFileStatus(p);
-            if (st.getLen() > 256L * 1024 * 1024) {
-                return null;            // not a sidecar
-            }
-            byte[] buf = new byte[(int) st.getLen()];
-            try (org.apache.hadoop.fs.FSDataInputStream in = fs.open(p)) {
-                in.readFully(0, buf);
-            }
-            return buf;
-        } catch (Exception e) {
-            return null;
-        }
     }
 
     /** Safe integer conf read: a malformed user value falls back to the
@@ -690,7 +674,7 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
      *  per-granule min/max, coalesced driver-side. */
     @SuppressWarnings("unchecked")
     private List<long[]> cachedRanges(Dataset<Row> probe, String desc,
-                                      long nEst) {
+                                      long nEst, String sigDir) {
         long granule = confLong(RANGE_GRANULE_KEY, DEFAULT_RANGE_GRANULE);
         int maxRanges = confInt(MAX_RANGES_KEY, DEFAULT_MAX_RANGES);
         double coverage = confDouble(MAX_RANGE_COVERAGE_KEY,
@@ -698,11 +682,18 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         if (granule <= 0 || maxRanges <= 0) {
             return null;
         }
-        // desc embeds the index path; the dir signature invalidates the
-        // memo when a delta append changes the index content
-        String idxPath = desc.split("\\|", 3)[1];
+        // The invalidation signature lists the DATA subdirectory the
+        // probe actually reads (postings/digests/values/assignments/
+        // codes) — the same dir readCached signs — NOT the index root:
+        // on object stores an in-place delta append changes only the
+        // data dir's listing (new part files + _SUCCESS) while the
+        // root's pseudo-dir entries stay byte-identical, and a memo
+        // keyed on the root would keep serving PRE-append [lo,hi]
+        // ranges whose corpus filter excludes the newly indexed rows
+        // before the semijoin — wrong rows, not just lost pruning
+        // (r15 review).
         String key = ((org.apache.spark.sql.classic.SparkSession) session)
-                .sessionUUID() + "|" + desc + "|" + dirSignature(idxPath)
+                .sessionUUID() + "|" + desc + "|" + dirSignature(sigDir)
                 + "|" + granule + "|" + maxRanges + "|" + coverage;
         Object hit = RANGE_CACHE.get(key);
         if (hit != null) {
@@ -1181,15 +1172,39 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 .equals(first.nullOrdering())) {
             return null;
         }
+        // Resolve an ORDER BY <alias> back to its defining expression,
+        // walking through SubqueryAlias/View/Filter wrappers and
+        // CHAINED Projects — the common nested-subquery spelling
+        // (SELECT * FROM (SELECT id, <cos expr> AS score FROM t)
+        // ORDER BY score LIMIT k) puts a SubqueryAlias between the
+        // Sort and the aliasing Project and never routed before
+        // (r15 review). A pass-through projection keeps the exprId,
+        // so descending through it is sound; the walk stops at the
+        // first non-wrapper node.
         Expression score = first.child();
-        if (score instanceof AttributeReference
-                && sort.child() instanceof Project) {
-            Expression aliased = resolveAlias((Project) sort.child(),
-                    (AttributeReference) score);
-            if (aliased == null) {
-                return null;
+        LogicalPlan sc = sort.child();
+        while (score instanceof AttributeReference) {
+            if (sc instanceof SubqueryAlias) {
+                sc = ((SubqueryAlias) sc).child();
+            } else if (sc instanceof
+                    org.apache.spark.sql.catalyst.plans.logical.View) {
+                sc = ((org.apache.spark.sql.catalyst.plans.logical.View) sc)
+                        .child();
+            } else if (sc instanceof Filter) {
+                sc = ((Filter) sc).child();
+            } else if (sc instanceof Project) {
+                Expression aliased = resolveAlias((Project) sc,
+                        (AttributeReference) score);
+                if (aliased != null) {
+                    score = aliased;   // may alias another attr below
+                }
+                sc = ((Project) sc).child();
+            } else {
+                break;
             }
-            score = aliased;
+        }
+        if (score instanceof AttributeReference) {
+            return null;   // a stored column, not a computed score
         }
         // descend to the scan BEFORE matching the score (the score match
         // may execute a scalar subquery — do all cheap bail-outs first);
@@ -1238,15 +1253,26 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
         // idempotence pre-guard: if any existing semijoin already probes
         // a vector index of this dataset, this top-k was routed on an
         // earlier fixed-point pass — bail before any subquery execution
+        boolean anyVec = false;
         for (IndexRegistry.Entry cand : byCol.values()) {
             if (!"clustered".equals(cand.kind) && !"pq".equals(cand.kind)) {
                 continue;
             }
+            anyVec = true;
             for (LogicalPlan pr : semiProbes) {
                 if (scansUnder(pr, cand.indexPath)) {
                     return null;
                 }
             }
+        }
+        if (!anyVec) {
+            // no clustered/pq registration for this dataset: the route
+            // can never apply — bail BEFORE matchScore, which may
+            // execute the query-vector scalar subquery as a driver-side
+            // job (trap-8 discipline: that job is bounded but not
+            // memoized, and the analyzer fixed point would re-run it
+            // per iteration for the common no-vector-index case)
+            return null;
         }
         ScoreMatch m = matchScore(score);
         if (m == null) {
@@ -1313,6 +1339,17 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                 splitAnd(cond, cs);
             }
             for (Expression c : cs) {
+                // estimateConjunctSel matches index entries by column
+                // NAME, but the descent above walks through COMPUTED
+                // Projects — a conjunct on an alias shadowing a
+                // registered column (SELECT length(text) AS n_chars)
+                // would read the WRONG histogram and mis-size the
+                // widening (r15 review). Only conjuncts whose every
+                // attribute IS a scan attribute (exprId match — the
+                // same guard the score match uses) contribute.
+                if (!attrsFromRelation(c, relation)) {
+                    continue;
+                }
                 double s = estimateConjunctSel(c, byCol);
                 if (s >= 0) {
                     filterSel = filterSel < 0 ? s
@@ -1346,7 +1383,8 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                     instanceof org.apache.spark.sql.types.IntegralType) {
                 List<long[]> rs = cachedRanges(probe,
                         "ann|" + en.indexPath + "|" + pr.cells,
-                        nEst);
+                        nEst, en.indexPath + ("pq".equals(en.kind)
+                                ? "/codes" : "/assignments"));
                 if (rs != null && !rs.isEmpty()) {
                     Expression p = rangesPred(idAttr, rs);
                     if (p != null) {
@@ -1435,14 +1473,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
                                   double filterSel) {
         try {
             boolean pq = "pq".equals(en.kind);
-            byte[] txt = readSidecar(en.indexPath
-                    + (pq ? "/codebooks.json" : "/centroids.json"));
-            if (txt == null) {
+            // mtime-validated STATS_CACHE, not a raw read: the
+            // centroid table is multi-MB JSON and this runs per
+            // PLANNED query — annN() already reads the same file
+            // through cachedJson (r15 review)
+            com.fasterxml.jackson.databind.JsonNode root = cachedJson(
+                    en.indexPath
+                            + (pq ? "/codebooks.json" : "/centroids.json"));
+            if (root == null) {
                 return null;            // unreadable sidecar: stay stock
             }
-            com.fasterxml.jackson.databind.JsonNode root =
-                    new com.fasterxml.jackson.databind.ObjectMapper()
-                            .readTree(txt);
             com.fasterxml.jackson.databind.JsonNode cents =
                     root.get("centroids");
             if (cents == null || cents.isNull()) {
@@ -1476,6 +1516,16 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             int af = confInt(ANN_ACCURACY_KEY, 10);
             int eff = Math.min(n, Math.max(nprobe,
                     (int) Math.ceil(n * af / 20.0)));
+            if (eff <= 0) {
+                // nprobe<=0 with accuracyFactor<=0: an empty cell set
+                // would fold isin() to FALSE — an always-empty probe
+                // that silently returns 0 rows for the top-k AND, as
+                // an empty LocalRelation, escapes the scansUnder
+                // idempotence guard so every Resolution iteration
+                // stacks another semijoin (r15 review). Decline; the
+                // documented off switch is ann.enabled.
+                return null;
+            }
             if (filterSel > 0) {
                 // filtered search keeps ~filterSel of each cell's
                 // candidates: probe 1/s more cells. The honest need is
@@ -1958,6 +2008,28 @@ public class IndexRoutingRule extends Rule<LogicalPlan> {
             Expression e) {
         return (scala.collection.immutable.Seq<Expression>)
                 (scala.collection.immutable.Seq<?>) e.children();
+    }
+
+    /** True when every attribute the expression references resolves by
+     *  exprId to an output attribute of the scan relation — i.e. the
+     *  expression talks about REAL stored columns, not computed
+     *  aliases that happen to share a registered column's name. */
+    private static boolean attrsFromRelation(Expression e,
+                                             LogicalRelation rel) {
+        java.util.HashSet<Object> ids = new java.util.HashSet<>();
+        scala.collection.Iterator<AttributeReference> oit =
+                rel.output().iterator();
+        while (oit.hasNext()) {
+            ids.add(oit.next().exprId());
+        }
+        scala.collection.Iterator<Attribute> rit =
+                e.references().iterator();
+        while (rit.hasNext()) {
+            if (!ids.contains(rit.next().exprId())) {
+                return false;
+            }
+        }
+        return true;
     }
 
     private static Expression resolveAlias(Project p, AttributeReference a) {

@@ -397,7 +397,10 @@ def _ann_route_possible(spark: SparkSession, view: str) -> bool:
             return False
         files = list(spark.table(view).inputFiles())
         kinds = _registry(spark).kindsForPaths(files)
-        return any(k.split("=", 1)[-1] in ("clustered", "pq")
+        # rsplit: the protocol is "column=kind" and a column NAME may
+        # itself contain '=' — a LEFT split would misread the kind and
+        # under-detect ANN coverage (unsound prefilter push, r15 review)
+        return any(k.rsplit("=", 1)[-1] in ("clustered", "pq")
                    for k in kinds.split(",") if k)
     except Exception:
         return True

@@ -1741,3 +1741,78 @@ def test_sql_fetchback_rebuild_after_append_sees_new_docs(spark,
         for v in ("snap_docs", "snap_docs__postings",
                   "snap_docs__doclens", "snap_docs__stats"):
             spark.catalog.dropTempView(v)
+
+
+def test_ann_nprobe_zero_declines_route(spark, ann_ds):
+    """r15 review: nprobe=0 with accuracyFactor=0 used to build an
+    EMPTY cell probe — every routed top-k silently returned 0 rows,
+    and the empty LocalRelation escaped the scansUnder idempotence
+    guard (semijoin stacking at the Resolution fixed point). The
+    route now declines: stock plan, exact rows; ann.enabled stays the
+    documented off switch."""
+    ds, qv = ann_ds
+    sql = ("SELECT vec_id FROM ann_emb ORDER BY "
+           f"{rt.cosine_sql('embedding', qv)} DESC LIMIT 5")
+    exact = [r.vec_id for r in spark.sql(sql).collect()]
+    assert exact
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    spark.conf.set("spark.sql.deeplake.routing.ann.nprobe", "0")
+    spark.conf.set("spark.sql.deeplake.routing.ann.accuracyFactor", "0")
+    try:
+        df = spark.sql(sql)
+        assert "LeftSemi" not in _plan(df)
+        assert [r.vec_id for r in df.collect()] == exact
+    finally:
+        spark.conf.unset("spark.sql.deeplake.routing.ann.nprobe")
+
+
+def test_ann_routes_through_subquery_alias(spark, ann_ds):
+    """r15 review: ORDER BY <alias> defined in a NESTED subquery puts
+    a SubqueryAlias between the Sort and the aliasing Project — the
+    alias walk now peels wrappers and chained Projects, so the common
+    `SELECT * FROM (SELECT id, <cos> AS score FROM t) ORDER BY score`
+    spelling routes like the flat one and returns the same rows."""
+    ds, qv = ann_ds
+    rt.register_dataset(ds)
+    rt.enable(spark)
+    cos = rt.cosine_sql("embedding", qv)
+    nested = (f"SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
+              "FROM ann_emb) s ORDER BY score DESC LIMIT 10")
+    flat = (f"SELECT vec_id FROM ann_emb ORDER BY {cos} DESC LIMIT 10")
+    dfn, dff = spark.sql(nested), spark.sql(flat)
+    assert "LeftSemi" in _plan(dfn), "nested alias spelling not routed"
+    assert "LeftSemi" in _plan(dff)
+    assert sorted(r.vec_id for r in dfn.collect()) == \
+        sorted(r.vec_id for r in dff.collect())
+
+
+def test_registry_trailing_slash_and_longest_prefix(spark):
+    """r15 review pins on IndexRegistry: a trailing-slash registration
+    normalizes and still owns its own dataset's files (it used to own
+    NOTHING — silent loss of all routing); with NESTED registrations
+    the longest owning prefix wins deterministically (map iteration
+    order used to pick the winner per JVM)."""
+    if not rt.is_available(spark):
+        pytest.skip("extension jar not on driver classpath")
+    reg = spark._jvm.io.deeplake.spark.ext.IndexRegistry
+    reg.clear()
+    try:
+        reg.register("/tmp/rt_slash_ds/", "text", "inverted",
+                     "/tmp/rt_slash_ds/_idx/text", "doc_id")
+        assert reg.kindsForPaths(
+            ["/tmp/rt_slash_ds/part-0.parquet"]) == "text=inverted"
+        assert reg.kindsForPaths(
+            ["/tmp/rt_slash_ds"]) == "text=inverted"
+        # nested: the more specific registration describes the scan
+        reg.register("/tmp/rt_slash_ds/sub", "embedding", "clustered",
+                     "/tmp/rt_slash_ds/sub/_idx/emb", "vec_id")
+        for _ in range(3):   # deterministic, not iteration-order luck
+            assert reg.kindsForPaths(
+                ["/tmp/rt_slash_ds/sub/part-0.parquet"]) \
+                == "embedding=clustered"
+        # sibling files still resolve to the parent registration
+        assert reg.kindsForPaths(
+            ["/tmp/rt_slash_ds/other.parquet"]) == "text=inverted"
+    finally:
+        reg.clear()
