@@ -1156,7 +1156,8 @@ def _dicom_walk(payload: bytes, pos: int, end: int, explicit: bool,
     skipped (defined length: by length; undefined length: by item walk,
     recursing for undefined-length items). ``endian`` byteswaps tags
     and lengths for the retired explicit-VR big-endian syntax. With
-    ``frames_out`` (the RLE lane), an undefined-length PixelData is
+    ``frames_out`` (the RLE and encapsulated-JPEG lanes), an
+    undefined-length PixelData is
     parsed as PS3.5 A.4 encapsulation — one fragment item per frame
     appended to the list — instead of raising. Returns the position
     after the scope — end of buffer, or just past an item/sequence
@@ -1287,33 +1288,52 @@ def _decode_rle_frame(frame: bytes, rows: int, cols: int, samples: int,
 
 
 def _decode_jpeg_frames(frames_items: list, frames: int, rows: int,
-                        cols: int, samples: int,
-                        base: np.dtype) -> np.ndarray:
+                        cols: int, samples: int, base: np.dtype,
+                        dct: bool, photometric: str) -> np.ndarray:
     """Encapsulated-JPEG pixel decode (PS3.5 A.4.1) through the in-repo
     T.81 codec (operators/_jpeg.py — SOF0 baseline, SOF1 12-bit
     extended, SOF2 progressive, SOF3 lossless): a SINGLE-frame image
     may split one JPEG stream across several fragments (concatenated —
     the fixed-size-fragment layout real exporters emit); a MULTI-frame
-    image must carry exactly one fragment per frame (the same rule the
-    RLE lane enforces — without a Basic Offset Table there is no sound
-    way to group a mismatched count). Frame shape/precision must match
-    the DICOM image-pixel header, PixelRepresentation=1 reinterprets
-    the decoded code values as two's complement (the pydicom
-    pixel_array convention). JPEG features the codec lacks (SOF11
-    hierarchical, 4-component color) surface as _MedicalUnsupported —
+    image must carry exactly one fragment per frame. A mismatched
+    fragment count is a LIMITATION here, not malformation — PS3.5 A.4
+    allows a frame to span fragments (grouped by the Basic Offset
+    Table), so it raises _MedicalUnsupported and pydicom gets its
+    chance (r15 review: a ValueError used to bypass the fallthrough
+    and hand strict mode a hard failure on a legal file). Frame shape
+    must match the DICOM image-pixel header; a decoded sample width
+    NARROWER than BitsAllocated widens (JPEG precision tracks
+    BitsStored — 8-in-16-bit files are legal), sign-extending at the
+    decoded width first when PixelRepresentation=1 (the pydicom
+    pixel_array convention); wider is unsupported, pydicom decides.
+    For the DCT syntaxes the codec inverse-YCbCr-transforms every
+    3-component frame, so a PhotometricInterpretation that says the
+    stored components are NOT YBR (e.g. RGB — legal per PS3.3
+    C.7.6.3.1.2) is unsupported rather than silently scrambled; the
+    lossless lane applies no transform and returns any photometric
+    as stored. JPEG features the codec lacks (SOF11 hierarchical,
+    4-component color) likewise surface as _MedicalUnsupported —
     the pydicom/fake fallthrough, never a wrong array."""
     from deeplake_spark.operators import _jpeg
 
     if not frames_items:
-        raise ValueError("JPEG DICOM without encapsulated fragments")
+        raise _MedicalUnsupported(
+            "JPEG DICOM without encapsulated fragments "
+            "(defined-length PixelData)")
+    if dct and samples == 3 and photometric \
+            and not photometric.startswith("YBR"):
+        raise _MedicalUnsupported(
+            f"JPEG DICOM PhotometricInterpretation {photometric} "
+            "(DCT lane decodes YBR only)")
     if frames <= 1:
         streams = [b"".join(frames_items)]
     elif len(frames_items) == frames:
         streams = frames_items
     else:
-        raise ValueError(
+        raise _MedicalUnsupported(
             f"JPEG DICOM NumberOfFrames {frames} != "
-            f"{len(frames_items)} encapsulated fragments")
+            f"{len(frames_items)} encapsulated fragments "
+            "(frames spanning fragments need the Basic Offset Table)")
     base = np.dtype(base)
     decoded = []
     for s in streams:
@@ -1330,11 +1350,15 @@ def _decode_jpeg_frames(frames_items: list, frames: int, rows: int,
             raise ValueError(
                 f"JPEG {nc}-component frame contradicts DICOM "
                 f"SamplesPerPixel {samples}")
-        if d.dtype.itemsize != base.itemsize:
-            raise ValueError(
-                f"JPEG sample width {d.dtype.itemsize * 8} contradicts "
+        if d.dtype.itemsize > base.itemsize:
+            raise _MedicalUnsupported(
+                f"JPEG sample width {d.dtype.itemsize * 8} exceeds "
                 f"DICOM BitsAllocated {base.itemsize * 8}")
-        decoded.append(d.view(base) if base.kind == "i" else d)
+        if base.kind == "i":
+            d = d.view(np.dtype(f"i{d.dtype.itemsize}"))
+        if d.dtype.itemsize < base.itemsize:
+            d = d.astype(base)
+        decoded.append(d)
     return np.stack(decoded) if len(decoded) > 1 else decoded[0]
 
 
@@ -1391,8 +1415,10 @@ def _decode_dicom(payload: bytes) -> np.ndarray:
             modes = [(True, ">", None)]
         elif ts == _DICOM_RLE:
             modes = [(True, "<", "rle")]
-        elif ts in _DICOM_JPEG_SYNTAXES:
-            modes = [(True, "<", "jpeg")]
+        elif ts in (_DICOM_JPEG_BASELINE, _DICOM_JPEG_EXTENDED):
+            modes = [(True, "<", "jpeg-dct")]
+        elif ts in (_DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1):
+            modes = [(True, "<", "jpeg-ll")]
         else:
             raise _MedicalUnsupported(f"DICOM transfer syntax {ts}")
     elif len(payload) >= 8:
@@ -1427,6 +1453,7 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
                    endian: str, codec: str | None) -> np.ndarray:
     want: dict = {
         (0x0028, 0x0002): None,  # SamplesPerPixel US
+        (0x0028, 0x0004): None,  # PhotometricInterpretation CS
         (0x0028, 0x0008): None,  # NumberOfFrames IS
         (0x0028, 0x0010): None,  # Rows US
         (0x0028, 0x0011): None,  # Columns US
@@ -1468,9 +1495,12 @@ def _dicom_extract(payload: bytes, pos: int, end: int, explicit: bool,
         decoded = [_decode_rle_frame(fr, rows, cols, samples, base)
                    for fr in frames_items]
         return (np.stack(decoded) if len(decoded) > 1 else decoded[0])
-    if codec == "jpeg":
+    if codec in ("jpeg-dct", "jpeg-ll"):
+        photometric = (want[(0x0028, 0x0004)] or b"").strip(
+            b"\x00 ").decode("ascii", "replace").upper()
         return _decode_jpeg_frames(frames_items, frames, rows, cols,
-                                   samples, base)
+                                   samples, base, codec == "jpeg-dct",
+                                   photometric)
     pix = want[(0x7FE0, 0x0010)]
     if pix is None:
         raise ValueError("DICOM payload missing PixelData")

@@ -564,7 +564,8 @@ def _rle_encode_frame_test(a):
 
 
 def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
-                  with_seq=False, endian="<", rle=False, fragments=None):
+                  with_seq=False, endian="<", rle=False, fragments=None,
+                  photometric=None, bits_allocated=None):
     """Test-side DICOM part-10 writer (NEMA PS3.10/PS3.5): 128-byte
     preamble + DICM + explicit-VR file meta (TransferSyntaxUID) + a
     dataset with the image-pixel module and PixelData. `with_seq`
@@ -593,7 +594,7 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
 
     el = ele if explicit else eli
     signed = arr.dtype.kind == "i"
-    bits = arr.dtype.itemsize * 8
+    bits = bits_allocated or arr.dtype.itemsize * 8
     samples = 1
     if arr.ndim == 2:
         frames, (rows, cols) = 1, arr.shape
@@ -613,13 +614,16 @@ def _encode_dicom(arr, explicit=True, preamble=True, transfer_syntax=None,
         else:
             body += st.pack(endian + "HHI", 0x0008, 0x1140, 0xFFFFFFFF) + seq
     body += el(0x0028, 0x0002, b"US", st.pack(endian + "H", samples))
+    if photometric is not None:
+        body += el(0x0028, 0x0004, b"CS", photometric.encode())
     if frames > 1:
         body += el(0x0028, 0x0008, b"IS", str(frames).encode())
     body += el(0x0028, 0x0010, b"US", st.pack(endian + "H", rows))
     body += el(0x0028, 0x0011, b"US", st.pack(endian + "H", cols))
+    stored = arr.dtype.itemsize * 8   # BitsStored = the data's width
     body += el(0x0028, 0x0100, b"US", st.pack(endian + "H", bits))
-    body += el(0x0028, 0x0101, b"US", st.pack(endian + "H", bits))
-    body += el(0x0028, 0x0102, b"US", st.pack(endian + "H", bits - 1))
+    body += el(0x0028, 0x0101, b"US", st.pack(endian + "H", stored))
+    body += el(0x0028, 0x0102, b"US", st.pack(endian + "H", stored - 1))
     body += el(0x0028, 0x0103, b"US", st.pack(endian + "H", 1 if signed else 0))
     if rle or fragments:
         if fragments:
@@ -824,8 +828,12 @@ def test_real_dicom_encapsulated_jpeg_lossless_exact():
         mf, fragments=frags, transfer_syntax="1.2.840.10008.1.2.4.57"))
     assert got.shape == (3, 6, 5) and (got == mf).all()
 
-    # multi-frame fragment-count mismatch is malformed, not guessed at
-    with pt.raises(ValueError, match="fragments"):
+    # multi-frame fragment-count mismatch: a frame may LEGALLY span
+    # fragments (PS3.5 A.4, BOT-grouped) — our lane can't group it, so
+    # it is UNSUPPORTED (the pydicom fallthrough), never a hard
+    # ValueError that would bypass a decoder that can (r15 review)
+    from deeplake_spark.operators.multimodal import _MedicalUnsupported
+    with pt.raises(_MedicalUnsupported, match="fragments"):
         _decode_dicom(_encode_dicom(
             mf, fragments=frags[:2],
             transfer_syntax="1.2.840.10008.1.2.4.57"))
@@ -889,6 +897,68 @@ def test_real_dicom_encapsulated_jpeg_baseline_and_extended():
     assert got.dtype == np.uint16 and got.shape == g12.shape
     err = np.abs(got.astype(int) - g12.astype(int))
     assert err.max() <= 20 * 16 and err.mean() <= 4 * 16
+
+
+def test_dicom_jpeg_photometric_bits_and_taxonomy(monkeypatch):
+    """r15 review pins on the encapsulated-JPEG lane:
+
+    - PhotometricInterpretation=RGB on a DCT syntax is UNSUPPORTED
+      (the codec inverse-YCbCr-transforms every 3-component DCT frame
+      — decoding RGB-stored components would scramble colors), while
+      YBR_FULL_422 decodes; the lossless lane applies no transform and
+      accepts RGB as stored.
+    - BitsStored 8 in BitsAllocated 16 (legal per PS3.5) widens the
+      decoded samples to the allocated dtype instead of raising, sign-
+      extending at the decoded width for PixelRepresentation=1.
+    - Defined-length (non-encapsulated) PixelData under a JPEG syntax
+      is UNSUPPORTED, not malformed — pydicom gets its chance."""
+    import numpy as np
+    import pytest as pt
+
+    from deeplake_spark.operators._jpeg import (
+        encode_baseline, encode_lossless)
+    from deeplake_spark.operators.multimodal import (
+        _MedicalUnsupported, _decode_dicom)
+
+    y, x = np.mgrid[0:8, 0:12]
+    gray = (90 + 30 * np.sin(x / 3.0) + 20 * np.cos(y / 2.0)).astype(np.uint8)
+    rgb = np.stack([gray, gray[::-1], gray[:, ::-1]], axis=-1)
+
+    # DCT + RGB photometric: unsupported, never a scrambled array
+    with pt.raises(_MedicalUnsupported, match="RGB"):
+        _decode_dicom(_encode_dicom(
+            rgb, fragments=[encode_baseline(rgb)],
+            transfer_syntax="1.2.840.10008.1.2.4.50", photometric="RGB"))
+    # DCT + YBR declared: decodes (same stream as the untagged lane)
+    got = _decode_dicom(_encode_dicom(
+        rgb, fragments=[encode_baseline(rgb)],
+        transfer_syntax="1.2.840.10008.1.2.4.50",
+        photometric="YBR_FULL_422"))
+    assert got.shape == rgb.shape
+    # lossless + RGB photometric: no transform, exact, as stored
+    rgb16 = rgb.astype(np.uint16) * 200
+    got = _decode_dicom(_encode_dicom(
+        rgb16, fragments=[encode_lossless(rgb16)],
+        transfer_syntax="1.2.840.10008.1.2.4.57", photometric="RGB"))
+    assert (got == rgb16).all()
+
+    # 8-in-16: BitsAllocated=16, JPEG precision 8 — widens, not raises
+    a8 = gray
+    got = _decode_dicom(_encode_dicom(
+        a8, fragments=[encode_lossless(a8)],
+        transfer_syntax="1.2.840.10008.1.2.4.70", bits_allocated=16))
+    assert got.dtype == np.uint16 and (got == a8.astype(np.uint16)).all()
+    # signed 8-in-16: sign-extends at the decoded width
+    s8 = (gray.astype(np.int16) - 120).astype(np.int8)
+    got = _decode_dicom(_encode_dicom(
+        s8, fragments=[encode_lossless(s8.view(np.uint8))],
+        transfer_syntax="1.2.840.10008.1.2.4.70", bits_allocated=16))
+    assert got.dtype == np.int16 and (got == s8.astype(np.int16)).all()
+
+    # defined-length PixelData under a JPEG syntax: unsupported
+    with pt.raises(_MedicalUnsupported, match="encapsulated"):
+        _decode_dicom(_encode_dicom(
+            gray, transfer_syntax="1.2.840.10008.1.2.4.50"))
 
 
 def test_medical_dicom_compressed_falls_to_pydicom(monkeypatch):
