@@ -120,21 +120,57 @@ def shape2d(arr2d: Column) -> Column:
     )
 
 
-def array_slice(arr: Column, start: Column | int, stop: Column | int, step: int = 1) -> Column:
+def array_slice(arr: Column, start: Column | int | None,
+                stop: Column | int | None, step: int = 1) -> Column:
     """Python-style slice col[start:stop:step] with 0-based indexing
     (reference cpp/query_core/expr.hpp:303-318). Negative indexing is
-    resolved against the array length (icm/parse_negative_index.hpp)."""
+    resolved against the array length (icm/parse_negative_index.hpp).
+    `start`/`stop` None take python's STEP-SIGN-dependent defaults
+    (a[::-1] reverses; r15 review: the old fixed 0/MAX defaults made
+    every negative-step slice an illegal-sequence crash or an empty
+    array); `step` must be a python int."""
+    if step == 0:
+        raise ValueError("slice step cannot be zero")
     n = F.size(arr)
-    start_c = F.lit(start) if isinstance(start, int) else start
-    stop_c = F.lit(stop) if isinstance(stop, int) else stop
-    start_n = F.when(start_c < 0, F.greatest(n + start_c, F.lit(0))).otherwise(F.least(start_c, n))
-    stop_n = F.when(stop_c < 0, F.greatest(n + stop_c, F.lit(0))).otherwise(F.least(stop_c, n))
-    idx = F.sequence(start_n + 1, stop_n, F.lit(step))  # 1-based for element_at
+    if step > 0:
+        start_c = F.lit(0 if start is None else start) \
+            if not isinstance(start, Column) else start
+        stop_c = F.lit(2**31 - 1 if stop is None else stop) \
+            if not isinstance(stop, Column) else stop
+        start_n = F.when(start_c < 0, F.greatest(n + start_c, F.lit(0))) \
+            .otherwise(F.least(start_c, n))
+        stop_n = F.when(stop_c < 0, F.greatest(n + stop_c, F.lit(0))) \
+            .otherwise(F.least(stop_c, n))
+        idx = F.sequence(start_n + 1, stop_n, F.lit(step))  # 1-based
+        return F.when(
+            stop_n > start_n,
+            F.transform(
+                F.filter(idx, lambda i: i <= n),
+                lambda i: F.element_at(arr, i.cast("int"))
+            ),
+        ).otherwise(F.slice(arr, 1, 0))
+    # negative step — python slice.indices() semantics: defaults run
+    # from the last element down THROUGH index 0; resolved bounds
+    # clamp to [-1, n-1]; emitted indices are start_n, start_n+step,
+    # ... strictly greater than stop_n
+    if start is None:
+        start_n = n - 1
+    else:
+        start_c = F.lit(start) if not isinstance(start, Column) else start
+        start_n = F.least(F.when(start_c < 0, n + start_c)
+                          .otherwise(start_c), n - 1)
+    if stop is None:
+        stop_n = F.lit(-1)
+    else:
+        stop_c = F.lit(stop) if not isinstance(stop, Column) else stop
+        stop_n = F.greatest(
+            F.least(F.when(stop_c < 0, n + stop_c).otherwise(stop_c),
+                    n - 1),
+            F.lit(-1))
+    idx0 = F.sequence(start_n, stop_n + 1, F.lit(step))  # 0-based desc
     return F.when(
-        stop_n > start_n,
-        F.transform(
-            F.filter(idx, lambda i: i <= n), lambda i: F.element_at(arr, i.cast("int"))
-        ),
+        (start_n >= F.lit(0)) & (start_n >= stop_n + 1),
+        F.transform(idx0, lambda i: F.element_at(arr, (i + 1).cast("int"))),
     ).otherwise(F.slice(arr, 1, 0))
 
 

@@ -31,6 +31,20 @@ class Parser:
         self.i += 1
         return t
 
+    def next_int(self) -> int:
+        """Consume one token as a non-negative integer, raising
+        TQLSyntaxError (not bare ValueError) on anything else — the
+        is_valid() bool contract catches only TQLSyntaxError, so
+        `LIMIT x` / `TOP 1.5` must not escape as a raw int() crash
+        (r15 review, confirmed live)."""
+        t = self.next()
+        try:
+            return int(t.value)
+        except (TypeError, ValueError):
+            raise TQLSyntaxError(
+                f"expected an integer at {t.pos}, got {t.value!r}"
+            ) from None
+
     def at_kw(self, *kws: str) -> bool:
         t = self.peek()
         return t.kind == "KEYWORD" and t.value in kws
@@ -90,7 +104,7 @@ class Parser:
         sel = ast.Select(items=[])
         top_n: int | None = None
         if self.try_kw("TOP"):  # y:939
-            top_n = int(self.next().value)
+            top_n = self.next_int()
         if self.try_kw("DISTINCT"):
             sel.distinct = True
         sel.items = self.parse_select_list()
@@ -101,8 +115,8 @@ class Parser:
         if self.at_kw("EXPAND"):  # y:875
             self.next()
             self.eat_kw("BY")
-            h = int(self.next().value)
-            w = int(self.next().value)
+            h = self.next_int()
+            w = self.next_int()
             overlap = False
             if self.peek().kind == "IDENT" and self.peek().value.upper() == "OVERLAP":
                 self.next()
@@ -246,12 +260,12 @@ class Parser:
         if not self.at_kw("LIMIT"):
             return None
         self.next()
-        n = int(self.next().value)
+        n = self.next_int()
         if self.try_kw("PERCENT"):  # y:950
             return ast.Limit(n=n, percent=True)
         offset = 0
         if self.try_kw("OFFSET"):
-            offset = int(self.next().value)
+            offset = self.next_int()
         return ast.Limit(n=n, offset=offset)
 
     # -- expressions --------------------------------------------------------

@@ -227,7 +227,12 @@ class Translator:
         ):
             raise TQLTranslationError(
                 "explicit SELECT list disabled by options.allow_selection_list")
-        if source_override is None and opts.use_index:
+        if source_override is None and opts.use_index \
+                and not self._sel_uses_rownum(sel):
+            # ROW_NUMBER() is the SOURCE row offset (tql.md:427-431:
+            # "zero-based row offset"); an ANN-pruned re-entry would
+            # renumber the <=k·af surviving rows — decline the route
+            # and keep the exact plan (r15 review)
             routed = self._try_ann_route(sel)
             if routed is not None:
                 # re-enter with the index-pruned source: the normal path
@@ -250,7 +255,28 @@ class Translator:
         finally:
             self._data_base = prev_base
 
+    def _sel_uses_rownum(self, sel: ast.Select) -> bool:
+        parts: list = [sel.where, sel.having] + [it.expr for it in sel.items]
+        if sel.order:
+            parts += [o.expr for o in sel.order]
+        if sel.sample is not None:
+            parts.append(sel.sample.weight)
+        return any(p is not None and _uses_rownum(p) for p in parts)
+
     def _select_body(self, sel: ast.Select, df: DataFrame) -> DataFrame:
+        # ROW_NUMBER() = the zero-based SOURCE row offset (tql.md:427,
+        # the reference's own example `SELECT *, ROW_NUMBER() WHERE
+        # ROW_NUMBER() < 100` — one numbering, shared): materialize it
+        # ONCE over the source before any filter/route so WHERE and the
+        # select list read the SAME offsets (r15 review: the old
+        # per-stage recompute made `SELECT ROW_NUMBER() WHERE
+        # ROW_NUMBER() >= 7` emit rows numbered 0.. — every output row
+        # violated the query's own predicate). Restructuring queries
+        # (GROUP/UNGROUP/EXPAND) keep per-stage numbering: their row
+        # identity changes mid-plan, so "source offset" is undefined.
+        if (sel.group is None and sel.ungroup is None
+                and sel.expand is None and self._sel_uses_rownum(sel)):
+            df = self._with_rownum(df)
         if sel.where is not None:
             df = self._apply_where(sel.where, df)
 
@@ -269,7 +295,7 @@ class Translator:
                 df = df.drop("__tql_rownum")
 
         if sel.ungroup is not None:
-            df = self._ungroup(df)
+            df = self._ungroup(df, sel.ungroup)
 
         # SAMPLE BY weight may reference source columns that the
         # projection drops — materialize it before projecting (the
@@ -297,6 +323,15 @@ class Translator:
         # BY can reference it (dropped again before returning)
         if "__tql_score" in df.columns:
             cols.append(F.col("__tql_score"))
+        # the shared source-offset ROW_NUMBER column likewise survives
+        # into ORDER BY (re-materializing over the projected frame
+        # would renumber the filtered rows); DISTINCT excludes it — an
+        # offset column would make every row unique
+        carry_rn = bool(
+            "__tql_rownum" in df.columns and not sel.distinct
+            and sel.order and any(_uses_rownum(o.expr) for o in sel.order))
+        if carry_rn:
+            cols.append(F.col("__tql_rownum"))
         projected = df.select(*cols)
 
         if sel.distinct:
@@ -326,7 +361,8 @@ class Translator:
                 )
             finally:
                 self._depth_fallback_df = prev_fb
-            if not had_rn and "__tql_rownum" in projected.columns:
+            if (carry_rn or not had_rn) \
+                    and "__tql_rownum" in projected.columns:
                 projected = projected.drop("__tql_rownum")
 
         if sel.limit is not None:
@@ -352,6 +388,13 @@ class Translator:
                 conjuncts.append(n)
 
         split(where)
+        # ROW_NUMBER in WHERE numbers the PRE-ROUTING source: routed
+        # semijoins drop rows, and numbering the survivors would
+        # diverge from the stock plan (r15 review — the use_index
+        # "same rows" contract). Materialize before any rewrite.
+        had_rownum_entry = "__tql_rownum" in df.columns
+        if not had_rownum_entry and _uses_rownum(where):
+            df = self._with_rownum(df)
         residual: list[ast.Node] = []
         for c in conjuncts:
             handled = (
@@ -365,12 +408,13 @@ class Translator:
             pred = residual[0]
             for r in residual[1:]:
                 pred = ast.BinaryOp("AND", pred, r)
-            had_rownum = "__tql_rownum" in df.columns
-            if not had_rownum and _uses_rownum(pred):
-                df = self._with_rownum(df)
             df = df.filter(self._expr(pred, df))
-            if not had_rownum:
-                df = df.drop("__tql_rownum")
+        if not had_rownum_entry and "__tql_rownum" in df.columns:
+            # only reached on the restructuring paths (GROUP/UNGROUP/
+            # EXPAND) — the shared-offset queries materialize the
+            # column BEFORE _apply_where and keep it for the later
+            # clauses
+            df = df.drop("__tql_rownum")
         return df
 
     def _with_rownum(self, df: DataFrame) -> DataFrame:
@@ -576,6 +620,38 @@ class Translator:
                 if en is not None:
                     est = en[0].est_in_selectivity(
                         [i.value for i in c.items])
+            elif (
+                isinstance(c, ast.FuncCall)
+                and c.name.upper() == "EQUALS"
+                and len(c.args) == 2
+                and isinstance(c.args[0], ast.ColumnRef)
+                and isinstance(c.args[1], ast.Literal)
+                and isinstance(c.args[1].value, str)
+            ):
+                # exact-index equality — _try_index_rewrite routes it,
+                # so the estimator must see it too (the "never
+                # diverge" invariant; r15 review: an EQUALS prefilter
+                # left cand_sel None and the filtered-ANN probe ran
+                # UNWIDENED, silently degrading recall)
+                en = self._index_entry(c.args[0].name, "exact")
+                if en is not None:
+                    est = en[0].est_selectivity(c.args[1].value)
+            elif (
+                isinstance(c, ast.BinaryOp)
+                and c.op == "=="
+                and isinstance(c.left, ast.Index)
+                and isinstance(c.left.operand, ast.ColumnRef)
+                and isinstance(c.left.index, ast.Literal)
+                and isinstance(c.left.index.value, str)
+                and isinstance(c.right, ast.Literal)
+                and isinstance(c.right.value, str)
+            ):
+                # JSON path equality (string literals only — the route
+                # gate's rule)
+                en = self._index_entry(c.left.operand.name, "json")
+                if en is not None:
+                    est = en[0].est_selectivity(c.left.index.value,
+                                                c.right.value)
             if est is not None:
                 best = est if best is None else min(best, est)
         return best
@@ -1002,15 +1078,47 @@ class Translator:
             packed = packed.drop(c).withColumnRenamed(f"{c}_seq", c)
         return packed.drop("seq_len")
 
-    def _ungroup(self, df: DataFrame) -> DataFrame:
+    def _ungroup(self, df: DataFrame,
+                 clause: ast.UngroupClause | None = None) -> DataFrame:
+        """UNGROUP BY SPLIT zip-explodes EVERY sequence column in step;
+        UNGROUP BY <col> explodes only the NAMED sequence column,
+        repeating the others per emitted row (r15 review: the `by`
+        expression used to be silently ignored — a frame with
+        different-length arrays zip-padded nulls into the named column
+        instead of exploding it alone). Both use explode_outer + an
+        OUTPUT null-filter, not F.explode — trap 2: explode lets
+        Catalyst infer `size>0 AND isnotnull` on the generator INPUT
+        and push the whole zipped expression (twice) below any
+        repartition to the scan; semantics are identical (empty/null
+        sequences emit no rows)."""
         from pyspark.sql.types import ArrayType
 
-        seq_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
+        seq_cols = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType, ArrayType)]
+        if clause is not None and not clause.split and clause.by is not None:
+            if not isinstance(clause.by, ast.ColumnRef):
+                raise TQLTranslationError(
+                    "UNGROUP BY expects a sequence column name")
+            name = clause.by.name
+            if name not in seq_cols:
+                raise TQLTranslationError(
+                    f"UNGROUP BY {name}: not a sequence column")
+            keep = [c for c in df.columns if c != name]
+            # null-filter on the POSITION, not the element: a null
+            # ELEMENT inside a sequence is a legal row; only the
+            # null/empty-sequence marker row drops
+            out = df.select(
+                *keep,
+                F.posexplode_outer(F.col(name)).alias("__p", "__e"))
+            return (out.filter(F.col("__p").isNotNull())
+                    .withColumnRenamed("__e", name)
+                    .select(*df.columns))
         keep = [c for c in df.columns if c not in seq_cols]
         if not seq_cols:
             return df
         zipped = F.arrays_zip(*[F.col(c) for c in seq_cols])
-        out = df.select(*keep, F.explode(zipped).alias("__e"))
+        out = (df.select(*keep, F.explode_outer(zipped).alias("__e"))
+               .filter(F.col("__e").isNotNull()))
         for c in seq_cols:
             out = out.withColumn(c, F.col("__e")[c])
         return out.drop("__e")
@@ -1072,9 +1180,19 @@ class Translator:
         else:
             out = left.subtract(right)
         if node.order:
+            # ROW_NUMBER() in a set-op ORDER BY materializes via the
+            # partition-offset column like every other clause — the
+            # bare-expression fallback is an unpartitioned
+            # row_number().over(orderBy) single-task sort (trap 7;
+            # r15 review)
+            had_rn = "__tql_rownum" in out.columns
+            if not had_rn and any(_uses_rownum(o.expr) for o in node.order):
+                out = self._with_rownum(out)
             out = out.orderBy(
                 *[self._expr(o.expr, out).desc() if o.desc else self._expr(o.expr, out) for o in node.order]
             )
+            if not had_rn and "__tql_rownum" in out.columns:
+                out = out.drop("__tql_rownum")
         if node.limit:
             out = self._limit(node.limit, out)
         return out
@@ -1177,8 +1295,13 @@ class Translator:
             from deeplake_spark.functions.arrays import map_at_depth
 
             arr = self._expr(e.operand, df)
-            start = self._const_int(e.start, 0)
-            stop = self._const_int(e.stop, 2**31 - 1)
+            # defaults are STEP-SIGN dependent (python slice semantics:
+            # a[::-1] starts at the END) — resolved inside array_slice,
+            # so absent bounds pass through as None (r15 review: a
+            # fixed start=0/stop=MAX default made every negative-step
+            # slice empty or an illegal-sequence crash)
+            start = self._const_int(e.start, None)
+            stop = self._const_int(e.stop, None)
             step = self._const_int(e.step, 1)
             return map_at_depth(arr, e.depth,
                                 lambda a: array_slice(a, start, stop, step))
@@ -1217,7 +1340,8 @@ class Translator:
             d += 1
         return d
 
-    def _const_int(self, n: ast.Node | None, default: int) -> int:
+    def _const_int(self, n: ast.Node | None,
+                   default: int | None) -> int | None:
         if n is None:
             return default
         if isinstance(n, ast.Literal) and isinstance(n.value, int):
@@ -1262,11 +1386,20 @@ class Translator:
             return element(target, e.index.value)
         if isinstance(e.index, ast.UnaryOp) and e.index.op == "-":
             return element(target, -e.index.operand.value)
-        # dynamic index (expr.hpp:271-285): 1-based element_at over computed idx
+        # dynamic index (expr.hpp:271-285): computed idx dispatches on
+        # SIGN per row — F.get is 0-based but has no from-end handling,
+        # so a computed negative index silently returned NULL while the
+        # static literal spelling col[-1] read from the end (r15
+        # review; functions/arrays.element documents negative-from-end
+        # as the dialect's semantics). try_element_at, not element_at:
+        # out-of-range must stay NULL (the F.get convention) under
+        # ANSI, same as the non-negative branch.
         idx = self._expr(e.index, df)
         if isinstance(dtype, MapType):
             return F.element_at(target, idx)
-        return F.get(target, idx.cast("int"))
+        i = idx.cast("int")
+        return F.when(i >= 0, F.get(target, i)) \
+            .otherwise(F.try_element_at(target, i))
 
     def _call(self, e: ast.FuncCall, df: DataFrame) -> Column:
         name = e.name.upper()
@@ -1328,7 +1461,12 @@ class Translator:
                 dtype = df.schema[e.args[0].name].dataType
             if name == "EQUALS":
                 return target == needle
-            if isinstance(dtype, ArrayType):
+            # dtype only resolves for a bare ColumnRef; a COMPUTED
+            # array-valued operand (labels[0] on a nested array) must
+            # still dispatch to array membership, not text tokenize
+            # (r15 review) — _array_depth analyzes the expression
+            if isinstance(dtype, ArrayType) or (
+                    dtype is None and self._array_depth(target, df) >= 1):
                 return F.array_contains(target, needle)
             # text CONTAINS = token membership (text_search_info::contains)
             from deeplake_spark.functions.text import tokenize

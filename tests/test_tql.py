@@ -544,3 +544,160 @@ def test_tql_options_use_index_forces_linear_plan(spark, sf_dir):
     assert ids(routed, "doc_id") == ids(linear, "doc_id")
     assert "Join" in explain_query(routed).text
     assert "Join" not in explain_query(linear).text
+
+
+def test_is_valid_malformed_int_tokens():
+    """r15 review: malformed integer tokens in LIMIT/TOP/OFFSET/EXPAND
+    must make is_valid() return False, not escape as a raw ValueError
+    from int() (TQLSyntaxError is the only class the bool contract
+    catches; confirmed live pre-fix)."""
+    assert not is_valid("SELECT * LIMIT x")
+    assert not is_valid("SELECT TOP y *")
+    assert not is_valid("SELECT * LIMIT 1.5")
+    assert not is_valid("SELECT * LIMIT 5 OFFSET z")
+    assert not is_valid("SELECT * EXPAND BY a b")
+    assert is_valid("SELECT * LIMIT 5 OFFSET 2")
+
+
+def test_row_number_is_shared_source_offset(spark, tables):
+    """tql.md:427 — ROW_NUMBER() is the zero-based SOURCE row offset,
+    ONE numbering shared by WHERE and the select list (the reference's
+    own example: `SELECT *, ROW_NUMBER() WHERE ROW_NUMBER() < 100`).
+    r15 review: the per-stage recompute renumbered the filtered rows
+    from 0, so every emitted row violated the query's own rn >= 7."""
+    d = tables["documents"]
+    out = tql.query(
+        "SELECT doc_id, ROW_NUMBER() AS rn "
+        "WHERE ROW_NUMBER() >= 7 AND ROW_NUMBER() < 10",
+        default=d).collect()
+    assert sorted(r.rn for r in out) == [7, 8, 9]
+    lo = tql.query(
+        "SELECT doc_id, ROW_NUMBER() AS rn WHERE ROW_NUMBER() < 3",
+        default=d).collect()
+    assert sorted(r.rn for r in lo) == [0, 1, 2]
+
+
+def test_row_number_with_routed_where_matches_linear(spark, sf_dir):
+    """r15 review: an index-routed WHERE conjunct must not change
+    ROW_NUMBER results — numbering happens over the PRE-ROUTING
+    source, so routed and linear plans agree row-for-row (the
+    use_index 'same rows' contract)."""
+    from deeplake_spark.operators.indexes import build_numeric_index
+    from deeplake_spark.tql import Options
+
+    docs = load_table(spark, sf_dir, "documents")
+    nidx = build_numeric_index(docs, "n_chars", id_col="doc_id")
+    indexes = {"n_chars": ("numeric", nidx, "doc_id")}
+    q = ("SELECT doc_id, ROW_NUMBER() AS rn "
+         "WHERE n_chars BETWEEN 100 AND 200 AND ROW_NUMBER() > 10")
+    routed = tql.query(q, default=docs, indexes=indexes)
+    linear = tql.query(q, default=docs, indexes=indexes,
+                       options=Options(allow_selection_list=True,
+                                       use_index=False))
+    assert sorted((r.doc_id, r.rn) for r in routed.collect()) == \
+        sorted((r.doc_id, r.rn) for r in linear.collect())
+
+
+def test_ungroup_by_named_column(spark):
+    """UNGROUP BY <col> explodes ONLY the named sequence column,
+    repeating the others — r15 review: the by-expression used to be
+    silently ignored (zip-explode of every array column, null-padding
+    unequal lengths); a non-sequence name raises."""
+    from deeplake_spark.tql.translator import TQLTranslationError
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30], ["a", "b"]), (2, [40], ["c", "d", "e"])],
+        "k int, xs array<int>, ys array<string>")
+    out = tql.query("SELECT * UNGROUP BY xs", default=df)
+    rows = sorted((r.k, r.xs, tuple(r.ys)) for r in out.collect())
+    assert rows == [
+        (1, 10, ("a", "b")), (1, 20, ("a", "b")), (1, 30, ("a", "b")),
+        (2, 40, ("c", "d", "e"))]
+    with pytest.raises(TQLTranslationError, match="not a sequence"):
+        tql.query("SELECT * UNGROUP BY k", default=df)
+    # SPLIT still zip-explodes everything in step
+    eq = spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"])], "k int, xs array<int>, ys array<string>")
+    sp = tql.query("SELECT * UNGROUP BY SPLIT", default=eq)
+    assert sorted((r.k, r.xs, r.ys) for r in sp.collect()) == \
+        [(1, 10, "a"), (1, 20, "b")]
+
+
+def test_negative_step_slices(spark):
+    """r15 review: col[::-1] used to throw Spark's illegal-sequence
+    error and col[5:0:-1] silently returned []; python slice semantics
+    now hold for negative steps (step-sign-dependent defaults)."""
+    df = spark.createDataFrame([([0, 1, 2, 3, 4, 5],)], "a array<int>")
+    out = tql.query(
+        "SELECT a[::-1] AS rev, a[5:0:-1] AS r50, a[::-2] AS r2, "
+        "a[1:4] AS fwd, a[0:0:-1] AS empty", default=df).head()
+    assert out.rev == [5, 4, 3, 2, 1, 0]
+    assert out.r50 == [5, 4, 3, 2, 1]
+    assert out.r2 == [5, 3, 1]
+    assert out.fwd == [1, 2, 3]
+    assert out.empty == []
+
+
+def test_dynamic_negative_index(spark):
+    """r15 review: a COMPUTED negative index used to silently return
+    NULL (F.get has no from-end handling) while the literal spelling
+    col[-1] read from the end; out-of-range stays NULL either way."""
+    df = spark.createDataFrame(
+        [([10, 20, 30], 1), ([5, 6, 7], -1)], "a array<int>, i int")
+    out = tql.query("SELECT a[i] AS v, a[i - 2] AS w, a[i * 10] AS oob",
+                    default=df).collect()
+    got = sorted((r.v, r.w, r.oob) for r in out)
+    assert got == [(7, 5, None), (20, 30, None)]
+
+
+def test_contains_on_computed_array_expression(spark):
+    """r15 review: CONTAINS over a computed array-valued operand
+    (labels[0] on a nested array) dispatches to array membership, not
+    the text tokenize branch (which failed analysis on arrays)."""
+    df = spark.createDataFrame(
+        [(1, [["cat", "dog"], ["x"]]), (2, [["y"], ["z"]])],
+        "k int, labels array<array<string>>")
+    out = tql.query("SELECT k WHERE CONTAINS(labels[0], 'cat')",
+                    default=df)
+    assert [r.k for r in out.collect()] == [1]
+
+
+def test_set_op_order_by_rownum_no_global_window(spark, tables):
+    """r15 review: ROW_NUMBER() in a set-op ORDER BY materializes via
+    the partition-offset column like every other clause — never the
+    unpartitioned row_number().over(orderBy) single-task sort
+    (trap 7)."""
+    d = tables["documents"]
+    # the ORDER BY binds to the SET OP only when the right select's
+    # own (ORDER, LIMIT) slots are already consumed — grammar quirk:
+    # a select parses ORDER before LIMIT, so `... LIMIT n ORDER BY`
+    # leaves the trailing ORDER for the SetOp (r06's per-set-op shape)
+    out = tql.query(
+        "SELECT doc_id WHERE n_chars > 300 "
+        "UNION SELECT doc_id WHERE n_chars <= 300 LIMIT 500 "
+        "ORDER BY ROW_NUMBER() DESC LIMIT 5", default=d)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert out.count() == 5
+
+
+def test_selectivity_estimator_covers_equals_shape(spark, sf_dir):
+    """r15 review: the filtered-ANN widening estimator must see every
+    shape _try_index_rewrite routes (the 'never diverge' invariant) —
+    an EQUALS prefilter used to leave cand_sel None and the probe ran
+    unwidened."""
+    from deeplake_spark.operators.indexes import (
+        ExactTextIndex, build_exact_index)
+    from deeplake_spark.tql.parser import parse_query
+    from deeplake_spark.tql.translator import Translator
+
+    docs = load_table(spark, sf_dir, "documents")
+    import tempfile
+    epath = tempfile.mkdtemp(prefix="tql_eidx_") + "/idx"
+    build_exact_index(docs, col="source", id_col="doc_id").save(epath)
+    eidx = ExactTextIndex.load(spark, epath)  # stats need the sidecar
+    tr = Translator(spark=spark, default=docs,
+                    indexes={"source": ("exact", eidx, "doc_id")})
+    sel = parse_query("SELECT doc_id WHERE EQUALS(source, 'src1')")
+    est = tr._estimate_where_selectivity(sel.where)
+    assert est is not None and 0 < est < 1
