@@ -160,12 +160,10 @@ def _make_encoder(ranks: dict[tuple[str, str], int]):
                      if (a, b) in ranks]
             if not pairs:
                 break
-            rank, _ = min(pairs)
-            a, b = None, None
-            for pr, k in pairs:
-                if pr == rank:
-                    a, b = syms[k], syms[k + 1]
-                    break
+            # min over (rank, k) tuples picks the first occurrence of
+            # the winning rank directly — no second scan
+            rank, kpos = min(pairs)
+            a, b = syms[kpos], syms[kpos + 1]
             out, j = [], 0
             while j < len(syms):
                 if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
@@ -258,8 +256,20 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
 
 def bpe_detokenize(tokens: Column) -> Column:
     """Inverse of bpe_tokenize on the whitespace-normalized lowercased
-    text: concatenate symbols, word-end markers become spaces."""
-    return F.trim(F.regexp_replace(F.concat_ws("", tokens), END, " "))
+    text: each token's TERMINAL end-of-word marker becomes a space,
+    then symbols concatenate. Per-token suffix replacement, not a
+    global substring replace over the concatenation (r15 review): the
+    marker symbol is appended as a word's LAST initial symbol, so
+    merges keep it token-terminal — text that itself contains the
+    literal '</w>' (markup corpora) re-concatenates its CHARACTERS
+    inside a token and now survives the round trip. Residual edge,
+    documented: a learned merge chain that fuses a word's characters
+    into a MID-word token spelling '...</w>' (the corpus must have
+    trained merges across that exact boundary) is indistinguishable
+    from a marker by string alone and still strips."""
+    stripped = F.transform(
+        tokens, lambda t: F.regexp_replace(t, END + "\\z", " "))
+    return F.trim(F.concat_ws("", stripped))
 
 
 # ------------------------------------------------------- persistence

@@ -37,13 +37,18 @@ def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
                k: int = 64, seed: int = 0) -> DataFrame:
     """Per-group KMV sketch of ``col``: the k smallest distinct
     normalized hashes, sorted ascending. Returns the grouping columns
-    plus ``sketch`` (array<double>, length <= k) and ``k`` (the build
-    parameter, persisted with the sketch so the read-side helpers can
-    never be fed a mismatched k — a sketch built at k=32 read at k=64
-    would silently return size-as-exact, a biased estimate)."""
+    plus ``sketch`` (array<double>, length <= k), ``k`` and ``seed``
+    (the build parameters, persisted with the sketch so the read-side
+    helpers can never be fed a mismatch — a sketch built at k=32 read
+    at k=64 would silently return size-as-exact, and hashes drawn
+    under different seeds are different hash FUNCTIONS: merging them
+    silently biases every estimate; r15 review — KMV was the one
+    sibling that didn't persist its hash geometry)."""
+    from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
     by = list(by or [])
+    df = ensure_parallelism(df)  # per-row md5 work (perf trap 1)
     u = (_md5_int60(F.col(col), seed) / F.lit(_DOM)).alias("__u")
     # NULL values hash to NULL, which sorts FIRST (asc nulls-first) and
     # would steal a top-k slot that collect_list then drops — silently
@@ -56,13 +61,15 @@ def kmv_sketch(df: DataFrame, col: str, by: list[str] | None = None,
         # window (perf trap 7)
         topk = hashes.orderBy("__u").limit(k)
         return (topk.agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
-                .withColumn("k", F.lit(int(k))))
+                .withColumn("k", F.lit(int(k)))
+                .withColumn("seed", F.lit(int(seed))))
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__u")
     topk = (hashes.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k))
     return (topk.groupBy(*by)
             .agg(F.array_sort(F.collect_list("__u")).alias("sketch"))
-            .withColumn("k", F.lit(int(k))))
+            .withColumn("k", F.lit(int(k)))
+            .withColumn("seed", F.lit(int(seed))))
 
 
 def _k_col(k: int | Column) -> Column:
@@ -139,22 +146,34 @@ def sample_sketch(df: DataFrame, value_col: str, id_col: str,
     WindowGroupLimit. NULL values are excluded (a NULL carries no
     distribution information; NULL ids hash to NULL and are likewise
     dropped). ``k`` persists with the sketch; merge helpers require it."""
+    from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
     by = list(by or [])
+    df = ensure_parallelism(df)  # per-row md5 work (perf trap 1)
     # hash the SALTED id (rotate the salt to draw an independent sample)
     u = (_md5_int60(F.concat(F.col(id_col).cast("string"),
                              F.lit(f"|{salt}")), 0) / F.lit(_DOM))
+    # try_cast, not cast: ANSI mode is on — one non-numeric string in
+    # a string-typed value column must drop through the isNotNull
+    # filter, not kill the build job (r15 review)
     base = (df.select(*by, u.alias("__u"),
-                      F.col(value_col).cast("double").alias("__v"))
+                      F.col(value_col).try_cast("double").alias("__v"))
             .filter(F.col("__u").isNotNull() & F.col("__v").isNotNull()))
+    # (__u, __v) ordering, not __u alone: duplicate ids tie on __u
+    # with different __v, and an untied LIMIT picks the winner by
+    # partition order — nondeterministic builds that break the
+    # merge == fresh-build law (r15 review; CLAUDE.md: every LIMIT
+    # needs a deterministic tiebreaker). Struct array_sort in the
+    # merge helpers orders by (u, v) too, so build and merge agree.
     if not by:
-        topk = base.orderBy("__u").limit(int(k))
+        topk = base.orderBy("__u", "__v").limit(int(k))
         agged = topk.agg(
             F.array_sort(F.collect_list(F.struct("__u", "__v")))
             .alias("sample"))
     else:
-        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__u")
+        w = Window.partitionBy(*[F.col(c) for c in by]) \
+            .orderBy("__u", "__v")
         topk = (base.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= int(k)))
         agged = (topk.groupBy(*by)
@@ -305,9 +324,22 @@ def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
     gens = _list_gens(fs, pcls, base)
     n = 1 + max((int(g[2:]) for g in gens), default=0)
     gen = f"g-{n:06d}"
-    # mode=overwrite: a stray same-number dir from a crashed run (which
-    # by construction never made HEAD) must not fail the write
-    df.write.mode("overwrite").parquet(f"{base}/{gen}")
+    # Write the generation under an UNDERSCORE-prefixed temp name and
+    # rename when complete (r15 review): Spark's file discovery skips
+    # `_`-prefixed dirs, so a crash mid-write over a LEGACY FLAT table
+    # leaves the flat layout cleanly servable — a partial bare
+    # `g-NNNNNN` dir used to put parquet leaf files at two directory
+    # depths under the base, failing the flat fallback read
+    # ("Conflicting directory structures") AND every retry of the
+    # append (load_* runs before the overwrite could GC the stray).
+    # mode=overwrite: a stray same-name temp from a crashed run must
+    # not fail the write.
+    tmp_gen = f"_tmp-{gen}"
+    df.write.mode("overwrite").parquet(f"{base}/{tmp_gen}")
+    gpath = pcls(f"{base}/{gen}")
+    if fs.exists(gpath):
+        fs.delete(gpath, True)  # crashed post-rename stray, never HEAD
+    fs.rename(pcls(f"{base}/{tmp_gen}"), gpath)
     head, tmp_head = pcls(base + "/_HEAD"), pcls(base + "/_HEAD__tmp")
     out = fs.create(tmp_head, True)
     try:
@@ -320,6 +352,9 @@ def _overwrite_via_tmp(df: DataFrame, path: str) -> None:
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name in (gen, "_HEAD") or name == prev:
+            continue
+        if name.startswith("_tmp-g-"):
+            fs.delete(st.getPath(), True)  # crashed temp write
             continue
         is_gen = name.startswith("g-") and name[2:].isdigit()
         if is_gen and int(name[2:]) > prev_n and \
@@ -389,9 +424,11 @@ def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     j*w + c (32 KB at the defaults). Build = one (group, cell) shuffle
     with map-side partial counts; dense assembly by zero-skeleton join
     (trap 25 — never an element_at(map) transform)."""
+    from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
     by = list(by or [])
+    df = ensure_parallelism(df)  # d md5s per row (perf trap 1)
     v = F.col(col)
     cells = F.array(*[
         (F.lit(int(j * w)) + _md5_int60(v, seed + j) % F.lit(int(w)))
@@ -520,9 +557,11 @@ def bloom_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     corpus size. Build params persist in the output (``n_words``,
     ``k_hashes``, ``seed``) so the read side can never probe with
     mismatched geometry."""
+    from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
     by = list(by or [])
+    df = ensure_parallelism(df)  # k_hashes md5s per row (perf trap 1)
     m = _bloom_m(n_words)
     v = F.col(col)
     pos_arr = F.array(*[(_md5_int60(v, seed + j) % F.lit(m))
@@ -678,12 +717,25 @@ def append_kmv_delta(df_new: DataFrame, col: str, path: str,
     delta = kmv_sketch(df_new, col, by=by, k=k, seed=seed)
     old = load_kmv(spark, path)
     if "k" in old.columns:
-        # tiny side table: one bounded job over <= groups rows
-        stored = [r.k for r in old.select("k").distinct().collect()]
-        if stored and stored != [int(k)]:
+        # tiny side table: one bounded job over <= groups rows.
+        # Seed belongs to the geometry too (r15 review): hashes drawn
+        # under different seeds are different hash FUNCTIONS — a
+        # mismatched-seed merge silently biases every later estimate.
+        # Tables saved before the seed column existed were built under
+        # the default seed 0 (the only build path then).
+        sel = ["k"] + (["seed"] if "seed" in old.columns else [])
+        stored = [tuple(r) for r in old.select(*sel).distinct().collect()]
+        want = (int(k),) + ((int(seed),) if len(sel) == 2 else ())
+        if len(sel) == 1 and int(seed) != 0 and stored:
+            raise ValueError(
+                f"stored KMV sketches at {path} predate the persisted "
+                f"seed (built at seed=0); got seed={seed} — rebuild "
+                "the sketch to use a non-default seed")
+        if stored and stored != [want]:
             raise ValueError(
                 f"stored KMV sketches at {path} were built with "
-                f"k={stored}, got k={k} — pass the build k")
+                f"(k, seed)={stored}, got {want} — pass the build "
+                "params")
     if not by:
         merged = (old.select(F.col("sketch").alias("__a"))
                   .crossJoin(delta.select(F.col("sketch").alias("__b")))
@@ -699,5 +751,6 @@ def append_kmv_delta(df_new: DataFrame, col: str, path: str,
                 F.coalesce(F.col("__a"), empty),
                 F.coalesce(F.col("__b"), empty), k).alias("sketch"))
         )
-    merged = merged.withColumn("k", F.lit(int(k)))
+    merged = merged.withColumn("k", F.lit(int(k))) \
+                   .withColumn("seed", F.lit(int(seed)))
     _overwrite_via_tmp(merged, path)

@@ -148,3 +148,24 @@ def test_t34_registered_query_invariants(spark, sf_dir):
     # second corpus pass) and returns identical counts
     again = q.fn(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_bpe_detokenize_survives_literal_marker_text(spark):
+    """r15 review: input text containing the literal end-of-word
+    marker '</w>' re-concatenates its CHARACTERS inside tokens; the
+    old global substring replace converted them to spaces (word lost).
+    The per-token terminal-suffix strip keeps them."""
+    from deeplake_spark.operators.bpe import (
+        bpe_detokenize, bpe_tokenize, train_bpe)
+
+    df = spark.createDataFrame(
+        [(0, "foo </w> bar baz"), (1, "plain words only here")],
+        "doc_id long, text string")
+    merges = train_bpe(df, "text", num_merges=10)
+    toks = bpe_tokenize(df, merges, text_col="text")
+    rt = toks.select(
+        "doc_id",
+        bpe_detokenize(F.col("bpe_tokens")).alias("rt")).collect()
+    got = {r.doc_id: r.rt for r in rt}
+    assert got[0] == "foo </w> bar baz"
+    assert got[1] == "plain words only here"

@@ -1116,7 +1116,8 @@ def test_kmv_build_k_persisted_and_guarded(spark, tmp_path):
     via_lit = {r.g: r.e for r in stored.select(
         "g", kmv_estimate(F.col("sketch"), 32).alias("e")).collect()}
     assert via_col == via_lit
-    with pytest.raises(ValueError, match="built with.*k=\\[32\\]"):
+    with pytest.raises(ValueError,
+                       match=r"built with.*\(32, 0\)"):
         append_kmv_delta(df, "x", path, by=["g"], k=64)
 
 
@@ -2119,3 +2120,78 @@ def test_compression_ratio_monotone_on_planted_fixtures(spark):
     assert got[3] is None and got[4] is None
     got2 = {r.i: r.r for r in df.select("i", ratio("text").alias("r")).collect()}
     assert got == got2
+
+
+def test_sketch_flat_layout_crash_window_and_kmv_seed_guard(spark, tmp_path):
+    """r15 review pins: (1) a crash mid-write of the FIRST generation
+    over a legacy flat table leaves the flat layout servable — the
+    write lands under an underscore-prefixed temp dir Spark's
+    discovery skips, then renames (a partial bare g-NNNNNN dir used to
+    put parquet leaves at two depths and fail the fallback read AND
+    every retry); (2) append_kmv_delta refuses a mismatched seed
+    (different seed = different hash function — a silent-bias merge),
+    including a non-default seed against a pre-seed-column table."""
+    import os
+
+    import pytest as pt
+
+    from deeplake_spark.operators.sketches import (
+        append_kmv_delta, kmv_estimate, kmv_sketch, load_kmv, save_kmv)
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(40)], "x string")
+    path = str(tmp_path / "kmvflat")
+    save_kmv(kmv_sketch(df, "x", k=64), path)  # legacy flat layout
+
+    # simulated crash: a partial TEMP generation dir with junk inside
+    os.makedirs(os.path.join(path, "_tmp-g-000001"))
+    with open(os.path.join(path, "_tmp-g-000001", "part-0.parquet"),
+              "wb") as f:
+        f.write(b"not parquet")
+    est = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est == 40.0  # flat layout still serves
+
+    # the retry append succeeds over the stray and GCs it
+    d2 = spark.createDataFrame([(f"w{i}",) for i in range(10)], "x string")
+    append_kmv_delta(d2, "x", path, k=64)
+    est2 = load_kmv(spark, path).select(
+        kmv_estimate(F.col("sketch"), F.col("k")).alias("e")).head().e
+    assert est2 == 50.0
+    # no bare temp remains after the NEXT successful overwrite
+    d3 = spark.createDataFrame([("z1",)], "x string")
+    append_kmv_delta(d3, "x", path, k=64)
+    assert not [n for n in os.listdir(path) if n.startswith("_tmp-g-")]
+
+    # seed guard: mismatched seed raises instead of silently merging
+    with pt.raises(ValueError, match="seed"):
+        append_kmv_delta(d3, "x", path, k=64, seed=7)
+    # legacy table without the seed column: non-default seed refused
+    legacy = str(tmp_path / "kmvlegacy")
+    save_kmv(kmv_sketch(df, "x", k=64).drop("seed"), legacy)
+    with pt.raises(ValueError, match="seed"):
+        append_kmv_delta(d3, "x", legacy, k=64, seed=7)
+    append_kmv_delta(d3, "x", legacy, k=64)  # seed 0 still appends
+
+
+def test_sample_sketch_deterministic_under_duplicate_ids(spark):
+    """r15 review: duplicate ids tie on the hash __u — the bottom-k
+    cut now tiebreaks on (__u, __v), so two builds over different
+    partitionings keep the IDENTICAL (u, v) pairs (the documented
+    determinism + merge==fresh-build law), and a string value column
+    with a non-numeric row drops through try_cast instead of killing
+    the job under ANSI."""
+    from deeplake_spark.operators.sketches import sample_sketch
+
+    rows = [(f"id{i % 7}", float(i)) for i in range(40)]  # dup ids
+    a = spark.createDataFrame(rows, "id string, v double").repartition(1)
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "id string, v double").repartition(13)
+    sa = sample_sketch(a, "v", "id", k=10).head().sample
+    sb = sample_sketch(b, "v", "id", k=10).head().sample
+    assert [tuple(s) for s in sa] == [tuple(s) for s in sb]
+
+    # ANSI: non-numeric string value rows drop, not crash
+    s = spark.createDataFrame(
+        [("a", "1.5"), ("b", "N/A"), ("c", "2.5")], "id string, v string")
+    out = sample_sketch(s, "v", "id", k=8).head().sample
+    assert sorted(x["__v"] for x in out) == [1.5, 2.5]
