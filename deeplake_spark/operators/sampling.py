@@ -348,11 +348,11 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
          sampling without replacement proportional to the importance
          weight, deterministic under ``salt``.
 
-    Scale shape: three tokenize passes — target once, raw TWICE (the
-    bucket-count aggregate and the weights join each re-evaluate the
-    raw bigram lineage; the bigram stream is deliberately recomputed
-    rather than pinned, since persisting it is corpus-token-sized
-    state). Each pass ends in a <= n_buckets-row aggregate or a
+    Scale shape: two tokenize passes — target once, raw once into a
+    (doc, bucket) count pre-aggregate (bounded by n_docs × n_buckets;
+    the bucket marginal and the per-doc weights both derive from it,
+    so the raw bigram stream is never re-tokenized and never
+    persisted). Each pass ends in a <= n_buckets-row aggregate or a
     broadcast join; the per-bucket log-ratio table and the 1-row
     totals are broadcast (no corpus shuffle before the per-doc
     aggregate); selection is one TakeOrderedAndProject. Docs with
@@ -385,9 +385,19 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
         return rows.select(
             "__doc", (_md5_int60(bg, seed) % n_buckets).alias("__b"))
 
-    raw_bg = buckets(raw)
+    # (doc, bucket) pre-aggregation (r15 opt): the raw corpus is
+    # tokenized ONCE into per-doc bucket counts — the bucket marginal
+    # re-aggregates it (Σ_doc c) and the weights lane multiplies by c
+    # instead of summing per-occurrence rows, both value-identical
+    # (integer counts; c·lr in DECIMAL(38,6) is exact, equal to
+    # summing c copies). The former spelling re-ran the raw
+    # tokenize+explode pass for each consumer (guide §2.4); the
+    # pre-aggregate is bounded by n_docs × n_buckets — the hashed
+    # featurization the DSIR paper stores anyway.
+    raw_dbc = buckets(raw).groupBy("__doc", "__b").agg(
+        F.count(F.lit(1)).alias("__c"))
     tgt_c = buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    raw_c = raw_bg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    raw_c = raw_dbc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
     # totals as broadcast 1-row aggregates OVER THE BUCKET TABLES
     # (<= n_buckets rows) — no extra corpus pass, no driver action
     # coalesce: SUM over an EMPTY bucket table is NULL, which would
@@ -410,11 +420,12 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
         )
     )
     weights = (
-        raw_bg.join(F.broadcast(ratio), "__b")
+        raw_dbc.join(F.broadcast(ratio), "__b")
         .groupBy("__doc")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("__lr").cast("decimal(38,6)")).alias("__lw"),
+            F.sum("__c").alias("n_bigrams"),
+            F.sum(F.col("__c") * F.col("__lr").cast("decimal(38,6)"))
+            .alias("__lw"),
         )
     )
     logw = F.col("__lw").cast("double")

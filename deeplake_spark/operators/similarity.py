@@ -1727,11 +1727,32 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
     equals the exact pool and the whole selection is identical
     (test-pinned); at partial probe the pool is approximate, so recall
     follows the index presets — the greedy itself stays exact over
-    whatever pool arrives. Pairwise sims touch pool² rows and the
+    whatever pool arrives. Pairwise sims touch pool² pairs and the
     greedy is O(k·pool) driver-side over a BOUNDED collected candidate
     set (the mrl-funnel / PQ-codebook driver-fit convention — pool is
     a knob, never corpus-sized)."""
     spark = df.sparkSession
+    pool_rows = _mmr_pool_rows(df, vec_col, query_vec, pool,
+                               id_col, index, config)
+    out, _sims, _rels = _mmr_greedy(pool_rows, k, lam)
+    idt = {f.name: f.dataType for f in df.schema.fields}[id_col]
+    schema = T.StructType([
+        T.StructField("mmr_rank", T.IntegerType()),
+        T.StructField(id_col, idt),
+        T.StructField("rel", T.DoubleType()),
+        T.StructField("mmr_score", T.DoubleType())])
+    return spark.createDataFrame(out, schema)
+
+
+def _mmr_pool_rows(df: DataFrame, vec_col: str, query_vec, pool: int,
+                   id_col: str = "vec_id",
+                   index: "IVFIndex | None" = None,
+                   config: SearchConfig | None = None) -> list:
+    """The bounded MMR candidate pool: ROUNDED-score top ``pool`` with
+    the id tiebreak, collected as (id, vector, rel) rows IN POOL ORDER
+    (rel DESC, id) — the one corpus pass `mmr_select`/v31 pay. Bounded
+    collect = the documented driver-side exception class (DATA()
+    prefetch / PQ codebook fit); pool is a knob, never corpus-sized."""
     if index is not None and isinstance(query_vec, Column):
         raise ValueError(
             "index-routed mmr_select needs a concrete query vector "
@@ -1760,37 +1781,63 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
                              rel.alias("rel"))
                    .filter(F.col("rel").isNotNull())
                    .orderBy(F.desc("rel"), id_col).limit(int(pool)))
-    # bounded collect: pool rows incl. vectors (the documented
-    # driver-side exception class — DATA() prefetch / PQ codebook
-    # fit). Collected ONCE: the pairwise job below runs over a local
-    # relation of these rows, so the corpus pays exactly one
-    # TakeOrdered pass per call.
-    pool_rows = pool_df.collect()
-    rels = {r[0]: r[2] for r in pool_rows}
-    local = spark.createDataFrame(pool_rows, pool_df.schema)
-    # DISTINCTLY aliased per side before the expression self-join
-    # (trap 20: same-name refs on one lineage resolve trivially true).
-    # Sims stay ENGINE-side (the same HOF cosine the corpus lanes and
-    # the DuckDB twin compute) — a numpy dot would differ in last-ulp
-    # summation order and can flip a 6th decimal at a rounding edge.
-    pa = local.select(F.col(id_col).alias("__ia"),
-                      F.col(vec_col).alias("__va"))
-    pb = local.select(F.col(id_col).alias("__ib"),
-                      F.col(vec_col).alias("__vb"))
-    pairs = (pa.join(F.broadcast(pb), F.col("__ia") < F.col("__ib"))
-             .select("__ia", "__ib",
-                     F.round(cosine_similarity(F.col("__va"),
-                                               F.col("__vb")), 6)
-                     .alias("__s")))
+    return pool_df.collect()
+
+
+def _fold_cosine(va, vb):
+    """Driver-side twin of functions.vector.cosine_similarity: the
+    SAME sequential left folds (dot, then each norm) in IEEE double —
+    bit-identical to the JVM HOF evaluation, unlike numpy's pairwise
+    summation which can flip a 6th decimal at a rounding edge. None on
+    a zero norm (the engine's nullif)."""
+    d = 0.0
+    for x, y in zip(va, vb):
+        d += x * y
+    na = 0.0
+    for x in va:
+        na += x * x
+    nb = 0.0
+    for y in vb:
+        nb += y * y
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den == 0.0:
+        return None
+    return d / den
+
+
+def _rnd6(x: float) -> float:
+    # ROUND(double, 6) half away from zero — the Spark/DuckDB rule
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _mmr_pairwise_sims(pool_rows: list) -> dict:
+    """Rounded pairwise cosines over the collected pool, keyed both
+    ways. Pure driver arithmetic over ≤ pool² pairs (the r15 change:
+    the former local-relation broadcast-join Spark job cost two
+    collects and a createDataFrame per call while computing the exact
+    same left-fold doubles — pinned equal in tests/test_operators)."""
     sim: dict = {}
-    for r in pairs.collect():
-        sim[(r["__ia"], r["__ib"])] = r["__s"]
-        sim[(r["__ib"], r["__ia"])] = r["__s"]
+    n = len(pool_rows)
+    for i in range(n):
+        ia, va = pool_rows[i][0], pool_rows[i][1]
+        for j in range(i + 1, n):
+            ib, vb = pool_rows[j][0], pool_rows[j][1]
+            c = _fold_cosine(va, vb)
+            if c is None:
+                s = None
+            else:
+                s = _rnd6(c)
+            sim[(ia, ib)] = s
+            sim[(ib, ia)] = s
+    return sim
 
-    def rnd6(x: float) -> float:
-        # ROUND(double, 6) half away from zero — the Spark/DuckDB rule
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
+def _mmr_greedy(pool_rows: list, k: int, lam: float):
+    """The exact MMR greedy over a collected pool: returns
+    (out_rows, sims, rels) where out_rows are
+    (mmr_rank, id, rel, mmr_score) tuples, rank 1..k."""
+    rels = {r[0]: r[2] for r in pool_rows}
+    sim = _mmr_pairwise_sims(pool_rows)
     mu = 1.0 - lam  # one shared double; the oracle embeds repr(mu)
     selected: list = []
     out: list = []
@@ -1801,22 +1848,16 @@ def mmr_select(df: DataFrame, vec_col: str, query_vec, k: int = 6,
         best_id, best_m = None, None
         for c in sorted(remaining):  # ascending id + strict > = id tiebreak
             if selected:
-                m = rnd6(lam * rels[c]
-                         - mu * max(sim[(c, s)] for s in selected))
+                m = _rnd6(lam * rels[c]
+                          - mu * max(sim[(c, s)] for s in selected))
             else:
-                m = rnd6(lam * rels[c])
+                m = _rnd6(lam * rels[c])
             if best_m is None or m > best_m:
                 best_id, best_m = c, m
         out.append((rank, best_id, float(rels[best_id]), float(best_m)))
         selected.append(best_id)
         remaining.remove(best_id)
-    idt = {f.name: f.dataType for f in df.schema.fields}[id_col]
-    schema = T.StructType([
-        T.StructField("mmr_rank", T.IntegerType()),
-        T.StructField(id_col, idt),
-        T.StructField("rel", T.DoubleType()),
-        T.StructField("mmr_score", T.DoubleType())])
-    return spark.createDataFrame(out, schema)
+    return out, sim, rels
 
 
 def mrl_prefilter_topk(df: DataFrame, vec_col: str, query_vec, k: int,

@@ -408,7 +408,8 @@ def append_sample_delta(df_new: DataFrame, value_col: str, id_col: str,
 
 
 def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
-              d: int = 4, w: int = 1024, seed: int = 0) -> DataFrame:
+              d: int = 4, w: int = 1024, seed: int = 0,
+              weight_col: str | None = None) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``col``
     occurrences: ``d`` rows of ``w`` counters, cell (j, md5_int60(v,
     seed+j) % w) accumulates every occurrence of v; a point estimate is
@@ -423,7 +424,14 @@ def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     Stored flat: array<bigint> of length d*w, cell (j, c) at index
     j*w + c (32 KB at the defaults). Build = one (group, cell) shuffle
     with map-side partial counts; dense assembly by zero-skeleton join
-    (trap 25 — never an element_at(map) transform)."""
+    (trap 25 — never an element_at(map) transform).
+
+    ``weight_col``: each row contributes that many occurrences of its
+    value (cells accumulate SUM(weight) instead of COUNT) — counts are
+    additive, so a build over pre-aggregated (value, count) rows equals
+    the build over the raw occurrence stream cell-for-cell (pinned in
+    tests/test_operators.py). Lets a caller that already holds a
+    value-count aggregate (t44) skip a second corpus pass."""
     from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
@@ -433,12 +441,15 @@ def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     cells = F.array(*[
         (F.lit(int(j * w)) + _md5_int60(v, seed + j) % F.lit(int(w)))
         for j in range(int(d))])
-    rows = (df.select(*by, F.explode_outer(F.when(v.isNotNull(), cells))
+    keep = [weight_col] if weight_col is not None else []
+    rows = (df.select(*by, *keep,
+                      F.explode_outer(F.when(v.isNotNull(), cells))
                       .alias("__cell"))
             .filter(F.col("__cell").isNotNull())
-            .select(*by, F.col("__cell").cast("int").alias("__cell")))
-    agg = rows.groupBy(*by, "__cell").agg(
-        F.count(F.lit(1)).alias("__n"))
+            .select(*by, *keep, F.col("__cell").cast("int").alias("__cell")))
+    occ = (F.count(F.lit(1)) if weight_col is None
+           else F.sum(F.col(weight_col).cast("long")))
+    agg = rows.groupBy(*by, "__cell").agg(occ.alias("__n"))
     spark = df.sparkSession
     skel = spark.range(int(d * w)).select(
         F.col("id").cast("int").alias("__cell"))

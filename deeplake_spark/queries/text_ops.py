@@ -1365,7 +1365,10 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__p.w2").alias("w2"))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
-    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    # c1 = Σ_w2 c2 — the unigram marginal re-aggregates the bigram
+    # counts (the t41 r15 convention): one corpus model pass instead
+    # of two, integer-exact, same oracle
+    uni = big.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     scored = (
         pairs.filter(F.col("doc_id") < 200)
         .join(big, ["w1", "w2"])
@@ -1423,6 +1426,7 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from deeplake_spark.io import ensure_parallelism
+    from deeplake_spark.operators.dedup import _track
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
@@ -1430,7 +1434,15 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    # tracked persist (r15 opt): tf feeds THREE consumers (the score
+    # join, doclen, df) and the identical exchanges were not reliably
+    # reused at runtime — the corpus was tokenized per consumer. The
+    # (doc, term, tf) relation is the standard term-frequency side
+    # table (the d03 posting-persist convention; at 100 TB it is the
+    # persisted TF half of an inverted index, ~vocab-per-doc-sized —
+    # never the raw token stream).
+    tf = _track(toks.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("__tf")))
     dl = tf.groupBy("doc_id").agg(F.sum("__tf").alias("__dl"))
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = dl.agg(F.count(F.lit(1)).alias("__n"))
@@ -1493,31 +1505,47 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "dedup"),
 )
 def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row array spelling (r15 opt): the former two exploded lanes
+    # (token stats + bigram counts) tokenized the corpus TWICE and paid
+    # four shuffles for per-DOC statistics that never needed one — the
+    # top_bigram_fraction argument. n_tokens/distinct are plain array
+    # sizes; the top-bigram count is a longest-equal-run fold over the
+    # SORTED bigram array (O(n log n) native sort + O(n) interpreted
+    # fold per row — NOT the O(distinct*n) filter-per-distinct fold),
+    # all over PROJECTED columns (trap 3). Zero shuffles before the
+    # output sort at any corpus size; values integer-exact, so the
+    # oracle is unchanged. Plan pinned in tests/test_plans.py.
     from deeplake_spark.functions.text import word_bigrams
     from deeplake_spark.io import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    base = d.select("doc_id", tokenize(F.col("text")).alias("__t"))
-    ts = (
-        base.select("doc_id", F.explode_outer("__t").alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.count("tok").alias("n_tokens"),
-             F.countDistinct("tok").alias("__nd"))
-    )
-    bgs = (
-        base.select("doc_id", F.explode_outer(word_bigrams(F.col("__t")))
-                    .alias("__bg"))
-        .filter(F.col("__bg").isNotNull())
-        .groupBy("doc_id", "__bg")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.max("__c").alias("__mx"), F.sum("__c").alias("__nb"))
+    base = (d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+            .select("doc_id", "__t",
+                    word_bigrams(F.col("__t")).alias("__bg")))
+    # max bigram multiplicity = longest run of equal values in the
+    # sorted array; one parsed expression (trap 12)
+    mx_expr = F.expr(
+        "aggregate(array_sort(__bg), "
+        "named_struct('p', cast(null as string), 'r', 0L, 'm', 0L), "
+        "(acc, x) -> named_struct("
+        "  'p', x, "
+        "  'r', IF(acc.p <=> x, acc.r + 1L, 1L), "
+        "  'm', greatest(acc.m, IF(acc.p <=> x, acc.r + 1L, 1L))), "
+        "acc -> acc.m)")
+    stats = base.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("__nd"),
+        # the oracle's bgs CTE exists only for len(t) >= 2 — NULL
+        # mx/nb below replays its left-join miss
+        F.when(F.size("__t") >= 2, mx_expr).alias("__mx"),
+        F.when(F.size("__t") >= 2, F.size("__bg").cast("long"))
+        .alias("__nb"),
     )
     dr = F.col("__nd") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
     tbf = F.col("__mx") / F.col("__nb").cast("double")
     return (
-        ts.join(bgs, "doc_id", "left")
-        .select(
+        stats.select(
             "doc_id", "n_tokens",
             F.round(dr, 6).alias("distinct_ratio"),
             F.round(tbf, 6).alias("top_bigram_frac"),
@@ -1644,9 +1672,16 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode_outer("__t").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
-    sk = kmv_sketch(toks, "tok", by=["source"], k=64)
-    exact = toks.groupBy("source").agg(
-        F.count_distinct(F.col("tok")).alias("exact_distinct"))
+    # ONE corpus pass (r15 opt): distinct (source, token) once; the
+    # sketch hashes the distinct rows (distinct-of-distinct is a
+    # no-op on the hash side) and the exact lane is a plain count of
+    # the same relation — the former spelling ran the tokenize+explode
+    # corpus pass once per consumer (guide §2.4). count_distinct ==
+    # count over the distinct relation, value-identical.
+    dt = toks.distinct()
+    sk = kmv_sketch(dt, "tok", by=["source"], k=64)
+    exact = dt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
     return (
         sk.join(exact, "source")
         .select(
@@ -1742,7 +1777,11 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("tok0")).alias("tok"),
         )
     )
-    sk = kmv_sketch(toks, "tok", by=["source"], k=64)
+    # ONE corpus pass (r15 opt): the t31 convention — distinct
+    # (source, token) once, sketch + exact token sets both derive from
+    # it (collect_set over an already-distinct relation is identical).
+    dt = toks.distinct()
+    sk = kmv_sketch(dt, "tok", by=["source"], k=64)
     a = sk.select(F.col("source").alias("src_a"), F.col("sketch").alias("__sa"))
     b = sk.select(F.col("source").alias("src_b"), F.col("sketch").alias("__sb"))
     est = (
@@ -1750,7 +1789,7 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b",
                 kmv_jaccard(F.col("__sa"), F.col("__sb"), k=64).alias("__ej"))
     )
-    sets = toks.groupBy("source").agg(
+    sets = dt.groupBy("source").agg(
         F.collect_set("tok").alias("__ts"))
     sa = sets.select(F.col("source").alias("src_a"), F.col("__ts").alias("__ta"))
     sb = sets.select(F.col("source").alias("src_b"), F.col("__ts").alias("__tb"))
@@ -2363,9 +2402,15 @@ def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.select(F.explode_outer(tokenize(F.col("text")))
                         .alias("tok"))
             .filter(F.col("tok").isNotNull()))
-    sk = cm_sketch(toks, "tok", d=d_, w=w_)
-    exact = (toks.groupBy("tok")
-             .agg(F.count(F.lit(1)).alias("exact_count"))
+    # ONE corpus pass (r15 opt): both the sketch and the exact top-10
+    # derive from the SAME (token, count) aggregate — counts are
+    # additive, so the weighted cm build over vocabulary rows equals
+    # the build over the occurrence stream cell-for-cell (law pinned
+    # in tests/test_operators.py); the former spelling tokenized the
+    # corpus once per consumer (guide §2.4).
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+    sk = cm_sketch(tc, "tok", d=d_, w=w_, weight_col="__n")
+    exact = (tc.withColumnRenamed("__n", "exact_count")
              .orderBy(F.desc("exact_count"), "tok").limit(10))
     return (exact.crossJoin(F.broadcast(sk.select("cm")))
             .select("tok",
@@ -2427,10 +2472,17 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("__i").isNotNull())
              .select(F.element_at("__t", F.col("__i")).alias("w1"),
                      F.element_at("__t", F.col("__i") + 1).alias("w2")))
+    # ONE corpus pass (r15 opt): the slot marginals and the total are
+    # exact re-aggregations of the (w1, w2) counts — c1 = Σ_w2 c12,
+    # c2 = Σ_w1 c12, b = Σ c12 — so deriving them from `big` replaces
+    # three additional tokenize+explode corpus passes with three
+    # vocabulary-sized aggregates over the SAME exchange (guide §2.4;
+    # the identical subtrees reuse one shuffle at runtime). Integer
+    # sums, value-identical to the former per-occurrence counts.
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    u1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    u2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    tot = pairs.agg(F.count(F.lit(1)).alias("b"))
+    u1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    u2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = big.agg(F.sum("c12").alias("b"))
     scored = (big.filter(F.col("c12") >= 5)
               .join(u1, "w1").join(u2, "w2")
               .crossJoin(F.broadcast(tot))

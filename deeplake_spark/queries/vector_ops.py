@@ -104,15 +104,33 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_CACHE[key]
 
 
+#: (session, sf_dir, vec_id, source fingerprint) -> embedding values.
+#: The DATA(col, i) prefetch convention (CLAUDE.md trap 8's documented
+#: bounded+memoized exception): ~20 v-lanes each paid a 1-row head()
+#: job per CONSTRUCTION; the fingerprint keys out driver-regenerated
+#: testdata exactly like io.load_table's memo.
+_QUERY_VEC_MEMO: dict = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     """Prefetch one embedding as a literal array column (DATA() semantics)."""
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .head()
-    )
-    return F.array(*[F.lit(float(v)) for v in row[0]])
+    from deeplake_spark.io import _source_fingerprint, session_key
+
+    key = (session_key(spark), sf_dir, vec_id,
+           _source_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    vals = _QUERY_VEC_MEMO.get(key)
+    if vals is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .head()
+        )
+        vals = [float(v) for v in row[0]]
+        if len(_QUERY_VEC_MEMO) > 64:
+            _QUERY_VEC_MEMO.clear()
+        _QUERY_VEC_MEMO[key] = vals
+    return F.array(*[F.lit(v) for v in vals])
 
 
 @query(
@@ -438,7 +456,7 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v10_ivf_search",
     oracle=None,  # k-means clustering is iterative/seed-dependent — recall
-    # vs exact top-k asserted in tests/test_similarity.py
+    # vs exact top-k asserted in tests/test_operators.py
     doc="IVF (clustered) ANN: MLlib k-means build, nprobe centroid prune, "
     "exact rerank inside probed clusters (EmbeddingIndex Clustered + "
     "SearchConfig accuracy knobs, search_config.hpp:18-100).",
@@ -456,7 +474,7 @@ def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v11_quantized_search",
     oracle=None,  # two-stage candidate set depends on hamming ties — recall
-    # asserted in tests/test_similarity.py
+    # asserted in tests/test_operators.py
     doc="Binary-quantized ANN through the PERSISTED ClusteredQuantized "
     "index (types.pyi:625-632): stored sign bits -> Hamming prefilter "
     "to k*accuracy_factor candidates -> exact cosine rerank; the probe "
@@ -736,7 +754,7 @@ def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v19_pq_search",
     oracle=None,  # ADC candidate set is quantization-dependent — recall
-    # gate vs exact top-k in tests/test_similarity.py
+    # gate vs exact top-k in tests/test_operators.py
     doc="Product-quantized ANN through the persisted PQ index (extends "
     "the stored quantized index family, types.pyi:625-632; Jégou et "
     "al. 2011): the probe scores the narrow (id, code[8], anorm) side "
@@ -1379,34 +1397,46 @@ def _diversity_oracle(p: int = 20, k: int = 6, lam: float = 0.7) -> str:
     tags=("vector", "diversity", "stats"),
 )
 def v31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.operators.similarity import mmr_select
+    # ONE corpus pass (r15 opt): the former spelling ran the pool
+    # TakeOrdered corpus pass FOUR times (mmr_select's own cut, the
+    # separate `pool` frame, topk re-executing it, the mmrk fetch-back
+    # join) plus two pair-join aggregate jobs. Both selections and both
+    # intra-set averages derive from the SAME bounded collected pool —
+    # the v29 driver-fit exception class — with pair sims from the
+    # exact left-fold twin (_fold_cosine, pinned equal in
+    # tests/test_operators); the greedy replay is byte-identical to
+    # v29's, so the oracle CTE chain carries over unchanged.
+    from deeplake_spark.operators.similarity import (
+        _mmr_greedy, _mmr_pool_rows, _rnd6)
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     k = 6
-    rel = F.round(cosine_similarity(F.col("embedding"), qv), 6)
-    pool = (e.select("vec_id", "embedding", rel.alias("rel"))
-            .filter(F.col("rel").isNotNull())
-            .orderBy(F.desc("rel"), "vec_id").limit(20))
-    topk = pool.orderBy(F.desc("rel"), "vec_id").limit(k) \
-        .select("vec_id", "embedding")
-    mmrk = (mmr_select(e, "embedding", qv, k=k, lam=0.7, pool=20)
-            .select("vec_id")
-            .join(e.select("vec_id", "embedding"), "vec_id"))
+    rows = _mmr_pool_rows(e, "embedding", qv, pool=20)
+    out, sims, _rels = _mmr_greedy(rows, k=k, lam=0.7)
+    # pool rows arrive in (rel DESC, vec_id) order — the oracle's topk
+    # CTE is exactly the first k of the pool
+    topk_ids = [r[0] for r in rows[:k]]
+    mmr_ids = [t[1] for t in out]
 
-    def avg_pair(ids, name):
-        pa = ids.select(F.col("vec_id").alias("__ia"),
-                        F.col("embedding").alias("__va"))
-        pb = ids.select(F.col("vec_id").alias("__ib"),
-                        F.col("embedding").alias("__vb"))
-        s = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
-        return (pa.join(F.broadcast(pb), F.col("__ia") < F.col("__ib"))
-                .agg(F.round(F.avg(s), 6).alias(name)))
+    def avg_sim(ids):
+        # mean of the ROUNDED pair sims inside the set, pairs iterated
+        # (ia < ib) in sorted order — the oracle's AVG over its pairs
+        # CTE restricted to the set
+        ss = sorted(ids)
+        vals = [sims[(a, b)] for i, a in enumerate(ss)
+                for b in ss[i + 1:]]
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return _rnd6(acc / len(vals)) if vals else None
 
-    tp = avg_pair(topk, "avg_sim_topk")
-    mp = avg_pair(mmrk, "avg_sim_mmr")
-    return (tp.crossJoin(mp)
-            .select(F.lit(k).cast("int").alias("k"),
-                    "avg_sim_topk", "avg_sim_mmr",
-                    F.round(F.col("avg_sim_topk") - F.col("avg_sim_mmr"),
-                            6).alias("diversity_gain")))
+    tp, mp = avg_sim(topk_ids), avg_sim(mmr_ids)
+    gain = _rnd6(tp - mp) if tp is not None and mp is not None else None
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("avg_sim_topk", T.DoubleType()),
+        T.StructField("avg_sim_mmr", T.DoubleType()),
+        T.StructField("diversity_gain", T.DoubleType())])
+    return spark.createDataFrame([(k, tp, mp, gain)], schema)

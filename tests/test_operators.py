@@ -2195,3 +2195,67 @@ def test_sample_sketch_deterministic_under_duplicate_ids(spark):
         [("a", "1.5"), ("b", "N/A"), ("c", "2.5")], "id string, v string")
     out = sample_sketch(s, "v", "id", k=8).head().sample
     assert sorted(x["__v"] for x in out) == [1.5, 2.5]
+
+
+def test_fold_cosine_matches_engine_cosine(spark):
+    """r15 opt: mmr's pairwise sims moved from a local-relation Spark
+    job to the driver-side left-fold twin — _rnd6(_fold_cosine(a, b))
+    must equal the ENGINE's ROUND(cosine_similarity(a, b), 6) exactly
+    (both are sequential IEEE-double folds; the numpy pairwise-sum
+    shortcut this test would catch is banned)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.functions.vector import cosine_similarity
+    from deeplake_spark.operators.similarity import _fold_cosine, _rnd6
+
+    def vec(seed, dim=64):
+        out = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            out.append((int(h[:8], 16) / 2**32) * 2.0 - 1.0)
+        return out
+
+    vecs = [vec(s) for s in range(8)] + [[0.0] * 64]  # incl. a zero vector
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    eng = {(r.ia, r.ib): r.s for r in a.join(
+        F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        "ia", "ib",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"))
+        .collect()}
+    for (ia, ib), s in eng.items():
+        c = _fold_cosine(vecs[ia], vecs[ib])
+        drv = None if c is None else _rnd6(c)
+        assert drv == s, (ia, ib, drv, s)
+
+
+def test_cm_sketch_weighted_equals_stream(spark):
+    """r15 opt (t44's one-pass lane): a cm_sketch built from a
+    (value, count) aggregate with weight_col must equal the build over
+    the raw occurrence stream CELL-FOR-CELL — counts are additive."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.sketches import cm_sketch
+
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + ["dd"] * 7
+    stream = spark.createDataFrame([(v,) for v in vals], "tok string")
+    plain = cm_sketch(stream, "tok", d=3, w=32).head()
+    agg = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    weighted = cm_sketch(agg, "tok", d=3, w=32, weight_col="n").head()
+    assert list(plain.cm) == list(weighted.cm)
+    assert (plain.d, plain.w, plain.seed) == (weighted.d, weighted.w,
+                                              weighted.seed)
+    # grouped lane too
+    stream2 = spark.createDataFrame(
+        [("s1", v) for v in vals] + [("s2", v) for v in vals[:4]],
+        "src string, tok string")
+    p2 = {r.src: list(r.cm) for r in cm_sketch(
+        stream2, "tok", by=["src"], d=2, w=16).collect()}
+    agg2 = stream2.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w2 = {r.src: list(r.cm) for r in cm_sketch(
+        agg2, "tok", by=["src"], d=2, w=16, weight_col="n").collect()}
+    assert p2 == w2

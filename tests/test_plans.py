@@ -243,6 +243,19 @@ def test_effective_tokens_no_window_over_data(spark, sf_dir):
     assert "row_number" not in plan.lower()
 
 
+def test_repetition_metrics_is_scan_shaped(spark, sf_dir):
+    """r15 opt: t29's per-doc stats are per-row array expressions
+    (sizes + a sorted longest-equal-run fold) — no explode, no join,
+    no aggregation shuffle; the only exchanges are ensure_parallelism's
+    round-robin and the output sort's range partitioning."""
+    df = REG["t29_repetition_metrics"].fn(spark, sf_dir)
+    rep = explain_query(df)
+    assert not rep.joins, f"t29 must not join: {rep.joins}"
+    assert rep.n_exchanges <= 2, f"t29 grew shuffles: {rep.n_exchanges}"
+    assert "Generate" not in rep.text, "t29 regrew an explode lane"
+    assert "HashAggregate" not in rep.text, "t29 regrew an aggregation"
+
+
 def test_vocab_topk_is_take_ordered(spark, sf_dir):
     # top-50 vocabulary must be TakeOrderedAndProject (k rows per
     # partition to the driver), never a global sort of the term table
