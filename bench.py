@@ -117,9 +117,14 @@ def main() -> None:
             detail[f"scan_ingest_{tbl}"] = secs
         # record the layout + build knobs so cross-round build-time
         # deltas are attributable (same formula as build_scan_cache;
-        # bench builders pass config=None → default multiplier 1.0)
+        # bench builders pass config=None → default multiplier 1.0).
+        # r15: expression-heavy tables (documents/embeddings/events)
+        # rewrite at cores/2 — ensure_parallelism's no-op threshold —
+        # so their scans need no per-query repartition exchange.
         detail["scan_files"] = max(
             4, spark.sparkContext.defaultParallelism // 4)
+        detail["scan_files_expr"] = max(
+            2, spark.sparkContext.defaultParallelism // 2)
         detail["build_mult"] = 1.0
     except Exception as exc:
         print(f"bench: scan ingest FAILED: {exc}", file=sys.stderr)

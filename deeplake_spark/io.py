@@ -65,8 +65,24 @@ def _source_fingerprint(path: str) -> tuple[str, int, int] | None:
     return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
 
 
+#: tables whose scans feed CPU-heavy expression work (tokenize/shingle/
+#: md5 over every text lane): rewritten at ingest into cores/2 files so
+#: the scan itself satisfies ensure_parallelism's threshold — the
+#: per-query round-robin repartition exchange disappears AND the
+#: parquet decode parallelizes (r15 opt; interleaved A/B: d03 1.90 →
+#: 1.42 s, t29 0.75 → 0.55, t31 1.40 → 1.06 at equal control).
+#: DELIBERATELY only `documents`: the same layout on embeddings/events
+#: measured NET-NEGATIVE (v08/v18/v20/v21/v24 +0.2-0.4 s, r05/r06/r09
+#: +0.2-0.4 s — their scans are cheap, so 16 scheduling rounds per
+#: scan cost more than the 1-row-group decode they replaced);
+#: lineitem/orders stay at cores/4 (trap 14: more files regressed the
+#: multi-scan TPC-H joins).
+_EXPR_HEAVY_TABLES = {"documents"}
+
+
 def build_scan_cache(spark: SparkSession, sf_dir: str,
-                     tables: tuple[str, ...] = ("lineitem", "orders"),
+                     tables: tuple[str, ...] = (
+                         "lineitem", "orders", "documents"),
                      target_files: int | None = None) -> dict[str, float]:
     """Ingest-time chunk re-layout — the Spark analogue of the
     reference's convert-at-create ingest (`deeplake.convert` /
@@ -91,14 +107,20 @@ def build_scan_cache(spark: SparkSession, sf_dir: str,
     # cores/4 files, not cores: decode parallelizes enough (75k rows
     # per file at sf0.1) while multi-scan joins don't pay cores-many
     # scheduling rounds per scan — measured q18/q21 best at 8 files on
-    # 32 cores (1rg 1.43/1.33 s, 8f 0.90/0.78 s, 32f 1.20/1.20 s)
-    n = target_files or max(4, spark.sparkContext.defaultParallelism // 4)
+    # 32 cores (1rg 1.43/1.33 s, 8f 0.90/0.78 s, 32f 1.20/1.20 s).
+    # Expression-heavy tables use cores/2 instead: that is exactly
+    # ensure_parallelism's no-op threshold, so their tokenize/cosine
+    # pipelines run straight off the scan with no repartition exchange.
+    dp = spark.sparkContext.defaultParallelism
+    n_join = target_files or max(4, dp // 4)
+    n_expr = target_files or max(2, dp // 2)
     out: dict[str, float] = {}
     for t in tables:
         src = os.path.join(sf_dir, f"{t}.parquet")
         key = _source_fingerprint(src)
         if key is None or key in _SCAN_CACHE:
             continue
+        n = n_expr if t in _EXPR_HEAVY_TABLES else n_join
         t0 = _time.perf_counter()
         dst = tempfile.mkdtemp(prefix=f"sgscan_{t}_")
         spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)

@@ -819,13 +819,14 @@ def cdc_shared_passages(df: DataFrame, text_col: str = "text",
     passages — the bucket_cap convention from the LSH operators; set
     None to disable). At 100 TB the key becomes a chunk hash; the
     string key keeps sf-scale runs oracle-checkable."""
-    # tracked persist (r15 opt): the distinct chunk relation feeds the
-    # dup-count aggregate, the semijoin probe AND both pair sides —
-    # without it the tokenize+window+reassembly subtree re-ran per
-    # consumer. Same class as the d03 posting persist (at 100 TB this
-    # is the persisted chunk table; ~doc-count × chunks/doc rows).
-    chunks = _track(cdc_chunks(df, text_col, id_col, w, mask).select(
-        "doc_id", "chunk").distinct())
+    # NO persist on chunks (r15 A/B): a tracked persist measured
+    # 1.84-2.98 s vs 1.71-2.44 s recomputed (interleaved min-of-3) —
+    # AQE stage reuse already shares the chunk subtree's shuffles and
+    # the deserialized cache fill costs more than it saves here. At
+    # 100 TB the chunk relation is a persisted parquet side table (the
+    # inverted-index protocol), not an in-plan memory cache.
+    chunks = cdc_chunks(df, text_col, id_col, w, mask).select(
+        "doc_id", "chunk").distinct()
     counted = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("__n"))
     dup = counted.filter(F.col("__n") >= min_docs)
     if max_docs is not None:

@@ -22,6 +22,9 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1604,17 +1607,8 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
             .select("__qid", "__nl")
         )
     else:
-        scored = (
-            labeled.crossJoin(F.broadcast(queries))
-            .select(
-                "__qid",
-                F.col(id_col),
-                F.col(label_col).alias("__nl"),
-                F.round(
-                    cosine_similarity(F.col(vec_col), F.col("__qv")), 6
-                ).alias("__score"),
-            )
-        )
+        scored = _exact_batch_cosine_scores(
+            labeled, queries, vec_col, id_col, label_col)
         w = Window.partitionBy("__qid").orderBy(F.desc("__score"), id_col)
         neigh = (
             scored.withColumn("__rnk", F.row_number().over(w))
@@ -1633,6 +1627,126 @@ def knn_label_propagation(df: DataFrame, vec_col: str = "embedding",
             F.col("__nl").alias("pred_label"),
             F.col("__votes").alias("votes"),
         )
+    )
+
+
+def _exact_batch_cosine_scores(labeled: DataFrame, queries: DataFrame,
+                               vec_col: str, id_col: str,
+                               label_col: str) -> DataFrame:
+    """The exact lane's (labeled × query) rounded-cosine relation —
+    (__qid, id_col, __nl, __score) — computed by an Arrow-batched UDF
+    instead of one interpreted HOF fold per pair (trap 26: a constant
+    query matrix against many rows is exactly the route_clusters_pandas
+    crossover; the former broadcast-NLJ spelling evaluated
+    rows × queries × dim interpreted lambda steps).
+
+    Exactness: the UDF accumulates VECTORIZED OVER ROWS but SEQUENTIAL
+    OVER DIMENSIONS — `acc += L[:, i] * Q[:, i]` is one correctly-
+    rounded IEEE multiply + add per element in the same order as the
+    JVM left fold, so every score is bit-identical to
+    cosine_similarity (pinned in tests/test_operators.py; numpy's own
+    dot/pairwise summation would NOT be). Zero-norm / missing /
+    length-mismatched vectors yield NULL exactly like the engine's
+    nullif + zip_with-padding semantics.
+
+    The query side is collected driver-side to close the matrix into
+    the UDF closure (self-contained, trap 23): the exact lane already
+    broadcasts the query relation, so driver-fit is a precondition
+    either way — corpus-scale callers use the index lane. Falls back
+    to the HOF spelling when the query side is empty or ragged."""
+    spark = labeled.sparkSession
+    qrows = queries.collect()
+    dims = {len(r[1]) for r in qrows if r[1] is not None}
+    if not qrows or len(dims) != 1 or any(r[1] is None for r in qrows):
+        # degenerate query sets: keep the per-pair HOF spelling (NULL /
+        # ragged query vectors follow zip_with padding semantics there)
+        local_q = (spark.createDataFrame(qrows, queries.schema)
+                   if qrows else queries)
+        return (
+            labeled.crossJoin(F.broadcast(local_q))
+            .select(
+                "__qid", F.col(id_col), F.col(label_col).alias("__nl"),
+                F.round(cosine_similarity(F.col(vec_col), F.col("__qv")),
+                        6).alias("__score"),
+            )
+        )
+    import numpy as np
+
+    d = dims.pop()
+    qmat = np.array([[float(x) for x in r[1]] for r in qrows],
+                    dtype="float64")
+
+    def make_scorer(qm):
+        # self-contained closure (trap 23): captures only the numpy
+        # matrix — cloudpickled by value, no module globals (the
+        # annotation names resolve at the MODULE level for pyspark's
+        # type-hint inference; the body re-imports). Iterator form:
+        # the query-norm fold runs once per task (guide §4.5).
+        def score_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import numpy as np
+            import pandas as pd
+
+            nq, nd = qm.shape
+            qn = np.zeros(nq)
+            for i in range(nd):
+                qn += qm[:, i] * qm[:, i]
+            qn = np.sqrt(qn)
+            for vs in it:
+                out = []
+                ok_rows, ok_idx = [], []
+                vals = vs.tolist()
+                for ri, v in enumerate(vals):
+                    if v is not None and len(v) == nd:
+                        ok_rows.append(v)
+                        ok_idx.append(ri)
+                res = [None] * len(vals)
+                if ok_rows:
+                    lm = np.array(ok_rows, dtype="float64")
+                    b = lm.shape[0]
+                    acc = np.zeros((b, nq))
+                    ln = np.zeros(b)
+                    for i in range(nd):
+                        # one rounded multiply + one rounded add per
+                        # element, dim-sequential == the JVM left fold
+                        acc += lm[:, i, None] * qm[None, :, i]
+                        ln += lm[:, i] * lm[:, i]
+                    den = np.sqrt(ln)[:, None] * qn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / den
+                    zero = den == 0.0
+                    for bi, ri in enumerate(ok_idx):
+                        if zero[bi].any():
+                            res[ri] = [None if zero[bi, j] else
+                                       float(cos[bi, j])
+                                       for j in range(nq)]
+                        else:
+                            res[ri] = [float(x) for x in cos[bi]]
+                for ri, v in enumerate(vals):
+                    if res[ri] is None:
+                        # NULL or ragged vector: every pair scores NULL
+                        # (zip_with pads -> NULL fold), keep the rows
+                        res[ri] = [None] * nq
+                out = pd.Series(res)
+                yield out
+        return score_batches
+
+    scorer = F.pandas_udf(make_scorer(qmat), "array<double>")
+    qmap = spark.createDataFrame(
+        [(i, r[0]) for i, r in enumerate(qrows)],
+        T.StructType([
+            T.StructField("__qpos", T.IntegerType()),
+            T.StructField("__qid", queries.schema["__qid"].dataType)]))
+    return (
+        labeled.select(F.col(id_col), F.col(label_col).alias("__nl"),
+                       scorer(F.col(vec_col).cast("array<double>"))
+                       .alias("__ss"))
+        # posexplode_outer: no inferred generator-input filter (trap 2)
+        # that would duplicate the UDF below a pushed predicate
+        .select(F.col(id_col), "__nl",
+                F.posexplode_outer("__ss").alias("__qpos", "__score"))
+        .join(F.broadcast(qmap), "__qpos")
+        .select("__qid", F.col(id_col), "__nl",
+                F.round(F.col("__score"), 6).alias("__score"))
     )
 
 

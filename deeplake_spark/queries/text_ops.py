@@ -1426,7 +1426,6 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from deeplake_spark.io import ensure_parallelism
-    from deeplake_spark.operators.dedup import _track
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
@@ -1434,15 +1433,14 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    # tracked persist (r15 opt): tf feeds THREE consumers (the score
-    # join, doclen, df) and the identical exchanges were not reliably
-    # reused at runtime — the corpus was tokenized per consumer. The
-    # (doc, term, tf) relation is the standard term-frequency side
-    # table (the d03 posting-persist convention; at 100 TB it is the
-    # persisted TF half of an inverted index, ~vocab-per-doc-sized —
-    # never the raw token stream).
-    tf = _track(toks.groupBy("doc_id", "term")
-                .agg(F.count(F.lit(1)).alias("__tf")))
+    # NO persist on tf (r15 A/B): a tracked persist here measured
+    # 2.0-3.6 s vs 1.2-1.8 s recomputed (interleaved min-of-4) — the
+    # deserialized cache fill breaks whole-stage pipelining and AQE
+    # stage reuse already serves part of the duplicate subtree, while
+    # the (doc, term) aggregate is cheap to recompute. At 100 TB the
+    # TF relation would be a persisted parquet side table (the
+    # inverted-index protocol), not an in-plan memory cache.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("__tf").alias("__dl"))
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = dl.agg(F.count(F.lit(1)).alias("__n"))
@@ -2610,20 +2608,23 @@ def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.functions.text import normalize_unicode
-    from deeplake_spark.io import ensure_parallelism
 
-    base = (ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # r15 opt: the lane touches 20 filtered rows x 3 variants — the
+    # former ensure_parallelism spread 60 rows over 32 partitions (32
+    # near-empty Arrow batches per UDF) and the 3-way union scanned
+    # the parquet once per variant; one pruned scan + an inline
+    # explode of the 3 suffix variants is the same 60 rows in one
+    # partition. The variant fan-out is constant (3), so scale-free.
+    base = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 20).select("doc_id", "text"))
-
-    def variant(suffix: str):
-        return base.select(
-            "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("v"))
-
     # composed U+00E9 / decomposed e + U+0301 / plain — the first two
     # render identically but are byte-different strings
-    fam = (variant(" caf\u00e9")
-           .unionByName(variant(" cafe\u0301"))
-           .unionByName(variant(" cafe")))
+    fam = base.select(
+        "doc_id",
+        F.explode(F.array(
+            F.concat(F.col("text"), F.lit(" caf\u00e9")),
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+            F.concat(F.col("text"), F.lit(" cafe")))).alias("v"))
     normed = fam.select(
         "doc_id",
         F.md5("v").alias("__raw"),
@@ -2910,10 +2911,13 @@ from deeplake_spark.queries.dedup_ops import _DUCK_SHINGLES3  # noqa: E402
     tags=("text", "diversity", "stats"),
 )
 def t48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deeplake_spark.operators.dedup import _posting, shingle_sets
+    from deeplake_spark.operators.dedup import _posting, _track, shingle_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    ex = _posting(shingle_sets(docs, n=3), None)
+    # tracked persist (r15 opt): the posting feeds the df aggregate AND
+    # the join back — the d03 persisted-posting convention; without it
+    # the tokenize+shingle pass ran per consumer
+    ex = _track(_posting(shingle_sets(docs, n=3), None))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (ex.join(dfreq, "sh")
                .groupBy("doc_id")

@@ -2259,3 +2259,43 @@ def test_cm_sketch_weighted_equals_stream(spark):
     w2 = {r.src: list(r.cm) for r in cm_sketch(
         agg2, "tok", by=["src"], d=2, w=16, weight_col="n").collect()}
     assert p2 == w2
+
+
+def test_exact_batch_cosine_scores_match_hof_lane(spark):
+    """r15 opt: knn_label_propagation's exact lane scores via the
+    Arrow-batched dim-sequential fold — every (labeled, query) rounded
+    score must be BIT-identical to the former broadcast-NLJ HOF
+    spelling, including NULL for zero-norm / NULL / ragged vectors."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.functions.vector import cosine_similarity
+    from deeplake_spark.operators.similarity import (
+        _exact_batch_cosine_scores)
+
+    def vec(seed, dim=16):
+        return [(int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8],
+                     16) / 2**32) * 2 - 1 for i in range(dim)]
+
+    rows = [(i, i % 3, vec(i)) for i in range(20)]
+    rows.append((20, 1, [0.0] * 16))        # zero norm
+    rows.append((21, 2, None))              # NULL vector
+    rows.append((22, 0, vec(99)[:7]))       # ragged
+    labeled = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, vec(100)), (101, vec(101)), (102, [0.0] * 16)],
+        "__qid long, __qv array<double>")
+    got = {(r["__qid"], r["vec_id"]): r["__score"]
+           for r in _exact_batch_cosine_scores(
+               labeled, queries, "embedding", "vec_id", "label").collect()}
+    want = {(r["__qid"], r["vec_id"]): r["__score"]
+            for r in labeled.crossJoin(F.broadcast(queries)).select(
+                "__qid", "vec_id",
+                F.round(cosine_similarity(F.col("embedding"),
+                                          F.col("__qv")), 6)
+                .alias("__score")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])

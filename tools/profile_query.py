@@ -37,6 +37,8 @@ def main() -> None:
                     help="dump explain(formatted) to plans/r15/<q>_<TAG>.txt")
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--no-ingest", action="store_true")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated scan-cache tables (A/B layouts)")
     ap.add_argument("--top", type=int, default=0,
                     help="profile the N slowest queries from BENCH_FULL.json")
     args = ap.parse_args()
@@ -68,7 +70,12 @@ def main() -> None:
         from deeplake_spark.queries import text_ops, vector_ops
 
         t0 = time.perf_counter()
-        build_scan_cache(spark, sf_dir)
+        if args.tables is not None:
+            build_scan_cache(spark, sf_dir,
+                             tables=tuple(t for t in args.tables.split(",")
+                                          if t))
+        else:
+            build_scan_cache(spark, sf_dir)
         text_ops._inv_index(spark, sf_dir)
         vector_ops._ivf8(spark, sf_dir)
         vector_ops._quantized_index(spark, sf_dir)
