@@ -330,7 +330,8 @@ def gumbel_key(id_col: str, salt: str) -> Column:
     return -F.log(-F.log(u))
 
 
-def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
+def dsir_select(raw: DataFrame, target: "DataFrame | Column",
+                text_col: str = "text",
                 id_col: str = "doc_id", n_buckets: int = 1024, k: int = 100,
                 seed: int = 0, salt: str = "dsir") -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.
@@ -348,7 +349,14 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
          sampling without replacement proportional to the importance
          weight, deterministic under ``salt``.
 
-    Scale shape: two tokenize passes — target once, raw once into a
+    ``target`` is either a DataFrame (a separate target corpus — its
+    own tokenize pass) or a boolean Column predicate over ``raw``'s
+    rows (the in-corpus-domain case, e.g. ``F.col("source").isin(...)``
+    — then the target counts derive from the SAME (doc, bucket)
+    pre-aggregate and the whole fit is ONE corpus pass; r15 opt).
+
+    Scale shape: at most two tokenize passes — target (when a separate
+    frame) once, raw once into a
     (doc, bucket) count pre-aggregate (bounded by n_docs × n_buckets;
     the bucket marginal and the per-doc weights both derive from it,
     so the raw bigram stream is never re-tokenized and never
@@ -369,13 +377,16 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
     from deeplake_spark.io import ensure_parallelism
     from deeplake_spark.operators.dedup import _md5_int60
 
-    def buckets(df: DataFrame) -> DataFrame:
+    def buckets(df: DataFrame, flag: Column | None = None) -> DataFrame:
+        extra = [flag.alias("__tgt")] if flag is not None else []
         d = ensure_parallelism(df).select(
-            F.col(id_col).alias("__doc"), tokenize(F.col(text_col)).alias("__t"))
+            F.col(id_col).alias("__doc"), tokenize(F.col(text_col)).alias("__t"),
+            *extra)
         n = F.size("__t") - 1
+        keep = ["__tgt"] if flag is not None else []
         rows = (
             d.select(
-                "__doc", "__t",
+                "__doc", "__t", *keep,
                 F.explode_outer(
                     F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
             .filter(F.col("__i").isNotNull())
@@ -383,7 +394,7 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
         bg = F.concat(F.element_at("__t", F.col("__i")), F.lit(" "),
                       F.element_at("__t", F.col("__i") + 1))
         return rows.select(
-            "__doc", (_md5_int60(bg, seed) % n_buckets).alias("__b"))
+            "__doc", *keep, (_md5_int60(bg, seed) % n_buckets).alias("__b"))
 
     # (doc, bucket) pre-aggregation (r15 opt): the raw corpus is
     # tokenized ONCE into per-doc bucket counts — the bucket marginal
@@ -394,9 +405,22 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
     # tokenize+explode pass for each consumer (guide §2.4); the
     # pre-aggregate is bounded by n_docs × n_buckets — the hashed
     # featurization the DSIR paper stores anyway.
-    raw_dbc = buckets(raw).groupBy("__doc", "__b").agg(
-        F.count(F.lit(1)).alias("__c"))
-    tgt_c = buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    if isinstance(target, Column):
+        # predicate target: the target distribution is the flagged
+        # subset of the SAME pre-aggregate — one corpus pass total.
+        # The flag is constant per row of `raw` (one row per doc), so
+        # max() just carries it through the (doc, bucket) aggregate.
+        dbc = buckets(raw, flag=target).groupBy("__doc", "__b").agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max(F.coalesce("__tgt", F.lit(False))).alias("__tgt"))
+        raw_dbc = dbc.select("__doc", "__b", "__c")
+        tgt_c = (dbc.filter(F.col("__tgt"))
+                 .groupBy("__b").agg(F.sum("__c").alias("__ct")))
+    else:
+        raw_dbc = buckets(raw).groupBy("__doc", "__b").agg(
+            F.count(F.lit(1)).alias("__c"))
+        tgt_c = buckets(target).groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__ct"))
     raw_c = raw_dbc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
     # totals as broadcast 1-row aggregates OVER THE BUCKET TABLES
     # (<= n_buckets rows) — no extra corpus pass, no driver action

@@ -1609,8 +1609,12 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.operators.sampling import dsir_select
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.filter(F.col("source").isin("src0", "src1"))
-    return dsir_select(d, target, k=50, n_buckets=1024, seed=0, salt="dsir")
+    # predicate target (r15 opt): the target domain is a subset of the
+    # raw corpus, so the fit derives both distributions from ONE
+    # tokenize pass (dsir_select's Column lane; frame==predicate
+    # equality pinned in tests/test_operators.py)
+    return dsir_select(d, F.col("source").isin("src0", "src1"),
+                       k=50, n_buckets=1024, seed=0, salt="dsir")
 
 
 @query(

@@ -2299,3 +2299,26 @@ def test_exact_batch_cosine_scores_match_hof_lane(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_dsir_predicate_target_equals_frame_target(spark):
+    """r15 opt (t30's one-pass lane): dsir_select with a Column
+    predicate target must select exactly what the equivalent filtered
+    DataFrame target selects — same docs, same weights, same keys."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.sampling import dsir_select
+
+    rows = [(i, f"src{i % 4}",
+             " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)))
+            for i in range(60)]
+    rows.append((60, "src0", "x"))          # <2 tokens: no features
+    rows.append((61, "src1", None))         # NULL text
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pred = F.col("source").isin("src0", "src1")
+    a = dsir_select(df, pred, k=20, n_buckets=64, seed=0, salt="t")
+    b = dsir_select(df, df.filter(pred), k=20, n_buckets=64, seed=0, salt="t")
+    ra = [tuple(r) for r in a.collect()]
+    rb = [tuple(r) for r in b.collect()]
+    assert ra == rb
+    assert len(ra) > 0
