@@ -16,11 +16,17 @@ from pyspark.sql import functions as F
 
 
 def _dbl(arr: Column) -> Column:
+    if isinstance(arr, str):
+        return F.expr(f"transform({arr}, x -> cast(x as double))")
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def asum(arr: Column) -> Column:
-    """SUM(cell_array) — cpp/nd/functions.hpp:95."""
+def asum(arr: Column | str) -> Column:
+    """SUM(cell_array) — cpp/nd/functions.hpp:95. A str argument is a
+    SQL fragment; the reduction builds as one parsed expr (trap 12)."""
+    if isinstance(arr, str):
+        return F.expr(f"aggregate(transform({arr}, x -> cast(x as double)), "
+                      "cast(0.0 as double), (a, x) -> a + x)")
     return F.aggregate(_dbl(arr), F.lit(0.0), lambda a, x: a + x)
 
 
@@ -120,7 +126,43 @@ def shape2d(arr2d: Column) -> Column:
     )
 
 
-def array_slice(arr: Column, start: Column | int | None,
+def _array_slice_sql(arr: str, start: int | None, stop: int | None,
+                     step: int = 1) -> str:
+    """SQL-fragment twin of `array_slice` for str array / int bounds —
+    one F.expr instead of ~40 py4j round trips (trap 12); the parsed
+    tree mirrors the Column build node-for-node."""
+    n = f"size({arr})"
+    if step > 0:
+        start_c = str(0 if start is None else int(start))
+        stop_c = str(2**31 - 1 if stop is None else int(stop))
+        start_n = (f"CASE WHEN {start_c} < 0 THEN greatest({n} + {start_c}, 0) "
+                   f"ELSE least({start_c}, {n}) END")
+        stop_n = (f"CASE WHEN {stop_c} < 0 THEN greatest({n} + {stop_c}, 0) "
+                  f"ELSE least({stop_c}, {n}) END")
+        idx = f"sequence({start_n} + 1, {stop_n}, {int(step)})"
+        return (f"CASE WHEN {stop_n} > {start_n} THEN "
+                f"transform(filter({idx}, i -> i <= {n}), "
+                f"i -> element_at({arr}, cast(i as int))) "
+                f"ELSE slice({arr}, 1, 0) END")
+    if start is None:
+        start_n = f"{n} - 1"
+    else:
+        start_c = str(int(start))
+        start_n = (f"least(CASE WHEN {start_c} < 0 THEN {n} + {start_c} "
+                   f"ELSE {start_c} END, {n} - 1)")
+    if stop is None:
+        stop_n = "-1"
+    else:
+        stop_c = str(int(stop))
+        stop_n = (f"greatest(least(CASE WHEN {stop_c} < 0 THEN {n} + {stop_c} "
+                  f"ELSE {stop_c} END, {n} - 1), -1)")
+    idx0 = f"sequence({start_n}, {stop_n} + 1, {int(step)})"
+    return (f"CASE WHEN ({start_n} >= 0) AND ({start_n} >= {stop_n} + 1) THEN "
+            f"transform({idx0}, i -> element_at({arr}, cast((i + 1) as int))) "
+            f"ELSE slice({arr}, 1, 0) END")
+
+
+def array_slice(arr: Column | str, start: Column | int | None,
                 stop: Column | int | None, step: int = 1) -> Column:
     """Python-style slice col[start:stop:step] with 0-based indexing
     (reference cpp/query_core/expr.hpp:303-318). Negative indexing is
@@ -131,6 +173,11 @@ def array_slice(arr: Column, start: Column | int | None,
     array); `step` must be a python int."""
     if step == 0:
         raise ValueError("slice step cannot be zero")
+    if isinstance(arr, str) and not isinstance(start, Column) \
+            and not isinstance(stop, Column):
+        # SQL-fragment path: whole slice as ONE parsed expr (trap 12);
+        # tree identical to the Column build below (canon-pinned)
+        return F.expr(_array_slice_sql(arr, start, stop, step))
     n = F.size(arr)
     if step > 0:
         start_c = F.lit(0 if start is None else start) \

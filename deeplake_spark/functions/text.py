@@ -32,8 +32,20 @@ STOPWORDS = {
 QUALITY_STOPWORDS = STOPWORDS["en"]
 
 
-def tokenize(text: Column) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+def tokenize_sql(text: str) -> str:
+    """SQL-fragment twin of `tokenize` (trap 12: one F.expr costs ~1
+    py4j round trip vs ~10 for the filter/split/lambda chain; ~50
+    bench lanes construct this per q.fn call). Parses to the identical
+    Catalyst tree — pinned in tests/test_functions.py."""
+    return f"filter(split(lower({text}), '\\\\s+'), t -> t != '')"
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed. A str argument
+    is a SQL fragment (column name or sub-expression) and builds as
+    one parsed expression."""
+    if isinstance(text, str):
+        return F.expr(tokenize_sql(text))
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
@@ -53,13 +65,27 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def word_shingles(tokens: Column, n: int) -> Column:
+def word_shingles_sql(tokens: str, n: int) -> str:
+    """SQL-fragment twin of `word_shingles` (trap 12; identical tree,
+    pinned in tests/test_functions.py)."""
+    parts = ", ".join(
+        f"element_at({tokens}, cast((i + {j}) as int))" for j in range(n))
+    return (f"CASE WHEN size({tokens}) >= {n} THEN "
+            f"transform(sequence(1, size({tokens}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) "
+            "ELSE cast(array() as array<string>) END")
+
+
+def word_shingles(tokens: Column | str, n: int) -> Column:
     """n-word shingles (space-joined); empty array when len(tokens) < n.
 
     Built from element_at + concat_ws rather than slice + array_join:
     identical strings, but the generated code is ~6x cheaper to compile
-    and run (slice allocates a sub-array per shingle).
+    and run (slice allocates a sub-array per shingle). A str argument
+    is a SQL fragment and builds as one parsed expression (trap 12).
     """
+    if isinstance(tokens, str):
+        return F.expr(word_shingles_sql(tokens, n))
     make = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(
@@ -69,8 +95,15 @@ def word_shingles(tokens: Column, n: int) -> Column:
     return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
-def char_ngrams(text: Column, n: int) -> Column:
-    """Character n-grams of the lowercased text."""
+def char_ngrams(text: Column | str, n: int) -> Column:
+    """Character n-grams of the lowercased text. A str argument is a
+    SQL fragment and builds as one parsed expression (trap 12)."""
+    if isinstance(text, str):
+        return F.expr(
+            f"CASE WHEN length(lower({text})) >= {n} THEN "
+            f"transform(sequence(1, length(lower({text})) - {n - 1}), "
+            f"i -> substring(lower({text}), i, {n})) "
+            "ELSE cast(array() as array<string>) END")
     s = F.lower(text)
     make = F.transform(
         F.sequence(F.lit(1), F.length(s) - (n - 1)),
@@ -79,8 +112,16 @@ def char_ngrams(text: Column, n: int) -> Column:
     return F.when(F.length(s) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
-def stopword_hits(tokens: Column, words: list[str]) -> Column:
-    """Occurrence count (not distinct) of tokens in a stopword list."""
+def _stopword_hits_sql(tokens: str, words: list[str]) -> str:
+    arr = "array(" + ", ".join("'" + w + "'" for w in words) + ")"
+    return f"size(filter({tokens}, t -> array_contains({arr}, t)))"
+
+
+def stopword_hits(tokens: Column | str, words: list[str]) -> Column:
+    """Occurrence count (not distinct) of tokens in a stopword list.
+    A str argument is a SQL fragment (one parsed expr, trap 12)."""
+    if isinstance(tokens, str):
+        return F.expr(_stopword_hits_sql(tokens, words))
     lit_set = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens, lambda t: F.array_contains(lit_set, t)))
 
@@ -94,9 +135,19 @@ def langid_scores(tokens: Column) -> dict[str, Column]:
     }
 
 
-def predict_lang(tokens: Column) -> Column:
+def predict_lang(tokens: Column | str) -> Column:
     """argmax of langid_scores with deterministic lexicographic tiebreak;
-    'und' (undetermined) when every score is 0."""
+    'und' (undetermined) when every score is 0. A str argument is a
+    SQL fragment; the whole argmax builds as one parsed expr (trap 12)."""
+    if isinstance(tokens, str):
+        n = f"greatest(size({tokens}), 1)"
+        pairs = "array(" + ", ".join(
+            f"struct(cast({_stopword_hits_sql(tokens, words)} as double) "
+            f"/ {n} AS score, '{lang}' AS lang)"
+            for lang, words in sorted(STOPWORDS.items())) + ")"
+        best = f"array_max({pairs})"
+        return F.expr(f"CASE WHEN ({best}).score > 0 THEN ({best}).lang "
+                      "ELSE 'und' END")
     scores = langid_scores(tokens)
     # build struct array (score, negname) and pick max — deterministic
     pairs = F.array(
@@ -106,9 +157,37 @@ def predict_lang(tokens: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: Column | str) -> dict[str, Column]:
     """Deterministic doc-quality features (length / punct / stopword
-    ratios) in the style of C4/Gopher quality filters."""
+    ratios) in the style of C4/Gopher quality filters. A str argument
+    is a SQL fragment; each feature builds as one parsed expr
+    (trap 12)."""
+    if isinstance(text, str):
+        toks = tokenize_sql(text)
+        n_tok = f"size({toks})"
+        sw = ", ".join("'" + w + "'" for w in QUALITY_STOPWORDS)
+        return {
+            "n_tokens": F.expr(n_tok),
+            "mean_token_len": F.expr(
+                f"CASE WHEN {n_tok} > 0 THEN "
+                f"aggregate({toks}, cast(0.0 as double), "
+                "(acc, t) -> acc + length(t)) "
+                f"/ {n_tok} ELSE cast(0.0 as double) END"),
+            "stopword_ratio": F.expr(
+                f"CASE WHEN {n_tok} > 0 THEN "
+                f"cast(size(filter({toks}, t -> array_contains("
+                f"array({sw}), t))) as double) / {n_tok} "
+                "ELSE cast(0.0 as double) END"),
+            "punct_ratio": F.expr(
+                f"CASE WHEN length({text}) > 0 THEN "
+                f"cast(length({text}) - length(regexp_replace({text}, "
+                f"'[.,;:!?]', '')) as double) / length({text}) "
+                "ELSE cast(0.0 as double) END"),
+            "unique_token_ratio": F.expr(
+                f"CASE WHEN {n_tok} > 0 THEN "
+                f"cast(size(array_distinct({toks})) as double) / {n_tok} "
+                "ELSE cast(0.0 as double) END"),
+        }
     toks = tokenize(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
@@ -135,7 +214,7 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column | str) -> Column:
     """Composite quality score in [0,1]: rewards mid-length docs with
     diverse vocabulary; deterministic, oracle-reproducible."""
     f = quality_features(text)
@@ -202,13 +281,23 @@ def normalize_unicode(text: Column, form: str = "NFC",
     return _norm(text)
 
 
-def kgram_hashes(tokens: Column, k: int) -> Column:
+def kgram_hashes(tokens: Column | str, k: int) -> Column:
     """md5-portable hash per token k-gram (array<bigint>, length
     n-k+1; empty below k tokens) — the winnowing input. PROJECT the
     token array to a column before calling (CLAUDE.md trap 3: an
-    inlined tokenize would re-evaluate per element)."""
-    from deeplake_spark.operators.dedup import _md5_int60
+    inlined tokenize would re-evaluate per element). A str argument is
+    a SQL fragment; the whole map builds as one parsed expr (trap 12,
+    tree-identical — canon-pinned)."""
+    from deeplake_spark.operators.dedup import _md5_int60, _md5_int60_sql
 
+    if isinstance(tokens, str):
+        gram = "concat_ws(' ', " + ", ".join(
+            f"element_at({tokens}, i + {j})" for j in range(int(k))) + ")"
+        return F.expr(
+            f"CASE WHEN size({tokens}) >= {int(k)} THEN "
+            f"transform(sequence(1, size({tokens}) - {int(k) - 1}), "
+            f"i -> {_md5_int60_sql(gram, 0)}) "
+            "ELSE cast(array() as array<bigint>) END")
     n = F.size(tokens)
 
     def h(i: Column) -> Column:
@@ -221,7 +310,16 @@ def kgram_hashes(tokens: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def winnow(hashes: Column, w: int) -> Column:
+def winnow_sql(hashes: str, w: int) -> str:
+    """SQL-fragment twin of `winnow` (trap 12; tree-identical)."""
+    return (f"CASE WHEN size({hashes}) >= {int(w)} THEN array_distinct("
+            f"transform(sequence(1, size({hashes}) - {int(w) - 1}), "
+            f"j -> array_min(slice({hashes}, j, {int(w)})))) "
+            f"WHEN size({hashes}) >= 1 THEN array(array_min({hashes})) "
+            "ELSE cast(array() as array<bigint>) END")
+
+
+def winnow(hashes: Column | str, w: int) -> Column:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
     2003 — the MOSS algorithm): the distinct set of per-window minima
     over every window of ``w`` consecutive k-gram hashes. GUARANTEE:
@@ -233,7 +331,10 @@ def winnow(hashes: Column, w: int) -> Column:
     tie rule is engine-free and the oracle replicates it verbatim.
     Documents shorter than one window fingerprint to their global
     minimum. PROJECT the hash array to a column before calling
-    (trap 3 — an inlined kgram_hashes would re-evaluate per window)."""
+    (trap 3 — an inlined kgram_hashes would re-evaluate per window).
+    A str argument is a SQL fragment (one parsed expr, trap 12)."""
+    if isinstance(hashes, str):
+        return F.expr(winnow_sql(hashes, w))
     m = F.size(hashes)
     mins = F.transform(
         F.sequence(F.lit(1), m - F.lit(int(w) - 1)),

@@ -28,12 +28,79 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# --- SQL-fragment twins -------------------------------------------------
+# Every 1-D function below accepts Column | str: a str is a SQL
+# fragment (column name or sub-expression) and the whole expression
+# builds as ONE F.expr — ~1 py4j round trip instead of ~10-40 for the
+# chained-Column/lambda build (CLAUDE.md trap 12; construction is a
+# DRIVER cost paid per bench-timed q.fn call). The parsed tree is
+# IDENTICAL to the Column build (canonical-optimized-plan equality
+# pinned in tests/test_functions.py::test_vector_sql_twins_match), so
+# plan shape, codegen and results cannot drift between the two paths.
+
+def _to_double_sql(arr: str) -> str:
+    return f"transform({arr}, x -> cast(x as double))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({_to_double_sql(a)}, {_to_double_sql(b)}, "
+            "(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+
+
+def _l1_norm_sql(a: str) -> str:
+    return (f"aggregate({_to_double_sql(a)}, cast(0.0 as double), "
+            "(acc, x) -> acc + abs(x))")
+
+
+def _l2_norm_sq_sql(a: str) -> str:
+    return (f"aggregate({_to_double_sql(a)}, cast(0.0 as double), "
+            "(acc, x) -> acc + x * x)")
+
+
+def _l2_norm_sql(a: str) -> str:
+    return f"sqrt({_l2_norm_sq_sql(a)})"
+
+
+def _linf_norm_sql(a: str) -> str:
+    return (f"aggregate({_to_double_sql(a)}, cast(0.0 as double), "
+            "(acc, x) -> greatest(acc, abs(x)))")
+
+
+def _cosine_similarity_sql(a: str, b: str) -> str:
+    return (f"{_dot_sql(a, b)} / nullif({_l2_norm_sql(a)} * "
+            f"{_l2_norm_sql(b)}, cast(0.0 as double))")
+
+
+def _hamming_distance_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> cast(x != y as bigint)), cast(0 as bigint), "
+            "(acc, x) -> acc + x)")
+
+
+def _sign_bits_sql(a: str) -> str:
+    return f"transform({a}, x -> cast(x >= 0 as int))"
+
+
+def literal_vec_sql(vec) -> str:
+    """SQL fragment for a literal double array — one parse instead of
+    ~2 py4j round trips per element (a 64-dim query vector costs ~130
+    calls as F.array(*[F.lit(x) ...]))."""
+    vals = [float(v) for v in vec]
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        raise ValueError("non-finite value in literal vector")
+    return "array(" + ", ".join(f"cast({v!r} as double)" for v in vals) + ")"
+
+
 def _to_double(arr: Column) -> Column:
+    if isinstance(arr, str):
+        return F.expr(_to_double_sql(arr))
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
     """DOT(a, b) — reference cpp/nd/functions.hpp:136."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -41,37 +108,49 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l1_norm(a: Column) -> Column:
+def l1_norm(a: Column | str) -> Column:
     """L1_NORM — reference cpp/nd/norm.hpp:20."""
+    if isinstance(a, str):
+        return F.expr(_l1_norm_sql(a))
     return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + F.abs(x))
 
 
-def l2_norm_sq(a: Column) -> Column:
+def l2_norm_sq(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_norm_sq_sql(a))
     return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
     """L2_NORM — reference cpp/nd/norm.hpp:25."""
+    if isinstance(a, str):
+        return F.expr(_l2_norm_sql(a))
     return F.sqrt(l2_norm_sq(a))
 
 
-def linf_norm(a: Column) -> Column:
+def linf_norm(a: Column | str) -> Column:
     """LINF_NORM — reference cpp/nd/norm.hpp:30."""
+    if isinstance(a, str):
+        return F.expr(_linf_norm_sql(a))
     return F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """COSINE_SIMILARITY — reference cpp/nd/norm.hpp:35, tql.md:93-96.
 
     dot/(||a||*||b||), all double. NULL-safe via nullif on zero norms
     (ANSI mode would otherwise raise divide-by-zero).
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_similarity_sql(a, b))
     denom = l2_norm(a) * l2_norm(b)
     return dot(a, b) / F.nullif(denom, F.lit(0.0))
 
 
-def hamming_distance(a: Column, b: Column) -> Column:
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """HAMMING_DISTANCE — element-wise inequality count (cpp/nd/norm.hpp:40)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_hamming_distance_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x != y).cast("long")),
         F.lit(0).cast("long"),
@@ -79,9 +158,11 @@ def hamming_distance(a: Column, b: Column) -> Column:
     )
 
 
-def sign_bits(a: Column) -> Column:
+def sign_bits(a: Column | str) -> Column:
     """Binary quantization: sign bit per dimension (reference
     `nd::quantize`, cpp/nd/norm.hpp:50; types.pyi BinaryQuantization)."""
+    if isinstance(a, str):
+        return F.expr(_sign_bits_sql(a))
     return F.transform(a, lambda x: (x >= 0).cast("int"))
 
 

@@ -56,7 +56,7 @@ def word_frequencies(df: DataFrame, text_col: str = "text",
 
     d = ensure_parallelism(df)
     counts = (
-        d.select(F.explode_outer(tokenize(F.col(text_col))).alias("__w"))
+        d.select(F.explode_outer(tokenize(f"`{text_col}`")).alias("__w"))
         .filter(F.col("__w").isNotNull())
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
         .orderBy(F.desc("__n"), F.asc("__w"))
@@ -218,7 +218,7 @@ def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
     d = ensure_parallelism(df)
     # pre-tokenize (lowercase whitespace words) in the JVM; Python only
     # runs the merge loop
-    return d.withColumn(out_col, _bpe(tokenize(F.col(text_col))))
+    return d.withColumn(out_col, _bpe(tokenize(f"`{text_col}`")))
 
 
 def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
@@ -251,7 +251,7 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
         return words_s.map(doc)
 
     d = ensure_parallelism(df)
-    return d.withColumn(out_col, _bpe_n(tokenize(F.col(text_col))))
+    return d.withColumn(out_col, _bpe_n(tokenize(f"`{text_col}`")))
 
 
 def bpe_detokenize(tokens: Column) -> Column:

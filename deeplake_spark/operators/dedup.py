@@ -124,14 +124,14 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     interpreted HOF eval — ~50x slower at sf0.1).
     """
     df = ensure_parallelism(df)
-    toks = tokenize(F.col(text_col))
+    toks = tokenize(f"`{text_col}`")
     # NOTE deliberately no size(...) emptiness filter: short docs yield
     # an empty shingle array, which explodes to zero posting rows and
     # never pairs — same semantics, and a filter here would be pushed to
     # the (possibly single-partition) scan and re-evaluate tokenize there
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-        .select("doc_id", F.array_distinct(word_shingles(F.col("__toks"), n)).alias("shingles"))
+        .select("doc_id", F.array_distinct(word_shingles("__toks", n)).alias("shingles"))
     )
 
 
@@ -393,16 +393,17 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     from deeplake_spark.functions.text import tokenize
 
     d = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+        F.col(id_col).alias("doc_id"), tokenize(f"`{text_col}`").alias("__t"))
     # index sequence guarded: sequence(1, n) with n < 1 would generate a
     # DESCENDING sequence — emit NULL instead, explode_outer keeps the
     # row, the null-filter on the OUTPUT drops it (never a filter on the
     # generator input — it would inline+push the tokenize twice)
-    n = F.size("__t") - F.lit(w - 1)
+    nw = f"size(__t) - {w - 1}"
     wins = (
-        d.select("doc_id", "__t",
-                 F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
-        .filter(F.col("__i").isNotNull())
+        d.selectExpr("doc_id", "__t",
+                     f"explode_outer(CASE WHEN {nw} >= 1 "
+                     f"THEN sequence(1, {nw}) END) AS __i")
+        .filter("__i IS NOT NULL")
     )
     # one parsed expression (see bit_vote_sums on chained-Column cost);
     # element_at args compile ~6x cheaper than slice+array_join (trap 6)
@@ -671,7 +672,7 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
 
     def windows(df: DataFrame) -> DataFrame:
         d = ensure_parallelism(df).select(
-            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+            F.col(id_col).alias("doc_id"), tokenize(f"`{text_col}`").alias("__t"))
         n = F.size("__t") - F.lit(w - 1)
         rows = (
             d.select("doc_id", "__t",
@@ -706,17 +707,30 @@ def _md5_int60(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+def _md5_int60_sql(expr: str, seed: int) -> str:
+    """SQL-fragment twin of `_md5_int60` for construction-hot paths:
+    one F.expr over a composed string parses to the IDENTICAL Catalyst
+    tree but costs ~1 py4j round trip instead of ~8 per hash term
+    (trap 12 — chained-Column construction is a DRIVER cost; sketch
+    builders loop this k/d/num_perm times per row expression).
+    ``expr`` is a SQL fragment (column name or sub-expression).
+    Tree equality with the Column builder is pinned in
+    tests/test_operators.py::test_md5_int60_sql_twin_matches_column."""
+    return ("cast(conv(substring(md5(concat(" + expr +
+            f", '#{seed}')), 1, 15), 16, 10) as bigint)")
+
+
 def minhash_signatures_portable(sets: DataFrame, num_perm: int = 16) -> DataFrame:
     """MinHash signatures over the portable hash: sig[i] = min over
     shingles of md5_int60(shingle, i). Same plan shape as the xxhash64
     fast path (pure JVM expressions, no shuffle) — the fast path stays
     the production default; this variant exists so the signature math
     itself is hash-checked against an independent engine."""
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("shingles"),
-                                (lambda seed: lambda s: _md5_int60(s, seed))(i)))
-        for i in range(num_perm)
-    ])
+    # one expr string for the num_perm-term signature array (trap 12:
+    # the transform-lambda chain costs ~20 py4j round trips per perm)
+    sig = F.expr("array(" + ", ".join(
+        f"array_min(transform(shingles, s -> {_md5_int60_sql('s', i)}))"
+        for i in range(num_perm)) + ")")
     return sets.select("doc_id", sig.alias("sig"))
 
 
@@ -765,7 +779,7 @@ def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from deeplake_spark.functions.text import tokenize
 
     d = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+        F.col(id_col).alias("doc_id"), tokenize(f"`{text_col}`").alias("__t"))
     n = F.size("__t")
     rows = (
         d.select("doc_id", "__t",
@@ -773,13 +787,13 @@ def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  .alias("__i"))
         .filter(F.col("__i").isNotNull())
     )
-    ctx = F.expr(
-        "concat_ws(' ', slice(__t, greatest(1, __i - %d + 1), "
-        "least(__i, %d)))" % (w, w))
+    ctx = ("concat_ws(' ', slice(__t, greatest(1, __i - %d + 1), "
+           "least(__i, %d)))" % (w, w))
     flagged = rows.select(
         "doc_id", "__i",
         F.element_at("__t", F.col("__i")).alias("__tok"),
-        ((_md5_int60(ctx, 0) % (mask + 1)) == 0).cast("int").alias("__b"),
+        F.expr(f"cast(({_md5_int60_sql(ctx, 0)} % {mask + 1}) = 0 as int)")
+        .alias("__b"),
     )
     win = Window.partitionBy("doc_id").orderBy("__i")
     seg = (F.sum("__b").over(win) - F.col("__b")).alias("seg")
@@ -913,23 +927,22 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
     from deeplake_spark.functions.text import tokenize
 
     d = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t"))
+        F.col(id_col).alias("doc_id"), tokenize(f"`{text_col}`").alias("__t"))
     n = F.size("__t")
     # guarded index explode (trap 2; sequence counts DOWN past the end)
     toks = (
-        d.select("doc_id", "__t",
-                 F.explode_outer(F.when(n >= 1, F.sequence(F.lit(1), n)))
-                 .alias("__i"))
-        .filter(F.col("__i").isNotNull())
+        d.selectExpr("doc_id", "__t",
+                     "explode_outer(CASE WHEN size(__t) >= 1 "
+                     "THEN sequence(1, size(__t)) END) AS __i")
+        .filter("__i IS NOT NULL")
     )
-    win = F.expr("concat_ws(' ', " + ",".join(
-        f"element_at(__t, __i + {j})" for j in range(w)) + ")")
-    rows = _track(toks.select(
+    win = "concat_ws(' ', " + ",".join(
+        f"element_at(__t, __i + {j})" for j in range(w)) + ")"
+    rows = _track(toks.selectExpr(
         "doc_id", "__i",
-        F.element_at("__t", F.col("__i")).alias("__tok"),
-        F.when(F.col("__i") <= F.size("__t") - F.lit(w - 1), win)
-        .alias("__w"),
-        (F.col("doc_id") * F.lit(1_000_000) + F.col("__i")).alias("__ord"),
+        "element_at(__t, __i) AS __tok",
+        f"CASE WHEN __i <= size(__t) - {w - 1} THEN {win} END AS __w",
+        "doc_id * 1000000 + __i AS __ord",
     ))  # tracked persist: feeds the dup aggregate, join, and anti side
     occ = rows.filter(F.col("__w").isNotNull())
     dup = (occ.groupBy("__w")
@@ -942,21 +955,19 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
                .select("doc_id", "__i"))
     # exc derives from rows — DISTINCT aliases per side before the
     # expression self-join, or the equi-key silently vanishes (trap 20)
-    exc = (dup_occ.select(
-        F.col("doc_id").alias("__xd"),
-        F.explode_outer(F.sequence(F.col("__i"),
-                                   F.col("__i") + F.lit(w - 1)))
-        .alias("__xj"))
-        .filter(F.col("__xj").isNotNull())
+    exc = (dup_occ.selectExpr(
+        "doc_id AS __xd",
+        f"explode_outer(sequence(__i, __i + {w - 1})) AS __xj")
+        .filter("__xj IS NOT NULL")
         .distinct())
     kept = rows.select("doc_id", "__i", "__tok").join(
         exc, (F.col("doc_id") == F.col("__xd"))
         & (F.col("__i") == F.col("__xj")),
         "left_anti")
     clean = (kept.groupBy("doc_id")
-             .agg(F.concat_ws(" ", F.transform(
-                 F.array_sort(F.collect_list(F.struct("__i", "__tok"))),
-                 lambda s: s["__tok"])).alias("clean_text"),
+             .agg(F.expr("concat_ws(' ', transform(array_sort("
+                         "collect_list(struct(__i, __tok))), "
+                         "s -> s.__tok))").alias("clean_text"),
                   F.count(F.lit(1)).alias("__nk")))
     totals = d.select("doc_id", n.cast("int").alias("n_tokens"))
     return (totals.join(clean, "doc_id", "left")
@@ -988,12 +999,12 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
 
     d = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt"))
-    toks = d.select("doc_id", tokenize(F.col("__txt")).alias("__t"))
-    hashed = toks.select("doc_id", kgram_hashes(F.col("__t"), k)
+    toks = d.select("doc_id", tokenize("__txt").alias("__t"))
+    hashed = toks.select("doc_id", kgram_hashes("__t", k)
                          .alias("__h"))
     fps = (hashed
            .select("doc_id",
-                   F.explode_outer(winnow(F.col("__h"), w)).alias("fp"))
+                   F.explode_outer(winnow("__h", w)).alias("fp"))
            .filter(F.col("fp").isNotNull()))
     if max_docs is None:
         kept = fps  # uncapped (the exactly-oracled t42 lane)

@@ -568,7 +568,7 @@ def build_inverted_index(df: DataFrame, text_col: str = "text",
     the reference builds them from the same scan)."""
     toks = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("row_id"), tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col).alias("row_id"), tokenize(f"`{text_col}`").alias("__toks"))
     )
     doclens = toks.select("row_id", F.size("__toks").alias("dl"))
     # explode_outer + OUTPUT null-filter: a plain explode lets Catalyst

@@ -311,7 +311,7 @@ def chunk_fixed_tokens(df: DataFrame, text_col: str = "text",
         joiner = "''"
     else:
         d = ensure_parallelism(df).select(
-            F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+            F.col(id_col), tokenize(f"`{text_col}`").alias("__toks"))
         joiner = "' '"
     n = F.size(F.col("__toks"))
     nchunks = F.ceil(n / F.lit(float(chunk))).cast("int")

@@ -375,12 +375,12 @@ def dsir_select(raw: DataFrame, target: "DataFrame | Column",
     """
     from deeplake_spark.functions.text import tokenize
     from deeplake_spark.io import ensure_parallelism
-    from deeplake_spark.operators.dedup import _md5_int60
+    from deeplake_spark.operators.dedup import _md5_int60_sql
 
     def buckets(df: DataFrame, flag: Column | None = None) -> DataFrame:
         extra = [flag.alias("__tgt")] if flag is not None else []
         d = ensure_parallelism(df).select(
-            F.col(id_col).alias("__doc"), tokenize(F.col(text_col)).alias("__t"),
+            F.col(id_col).alias("__doc"), tokenize(f"`{text_col}`").alias("__t"),
             *extra)
         n = F.size("__t") - 1
         keep = ["__tgt"] if flag is not None else []
@@ -391,10 +391,12 @@ def dsir_select(raw: DataFrame, target: "DataFrame | Column",
                     F.when(n >= 1, F.sequence(F.lit(1), n))).alias("__i"))
             .filter(F.col("__i").isNotNull())
         )
-        bg = F.concat(F.element_at("__t", F.col("__i")), F.lit(" "),
-                      F.element_at("__t", F.col("__i") + 1))
+        bg = ("concat(element_at(__t, __i), ' ', "
+              "element_at(__t, __i + 1))")
         return rows.select(
-            "__doc", *keep, (_md5_int60(bg, seed) % n_buckets).alias("__b"))
+            "__doc", *keep,
+            F.expr(f"{_md5_int60_sql(bg, seed)} % {int(n_buckets)}")
+            .alias("__b"))
 
     # (doc, bucket) pre-aggregation (r15 opt): the raw corpus is
     # tokenized ONCE into per-doc bucket counts — the bucket marginal

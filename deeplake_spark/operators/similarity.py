@@ -65,18 +65,25 @@ class SearchConfig:
 
 
 def _as_literal_vec(vec) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one parsed expr, not 2 py4j round trips per element (trap 12);
+    # identical literal tree (functions.vector.literal_vec_sql)
+    from deeplake_spark.functions.vector import literal_vec_sql
+    return F.expr(literal_vec_sql(vec))
 
 
 def topk_cosine(df: DataFrame, vec_col: str, query_vec, k: int = 10,
                 id_col: str = "vec_id", payload_cols: tuple[str, ...] = ()) -> DataFrame:
     """Exact ORDER BY cosine DESC LIMIT k (TakeOrderedAndProject)."""
-    qv = _as_literal_vec(query_vec) if not isinstance(query_vec, Column) else query_vec
+    if isinstance(query_vec, Column):
+        score = cosine_similarity(F.col(vec_col), query_vec)
+    else:  # literal vector: whole score as ONE parsed expr (trap 12)
+        from deeplake_spark.functions.vector import literal_vec_sql
+        score = cosine_similarity(f"`{vec_col}`", literal_vec_sql(query_vec))
     return (
         df.select(
             id_col,
             *payload_cols,
-            F.round(cosine_similarity(F.col(vec_col), qv), 6).alias("score"),
+            F.round(score, 6).alias("score"),
         )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
@@ -94,7 +101,7 @@ def knn_batch(df: DataFrame, queries: DataFrame, vec_col: str = "embedding",
         .select(
             qid_col,
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
+            F.round(cosine_similarity(f"`{vec_col}`", f"`{qvec_col}`"), 6).alias("score"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), id_col)
@@ -251,11 +258,17 @@ def topk_l2(df: DataFrame, vec_col: str, query_vec, k: int = 10,
     the distance twin of topk_cosine, serving the reference's
     `ORDER BY L2_NORM(embedding - <vec>)` pattern (tql.md Array
     Operations)."""
-    qv = _as_literal_vec(query_vec) if not isinstance(query_vec, Column) else query_vec
-    diff = F.zip_with(F.col(vec_col).cast("array<double>"), qv,
-                      lambda a, b: a - b)
+    if isinstance(query_vec, Column):
+        diff = F.zip_with(F.col(vec_col).cast("array<double>"), query_vec,
+                          lambda a, b: a - b)
+        dist = l2_norm(diff)
+    else:  # literal vector: whole distance as ONE parsed expr (trap 12)
+        from deeplake_spark.functions.vector import _l2_norm_sql, literal_vec_sql
+        diff = (f"zip_with(cast(`{vec_col}` as array<double>), "
+                f"{literal_vec_sql(query_vec)}, (a, b) -> a - b)")
+        dist = F.expr(_l2_norm_sql(diff))
     return (
-        df.select(id_col, F.round(l2_norm(diff), 6).alias("dist"))
+        df.select(id_col, F.round(dist, 6).alias("dist"))
         .orderBy(F.asc("dist"), id_col)
         .limit(k)
     )
@@ -522,7 +535,7 @@ class QuantizedIndex:
 def build_quantized(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id") -> QuantizedIndex:
     return QuantizedIndex(
-        bits=df.select(id_col, sign_bits(F.col(vec_col)).alias("bits")),
+        bits=df.select(id_col, sign_bits(f"`{vec_col}`").alias("bits")),
         source=df.select(id_col, vec_col),
         vec_col=vec_col,
         id_col=id_col,
@@ -542,7 +555,7 @@ def save_quantized(index: QuantizedIndex, path: str) -> None:
 def append_quantized_delta(new_df: DataFrame, vec_col: str, id_col: str,
                            path: str) -> None:
     """Delta maintenance: sign-quantize ONLY the new rows and append."""
-    new_df.select(id_col, sign_bits(F.col(vec_col)).alias("bits")).write.mode(
+    new_df.select(id_col, sign_bits(f"`{vec_col}`").alias("bits")).write.mode(
         "append"
     ).parquet(os.path.join(path, "bits"))
     _bump_meta_n(new_df.sparkSession, path, "bits", "meta.json")
@@ -643,10 +656,11 @@ def quantized_index_search(index: QuantizedIndex, query_vec, k: int = 10,
         # contract, r14 review; carry-or-rename guard, r14 advice #4)
         bits = bits.join(_cand_ids(candidates, index.id_col),
                          index.id_col, "left_semi")
-    qbits = sign_bits(_as_literal_vec(query_vec))
+    from deeplake_spark.functions.vector import _sign_bits_sql, literal_vec_sql
+    qbits = _sign_bits_sql(literal_vec_sql(query_vec))
     cand = (
         bits.select(index.id_col,
-                    hamming_distance(F.col("bits"), qbits).alias("__ham"))
+                    hamming_distance("bits", qbits).alias("__ham"))
         .orderBy(F.asc("__ham"), index.id_col)
         .limit(k * config.accuracy_factor)
         .select(index.id_col)
@@ -670,12 +684,14 @@ def quantized_search(df: DataFrame, vec_col: str, query_vec, k: int = 10,
     config = config or SearchConfig()
     if candidates is not None:
         df = df.join(_cand_ids(candidates, id_col), id_col, "left_semi")
-    qv = _as_literal_vec(query_vec)
+    from deeplake_spark.functions.vector import _sign_bits_sql, literal_vec_sql
     n_cand = k * config.accuracy_factor
     cands = (
         df.select(
             id_col, vec_col,
-            hamming_distance(sign_bits(F.col(vec_col)), sign_bits(qv)).alias("__ham"),
+            hamming_distance(_sign_bits_sql(f"`{vec_col}`"),
+                             _sign_bits_sql(literal_vec_sql(query_vec)))
+            .alias("__ham"),
         )
         .orderBy(F.asc("__ham"), id_col)
         .limit(n_cand)
@@ -997,8 +1013,8 @@ def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     base = df.select(
         F.col(id_col),
         F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__norm"),
-        sign_bits(F.col(vec_col)).alias("__bits"),
+        l2_norm(f"`{vec_col}`").alias("__norm"),
+        sign_bits(f"`{vec_col}`").alias("__bits"),
     )
     # band hash = hash over the band's sign bits as flat args:
     # element_at args compile ~6x cheaper than slice+cast chains
@@ -1029,7 +1045,7 @@ def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     vb = base.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb")
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+    sim = dot("__va", "__vb") / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
     return cands.join(va, "a").join(vb, "b").filter(sim >= threshold).select("a", "b")
 
 
@@ -1046,7 +1062,7 @@ def near_dup_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
         F.col(block_col).alias("__blk"),
         F.col(id_col),
         F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__norm"),
+        l2_norm(f"`{vec_col}`").alias("__norm"),
     )
     a = normed.select(
         F.col("__blk"), F.col(id_col).alias("a_id"),
@@ -1056,7 +1072,7 @@ def near_dup_pairs_blocked(df: DataFrame, vec_col: str = "embedding",
         F.col("__blk"), F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb"),
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+    sim = dot("__va", "__vb") / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
     return (
         a.join(b, "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -1220,8 +1236,8 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
         base = df.select(
             F.col(id_col).alias(side),
             F.col(vec_col).alias(f"__v{side}"),
-            l2_norm(F.col(vec_col)).alias(f"__n{side}"),
-            sign_bits(F.col(vec_col)).alias("__bits"),
+            l2_norm(f"`{vec_col}`").alias(f"__n{side}"),
+            sign_bits(f"`{vec_col}`").alias("__bits"),
         )
         banded = base.select(
             F.col(side),
@@ -1246,7 +1262,7 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
         .select("a", "b")
         .distinct()
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+    sim = dot("__va", "__vb") / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0))
     # threshold on the UNROUNDED cosine (a rounded filter admits pairs
     # in [t-5e-7, t) that an exact oracle excludes); round only the
@@ -1413,9 +1429,9 @@ def semantic_dedup_indexed(index: IVFIndex, tau: float = 0.95,
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in index.centroids],
         "cluster int, __cv array<double>")
-    vec = F.col(index.vec_col).cast("array<double>")
-    csim = dot(vec, F.col("__cv")) / F.nullif(
-        l2_norm(vec) * l2_norm(F.col("__cv")), F.lit(0.0))
+    vec = f"cast(`{index.vec_col}` as array<double>)"
+    csim = dot(vec, "__cv") / F.nullif(
+        l2_norm(vec) * l2_norm("__cv"), F.lit(0.0))
     assigned = (
         index.assignments
         .join(F.broadcast(cent), "cluster")
@@ -1443,7 +1459,7 @@ def _prune_semantic_dups(assigned: DataFrame, vec_col: str, id_col: str,
         F.col("cluster").alias("__cl"),
         F.col("centroid_sim").alias("__cs"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    ).withColumn("__n", l2_norm("__v"))
     # fully distinct names per side: same-name self-join refs
     # (a["__cl"] == b["__cl"]) silently degrade to a trivially-true
     # predicate under Spark's self-join disambiguation, turning the
@@ -1461,7 +1477,7 @@ def _prune_semantic_dups(assigned: DataFrame, vec_col: str, id_col: str,
     # pairs — the giant codegen tree ships ~1MB task binaries and
     # evaluates element_at type checks per term), the opposite of the
     # element_at-vs-slice compile trap (CLAUDE.md perf trap 6)
-    cos = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+    cos = dot("__va", "__vb") / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0))
     # the tau filter compares the UNROUNDED cosine (CLAUDE.md filter
     # discipline); nothing rounded is emitted from this subtree
@@ -1872,9 +1888,12 @@ def _mmr_pool_rows(df: DataFrame, vec_col: str, query_vec, pool: int,
             "index-routed mmr_select needs a concrete query vector "
             "(centroid routing runs driver-side)")
     raw_qv = query_vec
-    if not isinstance(query_vec, Column):
-        query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
-    rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    if isinstance(query_vec, Column):
+        rel = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    else:  # literal vector: ONE parsed expr (trap 12)
+        from deeplake_spark.functions.vector import literal_vec_sql
+        rel = F.round(cosine_similarity(
+            f"`{vec_col}`", literal_vec_sql(query_vec)), 6)
     # zero-norm vectors score NULL (nullif denominator) — they carry no
     # direction to be similar OR diverse about, and a None rel would
     # crash the driver greedy (r14 review); exclude them from the pool
@@ -2000,15 +2019,21 @@ def mrl_prefilter_topk(df: DataFrame, vec_col: str, query_vec, k: int,
     the same plan shape at sf scale."""
     from deeplake_spark.functions.vector import cosine_similarity
 
-    if not isinstance(query_vec, Column):
-        query_vec = F.array(*[F.lit(float(v)) for v in query_vec])
-    qpre = F.slice(query_vec, 1, dims)
-    coarse = F.round(
-        cosine_similarity(F.slice(F.col(vec_col), 1, dims), qpre), 6)
+    if isinstance(query_vec, Column):
+        qpre = F.slice(query_vec, 1, dims)
+        coarse = F.round(
+            cosine_similarity(F.slice(F.col(vec_col), 1, dims), qpre), 6)
+        full = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    else:  # literal vector: coarse/full as ONE parsed expr each (trap 12)
+        from deeplake_spark.functions.vector import literal_vec_sql
+        qv = literal_vec_sql(query_vec)
+        coarse = F.round(cosine_similarity(
+            f"slice(`{vec_col}`, 1, {int(dims)})",
+            f"slice({qv}, 1, {int(dims)})"), 6)
+        full = F.round(cosine_similarity(f"`{vec_col}`", qv), 6)
     cands = (df.select(id_col, vec_col, coarse.alias("coarse_score"))
              .orderBy(F.desc("coarse_score"), id_col)
              .limit(int(k) * int(refine)))
-    full = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
     return (cands.select(id_col, "coarse_score", full.alias("score"))
             .orderBy(F.desc("score"), id_col)
             .limit(int(k)))

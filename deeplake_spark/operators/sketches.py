@@ -80,12 +80,20 @@ def _k_col(k: int | Column) -> Column:
     return k if isinstance(k, Column) else F.lit(int(k))
 
 
-def kmv_estimate(sketch: Column, k: int | Column) -> Column:
+def kmv_estimate(sketch: Column | str, k: int | Column) -> Column:
     """Distinct-count estimate from a KMV sketch column: exact
     cardinality while the sketch is not full (fewer than k distinct
     values seen), else (k-1)/u_k. ``k`` must be the BUILD k — pass the
     persisted ``k`` column (``F.col("k")``) or the same literal used at
     build time."""
+    if isinstance(sketch, str) and not isinstance(k, Column):
+        # one parsed expr (trap 12); tree-identical to the Column path
+        return F.expr(
+            f"CASE WHEN size({sketch}) < {int(k)} THEN "
+            f"cast(size({sketch}) as double) "
+            f"ELSE cast(({int(k)} - 1) as double) / "
+            f"nullif(element_at({sketch}, {int(k)}), cast(0.0 as double)) "
+            "END")
     kc = _k_col(k)
     n = F.size(sketch)
     full = ((kc - F.lit(1)).cast("double")
@@ -102,13 +110,20 @@ def kmv_merge(a: Column, b: Column, k: int | Column) -> Column:
                    F.lit(1), _k_col(k))
 
 
-def kmv_jaccard(a: Column, b: Column, k: int | Column) -> Column:
+def kmv_jaccard(a: Column | str, b: Column | str, k: int | Column) -> Column:
     """Jaccard-similarity estimate between the SETS two KMV sketches
     summarize (Beyer et al. 2007): over the merged sketch (the k
     smallest union hashes — an unbiased sample of the union), the
     fraction present in BOTH inputs estimates |A∩B|/|A∪B|. Pure array
     expression — cross-source overlap grids cost sketch-pairs, not
     token-set joins."""
+    if isinstance(a, str) and isinstance(b, str) and not isinstance(k, Column):
+        m = (f"slice(array_sort(array_distinct(concat({a}, {b}))), "
+             f"1, {int(k)})")
+        return F.expr(
+            f"cast(size(array_intersect(array_intersect({m}, {a}), {b})) "
+            f"as double) / nullif(cast(size({m}) as double), "
+            "cast(0.0 as double))")
     m = kmv_merge(a, b, k)
     both = F.size(F.array_intersect(F.array_intersect(m, a), b))
     return both.cast("double") / F.nullif(F.size(m).cast("double"), F.lit(0.0))
@@ -433,14 +448,15 @@ def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     tests/test_operators.py). Lets a caller that already holds a
     value-count aggregate (t44) skip a second corpus pass."""
     from deeplake_spark.io import ensure_parallelism
-    from deeplake_spark.operators.dedup import _md5_int60
+    from deeplake_spark.operators.dedup import _md5_int60_sql
 
     by = list(by or [])
     df = ensure_parallelism(df)  # d md5s per row (perf trap 1)
     v = F.col(col)
-    cells = F.array(*[
-        (F.lit(int(j * w)) + _md5_int60(v, seed + j) % F.lit(int(w)))
-        for j in range(int(d))])
+    # one expr string for the d-term cell array (trap 12)
+    cells = F.expr("array(" + ", ".join(
+        f"{int(j * w)} + {_md5_int60_sql(f'`{col}`', seed + j)} % {int(w)}"
+        for j in range(int(d))) + ")")
     keep = [weight_col] if weight_col is not None else []
     rows = (df.select(*by, *keep,
                       F.explode_outer(F.when(v.isNotNull(), cells))
@@ -468,14 +484,26 @@ def cm_sketch(df: DataFrame, col: str, by: list[str] | None = None,
         F.lit(int(seed)).alias("seed"))
 
 
-def cm_estimate(cm: Column, value: Column, d: int, w: int,
+def cm_estimate(cm: Column | str, value: Column | str, d: int, w: int,
                 seed: int = 0) -> Column:
     """Point-frequency estimate: min over the d cells — NEVER an
     underestimate; overestimates bounded by the corpus size / w per
     row with probability 1 - 2^-d. ``d``/``w``/``seed`` must be the
-    build geometry (persisted in the sketch table)."""
-    from deeplake_spark.operators.dedup import _md5_int60
+    build geometry (persisted in the sketch table).
 
+    Pass BOTH args as SQL-fragment strings on construction-hot paths
+    (one F.expr instead of ~12 py4j round trips per cell; trap 12)."""
+    from deeplake_spark.operators.dedup import _md5_int60, _md5_int60_sql
+
+    if isinstance(cm, str) and isinstance(value, str):
+        expr = None
+        for j in range(int(d)):
+            cell = (f"element_at({cm}, cast({int(j * w)} + "
+                    f"{_md5_int60_sql(value, seed + j)} % {int(w)} "
+                    f"+ 1 as int))")
+            # binary-nested least, matching the Column path's tree
+            expr = cell if expr is None else f"least({expr}, {cell})"
+        return F.expr(expr)
     out = None
     for j in range(int(d)):
         idx = (F.lit(int(j * w)) + _md5_int60(value, seed + j)
@@ -569,14 +597,17 @@ def bloom_sketch(df: DataFrame, col: str, by: list[str] | None = None,
     ``k_hashes``, ``seed``) so the read side can never probe with
     mismatched geometry."""
     from deeplake_spark.io import ensure_parallelism
-    from deeplake_spark.operators.dedup import _md5_int60
+    from deeplake_spark.operators.dedup import _md5_int60_sql
 
     by = list(by or [])
     df = ensure_parallelism(df)  # k_hashes md5s per row (perf trap 1)
     m = _bloom_m(n_words)
     v = F.col(col)
-    pos_arr = F.array(*[(_md5_int60(v, seed + j) % F.lit(m))
-                        for j in range(int(k_hashes))])
+    # one expr string for the k-term position array (trap 12; tree
+    # identical to the F.array/_md5_int60 chain — canon-plan pinned)
+    pos_arr = F.expr("array(" + ", ".join(
+        f"{_md5_int60_sql(f'`{col}`', seed + j)} % {int(m)}"
+        for j in range(int(k_hashes))) + ")")
     rows = (df.select(*by, F.explode_outer(F.when(v.isNotNull(), pos_arr))
                       .alias("__pos"))
             .filter(F.col("__pos").isNotNull()))
@@ -614,16 +645,30 @@ def bloom_sketch(df: DataFrame, col: str, by: list[str] | None = None,
         F.lit(int(seed)).alias("seed"))
 
 
-def bloom_contains(bloom: Column, value: Column, n_words: int,
+def bloom_contains(bloom: Column | str, value: Column | str, n_words: int,
                    k_hashes: int, seed: int = 0) -> Column:
     """Membership test against a Bloom column: true iff every one of the
     k bits is set. NO false negatives by construction; a true result is
     a CANDIDATE (verify exactly where it matters, as with LSH
     candidates). ``n_words``/``k_hashes``/``seed`` must be the build
-    geometry (persisted in the sketch table)."""
-    from deeplake_spark.operators.dedup import _md5_int60
+    geometry (persisted in the sketch table).
+
+    Pass BOTH args as column-name/SQL-fragment strings on
+    construction-hot paths: the k-term conjunction then builds as one
+    F.expr (~1 py4j round trip) instead of ~15 per hash term (trap 12;
+    tree equality with the Column path pinned in tests)."""
+    from deeplake_spark.operators.dedup import _md5_int60, _md5_int60_sql
 
     m = _bloom_m(n_words)
+    if isinstance(bloom, str) and isinstance(value, str):
+        terms = []
+        for j in range(int(k_hashes)):
+            pos = f"{_md5_int60_sql(value, seed + j)} % {int(m)}"
+            wd = f"cast(floor(({pos}) / {_BLOOM_BITS_PER_WORD}) as int)"
+            bit = f"cast(({pos}) % {_BLOOM_BITS_PER_WORD} as int)"
+            terms.append(
+                f"(bit_get(element_at({bloom}, {wd} + 1), {bit}) = 1)")
+        return F.expr(" AND ".join(terms))
     out = None
     for j in range(int(k_hashes)):
         pos = _md5_int60(value, seed + j) % F.lit(m)

@@ -236,7 +236,7 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous fp-then-self-join shape cost 3x the wall time here).
     toks = (
         ensure_parallelism(d.unionByName(planted))
-        .select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        .select("doc_id", tokenize("text").alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("__tok"))
         .filter(F.col("__tok").isNotNull())
         .select(
@@ -435,7 +435,7 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.operators.dedup import simhash_portable
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_portable(d, tokenize(F.col("text"))).orderBy("doc_id")
+    return simhash_portable(d, tokenize("text")).orderBy("doc_id")
 
 
 @query(

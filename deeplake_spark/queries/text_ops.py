@@ -140,9 +140,9 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # tokens projected before predict_lang references them per-language
     # (perf trap 3: an inlined tokenize re-evaluates inside every score)
-    toks = d.select("lang", tokenize(F.col("text")).alias("__w"))
+    toks = d.select("lang", tokenize("text").alias("__w"))
     return (
-        toks.select("lang", predict_lang(F.col("__w")).alias("predicted"))
+        toks.select("lang", predict_lang("__w").alias("predicted"))
         .groupBy("predicted")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -183,12 +183,12 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    feats = quality_features(F.col("text"))
+    feats = quality_features("text")
     return d.select(
         "doc_id",
         feats["n_tokens"].cast("int").alias("n_tokens"),
         F.round(feats["unique_token_ratio"], 6).alias("unique_token_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        quality_score("text").alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -206,7 +206,7 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(tokenize(F.col("text")))
+    n_tok = F.size(tokenize("text"))
     return (
         d.select("source", n_tok.alias("nt"), "n_chars")
         .groupBy("source")
@@ -264,7 +264,7 @@ def bm25_scores(d: DataFrame, terms: list[str], k1: float = _BM25_K1, b: float =
     # splits (plentiful on any real table), and a forced exchange of the
     # full text column costs more than it buys even on the small local
     # single-file scans (measured: t10 2.3s -> 7.0s with it)
-    toks = d.select(F.col("doc_id"), tokenize(F.col("text")).alias("toks"))
+    toks = d.select(F.col("doc_id"), tokenize("text").alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -422,7 +422,7 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a plain explode over the inlined tokenize pushes `size(...) > 0`
     # (tokenize re-evaluated) into the scan (CLAUDE.md trap 2/3)
     toks = ensure_parallelism(d).select(
-        F.array_distinct(tokenize(F.col("text"))).alias("__toks"))
+        F.array_distinct(tokenize("text")).alias("__toks"))
     return (
         toks.select(F.explode_outer("__toks").alias("term"))
         .filter(F.col("term").isNotNull())
@@ -485,10 +485,10 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deeplake_spark.functions.vector import cosine_similarity
     from deeplake_spark.operators.indexes import bm25_via_index
-    from deeplake_spark.queries.vector_ops import _query_vec
+    from deeplake_spark.queries.vector_ops import _query_vec_sql
 
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv = _query_vec_sql(spark, sf_dir, 0)
 
     # top-N per side = TakeOrderedAndProject: k*accuracy_factor rows
     # reach the fusion, never the corpus. The BM25 side probes the
@@ -502,7 +502,7 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     vl = (
         e.select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("cos"),
+            F.round(cosine_similarity("embedding", qv), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_HYBRID_N)
@@ -633,7 +633,7 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     # project tokens/bigrams BEFORE the O(distinct*n) fold (perf trap 3)
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("w"))
+    toks = d.select("doc_id", tokenize("text").alias("w"))
     bg = toks.select("doc_id", "w", word_bigrams(F.col("w")).alias("bigrams"))
     return bg.select(
         "doc_id",
@@ -696,11 +696,11 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # project tokens once (perf trap 3: inlined tokenize re-evaluates
     # inside every HOF fold downstream)
-    toks = d.select("source", "text", tokenize(F.col("text")).alias("w"))
+    toks = d.select("source", "text", tokenize("text").alias("w"))
     scored = toks.select(
         "source",
-        predict_lang(F.col("w")).alias("pl"),
-        quality_score(F.col("text")).alias("q"),
+        predict_lang("w").alias("pl"),
+        quality_score("text").alias("q"),
         F.round(duplicate_word_fraction(F.col("w")), 6).alias("dwf"),
     )
     keep = (F.col("pl") != "und") & (F.col("q") >= 0.5) & (F.col("dwf") <= 0.3)
@@ -747,7 +747,7 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project tokens first (perf trap 3), explode_outer + output-side
     # null filter (perf trap 2: plain explode lets Catalyst push the
     # inlined generator input below the repartition)
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("w"))
+    toks = d.select("doc_id", tokenize("text").alias("w"))
     tok = (
         toks.select("doc_id", F.explode_outer("w").alias("token"))
         .filter(F.col("token").isNotNull())
@@ -997,11 +997,11 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.functions.text import stopword_hits
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("source", tokenize(F.col("text")).alias("__toks"))
+    toks = d.select("source", tokenize("text").alias("__toks"))
     h = toks.select(
         "source",
         F.size(F.col("__toks")).alias("__n"),
-        stopword_hits(F.col("__toks"), ["spark", "gpu", "fast"]).alias("__hits"),
+        stopword_hits("__toks", ["spark", "gpu", "fast"]).alias("__hits"),
     )
     ratio = F.col("__hits").cast("double") / F.nullif(
         F.col("__n").cast("double"), F.lit(0.0))
@@ -1153,7 +1153,7 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
-        d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        d.select("doc_id", tokenize("text").alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
@@ -1286,7 +1286,7 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
-        d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        d.select("doc_id", tokenize("text").alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
@@ -1340,7 +1340,7 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.io import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    toks = d.select("doc_id", tokenize("text").alias("__t"))
     # no size>=2 filter: it would push `size(tokenize(text))>=2` (with
     # tokenize inlined) into the scan (CLAUDE.md traps 2/3); a <2-token
     # doc zips to an empty array and explode_outer's null-filter drops it
@@ -1429,7 +1429,7 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
-        d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+        d.select("doc_id", tokenize("text").alias("__t"))
         .select("doc_id", F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
@@ -1517,7 +1517,7 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.io import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    base = (d.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    base = (d.select("doc_id", tokenize("text").alias("__t"))
             .select("doc_id", "__t",
                     word_bigrams(F.col("__t")).alias("__bg")))
     # max bigram multiplicity = longest run of equal values in the
@@ -1670,7 +1670,7 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = (
-        d.select("source", tokenize(F.col("text")).alias("__t"))
+        d.select("source", tokenize("text").alias("__t"))
         .select("source", F.explode_outer("__t").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
@@ -1688,7 +1688,7 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.join(exact, "source")
         .select(
             "source",
-            F.round(kmv_estimate(F.col("sketch"), k=64), 6)
+            F.round(kmv_estimate("sketch", k=64), 6)
             .alias("est_distinct"),
             "exact_distinct",
         )
@@ -1769,14 +1769,13 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
         F.col("source").isin("src0", "src1", "src2", "src3"))
     toks = (
-        d.select("doc_id", "source", tokenize(F.col("text")).alias("__t"))
+        d.select("doc_id", "source", tokenize("text").alias("__t"))
         .select("doc_id", "source", F.explode_outer("__t").alias("tok0"))
         .filter(F.col("tok0").isNotNull())
-        .select(
+        .selectExpr(
             "source",
-            F.when((F.col("doc_id") / 20).cast("long") % 2 == 0,
-                   F.concat(F.col("tok0"), F.lit("_"), F.col("source")))
-            .otherwise(F.col("tok0")).alias("tok"),
+            "CASE WHEN cast(doc_id / 20 as bigint) % 2 = 0 "
+            "THEN concat(tok0, '_', source) ELSE tok0 END AS tok",
         )
     )
     # ONE corpus pass (r15 opt): the t31 convention — distinct
@@ -1789,17 +1788,17 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         a.join(b, F.col("src_a") < F.col("src_b"))
         .select("src_a", "src_b",
-                kmv_jaccard(F.col("__sa"), F.col("__sb"), k=64).alias("__ej"))
+                kmv_jaccard("__sa", "__sb", k=64).alias("__ej"))
     )
     sets = dt.groupBy("source").agg(
         F.collect_set("tok").alias("__ts"))
     sa = sets.select(F.col("source").alias("src_a"), F.col("__ts").alias("__ta"))
     sb = sets.select(F.col("source").alias("src_b"), F.col("__ts").alias("__tb"))
-    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("double")
-    union = (F.size("__ta") + F.size("__tb")).cast("double") - inter
+    inter = "cast(size(array_intersect(__ta, __tb)) as double)"
+    union = f"cast((size(__ta) + size(__tb)) as double) - {inter}"
     exact = (
         sa.join(sb, F.col("src_a") < F.col("src_b"))
-        .select("src_a", "src_b", (inter / union).alias("__xj"))
+        .selectExpr("src_a", "src_b", f"({inter}) / ({union}) AS __xj")
     )
     return (
         est.join(exact, ["src_a", "src_b"])
@@ -1933,7 +1932,7 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.col("n_bpe_tokens"),
-        F.size(tokenize(F.col("text"))).cast("int").alias("n_words"),
+        F.size(tokenize("text")).cast("int").alias("n_words"),
         F.length("text").cast("int").alias("n_chars"),
     ).orderBy("doc_id")
 
@@ -2250,9 +2249,8 @@ def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
                   "dg")))
     flagged = (probes.crossJoin(F.broadcast(bloom.select("bloom")))
-               .select("dg", bloom_contains(
-                   F.col("bloom"), F.col("dg"), nw, kh)
-                   .cast("int").alias("hit")))
+               .select("dg", bloom_contains("bloom", "dg", nw, kh)
+                       .cast("int").alias("hit")))
     members = corpus.select("dg").distinct().withColumn(
         "is_member", F.lit(1))
     return (flagged.join(F.broadcast(members), "dg", "left")
@@ -2401,7 +2399,7 @@ def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d_, w_ = 4, 2048
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = (docs.select(F.explode_outer(tokenize(F.col("text")))
+    toks = (docs.select(F.explode_outer(tokenize("text"))
                         .alias("tok"))
             .filter(F.col("tok").isNotNull()))
     # ONE corpus pass (r15 opt): both the sketch and the exact top-10
@@ -2416,7 +2414,7 @@ def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.desc("exact_count"), "tok").limit(10))
     return (exact.crossJoin(F.broadcast(sk.select("cm")))
             .select("tok",
-                    cm_estimate(F.col("cm"), F.col("tok"), d_, w_)
+                    cm_estimate("cm", "tok", d_, w_)
                     .cast("long").alias("est_count"),
                     "exact_count")
             .orderBy(F.desc("exact_count"), "tok"))
@@ -2466,7 +2464,7 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.io import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = d.select(tokenize(F.col("text")).alias("__t"))
+    toks = d.select(tokenize("text").alias("__t"))
     n = F.size("__t")
     pairs = (toks
              .select("__t", F.explode_outer(
@@ -2785,7 +2783,7 @@ def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.io import ensure_parallelism, with_row_id
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(tokenize(F.col("text")).alias("__t"))
+    toks = docs.select(tokenize("text").alias("__t"))
     freq = (toks.select(F.explode_outer("__t").alias("tok"))
             .filter(F.col("tok").isNotNull())
             .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))

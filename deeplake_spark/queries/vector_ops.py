@@ -130,7 +130,15 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
         if len(_QUERY_VEC_MEMO) > 64:
             _QUERY_VEC_MEMO.clear()
         _QUERY_VEC_MEMO[key] = vals
-    return F.array(*[F.lit(v) for v in vals])
+    return vals
+
+
+def _query_vec_sql(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> str:
+    """The prefetched query vector as a literal-array SQL fragment —
+    one parsed expr instead of ~2 py4j round trips per element
+    (trap 12)."""
+    from deeplake_spark.functions.vector import literal_vec_sql
+    return literal_vec_sql(_query_vec(spark, sf_dir, vec_id))
 
 
 @query(
@@ -148,12 +156,12 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
 )
 def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv = _query_vec_sql(spark, sf_dir, 0)
     return (
         e.select(
             "vec_id",
             "label",
-            F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("score"),
+            F.round(cosine_similarity("embedding", qv), 6).alias("score"),
         )
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
@@ -230,10 +238,12 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv = _query_vec_sql(spark, sf_dir, 0)
+    from deeplake_spark.functions.vector import _sign_bits_sql
     return (
         e.select(
-            hamming_distance(sign_bits(F.col("embedding")), sign_bits(qv)).alias("hamming")
+            hamming_distance(_sign_bits_sql("embedding"),
+                             _sign_bits_sql(qv)).alias("hamming")
         )
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -542,12 +552,13 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.functions.arrays import array_slice, asum
 
+    from deeplake_spark.functions.arrays import _array_slice_sql
+
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.round(asum(array_slice(emb, 0, 8)), 6).alias("head_sum"),
-        F.round(asum(array_slice(emb, 56, 64)), 6).alias("tail_sum"),
+        F.round(asum(_array_slice_sql("embedding", 0, 8)), 6).alias("head_sum"),
+        F.round(asum(_array_slice_sql("embedding", 56, 64)), 6).alias("tail_sum"),
     ).orderBy("vec_id")
 
 
@@ -1341,12 +1352,12 @@ def v29(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v30(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv = _query_vec_sql(spark, sf_dir, 0)
     return (
         e.filter(F.col("label").isin(3, 7))
         .select(
             "vec_id", "label",
-            F.round(cosine_similarity(F.col("embedding"), qv), 6)
+            F.round(cosine_similarity("embedding", qv), 6)
             .alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)

@@ -57,7 +57,7 @@ def stream_near_dup_candidates(docs, text_col: str = "text",
     rows = num_perm // bands
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        F.array_distinct(word_shingles(tokenize(f"`{text_col}`"), n))
         .alias("shingles"),
     ).filter(F.size("shingles") > 0)  # empty set = all-NULL signature
     sigs = minhash_signatures(sets, num_perm)
@@ -458,7 +458,7 @@ def stream_cdc_shared_passages(docs, text_col: str = "text",
     cap = int(max_docs) if max_docs is not None else 0  # 0 = uncapped
 
     toks = docs.select(F.col(id_col).cast("long").alias("__did"),
-                       tokenize(F.col(text_col)).alias("__t"))
+                       tokenize(f"`{text_col}`").alias("__t"))
     rows = (toks
             .select("__did",
                     F.array_distinct(cdc_chunk_array("__t", w, mask))

@@ -2322,3 +2322,34 @@ def test_dsir_predicate_target_equals_frame_target(spark):
     rb = [tuple(r) for r in b.collect()]
     assert ra == rb
     assert len(ra) > 0
+
+
+def test_md5_int60_sql_twin_matches_column(spark, tmp_path):
+    """r15 opt (trap 12): `_md5_int60_sql` — the SQL-fragment twin the
+    sketch/minhash/CDC builders loop k/d/num_perm times per row
+    expression — parses to the IDENTICAL Catalyst tree as the chained
+    Column build (canonical optimized plan equality) and therefore the
+    identical values, incl. over a composed sub-expression argument."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.dedup import _md5_int60, _md5_int60_sql
+
+    p = str(tmp_path / "md5twin")
+    spark.createDataFrame(
+        [("alpha",), ("beta gamma",), ("",), (None,)], "s string"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def canon(d):
+        return d._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+
+    for col_e, sql_e in [
+        (_md5_int60(F.col("s"), 7), F.expr(_md5_int60_sql("s", 7))),
+        # composed sub-expression argument (the CDC-context shape)
+        (_md5_int60(F.concat(F.col("s"), F.lit("#x")), 3),
+         F.expr(_md5_int60_sql("concat(s, '#x')", 3))),
+    ]:
+        d1 = df.select(col_e.alias("h"))
+        d2 = df.select(sql_e.alias("h"))
+        assert canon(d1) == canon(d2)
+        assert [r.h for r in d1.collect()] == [r.h for r in d2.collect()]
