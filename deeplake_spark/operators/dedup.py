@@ -928,14 +928,18 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
 
     d = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), tokenize(f"`{text_col}`").alias("__t"))
-    n = F.size("__t")
-    # guarded index explode (trap 2; sequence counts DOWN past the end)
-    toks = (
-        d.selectExpr("doc_id", "__t",
-                     "explode_outer(CASE WHEN size(__t) >= 1 "
-                     "THEN sequence(1, size(__t)) END) AS __i")
-        .filter("__i IS NOT NULL")
-    )
+    # guarded index explode (trap 2; sequence counts DOWN past the end).
+    # NO null-filter on __i here (r15 opt): explode_outer emits exactly
+    # ONE __i=NULL row for a zero-token or NULL-text doc, and keeping it
+    # in the persisted relation lets the FINAL aggregate serve as the
+    # totals lane too — the former `totals = d.select(size(__t))` branch
+    # re-ran the corpus tokenize for nothing but per-doc token counts
+    # (guide §2.4 remove passes; plan before/after: Union of 3 tokenize
+    # scans + a second doc-keyed join → gone).
+    toks = d.selectExpr(
+        "doc_id", "__t",
+        "explode_outer(CASE WHEN size(__t) >= 1 "
+        "THEN sequence(1, size(__t)) END) AS __i")
     win = "concat_ws(' ', " + ",".join(
         f"element_at(__t, __i + {j})" for j in range(w)) + ")"
     rows = _track(toks.selectExpr(
@@ -943,7 +947,8 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
         "element_at(__t, __i) AS __tok",
         f"CASE WHEN __i <= size(__t) - {w - 1} THEN {win} END AS __w",
         "doc_id * 1000000 + __i AS __ord",
-    ))  # tracked persist: feeds the dup aggregate, join, and anti side
+        "(__t IS NULL) AS __tn",
+    ))  # tracked persist: feeds the dup aggregate, join, and flag side
     occ = rows.filter(F.col("__w").isNotNull())
     dup = (occ.groupBy("__w")
            .agg(F.count(F.lit(1)).alias("__cnt"),
@@ -960,21 +965,31 @@ def excise_dup_windows(df: DataFrame, text_col: str = "text",
         f"explode_outer(sequence(__i, __i + {w - 1})) AS __xj")
         .filter("__xj IS NOT NULL")
         .distinct())
-    kept = rows.select("doc_id", "__i", "__tok").join(
+    # left join + conditional aggregate instead of the former anti-join
+    # + separate clean/totals joins: ONE doc-keyed aggregate emits the
+    # cleaned text, the kept count AND the token total (the __i=NULL
+    # marker row never matches exc — NULL equi-key — and count(__i)
+    # skips it, so empty docs report 0 and NULL-text docs NULL exactly
+    # as size(__t) did). Values pinned identical by the t35 oracle.
+    flagged = rows.select("doc_id", "__i", "__tok", "__tn").join(
         exc, (F.col("doc_id") == F.col("__xd"))
         & (F.col("__i") == F.col("__xj")),
-        "left_anti")
-    clean = (kept.groupBy("doc_id")
-             .agg(F.expr("concat_ws(' ', transform(array_sort("
-                         "collect_list(struct(__i, __tok))), "
-                         "s -> s.__tok))").alias("clean_text"),
-                  F.count(F.lit(1)).alias("__nk")))
-    totals = d.select("doc_id", n.cast("int").alias("n_tokens"))
-    return (totals.join(clean, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    "n_tokens",
-                    (F.col("n_tokens") - F.coalesce(F.col("__nk"), F.lit(0)))
+        "left")
+    return (flagged.groupBy("doc_id")
+            .agg(F.expr("concat_ws(' ', transform(array_sort("
+                        "collect_list(CASE WHEN __xj IS NULL "
+                        "AND __i IS NOT NULL THEN struct(__i, __tok) "
+                        "END)), s -> s.__tok))").alias("clean_text"),
+                 F.expr("count(CASE WHEN __xj IS NULL THEN __i END)")
+                 .alias("__nk"),
+                 F.expr("count(__i)").alias("__ntok"),
+                 F.expr("bool_or(__tn)").alias("__tnull"))
+            .select("doc_id", "clean_text",
+                    F.when(F.col("__tnull"), F.lit(None))
+                    .otherwise(F.col("__ntok")).cast("int")
+                    .alias("n_tokens"),
+                    F.when(F.col("__tnull"), F.lit(None))
+                    .otherwise(F.col("__ntok") - F.col("__nk"))
                     .cast("int").alias("n_removed")))
 
 
