@@ -407,6 +407,16 @@ def dsir_select(raw: DataFrame, target: "DataFrame | Column",
     # tokenize+explode pass for each consumer (guide §2.4); the
     # pre-aggregate is bounded by n_docs × n_buckets — the hashed
     # featurization the DSIR paper stores anyway.
+    # NOTE (r15 final-plan audit, trap 18): the pre-aggregate's four
+    # consumers receive differently-PRUNED copies post-optimization,
+    # so AQE reuses only one exchange and the EXECUTED plan re-runs
+    # the tokenize subtree up to 9×. A `_track` persist was tried and
+    # REJECTED by measurement (the t28 precedent): interleaved ×5 A/B
+    # min 2.14 s recompute vs 2.31 s persisted, every pair in favor,
+    # and two full benches read the persisted lane ~+1.5 s (cache fill
+    # breaks pipelining; the passes run fully parallel at this scale).
+    # At 100 TB the featurization is a persisted parquet side table
+    # (the inverted-index protocol), not an in-plan memory cache.
     if isinstance(target, Column):
         # predicate target: the target distribution is the flagged
         # subset of the SAME pre-aggregate — one corpus pass total.
