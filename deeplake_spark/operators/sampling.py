@@ -361,9 +361,10 @@ def dsir_select(raw: DataFrame, target: "DataFrame | Column",
     the bucket marginal and the per-doc weights both derive from it,
     so the raw bigram stream is never re-tokenized and never
     persisted). Each pass ends in a <= n_buckets-row aggregate or a
-    broadcast join; the per-bucket log-ratio table and the 1-row
-    totals are broadcast (no corpus shuffle before the per-doc
-    aggregate); selection is one TakeOrderedAndProject. Docs with
+    broadcast join; the per-bucket log-ratio table is broadcast and
+    the corpus totals are window sums over that bounded bucket table
+    (no corpus shuffle before the per-doc aggregate); selection is
+    one TakeOrderedAndProject. Docs with
     fewer than two tokens have no features and are not selected (the
     paper's featurization is undefined there).
 
@@ -407,53 +408,72 @@ def dsir_select(raw: DataFrame, target: "DataFrame | Column",
     # tokenize+explode pass for each consumer (guide §2.4); the
     # pre-aggregate is bounded by n_docs × n_buckets — the hashed
     # featurization the DSIR paper stores anyway.
-    # NOTE (r15 final-plan audit, trap 18): the pre-aggregate's four
-    # consumers receive differently-PRUNED copies post-optimization,
-    # so AQE reuses only one exchange and the EXECUTED plan re-runs
-    # the tokenize subtree up to 9×. A `_track` persist was tried and
-    # REJECTED by measurement (the t28 precedent): interleaved ×5 A/B
-    # min 2.14 s recompute vs 2.31 s persisted, every pair in favor,
-    # and two full benches read the persisted lane ~+1.5 s (cache fill
-    # breaks pipelining; the passes run fully parallel at this scale).
-    # At 100 TB the featurization is a persisted parquet side table
-    # (the inverted-index protocol), not an in-plan memory cache.
+    # (r15 opt2, final-plan audit trap 18): the bucket marginals and
+    # the two totals each used to be SEPARATE consumers of the
+    # pre-aggregate; Catalyst inlines every DataFrame reference and
+    # prunes each copy differently, so AQE reused only one exchange
+    # and the EXECUTED plan re-ran the tokenize subtree up to 9×. A
+    # `_track` persist fixed that read amplification but LOST in the
+    # timed metric (interleaved ×5 A/B: 2.14 s recomputed vs 2.31 s
+    # persisted — cache fill breaks pipelining; the t28 precedent).
+    # Fixed structurally instead: ONE bucket-level aggregate carries
+    # both marginals (plain + conditional sum), and the totals are
+    # unpartitioned window sums OVER THE BUCKET TABLE — bounded by
+    # n_buckets rows, never corpus data (trap 7 bans only data-sized
+    # global windows) — so the whole fit is TWO tokenize passes
+    # (weights join + bucket stats) in the executed plan.
+    w_all = Window.partitionBy()
     if isinstance(target, Column):
         # predicate target: the target distribution is the flagged
-        # subset of the SAME pre-aggregate — one corpus pass total.
-        # The flag is constant per row of `raw` (one row per doc), so
-        # max() just carries it through the (doc, bucket) aggregate.
+        # subset of the SAME pre-aggregate — one corpus pass for the
+        # fit. The flag is constant per row of `raw` (one row per
+        # doc), so max() just carries it through the (doc, bucket)
+        # aggregate. sum(when(__tgt, c)) equals the former
+        # filter-then-aggregate per bucket (NULL exactly where the
+        # bucket has no target rows — the buckets the former left
+        # join left NULL), and window totals skip NULLs, so tt/lr are
+        # value-identical to the join spelling.
         dbc = buckets(raw, flag=target).groupBy("__doc", "__b").agg(
             F.count(F.lit(1)).alias("__c"),
             F.max(F.coalesce("__tgt", F.lit(False))).alias("__tgt"))
         raw_dbc = dbc.select("__doc", "__b", "__c")
-        tgt_c = (dbc.filter(F.col("__tgt"))
-                 .groupBy("__b").agg(F.sum("__c").alias("__ct")))
+        bstats = (
+            dbc.groupBy("__b").agg(
+                F.sum("__c").alias("__cr"),
+                F.sum(F.when(F.col("__tgt"), F.col("__c"))).alias("__ct"))
+            .withColumn(
+                "__tt", F.coalesce(F.sum("__ct").over(w_all), F.lit(0))))
     else:
         raw_dbc = buckets(raw).groupBy("__doc", "__b").agg(
             F.count(F.lit(1)).alias("__c"))
         tgt_c = buckets(target).groupBy("__b").agg(
             F.count(F.lit(1)).alias("__ct"))
-    raw_c = raw_dbc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
-    # totals as broadcast 1-row aggregates OVER THE BUCKET TABLES
-    # (<= n_buckets rows) — no extra corpus pass, no driver action
+        # the target total must count target-only buckets (they never
+        # join ratio — a bucket absent from raw appears in no raw doc
+        # — but they DO shift the target distribution), so it
+        # aggregates the FULL target bucket table BEFORE the join.
+        tgt_tot = tgt_c.agg(
+            F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+        bstats = (
+            raw_dbc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+            .join(tgt_c, "__b", "left")
+            .crossJoin(F.broadcast(tgt_tot)))
     # coalesce: SUM over an EMPTY bucket table is NULL, which would
     # null every weight — with 0 the smoothed target distribution is
     # simply uniform (0.5/(0.5*B) per bucket), so an empty/featureless
-    # target degrades to inverse-raw-frequency selection, not garbage
-    tgt_tot = tgt_c.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
-    raw_tot = raw_c.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"))
+    # target degrades to inverse-raw-frequency selection, not garbage.
+    # The raw total is a window sum over bstats — one row per raw
+    # bucket in BOTH lanes (the frame lane's left join keys on the
+    # unique __b of a bucket aggregate) — so it equals the former
+    # 1-row crossJoin total exactly.
     half_b = float(0.5 * n_buckets)
-    ratio = (
-        raw_c.join(tgt_c, "__b", "left")
-        .crossJoin(F.broadcast(tgt_tot))
-        .crossJoin(F.broadcast(raw_tot))
-        .select(
-            "__b",
-            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(0.5))
-                   / (F.col("__tt") + F.lit(half_b)))
-             - F.log((F.col("__cr") + F.lit(0.5))
-                     / (F.col("__tr") + F.lit(half_b)))).alias("__lr"),
-        )
+    ratio = bstats.select(
+        "__b",
+        (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(0.5))
+               / (F.col("__tt") + F.lit(half_b)))
+         - F.log((F.col("__cr") + F.lit(0.5))
+                 / (F.coalesce(F.sum("__cr").over(w_all), F.lit(0))
+                    + F.lit(half_b)))).alias("__lr"),
     )
     weights = (
         raw_dbc.join(F.broadcast(ratio), "__b")
