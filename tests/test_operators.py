@@ -2301,6 +2301,65 @@ def test_exact_batch_cosine_scores_match_hof_lane(spark):
         assert got[k] == want[k], (k, got[k], want[k])
 
 
+def test_exact_batch_scores_query_side_memo(spark, tmp_path, monkeypatch):
+    """r15 opt: the exact-kNN scorer memoizes its driver-side query
+    prefetch (collect + scorer UDF + qmap) per (session, plan
+    fingerprint) — a re-construction over the same file-backed query
+    relation must trigger NO driver action (the bench re-constructs
+    every lane per warm sample) and return identical scores; a
+    LocalRelation query side must NOT populate the memo (its canon
+    string hides the data, trap 19)."""
+    import hashlib
+
+    import pyspark.sql.dataframe as D
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators import similarity as S
+
+    def vec(seed, dim=8):
+        return [(int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8],
+                     16) / 2**32) * 2 - 1 for i in range(dim)]
+
+    p = str(tmp_path / "memoq")
+    spark.createDataFrame(
+        [(i, i % 3, vec(i)) for i in range(30)],
+        "vec_id long, label int, embedding array<double>",
+    ).write.parquet(p)
+    base = spark.read.parquet(p)
+    labeled = base.filter(F.col("vec_id") % 5 != 0)
+    queries = base.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qv"))
+
+    S._QSIDE_CACHE.clear()
+    first = sorted(
+        tuple(r) for r in S._exact_batch_cosine_scores(
+            labeled, queries, "embedding", "vec_id", "label").collect())
+    assert len(S._QSIDE_CACHE) == 1
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver action on memoized re-construction")
+
+    monkeypatch.setattr(D.DataFrame, "collect", boom)
+    monkeypatch.setattr(D.DataFrame, "head", boom)
+    monkeypatch.setattr(D.DataFrame, "take", boom)
+    # fresh lineage objects, same plan -> memo hit, no job
+    queries2 = spark.read.parquet(p).filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qv"))
+    rel = S._exact_batch_cosine_scores(
+        labeled, queries2, "embedding", "vec_id", "label")
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in rel.collect()) == first
+
+    # LocalRelation query side: scored correctly but never cached
+    S._QSIDE_CACHE.clear()
+    local_q = spark.createDataFrame(
+        [(100, vec(100))], "__qid long, __qv array<double>")
+    out = S._exact_batch_cosine_scores(
+        labeled, local_q, "embedding", "vec_id", "label")
+    assert out.count() == labeled.count()
+    assert len(S._QSIDE_CACHE) == 0
+
+
 def test_dsir_predicate_target_equals_frame_target(spark):
     """r15 opt (t30's one-pass lane): dsir_select with a Column
     predicate target must select exactly what the equivalent filtered
