@@ -204,12 +204,13 @@ COMMENTARY = {
         "both map-side partial — linear, skew-free (keys are doc ids)."
     ),
     "t33_cdc_shared_passages": (
-        "Content-defined chunking: one tokenize pass, guarded index "
-        "explode (one row per token), boundary flag as a pure hash "
-        "expression, segment ids via a PER-DOC running-sum window "
-        "(partitioned, never global), then chunk-string-keyed "
-        "hash joins with the max_docs boilerplate cap bounding the "
-        "pair fan-out. Scaled x32 at ratio 2.6 (SCALING.md)."
+        "Content-defined chunking: one tokenize pass; chunks come from "
+        "the ROW-LOCAL cdc_chunk_array fold (the streaming twin's "
+        "spelling — no per-token explode, no per-doc window, no "
+        "distinct shuffle; r15 §15) + array_distinct + guarded "
+        "explode_outer, then chunk-string-keyed hash joins with the "
+        "max_docs boilerplate cap bounding the pair fan-out. "
+        "Scaled x32 at ratio 2.6 (SCALING.md)."
     ),
     "t34_bpe_token_counts": (
         "Exact BPE counting: training is ONE distributed "
@@ -220,13 +221,16 @@ COMMENTARY = {
         "shuffle beyond the training aggregate; x32 ratio 2.2."
     ),
     "t35_dup_window_excision": (
-        "Substring-dedup rewrite: guarded token explode, window keys "
+        "Substring-dedup rewrite: guarded token explode (persisted "
+        "pre-null-filter so empty docs keep a marker row), window keys "
         "as a single parsed concat_ws expression, ONE window-key "
         "hash aggregate carrying (count, min ord) with map-side "
         "partials, occurrences joined back only for TRUE duplicates, "
-        "a bounded w-row coverage explode, a (doc, pos) anti-join "
-        "(distinct per-side aliases — trap 20), and per-doc ordered "
-        "reassembly via array_sort(collect_list) — partitioned, no "
+        "a bounded w-row coverage explode, a (doc, pos) LEFT join with "
+        "conditional aggregation (r15 §14 — the former anti-join plus "
+        "separate totals branch folded into ONE doc-keyed reassembly "
+        "aggregate emitting clean_text, kept count and token total), "
+        "ordered via array_sort(collect_list) — partitioned, no "
         "global sort anywhere."
     ),
     "t36_fuzzy_decontamination": (
