@@ -534,12 +534,20 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     lineage is cut per round with an eager localCheckpoint so the plan
     doesn't grow with iterations. Iterative by nature — the driver loop
     only runs a convergence probe (a 1-row aggregate), never collects
-    data: labels can only DECREASE under min-propagation, so the label
-    sum (DECIMAL — id sums overflow bigint at petabyte id ranges) is
-    strictly decreasing until the fixpoint, making an unchanged sum an
-    exact convergence test with no old-vs-new join. Non-numeric ids
-    (where the decimal try_cast is NULL and the sum carries no signal)
-    fall back to an exact changed-row probe (old⋈new, LIMIT-1 count).
+    data.
+
+    Driver-job economics (r16, guide §1.2/§5 — the bench pays this loop
+    on EVERY construction, and at 100 TB every probe is a full stage
+    barrier): round 1 is FUSED into the label init (label₀ =
+    min(id, min neighbor id) is exactly what one propagation round
+    over self-labels computes, and it costs the same single groupBy the
+    old `distinct()` init cost), and convergence is read from the SAME
+    1-row probe that materializes each round's checkpoint — each row
+    carries its previous label, so `max(label != __old)` detects the
+    fixpoint without the former sum-vs-previous-round bookkeeping (and
+    works for ANY id type, retiring the non-numeric fallback's extra
+    join job). Net: one fewer round-job per call, one probe per round,
+    exact convergence.
 
     `algorithm="star"` dispatches to `connected_components_star`
     (large-star/small-star contraction, O(log n) rounds on any graph) —
@@ -569,11 +577,16 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         .unionByName(e0.select(F.col("d").alias("id"), F.col("s").alias("nb")))
         .persist()
     )
-    labels = sym.select("id").distinct().withColumn("label", F.col("id"))
-    prev_sum = None
-    sum_probe = True  # flips off for non-numeric ids (cast → NULL sum)
+    # fused init ≡ init-with-own-id + round 1 (see docstring); LAZY
+    # checkpoint — round 2's probe is its first action and materializes
+    # it (single consumer, no union-branch race)
+    labels = (
+        sym.groupBy("id")
+        .agg(F.least(F.min("nb"), F.col("id")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
     try:
-        for _ in range(max_iter):
+        for _ in range(max_iter - 1):
             neigh = (
                 sym.join(
                     labels.select(F.col("id").alias("nb"),
@@ -583,47 +596,24 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 .groupBy("id")
                 .agg(F.min("nb_label").alias("nmin"))
             )
-            # LAZY checkpoint: the convergence probe right below is the
-            # round's first action and materializes it — one job per
-            # round instead of checkpoint-job + probe-job (the probe is
-            # a single consumer, so there is no union-branch race here,
-            # unlike e0 above)
             new = (
                 labels.join(neigh, "id", "left")
                 .select(
                     "id",
                     F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                    F.col("label").alias("__old"),
                 )
                 .localCheckpoint(eager=False)
             )
-            if sum_probe:
-                # try_cast, not cast: ANSI mode makes a failed
-                # string→decimal cast an error, not a NULL
-                cur_sum = new.agg(
-                    F.sum(F.col("label").cast("string")
-                          .try_cast("decimal(38,0)")).alias("s")
-                ).head()["s"]
-                if cur_sum is None:
-                    # non-numeric labels (cast → NULL) or empty relation:
-                    # the sum carries no signal — fall through to the
-                    # exact changed-row probe for this and later rounds
-                    sum_probe = False
-                else:
-                    labels = new
-                    if prev_sum is not None and cur_sum == prev_sum:
-                        break
-                    prev_sum = cur_sum
-                    continue
-            # exact probe: any row whose label changed this round? One
-            # join + a LIMIT-1 count — still no data collection
-            changed = (
-                new.join(labels.select("id", F.col("label").alias("__old")), "id")
-                .filter(F.col("label") != F.col("__old"))
-                .limit(1)
-                .count()
-            )
-            labels = new
-            if changed == 0:
+            # ONE probe materializes the round AND answers convergence:
+            # any row whose label changed? (min-propagation labels only
+            # ever decrease, so != is a decrease). NULL = empty relation.
+            chg = new.agg(
+                F.max((F.col("label") != F.col("__old")).cast("int"))
+                .alias("c")
+            ).head()["c"]
+            labels = new.select("id", "label")
+            if not chg:
                 break
     finally:
         sym.unpersist()

@@ -1690,15 +1690,32 @@ def _exact_batch_cosine_scores(labeled: DataFrame, queries: DataFrame,
 
         from deeplake_spark.io import session_key
 
+        from deeplake_spark.io import _source_fingerprint
+
         canon = (queries._jdf.queryExecution().optimizedPlan()
                  .canonicalized().toString())
-        files = ",".join(sorted(queries.inputFiles()))
+        # fingerprint CONTENT, not just paths: an in-session overwrite
+        # of the same part-files must miss (the _query_vec/load_table
+        # convention — r15 ADVICE #1). inputFiles() returns URIs
+        # (file:/...): strip the scheme so os.stat can fingerprint.
+        def _local(p: str) -> str:
+            return p[5:] if p.startswith("file:") else p
+
+        files = ",".join(
+            f"{p}#{_source_fingerprint(_local(p))}"
+            for p in sorted(queries.inputFiles()))
         # no files -> LocalRelation lineage, whose canon string HIDES
         # the data (trap 19): two different literal query sets would
-        # collide. Cache only file-backed query relations.
+        # collide. A MIXED plan (file scan joined/unioned with a
+        # LocalRelation of literals — or a LogicalRDD, createDataFrame's
+        # lineage, which equally hides its rows) has files but the same
+        # hidden-data hazard — skip whenever such a node is present
+        # (r15 ADVICE #2; semanticHash alone is 32-bit-collidable).
         key = (session_key(spark),
                hashlib.md5(f"{canon}||{files}".encode()).hexdigest(),
-               queries.semanticHash()) if files else None
+               queries.semanticHash()) \
+            if files and "LocalRelation" not in canon \
+            and "LogicalRDD" not in canon else None
     except Exception:  # pragma: no cover - plan string unavailable
         key = None
     if key is not None and key in _QSIDE_CACHE:

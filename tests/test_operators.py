@@ -2359,6 +2359,57 @@ def test_exact_batch_scores_query_side_memo(spark, tmp_path, monkeypatch):
     assert out.count() == labeled.count()
     assert len(S._QSIDE_CACHE) == 0
 
+    # MIXED plan (file scan unioned with a LocalRelation of literals):
+    # the canon string hides the literal rows exactly like the pure
+    # LocalRelation case — must not populate the memo (r16; ADVICE #2)
+    mixed_q = queries.unionByName(local_q)
+    out2 = S._exact_batch_cosine_scores(
+        labeled, mixed_q, "embedding", "vec_id", "label")
+    assert out2.select("__qid").distinct().count() == 7
+    assert len(S._QSIDE_CACHE) == 0
+
+
+def test_exact_batch_scores_memo_keys_on_file_content(spark, tmp_path):
+    """r16 (ADVICE #1): the _QSIDE_CACHE key folds each input file's
+    content fingerprint (mtime+size) — an in-session overwrite of the
+    SAME part-file paths must MISS the memo and serve the fresh query
+    rows, not the stale collected matrix."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators import similarity as S
+
+    def vec(seed, dim=8):
+        return [(int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8],
+                     16) / 2**32) * 2 - 1 for i in range(dim)]
+
+    qfile = str(tmp_path / "q.parquet")
+    pd.DataFrame({"__qid": [100], "__qv": [vec(100)]}).to_parquet(qfile)
+    labeled = spark.createDataFrame(
+        [(i, i % 3, vec(i)) for i in range(10)],
+        "vec_id long, label int, embedding array<double>")
+
+    S._QSIDE_CACHE.clear()
+    first = S._exact_batch_cosine_scores(
+        labeled, spark.read.parquet(qfile), "embedding", "vec_id",
+        "label").select("__qid").distinct().collect()
+    assert {r["__qid"] for r in first} == {100}
+    assert len(S._QSIDE_CACHE) == 1
+
+    # overwrite the SAME path with a different query set; bump mtime
+    # explicitly (same-second rewrites on coarse-mtime filesystems)
+    pd.DataFrame({"__qid": [200, 201],
+                  "__qv": [vec(200), vec(201)]}).to_parquet(qfile)
+    st = os.stat(qfile)
+    os.utime(qfile, (st.st_atime, st.st_mtime + 2))
+    fresh = S._exact_batch_cosine_scores(
+        labeled, spark.read.parquet(qfile), "embedding", "vec_id",
+        "label").select("__qid").distinct().collect()
+    assert {r["__qid"] for r in fresh} == {200, 201}
+
 
 def test_dsir_predicate_target_equals_frame_target(spark):
     """r15 opt (t30's one-pass lane): dsir_select with a Column

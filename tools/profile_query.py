@@ -34,7 +34,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--plans", default=None,
-                    help="dump explain(formatted) to plans/r15/<q>_<TAG>.txt")
+                    help="dump explain(formatted) to plans/<dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="r16",
+                    help="subdirectory of plans/ for the dumps")
+    ap.add_argument("--final", action="store_true",
+                    help="ALSO dump the executed AQE final plan "
+                    "(trap 18: execute via collect on the SAME "
+                    "DataFrame, then read its queryExecution) to "
+                    "<q>_<TAG>_final.txt — the only dump that shows "
+                    "ReusedExchange / isFinalPlan=true")
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--no-ingest", action="store_true")
     ap.add_argument("--tables", default=None,
@@ -90,13 +98,25 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         t_construct = time.perf_counter() - t0
         if args.plans:
-            os.makedirs(os.path.join(REPO, "plans", "r15"), exist_ok=True)
+            pdir = os.path.join(REPO, "plans", args.plans_dir)
+            os.makedirs(pdir, exist_ok=True)
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted"))
             with open(os.path.join(
-                    REPO, "plans", "r15", f"{name}_{args.plans}.txt"), "w") as f:
+                    pdir, f"{name}_{args.plans}.txt"), "w") as f:
                 f.write(txt)
+            if args.final:
+                # noop-force runs a SEPARATE QueryExecution (trap 18);
+                # collect() executes THIS DataFrame's, whose
+                # executedPlan then carries isFinalPlan=true and any
+                # AQE ReusedExchange / AQEShuffleRead rewrites
+                df.collect()
+                ftxt = (df._jdf.queryExecution().executedPlan()
+                        .toString())
+                with open(os.path.join(
+                        pdir, f"{name}_{args.plans}_final.txt"), "w") as f:
+                    f.write(ftxt)
         t0 = time.perf_counter()
         force(df)
         t_cold = time.perf_counter() - t0

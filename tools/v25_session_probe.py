@@ -54,7 +54,7 @@ def main() -> None:
     q21 = resolve("q21")
 
     from deeplake_spark.io import build_scan_cache
-    from deeplake_spark.queries import text_ops, vector_ops
+    from deeplake_spark.queries import vector_ops
 
     build_scan_cache(spark, sf_dir)
     vector_ops._ivf8(spark, sf_dir)
