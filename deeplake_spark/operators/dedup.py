@@ -409,28 +409,43 @@ def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     # element_at args compile ~6x cheaper than slice+array_join (trap 6)
     win = F.expr("concat_ws(' ', " + ",".join(
         f"element_at(__t, __i + {j})" for j in range(w)) + ")")
-    # persisted once: the tokenize+explode+window-assembly feeds BOTH
-    # the dup-key aggregate and the flag join below — without the cache
-    # each branch re-runs it (lazy persist; block-level locking dedups
-    # concurrent fills, no construction-time job). At 100 TB this is the
-    # persisted window-posting side table, same as jaccard_pairs' ex.
-    occurrences = _track(wins.select("doc_id", win.alias("__w")))
-    dup_keys = (
-        occurrences.distinct()
-        .groupBy("__w").agg(F.count(F.lit(1)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__w")
-    )
-    # flag each occurrence instead of semijoining a dups-only relation:
-    # total and duplicated counts then come out of ONE aggregation, and
-    # docs with zero windows drop naturally (no pushable filter)
-    flagged = occurrences.join(
-        dup_keys.withColumn("__dup", F.lit(1)), "__w", "left")
+    occurrences = wins.select("doc_id", win.alias("__w"))
+    if min_docs == 2:
+        # r16 restructure (guide §2.4; interleaved A/B: 1.18 → 0.69 s
+        # min, wins every pair): ">= 2 distinct docs" is exactly
+        # "min(doc_id) != max(doc_id)", so the dup flag is a pair of
+        # window aggregates PARTITIONED BY the window key — the former
+        # persist + distinct exchange + window-key aggregate + flag
+        # join collapse into ONE __w-keyed exchange, and the posting
+        # has a single consumer (the persist and its memory go away).
+        # Bounded-group discipline (trap 7): the window is keyed, never
+        # global; a hot window key buffers its frame in WindowExec
+        # (spillable) — the same hot-key hazard class as the join
+        # fan-out it replaces, and the w-token key bounds row width.
+        ww = Window.partitionBy("__w")
+        flagged = occurrences.withColumn(
+            "__dup",
+            (F.min("doc_id").over(ww) != F.max("doc_id").over(ww))
+            .cast("long"))
+    else:
+        # general min_docs: the distinct-doc count per window needs a
+        # real distinct — persisted posting + dup-key join (pre-r16
+        # shape; no registered lane uses this path's threshold today)
+        occurrences = _track(occurrences)
+        dup_keys = (
+            occurrences.distinct()
+            .groupBy("__w").agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__w")
+        )
+        flagged = occurrences.join(
+            dup_keys.withColumn("__d", F.lit(1)), "__w", "left"
+        ).withColumn("__dup", F.col("__d").isNotNull().cast("long"))
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_dup"),
+            F.sum("__dup").alias("n_dup"),
         )
         .withColumn(
             "dup_ratio",

@@ -1364,10 +1364,17 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("__p.w1").alias("w1"),
                 F.col("__p.w2").alias("w2"))
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    from deeplake_spark.operators.dedup import _track
+
     # c1 = Σ_w2 c2 — the unigram marginal re-aggregates the bigram
-    # counts (the t41 r15 convention): one corpus model pass instead
-    # of two, integer-exact, same oracle
+    # counts (the t41 convention): integer-exact, same oracle. The
+    # count relation is `_track`-persisted (r16): AQE never reused the
+    # duplicate `big` exchanges (divergent inferred join null-filters;
+    # see t41), so the model side re-tokenized the corpus per consumer
+    # — with the persist the executed plan holds 2 corpus scans (model
+    # fill + scoring side) instead of 3.
+    big = _track(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2")))
     uni = big.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     scored = (
         pairs.filter(F.col("doc_id") < 200)
@@ -2472,14 +2479,22 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("__i").isNotNull())
              .select(F.element_at("__t", F.col("__i")).alias("w1"),
                      F.element_at("__t", F.col("__i") + 1).alias("w2")))
-    # ONE corpus pass (r15 opt): the slot marginals and the total are
-    # exact re-aggregations of the (w1, w2) counts — c1 = Σ_w2 c12,
-    # c2 = Σ_w1 c12, b = Σ c12 — so deriving them from `big` replaces
-    # three additional tokenize+explode corpus passes with three
-    # vocabulary-sized aggregates over the SAME exchange (guide §2.4;
-    # the identical subtrees reuse one shuffle at runtime). Integer
-    # sums, value-identical to the former per-occurrence counts.
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    from deeplake_spark.operators.dedup import _track
+
+    # ONE corpus pass: the slot marginals and the total are exact
+    # re-aggregations of the (w1, w2) counts — c1 = Σ_w2 c12,
+    # c2 = Σ_w1 c12, b = Σ c12 — so u1/u2/tot derive from `big`.
+    # r16 fix of the r15 claim: AQE exchange reuse does NOT collapse
+    # the four `big` subtrees (the joins push DIFFERENT inferred
+    # isnotnull(w1)/isnotnull(w2) filters into each branch, so the
+    # exchanges canonicalize differently — proven by the committed
+    # executed plan plans/r16/t41_pmi_collocations_r15code_final.txt:
+    # 0 ReusedExchange, 4 corpus scans). `_track`-persist the
+    # vocabulary-sized count relation instead (the d03 posting
+    # convention): ONE tokenize+explode fill, every consumer reads
+    # memory — 4 corpus scans → 1 in the executed plan.
+    big = _track(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     u1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     u2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = big.agg(F.sum("c12").alias("b"))
