@@ -232,6 +232,27 @@ def map_at_depth(col: Column, depth: int, fn) -> Column:
     return F.transform(col, lambda x: map_at_depth(x, depth - 1, fn))
 
 
+def map_at_depth_sql(arr: str, depth: int, fn_sql) -> str:
+    """SQL-fragment twin of `map_at_depth` (trap 12): `fn_sql` maps an
+    expression STRING to an expression string; each depth level nests
+    one `transform` with a uniquely-named lambda variable. One parsed
+    expr instead of ~5 py4j round trips per nesting level — the TQL
+    multi-dim subscript lowering measured ~1,100 py4j calls per
+    translate through the Column spelling (r16)."""
+    if depth <= 0:
+        return fn_sql(arr)
+    v = f"__md{depth}"
+    return (f"transform({arr}, {v} -> "
+            f"{map_at_depth_sql(v, depth - 1, fn_sql)})")
+
+
+def element_sql(arr: str, index: int) -> str:
+    """SQL-fragment twin of `element` (0-based + negative-from-end)."""
+    if index >= 0:
+        return f"get({arr}, {int(index)})"
+    return f"element_at({arr}, {int(index)})"
+
+
 def zip_at_depth(a: Column, b: Column, depth: int, fn) -> Column:
     """Element-wise combine of two equally-nested arrays `depth` levels
     deep — the lowering for nd binary broadcasting (a == b, a + b on

@@ -335,6 +335,25 @@ def bit_array(bits: int, prefix: str = "b", alias: str = "__bits") -> Column:
     return F.expr(f"array({cols}) AS {alias}")
 
 
+def bit_vote_array(bits: int, cond: str | None = None,
+                   alias: str = "__bits") -> Column:
+    """All `bits` conditional ±1 sums as ONE array-of-aggregates
+    expression — r16 tightening of `bit_vote_sums` (trap 12): even
+    with each sum a single F.expr, `bits` separate agg Columns still
+    cost ~2 py4j round trips apiece plus the agg seq conversion
+    (d05's 120 sums profiled ~1,050 py4j calls per construction).
+    `array(sum(...), ...)` at the agg position is one parsed
+    expression and one round trip; the aggregate semantics and the
+    generated code are unchanged, and the downstream `_fold_bits`
+    consumes the array directly (no bit_array reassembly projection)."""
+    sums = []
+    for i in range(bits):
+        vote = f"IF((shiftright(__h, {i}) & 1) = 1, 1, -1)"
+        body = f"CASE WHEN {cond} THEN {vote} ELSE 0 END" if cond else vote
+        sums.append(f"sum({body})")
+    return F.expr(f"array({','.join(sums)}) AS {alias}")
+
+
 def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, explode-based.
 
@@ -355,12 +374,9 @@ def simhash_64(df: DataFrame, tokens: Column, id_col: str = "doc_id") -> DataFra
         .filter(F.col("__tok").isNotNull())
         .select("doc_id", F.xxhash64(F.col("__tok")).alias("__h"))
         .groupBy("doc_id")
-        .agg(*bit_vote_sums(64))
+        .agg(bit_vote_array(64))
     )
-    return (
-        agg.select("doc_id", bit_array(64))
-        .select("doc_id", _fold_bits("__bits", 64).alias("simhash"))
-    )
+    return agg.select("doc_id", _fold_bits("__bits", 64).alias("simhash"))
 
 
 def dup_window_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -754,12 +770,9 @@ def simhash_portable(df: DataFrame, tokens: Column, id_col: str = "doc_id",
         .filter(F.col("__tok").isNotNull())
         .select("doc_id", _md5_int60(F.col("__tok"), 0).alias("__h"))
         .groupBy("doc_id")
-        .agg(*bit_vote_sums(bits))
+        .agg(bit_vote_array(bits))
     )
-    return (
-        agg.select("doc_id", bit_array(bits))
-        .select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
-    )
+    return agg.select("doc_id", _fold_bits("__bits", bits).alias("simhash"))
 
 
 def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -869,6 +882,34 @@ def cdc_shared_passages(df: DataFrame, text_col: str = "text",
         dup = dup.filter(F.col("__n") <= max_docs)
     dup = dup.select("chunk")
     hits = chunks.join(dup, "chunk", "left_semi")
+    if max_docs is not None:
+        # r16 restructure (guide §2.4): with the boilerplate cap in
+        # force, every surviving chunk has <= max_docs occurrences, so
+        # the pair self-join (which re-evaluated the chunk fold for
+        # BOTH aliased sides — the a/b branches feed broadcast joins at
+        # sf scale, so there is no exchange for AQE to reuse; the
+        # committed executed plan t33_..._before_final.txt shows the
+        # fold running 3x) collapses into one BOUNDED collect_list per
+        # chunk + a row-local a<b pair expansion. Interleaved x6 A/B:
+        # old 1.82/2.28 s (min/med) vs new 1.50/1.85, values identical.
+        # At 100 TB the dup side outgrows broadcast, the semi join goes
+        # sort-merge, and its chunk exchange is the SAME exchange the
+        # count aggregate shuffles — one fold pass total.
+        grouped = hits.groupBy("chunk").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("__docs"))
+        pairs_expr = (
+            "flatten(transform(__docs, (x, i) -> "
+            "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
+            "y -> named_struct('a', x, 'b', y))))")
+        return (
+            grouped.select(F.explode_outer(F.expr(pairs_expr)).alias("__p"))
+            .filter(F.col("__p").isNotNull())
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        )
+    # max_docs=None: nothing bounds a hot chunk's doc list, so the
+    # collect_list spelling would buffer unboundedly — keep the
+    # join-based fan-out, whose work is at least spillable/splittable
     a = hits.select(F.col("doc_id").alias("a"), "chunk")
     b = hits.select(F.col("doc_id").alias("b"), "chunk")
     return (

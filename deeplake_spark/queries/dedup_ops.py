@@ -219,8 +219,7 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark.operators.dedup import (
         _fold_bits,
         _md5_int60,
-        bit_array,
-        bit_vote_sums,
+        bit_vote_array,
     )
 
     bits = 60
@@ -245,18 +244,16 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5_int60(F.col("__tok"), 0).alias("__h"),
         )
     )
-    # 2x60 sums as expr strings: the chained-Column build cost ~2.4 s of
-    # driver-side construction alone (see operators/dedup.bit_vote_sums)
-    sums = (bit_vote_sums(bits, prefix="o", cond="NOT is_copy")
-            + bit_vote_sums(bits, prefix="c", cond="is_copy"))
-    agg = toks.groupBy("base").agg(*sums)
-    proj = agg.select(
-        "base",
-        bit_array(bits, prefix="o", alias="__bo"),
-        bit_array(bits, prefix="c", alias="__bc"),
+    # 2x60 sums as TWO array-of-aggregates exprs (r16; see
+    # operators/dedup.bit_vote_array): the per-sum F.expr build still
+    # cost ~1,050 py4j round trips per construction here — one array
+    # expr per side is 2 round trips, identical aggregate semantics
+    agg = toks.groupBy("base").agg(
+        bit_vote_array(bits, cond="NOT is_copy", alias="__bo"),
+        bit_vote_array(bits, cond="is_copy", alias="__bc"),
     )
     return (
-        proj.select(
+        agg.select(
             F.col("base").alias("doc_id"),
             _fold_bits("__bo", bits).alias("simhash"),
             _fold_bits("__bc", bits).alias("copy_simhash"),

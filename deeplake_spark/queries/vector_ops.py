@@ -723,9 +723,10 @@ def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deeplake_spark import tql
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    emb = F.col("embedding")
-    boxes = F.transform(F.sequence(F.lit(0), F.lit(7)),
-                        lambda r: F.slice(emb, r * 8 + 1, 8))
+    # one parsed expr each (trap 12) — the chained transform/slice
+    # Columns cost ~10 py4j round trips apiece at construction
+    boxes = F.expr(
+        "transform(sequence(0, 7), r -> slice(embedding, r * 8 + 1, 8))")
     df = e.select("vec_id", boxes.alias("boxes"))
     out = tql.query(
         "SELECT vec_id, boxes[:, 0] AS col0, boxes[1, :] AS row1, "
@@ -734,15 +735,15 @@ def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def csv(c):
-        return F.array_join(
-            F.transform(c, lambda x: F.round(x.cast("double") * 1e6)
-                        .cast("long").cast("string")), ",")
+        return F.expr(
+            f"array_join(transform({c}, x -> cast(cast(round("
+            "cast(x as double) * 1e6) as bigint) as string)), ',')")
 
     return out.select(
         "vec_id",
-        csv(F.col("col0")).alias("col0"),
-        csv(F.col("row1")).alias("row1"),
-        csv(F.flatten(F.col("mid"))).alias("mid"),
+        csv("col0").alias("col0"),
+        csv("row1").alias("row1"),
+        csv("flatten(mid)").alias("mid"),
     ).orderBy("vec_id")
 
 

@@ -1294,15 +1294,23 @@ class Translator:
         if isinstance(e, ast.Slice):
             from deeplake_spark.functions.arrays import map_at_depth
 
-            arr = self._expr(e.operand, df)
             # defaults are STEP-SIGN dependent (python slice semantics:
             # a[::-1] starts at the END) — resolved inside array_slice,
             # so absent bounds pass through as None (r15 review: a
             # fixed start=0/stop=MAX default made every negative-step
             # slice empty or an illegal-sequence crash)
+            sql = self._subscript_sql(e, df)
+            if sql is not None:
+                # SQL-fragment twin (trap 12): the whole subscript
+                # chain as ONE parsed expr — the Column spelling cost
+                # ~1,100 py4j round trips per translate (r16 profile;
+                # tree/value equality pinned in tests/test_functions.py
+                # and the v16/v12 oracles)
+                return F.expr(sql)
             start = self._const_int(e.start, None)
             stop = self._const_int(e.stop, None)
             step = self._const_int(e.step, 1)
+            arr = self._expr(e.operand, df)
             return map_at_depth(arr, e.depth,
                                 lambda a: array_slice(a, start, stop, step))
         if isinstance(e, ast.FuncCall):
@@ -1352,10 +1360,61 @@ class Translator:
             return int(self.params[n.index])
         raise TQLTranslationError("slice bounds must be integer literals")
 
+    def _subscript_sql(self, node: ast.Node, df: DataFrame) -> str | None:
+        """SQL fragment for a chain of Slice/Index subscripts over a
+        plain ARRAY column — the trap-12 twin gate for the multi-dim
+        lowering (the parser emits e.g. Index(Slice(ColumnRef), d=1)
+        for boxes[:, 0]). Composes the exact same primitives as the
+        Column build (`_array_slice_sql`/`element_sql`/
+        `map_at_depth_sql`), so trees and values match; anything it
+        cannot prove array-shaped (JSON/map/struct indexing, dynamic
+        bounds, non-column bases) returns None and falls back."""
+        from pyspark.sql.types import ArrayType
+
+        from deeplake_spark.functions.arrays import (
+            _array_slice_sql,
+            element_sql,
+            map_at_depth_sql,
+        )
+
+        if isinstance(node, ast.ColumnRef):
+            if node.name in df.columns and isinstance(
+                    df.schema[node.name].dataType, ArrayType):
+                return "`" + node.name.replace("`", "``") + "`"
+            return None
+        if isinstance(node, ast.Slice):
+            base = self._subscript_sql(node.operand, df)
+            if base is None:
+                return None
+            try:
+                start = self._const_int(node.start, None)
+                stop = self._const_int(node.stop, None)
+                step = self._const_int(node.step, 1)
+            except TQLTranslationError:
+                return None
+            return map_at_depth_sql(
+                base, node.depth,
+                lambda a: _array_slice_sql(a, start, stop, step))
+        if isinstance(node, ast.Index):
+            base = self._subscript_sql(node.operand, df)
+            if base is None:
+                return None
+            if isinstance(node.index, ast.Literal) \
+                    and isinstance(node.index.value, int):
+                i = node.index.value
+            elif isinstance(node.index, ast.UnaryOp) and node.index.op == "-" \
+                    and isinstance(node.index.operand, ast.Literal) \
+                    and isinstance(node.index.operand.value, int):
+                i = -node.index.operand.value
+            else:
+                return None
+            return map_at_depth_sql(
+                base, node.depth, lambda a: element_sql(a, i))
+        return None
+
     def _index(self, e: ast.Index, df: DataFrame) -> Column:
         from pyspark.sql.types import ArrayType, MapType, StringType, StructType
 
-        target = self._expr(e.operand, df)
         if e.depth:
             # inner-dimension subscript of a multi-dim form (boxes[:, 0])
             from deeplake_spark.functions.arrays import map_at_depth
@@ -1368,7 +1427,13 @@ class Translator:
             else:
                 raise TQLTranslationError(
                     "inner-dimension index must be an integer literal")
+            sql = self._subscript_sql(e, df)
+            if sql is not None:
+                # SQL-fragment twin — see the Slice lowering (trap 12)
+                return F.expr(sql)
+            target = self._expr(e.operand, df)
             return map_at_depth(target, e.depth, lambda a: element(a, i))
+        target = self._expr(e.operand, df)
         dtype = None
         if isinstance(e.operand, ast.ColumnRef) and e.operand.name in df.columns:
             dtype = df.schema[e.operand.name].dataType

@@ -131,6 +131,28 @@ def test_array_sql_twins_match(twin_df):
             F.expr(A._array_slice_sql("va", st, sp, stp)))
 
 
+def test_mapdepth_sql_twins_match(twin_df):
+    """r16 twins behind the TQL multi-dim subscript lowering: nested
+    transform + element/slice as ONE parsed expr must be canon-
+    identical (and value-identical) to the Column build."""
+    nested_c = F.array(F.col("va"), F.col("vb"))
+    nested_s = "array(va, vb)"
+    for i in (0, 1, -1):
+        _assert_twin(
+            twin_df, f"map_at_depth[elem {i}]",
+            A.map_at_depth(nested_c, 1, lambda a: A.element(a, i)),
+            F.expr(A.map_at_depth_sql(
+                nested_s, 1, lambda a: A.element_sql(a, i))))
+    for st, sp, stp in [(0, 2, 1), (None, None, -1), (1, None, 2)]:
+        _assert_twin(
+            twin_df, f"map_at_depth[slice {st}:{sp}:{stp}]",
+            A.map_at_depth(
+                nested_c, 1, lambda a: A.array_slice(a, st, sp, stp)),
+            F.expr(A.map_at_depth_sql(
+                nested_s, 1,
+                lambda a: A._array_slice_sql(a, st, sp, stp))))
+
+
 def test_sketch_sql_twins_match(spark, twin_df):
     _assert_twin(twin_df, "kmv_estimate",
                  SK.kmv_estimate(F.col("va"), 3), SK.kmv_estimate("va", 3))
