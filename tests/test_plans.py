@@ -373,6 +373,40 @@ def test_global_plan_audit_no_cartesian_no_global_windows(spark, sf_dir):
     assert offenders == {}, offenders
 
 
+def test_r16_restructured_shapes(spark, sf_dir):
+    """r16 restructure pins (the executed-plan evidence lives in
+    plans/r16/*_final.txt; these keep the shapes from regressing):
+    - d06: the dup flag is a pair of window aggregates PARTITIONED by
+      the window key — no join, no posting persist (the pre-r16 shape
+      had a distinct exchange + dup-key aggregate + flag join);
+    - t41/t27: the bigram count relation is persisted (AQE never
+      reused the duplicate exchanges — divergent inferred join
+      null-filters), so the marginals read InMemoryTableScan;
+    - t33 (capped): the pair fan-out is a bounded collect_list +
+      row-local expansion — exactly ONE join (the dup semi) remains.
+    """
+    def joins_of(name):
+        # plain plan string, ONE line per node (the formatted mode
+        # repeats node names in its details section)
+        plan = (REG[name].fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        return plan, [
+            ln for ln in plan.splitlines()
+            if ("BroadcastHashJoin" in ln or "SortMergeJoin" in ln
+                or "ShuffledHashJoin" in ln or "BroadcastNestedLoop" in ln)
+        ]
+
+    plan, joins = joins_of("d06_dup_ngram_windows")
+    assert joins == [], f"d06 grew joins back: {joins}"
+    assert "Window" in plan, "d06 window flag gone"
+    for lane in ("t41_pmi_collocations", "t27_bigram_surprisal"):
+        plan, _ = joins_of(lane)
+        assert "InMemoryTableScan" in plan, f"{lane} count persist gone"
+    plan, joins = joins_of("t33_cdc_shared_passages")
+    assert len(joins) == 1 and "LeftSemi" in joins[0], \
+        f"t33 pair join is back: {joins}"
+
+
 def test_aqe_skew_split_engages_on_hot_key(spark, sf_dir):
     """Skew hardening, plan-proven: a q18-shape join where one orderkey
     owns ~80% of lineitem rows gets its hot reduce partition SPLIT by
