@@ -405,6 +405,17 @@ def test_r16_restructured_shapes(spark, sf_dir):
     plan, joins = joins_of("t33_cdc_shared_passages")
     assert len(joins) == 1 and "LeftSemi" in joins[0], \
         f"t33 pair join is back: {joins}"
+    # r15 shapes, pinned at the executed level per the r15 verdict
+    # (#7): t29 is pure array expressions (no Generate, no aggregation
+    # shuffle fan-out), t30 is the two-pass DSIR (two corpus scans,
+    # no nested-loop joins)
+    plan, _ = joins_of("t29_repetition_metrics")
+    assert "Generate" not in plan, "t29 explode is back"
+    plan, joins = joins_of("t30_dsir_selection")
+    assert not any("BroadcastNestedLoop" in j for j in joins), \
+        f"t30 BNLJ is back: {joins}"
+    n_scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+    assert n_scans <= 2, f"t30 corpus read amplification is back: {n_scans}"
 
 
 def test_aqe_skew_split_engages_on_hot_key(spark, sf_dir):
