@@ -159,6 +159,32 @@ def probe_id_ranges(ids: DataFrame, granule: int,
     return [(int(r["lo"]), int(r["hi"])) for r in rows]
 
 
+def granule_probe_ranges(granules: DataFrame, mult: int,
+                         max_chunks: int = _RANGE_CHUNK_CAP
+                         ) -> list[tuple[int, int]] | None:
+    """`probe_id_ranges` over a BUILD-TIME granule summary instead of
+    the posting rows (VERDICT r15 #8): `granules` carries one
+    (g, lo, hi) row per (term, build-granule) written by
+    InvertedIndex.save, so the plan-time job aggregates O(granules)
+    pre-reduced rows instead of O(df) posting rows — at 100 TB a
+    frequent term's summary drops from a corpus-scale aggregate to a
+    footer-sized side-table read. `mult` = session granule / build
+    granule (an exact regroup: build granules nest inside session
+    granules, and min/max distribute over the merge, so the result is
+    IDENTICAL to summarizing the posting rows at the session granule —
+    test-pinned). Same bail contract as probe_id_ranges."""
+    key = F.expr(f"g div {int(mult)}") if mult > 1 else F.col("g")
+    rows = (
+        granules.groupBy(key.alias("g"))
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .limit(max_chunks + 1)
+        .collect()
+    )
+    if len(rows) > max_chunks:
+        return None
+    return [(int(r["lo"]), int(r["hi"])) for r in rows]
+
+
 #: bounded memo of computed range sets: the same probe is re-planned
 #: across queries (t09/t13 shapes) and the plan-time job must not
 #: repeat per query. Keyed by (session id, probe plan semanticHash,
@@ -173,10 +199,20 @@ _RANGE_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
 _RANGE_CACHE_MAX = 256
 
 
-def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
+def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None,
+                       granules: DataFrame | None = None,
+                       granule_size: int | None = None
                        ) -> list[tuple[int, int]] | None:
     """[lo, hi] row-id ranges for the corpus scan filter, or None when
-    pruning is off / too scattered / covers ~everything."""
+    pruning is off / too scattered / covers ~everything.
+
+    `granules` (with its build `granule_size`) is an optional
+    build-time (g, lo, hi) summary of the SAME probe (e.g.
+    InvertedIndex.probe_granules): when the session granule is a
+    positive multiple of the build granule, the summary job runs over
+    it instead of the probe rows — identical ranges (exact regroup,
+    see granule_probe_ranges), plan-time cost O(granules) instead of
+    O(probe rows). Any mismatch falls back to summarizing `ids`."""
     spark = ids.sparkSession
     try:
         # enabled iff "true" (case-insensitive) — the JVM rule parses the
@@ -193,6 +229,15 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
         return None
     if granule <= 0 or max_ranges <= 0:
         return None
+    # prefer the build-time granule summary when the session granule
+    # aligns (equal, or a multiple — an exact regroup); the cache key
+    # below is computed from whichever relation is actually summarized
+    src = ids
+    mult = 0
+    if granules is not None and granule_size and granule_size > 0 \
+            and granule % int(granule_size) == 0:
+        src = granules
+        mult = granule // int(granule_size)
     try:
         # content key: a cache hit serving ANOTHER probe's ranges would
         # EXCLUDE true candidate rows from the corpus scan — wrong
@@ -206,19 +251,20 @@ def routed_scan_ranges(ids: DataFrame, n_rows_est: int | None
         # semanticHash together cover all three.
         import hashlib
 
-        canon = (ids._jdf.queryExecution().optimizedPlan()
+        canon = (src._jdf.queryExecution().optimizedPlan()
                  .canonicalized().toString())
-        files = ",".join(sorted(ids.inputFiles()))
+        files = ",".join(sorted(src.inputFiles()))
         key = (session_key(spark),
                hashlib.md5(f"{canon}||{files}".encode()).hexdigest(),
-               ids.semanticHash(), granule, max_ranges)
+               src.semanticHash(), granule, max_ranges)
     except Exception:  # pragma: no cover - plan string unavailable
         key = None
     if key is not None and key in _RANGE_CACHE:
         _RANGE_CACHE.move_to_end(key)
         hit = _RANGE_CACHE[key]
     else:
-        chunks = probe_id_ranges(ids, granule)
+        chunks = (granule_probe_ranges(src, mult) if mult
+                  else probe_id_ranges(ids, granule))
         hit = (coalesce_id_ranges(chunks, max_ranges)
                if chunks is not None else None)
         if key is not None:
@@ -246,7 +292,9 @@ def prune_scan_to_ids(df: DataFrame, ids: DataFrame, id_col: str,
                       n_rows_est: int | None = None,
                       prune: bool = True,
                       ids_col: str | None = None,
-                      ranges_out: dict | None = None) -> DataFrame:
+                      ranges_out: dict | None = None,
+                      granules: DataFrame | None = None,
+                      granule_size: int | None = None) -> DataFrame:
     """`df` with the probe's row-id ranges pushed as a scan filter —
     THE shared prune block for every routed lane (filter semijoins,
     ANN rerank scans, top-k fetch-back joins), so the dtype gate,
@@ -261,7 +309,9 @@ def prune_scan_to_ids(df: DataFrame, ids: DataFrame, id_col: str,
         c = ids_col or ids.columns[0]
         probe = ids.select(F.col(c).alias("row_id")) \
             if c != "row_id" or len(ids.columns) > 1 else ids
-        ranges = routed_scan_ranges(probe, n_rows_est)
+        ranges = routed_scan_ranges(probe, n_rows_est,
+                                    granules=granules,
+                                    granule_size=granule_size)
         if ranges:
             if ranges_out is not None:
                 ranges_out["ranges"] = ranges
@@ -271,14 +321,19 @@ def prune_scan_to_ids(df: DataFrame, ids: DataFrame, id_col: str,
 
 def routed_semijoin(df: DataFrame, ids: DataFrame, id_col: str,
                     n_rows_est: int | None = None,
-                    prune: bool = True) -> DataFrame:
+                    prune: bool = True,
+                    granules: DataFrame | None = None,
+                    granule_size: int | None = None) -> DataFrame:
     """The routed-filter shape: corpus LeftSemi probe — with the probe's
     row-id ranges pushed onto the corpus scan first, so parquet min/max
     stats skip row groups outside them (the reference's chunk-granular
     index read). `prune=False` (freshly-built index whose probe lineage
-    is a full corpus tokenize) keeps the plain semijoin."""
+    is a full corpus tokenize) keeps the plain semijoin. `granules` /
+    `granule_size`: the index's build-time probe summary, when it has
+    one (routed_scan_ranges docstring)."""
     df = prune_scan_to_ids(df, ids, id_col, n_rows_est, prune,
-                           ids_col="row_id")
+                           ids_col="row_id", granules=granules,
+                           granule_size=granule_size)
     return df.join(ids.withColumnRenamed("row_id", id_col), id_col,
                    "left_semi")
 
@@ -377,6 +432,8 @@ def _load_stats_sidecar(path: str) -> dict | None:
             "n_docs": int(ts.get("n_docs", 0)),
             "floor_frac": float(ts.get("floor_frac", _HEAVY_FRAC)),
             "heavy": {k: int(v) for k, v in ts.get("heavy", {}).items()},
+            "range_granule": (int(ts["range_granule"])
+                              if ts.get("range_granule") else None),
         }
     except Exception:
         return None
@@ -405,6 +462,14 @@ class InvertedIndex:
     #: True when read back from a persisted index — probe lineage is a
     #: pruned side-table scan, safe to summarize at plan time
     loaded: bool = False
+    #: build-time per-(term, granule) row-id min/max side table
+    #: (g, lo, hi + bucket partition), written by save() at
+    #: DEFAULT_RANGE_GRANULE and recorded in the termstats sidecar
+    #: (range_granule) — the plan-time range summary aggregates THIS
+    #: instead of the posting rows (VERDICT r15 #8). None on fresh or
+    #: pre-granule indexes (probe paths fall back to the posting job).
+    granules: DataFrame | None = None
+    granule_size: int | None = None
 
     def est_selectivity(self, term: str) -> float | None:
         """Estimated df(term)/n from the persisted heavy-term sidecar;
@@ -444,6 +509,17 @@ class InvertedIndex:
             .select("row_id")
         )
 
+    def probe_granules(self, terms: list[str]) -> DataFrame | None:
+        """Build-time (g, lo, hi) granule rows for `terms`' UNION probe
+        (bucket-pruned like the posting probe), or None when this index
+        carries no granule table. The union is exact for mode='any' /
+        single-term probes and a sound SUPERSET for 'all' (ranges are
+        only ever a scan prefilter under an exact join)."""
+        if self.granules is None:
+            return None
+        uniq = sorted({t.lower() for t in terms})
+        return _term_hit(self.granules, uniq).select("g", "lo", "hi")
+
     def save(self, path: str, mode: str = "overwrite") -> None:
         # A fresh (unloaded) index's frames share one corpus-tokenize
         # lineage, and the four actions below would each re-run it
@@ -455,6 +531,42 @@ class InvertedIndex:
             self.postings.persist()
             self.doclens.persist()
         try:
+            # Build-time granule summary (VERDICT r15 #8): one
+            # (g, lo, hi) row per (term, DEFAULT_RANGE_GRANULE block),
+            # bucketed/partitioned exactly like the postings so probes
+            # prune the same way. The plan-time range summary then
+            # aggregates O(granules) pre-reduced rows instead of O(df)
+            # posting rows (routed_scan_ranges). Written BEFORE the
+            # postings so an interrupted APPEND leaves granules ⊇
+            # postings — ranges stay a sound superset. On append, only
+            # when the existing sidecar records the SAME granule (a
+            # pre-granule or differently-granuled base would leave the
+            # table missing the base rows — load would serve ranges
+            # that EXCLUDE true candidates); otherwise the sidecar key
+            # is dropped and load falls back to the posting-row job.
+            granule_meta: int | None = DEFAULT_RANGE_GRANULE
+            if mode == "append":
+                from deeplake_spark.storage import get_json, json_exists
+
+                sidecar = os.path.join(path, "termstats.json")
+                try:
+                    old_g = (get_json(sidecar).get("range_granule")
+                             if json_exists(sidecar) else None)
+                except Exception:
+                    old_g = None
+                if old_g != DEFAULT_RANGE_GRANULE:
+                    granule_meta = None
+            if granule_meta:
+                (self.postings
+                 .groupBy("term",
+                          F.expr(f"row_id div {int(granule_meta)}")
+                          .alias("g"))
+                 .agg(F.min("row_id").alias("lo"),
+                      F.max("row_id").alias("hi"))
+                 .withColumn("bucket", F.abs(F.hash("term")) % 64)
+                 .repartitionByRange("bucket", "term")
+                 .write.mode(mode).partitionBy("bucket").parquet(
+                     os.path.join(path, "granules")))
             # bucket the term dimension: probes prune to matching
             # partitions. Range-repartition on (bucket, term) BEFORE
             # the partitionBy write: a partitionBy write emits one
@@ -475,13 +587,15 @@ class InvertedIndex:
             self.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
             self.doclens.write.mode(mode).parquet(
                 os.path.join(path, "doclens"))
-            self._write_termstats(path, merge=(mode == "append"))
+            self._write_termstats(path, merge=(mode == "append"),
+                                  granule=granule_meta)
         finally:
             if fresh:
                 self.postings.unpersist()
                 self.doclens.unpersist()
 
-    def _write_termstats(self, path: str, merge: bool) -> None:
+    def _write_termstats(self, path: str, merge: bool,
+                         granule: int | None = None) -> None:
         """Persist the routing-gate sidecar: df for every HEAVY term
         (df >= floor_frac * n) + corpus size — the stats the reference
         injects into its cost hook (column_statistics.cpp:278-356).
@@ -502,7 +616,13 @@ class InvertedIndex:
         old = get_json(sidecar) if merge and json_exists(sidecar) else None
         counts = self.postings.groupBy(
             F.col("term").alias("key")).agg(F.count(F.lit(1)).alias("df"))
-        put_json(sidecar, _heavy_map(counts, n, old))
+        payload = _heavy_map(counts, n, old)
+        # range_granule present ⟺ the granules side table covers ALL
+        # postings at that granule (save() writes/declines the table
+        # and this key together; see the granule_meta comment there)
+        if granule:
+            payload["range_granule"] = int(granule)
+        put_json(sidecar, payload)
 
     def append_to(self, path: str) -> None:
         """Delta maintenance: write this (delta-built) index's postings/
@@ -529,6 +649,18 @@ class InvertedIndex:
         heavy = ts["heavy"] if ts else None
         n_est = (ts["n_docs"] or None) if ts else None
         floor = ts["floor_frac"] if ts else _HEAVY_FRAC
+        # granule side table: only trusted when the sidecar recorded
+        # its granule in the same save (the key ⟺ full-coverage
+        # invariant — see save()); a missing/unreadable table degrades
+        # to the posting-row summary, never an error
+        gsize = ts.get("range_granule") if ts else None
+        granules = None
+        if gsize:
+            try:
+                granules = spark.read.parquet(
+                    os.path.join(path, "granules"))
+            except Exception:
+                granules, gsize = None, None
         return cls(
             # keep `bucket`: probes prune the term-hash partition with it
             # (_term_hit) — dropping it here made every probe scan all 64
@@ -540,6 +672,8 @@ class InvertedIndex:
             n_docs_est=n_est,
             floor_frac=floor,
             loaded=True,
+            granules=granules,
+            granule_size=gsize,
         )
 
 
@@ -595,7 +729,9 @@ def contains_via_index(df: DataFrame, index: InvertedIndex, term: str,
     tokenize — summarizing it would cost what it saves)."""
     ids = index.probe([term])
     return routed_semijoin(df, ids, id_col, n_rows_est=index.n_docs_est,
-                           prune="bucket" in index.postings.columns)
+                           prune="bucket" in index.postings.columns,
+                           granules=index.probe_granules([term]),
+                           granule_size=index.granule_size)
 
 
 def bm25_via_index(index: InvertedIndex, terms: list[str], k: int = 10,

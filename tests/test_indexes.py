@@ -2392,3 +2392,135 @@ def test_index_save_layout_one_file_per_bucket(spark, tmp_path):
         len(glob.glob(os.path.join(d, "*.parquet")))
         for d in glob.glob(os.path.join(pe, "digests", "bucket=*"))]
     assert per_bucket and max(per_bucket) <= 2, per_bucket
+
+
+def test_granule_sidetable_ranges_match_posting_job(spark, tmp_path):
+    """The build-time granule side table (VERDICT r15 #8) must be a
+    DROP-IN for the plan-time posting summary: identical coalesced
+    ranges at the build granule AND at any multiple (exact regroup —
+    min/max distribute over nested granule blocks), posting-job
+    fallback on a non-divisible session granule, and the summarized
+    relation reads ONLY the granules side table. Corpus ids span ~15
+    granules so the equality is non-trivial."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators import indexes as ix
+    from deeplake_spark.operators.indexes import (
+        DEFAULT_RANGE_GRANULE,
+        InvertedIndex,
+        build_inverted_index,
+        routed_scan_ranges,
+    )
+
+    n = 200
+    src = (spark.range(n)
+           .select((F.col("id") * 6000).alias("doc_id"),
+                   F.when((F.col("id") >= 50) & (F.col("id") < 70),
+                          F.lit("alpha needle"))
+                   .otherwise(F.lit("alpha beta")).alias("text")))
+    path = str(tmp_path / "inv_gran")
+    build_inverted_index(src).save(path)
+    idx = InvertedIndex.load(spark, path)
+    assert idx.granules is not None
+    assert idx.granule_size == DEFAULT_RANGE_GRANULE
+    gp = idx.probe_granules(["needle"])
+    assert gp.inputFiles() and all(
+        "/granules/" in f for f in gp.inputFiles()), gp.inputFiles()
+
+    def both(terms, granule):
+        spark.conf.set(ix.RANGE_GRANULE_KEY, str(granule))
+        try:
+            ids = idx.probe(terms)
+            ix._RANGE_CACHE.clear()
+            posting = routed_scan_ranges(ids, None)
+            ix._RANGE_CACHE.clear()
+            granular = routed_scan_ranges(
+                ids, None, granules=idx.probe_granules(terms),
+                granule_size=idx.granule_size)
+            return posting, granular
+        finally:
+            spark.conf.unset(ix.RANGE_GRANULE_KEY)
+
+    for terms in (["needle"], ["needle", "beta"]):
+        for g in (DEFAULT_RANGE_GRANULE, DEFAULT_RANGE_GRANULE * 4):
+            posting, granular = both(terms, g)
+            assert posting == granular and posting, (terms, g, posting)
+    # the selective term's ranges actually prune (subset of id space)
+    posting, _ = both(["needle"], DEFAULT_RANGE_GRANULE)
+    covered = sum(hi - lo + 1 for lo, hi in posting)
+    assert covered < (n - 1) * 6000, posting
+    # non-divisible session granule: granule arg ignored, posting job
+    # result (still correct)
+    posting, granular = both(["needle"], 1000)
+    assert posting == granular
+
+    # routed CONTAINS row parity against the stock tokenize filter
+    from deeplake_spark.functions.text import tokenize
+    from deeplake_spark.operators.indexes import contains_via_index
+
+    routed = sorted(r[0] for r in
+                    contains_via_index(src, idx, "needle")
+                    .select("doc_id").collect())
+    stock = sorted(r[0] for r in
+                   src.filter(F.array_contains(tokenize("`text`"),
+                                               "needle"))
+                   .select("doc_id").collect())
+    assert routed == stock and len(routed) == 20
+
+
+def test_granule_sidetable_append_and_pregranule_base(spark, tmp_path):
+    """Append soundness: a delta append extends the granule table and
+    the merged ranges still equal the posting job; a PRE-GRANULE base
+    (no range_granule in the sidecar) must keep granules DISABLED
+    through load and through later appends — a partially-covering
+    granule table would push ranges that exclude true candidates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators import indexes as ix
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        build_inverted_index,
+        routed_scan_ranges,
+    )
+    from deeplake_spark.storage import get_json, put_json
+
+    def corpus(lo, hi):
+        return (spark.range(lo, hi)
+                .select((F.col("id") * 6000).alias("doc_id"),
+                        F.lit("alpha needle").alias("text")))
+
+    path = str(tmp_path / "inv_app")
+    build_inverted_index(corpus(0, 40)).save(path)
+    build_inverted_index(corpus(400, 440)).append_to(path)
+    idx = InvertedIndex.load(spark, path)
+    assert idx.granules is not None
+    ids = idx.probe(["needle"])
+    ix._RANGE_CACHE.clear()
+    posting = routed_scan_ranges(ids, None)
+    ix._RANGE_CACHE.clear()
+    granular = routed_scan_ranges(ids, None,
+                                  granules=idx.probe_granules(["needle"]),
+                                  granule_size=idx.granule_size)
+    # both segments' granules present (base cluster < 240k, delta
+    # cluster >= 2.4M), ranges identical across the two summary paths
+    assert posting == granular and posting, posting
+    assert any(hi < 240_000 for _, hi in posting)
+    assert any(lo >= 2_400_000 for lo, _ in posting)
+
+    # pre-granule base: strip the table + sidecar key (what an index
+    # saved by older code looks like), then append with current code
+    pre = str(tmp_path / "inv_pre")
+    build_inverted_index(corpus(0, 40)).save(pre)
+    shutil.rmtree(os.path.join(pre, "granules"))
+    sc = os.path.join(pre, "termstats.json")
+    ts = get_json(sc)
+    ts.pop("range_granule", None)
+    put_json(sc, ts)
+    assert InvertedIndex.load(spark, pre).granules is None
+    build_inverted_index(corpus(400, 440)).append_to(pre)
+    after = InvertedIndex.load(spark, pre)
+    assert after.granules is None and after.granule_size is None
+    assert not os.path.isdir(os.path.join(pre, "granules"))
