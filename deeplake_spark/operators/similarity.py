@@ -1011,12 +1011,23 @@ def near_dup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
             f"bands={bands} exceeds the embedding dimension {dim}; "
             "use bands <= dim")
     rows = max(1, dim // bands)
-    base = df.select(
+    # tracked persist (the d03 posting-relation convention): the
+    # prepared (id, vec, norm, sign-bits) relation feeds the banding
+    # subtree (itself consumed by the bucket-cap aggregate and BOTH
+    # candidate join sides) plus the two verify sides — five consumers
+    # that join on DIFFERENT keys, so neither static nor AQE exchange
+    # reuse ever fires (trap 27; the executed v08 plan ran 24 scans /
+    # 6 sign-bit passes with 2 ReusedExchange). One fill at first
+    # action; at 100 TB this is the persisted signature side table of
+    # the embedding index, exactly like d03's posting relation.
+    from deeplake_spark.operators.dedup import _track
+
+    base = _track(df.select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(f"`{vec_col}`").alias("__norm"),
         sign_bits(f"`{vec_col}`").alias("__bits"),
-    )
+    ))
     # band hash = hash over the band's sign bits as flat args:
     # element_at args compile ~6x cheaper than slice+cast chains
     # (perf trap 6) and stay one whole-stage-codegen expression
@@ -1234,12 +1245,18 @@ def cross_near_dup_lsh(df_a: DataFrame, df_b: DataFrame,
     rows = max(1, dim // bands)
 
     def prep(df: DataFrame, side: str):
-        base = df.select(
+        # tracked persist, same rationale as near_dup_pairs_lsh: each
+        # side's prepared relation feeds its banding subtree AND its
+        # verify join (B additionally feeds the bucket-cap aggregate) —
+        # different join keys, no exchange reuse (trap 27)
+        from deeplake_spark.operators.dedup import _track
+
+        base = _track(df.select(
             F.col(id_col).alias(side),
             F.col(vec_col).alias(f"__v{side}"),
             l2_norm(f"`{vec_col}`").alias(f"__n{side}"),
             sign_bits(f"`{vec_col}`").alias("__bits"),
-        )
+        ))
         banded = base.select(
             F.col(side),
             F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
