@@ -1085,6 +1085,19 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
                    F.explode_outer(winnow("__h", w)).alias("fp"))
            .filter(F.col("fp").isNotNull()))
     if max_docs is None:
+        # tracked persist (the jaccard_pairs posting convention): the
+        # uncapped fingerprint relation feeds BOTH self-join sides on
+        # different keys, so nothing reuses across them (trap 27: the
+        # executed t42 plan ran 2 tokenize+kgram+winnow passes). One
+        # fill — interleaved x6 A/B: med 0.99 -> 0.85 s, wins every
+        # quantile. The CAPPED path measured the OPPOSITE (r16
+        # four-variant A/B: none 1.18 med vs fps-persist 1.59 /
+        # kept-persist 1.58 / both 1.29): its three passes overlap
+        # inside one job while a persist serializes a fill barrier —
+        # same economics as the rejected t28/t33 persists — so the
+        # cap branch below stays recompute-shaped.
+        fps = _track(fps)
+    if max_docs is None:
         kept = fps  # uncapped (the exactly-oracled t42 lane)
     else:
         bounded = (fps.groupBy("fp")
