@@ -416,6 +416,14 @@ def test_r16_restructured_shapes(spark, sf_dir):
         f"t30 BNLJ is back: {joins}"
     n_scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
     assert n_scans <= 2, f"t30 corpus read amplification is back: {n_scans}"
+    # r16 session-2 persists (trap 27 — multiply-consumed prepared
+    # relations never share exchanges): v08/v20's LSH signature
+    # relation and t42's uncapped winnow fingerprints each fill once
+    # and serve every consumer from InMemoryTableScan
+    for lane in ("v08_near_dup_pairs", "v20_semantic_decontamination",
+                 "t42_winnow_fingerprint_pairs"):
+        plan, _ = joins_of(lane)
+        assert "InMemoryTableScan" in plan, f"{lane} persist gone"
 
 
 def test_aqe_skew_split_engages_on_hot_key(spark, sf_dir):

@@ -68,7 +68,12 @@ COMMENTARY = {
         "key is (band, hash) so pair fan-out tracks true collisions — "
         "replacing label blocking, whose O(N^2/num_labels) in-block pairs "
         "grow quadratically. Oversized degenerate buckets are dropped by "
-        "the bucket_cap guard; exact cosine verifies candidates only."
+        "the bucket_cap guard; exact cosine verifies candidates only. "
+        "r16: the prepared (id, vec, norm, sign-bits) relation is a "
+        "tracked persist — its five consumers (bucket-cap aggregate, "
+        "both candidate join sides, both verify sides) join on "
+        "different keys so exchange reuse never fires (trap 27); the "
+        "executed plan dropped from 10 corpus scans to one fill."
     ),
     "r05_limit_percent": (
         "Count-free LIMIT PERCENT (round 2): the limit is a broadcast "
@@ -270,7 +275,11 @@ COMMENTARY = {
         "re-evaluates inside the HOF windows); the distinct-per-doc "
         "fingerprint explode feeds ONE fp-keyed self-join with "
         "distinct per-side aliases (trap 20); pair fan-out is bounded "
-        "by winnowing's ~1/w sampling. x32 ratio in SCALING.md."
+        "by winnowing's ~1/w sampling. x32 ratio in SCALING.md. "
+        "r16: the uncapped fingerprint relation is a tracked persist "
+        "(both self-join sides read InMemoryTableScan — trap 27); the "
+        "capped t45 path measured faster WITHOUT one (its three "
+        "passes overlap inside one job) and stays recompute-shaped."
     ),
     "t48_ngram_novelty": (
         "One tokenize+shingle pass (projected column, explode_outer + "
