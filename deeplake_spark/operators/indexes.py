@@ -545,10 +545,14 @@ class InvertedIndex:
             # that EXCLUDE true candidates); otherwise the sidecar key
             # is dropped and load falls back to the posting-row job.
             granule_meta: int | None = DEFAULT_RANGE_GRANULE
-            if mode == "append":
-                from deeplake_spark.storage import get_json, json_exists
+            from deeplake_spark.storage import (
+                get_json,
+                json_exists,
+                put_json,
+            )
 
-                sidecar = os.path.join(path, "termstats.json")
+            sidecar = os.path.join(path, "termstats.json")
+            if mode == "append":
                 try:
                     old_g = (get_json(sidecar).get("range_granule")
                              if json_exists(sidecar) else None)
@@ -556,6 +560,23 @@ class InvertedIndex:
                     old_g = None
                 if old_g != DEFAULT_RANGE_GRANULE:
                     granule_meta = None
+            else:
+                # OVERWRITE onto an existing index dir: strip the
+                # coverage key BEFORE any data write — a crash between
+                # the new granules and the new postings would otherwise
+                # leave a stale key vouching for a granule table that
+                # no longer matches the postings (ranges could then
+                # EXCLUDE true candidate rows). With the key gone,
+                # every partially-overwritten state loads granule-less
+                # (sound fallback); the final _write_termstats restores
+                # it only after all writes landed.
+                try:
+                    if json_exists(sidecar):
+                        old_ts = get_json(sidecar)
+                        if old_ts.pop("range_granule", None) is not None:
+                            put_json(sidecar, old_ts)
+                except Exception:
+                    pass
             if granule_meta:
                 (self.postings
                  .groupBy("term",

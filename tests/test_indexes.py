@@ -2524,3 +2524,52 @@ def test_granule_sidetable_append_and_pregranule_base(spark, tmp_path):
     after = InvertedIndex.load(spark, pre)
     assert after.granules is None and after.granule_size is None
     assert not os.path.isdir(os.path.join(pre, "granules"))
+
+
+def test_granule_overwrite_crash_window_is_sound(spark, tmp_path,
+                                                 monkeypatch):
+    """An OVERWRITE save onto an existing index dir strips the
+    sidecar's range_granule key BEFORE any data write: a crash after
+    the new granule table but before the new postings then loads
+    granule-less (posting-job fallback) instead of serving ranges from
+    a table that no longer matches the postings."""
+    from pyspark.sql import functions as F
+
+    from deeplake_spark.operators.indexes import (
+        InvertedIndex,
+        build_inverted_index,
+    )
+
+    src = (spark.range(50)
+           .select((F.col("id") * 6000).alias("doc_id"),
+                   F.lit("alpha needle").alias("text")))
+    path = str(tmp_path / "inv_ow")
+    build_inverted_index(src).save(path)
+    assert InvertedIndex.load(spark, path).granules is not None
+
+    # re-save, crashing right after the granule write (the first
+    # parquet write of the save): postings/termstats stay OLD
+    idx2 = build_inverted_index(src)
+    calls = {"n": 0}
+    import pyspark.sql.readwriter as rw
+
+    real = rw.DataFrameWriter.parquet
+
+    def crashing(self, p, *a, **k):
+        out = real(self, p, *a, **k)
+        if p.endswith("granules"):
+            calls["n"] += 1
+            raise RuntimeError("simulated crash after granule write")
+        return out
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", crashing)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            idx2.save(path)
+    finally:
+        monkeypatch.undo()
+    assert calls["n"] == 1
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.granules is None and loaded.granule_size is None
