@@ -610,3 +610,8 @@ def register_index_views(spark: SparkSession, view: str,
     if idx.granules is not None \
             and idx.granule_size == DEFAULT_RANGE_GRANULE:
         idx.granules.createOrReplaceTempView(f"{view}__granules")
+    else:
+        # a granule-less index re-registered under a name that
+        # previously carried one must not leave the STALE view serving
+        # another index's ranges (wrong rows, not just a bad plan)
+        spark.catalog.dropTempView(f"{view}__granules")
